@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One named operator-coverage query.
+  *
+  * @param name   stable key, also the CORRECTNESS_r{N}.json key
+  * @param oracle equivalent ANSI SQL for the DuckDB oracle (None → the driver
+  *               records a weaker rows-only check; used for ops whose output
+  *               is not reproducible in DuckDB, e.g. sampling / LSH buckets)
+  * @param run    builds the lazy DataFrame from (session, sf-dir)
+  *
+  * Conventions that keep the driver's hash-compare deterministic:
+  *  - every query ORDERs BY enough columns that the result multiset is unique;
+  *  - every floating-point aggregate is `round(x, k)` in BOTH Spark and the
+  *    oracle SQL (raw column values pass through un-rounded — both engines
+  *    read identical bits from the same parquet);
+  *  - aggregate/computed columns carry identical aliases on both sides;
+  *  - integer SUMs are cast to BIGINT on both sides (DuckDB widens to
+  *    HUGEINT, Spark to LONG).
+  */
+final case class Q(name: String, oracle: Option[String])(
+    val run: (SparkSession, String) => DataFrame)

@@ -1,13 +1,31 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
+
+  /** Every coverage query, grouped by SURVEY.md §2 family. */
+  def all: Seq[Q] =
+    _root_.graft.queries.Relational.all
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    byName("q01_tpch_q1").run(spark, "/root/testdata/sf0.001")
+
+  def byName(name: String): Q = all.find(_.name == name).get
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.run).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(o => q.name -> o.trim)).toMap
+
+  /** Headline subset timed by Bench (heavier, scale-sensitive queries). */
+  def benchQueries: Seq[String] = Seq(
+    "q01_tpch_q1", "q05_join_inner", "q08_join_full", "q11_join_theta",
+    "q13_agg_groupby", "q17_agg_distinct")
 }

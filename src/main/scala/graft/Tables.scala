@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table registry over the driver-provided parquet directories.
+  *
+  * Mirrors the role of the reference's table registration
+  * (dask_sql/context.py:168-293 `create_table`): a named table is just a
+  * lazily-read DataFrame registered in the session catalog. Catalyst handles
+  * column pruning / filter pushdown into the parquet scan natively, so there
+  * is no analogue of the reference's graph-rewriting pushdown
+  * (dask_sql/physical/utils/filter.py).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Read one table from a scale-factor directory (plain lazy scan).
+    *
+    * `events.ts` is physically INT64 TIMESTAMP(NANOS), which Spark's parquet
+    * reader rejects; read it as raw nanos and truncate to microseconds
+    * (exactly what DuckDB's ns→us cast does, keeping the oracle comparable).
+    */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("CAST(ts DIV 1000 AS BIGINT)")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+
+  // Re-registering views is cheap but re-reads parquet footers; cache the
+  // last-registered dir per session so repeated queries skip the IO.
+  private val registered = scala.collection.mutable.Set.empty[(String, String)]
+
+  /** Register every test table as a temp view (idempotent per (session,dir)). */
+  def register(spark: SparkSession, dir: String): Unit = synchronized {
+    val key = (System.identityHashCode(spark).toString, dir)
+    if (!registered.contains(key)) {
+      names.foreach { n => t(spark, dir, n).createOrReplaceTempView(n) }
+      registered += key
+    }
+  }
+}

@@ -1,0 +1,281 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.Tables.t
+
+/** Relational-operator coverage: one query per LogicalPlan node of the
+  * reference (SURVEY.md §2.1; reference plugin registry at
+  * dask_sql/context.py:118-152). Everything here is the idiomatic Spark
+  * DataFrame/SQL form — scan pushdown, join strategy selection, partial
+  * aggregation and top-k sorts are delegated to Catalyst/Tungsten rather
+  * than re-implemented (reference does these by hand, e.g.
+  * physical/utils/filter.py, physical/utils/sort.py).
+  */
+object Relational {
+
+  val all: Seq[Q] = Seq(
+
+    // TableScan+Projection+Filter+Aggregate+Sort end-to-end (flagship;
+    // reference: table_scan.py:21, project.py:17, filter.py:48, aggregate.py:91)
+    Q("q01_tpch_q1", Some("""
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 4) AS sum_qty,
+             round(sum(l_extendedprice), 4) AS sum_base_price,
+             round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+             round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+             round(avg(l_quantity), 4) AS avg_qty,
+             round(avg(l_extendedprice), 4) AS avg_price,
+             round(avg(l_discount), 4) AS avg_disc,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""")) { (s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 4).as("sum_qty"),
+          round(sum("l_extendedprice"), 4).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 4).as("sum_charge"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // Bare scan with projection + predicate pushdown to parquet
+    // (reference: table_scan.py:61-119; here Catalyst PushDownPredicates)
+    Q("q02_scan_pushdown", Some("""
+      SELECT l_orderkey, l_linenumber, l_extendedprice
+      FROM lineitem WHERE l_extendedprice > 98000.0
+      ORDER BY l_orderkey, l_linenumber, l_extendedprice""")) { (s, d) =>
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .filter(col("l_extendedprice") > 98000.0)
+        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
+    },
+
+    // Projection with computed expressions (reference: project.py:17-78)
+    Q("q03_projection", Some("""
+      SELECT p_partkey, upper(p_name) AS uname,
+             round(p_retailprice * 1.1, 4) AS boosted,
+             p_brand || '-' || p_type AS brand_type
+      FROM part ORDER BY p_partkey""")) { (s, d) =>
+      t(s, d, "part").select(
+        col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        round(col("p_retailprice") * lit(1.1), 4).as("boosted"),
+        concat(col("p_brand"), lit("-"), col("p_type")).as("brand_type"))
+        .orderBy("p_partkey")
+    },
+
+    // Filter where the predicate evaluates to NULL for some rows — SQL
+    // three-valued logic drops them (reference forces fillna(False),
+    // filter.py:38-39; Spark native)
+    Q("q04_filter_null_bool", Some("""
+      SELECT p_partkey, p_size FROM part
+      WHERE CASE WHEN p_size > 30 THEN NULL ELSE p_size < 10 END
+      ORDER BY p_partkey""")) { (s, d) =>
+      t(s, d, "part")
+        .filter(expr("CASE WHEN p_size > 30 THEN CAST(NULL AS BOOLEAN) ELSE p_size < 10 END"))
+        .select("p_partkey", "p_size")
+        .orderBy("p_partkey")
+    },
+
+    // Inner equi-join, shuffle-hash/SMJ chosen by Catalyst
+    // (reference: join.py:23-322 hand-splits equi conjuncts)
+    Q("q05_join_inner", Some("""
+      SELECT o_orderpriority,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             count(*) AS n
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")) { (s, d) =>
+      val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    },
+
+    // LEFT OUTER join with genuinely unmatched left rows
+    Q("q06_join_left", Some("""
+      SELECT o_orderstatus, count(*) AS n_rows, count(l_orderkey) AS n_matched,
+             round(coalesce(sum(l_quantity), 0), 4) AS qty
+      FROM orders LEFT JOIN (SELECT * FROM lineitem WHERE l_quantity >= 49) li
+        ON o_orderkey = li.l_orderkey
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""")) { (s, d) =>
+      val o = t(s, d, "orders")
+      val big = t(s, d, "lineitem").filter(col("l_quantity") >= 49)
+      o.join(big, o("o_orderkey") === big("l_orderkey"), "left")
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("l_orderkey")).as("n_matched"),
+          round(coalesce(sum("l_quantity"), lit(0.0)), 4).as("qty"))
+        .orderBy("o_orderstatus")
+    },
+
+    // RIGHT OUTER join (mirror of q06)
+    Q("q07_join_right", Some("""
+      SELECT o_orderstatus, count(*) AS n_rows, count(l_orderkey) AS n_matched
+      FROM (SELECT * FROM lineitem WHERE l_quantity >= 49) li
+        RIGHT JOIN orders ON li.l_orderkey = o_orderkey
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""")) { (s, d) =>
+      val o = t(s, d, "orders")
+      val big = t(s, d, "lineitem").filter(col("l_quantity") >= 49)
+      big.join(o, big("l_orderkey") === o("o_orderkey"), "right")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"), count(col("l_orderkey")).as("n_matched"))
+        .orderBy("o_orderstatus")
+    },
+
+    // FULL OUTER join over two daily aggregates with non-overlapping edges
+    Q("q08_join_full", Some("""
+      SELECT day, ordervalue, shipqty FROM
+        (SELECT o_orderdate AS day, round(sum(o_totalprice), 2) AS ordervalue
+         FROM orders GROUP BY 1) o
+      FULL JOIN
+        (SELECT l_shipdate AS day, round(sum(l_quantity), 4) AS shipqty
+         FROM lineitem GROUP BY 1) l
+      USING (day) ORDER BY day""")) { (s, d) =>
+      val od = t(s, d, "orders").groupBy(col("o_orderdate").as("day"))
+        .agg(round(sum("o_totalprice"), 2).as("ordervalue"))
+      val ld = t(s, d, "lineitem").groupBy(col("l_shipdate").as("day"))
+        .agg(round(sum("l_quantity"), 4).as("shipqty"))
+      od.join(ld, Seq("day"), "full")
+        .select("day", "ordervalue", "shipqty")
+        .orderBy("day")
+    },
+
+    // LEFT SEMI join = EXISTS (reference: join.py:78-79 falls back to inner
+    // on CPU; Spark has a real semi join)
+    Q("q09_join_semi", Some("""
+      SELECT c_custkey, c_name FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+      ORDER BY c_custkey""")) { (s, d) =>
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders").filter(col("o_totalprice") > 400000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // LEFT ANTI join = NOT EXISTS (reference: join.py:229-239 via merge
+    // indicator)
+    Q("q10_join_anti", Some("""
+      SELECT c_custkey, c_name FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+      ORDER BY c_custkey""")) { (s, d) =>
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders").filter(col("o_totalprice") > 400000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // Theta join: equi conjunct + inequality residual (reference:
+    // join.py:98-142 splits conjuncts by hand; Spark plans this natively)
+    Q("q11_join_theta", Some("""
+      SELECT a.s_nationkey AS nk, count(*) AS pairs
+      FROM supplier a JOIN supplier b
+        ON a.s_nationkey = b.s_nationkey AND a.s_acctbal < b.s_acctbal
+      GROUP BY 1 ORDER BY 1""")) { (s, d) =>
+      val a = t(s, d, "supplier").alias("a")
+      val b = t(s, d, "supplier").alias("b")
+      a.join(b, col("a.s_nationkey") === col("b.s_nationkey") &&
+        col("a.s_acctbal") < col("b.s_acctbal"))
+        .groupBy(col("a.s_nationkey").as("nk"))
+        .agg(count(lit(1)).as("pairs"))
+        .orderBy("nk")
+    },
+
+    // CROSS JOIN (reference: cross_join.py:15-53 fakes it with a const key)
+    Q("q12_cross_join", Some("""
+      SELECT r_name, n_name FROM region CROSS JOIN nation
+      ORDER BY r_name, n_name""")) { (s, d) =>
+      t(s, d, "region").crossJoin(t(s, d, "nation"))
+        .select("r_name", "n_name")
+        .orderBy("r_name", "n_name")
+    },
+
+    // GROUP BY with a battery of aggregates (reference: aggregate.py:91-589)
+    Q("q13_agg_groupby", Some("""
+      SELECT c_mktsegment, count(*) AS n, count(DISTINCT c_nationkey) AS nations,
+             round(min(c_acctbal), 4) AS min_bal, round(max(c_acctbal), 4) AS max_bal,
+             round(avg(c_acctbal), 4) AS avg_bal, round(sum(c_acctbal), 4) AS sum_bal
+      FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")) { (s, d) =>
+      t(s, d, "customer").groupBy("c_mktsegment")
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct("c_nationkey").as("nations"),
+          round(min("c_acctbal"), 4).as("min_bal"),
+          round(max("c_acctbal"), 4).as("max_bal"),
+          round(avg("c_acctbal"), 4).as("avg_bal"),
+          round(sum("c_acctbal"), 4).as("sum_bal"))
+        .orderBy("c_mktsegment")
+    },
+
+    // Full-table aggregate, no GROUP BY (reference synthesizes a constant
+    // group column, aggregate.py:253-258)
+    Q("q14_agg_global", Some("""
+      SELECT count(*) AS n, round(sum(l_quantity), 4) AS total_qty,
+             round(min(l_extendedprice), 4) AS min_price,
+             round(max(l_extendedprice), 4) AS max_price,
+             count(DISTINCT l_orderkey) AS n_orders
+      FROM lineitem""")) { (s, d) =>
+      t(s, d, "lineitem").agg(
+        count(lit(1)).as("n"),
+        round(sum("l_quantity"), 4).as("total_qty"),
+        round(min("l_extendedprice"), 4).as("min_price"),
+        round(max("l_extendedprice"), 4).as("max_price"),
+        countDistinct("l_orderkey").as("n_orders"))
+    },
+
+    // DISTINCT (reference: aggregate.py:323-332 → drop_duplicates)
+    Q("q15_distinct", Some("""
+      SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+      ORDER BY l_returnflag, l_linestatus""")) { (s, d) =>
+      t(s, d, "lineitem").select("l_returnflag", "l_linestatus")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // FILTER (WHERE ...) aggregate modifier (reference: aggregate.py:557-561
+    // runs one pre-filtered batch per filter column; Spark native syntax)
+    Q("q16_agg_filter_clause", Some("""
+      SELECT o_orderstatus,
+             count(*) FILTER (WHERE o_totalprice > 300000) AS n_big,
+             round(sum(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 2) AS urgent_value,
+             count(*) AS n
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")) { (s, d) =>
+      graft.Tables.register(s, d)
+      s.sql("""
+        SELECT o_orderstatus,
+               count(*) FILTER (WHERE o_totalprice > 300000) AS n_big,
+               round(sum(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 2) AS urgent_value,
+               count(*) AS n
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    },
+
+    // DISTINCT aggregate modifier (reference: aggregate.py:562-568)
+    Q("q17_agg_distinct", Some("""
+      SELECT l_returnflag,
+             count(DISTINCT l_suppkey) AS n_supp,
+             CAST(sum(DISTINCT l_linenumber) AS BIGINT) AS sum_distinct_ln
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")) { (s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(
+          countDistinct("l_suppkey").as("n_supp"),
+          sum_distinct(col("l_linenumber")).cast("bigint").as("sum_distinct_ln"))
+        .orderBy("l_returnflag")
+    },
+  )
+}

@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/selfcheck.py <sfDir> <outDir>
+  (run `sbt "runMain graft.Verify <sfDir> <outDir>"` first)
+
+For each <outDir>/<name> parquet dir with an entry in oracle_sql.json:
+run the SQL in DuckDB over the sf tables, sort columns by name, sort rows,
+compare cell-by-cell (exact for non-floats, rel-tol 1e-9 for floats).
+"""
+import json, math, sys, glob, os
+import duckdb
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(os.listdir(out_dir)):
+        path = os.path.join(out_dir, name)
+        if not os.path.isdir(path):
+            continue
+        files = glob.glob(f"{path}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no parquet output"); n_fail += 1; continue
+        got = con.sql(f"SELECT * FROM '{path}/*.parquet'").df()
+        if name not in oracle:
+            print(f"ROWS {name}: rows={len(got)} (no oracle)"); continue
+        try:
+            exp = con.sql(oracle[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error {e}"); n_fail += 1; continue
+        ok, msg = compare(got, exp)
+        if ok:
+            print(f"PASS {name}: rows={len(got)}"); n_pass += 1
+        else:
+            print(f"FAIL {name}: {msg}"); n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+def compare(got, exp):
+    gc, ec = sorted(got.columns), sorted(exp.columns)
+    if gc != ec:
+        return False, f"columns differ: spark={gc} oracle={ec}"
+    if len(got) != len(exp):
+        return False, f"row count differs: spark={len(got)} oracle={len(exp)}"
+    g = got[gc].sort_values(by=gc, ignore_index=True)
+    e = exp[ec].sort_values(by=ec, ignore_index=True)
+    for c in gc:
+        gv, ev = g[c].tolist(), e[c].tolist()
+        for i, (a, b) in enumerate(zip(gv, ev)):
+            if not cell_eq(a, b):
+                return False, f"col {c} row {i}: spark={a!r} oracle={b!r}"
+    return True, ""
+
+def cell_eq(a, b):
+    if a is None and b is None:
+        return True
+    try:
+        if a != a and b != b:  # both NaN
+            return True
+    except Exception:
+        pass
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            af, bf = float(a), float(b)
+        except (TypeError, ValueError):
+            return str(a) == str(b)
+        if math.isnan(af) and math.isnan(bf):
+            return True
+        return af == bf or abs(af - bf) <= 1e-9 * max(1.0, abs(af), abs(bf))
+    if type(a) != type(b):
+        return str(a) == str(b)
+    return a == b
+
+if __name__ == "__main__":
+    main()
