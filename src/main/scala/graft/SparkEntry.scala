@@ -7,7 +7,9 @@ object SparkEntry {
 
   /** Every coverage query, grouped by SURVEY.md §2 family. */
   def all: Seq[Q] =
-    _root_.graft.queries.Relational.all
+    _root_.graft.queries.Relational.all ++
+      _root_.graft.queries.WindowSort.all ++
+      _root_.graft.queries.AggExtra.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.Tables.t
+
+/** Extended aggregate surface (SURVEY.md §2.2): statistical aggregates,
+  * bitwise, boolean, regression family, NULL-sum semantics, and the
+  * grouping-sets family the reference lacks (DataFusion Expr::GroupingSet
+  * unimplemented, src/expression.rs:446-454 — native in Spark).
+  */
+object AggExtra {
+
+  val all: Seq[Q] = Seq(
+
+    // STDDEV/VAR sample+population (reference: aggregate.py:128-160 custom
+    // (count,sum,sumsq) partials; Spark has codegen'd DeclarativeAggregates)
+    Q("q30_agg_stats", Some("""
+      SELECT l_returnflag,
+             round(stddev_samp(l_quantity), 6) AS sd_samp,
+             round(stddev_pop(l_quantity), 6) AS sd_pop,
+             round(var_samp(l_quantity), 6) AS v_samp,
+             round(var_pop(l_quantity), 6) AS v_pop
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")) { (s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(
+          round(stddev_samp(col("l_quantity")), 6).as("sd_samp"),
+          round(stddev_pop(col("l_quantity")), 6).as("sd_pop"),
+          round(var_samp(col("l_quantity")), 6).as("v_samp"),
+          round(var_pop(col("l_quantity")), 6).as("v_pop"))
+        .orderBy("l_returnflag")
+    },
+
+    // BIT_AND / BIT_OR / BIT_XOR (reference: aggregate.py:161-165
+    // ReduceAggregation over operator.and_/or_/xor)
+    Q("q31_agg_bitops", Some("""
+      SELECT l_returnflag,
+             bit_and(CAST(l_linenumber AS BIGINT)) AS b_and,
+             bit_or(CAST(l_linenumber AS BIGINT)) AS b_or,
+             bit_xor(CAST(l_linenumber AS BIGINT)) AS b_xor
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")) { (s, d) =>
+      val ln = col("l_linenumber").cast("bigint")
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(bit_and(ln).as("b_and"), bit_or(ln).as("b_or"), bit_xor(ln).as("b_xor"))
+        .orderBy("l_returnflag")
+    },
+
+    // EVERY / BOOL_AND / BOOL_OR + ANY_VALUE on a functionally-dependent
+    // column so the "any" pick is deterministic (reference: aggregate.py:
+    // 120-126 any_value = random sample, :167-169 every)
+    Q("q32_agg_bool", Some("""
+      SELECT n_regionkey,
+             bool_and(n_nationkey >= 0) AS all_nonneg,
+             bool_or(n_nationkey > 20) AS some_big,
+             count(*) AS n
+      FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")) { (s, d) =>
+      t(s, d, "nation").groupBy("n_regionkey")
+        .agg(
+          bool_and(col("n_nationkey") >= 0).as("all_nonneg"),
+          bool_or(col("n_nationkey") > 20).as("some_big"),
+          count(lit(1)).as("n"))
+        .orderBy("n_regionkey")
+    },
+
+    // ANY_VALUE where each group has exactly one distinct value
+    // (SINGLE_VALUE semantics, reference: aggregate.py:172)
+    Q("q32b_agg_any_value", Some("""
+      SELECT n_nationkey, any_value(n_name) AS nm
+      FROM nation GROUP BY n_nationkey ORDER BY n_nationkey""")) { (s, d) =>
+      t(s, d, "nation").groupBy("n_nationkey")
+        .agg(any_value(col("n_name")).as("nm"))
+        .orderBy("n_nationkey")
+    },
+
+    // Linear-regression aggregate family (reference: aggregate.py:174-202
+    // REGR_COUNT/SXX/SYY custom partials; Spark ≥3.4 native, plus
+    // slope/intercept/r2 as parity-plus)
+    Q("q33_agg_regr", Some("""
+      SELECT l_returnflag,
+             regr_count(l_extendedprice, l_quantity) AS r_n,
+             round(regr_sxx(l_extendedprice, l_quantity), 2) AS r_sxx,
+             round(regr_syy(l_extendedprice, l_quantity) / 1e6, 4) AS r_syy_m,
+             round(regr_slope(l_extendedprice, l_quantity), 4) AS r_slope,
+             round(regr_intercept(l_extendedprice, l_quantity), 4) AS r_icept,
+             round(regr_avgx(l_extendedprice, l_quantity), 6) AS r_avgx,
+             round(regr_avgy(l_extendedprice, l_quantity), 4) AS r_avgy
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")) { (s, d) =>
+      val y = col("l_extendedprice"); val x = col("l_quantity")
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(
+          regr_count(y, x).as("r_n"),
+          round(regr_sxx(y, x), 2).as("r_sxx"),
+          round(regr_syy(y, x) / 1e6, 4).as("r_syy_m"),
+          round(regr_slope(y, x), 4).as("r_slope"),
+          round(regr_intercept(y, x), 4).as("r_icept"),
+          round(regr_avgx(y, x), 6).as("r_avgx"),
+          round(regr_avgy(y, x), 4).as("r_avgy"))
+        .orderBy("l_returnflag")
+    },
+
+    // SUM over an all-NULL group → NULL (reference forces min_count=1,
+    // aggregate.py:484-493; Spark/DuckDB both NULL-correct), plus the
+    // $SUM0 = coalesce(sum,0) variant
+    Q("q34_agg_sum_empty", Some("""
+      SELECT l_returnflag,
+             round(sum(CASE WHEN l_quantity > 100 THEN l_quantity END), 4) AS s_null,
+             round(coalesce(sum(CASE WHEN l_quantity > 100 THEN l_quantity END), 0), 4) AS s_zero,
+             count(CASE WHEN l_quantity > 100 THEN l_quantity END) AS n_match
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")) { (s, d) =>
+      val hi = when(col("l_quantity") > 100, col("l_quantity"))
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(
+          round(sum(hi), 4).as("s_null"),
+          round(coalesce(sum(hi), lit(0)), 4).as("s_zero"),
+          count(hi).as("n_match"))
+        .orderBy("l_returnflag")
+    },
+
+    // ROLLUP — beyond the reference (free in Spark)
+    Q("q35_agg_rollup", Some("""
+      SELECT l_returnflag, l_linestatus, count(*) AS n,
+             round(sum(l_quantity), 4) AS qty,
+             grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""")) { (s, d) =>
+      graft.Tables.register(s, d)
+      s.sql("""
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               round(sum(l_quantity), 4) AS qty,
+               grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""")
+    },
+
+    // CUBE + GROUPING SETS — beyond the reference
+    Q("q36_agg_grouping_sets", Some("""
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             grouping(o_orderstatus) AS g_s, grouping(o_orderpriority) AS g_p
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY g_s, g_p, o_orderstatus, o_orderpriority""")) { (s, d) =>
+      graft.Tables.register(s, d)
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               grouping(o_orderstatus) AS g_s, grouping(o_orderpriority) AS g_p
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY g_s, g_p, o_orderstatus, o_orderpriority""")
+    },
+
+    // Approximate distinct-count (HLL++) — extension beyond the reference
+    // (SURVEY §2.2 "no approximate aggregates"); not oracle-comparable.
+    Q("q37_agg_approx_distinct", None) { (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          countDistinct(col("l_orderkey")).as("exact_orders"))
+        .orderBy("l_returnflag")
+    },
+  )
+}

@@ -1,0 +1,221 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.Tables.t
+
+/** Window / Sort / Limit / Union / Values / Sample / DistributeBy coverage
+  * (SURVEY.md §2.1 rows Window..Repartition and §2.3).
+  *
+  * Reference implements OVER clauses with per-group pandas rolling/expanding
+  * (dask_sql/physical/rel/logical/window.py:201-428); Spark's native window
+  * exec covers every frame the reference supports plus RANGE frames and the
+  * full ranking family (rank/dense_rank/lag/lead/... which the reference
+  * lacks — window.py:214-225 OPERATION_MAPPING).
+  *
+  * Determinism: window ORDER BY keys are always made total by appending a
+  * unique key (o_orderkey / c_custkey), so ranking and frame outputs are
+  * reproducible across engines.
+  */
+object WindowSort {
+
+  val all: Seq[Q] = Seq(
+
+    // ROW_NUMBER + running SUM over UNBOUNDED PRECEDING..CURRENT ROW
+    // (reference: window.py:188-191, 283-307 default frame)
+    Q("q18_window_rownum", Some("""
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
+             round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+      FROM orders WHERE o_custkey < 100
+      ORDER BY o_custkey, rn""")) { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      t(s, d, "orders").filter(col("o_custkey") < 100)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          row_number().over(w).as("rn"),
+          round(sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+            .as("running_total"))
+        .orderBy("o_custkey", "rn")
+    },
+
+    // Explicit ROWS frames incl. the both-FOLLOWING frame the reference
+    // needed a custom pandas BaseIndexer for (window.py:96-142); empty
+    // frames yield NULL in both Spark and DuckDB
+    Q("q19_window_frames", Some("""
+      SELECT o_orderkey,
+             round(sum(o_totalprice) OVER w3, 2) AS sum_prev3,
+             round(avg(o_totalprice) OVER (ORDER BY o_orderkey
+                   ROWS BETWEEN 2 FOLLOWING AND 4 FOLLOWING), 2) AS avg_fwd,
+             round(first_value(o_totalprice) OVER w3, 2) AS fv,
+             round(last_value(o_totalprice) OVER w3, 2) AS lv,
+             count(*) OVER (ORDER BY o_orderkey
+                   ROWS BETWEEN 2 FOLLOWING AND 4 FOLLOWING) AS cnt_fwd
+      FROM orders WHERE o_orderkey < 500
+      WINDOW w3 AS (ORDER BY o_orderkey ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+      ORDER BY o_orderkey""")) { (s, d) =>
+      val base = Window.orderBy("o_orderkey")
+      val w3 = base.rowsBetween(-3, Window.currentRow)
+      val fwd = base.rowsBetween(2, 4)
+      t(s, d, "orders").filter(col("o_orderkey") < 500)
+        .select(
+          col("o_orderkey"),
+          round(sum("o_totalprice").over(w3), 2).as("sum_prev3"),
+          round(avg("o_totalprice").over(fwd), 2).as("avg_fwd"),
+          round(first_value(col("o_totalprice")).over(w3), 2).as("fv"),
+          round(last_value(col("o_totalprice")).over(w3), 2).as("lv"),
+          count(lit(1)).over(fwd).as("cnt_fwd"))
+        .orderBy("o_orderkey")
+    },
+
+    // Ranking family — parity-plus over the reference (absent from
+    // window.py:214-225): rank/dense_rank/percent_rank/ntile/lag/lead/
+    // cume_dist/nth_value
+    Q("q20_window_rank_family", Some("""
+      SELECT c_custkey, c_mktsegment,
+             rank() OVER w AS rnk,
+             dense_rank() OVER w AS drnk,
+             round(percent_rank() OVER w, 6) AS prnk,
+             ntile(4) OVER w AS quartile,
+             round(lag(c_acctbal, 1) OVER w, 2) AS prev_bal,
+             round(lead(c_acctbal, 1) OVER w, 2) AS next_bal,
+             round(cume_dist() OVER w, 6) AS cd,
+             round(nth_value(c_acctbal, 2) OVER w, 2) AS second_bal
+      FROM customer WHERE c_custkey < 300
+      WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+      ORDER BY c_mktsegment, rnk, c_custkey""")) { (s, d) =>
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, d, "customer").filter(col("c_custkey") < 300)
+        .select(
+          col("c_custkey"), col("c_mktsegment"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          round(percent_rank().over(w), 6).as("prnk"),
+          ntile(4).over(w).as("quartile"),
+          round(lag("c_acctbal", 1).over(w), 2).as("prev_bal"),
+          round(lead("c_acctbal", 1).over(w), 2).as("next_bal"),
+          round(cume_dist().over(w), 6).as("cd"),
+          round(nth_value(col("c_acctbal"), 2).over(w), 2).as("second_bal"))
+        .orderBy("c_mktsegment", "rnk", "c_custkey")
+    },
+
+    // RANGE frame — beyond the reference entirely (window.py supports ROWS
+    // only); running 10-unit acctbal band per segment
+    Q("q20b_window_range", Some("""
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             count(*) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal
+                   RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS peers_below,
+             round(sum(c_acctbal) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal
+                   RANGE BETWEEN 100 PRECEDING AND 100 FOLLOWING), 2) AS band_sum
+      FROM customer WHERE c_custkey < 300
+      ORDER BY c_mktsegment, c_acctbal, c_custkey""")) { (s, d) =>
+      val w1 = Window.partitionBy("c_mktsegment").orderBy("c_acctbal").rangeBetween(-100, 0)
+      val w2 = Window.partitionBy("c_mktsegment").orderBy("c_acctbal").rangeBetween(-100, 100)
+      t(s, d, "customer").filter(col("c_custkey") < 300)
+        .select(
+          col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          count(lit(1)).over(w1).as("peers_below"),
+          round(sum("c_acctbal").over(w2), 2).as("band_sum"))
+        .orderBy("c_mktsegment", "c_acctbal", "c_custkey")
+    },
+
+    // Multi-column ORDER BY with NULLS FIRST/LAST (reference:
+    // physical/utils/sort.py:9-140 mergesort trick; Spark native)
+    Q("q21_sort_multi_nulls", Some("""
+      SELECT s_suppkey,
+             CASE WHEN s_nationkey < 5 THEN NULL ELSE s_nationkey END AS nk,
+             s_acctbal
+      FROM supplier
+      ORDER BY nk DESC NULLS FIRST, s_acctbal ASC NULLS LAST, s_suppkey""")) { (s, d) =>
+      t(s, d, "supplier")
+        .select(
+          col("s_suppkey"),
+          when(col("s_nationkey") < 5, lit(null)).otherwise(col("s_nationkey")).as("nk"),
+          col("s_acctbal"))
+        .orderBy(col("nk").desc_nulls_first, col("s_acctbal").asc_nulls_last, col("s_suppkey"))
+    },
+
+    // Top-k: ORDER BY + LIMIT → Spark plans TakeOrderedAndProject
+    // (reference: utils/sort.py:120-140 nlargest shortcut)
+    Q("q22_sort_topk", Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""")) { (s, d) =>
+      t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    // LIMIT + OFFSET (reference: limit.py:76-113 partition-cumsum window)
+    Q("q23_limit_offset", Some("""
+      SELECT c_custkey, c_name FROM customer
+      ORDER BY c_custkey LIMIT 20 OFFSET 40""")) { (s, d) =>
+      t(s, d, "customer").select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+        .offset(40).limit(20)
+    },
+
+    // UNION ALL (reference: union.py:26-64 dd.concat)
+    Q("q24_union_all", Some("""
+      SELECT c_custkey AS id, 'customer' AS src FROM customer WHERE c_custkey < 50
+      UNION ALL
+      SELECT s_suppkey AS id, 'supplier' AS src FROM supplier WHERE s_suppkey < 50
+      ORDER BY src, id""")) { (s, d) =>
+      val c = t(s, d, "customer").filter(col("c_custkey") < 50)
+        .select(col("c_custkey").as("id"), lit("customer").as("src"))
+      val su = t(s, d, "supplier").filter(col("s_suppkey") < 50)
+        .select(col("s_suppkey").as("id"), lit("supplier").as("src"))
+      c.unionAll(su).orderBy("src", "id")
+    },
+
+    // UNION (distinct) — planner-rewritten to Union+Distinct in the
+    // reference; Catalyst does the same
+    Q("q25_union_distinct", Some("""
+      SELECT s_nationkey AS nk FROM supplier
+      UNION
+      SELECT c_nationkey AS nk FROM customer
+      ORDER BY nk""")) { (s, d) =>
+      t(s, d, "supplier").select(col("s_nationkey").as("nk"))
+        .union(t(s, d, "customer").select(col("c_nationkey").as("nk")))
+        .distinct()
+        .orderBy("nk")
+    },
+
+    // EmptyRelation: no-table SELECT (reference: empty.py:17-35; Spark
+    // OneRowRelation)
+    Q("q26_empty_select", Some("""
+      SELECT 1 + 1 AS two, upper('spark') AS name,
+             CAST(3.5 AS DOUBLE) * 2 AS d""")) { (s, _) =>
+      s.sql("SELECT 1 + 1 AS two, upper('spark') AS name, CAST(3.5 AS DOUBLE) * 2 AS d")
+    },
+
+    // VALUES literal rows (reference: values.py:15-66)
+    Q("q27_values", Some("""
+      SELECT * FROM (VALUES (1, 'alpha'), (2, 'beta'), (3, 'gamma')) AS t(id, name)
+      ORDER BY id""")) { (s, _) =>
+      s.sql("SELECT * FROM VALUES (1, 'alpha'), (2, 'beta'), (3, 'gamma') AS t(id, name) ORDER BY id")
+    },
+
+    // TABLESAMPLE BERNOULLI (reference: sample.py:49-50). Sampling is
+    // engine-specific RNG → no oracle; driver records rows-only.
+    Q("q28_sample", None) { (s, d) =>
+      t(s, d, "orders").sample(withReplacement = false, fraction = 0.1, seed = 42)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    // DISTRIBUTE BY → repartition on expression (reference:
+    // distributeby.py:15-42); content equals the plain aggregate
+    Q("q29_distribute_by", Some("""
+      SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS total
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")) { (s, d) =>
+      t(s, d, "lineitem")
+        .repartition(col("l_returnflag"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("total"))
+        .orderBy("l_returnflag")
+    },
+  )
+}
