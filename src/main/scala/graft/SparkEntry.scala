@@ -9,7 +9,9 @@ object SparkEntry {
   def all: Seq[Q] =
     _root_.graft.queries.Relational.all ++
       _root_.graft.queries.WindowSort.all ++
-      _root_.graft.queries.AggExtra.all
+      _root_.graft.queries.AggExtra.all ++
+      _root_.graft.queries.Scalar.all ++
+      _root_.graft.queries.Compound.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

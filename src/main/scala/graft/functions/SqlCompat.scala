@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Semantics shims mirroring the reference's SQL dialect quirks
+  * (SURVEY.md §7.2 row 5), each expressed as codegen-friendly Column
+  * combinators over Spark built-ins — no UDFs in the hot path.
+  */
+object SqlCompat {
+
+  /** SQL-standard `SIMILAR TO` pattern → anchored Java regex.
+    *
+    * The SIMILAR TO language is LIKE wildcards (`%`, `_`, optional escape
+    * char) layered over a POSIX-regex subset (`[]`, `()`, `|`, `*`, `+`,
+    * `?`, `{}`), where regex metachars like `.` are LITERAL. The reference
+    * transpiles this by hand (dask_sql/physical/rex/core/call.py:401-505);
+    * we do the same but emit a Java regex for Spark's codegen'd RLike.
+    */
+  def similarToRegex(pattern: String, escape: Option[Char] = None): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < pattern.length) {
+      val c = pattern.charAt(i)
+      if (escape.contains(c) && i + 1 < pattern.length) {
+        sb.append(java.util.regex.Pattern.quote(pattern.charAt(i + 1).toString))
+        i += 2
+      } else {
+        c match {
+          case '%' => sb.append(".*")
+          case '_' => sb.append('.')
+          // regex-subset chars pass through with their regex meaning
+          case '[' | ']' | '(' | ')' | '|' | '*' | '+' | '?' | '{' | '}' | '^' | '-' | '\\' =>
+            sb.append(c)
+          // everything else (incl. '.', '$') is literal in SIMILAR TO
+          case other =>
+            if ("\\.[]{}()*+-?^$|".indexOf(other) >= 0) sb.append('\\')
+            sb.append(other)
+        }
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
+  /** `expr SIMILAR TO pattern` — full-string anchored match. */
+  def similarTo(c: Column, pattern: String, escape: Option[Char] = None): Column =
+    c.rlike("^(?:" + similarToRegex(pattern, escape) + ")$")
+
+  /** SQL integer division truncating toward zero (reference:
+    * call.py:165-214 SQLDivisionOperator). Spark's `div` already truncates
+    * toward zero for integral types; this makes the intent explicit and
+    * handles double inputs.
+    */
+  def sqlDiv(a: Column, b: Column): Column =
+    (a.cast("double") / b.cast("double")).cast("bigint") // cast truncates toward 0
+
+  /** RAND_INTEGER([seed,] high) → uniform int in [0, high)
+    * (reference: call.py:865-881). */
+  def randInteger(seed: Long, high: Int): Column =
+    floor(rand(seed) * high).cast("int")
+
+  /** CEIL(ts TO unit) — datetime ceiling: floor, +1 unit if not aligned
+    * (reference: CeilFloorOperation, call.py:767-806). */
+  def ceilTimestamp(ts: Column, unit: String): Column = {
+    val floored = date_trunc(unit, ts)
+    val bumped = unit.toLowerCase match {
+      case "year"   => add_months(floored, 12).cast("timestamp")
+      case "month"  => add_months(floored, 1).cast("timestamp")
+      case "day"    => floored + expr("INTERVAL 1 DAY")
+      case "hour"   => floored + expr("INTERVAL 1 HOUR")
+      case "minute" => floored + expr("INTERVAL 1 MINUTE")
+      case "second" => floored + expr("INTERVAL 1 SECOND")
+      case u => throw new IllegalArgumentException(s"ceilTimestamp unit: $u")
+    }
+    when(floored === ts, ts).otherwise(bumped)
+  }
+
+  /** FLOOR(ts TO unit). */
+  def floorTimestamp(ts: Column, unit: String): Column = date_trunc(unit, ts)
+}

@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.Tables.t
+
+/** Compound analytical queries — multi-join star-schema pipelines in the
+  * shape of TPC-H Q3/Q5/Q10, plus CTE and nested-subquery forms. These are
+  * the bench headliners: they exercise Catalyst join reordering, broadcast
+  * selection (small dims are explicitly `broadcast()`-hinted the way the
+  * reference exposes its `sql.join.broadcast` knob, join.py:228-246), AQE
+  * shuffle coalescing, and partial aggregation.
+  */
+object Compound {
+
+  val all: Seq[Q] = Seq(
+
+    // TPC-H Q3 shape: 3-way join + agg + top-k
+    Q("q53_tpch_q3", Some("""
+      SELECT l_orderkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             o_orderdate, o_orderpriority
+      FROM customer JOIN orders ON c_custkey = o_custkey
+                    JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 20""")) { (s, d) =>
+      val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, d, "orders").filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+      val li = t(s, d, "lineitem").filter(col("l_shipdate") > lit("1996-03-15").cast("timestamp"))
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(li, o("o_orderkey") === li("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(20)
+    },
+
+    // TPC-H Q5 shape: 5-table star join with broadcast dims
+    Q("q54_star_join", Some("""
+      SELECT n_name,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             count(*) AS n_items
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    JOIN customer ON o_custkey = c_custkey
+                    JOIN nation ON c_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      GROUP BY n_name ORDER BY revenue DESC, n_name""")) { (s, d) =>
+      val li = t(s, d, "lineitem")
+      val o = t(s, d, "orders").filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+      val c = t(s, d, "customer")
+      val n = t(s, d, "nation")
+      val r = t(s, d, "region").filter(col("r_name") === "ASIA")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // TPC-H Q10 shape: returned-item revenue per customer, top 30
+    Q("q55_returned_items", Some("""
+      SELECT c_custkey, c_name, n_name,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM customer JOIN orders ON c_custkey = o_custkey
+                    JOIN lineitem ON l_orderkey = o_orderkey
+                    JOIN nation ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+      GROUP BY c_custkey, c_name, n_name
+      ORDER BY revenue DESC, c_custkey LIMIT 30""")) { (s, d) =>
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      val li = t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+      val n = t(s, d, "nation")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(li, o("o_orderkey") === li("l_orderkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(30)
+    },
+
+    // WITH / CTE, reused twice (tests plan dedup)
+    Q("q56_cte", Some("""
+      WITH big_orders AS (
+        SELECT o_custkey, count(*) AS n, round(sum(o_totalprice), 2) AS v
+        FROM orders WHERE o_totalprice > 250000 GROUP BY o_custkey
+      )
+      SELECT c_mktsegment, count(*) AS n_cust,
+             CAST(sum(b.n) AS BIGINT) AS n_orders, round(sum(b.v), 2) AS total
+      FROM customer c JOIN big_orders b ON c.c_custkey = b.o_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""")) { (s, d) =>
+      graft.Tables.register(s, d)
+      s.sql("""
+        WITH big_orders AS (
+          SELECT o_custkey, count(*) AS n, round(sum(o_totalprice), 2) AS v
+          FROM orders WHERE o_totalprice > 250000 GROUP BY o_custkey
+        )
+        SELECT c_mktsegment, count(*) AS n_cust,
+               CAST(sum(b.n) AS BIGINT) AS n_orders, round(sum(b.v), 2) AS total
+        FROM customer c JOIN big_orders b ON c.c_custkey = b.o_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+    },
+
+    // Aggregate over a nested aggregate subquery (HAVING-style on derived)
+    Q("q57_nested_agg", Some("""
+      SELECT o_orderpriority, count(*) AS n_cust, round(avg(per_cust.total), 2) AS avg_total
+      FROM (
+        SELECT o_custkey, o_orderpriority, sum(o_totalprice) AS total
+        FROM orders GROUP BY o_custkey, o_orderpriority
+        HAVING count(*) >= 2
+      ) per_cust
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")) { (s, d) =>
+      val per = t(s, d, "orders")
+        .groupBy("o_custkey", "o_orderpriority")
+        .agg(sum("o_totalprice").as("total"), count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 2)
+      per.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_cust"), round(avg("total"), 2).as("avg_total"))
+        .orderBy("o_orderpriority")
+    },
+  )
+}

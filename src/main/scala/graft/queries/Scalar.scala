@@ -1,0 +1,305 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.Tables.t
+import graft.functions.SqlCompat
+
+/** Scalar-expression coverage (SURVEY.md §2.4, reference RexCall registry
+  * at dask_sql/physical/rex/core/call.py:1047-1156). All Spark built-ins —
+  * every expression stays inside whole-stage codegen.
+  *
+  * Oracle notes (DuckDB quirks discovered by probing):
+  *  - transcendentals (exp/ln/trig) differ in the last ulp between JVM
+  *    Math and libm → rounded to 6 decimals on both sides;
+  *  - ceil/floor of DOUBLE stays DOUBLE in DuckDB but LONG in Spark →
+  *    CAST BIGINT on both;
+  *  - DuckDB CAST(double AS INT) *rounds* while Spark truncates → oracle
+  *    spells CAST(trunc(x) AS BIGINT);
+  *  - DuckDB date_trunc returns DATE for month/year → CAST TIMESTAMP;
+  *  - DuckDB has no initcap/overlay → emulated in the oracle SQL;
+  *  - DuckDB SIMILAR TO is raw-regex full match → oracle uses the
+  *    transpiled regex our SqlCompat.similarTo produces.
+  */
+object Scalar {
+
+  val all: Seq[Q] = Seq(
+
+    // Math operator battery (reference: call.py:1091-1113)
+    Q("q40_scalar_math", Some("""
+      SELECT p_partkey,
+             round(abs(p_retailprice - 1000), 4) AS absdiff,
+             CAST(ceil(p_retailprice) AS BIGINT) AS c,
+             CAST(floor(p_retailprice) AS BIGINT) AS f,
+             round(p_retailprice, 1) AS r1,
+             power(p_size, 2) AS p2,
+             mod(p_size, 7) AS m7,
+             CAST(sign(p_retailprice - 1000) AS DOUBLE) AS sgn,
+             round(sqrt(p_retailprice), 6) AS sq,
+             round(cbrt(p_retailprice), 6) AS cb,
+             round(exp(p_size / 100.0), 6) AS ex,
+             round(ln(p_retailprice), 6) AS lg,
+             round(log10(p_retailprice), 6) AS l10,
+             round(sin(p_size), 6) AS sn,
+             round(cos(p_size), 6) AS cs,
+             round(atan2(p_size, 10), 6) AS at2,
+             round(degrees(1.0), 6) AS dg,
+             round(radians(180.0), 6) AS rd
+      FROM part WHERE p_partkey < 200 ORDER BY p_partkey""")) { (s, d) =>
+      t(s, d, "part").filter(col("p_partkey") < 200)
+        .select(
+          col("p_partkey"),
+          round(abs(col("p_retailprice") - 1000), 4).as("absdiff"),
+          ceil(col("p_retailprice")).cast("bigint").as("c"),
+          floor(col("p_retailprice")).cast("bigint").as("f"),
+          round(col("p_retailprice"), 1).as("r1"),
+          pow(col("p_size"), 2).as("p2"),
+          expr("mod(p_size, 7)").as("m7"),
+          signum(col("p_retailprice") - 1000).cast("double").as("sgn"),
+          round(sqrt(col("p_retailprice")), 6).as("sq"),
+          round(cbrt(col("p_retailprice")), 6).as("cb"),
+          round(exp(col("p_size") / 100.0), 6).as("ex"),
+          round(log(col("p_retailprice")), 6).as("lg"),
+          round(log10(col("p_retailprice")), 6).as("l10"),
+          round(sin(col("p_size")), 6).as("sn"),
+          round(cos(col("p_size")), 6).as("cs"),
+          round(atan2(col("p_size").cast("double"), lit(10.0)), 6).as("at2"),
+          round(degrees(lit(1.0)), 6).as("dg"),
+          round(radians(lit(180.0)), 6).as("rd"))
+        .orderBy("p_partkey")
+    },
+
+    // String function battery (reference: call.py:1114-1135)
+    Q("q41_scalar_string", Some("""
+      SELECT p_partkey,
+             p_brand || ':' || p_name AS joined,
+             CAST(length(p_name) AS BIGINT) AS len,
+             upper(p_name) AS up, lower(p_brand) AS lo,
+             CAST(position('e' IN p_name) AS BIGINT) AS pos_e,
+             trim(BOTH 'B#' FROM p_brand) AS brand_num,
+             ltrim('  pad  ') || '|' AS lt, '|' || rtrim('  pad  ') AS rt,
+             substr(p_name, 2, 3) AS sub,
+             replace(p_name, ' ', '_') AS repl,
+             lpad(CAST(p_size AS VARCHAR), 4, '0') AS padded,
+             repeat('ab', 2) || reverse('xyz') AS rr,
+             split_part(p_name, ' ', 1) AS first_word,
+             coalesce(nullif(p_type, 'ECONOMY'), 'DEFAULT') AS typ,
+             array_to_string(list_transform(string_split(p_name, ' '),
+               w -> upper(substr(w,1,1)) || lower(substr(w,2))), ' ') AS icap,
+             substr(p_name, 1, 1) || 'XX' || substr(p_name, 5) AS ovl
+      FROM part WHERE p_partkey < 200 ORDER BY p_partkey""")) { (s, d) =>
+      t(s, d, "part").filter(col("p_partkey") < 200)
+        .select(
+          col("p_partkey"),
+          concat(col("p_brand"), lit(":"), col("p_name")).as("joined"),
+          length(col("p_name")).cast("bigint").as("len"),
+          upper(col("p_name")).as("up"), lower(col("p_brand")).as("lo"),
+          expr("position('e' IN p_name)").cast("bigint").as("pos_e"),
+          expr("trim(BOTH 'B#' FROM p_brand)").as("brand_num"),
+          concat(ltrim(lit("  pad  ")), lit("|")).as("lt"),
+          concat(lit("|"), rtrim(lit("  pad  "))).as("rt"),
+          substring(col("p_name"), 2, 3).as("sub"),
+          regexp_replace(col("p_name"), " ", "_").as("repl"),
+          lpad(col("p_size").cast("string"), 4, "0").as("padded"),
+          concat(expr("repeat('ab', 2)"), reverse(lit("xyz"))).as("rr"),
+          expr("split_part(p_name, ' ', 1)").as("first_word"),
+          coalesce(nullif(col("p_type"), lit("ECONOMY")), lit("DEFAULT")).as("typ"),
+          initcap(col("p_name")).as("icap"),
+          expr("overlay(p_name PLACING 'XX' FROM 2 FOR 3)").as("ovl"))
+        .orderBy("p_partkey")
+    },
+
+    // Date/time extraction + arithmetic (reference: call.py:1137-1155)
+    Q("q42_scalar_datetime", Some("""
+      SELECT o_orderkey,
+             CAST(extract(year FROM o_orderdate) AS BIGINT) AS y,
+             CAST(extract(month FROM o_orderdate) AS BIGINT) AS mo,
+             CAST(extract(day FROM o_orderdate) AS BIGINT) AS dd,
+             CAST(extract(quarter FROM o_orderdate) AS BIGINT) AS q,
+             CAST(extract(dow FROM o_orderdate) AS BIGINT) AS dow,
+             CAST(extract(doy FROM o_orderdate) AS BIGINT) AS doy,
+             CAST(week(o_orderdate) AS BIGINT) AS wk,
+             CAST(floor((extract(year FROM o_orderdate) - 1) / 100) + 1 AS BIGINT) AS century,
+             CAST(floor(extract(year FROM o_orderdate) / 10) AS BIGINT) AS decade,
+             CAST(epoch(o_orderdate) AS BIGINT) AS ep,
+             last_day(o_orderdate) AS ld,
+             CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon_start,
+             o_orderdate + INTERVAL 3 DAY AS plus3d,
+             o_orderdate + INTERVAL 2 MONTH AS plus2m,
+             date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since
+      FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey""")) { (s, d) =>
+      val od = col("o_orderdate")
+      t(s, d, "orders").filter(col("o_orderkey") < 300)
+        .select(
+          col("o_orderkey"),
+          expr("extract(year FROM o_orderdate)").cast("bigint").as("y"),
+          expr("extract(month FROM o_orderdate)").cast("bigint").as("mo"),
+          expr("extract(day FROM o_orderdate)").cast("bigint").as("dd"),
+          expr("extract(quarter FROM o_orderdate)").cast("bigint").as("q"),
+          (dayofweek(od) - 1).cast("bigint").as("dow"),
+          dayofyear(od).cast("bigint").as("doy"),
+          weekofyear(od).cast("bigint").as("wk"),
+          (floor((year(od) - 1) / 100) + 1).cast("bigint").as("century"),
+          floor(year(od) / 10).cast("bigint").as("decade"),
+          unix_timestamp(od).as("ep"),
+          last_day(od).as("ld"),
+          date_trunc("month", od).as("mon_start"),
+          (od + expr("INTERVAL 3 DAY")).as("plus3d"),
+          (od + expr("INTERVAL 2 MONTH")).as("plus2m"),
+          expr("timestampdiff(DAY, TIMESTAMP '1995-01-01 00:00:00', o_orderdate)").as("days_since"))
+        .orderBy("o_orderkey")
+    },
+
+    // CASE / CAST / BETWEEN / IN-list / IS NULL / null-safe equality
+    // (reference: call.py:217-398, 963-994)
+    Q("q43_case_cast", Some("""
+      SELECT o_orderkey,
+             CASE o_orderstatus WHEN 'F' THEN 'finished'
+                                WHEN 'O' THEN 'open' ELSE 'other' END AS status_word,
+             CASE WHEN o_totalprice > 300000 THEN 'big'
+                  WHEN o_totalprice > 100000 THEN 'mid' ELSE 'small' END AS bucket,
+             CAST(o_orderkey AS VARCHAR) AS key_str,
+             CAST(trunc(o_totalprice) AS BIGINT) AS price_int,
+             CAST(o_totalprice AS VARCHAR) LIKE '%.%' AS has_dot,
+             o_totalprice BETWEEN 100000 AND 200000 AS in_band,
+             o_orderpriority IN ('1-URGENT', '2-HIGH') AS is_hot,
+             nullif(o_orderstatus, 'P') IS NULL AS was_p,
+             (nullif(o_orderstatus, 'P') IS NOT DISTINCT FROM o_orderstatus) AS nsafe_eq
+      FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey""")) { (s, d) =>
+      val st = col("o_orderstatus"); val tp = col("o_totalprice")
+      t(s, d, "orders").filter(col("o_orderkey") < 300)
+        .select(
+          col("o_orderkey"),
+          when(st === "F", "finished").when(st === "O", "open").otherwise("other").as("status_word"),
+          when(tp > 300000, "big").when(tp > 100000, "mid").otherwise("small").as("bucket"),
+          col("o_orderkey").cast("string").as("key_str"),
+          tp.cast("bigint").as("price_int"), // Spark CAST truncates toward zero
+          tp.cast("string").like("%.%").as("has_dot"),
+          tp.between(100000, 200000).as("in_band"),
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("is_hot"),
+          nullif(st, lit("P")).isNull.as("was_p"),
+          (nullif(st, lit("P")) <=> st).as("nsafe_eq"))
+        .orderBy("o_orderkey")
+    },
+
+    // LIKE family + SIMILAR TO via the SqlCompat transpiler
+    // (reference: RegexOperation call.py:401-505)
+    Q("q44_like_similar", Some("""
+      SELECT p_partkey, p_name, p_type,
+             p_name LIKE '%widget%' AS is_widget,
+             p_name NOT LIKE 'red%' AS not_red,
+             p_name ILIKE 'BLUE%' AS blue_i,
+             p_name LIKE 'sm!_%' ESCAPE '!' AS odd_escape,
+             regexp_full_match(p_type, '(?:(ECONOMY|SMALL).*)') AS cheap_like,
+             regexp_full_match(p_name, '(?:..(a|o|u).*)') AS vowel3
+      FROM part WHERE p_partkey < 300 ORDER BY p_partkey""")) { (s, d) =>
+      t(s, d, "part").filter(col("p_partkey") < 300)
+        .select(
+          col("p_partkey"), col("p_name"), col("p_type"),
+          col("p_name").like("%widget%").as("is_widget"),
+          (!col("p_name").like("red%")).as("not_red"),
+          col("p_name").ilike("BLUE%").as("blue_i"),
+          expr("p_name LIKE 'sm!_%' ESCAPE '!'").as("odd_escape"),
+          SqlCompat.similarTo(col("p_type"), "(ECONOMY|SMALL)%").as("cheap_like"),
+          SqlCompat.similarTo(col("p_name"), "__(a|o|u)%").as("vowel3"))
+        .orderBy("p_partkey")
+    },
+
+    // IN (subquery) — reference materializes eagerly (call.py:996-1026);
+    // Catalyst rewrites to left-semi with no early compute
+    Q("q45_in_subquery", Some("""
+      SELECT o_orderpriority, count(*) AS n
+      FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")) { (s, d) =>
+      graft.Tables.register(s, d)
+      s.sql("""
+        SELECT o_orderpriority, count(*) AS n
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    },
+
+    // Correlated EXISTS at the SQL level (reference:
+    // decorrelate_where_exists.rs; Catalyst RewritePredicateSubquery)
+    Q("q46_exists_correlated", Some("""
+      SELECT p_brand, count(*) AS n
+      FROM part p
+      WHERE EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_partkey = p.p_partkey AND l_quantity >= 49)
+      GROUP BY p_brand ORDER BY p_brand""")) { (s, d) =>
+      graft.Tables.register(s, d)
+      s.sql("""
+        SELECT p_brand, count(*) AS n
+        FROM part p
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_partkey = p.p_partkey AND l_quantity >= 49)
+        GROUP BY p_brand ORDER BY p_brand""")
+    },
+
+    // Scalar subqueries: uncorrelated + correlated (reference:
+    // subquery.py:14-35, ScalarSubqueryToJoin)
+    Q("q47_scalar_subquery", Some("""
+      SELECT c_custkey,
+             round(c_acctbal - (SELECT avg(c_acctbal) FROM customer), 4) AS vs_avg,
+             (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+      FROM customer c WHERE c_custkey < 100 ORDER BY c_custkey""")) { (s, d) =>
+      graft.Tables.register(s, d)
+      s.sql("""
+        SELECT c_custkey,
+               round(c_acctbal - (SELECT avg(c_acctbal) FROM customer), 4) AS vs_avg,
+               (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+        FROM customer c WHERE c_custkey < 100 ORDER BY c_custkey""")
+    },
+
+    // Division semantics: SQL integer division truncates toward zero
+    // (reference: SQLDivisionOperator call.py:165-214); mod sign follows
+    // the dividend in both engines
+    Q("q48_division", Some("""
+      SELECT l_orderkey, l_linenumber,
+             CAST(trunc((l_linenumber - 4) / 2.0) AS BIGINT) AS int_div,
+             round(l_extendedprice / l_quantity, 4) AS unit_price,
+             mod(l_linenumber - 4, 3) AS m
+      FROM lineitem WHERE l_orderkey < 40
+      ORDER BY l_orderkey, l_linenumber, unit_price""")) { (s, d) =>
+      t(s, d, "lineitem").filter(col("l_orderkey") < 40)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          SqlCompat.sqlDiv(col("l_linenumber") - 4, lit(2)).as("int_div"),
+          round(col("l_extendedprice") / col("l_quantity"), 4).as("unit_price"),
+          expr("mod(l_linenumber - 4, 3)").as("m"))
+        .orderBy("l_orderkey", "l_linenumber", "unit_price")
+    },
+
+    // RAND / RAND_INTEGER — engine-specific RNG, no oracle (reference:
+    // call.py:809-881); result checked for shape + bounds in ScalaTest
+    Q("q49_rand", None) { (s, d) =>
+      t(s, d, "customer")
+        .select(
+          col("c_custkey"),
+          rand(42).as("r"),
+          SqlCompat.randInteger(7, 100).as("ri"))
+        .filter(col("r") >= 0 && col("r") < 1 && col("ri") >= 0 && col("ri") < 100)
+        .orderBy("c_custkey")
+    },
+
+    // Datetime CEIL/FLOOR to unit (reference: CeilFloorOperation
+    // call.py:767-806) over the micro-precision events table
+    Q("q50_datetime_ceil_floor", Some("""
+      SELECT event_id,
+             date_trunc('hour', ts) AS floor_h,
+             CASE WHEN date_trunc('hour', ts) = ts THEN ts
+                  ELSE date_trunc('hour', ts) + INTERVAL 1 HOUR END AS ceil_h,
+             CAST(date_trunc('minute', ts) AS TIMESTAMP) AS floor_m
+      FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events) e
+      WHERE event_id < 500 ORDER BY event_id""")) { (s, d) =>
+      t(s, d, "events").filter(col("event_id") < 500)
+        .select(
+          col("event_id"),
+          SqlCompat.floorTimestamp(col("ts"), "hour").as("floor_h"),
+          SqlCompat.ceilTimestamp(col("ts"), "hour").as("ceil_h"),
+          SqlCompat.floorTimestamp(col("ts"), "minute").as("floor_m"))
+        .orderBy("event_id")
+    },
+  )
+}
