@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis functions for training-data pipelines: language ID,
+  * quality scoring, token counting, fingerprinting. All pure Column
+  * expressions over Spark built-ins — codegen-friendly, no UDFs.
+  */
+object TextAnalysis {
+
+  /** Marker stopwords per language for the n-gram/stopword-ratio language
+    * heuristic. Real multilingual text is exercised in ScalaTest; on the
+    * synthetic corpus the interesting property is that the scoring is
+    * deterministic and oracle-reproducible.
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "it", "a"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "zu", "auf"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "est", "une", "dans", "que", "pour"),
+    "es" -> Seq("el", "los", "las", "es", "una", "por", "con", "para", "como", "y"))
+
+  private def tokens(text: Column): Column = split(lower(text), " ")
+
+  /** Count of tokens that appear in the marker list. */
+  def markerHits(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), tk => tk.isin(markers.map(lit): _*)))
+
+  /** Count of CJK characters (Chinese detection). */
+  def cjkCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[\\u4e00-\\u9fff]", ""))
+
+  /** Predicted language: CJK presence wins, else argmax of marker hits with
+    * a deterministic preference order; all-zero scores → 'unknown'. */
+  def langId(text: Column): Column = {
+    val en = markerHits(text, langMarkers("en"))
+    val de = markerHits(text, langMarkers("de"))
+    val fr = markerHits(text, langMarkers("fr"))
+    val es = markerHits(text, langMarkers("es"))
+    when(cjkCount(text) > 0, lit("zh"))
+      .when(en >= de && en >= fr && en >= es && en > 0, lit("en"))
+      .when(de >= fr && de >= es && de > 0, lit("de"))
+      .when(fr >= es && fr > 0, lit("fr"))
+      .when(es > 0, lit("es"))
+      .otherwise(lit("unknown"))
+  }
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("bigint")
+
+  /** BPE-ish subword count: runs of letters, runs of digits, and single
+    * other non-space chars (the classic pre-tokenizer shape). */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("bigint")
+
+  /** Heuristic quality score in [0,1]: rewards moderate length, penalizes
+    * punctuation-heavy and stopword-free text (the usual cheap pre-filters
+    * before model-based scoring). */
+  def qualityScore(text: Column): Column = {
+    val chars = length(text).cast("double")
+    val words = size(tokens(text)).cast("double")
+    val punct = (chars - length(regexp_replace(text, "[^a-zA-Z0-9 ]", ""))).cast("double")
+    val stop = markerHits(text, langMarkers("en")).cast("double")
+    val lenScore = least(chars / 500.0, lit(1.0))
+    val punctPenalty = least(punct / greatest(chars, lit(1.0)) * 5.0, lit(1.0))
+    val stopScore = least(stop / greatest(words, lit(1.0)) * 10.0, lit(1.0))
+    round(lenScore * 0.5 + stopScore * 0.3 + (lit(1.0) - punctPenalty) * 0.2, 6)
+  }
+
+  /** Content fingerprint of whitespace-normalized lowercase text (md5 —
+    * reproducible in any engine). */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Rolling polynomial hash (base 31, mod 1e9+7) over the character codes —
+    * the classic Rabin-Karp document fingerprint, expressed as a fold over
+    * the char array. */
+  def rollingHash(text: Column): Column =
+    aggregate(
+      transform(split(text, ""), ch => ascii(ch).cast("bigint")),
+      lit(0L),
+      (acc, code) => pmod(acc * 31 + code, lit(1000000007L)))
+}

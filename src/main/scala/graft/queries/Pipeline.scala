@@ -1,0 +1,298 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.Tables.t
+import graft.functions.TextAnalysis
+import graft.operators.{Multimodal, Similarity, TextDedup}
+
+/** LLM-training-data pipeline operators over the `documents` / `embeddings`
+  * tables: deduplication (exact, MinHash-LSH, SimHash, char-n-gram,
+  * embedding-cosine), similarity search (brute-force + LSH ANN), text
+  * analysis (lang-id, quality, token counts, fingerprints), multimodal
+  * column plumbing. SURVEY.md §2 extension block; no reference analogue —
+  * these are first-class capabilities of this engine.
+  *
+  * Where DuckDB can reproduce the computation exactly (including the
+  * EXHAUSTIVE pair scan that the LSH path approximates), the oracle does so
+  * — i.e. the MinHash query is gated against a full O(n²) Jaccard oracle,
+  * which proves the LSH candidate generation has full recall on this data.
+  */
+object Pipeline {
+
+  val all: Seq[Q] = Seq(
+
+    // Exact dedup by content digest
+    Q("p01_dedup_exact", Some("""
+      SELECT md5(text) AS content_hash, min(doc_id) AS keeper, count(*) AS n_copies
+      FROM documents GROUP BY 1 ORDER BY 1""")) { (s, d) =>
+      TextDedup.exactDedup(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("content_hash")
+    },
+
+    // MinHash-LSH near-dup pairs, exact-verified; oracle = exhaustive
+    // 3-word-shingle Jaccard over all pairs (LSH recall must be total)
+    Q("p02_dedup_minhash", Some("""
+      WITH sh AS (
+        SELECT doc_id, list_distinct([array_to_string(words[i:i+2], ' ')
+                for i in range(1, len(words) - 1)]) AS shingles
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents)
+        WHERE len(words) >= 3
+      )
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+                   (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 4) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+            (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+      ORDER BY doc_a, doc_b""")) { (s, d) =>
+      TextDedup.minhashDedupPairs(t(s, d, "documents"), "doc_id", "text",
+          shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // SimHash Hamming-distance near-dups — signature depends on xxhash64,
+    // not reproducible in DuckDB → rows-only; semantics tested in ScalaTest
+    Q("p03_dedup_simhash", None) { (s, d) =>
+      TextDedup.simhashDedupPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 6)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // Character-3-gram Jaccard near-dups, blocked by source; oracle =
+    // exhaustive within-block scan
+    Q("p04_dedup_ngram", Some("""
+      WITH g AS (
+        SELECT doc_id, source, list_distinct([substr(s, i, 3)
+                for i in range(1, len(s) - 1)]) AS grams
+        FROM (SELECT doc_id, source, lower(text) AS s FROM documents)
+        WHERE len(s) >= 3
+      )
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+                   (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 4) AS sim
+      FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+            (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.8
+      ORDER BY doc_a, doc_b""")) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val g = docs.select(col("doc_id"), col("source"),
+        TextDedup.charNgrams(col("text"), 3).as("grams"))
+        .filter(length(col("source")) >= 0 && size(col("grams")) >= 1)
+      g.as("a").join(g.as("b"),
+          col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+        .withColumn("sim_raw", TextDedup.jaccard(col("a.grams"), col("b.grams")))
+        .filter(col("sim_raw") >= 0.8)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          round(col("sim_raw"), 4).as("sim"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // Embedding-cosine near-dup pairs — exact baseline, oracle-gated
+    Q("p05_dedup_embedding", Some("""
+      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_dot_product(a.e, b.e) /
+                   (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS sim
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE list_dot_product(a.e, b.e) /
+            (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.5
+      ORDER BY id_a, id_b""")) { (s, d) =>
+      val v = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .withColumn("sim_raw", Similarity.cosine(col("a.embedding"), col("b.embedding")))
+        .filter(col("sim_raw") >= 0.5)
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          round(col("sim_raw"), 6).as("sim"))
+        .orderBy("id_a", "id_b")
+    },
+
+    // Brute-force cosine top-k for 10 query vectors (exact ANN baseline)
+    Q("p06_sim_topk", Some("""
+      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 10)
+      SELECT qid, nid, round(sim, 6) AS sim, rnk FROM (
+        SELECT qid, vec_id AS nid,
+               list_dot_product(qe, e) /
+               (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e))) AS sim,
+               row_number() OVER (PARTITION BY qid ORDER BY
+                 list_dot_product(qe, e) /
+                 (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e))) DESC, vec_id) AS rnk
+        FROM q JOIN v ON qid <> vec_id)
+      WHERE rnk <= 5 ORDER BY qid, rnk""")) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+        .orderBy("qid", "rnk")
+    },
+
+    // LSH-bucketed ANN (the scale path) — approximate by design → rows-only;
+    // recall vs brute force asserted in ScalaTest
+    Q("p07_sim_lsh_ann", None) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5, dim = 64, nBits = 12)
+        .orderBy("qid", "rnk")
+    },
+
+    // Language ID: marker-hit scoring + argmax (oracle reproduces the exact
+    // scoring; accuracy on real multilingual text is a ScalaTest concern)
+    Q("p08_lang_id", Some("""
+      WITH scored AS (
+        SELECT doc_id, lang,
+          CAST(len(list_filter(string_split(lower(text), ' '),
+            w -> w IN ('the','and','of','to','in','is','that','for','it','a'))) AS BIGINT) AS en_hits,
+          CAST(len(list_filter(string_split(lower(text), ' '),
+            w -> w IN ('der','die','und','das','ist','nicht','ein','mit','zu','auf'))) AS BIGINT) AS de_hits,
+          CAST(len(list_filter(string_split(lower(text), ' '),
+            w -> w IN ('le','la','les','et','des','est','une','dans','que','pour'))) AS BIGINT) AS fr_hits,
+          CAST(len(list_filter(string_split(lower(text), ' '),
+            w -> w IN ('el','los','las','es','una','por','con','para','como','y'))) AS BIGINT) AS es_hits,
+          CAST(length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')) AS BIGINT) AS cjk
+        FROM documents)
+      SELECT doc_id, lang,
+             en_hits, de_hits, fr_hits, es_hits,
+             CASE WHEN cjk > 0 THEN 'zh'
+                  WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits AND en_hits > 0 THEN 'en'
+                  WHEN de_hits >= fr_hits AND de_hits >= es_hits AND de_hits > 0 THEN 'de'
+                  WHEN fr_hits >= es_hits AND fr_hits > 0 THEN 'fr'
+                  WHEN es_hits > 0 THEN 'es'
+                  ELSE 'unknown' END AS pred
+      FROM scored ORDER BY doc_id""")) { (s, d) =>
+      val txt = col("text")
+      t(s, d, "documents").select(
+        col("doc_id"), col("lang"),
+        TextAnalysis.markerHits(txt, TextAnalysis.langMarkers("en")).cast("bigint").as("en_hits"),
+        TextAnalysis.markerHits(txt, TextAnalysis.langMarkers("de")).cast("bigint").as("de_hits"),
+        TextAnalysis.markerHits(txt, TextAnalysis.langMarkers("fr")).cast("bigint").as("fr_hits"),
+        TextAnalysis.markerHits(txt, TextAnalysis.langMarkers("es")).cast("bigint").as("es_hits"),
+        TextAnalysis.langId(txt).as("pred"))
+        .orderBy("doc_id")
+    },
+
+    // Quality scoring: length / punctuation / stopword-ratio heuristic
+    Q("p09_quality_score", Some("""
+      SELECT doc_id,
+        round(least(length(text) / 500.0, 1.0) * 0.5 +
+              least(CAST(len(list_filter(string_split(lower(text), ' '),
+                w -> w IN ('the','and','of','to','in','is','that','for','it','a'))) AS DOUBLE)
+                / greatest(len(string_split(lower(text), ' ')), 1) * 10.0, 1.0) * 0.3 +
+              (1.0 - least((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+                / greatest(CAST(length(text) AS DOUBLE), 1.0) * 5.0, 1.0)) * 0.2, 6) AS quality
+      FROM documents ORDER BY doc_id""")) { (s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // Token counting: whitespace + BPE-ish pre-tokenizer
+    Q("p10_token_count", Some("""
+      SELECT doc_id,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS ws_tokens,
+             CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens,
+             n_chars
+      FROM documents ORDER BY doc_id""")) { (s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("ws_tokens"),
+        TextAnalysis.bpeTokenCount(col("text")).as("bpe_tokens"),
+        col("n_chars"))
+        .orderBy("doc_id")
+    },
+
+    // Document fingerprinting: md5 of normalized text + rolling polynomial
+    // hash over character codes
+    Q("p11_fingerprint", Some("""
+      SELECT doc_id,
+             md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+                           [CAST(ascii(c) AS BIGINT) for c in string_split(text, '')]),
+                         (a, b) -> (a * 31 + b) % 1000000007) AS rhash
+      FROM documents ORDER BY doc_id""")) { (s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        TextAnalysis.rollingHash(col("text")).as("rhash"))
+        .orderBy("doc_id")
+    },
+
+    // Multimodal: binary payload + metadata struct; SQL-expressible slice
+    // (octet length + sha256) is oracle-gated, decode stub is p12b
+    Q("p12_multimodal_meta", Some("""
+      SELECT doc_id AS media_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             sha256(text) AS digest,
+             'utf8-text' AS format
+      FROM documents ORDER BY media_id""")) { (s, d) =>
+      Multimodal.asMediaTable(t(s, d, "documents"))
+        .select(
+          col("media_id"),
+          col("meta.n_bytes").as("n_bytes"),
+          sha2(col("payload"), 256).as("digest"),
+          col("meta.format").as("format"))
+        .orderBy("media_id")
+    },
+
+    // Multimodal decode+feature stage: mapPartitions batch plumbing with the
+    // clearly-marked fake codec → rows-only (deterministic, tested in
+    // ScalaTest)
+    Q("p12b_multimodal_decode", None) { (s, d) =>
+      Multimodal.decodeFeatures(Multimodal.asMediaTable(t(s, d, "documents")))
+        .orderBy("media_id")
+    },
+
+    // ---- events: windowed aggregations (streaming-compatible shapes; the
+    // same pipelines run under Structured Streaming in ScalaTest) ----
+
+    // Tumbling 1-hour window
+    Q("s01_events_tumbling", Some("""
+      SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS ws,
+             event_type, count(*) AS n, round(sum(value), 4) AS total
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""")) { (s, d) =>
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total"))
+        .select(col("w.start").as("ws"), col("event_type"), col("n"), col("total"))
+        .orderBy("ws", "event_type")
+    },
+
+    // Sliding 1-hour window, 30-minute slide (each event in 2 windows)
+    Q("s02_events_sliding", Some("""
+      WITH b AS (
+        SELECT event_type, value,
+               time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) AS b0
+        FROM events)
+      SELECT ws, event_type, count(*) AS n, round(sum(value), 4) AS total
+      FROM (SELECT event_type, value,
+                   unnest([b0, b0 - INTERVAL '30 minutes']) AS ws FROM b)
+      GROUP BY ws, event_type ORDER BY ws, event_type""")) { (s, d) =>
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total"))
+        .select(col("w.start").as("ws"), col("event_type"), col("n"), col("total"))
+        .orderBy("ws", "event_type")
+    },
+
+    // Session windows (6-hour gap) per user; oracle = gaps-and-islands
+    Q("s03_events_session", Some("""
+      WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL '6 hours' THEN 1 ELSE 0 END AS new_s
+        FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS (
+        SELECT user_id, ts, value,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged)
+      SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+             round(sum(value), 4) AS total
+      FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""")) { (s, d) =>
+      t(s, d, "events")
+        .groupBy(session_window(col("ts"), "6 hours").as("sw"), col("user_id"))
+        .agg(min("ts").as("session_start"), count(lit(1)).as("n_events"),
+          round(sum("value"), 4).as("total"))
+        .select("user_id", "session_start", "n_events", "total")
+        .orderBy("user_id", "session_start")
+    },
+  )
+}
