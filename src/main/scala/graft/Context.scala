@@ -1,0 +1,238 @@
+package graft
+
+import scala.collection.mutable
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
+
+import graft.ExtensionParser._
+
+/** The user-facing engine façade — the Spark-native mirror of the
+  * reference's `Context` (dask_sql/context.py): named tables grouped into
+  * schemas, lazy SQL execution, scalar/aggregate UDF registration, extension
+  * DDL (CREATE TABLE WITH, SHOW, ANALYZE), and SQL-driven ML
+  * (CREATE MODEL / PREDICT / EXPORT MODEL) over Spark MLlib.
+  *
+  * Differences from the reference are deliberate Spark-first choices:
+  *  - tables are lazy DataFrames in the session catalog (temp views), so
+  *    Catalyst handles column pruning, pushdown and statistics natively —
+  *    there is no ColumnContainer front/backend mapping (attribute exprIds
+  *    already solve that, SURVEY.md §1.1);
+  *  - `sql()` routes standard SQL straight to `spark.sql`; only the
+  *    reference's non-standard statements are intercepted by
+  *    [[ExtensionParser]] (same interception architecture as the
+  *    reference's parser.rs, different implementation).
+  */
+class Context(val spark: SparkSession) {
+
+  val DefaultSchema = "root"
+
+  private case class Schema(
+      tables: mutable.LinkedHashMap[String, DataFrame] = mutable.LinkedHashMap(),
+      models: mutable.LinkedHashMap[String, MlModel] = mutable.LinkedHashMap(),
+      filepaths: mutable.Map[String, String] = mutable.Map())
+
+  private case class MlModel(
+      name: String,
+      modelClass: String,
+      targetColumn: String,
+      pipeline: org.apache.spark.ml.PipelineModel,
+      featureCols: Seq[String])
+
+  private val schemas = mutable.LinkedHashMap(DefaultSchema -> Schema())
+  private var currentSchema = DefaultSchema
+
+  // ---------------- table management (context.py:168-293) ----------------
+
+  /** Register a DataFrame as a named table in the current schema. */
+  def createTable(name: String, df: DataFrame, persist: Boolean = false): Unit = {
+    val d = if (persist) df.cache() else df
+    schemas(currentSchema).tables(name.toLowerCase) = d
+    d.createOrReplaceTempView(name.toLowerCase)
+  }
+
+  /** Register a table from a file location; format inferred from the
+    * extension when "auto" (reference: input_utils/location.py:36-54). */
+  def createTableFromPath(name: String, path: String, format: String = "auto",
+      persist: Boolean = false, options: Map[String, String] = Map()): Unit = {
+    val fmt = if (format == "auto") {
+      val p = path.toLowerCase
+      if (p.endsWith(".csv")) "csv"
+      else if (p.endsWith(".json")) "json"
+      else if (p.endsWith(".orc")) "orc"
+      else "parquet"
+    } else format
+    val reader = spark.read.options(options)
+    val df = fmt match {
+      case "csv" => reader.option("header", options.getOrElse("header", "true"))
+        .option("inferSchema", "true").csv(path)
+      case "json" => reader.json(path)
+      case "orc" => reader.orc(path)
+      case _ => reader.parquet(path)
+    }
+    schemas(currentSchema).filepaths(name.toLowerCase) = path
+    createTable(name, df, persist)
+  }
+
+  def dropTable(name: String, ifExists: Boolean = false): Unit = {
+    val removed = schemas(currentSchema).tables.remove(name.toLowerCase)
+    if (removed.isEmpty && !ifExists)
+      throw new IllegalArgumentException(s"Table not found: $name")
+    spark.catalog.dropTempView(name.toLowerCase)
+  }
+
+  def tables: Seq[String] = schemas(currentSchema).tables.keys.toSeq
+  def schemaNames: Seq[String] = schemas.keys.toSeq
+
+  // ---------------- UDF registration (context.py:324-480) ----------------
+
+  /** Register a scalar function usable from SQL (reference:
+    * Context.register_function). Prefer native Column functions — this is
+    * the escape hatch, exactly like the reference's UDF surface. */
+  def registerFunction(name: String, f: UserDefinedFunction): Unit =
+    spark.udf.register(name, f)
+
+  /** Register a typed aggregate (reference: Context.register_aggregation →
+    * dd.Aggregation; here an Aggregator via functions.udaf). */
+  def registerAggregation[IN, BUF, OUT](
+      name: String, agg: org.apache.spark.sql.expressions.Aggregator[IN, BUF, OUT])(
+      implicit enc: org.apache.spark.sql.Encoder[IN]): Unit =
+    spark.udf.register(name, org.apache.spark.sql.functions.udaf(agg, enc))
+
+  // ---------------- SQL entry point (context.py:482-533) ----------------
+
+  /** Execute SQL. Standard statements go straight to Catalyst; extension
+    * statements (SURVEY.md §2.5) are handled here. Always lazy — callers
+    * trigger execution with an action, as in the reference
+    * (`return_futures=True`). */
+  def sql(query: String): DataFrame = ExtensionParser.parse(query) match {
+    case Passthrough(q) => spark.sql(q)
+
+    case CreateTableWith(name, opts, _) =>
+      val location = opts.getOrElse("location",
+        throw new IllegalArgumentException("CREATE TABLE ... WITH requires location="))
+      createTableFromPath(name, location,
+        format = opts.getOrElse("format", "auto"),
+        persist = opts.get("persist").exists(_.toBoolean),
+        options = opts - "location" - "format" - "persist")
+      emptyResult
+
+    case CreateTableAs(name, select, _, isView) =>
+      val df = sql(select)
+      // CTAS persists, CREATE VIEW stays lazy (create_memory_table.py:61-66)
+      createTable(name, df, persist = !isView)
+      emptyResult
+
+    case DropTable(name, ifExists) => dropTable(name, ifExists); emptyResult
+
+    case CreateSchema(name, ifNotExists) =>
+      if (schemas.contains(name.toLowerCase) && !ifNotExists)
+        throw new IllegalArgumentException(s"Schema exists: $name")
+      schemas.getOrElseUpdate(name.toLowerCase, Schema())
+      emptyResult
+
+    case DropSchema(name, ifExists) =>
+      if (name.toLowerCase == DefaultSchema)
+        throw new IllegalArgumentException("Cannot drop the root schema")
+      if (schemas.remove(name.toLowerCase).isEmpty && !ifExists)
+        throw new IllegalArgumentException(s"Schema not found: $name")
+      if (currentSchema == name.toLowerCase) currentSchema = DefaultSchema
+      emptyResult
+
+    case UseSchema(name) =>
+      if (!schemas.contains(name.toLowerCase))
+        throw new IllegalArgumentException(s"Schema not found: $name")
+      currentSchema = name.toLowerCase
+      // re-point temp views at the new schema's tables
+      schemas(currentSchema).tables.foreach { case (n, df) =>
+        df.createOrReplaceTempView(n)
+      }
+      emptyResult
+
+    case ShowSchemas() =>
+      toDf(schemas.keys.toSeq.map(Tuple1(_)), "schema")
+
+    case ShowTables(schemaOpt) =>
+      val s = schemaOpt.map(_.toLowerCase).getOrElse(currentSchema)
+      toDf(schemas.getOrElse(s, Schema()).tables.keys.toSeq.map(Tuple1(_)), "table")
+
+    case ShowColumns(table) =>
+      val df = lookupTable(table)
+      toDf2(df.schema.fields.toSeq.map(f => (f.name, f.dataType.sql)), "column", "type")
+
+    case ShowModels() =>
+      toDf(schemas(currentSchema).models.keys.toSeq.map(Tuple1(_)), "model")
+
+    case AnalyzeTable(table, columnsOpt) =>
+      // Returns describe-style stats like the reference (analyze_table.py:
+      // 50-66). Unlike the reference, also a natural place to feed CBO —
+      // catalog-table stats require a persisted table, so here we return
+      // the stats frame and leave CBO to parquet row-group metadata.
+      val df = lookupTable(table)
+      val cols = columnsOpt.getOrElse(df.columns.toSeq)
+      df.select(cols.map(col): _*).describe()
+
+    case CreateModel(name, opts, select, orReplace) =>
+      if (schemas(currentSchema).models.contains(name.toLowerCase) && !orReplace)
+        throw new IllegalArgumentException(s"Model exists: $name")
+      val trainDf = sql(select)
+      val model = MlBridge.fit(trainDf,
+        opts.getOrElse("model_class", "LogisticRegression"),
+        opts.getOrElse("target_column",
+          throw new IllegalArgumentException("CREATE MODEL requires target_column=")),
+        opts)
+      schemas(currentSchema).models(name.toLowerCase) =
+        MlModel(name.toLowerCase, model.modelClass, model.target, model.pipeline, model.features)
+      emptyResult
+
+    case PredictModel(modelName, select) =>
+      val m = schemas(currentSchema).models.getOrElse(modelName.toLowerCase,
+        throw new IllegalArgumentException(s"Model not found: $modelName"))
+      val df = sql(select)
+      MlBridge.predict(df, m.pipeline, m.targetColumn)
+
+    case DescribeModel(name) =>
+      val m = schemas(currentSchema).models.getOrElse(name.toLowerCase,
+        throw new IllegalArgumentException(s"Model not found: $name"))
+      toDf2(Seq(
+        ("model_class", m.modelClass),
+        ("target_column", m.targetColumn),
+        ("feature_columns", m.featureCols.mkString(","))), "param", "value")
+
+    case DropModel(name, ifExists) =>
+      if (schemas(currentSchema).models.remove(name.toLowerCase).isEmpty && !ifExists)
+        throw new IllegalArgumentException(s"Model not found: $name")
+      emptyResult
+
+    case ExportModel(name, opts) =>
+      val m = schemas(currentSchema).models.getOrElse(name.toLowerCase,
+        throw new IllegalArgumentException(s"Model not found: $name"))
+      val location = opts.getOrElse("location",
+        throw new IllegalArgumentException("EXPORT MODEL requires location="))
+      m.pipeline.write.overwrite().save(location)
+      emptyResult
+  }
+
+  /** EXPLAIN helper mirroring Context.explain. */
+  def explainString(query: String): String =
+    sql(query).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  // ---------------- helpers ----------------
+
+  private def lookupTable(name: String): DataFrame =
+    schemas(currentSchema).tables.getOrElse(name.toLowerCase,
+      throw new IllegalArgumentException(s"Table not found: $name"))
+
+  private def emptyResult: DataFrame = spark.emptyDataFrame
+
+  private def toDf(rows: Seq[Tuple1[String]], colName: String): DataFrame = {
+    import spark.implicits._
+    rows.map(_._1).toDF(colName)
+  }
+  private def toDf2(rows: Seq[(String, String)], c1: String, c2: String): DataFrame = {
+    import spark.implicits._
+    rows.toDF(c1, c2)
+  }
+}

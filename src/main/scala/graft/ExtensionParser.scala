@@ -1,0 +1,96 @@
+package graft
+
+/** Front parser for the reference's non-standard SQL statements
+  * (SURVEY.md §2.5; reference: src/parser.rs:336-550 DaskStatement enum).
+  *
+  * Mirrors the reference's architecture decision: intercept extension
+  * statements BEFORE the engine's SQL parser (parser.rs intercepts before
+  * DataFusion; we intercept before `spark.sql`). Standard SQL falls through
+  * untouched so Catalyst sees it verbatim.
+  */
+object ExtensionParser {
+
+  sealed trait Statement
+  /** Pass through to spark.sql unchanged. */
+  final case class Passthrough(sql: String) extends Statement
+  final case class CreateTableWith(name: String, options: Map[String, String],
+      orReplace: Boolean) extends Statement
+  final case class CreateTableAs(name: String, select: String,
+      orReplace: Boolean, isView: Boolean) extends Statement
+  final case class DropTable(name: String, ifExists: Boolean) extends Statement
+  final case class CreateSchema(name: String, ifNotExists: Boolean) extends Statement
+  final case class DropSchema(name: String, ifExists: Boolean) extends Statement
+  final case class UseSchema(name: String) extends Statement
+  final case class ShowSchemas() extends Statement
+  final case class ShowTables(schema: Option[String]) extends Statement
+  final case class ShowColumns(table: String) extends Statement
+  final case class ShowModels() extends Statement
+  final case class AnalyzeTable(table: String, columns: Option[Seq[String]]) extends Statement
+  final case class CreateModel(name: String, options: Map[String, String],
+      select: String, orReplace: Boolean) extends Statement
+  final case class PredictModel(model: String, select: String) extends Statement
+  final case class DescribeModel(name: String) extends Statement
+  final case class DropModel(name: String, ifExists: Boolean) extends Statement
+  final case class ExportModel(name: String, options: Map[String, String]) extends Statement
+
+  private val ws = "\\s+"
+  private def kw(s: String) = s.split(" ").mkString(ws)
+  private val ident = "([A-Za-z_][A-Za-z0-9_.]*)"
+
+  // WITH (key = value, ...) — values are 'str', numbers, or booleans
+  private def parseKwargs(s: String): Map[String, String] =
+    "(\\w+)\\s*=\\s*(?:'([^']*)'|([^,)\\s]+))".r.findAllMatchIn(s).map { m =>
+      m.group(1).toLowerCase -> Option(m.group(2)).getOrElse(m.group(3))
+    }.toMap
+
+  private def re(pattern: String) =
+    ("(?is)^\\s*" + pattern + "\\s*;?\\s*$").r
+
+  private val createTableWith =
+    re(s"CREATE${ws}(OR${ws}REPLACE${ws})?TABLE${ws}(IF${ws}NOT${ws}EXISTS${ws})?$ident${ws}WITH${ws}\\((.*)\\)")
+  private val createTableAs =
+    re(s"CREATE${ws}(OR${ws}REPLACE${ws})?(TABLE|VIEW)${ws}(IF${ws}NOT${ws}EXISTS${ws})?$ident${ws}AS${ws}(.*)")
+  private val dropTable = re(s"DROP${ws}TABLE${ws}(IF${ws}EXISTS${ws})?$ident")
+  private val createSchema = re(s"CREATE${ws}SCHEMA${ws}(IF${ws}NOT${ws}EXISTS${ws})?$ident")
+  private val dropSchema = re(s"DROP${ws}SCHEMA${ws}(IF${ws}EXISTS${ws})?$ident")
+  private val useSchema = re(s"USE${ws}SCHEMA${ws}$ident")
+  private val showSchemas = re(s"SHOW${ws}SCHEMAS")
+  private val showTables = re(s"SHOW${ws}TABLES(?:${ws}FROM${ws}$ident)?")
+  private val showColumns = re(s"SHOW${ws}COLUMNS${ws}FROM${ws}$ident")
+  private val showModels = re(s"SHOW${ws}MODELS")
+  private val analyzeTable =
+    re(s"ANALYZE${ws}TABLE${ws}$ident${ws}COMPUTE${ws}STATISTICS(?:${ws}FOR${ws}(?:ALL${ws}COLUMNS|COLUMNS${ws}(.*)))?")
+  private val createModel =
+    re(s"CREATE${ws}(OR${ws}REPLACE${ws})?MODEL${ws}$ident${ws}WITH${ws}\\((.*?)\\)${ws}AS${ws}(.*)")
+  private val predictModel =
+    re(s"SELECT${ws}\\*${ws}FROM${ws}PREDICT\\s*\\(\\s*MODEL${ws}$ident\\s*,(.*)\\)")
+  private val describeModel = re(s"DESCRIBE${ws}MODEL${ws}$ident")
+  private val dropModel = re(s"DROP${ws}MODEL${ws}(IF${ws}EXISTS${ws})?$ident")
+  private val exportModel =
+    re(s"EXPORT${ws}MODEL${ws}$ident${ws}WITH${ws}\\((.*)\\)")
+
+  def parse(sql: String): Statement = sql match {
+    case createModel(orRepl, name, kwargs, select) =>
+      CreateModel(name, parseKwargs(kwargs), select.trim, orRepl != null)
+    case predictModel(model, select) => PredictModel(model, select.trim)
+    case describeModel(name) => DescribeModel(name)
+    case dropModel(ifEx, name) => DropModel(name, ifEx != null)
+    case exportModel(name, kwargs) => ExportModel(name, parseKwargs(kwargs))
+    case showModels() => ShowModels()
+    case createTableWith(orRepl, _, name, kwargs) =>
+      CreateTableWith(name, parseKwargs(kwargs), orRepl != null)
+    case createTableAs(orRepl, kind, _, name, select) =>
+      CreateTableAs(name, select.trim, orRepl != null,
+        kind.equalsIgnoreCase("VIEW"))
+    case dropTable(ifEx, name) => DropTable(name, ifEx != null)
+    case createSchema(ifNot, name) => CreateSchema(name, ifNot != null)
+    case dropSchema(ifEx, name) => DropSchema(name, ifEx != null)
+    case useSchema(name) => UseSchema(name)
+    case showSchemas() => ShowSchemas()
+    case showColumns(tbl) => ShowColumns(tbl)
+    case showTables(schema) => ShowTables(Option(schema))
+    case analyzeTable(tbl, cols) =>
+      AnalyzeTable(tbl, Option(cols).map(_.split(",").map(_.trim).toSeq))
+    case other => Passthrough(other)
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.ml.{Pipeline, PipelineModel, PipelineStage}
+import org.apache.spark.ml.feature.{StringIndexer, VectorAssembler}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{NumericType, StringType}
+
+/** CREATE MODEL / PREDICT bridge onto Spark MLlib (SURVEY.md §2.5;
+  * reference: physical/rel/custom/create_model.py:110-227 imports
+  * sklearn/xgboost classes by name — here the class names map onto
+  * `org.apache.spark.ml` estimators, scoped to the classes the reference's
+  * test_model.py exercises).
+  *
+  * Feature handling mirrors the reference's convention: every non-target
+  * column of the training SELECT is a feature. Numeric features are
+  * assembled into a vector; a string target is label-indexed first.
+  */
+object MlBridge {
+
+  final case class Fitted(pipeline: PipelineModel, modelClass: String,
+      target: String, features: Seq[String])
+
+  /** sklearn-ish / short name → MLlib estimator. */
+  private def estimator(modelClass: String, kwargs: Map[String, String]): PipelineStage = {
+    val name = modelClass.split("\\.").last
+    def intOpt(k: String, dflt: Int) = kwargs.get(k).map(_.toInt).getOrElse(dflt)
+    name match {
+      case "LogisticRegression" =>
+        new org.apache.spark.ml.classification.LogisticRegression()
+          .setMaxIter(intOpt("max_iter", 100))
+      case "LinearRegression" =>
+        new org.apache.spark.ml.regression.LinearRegression()
+          .setMaxIter(intOpt("max_iter", 100))
+      case "RandomForestClassifier" =>
+        new org.apache.spark.ml.classification.RandomForestClassifier()
+          .setNumTrees(intOpt("n_estimators", 20)).setSeed(42)
+      case "RandomForestRegressor" =>
+        new org.apache.spark.ml.regression.RandomForestRegressor()
+          .setNumTrees(intOpt("n_estimators", 20)).setSeed(42)
+      case "GradientBoostingClassifier" | "XGBClassifier" =>
+        new org.apache.spark.ml.classification.GBTClassifier()
+          .setMaxIter(intOpt("n_estimators", 20)).setSeed(42)
+      case "GradientBoostingRegressor" | "XGBRegressor" =>
+        new org.apache.spark.ml.regression.GBTRegressor()
+          .setMaxIter(intOpt("n_estimators", 20)).setSeed(42)
+      case "KMeans" =>
+        new org.apache.spark.ml.clustering.KMeans()
+          .setK(intOpt("n_clusters", 2)).setSeed(42)
+      case other =>
+        throw new IllegalArgumentException(s"Unsupported model_class: $other")
+    }
+  }
+
+  def fit(train: DataFrame, modelClass: String, targetColumn: String,
+      kwargs: Map[String, String]): Fitted = {
+    val isUnsupervised = modelClass.split("\\.").last == "KMeans"
+    val features = train.schema.fields.collect {
+      case f if f.name != targetColumn && f.dataType.isInstanceOf[NumericType] => f.name
+    }.toSeq
+    require(features.nonEmpty, "CREATE MODEL: no numeric feature columns in training SELECT")
+
+    val assembler = new VectorAssembler()
+      .setInputCols(features.toArray).setOutputCol("features")
+
+    val stages = scala.collection.mutable.ArrayBuffer[PipelineStage](assembler)
+    var df = train
+    if (!isUnsupervised) {
+      val targetIsString =
+        train.schema(targetColumn).dataType.isInstanceOf[StringType]
+      if (targetIsString)
+        stages += new StringIndexer().setInputCol(targetColumn).setOutputCol("label")
+      else df = df.withColumn("label", col(targetColumn).cast("double"))
+    }
+    stages += estimator(modelClass, kwargs)
+
+    val pipeline = new Pipeline().setStages(stages.toArray).fit(df)
+    Fitted(pipeline, modelClass, targetColumn, features)
+  }
+
+  /** PREDICT(MODEL m, select): transform and surface a `prediction` column
+    * next to the input columns (reference: predict_model.py:51). */
+  def predict(df: DataFrame, pipeline: PipelineModel, targetColumn: String): DataFrame = {
+    val in = if (df.columns.contains(targetColumn)) df
+      else df.withColumn("label", lit(0.0)) // transform never uses the label
+    val out = pipeline.transform(
+      if (in.columns.contains("label") || !in.columns.contains(targetColumn)) in
+      else in.withColumn("label", col(targetColumn).cast("double")))
+    out.select(df.columns.map(col) :+ col("prediction"): _*)
+  }
+}

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ContextSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val ctx = {
+    val c = new Context(spark)
+    c.createTableFromPath("lineitem", s"${TestSpark.sf}/lineitem.parquet")
+    c.createTableFromPath("orders", s"${TestSpark.sf}/orders.parquet")
+    c
+  }
+
+  test("standard SQL passes through to Catalyst") {
+    val out = ctx.sql(
+      "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY 1 ORDER BY 1")
+    assert(out.count() >= 3)
+  }
+
+  test("CREATE TABLE ... WITH registers a parquet table") {
+    ctx.sql(s"CREATE TABLE part_t WITH (location = '${TestSpark.sf}/part.parquet', format = 'parquet')")
+    assert(ctx.tables.contains("part_t"))
+    assert(ctx.sql("SELECT count(*) AS n FROM part_t").head().getLong(0) > 0)
+  }
+
+  test("CTAS persists, CREATE VIEW stays lazy, DROP removes") {
+    ctx.sql("CREATE TABLE flagged AS SELECT * FROM lineitem WHERE l_quantity > 45")
+    ctx.sql("CREATE VIEW flagged_v AS SELECT l_orderkey FROM flagged")
+    assert(ctx.sql("SELECT * FROM flagged_v").count() > 0)
+    ctx.sql("DROP TABLE flagged_v")
+    assert(!ctx.tables.contains("flagged_v"))
+    ctx.sql("DROP TABLE flagged")
+  }
+
+  test("schemas: create, use, isolation, drop") {
+    ctx.sql("CREATE SCHEMA staging")
+    assert(ctx.schemaNames.contains("staging"))
+    ctx.sql("USE SCHEMA staging")
+    assert(ctx.tables.isEmpty) // fresh schema has no tables
+    ctx.sql("USE SCHEMA root")
+    assert(ctx.tables.contains("lineitem"))
+    ctx.sql("DROP SCHEMA staging")
+    assert(!ctx.schemaNames.contains("staging"))
+  }
+
+  test("SHOW SCHEMAS / TABLES / COLUMNS shapes") {
+    assert(ctx.sql("SHOW SCHEMAS").columns.sameElements(Array("schema")))
+    val tbls = ctx.sql("SHOW TABLES").collect().map(_.getString(0))
+    assert(tbls.contains("lineitem"))
+    val cols = ctx.sql("SHOW COLUMNS FROM lineitem").collect().map(_.getString(0))
+    assert(cols.contains("l_orderkey"))
+  }
+
+  test("ANALYZE TABLE returns describe-style stats") {
+    val stats = ctx.sql(
+      "ANALYZE TABLE lineitem COMPUTE STATISTICS FOR COLUMNS l_quantity, l_discount")
+    assert(stats.columns.contains("l_quantity"))
+    assert(stats.collect().map(_.getString(0)).contains("mean"))
+  }
+
+  test("scalar UDF registration is usable from SQL") {
+    ctx.registerFunction("double_it", udf((x: Double) => x * 2))
+    val r = ctx.sql("SELECT double_it(l_quantity) AS d FROM lineitem LIMIT 1")
+    assert(r.columns.sameElements(Array("d")))
+    assert(r.count() == 1)
+  }
+
+  test("typed aggregation registration is usable from SQL") {
+    val geomean = new org.apache.spark.sql.expressions.Aggregator[Double, (Double, Long), Double] {
+      def zero = (0.0, 0L)
+      def reduce(b: (Double, Long), a: Double) = (b._1 + math.log(a), b._2 + 1)
+      def merge(a: (Double, Long), b: (Double, Long)) = (a._1 + b._1, a._2 + b._2)
+      def finish(r: (Double, Long)) = math.exp(r._1 / r._2)
+      def bufferEncoder = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble, org.apache.spark.sql.Encoders.scalaLong)
+      def outputEncoder = org.apache.spark.sql.Encoders.scalaDouble
+    }
+    ctx.registerAggregation("geomean", geomean)(
+      org.apache.spark.sql.Encoders.scalaDouble)
+    val g = ctx.sql("SELECT geomean(l_quantity) AS g FROM lineitem").head().getDouble(0)
+    assert(g > 0 && g < 100)
+  }
+
+  test("CREATE MODEL / PREDICT / DESCRIBE / SHOW / EXPORT / DROP round-trip") {
+    ctx.sql("""
+      CREATE MODEL price_model WITH (
+        model_class = 'LinearRegression', target_column = 'o_totalprice'
+      ) AS SELECT o_totalprice, o_custkey, o_orderkey FROM orders""")
+    assert(ctx.sql("SHOW MODELS").collect().map(_.getString(0)).contains("price_model"))
+    val pred = ctx.sql(
+      "SELECT * FROM PREDICT(MODEL price_model, SELECT o_totalprice, o_custkey, o_orderkey FROM orders LIMIT 20)")
+    assert(pred.columns.contains("prediction"))
+    assert(pred.count() == 20)
+    val desc = ctx.sql("DESCRIBE MODEL price_model")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc("model_class") == "LinearRegression")
+    val dir = java.nio.file.Files.createTempDirectory("graft_model").toString
+    ctx.sql(s"EXPORT MODEL price_model WITH (location = '$dir/m')")
+    assert(new java.io.File(s"$dir/m").exists())
+    ctx.sql("DROP MODEL price_model")
+    assert(!ctx.sql("SHOW MODELS").collect().map(_.getString(0)).contains("price_model"))
+  }
+
+  test("CREATE MODEL with classifier + string-ish label via KMeans clustering") {
+    ctx.sql("""
+      CREATE MODEL seg WITH (model_class = 'KMeans', n_clusters = 3,
+        target_column = 'none') AS SELECT o_totalprice, o_custkey FROM orders""")
+    val pred = ctx.sql(
+      "SELECT * FROM PREDICT(MODEL seg, SELECT o_totalprice, o_custkey FROM orders LIMIT 50)")
+    val clusters = pred.select("prediction").distinct().count()
+    assert(clusters >= 2 && clusters <= 3)
+    ctx.sql("DROP MODEL seg")
+  }
+
+  test("explainString emits a formatted physical plan") {
+    val plan = ctx.explainString("SELECT count(*) FROM lineitem")
+    assert(plan.contains("Physical Plan"))
+  }
+}

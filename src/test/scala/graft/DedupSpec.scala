@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TextDedup
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different text with other words entirely here"),
+    (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (5L, "short doc")                                     // < 3 tokens → no shingles
+  ).toDF("doc_id", "text")
+
+  test("wordShingles produces n-grams and handles short docs") {
+    val sh = docs.select($"doc_id", TextDedup.wordShingles($"text", 3).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sh(1L).head == "the quick brown")
+    assert(sh(1L).length == 7) // 9 tokens → 7 shingles
+    assert(sh(5L).isEmpty)
+  }
+
+  test("jaccard is exact on known sets") {
+    val j = docs.filter($"doc_id" === 1)
+      .select(TextDedup.jaccard(
+        TextDedup.wordShingles(lit("a b c d"), 2),
+        TextDedup.wordShingles(lit("a b c e"), 2)).as("j"))
+      .head().getDouble(0)
+    // shingles {ab,bc,cd} vs {ab,bc,ce}: inter 2, union 4
+    assert(math.abs(j - 0.5) < 1e-12)
+  }
+
+  test("exactDedup groups identical texts") {
+    val out = TextDedup.exactDedup(docs, "doc_id", "text").collect()
+    assert(out.length == 4) // 5 docs, one exact pair
+    val dupGroup = out.find(_.getLong(2) == 2L)
+    assert(dupGroup.isDefined && dupGroup.get.getLong(1) == 1L) // keeper = min id
+  }
+
+  test("minhashDedupPairs finds the near-dup and exact-dup pairs only") {
+    val pairs = TextDedup.minhashDedupPairs(docs, "doc_id", "text",
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // exact dup, jaccard 1.0
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 4L))) // near-dups
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated doc absent
+  }
+
+  test("simhash of identical docs is identical; near-dups are close") {
+    val sigs = docs.select($"doc_id", TextDedup.simhash64($"text").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(4L))
+    val hammingNear = java.lang.Long.bitCount(sigs(1L) ^ sigs(2L))
+    val hammingFar = java.lang.Long.bitCount(sigs(1L) ^ sigs(3L))
+    assert(hammingNear < hammingFar)
+  }
+
+  test("simhashDedupPairs pairs exact dups at hamming 0") {
+    val out = TextDedup.simhashDedupPairs(docs, "doc_id", "text", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.exists(t => t._1 == 1L && t._2 == 4L && t._3 == 0))
+  }
+
+  test("minhash LSH recall matches exhaustive jaccard at sf0.001") {
+    val d = Tables.t(spark, TestSpark.sf, "documents")
+    val lsh = TextDedup.minhashDedupPairs(d, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exhaustive reference computed in-Spark (cross join on small sf)
+    val sh = d.select(col("doc_id"), TextDedup.wordShingles(col("text"), 3).as("s"))
+      .filter(size(col("s")) >= 1)
+    val exhaustive = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .filter(TextDedup.jaccard(col("a.s"), col("b.s")) >= 0.5)
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exhaustive)
+  }
+}

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Multimodal
+
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def media = Multimodal.asMediaTable(
+    Tables.t(spark, TestSpark.sf, "documents"))
+
+  test("media table carries payload bytes + metadata struct") {
+    val r = media.select(col("media_id"), octet_length(col("payload")).as("n"),
+      col("meta.n_bytes"), col("meta.format")).head()
+    assert(r.getInt(1) > 0)
+    assert(r.getInt(1).toLong == r.getLong(2))
+    assert(r.getString(3) == "utf8-text")
+  }
+
+  test("metadata-only query never deserializes payload (column pruning)") {
+    val plan = media.select("media_id", "meta.n_bytes")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("payload"))
+  }
+
+  test("decodeFeatures is deterministic and schema-stable") {
+    val a = Multimodal.decodeFeatures(media).orderBy("media_id").collect()
+    val b = Multimodal.decodeFeatures(media).orderBy("media_id").collect()
+    assert(a.sameElements(b))
+    assert(a.forall(r => r.getInt(2) >= 64 && r.getInt(3) >= 64)) // fake dims
+    assert(a.forall(_.getString(4) == "fake-rgb"))
+  }
+
+  test("resizePayload truncates oversized payloads and clamps metadata") {
+    val out = Multimodal.resizePayload(media, maxBytes = 100)
+    val r = out.select(max(octet_length(col("payload"))), max(col("meta.n_bytes"))).head()
+    assert(r.getInt(0) <= 100 && r.getLong(1) <= 100L)
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Blanket execution of every SparkEntry query at sf0.001 plus targeted
+  * result checks for a few anchors. The DuckDB-oracle hash compare is the
+  * deeper gate (driver-side; locally via tools/selfcheck.py) — this suite
+  * catches regressions fast and validates the rows-only queries. */
+class OperatorSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // every declared query must build a plan and execute
+  SparkEntry.all.foreach { q =>
+    test(s"${q.name} runs") {
+      val df = q.run(spark, TestSpark.sf)
+      assert(df.columns.nonEmpty)
+      assert(df.count() >= 0)
+    }
+  }
+
+  test("entry() returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q01 aggregates the expected groups") {
+    val rows = SparkEntry.byName("q01_tpch_q1").run(spark, TestSpark.sf).collect()
+    assert(rows.length >= 4 && rows.length <= 8)
+    val flags = rows.map(_.getString(0)).toSet
+    assert(flags.subsetOf(Set("A", "N", "R")))
+  }
+
+  test("q22 top-k is ordered descending") {
+    val prices = SparkEntry.byName("q22_sort_topk").run(spark, TestSpark.sf)
+      .collect().map(_.getDouble(2))
+    assert(prices.length == 10)
+    assert(prices.sameElements(prices.sorted(Ordering[Double].reverse)))
+  }
+
+  test("q49 rand stays in bounds for every row") {
+    val n = SparkEntry.byName("q49_rand").run(spark, TestSpark.sf).count()
+    // the filter keeps only in-bounds rows; all input rows must survive
+    val total = Tables.t(spark, TestSpark.sf, "customer").count()
+    assert(n == total)
+  }
+
+  test("oracle SQL exists for every query unless justified rows-only") {
+    val rowsOnly = SparkEntry.all.filter(_.oracle.isEmpty).map(_.name).toSet
+    val expected = Set("q28_sample", "q37_agg_approx_distinct", "q49_rand",
+      "p03_dedup_simhash", "p07_sim_lsh_ann", "p12b_multimodal_decode")
+    assert(rowsOnly == expected)
+  }
+}

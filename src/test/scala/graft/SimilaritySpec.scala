@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("cosine is exact on known vectors") {
+    val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f), Array(3.0f, 4.0f)))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      Similarity.cosine($"a", $"a").as("same"),
+      Similarity.cosine($"a", $"b").as("orth"),
+      Similarity.cosine($"a", $"c").as("mixed")).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 0.6) < 1e-12) // (3)/(1*5)
+  }
+
+  test("bruteForceTopK returns k ranked neighbors") {
+    val emb = Tables.t(spark, TestSpark.sf, "embeddings")
+    val out = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 3), k = 4)
+      .collect()
+    assert(out.length == 12) // 3 queries × 4
+    val byQ = out.groupBy(_.getLong(0))
+    byQ.values.foreach { rows =>
+      val sims = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(sims.sameElements(sims.sorted(Ordering[Double].reverse)))
+    }
+  }
+
+  test("lshTopK recall is high on clustered data (the case ANN exists for)") {
+    // 5 tight clusters of 20 vectors each; top-k neighbors are in-cluster,
+    // so hyperplane buckets must keep them together
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(5)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val rows = for (c <- 0 until 5; i <- 0 until 20) yield {
+      val v = centers(c).map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+      ((c * 20 + i).toLong, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val q = df.filter($"vec_id" % 20 === 0) // one query per cluster
+    val exact = Similarity.bruteForceTopK(df, q, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(df, q, k = 5, dim = 16, nBits = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall too low on clustered data")
+  }
+
+  test("lshTopK on uniform random data returns real pairs with valid ranks") {
+    val emb = Tables.t(spark, TestSpark.sf, "embeddings")
+    val q = emb.filter($"vec_id" < 10)
+    val approx = Similarity.lshTopK(emb, q, k = 5, dim = 64, nBits = 12).collect()
+    assert(approx.forall(r => r.getLong(0) != r.getLong(1)))
+    assert(approx.forall(r => r.getInt(3) >= 1 && r.getInt(3) <= 5))
+  }
+
+  test("cosineDedupPairs finds mutual high-similarity pairs symmetrically") {
+    val v = Seq(
+      (1L, Array.fill(8)(1.0f)),
+      (2L, Array.fill(8)(1.0f).updated(0, 1.01f)), // nearly identical
+      (3L, Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineDedupPairs(v, threshold = 0.99, dim = 8, nBits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 2L)))
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Real Structured Streaming over the events table: the batch pipelines in
+  * queries/Pipeline.scala (s01..s03) re-run here as streams with watermarks
+  * through a memory sink, and the complete-mode result must equal the batch
+  * result — Spark's unified semantics make that an exact check. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // events.parquet is TIMESTAMP(NANOS): stream-read as long, convert (same
+  // conversion as graft.Tables.t)
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  // FileStreamSource needs a directory, not a single file
+  private lazy val eventsDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sf}/events.parquet"),
+      dir.resolve("events.parquet"))
+    dir.toString
+  }
+
+  private def streamingEvents = spark.readStream
+    .schema(eventsSchema)
+    .parquet(eventsDir)
+    .withColumn("ts", timestamp_micros(expr("CAST(ts DIV 1000 AS BIGINT)")))
+
+  test("streaming tumbling-window counts equal the batch result") {
+    val agg = streamingEvents
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream
+      .format("memory").queryName("stream_tumbling")
+      .outputMode("complete")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("stream_tumbling")
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val batch = Tables.t(spark, TestSpark.sf, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  test("streaming dedup by event_id emits each id once") {
+    val q = streamingEvents
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .groupBy()
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("stream_dedup")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val n = spark.table("stream_dedup").head().getLong(0)
+    val distinctBatch = Tables.t(spark, TestSpark.sf, "events")
+      .select("event_id").distinct().count()
+    assert(n == distinctBatch)
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{SqlCompat, TextAnalysis}
+
+class TextAnalysisSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("langId identifies real multilingual sentences") {
+    val df = Seq(
+      ("the cat sat on the mat and it is happy"),
+      ("der Hund ist nicht mit das Auto und der Mann"),
+      ("le chat est dans la maison et les oiseaux"),
+      ("el perro es una mascota por la casa y los gatos"),
+      ("这是一个中文句子"),
+      ("xyzzy plugh")).toDF("text")
+    val out = df.select(TextAnalysis.langId($"text")).collect().map(_.getString(0))
+    assert(out.sameElements(Array("en", "de", "fr", "es", "zh", "unknown")))
+  }
+
+  test("token counts: whitespace vs BPE-ish") {
+    val r = Seq("Hello, world! x2").toDF("text")
+      .select(TextAnalysis.tokenCount($"text"), TextAnalysis.bpeTokenCount($"text"))
+      .head()
+    assert(r.getLong(0) == 3)
+    // hello , world ! x 2 → 6 subword tokens
+    assert(r.getLong(1) == 6)
+  }
+
+  test("fingerprint is whitespace/case-insensitive") {
+    val df = Seq(("Hello   World", "hello world")).toDF("a", "b")
+    val r = df.select(
+      TextAnalysis.fingerprint($"a") === TextAnalysis.fingerprint($"b")).head()
+    assert(r.getBoolean(0))
+  }
+
+  test("rollingHash matches a hand-computed fold") {
+    val got = Seq("abc").toDF("t")
+      .select(TextAnalysis.rollingHash($"t")).head().getLong(0)
+    val want = "abc".foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)
+    assert(got == want)
+  }
+
+  test("qualityScore is bounded and orders clean text above noise") {
+    val df = Seq(
+      ("the quick brown fox is one of the animals that it described for a while " * 4),
+      ("!!!###$$$%%%^^^&&&***((()))")).toDF("text")
+    val scores = df.select(TextAnalysis.qualityScore($"text")).collect().map(_.getDouble(0))
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0))
+    assert(scores(0) > scores(1))
+  }
+
+  test("similarToRegex transpiles SQL wildcards, keeps regex subset, quotes literals") {
+    assert(SqlCompat.similarToRegex("(ECONOMY|SMALL)%") == "(ECONOMY|SMALL).*")
+    assert(SqlCompat.similarToRegex("a_c") == "a.c")
+    assert(SqlCompat.similarToRegex("a.c") == "a\\.c") // dot is literal in SIMILAR TO
+    assert(SqlCompat.similarToRegex("a!%b", Some('!')) == "a\\Q%\\Eb")
+    val df = Seq("ECONOMY BRUSHED", "STANDARD", "SMALL X").toDF("s")
+    val hits = df.filter(SqlCompat.similarTo($"s", "(ECONOMY|SMALL)%")).count()
+    assert(hits == 2)
+  }
+
+  test("sqlDiv truncates toward zero incl. negatives") {
+    val r = Seq((-7, 2), (7, 2), (-7, -2)).toDF("a", "b")
+      .select(SqlCompat.sqlDiv($"a", $"b")).collect().map(_.getLong(0))
+    assert(r.sameElements(Array(-3L, 3L, 3L)))
+  }
+
+  test("ceilTimestamp bumps unaligned, keeps aligned") {
+    val df = Seq("2024-01-01 05:30:00", "2024-01-01 06:00:00").toDF("s")
+      .select($"s".cast("timestamp").as("ts"))
+    val out = df.select(SqlCompat.ceilTimestamp($"ts", "hour").cast("string"))
+      .collect().map(_.getString(0))
+    assert(out.sameElements(Array("2024-01-01 06:00:00", "2024-01-01 06:00:00")))
+  }
+}
