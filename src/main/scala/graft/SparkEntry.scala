@@ -31,6 +31,8 @@ object SparkEntry {
 
   /** Headline subset timed by Bench (heavier, scale-sensitive queries). */
   def benchQueries: Seq[String] = Seq(
-    "q01_tpch_q1", "q05_join_inner", "q08_join_full", "q11_join_theta",
-    "q13_agg_groupby", "q17_agg_distinct")
+    "q01_tpch_q1", "q05_join_inner", "q08_join_full", "q14_agg_global",
+    "q17_agg_distinct", "q53_tpch_q3", "q54_star_join", "q55_returned_items",
+    "p01_dedup_exact", "p02_dedup_minhash", "p06_sim_topk",
+    "s01_events_tumbling", "s03_events_session")
 }

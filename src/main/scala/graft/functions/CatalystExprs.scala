@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions for the dedup hot path.
+  *
+  * The composable HOF formulation (64 × array_min(transform(...))) is
+  * semantically fine but generates a 64-wide expression tree: several
+  * seconds of whole-stage-codegen compilation per session and 64 separate
+  * passes over the hash array per row. Each expression here is ONE tree
+  * node with a fused per-row loop — O(shingles × k) arithmetic with no
+  * per-permutation array traversal and near-zero compile cost
+  * (CodegenFallback: the surrounding projection still codegens; only this
+  * node evaluates interpreted, and its body is a tight JVM loop).
+  *
+  * Mirrors the preference order in SURVEY.md §7: compose built-ins first,
+  * drop to a native Expression when the profile demands it.
+  */
+object CatalystExprs {
+
+  private[graft] val MinhashPrime = 2147483647L // 2^31 - 1
+
+  private def mix64(x: Long): Long = {
+    var h = x * 0x9E3779B97F4A7C15L
+    h ^= (h >>> 33); h *= 0xFF51AFD7ED558CCDL; h ^= (h >>> 33)
+    h
+  }
+  private[graft] def permA(i: Int): Long =
+    (mix64(i + 1) & Long.MaxValue) % (MinhashPrime - 1) + 1
+  private[graft] def permB(i: Int): Long =
+    (mix64(i + 100003) & Long.MaxValue) % MinhashPrime
+
+  /** MinHash signature of an array<long> of element hashes: out[k] =
+    * min over h of ((h mod P) * A(k) + B(k)) mod P, P = 2^31-1. */
+  case class MinHashSignature(child: Expression, numHashes: Int)
+      extends UnaryExpression with CodegenFallback {
+
+    private lazy val as: Array[Long] = Array.tabulate(numHashes)(permA)
+    private lazy val bs: Array[Long] = Array.tabulate(numHashes)(permB)
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val out = new Array[Long](numHashes)
+      java.util.Arrays.fill(out, Long.MaxValue)
+      var i = 0
+      while (i < n) {
+        val h = ((arr.getLong(i) % MinhashPrime) + MinhashPrime) % MinhashPrime
+        var k = 0
+        while (k < numHashes) {
+          val v = (h * as(k) + bs(k)) % MinhashPrime
+          if (v < out(k)) out(k) = v
+          k += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
+  }
+
+  /** 64-bit SimHash of an array<long> of token hashes: bit j set iff the
+    * majority of hashes have bit j set. */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val counts = new Array[Int](64)
+      var i = 0
+      while (i < n) {
+        val h = arr.getLong(i)
+        var j = 0
+        while (j < 64) { if (((h >>> j) & 1L) == 1L) counts(j) += 1; j += 1 }
+        i += 1
+      }
+      var sig = 0L
+      var j = 0
+      while (j < 64) { if (counts(j) * 2 > n) sig |= (1L << j); j += 1 }
+      java.lang.Long.valueOf(sig)
+    }
+    override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+  }
+
+  import org.apache.spark.sql.GraftBridge
+
+  def minhashSignature(hashes: Column, k: Int): Column =
+    GraftBridge.column(MinHashSignature(GraftBridge.expression(hashes), k))
+
+  def simhash64(hashes: Column): Column =
+    GraftBridge.column(SimHash64(GraftBridge.expression(hashes)))
+}

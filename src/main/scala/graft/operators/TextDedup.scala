@@ -60,7 +60,13 @@ object TextDedup {
 
   /** MinHash signature: array of k minima of affine-permuted xxhash64 shingle
     * hashes. The base hash is computed once per shingle; each permutation is
-    * a universal-family affine map mod 2^31-1. */
+    * a universal-family affine map mod 2^31-1.
+    *
+    * PERFORMANCE: pass an ATTRIBUTE (a materialized column) as `shingles`,
+    * not a derived expression — this Column is referenced k times, and a
+    * derived expression would be inlined and recomputed k times (Catalyst's
+    * CollapseProject keeps non-cheap multi-referenced aliases as plan
+    * boundaries, so a two-step select is enough). */
   def minhashSignature(shingles: Column, k: Int): Column = {
     val hashes = transform(shingles, s => pmod(xxhash64(s), lit(MinhashPrime)))
     array((0 until k).map { i =>
@@ -68,16 +74,33 @@ object TextDedup {
     }: _*)
   }
 
-  /** 64-bit SimHash over whitespace tokens: bit j is set iff the majority of
-    * token hashes have bit j set. */
-  def simhash64(text: Column): Column = {
-    val hashes = transform(split(lower(text), " "), tk => xxhash64(tk))
-    val n = size(hashes)
-    (0 until 64).map { j =>
-      when(size(filter(hashes, h => shiftright(h, j).bitwiseAND(lit(1L)) === lit(1L))) * 2 > n,
-        lit(1L << j)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+  /** Signature over pre-hashed shingles (array<long>) — the hot path used
+    * by [[minhashDedupPairs]]: one fused custom-Expression loop (the
+    * equivalent k × array_min(transform(...)) HOF tree costs seconds of
+    * codegen compile and k passes per row — see CatalystExprs). */
+  def minhashSignatureFromHashes(shingleHashes: Column, k: Int): Column =
+    graft.functions.CatalystExprs.minhashSignature(shingleHashes, k)
+
+  /** Distinct n-word shingle HASHES from a materialized token-hash array:
+    * each shingle hash combines n consecutive token hashes, so no shingle
+    * strings are ever built. 64-bit collisions are negligible, making
+    * Jaccard over hash sets equal to Jaccard over string sets. */
+  def shingleHashesFromTokenHashes(tokenHashes: Column, n: Int): Column = {
+    val idx = when(size(tokenHashes) >= n, sequence(lit(0), size(tokenHashes) - n))
+      .otherwise(array().cast("array<int>"))
+    array_distinct(transform(idx, i =>
+      xxhash64((0 until n).map(j => element_at(tokenHashes, i + j + 1)): _*)))
   }
+
+  /** SimHash from token hashes — fused custom-Expression loop. */
+  def simhash64FromHashes(hashes: Column): Column =
+    graft.functions.CatalystExprs.simhash64(hashes)
+
+  /** 64-bit SimHash over whitespace tokens: bit j is set iff the majority of
+    * token hashes have bit j set. Convenience form for small inputs; prefer
+    * materializing token hashes + [[simhash64FromHashes]] in pipelines. */
+  def simhash64(text: Column): Column =
+    simhash64FromHashes(transform(split(lower(text), " "), tk => xxhash64(tk)))
 
   /** Exact deduplication summary: group by content digest (md5 here so the
     * oracle can reproduce it), keep the smallest doc_id as the survivor.
@@ -101,12 +124,27 @@ object TextDedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
 
-    val sh = df.select(
-      col(idCol).as("doc_id"),
-      wordShingles(col(textCol), shingleSize).as("shingles"))
-      .filter(size(col("shingles")) >= 1)
+    // Materialize token hashes, then shingle hashes, as real attributes:
+    // each step's output is referenced many times downstream and must not
+    // be inlined (string-hash once per token, not once per permutation).
+    // Cached: the shingle-hash set is consumed by signature generation AND
+    // both sides of the verification join; without persistence each branch
+    // re-tokenizes and re-hashes the full corpus. At cluster scale this is
+    // the standard persist-signatures step of an LSH dedup (size: O(docs ×
+    // shingles) longs, far smaller than the text).
+    // NOTE: the short-doc filter runs on the RAW text before any projection.
+    // Filtering on size(shingles) would be predicate-pushed below the
+    // projections, transitively inlining the whole hash chain into the scan
+    // filter and recomputing token hashes per shingle element (~10× cost).
+    val sh = df
+      .filter(size(split(lower(col(textCol)), " ")) >= shingleSize)
+      .select(col(idCol).as("doc_id"),
+        transform(split(lower(col(textCol)), " "), tk => xxhash64(tk)).as("th"))
+      .select(col("doc_id"),
+        shingleHashesFromTokenHashes(col("th"), shingleSize).as("shingles"))
+      .cache()
     val sig = sh.select(col("doc_id"),
-      minhashSignature(col("shingles"), numHashes).as("sig"))
+      minhashSignatureFromHashes(col("shingles"), numHashes).as("sig"))
 
     // (band, bandHash) per doc; slice is 1-based
     val banded = sig.select(col("doc_id"), explode(array((0 until bands).map { b =>
@@ -141,7 +179,10 @@ object TextDedup {
   def simhashDedupPairs(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("doc_id"), simhash64(col(textCol)).as("sim"))
+    val sigs = df
+      .select(col(idCol).as("doc_id"),
+        transform(split(lower(col(textCol)), " "), tk => xxhash64(tk)).as("th"))
+      .select(col("doc_id"), simhash64FromHashes(col("th")).as("sim"))
     val chunked = sigs.select(col("doc_id"), col("sim"), explode(array((0 until 4).map { c =>
       struct(lit(c).as("chunk"), shiftright(col("sim"), 16 * c).bitwiseAND(lit(0xFFFFL)).as("cv"))
     }: _*)).as("cc"))

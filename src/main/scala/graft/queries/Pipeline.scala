@@ -74,10 +74,11 @@ object Pipeline {
       WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
             (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.8
       ORDER BY doc_a, doc_b""")) { (s, d) =>
-      val docs = t(s, d, "documents")
+      // short-doc filter on raw text: a size(grams) predicate would be
+      // pushed below the projection and recompute the gram array at the scan
+      val docs = t(s, d, "documents").filter(length(col("text")) >= 3)
       val g = docs.select(col("doc_id"), col("source"),
         TextDedup.charNgrams(col("text"), 3).as("grams"))
-        .filter(length(col("source")) >= 0 && size(col("grams")) >= 1)
       g.as("a").join(g.as("b"),
           col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
         .withColumn("sim_raw", TextDedup.jaccard(col("a.grams"), col("b.grams")))

@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into Spark's package-private Column ↔ Expression converters so
+  * custom Catalyst expressions (graft.functions.CatalystExprs) can be
+  * exposed as plain `Column`s. Same mechanism SparkSessionExtensions-based
+  * libraries use; no Spark internals are modified.
+  */
+object GraftBridge {
+  def column(e: Expression): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+}
