@@ -23,7 +23,7 @@ object Similarity {
 
   /** Cast a float vector to double (so fold order + precision are
     * reproducible against the oracle). */
-  private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
@@ -41,10 +41,17 @@ object Similarity {
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qvec")))
-    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+    // Norms are materialized per side BEFORE the join: computing
+    // cosine(q, n) pairwise would re-derive both norms for every pair
+    // (norm(corpus row) × n_queries redundant aggregates at scale).
+    val q = broadcast(queries.select(col(idCol).as("qid"),
+      asDouble(col(vecCol)).as("qvec"))
+      .withColumn("qnorm", norm(col("qvec"))))
+    val c = corpus.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nvec"))
+      .withColumn("nnorm", norm(col("nvec")))
     val scored = q.join(c, col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), cosine(col("qvec"), col("nvec")).as("sim"))
+      .select(col("qid"), col("nid"),
+        (dot(col("qvec"), col("nvec")) / (col("qnorm") * col("nnorm"))).as("sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("sim").desc, col("nid"))
     scored.withColumn("rnk", row_number().over(w))
@@ -80,16 +87,19 @@ object Similarity {
   def lshTopK(
       corpus: DataFrame, queries: DataFrame, k: Int, dim: Int, nBits: Int = 12,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"),
+    val c = corpus.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nvec"),
       lshBucket(col(vecCol), dim, nBits).as("bucket"))
-    val qb = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+      .withColumn("nnorm", norm(col("nvec")))
+    val qb = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"),
       lshBucket(col(vecCol), dim, nBits).as("b0"))
+      .withColumn("qnorm", norm(col("qvec")))
     // multiprobe: original bucket + flip each bit once
-    val probes = qb.select(col("qid"), col("qvec"), explode(array(
+    val probes = qb.select(col("qid"), col("qvec"), col("qnorm"), explode(array(
       col("b0") +: (0 until nBits).map(p => col("b0").bitwiseXOR(lit(1L << p))): _*)).as("bucket"))
     val scored = broadcast(probes).join(c, Seq("bucket"))
       .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), cosine(col("qvec"), col("nvec")).as("sim"))
+      .select(col("qid"), col("nid"),
+        (dot(col("qvec"), col("nvec")) / (col("qnorm") * col("nnorm"))).as("sim"))
       .groupBy("qid", "nid").agg(max("sim").as("sim")) // dedup multi-probe hits
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("sim").desc, col("nid"))
@@ -104,12 +114,13 @@ object Similarity {
   def cosineDedupPairs(
       df: DataFrame, threshold: Double, dim: Int, nBits: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+    val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"),
       lshBucket(col(vecCol), dim, nBits).as("bucket"))
+      .withColumn("nrm", norm(col("vec")))
     v.as("a").join(v.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        cosine(col("a.vec"), col("b.vec")).as("sim"))
+        (dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm"))).as("sim"))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }

@@ -98,9 +98,13 @@ object Pipeline {
       WHERE list_dot_product(a.e, b.e) /
             (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.5
       ORDER BY id_a, id_b""")) { (s, d) =>
-      val v = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      // norms materialized per side once, not per pair
+      val v = t(s, d, "embeddings")
+        .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("e"))
+        .withColumn("nrm", Similarity.norm(col("e")))
       v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
-        .withColumn("sim_raw", Similarity.cosine(col("a.embedding"), col("b.embedding")))
+        .withColumn("sim_raw",
+          Similarity.dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm")))
         .filter(col("sim_raw") >= 0.5)
         .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
           round(col("sim_raw"), 6).as("sim"))
