@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, RLike}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.CatalystExprs
+import graft.functions.SqlCompat
+
+/** SQL-function surface for the engine's custom Catalyst expressions —
+  * the SparkSessionExtensions path SURVEY.md §7 reserves for operators
+  * Spark lacks.
+  *
+  * Two ways in:
+  *  - at build time: `SparkSession.builder().withExtensions(new
+  *    GraftExtensions)` or `spark.sql.extensions=graft.GraftExtensions`;
+  *  - on a live session: `GraftFunctions.register(spark)`.
+  */
+object GraftFunctions {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+  private def stringArg(e: Expression, what: String): String = e match {
+    case Literal(s: UTF8String, _) => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (new FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[CatalystExprs.MinHashSignature].getName, "minhash_signature"),
+      (exprs: Seq[Expression]) =>
+        CatalystExprs.MinHashSignature(exprs.head,
+          if (exprs.size > 1) intArg(exprs(1), "numHashes") else 64)),
+
+    (new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[CatalystExprs.SimHash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => CatalystExprs.SimHash64(exprs.head)),
+
+    // SQL-standard SIMILAR TO semantics (Spark lacks the statement form;
+    // DuckDB's is raw-regex) — transpiled to an anchored RLike
+    (new FunctionIdentifier("similar_to"),
+      new ExpressionInfo(classOf[RLike].getName, "similar_to"),
+      (exprs: Seq[Expression]) => RLike(exprs.head,
+        Literal(UTF8String.fromString(
+          "^(?:" + SqlCompat.similarToRegex(stringArg(exprs(1), "pattern")) + ")$"),
+          org.apache.spark.sql.types.StringType))))
+
+  /** Register every function on an already-built session. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(e.injectFunction)
+}

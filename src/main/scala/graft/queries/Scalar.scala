@@ -271,6 +271,47 @@ object Scalar {
         .orderBy("l_orderkey", "l_linenumber", "unit_price")
     },
 
+    // IS [NOT] TRUE / FALSE / UNKNOWN three-valued predicates (reference:
+    // call.py:295-383)
+    Q("q58_bool_predicates", Some("""
+      SELECT p_partkey,
+             (CASE WHEN p_size > 30 THEN NULL ELSE p_size > 10 END) IS TRUE AS is_t,
+             (CASE WHEN p_size > 30 THEN NULL ELSE p_size > 10 END) IS FALSE AS is_f,
+             (CASE WHEN p_size > 30 THEN NULL ELSE p_size > 10 END) IS NULL AS is_unk,
+             (CASE WHEN p_size > 30 THEN NULL ELSE p_size > 10 END) IS NOT TRUE AS not_t
+      FROM part WHERE p_partkey < 300 ORDER BY p_partkey""")) { (s, d) =>
+      val pred = when(col("p_size") > 30, lit(null).cast("boolean"))
+        .otherwise(col("p_size") > 10)
+      t(s, d, "part").filter(col("p_partkey") < 300)
+        .select(
+          col("p_partkey"),
+          (pred <=> lit(true)).as("is_t"),
+          (pred <=> lit(false)).as("is_f"),
+          pred.isNull.as("is_unk"),
+          (!(pred <=> lit(true))).as("not_t"))
+        .orderBy("p_partkey")
+    },
+
+    // Timestamp parse/format round-trip (reference: DSQL_TOTIMESTAMP
+    // call.py:628-651 → to_timestamp; format strings are dialect-local:
+    // Java patterns in Spark, strftime in the DuckDB oracle)
+    Q("q59_datetime_format", Some("""
+      SELECT o_orderkey,
+             strftime(o_orderdate, '%Y/%m/%d') AS formatted,
+             strptime('2024-02-05 13:45', '%Y-%m-%d %H:%M') AS parsed,
+             monthname(o_orderdate) AS mon,
+             dayname(o_orderdate) AS dy
+      FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey""")) { (s, d) =>
+      t(s, d, "orders").filter(col("o_orderkey") < 200)
+        .select(
+          col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy/MM/dd").as("formatted"),
+          to_timestamp(lit("2024-02-05 13:45"), "yyyy-MM-dd HH:mm").as("parsed"),
+          date_format(col("o_orderdate"), "MMMM").as("mon"),
+          date_format(col("o_orderdate"), "EEEE").as("dy"))
+        .orderBy("o_orderkey")
+    },
+
     // RAND / RAND_INTEGER — engine-specific RNG, no oracle (reference:
     // call.py:809-881); result checked for shape + bounds in ScalaTest
     Q("q49_rand", None) { (s, d) =>

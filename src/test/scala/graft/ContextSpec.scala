@@ -113,6 +113,30 @@ class ContextSpec extends AnyFunSuite {
     ctx.sql("DROP MODEL seg")
   }
 
+  test("CSV and JSON sources round-trip (reference: input_utils/location.py)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_src").toString
+    val src = ctx.sql("SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders LIMIT 100")
+    src.write.option("header", "true").csv(s"$dir/c")
+    src.write.json(s"$dir/j")
+    ctx.createTableFromPath("csv_t", s"$dir/c", format = "csv")
+    ctx.createTableFromPath("json_t", s"$dir/j", format = "json")
+    assert(ctx.sql("SELECT count(*) AS n FROM csv_t").head().getLong(0) == 100)
+    assert(ctx.sql("SELECT count(*) AS n FROM json_t").head().getLong(0) == 100)
+    // csv inferSchema restores numerics
+    assert(ctx.sql("SELECT sum(o_totalprice) AS s FROM csv_t").head().getDouble(0) > 0)
+    ctx.sql("DROP TABLE csv_t"); ctx.sql("DROP TABLE json_t")
+  }
+
+  test("parquet sink + re-register (CREATE TABLE AS ... to_parquet shape)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    ctx.sql("SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY 1")
+      .write.mode("overwrite").parquet(s"$dir/agg")
+    ctx.createTableFromPath("agg_t", s"$dir/agg")
+    assert(ctx.sql("SELECT CAST(sum(n) AS BIGINT) AS s FROM agg_t").head().getLong(0) ==
+      ctx.sql("SELECT count(*) AS n FROM lineitem").head().getLong(0))
+    ctx.sql("DROP TABLE agg_t")
+  }
+
   test("explainString emits a formatted physical plan") {
     val plan = ctx.explainString("SELECT count(*) FROM lineitem")
     assert(plan.contains("Physical Plan"))

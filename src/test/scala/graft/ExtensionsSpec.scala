@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExtensionsSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSpark.spark
+    GraftFunctions.register(s)
+    s
+  }
+
+  test("custom expressions are callable from SQL") {
+    val r = spark.sql("""
+      SELECT size(minhash_signature(array(1L, 2L, 3L), 16)) AS k,
+             simhash64(array(7L, 7L, 7L)) AS sh,
+             similar_to('ECONOMY BRUSHED', '(ECONOMY|SMALL)%') AS st,
+             similar_to('a.c', 'a.c') AS literal_dot,
+             similar_to('axc', 'a.c') AS not_wildcard
+      FROM range(1)""").head()
+    assert(r.getInt(0) == 16)
+    assert(r.getLong(1) == 7L) // all-identical hashes → simhash = that hash
+    assert(r.getBoolean(2))
+    assert(r.getBoolean(3))
+    assert(!r.getBoolean(4)) // '.' is literal in SIMILAR TO
+  }
+
+  test("minhash_signature defaults to 64 hashes") {
+    val n = spark.sql(
+      "SELECT size(minhash_signature(array(5L))) FROM range(1)").head().getInt(0)
+    assert(n == 64)
+  }
+
+  test("similar_to rejects a non-literal pattern with a clear error") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT similar_to('x', concat('a', 'b')) FROM range(1)").collect()
+    }
+    assert(e.getMessage.contains("pattern"))
+  }
+}
