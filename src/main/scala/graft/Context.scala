@@ -186,6 +186,20 @@ class Context(val spark: SparkSession) {
         MlModel(name.toLowerCase, model.modelClass, model.target, model.pipeline, model.features)
       emptyResult
 
+    case CreateExperiment(name, opts, select, orReplace) =>
+      if (schemas(currentSchema).models.contains(name.toLowerCase) && !orReplace)
+        throw new IllegalArgumentException(s"Experiment exists: $name")
+      val trainDf = sql(select)
+      val (best, results) = MlBridge.experiment(trainDf,
+        opts.getOrElse("model_class", "LinearRegression"),
+        opts.getOrElse("target_column",
+          throw new IllegalArgumentException("CREATE EXPERIMENT requires target_column=")),
+        opts)
+      // best model lands in the registry under the experiment name
+      schemas(currentSchema).models(name.toLowerCase) =
+        MlModel(name.toLowerCase, best.modelClass, best.target, best.pipeline, best.features)
+      toDf2(results, "param", "value")
+
     case PredictModel(modelName, select) =>
       val m = schemas(currentSchema).models.getOrElse(modelName.toLowerCase,
         throw new IllegalArgumentException(s"Model not found: $modelName"))

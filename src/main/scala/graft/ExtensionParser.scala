@@ -28,6 +28,8 @@ object ExtensionParser {
   final case class AnalyzeTable(table: String, columns: Option[Seq[String]]) extends Statement
   final case class CreateModel(name: String, options: Map[String, String],
       select: String, orReplace: Boolean) extends Statement
+  final case class CreateExperiment(name: String, options: Map[String, String],
+      select: String, orReplace: Boolean) extends Statement
   final case class PredictModel(model: String, select: String) extends Statement
   final case class DescribeModel(name: String) extends Statement
   final case class DropModel(name: String, ifExists: Boolean) extends Statement
@@ -62,6 +64,8 @@ object ExtensionParser {
     re(s"ANALYZE${ws}TABLE${ws}$ident${ws}COMPUTE${ws}STATISTICS(?:${ws}FOR${ws}(?:ALL${ws}COLUMNS|COLUMNS${ws}(.*)))?")
   private val createModel =
     re(s"CREATE${ws}(OR${ws}REPLACE${ws})?MODEL${ws}$ident${ws}WITH${ws}\\((.*?)\\)${ws}AS${ws}(.*)")
+  private val createExperiment =
+    re(s"CREATE${ws}(OR${ws}REPLACE${ws})?EXPERIMENT${ws}$ident${ws}WITH${ws}\\((.*?)\\)${ws}AS${ws}(.*)")
   private val predictModel =
     re(s"SELECT${ws}\\*${ws}FROM${ws}PREDICT\\s*\\(\\s*MODEL${ws}$ident\\s*,(.*)\\)")
   private val describeModel = re(s"DESCRIBE${ws}MODEL${ws}$ident")
@@ -72,6 +76,8 @@ object ExtensionParser {
   def parse(sql: String): Statement = sql match {
     case createModel(orRepl, name, kwargs, select) =>
       CreateModel(name, parseKwargs(kwargs), select.trim, orRepl != null)
+    case createExperiment(orRepl, name, kwargs, select) =>
+      CreateExperiment(name, parseKwargs(kwargs), select.trim, orRepl != null)
     case predictModel(model, select) => PredictModel(model, select.trim)
     case describeModel(name) => DescribeModel(name)
     case dropModel(ifEx, name) => DropModel(name, ifEx != null)

@@ -78,6 +78,64 @@ object MlBridge {
     Fitted(pipeline, modelClass, targetColumn, features)
   }
 
+  /** CREATE EXPERIMENT: hyperparameter search via CrossValidator
+    * (reference: create_experiment.py:101 — GridSearchCV-style tuning).
+    * The grid is model-class-appropriate; returns the fitted best pipeline
+    * plus a (param, value) result table with the CV metric. */
+  def experiment(train: DataFrame, modelClass: String, targetColumn: String,
+      kwargs: Map[String, String]): (Fitted, Seq[(String, String)]) = {
+    import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
+    val base = fit(train, modelClass, targetColumn, kwargs) // assembles stages
+    val stages = base.pipeline.stages
+    val est = new Pipeline().setStages(
+      // re-use the unfitted shape: assembler (+ indexer) + fresh estimator
+      stages.init.map(s => s.asInstanceOf[PipelineStage]) :+ estimator(modelClass, kwargs))
+
+    val lastName = modelClass.split("\\.").last
+    val estStage = est.getStages.last
+    val grid = lastName match {
+      case "LinearRegression" =>
+        val e = estStage.asInstanceOf[org.apache.spark.ml.regression.LinearRegression]
+        new ParamGridBuilder().addGrid(e.regParam, Array(0.0, 0.01, 0.1))
+          .addGrid(e.elasticNetParam, Array(0.0, 0.5)).build()
+      case "LogisticRegression" =>
+        val e = estStage.asInstanceOf[org.apache.spark.ml.classification.LogisticRegression]
+        new ParamGridBuilder().addGrid(e.regParam, Array(0.0, 0.01, 0.1)).build()
+      case "RandomForestClassifier" =>
+        val e = estStage.asInstanceOf[org.apache.spark.ml.classification.RandomForestClassifier]
+        new ParamGridBuilder().addGrid(e.maxDepth, Array(3, 5)).build()
+      case "RandomForestRegressor" =>
+        val e = estStage.asInstanceOf[org.apache.spark.ml.regression.RandomForestRegressor]
+        new ParamGridBuilder().addGrid(e.maxDepth, Array(3, 5)).build()
+      case other => throw new IllegalArgumentException(
+        s"CREATE EXPERIMENT: unsupported model_class $other")
+    }
+    val isRegression = Set("LinearRegression", "RandomForestRegressor")(lastName)
+    val evaluator =
+      if (isRegression)
+        new org.apache.spark.ml.evaluation.RegressionEvaluator()
+          .setLabelCol("label").setMetricName("rmse")
+      else
+        new org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator()
+          .setLabelCol("label").setMetricName("f1")
+
+    val df = train.withColumn("label", col(targetColumn).cast("double"))
+    val cv = new CrossValidator().setEstimator(est).setEvaluator(evaluator)
+      .setEstimatorParamMaps(grid)
+      .setNumFolds(kwargs.get("n_folds").map(_.toInt).getOrElse(3))
+      .setSeed(42)
+    val cvModel = cv.fit(df)
+    val best = cvModel.bestModel.asInstanceOf[PipelineModel]
+    val bestMetric = if (isRegression) cvModel.avgMetrics.min else cvModel.avgMetrics.max
+    val bestIdx = cvModel.avgMetrics.indexOf(bestMetric)
+    val bestParams = grid(bestIdx).toSeq.map(p => p.param.name -> p.value.toString)
+    val results = bestParams ++ Seq(
+      ("metric", if (isRegression) "rmse" else "f1"),
+      ("metric_value", bestMetric.toString),
+      ("candidates", grid.length.toString))
+    (Fitted(best, modelClass, targetColumn, base.features), results)
+  }
+
   /** PREDICT(MODEL m, select): transform and surface a `prediction` column
     * next to the input columns (reference: predict_model.py:51). */
   def predict(df: DataFrame, pipeline: PipelineModel, targetColumn: String): DataFrame = {

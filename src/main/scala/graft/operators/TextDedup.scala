@@ -26,6 +26,17 @@ import org.apache.spark.sql.functions._
   */
 object TextDedup {
 
+  /** Spread a narrow input across the cluster when the source has fewer
+    * splits than cores (single-file / single-row-group parquet): the dedup
+    * pipelines are compute-bound on hashing, so a cheap shuffle of the raw
+    * rows buys full parallelism. No-op when the scan is already parallel
+    * (the 100 TB case — many files/row groups). */
+  private def parallelized(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < math.max(2, target / 2)) df.repartition(target)
+    else df
+  }
+
   /** Distinct n-word shingles of the lowercased text (single-space
     * tokenization to stay oracle-comparable). */
   def wordShingles(text: Column, n: Int): Column = {
@@ -136,7 +147,7 @@ object TextDedup {
     // Filtering on size(shingles) would be predicate-pushed below the
     // projections, transitively inlining the whole hash chain into the scan
     // filter and recomputing token hashes per shingle element (~10× cost).
-    val sh = df
+    val sh = parallelized(df)
       .filter(size(split(lower(col(textCol)), " ")) >= shingleSize)
       .select(col(idCol).as("doc_id"),
         transform(split(lower(col(textCol)), " "), tk => xxhash64(tk)).as("th"))
@@ -179,7 +190,7 @@ object TextDedup {
   def simhashDedupPairs(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sigs = df
+    val sigs = parallelized(df)
       .select(col(idCol).as("doc_id"),
         transform(split(lower(col(textCol)), " "), tk => xxhash64(tk)).as("th"))
       .select(col("doc_id"), simhash64FromHashes(col("th")).as("sim"))

@@ -137,6 +137,22 @@ class ContextSpec extends AnyFunSuite {
     ctx.sql("DROP TABLE agg_t")
   }
 
+  test("CREATE EXPERIMENT tunes a grid and registers the best model") {
+    val res = ctx.sql("""
+      CREATE EXPERIMENT tuned WITH (
+        model_class = 'LinearRegression', target_column = 'o_totalprice',
+        n_folds = 2
+      ) AS SELECT o_totalprice, o_custkey, o_orderkey FROM orders LIMIT 500""")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(res.contains("regParam") && res.contains("metric_value"))
+    assert(res("metric") == "rmse")
+    assert(res("candidates").toInt == 6) // 3 regParam × 2 elasticNet
+    val pred = ctx.sql(
+      "SELECT * FROM PREDICT(MODEL tuned, SELECT o_totalprice, o_custkey, o_orderkey FROM orders LIMIT 5)")
+    assert(pred.count() == 5 && pred.columns.contains("prediction"))
+    ctx.sql("DROP MODEL tuned")
+  }
+
   test("explainString emits a formatted physical plan") {
     val plan = ctx.explainString("SELECT count(*) FROM lineitem")
     assert(plan.contains("Physical Plan"))
