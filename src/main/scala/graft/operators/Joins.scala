@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Join helpers for the skew cases AQE alone cannot always fix.
+  *
+  * AQE skew-join splitting (on by default) handles most skew in sort-merge
+  * joins at runtime. The explicit salting here is for the cases where one
+  * key dominates so heavily that even a split partition of it overwhelms a
+  * task — the classic hot-key problem in 100 TB fact-to-fact joins.
+  */
+object Joins {
+
+  /** Salted inner equi-join: the left (large, skewed) side gets a random
+    * salt in [0, saltFactor); the right side is replicated saltFactor ways.
+    * The join key becomes (key, salt), splitting each hot key across
+    * saltFactor tasks. Use when the right side is too big to broadcast but
+    * far smaller than the left.
+    *
+    * Salt is derived from a hash of the whole left row (deterministic, no
+    * RNG) — uniform across duplicate keys.
+    */
+  def saltedJoin(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, saltFactor: Int): DataFrame = {
+    require(saltFactor > 1, "saltFactor must be > 1")
+    val saltedLeft = left.withColumn("_salt",
+      pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(saltFactor)).cast("int"))
+    val saltedRight = right.withColumn("_salt",
+      explode(array((0 until saltFactor).map(lit): _*)))
+    saltedLeft.join(saltedRight,
+        saltedLeft(leftKey) === saltedRight(rightKey) &&
+          saltedLeft("_salt") === saltedRight("_salt"))
+      .drop("_salt")
+  }
+
+  /** Broadcast-hint helper mirroring the reference's `sql.join.broadcast`
+    * config (join.py:228-246): force the given side to broadcast. */
+  def broadcastJoin(large: DataFrame, small: DataFrame, cond: Column,
+      joinType: String = "inner"): DataFrame =
+    large.join(broadcast(small), cond, joinType)
+}

@@ -148,6 +148,40 @@ object AggExtra {
         ORDER BY g_s, g_p, o_orderstatus, o_orderpriority""")
     },
 
+    // Exact percentiles / median (beyond the reference; DuckDB
+    // quantile_cont uses the same linear interpolation as Spark percentile)
+    Q("q38_percentiles", Some("""
+      SELECT l_returnflag,
+             round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+             round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+             round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+             round(median(l_quantity), 4) AS med_qty
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")) { (s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"),
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("med_qty"))
+        .orderBy("l_returnflag")
+    },
+
+    // Collect-to-array aggregates (beyond the reference: no ARRAY type
+    // there at all) — deterministic via sort
+    Q("q39_collect", Some("""
+      SELECT n_regionkey,
+             array_to_string(list_sort(list(n_name)), ',') AS names,
+             array_to_string(list_sort(list(DISTINCT n_nationkey % 5)), ',') AS key_mods
+      FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")) { (s, d) =>
+      // serialized to a canonical string: array-typed result cells are not
+      // hash-comparable across engines
+      t(s, d, "nation").groupBy("n_regionkey")
+        .agg(
+          concat_ws(",", array_sort(collect_list(col("n_name")))).as("names"),
+          concat_ws(",", array_sort(collect_set(col("n_nationkey") % 5))).as("key_mods"))
+        .orderBy("n_regionkey")
+    },
+
     // Approximate distinct-count (HLL++) — extension beyond the reference
     // (SURVEY §2.2 "no approximate aggregates"); not oracle-comparable.
     Q("q37_agg_approx_distinct", None) { (s, d) =>

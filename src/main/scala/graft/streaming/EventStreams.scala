@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming pipelines over the events stream (SURVEY.md §2.6 —
+  * pure extension; the reference has no streaming at all).
+  *
+  * The windowed aggregations (tumbling/sliding/session) are the SAME
+  * DataFrame code as the batch queries s01–s03 — Spark's unified semantics
+  * mean one definition serves both, which StreamingSpec asserts by equality.
+  * This file adds the custom-state path: flatMapGroupsWithState for logic
+  * window aggregates can't express.
+  */
+object EventStreams {
+
+  /** events.parquet is TIMESTAMP(NANOS): declared as long + converted, same
+    * as graft.Tables.t (the batch side). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  def readStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventsSchema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("CAST(ts DIV 1000 AS BIGINT)")))
+
+  final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class UserRunState(n: Long, total: Double, maxValue: Double)
+  final case class UserSnapshot(user_id: Long, n: Long, total: Double,
+      maxValue: Double)
+
+  /** Custom stateful operator: per-user running (count, sum, max) that
+    * emits a snapshot on every update — the mapGroupsWithState shape the
+    * reference's Dask engine has no analogue for.
+    *
+    * State retention: pass `idleTimeout` (e.g. "1 hour") to drop idle users
+    * via ProcessingTimeTimeout in a continuously-triggered deployment.
+    * Default is NO timeout: processing-time timeouts make the engine
+    * schedule batches continuously, which livelocks drain-style tests
+    * (`processAllAvailable` never sees an idle stream). */
+  def runningUserStats(events: Dataset[UserEvent],
+      idleTimeout: Option[String] = None): Dataset[UserSnapshot] = {
+    import events.sparkSession.implicits._
+    val timeoutConf = if (idleTimeout.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserRunState, UserSnapshot](
+        OutputMode.Append, timeoutConf) {
+        (userId: Long, rows: Iterator[UserEvent], state: GroupState[UserRunState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var s = state.getOption.getOrElse(UserRunState(0L, 0.0, Double.MinValue))
+            rows.foreach { e =>
+              s = UserRunState(s.n + 1, s.total + e.value, math.max(s.maxValue, e.value))
+            }
+            state.update(s)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            Iterator.single(UserSnapshot(userId, s.n, s.total, s.maxValue))
+          }
+      }
+  }
+}

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Joins
+
+class JoinsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("saltedJoin returns exactly the plain-join result on a skewed key") {
+    val li = Tables.t(spark, TestSpark.sf, "lineitem") // l_suppkey is dense
+    val sup = Tables.t(spark, TestSpark.sf, "supplier")
+    val plain = li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+      .groupBy("s_nationkey").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val salted = Joins.saltedJoin(li, sup, "l_suppkey", "s_suppkey", saltFactor = 8)
+      .groupBy("s_nationkey").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(salted == plain && salted.nonEmpty)
+  }
+
+  test("saltedJoin splits a hot key across salt partitions") {
+    import spark.implicits._
+    // one key carries 99% of rows
+    val hot = (1 to 1000).map(i => (if (i <= 990) 1L else i.toLong, i)).toDF("k", "v")
+    val dim = Seq((1L, "hot"), (995L, "cold")).toDF("dk", "name")
+    val out = Joins.saltedJoin(hot, dim, "k", "dk", saltFactor = 4)
+    assert(out.count() == 991) // 990 hot + 1 cold match
+  }
+
+  test("broadcastJoin forces a broadcast hash join plan") {
+    val li = Tables.t(spark, TestSpark.sf, "lineitem")
+    val sup = Tables.t(spark, TestSpark.sf, "supplier")
+    val plan = Joins.broadcastJoin(li, sup, li("l_suppkey") === sup("s_suppkey"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+}

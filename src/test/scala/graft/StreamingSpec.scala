@@ -54,6 +54,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("flatMapGroupsWithState running per-user stats converge to batch totals") {
+    import spark.implicits._
+    val events = graft.streaming.EventStreams.readStream(spark, eventsDir)
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[graft.streaming.EventStreams.UserEvent]
+    val q = graft.streaming.EventStreams.runningUserStats(events)
+      .writeStream.format("memory").queryName("stream_userstats")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    // the LAST snapshot per user equals the batch aggregate
+    val last = spark.table("stream_userstats")
+      .groupBy("user_id").agg(max("n").as("n"), max("total").as("total"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 100))).toSet
+    val batch = Tables.t(spark, TestSpark.sf, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("n"), sum("value").as("total"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 100))).toSet
+    assert(last == batch && last.nonEmpty)
+  }
+
   test("streaming dedup by event_id emits each id once") {
     val q = streamingEvents
       .withWatermark("ts", "1 hour")
