@@ -112,6 +112,39 @@ object Compound {
         GROUP BY c_mktsegment ORDER BY c_mktsegment""")
     },
 
+    // JSON extraction from the events props column (semi-structured
+    // processing — beyond the reference, which has no JSON functions)
+    Q("q60_json_extract", Some("""
+      SELECT event_type,
+             count(*) AS n,
+             CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+             CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+             CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
+      FROM events GROUP BY event_type ORDER BY event_type""")) { (s, d) =>
+      val k = get_json_object(col("props"), "$.k").cast("bigint")
+      t(s, d, "events").groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(k).cast("bigint").as("k_sum"),
+          min(k).cast("bigint").as("k_min"),
+          max(k).cast("bigint").as("k_max"))
+        .orderBy("event_type")
+    },
+
+    // Explode / posexplode (generator ops — the reference has no ARRAY
+    // type at all, SURVEY §1.2)
+    Q("q61_explode", Some("""
+      SELECT doc_id, i - 1 AS pos, w AS word FROM (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS i
+        FROM documents WHERE doc_id < 20)
+      ORDER BY doc_id, pos, word""")) { (s, d) =>
+      t(s, d, "documents").filter(col("doc_id") < 20)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+        .select(col("doc_id"), col("pos").cast("bigint").as("pos"), col("word"))
+        .orderBy("doc_id", "pos", "word")
+    },
+
     // Aggregate over a nested aggregate subquery (HAVING-style on derived)
     Q("q57_nested_agg", Some("""
       SELECT o_orderpriority, count(*) AS n_cust, round(avg(per_cust.total), 2) AS avg_total
