@@ -143,8 +143,10 @@ class Context(val spark: SparkSession) {
     case UseSchema(name) =>
       if (!schemas.contains(name.toLowerCase))
         throw new IllegalArgumentException(s"Schema not found: $name")
+      // drop the outgoing schema's views so its tables stop resolving
+      // (schemas are isolated namespaces in the reference)
+      schemas(currentSchema).tables.keys.foreach(spark.catalog.dropTempView)
       currentSchema = name.toLowerCase
-      // re-point temp views at the new schema's tables
       schemas(currentSchema).tables.foreach { case (n, df) =>
         df.createOrReplaceTempView(n)
       }

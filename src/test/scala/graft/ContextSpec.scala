@@ -38,6 +38,8 @@ class ContextSpec extends AnyFunSuite {
     assert(ctx.schemaNames.contains("staging"))
     ctx.sql("USE SCHEMA staging")
     assert(ctx.tables.isEmpty) // fresh schema has no tables
+    // isolation: the root schema's tables must not resolve here
+    intercept[Exception] { ctx.sql("SELECT * FROM lineitem").collect() }
     ctx.sql("USE SCHEMA root")
     assert(ctx.tables.contains("lineitem"))
     ctx.sql("DROP SCHEMA staging")
