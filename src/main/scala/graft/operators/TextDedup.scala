@@ -163,16 +163,21 @@ object TextDedup {
     }: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
 
-    // skew guard: drop buckets that would go quadratic
-    val bucketed = banded
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
-      .filter(col("bucket_n") <= maxBucket && col("bucket_n") > 1)
+    // One shuffle on (band, bandHash) groups each bucket; pairs expand
+    // IN-bucket via array combinatorics. The maxBucket cap is both the
+    // skew guard (drops degenerate buckets that would go quadratic) and
+    // the memory bound for collect_list (≤ maxBucket ids per group).
+    val buckets = banded.groupBy("band", "bh")
+      .agg(collect_list(col("doc_id")).as("ids0"), count(lit(1)).as("n"))
+      .filter(col("n") > 1 && col("n") <= maxBucket)
+      .withColumn("ids", array_sort(col("ids0"))) // attribute: referenced 4×
 
-    val cand = bucketed.as("x").join(bucketed.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val cand = buckets.select(explode(flatten(
+        transform(sequence(lit(0), size(col("ids")) - 2), i =>
+          transform(sequence(i + 1, size(col("ids")) - 1), j =>
+            struct(element_at(col("ids"), i + 1).as("doc_a"),
+              element_at(col("ids"), j + 1).as("doc_b")))))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
 
     // verify candidates with exact Jaccard on the shingle sets
