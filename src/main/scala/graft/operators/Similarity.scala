@@ -108,6 +108,57 @@ object Similarity {
       .select(col("qid"), col("nid"), round(col("sim"), 6).as("sim"), col("rnk"))
   }
 
+  /** IVF (inverted-file) ANN: a KMeans coarse quantizer assigns every
+    * corpus vector to a cell; each query probes its `nProbe` nearest cells
+    * and scores only those vectors. The index build is one MLlib KMeans fit
+    * (distributed); probing is a broadcast-join on the cell id — at 100 TB
+    * the corpus is scanned once at build time and candidate scoring touches
+    * ~nProbe/nCells of the data per query.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+
+    val base = corpus.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nvec"))
+      .withColumn("fv", array_to_vector(col("nvec")))
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nCells).setSeed(42).setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(base)
+    val cells = km.transform(base).select(col("nid"), col("nvec"), col("cell"))
+      .withColumn("nnorm", norm(col("nvec")))
+
+    // tiny (nCells × dim) centroid table, broadcast for query assignment
+    import spark.implicits._
+    val centDf = km.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq.toDF("cell", "centroid")
+
+    val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
+      .withColumn("qnorm", norm(col("qvec")))
+    val qDist = q.crossJoin(broadcast(centDf))
+      .withColumn("dist",
+        aggregate(zip_with(col("qvec"), col("centroid"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, v) => acc + v))
+    val wCell = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("dist"), col("cell"))
+    val probes = qDist
+      .withColumn("cr", row_number().over(wCell))
+      .filter(col("cr") <= nProbe)
+      .select(col("qid"), col("qvec"), col("qnorm"), col("cell"))
+
+    val scored = broadcast(probes).join(cells, Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (dot(col("qvec"), col("nvec")) / (col("qnorm") * col("nnorm"))).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("nid"), round(col("sim"), 6).as("sim"), col("rnk"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, blocked by
     * LSH bucket so the pair join is bucket-local (the scale path); exact
     * cosine verification keeps precision. */

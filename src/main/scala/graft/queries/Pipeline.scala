@@ -137,6 +137,16 @@ object Pipeline {
         .orderBy("qid", "rnk")
     },
 
+    // IVF ANN (KMeans coarse quantizer + nProbe cells) — the second scale
+    // path besides LSH; full-probe==brute-force equality is asserted in
+    // SimilaritySpec, so this runs a rows-only partial-probe config
+    Q("p07b_sim_ivf", None) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+          nCells = 8, nProbe = 3)
+        .orderBy("qid", "rnk")
+    },
+
     // Language ID: marker-hit scoring + argmax (oracle reproduces the exact
     // scoring; accuracy on real multilingual text is a ScalaTest concern)
     Q("p08_lang_id", Some("""

@@ -51,6 +51,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"LSH recall $recall too low on clustered data")
   }
 
+  test("ivfTopK recall is high on clustered data") {
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(5)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val rows = for (c <- 0 until 5; i <- 0 until 20) yield {
+      val v = centers(c).map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+      ((c * 20 + i).toLong, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val q = df.filter($"vec_id" % 20 === 0)
+    val exact = Similarity.bruteForceTopK(df, q, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(df, q, k = 5, nCells = 5, nProbe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF recall $recall too low on clustered data")
+  }
+
+  test("ivfTopK with full probing equals brute force") {
+    val emb = Tables.t(spark, TestSpark.sf, "embeddings")
+    val q = emb.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(emb, q, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, q, k = 3, nCells = 4, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf == exact) // probing every cell = exhaustive search
+  }
+
   test("lshTopK on uniform random data returns real pairs with valid ranks") {
     val emb = Tables.t(spark, TestSpark.sf, "embeddings")
     val q = emb.filter($"vec_id" < 10)
