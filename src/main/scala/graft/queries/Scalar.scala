@@ -182,6 +182,26 @@ object Scalar {
         .orderBy("o_orderkey")
     },
 
+    // NULL-handling function family (reference: coalesce call.py:609-625;
+    // plus the nvl/ifnull synonyms and greatest/least)
+    Q("q43b_null_funcs", Some("""
+      SELECT s_suppkey,
+             coalesce(nullif(s_nationkey, 0), -1) AS c1,
+             ifnull(nullif(s_name, s_name), 'gone') AS c2,
+             greatest(s_nationkey, 10) AS g,
+             least(CAST(s_acctbal AS DOUBLE), 1000.0) AS l,
+             CASE WHEN nullif(s_nationkey, 5) IS NULL THEN 'five' ELSE 'other' END AS tagged
+      FROM supplier ORDER BY s_suppkey""")) { (s, d) =>
+      t(s, d, "supplier").select(
+        col("s_suppkey"),
+        coalesce(nullif(col("s_nationkey"), lit(0)), lit(-1)).as("c1"),
+        ifnull(nullif(col("s_name"), col("s_name")), lit("gone")).as("c2"),
+        greatest(col("s_nationkey"), lit(10)).as("g"),
+        least(col("s_acctbal").cast("double"), lit(1000.0)).as("l"),
+        when(nullif(col("s_nationkey"), lit(5)).isNull, "five").otherwise("other").as("tagged"))
+        .orderBy("s_suppkey")
+    },
+
     // LIKE family + SIMILAR TO via the SqlCompat transpiler
     // (reference: RegexOperation call.py:401-505)
     Q("q44_like_similar", Some("""

@@ -183,6 +183,43 @@ object WindowSort {
         .orderBy("nk")
     },
 
+    // INTERSECT / EXCEPT set operations ([ALL] variants) — beyond the
+    // reference's Union-only surface
+    Q("q25b_set_ops", Some("""
+      SELECT 'intersect' AS op, nk FROM
+        (SELECT s_nationkey AS nk FROM supplier INTERSECT
+         SELECT c_nationkey AS nk FROM customer WHERE c_custkey < 100)
+      UNION ALL
+      SELECT 'except' AS op, nk FROM
+        (SELECT n_nationkey AS nk FROM nation EXCEPT
+         SELECT s_nationkey AS nk FROM supplier)
+      ORDER BY op, nk""")) { (s, d) =>
+      val a = t(s, d, "supplier").select(col("s_nationkey").as("nk"))
+      val b = t(s, d, "customer").filter(col("c_custkey") < 100)
+        .select(col("c_nationkey").as("nk"))
+      val c = t(s, d, "nation").select(col("n_nationkey").as("nk"))
+      a.intersect(b).withColumn("op", lit("intersect"))
+        .unionByName(c.except(a.select(col("nk"))).withColumn("op", lit("except")))
+        .select("op", "nk")
+        .orderBy("op", "nk")
+    },
+
+    // PIVOT (beyond the reference) — oracle via conditional aggregation,
+    // the canonical portable expansion
+    Q("q13b_pivot", Some("""
+      SELECT l_returnflag,
+             round(coalesce(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 0), 4) AS qty_f,
+             round(coalesce(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 0), 4) AS qty_o
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")) { (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(coalesce(sum("l_quantity"), lit(0)), 4))
+        .withColumnsRenamed(Map("F" -> "qty_f", "O" -> "qty_o"))
+        .na.fill(0.0, Seq("qty_f", "qty_o"))
+        .orderBy("l_returnflag")
+    },
+
     // EmptyRelation: no-table SELECT (reference: empty.py:17-35; Spark
     // OneRowRelation)
     Q("q26_empty_select", Some("""
