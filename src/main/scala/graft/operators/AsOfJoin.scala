@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (temporal nearest-match) join — the classic operator relational
+  * engines lack (SURVEY.md §7 names it as the custom-operator case).
+  *
+  * `asofBackward(left, right, ...)`: for every left row, attach the most
+  * recent right row whose time ≤ the left row's time, within the same key.
+  *
+  * Implementation is the scalable merge formulation, composed from
+  * built-ins (preference (a) of the custom-operator ladder — no custom
+  * physical node needed):
+  *   union both sides → one shuffle+sort on (key, time, side) → running
+  *   `last(right_payload, ignoreNulls)` window → keep left rows.
+  * Cost is a single hash shuffle of (key, time, payload) and a per-key
+  * sort — NO range cross-product, no per-key collect. At 100 TB this is
+  * the same shape as a sort-merge join and AQE handles key skew the same
+  * way.
+  */
+object AsOfJoin {
+
+  /** @param left       left (probe) relation
+    * @param right      right (reference) relation
+    * @param byLeft     equality key column name on the left
+    * @param byRight    equality key column name on the right
+    * @param timeLeft   left event-time column name
+    * @param timeRight  right event-time column name
+    * @param payload    right columns to attach (null when no match yet)
+    *
+    * Right rows tied on (key, time) must be pre-deduplicated by the caller
+    * (e.g. keep max-id) — the standard determinism contract for as-of.
+    */
+  def asofBackward(
+      left: DataFrame, right: DataFrame,
+      byLeft: String, byRight: String,
+      timeLeft: String, timeRight: String,
+      payload: Seq[String]): DataFrame = {
+
+    val leftCols = left.columns.toSeq
+    val l = left.select(
+      col(byLeft).as("_k"), col(timeLeft).cast("timestamp").as("_t"),
+      lit(1).as("_side"),
+      struct(leftCols.map(col): _*).as("_lrow"),
+      lit(null).cast(structTypeOf(right, payload)).as("_rpay"))
+    val r = right.select(
+      col(byRight).as("_k"), col(timeRight).cast("timestamp").as("_t"),
+      lit(0).as("_side"), // right sorts BEFORE left at equal time → inclusive ≤
+      lit(null).cast(structTypeOf(left, leftCols)).as("_lrow"),
+      struct(payload.map(col): _*).as("_rpay"))
+
+    val w = Window.partitionBy("_k").orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("_match", last(col("_rpay"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(leftCols.map(c => col("_lrow").getField(c).as(c)) ++
+        payload.map(c => col("_match").getField(c).as(c)): _*)
+  }
+
+  private def structTypeOf(df: DataFrame, cols: Seq[String]) =
+    org.apache.spark.sql.types.StructType(
+      cols.map(c => df.schema(c)).toArray)
+}

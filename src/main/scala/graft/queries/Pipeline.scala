@@ -254,6 +254,34 @@ object Pipeline {
         .orderBy("media_id")
     },
 
+    // As-of join: each event picks up the customer's most recent order at
+    // or before the event time (oracle: DuckDB's native ASOF LEFT JOIN;
+    // right side deduped per (key, time) for the determinism contract)
+    Q("p14_asof_join", Some("""
+      WITH r AS (
+        SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey,
+               round(max_by(o_totalprice, o_orderkey), 2) AS o_totalprice
+        FROM orders GROUP BY o_custkey, o_orderdate),
+      l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+            FROM events WHERE event_id < 2000)
+      SELECT l.event_id, l.user_id, l.ts,
+             r.o_orderkey, r.o_totalprice
+      FROM l ASOF LEFT JOIN r
+        ON l.user_id = r.o_custkey AND l.ts >= r.o_orderdate
+      ORDER BY event_id""")) { (s, d) =>
+      val r = t(s, d, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(max("o_orderkey").as("o_orderkey"),
+          round(max_by(col("o_totalprice"), col("o_orderkey")), 2).as("o_totalprice"))
+      val l = t(s, d, "events").filter(col("event_id") < 2000)
+        .select("event_id", "user_id", "ts")
+      graft.operators.AsOfJoin.asofBackward(l, r,
+          byLeft = "user_id", byRight = "o_custkey",
+          timeLeft = "ts", timeRight = "o_orderdate",
+          payload = Seq("o_orderkey", "o_totalprice"))
+        .orderBy("event_id")
+    },
+
     // ---- events: windowed aggregations (streaming-compatible shapes; the
     // same pipelines run under Structured Streaming in ScalaTest) ----
 

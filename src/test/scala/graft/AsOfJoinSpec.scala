@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.AsOfJoin
+
+class AsOfJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("asofBackward picks the latest right row at-or-before each left time") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val quotes = Seq( // (sym, time, px)
+      ("A", ts("2024-01-01 10:00:00"), 100.0),
+      ("A", ts("2024-01-01 10:05:00"), 101.0),
+      ("B", ts("2024-01-01 10:01:00"), 50.0)
+    ).toDF("sym", "qt", "px")
+    val trades = Seq( // (sym, time, qty)
+      ("A", ts("2024-01-01 09:59:00"), 1L), // before any quote → null
+      ("A", ts("2024-01-01 10:00:00"), 2L), // equal time → inclusive match 100
+      ("A", ts("2024-01-01 10:07:00"), 3L), // after both → 101
+      ("B", ts("2024-01-01 10:30:00"), 4L), // B's only quote → 50
+      ("C", ts("2024-01-01 10:00:00"), 5L)  // no quotes for key → null
+    ).toDF("sym", "tt", "qty")
+
+    val out = AsOfJoin.asofBackward(trades, quotes,
+        byLeft = "sym", byRight = "sym", timeLeft = "tt", timeRight = "qt",
+        payload = Seq("px"))
+      .collect().map(r => (r.getLong(2), Option(r.get(3)))).toMap
+    assert(out(1L).isEmpty)
+    assert(out(2L).contains(100.0))
+    assert(out(3L).contains(101.0))
+    assert(out(4L).contains(50.0))
+    assert(out(5L).isEmpty)
+  }
+
+  test("asofBackward preserves every left row exactly once") {
+    val l = Tables.t(spark, TestSpark.sf, "events")
+      .select("event_id", "user_id", "ts")
+    val r = Tables.t(spark, TestSpark.sf, "orders")
+      .groupBy("o_custkey", "o_orderdate")
+      .agg(org.apache.spark.sql.functions.max("o_orderkey").as("o_orderkey"))
+    val out = AsOfJoin.asofBackward(l, r, "user_id", "o_custkey", "ts",
+      "o_orderdate", Seq("o_orderkey"))
+    assert(out.count() == l.count())
+    assert(out.select("event_id").distinct().count() == l.count())
+  }
+}
