@@ -159,6 +159,62 @@ object Similarity {
       .select(col("qid"), col("nid"), round(col("sim"), 6).as("sim"), col("rnk"))
   }
 
+  /** Fixed hyperplane `p` as an array literal, for HOF-style projection:
+    * one `aggregate(zip_with(...))` loop per plane keeps generated code
+    * compact (the unrolled element_at form in [[lshBucket]] is fine for a
+    * handful of planes but explodes codegen size for banded multi-table
+    * hashing, where tables × bitsPerTable planes are evaluated per row). */
+  private def planeVec(p: Int, dim: Int): Column =
+    array((0 until dim).map(i => lit(planeComponent(p, i))): _*)
+
+  /** Sign-bit bucket from `nBits` hyperplanes starting at `planeOffset` —
+    * each LSH table uses a disjoint plane range, so tables are independent
+    * hash functions. `vecD` must already be array<double>. */
+  private def lshBucketAt(
+      vecD: Column, dim: Int, nBits: Int, planeOffset: Int): Column =
+    (0 until nBits).map { b =>
+      val proj = aggregate(zip_with(vecD, planeVec(planeOffset + b, dim),
+        (x, c) => x * c), lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Embedding-cosine near-duplicate pairs via BANDED multi-table LSH — the
+    * scale path. Each vector is hashed into `tables` independent
+    * sign-random-projection buckets (`bitsPerTable` hyperplanes each);
+    * candidate pairs come from in-bucket expansion per table (one shuffle on
+    * the (table, bucket) key, `maxBucket` skew cap, no self-join, no
+    * cross product), then exact cosine verification keeps precision.
+    *
+    * Detection probability for a pair at cosine s with angle θ=arccos(s):
+    * 1-(1-(1-θ/π)^bitsPerTable)^tables — near-total in the high-similarity
+    * regime near-dup dedup targets (s ≥ 0.9), tunable via `tables`.
+    * The all-pairs exact form (the sf0.01 oracle baseline) lives in the
+    * p05 registered query; equality on clustered data is asserted in
+    * SimilaritySpec. */
+  def cosineDedupPairsBanded(
+      df: DataFrame, threshold: Double, dim: Int,
+      tables: Int = 8, bitsPerTable: Int = 8, maxBucket: Int = 1000,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // cached: feeds bucketing AND both sides of the verification join
+    val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
+      .withColumn("nrm", norm(col("vec")))
+      .cache()
+    val tb = v.select(col("id"), explode(array((0 until tables).map { t =>
+        struct(lit(t).as("tbl"),
+          lshBucketAt(col("vec"), dim, bitsPerTable, t * bitsPerTable).as("bucket"))
+      }: _*)).as("tb"))
+      .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val buckets = tb.groupBy("tbl", "bucket")
+      .agg(collect_list(col("id")).as("ids0"), count(lit(1)).as("n"))
+    val cand = TextDedup.bucketPairs(buckets, maxBucket, "id_a", "id_b")
+    val va = v.select(col("id").as("id_a"), col("vec").as("va"), col("nrm").as("na"))
+    val vb = v.select(col("id").as("id_b"), col("vec").as("vb"), col("nrm").as("nb"))
+    cand.join(va, "id_a").join(vb, "id_b")
+      .withColumn("sim_raw", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("sim_raw") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim_raw"), 6).as("sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, blocked by
     * LSH bucket so the pair join is bucket-local (the scale path); exact
     * cosine verification keeps precision. */

@@ -33,7 +33,11 @@ object TextDedup {
     * (the 100 TB case — many files/row groups). */
   private def parallelized(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < math.max(2, target / 2)) df.repartition(target)
+    // inputFiles is a driver-side listing (no job, no RDD materialization —
+    // df.rdd.getNumPartitions would force physical planning and pin the plan
+    // outside AQE). Non-file sources report 0 files and are left alone.
+    val nFiles = df.inputFiles.length
+    if (nFiles > 0 && nFiles < math.max(2, target / 2)) df.repartition(target)
     else df
   }
 
@@ -154,6 +158,45 @@ object TextDedup {
       .select(col("doc_id"),
         shingleHashesFromTokenHashes(col("th"), shingleSize).as("shingles"))
       .cache()
+    bandedPairs(sh, numHashes, bands, threshold, maxBucket, simName = "jaccard")
+  }
+
+  /** Character n-gram Jaccard near-duplicate pairs via banded MinHash-LSH —
+    * the GLOBAL scale path (no blocking key required): the same
+    * signature → band → bucket pipeline as [[minhashDedupPairs]], run over
+    * char-n-gram hashes instead of word-shingle hashes. Jaccard over 64-bit
+    * gram hashes equals Jaccard over gram strings (collisions negligible),
+    * so results are exact-verified and oracle-comparable.
+    *
+    * At the default threshold 0.8 with 16 bands × 4 rows, detection
+    * probability at s=0.8 is 1-(1-0.8^4)^16 ≈ 0.9998 — recall is total in
+    * practice, unlike blocking by a metadata key (one hot block goes
+    * quadratic; banding never does, and `maxBucket` caps the residue).
+    */
+  def ngramDedupPairsBanded(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
+    // short-doc filter on the RAW column (see pushdown note above); `s` is
+    // materialized as an attribute so substr() references are not re-inlined
+    val sh = parallelized(df)
+      .filter(length(col(textCol)) >= n)
+      .select(col(idCol).as("doc_id"), lower(col(textCol)).as("s"))
+      .select(col("doc_id"), array_distinct(
+        transform(sequence(lit(1), length(col("s")) - (n - 1)),
+          i => xxhash64(col("s").substr(i, lit(n))))).as("shingles"))
+      .cache()
+    bandedPairs(sh, numHashes, bands, threshold, maxBucket, simName = "sim")
+  }
+
+  /** Shared banded-LSH tail: signature → (band, bandHash) explode → one
+    * shuffle → in-bucket pair expansion → exact-Jaccard verification.
+    * `sh` must be (doc_id, shingles: array<long>), ideally cached — it feeds
+    * signature generation AND both sides of the verification join. */
+  private def bandedPairs(
+      sh: DataFrame, numHashes: Int, bands: Int,
+      threshold: Double, maxBucket: Int, simName: String): DataFrame = {
+    val r = numHashes / bands
     val sig = sh.select(col("doc_id"),
       minhashSignatureFromHashes(col("shingles"), numHashes).as("sig"))
 
@@ -164,30 +207,37 @@ object TextDedup {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
 
     // One shuffle on (band, bandHash) groups each bucket; pairs expand
-    // IN-bucket via array combinatorics. The maxBucket cap is both the
-    // skew guard (drops degenerate buckets that would go quadratic) and
-    // the memory bound for collect_list (≤ maxBucket ids per group).
+    // IN-bucket via array combinatorics.
     val buckets = banded.groupBy("band", "bh")
       .agg(collect_list(col("doc_id")).as("ids0"), count(lit(1)).as("n"))
-      .filter(col("n") > 1 && col("n") <= maxBucket)
-      .withColumn("ids", array_sort(col("ids0"))) // attribute: referenced 4×
-
-    val cand = buckets.select(explode(flatten(
-        transform(sequence(lit(0), size(col("ids")) - 2), i =>
-          transform(sequence(i + 1, size(col("ids")) - 1), j =>
-            struct(element_at(col("ids"), i + 1).as("doc_a"),
-              element_at(col("ids"), j + 1).as("doc_b")))))).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-      .distinct()
+    val cand = bucketPairs(buckets, maxBucket, "doc_a", "doc_b")
 
     // verify candidates with exact Jaccard on the shingle sets
     val sa = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
     val sb = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
     cand.join(sa, "doc_a").join(sb, "doc_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .withColumn("j_raw", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("j_raw") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("j_raw"), 4).as(simName))
   }
+
+  /** Distinct ordered id pairs from LSH buckets, expanded IN-bucket via
+    * array combinatorics (no self-join). Input must carry `ids0`
+    * (array of ids) and `n` (bucket size). The `maxBucket` cap is both the
+    * skew guard (drops degenerate buckets that would go quadratic) and the
+    * memory bound for the collected id list (≤ maxBucket ids per group). */
+  private[operators] def bucketPairs(
+      buckets: DataFrame, maxBucket: Int,
+      aName: String, bName: String): DataFrame =
+    buckets.filter(col("n") > 1 && col("n") <= maxBucket)
+      .withColumn("ids", array_sort(col("ids0"))) // attribute: referenced 4×
+      .select(explode(flatten(
+        transform(sequence(lit(0), size(col("ids")) - 2), i =>
+          transform(sequence(i + 1, size(col("ids")) - 1), j =>
+            struct(element_at(col("ids"), i + 1).as(aName),
+              element_at(col("ids"), j + 1).as(bName)))))).as("p"))
+      .select(col("p." + aName).as(aName), col("p." + bName).as(bName))
+      .distinct()
 
   /** SimHash near-duplicate pairs: pigeonhole on 4×16-bit chunks (any pair
     * with Hamming distance ≤ 3 must agree on ≥1 chunk), verified with

@@ -88,6 +88,31 @@ object Pipeline {
         .orderBy("doc_a", "doc_b")
     },
 
+    // Character-3-gram near-dups via GLOBAL banded MinHash-LSH — the scale
+    // path (no blocking key; one shuffle on (band, bandHash), maxBucket skew
+    // cap, exact-Jaccard verify). Oracle = the exhaustive ALL-pairs scan:
+    // at threshold 0.8 every qualifying pair on this data has sim ≥ 0.92,
+    // where 16×4 banding detection prob is 1-3e-10 — recall is total, so
+    // the approximate pipeline is held to the exact answer.
+    Q("p04b_dedup_ngram_banded", Some("""
+      WITH g AS (
+        SELECT doc_id, list_distinct([substr(s, i, 3)
+                for i in range(1, len(s) - 1)]) AS grams
+        FROM (SELECT doc_id, lower(text) AS s FROM documents)
+        WHERE len(s) >= 3
+      )
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+                   (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 4) AS sim
+      FROM g a JOIN g b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+            (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.8
+      ORDER BY doc_a, doc_b""")) { (s, d) =>
+      TextDedup.ngramDedupPairsBanded(t(s, d, "documents"), "doc_id", "text",
+          n = 3, numHashes = 64, bands = 16, threshold = 0.8)
+        .orderBy("doc_a", "doc_b")
+    },
+
     // Embedding-cosine near-dup pairs — exact baseline, oracle-gated
     Q("p05_dedup_embedding", Some("""
       WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
@@ -108,6 +133,20 @@ object Pipeline {
         .filter(col("sim_raw") >= 0.5)
         .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
           round(col("sim_raw"), 6).as("sim"))
+        .orderBy("id_a", "id_b")
+    },
+
+    // Embedding-cosine near-dups via banded multi-table LSH — the scale
+    // path (candidates from (table, bucket) shuffle, exact-cosine verify;
+    // no corpus self-join). Sign-random-projection recall at the moderate
+    // similarities present in this uniform test data is inherently partial
+    // (the operator targets the s ≥ 0.9 near-dup regime, where detection
+    // prob is ~1) → rows-only here; exact-equality on clustered data is
+    // asserted in SimilaritySpec, and the registered exact form (p05)
+    // remains the oracle baseline.
+    Q("p05b_dedup_embedding_lsh", None) { (s, d) =>
+      Similarity.cosineDedupPairsBanded(t(s, d, "embeddings"),
+          threshold = 0.4, dim = 64, tables = 16, bitsPerTable = 8)
         .orderBy("id_a", "id_b")
     },
 

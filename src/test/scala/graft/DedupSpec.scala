@@ -65,6 +65,26 @@ class DedupSpec extends AnyFunSuite {
     assert(out.exists(t => t._1 == 1L && t._2 == 4L && t._3 == 0))
   }
 
+  test("banded ngram dedup equals exhaustive char-ngram jaccard at sf0.001") {
+    val d = Tables.t(spark, TestSpark.sf, "documents")
+    val banded = TextDedup.ngramDedupPairsBanded(d, "doc_id", "text",
+        n = 3, threshold = 0.8)
+    // scale contract: candidate generation must not self-join the corpus
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "banded ngram plan has a cartesian")
+    val got = banded.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // exhaustive reference computed in-Spark (cross join on small sf)
+    val g = d.filter(length(col("text")) >= 3)
+      .select(col("doc_id"), TextDedup.charNgrams(col("text"), 3).as("g"))
+    val exhaustive = g.as("a").join(g.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("j", TextDedup.jaccard(col("a.g"), col("b.g")))
+      .filter(col("j") >= 0.8)
+      .select(col("a.doc_id"), col("b.doc_id"), round(col("j"), 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == exhaustive)
+  }
+
   test("minhash LSH recall matches exhaustive jaccard at sf0.001") {
     val d = Tables.t(spark, TestSpark.sf, "documents")
     val lsh = TextDedup.minhashDedupPairs(d, "doc_id", "text", threshold = 0.5)

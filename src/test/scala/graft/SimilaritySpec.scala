@@ -86,6 +86,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(approx.forall(r => r.getInt(3) >= 1 && r.getInt(3) <= 5))
   }
 
+  test("cosineDedupPairsBanded equals exact all-pairs on clustered data") {
+    // 10 clusters of 10 vectors each — in-cluster cosine ≈ 0.99+, the
+    // regime embedding near-dup dedup exists for
+    val rnd = new scala.util.Random(23)
+    val centers = Array.fill(10)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val rows = for (c <- 0 until 10; i <- 0 until 10) yield {
+      val v = centers(c).map(x => x + 0.02f * rnd.nextGaussian().toFloat)
+      ((c * 10 + i).toLong, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val banded = Similarity.cosineDedupPairsBanded(df, threshold = 0.95,
+      dim = 16, tables = 8, bitsPerTable = 8)
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "banded cosine dedup must not pair-join the corpus")
+    val got = banded.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact all-pairs reference (fine at this size)
+    val v = df.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("e"))
+      .withColumn("nrm", Similarity.norm(col("e")))
+    val exact = v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim",
+        Similarity.dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm")))
+      .filter(col("sim") >= 0.95)
+      .select(col("a.vec_id"), col("b.vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == exact)
+  }
+
   test("cosineDedupPairs finds mutual high-similarity pairs symmetrically") {
     val v = Seq(
       (1L, Array.fill(8)(1.0f)),
