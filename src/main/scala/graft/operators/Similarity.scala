@@ -115,10 +115,21 @@ object Similarity {
     * the corpus is scanned once at build time and candidate scoring touches
     * ~nProbe/nCells of the data per query.
     */
-  def ivfTopK(
-      corpus: DataFrame, queries: DataFrame, k: Int,
-      nCells: Int = 16, nProbe: Int = 3,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  /** A built IVF index: the cell-assigned (and norm-carrying) corpus plus
+    * the tiny (nCells × dim) centroid table. Build ONCE per corpus and
+    * reuse across query batches — the KMeans fit and corpus assignment are
+    * O(corpus) and must not be repeated per call (the `cells` frame is
+    * persisted; call [[IvfIndex.unpersist]] when done). */
+  final case class IvfIndex(cells: DataFrame, centroids: DataFrame) {
+    def unpersist(): Unit = { cells.unpersist(); () }
+  }
+
+  /** One KMeans fit + one corpus assignment pass → a reusable [[IvfIndex]].
+    * At 100 TB this is the standard offline index-build job; probing then
+    * touches ~nProbe/nCells of the data per query batch. */
+  def buildIvfIndex(
+      corpus: DataFrame, nCells: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): IvfIndex = {
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
 
@@ -129,11 +140,29 @@ object Similarity {
       .fit(base)
     val cells = km.transform(base).select(col("nid"), col("nvec"), col("cell"))
       .withColumn("nnorm", norm(col("nvec")))
+      .persist()
 
     // tiny (nCells × dim) centroid table, broadcast for query assignment
     import spark.implicits._
     val centDf = km.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }.toSeq.toDF("cell", "centroid")
+    IvfIndex(cells, centDf)
+  }
+
+  /** IVF ANN over a pre-built index (see [[buildIvfIndex]]). */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    probeIvf(buildIvfIndex(corpus, nCells, idCol, vecCol), queries, k, nProbe,
+      idCol, vecCol)
+
+  /** Score each query against its `nProbe` nearest cells only. */
+  def probeIvf(
+      index: IvfIndex, queries: DataFrame, k: Int, nProbe: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cells = index.cells
+    val centDf = index.centroids
 
     val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
       .withColumn("qnorm", norm(col("qvec")))

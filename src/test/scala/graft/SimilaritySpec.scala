@@ -78,6 +78,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivf == exact) // probing every cell = exhaustive search
   }
 
+  test("one built IVF index serves multiple query batches, same as fused path") {
+    val emb = Tables.t(spark, TestSpark.sf, "embeddings")
+    val idx = Similarity.buildIvfIndex(emb, nCells = 8)
+    try {
+      for (range <- Seq($"vec_id" < 5, $"vec_id" >= 5 && $"vec_id" < 10)) {
+        val q = emb.filter(range)
+        val viaIndex = Similarity.probeIvf(idx, q, k = 3, nProbe = 3)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        val fused = Similarity.ivfTopK(emb, q, k = 3, nCells = 8, nProbe = 3)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        assert(viaIndex == fused)
+      }
+    } finally idx.unpersist()
+  }
+
   test("lshTopK on uniform random data returns real pairs with valid ranks") {
     val emb = Tables.t(spark, TestSpark.sf, "embeddings")
     val q = emb.filter($"vec_id" < 10)
