@@ -79,7 +79,9 @@ class Context(val spark: SparkSession) {
     val removed = schemas(currentSchema).tables.remove(name.toLowerCase)
     if (removed.isEmpty && !ifExists)
       throw new IllegalArgumentException(s"Table not found: $name")
-    spark.catalog.dropTempView(name.toLowerCase)
+    // only drop the session view if THIS schema owned the name — a same-named
+    // view registered by another schema's namespace must survive
+    if (removed.nonEmpty) spark.catalog.dropTempView(name.toLowerCase)
   }
 
   def tables: Seq[String] = schemas(currentSchema).tables.keys.toSeq

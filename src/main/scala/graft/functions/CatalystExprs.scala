@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Divide, Expression, IntegralDivide, RuntimeReplaceable, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -88,6 +88,29 @@ object CatalystExprs {
     override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
   }
 
+  /** SQL integer division truncating toward zero, dispatched on the
+    * RESOLVED input types (a Column's type is unknown until analysis, so
+    * the dispatch must live in the plan): integral inputs go through
+    * Spark's exact `IntegralDivide` (a double round-trip loses exactness
+    * above 2^53), fractional inputs through double division + truncating
+    * cast. RuntimeReplaceable → the optimizer's ReplaceExpressions rule
+    * swaps in the replacement, so execution is 100% built-in codegen. */
+  case class SqlDiv(left: Expression, right: Expression)
+      extends BinaryExpression with RuntimeReplaceable {
+    private def isIntegral(e: Expression): Boolean = e.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    override lazy val replacement: Expression =
+      if (isIntegral(left) && isIntegral(right))
+        IntegralDivide(Cast(left, LongType), Cast(right, LongType))
+      else
+        Cast(Divide(Cast(left, DoubleType), Cast(right, DoubleType)), LongType)
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): SqlDiv =
+      copy(left = newLeft, right = newRight)
+  }
+
   import org.apache.spark.sql.GraftBridge
 
   def minhashSignature(hashes: Column, k: Int): Column =
@@ -95,4 +118,7 @@ object CatalystExprs {
 
   def simhash64(hashes: Column): Column =
     GraftBridge.column(SimHash64(GraftBridge.expression(hashes)))
+
+  def sqlDiv(a: Column, b: Column): Column =
+    GraftBridge.column(SqlDiv(GraftBridge.expression(a), GraftBridge.expression(b)))
 }

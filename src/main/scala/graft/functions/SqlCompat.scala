@@ -48,12 +48,12 @@ object SqlCompat {
     c.rlike("^(?:" + similarToRegex(pattern, escape) + ")$")
 
   /** SQL integer division truncating toward zero (reference:
-    * call.py:165-214 SQLDivisionOperator). Spark's `div` already truncates
-    * toward zero for integral types; this makes the intent explicit and
-    * handles double inputs.
+    * call.py:165-214 SQLDivisionOperator). Dispatches on the resolved input
+    * types: integral → Spark's exact `IntegralDivide` (a double round-trip
+    * loses exactness above 2^53), fractional → double division + truncating
+    * cast. See [[CatalystExprs.SqlDiv]].
     */
-  def sqlDiv(a: Column, b: Column): Column =
-    (a.cast("double") / b.cast("double")).cast("bigint") // cast truncates toward 0
+  def sqlDiv(a: Column, b: Column): Column = CatalystExprs.sqlDiv(a, b)
 
   /** RAND_INTEGER([seed,] high) → uniform int in [0, high)
     * (reference: call.py:865-881). */

@@ -16,9 +16,14 @@ import org.apache.spark.sql.functions._
   *   union both sides → one shuffle+sort on (key, time, side) → running
   *   `last(right_payload, ignoreNulls)` window → keep left rows.
   * Cost is a single hash shuffle of (key, time, payload) and a per-key
-  * sort — NO range cross-product, no per-key collect. At 100 TB this is
-  * the same shape as a sort-merge join and AQE handles key skew the same
-  * way.
+  * sort — NO range cross-product, no per-key collect.
+  *
+  * Skew caveat: the running-last is a WINDOW partitioned by key, and AQE
+  * splits skewed shuffle-join partitions but NOT skewed window partitions —
+  * one pathologically hot key lands in one task. If a workload has such a
+  * key, pre-split it by a time-range sub-bucket (bucket the window by
+  * (key, month), carry the last row of each bucket forward) — not done
+  * here because it doubles the shuffle for the common non-degenerate case.
   */
 object AsOfJoin {
 

@@ -68,6 +68,18 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.sameElements(Array(-3L, 3L, 3L)))
   }
 
+  test("sqlDiv stays exact above 2^53 for integral inputs") {
+    // (2^62 + 1) div 2 — a double round-trip would lose the low bits
+    val big = (1L << 62) + 1L
+    val r = Seq((big, 2L), (-big, 2L), (big, 1L)).toDF("a", "b")
+      .select(SqlCompat.sqlDiv($"a", $"b")).collect().map(_.getLong(0))
+    assert(r.sameElements(Array(1L << 61, -(1L << 61), big)))
+    // fractional inputs still truncate toward zero via the double path
+    val f = Seq((7.9, 2.0), (-7.9, 2.0)).toDF("a", "b")
+      .select(SqlCompat.sqlDiv($"a", $"b")).collect().map(_.getLong(0))
+    assert(f.sameElements(Array(3L, -3L)))
+  }
+
   test("ceilTimestamp bumps unaligned, keeps aligned") {
     val df = Seq("2024-01-01 05:30:00", "2024-01-01 06:00:00").toDF("s")
       .select($"s".cast("timestamp").as("ts"))
