@@ -84,6 +84,29 @@ class Context(val spark: SparkSession) {
     if (removed.nonEmpty) spark.catalog.dropTempView(name.toLowerCase)
   }
 
+  /** Rename a table in the current schema (reference: context.alter_table,
+    * physical/rel/custom/alter.py:47 — rename-only semantics). */
+  def alterTable(oldName: String, newName: String, ifExists: Boolean = false): Unit = {
+    val removed = schemas(currentSchema).tables.remove(oldName.toLowerCase)
+    removed match {
+      case None =>
+        if (!ifExists) throw new IllegalArgumentException(s"Table not found: $oldName")
+      case Some(df) =>
+        spark.catalog.dropTempView(oldName.toLowerCase)
+        schemas(currentSchema).filepaths.remove(oldName.toLowerCase)
+          .foreach(schemas(currentSchema).filepaths(newName.toLowerCase) = _)
+        createTable(newName, df)
+    }
+  }
+
+  /** Rename a schema (reference: context.alter_schema, alter.py:13). */
+  def alterSchema(oldName: String, newName: String): Unit = {
+    val s = schemas.remove(oldName.toLowerCase).getOrElse(
+      throw new IllegalArgumentException(s"Schema not found: $oldName"))
+    schemas(newName.toLowerCase) = s
+    if (currentSchema == oldName.toLowerCase) currentSchema = newName.toLowerCase
+  }
+
   def tables: Seq[String] = schemas(currentSchema).tables.keys.toSeq
   def schemaNames: Seq[String] = schemas.keys.toSeq
 
@@ -127,6 +150,12 @@ class Context(val spark: SparkSession) {
       emptyResult
 
     case DropTable(name, ifExists) => dropTable(name, ifExists); emptyResult
+
+    case AlterTable(oldName, newName, ifExists) =>
+      alterTable(oldName, newName, ifExists); emptyResult
+
+    case AlterSchema(oldName, newName) =>
+      alterSchema(oldName, newName); emptyResult
 
     case CreateSchema(name, ifNotExists) =>
       if (schemas.contains(name.toLowerCase) && !ifNotExists)
@@ -228,7 +257,20 @@ class Context(val spark: SparkSession) {
         throw new IllegalArgumentException(s"Model not found: $name"))
       val location = opts.getOrElse("location",
         throw new IllegalArgumentException("EXPORT MODEL requires location="))
-      m.pipeline.write.overwrite().save(location)
+      // reference formats (export_model.py:45): pickle/joblib/mlflow.
+      // pickle/joblib are Python serializations with no JVM meaning; the
+      // engine-native format is MLlib's save, and 'mlflow' emits the
+      // self-describing MLmodel directory layout.
+      opts.getOrElse("format", "native").toLowerCase.trim match {
+        case "native" | "sparkml" => m.pipeline.write.overwrite().save(location)
+        case "mlflow" =>
+          MlBridge.exportMlflow(m.pipeline, m.modelClass, location, spark.version)
+        case f @ ("pickle" | "pkl" | "joblib") =>
+          throw new IllegalArgumentException(
+            s"EXPORT MODEL format '$f' is a Python serialization; use format='native' or 'mlflow'")
+        case other =>
+          throw new IllegalArgumentException(s"Unknown EXPORT MODEL format: $other")
+      }
       emptyResult
   }
 

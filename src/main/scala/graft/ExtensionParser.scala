@@ -34,6 +34,8 @@ object ExtensionParser {
   final case class DescribeModel(name: String) extends Statement
   final case class DropModel(name: String, ifExists: Boolean) extends Statement
   final case class ExportModel(name: String, options: Map[String, String]) extends Statement
+  final case class AlterTable(oldName: String, newName: String, ifExists: Boolean) extends Statement
+  final case class AlterSchema(oldName: String, newName: String) extends Statement
 
   private val ws = "\\s+"
   private def kw(s: String) = s.split(" ").mkString(ws)
@@ -72,6 +74,11 @@ object ExtensionParser {
   private val dropModel = re(s"DROP${ws}MODEL${ws}(IF${ws}EXISTS${ws})?$ident")
   private val exportModel =
     re(s"EXPORT${ws}MODEL${ws}$ident${ws}WITH${ws}\\((.*)\\)")
+  // reference: physical/rel/custom/alter.py:13 (schema), :47 (table)
+  private val alterTable =
+    re(s"ALTER${ws}TABLE${ws}(IF${ws}EXISTS${ws})?$ident${ws}RENAME${ws}TO${ws}$ident")
+  private val alterSchema =
+    re(s"ALTER${ws}SCHEMA${ws}$ident${ws}RENAME${ws}TO${ws}$ident")
 
   def parse(sql: String): Statement = sql match {
     case createModel(orRepl, name, kwargs, select) =>
@@ -89,6 +96,8 @@ object ExtensionParser {
       CreateTableAs(name, select.trim, orRepl != null,
         kind.equalsIgnoreCase("VIEW"))
     case dropTable(ifEx, name) => DropTable(name, ifEx != null)
+    case alterTable(ifEx, oldName, newName) => AlterTable(oldName, newName, ifEx != null)
+    case alterSchema(oldName, newName) => AlterSchema(oldName, newName)
     case createSchema(ifNot, name) => CreateSchema(name, ifNot != null)
     case dropSchema(ifEx, name) => DropSchema(name, ifEx != null)
     case useSchema(name) => UseSchema(name)

@@ -93,24 +93,32 @@ object MlBridge {
 
     val lastName = modelClass.split("\\.").last
     val estStage = est.getStages.last
-    val grid = lastName match {
-      case "LinearRegression" =>
-        val e = estStage.asInstanceOf[org.apache.spark.ml.regression.LinearRegression]
-        new ParamGridBuilder().addGrid(e.regParam, Array(0.0, 0.01, 0.1))
-          .addGrid(e.elasticNetParam, Array(0.0, 0.5)).build()
-      case "LogisticRegression" =>
-        val e = estStage.asInstanceOf[org.apache.spark.ml.classification.LogisticRegression]
-        new ParamGridBuilder().addGrid(e.regParam, Array(0.0, 0.01, 0.1)).build()
-      case "RandomForestClassifier" =>
-        val e = estStage.asInstanceOf[org.apache.spark.ml.classification.RandomForestClassifier]
-        new ParamGridBuilder().addGrid(e.maxDepth, Array(3, 5)).build()
-      case "RandomForestRegressor" =>
-        val e = estStage.asInstanceOf[org.apache.spark.ml.regression.RandomForestRegressor]
-        new ParamGridBuilder().addGrid(e.maxDepth, Array(3, 5)).build()
-      case other => throw new IllegalArgumentException(
-        s"CREATE EXPERIMENT: unsupported model_class $other")
+    require(lastName != "KMeans",
+      "CREATE EXPERIMENT: unsupervised algorithms cannot be tuned (provide a target)")
+    // tune_parameters (reference: create_experiment.py:141) overrides the
+    // built-in per-class grid: a '{"param":[v1,v2],...}' search-space spec,
+    // bound to the estimator's params by name via the MLlib Params registry.
+    val grid = kwargs.get("tune_parameters") match {
+      case Some(spec) => customGrid(estStage, lastName, spec)
+      case None => lastName match {
+        case "LinearRegression" =>
+          val e = estStage.asInstanceOf[org.apache.spark.ml.regression.LinearRegression]
+          new ParamGridBuilder().addGrid(e.regParam, Array(0.0, 0.01, 0.1))
+            .addGrid(e.elasticNetParam, Array(0.0, 0.5)).build()
+        case "LogisticRegression" =>
+          val e = estStage.asInstanceOf[org.apache.spark.ml.classification.LogisticRegression]
+          new ParamGridBuilder().addGrid(e.regParam, Array(0.0, 0.01, 0.1)).build()
+        case "RandomForestClassifier" =>
+          val e = estStage.asInstanceOf[org.apache.spark.ml.classification.RandomForestClassifier]
+          new ParamGridBuilder().addGrid(e.maxDepth, Array(3, 5)).build()
+        case "RandomForestRegressor" =>
+          val e = estStage.asInstanceOf[org.apache.spark.ml.regression.RandomForestRegressor]
+          new ParamGridBuilder().addGrid(e.maxDepth, Array(3, 5)).build()
+        case other => throw new IllegalArgumentException(
+          s"CREATE EXPERIMENT: no built-in grid for $other — pass tune_parameters=")
+      }
     }
-    val isRegression = Set("LinearRegression", "RandomForestRegressor")(lastName)
+    val isRegression = lastName.contains("Regress") && lastName != "LogisticRegression"
     val evaluator =
       if (isRegression)
         new org.apache.spark.ml.evaluation.RegressionEvaluator()
@@ -134,6 +142,64 @@ object MlBridge {
       ("metric_value", bestMetric.toString),
       ("candidates", grid.length.toString))
     (Fitted(best, modelClass, targetColumn, base.features), results)
+  }
+
+  /** Build a ParamGridBuilder grid from a '{"param":[v1,v2],...}' spec,
+    * resolving each name against the estimator's Params registry and
+    * converting values to the param's type. */
+  private def customGrid(estStage: PipelineStage, lastName: String,
+      spec: String): Array[org.apache.spark.ml.param.ParamMap] = {
+    import org.apache.spark.ml.param._
+    import org.apache.spark.ml.tuning.ParamGridBuilder
+    val params = estStage.asInstanceOf[Params]
+    val entry = "\"?([A-Za-z_][A-Za-z0-9_]*)\"?\\s*:\\s*\\[([^\\]]*)\\]".r
+    val entries = entry.findAllMatchIn(spec).map { m =>
+      m.group(1) -> m.group(2).split(",")
+        .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq
+    }.toSeq
+    require(entries.nonEmpty, s"tune_parameters: no parameter arrays in: $spec")
+    val b = new ParamGridBuilder()
+    entries.foreach { case (pname, vals) =>
+      val p = params.params.find(_.name.equalsIgnoreCase(pname)).getOrElse(
+        throw new IllegalArgumentException(
+          s"tune_parameters: $lastName has no param '$pname' " +
+            s"(has: ${params.params.map(_.name).mkString(", ")})"))
+      p match {
+        case dp: DoubleParam => b.addGrid(dp, vals.map(_.toDouble))
+        case ip: IntParam => b.addGrid(ip, vals.map(_.toInt))
+        case fp: FloatParam => b.addGrid(fp, vals.map(_.toFloat))
+        case lp: LongParam => b.addGrid(lp, vals.map(_.toLong))
+        case bp: BooleanParam => b.addGrid(bp, vals.map(_.toBoolean))
+        case sp => b.addGrid(sp.asInstanceOf[Param[Any]], vals)
+      }
+    }
+    b.build()
+  }
+
+  /** EXPORT MODEL format='mlflow': the public MLmodel directory layout —
+    * a self-describing artifact (MLmodel metadata + the MLlib-native model
+    * under sparkml/), loadable by any consumer of the spark flavor
+    * (reference: export_model.py:45 uses mlflow's sklearn flavor; the
+    * engine-native flavor here is spark). */
+  def exportMlflow(pipeline: PipelineModel, modelClass: String,
+      location: String, sparkVersion: String): Unit = {
+    val dir = java.nio.file.Paths.get(location)
+    java.nio.file.Files.createDirectories(dir)
+    pipeline.write.overwrite().save(dir.resolve("sparkml").toString)
+    val uuid = java.util.UUID.nameUUIDFromBytes(
+      (modelClass + " " + location).getBytes("UTF-8"))
+    val mlmodel =
+      s"""artifact_path: model
+         |flavors:
+         |  spark:
+         |    model_data: sparkml
+         |    spark_version: $sparkVersion
+         |model_class: $modelClass
+         |model_uuid: $uuid
+         |utc_time_created: '${java.time.Instant.now()}'
+         |""".stripMargin
+    java.nio.file.Files.write(dir.resolve("MLmodel"), mlmodel.getBytes("UTF-8"))
+    ()
   }
 
   /** PREDICT(MODEL m, select): transform and surface a `prediction` column

@@ -46,6 +46,35 @@ class ContextSpec extends AnyFunSuite {
     assert(!ctx.schemaNames.contains("staging"))
   }
 
+  test("ALTER TABLE renames and the old name stops resolving") {
+    ctx.sql("CREATE TABLE alt_src AS SELECT l_orderkey FROM lineitem WHERE l_orderkey < 10")
+    ctx.sql("ALTER TABLE alt_src RENAME TO alt_dst")
+    assert(!ctx.tables.contains("alt_src") && ctx.tables.contains("alt_dst"))
+    assert(ctx.sql("SELECT count(*) AS n FROM alt_dst").head().getLong(0) > 0)
+    intercept[Exception] { ctx.sql("SELECT * FROM alt_src").collect() }
+    // IF EXISTS tolerates a missing source; bare form throws
+    ctx.sql("ALTER TABLE IF EXISTS nope RENAME TO whatever")
+    intercept[IllegalArgumentException] { ctx.sql("ALTER TABLE nope RENAME TO whatever") }
+    ctx.sql("DROP TABLE alt_dst")
+  }
+
+  test("ALTER SCHEMA renames; tables stay visible under the new name") {
+    ctx.sql("CREATE SCHEMA alpha")
+    ctx.sql("USE SCHEMA alpha")
+    ctx.sql("CREATE TABLE t1 AS SELECT 1 AS x")
+    ctx.sql("USE SCHEMA root")
+    ctx.sql("ALTER SCHEMA alpha RENAME TO beta")
+    assert(!ctx.schemaNames.contains("alpha") && ctx.schemaNames.contains("beta"))
+    ctx.sql("USE SCHEMA beta")
+    assert(ctx.tables.contains("t1"))
+    assert(ctx.sql("SELECT x FROM t1").head().getInt(0) == 1)
+    // renaming the ACTIVE schema keeps the session pointed at it
+    ctx.sql("ALTER SCHEMA beta RENAME TO gamma")
+    assert(ctx.tables.contains("t1"))
+    ctx.sql("USE SCHEMA root")
+    ctx.sql("DROP SCHEMA gamma")
+  }
+
   test("SHOW SCHEMAS / TABLES / COLUMNS shapes") {
     assert(ctx.sql("SHOW SCHEMAS").columns.sameElements(Array("schema")))
     val tbls = ctx.sql("SHOW TABLES").collect().map(_.getString(0))
@@ -153,6 +182,42 @@ class ContextSpec extends AnyFunSuite {
       "SELECT * FROM PREDICT(MODEL tuned, SELECT o_totalprice, o_custkey, o_orderkey FROM orders LIMIT 5)")
     assert(pred.count() == 5 && pred.columns.contains("prediction"))
     ctx.sql("DROP MODEL tuned")
+  }
+
+  test("CREATE EXPERIMENT accepts a custom tune_parameters grid") {
+    val res = ctx.sql("""CREATE OR REPLACE EXPERIMENT exp_custom WITH (
+        model_class = 'LinearRegression', target_column = 'l_quantity',
+        tune_parameters = '{"regParam":[0.0,0.5],"elasticNetParam":[0.0,1.0]}',
+        n_folds = 2
+      ) AS SELECT l_extendedprice, l_discount, l_quantity FROM lineitem LIMIT 200""")
+    val m = res.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m("candidates") == "4") // 2 × 2 grid, not the built-in 3 × 2
+    assert(Set("0.0", "0.5").contains(m("regParam")))
+    assert(Set("0.0", "1.0").contains(m("elasticNetParam")))
+    intercept[IllegalArgumentException] {
+      ctx.sql("""CREATE OR REPLACE EXPERIMENT exp_bad WITH (
+          model_class = 'LinearRegression', target_column = 'l_quantity',
+          tune_parameters = '{"noSuchParam":[1,2]}'
+        ) AS SELECT l_extendedprice, l_quantity FROM lineitem LIMIT 50""")
+    }
+  }
+
+  test("EXPORT MODEL format='mlflow' writes the MLmodel layout") {
+    ctx.sql("""CREATE OR REPLACE MODEL exp_lin WITH (
+        model_class = 'LinearRegression', target_column = 'l_quantity'
+      ) AS SELECT l_extendedprice, l_discount, l_quantity FROM lineitem LIMIT 100""")
+    val dir = java.nio.file.Files.createTempDirectory("mlflow_export").toString
+    ctx.sql(s"EXPORT MODEL exp_lin WITH (format = 'mlflow', location = '$dir/model')")
+    val mlmodel = java.nio.file.Paths.get(dir, "model", "MLmodel")
+    assert(java.nio.file.Files.exists(mlmodel))
+    val content = new String(java.nio.file.Files.readAllBytes(mlmodel), "UTF-8")
+    assert(content.contains("flavors:") && content.contains("model_data: sparkml"))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "model", "sparkml", "metadata")))
+    // python-only serializations are refused with guidance
+    intercept[IllegalArgumentException] {
+      ctx.sql(s"EXPORT MODEL exp_lin WITH (format = 'pickle', location = '$dir/m.pkl')")
+    }
   }
 
   test("explainString emits a formatted physical plan") {
