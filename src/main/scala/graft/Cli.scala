@@ -1,0 +1,129 @@
+package graft
+
+import java.io.{BufferedReader, InputStreamReader, PrintStream}
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Interactive SQL REPL — the Spark-native mirror of the reference's CLI
+  * (dask_sql/cmd.py:29-276): statements accumulate until a terminating
+  * `;`, psql-style meta commands are intercepted, everything else goes
+  * through [[Context.sql]].
+  *
+  * Meta commands (cmd.py:85-94, minus the Dask-cluster one, whose Spark
+  * analogue is the session master — fixed at launch):
+  *   \d?, help, ?      show available commands
+  *   \l                list schemas
+  *   \dt [schema]      list tables
+  *   \dm               list models
+  *   \d <table>        describe a table's columns
+  *   \dss <schema>     switch schema
+  *   quit, exit, \q    leave
+  *
+  * The loop is stream-driven (`repl(in, out)`) so tests feed scripted
+  * stdin; `main` wires the real console.
+  */
+object Cli {
+
+  private val Help = Seq(
+    "\\d?, help, ?" -> "Show available commands",
+    "\\l" -> "List schemas",
+    "\\dt [schema]" -> "List tables",
+    "\\dm" -> "List models",
+    "\\d <table>" -> "Show columns of a table",
+    "\\dss <schema>" -> "Switch schema",
+    "quit, exit, \\q" -> "Exit the REPL")
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .appName("graft-cli")
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val ctx = new Context(spark)
+    val out = System.out
+    out.println("graft SQL REPL — \\d? for help, statements end with ';'")
+    repl(new BufferedReader(new InputStreamReader(System.in)), out, ctx)
+    spark.stop()
+  }
+
+  /** Run the REPL over explicit streams until EOF or quit. */
+  def repl(in: BufferedReader, out: PrintStream, ctx: Context,
+      prompt: Boolean = true): Unit = {
+    val buf = new StringBuilder
+    var done = false
+    while (!done) {
+      if (prompt) out.print(if (buf.isEmpty) "graft> " else "   ... ")
+      val line = in.readLine()
+      if (line == null) done = true
+      else {
+        val trimmed = line.trim
+        if (buf.isEmpty && isMeta(trimmed)) {
+          done = !meta(trimmed, out, ctx)
+        } else if (trimmed.nonEmpty) {
+          buf.append(line).append('\n')
+          if (trimmed.endsWith(";")) {
+            val sql = buf.toString.trim.stripSuffix(";")
+            buf.clear()
+            try render(ctx.sql(sql), out)
+            catch { case NonFatal(e) => out.println(s"ERROR: ${e.getMessage}") }
+          }
+        }
+      }
+    }
+  }
+
+  private def isMeta(s: String): Boolean =
+    s.startsWith("\\") || Set("quit", "exit", "help", "?")(s.toLowerCase) ||
+      s.toLowerCase.startsWith("quit ")
+
+  /** Handle a meta command; returns false when the REPL should exit. */
+  private def meta(cmdLine: String, out: PrintStream, ctx: Context): Boolean = {
+    val (cmd, arg) = cmdLine.split("\\s+", 2) match {
+      case Array(c) => (c, "")
+      case Array(c, a) => (c, a.trim)
+    }
+    cmd.toLowerCase match {
+      case "quit" | "exit" | "\\q" => false
+      case "\\d?" | "help" | "?" =>
+        Help.foreach { case (c, d) => out.println(f"$c%-18s $d") }
+        true
+      case "\\l" => render(ctx.sql("SHOW SCHEMAS"), out); true
+      case "\\dt" =>
+        render(ctx.sql(
+          if (arg.isEmpty) "SHOW TABLES" else s"SHOW TABLES FROM $arg"), out)
+        true
+      case "\\dm" => render(ctx.sql("SHOW MODELS"), out); true
+      case "\\d" if arg.nonEmpty =>
+        render(ctx.sql(s"SHOW COLUMNS FROM $arg"), out); true
+      case "\\dss" if arg.nonEmpty =>
+        try { ctx.sql(s"USE SCHEMA $arg"); out.println(s"switched to $arg") }
+        catch { case NonFatal(e) => out.println(s"ERROR: ${e.getMessage}") }
+        true
+      case other =>
+        out.println(s"Unknown meta command: $other — \\d? for help")
+        true
+    }
+  }
+
+  /** Print a result frame: aligned header + up to `max` rows. */
+  private def render(df: DataFrame, out: PrintStream, max: Int = 40): Unit = {
+    val cols = df.columns
+    if (cols.isEmpty) { out.println("OK"); return }
+    val rows = df.limit(max + 1).collect()
+    val shown = rows.take(max).map(_.toSeq.map(v => if (v == null) "NULL" else v.toString))
+    val widths = cols.indices.map { i =>
+      (cols(i).length +: shown.map(_(i).length)).max
+    }
+    def fmt(cells: Seq[String]) =
+      cells.zip(widths).map { case (c, w) => c.padTo(w, ' ') }.mkString(" | ")
+    out.println(fmt(cols.toIndexedSeq))
+    out.println(widths.map("-" * _).mkString("-+-"))
+    shown.foreach(r => out.println(fmt(r)))
+    if (rows.length > max) out.println(s"... (truncated at $max rows)")
+    out.println(s"(${shown.length} row${if (shown.length == 1) "" else "s"})")
+  }
+}

@@ -1,0 +1,196 @@
+package graft.server
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.UUID
+import java.util.concurrent.{ConcurrentHashMap, Executors, ThreadFactory}
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types.StructField
+
+import graft.Context
+
+/** Presto-on-wire HTTP SQL server — the Spark-native mirror of the
+  * reference's `run_server` (dask_sql/server/app.py:27-105):
+  *
+  *  - `POST /v1/statement`    body = SQL → `{id, nextUri, stats…}`
+  *  - `GET  /v1/status/{id}`  poll; running → same nextUri, finished →
+  *                            `{columns, data, …}` paged via `?page=N`
+  *                            (nextUri present while more pages remain)
+  *  - `DELETE /v1/cancel/{id}` cancel a running statement
+  *  - `GET  /v1/empty`        empty result helper
+  *
+  * Built on the JDK's `com.sun.net.httpserver` (no extra dependency) over
+  * [[graft.Context.sql]]. Statements run asynchronously on a worker pool;
+  * each one executes inside a Spark job group keyed by its uuid so cancel
+  * maps onto `SparkContext.cancelJobGroup` — the Spark-native equivalent
+  * of the reference's `future.cancel()`.
+  *
+  * Result paging bounds the per-response payload; the full result is
+  * collected to the server (exactly like the reference's `client.compute`
+  * future) — a SQL wire endpoint is a control-plane surface, callers ship
+  * big outputs with INSERT/CTAS instead.
+  */
+final class SqlServer(ctx: Context, port: Int = 8080, pageSize: Int = 10000) {
+
+  private sealed trait State
+  private case object Running extends State
+  private final case class Failed(message: String) extends State
+  private final case class Finished(
+      columns: Seq[StructField], rows: Array[Row]) extends State
+
+  private val statements = new ConcurrentHashMap[String, State]()
+  private val pool = Executors.newCachedThreadPool(new ThreadFactory {
+    def newThread(r: Runnable): Thread = {
+      val t = new Thread(r, "graft-sql-server-worker"); t.setDaemon(true); t
+    }
+  })
+  private var http: HttpServer = _
+
+  /** Bind and start; returns the actual port (use port=0 for ephemeral). */
+  def start(): Int = {
+    http = HttpServer.create(new InetSocketAddress(port), 0)
+    http.createContext("/v1", (ex: HttpExchange) => route(ex))
+    http.setExecutor(pool)
+    http.start()
+    http.getAddress.getPort
+  }
+
+  def stop(): Unit = {
+    if (http != null) http.stop(0)
+    pool.shutdownNow()
+    ()
+  }
+
+  // ---------------- routing ----------------
+
+  private def route(ex: HttpExchange): Unit =
+    try {
+      val path = ex.getRequestURI.getPath
+      (ex.getRequestMethod, path) match {
+        case ("POST", "/v1/statement") => submit(ex)
+        case ("GET", p) if p.startsWith("/v1/status/") =>
+          status(ex, p.stripPrefix("/v1/status/"))
+        case ("DELETE", p) if p.startsWith("/v1/cancel/") =>
+          cancel(ex, p.stripPrefix("/v1/cancel/"))
+        case ("GET", "/v1/empty") =>
+          respond(ex, 200, queryResultsJson(UUID.randomUUID.toString, "FINISHED",
+            nextUri = None, extra = ""))
+        case _ => respond(ex, 404, """{"error":{"message":"not found"}}""")
+      }
+    } catch {
+      case e: Exception =>
+        respond(ex, 500, s"""{"error":{"message":${jstr(e.toString)}}}""")
+    }
+
+  private def submit(ex: HttpExchange): Unit = {
+    val sql = new String(ex.getRequestBody.readAllBytes(), UTF_8).trim
+    val id = UUID.randomUUID.toString
+    statements.put(id, Running)
+    pool.submit(new Runnable {
+      def run(): Unit = {
+        // job group = statement id → DELETE /v1/cancel kills the Spark jobs
+        ctx.spark.sparkContext.setJobGroup(id, sql, interruptOnCancel = true)
+        try {
+          val df = ctx.sql(sql)
+          val rows = df.collect()
+          statements.replace(id, Running, Finished(df.schema.fields.toSeq, rows))
+        } catch {
+          case e: Exception => statements.replace(id, Running, Failed(e.toString))
+        } finally ctx.spark.sparkContext.clearJobGroup()
+      }
+    })
+    respond(ex, 200,
+      queryResultsJson(id, "QUEUED", nextUri = Some(statusUri(ex, id, 0)),
+        extra = s""","partialCancelUri":${jstr(cancelUri(ex, id))}"""))
+  }
+
+  private def status(ex: HttpExchange, idAndQuery: String): Unit = {
+    val id = idAndQuery
+    val page = Option(ex.getRequestURI.getQuery)
+      .flatMap(_.split("&").collectFirst {
+        case kv if kv.startsWith("page=") => kv.stripPrefix("page=").toInt
+      }).getOrElse(0)
+    statements.get(id) match {
+      case null =>
+        respond(ex, 404, """{"error":{"message":"uuid not found"}}""")
+      case Running =>
+        respond(ex, 200, queryResultsJson(id, "RUNNING",
+          nextUri = Some(statusUri(ex, id, page)), extra = ""))
+      case Failed(msg) =>
+        statements.remove(id)
+        respond(ex, 200, s"""{"id":${jstr(id)},"error":{"message":${jstr(msg)},
+          |"errorCode":1,"errorName":"GENERIC_INTERNAL_ERROR"},
+          |"stats":{"state":"FAILED"},"warnings":[]}""".stripMargin.replace("\n", ""))
+      case Finished(cols, rows) =>
+        val from = page * pageSize
+        val slice = rows.slice(from, from + pageSize)
+        val lastPage = from + pageSize >= rows.length
+        if (lastPage) statements.remove(id)
+        val data = slice.map(rowJson(cols, _)).mkString("[", ",", "]")
+        val columns = cols.map { f =>
+          val t = f.dataType.sql.toLowerCase
+          s"""{"name":${jstr(f.name)},"type":${jstr(t)},"typeSignature":{"rawType":${jstr(t)},"arguments":[]}}"""
+        }.mkString("[", ",", "]")
+        val next = if (lastPage) ""
+          else s""","nextUri":${jstr(statusUri(ex, id, page + 1))}"""
+        respond(ex, 200,
+          s"""{"id":${jstr(id)},"columns":$columns,"data":$data$next,"stats":{"state":"FINISHED"},"warnings":[]}""")
+    }
+  }
+
+  private def cancel(ex: HttpExchange, id: String): Unit =
+    statements.remove(id) match {
+      case null => respond(ex, 404, """{"error":{"message":"uuid not found"}}""")
+      case _ =>
+        ctx.spark.sparkContext.cancelJobGroup(id)
+        respond(ex, 200, """{"status":"ok"}""")
+    }
+
+  // ---------------- response building ----------------
+
+  private def queryResultsJson(id: String, state: String,
+      nextUri: Option[String], extra: String): String = {
+    val next = nextUri.map(u => s""","nextUri":${jstr(u)}""").getOrElse("")
+    s"""{"id":${jstr(id)},"infoUri":"","stats":{"state":${jstr(state)}}$next$extra,"warnings":[]}"""
+  }
+
+  private def statusUri(ex: HttpExchange, id: String, page: Int): String =
+    s"http://${Option(ex.getRequestHeaders.getFirst("Host")).getOrElse("localhost")}/v1/status/$id?page=$page"
+
+  private def cancelUri(ex: HttpExchange, id: String): String =
+    s"http://${Option(ex.getRequestHeaders.getFirst("Host")).getOrElse("localhost")}/v1/cancel/$id"
+
+  private def rowJson(cols: Seq[StructField], row: Row): String =
+    cols.indices.map { i =>
+      if (row.isNullAt(i)) "null"
+      else row.get(i) match {
+        case b: java.lang.Boolean => b.toString
+        case n: java.lang.Number => n.toString
+        case other => jstr(other.toString)
+      }
+    }.mkString("[", ",", "]")
+
+  private def jstr(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"').toString
+  }
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+}

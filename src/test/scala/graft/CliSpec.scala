@@ -1,0 +1,55 @@
+package graft
+
+import java.io.{BufferedReader, ByteArrayOutputStream, PrintStream, StringReader}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scripted-stdin e2e: feed a session transcript, assert on the output. */
+class CliSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def runScript(script: String): String = {
+    val ctx = new Context(spark)
+    ctx.createTableFromPath("lineitem", s"${TestSpark.sf}/lineitem.parquet")
+    val out = new ByteArrayOutputStream()
+    Cli.repl(new BufferedReader(new StringReader(script)),
+      new PrintStream(out, true, "UTF-8"), ctx, prompt = false)
+    new String(out.toByteArray, "UTF-8")
+  }
+
+  test("executes SQL statements terminated by ';' incl. multi-line") {
+    val output = runScript(
+      """SELECT l_returnflag, count(*) AS n FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag;
+        |quit
+        |""".stripMargin)
+    assert(output.contains("l_returnflag"))
+    assert(output.contains("rows)"))
+  }
+
+  test("meta commands: \\dt lists tables, \\d describes, \\l lists schemas") {
+    val output = runScript("\\dt\n\\d lineitem\n\\l\nquit\n")
+    assert(output.contains("lineitem"))
+    assert(output.contains("l_orderkey"))
+    assert(output.contains("root"))
+  }
+
+  test("\\dss switches schema; errors are printed, not thrown") {
+    val output = runScript(
+      """CREATE SCHEMA cli_s;
+        |\dss cli_s
+        |SELECT * FROM lineitem;
+        |\dss root
+        |DROP SCHEMA cli_s;
+        |quit
+        |""".stripMargin)
+    assert(output.contains("switched to cli_s"))
+    assert(output.contains("ERROR:")) // lineitem not visible in cli_s
+  }
+
+  test("unknown meta command points at help; help lists commands") {
+    val output = runScript("\\zz\nhelp\nquit\n")
+    assert(output.contains("Unknown meta command"))
+    assert(output.contains("List tables"))
+  }
+}

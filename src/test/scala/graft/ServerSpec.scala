@@ -1,0 +1,109 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.server.SqlServer
+
+/** End-to-end wire tests: SQL in over HTTP, presto-protocol JSON out. */
+class ServerSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val mapper = new ObjectMapper()
+  private val client = HttpClient.newHttpClient()
+
+  // tiny pageSize so paging is actually exercised
+  private lazy val (server, port) = {
+    val ctx = new Context(spark)
+    ctx.createTableFromPath("lineitem", s"${TestSpark.sf}/lineitem.parquet")
+    val s = new SqlServer(ctx, port = 0, pageSize = 3)
+    val p = s.start()
+    (s, p)
+  }
+
+  private def post(sql: String): JsonNode = {
+    val req = HttpRequest.newBuilder(URI.create(s"http://localhost:$port/v1/statement"))
+      .POST(HttpRequest.BodyPublishers.ofString(sql)).build()
+    mapper.readTree(client.send(req, HttpResponse.BodyHandlers.ofString()).body())
+  }
+
+  private def get(uri: String): JsonNode = {
+    val req = HttpRequest.newBuilder(URI.create(uri)).GET().build()
+    mapper.readTree(client.send(req, HttpResponse.BodyHandlers.ofString()).body())
+  }
+
+  /** Follow nextUri until the statement finishes, accumulating data pages. */
+  private def drain(first: JsonNode, maxPolls: Int = 200): (Seq[JsonNode], Seq[Seq[JsonNode]]) = {
+    var node = first
+    var polls = 0
+    var cols: Seq[JsonNode] = Nil
+    val rows = Seq.newBuilder[Seq[JsonNode]]
+    while (node.has("nextUri") || (node.has("stats") &&
+        node.get("stats").get("state").asText() != "FINISHED")) {
+      assert(!node.has("error"), s"server returned error: ${node.get("error")}")
+      if (node.has("columns")) {
+        cols = (0 until node.get("columns").size()).map(node.get("columns").get)
+        val d = node.get("data")
+        (0 until d.size()).foreach { i =>
+          rows += (0 until d.get(i).size()).map(d.get(i).get)
+        }
+      }
+      if (!node.has("nextUri")) return (cols, rows.result())
+      polls += 1
+      assert(polls < maxPolls, "statement did not finish in time")
+      if (!node.has("columns")) Thread.sleep(50)
+      node = get(node.get("nextUri").asText())
+    }
+    if (node.has("columns")) {
+      cols = (0 until node.get("columns").size()).map(node.get("columns").get)
+      val d = node.get("data")
+      (0 until d.size()).foreach { i =>
+        rows += (0 until d.get(i).size()).map(d.get(i).get)
+      }
+    }
+    (cols, rows.result())
+  }
+
+  test("POST /v1/statement executes SQL and pages results over the wire") {
+    val first = post(
+      "SELECT l_orderkey, l_linenumber FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 7")
+    assert(first.has("id") && first.has("nextUri"))
+    val (cols, rows) = drain(first)
+    assert(cols.map(_.get("name").asText()) == Seq("l_orderkey", "l_linenumber"))
+    assert(rows.length == 7) // crossed 3 pages of pageSize=3
+    assert(rows.map(_.head.asLong()) == rows.map(_.head.asLong()).sorted)
+  }
+
+  test("extension DDL works over the wire") {
+    drain(post("CREATE TABLE wire_t AS SELECT l_orderkey FROM lineitem WHERE l_orderkey < 5"))
+    val (_, rows) = drain(post("SELECT count(*) AS n FROM wire_t"))
+    assert(rows.head.head.asLong() > 0)
+    drain(post("DROP TABLE wire_t"))
+  }
+
+  test("a failing statement reports FAILED with a message") {
+    val first = post("SELECT * FROM no_such_table_anywhere")
+    var node = first
+    var polls = 0
+    while (!node.has("error") && polls < 200) {
+      polls += 1; Thread.sleep(50)
+      node = get(node.get("nextUri").asText())
+    }
+    assert(node.has("error"))
+    assert(node.get("error").get("message").asText().nonEmpty)
+  }
+
+  test("DELETE /v1/cancel removes the statement; later polls 404") {
+    val first = post("SELECT count(*) FROM lineitem l1 CROSS JOIN lineitem l2")
+    val id = first.get("id").asText()
+    val del = HttpRequest.newBuilder(
+        URI.create(s"http://localhost:$port/v1/cancel/$id"))
+      .DELETE().build()
+    val resp = client.send(del, HttpResponse.BodyHandlers.ofString())
+    assert(mapper.readTree(resp.body()).get("status").asText() == "ok")
+    val after = get(s"http://localhost:$port/v1/status/$id")
+    assert(after.has("error"))
+  }
+}
