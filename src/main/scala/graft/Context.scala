@@ -75,6 +75,27 @@ class Context(val spark: SparkSession) {
     createTable(name, df, persist)
   }
 
+  /** Register a table backed by a JDBC source (reference:
+    * input_utils/sqlalchemy.py:1-41 — `create_table(name, "jdbc-url",
+    * table=...)`). Spark's JDBC source pushes filters/column pruning into
+    * the database and can read in parallel via partitionColumn options. */
+  def createTableFromJdbc(name: String, url: String, table: String,
+      options: Map[String, String] = Map(), persist: Boolean = false): Unit = {
+    val df = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table).options(options).load()
+    schemas(currentSchema).filepaths(name.toLowerCase) = url
+    createTable(name, df, persist)
+  }
+
+  /** Register a table resolved from the session catalog — the passthrough
+    * for Hive-metastore tables (reference: input_utils/hive.py:1-316 builds
+    * the table from a hive cursor by hand; Spark reads the metastore
+    * natively when the session is built with `enableHiveSupport`, so the
+    * sugar here is just name binding into the Context's schema). */
+  def createTableFromCatalog(name: String, catalogTable: String,
+      persist: Boolean = false): Unit =
+    createTable(name, spark.table(catalogTable), persist)
+
   def dropTable(name: String, ifExists: Boolean = false): Unit = {
     val removed = schemas(currentSchema).tables.remove(name.toLowerCase)
     if (removed.isEmpty && !ifExists)
@@ -118,6 +139,40 @@ class Context(val spark: SparkSession) {
   def registerFunction(name: String, f: UserDefinedFunction): Unit =
     spark.udf.register(name, f)
 
+  private val functionOverloads =
+    mutable.Map[String, mutable.ArrayBuffer[(Seq[DataType], UserDefinedFunction)]]()
+
+  /** Register a TYPED OVERLOAD of a SQL function (reference:
+    * context.py:933-983 — repeated `register_function` calls with distinct
+    * parameter lists accumulate; the call site picks by operand types).
+    * Re-registering the same signature replaces it; `replace=true` drops
+    * all previous overloads first. */
+  def registerFunction(name: String, paramTypes: Seq[DataType],
+      f: UserDefinedFunction, replace: Boolean = false): Unit = {
+    val key = name.toLowerCase
+    val list = functionOverloads.getOrElseUpdate(key, mutable.ArrayBuffer())
+    if (replace) list.clear()
+    list.filterInPlace(_._1 != paramTypes)
+    list += ((paramTypes, f))
+    val snapshot = list.toSeq
+    org.apache.spark.sql.GraftBridge.registerFunctionBuilder(spark, key,
+      children => graft.functions.CatalystExprs.OverloadedUdf(key, snapshot, children))
+  }
+
+  /** Register a ROW UDF (reference: context.py:324-413 `row_udf=True`):
+    * the Scala function receives the call's operands packed as one Row, so
+    * `name(a, b, c)` in SQL sees a 3-field Row — for functions whose logic
+    * wants the whole row rather than positional scalars. */
+  def registerRowFunction(name: String, returnType: DataType)(
+      f: org.apache.spark.sql.Row => Any): Unit = {
+    val u = udf(new org.apache.spark.sql.api.java.UDF1[org.apache.spark.sql.Row, Any] {
+      override def call(r: org.apache.spark.sql.Row): Any = f(r)
+    }, returnType)
+    org.apache.spark.sql.GraftBridge.registerFunctionBuilder(spark, name.toLowerCase,
+      children => org.apache.spark.sql.GraftBridge.udfExpression(u,
+        Seq(org.apache.spark.sql.catalyst.expressions.CreateStruct(children))))
+  }
+
   /** Register a typed aggregate (reference: Context.register_aggregation →
     * dd.Aggregation; here an Aggregator via functions.udaf). */
   def registerAggregation[IN, BUF, OUT](
@@ -135,12 +190,24 @@ class Context(val spark: SparkSession) {
     case Passthrough(q) => spark.sql(q)
 
     case CreateTableWith(name, opts, _) =>
-      val location = opts.getOrElse("location",
-        throw new IllegalArgumentException("CREATE TABLE ... WITH requires location="))
-      createTableFromPath(name, location,
-        format = opts.getOrElse("format", "auto"),
-        persist = opts.get("persist").exists(_.toBoolean),
-        options = opts - "location" - "format" - "persist")
+      val persist = opts.get("persist").exists(_.toBoolean)
+      opts.getOrElse("format", "auto").toLowerCase match {
+        case "jdbc" =>
+          createTableFromJdbc(name,
+            opts.getOrElse("url", throw new IllegalArgumentException(
+              "CREATE TABLE ... WITH (format='jdbc') requires url=")),
+            opts.getOrElse("dbtable", name),
+            options = opts - "url" - "dbtable" - "format" - "persist",
+            persist = persist)
+        case "hive" | "catalog" =>
+          createTableFromCatalog(name, opts.getOrElse("table", name), persist)
+        case fmt =>
+          val location = opts.getOrElse("location",
+            throw new IllegalArgumentException("CREATE TABLE ... WITH requires location="))
+          createTableFromPath(name, location, format = fmt,
+            persist = persist,
+            options = opts - "location" - "format" - "persist")
+      }
       emptyResult
 
     case CreateTableAs(name, select, _, isView) =>

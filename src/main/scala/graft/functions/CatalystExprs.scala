@@ -113,6 +113,44 @@ object CatalystExprs {
 
   import org.apache.spark.sql.GraftBridge
 
+  /** Signature-dispatched UDF call (reference: context.py:933-983 keeps a
+    * list of (parameters, return_type) registrations per function name and
+    * picks by operand types). A Column's type is unknown until analysis, so
+    * — like [[SqlDiv]] — the dispatch lives in the plan: RuntimeReplaceable
+    * resolves to the matching overload's ScalaUDF once children are
+    * resolved; operands are cast to the declared parameter types. */
+  case class OverloadedUdf(
+      name: String,
+      overloads: Seq[(Seq[DataType], org.apache.spark.sql.expressions.UserDefinedFunction)],
+      children: Seq[Expression])
+      extends Expression with RuntimeReplaceable {
+    // nullability-insensitive type equality (DataType.sameType is private[sql])
+    private def sameType(a: DataType, b: DataType): Boolean = a.sql == b.sql
+    override lazy val replacement: Expression = {
+      val actual = children.map(_.dataType)
+      val exact = overloads.find { case (pts, _) =>
+        pts.length == actual.length &&
+          pts.zip(actual).forall { case (p, a) => sameType(p, a) }
+      }
+      val chosen = exact.orElse {
+        // a single overload of the right arity accepts implicit casts
+        overloads.filter(_._1.length == actual.length) match {
+          case Seq(only) => Some(only)
+          case _ => None
+        }
+      }.getOrElse(throw new IllegalArgumentException(
+        s"No overload of $name matches (${actual.map(_.sql).mkString(", ")}); " +
+          s"registered: ${overloads.map(_._1.map(_.sql).mkString("(", ", ", ")")).mkString(" ")}"))
+      val (pts, u) = chosen
+      val cast = children.zip(pts).map { case (c, t) =>
+        if (sameType(c.dataType, t)) c else Cast(c, t)
+      }
+      GraftBridge.udfExpression(u, cast)
+    }
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+  }
+
   def minhashSignature(hashes: Column, k: Int): Column =
     GraftBridge.column(MinHashSignature(GraftBridge.expression(hashes), k))
 

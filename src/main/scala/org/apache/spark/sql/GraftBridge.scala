@@ -12,4 +12,35 @@ object GraftBridge {
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
+  /** Build the executable ScalaUDF expression for a UDF invocation — the
+    * converter the analyzer normally applies to Column-API UDF calls.
+    * Needed when a UDF is injected into the plan AFTER analysis (e.g. from
+    * a RuntimeReplaceable replacement): the Column-node form would stay
+    * unevaluable. */
+  def udfExpression(u: org.apache.spark.sql.expressions.UserDefinedFunction,
+      children: Seq[Expression]): Expression = u match {
+    case s: org.apache.spark.sql.expressions.SparkUserDefinedFunction =>
+      // drop the input/output encoders: the analyzer rule that resolves
+      // them (ResolveEncodersInUDF) has already run by the time this
+      // expression enters the plan, so an encoder-carrying ScalaUDF would
+      // fail to decode its inputs. Without encoders ScalaUDF converts
+      // scalar SQL types via CatalystTypeConverters, which is exactly the
+      // contract of a type-dispatched SQL function.
+      org.apache.spark.sql.classic.UserDefinedFunctionUtils.toScalaUDF(s, children)
+        .copy(inputEncoders = Nil, outputEncoder = None)
+    case other => throw new IllegalArgumentException(
+      s"Unsupported UserDefinedFunction implementation: ${other.getClass}")
+  }
+
+  /** Register a temp SQL function by expression-builder — the hook Spark's
+    * own registration sugar sits on, needed for signature-dispatched
+    * overloads (plain `spark.udf.register` holds ONE function per name). */
+  def registerFunctionBuilder(spark: SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit = {
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
+    ()
+  }
 }

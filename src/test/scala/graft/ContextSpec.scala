@@ -184,6 +184,58 @@ class ContextSpec extends AnyFunSuite {
     ctx.sql("DROP MODEL tuned")
   }
 
+  test("JDBC source round-trips through embedded Derby") {
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute("DROP TABLE people") catch { case _: Exception => () }
+      st.execute("CREATE TABLE people(id INT, name VARCHAR(20))")
+      st.execute("INSERT INTO people VALUES (1,'ada'), (2,'bob'), (3,'cyd')")
+      st.close()
+    } finally conn.close()
+    ctx.createTableFromJdbc("people", url, "people")
+    assert(ctx.sql("SELECT count(*) AS n FROM people").head().getLong(0) == 3)
+    // and via the SQL surface
+    ctx.sql(s"CREATE TABLE people2 WITH (format = 'jdbc', url = '$url', dbtable = 'people')")
+    assert(ctx.sql("SELECT max(id) AS m FROM people2").head().getInt(0) == 3)
+    ctx.sql("DROP TABLE people")
+    ctx.sql("DROP TABLE people2")
+  }
+
+  test("catalog passthrough binds catalog (hive-style) tables") {
+    spark.sql("DROP TABLE IF EXISTS cat_seed")
+    spark.sql("CREATE TABLE cat_seed USING parquet AS SELECT 1 AS x UNION ALL SELECT 2 AS x")
+    try {
+      ctx.createTableFromCatalog("cat_t", "cat_seed")
+      assert(ctx.sql("SELECT sum(x) AS s FROM cat_t").head().getLong(0) == 3)
+      ctx.sql("CREATE TABLE cat_t2 WITH (format = 'catalog', table = 'cat_seed')")
+      assert(ctx.sql("SELECT count(*) AS n FROM cat_t2").head().getLong(0) == 2)
+      ctx.sql("DROP TABLE cat_t")
+      ctx.sql("DROP TABLE cat_t2")
+    } finally spark.sql("DROP TABLE cat_seed")
+  }
+
+  test("typed function overloads dispatch on operand types") {
+    import org.apache.spark.sql.types.{IntegerType, StringType}
+    ctx.registerFunction("twice", Seq(IntegerType), udf((i: Int) => i * 2))
+    ctx.registerFunction("twice", Seq(StringType), udf((s: String) => s + s))
+    val r = ctx.sql("SELECT twice(21) AS a, twice('ab') AS b").head()
+    assert(r.getInt(0) == 42 && r.getString(1) == "abab")
+    intercept[Exception] { ctx.sql("SELECT twice(1, 2)").collect() } // no arity-2
+  }
+
+  test("row UDF receives operands as one packed Row") {
+    import org.apache.spark.sql.types.StringType
+    ctx.registerRowFunction("rowcat", StringType) { r =>
+      (0 until r.length).map(i => String.valueOf(r.get(i))).mkString("-")
+    }
+    val out = ctx.sql(
+      """SELECT rowcat(l_orderkey, l_linenumber) AS k FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber LIMIT 1""".stripMargin).head().getString(0)
+    assert(out.matches("\\d+-\\d+"))
+  }
+
   test("CREATE EXPERIMENT accepts a custom tune_parameters grid") {
     val res = ctx.sql("""CREATE OR REPLACE EXPERIMENT exp_custom WITH (
         model_class = 'LinearRegression', target_column = 'l_quantity',
