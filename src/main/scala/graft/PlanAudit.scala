@@ -8,7 +8,8 @@ object PlanAudit {
       .config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.01"
-    for (name <- Seq("q01_tpch_q1","q02_scan_pushdown","q54_star_join","q22_sort_topk","p06_sim_topk")) {
+    for (name <- Seq("q01_tpch_q1","q02_scan_pushdown","q54_star_join","q22_sort_topk",
+        "p06_sim_topk","p04b_dedup_ngram_banded","p05b_dedup_embedding_lsh")) {
       println(s"===== $name =====")
       val df = SparkEntry.queries(name)(spark, sf)
       println(df.queryExecution.executedPlan.toString.take(4000))
