@@ -67,6 +67,52 @@ object TextAnalysis {
     round(lenScore * 0.5 + stopScore * 0.3 + (lit(1.0) - punctPenalty) * 0.2, 6)
   }
 
+  /** Mean whitespace-token length. */
+  def meanWordLength(text: Column): Column =
+    aggregate(transform(tokens(text), tk => length(tk).cast("bigint")),
+      lit(0L), (acc, l) => acc + l).cast("double") /
+      greatest(size(tokens(text)), lit(1)).cast("double")
+
+  /** Distinct-token fraction — the cheap repetition signal (heavily
+    * repeated boilerplate scores low). */
+  def uniqueWordRatio(text: Column): Column =
+    size(array_distinct(tokens(text))).cast("double") /
+      greatest(size(tokens(text)), lit(1)).cast("double")
+
+  /** Fraction of characters outside [a-z0-9 ] after lowercasing. */
+  def symbolRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(lower(text), "[^a-z0-9 ]", "")))
+      .cast("double") / greatest(length(text), lit(1)).cast("double")
+
+  /** Gopher-style hard filter rules (word-count window, mean-word-length
+    * window, repetition cap, symbol cap) — the standard pre-training
+    * document gate; thresholds are the usual published defaults scaled to
+    * this corpus. */
+  def gopherPass(text: Column,
+      minWords: Int = 5, maxWords: Int = 100000,
+      minMeanLen: Double = 2.0, maxMeanLen: Double = 12.0,
+      minUniqueRatio: Double = 0.1, maxSymbolRatio: Double = 0.2): Column = {
+    val n = size(tokens(text))
+    (n >= minWords) && (n <= maxWords) &&
+      (meanWordLength(text) >= minMeanLen) && (meanWordLength(text) <= maxMeanLen) &&
+      (uniqueWordRatio(text) >= minUniqueRatio) &&
+      (symbolRatio(text) <= maxSymbolRatio)
+  }
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Count of email-shaped / IPv4-shaped substrings. */
+  def emailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("bigint")
+  def ipv4Count(text: Column): Column =
+    size(regexp_extract_all(text, lit(Ipv4Re), lit(0))).cast("bigint")
+
+  /** PII scrub: emails → [EMAIL], IPv4s → [IP] (emails first so the
+    * host part of an address is not half-redacted as an IP). */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "[EMAIL]"), Ipv4Re, "[IP]")
+
   /** Content fingerprint of whitespace-normalized lowercase text (md5 —
     * reproducible in any engine). */
   def fingerprint(text: Column): Column =

@@ -293,6 +293,111 @@ object Pipeline {
         .orderBy("media_id")
     },
 
+    // Gopher-style hard quality gates: word-count window, mean word length,
+    // distinct-token (repetition) ratio, symbol ratio — the standard
+    // pre-training document filter, every signal oracle-reproducible.
+    // pass is computed on UNROUNDED signals in both engines.
+    Q("p15_quality_rules", Some("""
+      WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words, text FROM documents),
+      sig AS (
+        SELECT doc_id,
+          len(words) AS n_words,
+          CAST(list_sum(list_transform(words, t -> length(t))) AS DOUBLE)
+            / greatest(len(words), 1) AS mean_raw,
+          CAST(len(list_distinct(words)) AS DOUBLE) / greatest(len(words), 1) AS uniq_raw,
+          CAST(length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+            / greatest(length(text), 1) AS sym_raw
+        FROM w)
+      SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+             round(mean_raw, 6) AS mean_word_len,
+             round(uniq_raw, 6) AS uniq_ratio,
+             round(sym_raw, 6) AS symbol_ratio,
+             (n_words BETWEEN 5 AND 100000) AND (mean_raw BETWEEN 2.0 AND 12.0)
+               AND uniq_raw >= 0.1 AND sym_raw <= 0.2 AS pass
+      FROM sig ORDER BY doc_id""")) { (s, d) =>
+      // tokens + raw signals materialized as ATTRIBUTES step by step — the
+      // single-column TextAnalysis helpers are the API form; inlining them
+      // here would re-split the text once per signal reference
+      val w = t(s, d, "documents").select(col("doc_id"), col("text"),
+        split(lower(col("text")), " ").as("words"))
+      val nWords = size(col("words"))
+      val sig = w.select(col("doc_id"),
+        nWords.cast("bigint").as("n_words"),
+        (aggregate(transform(col("words"), tk => length(tk).cast("bigint")),
+          lit(0L), (a, l) => a + l).cast("double") /
+          greatest(nWords, lit(1)).cast("double")).as("mean_raw"),
+        (size(array_distinct(col("words"))).cast("double") /
+          greatest(nWords, lit(1)).cast("double")).as("uniq_raw"),
+        ((length(col("text")) - length(regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")))
+          .cast("double") / greatest(length(col("text")), lit(1)).cast("double")).as("sym_raw"))
+      sig.select(col("doc_id"), col("n_words"),
+        round(col("mean_raw"), 6).as("mean_word_len"),
+        round(col("uniq_raw"), 6).as("uniq_ratio"),
+        round(col("sym_raw"), 6).as("symbol_ratio"),
+        (col("n_words").between(5, 100000) && col("mean_raw").between(2.0, 12.0) &&
+          col("uniq_raw") >= 0.1 && col("sym_raw") <= 0.2).as("pass"))
+        .orderBy("doc_id")
+    },
+
+    // PII redaction: emails → [EMAIL], IPv4 → [IP]. The corpus is synthetic
+    // word soup, so deterministic per-row PII is injected IN-QUERY on both
+    // sides — the redaction path actually fires on every row and the
+    // oracle reproduces it exactly.
+    Q("p16_pii_redact", Some("""
+      WITH inj AS (
+        SELECT doc_id,
+               text || ' contact u' || doc_id || '@example.com from 10.0.0.' || (doc_id % 255) AS t
+        FROM documents)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+             regexp_replace(regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS redacted
+      FROM inj ORDER BY doc_id""")) { (s, d) =>
+      val injected = concat(col("text"), lit(" contact u"),
+        col("doc_id").cast("string"), lit("@example.com from 10.0.0."),
+        pmod(col("doc_id"), lit(255)).cast("string"))
+      t(s, d, "documents").select(
+        col("doc_id"),
+        TextAnalysis.emailCount(injected).as("n_emails"),
+        TextAnalysis.ipv4Count(injected).as("n_ips"),
+        TextAnalysis.redactPii(injected).as("redacted"))
+        .orderBy("doc_id")
+    },
+
+    // Corpus vocabulary: global token frequencies, top-50 — the
+    // tokenizer-training / vocab-building aggregation (explode → one
+    // shuffled count → TakeOrdered top-k, no driver-side loops)
+    Q("p17_vocab", Some("""
+      SELECT w, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+      GROUP BY w ORDER BY n DESC, w LIMIT 50""")) { (s, d) =>
+      t(s, d, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w")).limit(50)
+    },
+
+    // Embedding hygiene: L2-normalize, then per-label centroid —
+    // the per-cluster statistics pass of an embedding pipeline (posexplode
+    // over dims → one shuffle on (label, dim))
+    Q("p19_embedding_centroid", Some("""
+      WITH v AS (SELECT label, embedding::DOUBLE[] AS e FROM embeddings),
+      n AS (SELECT label, [x / sqrt(list_dot_product(e, e)) for x in e] AS u FROM v),
+      x AS (SELECT label, generate_subscripts(u, 1) - 1 AS dim, unnest(u) AS xv FROM n)
+      SELECT label, CAST(dim AS BIGINT) AS dim, round(avg(xv), 6) AS c
+      FROM x GROUP BY label, dim ORDER BY label, dim""")) { (s, d) =>
+      t(s, d, "embeddings")
+        .select(col("label"), Similarity.asDouble(col("embedding")).as("e"))
+        .withColumn("nrm", Similarity.norm(col("e")))
+        .select(col("label"), transform(col("e"), x => x / col("nrm")).as("u"))
+        .select(col("label"), posexplode(col("u")).as(Seq("dim", "xv")))
+        .groupBy(col("label"), col("dim").cast("bigint").as("dim"))
+        .agg(round(avg("xv"), 6).as("c"))
+        .orderBy("label", "dim")
+    },
+
     // As-of join: each event picks up the customer's most recent order at
     // or before the event time (oracle: DuckDB's native ASOF LEFT JOIN;
     // right side deduped per (key, time) for the determinism contract)

@@ -52,6 +52,44 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(scores(0) > scores(1))
   }
 
+  test("gopher signals and pass rules behave on crafted docs") {
+    import graft.functions.TextAnalysis
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again today"), // clean
+      (2L, "spam spam spam spam spam spam spam spam spam spam"),       // repetitive
+      (3L, "a b c d e f g h i j"),                                     // tiny words
+      (4L, "!!! ### $$$ %%% ^^^ &&& *** ((( ))) ___")                  // symbols
+    ).toDF("doc_id", "text")
+    val out = docs.select($"doc_id",
+      TextAnalysis.uniqueWordRatio($"text").as("u"),
+      TextAnalysis.meanWordLength($"text").as("m"),
+      TextAnalysis.symbolRatio($"text").as("s"),
+      TextAnalysis.gopherPass($"text").as("p"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(4))                       // clean doc passes
+    assert(out(2L).getDouble(1) == 0.1)                 // 1 distinct / 10
+    assert(math.abs(out(3L).getDouble(2) - 1.0) < 1e-12) // mean word len 1
+    assert(!out(3L).getBoolean(4) && !out(4L).getBoolean(4))
+    assert(out(4L).getDouble(3) > 0.5)                  // symbol-heavy
+  }
+
+  test("PII redaction replaces emails and IPv4s, counts match") {
+    import graft.functions.TextAnalysis
+    val df = Seq(
+      "mail me at jane.doe+x@sub.example.org or ping 192.168.1.17 thanks",
+      "no pii here at all",
+      "two mails a@b.io c@d.co and ip 8.8.8.8").toDF("t")
+    val out = df.select(
+      TextAnalysis.redactPii($"t").as("r"),
+      TextAnalysis.emailCount($"t").as("e"),
+      TextAnalysis.ipv4Count($"t").as("i")).collect()
+    assert(out(0).getString(0) == "mail me at [EMAIL] or ping [IP] thanks")
+    assert(out(0).getLong(1) == 1 && out(0).getLong(2) == 1)
+    assert(out(1).getString(0) == "no pii here at all")
+    assert(out(2).getLong(1) == 2 && out(2).getLong(2) == 1)
+    assert(out(2).getString(0).contains("[EMAIL] [EMAIL]"))
+  }
+
   test("similarToRegex transpiles SQL wildcards, keeps regex subset, quotes literals") {
     assert(SqlCompat.similarToRegex("(ECONOMY|SMALL)%") == "(ECONOMY|SMALL).*")
     assert(SqlCompat.similarToRegex("a_c") == "a.c")
