@@ -105,6 +105,25 @@ class Context(val spark: SparkSession) {
     if (removed.nonEmpty) spark.catalog.dropTempView(name.toLowerCase)
   }
 
+  /** Persist a DataFrame as a BUCKETED catalog table and bind it into the
+    * current schema — the 100 TB co-location primitive: two tables
+    * bucketed on the same key with the same bucket count join WITHOUT a
+    * shuffle (no Exchange in the plan; verified in ContextSpec). The
+    * reference has no analogue — Dask cannot pre-bucket storage — which
+    * is exactly why large joins there always repartition.
+    */
+  def createBucketedTable(name: String, df: DataFrame, nBuckets: Int,
+      bucketCols: Seq[String], sortCols: Seq[String] = Nil,
+      format: String = "parquet"): Unit = {
+    require(bucketCols.nonEmpty, "createBucketedTable requires bucket columns")
+    spark.sql(s"DROP TABLE IF EXISTS ${name.toLowerCase}")
+    val w0 = df.write.format(format).mode("overwrite")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+    val w = if (sortCols.nonEmpty) w0.sortBy(sortCols.head, sortCols.tail: _*) else w0
+    w.saveAsTable(name.toLowerCase)
+    createTableFromCatalog(name, name.toLowerCase)
+  }
+
   /** Rename a table in the current schema (reference: context.alter_table,
     * physical/rel/custom/alter.py:47 — rename-only semantics). */
   def alterTable(oldName: String, newName: String, ifExists: Boolean = false): Unit = {

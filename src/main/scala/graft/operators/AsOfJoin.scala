@@ -20,10 +20,10 @@ import org.apache.spark.sql.functions._
   *
   * Skew caveat: the running-last is a WINDOW partitioned by key, and AQE
   * splits skewed shuffle-join partitions but NOT skewed window partitions —
-  * one pathologically hot key lands in one task. If a workload has such a
-  * key, pre-split it by a time-range sub-bucket (bucket the window by
-  * (key, month), carry the last row of each bucket forward) — not done
-  * here because it doubles the shuffle for the common non-degenerate case.
+  * one pathologically hot key lands in one task. For workloads with such a
+  * key use [[asofBackwardBucketed]], which splits the window by
+  * (key, time-bucket) and carries bucket boundaries forward, at the cost
+  * of extra shuffles in the common non-degenerate case.
   */
 object AsOfJoin {
 
@@ -59,6 +59,66 @@ object AsOfJoin {
     val w = Window.partitionBy("_k").orderBy(col("_t"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
+      .withColumn("_match", last(col("_rpay"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(leftCols.map(c => col("_lrow").getField(c).as(c)) ++
+        payload.map(c => col("_match").getField(c).as(c)): _*)
+  }
+
+  /** Skew-hardened as-of: identical semantics to [[asofBackward]], with
+    * the running-last window partitioned by (key, time-bucket) instead of
+    * key alone — a pathologically hot key is split across its time buckets
+    * rather than landing in one task (AQE splits skewed JOIN partitions
+    * but not skewed WINDOW partitions).
+    *
+    * Mechanics: rights are aggregated to a per-(key, bucket) last payload
+    * (one narrow map-side-combining agg); a per-key bucket-timeline window
+    * (tiny partitions — #buckets per key) carries the last payload of all
+    * STRICTLY-earlier buckets into each bucket as a synthetic right row
+    * sorting before everything in it; then the plain in-bucket running
+    * last. Trade-off: ~3 shuffles vs 1 — use when a hot key is expected,
+    * [[asofBackward]] otherwise.
+    */
+  def asofBackwardBucketed(
+      left: DataFrame, right: DataFrame,
+      byLeft: String, byRight: String,
+      timeLeft: String, timeRight: String,
+      payload: Seq[String],
+      bucket: Column => Column = date_trunc("month", _)): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left.select(
+      col(byLeft).as("_k"), col(timeLeft).cast("timestamp").as("_t"),
+      lit(1).as("_side"),
+      struct(leftCols.map(col): _*).as("_lrow"),
+      lit(null).cast(structTypeOf(right, payload)).as("_rpay"))
+    val r = right.select(
+      col(byRight).as("_k"), col(timeRight).cast("timestamp").as("_t"),
+      lit(0).as("_side"),
+      lit(null).cast(structTypeOf(left, leftCols)).as("_lrow"),
+      struct(payload.map(col): _*).as("_rpay"))
+    val u = l.unionByName(r).withColumn("_b", bucket(col("_t")))
+
+    // last right payload per (key, bucket); rights tied on (key, time) are
+    // pre-deduplicated by the caller (same contract as asofBackward)
+    val perBucket = u.filter(col("_side") === 0)
+      .groupBy("_k", "_b").agg(max_by(col("_rpay"), col("_t")).as("_last"))
+    // per-key bucket timeline: carry the last payload of earlier buckets
+    val wCarry = Window.partitionBy("_k").orderBy("_b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carried = u.select("_k", "_b").distinct()
+      .join(perBucket, Seq("_k", "_b"), "left")
+      .withColumn("_carry", last(col("_last"), ignoreNulls = true).over(wCarry))
+      .filter(col("_carry").isNotNull)
+      .select(col("_k"), lit(null).cast("timestamp").as("_t"),
+        lit(0).as("_side"),
+        lit(null).cast(structTypeOf(left, leftCols)).as("_lrow"),
+        col("_carry").as("_rpay"), col("_b"))
+
+    // in-bucket running last; the carried row (_t null) sorts first
+    val w = Window.partitionBy("_k", "_b")
+      .orderBy(col("_t").asc_nulls_first, col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.unionByName(carried)
       .withColumn("_match", last(col("_rpay"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
       .select(leftCols.map(c => col("_lrow").getField(c).as(c)) ++

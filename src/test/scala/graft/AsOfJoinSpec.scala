@@ -33,6 +33,23 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out(5L).isEmpty)
   }
 
+  test("bucketed (skew-hardened) as-of equals the single-window form") {
+    import org.apache.spark.sql.functions._
+    val l = Tables.t(spark, TestSpark.sf, "events")
+      .select("event_id", "user_id", "ts")
+    val r = Tables.t(spark, TestSpark.sf, "orders")
+      .groupBy("o_custkey", "o_orderdate")
+      .agg(max("o_orderkey").as("o_orderkey"))
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(x => (x.getLong(0), Option(x.get(3)))).toMap
+    val plain = key(AsOfJoin.asofBackward(l, r, "user_id", "o_custkey",
+      "ts", "o_orderdate", Seq("o_orderkey")))
+    // buckets far smaller than the time span, so carries actually happen
+    val bucketed = key(AsOfJoin.asofBackwardBucketed(l, r, "user_id", "o_custkey",
+      "ts", "o_orderdate", Seq("o_orderkey"), bucket = date_trunc("week", _)))
+    assert(bucketed == plain)
+  }
+
   test("asofBackward preserves every left row exactly once") {
     val l = Tables.t(spark, TestSpark.sf, "events")
       .select("event_id", "user_id", "ts")

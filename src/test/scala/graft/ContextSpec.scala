@@ -216,6 +216,31 @@ class ContextSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE cat_seed")
   }
 
+  test("co-bucketed tables join with NO shuffle (the 100 TB co-location path)") {
+    val li = Tables.t(spark, TestSpark.sf, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val ord = Tables.t(spark, TestSpark.sf, "orders")
+      .select("o_orderkey", "o_totalprice")
+    ctx.createBucketedTable("li_b", li, 8, Seq("l_orderkey"), Seq("l_orderkey"))
+    ctx.createBucketedTable("ord_b", ord, 8, Seq("o_orderkey"), Seq("o_orderkey"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = ctx.sql(
+        """SELECT l_orderkey, sum(l_quantity * o_totalprice) AS v
+          |FROM li_b JOIN ord_b ON l_orderkey = o_orderkey
+          |GROUP BY l_orderkey""".stripMargin)
+      assert(joined.count() > 0)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed join must not shuffle:\n${plan.take(2000)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      ctx.sql("DROP TABLE li_b"); ctx.sql("DROP TABLE ord_b")
+      spark.sql("DROP TABLE IF EXISTS li_b"); spark.sql("DROP TABLE IF EXISTS ord_b")
+    }
+  }
+
   test("typed function overloads dispatch on operand types") {
     import org.apache.spark.sql.types.{IntegerType, StringType}
     ctx.registerFunction("twice", Seq(IntegerType), udf((i: Int) => i * 2))
