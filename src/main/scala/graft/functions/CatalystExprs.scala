@@ -64,6 +64,53 @@ object CatalystExprs {
     override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
   }
 
+  /** MinHash signature + LSH banding fused into ONE node: returns the
+    * `bands` band-bucket hashes directly (band b mixes minima
+    * [b*r, (b+1)*r)). Replaces signature projection + per-band
+    * slice/xxhash64 trees — the wide banding projection was the largest
+    * single whole-stage-codegen compile in the dedup pipeline, and a
+    * cold session pays that compile on the benched path. Grouping
+    * semantics are unchanged: two docs share a (band, hash) bucket iff
+    * their per-band minima agree (mixing collisions negligible). */
+  case class MinHashBandHashes(child: Expression, numHashes: Int, bands: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+
+    private lazy val as: Array[Long] = Array.tabulate(numHashes)(permA)
+    private lazy val bs: Array[Long] = Array.tabulate(numHashes)(permB)
+    private val r = numHashes / bands
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val mins = new Array[Long](numHashes)
+      java.util.Arrays.fill(mins, Long.MaxValue)
+      var i = 0
+      while (i < n) {
+        val h = ((arr.getLong(i) % MinhashPrime) + MinhashPrime) % MinhashPrime
+        var k = 0
+        while (k < numHashes) {
+          val v = (h * as(k) + bs(k)) % MinhashPrime
+          if (v < mins(k)) mins(k) = v
+          k += 1
+        }
+        i += 1
+      }
+      val out = new Array[Long](bands)
+      var b = 0
+      while (b < bands) {
+        var h = (b + 1).toLong * 0x9E3779B97F4A7C15L
+        var j = b * r
+        while (j < (b + 1) * r) { h = mix64(h ^ mins(j)); j += 1 }
+        out(b) = h
+        b += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): MinHashBandHashes = copy(child = c)
+  }
+
   /** 64-bit SimHash of an array<long> of token hashes: bit j set iff the
     * majority of hashes have bit j set. */
   case class SimHash64(child: Expression)
@@ -156,6 +203,9 @@ object CatalystExprs {
 
   def simhash64(hashes: Column): Column =
     GraftBridge.column(SimHash64(GraftBridge.expression(hashes)))
+
+  def minhashBandHashes(hashes: Column, numHashes: Int, bands: Int): Column =
+    GraftBridge.column(MinHashBandHashes(GraftBridge.expression(hashes), numHashes, bands))
 
   def sqlDiv(a: Column, b: Column): Column =
     GraftBridge.column(SqlDiv(GraftBridge.expression(a), GraftBridge.expression(b)))

@@ -196,15 +196,12 @@ object TextDedup {
   private def bandedPairs(
       sh: DataFrame, numHashes: Int, bands: Int,
       threshold: Double, maxBucket: Int, simName: String): DataFrame = {
-    val r = numHashes / bands
-    val sig = sh.select(col("doc_id"),
-      minhashSignatureFromHashes(col("shingles"), numHashes).as("sig"))
-
-    // (band, bandHash) per doc; slice is 1-based
-    val banded = sig.select(col("doc_id"), explode(array((0 until bands).map { b =>
-      struct(lit(b).as("band"), xxhash64(lit(b), slice(col("sig"), b * r + 1, r)).as("bh"))
-    }: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    // (band, bandHash) per doc — signature + banding fused into one node
+    // (the unfused form's 16 × xxhash64(slice(sig)) projection was the
+    // pipeline's largest codegen compile; see CatalystExprs)
+    val banded = sh.select(col("doc_id"),
+      posexplode(graft.functions.CatalystExprs.minhashBandHashes(
+        col("shingles"), numHashes, bands)).as(Seq("band", "bh")))
 
     // One shuffle on (band, bandHash) groups each bucket; pairs expand
     // IN-bucket via array combinatorics.
