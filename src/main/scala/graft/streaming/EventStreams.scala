@@ -27,6 +27,32 @@ object EventStreams {
     spark.readStream.schema(eventsSchema).parquet(dir)
       .withColumn("ts", timestamp_micros(expr("CAST(ts DIV 1000 AS BIGINT)")))
 
+  /** State-BOUNDED streaming dedup: `dropDuplicatesWithinWatermark` keeps
+    * a key's state only while a duplicate could still arrive (inside the
+    * watermark) and purges it after — the only dedup shape whose state
+    * doesn't grow without bound on an infinite stream. Plain
+    * `dropDuplicates` on a stream retains every key forever. */
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "1 hour",
+      keys: Seq[String] = Seq("event_id")): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /** Stream-stream interval self-join: each event paired with the same
+    * user's OTHER events in the preceding `lookback`. Both sides carry
+    * watermarks and the join condition bounds event time on both ends, so
+    * Spark can purge join state — the canonical bounded-state
+    * stream-stream join (no analogue in the reference). */
+  def recentPairs(events: DataFrame, lookback: String = "1 hour"): DataFrame = {
+    val l = events.select(col("event_id").as("l_id"), col("user_id").as("l_user"),
+      col("ts").as("l_ts")).withWatermark("l_ts", lookback)
+    val r = events.select(col("event_id").as("r_id"), col("user_id").as("r_user"),
+      col("ts").as("r_ts")).withWatermark("r_ts", lookback)
+    l.join(r, expr(
+      s"""l_user = r_user AND l_id != r_id
+         |AND r_ts >= l_ts - INTERVAL $lookback AND r_ts <= l_ts""".stripMargin))
+      .select(col("l_id"), col("r_id"), col("l_user").as("user_id"))
+  }
+
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class UserRunState(n: Long, total: Double, maxValue: Double)
   final case class UserSnapshot(user_id: Long, n: Long, total: Double,

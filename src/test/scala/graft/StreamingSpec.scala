@@ -87,4 +87,64 @@ class StreamingSpec extends AnyFunSuite {
       .select("event_id").distinct().count()
     assert(n == distinctBatch)
   }
+
+  test("state-bounded dedupWithinWatermark emits each key once on this data") {
+    val q = graft.streaming.EventStreams
+      .dedupWithinWatermark(streamingEvents, "1 hour", Seq("event_id"))
+      .writeStream.format("memory").queryName("stream_dedup_wm")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val n = spark.table("stream_dedup_wm").count()
+    val distinctBatch = Tables.t(spark, TestSpark.sf, "events")
+      .select("event_id").distinct().count()
+    assert(n == distinctBatch)
+  }
+
+  test("stream-stream interval self-join equals the batch interval join") {
+    val q = graft.streaming.EventStreams.recentPairs(streamingEvents, "30 minutes")
+      .writeStream.format("memory").queryName("stream_pairs")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("stream_pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val ev = Tables.t(spark, TestSpark.sf, "events")
+    val l = ev.select(col("event_id").as("l_id"), col("user_id").as("l_user"),
+      col("ts").as("l_ts"))
+    val r = ev.select(col("event_id").as("r_id"), col("user_id").as("r_user"),
+      col("ts").as("r_ts"))
+    val batch = l.join(r, expr(
+        """l_user = r_user AND l_id != r_id
+          |AND r_ts >= l_ts - INTERVAL 30 minutes AND r_ts <= l_ts""".stripMargin))
+      .select("l_id", "r_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  test("parquet file sink round-trips with a checkpoint") {
+    val outDir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val q = streamingEvents
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // append mode only emits windows the watermark has closed; the last
+    // open window is withheld, so compare against the closed subset
+    val written = spark.read.parquet(outDir)
+    assert(written.columns.sameElements(Array("ws", "event_type", "n")))
+    val maxTs = Tables.t(spark, TestSpark.sf, "events")
+      .agg(max("ts")).head().getTimestamp(0)
+    val batchClosed = Tables.t(spark, TestSpark.sf, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("window.end").as("we"), col("n"))
+      .filter(col("we") <= new java.sql.Timestamp(maxTs.getTime - 3600 * 1000))
+    assert(written.count() == batchClosed.count())
+  }
 }
