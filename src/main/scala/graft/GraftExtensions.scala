@@ -48,7 +48,46 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => RLike(exprs.head,
         Literal(UTF8String.fromString(
           "^(?:" + SqlCompat.similarToRegex(stringArg(exprs(1), "pattern")) + ")$"),
-          org.apache.spark.sql.types.StringType))))
+          org.apache.spark.sql.types.StringType))),
+
+    (new FunctionIdentifier("minhash_band_hashes"),
+      new ExpressionInfo(classOf[CatalystExprs.MinHashBandHashes].getName, "minhash_band_hashes"),
+      (exprs: Seq[Expression]) =>
+        CatalystExprs.MinHashBandHashes(exprs.head,
+          if (exprs.size > 1) intArg(exprs(1), "numHashes") else 64,
+          if (exprs.size > 2) intArg(exprs(2), "bands") else 16)),
+
+    // text-pipeline scalar surface (Column impls in TextAnalysis), exposed
+    // to SQL by converting the Column composition through the bridge
+    (new FunctionIdentifier("lang_id"),
+      new ExpressionInfo("graft.functions.TextAnalysis", "lang_id"),
+      (exprs: Seq[Expression]) => colFn(exprs, 1) { cols =>
+        graft.functions.TextAnalysis.langId(cols.head) }),
+
+    (new FunctionIdentifier("quality_score"),
+      new ExpressionInfo("graft.functions.TextAnalysis", "quality_score"),
+      (exprs: Seq[Expression]) => colFn(exprs, 1) { cols =>
+        graft.functions.TextAnalysis.qualityScore(cols.head) }),
+
+    (new FunctionIdentifier("gopher_pass"),
+      new ExpressionInfo("graft.functions.TextAnalysis", "gopher_pass"),
+      (exprs: Seq[Expression]) => colFn(exprs, 1) { cols =>
+        graft.functions.TextAnalysis.gopherPass(cols.head) }),
+
+    (new FunctionIdentifier("redact_pii"),
+      new ExpressionInfo("graft.functions.TextAnalysis", "redact_pii"),
+      (exprs: Seq[Expression]) => colFn(exprs, 1) { cols =>
+        graft.functions.TextAnalysis.redactPii(cols.head) }))
+
+  /** Adapt a Column-combinator function to the expression-builder shape
+    * (eager node→expression conversion — a lazily-wrapped Column node
+    * injected mid-analysis would stay unevaluable). */
+  private def colFn(exprs: Seq[Expression], arity: Int)(
+      f: Seq[org.apache.spark.sql.Column] => org.apache.spark.sql.Column): Expression = {
+    require(exprs.length == arity, s"expected $arity argument(s), got ${exprs.length}")
+    org.apache.spark.sql.GraftBridge.catalystExpression(
+      f(exprs.map(org.apache.spark.sql.GraftBridge.column)))
+  }
 
   /** Register every function on an already-built session. */
   def register(spark: SparkSession): Unit =

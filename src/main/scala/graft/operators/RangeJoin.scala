@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Range (point-in-interval) join — with as-of, the classic operator
+  * relational engines express only as a quadratic theta join
+  * (BroadcastNestedLoopJoin / cartesian + filter).
+  *
+  * Scale path: BINNING. Pick a bin width w; every interval [lo, hi]
+  * replicates into its covered bins (⌈(hi-lo)/w⌉+1 rows), every point maps
+  * to ⌊p/w⌋ — the join becomes an EQUI-join on the bin id (one hash
+  * shuffle) plus a residual `BETWEEN` filter. Interval duplication is
+  * bounded by avg_interval_length/w + 1, so w tunes replication vs bucket
+  * width exactly like LSH banding tunes recall vs bucket size.
+  *
+  * Composed entirely from built-ins (explode + sequence + equi-join):
+  * preference (a) of the custom-operator ladder — Catalyst/AQE still
+  * handle skew and join strategy for the inner equi-join.
+  */
+object RangeJoin {
+
+  /** Join `points` to every interval of `intervals` containing the point:
+    * pointCol ∈ [loCol, hiCol] (inclusive ends; make `hiCol` exclusive by
+    * subtracting an epsilon upstream or filtering after).
+    *
+    * @param binWidth bin size in the point/interval value units — pick
+    *                 ~the typical interval length
+    * @param extraKey optional additional equality key (leftCol, rightCol)
+    */
+  def pointInInterval(
+      points: DataFrame, intervals: DataFrame,
+      pointCol: String, loCol: String, hiCol: String,
+      binWidth: Double,
+      extraKey: Option[(String, String)] = None): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val p = points.withColumn("_bin",
+      floor(col(pointCol) / binWidth).cast("long"))
+    val i = intervals.withColumn("_bin", explode(sequence(
+      floor(col(loCol) / binWidth).cast("long"),
+      floor(col(hiCol) / binWidth).cast("long"))))
+    val residual: Column =
+      col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol)
+    val cond = extraKey match {
+      case Some((lk, rk)) => residual && col(lk) === col(rk)
+      case None => residual
+    }
+    p.join(i, Seq("_bin")).filter(cond).drop("_bin")
+  }
+}

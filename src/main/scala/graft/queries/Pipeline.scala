@@ -398,6 +398,26 @@ object Pipeline {
         .orderBy("label", "dim")
     },
 
+    // Range (point-in-interval) join via binning: overlapping price bands ×
+    // orders becomes an EQUI-join on the bin id + residual BETWEEN — no
+    // nested-loop over the corpus (asserted in RangeJoinSpec). Oracle =
+    // the plain theta join.
+    Q("p20_range_join", Some("""
+      WITH bands AS (SELECT i AS band, i*25000.0 AS lo, i*25000.0+50000.0 AS hi
+                     FROM range(0, 24) t(i))
+      SELECT band, CAST(count(*) AS BIGINT) AS n, round(sum(o_totalprice), 2) AS s
+      FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice <= hi
+      GROUP BY band ORDER BY band""")) { (s, d) =>
+      val bands = s.range(0, 24).select(col("id").as("band"),
+        (col("id") * 25000.0).as("lo"), (col("id") * 25000.0 + 50000.0).as("hi"))
+      val pts = t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      graft.operators.RangeJoin.pointInInterval(
+          pts, bands, "o_totalprice", "lo", "hi", binWidth = 25000.0)
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("s"))
+        .orderBy("band")
+    },
+
     // As-of join: each event picks up the customer's most recent order at
     // or before the event time (oracle: DuckDB's native ASOF LEFT JOIN;
     // right side deduped per (key, time) for the determinism contract)

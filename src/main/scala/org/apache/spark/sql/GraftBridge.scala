@@ -13,6 +13,15 @@ object GraftBridge {
   def expression(c: Column): Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 
+  /** EAGERLY convert a Column's node tree into Catalyst expressions
+    * (`expression` only wraps lazily — fine on the Dataset API path, but
+    * an expression injected during SQL analysis, e.g. from a function-
+    * registry builder, never passes the Dataset boundary that would
+    * convert it and stays unevaluable). Unresolved functions inside the
+    * result are resolved by the running analyzer as usual. */
+  def catalystExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Build the executable ScalaUDF expression for a UDF invocation — the
     * converter the analyzer normally applies to Column-API UDF calls.
     * Needed when a UDF is injected into the plan AFTER analysis (e.g. from

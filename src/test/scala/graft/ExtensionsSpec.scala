@@ -30,6 +30,19 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(n == 64)
   }
 
+  test("text-pipeline functions are callable from SQL") {
+    val r = spark.sql("""
+      SELECT lang_id('the cat and the dog is in that house for a day') AS lang,
+             gopher_pass('the quick brown fox jumps over the lazy dog') AS gp,
+             redact_pii('mail a@b.io from 10.0.0.7') AS red,
+             size(minhash_band_hashes(array(1L, 2L, 3L), 64, 16)) AS nb
+      FROM range(1)""").head()
+    assert(r.getString(0) == "en")
+    assert(r.getBoolean(1))
+    assert(r.getString(2) == "mail [EMAIL] from [IP]")
+    assert(r.getInt(3) == 16)
+  }
+
   test("similar_to rejects a non-literal pattern with a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT similar_to('x', concat('a', 'b')) FROM range(1)").collect()

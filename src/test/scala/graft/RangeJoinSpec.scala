@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.RangeJoin
+
+class RangeJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("binned range join equals the naive theta join, without a nested loop") {
+    val rnd = new scala.util.Random(31)
+    val points = (0 until 500).map(i => (i.toLong, rnd.nextDouble() * 1000))
+      .toDF("pid", "v")
+    val intervals = (0 until 60).map { i =>
+      val lo = rnd.nextDouble() * 950
+      (i.toLong, lo, lo + 5 + rnd.nextDouble() * 80) // varied lengths
+    }.toDF("iid", "lo", "hi")
+
+    val binned = RangeJoin.pointInInterval(points, intervals, "v", "lo", "hi",
+      binWidth = 50.0)
+    val plan = binned.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "binned range join must be an equi-join on the bin id")
+    val got = binned.select("pid", "iid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val naive = points.crossJoin(intervals)
+      .filter($"v" >= $"lo" && $"v" <= $"hi")
+      .select("pid", "iid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive && got.nonEmpty)
+  }
+
+  test("extra equality key restricts matches per key") {
+    val points = Seq((1L, "a", 10.0), (2L, "b", 10.0)).toDF("pid", "k", "v")
+    val intervals = Seq((100L, "a", 0.0, 20.0)).toDF("iid", "ik", "lo", "hi")
+    val out = RangeJoin.pointInInterval(points, intervals, "v", "lo", "hi",
+        binWidth = 10.0, extraKey = Some(("k", "ik")))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 100L))) // key 'b' point excluded
+  }
+}
