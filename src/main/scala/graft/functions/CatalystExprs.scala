@@ -111,6 +111,38 @@ object CatalystExprs {
     override protected def withNewChildInternal(c: Expression): MinHashBandHashes = copy(child = c)
   }
 
+  /** DISTINCT character n-gram hashes of a string in one pass: rolling
+    * char-window polynomial + 64-bit finalizer, sort-deduped. Replaces the
+    * transform(sequence)+substr+xxhash64+array_distinct chain (per-gram
+    * UTF8String allocations); Jaccard over these hash sets equals Jaccard
+    * over the gram-string sets (collisions negligible at 64 bits), so
+    * exact-verification results are unchanged. Windows are CHARACTERS, not
+    * bytes — multi-byte text grams match substr() semantics. */
+  case class CharNgramHashes(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+      val m = s.length - n + 1
+      if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
+      val hs = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        var h = 0L
+        var j = 0
+        while (j < n) { h = h * 0x100000001B3L + s.charAt(i + j); j += 1 }
+        hs(i) = mix64(h)
+        i += 1
+      }
+      java.util.Arrays.sort(hs)
+      var uniq = 1
+      var k = 1
+      while (k < m) { if (hs(k) != hs(k - 1)) { hs(uniq) = hs(k); uniq += 1 }; k += 1 }
+      new GenericArrayData(java.util.Arrays.copyOf(hs, uniq))
+    }
+    override protected def withNewChildInternal(c: Expression): CharNgramHashes = copy(child = c)
+  }
+
   /** 64-bit SimHash of an array<long> of token hashes: bit j set iff the
     * majority of hashes have bit j set. */
   case class SimHash64(child: Expression)
@@ -206,6 +238,9 @@ object CatalystExprs {
 
   def minhashBandHashes(hashes: Column, numHashes: Int, bands: Int): Column =
     GraftBridge.column(MinHashBandHashes(GraftBridge.expression(hashes), numHashes, bands))
+
+  def charNgramHashes(text: Column, n: Int): Column =
+    GraftBridge.column(CharNgramHashes(GraftBridge.expression(text), n))
 
   def sqlDiv(a: Column, b: Column): Column =
     GraftBridge.column(SqlDiv(GraftBridge.expression(a), GraftBridge.expression(b)))

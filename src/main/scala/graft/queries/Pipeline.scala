@@ -88,18 +88,19 @@ object Pipeline {
         .orderBy("doc_a", "doc_b")
     },
 
-    // Character-3-gram near-dups via GLOBAL banded MinHash-LSH — the scale
+    // Character-5-gram near-dups via GLOBAL banded MinHash-LSH — the scale
     // path (no blocking key; one shuffle on (band, bandHash), maxBucket skew
     // cap, exact-Jaccard verify). Oracle = the exhaustive ALL-pairs scan:
-    // at threshold 0.8 every qualifying pair on this data has sim ≥ 0.92,
-    // where 16×4 banding detection prob is 1-3e-10 — recall is total, so
-    // the approximate pipeline is held to the exact answer.
+    // at threshold 0.8 every qualifying pair on this data has sim ≥ 0.9,
+    // where 16×4 banding detection prob is ≈1 — recall is total, so the
+    // approximate pipeline is held to the exact answer. 5-grams (not 3):
+    // the 3-gram space saturates and floods banding with s≈0.5 candidates.
     Q("p04b_dedup_ngram_banded", Some("""
       WITH g AS (
-        SELECT doc_id, list_distinct([substr(s, i, 3)
-                for i in range(1, len(s) - 1)]) AS grams
+        SELECT doc_id, list_distinct([substr(s, i, 5)
+                for i in range(1, len(s) - 3)]) AS grams
         FROM (SELECT doc_id, lower(text) AS s FROM documents)
-        WHERE len(s) >= 3
+        WHERE len(s) >= 5
       )
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
@@ -109,7 +110,7 @@ object Pipeline {
             (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.8
       ORDER BY doc_a, doc_b""")) { (s, d) =>
       TextDedup.ngramDedupPairsBanded(t(s, d, "documents"), "doc_id", "text",
-          n = 3, numHashes = 64, bands = 16, threshold = 0.8)
+          n = 5, numHashes = 64, bands = 16, threshold = 0.8)
         .orderBy("doc_a", "doc_b")
     },
 

@@ -68,15 +68,15 @@ class DedupSpec extends AnyFunSuite {
   test("banded ngram dedup equals exhaustive char-ngram jaccard at sf0.001") {
     val d = Tables.t(spark, TestSpark.sf, "documents")
     val banded = TextDedup.ngramDedupPairsBanded(d, "doc_id", "text",
-        n = 3, threshold = 0.8)
+        n = 5, threshold = 0.8)
     // scale contract: candidate generation must not self-join the corpus
     val plan = banded.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), "banded ngram plan has a cartesian")
     val got = banded.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     // exhaustive reference computed in-Spark (cross join on small sf)
-    val g = d.filter(length(col("text")) >= 3)
-      .select(col("doc_id"), TextDedup.charNgrams(col("text"), 3).as("g"))
+    val g = d.filter(length(col("text")) >= 5)
+      .select(col("doc_id"), TextDedup.charNgrams(col("text"), 5).as("g"))
     val exhaustive = g.as("a").join(g.as("b"), col("a.doc_id") < col("b.doc_id"))
       .withColumn("j", TextDedup.jaccard(col("a.g"), col("b.g")))
       .filter(col("j") >= 0.8)
