@@ -77,7 +77,11 @@ object GraftFunctions {
     (new FunctionIdentifier("redact_pii"),
       new ExpressionInfo("graft.functions.TextAnalysis", "redact_pii"),
       (exprs: Seq[Expression]) => colFn(exprs, 1) { cols =>
-        graft.functions.TextAnalysis.redactPii(cols.head) }))
+        graft.functions.TextAnalysis.redactPii(cols.head) }),
+
+    (new FunctionIdentifier("image_dimensions"),
+      new ExpressionInfo(classOf[CatalystExprs.ImageDimensions].getName, "image_dimensions"),
+      (exprs: Seq[Expression]) => CatalystExprs.ImageDimensions(exprs.head)))
 
   /** Adapt a Column-combinator function to the expression-builder shape
     * (eager node→expression conversion — a lazily-wrapped Column node

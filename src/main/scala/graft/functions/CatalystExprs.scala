@@ -143,6 +143,65 @@ object CatalystExprs {
     override protected def withNewChildInternal(c: Expression): CharNgramHashes = copy(child = c)
   }
 
+  /** REAL image-container header parsing (not a codec stub): extracts
+    * (format, width, height) from PNG / JPEG / GIF / BMP payload bytes by
+    * reading the container headers — pure JVM byte inspection, no native
+    * libraries, which is exactly the metadata-extraction stage a 100 TB
+    * media pipeline runs BEFORE deciding what to decode. Returns null for
+    * unrecognized payloads. */
+  case class ImageDimensions(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("format", StringType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false)))
+
+    private def be16(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
+    private def be32(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xFF) << 24) | ((b(i + 1) & 0xFF) << 16) |
+        ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
+    private def le16(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+    private def le32(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8) |
+        ((b(i + 2) & 0xFF) << 16) | ((b(i + 3) & 0xFF) << 24)
+
+    override def nullSafeEval(input: Any): Any = {
+      val b = input.asInstanceOf[Array[Byte]]
+      val parsed: (String, Int, Int) =
+        if (b.length >= 24 && (b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
+            b(3) == 'G')
+          ("png", be32(b, 16), be32(b, 20))
+        else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F')
+          ("gif", le16(b, 6), le16(b, 8))
+        else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
+          ("bmp", le32(b, 18), le32(b, 22))
+        else if (b.length >= 4 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8) {
+          // JPEG: walk marker segments to the first SOFn frame header
+          var i = 2
+          var out: (String, Int, Int) = null
+          while (out == null && i + 9 < b.length) {
+            if ((b(i) & 0xFF) != 0xFF) i = b.length // corrupt → stop
+            else {
+              val marker = b(i + 1) & 0xFF
+              if (marker >= 0xC0 && marker <= 0xCF &&
+                  marker != 0xC4 && marker != 0xC8 && marker != 0xCC)
+                out = ("jpeg", be16(b, i + 7), be16(b, i + 5))
+              else if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD9)) i += 2
+              else i += 2 + be16(b, i + 2)
+            }
+          }
+          out
+        } else null
+      if (parsed == null) null
+      else org.apache.spark.sql.catalyst.InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(parsed._1),
+        parsed._2, parsed._3)
+    }
+    override protected def withNewChildInternal(c: Expression): ImageDimensions = copy(child = c)
+  }
+
   /** 64-bit SimHash of an array<long> of token hashes: bit j set iff the
     * majority of hashes have bit j set. */
   case class SimHash64(child: Expression)
@@ -241,6 +300,9 @@ object CatalystExprs {
 
   def charNgramHashes(text: Column, n: Int): Column =
     GraftBridge.column(CharNgramHashes(GraftBridge.expression(text), n))
+
+  def imageDimensions(payload: Column): Column =
+    GraftBridge.column(ImageDimensions(GraftBridge.expression(payload)))
 
   def sqlDiv(a: Column, b: Column): Column =
     GraftBridge.column(SqlDiv(GraftBridge.expression(a), GraftBridge.expression(b)))

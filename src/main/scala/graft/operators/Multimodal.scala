@@ -47,6 +47,14 @@ object Multimodal {
         lit(null).cast("int").as("width"),
         lit(null).cast("int").as("height")).as("meta"))
 
+  /** REAL container-header inspection (see CatalystExprs.ImageDimensions):
+    * (format, width, height) from PNG/JPEG/GIF/BMP payload bytes, null for
+    * unrecognized payloads. This is the metadata-extraction stage a media
+    * pipeline runs before deciding what to decode — pure byte parsing, so
+    * unlike [[fakeDecode]] it needs no codec and is NOT a stub. */
+  def imageMeta(media: DataFrame): DataFrame =
+    media.withColumn("image", graft.functions.CatalystExprs.imageDimensions(col("payload")))
+
   /** STUB — deterministic fake decode. A real implementation would hand the
     * byte array to an image codec here; the container has none, so we
     * derive plausible, deterministic "dimensions" from the payload hash.

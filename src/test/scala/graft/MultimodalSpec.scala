@@ -5,6 +5,46 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Multimodal
 
 class MultimodalSpec extends AnyFunSuite {
+
+  test("imageDimensions parses real PNG/GIF/BMP/JPEG container headers") {
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    def be32(v: Int) = Array[Byte](
+      (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](
+      v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A,
+      0, 0, 0, 0x0D, 'I', 'H', 'D', 'R') ++ be32(640) ++ be32(480)
+    val gif = "GIF89a".getBytes ++ le16(320) ++ le16(200)
+    val bmp = "BM".getBytes ++ Array.fill[Byte](16)(0) ++ le32(100) ++ le32(50)
+    val jpeg = Array[Byte](0xFF.toByte, 0xD8.toByte,          // SOI
+      0xFF.toByte, 0xE0.toByte, 0x00, 0x10) ++                // APP0 len 16
+      "JFIF".getBytes ++ Array.fill[Byte](10)(0) ++           // APP0 payload
+      Array[Byte](0xFF.toByte, 0xC0.toByte, 0x00, 0x11, 8) ++ // SOF0, precision
+      Array[Byte](0x01, 0xE0.toByte, 0x02, 0x80.toByte) ++    // h=480, w=640
+      Array.fill[Byte](12)(0)
+    val junk = "just some text bytes".getBytes
+
+    val out = Seq(("png", png), ("gif", gif), ("bmp", bmp), ("jpeg", jpeg),
+        ("junk", junk))
+      .toDF("name", "payload")
+      .select($"name", graft.functions.CatalystExprs.imageDimensions($"payload").as("d"))
+      .collect().map(r => r.getString(0) ->
+        Option(r.getStruct(1)).map(s => (s.getString(0), s.getInt(1), s.getInt(2))))
+      .toMap
+    assert(out("png").contains(("png", 640, 480)))
+    assert(out("gif").contains(("gif", 320, 200)))
+    assert(out("bmp").contains(("bmp", 100, 50)))
+    assert(out("jpeg").contains(("jpeg", 640, 480)))
+    assert(out("junk").isEmpty)
+    // and from SQL
+    GraftFunctions.register(spark0)
+    val viaSql = Seq(Tuple1(png)).toDF("p").createOrReplaceTempView("img_t")
+    val r = spark0.sql("SELECT image_dimensions(p).width FROM img_t").head()
+    assert(r.getInt(0) == 640)
+  }
   private lazy val spark = TestSpark.spark
 
   private def media = Multimodal.asMediaTable(
