@@ -47,6 +47,20 @@ object MlBridge {
       case "KMeans" =>
         new org.apache.spark.ml.clustering.KMeans()
           .setK(intOpt("n_clusters", 2)).setSeed(42)
+      case "DecisionTreeClassifier" =>
+        new org.apache.spark.ml.classification.DecisionTreeClassifier()
+          .setMaxDepth(intOpt("max_depth", 5)).setSeed(42)
+      case "DecisionTreeRegressor" =>
+        new org.apache.spark.ml.regression.DecisionTreeRegressor()
+          .setMaxDepth(intOpt("max_depth", 5)).setSeed(42)
+      case "GaussianNB" | "NaiveBayes" =>
+        // MLlib NaiveBayes requires non-negative features; gaussian mode
+        // mirrors sklearn's GaussianNB contract
+        new org.apache.spark.ml.classification.NaiveBayes()
+          .setModelType("gaussian")
+      case "LinearSVC" | "SGDClassifier" =>
+        new org.apache.spark.ml.classification.LinearSVC()
+          .setMaxIter(intOpt("max_iter", 50))
       case other =>
         throw new IllegalArgumentException(s"Unsupported model_class: $other")
     }

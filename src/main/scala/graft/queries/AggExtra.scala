@@ -192,5 +192,37 @@ object AggExtra {
           countDistinct(col("l_orderkey")).as("exact_orders"))
         .orderBy("l_returnflag")
     },
+
+    // EXACT decimal aggregation — deliberately divergent from the reference,
+    // which degrades DECIMAL to float64 (SURVEY §1.2/§7.5): both engines
+    // sum in decimal and the digit strings must agree EXACTLY (no float
+    // rounding tolerance anywhere).
+    Q("q62_decimal_exact", Some("""
+      SELECT l_returnflag,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS total_price,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS total_qty
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")) { (s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("string").as("total_price"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("string").as("total_qty"))
+        .orderBy("l_returnflag")
+    },
+
+    // GROUP BY on computed expressions (year bucket + CASE bucket) — the
+    // Calcite Project-under-Aggregate shape
+    Q("q63_group_by_expr", Some("""
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+             CASE WHEN o_totalprice < 100000 THEN 'small' ELSE 'big' END AS sz,
+             CAST(count(*) AS BIGINT) AS n,
+             round(sum(o_totalprice), 2) AS v
+      FROM orders GROUP BY 1, 2 ORDER BY 1, 2""")) { (s, d) =>
+      t(s, d, "orders")
+        .groupBy(
+          year(col("o_orderdate")).cast("bigint").as("yr"),
+          when(col("o_totalprice") < 100000, "small").otherwise("big").as("sz"))
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("v"))
+        .orderBy("yr", "sz")
+    },
   )
 }

@@ -261,6 +261,22 @@ class ContextSpec extends AnyFunSuite {
     assert(out.matches("\\d+-\\d+"))
   }
 
+  test("tree / NB / SVC model classes train and predict") {
+    for (cls <- Seq("DecisionTreeClassifier", "GaussianNB", "LinearSVC",
+        "DecisionTreeRegressor")) {
+      ctx.sql(s"""CREATE OR REPLACE MODEL m_$cls WITH (
+          model_class = '$cls', target_column = 'flag'
+        ) AS SELECT l_extendedprice, l_discount,
+             CAST(l_quantity > 25 AS INT) AS flag
+           FROM lineitem LIMIT 300""")
+      val preds = ctx.sql(s"""SELECT * FROM PREDICT(MODEL m_$cls,
+          SELECT l_extendedprice, l_discount, CAST(l_quantity > 25 AS INT) AS flag
+          FROM lineitem LIMIT 50)""")
+      assert(preds.columns.contains("prediction") && preds.count() == 50)
+      ctx.sql(s"DROP MODEL m_$cls")
+    }
+  }
+
   test("CREATE EXPERIMENT accepts a custom tune_parameters grid") {
     val res = ctx.sql("""CREATE OR REPLACE EXPERIMENT exp_custom WITH (
         model_class = 'LinearRegression', target_column = 'l_quantity',
