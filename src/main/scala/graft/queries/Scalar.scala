@@ -362,5 +362,30 @@ object Scalar {
           SqlCompat.floorTimestamp(col("ts"), "minute").as("floor_m"))
         .orderBy("event_id")
     },
+
+    // NaN vs NULL are DISTINCT states (deliberate divergence from the
+    // reference, whose pandas backend conflates them — SURVEY §1.2):
+    // NaN is non-null, compares greater than any number, and groups as
+    // equal to itself — semantics Spark and DuckDB agree on exactly.
+    Q("q64_nan_semantics", Some("""
+      WITH v(id, x) AS (VALUES (1, 1.5), (2, 'NaN'::DOUBLE), (3, NULL),
+                               (4, 'NaN'::DOUBLE), (5, 2.5))
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(x) AS BIGINT) AS n_nonnull,
+             CAST(count(DISTINCT x) AS BIGINT) AS n_distinct,
+             CAST(sum(CASE WHEN isnan(x) THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
+             CAST(sum(CASE WHEN x > 2.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gt2
+      FROM v""")) { (s, d) =>
+      import s.implicits._
+      Seq((1, Option(1.5)), (2, Option(Double.NaN)), (3, Option.empty[Double]),
+          (4, Option(Double.NaN)), (5, Option(2.5)))
+        .toDF("id", "x")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("x")).as("n_nonnull"),
+          countDistinct(col("x")).as("n_distinct"),
+          sum(when(isnan(col("x")), 1).otherwise(0)).cast("bigint").as("n_nan"),
+          sum(when(col("x") > 2.0, 1).otherwise(0)).cast("bigint").as("n_gt2"))
+    },
   )
 }
