@@ -33,8 +33,7 @@ object Bench {
     Tables.t(spark, sfDir, "lineitem").limit(1000)
       .write.format("noop").mode("overwrite").save()
 
-    val names = SparkEntry.benchQueries
-    val results = names.map { name =>
+    def timeOnce(name: String): Double = {
       val t0 = System.nanoTime()
       val ok = try {
         SparkEntry.queries(name)(spark, sfDir)
@@ -44,12 +43,24 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
       }
       val dt = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) dt else -1.0)
+      if (ok) dt else -1.0
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
+
+    val names = SparkEntry.benchQueries
+    // primary metric: COLD first-run times (comparable across rounds).
+    val results = names.map(n => n -> timeOnce(n))
+    // transparency: a second, steady-state run per query separates one-time
+    // per-plan codegen-compile cost (fixed per session, irrelevant at
+    // 100 TB) from actual data-throughput cost. The cache is cleared first
+    // so run-1 operator caches are rebuilt, not reused — each steady run
+    // does its full data work.
+    spark.catalog.clearCache()
+    val steady = names.map(n => n -> timeOnce(n))
+    def jsonMap(rs: Seq[(String, Double)]) =
+      rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val steadyTotal = steady.map(_._2).filter(_ >= 0).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(results)},"steady_total":$steadyTotal%.3f,"queries_steady":${jsonMap(steady)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
