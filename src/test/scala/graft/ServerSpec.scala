@@ -95,6 +95,20 @@ class ServerSpec extends AnyFunSuite {
     assert(node.get("error").get("message").asText().nonEmpty)
   }
 
+  test("concurrent statements stay isolated and all complete") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val futures = (1 to 6).map { i =>
+      Future {
+        val (_, rows) = drain(post(s"SELECT $i * 100 AS v"))
+        rows.head.head.asInt()
+      }
+    }
+    val got = Await.result(Future.sequence(futures), 120.seconds).toSet
+    assert(got == (1 to 6).map(_ * 100).toSet)
+  }
+
   test("DELETE /v1/cancel removes the statement; later polls 404") {
     val first = post("SELECT count(*) FROM lineitem l1 CROSS JOIN lineitem l2")
     val id = first.get("id").asText()
