@@ -363,6 +363,28 @@ object Scalar {
         .orderBy("event_id")
     },
 
+    // Permissive arithmetic (reference parity: the pandas backend never
+    // raises on div/0 or overflow). Spark 4 runs ANSI mode — errors by
+    // default — so the permissive surface is the try_* family: NULL on
+    // division by zero (= DuckDB's native behavior) and NULL on integer
+    // overflow (DuckDB errors → the oracle emulates with a range CASE).
+    Q("q65_safe_arith", Some("""
+      SELECT l_orderkey, l_linenumber,
+             round(l_extendedprice / nullif(l_linenumber - 4, 0), 4) AS safe_div,
+             mod(CAST(l_orderkey AS BIGINT), nullif(l_linenumber - 4, 0)) AS safe_mod,
+             CASE WHEN CAST(l_partkey AS BIGINT) * 100000000 BETWEEN -2147483648 AND 2147483647
+                  THEN CAST(CAST(l_partkey AS BIGINT) * 100000000 AS INT) ELSE NULL END AS safe_mul
+      FROM lineitem WHERE l_orderkey < 60
+      ORDER BY l_orderkey, l_linenumber""")) { (s, d) =>
+      t(s, d, "lineitem").filter(col("l_orderkey") < 60)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(try_divide(col("l_extendedprice"), col("l_linenumber") - 4), 4).as("safe_div"),
+          try_mod(col("l_orderkey").cast("bigint"), col("l_linenumber") - 4).as("safe_mod"),
+          try_multiply(col("l_partkey").cast("int"), lit(100000000)).as("safe_mul"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
     // NaN vs NULL are DISTINCT states (deliberate divergence from the
     // reference, whose pandas backend conflates them — SURVEY §1.2):
     // NaN is non-null, compares greater than any number, and groups as
