@@ -399,6 +399,27 @@ object Pipeline {
         .orderBy("label", "dim")
     },
 
+    // Salted hot-key join: events.user_id is the skewed fact side, orders
+    // aggregated per customer the dimension side. Salting splits each hot
+    // key across saltFactor tasks; semantics are IDENTICAL to the plain
+    // equi-join, which is exactly what the oracle checks.
+    Q("p21_salted_join", Some("""
+      WITH o AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+                        round(sum(o_totalprice), 2) AS spend
+                 FROM orders GROUP BY o_custkey)
+      SELECT e.event_id, e.user_id, o.n_orders, o.spend
+      FROM events e JOIN o ON e.user_id = o.o_custkey
+      WHERE e.event_id < 3000
+      ORDER BY e.event_id""")) { (s, d) =>
+      val e = t(s, d, "events").filter(col("event_id") < 3000)
+        .select("event_id", "user_id")
+      val o = t(s, d, "orders").groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("spend"))
+      graft.operators.Joins.saltedJoin(e, o, "user_id", "o_custkey", saltFactor = 8)
+        .select("event_id", "user_id", "n_orders", "spend")
+        .orderBy("event_id")
+    },
+
     // Range (point-in-interval) join via binning: overlapping price bands ×
     // orders becomes an EQUI-join on the bin id + residual BETWEEN — no
     // nested-loop over the corpus (asserted in RangeJoinSpec). Oracle =
