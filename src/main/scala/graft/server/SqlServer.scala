@@ -3,7 +3,9 @@ package graft.server
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets.UTF_8
 import java.util.UUID
-import java.util.concurrent.{ConcurrentHashMap, Executors, ThreadFactory}
+import java.util.concurrent.{ArrayBlockingQueue, ConcurrentHashMap, Executors, ThreadFactory, TimeUnit}
+
+import scala.collection.mutable.ArrayBuffer
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.Row
@@ -27,18 +29,35 @@ import graft.Context
   * maps onto `SparkContext.cancelJobGroup` — the Spark-native equivalent
   * of the reference's `future.cancel()`.
   *
-  * Result paging bounds the per-response payload; the full result is
-  * collected to the server (exactly like the reference's `client.compute`
-  * future) — a SQL wire endpoint is a control-plane surface, callers ship
-  * big outputs with INSERT/CTAS instead.
+  * Scale safety: results are NEVER fully collected to the server. The
+  * worker thread drives `df.toLocalIterator()` (one partition in flight at
+  * a time) and pushes fixed-size pages into a BOUNDED queue; HTTP status
+  * polls drain it. Driver memory per statement is capped at
+  * `(prefetchPages + 1) × pageSize` rows plus one decoded partition, no
+  * matter how large the result — a `SELECT *` over a 100 TB table streams
+  * through without materializing. Backpressure: when the client stops
+  * paging, the queue fills and the worker blocks (and self-terminates if
+  * the statement is cancelled or abandoned). The last served page is
+  * cached so a client retrying the same `nextUri` gets an identical
+  * response (Presto protocol requires idempotent re-fetch).
   */
-final class SqlServer(ctx: Context, port: Int = 8080, pageSize: Int = 10000) {
+final class SqlServer(ctx: Context, port: Int = 8080, pageSize: Int = 10000,
+    prefetchPages: Int = 2) {
+
+  /** One delivered page; `last` marks end-of-stream. */
+  private final case class Page(rows: Array[Row], last: Boolean)
 
   private sealed trait State
   private case object Running extends State
   private final case class Failed(message: String) extends State
-  private final case class Finished(
-      columns: Seq[StructField], rows: Array[Row]) extends State
+  /** Streaming delivery state: bounded queue fed by the worker thread. */
+  private final class Streaming(val columns: Seq[StructField]) extends State {
+    val queue = new ArrayBlockingQueue[Page](math.max(1, prefetchPages))
+    @volatile var error: String = null
+    // idempotent retry of the most recent nextUri (protocol requirement)
+    var servedPageNo: Int = -1
+    var servedBody: String = null
+  }
 
   private val statements = new ConcurrentHashMap[String, State]()
   private val pool = Executors.newCachedThreadPool(new ThreadFactory {
@@ -90,14 +109,36 @@ final class SqlServer(ctx: Context, port: Int = 8080, pageSize: Int = 10000) {
     statements.put(id, Running)
     pool.submit(new Runnable {
       def run(): Unit = {
-        // job group = statement id → DELETE /v1/cancel kills the Spark jobs
+        // job group = statement id → DELETE /v1/cancel kills the Spark jobs.
+        // All jobs are triggered from THIS thread (toLocalIterator pulls),
+        // so the thread-local group covers the whole statement.
         ctx.spark.sparkContext.setJobGroup(id, sql, interruptOnCancel = true)
         try {
           val df = ctx.sql(sql)
-          val rows = df.collect()
-          statements.replace(id, Running, Finished(df.schema.fields.toSeq, rows))
+          val st = new Streaming(df.schema.fields.toSeq)
+          if (!statements.replace(id, Running, st))
+            throw new InterruptedException("statement cancelled")
+          val it = df.toLocalIterator()
+          val buf = new ArrayBuffer[Row](pageSize)
+          def put(p: Page): Unit =
+            // bounded put with an abandonment check: if the statement was
+            // cancelled/removed, stop pulling partitions and free the thread
+            while (!st.queue.offer(p, 1, TimeUnit.SECONDS))
+              if (statements.get(id) ne st)
+                throw new InterruptedException("statement cancelled")
+          while (it.hasNext) {
+            buf += it.next()
+            if (buf.length == pageSize) { put(Page(buf.toArray, last = false)); buf.clear() }
+          }
+          put(Page(buf.toArray, last = true))
         } catch {
-          case e: Exception => statements.replace(id, Running, Failed(e.toString))
+          case _: InterruptedException => () // cancelled — state already gone
+          case e: Exception =>
+            statements.get(id) match {
+              case st: Streaming => st.error = e.toString
+              case Running => statements.replace(id, Running, Failed(e.toString)); ()
+              case _ => ()
+            }
         } finally ctx.spark.sparkContext.clearJobGroup()
       }
     })
@@ -120,23 +161,38 @@ final class SqlServer(ctx: Context, port: Int = 8080, pageSize: Int = 10000) {
           nextUri = Some(statusUri(ex, id, page)), extra = ""))
       case Failed(msg) =>
         statements.remove(id)
-        respond(ex, 200, s"""{"id":${jstr(id)},"error":{"message":${jstr(msg)},
-          |"errorCode":1,"errorName":"GENERIC_INTERNAL_ERROR"},
-          |"stats":{"state":"FAILED"},"warnings":[]}""".stripMargin.replace("\n", ""))
-      case Finished(cols, rows) =>
-        val from = page * pageSize
-        val slice = rows.slice(from, from + pageSize)
-        val lastPage = from + pageSize >= rows.length
-        if (lastPage) statements.remove(id)
-        val data = slice.map(rowJson(cols, _)).mkString("[", ",", "]")
-        val columns = cols.map { f =>
-          val t = f.dataType.sql.toLowerCase
-          s"""{"name":${jstr(f.name)},"type":${jstr(t)},"typeSignature":{"rawType":${jstr(t)},"arguments":[]}}"""
-        }.mkString("[", ",", "]")
-        val next = if (lastPage) ""
-          else s""","nextUri":${jstr(statusUri(ex, id, page + 1))}"""
-        respond(ex, 200,
-          s"""{"id":${jstr(id)},"columns":$columns,"data":$data$next,"stats":{"state":"FINISHED"},"warnings":[]}""")
+        respond(ex, 200, failedJson(id, msg))
+      case st: Streaming => st.synchronized {
+        if (st.error != null) {
+          statements.remove(id)
+          respond(ex, 200, failedJson(id, st.error))
+        } else if (page == st.servedPageNo) {
+          respond(ex, 200, st.servedBody) // idempotent nextUri retry
+        } else if (page != st.servedPageNo + 1) {
+          respond(ex, 410, """{"error":{"message":"page no longer available"}}""")
+        } else st.queue.poll(200, TimeUnit.MILLISECONDS) match {
+          case null =>
+            if (st.error != null) { // worker failed while we waited
+              statements.remove(id)
+              respond(ex, 200, failedJson(id, st.error))
+            } else
+              respond(ex, 200, queryResultsJson(id, "RUNNING",
+                nextUri = Some(statusUri(ex, id, page)), extra = ""))
+          case Page(rows, last) =>
+            val data = rows.map(rowJson(st.columns, _)).mkString("[", ",", "]")
+            val columns = st.columns.map { f =>
+              val t = f.dataType.sql.toLowerCase
+              s"""{"name":${jstr(f.name)},"type":${jstr(t)},"typeSignature":{"rawType":${jstr(t)},"arguments":[]}}"""
+            }.mkString("[", ",", "]")
+            val next = if (last) ""
+              else s""","nextUri":${jstr(statusUri(ex, id, page + 1))}"""
+            val body =
+              s"""{"id":${jstr(id)},"columns":$columns,"data":$data$next,"stats":{"state":"FINISHED"},"warnings":[]}"""
+            if (last) statements.remove(id)
+            else { st.servedPageNo = page; st.servedBody = body }
+            respond(ex, 200, body)
+        }
+      }
     }
   }
 
@@ -144,11 +200,18 @@ final class SqlServer(ctx: Context, port: Int = 8080, pageSize: Int = 10000) {
     statements.remove(id) match {
       case null => respond(ex, 404, """{"error":{"message":"uuid not found"}}""")
       case _ =>
+        // removing the state makes a queue-blocked worker self-terminate;
+        // cancelling the job group interrupts in-flight Spark tasks
         ctx.spark.sparkContext.cancelJobGroup(id)
         respond(ex, 200, """{"status":"ok"}""")
     }
 
   // ---------------- response building ----------------
+
+  private def failedJson(id: String, msg: String): String =
+    s"""{"id":${jstr(id)},"error":{"message":${jstr(msg)},
+      |"errorCode":1,"errorName":"GENERIC_INTERNAL_ERROR"},
+      |"stats":{"state":"FAILED"},"warnings":[]}""".stripMargin.replace("\n", "")
 
   private def queryResultsJson(id: String, state: String,
       nextUri: Option[String], extra: String): String = {

@@ -8,6 +8,11 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.server.SqlServer
 
+object ServerSpec {
+  /** Rows evaluated by the counting UDFs — observable partition pulls. */
+  val evaluated = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
 /** End-to-end wire tests: SQL in over HTTP, presto-protocol JSON out. */
 class ServerSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -107,6 +112,91 @@ class ServerSpec extends AnyFunSuite {
     }
     val got = Await.result(Future.sequence(futures), 120.seconds).toSet
     assert(got == (1 to 6).map(_ * 100).toSet)
+  }
+
+  test("large results stream in pages without full driver materialization") {
+    ServerSpec.evaluated.set(0)
+    val ctx2 = new Context(spark)
+    // 40 partitions × 250 rows; a counting UDF makes partition evaluation
+    // observable — toLocalIterator must only pull partitions as pages drain
+    ctx2.createTable("big_stream", spark.range(0, 10000, 1, 40).toDF("id"))
+    ctx2.registerFunction("touch_counted",
+      org.apache.spark.sql.functions.udf((x: Long) => {
+        ServerSpec.evaluated.incrementAndGet(); x
+      }))
+    val s2 = new SqlServer(ctx2, port = 0, pageSize = 500, prefetchPages = 2)
+    val p2 = s2.start()
+    try {
+      val post2 = HttpRequest.newBuilder(URI.create(s"http://localhost:$p2/v1/statement"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          "SELECT touch_counted(id) AS v FROM big_stream")).build()
+      var node = mapper.readTree(client.send(post2, HttpResponse.BodyHandlers.ofString()).body())
+      // follow nextUri until the FIRST data page arrives
+      var polls = 0
+      while (!node.has("data") && polls < 200) {
+        polls += 1
+        if (!node.has("columns")) Thread.sleep(25)
+        node = get(node.get("nextUri").asText())
+      }
+      assert(node.has("data"), "first page never arrived")
+      // bounded prefetch: with 10k result rows only a small prefix may be
+      // evaluated once the first page is served (queue cap + partition size)
+      val afterFirstPage = ServerSpec.evaluated.get()
+      assert(afterFirstPage < 5000,
+        s"server materialized too much up front: $afterFirstPage rows evaluated")
+      // drain the rest; every row must arrive exactly once
+      var total = node.get("data").size()
+      while (node.has("nextUri")) {
+        node = get(node.get("nextUri").asText())
+        if (node.has("data")) total += node.get("data").size()
+      }
+      assert(total == 10000, s"expected 10000 rows over the wire, got $total")
+      assert(ServerSpec.evaluated.get() == 10000)
+    } finally s2.stop()
+  }
+
+  test("cancel mid-stream stops the worker from pulling further partitions") {
+    ServerSpec.evaluated.set(0)
+    val ctx2 = new Context(spark)
+    ctx2.createTable("big_cancel", spark.range(0, 10000, 1, 40).toDF("id"))
+    ctx2.registerFunction("touch_counted2",
+      org.apache.spark.sql.functions.udf((x: Long) => {
+        ServerSpec.evaluated.incrementAndGet(); x
+      }))
+    val s2 = new SqlServer(ctx2, port = 0, pageSize = 500, prefetchPages = 2)
+    val p2 = s2.start()
+    try {
+      val post2 = HttpRequest.newBuilder(URI.create(s"http://localhost:$p2/v1/statement"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          "SELECT touch_counted2(id) AS v FROM big_cancel")).build()
+      var node = mapper.readTree(client.send(post2, HttpResponse.BodyHandlers.ofString()).body())
+      val id = node.get("id").asText()
+      var polls = 0
+      while (!node.has("data") && polls < 200) {
+        polls += 1
+        if (!node.has("columns")) Thread.sleep(25)
+        node = get(node.get("nextUri").asText())
+      }
+      assert(node.has("data"))
+      val del = HttpRequest.newBuilder(URI.create(s"http://localhost:$p2/v1/cancel/$id"))
+        .DELETE().build()
+      assert(mapper.readTree(client.send(del,
+        HttpResponse.BodyHandlers.ofString()).body()).get("status").asText() == "ok")
+      // the queue-blocked worker self-terminates; evaluation must plateau
+      // well short of the full result
+      var prev = -1
+      var cur = ServerSpec.evaluated.get()
+      var waits = 0
+      while (cur != prev && waits < 15) {
+        prev = cur; waits += 1
+        Thread.sleep(1500)
+        cur = ServerSpec.evaluated.get()
+      }
+      assert(cur == prev, "worker kept evaluating after cancel")
+      assert(cur < 10000, s"worker evaluated the full result despite cancel: $cur")
+      val after = get(s"http://localhost:$p2/v1/status/$id")
+      assert(after.has("error"))
+    } finally s2.stop()
   }
 
   test("DELETE /v1/cancel removes the statement; later polls 404") {
