@@ -150,6 +150,14 @@ class Context(val spark: SparkSession) {
   def tables: Seq[String] = schemas(currentSchema).tables.keys.toSeq
   def schemaNames: Seq[String] = schemas.keys.toSeq
 
+  /** Every (schema, table, frame) triple across all schemas — the feed for
+    * the JDBC metadata shim (reference: presto_jdbc.py:55-82 iterates
+    * `c.schema.items()` the same way). */
+  private[graft] def allTables: Seq[(String, String, DataFrame)] =
+    schemas.toSeq.flatMap { case (sn, s) =>
+      s.tables.toSeq.map { case (tn, df) => (sn, tn, df) }
+    }
+
   // ---------------- UDF registration (context.py:324-480) ----------------
 
   /** Register a scalar function usable from SQL (reference:

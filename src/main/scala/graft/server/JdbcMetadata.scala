@@ -1,0 +1,75 @@
+package graft.server
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.{DateType, TimestampType, TimestampNTZType}
+
+import graft.Context
+
+/** The Presto JDBC driver's system-catalog shim — the Spark-native mirror
+  * of the reference's `create_meta_data` (dask_sql/server/presto_jdbc.py:
+  * 10-96): JDBC/BI clients (DBeaver, Superset) enumerate schemas, tables
+  * and columns on connect by querying `system.jdbc.schemas/tables/columns`.
+  * [[SqlServer]] rewrites those to the flat `system_jdbc_*` temp views this
+  * object maintains (the reference rewrites to a `system_jdbc` schema the
+  * same way, app.py:82).
+  *
+  * Unlike the reference — which snapshots the metadata once at server
+  * startup (`jdbc_metadata=True`) and goes stale — the server calls
+  * [[refresh]] on every metadata query. The views are tiny driver-side
+  * frames (one row per schema/table/column), so rebuilding costs no Spark
+  * jobs over data.
+  */
+object JdbcMetadata {
+
+  /** True if the statement touches the JDBC metadata catalog. */
+  def isMetadataQuery(sql: String): Boolean = sql.contains("system.jdbc")
+
+  /** Rewrite `system.jdbc.X` → `system_jdbc_x` (reference app.py:82). */
+  def rewrite(sql: String): String =
+    sql.replace("system.jdbc.", "system_jdbc_")
+
+  /** (Re)build the metadata views from the context's current registry. */
+  def refresh(ctx: Context): Unit = {
+    val spark = ctx.spark
+    import spark.implicits._
+
+    // reference create_catalog_row: a single empty-catalog placeholder
+    // (dask-sql has no catalogs; neither do we — schemas are the top level)
+    Seq(Tuple1("")).toDF("TABLE_CAT")
+      .createOrReplaceTempView("system_jdbc_catalogs")
+
+    val schemaRows = ctx.schemaNames.map(s => ("", s))
+    schemaRows.toDF("TABLE_CATALOG", "TABLE_SCHEM")
+      .createOrReplaceTempView("system_jdbc_schemas")
+
+    val all = ctx.allTables
+    val tableRows = all.map { case (schema, table, _) =>
+      ("", schema, table, "TABLE", "", "", "", "", "", "")
+    }
+    tableRows.toDF("TABLE_CAT", "TABLE_SCHEM", "TABLE_NAME", "TABLE_TYPE",
+        "REMARKS", "TYPE_CAT", "TYPE_SCHEM", "TYPE_NAME",
+        "SELF_REFERENCING_COL_NAME", "REF_GENERATION")
+      .createOrReplaceTempView("system_jdbc_tables")
+
+    val columnRows = all.flatMap { case (schema, table, df) =>
+      df.schema.fields.zipWithIndex.map { case (f, i) =>
+        // richer than the reference's 4-type mapping (presto_jdbc.py:61-73):
+        // Spark's SQL type name, with the JDBC-ish aliases clients expect
+        val dtype = f.dataType match {
+          case DateType => "DATE"
+          case TimestampType | TimestampNTZType => "TIMESTAMP"
+          case other => other.sql
+        }
+        ("", schema, table, f.name, dtype, dtype, "", "", "", "",
+          if (f.nullable) "1" else "0", "", "", dtype, "", "",
+          (i + 1).toString, if (f.nullable) "YES" else "NO")
+      }
+    }
+    columnRows.toDF("TABLE_CAT", "TABLE_SCHEM", "TABLE_NAME", "COLUMN_NAME",
+        "DATA_TYPE", "TYPE_NAME", "COLUMN_SIZE", "BUFFER_LENGTH",
+        "DECIMAL_DIGITS", "NUM_PREC_RADIX", "NULLABLE", "REMARKS",
+        "COLUMN_DEF", "SQL_DATA_TYPE", "SQL_DATETIME_SUB",
+        "CHAR_OCTET_LENGTH", "ORDINAL_POSITION", "IS_NULLABLE")
+      .createOrReplaceTempView("system_jdbc_columns")
+  }
+}

@@ -104,7 +104,13 @@ final class SqlServer(ctx: Context, port: Int = 8080, pageSize: Int = 10000,
     }
 
   private def submit(ex: HttpExchange): Unit = {
-    val sql = new String(ex.getRequestBody.readAllBytes(), UTF_8).trim
+    val raw = new String(ex.getRequestBody.readAllBytes(), UTF_8).trim
+    // JDBC clients enumerate schemas/tables/columns via the system.jdbc
+    // catalog; rebuild the shim views (always current) and rewrite the
+    // qualified names (reference app.py:78-82 + presto_jdbc.py)
+    val sql = if (JdbcMetadata.isMetadataQuery(raw)) {
+      JdbcMetadata.refresh(ctx); JdbcMetadata.rewrite(raw)
+    } else raw
     val id = UUID.randomUUID.toString
     statements.put(id, Running)
     pool.submit(new Runnable {

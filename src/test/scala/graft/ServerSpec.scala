@@ -114,6 +114,33 @@ class ServerSpec extends AnyFunSuite {
     assert(got == (1 to 6).map(_ * 100).toSet)
   }
 
+  test("JDBC metadata shim enumerates schemas, tables and columns over the wire") {
+    val (_, schemaRows) = drain(post(
+      "SELECT TABLE_SCHEM FROM system.jdbc.schemas ORDER BY TABLE_SCHEM"))
+    assert(schemaRows.map(_.head.asText()).contains("root"))
+
+    val (_, tableRows) = drain(post(
+      "SELECT TABLE_SCHEM, TABLE_NAME FROM system.jdbc.tables ORDER BY TABLE_NAME"))
+    assert(tableRows.map(r => (r(0).asText(), r(1).asText())).contains(("root", "lineitem")))
+
+    val (cols, colRows) = drain(post(
+      """SELECT COLUMN_NAME, TYPE_NAME, ORDINAL_POSITION FROM system.jdbc.columns
+        |WHERE TABLE_NAME = 'lineitem' ORDER BY CAST(ORDINAL_POSITION AS INT)""".stripMargin))
+    assert(cols.map(_.get("name").asText()) ==
+      Seq("COLUMN_NAME", "TYPE_NAME", "ORDINAL_POSITION"))
+    assert(colRows.head(0).asText() == "l_orderkey")
+    assert(colRows.head(1).asText().nonEmpty)
+    assert(colRows.head(2).asText() == "1")
+    assert(colRows.length > 10) // lineitem's full column list
+
+    // freshness: metadata reflects DDL executed after server start
+    drain(post("CREATE TABLE jdbc_fresh AS SELECT l_orderkey FROM lineitem LIMIT 1"))
+    val (_, fresh) = drain(post(
+      "SELECT TABLE_NAME FROM system.jdbc.tables WHERE TABLE_NAME = 'jdbc_fresh'"))
+    assert(fresh.map(_.head.asText()) == Seq("jdbc_fresh"))
+    drain(post("DROP TABLE jdbc_fresh"))
+  }
+
   test("large results stream in pages without full driver materialization") {
     ServerSpec.evaluated.set(0)
     val ctx2 = new Context(spark)
