@@ -468,6 +468,35 @@ object Pipeline {
         .orderBy("event_id")
     },
 
+    // Skew-hardened as-of join: same semantics and the same DuckDB ASOF
+    // oracle as p14, but the running-last window is split by
+    // (key, month-bucket) so one hot user_id cannot pin a single task —
+    // the scale path a 100 TB run would take (AsOfJoin.scala:82)
+    Q("p14b_asof_join_bucketed", Some("""
+      WITH r AS (
+        SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey,
+               round(max_by(o_totalprice, o_orderkey), 2) AS o_totalprice
+        FROM orders GROUP BY o_custkey, o_orderdate),
+      l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+            FROM events WHERE event_id < 2000)
+      SELECT l.event_id, l.user_id, l.ts,
+             r.o_orderkey, r.o_totalprice
+      FROM l ASOF LEFT JOIN r
+        ON l.user_id = r.o_custkey AND l.ts >= r.o_orderdate
+      ORDER BY event_id""")) { (s, d) =>
+      val r = t(s, d, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(max("o_orderkey").as("o_orderkey"),
+          round(max_by(col("o_totalprice"), col("o_orderkey")), 2).as("o_totalprice"))
+      val l = t(s, d, "events").filter(col("event_id") < 2000)
+        .select("event_id", "user_id", "ts")
+      graft.operators.AsOfJoin.asofBackwardBucketed(l, r,
+          byLeft = "user_id", byRight = "o_custkey",
+          timeLeft = "ts", timeRight = "o_orderdate",
+          payload = Seq("o_orderkey", "o_totalprice"))
+        .orderBy("event_id")
+    },
+
     // ---- events: windowed aggregations (streaming-compatible shapes; the
     // same pipelines run under Structured Streaming in ScalaTest) ----
 
