@@ -33,34 +33,38 @@ object Bench {
     Tables.t(spark, sfDir, "lineitem").limit(1000)
       .write.format("noop").mode("overwrite").save()
 
-    def timeOnce(name: String): Double = {
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
+    def timeOnce(name: String): Option[Double] = {
       val t0 = System.nanoTime()
-      val ok = try {
+      try {
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
-        true
+        Some((System.nanoTime() - t0) / 1e9)
       } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        failed += name
+        None
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      if (ok) dt else -1.0
     }
 
     val names = SparkEntry.benchQueries
     // primary metric: COLD first-run times (comparable across rounds).
-    val results = names.map(n => n -> timeOnce(n))
+    val results = names.flatMap(n => timeOnce(n).map(n -> _))
     // transparency: a second, steady-state run per query separates one-time
     // per-plan codegen-compile cost (fixed per session, irrelevant at
     // 100 TB) from actual data-throughput cost. The cache is cleared first
     // so run-1 operator caches are rebuilt, not reused — each steady run
     // does its full data work.
     spark.catalog.clearCache()
-    val steady = names.map(n => n -> timeOnce(n))
+    val steady = names.flatMap(n => timeOnce(n).map(n -> _))
     def jsonMap(rs: Seq[(String, Double)]) =
       rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val steadyTotal = steady.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(results)},"steady_total":$steadyTotal%.3f,"queries_steady":${jsonMap(steady)},"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val steadyTotal = steady.map(_._2).sum
+    // failed queries are EXCLUDED from totals and listed explicitly — a
+    // silently failed query must not deflate the total into a fake speedup
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(results)},"steady_total":$steadyTotal%.3f,"queries_steady":${jsonMap(steady)},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -30,13 +30,15 @@ object SparkEntry {
     all.flatMap(q => q.oracle.map(o => q.name -> o.trim)).toMap
 
   /** Headline subset timed by Bench (heavier, scale-sensitive queries).
-    * r2 adds the binned range-join scale path. p04b (banded ngram dedup)
-    * is excluded on purpose: its wall-clock at bench scale is dominated by
-    * one-time session/codegen cost (22s cold vs 2.5s steady-state at
-    * sf0.1), which would misread as data-scale cost. */
+    * r2 adds the binned range-join scale path; r3 adds the as-of join and
+    * the salted hot-key join (both scale-sensitive shuffle shapes). p04b
+    * (banded ngram dedup) is excluded on purpose: its wall-clock at bench
+    * scale is dominated by one-time session/codegen cost (22s cold vs 2.5s
+    * steady-state at sf0.1), which would misread as data-scale cost. */
   def benchQueries: Seq[String] = Seq(
     "q01_tpch_q1", "q05_join_inner", "q08_join_full", "q14_agg_global",
     "q17_agg_distinct", "q53_tpch_q3", "q54_star_join", "q55_returned_items",
-    "p01_dedup_exact", "p02_dedup_minhash", "p06_sim_topk", "p20_range_join",
+    "p01_dedup_exact", "p02_dedup_minhash", "p06_sim_topk", "p14_asof_join",
+    "p20_range_join", "p21_salted_join",
     "s01_events_tumbling", "s03_events_session")
 }
