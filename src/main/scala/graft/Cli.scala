@@ -16,7 +16,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   \d?, help, ?      show available commands
   *   \l                list schemas
   *   \dt [schema]      list tables
+  *   \df               list user-registered functions
   *   \dm               list models
+  *   \de               list experiments
   *   \d <table>        describe a table's columns
   *   \dss <schema>     switch schema
   *   quit, exit, \q    leave
@@ -30,7 +32,9 @@ object Cli {
     "\\d?, help, ?" -> "Show available commands",
     "\\l" -> "List schemas",
     "\\dt [schema]" -> "List tables",
+    "\\df" -> "List functions",
     "\\dm" -> "List models",
+    "\\de" -> "List experiments",
     "\\d <table>" -> "Show columns of a table",
     "\\dss <schema>" -> "Switch schema",
     "quit, exit, \\q" -> "Exit the REPL")
@@ -97,6 +101,8 @@ object Cli {
           if (arg.isEmpty) "SHOW TABLES" else s"SHOW TABLES FROM $arg"), out)
         true
       case "\\dm" => render(ctx.sql("SHOW MODELS"), out); true
+      case "\\de" => render(ctx.sql("SHOW EXPERIMENTS"), out); true
+      case "\\df" => render(ctx.sql("SHOW FUNCTIONS"), out); true
       case "\\d" if arg.nonEmpty =>
         render(ctx.sql(s"SHOW COLUMNS FROM $arg"), out); true
       case "\\dss" if arg.nonEmpty =>

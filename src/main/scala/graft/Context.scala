@@ -31,6 +31,13 @@ class Context(val spark: SparkSession) {
   private case class Schema(
       tables: mutable.LinkedHashMap[String, DataFrame] = mutable.LinkedHashMap(),
       models: mutable.LinkedHashMap[String, MlModel] = mutable.LinkedHashMap(),
+      // experiments are a registry SEPARATE from models (reference:
+      // datacontainer.py:281-290 SchemaContainer.experiments) — the tuning
+      // results survive as their own entity; the best model ALSO lands in
+      // `models` under the experiment name
+      experiments: mutable.LinkedHashMap[String, Seq[(String, String)]] = mutable.LinkedHashMap(),
+      // user-registered function listing (reference: SchemaContainer.functions)
+      functions: mutable.LinkedHashMap[String, String] = mutable.LinkedHashMap(),
       filepaths: mutable.Map[String, String] = mutable.Map())
 
   private case class MlModel(
@@ -163,8 +170,10 @@ class Context(val spark: SparkSession) {
   /** Register a scalar function usable from SQL (reference:
     * Context.register_function). Prefer native Column functions — this is
     * the escape hatch, exactly like the reference's UDF surface. */
-  def registerFunction(name: String, f: UserDefinedFunction): Unit =
+  def registerFunction(name: String, f: UserDefinedFunction): Unit = {
     spark.udf.register(name, f)
+    schemas(currentSchema).functions(name.toLowerCase) = "scalar"
+  }
 
   private val functionOverloads =
     mutable.Map[String, mutable.ArrayBuffer[(Seq[DataType], UserDefinedFunction)]]()
@@ -184,6 +193,8 @@ class Context(val spark: SparkSession) {
     val snapshot = list.toSeq
     org.apache.spark.sql.GraftBridge.registerFunctionBuilder(spark, key,
       children => graft.functions.CatalystExprs.OverloadedUdf(key, snapshot, children))
+    schemas(currentSchema).functions(key) =
+      s"scalar (${snapshot.size} overload${if (snapshot.size == 1) "" else "s"})"
   }
 
   /** Register a ROW UDF (reference: context.py:324-413 `row_udf=True`):
@@ -198,14 +209,17 @@ class Context(val spark: SparkSession) {
     org.apache.spark.sql.GraftBridge.registerFunctionBuilder(spark, name.toLowerCase,
       children => org.apache.spark.sql.GraftBridge.udfExpression(u,
         Seq(org.apache.spark.sql.catalyst.expressions.CreateStruct(children))))
+    schemas(currentSchema).functions(name.toLowerCase) = "row"
   }
 
   /** Register a typed aggregate (reference: Context.register_aggregation →
     * dd.Aggregation; here an Aggregator via functions.udaf). */
   def registerAggregation[IN, BUF, OUT](
       name: String, agg: org.apache.spark.sql.expressions.Aggregator[IN, BUF, OUT])(
-      implicit enc: org.apache.spark.sql.Encoder[IN]): Unit =
+      implicit enc: org.apache.spark.sql.Encoder[IN]): Unit = {
     spark.udf.register(name, org.apache.spark.sql.functions.udaf(agg, enc))
+    schemas(currentSchema).functions(name.toLowerCase) = "aggregate"
+  }
 
   // ---------------- SQL entry point (context.py:482-533) ----------------
 
@@ -291,6 +305,20 @@ class Context(val spark: SparkSession) {
     case ShowModels() =>
       toDf(schemas(currentSchema).models.keys.toSeq.map(Tuple1(_)), "model")
 
+    case ShowExperiments() =>
+      toDf(schemas(currentSchema).experiments.keys.toSeq.map(Tuple1(_)), "experiment")
+
+    case DescribeExperiment(name) =>
+      val results = schemas(currentSchema).experiments.getOrElse(name.toLowerCase,
+        throw new IllegalArgumentException(s"Experiment not found: $name"))
+      toDf2(results, "param", "value")
+
+    case ShowFunctions() =>
+      // the context's USER-registered functions (reference cmd.py \df over
+      // SchemaContainer.functions) — built-ins live in Spark's own
+      // `SHOW FUNCTIONS`, reachable via spark.sql directly
+      toDf2(schemas(currentSchema).functions.toSeq, "function", "kind")
+
     case AnalyzeTable(table, columnsOpt) =>
       // Returns describe-style stats like the reference (analyze_table.py:
       // 50-66). Unlike the reference, also a natural place to feed CBO —
@@ -322,7 +350,10 @@ class Context(val spark: SparkSession) {
         opts.getOrElse("target_column",
           throw new IllegalArgumentException("CREATE EXPERIMENT requires target_column=")),
         opts)
-      // best model lands in the registry under the experiment name
+      // the tuning results register as an EXPERIMENT (reference:
+      // context.register_experiment, context.py:615-624) and the best
+      // model ALSO lands in the model registry under the experiment name
+      schemas(currentSchema).experiments(name.toLowerCase) = results
       schemas(currentSchema).models(name.toLowerCase) =
         MlModel(name.toLowerCase, best.modelClass, best.target, best.pipeline, best.features)
       toDf2(results, "param", "value")

@@ -25,6 +25,9 @@ object ExtensionParser {
   final case class ShowTables(schema: Option[String]) extends Statement
   final case class ShowColumns(table: String) extends Statement
   final case class ShowModels() extends Statement
+  final case class ShowExperiments() extends Statement
+  final case class DescribeExperiment(name: String) extends Statement
+  final case class ShowFunctions() extends Statement
   final case class AnalyzeTable(table: String, columns: Option[Seq[String]]) extends Statement
   final case class CreateModel(name: String, options: Map[String, String],
       select: String, orReplace: Boolean) extends Statement
@@ -62,6 +65,11 @@ object ExtensionParser {
   private val showTables = re(s"SHOW${ws}TABLES(?:${ws}FROM${ws}$ident)?")
   private val showColumns = re(s"SHOW${ws}COLUMNS${ws}FROM${ws}$ident")
   private val showModels = re(s"SHOW${ws}MODELS")
+  private val showExperiments = re(s"SHOW${ws}EXPERIMENTS")
+  private val describeExperiment = re(s"DESCRIBE${ws}EXPERIMENT${ws}$ident")
+  // user-registered functions only (reference cmd.py \df); Spark's built-in
+  // listing stays reachable as `SHOW FUNCTIONS LIKE ...` (falls through)
+  private val showFunctions = re(s"SHOW${ws}FUNCTIONS")
   private val analyzeTable =
     re(s"ANALYZE${ws}TABLE${ws}$ident${ws}COMPUTE${ws}STATISTICS(?:${ws}FOR${ws}(?:ALL${ws}COLUMNS|COLUMNS${ws}(.*)))?")
   private val createModel =
@@ -90,6 +98,9 @@ object ExtensionParser {
     case dropModel(ifEx, name) => DropModel(name, ifEx != null)
     case exportModel(name, kwargs) => ExportModel(name, parseKwargs(kwargs))
     case showModels() => ShowModels()
+    case showExperiments() => ShowExperiments()
+    case describeExperiment(name) => DescribeExperiment(name)
+    case showFunctions() => ShowFunctions()
     case createTableWith(orRepl, _, name, kwargs) =>
       CreateTableWith(name, parseKwargs(kwargs), orRepl != null)
     case createTableAs(orRepl, kind, _, name, select) =>

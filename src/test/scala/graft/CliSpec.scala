@@ -51,5 +51,23 @@ class CliSpec extends AnyFunSuite {
     val output = runScript("\\zz\nhelp\nquit\n")
     assert(output.contains("Unknown meta command"))
     assert(output.contains("List tables"))
+    assert(output.contains("List experiments"))
+  }
+
+  test("\\de lists experiments and \\df lists functions") {
+    val ctx = new Context(spark)
+    ctx.createTableFromPath("orders", s"${TestSpark.sf}/orders.parquet")
+    ctx.registerFunction("cli_fn", org.apache.spark.sql.functions.udf((x: Long) => x + 1))
+    ctx.sql("""CREATE EXPERIMENT cli_exp WITH (
+      model_class = 'LinearRegression', target_column = 'o_totalprice',
+      n_folds = 2
+    ) AS SELECT o_totalprice, o_custkey, o_orderkey FROM orders LIMIT 200""").collect()
+    val out = new ByteArrayOutputStream()
+    Cli.repl(new BufferedReader(new StringReader("\\de\n\\df\nquit\n")),
+      new PrintStream(out, true, "UTF-8"), ctx, prompt = false)
+    val output = new String(out.toByteArray, "UTF-8")
+    assert(output.contains("cli_exp"))
+    assert(output.contains("cli_fn"))
+    assert(output.contains("scalar"))
   }
 }

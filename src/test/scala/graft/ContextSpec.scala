@@ -181,7 +181,36 @@ class ContextSpec extends AnyFunSuite {
     val pred = ctx.sql(
       "SELECT * FROM PREDICT(MODEL tuned, SELECT o_totalprice, o_custkey, o_orderkey FROM orders LIMIT 5)")
     assert(pred.count() == 5 && pred.columns.contains("prediction"))
+
+    // the experiment is its own registry entry, DISTINCT from the model
+    // it produced (reference SchemaContainer.experiments vs .models)
+    assert(ctx.sql("SHOW EXPERIMENTS").collect().map(_.getString(0)).contains("tuned"))
+    assert(ctx.sql("SHOW MODELS").collect().map(_.getString(0)).contains("tuned"))
+    val desc = ctx.sql("DESCRIBE EXPERIMENT tuned")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc.contains("metric_value") && desc("candidates").toInt == 6)
+    // dropping the best model does not erase the experiment record
     ctx.sql("DROP MODEL tuned")
+    assert(!ctx.sql("SHOW MODELS").collect().map(_.getString(0)).contains("tuned"))
+    assert(ctx.sql("SHOW EXPERIMENTS").collect().map(_.getString(0)).contains("tuned"))
+  }
+
+  test("SHOW FUNCTIONS lists user registrations with their kind") {
+    import org.apache.spark.sql.functions.udf
+    ctx.registerFunction("ctx_double_it", udf((x: Long) => x * 2))
+    ctx.registerAggregation("ctx_geo2", new org.apache.spark.sql.expressions.Aggregator[Double, (Double, Long), Double] {
+      def zero = (0.0, 0L)
+      def reduce(b: (Double, Long), a: Double) = (b._1 + math.log(a), b._2 + 1)
+      def merge(a: (Double, Long), b: (Double, Long)) = (a._1 + b._1, a._2 + b._2)
+      def finish(r: (Double, Long)) = math.exp(r._1 / r._2)
+      def bufferEncoder = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble, org.apache.spark.sql.Encoders.scalaLong)
+      def outputEncoder = org.apache.spark.sql.Encoders.scalaDouble
+    })(org.apache.spark.sql.Encoders.scalaDouble)
+    val fns = ctx.sql("SHOW FUNCTIONS")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(fns("ctx_double_it") == "scalar")
+    assert(fns("ctx_geo2") == "aggregate")
   }
 
   test("JDBC source round-trips through embedded Derby") {
