@@ -50,13 +50,75 @@ class Context(val spark: SparkSession) {
   private val schemas = mutable.LinkedHashMap(DefaultSchema -> Schema())
   private var currentSchema = DefaultSchema
 
+  // ---------------- config surface (reference: dask_sql/sql.yaml) --------
+
+  /** The reference's `sql.yaml` knob inventory (SURVEY §4.2), keyed by the
+    * reference's own names. Knobs with a Spark-native analogue are applied
+    * to the session conf when set; knobs Catalyst subsumes (it cannot be
+    * switched off, pushdown-by-graph-rewrite is native, …) are recorded so
+    * `getConfig` round-trips, with the subsumption documented per key. */
+  private val config = mutable.LinkedHashMap(
+    "sql.identifier.case_sensitive" -> "false",
+    "sql.join.broadcast" -> "", // "" = let Spark's 10 MB threshold decide
+    "sql.sort.topk-nelem-limit" -> "1000000",
+    "sql.predicate_pushdown" -> "true",
+    "sql.dynamic_partition_pruning" -> "true",
+    "sql.optimize" -> "true", // recorded only: Catalyst always optimizes
+    "sql.limit.check-first-partition" -> "true", // subsumed: CollectLimitExec is incremental
+    "sql.aggregate.split_out" -> "", // "" = spark.sql.shuffle.partitions default
+    "sql.optimizer.verbose" -> "false")
+
+  def getConfig(key: String): Option[String] = config.get(key)
+  def configs: Seq[(String, String)] = config.toSeq
+
+  /** Set a knob. `sql.*` keys use the reference's semantics; the mapping to
+    * Spark confs mirrors SURVEY §4.2's table (e.g. `sql.join.broadcast`
+    * false disables broadcast joins via autoBroadcastJoinThreshold=-1, a
+    * number sets the threshold in bytes). Set `sql.identifier.
+    * case_sensitive` BEFORE registering tables — already-registered names
+    * keep the normalization they were stored under. */
+  def setConfig(key: String, value: String): Unit = {
+    val v = value.trim
+    key match {
+      case "sql.identifier.case_sensitive" =>
+        spark.conf.set("spark.sql.caseSensitive", v.toBoolean.toString)
+      case "sql.join.broadcast" =>
+        val threshold = v.toLowerCase match {
+          case "false" | "0" => "-1" // never broadcast
+          case "true" | "" => "10485760" // Spark's default 10 MB
+          case n => n // explicit byte threshold
+        }
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      case "sql.sort.topk-nelem-limit" =>
+        spark.conf.set("spark.sql.execution.topKSortFallbackThreshold", v)
+      case "sql.predicate_pushdown" =>
+        spark.conf.set("spark.sql.parquet.filterPushdown", v.toBoolean.toString)
+        spark.conf.set("spark.sql.orc.filterPushdown", v.toBoolean.toString)
+      case "sql.dynamic_partition_pruning" =>
+        spark.conf.set(
+          "spark.sql.optimizer.dynamicPartitionPruning.enabled", v.toBoolean.toString)
+      case "sql.aggregate.split_out" =>
+        if (v.nonEmpty) spark.conf.set("spark.sql.shuffle.partitions", v.toInt.toString)
+      case _ => // recorded-only knobs and free-form keys (dask.config semantics)
+    }
+    config(key) = v
+  }
+
+  private def caseSensitive: Boolean =
+    config("sql.identifier.case_sensitive").toBoolean
+
+  /** Identifier normalization — the reference lowercases unless
+    * `sql.identifier.case_sensitive` (context.py fixed in sql.yaml). */
+  private def norm(name: String): String =
+    if (caseSensitive) name else name.toLowerCase
+
   // ---------------- table management (context.py:168-293) ----------------
 
   /** Register a DataFrame as a named table in the current schema. */
   def createTable(name: String, df: DataFrame, persist: Boolean = false): Unit = {
     val d = if (persist) df.cache() else df
-    schemas(currentSchema).tables(name.toLowerCase) = d
-    d.createOrReplaceTempView(name.toLowerCase)
+    schemas(currentSchema).tables(norm(name)) = d
+    d.createOrReplaceTempView(norm(name))
   }
 
   /** Register a table from a file location; format inferred from the
@@ -78,7 +140,7 @@ class Context(val spark: SparkSession) {
       case "orc" => reader.orc(path)
       case _ => reader.parquet(path)
     }
-    schemas(currentSchema).filepaths(name.toLowerCase) = path
+    schemas(currentSchema).filepaths(norm(name)) = path
     createTable(name, df, persist)
   }
 
@@ -90,7 +152,7 @@ class Context(val spark: SparkSession) {
       options: Map[String, String] = Map(), persist: Boolean = false): Unit = {
     val df = spark.read.format("jdbc")
       .option("url", url).option("dbtable", table).options(options).load()
-    schemas(currentSchema).filepaths(name.toLowerCase) = url
+    schemas(currentSchema).filepaths(norm(name)) = url
     createTable(name, df, persist)
   }
 
@@ -104,12 +166,12 @@ class Context(val spark: SparkSession) {
     createTable(name, spark.table(catalogTable), persist)
 
   def dropTable(name: String, ifExists: Boolean = false): Unit = {
-    val removed = schemas(currentSchema).tables.remove(name.toLowerCase)
+    val removed = schemas(currentSchema).tables.remove(norm(name))
     if (removed.isEmpty && !ifExists)
       throw new IllegalArgumentException(s"Table not found: $name")
     // only drop the session view if THIS schema owned the name — a same-named
     // view registered by another schema's namespace must survive
-    if (removed.nonEmpty) spark.catalog.dropTempView(name.toLowerCase)
+    if (removed.nonEmpty) spark.catalog.dropTempView(norm(name))
   }
 
   /** Persist a DataFrame as a BUCKETED catalog table and bind it into the
@@ -134,24 +196,24 @@ class Context(val spark: SparkSession) {
   /** Rename a table in the current schema (reference: context.alter_table,
     * physical/rel/custom/alter.py:47 — rename-only semantics). */
   def alterTable(oldName: String, newName: String, ifExists: Boolean = false): Unit = {
-    val removed = schemas(currentSchema).tables.remove(oldName.toLowerCase)
+    val removed = schemas(currentSchema).tables.remove(norm(oldName))
     removed match {
       case None =>
         if (!ifExists) throw new IllegalArgumentException(s"Table not found: $oldName")
       case Some(df) =>
-        spark.catalog.dropTempView(oldName.toLowerCase)
-        schemas(currentSchema).filepaths.remove(oldName.toLowerCase)
-          .foreach(schemas(currentSchema).filepaths(newName.toLowerCase) = _)
+        spark.catalog.dropTempView(norm(oldName))
+        schemas(currentSchema).filepaths.remove(norm(oldName))
+          .foreach(schemas(currentSchema).filepaths(norm(newName)) = _)
         createTable(newName, df)
     }
   }
 
   /** Rename a schema (reference: context.alter_schema, alter.py:13). */
   def alterSchema(oldName: String, newName: String): Unit = {
-    val s = schemas.remove(oldName.toLowerCase).getOrElse(
+    val s = schemas.remove(norm(oldName)).getOrElse(
       throw new IllegalArgumentException(s"Schema not found: $oldName"))
-    schemas(newName.toLowerCase) = s
-    if (currentSchema == oldName.toLowerCase) currentSchema = newName.toLowerCase
+    schemas(norm(newName)) = s
+    if (currentSchema == norm(oldName)) currentSchema = norm(newName)
   }
 
   def tables: Seq[String] = schemas(currentSchema).tables.keys.toSeq
@@ -266,26 +328,26 @@ class Context(val spark: SparkSession) {
       alterSchema(oldName, newName); emptyResult
 
     case CreateSchema(name, ifNotExists) =>
-      if (schemas.contains(name.toLowerCase) && !ifNotExists)
+      if (schemas.contains(norm(name)) && !ifNotExists)
         throw new IllegalArgumentException(s"Schema exists: $name")
-      schemas.getOrElseUpdate(name.toLowerCase, Schema())
+      schemas.getOrElseUpdate(norm(name), Schema())
       emptyResult
 
     case DropSchema(name, ifExists) =>
-      if (name.toLowerCase == DefaultSchema)
+      if (norm(name) == DefaultSchema)
         throw new IllegalArgumentException("Cannot drop the root schema")
-      if (schemas.remove(name.toLowerCase).isEmpty && !ifExists)
+      if (schemas.remove(norm(name)).isEmpty && !ifExists)
         throw new IllegalArgumentException(s"Schema not found: $name")
-      if (currentSchema == name.toLowerCase) currentSchema = DefaultSchema
+      if (currentSchema == norm(name)) currentSchema = DefaultSchema
       emptyResult
 
     case UseSchema(name) =>
-      if (!schemas.contains(name.toLowerCase))
+      if (!schemas.contains(norm(name)))
         throw new IllegalArgumentException(s"Schema not found: $name")
       // drop the outgoing schema's views so its tables stop resolving
       // (schemas are isolated namespaces in the reference)
       schemas(currentSchema).tables.keys.foreach(spark.catalog.dropTempView)
-      currentSchema = name.toLowerCase
+      currentSchema = norm(name)
       schemas(currentSchema).tables.foreach { case (n, df) =>
         df.createOrReplaceTempView(n)
       }
@@ -295,7 +357,7 @@ class Context(val spark: SparkSession) {
       toDf(schemas.keys.toSeq.map(Tuple1(_)), "schema")
 
     case ShowTables(schemaOpt) =>
-      val s = schemaOpt.map(_.toLowerCase).getOrElse(currentSchema)
+      val s = schemaOpt.map(norm).getOrElse(currentSchema)
       toDf(schemas.getOrElse(s, Schema()).tables.keys.toSeq.map(Tuple1(_)), "table")
 
     case ShowColumns(table) =>
@@ -312,6 +374,12 @@ class Context(val spark: SparkSession) {
       val results = schemas(currentSchema).experiments.getOrElse(name.toLowerCase,
         throw new IllegalArgumentException(s"Experiment not found: $name"))
       toDf2(results, "param", "value")
+
+    case SetConfig(key, value) =>
+      setConfig(key, value); emptyResult
+
+    case ShowConfig() =>
+      toDf2(configs, "key", "value")
 
     case ShowFunctions() =>
       // the context's USER-registered functions (reference cmd.py \df over
@@ -407,7 +475,7 @@ class Context(val spark: SparkSession) {
   // ---------------- helpers ----------------
 
   private def lookupTable(name: String): DataFrame =
-    schemas(currentSchema).tables.getOrElse(name.toLowerCase,
+    schemas(currentSchema).tables.getOrElse(norm(name),
       throw new IllegalArgumentException(s"Table not found: $name"))
 
   private def emptyResult: DataFrame = spark.emptyDataFrame

@@ -28,6 +28,8 @@ object ExtensionParser {
   final case class ShowExperiments() extends Statement
   final case class DescribeExperiment(name: String) extends Statement
   final case class ShowFunctions() extends Statement
+  final case class SetConfig(key: String, value: String) extends Statement
+  final case class ShowConfig() extends Statement
   final case class AnalyzeTable(table: String, columns: Option[Seq[String]]) extends Statement
   final case class CreateModel(name: String, options: Map[String, String],
       select: String, orReplace: Boolean) extends Statement
@@ -70,6 +72,11 @@ object ExtensionParser {
   // user-registered functions only (reference cmd.py \df); Spark's built-in
   // listing stays reachable as `SHOW FUNCTIONS LIKE ...` (falls through)
   private val showFunctions = re(s"SHOW${ws}FUNCTIONS")
+  // only `sql.*` keys (the reference's dask.config namespace) are
+  // intercepted; `SET spark.*` etc. falls through to Spark's own SET
+  private val setConfig =
+    re(s"SET$ws([A-Za-z_][\\w.\\-]*\\.[\\w.\\-]+)\\s*=\\s*(?:'([^']*)'|(\\S+))")
+  private val showConfig = re(s"SHOW${ws}CONFIG")
   private val analyzeTable =
     re(s"ANALYZE${ws}TABLE${ws}$ident${ws}COMPUTE${ws}STATISTICS(?:${ws}FOR${ws}(?:ALL${ws}COLUMNS|COLUMNS${ws}(.*)))?")
   private val createModel =
@@ -101,6 +108,9 @@ object ExtensionParser {
     case showExperiments() => ShowExperiments()
     case describeExperiment(name) => DescribeExperiment(name)
     case showFunctions() => ShowFunctions()
+    case setConfig(key, quoted, bare) if key.startsWith("sql.") =>
+      SetConfig(key, Option(quoted).getOrElse(bare))
+    case showConfig() => ShowConfig()
     case createTableWith(orRepl, _, name, kwargs) =>
       CreateTableWith(name, parseKwargs(kwargs), orRepl != null)
     case createTableAs(orRepl, kind, _, name, select) =>

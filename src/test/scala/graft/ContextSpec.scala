@@ -195,6 +195,57 @@ class ContextSpec extends AnyFunSuite {
     assert(ctx.sql("SHOW EXPERIMENTS").collect().map(_.getString(0)).contains("tuned"))
   }
 
+  test("config: sql.identifier.case_sensitive round-trips mixed-case names") {
+    import spark.implicits._
+    val c = new Context(spark)
+    // default (case-insensitive, the reference's default): any casing resolves
+    c.createTable("MiXeD", Seq((1L, "a")).toDF("id", "v"))
+    assert(c.tables.contains("mixed"))
+    assert(c.sql("SELECT v FROM MIXED").head().getString(0) == "a")
+    c.dropTable("mixed")
+    c.setConfig("sql.identifier.case_sensitive", "true")
+    try {
+      assert(c.getConfig("sql.identifier.case_sensitive").contains("true"))
+      // two tables differing only in case now coexist and resolve separately
+      c.createTable("CasedTab", Seq((1L, "upper")).toDF("id", "v"))
+      c.createTable("casedtab", Seq((2L, "lower")).toDF("id", "v"))
+      assert(c.tables.contains("CasedTab") && c.tables.contains("casedtab"))
+      assert(c.sql("SELECT v FROM CasedTab").head().getString(0) == "upper")
+      assert(c.sql("SELECT v FROM casedtab").head().getString(0) == "lower")
+      c.dropTable("CasedTab")
+      c.dropTable("casedtab")
+      intercept[IllegalArgumentException] { c.dropTable("CASEDTAB") }
+    } finally c.setConfig("sql.identifier.case_sensitive", "false")
+  }
+
+  test("config: sql.join.broadcast=false disables broadcast in the plan") {
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      ctx.setConfig("sql.join.broadcast", "false")
+      assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "-1")
+      val plan = ctx.sql(
+        """SELECT o_orderkey FROM orders JOIN lineitem ON l_orderkey = o_orderkey""")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"))
+      ctx.setConfig("sql.join.broadcast", "true")
+      val plan2 = ctx.sql(
+        """SELECT o_orderkey FROM orders JOIN lineitem ON l_orderkey = o_orderkey""")
+        .queryExecution.executedPlan.toString
+      assert(plan2.contains("BroadcastHashJoin"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("config: SET and SHOW CONFIG work from SQL; spark.* SET passes through") {
+    ctx.sql("SET sql.sort.topk-nelem-limit = 77")
+    assert(spark.conf.get("spark.sql.execution.topKSortFallbackThreshold") == "77")
+    val cfg = ctx.sql("SHOW CONFIG").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cfg("sql.sort.topk-nelem-limit") == "77")
+    assert(cfg.contains("sql.join.broadcast") && cfg.contains("sql.identifier.case_sensitive"))
+    // a non-sql.* SET is Spark's own statement, untouched
+    ctx.sql("SET spark.sql.shuffle.partitions=4").collect()
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == "4")
+  }
+
   test("SHOW FUNCTIONS lists user registrations with their kind") {
     import org.apache.spark.sql.functions.udf
     ctx.registerFunction("ctx_double_it", udf((x: Long) => x * 2))
