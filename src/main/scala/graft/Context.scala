@@ -389,11 +389,30 @@ class Context(val spark: SparkSession) {
 
     case AnalyzeTable(table, columnsOpt) =>
       // Returns describe-style stats like the reference (analyze_table.py:
-      // 50-66). Unlike the reference, also a natural place to feed CBO —
-      // catalog-table stats require a persisted table, so here we return
-      // the stats frame and leave CBO to parquet row-group metadata.
+      // 50-66). For CATALOG-persisted tables (createBucketedTable /
+      // saveAsTable) it additionally runs Spark's native ANALYZE so the
+      // optimizer's join-size/reorder estimates use real rowCount + column
+      // NDV stats — the reference feeds row counts to its join reorder the
+      // same way (join_reorder.rs uses table statistics). The name must be
+      // database-qualified: the Context's temp view of the same name would
+      // otherwise shadow the catalog table.
       val df = lookupTable(table)
       val cols = columnsOpt.getOrElse(df.columns.toSeq)
+      val catName = norm(table)
+      if (spark.catalog.tableExists("default", catName)) {
+        spark.sql(s"ANALYZE TABLE default.`$catName` COMPUTE STATISTICS")
+        // column stats only exist for atomic types (no array/map/struct/binary)
+        import org.apache.spark.sql.types._
+        val statable = df.schema.fields.filter(_.dataType match {
+          case _: NumericType | _: StringType | _: BooleanType | _: DateType |
+               _: TimestampType | _: TimestampNTZType => true
+          case _ => false
+        }).map(_.name).toSet
+        val statCols = cols.filter(statable)
+        if (statCols.nonEmpty)
+          spark.sql(s"ANALYZE TABLE default.`$catName` COMPUTE STATISTICS " +
+            s"FOR COLUMNS ${statCols.map(c => s"`$c`").mkString(", ")}")
+      }
       df.select(cols.map(col): _*).describe()
 
     case CreateModel(name, opts, select, orReplace) =>

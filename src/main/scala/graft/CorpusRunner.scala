@@ -1,0 +1,88 @@
+package graft
+
+import java.io.File
+
+import org.apache.spark.sql.SparkSession
+
+/** External query-corpus runner — the mirror of the reference's de-facto
+  * perf corpus harness (tests/unit/test_queries.py:41-110: register every
+  * file in a data dir as a table, run each `q*.sql` from a queries dir,
+  * execution-only). Lets a user point the engine at a TPC-DS/TPC-H dump
+  * (`qNN.sql` files) without writing any Scala.
+  *
+  * Execution-only means the full result is computed but never collected to
+  * the driver: the query writes to Spark's `noop` sink, so a 100 TB result
+  * exercises every operator and shuffle at scale with zero driver memory —
+  * the Spark-native analogue of the reference's `res.compute(scheduler)`.
+  */
+object CorpusRunner {
+
+  final case class Result(query: String, ok: Boolean, seconds: Double,
+      error: Option[String])
+
+  /** Register every data file/directory in `dataDir` as a table named after
+    * the file minus its extension (test_queries.py:55-62 does the same with
+    * `os.listdir`). Directories (partitioned parquet) register as-is. */
+  def registerDir(ctx: Context, dataDir: String): Seq[String] = {
+    val entries = Option(new File(dataDir).listFiles()).getOrElse(Array())
+    entries.toSeq.sortBy(_.getName).flatMap { f =>
+      val name = f.getName.replaceAll("\\.[A-Za-z]+$", "")
+      if (name.isEmpty || name.startsWith(".")) None
+      else {
+        ctx.createTableFromPath(name, f.getAbsolutePath)
+        Some(name)
+      }
+    }
+  }
+
+  /** Run every `q*.sql` in `queriesDir` (numeric order) against `ctx`.
+    * Failures are caught per query — one bad query never stops the sweep. */
+  def run(ctx: Context, queriesDir: String): Seq[Result] = {
+    val files = Option(new File(queriesDir).listFiles()).getOrElse(Array())
+      .toSeq.filter(f => f.getName.matches("q.*\\.sql"))
+      .sortBy(f => ("\\d+".r.findFirstIn(f.getName).map(_.toInt).getOrElse(0), f.getName))
+    files.map { f =>
+      val sql = scala.io.Source.fromFile(f, "UTF-8").mkString
+      val t0 = System.nanoTime()
+      try {
+        ctx.sql(sql).write.format("noop").mode("overwrite").save()
+        Result(f.getName, ok = true, (System.nanoTime() - t0) / 1e9, None)
+      } catch {
+        case e: Exception =>
+          Result(f.getName, ok = false, (System.nanoTime() - t0) / 1e9,
+            Some(Option(e.getMessage).getOrElse(e.getClass.getName).linesIterator
+              .take(1).mkString.take(300)))
+      }
+    }
+  }
+
+  /** CLI: `runMain graft.CorpusRunner <queriesDir> [dataDir]`. Prints one
+    * line per query and a JSON summary; exit 1 if any query failed. */
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: CorpusRunner <queriesDir> [dataDir]")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
+      .appName("graft-corpus")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val ctx = new Context(spark)
+    args.drop(1).headOption.foreach { d =>
+      registerDir(ctx, d).foreach(t => println(s"registered $t"))
+    }
+    val results = run(ctx, args(0))
+    results.foreach { r =>
+      val status = if (r.ok) "PASS" else s"FAIL ${r.error.getOrElse("")}"
+      println(f"${r.query}%-16s ${r.seconds}%8.3fs  $status")
+    }
+    val failed = results.filterNot(_.ok).map(r => s""""${r.query}"""")
+    println(s"""{"metric":"corpus","queries":${results.size},""" +
+      s""""passed":${results.count(_.ok)},"failed":[${failed.mkString(",")}],""" +
+      f""""total_sec":${results.map(_.seconds).sum}%.3f}""")
+    spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
+  }
+}

@@ -321,6 +321,29 @@ class ContextSpec extends AnyFunSuite {
     }
   }
 
+  test("ANALYZE TABLE feeds rowCount stats into the optimized plan for catalog tables") {
+    val li = Tables.t(spark, TestSpark.sf, "lineitem")
+      .select("l_orderkey", "l_quantity").limit(1234)
+    ctx.createBucketedTable("li_stats", li, 4, Seq("l_orderkey"))
+    val savedCbo = spark.conf.get("spark.sql.cbo.enabled")
+    try {
+      val described = ctx.sql("ANALYZE TABLE li_stats COMPUTE STATISTICS")
+      assert(described.columns.contains("summary")) // describe frame, as before
+      // the native side effect: catalog stats now drive plan estimates
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val stats = spark.table("default.li_stats")
+        .queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.contains(BigInt(1234)),
+        s"expected rowCount=1234 in plan stats, got ${stats.rowCount}")
+      // column-level stats (NDV etc.) landed too
+      assert(stats.attributeStats.nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", savedCbo)
+      ctx.sql("DROP TABLE li_stats")
+      spark.sql("DROP TABLE IF EXISTS li_stats")
+    }
+  }
+
   test("typed function overloads dispatch on operand types") {
     import org.apache.spark.sql.types.{IntegerType, StringType}
     ctx.registerFunction("twice", Seq(IntegerType), udf((i: Int) => i * 2))

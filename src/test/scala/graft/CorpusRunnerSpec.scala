@@ -1,0 +1,32 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class CorpusRunnerSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("registers a data dir and runs q*.sql files in numeric order") {
+    val ctx = new Context(spark)
+    val registered = CorpusRunner.registerDir(ctx, TestSpark.sf)
+    assert(registered.contains("lineitem") && registered.contains("orders"))
+    assert(ctx.sql("SELECT count(*) AS n FROM region").head().getLong(0) == 5)
+
+    val dir = Files.createTempDirectory("corpus")
+    Files.writeString(dir.resolve("q1.sql"),
+      "SELECT l_returnflag, sum(l_quantity) AS q FROM lineitem GROUP BY 1")
+    Files.writeString(dir.resolve("q2.sql"),
+      """SELECT n_name, count(*) AS c FROM nation
+        |JOIN customer ON c_nationkey = n_nationkey GROUP BY 1""".stripMargin)
+    Files.writeString(dir.resolve("q10.sql"),
+      "SELECT * FROM no_such_table") // deliberate failure
+    val results = CorpusRunner.run(ctx, dir.toString)
+
+    assert(results.map(_.query) == Seq("q1.sql", "q2.sql", "q10.sql")) // numeric, not lexical
+    assert(results.take(2).forall(_.ok))
+    val bad = results.last
+    assert(!bad.ok && bad.error.exists(_.nonEmpty))
+    results.foreach(r => assert(r.seconds >= 0))
+  }
+}
