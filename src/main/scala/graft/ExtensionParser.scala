@@ -46,17 +46,59 @@ object ExtensionParser {
   private def kw(s: String) = s.split(" ").mkString(ws)
   private val ident = "([A-Za-z_][A-Za-z0-9_.]*)"
 
-  // WITH (key = value, ...) — values are 'str', numbers, or booleans
-  private def parseKwargs(s: String): Map[String, String] =
-    "(\\w+)\\s*=\\s*(?:'([^']*)'|([^,)\\s]+))".r.findAllMatchIn(s).map { m =>
-      m.group(1).toLowerCase -> Option(m.group(2)).getOrElse(m.group(3))
+  // A WITH (...) kwargs span, matched quote-aware: quoted values ('' escapes
+  // a quote, reference parser.rs single-quote literals) may contain commas,
+  // parens, and even `) AS` without ending the span; one level of bare
+  // parenthesis nesting is allowed for tuple-ish values.
+  private val quotedLit = "'(?:[^']|'')*'"
+  private val kwAtom = s"(?:[^'()]|$quotedLit)"
+  private val kwSpan = s"((?:$kwAtom|\\($kwAtom*\\))*)"
+
+  /** WITH (key = value, ...) — values are 'str', numbers, or booleans.
+    * A scanner, not a regex: splits on TOP-LEVEL commas only, honoring
+    * single-quote literals (with '' escapes) and nested parens, so JSON
+    * payloads like tune_parameters = '{"a": [1,2], "b": "x''y)"}' survive
+    * intact. Quoted values are unescaped; bare values pass through. */
+  private[graft] def parseKwargs(s: String): Map[String, String] = {
+    val parts = scala.collection.mutable.ArrayBuffer(new StringBuilder)
+    var inQ = false; var depth = 0; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQ) {
+        parts.last.append(c)
+        if (c == '\'') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') { parts.last.append('\''); i += 1 }
+          else inQ = false
+        }
+      } else c match {
+        case '\'' => inQ = true; parts.last.append(c)
+        case '(' => depth += 1; parts.last.append(c)
+        case ')' => depth -= 1; parts.last.append(c)
+        case ',' if depth <= 0 => parts.append(new StringBuilder)
+        case _ => parts.last.append(c)
+      }
+      i += 1
+    }
+    parts.iterator.map(_.toString.trim).filter(_.nonEmpty).flatMap { kv =>
+      val eq = kv.indexOf('=')
+      if (eq < 0) None
+      else {
+        val k = kv.substring(0, eq).trim.toLowerCase
+        val raw = kv.substring(eq + 1).trim
+        val v =
+          if (raw.length >= 2 && raw.head == '\'' && raw.last == '\'')
+            raw.substring(1, raw.length - 1).replace("''", "'")
+          else raw
+        if (k.matches("\\w+")) Some(k -> v) else None
+      }
     }.toMap
+  }
 
   private def re(pattern: String) =
     ("(?is)^\\s*" + pattern + "\\s*;?\\s*$").r
 
   private val createTableWith =
-    re(s"CREATE${ws}(OR${ws}REPLACE${ws})?TABLE${ws}(IF${ws}NOT${ws}EXISTS${ws})?$ident${ws}WITH${ws}\\((.*)\\)")
+    re(s"CREATE${ws}(OR${ws}REPLACE${ws})?TABLE${ws}(IF${ws}NOT${ws}EXISTS${ws})?$ident${ws}WITH${ws}\\($kwSpan\\)")
   private val createTableAs =
     re(s"CREATE${ws}(OR${ws}REPLACE${ws})?(TABLE|VIEW)${ws}(IF${ws}NOT${ws}EXISTS${ws})?$ident${ws}AS${ws}(.*)")
   private val dropTable = re(s"DROP${ws}TABLE${ws}(IF${ws}EXISTS${ws})?$ident")
@@ -80,15 +122,15 @@ object ExtensionParser {
   private val analyzeTable =
     re(s"ANALYZE${ws}TABLE${ws}$ident${ws}COMPUTE${ws}STATISTICS(?:${ws}FOR${ws}(?:ALL${ws}COLUMNS|COLUMNS${ws}(.*)))?")
   private val createModel =
-    re(s"CREATE${ws}(OR${ws}REPLACE${ws})?MODEL${ws}$ident${ws}WITH${ws}\\((.*?)\\)${ws}AS${ws}(.*)")
+    re(s"CREATE${ws}(OR${ws}REPLACE${ws})?MODEL${ws}$ident${ws}WITH${ws}\\($kwSpan\\)${ws}AS${ws}(.*)")
   private val createExperiment =
-    re(s"CREATE${ws}(OR${ws}REPLACE${ws})?EXPERIMENT${ws}$ident${ws}WITH${ws}\\((.*?)\\)${ws}AS${ws}(.*)")
+    re(s"CREATE${ws}(OR${ws}REPLACE${ws})?EXPERIMENT${ws}$ident${ws}WITH${ws}\\($kwSpan\\)${ws}AS${ws}(.*)")
   private val predictModel =
     re(s"SELECT${ws}\\*${ws}FROM${ws}PREDICT\\s*\\(\\s*MODEL${ws}$ident\\s*,(.*)\\)")
   private val describeModel = re(s"DESCRIBE${ws}MODEL${ws}$ident")
   private val dropModel = re(s"DROP${ws}MODEL${ws}(IF${ws}EXISTS${ws})?$ident")
   private val exportModel =
-    re(s"EXPORT${ws}MODEL${ws}$ident${ws}WITH${ws}\\((.*)\\)")
+    re(s"EXPORT${ws}MODEL${ws}$ident${ws}WITH${ws}\\($kwSpan\\)")
   // reference: physical/rel/custom/alter.py:13 (schema), :47 (table)
   private val alterTable =
     re(s"ALTER${ws}TABLE${ws}(IF${ws}EXISTS${ws})?$ident${ws}RENAME${ws}TO${ws}$ident")

@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import ExtensionParser._
+
+class ExtensionParserSpec extends AnyFunSuite {
+
+  test("parseKwargs: plain values, quoted values, booleans, numbers") {
+    val st = parse(
+      "CREATE TABLE t WITH (location = '/tmp/x.parquet', format = 'parquet', persist = true, n = 3)")
+    val CreateTableWith(name, opts, orReplace) = st: @unchecked
+    assert(name == "t" && !orReplace)
+    assert(opts == Map("location" -> "/tmp/x.parquet", "format" -> "parquet",
+      "persist" -> "true", "n" -> "3"))
+  }
+
+  test("parseKwargs: commas, parens, and ') AS' inside quoted JSON survive") {
+    val sql = """CREATE EXPERIMENT e WITH (
+        model_class = 'LogisticRegression',
+        tune_parameters = '{"regParam":[0.0,0.5], "note":"f(x) AS y"}',
+        target_column = 'target'
+      ) AS SELECT * FROM src"""
+    val CreateExperiment(name, opts, select, _) = parse(sql): @unchecked
+    assert(name == "e")
+    assert(opts("tune_parameters") == """{"regParam":[0.0,0.5], "note":"f(x) AS y"}""")
+    assert(select == "SELECT * FROM src")
+  }
+
+  test("parseKwargs: doubled-quote escape inside a quoted value") {
+    val CreateModel(_, opts, select, _) = parse(
+      "CREATE MODEL m WITH (model_class = 'LinearRegression', note = 'it''s, fine (really)') AS SELECT 1"
+    ): @unchecked
+    assert(opts("note") == "it's, fine (really)")
+    assert(select == "SELECT 1")
+  }
+
+  test("parseKwargs: one level of bare paren nesting in a value") {
+    val ExportModel(name, opts) = parse(
+      "EXPORT MODEL m WITH (format = 'native', shape = (2, 3), location = '/tmp/m')"
+    ): @unchecked
+    assert(name == "m")
+    assert(opts("shape") == "(2, 3)" && opts("location") == "/tmp/m")
+  }
+
+  test("standard SQL with WITH clauses still falls through") {
+    assert(parse("WITH t AS (SELECT 1 AS x) SELECT * FROM t")
+      .isInstanceOf[Passthrough])
+    assert(parse("SELECT * FROM lineitem WHERE l_comment = 'WITH (x = 1)'")
+      .isInstanceOf[Passthrough])
+  }
+}
