@@ -12,7 +12,8 @@ object SparkEntry {
       _root_.graft.queries.AggExtra.all ++
       _root_.graft.queries.Scalar.all ++
       _root_.graft.queries.Compound.all ++
-      _root_.graft.queries.Pipeline.all
+      _root_.graft.queries.Pipeline.all ++
+      _root_.graft.queries.CorpusQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-construction operators a large-scale training-data pipeline needs
+  * around the dedup/similarity core: benchmark decontamination, deterministic
+  * dataset-mixing samplers, sequence packing, and duplicate-cluster
+  * resolution. No reference analogue — first-class capabilities of this
+  * engine (SURVEY.md §2 extension block).
+  *
+  * Scale designs (100 TB framing):
+  *  - decontaminate: the benchmark side is SMALL by construction (eval sets
+  *    are thousands of docs, the corpus is billions) — its distinct gram-hash
+  *    set is broadcast, so the corpus is scanned once with a broadcast hash
+  *    join and never shuffles its text;
+  *  - stratifiedQuota: one shuffle keyed by stratum for the rank window; the
+  *    quota table is broadcast;
+  *  - packSequences: one shuffle keyed by the packing group (windows are
+  *    per-group, never global — a global window would serialize the corpus
+  *    through one task);
+  *  - connectedComponents: min-label propagation, one join+agg per round,
+  *    O(diameter) rounds (near-dup clusters are shallow); lineage is
+  *    truncated every round with localCheckpoint so plans don't grow
+  *    exponentially across iterations.
+  */
+object Corpus {
+
+  /** Benchmark decontamination: annotate every training document with how
+    * much word-n-gram overlap it has with an evaluation/benchmark corpus
+    * (the standard train/test-contamination gate run before LLM training).
+    *
+    * Grams are compared by xxhash64 (64-bit collisions are negligible and
+    * the corpus text never leaves its partition); the benchmark's distinct
+    * gram-hash set is broadcast. Returns one row per training doc:
+    * (id, n_grams, n_hits, ratio).
+    */
+  def decontaminate(
+      train: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    def gramHashes(df: DataFrame) =
+      df.select(col(idCol).as("_id"),
+        TextDedup.wordShingles(col(textCol), n).as("_grams"))
+        .select(col("_id"), explode(col("_grams")).as("_g"))
+        .select(col("_id"), xxhash64(col("_g")).as("gh"))
+
+    val benchSet = gramHashes(bench).select("gh").distinct()
+    val tg = gramHashes(train)
+    // left join against the broadcast benchmark set; count each train gram
+    // at most once (grams are pre-distinct per doc via wordShingles)
+    tg.join(broadcast(benchSet.withColumn("_hit", lit(1))), Seq("gh"), "left")
+      .groupBy(col("_id").as(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("_hit"), lit(0))).cast("bigint").as("n_hits"))
+      .withColumn("ratio",
+        col("n_hits").cast("double") / greatest(col("n_grams"), lit(1L)).cast("double"))
+  }
+
+  /** Deterministic stratified quota sampling — the dataset-mixing primitive:
+    * take exactly `quota` documents per stratum (source/domain/language),
+    * chosen by a fixed multiplicative hash of the id so the sample is
+    * reproducible across runs and engines (no RNG). `quotas` must have
+    * columns (strataCol, quota).
+    *
+    * One shuffle (the per-stratum rank window); the quota table is tiny and
+    * broadcast. For strata too large even to window-sort at full width, the
+    * same hash admits a pre-filter `h < quota/|stratum| * M` that discards
+    * the bulk before ranking — composition is left to the caller because it
+    * needs a stratum-size estimate.
+    */
+  def stratifiedQuota(
+      df: DataFrame, strataCol: String, idCol: String,
+      quotas: DataFrame): DataFrame = {
+    // multiplicative hash mod a prime; all values < 2^62 so ANSI-safe
+    val h = pmod(col(idCol).cast("long") * lit(2654435761L), lit(1000000007L))
+    val ranked = df.withColumn("_h", h)
+      .withColumn("rank_in_stratum",
+        row_number().over(
+          Window.partitionBy(col(strataCol)).orderBy(col("_h"), col(idCol))))
+    ranked.join(broadcast(quotas), Seq(strataCol))
+      .filter(col("rank_in_stratum") <= col("quota"))
+      .drop("_h", "quota")
+  }
+
+  /** Sequence packing: assign documents to fixed token-budget bins by
+    * cumulative token count within a packing group — the concat-and-chunk
+    * packing used to build training batches. A document starts at
+    * `offset = cum_before % capacity` in bin `cum_before / capacity`
+    * (documents straddle bin boundaries, exactly like token streams do).
+    *
+    * The window partitions by `groupCol` (shard/source), NEVER globally:
+    * per-group packing is one shuffle and is how a 1000-executor run keeps
+    * every partition independent.
+    */
+  def packSequences(
+      df: DataFrame, idCol: String, tokensCol: String, groupCol: String,
+      capacity: Long): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(idCol)).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_cum", sum(col(tokensCol).cast("long")).over(w))
+      .withColumn("_before", col("_cum") - col(tokensCol).cast("long"))
+      .withColumn("bin", floor(col("_before") / capacity))
+      .withColumn("bin_offset", pmod(col("_before"), lit(capacity)))
+      .drop("_cum", "_before")
+  }
+
+  /** Connected components over an undirected pair list (e.g. near-duplicate
+    * pairs from the LSH dedup operators) → (node, cluster) where cluster is
+    * the smallest node id reachable from the node — the "pick one survivor
+    * per duplicate cluster" step that follows pair generation.
+    *
+    * Min-label propagation: every round each node takes the min of its own
+    * label and its neighbors' labels; converges in O(component diameter)
+    * rounds (near-dup clusters are shallow — a handful of rounds in
+    * practice). Each round is one shuffle join + one aggregation over the
+    * EDGE list only (the corpus itself is never touched), and lineage is
+    * truncated per round with an eager localCheckpoint so the plan stays
+    * flat no matter how many rounds run. The convergence check is an
+    * aggregate over labels (sum), not a row-wise diff join.
+    */
+  def connectedComponents(
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val e = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    val edges = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().cache()
+
+    // seed: each node's label = min(itself, its direct neighbors) — one
+    // propagation round for free, and the common "pairs only" case (depth-1
+    // stars) converges immediately
+    var labels = edges.groupBy(col("src").as("node"))
+      .agg(least(min(col("dst")), first(col("src"))).as("label"))
+      .localCheckpoint()
+    var lastSum = labels.agg(sum(col("label"))).head().getLong(0)
+
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("dst"), col("label").as("nl")), Seq("dst"))
+        .groupBy(col("src").as("node")).agg(min(col("nl")).as("nmin"))
+      labels = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint()
+      // labels only ever decrease, so an unchanged sum means a fixpoint
+      val s = labels.agg(sum(col("label"))).head().getLong(0)
+      converged = s == lastSum
+      lastSum = s
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("node"), col("label").as("cluster"))
+  }
+}

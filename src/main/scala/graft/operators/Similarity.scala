@@ -260,4 +260,33 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
+
+  /** Int8 scalar quantization of an embedding column with reconstruction
+    * error — the embedding-compression pass that shrinks an ANN index 4×
+    * before serving. Per-dimension min/max define a linear [0,255] code;
+    * rounding is floor(x+0.5) (identical in every engine, unlike
+    * banker's rounding). Returns per-vector (id, n_dims, mse, max_err).
+    *
+    * Scale design: one posexplode + one tiny per-dimension aggregate
+    * (`dim` cardinality = vector width, broadcast back), then a per-vector
+    * aggregation — the corpus shuffles only (id, dim, x) triples, and the
+    * stats join is a broadcast. */
+  def scalarQuantize(
+      df: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val x = df.select(col(idCol).as("id"),
+      posexplode(asDouble(col(vecCol))).as(Seq("dim", "xv")))
+    val stats = x.groupBy("dim").agg(min("xv").as("mn"), max("xv").as("mx"))
+    val q = x.join(broadcast(stats), Seq("dim"))
+      .withColumn("code",
+        when(col("mx") === col("mn"), lit(0.0)).otherwise(
+          least(greatest(
+            floor((col("xv") - col("mn")) / (col("mx") - col("mn")) * 255.0 + 0.5),
+            lit(0L)), lit(255L)).cast("double")))
+      .withColumn("recon", col("mn") + col("code") * (col("mx") - col("mn")) / 255.0)
+    q.groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).cast("bigint").as("n_dims"),
+        avg(pow(col("xv") - col("recon"), 2)).as("mse"),
+        max(abs(col("xv") - col("recon"))).as("max_err"))
+  }
 }

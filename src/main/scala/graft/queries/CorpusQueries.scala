@@ -1,0 +1,198 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.Tables.t
+import graft.operators.{Corpus, Similarity, TextDedup}
+
+/** Corpus-construction pipeline queries (round 3): benchmark
+  * decontamination, deterministic dataset-mixing sampling, sequence packing,
+  * embedding quantization, duplicate-cluster resolution, and intra-document
+  * repetition signals. All deterministic (no RNG anywhere — sampling uses a
+  * fixed multiplicative hash), so every query here is oracle-gated.
+  */
+object CorpusQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // Benchmark decontamination: per-train-doc word-3-gram overlap with the
+    // benchmark slice (doc_id % 20 == 7). The benchmark gram set is
+    // broadcast; the corpus never self-joins. contaminated is computed on
+    // the UNROUNDED ratio in both engines.
+    Q("p22_decontaminate", Some("""
+      WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct([array_to_string(words[i:i+2], ' ')
+                for i in range(1, len(words) - 1)]) AS grams
+        FROM w WHERE len(words) >= 3),
+      bench AS (SELECT DISTINCT unnest(grams) AS g FROM sh WHERE doc_id % 20 = 7),
+      tr AS (SELECT doc_id, unnest(grams) AS g FROM sh WHERE doc_id % 20 <> 7),
+      hits AS (
+        SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN bench.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+        FROM tr LEFT JOIN bench ON tr.g = bench.g
+        GROUP BY tr.doc_id)
+      SELECT doc_id, n_grams, n_hits,
+             round(CAST(n_hits AS DOUBLE) / greatest(n_grams, 1), 6) AS ratio,
+             CAST(n_hits AS DOUBLE) / greatest(n_grams, 1) >= 0.2 AS contaminated
+      FROM hits ORDER BY doc_id""")) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val bench = docs.filter(pmod(col("doc_id"), lit(20)) === 7)
+      val train = docs.filter(pmod(col("doc_id"), lit(20)) =!= 7)
+      Corpus.decontaminate(train, bench, "doc_id", "text", n = 3)
+        .select(col("doc_id"), col("n_grams").cast("bigint").as("n_grams"),
+          col("n_hits"), round(col("ratio"), 6).as("ratio"),
+          (col("ratio") >= 0.2).as("contaminated"))
+        .orderBy("doc_id")
+    },
+
+    // Deterministic stratified quota sampling — the dataset-mixing step:
+    // exactly 10 docs from src0-2, 4 from every other source, chosen by a
+    // fixed multiplicative hash (reproducible across engines, unlike RNG
+    // sampling, so this one IS oracle-checkable unlike q28).
+    Q("p23_mix_sample", Some("""
+      WITH ranked AS (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS r
+        FROM documents)
+      SELECT doc_id, source, CAST(r AS BIGINT) AS rank_in_stratum
+      FROM ranked
+      WHERE r <= CASE WHEN source IN ('src0','src1','src2') THEN 10 ELSE 4 END
+      ORDER BY source, rank_in_stratum""")) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val quotas = docs.select("source").distinct()
+        .withColumn("quota",
+          when(col("source").isin("src0", "src1", "src2"), 10).otherwise(4))
+      Corpus.stratifiedQuota(docs, "source", "doc_id", quotas)
+        .select(col("doc_id"), col("source"),
+          col("rank_in_stratum").cast("bigint").as("rank_in_stratum"))
+        .orderBy("source", "rank_in_stratum")
+    },
+
+    // Sequence packing: concat-and-chunk token budgeting into 256-token
+    // bins per source shard (window per group, never global)
+    Q("p24_seq_packing", Some("""
+      WITH d AS (SELECT doc_id, source,
+                   CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+                 FROM documents),
+      c AS (SELECT doc_id, source, n_tokens,
+              CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS cum_before
+            FROM d)
+      SELECT doc_id, source, n_tokens,
+             CAST(cum_before // 256 AS BIGINT) AS bin,
+             CAST(cum_before % 256 AS BIGINT) AS bin_offset
+      FROM c ORDER BY doc_id""")) { (s, d) =>
+      val docs = t(s, d, "documents").select(col("doc_id"), col("source"),
+        size(split(lower(col("text")), " ")).cast("long").as("n_tokens"))
+      Corpus.packSequences(docs, "doc_id", "n_tokens", "source", 256L)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("bin"), col("bin_offset"))
+        .orderBy("doc_id")
+    },
+
+    // Int8 scalar quantization of the embedding table with per-vector
+    // reconstruction error (the 4x index-compression pass)
+    Q("p25_embedding_quantize", Some("""
+      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      x AS (SELECT vec_id, generate_subscripts(e, 1) - 1 AS dim, unnest(e) AS xv FROM v),
+      st AS (SELECT dim, min(xv) AS mn, max(xv) AS mx FROM x GROUP BY dim),
+      q AS (SELECT vec_id, xv, mn, mx,
+              CASE WHEN mx = mn THEN 0.0
+                   ELSE least(greatest(floor((xv - mn) / (mx - mn) * 255.0 + 0.5), 0.0), 255.0)
+              END AS code
+            FROM x JOIN st USING (dim)),
+      r AS (SELECT vec_id, xv, mn + code * (mx - mn) / 255.0 AS recon FROM q)
+      SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dims,
+             round(avg(pow(xv - recon, 2)), 8) AS mse,
+             round(max(abs(xv - recon)), 6) AS max_err
+      FROM r GROUP BY vec_id ORDER BY vec_id""")) { (s, d) =>
+      Similarity.scalarQuantize(t(s, d, "embeddings"))
+        .select(col("vec_id"), col("n_dims"),
+          round(col("mse"), 8).as("mse"), round(col("max_err"), 6).as("max_err"))
+        .orderBy("vec_id")
+    },
+
+    // Duplicate-cluster resolution: connected components over the MinHash
+    // near-dup pairs (same pairs as the oracle-gated p02), cluster label =
+    // min reachable doc_id. Oracle = a recursive-CTE transitive closure.
+    Q("p26_dedup_clusters", Some("""
+      WITH RECURSIVE sh AS (
+        SELECT doc_id, list_distinct([array_to_string(words[i:i+2], ' ')
+                for i in range(1, len(words) - 1)]) AS shingles
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents)
+        WHERE len(words) >= 3),
+      p AS (
+        SELECT a.doc_id AS a, b.doc_id AS b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+              (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.5),
+      edges AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+      reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+      SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS cluster
+      FROM reach GROUP BY a ORDER BY doc_id""")) { (s, d) =>
+      val pairs = TextDedup.minhashDedupPairs(t(s, d, "documents"),
+        "doc_id", "text", shingleSize = 3, numHashes = 64, bands = 16,
+        threshold = 0.5)
+      Corpus.connectedComponents(pairs, "doc_a", "doc_b")
+        .select(col("node").as("doc_id"), col("cluster"))
+        .orderBy("doc_id")
+    },
+
+    // Intra-document repetition signals (the Gopher rep. filters): duplicate
+    // 2-/3-gram fraction and most-frequent-word share per doc
+    Q("p27_repetition", Some("""
+      WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
+      g AS (SELECT doc_id, words,
+              CASE WHEN len(words) >= 2 THEN [array_to_string(words[i:i+1], ' ')
+                     for i in range(1, len(words))] ELSE [] END AS g2,
+              CASE WHEN len(words) >= 3 THEN [array_to_string(words[i:i+2], ' ')
+                     for i in range(1, len(words) - 1)] ELSE [] END AS g3
+            FROM w),
+      sig AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words,
+                1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / greatest(len(g2), 1) AS dup2_raw,
+                1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / greatest(len(g3), 1) AS dup3_raw
+              FROM g),
+      tw AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_word_n FROM (
+               SELECT doc_id, tk, count(*) AS c FROM
+                 (SELECT doc_id, unnest(words) AS tk FROM w) GROUP BY doc_id, tk)
+             GROUP BY doc_id)
+      SELECT s.doc_id, n_words,
+             round(dup2_raw, 6) AS dup_2gram_frac,
+             round(dup3_raw, 6) AS dup_3gram_frac,
+             top_word_n,
+             round(CAST(top_word_n AS DOUBLE) / greatest(n_words, 1), 6) AS top_word_frac
+      FROM sig s JOIN tw USING (doc_id) ORDER BY doc_id""")) { (s, d) =>
+      val w = t(s, d, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("words"))
+      def grams(n: Int) = when(size(col("words")) >= n,
+        transform(sequence(lit(0), size(col("words")) - n), i =>
+          concat_ws(" ", (0 until n).map(j => element_at(col("words"), i + j + 1)): _*)))
+        .otherwise(array().cast("array<string>"))
+      // gram arrays materialized as attributes: each is referenced twice
+      // (distinct-size and size) and must not be inlined per reference
+      val sig = w.select(col("doc_id"), size(col("words")).cast("bigint").as("n_words"),
+          grams(2).as("g2"), grams(3).as("g3"))
+        .select(col("doc_id"), col("n_words"),
+          (lit(1.0) - size(array_distinct(col("g2"))).cast("double") /
+            greatest(size(col("g2")), lit(1)).cast("double")).as("dup2_raw"),
+          (lit(1.0) - size(array_distinct(col("g3"))).cast("double") /
+            greatest(size(col("g3")), lit(1)).cast("double")).as("dup3_raw"))
+      val top = w.select(col("doc_id"), explode(col("words")).as("tk"))
+        .groupBy("doc_id", "tk").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").cast("bigint").as("top_word_n"))
+      sig.join(top, Seq("doc_id"))
+        .select(col("doc_id"), col("n_words"),
+          round(col("dup2_raw"), 6).as("dup_2gram_frac"),
+          round(col("dup3_raw"), 6).as("dup_3gram_frac"),
+          col("top_word_n"),
+          round(col("top_word_n").cast("double") /
+            greatest(col("n_words"), lit(1L)).cast("double"), 6).as("top_word_frac"))
+        .orderBy("doc_id")
+    },
+  )
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Corpus, Similarity}
+
+class CorpusSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("decontaminate flags an exact benchmark copy and not a disjoint doc") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // verbatim copy
+      (2L, "totally different words here entirely now"),
+      (3L, "prefix words then alpha beta gamma delta suffix")) // partial overlap
+      .toDF("doc_id", "text")
+    val out = Corpus.decontaminate(train, bench, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L)._1 == out(1L)._2) // every gram hits
+    assert(out(2L)._2 == 0L)
+    assert(out(3L)._2 > 0L && out(3L)._2 < out(3L)._1)
+  }
+
+  test("decontaminate never shuffles the training text and broadcasts the benchmark") {
+    val docs = Tables.t(spark, TestSpark.sf, "documents")
+    val plan = Corpus.decontaminate(
+        docs.filter($"doc_id" % 2 === 0), docs.filter($"doc_id" % 2 === 1),
+        "doc_id", "text").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("stratifiedQuota takes exactly the quota per stratum, deterministically") {
+    val docs = Tables.t(spark, TestSpark.sf, "documents")
+    val quotas = docs.select("source").distinct()
+      .withColumn("quota", when($"source" === "src0", 7).otherwise(2))
+    val a = Corpus.stratifiedQuota(docs, "source", "doc_id", quotas)
+    val counts = a.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("src0") == 7)
+    assert(counts.filter(_._1 != "src0").values.forall(_ == 2))
+    // reproducible: same rows on a second run
+    val b = Corpus.stratifiedQuota(docs, "source", "doc_id", quotas)
+    assert(a.select("doc_id").collect().map(_.getLong(0)).sorted.sameElements(
+      b.select("doc_id").collect().map(_.getLong(0)).sorted))
+  }
+
+  test("packSequences: offsets stay in [0, capacity) and bins are contiguous per group") {
+    val docs = Seq(
+      (1L, "g1", 100L), (2L, "g1", 100L), (3L, "g1", 100L), (4L, "g1", 30L),
+      (10L, "g2", 300L), (11L, "g2", 10L))
+      .toDF("doc_id", "grp", "n_tokens")
+    val out = Corpus.packSequences(docs, "doc_id", "n_tokens", "grp", 256L)
+      .orderBy("doc_id")
+      .select("doc_id", "bin", "bin_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 0L),    // starts at 0
+      (2L, 0L, 100L),  // starts at 100
+      (3L, 0L, 200L),  // straddles into bin 1
+      (4L, 1L, 44L),   // 300 % 256
+      (10L, 0L, 0L), (11L, 1L, 44L)))
+  }
+
+  test("connectedComponents labels a chain, a pair, and leaves singleton edges alone") {
+    // chain 5-4-3-2-1 (worst case for propagation), separate pair 10-11
+    val pairs = Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L), (10L, 11L))
+      .toDF("a", "b")
+    val out = Corpus.connectedComponents(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(out(_) == 1L))
+    assert(out(10L) == 10L && out(11L) == 10L)
+    assert(out.size == 7)
+  }
+
+  test("connectedComponents merges components that meet through a hub") {
+    // star around 50 plus a bridge from 50's component to 1
+    val pairs = Seq((50L, 60L), (50L, 70L), (60L, 80L), (80L, 1L)).toDF("a", "b")
+    val out = Corpus.connectedComponents(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.values.toSet == Set(1L))
+  }
+
+  test("scalarQuantize error is bounded by half a code step per dimension") {
+    val emb = Tables.t(spark, TestSpark.sf, "embeddings")
+    // per-dim ranges of this data
+    val ranges = emb.select(posexplode(Similarity.asDouble($"embedding")).as(Seq("dim", "x")))
+      .groupBy("dim").agg((max($"x") - min($"x")).as("range"))
+      .agg(max($"range")).head().getDouble(0)
+    val maxStep = ranges / 255.0 / 2.0 * 1.0000001
+    val out = Similarity.scalarQuantize(emb)
+    assert(out.agg(max($"max_err")).head().getDouble(0) <= maxStep)
+    assert(out.agg(min($"mse")).head().getDouble(0) >= 0.0)
+    assert(out.count() == emb.count())
+  }
+}
