@@ -39,10 +39,17 @@ object Corpus {
   def decontaminate(
       train: DataFrame, bench: DataFrame,
       idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    // Short docs are dropped on the RAW text column; the explode is the
+    // _outer variant because plain explode makes the optimizer infer a
+    // size(grams) > 0 filter that predicate-pushdown re-inlines — gram
+    // construction would then run a second time inside the scan filter
+    // (the derived-array pushdown pitfall; grams are never empty after the
+    // raw-text filter, so _outer is semantically identical here).
     def gramHashes(df: DataFrame) =
-      df.select(col(idCol).as("_id"),
-        TextDedup.wordShingles(col(textCol), n).as("_grams"))
-        .select(col("_id"), explode(col("_grams")).as("_g"))
+      df.filter(size(split(lower(col(textCol)), " ")) >= n)
+        .select(col(idCol).as("_id"),
+          TextDedup.wordShingles(col(textCol), n).as("_grams"))
+        .select(col("_id"), explode_outer(col("_grams")).as("_g"))
         .select(col("_id"), xxhash64(col("_g")).as("gh"))
 
     val benchSet = gramHashes(bench).select("gh").distinct()
