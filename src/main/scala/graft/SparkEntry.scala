@@ -13,7 +13,8 @@ object SparkEntry {
       _root_.graft.queries.Scalar.all ++
       _root_.graft.queries.Compound.all ++
       _root_.graft.queries.Pipeline.all ++
-      _root_.graft.queries.CorpusQueries.all
+      _root_.graft.queries.CorpusQueries.all ++
+      _root_.graft.queries.TpchSuite.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -39,6 +40,7 @@ object SparkEntry {
   def benchQueries: Seq[String] = Seq(
     "q01_tpch_q1", "q05_join_inner", "q08_join_full", "q14_agg_global",
     "q17_agg_distinct", "q53_tpch_q3", "q54_star_join", "q55_returned_items",
+    "q66_tpch_q5", "q78_tpch_q9",
     "p01_dedup_exact", "p02_dedup_minhash", "p06_sim_topk", "p14_asof_join",
     "p20_range_join", "p21_salted_join",
     "s01_events_tumbling", "s03_events_session")

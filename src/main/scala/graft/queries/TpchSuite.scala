@@ -1,0 +1,358 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.Tables.t
+
+/** The TPC-H query suite, adapted to the driver's TPC-H-ish schema (no
+  * partsupp table, no l_commitdate/l_receiptdate/l_shipmode/p_container —
+  * Q2/Q11/Q12/Q16/Q20/Q21 are not expressible; Q4/Q9/Q17/Q19/Q22 are
+  * adapted to the columns that exist, keeping their plan shape: the
+  * EXISTS-decorrelation, the correlated scalar average, the OR'd
+  * multi-predicate join, the anti-join + scalar-subquery pattern).
+  * Together with q01/q53/q54/q55 (Q1/Q3/Q5-shape/Q10) this covers every
+  * TPC-H query the schema admits — the reference's own de-facto perf corpus
+  * is TPC-DS-style SQL files (test_queries.py), which `graft.CorpusRunner`
+  * mirrors for external suites.
+  *
+  * Conventions per driver compare: full ORDER BY, round(·, k) on float
+  * aggregates both sides, CAST counts/extracts to BIGINT, broadcast hints
+  * only on bounded dims (nation/region).
+  */
+object TpchSuite {
+
+  val all: Seq[Q] = Seq(
+
+    // Q5: local supplier volume — 6-table join with the c↔s same-nation
+    // constraint that makes join order matter
+    Q("q66_tpch_q5", Some("""
+      SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM customer JOIN orders ON c_custkey = o_custkey
+                    JOIN lineitem ON l_orderkey = o_orderkey
+                    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+                    JOIN nation ON s_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY n_name ORDER BY revenue DESC, n_name""")) { (s, d) =>
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val li = t(s, d, "lineitem")
+      val sup = t(s, d, "supplier")
+      val n = t(s, d, "nation")
+      val r = t(s, d, "region").filter(col("r_name") === "EUROPE")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(li, o("o_orderkey") === li("l_orderkey"))
+        .join(sup, li("l_suppkey") === sup("s_suppkey") &&
+          c("c_nationkey") === sup("s_nationkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // Q6: forecasting revenue change — pure scan-side predicates, the
+    // pushdown litmus test
+    Q("q67_tpch_q6", Some("""
+      SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+             CAST(count(*) AS BIGINT) AS n
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND l_discount BETWEEN 0.05 AND 0.07
+        AND l_quantity < 24""")) { (s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+          count(lit(1)).as("n"))
+    },
+
+    // Q7: volume shipping between two nations, by year — double nation
+    // join with a symmetric OR condition
+    Q("q68_tpch_q7", Some("""
+      SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+      FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+               l_extendedprice * (1 - l_discount) AS volume
+        FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+                      JOIN orders ON o_orderkey = l_orderkey
+                      JOIN customer ON c_custkey = o_custkey
+                      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      GROUP BY supp_nation, cust_nation, l_year
+      ORDER BY supp_nation, cust_nation, l_year""")) { (s, d) =>
+      val sup = t(s, d, "supplier"); val li = t(s, d, "lineitem")
+      val o = t(s, d, "orders"); val c = t(s, d, "customer")
+      val n1 = t(s, d, "nation").select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+      val n2 = t(s, d, "nation").select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+      sup.join(li, sup("s_suppkey") === li("l_suppkey"))
+        .join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n1), sup("s_nationkey") === col("n1_key"))
+        .join(broadcast(n2), c("c_nationkey") === col("n2_key"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("bigint").as("l_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+
+    // Q8: national market share within a region, by year — conditional
+    // aggregation over an 8-table join
+    Q("q69_tpch_q8", Some("""
+      SELECT o_year,
+             round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+                   / sum(volume), 6) AS mkt_share
+      FROM (
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               n2.n_name AS supp_nation
+        FROM part JOIN lineitem ON p_partkey = l_partkey
+                  JOIN supplier ON s_suppkey = l_suppkey
+                  JOIN orders ON l_orderkey = o_orderkey
+                  JOIN customer ON o_custkey = c_custkey
+                  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                  JOIN region ON n1.n_regionkey = r_regionkey
+                  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'EUROPE' AND p_type = 'STANDARD')
+      GROUP BY o_year ORDER BY o_year""")) { (s, d) =>
+      val p = t(s, d, "part").filter(col("p_type") === "STANDARD")
+      val li = t(s, d, "lineitem"); val sup = t(s, d, "supplier")
+      val o = t(s, d, "orders"); val c = t(s, d, "customer")
+      val n1 = t(s, d, "nation").select(col("n_nationkey").as("n1_key"), col("n_regionkey"))
+      val n2 = t(s, d, "nation").select(col("n_nationkey").as("n2_key"), col("n_name").as("supp_nation"))
+      val r = t(s, d, "region").filter(col("r_name") === "EUROPE")
+      val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      p.join(li, p("p_partkey") === li("l_partkey"))
+        .join(sup, li("l_suppkey") === sup("s_suppkey"))
+        .join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n1), c("c_nationkey") === col("n1_key"))
+        .join(broadcast(r), col("n_regionkey") === r("r_regionkey"))
+        .join(broadcast(n2), sup("s_nationkey") === col("n2_key"))
+        .groupBy(year(col("o_orderdate")).cast("bigint").as("o_year"))
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_3", vol).otherwise(0.0)) / sum(vol),
+          6).as("mkt_share"))
+        .orderBy("o_year")
+    },
+
+    // Q13: customer order-count distribution — LEFT join preserving
+    // zero-order customers, double aggregation
+    Q("q70_tpch_q13", Some("""
+      SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+      FROM (
+        SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey)
+      GROUP BY c_count ORDER BY custdist DESC, c_count DESC""")) { (s, d) =>
+      val c = t(s, d, "customer"); val o = t(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // Q14: promotion effect — conditional-aggregation share over one join
+    Q("q71_tpch_q14", Some("""
+      SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                    THEN l_extendedprice * (1 - l_discount)
+                                    ELSE 0 END)
+                   / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'""")) { (s, d) =>
+      val li = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      val p = t(s, d, "part")
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      li.join(p, li("l_partkey") === p("p_partkey"))
+        .agg(round(lit(100.0) *
+          sum(when(col("p_type") === "PROMO", rev).otherwise(0.0)) / sum(rev),
+          4).as("promo_revenue"))
+    },
+
+    // Q15: top supplier — aggregate view joined against its own max
+    // (ties kept, exactly like the spec's = subquery)
+    Q("q72_tpch_q15", Some("""
+      WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name, total_revenue
+      FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+      ORDER BY s_suppkey""")) { (s, d) =>
+      val rev = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("total_revenue"))
+      val top = rev.agg(max("total_revenue").as("max_rev"))
+      t(s, d, "supplier")
+        .join(rev, col("s_suppkey") === col("supplier_no"))
+        .join(broadcast(top), col("total_revenue") === col("max_rev"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    },
+
+    // Q17: small-quantity-order revenue — correlated scalar AVG subquery,
+    // implemented decorrelated (per-part averages joined back), which is
+    // also the scalable plan
+    Q("q73_tpch_q17", Some("""
+      SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#5'
+        AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                          FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)""")) { (s, d) =>
+      val li = t(s, d, "lineitem")
+      val p = t(s, d, "part").filter(col("p_brand") === "Brand#5")
+      val qlim = li.groupBy(col("l_partkey").as("lim_partkey"))
+        .agg((avg("l_quantity") * 0.2).as("qlim"))
+      li.join(p, li("l_partkey") === p("p_partkey"))
+        .join(qlim, li("l_partkey") === col("lim_partkey"))
+        .filter(col("l_quantity") < col("qlim"))
+        .agg(round(sum("l_extendedprice") / 7.0, 2).as("avg_yearly"))
+    },
+
+    // Q18: large-volume customers — HAVING over a 3-way join, top-100
+    Q("q74_tpch_q18", Some("""
+      SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+             round(sum(l_quantity), 2) AS total_qty
+      FROM customer JOIN orders ON c_custkey = o_custkey
+                    JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      HAVING sum(l_quantity) > 300
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")) { (s, d) =>
+      val c = t(s, d, "customer"); val o = t(s, d, "orders")
+      val li = t(s, d, "lineitem")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(li, o("o_orderkey") === li("l_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(sum("l_quantity").as("qty_raw"))
+        .filter(col("qty_raw") > 300)
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), round(col("qty_raw"), 2).as("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+
+    // Q19: discounted revenue — three OR'd brand/size/quantity predicate
+    // bundles (tests OR pushdown + join with residual disjunction)
+    Q("q75_tpch_q19", Some("""
+      SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             CAST(count(*) AS BIGINT) AS n
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+         OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+         OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""")) { (s, d) =>
+      val li = t(s, d, "lineitem"); val p = t(s, d, "part")
+      li.join(p, li("l_partkey") === p("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) && col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) && col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#24" && col("p_size").between(1, 35) && col("l_quantity").between(20, 30)))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n"))
+    },
+
+    // Q22: global sales opportunity — scalar subquery threshold + anti
+    // join against orders (c_phone country codes don't exist in this
+    // schema; the segment key is c_custkey % 10)
+    Q("q76_tpch_q22", Some("""
+      SELECT CAST(c_custkey % 10 AS BIGINT) AS seg,
+             CAST(count(*) AS BIGINT) AS numcust,
+             round(sum(c_acctbal), 2) AS totacctbal
+      FROM customer
+      WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+      GROUP BY seg ORDER BY seg""")) { (s, d) =>
+      val c = t(s, d, "customer")
+      // "lapsed" customers: every customer in this data has SOME order, so
+      // the dormancy window makes the anti join non-vacuous
+      val o = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      val thr = c.filter(col("c_acctbal") > 0.0).agg(avg("c_acctbal").as("thr"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .join(broadcast(thr))
+        .filter(col("c_acctbal") > col("thr"))
+        .groupBy(pmod(col("c_custkey"), lit(10)).cast("bigint").as("seg"))
+        .agg(count(lit(1)).as("numcust"), round(sum("c_acctbal"), 2).as("totacctbal"))
+        .orderBy("seg")
+    },
+
+    // Q4 (adapted: no l_commitdate — the EXISTS probes late shipment
+    // against the order date instead): order-priority checking
+    Q("q77_tpch_q4", Some("""
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        AND EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")) { (s, d) =>
+      val o = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      val li = t(s, d, "lineitem")
+      o.join(li, o("o_orderkey") === li("l_orderkey") &&
+          li("l_shipdate") > o("o_orderdate"), "left_semi")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Q9 (adapted: no partsupp — supply cost proxied by a retail-price
+    // fraction, keeping the part-name LIKE scan + 5-way join + year/nation
+    // rollup): product-type profit. amount is computed in EXACT DECIMAL
+    // (q62 pattern): a double sum's accumulation order differs between
+    // engines and at 175 output groups some sum always lands a half-cent
+    // from a round() boundary (observed twice at sf0.01). Decimal sums are
+    // order-independent and digit-exact, so the final double cast agrees.
+    Q("q78_tpch_q9", Some("""
+      SELECT nation, o_year, round(CAST(sum(amount) AS DOUBLE), 2) AS sum_profit
+      FROM (
+        SELECT n_name AS nation,
+               CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+               CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                 - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) * 0.1 AS amount
+        FROM part JOIN lineitem ON p_partkey = l_partkey
+                  JOIN supplier ON s_suppkey = l_suppkey
+                  JOIN orders ON o_orderkey = l_orderkey
+                  JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%widget%')
+      GROUP BY nation, o_year ORDER BY nation, o_year""")) { (s, d) =>
+      val p = t(s, d, "part").filter(col("p_name").like("%widget%"))
+      val li = t(s, d, "lineitem"); val sup = t(s, d, "supplier")
+      val o = t(s, d, "orders"); val n = t(s, d, "nation")
+      val amount =
+        col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)")) -
+        col("p_retailprice").cast("decimal(12,2)") *
+          col("l_quantity").cast("decimal(12,2)") * lit(0.1).cast("decimal(2,1)")
+      p.join(li, p("p_partkey") === li("l_partkey"))
+        .join(sup, li("l_suppkey") === sup("s_suppkey"))
+        .join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("bigint").as("o_year"))
+        .agg(round(sum(amount).cast("double"), 2).as("sum_profit"))
+        .orderBy("nation", "o_year")
+    },
+  )
+}
