@@ -81,7 +81,34 @@ object GraftFunctions {
 
     (new FunctionIdentifier("image_dimensions"),
       new ExpressionInfo(classOf[CatalystExprs.ImageDimensions].getName, "image_dimensions"),
-      (exprs: Seq[Expression]) => CatalystExprs.ImageDimensions(exprs.head)))
+      (exprs: Seq[Expression]) => CatalystExprs.ImageDimensions(exprs.head)),
+
+    (new FunctionIdentifier("token_count"),
+      new ExpressionInfo("graft.functions.TextAnalysis", "token_count"),
+      (exprs: Seq[Expression]) => colFn(exprs, 1) { cols =>
+        graft.functions.TextAnalysis.tokenCount(cols.head) }),
+
+    (new FunctionIdentifier("bpe_token_count"),
+      new ExpressionInfo("graft.functions.TextAnalysis", "bpe_token_count"),
+      (exprs: Seq[Expression]) => colFn(exprs, 1) { cols =>
+        graft.functions.TextAnalysis.bpeTokenCount(cols.head) }),
+
+    (new FunctionIdentifier("doc_fingerprint"),
+      new ExpressionInfo("graft.functions.TextAnalysis", "doc_fingerprint"),
+      (exprs: Seq[Expression]) => colFn(exprs, 1) { cols =>
+        graft.functions.TextAnalysis.fingerprint(cols.head) }),
+
+    (new FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo("graft.functions.TextAnalysis", "rolling_hash"),
+      (exprs: Seq[Expression]) => colFn(exprs, 1) { cols =>
+        graft.functions.TextAnalysis.rollingHash(cols.head) }),
+
+    // dup_ngram_frac(text[, n]) — n must be a literal (it shapes the expr)
+    (new FunctionIdentifier("dup_ngram_frac"),
+      new ExpressionInfo("graft.functions.TextAnalysis", "dup_ngram_frac"),
+      (exprs: Seq[Expression]) => colFn(exprs.take(1), 1) { cols =>
+        graft.functions.TextAnalysis.dupNgramFrac(cols.head,
+          if (exprs.size > 1) intArg(exprs(1), "n") else 2) }))
 
   /** Adapt a Column-combinator function to the expression-builder shape
     * (eager node→expression conversion — a lazily-wrapped Column node

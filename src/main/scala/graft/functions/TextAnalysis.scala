@@ -126,4 +126,17 @@ object TextAnalysis {
       transform(split(text, ""), ch => ascii(ch).cast("bigint")),
       lit(0L),
       (acc, code) => pmod(acc * 31 + code, lit(1000000007L)))
+
+  /** Duplicate word-n-gram fraction: 1 - |distinct grams| / |grams| —
+    * the Gopher repetition signal (0 = no repeated n-gram, →1 = the text is
+    * one phrase looped). Docs shorter than n words score 0.0. */
+  def dupNgramFrac(text: Column, n: Int): Column = {
+    val words = tokens(text)
+    val idx = when(size(words) >= n, sequence(lit(0), size(words) - n))
+      .otherwise(array().cast("array<int>"))
+    val grams = transform(idx, i =>
+      concat_ws(" ", (0 until n).map(j => element_at(words, i + j + 1)): _*))
+    lit(1.0) - size(array_distinct(grams)).cast("double") /
+      greatest(size(grams), lit(1)).cast("double")
+  }
 }

@@ -43,6 +43,23 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getInt(3) == 16)
   }
 
+  test("token and fingerprint functions are callable from SQL") {
+    val r = spark.sql("""
+      SELECT token_count('one two three') AS tc,
+             bpe_token_count('abc123!') AS bc,
+             doc_fingerprint('A  B') = doc_fingerprint('a b') AS fp_norm,
+             rolling_hash('ab') AS rh,
+             round(dup_ngram_frac('a b a b a b', 2), 4) AS dup2,
+             dup_ngram_frac('all grams here are unique now', 2) AS dup0
+      FROM range(1)""").head()
+    assert(r.getLong(0) == 3L)
+    assert(r.getLong(1) == 3L) // abc / 123 / !
+    assert(r.getBoolean(2))
+    assert(r.getLong(3) == (97L * 31 + 98) % 1000000007L)
+    assert(r.getDouble(4) == 0.6) // 5 grams, 2 distinct
+    assert(r.getDouble(5) == 0.0)
+  }
+
   test("similar_to rejects a non-literal pattern with a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT similar_to('x', concat('a', 'b')) FROM range(1)").collect()
