@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TextAnalysis
+import graft.operators.TextDedup
+
+/** Streaming document-pipeline stages: the text-quality and decontamination
+  * operators running under Structured Streaming with BOUNDED state — the
+  * ingest-time shape of a training-data pipeline (filter/annotate documents
+  * as they land, not in a nightly batch).
+  *
+  * Both stages are STATELESS row transforms, so they run in append mode
+  * with zero streaming state:
+  *  - the quality gate is pure per-row expressions (the same TextAnalysis
+  *    Columns as the batch p08/p09/p15/p27 queries — unified semantics);
+  *  - decontamination keeps the benchmark gram set as ONE broadcast array
+  *    (eval sets are small by construction) and intersects per row, rather
+  *    than explode + join + re-aggregate, which would need per-doc
+  *    aggregation state on an unbounded stream.
+  */
+object DocStreams {
+
+  val docsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  def readStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(docsSchema).parquet(dir)
+
+  /** Stateless streaming quality gate: language, quality score, Gopher
+    * pass, duplicate-2-gram fraction; keeps documents passing all gates.
+    * Identical expressions (and therefore results) to the batch queries. */
+  def qualityGate(docs: DataFrame, minQuality: Double = 0.3,
+      maxDup2: Double = 0.5): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+        TextAnalysis.langId(col("text")).as("lang_pred"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.gopherPass(col("text")).as("gopher"),
+        TextAnalysis.dupNgramFrac(col("text"), 2).as("dup2"))
+      .filter(col("gopher") && col("quality") >= minQuality &&
+        col("dup2") <= maxDup2)
+
+  /** The benchmark side of streaming decontamination: ONE row holding the
+    * distinct gram-hash set of the benchmark corpus (static, computed once,
+    * broadcast into every microbatch). */
+  def benchGramSet(bench: DataFrame, textCol: String, n: Int): DataFrame =
+    bench.filter(size(split(lower(col(textCol)), " ")) >= n)
+      .select(explode_outer(TextDedup.wordShingles(col(textCol), n)).as("_g"))
+      .agg(collect_set(xxhash64(col("_g"))).as("bench_gh"))
+
+  /** Stream-static decontamination: per document, the word-n-gram overlap
+    * with the static benchmark set — same numbers as the batch
+    * `Corpus.decontaminate` (asserted in DocStreamingSpec), but computed
+    * per row via array intersection against the broadcast gram set, so the
+    * stream needs no aggregation state at all. */
+  def decontaminateStream(docStream: DataFrame, benchSet: DataFrame,
+      idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val grams = TextDedup.wordShingles(col(textCol), n)
+    docStream
+      .filter(size(split(lower(col(textCol)), " ")) >= n)
+      .select(col(idCol), transform(grams, g => xxhash64(g)).as("gh_set"))
+      .crossJoin(broadcast(benchSet))
+      .select(col(idCol),
+        size(col("gh_set")).cast("bigint").as("n_grams"),
+        size(array_intersect(col("gh_set"), col("bench_gh"))).cast("bigint").as("n_hits"))
+      .withColumn("ratio",
+        col("n_hits").cast("double") / greatest(col("n_grams"), lit(1L)).cast("double"))
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Corpus
+import graft.streaming.DocStreams
+
+class DocStreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // FileStreamSource needs a directory, not a single file
+  private lazy val docsDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_docs_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sf}/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    dir.toString
+  }
+
+  private def drain(df: org.apache.spark.sql.DataFrame, name: String) = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  test("streaming quality gate equals the batch filter") {
+    val streamed = drain(
+      DocStreams.qualityGate(DocStreams.readStream(spark, docsDir)), "qg_stream")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    val batch = DocStreams.qualityGate(Tables.t(spark, TestSpark.sf, "documents"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty && batch.size < 500) // the gate actually gates
+  }
+
+  test("stream-static decontamination equals batch decontaminate, with no state store") {
+    val docs = Tables.t(spark, TestSpark.sf, "documents")
+    val bench = docs.filter(pmod(col("doc_id"), lit(20)) === 7)
+    val benchSet = DocStreams.benchGramSet(bench, "text", n = 3)
+
+    val stream = DocStreams.decontaminateStream(
+      DocStreams.readStream(spark, docsDir), benchSet, "doc_id", "text", n = 3)
+    val streamed = drain(stream, "decon_stream")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    val batch = Corpus.decontaminate(docs, bench, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed == batch)
+    // the benchmark docs themselves are fully contaminated (sanity)
+    assert(streamed.filter { case (id, _) => id % 20 == 7 }
+      .forall { case (_, (g, h)) => g == h })
+  }
+}
