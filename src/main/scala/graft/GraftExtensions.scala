@@ -83,6 +83,10 @@ object GraftFunctions {
       new ExpressionInfo(classOf[CatalystExprs.ImageDimensions].getName, "image_dimensions"),
       (exprs: Seq[Expression]) => CatalystExprs.ImageDimensions(exprs.head)),
 
+    (new FunctionIdentifier("audio_info"),
+      new ExpressionInfo(classOf[CatalystExprs.AudioInfo].getName, "audio_info"),
+      (exprs: Seq[Expression]) => CatalystExprs.AudioInfo(exprs.head)),
+
     (new FunctionIdentifier("token_count"),
       new ExpressionInfo("graft.functions.TextAnalysis", "token_count"),
       (exprs: Seq[Expression]) => colFn(exprs, 1) { cols =>

@@ -202,6 +202,59 @@ object CatalystExprs {
     override protected def withNewChildInternal(c: Expression): ImageDimensions = copy(child = c)
   }
 
+  /** Audio container metadata from payload bytes without any codec:
+    * RIFF/WAVE fmt-chunk parse (the audio analogue of [[ImageDimensions]]).
+    * Returns (format, channels, sample_rate, bits_per_sample, n_frames) or
+    * NULL for unrecognized payloads. n_frames is derived from the data
+    * chunk size, so duration = n_frames / sample_rate downstream. */
+  case class AudioInfo(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("format", StringType, nullable = false),
+      StructField("channels", IntegerType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("bits_per_sample", IntegerType, nullable = false),
+      StructField("n_frames", LongType, nullable = false)))
+
+    private def le16(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+    private def le32(b: Array[Byte], i: Int): Long =
+      ((b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8) | ((b(i + 2) & 0xFF) << 16) |
+        ((b(i + 3) & 0xFF) << 24)).toLong & 0xFFFFFFFFL
+    private def tag(b: Array[Byte], i: Int, s: String): Boolean =
+      b(i) == s.charAt(0) && b(i + 1) == s.charAt(1) &&
+        b(i + 2) == s.charAt(2) && b(i + 3) == s.charAt(3)
+
+    override def nullSafeEval(input: Any): Any = {
+      val b = input.asInstanceOf[Array[Byte]]
+      if (b.length < 44 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) null
+      else {
+        // walk chunks: fmt must precede data per spec, but don't assume
+        var i = 12
+        var channels = -1; var rate = -1; var bits = -1
+        var dataLen = -1L
+        while (i + 8 <= b.length && (channels < 0 || dataLen < 0)) {
+          val size = le32(b, i + 4)
+          if (tag(b, i, "fmt ") && i + 24 <= b.length) {
+            channels = le16(b, i + 10); rate = le32(b, i + 12).toInt
+            bits = le16(b, i + 22)
+          } else if (tag(b, i, "data")) dataLen = size
+          // chunks are word-aligned: odd sizes carry a pad byte
+          i += 8 + size.toInt + (size.toInt & 1)
+        }
+        if (channels <= 0 || rate <= 0 || bits <= 0) null
+        else {
+          val frames =
+            if (dataLen < 0) 0L else dataLen / math.max(1, channels * bits / 8)
+          org.apache.spark.sql.catalyst.InternalRow(
+            org.apache.spark.unsafe.types.UTF8String.fromString("wav"),
+            channels, rate, bits, frames)
+        }
+      }
+    }
+    override protected def withNewChildInternal(c: Expression): AudioInfo = copy(child = c)
+  }
+
   /** 64-bit SimHash of an array<long> of token hashes: bit j set iff the
     * majority of hashes have bit j set. */
   case class SimHash64(child: Expression)
@@ -303,6 +356,9 @@ object CatalystExprs {
 
   def imageDimensions(payload: Column): Column =
     GraftBridge.column(ImageDimensions(GraftBridge.expression(payload)))
+
+  def audioInfo(payload: Column): Column =
+    GraftBridge.column(AudioInfo(GraftBridge.expression(payload)))
 
   def sqlDiv(a: Column, b: Column): Column =
     GraftBridge.column(SqlDiv(GraftBridge.expression(a), GraftBridge.expression(b)))

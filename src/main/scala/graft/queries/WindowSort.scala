@@ -243,6 +243,38 @@ object WindowSort {
         .orderBy("o_orderkey")
     },
 
+    // IGNORE NULLS window variants — last-observation-carried-forward
+    // (the time-series gap-fill idiom) plus lag/first over a sparsified
+    // value column (every 3rd value nulled deterministically on both sides)
+    Q("q79_locf_ignore_nulls", Some("""
+      WITH e AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN event_id % 3 = 0 THEN NULL ELSE round(value, 4) END AS v
+        FROM events WHERE event_id < 3000)
+      SELECT event_id, user_id, v,
+             last_value(v IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf,
+             lag(v IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev_seen,
+             first_value(v IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_seen
+      FROM e ORDER BY event_id""")) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val framed = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events").filter(col("event_id") < 3000)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(pmod(col("event_id"), lit(3)) === 0, lit(null))
+            .otherwise(round(col("value"), 4)).as("v"))
+        .select(col("event_id"), col("user_id"), col("v"),
+          last(col("v"), ignoreNulls = true).over(framed).as("locf"),
+          lag(col("v"), 1, null, ignoreNulls = true).over(w).as("prev_seen"),
+          first(col("v"), ignoreNulls = true).over(framed).as("first_seen"))
+        .orderBy("event_id")
+    },
+
     // DISTRIBUTE BY → repartition on expression (reference:
     // distributeby.py:15-42); content equals the plain aggregate
     Q("q29_distribute_by", Some("""

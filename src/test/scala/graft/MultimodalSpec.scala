@@ -77,4 +77,40 @@ class MultimodalSpec extends AnyFunSuite {
     val r = out.select(max(octet_length(col("payload"))), max(col("meta.n_bytes"))).head()
     assert(r.getInt(0) <= 100 && r.getLong(1) <= 100L)
   }
+
+  test("audioInfo parses a real RIFF/WAVE header, rejects junk") {
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](
+      v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+
+    // 44.1kHz stereo 16-bit, 1s of frames (44100 * 4 bytes), standard layout
+    val dataBytes = 44100 * 4
+    val wav = "RIFF".getBytes ++ le32(36 + dataBytes) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(44100) ++
+      le32(44100 * 4) ++ le16(4) ++ le16(16) ++
+      "data".getBytes ++ le32(dataBytes) ++ Array.fill[Byte](8)(0)
+    // an extra LIST chunk before fmt must be skipped, not break the walk
+    val wavListFirst = "RIFF".getBytes ++ le32(36 + 12 + dataBytes) ++ "WAVE".getBytes ++
+      "LIST".getBytes ++ le32(4) ++ "INFO".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++
+      le32(8000 * 2) ++ le16(2) ++ le16(16) ++
+      "data".getBytes ++ le32(16000) ++ Array.fill[Byte](8)(0)
+    val junk = "RIFFnope".getBytes ++ Array.fill[Byte](48)(0)
+
+    val out = Seq(("wav", wav), ("list", wavListFirst), ("junk", junk))
+      .toDF("name", "payload")
+      .select($"name", graft.functions.CatalystExprs.audioInfo($"payload").as("a"))
+      .collect().map(r => r.getString(0) -> Option(r.getStruct(1)).map(s =>
+        (s.getString(0), s.getInt(1), s.getInt(2), s.getInt(3), s.getLong(4))))
+      .toMap
+    assert(out("wav").contains(("wav", 2, 44100, 16, 44100L)))
+    assert(out("list").contains(("wav", 1, 8000, 16, 8000L)))
+    assert(out("junk").isEmpty)
+    // and from SQL
+    GraftFunctions.register(spark0)
+    Seq(Tuple1(wav)).toDF("p").createOrReplaceTempView("wav_t")
+    assert(spark0.sql("SELECT audio_info(p).sample_rate FROM wav_t").head().getInt(0) == 44100)
+  }
 }
