@@ -193,6 +193,26 @@ class Context(val spark: SparkSession) {
     createTableFromCatalog(name, name.toLowerCase)
   }
 
+  /** Persist a frame as a hive-layout PARTITIONED catalog table — the scan
+    * lever that matters most at 100 TB: literal predicates on the partition
+    * columns prune directories before any IO (`PartitionFilters` in the
+    * scan), and selective joins on a partition column prune at RUNTIME via
+    * dynamic partition pruning (Spark inserts a `dynamicpruning` subquery
+    * on the fact scan; both asserted in ContextSpec). The reference's
+    * Dask engine has plan-time IO filters (SURVEY §4.1) but no runtime DPP.
+    *
+    * Partition columns should be low-cardinality (date buckets, regions):
+    * one directory per value per write task. */
+  def createPartitionedTable(name: String, df: DataFrame,
+      partitionCols: Seq[String], format: String = "parquet"): Unit = {
+    require(partitionCols.nonEmpty, "createPartitionedTable requires partition columns")
+    spark.sql(s"DROP TABLE IF EXISTS ${name.toLowerCase}")
+    df.write.format(format).mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .saveAsTable(name.toLowerCase)
+    createTableFromCatalog(name, name.toLowerCase)
+  }
+
   /** Rename a table in the current schema (reference: context.alter_table,
     * physical/rel/custom/alter.py:47 — rename-only semantics). */
   def alterTable(oldName: String, newName: String, ifExists: Boolean = false): Unit = {

@@ -321,6 +321,37 @@ class ContextSpec extends AnyFunSuite {
     }
   }
 
+  test("partitioned tables prune statically and via dynamic partition pruning") {
+    val orders = Tables.t(spark, TestSpark.sf, "orders")
+      .withColumn("od_year", year(col("o_orderdate")))
+    ctx.createPartitionedTable("orders_part", orders, Seq("od_year"))
+    try {
+      // static pruning: the literal year filter lands in PartitionFilters
+      val static_ = ctx.sql("SELECT count(*) AS n FROM orders_part WHERE od_year = 1997")
+      val staticPlan = static_.queryExecution.executedPlan.toString
+      assert(staticPlan.contains("PartitionFilters") && staticPlan.contains("od_year"))
+      assert(static_.head().getLong(0) > 0)
+
+      // dynamic pruning: a selective broadcast dim on the partition column
+      // injects a runtime dynamicpruning subquery into the fact scan.
+      // The dim must NOT be a LocalRelation: ConvertToLocalRelation folds
+      // the selective Filter into the leaf before the PartitionPruning rule
+      // looks for it, and no DPP is inserted (a real source keeps it).
+      val dim = spark.range(1990, 2005)
+        .select(col("id").cast("int").as("dim_year"),
+          when(col("id") === 1997, "pick").otherwise("skip").as("tag"))
+      dim.createOrReplaceTempView("year_dim")
+      val dpp = ctx.sql("""
+        SELECT count(*) AS n FROM orders_part
+        JOIN year_dim ON od_year = dim_year WHERE tag = 'pick'""")
+      assert(dpp.queryExecution.executedPlan.toString.contains("dynamicpruning"))
+      assert(dpp.head().getLong(0) == static_.head().getLong(0))
+    } finally {
+      ctx.sql("DROP TABLE orders_part")
+      spark.sql("DROP TABLE IF EXISTS orders_part")
+    }
+  }
+
   test("ANALYZE TABLE feeds rowCount stats into the optimized plan for catalog tables") {
     val li = Tables.t(spark, TestSpark.sf, "lineitem")
       .select("l_orderkey", "l_quantity").limit(1234)
