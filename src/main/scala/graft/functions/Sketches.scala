@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Mergeable sketch aggregators for corpus-scale statistics.
+  *
+  * [[HeavyHitters]] is Misra-Gries (SpaceSaving family): a k-counter
+  * summary of a key stream with guaranteed error ≤ n/(k+1) per count and
+  * guaranteed retention of every key with frequency > n/(k+1). Unlike the
+  * exact `explode → groupBy key → TakeOrdered` vocabulary pipeline (p17),
+  * the sketch never shuffles per-key rows — each partition reduces into a
+  * k-entry map and maps merge pairwise — so top-k over a 100 TB corpus
+  * moves only `partitions × k` counters. When k ≥ |distinct keys| no
+  * eviction ever happens and the result is EXACT (the oracle-ability
+  * window the registered query uses).
+  */
+object Sketches {
+
+  final case class MGBuffer(counters: Map[String, Long])
+  final case class Hit(item: String, n: Long)
+
+  /** Misra-Gries heavy hitters over a string column.
+    *
+    * @param k    counter budget (error bound n/(k+1); exact when
+    *             k ≥ distinct keys)
+    * @param topN entries returned, most frequent first
+    */
+  class HeavyHitters(k: Int, topN: Int)
+      extends Aggregator[String, MGBuffer, Seq[Hit]] {
+
+    override def zero: MGBuffer = MGBuffer(Map.empty)
+
+    override def reduce(b: MGBuffer, item: String): MGBuffer = {
+      val c = b.counters
+      c.get(item) match {
+        case Some(n) => MGBuffer(c.updated(item, n + 1))
+        case None if c.size < k => MGBuffer(c.updated(item, 1L))
+        case None =>
+          // classic MG decrement-all step: every stored count absorbs one
+          // of the new item's occurrences; zeros vacate their counters
+          MGBuffer(c.flatMap { case (w, n) =>
+            if (n > 1) Some(w -> (n - 1)) else None })
+      }
+    }
+
+    override def merge(a: MGBuffer, b: MGBuffer): MGBuffer = {
+      val sum = b.counters.foldLeft(a.counters) { case (acc, (w, n)) =>
+        acc.updated(w, acc.getOrElse(w, 0L) + n)
+      }
+      if (sum.size <= k) MGBuffer(sum)
+      else {
+        // canonical MG merge: subtract the (k+1)-th largest count from all,
+        // keep strictly positive — preserves the n/(k+1) error bound
+        val cut = sum.valuesIterator.toArray.sorted(Ordering[Long].reverse)(k)
+        MGBuffer(sum.flatMap { case (w, n) =>
+          if (n > cut) Some(w -> (n - cut)) else None })
+      }
+    }
+
+    override def finish(b: MGBuffer): Seq[Hit] =
+      b.counters.toSeq.sortBy { case (w, n) => (-n, w) }
+        .take(topN).map { case (w, n) => Hit(w, n) }
+
+    override def bufferEncoder: Encoder[MGBuffer] = Encoders.product[MGBuffer]
+    override def outputEncoder: Encoder[Seq[Hit]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Hit]]()
+  }
+}

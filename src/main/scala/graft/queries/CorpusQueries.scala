@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Q
 import graft.Tables.t
+import graft.functions.Sketches
 import graft.operators.{Corpus, Similarity, TextDedup}
 
 /** Corpus-construction pipeline queries (round 3): benchmark
@@ -193,6 +194,27 @@ object CorpusQueries {
           round(col("top_word_n").cast("double") /
             greatest(col("n_words"), lit(1L)).cast("double"), 6).as("top_word_frac"))
         .orderBy("doc_id")
+    },
+
+    // Misra-Gries heavy-hitters vocabulary: the sketch path to top-k that
+    // never shuffles per-key rows (each partition reduces to k counters,
+    // maps merge pairwise). With k=1024 ≥ |vocab| of this corpus no
+    // eviction happens and the sketch is EXACT, so the oracle is the same
+    // exact count the p17 pipeline uses; the eviction regime (k < distinct)
+    // is covered by the error-bound guarantees in SketchesSpec.
+    Q("p28_vocab_sketch", Some("""
+      SELECT w, CAST(n AS BIGINT) AS n FROM (
+        SELECT w, count(*) AS n
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+        GROUP BY w)
+      ORDER BY n DESC, w LIMIT 20""")) { (s, d) =>
+      val hh = udaf(new Sketches.HeavyHitters(k = 1024, topN = 20))
+      t(s, d, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("w"))
+        .agg(hh(col("w")).as("hits"))
+        .select(explode(col("hits")).as("h"))
+        .select(col("h.item").as("w"), col("h.n").as("n"))
+        .orderBy(col("n").desc, col("w"))
     },
   )
 }

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.Sketches
+
+class SketchesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def run(df: org.apache.spark.sql.DataFrame, k: Int, topN: Int) = {
+    val hh = udaf(new Sketches.HeavyHitters(k, topN))
+    df.agg(hh(col("w")).as("hits"))
+      .select(explode(col("hits")).as("h"))
+      .select(col("h.item"), col("h.n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  test("exact when the counter budget covers the key space") {
+    val words = Tables.t(spark, TestSpark.sf, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+    val exact = words.groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sketch = run(words, k = 4096, topN = exact.size + 10)
+    assert(sketch == exact)
+  }
+
+  test("under eviction, every key above n/(k+1) survives with bounded error") {
+    // 10 hot keys (counts 400, 380, ..., 220) in a sea of 3000 singletons,
+    // spread over 8 partitions to force partial-buffer merges
+    val rows = (0 until 10).flatMap(i => Seq.fill(400 - 20 * i)(s"hot$i")) ++
+      (0 until 3000).map(i => s"rare$i")
+    val n = rows.size
+    val k = 64
+    val df = scala.util.Random.shuffle(rows).toDF("w").repartition(8)
+    val sketch = run(df, k, topN = k)
+    val bound = n / (k + 1)
+    for (i <- 0 until 10) {
+      val trueCount = 400 - 20 * i
+      assert(trueCount > bound, "test setup: hot keys must clear the bound")
+      val est = sketch.get(s"hot$i")
+      assert(est.isDefined, s"hot$i (count $trueCount) evicted, bound $bound")
+      assert(est.get <= trueCount && est.get >= trueCount - bound,
+        s"hot$i: est ${est.get} outside [${trueCount - bound}, $trueCount]")
+    }
+  }
+
+  test("registers as a SQL aggregate through the Context surface") {
+    val ctx = new Context(spark)
+    ctx.registerAggregation("heavy_hitters",
+      new Sketches.HeavyHitters(k = 128, topN = 5))(
+      org.apache.spark.sql.Encoders.STRING)
+    ctx.createTable("hh_words",
+      Seq("a", "a", "a", "b", "b", "c").toDF("w"))
+    val rows = ctx.sql(
+      "SELECT explode(heavy_hitters(w)) AS h FROM hh_words")
+      .select(col("h.item"), col("h.n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(rows.toSeq == Seq("a" -> 3L, "b" -> 2L, "c" -> 1L))
+  }
+}
