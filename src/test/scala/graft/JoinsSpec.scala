@@ -28,6 +28,34 @@ class JoinsSpec extends AnyFunSuite {
     assert(out.count() == 991) // 990 hot + 1 cold match
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (the PLANS.md claim)") {
+    import spark.implicits._
+    val conf = spark.conf
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.shuffle.partitions").map(k => k -> conf.get(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      conf.set("spark.sql.shuffle.partitions", "4")
+      // 300k rows on ONE key vs 3k spread keys: partition 'hash(1)' is
+      // >100x the median — AQE must mark the join skewed and split it
+      val fact = spark.range(303000)
+        .select(when($"id" < 300000, 1L).otherwise($"id").as("k"), $"id".as("v"))
+      val dim = spark.range(400000).select($"id".as("dk"), ($"id" * 2).as("w"))
+      val joined = fact.join(dim, $"k" === $"dk")
+      // collect() (not count()) runs THIS dataset's queryExecution, so the
+      // AdaptiveSparkPlan below is the executed one (isFinalPlan=true)
+      assert(joined.collect().length == 303000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"), s"no skew split in:\n$finalPlan")
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
+
   test("broadcastJoin forces a broadcast hash join plan") {
     val li = Tables.t(spark, TestSpark.sf, "lineitem")
     val sup = Tables.t(spark, TestSpark.sf, "supplier")
