@@ -56,6 +56,32 @@ class JoinsSpec extends AnyFunSuite {
     } finally saved.foreach { case (k, v) => conf.set(k, v) }
   }
 
+  test("runtime bloom filter prunes the probe side of a selective join") {
+    val conf = spark.conf
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // shuffle join
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val li = Tables.t(spark, TestSpark.sf, "lineitem")
+      val sup = Tables.t(spark, TestSpark.sf, "supplier")
+        .filter(col("s_suppkey") < 5) // selective creation side
+      val joined = li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("bloom_filter_agg") || plan.contains("might_contain"),
+        s"no runtime bloom filter in:\n${plan.take(3000)}")
+      assert(joined.count() > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("broadcastJoin forces a broadcast hash join plan") {
     val li = Tables.t(spark, TestSpark.sf, "lineitem")
     val sup = Tables.t(spark, TestSpark.sf, "supplier")
