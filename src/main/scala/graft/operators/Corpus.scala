@@ -113,6 +113,28 @@ object Corpus {
       .drop("_cum", "_before")
   }
 
+  /** Document chunking: split each document into overlapping token windows
+    * of `size` tokens every `stride` tokens (stride < size ⇒ overlap) —
+    * the pre-training chunker that turns documents into training sequences.
+    * Emits (id, chunk_id, chunk_text, n_tokens); the final partial window
+    * is kept. Pure per-row generate — embarrassingly parallel, no shuffle.
+    */
+  def chunkDocuments(
+      df: DataFrame, idCol: String, textCol: String,
+      size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0, "size and stride must be positive")
+    val toks = split(lower(col(textCol)), " ")
+    val starts = sequence(lit(0),
+      greatest(org.apache.spark.sql.functions.size(toks) - 1, lit(0)), lit(stride))
+    df.select(col(idCol), toks.as("_toks"), explode(starts).as("_start"))
+      .select(col(idCol),
+        (col("_start") / stride).cast("bigint").as("chunk_id"),
+        slice(col("_toks"), col("_start") + 1, lit(size)).as("_chunk"))
+      .select(col(idCol), col("chunk_id"),
+        concat_ws(" ", col("_chunk")).as("chunk_text"),
+        org.apache.spark.sql.functions.size(col("_chunk")).cast("bigint").as("n_tokens"))
+  }
+
   /** Connected components over an undirected pair list (e.g. near-duplicate
     * pairs from the LSH dedup operators) → (node, cluster) where cluster is
     * the smallest node id reachable from the node — the "pick one survivor

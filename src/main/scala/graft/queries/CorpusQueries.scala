@@ -196,6 +196,22 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // Document chunking: overlapping 16-token windows every 8 tokens (the
+    // pre-training sequence chunker); pure per-row generate, no shuffle
+    Q("p29_doc_chunks", Some("""
+      WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+      s AS (SELECT doc_id, toks,
+              unnest(range(0, greatest(len(toks), 1), 8)) AS start
+            FROM w)
+      SELECT doc_id, CAST(start // 8 AS BIGINT) AS chunk_id,
+             array_to_string(toks[start + 1 : start + 16], ' ') AS chunk_text,
+             CAST(len(toks[start + 1 : start + 16]) AS BIGINT) AS n_tokens
+      FROM s ORDER BY doc_id, chunk_id""")) { (s, d) =>
+      Corpus.chunkDocuments(t(s, d, "documents"), "doc_id", "text",
+          size = 16, stride = 8)
+        .orderBy("doc_id", "chunk_id")
+    },
+
     // Misra-Gries heavy-hitters vocabulary: the sketch path to top-k that
     // never shuffles per-key rows (each partition reduces to k counters,
     // maps merge pairwise). With k=1024 ≥ |vocab| of this corpus no

@@ -82,6 +82,19 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.values.toSet == Set(1L))
   }
 
+  test("chunkDocuments: full windows, overlap = size - stride, partial tail kept") {
+    val df = Seq((1L, (1 to 40).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Corpus.chunkDocuments(df, "doc_id", "text", size = 16, stride = 8)
+      .orderBy("chunk_id").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L, 3L, 4L)) // starts 0,8,...,32
+    assert(out.take(4).forall(_.getLong(3) == 16L))
+    assert(out.last.getLong(3) == 8L) // partial tail
+    val c0 = out(0).getString(2).split(" ")
+    val c1 = out(1).getString(2).split(" ")
+    assert(c0.drop(8).sameElements(c1.take(8))) // 8-token overlap
+  }
+
   test("scalarQuantize error is bounded by half a code step per dimension") {
     val emb = Tables.t(spark, TestSpark.sf, "embeddings")
     // per-dim ranges of this data
