@@ -23,6 +23,27 @@ object TpchSuite {
 
   val all: Seq[Q] = Seq(
 
+    // SEARCH-range predicates (Calcite compiles IN lists + range unions to
+    // a SEARCH node, SURVEY §2.4; Spark's OptimizeIn/InSet is the native
+    // analogue — InSet conversion asserted in OperatorSpec): a >10-element
+    // IN list, a disjunctive range union, and a NOT IN on the same scan
+    Q("q80_search_ranges", Some("""
+      SELECT o_orderkey, o_orderpriority, o_totalprice
+      FROM orders
+      WHERE o_custkey IN (1,2,3,5,8,13,21,34,55,89,144,233)
+        AND (o_totalprice BETWEEN 10000 AND 50000
+             OR o_totalprice BETWEEN 200000 AND 250000)
+        AND o_orderpriority NOT IN ('5-LOW', '4-NOT SPECIFIED')
+      ORDER BY o_orderkey""")) { (s, d) =>
+      t(s, d, "orders")
+        .filter(col("o_custkey").isin(1, 2, 3, 5, 8, 13, 21, 34, 55, 89, 144, 233) &&
+          (col("o_totalprice").between(10000, 50000) ||
+            col("o_totalprice").between(200000, 250000)) &&
+          !col("o_orderpriority").isin("5-LOW", "4-NOT SPECIFIED"))
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
     // Q5: local supplier volume — 6-table join with the c↔s same-nation
     // constraint that makes join order matter
     Q("q66_tpch_q5", Some("""

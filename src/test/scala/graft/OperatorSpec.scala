@@ -43,6 +43,13 @@ class OperatorSpec extends AnyFunSuite {
     assert(n == total)
   }
 
+  test("q80's long IN list compiles to an InSet (the SEARCH-range analogue)") {
+    val plan = SparkEntry.byName("q80_search_ranges").run(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("INSET") || plan.contains("InSet"),
+      s"IN list not converted to InSet:\n${plan.take(2000)}")
+  }
+
   test("oracle SQL exists for every query unless justified rows-only") {
     val rowsOnly = SparkEntry.all.filter(_.oracle.isEmpty).map(_.name).toSet
     val expected = Set("q28_sample", "q37_agg_approx_distinct", "q49_rand",
