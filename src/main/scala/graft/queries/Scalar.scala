@@ -275,10 +275,14 @@ object Scalar {
     // Division semantics: SQL integer division truncates toward zero
     // (reference: SQLDivisionOperator call.py:165-214); mod sign follows
     // the dividend in both engines
+    // unit_price rounds via floor(x*1e4 + 0.5)/1e4, not round(x, 4):
+    // engine round() implementations disagree on doubles that land a hair
+    // from a half boundary (observed at sf0.1), while floor on the
+    // identical double is identical everywhere.
     Q("q48_division", Some("""
       SELECT l_orderkey, l_linenumber,
              CAST(trunc((l_linenumber - 4) / 2.0) AS BIGINT) AS int_div,
-             round(l_extendedprice / l_quantity, 4) AS unit_price,
+             floor(l_extendedprice * 10000.0 / l_quantity + 0.5) / 10000.0 AS unit_price,
              mod(l_linenumber - 4, 3) AS m
       FROM lineitem WHERE l_orderkey < 40
       ORDER BY l_orderkey, l_linenumber, unit_price""")) { (s, d) =>
@@ -286,7 +290,8 @@ object Scalar {
         .select(
           col("l_orderkey"), col("l_linenumber"),
           SqlCompat.sqlDiv(col("l_linenumber") - 4, lit(2)).as("int_div"),
-          round(col("l_extendedprice") / col("l_quantity"), 4).as("unit_price"),
+          (floor(col("l_extendedprice") * 10000.0 / col("l_quantity") + 0.5) / 10000.0)
+            .as("unit_price"),
           expr("mod(l_linenumber - 4, 3)").as("m"))
         .orderBy("l_orderkey", "l_linenumber", "unit_price")
     },
