@@ -45,12 +45,16 @@ object Corpus {
     // construction would then run a second time inside the scan filter
     // (the derived-array pushdown pitfall; grams are never empty after the
     // raw-text filter, so _outer is semantically identical here).
+    // Grams are hashed by COMBINING per-token hashes (the MinHash-pipeline
+    // trick): no gram strings are ever built — measured 6× on the sf0.1
+    // bench vs concat_ws'd shingle strings. Token hashes are materialized
+    // as an attribute first (the shingle expr references them n times).
     def gramHashes(df: DataFrame) =
       df.filter(size(split(lower(col(textCol)), " ")) >= n)
         .select(col(idCol).as("_id"),
-          TextDedup.wordShingles(col(textCol), n).as("_grams"))
-        .select(col("_id"), explode_outer(col("_grams")).as("_g"))
-        .select(col("_id"), xxhash64(col("_g")).as("gh"))
+          transform(split(lower(col(textCol)), " "), tk => xxhash64(tk)).as("_th"))
+        .select(col("_id"),
+          explode_outer(TextDedup.shingleHashesFromTokenHashes(col("_th"), n)).as("gh"))
 
     val benchSet = gramHashes(bench).select("gh").distinct()
     val tg = gramHashes(train)

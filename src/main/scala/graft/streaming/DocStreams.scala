@@ -46,11 +46,14 @@ object DocStreams {
 
   /** The benchmark side of streaming decontamination: ONE row holding the
     * distinct gram-hash set of the benchmark corpus (static, computed once,
-    * broadcast into every microbatch). */
+    * broadcast into every microbatch). Gram hashes combine per-token hashes
+    * (same as the batch operator) — no gram strings are built. */
   def benchGramSet(bench: DataFrame, textCol: String, n: Int): DataFrame =
     bench.filter(size(split(lower(col(textCol)), " ")) >= n)
-      .select(explode_outer(TextDedup.wordShingles(col(textCol), n)).as("_g"))
-      .agg(collect_set(xxhash64(col("_g"))).as("bench_gh"))
+      .select(transform(split(lower(col(textCol)), " "), tk => xxhash64(tk)).as("_th"))
+      .select(explode_outer(
+        TextDedup.shingleHashesFromTokenHashes(col("_th"), n)).as("gh"))
+      .agg(collect_set(col("gh")).as("bench_gh"))
 
   /** Stream-static decontamination: per document, the word-n-gram overlap
     * with the static benchmark set — same numbers as the batch
@@ -59,10 +62,12 @@ object DocStreams {
     * stream needs no aggregation state at all. */
   def decontaminateStream(docStream: DataFrame, benchSet: DataFrame,
       idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    val grams = TextDedup.wordShingles(col(textCol), n)
     docStream
       .filter(size(split(lower(col(textCol)), " ")) >= n)
-      .select(col(idCol), transform(grams, g => xxhash64(g)).as("gh_set"))
+      .select(col(idCol),
+        transform(split(lower(col(textCol)), " "), tk => xxhash64(tk)).as("_th"))
+      .select(col(idCol),
+        TextDedup.shingleHashesFromTokenHashes(col("_th"), n).as("gh_set"))
       .crossJoin(broadcast(benchSet))
       .select(col(idCol),
         size(col("gh_set")).cast("bigint").as("n_grams"),
