@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-stress probe (not part of the driver contract): replicates the
+  * sf documents table REP× with offset ids — every document then has REP
+  * true copies, the worst case for near-dup detection (every LSH bucket
+  * holds a full clone cluster) — and times the dedup/decontamination
+  * operators end-to-end through the noop sink. The point is evidence for
+  * the 100 TB story: candidate generation must stay banded (no quadratic
+  * blowup beyond the genuine clone clusters) and throughput must scale
+  * with rows, not pairs. Results recorded in PLANS.md.
+  *
+  * Usage: runMain graft.ScaleProbe [sfDir] [replication]
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val rep = args.drop(1).headOption.map(_.toInt).getOrElse(20)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
+      .appName("graft-scale-probe")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs0 = Tables.t(spark, sf, "documents")
+    val reps = spark.range(rep).select(col("id").as("_rep"))
+    val docs = docs0.crossJoin(reps)
+      .select((col("doc_id") + col("_rep") * 10000000L).as("doc_id"),
+        col("text"), col("lang"), col("source"), col("n_chars"))
+      .repartition(64)
+      .cache()
+    val nDocs = docs.count() // materialize once; excluded from op timings
+
+    def time(name: String)(df: => DataFrame): (String, Double, Long) = {
+      val t0 = System.nanoTime()
+      val out = df
+      out.write.format("noop").mode("overwrite").save()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val rows = out.count()
+      (name, secs, rows)
+    }
+
+    val results = Seq(
+      time("exact_dedup") {
+        operators.TextDedup.exactDedup(docs, "doc_id", "text")
+      },
+      time("ngram_banded_dedup") {
+        operators.TextDedup.ngramDedupPairsBanded(docs, "doc_id", "text",
+          n = 5, numHashes = 64, bands = 16, threshold = 0.8, maxBucket = 2000)
+      },
+      time("decontaminate") {
+        operators.Corpus.decontaminate(
+          docs.filter(pmod(col("doc_id"), lit(20)) =!= 7),
+          docs.filter(pmod(col("doc_id"), lit(20)) === 7),
+          "doc_id", "text", n = 3)
+      },
+      time("minhash_dedup") {
+        operators.TextDedup.minhashDedupPairs(docs, "doc_id", "text",
+          shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5,
+          maxBucket = 2000)
+      })
+
+    val fields = results.map { case (n, s, r) =>
+      f""""$n":{"sec":$s%.1f,"rows":$r}"""
+    }
+    println(s"""{"metric":"scale_probe","docs":$nDocs,"rep":$rep,""" +
+      fields.mkString(",") + "}")
+    spark.stop()
+  }
+}
