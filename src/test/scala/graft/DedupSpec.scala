@@ -34,6 +34,21 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(j - 0.5) < 1e-12)
   }
 
+  test("sortedIntersectCount equals array_intersect size on sorted distinct sets") {
+    val cases = Seq(
+      (Seq(1L, 2L, 3L), Seq(2L, 3L, 4L)),        // partial overlap
+      (Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)),        // disjoint
+      (Seq.empty[Long], Seq(1L, 2L)),            // empty side
+      (Seq(1L, 5L, 9L, 12L), Seq(1L, 5L, 9L, 12L)), // identical
+      (Seq(Long.MinValue, 0L, Long.MaxValue), Seq(Long.MinValue, Long.MaxValue))
+    ).toDF("a", "b")
+    val out = cases.select(
+      graft.functions.CatalystExprs.sortedIntersectCount(col("a"), col("b")).as("m"),
+      size(array_intersect(col("a"), col("b"))).as("ref"))
+      .collect()
+    out.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+
   test("exactDedup groups identical texts") {
     val out = TextDedup.exactDedup(docs, "doc_id", "text").collect()
     assert(out.length == 4) // 5 docs, one exact pair
