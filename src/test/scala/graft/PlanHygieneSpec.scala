@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Global plan-hygiene guard: no registered query may contain a cartesian
+  * product or nested-loop join unless it is on the explicit whitelist of
+  * queries where that IS the semantics (cross joins, all-pairs exact
+  * baselines whose scale paths are the banded variants, and broadcast
+  * single-row/scalar joins where a nested loop over one row is free).
+  * Catches the classic regression where a join condition stops being an
+  * equi-join after a refactor and silently goes quadratic.
+  */
+class PlanHygieneSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // queries whose quadratic/broadcast-loop shape is intentional:
+  private val whitelist = Set(
+    "q12_cross_join",          // CROSS JOIN semantics
+    "q47_scalar_subquery",     // scalar subquery broadcast to every row
+    "q11_join_theta",          // pure theta join (reference semantics)
+    "p04_dedup_ngram",         // exact all-pairs baseline (scale path: p04b)
+    "p05_dedup_embedding",     // exact all-pairs baseline (scale path: p05b)
+    "p06_sim_topk",            // 10-row query side broadcast-looped on purpose
+    "p07b_sim_ivf",            // query × broadcast nCells-row centroid table
+    "q26_empty_select",        // one-row VALUES scan
+    "q27_values",              // VALUES scan
+    "q72_tpch_q15",            // single-row max joined by value (one-row loop)
+    "q73_tpch_q17",            // decorrelated scalar bound; tiny residual
+    "q76_tpch_q22",            // single-row threshold broadcast
+    "p22_decontaminate",       // single-row broadcast of the bench gram set
+    "q14_agg_global", "q67_tpch_q6", "q71_tpch_q14", "q75_tpch_q19",
+    "q64_nan_semantics",       // single-row aggregates / literal frames
+    "p12b_multimodal_decode"
+  )
+
+  SparkEntry.all.filterNot(q => whitelist(q.name)).foreach { q =>
+    test(s"${q.name} plans without cartesian or nested-loop joins") {
+      val plan = q.run(spark, TestSpark.sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"CartesianProduct in ${q.name}")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"BroadcastNestedLoopJoin in ${q.name}")
+    }
+  }
+}
