@@ -64,6 +64,14 @@ object ScaleProbe {
         operators.TextDedup.minhashDedupPairs(docs, "doc_id", "text",
           shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5,
           maxBucket = 2000)
+      },
+      time("dedup_clusters") {
+        // CC over the ~1M-edge clone-pair graph (every cluster a 20-clique)
+        operators.Corpus.connectedComponents(
+          operators.TextDedup.minhashDedupPairs(docs, "doc_id", "text",
+            shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5,
+            maxBucket = 2000),
+          "doc_a", "doc_b")
       })
 
     val fields = results.map { case (n, s, r) =>
