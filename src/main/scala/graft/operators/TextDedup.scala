@@ -198,6 +198,54 @@ object TextDedup {
     bandedPairs(sh, numHashes, bands, threshold, maxBucket, simName = "sim")
   }
 
+  /** Incremental MinHash dedup: find near-duplicates of NEW documents
+    * against an EXISTING corpus — the daily-increment pattern. Candidates
+    * come from joining the increment's (band, bandHash) rows against the
+    * corpus's banded rows, so the work is O(increment × bands) plus the
+    * bucket joins: old×old pairs are never generated and the old corpus is
+    * never re-verified. At real scale the old side's banded rows are a
+    * PERSISTED index table bucketed by (band, bh) (`createBucketedTable`),
+    * making the candidate join shuffle only the increment.
+    * Returns (doc_id, dup_of, jaccard): one row per (new, old) near-pair.
+    */
+  def minhashDedupIncremental(
+      newDocs: DataFrame, knownDocs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    def prep(df: DataFrame) = parallelized(df)
+      .filter(size(split(lower(col(textCol)), " ")) >= shingleSize)
+      .select(col(idCol).as("doc_id"),
+        transform(split(lower(col(textCol)), " "), tk => xxhash64(tk)).as("th"))
+      .select(col("doc_id"),
+        sort_array(shingleHashesFromTokenHashes(col("th"), shingleSize)).as("shingles"))
+      .cache()
+    def banded(sh: DataFrame, idName: String) = sh.select(col("doc_id").as(idName),
+      posexplode(graft.functions.CatalystExprs.minhashBandHashes(
+        col("shingles"), numHashes, bands)).as(Seq("band", "bh")))
+
+    val shNew = prep(newDocs); val shOld = prep(knownDocs)
+    // cap pathological buckets on the corpus side (boilerplate bands)
+    val oldBanded = banded(shOld, "dup_of")
+      .withColumn("_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
+      .filter(col("_n") <= maxBucket).drop("_n")
+    val cand = banded(shNew, "doc_id")
+      .join(oldBanded, Seq("band", "bh"))
+      .select("doc_id", "dup_of").distinct()
+
+    val sa = shNew.select(col("doc_id"), col("shingles").as("sh_a"))
+    val sb = shOld.select(col("doc_id").as("dup_of"), col("shingles").as("sh_b"))
+    cand.join(sa, "doc_id").join(sb, "dup_of")
+      .select(col("doc_id"), col("dup_of"),
+        graft.functions.CatalystExprs.sortedIntersectCount(col("sh_a"), col("sh_b"))
+          .cast("double").as("_i"),
+        (size(col("sh_a")) + size(col("sh_b"))).cast("double").as("_s"))
+      .withColumn("j_raw", col("_i") / (col("_s") - col("_i")))
+      .filter(col("j_raw") >= threshold)
+      .select(col("doc_id"), col("dup_of"), round(col("j_raw"), 4).as("jaccard"))
+  }
+
   /** Shared banded-LSH tail: signature → (band, bandHash) explode → one
     * shuffle → in-bucket pair expansion → exact-Jaccard verification.
     * `sh` must be (doc_id, shingles: array<long>), ideally cached — it feeds

@@ -212,6 +212,31 @@ object CorpusQueries {
         .orderBy("doc_id", "chunk_id")
     },
 
+    // Incremental dedup: near-dups of the "new batch" (doc_id % 10 < 2)
+    // against the existing corpus — candidates only from new×corpus bucket
+    // joins, old×old never generated. Oracle = exhaustive cross-split scan.
+    Q("p30_dedup_incremental", Some("""
+      WITH sh AS (
+        SELECT doc_id, list_distinct([array_to_string(words[i:i+2], ' ')
+                for i in range(1, len(words) - 1)]) AS shingles
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents)
+        WHERE len(words) >= 3)
+      SELECT a.doc_id AS doc_id, b.doc_id AS dup_of,
+             round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+                   (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 4) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id % 10 < 2 AND b.doc_id % 10 >= 2
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+            (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+      ORDER BY a.doc_id, dup_of""")) { (s, d) =>
+      val docs = t(s, d, "documents")
+      TextDedup.minhashDedupIncremental(
+          docs.filter(pmod(col("doc_id"), lit(10)) < 2),
+          docs.filter(pmod(col("doc_id"), lit(10)) >= 2),
+          "doc_id", "text", shingleSize = 3, numHashes = 64, bands = 16,
+          threshold = 0.5)
+        .orderBy("doc_id", "dup_of")
+    },
+
     // Misra-Gries heavy-hitters vocabulary: the sketch path to top-k that
     // never shuffles per-key rows (each partition reduces to k counters,
     // maps merge pairwise). With k=1024 ≥ |vocab| of this corpus no

@@ -80,6 +80,24 @@ class DedupSpec extends AnyFunSuite {
     assert(out.exists(t => t._1 == 1L && t._2 == 4L && t._3 == 0))
   }
 
+  test("incremental dedup equals the cross-split slice of the full pair set") {
+    val all = Tables.t(spark, TestSpark.sf, "documents")
+    val isNew = (id: Long) => id % 10 < 2
+    val full = TextDedup.minhashDedupPairs(all, "doc_id", "text",
+        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val crossSplit = full.collect {
+      case (a, b) if isNew(a) && !isNew(b) => (a, b)
+      case (a, b) if isNew(b) && !isNew(a) => (b, a)
+    }
+    val inc = TextDedup.minhashDedupIncremental(
+        all.filter($"doc_id" % 10 < 2), all.filter($"doc_id" % 10 >= 2),
+        "doc_id", "text", shingleSize = 3, numHashes = 64, bands = 16,
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc == crossSplit)
+  }
+
   test("banded ngram dedup equals exhaustive char-ngram jaccard at sf0.001") {
     val d = Tables.t(spark, TestSpark.sf, "documents")
     val banded = TextDedup.ngramDedupPairsBanded(d, "doc_id", "text",
