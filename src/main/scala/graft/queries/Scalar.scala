@@ -414,5 +414,29 @@ object Scalar {
           sum(when(isnan(col("x")), 1).otherwise(0)).cast("bigint").as("n_nan"),
           sum(when(col("x") > 2.0, 1).otherwise(0)).cast("bigint").as("n_gt2"))
     },
+
+    // registry stragglers from the reference's OPERATION_MAPPING
+    // (call.py:1100-1152): COT, TIMESTAMPADD by unit, and the current-time
+    // family (nondeterministic values, so asserted via IS NOT NULL — which
+    // IS deterministic and oracle-checkable)
+    Q("q81_scalar_stragglers", Some("""
+      SELECT o_orderkey,
+             round(cot(1.0 + o_orderkey % 5), 6) AS ct,
+             CAST(o_orderdate + INTERVAL 2 MONTH AS TIMESTAMP) AS plus_months,
+             CAST(o_orderdate + INTERVAL 10 DAY AS TIMESTAMP) AS plus_days,
+             CAST(o_orderdate + INTERVAL 36 HOUR AS TIMESTAMP) AS plus_hours,
+             current_date IS NOT NULL AS has_date,
+             current_timestamp IS NOT NULL AS has_ts
+      FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey""")) { (s, d) =>
+      t(s, d, "orders").filter(col("o_orderkey") < 100)
+        .select(col("o_orderkey"),
+          round(expr("cot(1.0 + o_orderkey % 5)"), 6).as("ct"),
+          expr("timestampadd(MONTH, 2, o_orderdate)").as("plus_months"),
+          expr("timestampadd(DAY, 10, o_orderdate)").as("plus_days"),
+          expr("timestampadd(HOUR, 36, o_orderdate)").as("plus_hours"),
+          current_date().isNotNull.as("has_date"),
+          current_timestamp().isNotNull.as("has_ts"))
+        .orderBy("o_orderkey")
+    },
   )
 }
