@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -137,6 +137,92 @@ object Corpus {
       .select(col(idCol), col("chunk_id"),
         concat_ws(" ", col("_chunk")).as("chunk_text"),
         org.apache.spark.sql.functions.size(col("_chunk")).cast("bigint").as("n_tokens"))
+  }
+
+  /** Corpus-internal boilerplate detection (the RefinedWeb/CCNet repeated-
+    * span filter): annotate every document with the fraction of its word
+    * n-gram spans that occur in at least `minDocs` DISTINCT documents —
+    * headers, footers, license blurbs, and templated text score high;
+    * original prose scores ~0. Returns (id, n_spans, n_boiler, boiler_ratio).
+    *
+    * Scale: spans cross shuffles only as 64-bit hashes (same combining trick
+    * as [[decontaminate]], never strings). Two passes over the exploded
+    * span frame — one groupBy(gh) to build the document-frequency table,
+    * one join back on gh to annotate — both shuffle on the same hash key.
+    * Unlike decontaminate the frequent-span table is corpus-derived and
+    * data-dependent in size, so it is joined (not broadcast); per-doc
+    * distinctness of spans makes count(*) == count(DISTINCT doc).
+    */
+  def boilerplateSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minDocs: Int = 2): DataFrame = {
+    // same explode_outer guard as decontaminate (see the pushdown note there)
+    val g = df.filter(size(split(lower(col(textCol)), " ")) >= n)
+      .select(col(idCol).as("_id"),
+        transform(split(lower(col(textCol)), " "), tk => xxhash64(tk)).as("_th"))
+      .select(col("_id"),
+        explode_outer(TextDedup.shingleHashesFromTokenHashes(col("_th"), n)).as("gh"))
+    val freq = g.groupBy("gh").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs)
+    g.join(freq.select(col("gh"), lit(1).as("_b")), Seq("gh"), "left")
+      .groupBy(col("_id").as(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(coalesce(col("_b"), lit(0))).cast("bigint").as("n_boiler"))
+      .withColumn("boiler_ratio",
+        col("n_boiler").cast("double") / greatest(col("n_spans"), lit(1L)).cast("double"))
+  }
+
+  /** Per-domain document cap: keep the `cap` best documents per domain
+    * (score desc, id asc tie-break) — the anti-boilerplate guard every web
+    * corpus applies so no single domain dominates training data. Emits the
+    * surviving rows plus their `rank_in_domain`.
+    *
+    * Scale: the rank-limit filter is recognized by Spark's
+    * InferWindowGroupLimit rule — each input partition keeps at most `cap`
+    * rows per domain BEFORE the shuffle (partial top-k, like
+    * TakeOrderedAndProject does globally), so a 10⁹-doc domain ships only
+    * cap × n_partitions rows to the window sort, not all of them.
+    */
+  def domainCap(
+      df: DataFrame, domainCol: String, idCol: String, scoreCol: String,
+      cap: Int): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    df.withColumn("rank_in_domain",
+        row_number().over(Window.partitionBy(col(domainCol))
+          .orderBy(col(scoreCol).desc, col(idCol))))
+      .filter(col("rank_in_domain") <= cap)
+  }
+
+  /** Deterministic polynomial char hash (base 31, mod 1e9+7) — the
+    * cross-engine string analogue of [[stratifiedQuota]]'s multiplicative id
+    * hash: reproducible in any SQL engine, no RNG, no engine-specific hash
+    * function. */
+  def charHash(c: Column): Column =
+    aggregate(split(c, ""), lit(0L),
+      (acc, ch) => pmod(acc * 31 + ascii(ch), lit(1000000007L)))
+
+  /** Group-aware train/validation/test split: every row whose `groupCol`
+    * (domain, url-host, dedup-cluster label) hashes into the same bucket
+    * lands in the same split — the leakage guard that keeps near-duplicate
+    * documents from straddling train and eval. `bounds` are cumulative
+    * exclusive upper bounds over [0, mod), e.g.
+    * `Seq("train" -> 800, "val" -> 900, "test" -> 1000)` with mod=1000 is an
+    * 80/10/10 split.
+    *
+    * Pure projection — no shuffle, no RNG: at 100 TB this is a free column
+    * on the scan, and re-running it any day on any engine yields the same
+    * assignment.
+    */
+  def groupSplit(
+      df: DataFrame, groupCol: String, bounds: Seq[(String, Int)],
+      mod: Int = 1000): DataFrame = {
+    require(bounds.nonEmpty && bounds.last._2 == mod,
+      "bounds must be cumulative and end at mod")
+    val h = pmod(charHash(col(groupCol)), lit(mod.toLong))
+    val split = bounds.init.foldRight(lit(bounds.last._1): Column) {
+      case ((name, bound), rest) => when(h < bound, lit(name)).otherwise(rest)
+    }
+    df.withColumn("group_hash", h).withColumn("split", split)
   }
 
   /** Connected components over an undirected pair list (e.g. near-duplicate

@@ -261,6 +261,38 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
 
+  /** SemDeDup-style semantic deduplication: within an externally-assigned
+    * cluster (a KMeans cell from [[buildIvfIndex]], a class label, a topic),
+    * a vector is REMOVED when a lower-id vector of the same cluster sits
+    * within cosine `tau` — the "keep one representative per semantic
+    * neighborhood" pass (Abbas et al. 2023, SemDeDup). Returns every input
+    * id with (cluster, removed, dup_of = the smallest dominating id).
+    *
+    * Scale design: the pair expansion joins ONLY within a cluster — one
+    * shuffle keyed by the cluster id. SemDeDup picks k ∝ corpus/target-size
+    * precisely so clusters stay small (10³–10⁴); for a degenerate giant
+    * cluster, [[cosineDedupPairsBanded]] over that cluster's slice is the
+    * drop-in replacement (same verify step, banded candidates).
+    */
+  def semanticDedup(
+      df: DataFrame, tau: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      clusterCol: String = "label"): DataFrame = {
+    // norms materialized once per vector; `v` feeds both sides of the
+    // within-cluster join AND the final left join, so cache it
+    val v = df.select(col(idCol).as("id"), col(clusterCol).as("cl"),
+      asDouble(col(vecCol)).as("vec"))
+      .withColumn("nrm", norm(col("vec")))
+      .cache()
+    val dom = v.as("a")
+      .join(v.as("b"), col("a.cl") === col("b.cl") && col("b.id") < col("a.id"))
+      .filter(dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")) >= tau)
+      .groupBy(col("a.id").as("id")).agg(min(col("b.id")).as("dup_of"))
+    v.join(dom, Seq("id"), "left")
+      .select(col("id").as(idCol), col("cl").as(clusterCol),
+        col("dup_of").isNotNull.as("removed"), col("dup_of"))
+  }
+
   /** Int8 scalar quantization of an embedding column with reconstruction
     * error — the embedding-compression pass that shrinks an ANN index 4×
     * before serving. Per-dimension min/max define a linear [0,255] code;

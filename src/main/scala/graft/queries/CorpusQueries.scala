@@ -237,6 +237,102 @@ object CorpusQueries {
         .orderBy("doc_id", "dup_of")
     },
 
+    // SemDeDup-style semantic dedup: within a semantic cluster (here the
+    // embeddings' label column; the KMeans-cell composition is spec-tested
+    // in SimilaritySpec), remove every vector dominated by a lower-id
+    // neighbor at cosine >= 0.3. Pairs only ever form within a cluster —
+    // ONE shuffle keyed by the cluster id.
+    Q("p31_semantic_dedup", Some("""
+      WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e,
+                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+                 FROM embeddings),
+      dom AS (SELECT a.vec_id AS vec_id, CAST(min(b.vec_id) AS BIGINT) AS dup_of
+              FROM v a JOIN v b ON a.label = b.label AND b.vec_id < a.vec_id
+              WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.3
+              GROUP BY a.vec_id)
+      SELECT v.vec_id AS vec_id, v.label, dom.dup_of IS NOT NULL AS removed, dom.dup_of
+      FROM v LEFT JOIN dom ON v.vec_id = dom.vec_id
+      ORDER BY v.vec_id""")) { (s, d) =>
+      Similarity.semanticDedup(t(s, d, "embeddings"), tau = 0.3)
+        .select(col("vec_id"), col("label"), col("removed"),
+          col("dup_of").cast("bigint").as("dup_of"))
+        .orderBy("vec_id")
+    },
+
+    // Per-domain cap: the 5 best documents per source by quality score
+    // (rounded to 6dp BEFORE ranking so both engines rank identical keys).
+    // Spark plans the rank-filter as WindowGroupLimit — partial top-k per
+    // partition before the shuffle (asserted in CorpusSpec).
+    Q("p32_domain_cap", Some("""
+      WITH q AS (
+        SELECT doc_id, source,
+          round(least(length(text) / 500.0, 1.0) * 0.5 +
+                least(CAST(len(list_filter(string_split(lower(text), ' '),
+                  w -> w IN ('the','and','of','to','in','is','that','for','it','a'))) AS DOUBLE)
+                  / greatest(len(string_split(lower(text), ' ')), 1) * 10.0, 1.0) * 0.3 +
+                (1.0 - least((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+                  / greatest(CAST(length(text) AS DOUBLE), 1.0) * 5.0, 1.0)) * 0.2, 6) AS quality
+        FROM documents),
+      r AS (SELECT doc_id, source, quality,
+              row_number() OVER (PARTITION BY source
+                ORDER BY quality DESC, doc_id) AS rank_in_domain
+            FROM q)
+      SELECT doc_id, source, quality, CAST(rank_in_domain AS BIGINT) AS rank_in_domain
+      FROM r WHERE rank_in_domain <= 5
+      ORDER BY source, rank_in_domain""")) { (s, d) =>
+      val scored = t(s, d, "documents").select(col("doc_id"), col("source"),
+        round(graft.functions.TextAnalysis.qualityScore(col("text")), 6).as("quality"))
+      Corpus.domainCap(scored, "source", "doc_id", "quality", cap = 5)
+        .select(col("doc_id"), col("source"), col("quality"),
+          col("rank_in_domain").cast("bigint").as("rank_in_domain"))
+        .orderBy("source", "rank_in_domain")
+    },
+
+    // Group-aware deterministic train/val/test split: the split is a pure
+    // function of the SOURCE (polynomial char hash), so near-duplicate docs
+    // from one domain can never straddle train and eval. No shuffle, no RNG
+    // — reproducible across engines, hence fully oracle-gated.
+    Q("p33_group_split", Some("""
+      WITH g AS (SELECT doc_id, source,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(source, ''), c -> CAST(ascii(c) AS BIGINT))),
+          (a, x) -> (a * 31 + x) % 1000000007) % 1000 AS h
+        FROM documents)
+      SELECT doc_id, source, CAST(h AS BIGINT) AS group_hash,
+             CASE WHEN h < 800 THEN 'train' WHEN h < 900 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM g ORDER BY doc_id""")) { (s, d) =>
+      Corpus.groupSplit(t(s, d, "documents"), "source",
+          Seq("train" -> 800, "val" -> 900, "test" -> 1000))
+        .select(col("doc_id"), col("source"),
+          col("group_hash").cast("bigint").as("group_hash"), col("split"))
+        .orderBy("doc_id")
+    },
+
+    // Corpus-internal boilerplate spans (RefinedWeb-style repeated-span
+    // filter): fraction of each doc's 5-gram spans occurring in >= 2
+    // distinct docs. Spans cross shuffles only as 64-bit hashes; the oracle
+    // compares by gram string (collision-free equivalence, as in p22).
+    Q("p34_boilerplate", Some("""
+      WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
+      sh AS (SELECT doc_id, list_distinct([array_to_string(words[i:i+4], ' ')
+              for i in range(1, len(words) - 3)]) AS grams
+             FROM w WHERE len(words) >= 5),
+      g AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+      f AS (SELECT g FROM g GROUP BY g HAVING count(*) >= 2)
+      SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(sum(CASE WHEN f.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+             round(CAST(sum(CASE WHEN f.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / greatest(count(*), 1), 6) AS boiler_ratio
+      FROM g LEFT JOIN f ON g.g = f.g
+      GROUP BY g.doc_id ORDER BY doc_id""")) { (s, d) =>
+      Corpus.boilerplateSpans(t(s, d, "documents"), "doc_id", "text",
+          n = 5, minDocs = 2)
+        .select(col("doc_id"), col("n_spans").cast("bigint").as("n_spans"),
+          col("n_boiler"), round(col("boiler_ratio"), 6).as("boiler_ratio"))
+        .orderBy("doc_id")
+    },
+
     // Misra-Gries heavy-hitters vocabulary: the sketch path to top-k that
     // never shuffles per-key rows (each partition reduces to k counters,
     // maps merge pairwise). With k=1024 ≥ |vocab| of this corpus no

@@ -95,6 +95,56 @@ class CorpusSpec extends AnyFunSuite {
     assert(c0.drop(8).sameElements(c1.take(8))) // 8-token overlap
   }
 
+  test("boilerplateSpans flags spans shared across docs, not unique prose") {
+    val docs = Seq(
+      (1L, "copyright notice all rights reserved forever unique one two three"),
+      (2L, "copyright notice all rights reserved forever other words here now"),
+      (3L, "entirely fresh original text with no repeats at all today"))
+      .toDF("doc_id", "text")
+    val out = Corpus.boilerplateSpans(docs, "doc_id", "text", n = 5, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // docs 1+2 share the "copyright notice all rights reserved forever"
+    // block → its two 5-gram spans are boilerplate in both; doc 3 is clean
+    assert(out(1L) == (6L, 2L))
+    assert(out(2L) == (6L, 2L))
+    assert(out(3L) == (6L, 0L))
+  }
+
+  test("domainCap keeps the cap best per domain and plans a WindowGroupLimit") {
+    val docs = Seq(
+      (1L, "a", 0.9), (2L, "a", 0.8), (3L, "a", 0.7), (4L, "a", 0.6),
+      (10L, "b", 0.5), (11L, "b", 0.5), (12L, "b", 0.5), // tie → id order
+      (20L, "c", 0.1)).toDF("doc_id", "domain", "score")
+    val out = Corpus.domainCap(docs, "domain", "doc_id", "score", cap = 2)
+    val got = out.select("doc_id", "rank_in_domain").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 1, 2L -> 2, 10L -> 1, 11L -> 2, 20L -> 1))
+    // the rank<=cap filter must be pushed below the shuffle as a group limit
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
+  }
+
+  test("groupSplit is a pure projection: group-consistent, exhaustive, no shuffle") {
+    val docs = Tables.t(spark, TestSpark.sf, "documents")
+    val out = Corpus.groupSplit(docs, "source",
+      Seq("train" -> 800, "val" -> 900, "test" -> 1000))
+    // every source maps to exactly one split (the leakage guard)
+    val perSource = out.groupBy("source").agg(countDistinct($"split").as("n"))
+      .agg(max($"n")).head().getLong(0)
+    assert(perSource == 1L)
+    // bounds are exhaustive: no row unassigned
+    assert(out.filter($"split".isNull).count() == 0)
+    // no shuffle: the split is computed on the scan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+    // deterministic: a re-run yields the identical assignment
+    val a = out.select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1))
+    val b = Corpus.groupSplit(docs, "source",
+        Seq("train" -> 800, "val" -> 900, "test" -> 1000))
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(a.sorted.sameElements(b.sorted))
+  }
+
   test("scalarQuantize error is bounded by half a code step per dimension") {
     val emb = Tables.t(spark, TestSpark.sf, "embeddings")
     // per-dim ranges of this data

@@ -140,4 +140,46 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSet == Set((1L, 2L)))
   }
+
+  test("semanticDedup keeps exactly one representative per tight cluster") {
+    // 4 tight clusters of 10 near-identical vectors: within a cluster every
+    // pair is ~cosine 1, across clusters ~0 → exactly one survivor (the
+    // min id) per cluster, every removed row pointing at it
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(4)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val rows = for (c <- 0 until 4; i <- 0 until 10) yield
+      (c * 100L + i, c,
+        centers(c).map(x => x + rnd.nextGaussian().toFloat * 0.001f))
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val out = Similarity.semanticDedup(df, tau = 0.9).collect()
+    val kept = out.filter(!_.getBoolean(2)).map(_.getLong(0)).sorted
+    assert(kept.sameElements(Array(0L, 100L, 200L, 300L)))
+    out.filter(_.getBoolean(2)).foreach { r =>
+      assert(r.getLong(3) == (r.getLong(0) / 100) * 100) // dominator = cluster min
+    }
+  }
+
+  test("semanticDedup composes with the IVF KMeans quantizer as the cluster assigner") {
+    // the full SemDeDup pipeline: KMeans cells from buildIvfIndex become the
+    // semantic clusters; result must equal a brute-force within-cell check
+    val emb = Tables.t(spark, TestSpark.sf, "embeddings")
+    val idx = Similarity.buildIvfIndex(emb, nCells = 8)
+    // nvec stays array<double> end-to-end: a float round-trip could flip a
+    // cosine sitting exactly on the tau boundary between the two paths
+    val clustered = idx.cells.select($"nid".as("vec_id"),
+      $"nvec".as("embedding"), $"cell")
+    val out = Similarity.semanticDedup(clustered, tau = 0.3, clusterCol = "cell")
+    val removed = out.filter($"removed").select($"vec_id", $"dup_of")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val v = idx.cells.select($"nid", $"nvec", $"cell", $"nnorm")
+    val expect = v.as("a")
+      .join(v.as("b"), col("a.cell") === col("b.cell") && col("b.nid") < col("a.nid"))
+      .filter(Similarity.dot(col("a.nvec"), col("b.nvec")) /
+        (col("a.nnorm") * col("b.nnorm")) >= 0.3)
+      .groupBy(col("a.nid")).agg(min(col("b.nid")).as("dom"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    idx.unpersist()
+    assert(removed == expect)
+  }
 }
