@@ -170,6 +170,63 @@ object CatalystExprs {
       copy(left = l, right = r)
   }
 
+  /** Fused dot product over two numeric arrays (float or double elements,
+    * independently per side — a float corpus column joins a double query
+    * column with no cast projection). Replaces the HOF formulation
+    * `aggregate(zip_with(a, b, _ * _), 0.0, _ + _)`, whose per-row cost is
+    * an allocated intermediate array plus two boxed lambda calls PER
+    * ELEMENT: at 64 dims × millions of candidate pairs the interpreter
+    * overhead dominates the arithmetic (measured: p31's within-cluster
+    * verify spent ~8× the loop cost in HOF machinery). One tree node, one
+    * tight primitive loop, zero allocation.
+    *
+    * NULL semantics match the HOF chain exactly: null array → null,
+    * mismatched lengths → null (zip_with pads with null), null element →
+    * null (null propagates through * and +).
+    */
+  case class DotProduct(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      def ok(t: DataType) = t match {
+        case ArrayType(FloatType | DoubleType, _) => true
+        case _ => false
+      }
+      if (ok(left.dataType) && ok(right.dataType))
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"dot_product expects array<float|double> inputs, got " +
+          s"${left.dataType.sql} and ${right.dataType.sql}")
+    }
+
+    // lazy: children may be unresolved at construction time
+    private lazy val leftFloat = left.dataType match {
+      case ArrayType(FloatType, _) => true; case _ => false
+    }
+    private lazy val rightFloat = right.dataType match {
+      case ArrayType(FloatType, _) => true; case _ => false
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      if (n != y.numElements()) return null
+      var s = 0.0; var i = 0
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        val xv = if (leftFloat) x.getFloat(i).toDouble else x.getDouble(i)
+        val yv = if (rightFloat) y.getFloat(i).toDouble else y.getDouble(i)
+        s += xv * yv
+        i += 1
+      }
+      java.lang.Double.valueOf(s)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+      copy(left = l, right = r)
+  }
+
   /** REAL image-container header parsing (not a codec stub): extracts
     * (format, width, height) from PNG / JPEG / GIF / BMP payload bytes by
     * reading the container headers — pure JVM byte inspection, no native
@@ -386,6 +443,10 @@ object CatalystExprs {
 
   def audioInfo(payload: Column): Column =
     GraftBridge.column(AudioInfo(GraftBridge.expression(payload)))
+
+  def dotProduct(a: Column, b: Column): Column =
+    GraftBridge.column(DotProduct(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
 
   def sortedIntersectCount(a: Column, b: Column): Column =
     GraftBridge.column(SortedIntersectCount(

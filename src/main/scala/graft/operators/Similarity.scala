@@ -16,8 +16,11 @@ import org.apache.spark.sql.functions._
   *    hash-join on a 32-bit bucket id; multiprobe (flipping each bit) trades
   *    recall for fan-out without re-scanning the corpus.
   *
-  * All math is done in DOUBLE via higher-order functions (`zip_with` +
-  * `aggregate`) — no UDF serialization in the hot path.
+  * All math is done in DOUBLE with no UDF serialization in the hot path:
+  * the pairwise dot product is a fused Catalyst expression (one primitive
+  * loop per pair — see [[dot]]); the remaining vector math stays on
+  * higher-order functions (`zip_with` + `aggregate`), which are fine at
+  * once-per-vector volume but too boxing-heavy at once-per-PAIR volume.
   */
 object Similarity {
 
@@ -25,8 +28,12 @@ object Similarity {
     * reproducible against the oracle). */
   def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
+  /** Fused single-node dot product (graft.functions.CatalystExprs.DotProduct);
+    * identical NULL semantics to the previous HOF chain
+    * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` but with zero per-element
+    * boxing — the hot inner loop of every similarity/dedup operator here. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.CatalystExprs.dotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
