@@ -72,7 +72,34 @@ object ScaleProbe {
             shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5,
             maxBucket = 2000),
           "doc_a", "doc_b")
+      },
+      time("boilerplate_spans") {
+        // worst case for the span-frequency table: EVERY span has df >= rep
+        // (all clones), so the annotate-back join hits on every row
+        operators.Corpus.boilerplateSpans(docs, "doc_id", "text",
+          n = 5, minDocs = 2)
+      }) ++ {
+      // semantic dedup at clone scale: replicate the embeddings table the
+      // same way (every vector rep exact copies), assign clusters with the
+      // IVF KMeans quantizer, then dedup within cells — the full SemDeDup
+      // pipeline at REP× volume
+      val emb0 = Tables.t(spark, sf, "embeddings")
+      val emb = emb0.crossJoin(reps)
+        .select((col("vec_id") + col("_rep") * 10000000L).as("vec_id"),
+          col("embedding"), col("label"))
+        .repartition(64)
+        .cache()
+      val nVec = emb.count()
+      val r = Seq(time(s"semantic_dedup_ivf_${nVec}v") {
+        val idx = operators.Similarity.buildIvfIndex(emb, nCells = 256)
+        operators.Similarity.semanticDedup(
+          idx.cells.select(col("nid").as("vec_id"), col("nvec").as("embedding"),
+            col("cell")),
+          tau = 0.9, clusterCol = "cell")
       })
+      emb.unpersist()
+      r
+    }
 
     val fields = results.map { case (n, s, r) =>
       f""""$n":{"sec":$s%.1f,"rows":$r}"""

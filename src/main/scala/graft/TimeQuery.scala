@@ -1,0 +1,38 @@
+package graft
+
+/** Ad-hoc per-query repeat timer (not part of the driver contract): runs one
+  * registered query N times in a single session through the noop sink and
+  * prints each run's wall-clock plus the final executed plan — the tool for
+  * chasing cold-vs-steady anomalies that Bench's one-cold-one-steady shape
+  * can only flag, not explain.
+  *
+  * Usage: runMain graft.TimeQuery <queryName> [runs] [sfDir] [--plan]
+  */
+object TimeQuery {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse("q01_tpch_q1")
+    val runs = args.drop(1).headOption.map(_.toInt).getOrElse(3)
+    val sfDir = args.drop(2).headOption.getOrElse("/root/testdata/sf0.1")
+    val showPlan = args.contains("--plan")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
+      .appName("graft-timequery")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    for (i <- 1 to runs) {
+      val t0 = System.nanoTime()
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.write.format("noop").mode("overwrite").save()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[timequery] $name run $i: $secs%.3f s")
+      if (showPlan && i == runs)
+        println(df.queryExecution.executedPlan.toString.take(8000))
+    }
+    spark.stop()
+  }
+}
