@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] = 32 executor threads in ONE JVM sharing unified memory
+  // (60% of heap): 8g gave ~150MB per concurrent task and the second
+  // bench pass GC-thrashed on random queries (observed 5× degradations
+  // that moved between runs). 24g ≈ 450MB/task, matching a sane
+  // per-core executor sizing on a real cluster.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -227,6 +227,71 @@ object CatalystExprs {
       copy(left = l, right = r)
   }
 
+  /** Deterministic hyperplane component for sign-random-projection LSH:
+    * a splitmix-style hash of (plane, dimension index) mapped to [-1, 1).
+    * Shared by the fused [[SrpBucketHash]] and any compositional form so
+    * both derive the same planes with no runtime RNG. */
+  private[graft] def planeComponent(p: Int, i: Int): Double = {
+    var h = p.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xC2B2AE3D27D4EB4FL
+    h ^= (h >>> 33); h *= 0xFF51AFD7ED558CCDL; h ^= (h >>> 33)
+    (h >>> 11).toDouble / (1L << 52).toDouble - 1.0
+  }
+
+  /** Fused sign-random-projection bucket: bit b of the result is the sign
+    * of vec · plane(planeOffset + b). Replaces nBits separate
+    * `aggregate(zip_with(...))` loops (one intermediate array + 2·dim boxed
+    * lambda calls EACH) with a single pass over the vector holding nBits
+    * primitive accumulators. Banded multi-table LSH evaluates
+    * tables × bitsPerTable projections per row — at 8×8 that is 64 fused
+    * loops collapsed into one.
+    *
+    * Bit-identical to the compositional forms: per-plane terms accumulate
+    * in ascending dimension order (same FP fold), planes come from the same
+    * [[planeComponent]], and a null element yields bucket 0 (null
+    * propagates into every projection, and `when(null >= 0, bit)`
+    * .otherwise(0) contributed no bits).
+    */
+  case class SrpBucketHash(child: Expression, planeOffset: Int, nBits: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(nBits >= 1 && nBits <= 63, "nBits must be in [1, 63]")
+    override def dataType: DataType = LongType
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(FloatType | DoubleType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"srp_bucket expects array<float|double>, got ${t.sql}")
+      }
+
+    // lazy: child may be unresolved at construction time
+    private lazy val isFloat = child.dataType match {
+      case ArrayType(FloatType, _) => true; case _ => false
+    }
+
+    override def nullSafeEval(a: Any): Any = {
+      val v = a.asInstanceOf[ArrayData]
+      val n = v.numElements()
+      val proj = new Array[Double](nBits)
+      var i = 0
+      while (i < n) {
+        if (v.isNullAt(i)) return java.lang.Long.valueOf(0L)
+        val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        var b = 0
+        while (b < nBits) {
+          proj(b) += x * planeComponent(planeOffset + b, i)
+          b += 1
+        }
+        i += 1
+      }
+      var bucket = 0L; var b = 0
+      while (b < nBits) { if (proj(b) >= 0) bucket |= 1L << b; b += 1 }
+      java.lang.Long.valueOf(bucket)
+    }
+    override protected def withNewChildInternal(c: Expression): SrpBucketHash =
+      copy(child = c)
+  }
+
   /** REAL image-container header parsing (not a codec stub): extracts
     * (format, width, height) from PNG / JPEG / GIF / BMP payload bytes by
     * reading the container headers — pure JVM byte inspection, no native
@@ -447,6 +512,9 @@ object CatalystExprs {
   def dotProduct(a: Column, b: Column): Column =
     GraftBridge.column(DotProduct(
       GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def srpBucketHash(vec: Column, planeOffset: Int, nBits: Int): Column =
+    GraftBridge.column(SrpBucketHash(GraftBridge.expression(vec), planeOffset, nBits))
 
   def sortedIntersectCount(a: Column, b: Column): Column =
     GraftBridge.column(SortedIntersectCount(

@@ -66,27 +66,14 @@ object Similarity {
       .select(col("qid"), col("nid"), round(col("sim"), 6).as("sim"), col("rnk"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane p, dim i):
-    * a zero-mean value derived from a fixed 64-bit mix — the Spark-side
-    * equivalent of seeding an RNG, but reproducible in pure SQL. */
-  private def planeComponent(p: Int, i: Int): Double = {
-    var h = p.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xC2B2AE3D27D4EB4FL
-    h ^= (h >>> 33); h *= 0xFF51AFD7ED558CCDL; h ^= (h >>> 33)
-    // map to [-1, 1)
-    (h >>> 11).toDouble / (1L << 52).toDouble - 1.0
-  }
-
-  /** Sign-bit bucket id from `nBits` random hyperplanes (dim = vector
-    * length, fixed per dataset). */
-  def lshBucket(vec: Column, dim: Int, nBits: Int): Column = {
-    val vd = asDouble(vec)
-    (0 until nBits).map { p =>
-      val proj = (0 until dim).map { i =>
-        element_at(vd, i + 1) * lit(planeComponent(p, i))
-      }.reduce(_ + _)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-  }
+  /** Sign-bit bucket id from `nBits` random hyperplanes. Fused single-node
+    * expression (graft.functions.CatalystExprs.SrpBucketHash): one pass over
+    * the vector with nBits primitive accumulators, bit-identical to the
+    * previous per-plane compositional form (same deterministic
+    * planeComponent, same ascending-dimension FP fold). `dim` is derived
+    * from the array; the parameter stays for API stability. */
+  def lshBucket(vec: Column, dim: Int, nBits: Int): Column =
+    graft.functions.CatalystExprs.srpBucketHash(vec, planeOffset = 0, nBits = nBits)
 
   /** ANN top-k via LSH buckets with single-bit multiprobe: each query probes
     * its own bucket plus the `nBits` buckets at Hamming distance 1. Recall
@@ -195,24 +182,15 @@ object Similarity {
       .select(col("qid"), col("nid"), round(col("sim"), 6).as("sim"), col("rnk"))
   }
 
-  /** Fixed hyperplane `p` as an array literal, for HOF-style projection:
-    * one `aggregate(zip_with(...))` loop per plane keeps generated code
-    * compact (the unrolled element_at form in [[lshBucket]] is fine for a
-    * handful of planes but explodes codegen size for banded multi-table
-    * hashing, where tables × bitsPerTable planes are evaluated per row). */
-  private def planeVec(p: Int, dim: Int): Column =
-    array((0 until dim).map(i => lit(planeComponent(p, i))): _*)
-
   /** Sign-bit bucket from `nBits` hyperplanes starting at `planeOffset` —
     * each LSH table uses a disjoint plane range, so tables are independent
-    * hash functions. `vecD` must already be array<double>. */
+    * hash functions. Same fused expression as [[lshBucket]]: banded
+    * multi-table hashing evaluates tables × bitsPerTable projections per
+    * row, so the per-plane HOF form paid 64 intermediate arrays per vector
+    * at the 8×8 default. */
   private def lshBucketAt(
       vecD: Column, dim: Int, nBits: Int, planeOffset: Int): Column =
-    (0 until nBits).map { b =>
-      val proj = aggregate(zip_with(vecD, planeVec(planeOffset + b, dim),
-        (x, c) => x * c), lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+    graft.functions.CatalystExprs.srpBucketHash(vecD, planeOffset, nBits)
 
   /** Embedding-cosine near-duplicate pairs via BANDED multi-table LSH — the
     * scale path. Each vector is hashed into `tables` independent

@@ -20,6 +20,54 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(2) - 0.6) < 1e-12) // (3)/(1*5)
   }
 
+  test("fused dot product matches the HOF formulation exactly, incl. NULL cases") {
+    val emb = Tables.t(spark, TestSpark.sf, "embeddings").limit(200)
+    val pairs = emb.select($"vec_id".as("ida"), $"embedding".as("va"))
+      .crossJoin(emb.select($"vec_id".as("idb"), $"embedding".as("vb"))
+        .filter($"idb" < 5))
+    val hof = aggregate(zip_with(Similarity.asDouble($"va"),
+      Similarity.asDouble($"vb"), (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val mismatches = pairs.select(
+        Similarity.dot(Similarity.asDouble($"va"), Similarity.asDouble($"vb")).as("fused"),
+        hof.as("ref"))
+      .filter(!($"fused" <=> $"ref")).count()
+    assert(mismatches == 0L)
+    // NULL semantics: null array → null; mismatched lengths → null
+    val edge = Seq(
+      (Some(Array(1.0, 2.0)), Some(Array(3.0, 4.0))),
+      (None, Some(Array(1.0))),
+      (Some(Array(1.0, 2.0)), Some(Array(1.0)))).toDF("a", "b")
+      .select(Similarity.dot($"a", $"b").as("d")).collect().map(r =>
+        if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(edge.sameElements(Array(Some(11.0), None, None)))
+  }
+
+  test("fused SRP bucket is bit-identical to the per-plane compositional form") {
+    // reimplements the pre-fusion element_at unroll inline; any divergence
+    // in plane constants or fold order would shift LSH bucket assignments
+    // and silently change p05b/p07 row counts
+    def planeComponent(p: Int, i: Int): Double = {
+      var h = p.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xC2B2AE3D27D4EB4FL
+      h ^= (h >>> 33); h *= 0xFF51AFD7ED558CCDL; h ^= (h >>> 33)
+      (h >>> 11).toDouble / (1L << 52).toDouble - 1.0
+    }
+    val emb = Tables.t(spark, TestSpark.sf, "embeddings")
+    for (offset <- Seq(0, 24)) {
+      val vd = Similarity.asDouble($"embedding")
+      val unrolled = (0 until 12).map { b =>
+        val proj = (0 until 64).map { i =>
+          element_at(vd, i + 1) * lit(planeComponent(offset + b, i))
+        }.reduce(_ + _)
+        when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce((a, c) => a.bitwiseOR(c))
+      val diff = emb.select(
+          graft.functions.CatalystExprs.srpBucketHash($"embedding", offset, 12).as("fused"),
+          unrolled.as("ref"))
+        .filter($"fused" =!= $"ref").count()
+      assert(diff == 0L, s"bucket mismatch at planeOffset=$offset")
+    }
+  }
+
   test("bruteForceTopK returns k ranked neighbors") {
     val emb = Tables.t(spark, TestSpark.sf, "embeddings")
     val out = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 3), k = 4)
