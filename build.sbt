@@ -32,4 +32,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // that moved between runs). 24g ≈ 450MB/task, matching a sane
   // per-core executor sizing on a real cluster.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // Throughput collector: G1 at 24g collapsed on allocation-heavy join
+  // stages (banded ngram verify: 154 s vs 27 s at 8g — region/mixed-GC
+  // behavior, reproduced twice), while ParallelGC at 24g is fast across
+  // every probe stage (ngram 34 s, CC clusters 78→14 s, semantic dedup
+  // 26→9 s). Classic Spark batch guidance; measured here, not assumed.
+  "-XX:+UseParallelGC",
 )

@@ -112,7 +112,25 @@ object GraftFunctions {
       new ExpressionInfo("graft.functions.TextAnalysis", "dup_ngram_frac"),
       (exprs: Seq[Expression]) => colFn(exprs.take(1), 1) { cols =>
         graft.functions.TextAnalysis.dupNgramFrac(cols.head,
-          if (exprs.size > 1) intArg(exprs(1), "n") else 2) }))
+          if (exprs.size > 1) intArg(exprs(1), "n") else 2) }),
+
+    // fused vector math (round 3): the embedding-pipeline hot loops,
+    // exposed so server/CLI SQL users get the same codepath as the
+    // operator library
+    (new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[CatalystExprs.DotProduct].getName, "vec_dot"),
+      (exprs: Seq[Expression]) => CatalystExprs.DotProduct(exprs.head, exprs(1))),
+
+    (new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CatalystExprs.DotProduct].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => colFn(exprs, 2) { cols =>
+        graft.operators.Similarity.cosine(cols.head, cols(1)) }),
+
+    (new FunctionIdentifier("srp_bucket"),
+      new ExpressionInfo(classOf[CatalystExprs.SrpBucketHash].getName, "srp_bucket"),
+      (exprs: Seq[Expression]) => CatalystExprs.SrpBucketHash(exprs.head,
+        if (exprs.size > 2) intArg(exprs(2), "planeOffset") else 0,
+        if (exprs.size > 1) intArg(exprs(1), "nBits") else 16)))
 
   /** Adapt a Column-combinator function to the expression-builder shape
     * (eager node→expression conversion — a lazily-wrapped Column node

@@ -225,6 +225,46 @@ object Corpus {
     df.withColumn("group_hash", h).withColumn("split", split)
   }
 
+  /** Per-document top-k keywords by smoothed TF-IDF — the corpus-weighted
+    * term-importance signal used for topic tagging and cluster labeling
+    * (pure per-doc counts can't demote corpus-common words; IDF needs the
+    * whole corpus).
+    *
+    * Scale shape: tokens cross ONE shuffle as (doc, word) counts (map-side
+    * partial aggregation collapses repeats), the document-frequency table
+    * is one more groupBy on word, and the per-doc top-k rank is an
+    * InferWindowGroupLimit window (each partition keeps ≤ k rows per doc
+    * BEFORE the shuffle). The corpus size N enters as a broadcast
+    * one-row aggregate, not a driver-side collect. Scores are rounded to
+    * 6dp BEFORE ranking (the p32 trick) so both engines rank identical
+    * keys; ties break on the word.
+    */
+  def tfidfTopTerms(
+      df: DataFrame, idCol: String, textCol: String, k: Int = 5): DataFrame = {
+    val tf = df.select(col(idCol).as("doc_id"),
+        explode(split(lower(col(textCol)), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy("w").agg(count(lit(1)).as("df")) // tf rows are per-(doc,w)
+    // corpus size as a SCALAR SUBQUERY: executed once as its own tiny job
+    // and inlined as a literal — no join node at all. (A crossJoin of the
+    // 1-row aggregate plans a BroadcastNestedLoopJoin, which the hygiene
+    // gate bans outright, and a constant-key equi-join gets folded back
+    // into one by the optimizer.)
+    val nDocs = org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+        df.select(countDistinct(col(idCol)).as("n_docs"))
+          .queryExecution.analyzed))
+    val scored = tf.join(docFreq, "w")
+      .withColumn("tfidf",
+        round(col("tf") * (log((nDocs + 1.0) / (col("df") + 1.0)) + 1.0), 6))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("w"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("w"), col("tfidf"), col("rnk"))
+  }
+
   /** Connected components over an undirected pair list (e.g. near-duplicate
     * pairs from the LSH dedup operators) → (node, cluster) where cluster is
     * the smallest node id reachable from the node — the "pick one survivor

@@ -302,6 +302,80 @@ object TextDedup {
       .select(col("p." + aName).as(aName), col("p." + bName).as(bName))
       .distinct()
 
+  /** Positional (non-distinct, non-sorted) n-word shingle hashes: out[i]
+    * combines token hashes i..i+n-1, index order preserved — the anchor
+    * form for alignment-based substring detection (the set form above
+    * deliberately drops positions for Jaccard). Caller guards len >= n. */
+  def shingleHashesPositional(tokenHashes: Column, n: Int): Column =
+    transform(sequence(lit(0), size(tokenHashes) - n), i =>
+      xxhash64((0 until n).map(j => element_at(tokenHashes, i + j + 1)): _*))
+
+  /** Exact-substring duplicate spans: document pairs sharing a run of at
+    * least `minRun` consecutive word n-grams (≈ minRun + n - 1 shared
+    * words). Catches CONTAINMENT — a document embedding a long verbatim
+    * passage of another — which set-Jaccard dedup structurally misses
+    * (a 100-word quote inside a 10k-word doc moves Jaccard by ~1%).
+    *
+    * Anchor-alignment formulation (the scalable stand-in for the
+    * suffix-array pipeline of Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better"): every doc emits (gramHash,
+    * position); docs sharing a gram meet in that gram's bucket; a shared
+    * substring of w words appears as w - n + 1 anchor matches whose
+    * position delta (posA - posB) is CONSTANT, so maximal runs are
+    * gaps-and-islands over (pair, delta) — no sequence alignment, no
+    * suffix structure.
+    *
+    * Scale shape: anchors cross ONE shuffle keyed by the 8-byte gram hash
+    * (positions+ids only, never text); in-bucket pair expansion is capped
+    * by `maxAnchors` (a gram landing in more anchors than that is
+    * boilerplate — [[graft.operators.Corpus.boilerplateSpans]] territory —
+    * not substring-dup signal); matched anchors cross one more shuffle on
+    * (pair, delta) for the island window. Returns
+    * (doc_a, doc_b, max_run, shared_words), doc_a < doc_b.
+    */
+  def substringDupSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 4, minRun: Int = 3, maxAnchors: Int = 256): DataFrame = {
+    val anchors = parallelized(df)
+      .filter(size(split(lower(col(textCol)), " ")) >= n)
+      .select(col(idCol).as("doc_id"),
+        transform(split(lower(col(textCol)), " "), tk => xxhash64(tk)).as("th"))
+      .select(col("doc_id"),
+        posexplode(shingleHashesPositional(col("th"), n)).as(Seq("p", "gh")))
+
+    // one shuffle on gh; each anchor lives in exactly ONE bucket, so the
+    // expanded pairs are already unique — no distinct needed (unlike
+    // bucketPairs, where a doc pair can share several bands)
+    val buckets = anchors
+      .groupBy("gh")
+      .agg(collect_list(struct(col("doc_id"), col("p"))).as("items0"),
+        count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1 && col("cnt") <= maxAnchors)
+    val matched = buckets
+      .withColumn("items", array_sort(col("items0"))) // (doc_id, p) order
+      .select(explode(flatten(
+        transform(sequence(lit(0), size(col("items")) - 2), i =>
+          transform(sequence(i + 1, size(col("items")) - 1), j =>
+            struct(element_at(col("items"), i + 1).as("a"),
+              element_at(col("items"), j + 1).as("b")))))).as("m"))
+      .filter(col("m.a.doc_id") < col("m.b.doc_id"))
+      .select(col("m.a.doc_id").as("doc_a"), col("m.b.doc_id").as("doc_b"),
+        col("m.a.p").as("pa"), (col("m.a.p") - col("m.b.p")).as("delta"))
+
+    // gaps-and-islands: consecutive pa values at one (pair, delta) share
+    // pa - row_number, so each maximal run is one (grp) group
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_a", "doc_b", "delta").orderBy("pa")
+    matched
+      .withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy("doc_a", "doc_b", "delta", "grp")
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy("doc_a", "doc_b")
+      .agg(max(col("run_len")).as("max_run"))
+      .filter(col("max_run") >= minRun)
+      .withColumn("shared_words", col("max_run") + lit(n - 1))
+  }
+
   /** SimHash near-duplicate pairs: pigeonhole on 4×16-bit chunks (any pair
     * with Hamming distance ≤ 3 must agree on ≥1 chunk), verified with
     * bit_count(a xor b) ≤ maxHamming. */

@@ -333,6 +333,61 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // Exact-substring duplicate spans: pairs of docs sharing >= 3
+    // consecutive word-4-grams (>= 6 shared words) at one alignment — the
+    // containment case Jaccard dedup misses. Anchors join on gram; maximal
+    // runs are gaps-and-islands over the constant position delta. The
+    // oracle compares by gram string (collision-free equivalence, as in
+    // p22/p34).
+    Q("p35_substring_dedup", Some("""
+      WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
+      g AS (SELECT doc_id, unnest([{'g': array_to_string(words[i:i+3], ' '), 'p': i}
+              for i in range(1, len(words) - 2)]) AS s
+            FROM w WHERE len(words) >= 4),
+      a AS (SELECT doc_id, s.g AS g, s.p AS p FROM g),
+      m AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.p AS pa, x.p - y.p AS delta
+            FROM a x JOIN a y ON x.g = y.g AND x.doc_id < y.doc_id),
+      isl AS (SELECT doc_a, doc_b, delta, pa,
+                pa - row_number() OVER (PARTITION BY doc_a, doc_b, delta ORDER BY pa) AS grp
+              FROM m),
+      runs AS (SELECT doc_a, doc_b, count(*) AS run_len
+               FROM isl GROUP BY doc_a, doc_b, delta, grp)
+      SELECT doc_a, doc_b, CAST(max(run_len) AS BIGINT) AS max_run,
+             CAST(max(run_len) + 3 AS BIGINT) AS shared_words
+      FROM runs GROUP BY doc_a, doc_b HAVING max(run_len) >= 3
+      ORDER BY doc_a, doc_b""")) { (s, d) =>
+      TextDedup.substringDupSpans(t(s, d, "documents"), "doc_id", "text",
+          n = 4, minRun = 3)
+        .select(col("doc_a"), col("doc_b"),
+          col("max_run").cast("bigint").as("max_run"),
+          col("shared_words").cast("bigint").as("shared_words"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // Per-doc top-5 TF-IDF keywords: corpus-weighted term importance.
+    // Scores are rounded to 6dp BEFORE ranking (the p32 trick) so both
+    // engines rank identical keys; ties break on the word.
+    Q("p36_tfidf", Some("""
+      WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+                   FROM documents),
+      tf AS (SELECT doc_id, w, count(*) AS tf FROM tok WHERE w <> ''
+             GROUP BY doc_id, w),
+      dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+      n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+      s AS (SELECT tf.doc_id, tf.w,
+              round(tf.tf * (ln((n.n_docs + 1.0)/(dfq.df + 1.0)) + 1.0), 6) AS tfidf
+            FROM tf JOIN dfq USING (w) CROSS JOIN n),
+      r AS (SELECT doc_id, w, tfidf,
+              row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, w) AS rnk
+            FROM s)
+      SELECT doc_id, w, tfidf, CAST(rnk AS BIGINT) AS rnk
+      FROM r WHERE rnk <= 5 ORDER BY doc_id, rnk""")) { (s, d) =>
+      Corpus.tfidfTopTerms(t(s, d, "documents"), "doc_id", "text", k = 5)
+        .select(col("doc_id"), col("w"), col("tfidf"),
+          col("rnk").cast("bigint").as("rnk"))
+        .orderBy("doc_id", "rnk")
+    },
+
     // Misra-Gries heavy-hitters vocabulary: the sketch path to top-k that
     // never shuffles per-key rows (each partition reduces to k counters,
     // maps merge pairwise). With k=1024 ≥ |vocab| of this corpus no

@@ -145,6 +145,26 @@ class CorpusSpec extends AnyFunSuite {
     assert(a.sorted.sameElements(b.sorted))
   }
 
+  test("tfidfTopTerms promotes distinctive words over corpus-common ones") {
+    // "zebra" appears once, in doc 1 only; "common" appears in every doc —
+    // at equal in-doc counts, IDF must rank the rare word first
+    val docs = Seq(
+      (1L, "zebra common"),
+      (2L, "common common other words common here"),
+      (3L, "common more common stuff common again")).toDF("doc_id", "text")
+    val out = Corpus.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+    val doc1 = out.filter($"doc_id" === 1).orderBy("rnk")
+      .select("w").collect().map(_.getString(0))
+    assert(doc1.head == "zebra")
+    // plan: the rank<=k filter must become a group limit below the shuffle
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
+    // every doc gets exactly k rows (enough distinct words present)
+    val counts = out.groupBy("doc_id").count().select("count")
+      .collect().map(_.getLong(0))
+    assert(counts.forall(_ == 2L))
+  }
+
   test("scalarQuantize error is bounded by half a code step per dimension") {
     val emb = Tables.t(spark, TestSpark.sf, "embeddings")
     // per-dim ranges of this data

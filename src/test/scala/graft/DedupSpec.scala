@@ -118,6 +118,37 @@ class DedupSpec extends AnyFunSuite {
     assert(got == exhaustive)
   }
 
+  test("substringDupSpans finds containment that Jaccard misses, with exact run length") {
+    // doc 20 embeds a verbatim 10-word passage of doc 10 inside unrelated
+    // text; overall Jaccard is low, but the alignment run is exact:
+    // 10 words = 7 consecutive 4-grams
+    val passage = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val d = Seq(
+      (10L, s"zero one two three $passage four five six seven"),
+      (20L, s"red orange yellow green blue $passage purple violet magenta"),
+      (30L, "uno dos tres cuatro cinco seis siete ocho nueve diez once doce"),
+      (40L, "uno dos tres cuatro cinco seis siete ocho nueve diez once doce"))
+      .toDF("doc_id", "text")
+    val got = TextDedup.substringDupSpans(d, "doc_id", "text", n = 4, minRun = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // (10,20): run of 7 grams = 10 shared words; (30,40): full 12-word clone
+    // = 9 grams = 12 words
+    assert(got == Set((10L, 20L, 7L, 10L), (30L, 40L, 9L, 12L)))
+  }
+
+  test("substringDupSpans reports the LONGEST run, not total aligned grams") {
+    // two separate shared passages at DIFFERENT alignments: 6 words (a
+    // 3-gram run at delta -1) and 4 words (a single gram at delta -2,
+    // below minRun) — max_run must be 3, and the pair must appear once
+    val d = Seq(
+      (1L, "aa bb cc dd ee ff x1 x2 x3 pp qq rr ss tt"),
+      (2L, "y1 aa bb cc dd ee ff y2 y3 y4 y5 pp qq rr ss y6"))
+      .toDF("doc_id", "text")
+    val got = TextDedup.substringDupSpans(d, "doc_id", "text", n = 4, minRun = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L, 3L)))
+  }
+
   test("minhash LSH recall matches exhaustive jaccard at sf0.001") {
     val d = Tables.t(spark, TestSpark.sf, "documents")
     val lsh = TextDedup.minhashDedupPairs(d, "doc_id", "text", threshold = 0.5)

@@ -60,6 +60,22 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getDouble(5) == 0.0)
   }
 
+  test("vector functions are callable from SQL and agree with the operator library") {
+    val r = spark.sql("""
+      SELECT vec_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d,
+             round(cosine_sim(array(3.0D, 4.0D), array(3.0D, 4.0D)), 9) AS c,
+             vec_dot(array(CAST(1.5 AS FLOAT)), array(2.0D)) AS mixed,
+             srp_bucket(array(1.0D, 0.0D), 8) AS b8,
+             srp_bucket(array(1.0D, 0.0D), 8, 0) = srp_bucket(array(1.0D, 0.0D), 8) AS off0
+      FROM range(1)""").head()
+    assert(r.getDouble(0) == 32.0)
+    assert(r.getDouble(1) == 1.0)
+    assert(r.getDouble(2) == 3.0)
+    assert(r.getBoolean(4)) // explicit offset 0 == default
+    // b8 must be inside the 8-bit bucket space
+    assert(r.getLong(3) >= 0L && r.getLong(3) < 256L)
+  }
+
   test("similar_to rejects a non-literal pattern with a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT similar_to('x', concat('a', 'b')) FROM range(1)").collect()
