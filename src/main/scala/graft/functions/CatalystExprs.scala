@@ -292,6 +292,90 @@ object CatalystExprs {
       copy(child = c)
   }
 
+  /** Winnowed positional gram anchors (Schleimer/Wilkerson/Aiken 2003,
+    * "Winnowing: Local Algorithms for Document Fingerprinting" — the MOSS
+    * selection rule): from the n-gram hashes of a token-hash array, keep
+    * only the minimum hash of each sliding window of `w` consecutive grams
+    * (rightmost minimum on ties), deduplicated across overlapping windows.
+    * Guarantees: every shared span of ≥ w + n - 1 words yields at least
+    * one selected anchor in BOTH documents at matching content, and the
+    * expected density is 2/(w+1) — the anchor-volume knob for substring
+    * dedup at corpus scale.
+    *
+    * Gram hashes are computed exactly as `xxhash64(th[i], …, th[i+n-1])`
+    * (seed 42, left-fold — Spark's own XxHash64 semantics), so winnowed
+    * anchors are a strict SUBSET of the full positional anchor set and the
+    * two paths bucket identically. One pass, O(len) via a monotonic deque;
+    * returns array<struct<p int, gh long>>.
+    */
+  case class WinnowedGramAnchors(child: Expression, n: Int, w: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(n >= 1, "n must be >= 1")
+    require(w >= 1, "w must be >= 1")
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("p", IntegerType, nullable = false),
+      StructField("gh", LongType, nullable = false))), containsNull = false)
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(LongType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"winnowed_anchors expects array<bigint> token hashes, got ${t.sql}")
+      }
+
+    override def nullSafeEval(a: Any): Any = {
+      val th = a.asInstanceOf[ArrayData]
+      val len = th.numElements()
+      val m = len - n + 1 // gram count
+      if (m <= 0) return new GenericArrayData(Array.empty[Any])
+      // gram hashes: Spark xxhash64 left-fold, seed 42
+      val gh = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        var h = 42L
+        var j = 0
+        while (j < n) {
+          h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(th.getLong(i + j), h)
+          j += 1
+        }
+        gh(i) = h
+        i += 1
+      }
+      if (m <= w) {
+        // one window: keep the single rightmost minimum
+        var best = 0
+        i = 1
+        while (i < m) { if (gh(i) <= gh(best)) best = i; i += 1 }
+        return new GenericArrayData(Array[Any](
+          org.apache.spark.sql.catalyst.InternalRow(best, gh(best))))
+      }
+      // monotonic deque of candidate indices, increasing gh; ties evict
+      // (<=) so the RIGHTMOST minimum wins, per the robust-winnowing rule
+      val deque = new Array[Int](m)
+      var head = 0; var tail = 0 // [head, tail)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var lastSel = -1
+      i = 0
+      while (i < m) {
+        while (tail > head && gh(deque(tail - 1)) >= gh(i)) tail -= 1
+        deque(tail) = i; tail += 1
+        if (deque(head) <= i - w) head += 1
+        if (i >= w - 1) {
+          val sel = deque(head)
+          if (sel != lastSel) {
+            out += org.apache.spark.sql.catalyst.InternalRow(sel, gh(sel))
+            lastSel = sel
+          }
+        }
+        i += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+    override protected def withNewChildInternal(c: Expression): WinnowedGramAnchors =
+      copy(child = c)
+  }
+
   /** REAL image-container header parsing (not a codec stub): extracts
     * (format, width, height) from PNG / JPEG / GIF / BMP payload bytes by
     * reading the container headers — pure JVM byte inspection, no native
@@ -515,6 +599,9 @@ object CatalystExprs {
 
   def srpBucketHash(vec: Column, planeOffset: Int, nBits: Int): Column =
     GraftBridge.column(SrpBucketHash(GraftBridge.expression(vec), planeOffset, nBits))
+
+  def winnowedGramAnchors(tokenHashes: Column, n: Int, w: Int): Column =
+    GraftBridge.column(WinnowedGramAnchors(GraftBridge.expression(tokenHashes), n, w))
 
   def sortedIntersectCount(a: Column, b: Column): Column =
     GraftBridge.column(SortedIntersectCount(

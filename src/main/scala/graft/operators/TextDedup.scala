@@ -333,25 +333,27 @@ object TextDedup {
     * (pair, delta) for the island window. Returns
     * (doc_a, doc_b, max_run, shared_words), doc_a < doc_b.
     */
-  def substringDupSpans(
-      df: DataFrame, idCol: String, textCol: String,
-      n: Int = 4, minRun: Int = 3, maxAnchors: Int = 256): DataFrame = {
-    val anchors = parallelized(df)
+  /** Token-hash preparation shared by the anchor paths. */
+  private def tokenHashFrame(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    parallelized(df)
       .filter(size(split(lower(col(textCol)), " ")) >= n)
       .select(col(idCol).as("doc_id"),
         transform(split(lower(col(textCol)), " "), tk => xxhash64(tk)).as("th"))
-      .select(col("doc_id"),
-        posexplode(shingleHashesPositional(col("th"), n)).as(Seq("p", "gh")))
 
-    // one shuffle on gh; each anchor lives in exactly ONE bucket, so the
-    // expanded pairs are already unique — no distinct needed (unlike
-    // bucketPairs, where a doc pair can share several bands)
+  /** (doc_id, p, gh) anchors → (doc_a, doc_b, pa, delta) aligned matches:
+    * one shuffle on gh, in-bucket pair expansion capped at `maxAnchors`
+    * (a gram in more anchors than that is boilerplate, not substring-dup
+    * signal). Each anchor lives in exactly ONE bucket, so the expanded
+    * pairs are already unique — no distinct needed (unlike bucketPairs,
+    * where a doc pair can share several bands). */
+  private def alignedMatches(anchors: DataFrame, maxAnchors: Int): DataFrame = {
     val buckets = anchors
       .groupBy("gh")
       .agg(collect_list(struct(col("doc_id"), col("p"))).as("items0"),
         count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1 && col("cnt") <= maxAnchors)
-    val matched = buckets
+    buckets
       .withColumn("items", array_sort(col("items0"))) // (doc_id, p) order
       .select(explode(flatten(
         transform(sequence(lit(0), size(col("items")) - 2), i =>
@@ -361,6 +363,15 @@ object TextDedup {
       .filter(col("m.a.doc_id") < col("m.b.doc_id"))
       .select(col("m.a.doc_id").as("doc_a"), col("m.b.doc_id").as("doc_b"),
         col("m.a.p").as("pa"), (col("m.a.p") - col("m.b.p")).as("delta"))
+  }
+
+  def substringDupSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 4, minRun: Int = 3, maxAnchors: Int = 256): DataFrame = {
+    val anchors = tokenHashFrame(df, idCol, textCol, n)
+      .select(col("doc_id"),
+        posexplode(shingleHashesPositional(col("th"), n)).as(Seq("p", "gh")))
+    val matched = alignedMatches(anchors, maxAnchors)
 
     // gaps-and-islands: consecutive pa values at one (pair, delta) share
     // pa - row_number, so each maximal run is one (grp) group
@@ -374,6 +385,41 @@ object TextDedup {
       .agg(max(col("run_len")).as("max_run"))
       .filter(col("max_run") >= minRun)
       .withColumn("shared_words", col("max_run") + lit(n - 1))
+  }
+
+  /** Winnowed substring-duplicate detection — the corpus-scale variant of
+    * [[substringDupSpans]]: anchors are thinned to the sliding-window
+    * minima of `w` consecutive gram hashes (MOSS winnowing, fused one-pass
+    * expression — see CatalystExprs.WinnowedGramAnchors) BEFORE the gram
+    * shuffle, cutting anchor volume to an expected 2/(w+1) of the full
+    * set while guaranteeing any shared span of ≥ w + n - 1 words still
+    * produces at least one aligned anchor in both documents.
+    *
+    * Winnowed anchors are position-SPARSE, so contiguous-run detection
+    * does not apply; the returned `aligned_anchors` is the count of
+    * matched anchors at the best alignment (a shared span of L words
+    * yields ~2L/(w+1) of them), with `est_shared_words` the implied span
+    * estimate. Exact run lengths come from the full-anchor form, which is
+    * the oracle-gated baseline — the same exact/scale pairing as
+    * p04/p04b and p05/p05b.
+    */
+  def substringDupSpansWinnowed(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 4, w: Int = 4, minAnchors: Int = 2,
+      maxAnchors: Int = 256): DataFrame = {
+    val anchors = tokenHashFrame(df, idCol, textCol, n)
+      .select(col("doc_id"),
+        explode(graft.functions.CatalystExprs.winnowedGramAnchors(
+          col("th"), n, w)).as("a"))
+      .select(col("doc_id"), col("a.p").as("p"), col("a.gh").as("gh"))
+    alignedMatches(anchors, maxAnchors)
+      .groupBy("doc_a", "doc_b", "delta")
+      .agg(count(lit(1)).as("aligned"))
+      .groupBy("doc_a", "doc_b")
+      .agg(max(col("aligned")).as("aligned_anchors"))
+      .filter(col("aligned_anchors") >= minAnchors)
+      .withColumn("est_shared_words",
+        (col("aligned_anchors") * (w + 1) / 2 + lit(n - 1)).cast("long"))
   }
 
   /** SimHash near-duplicate pairs: pigeonhole on 4×16-bit chunks (any pair

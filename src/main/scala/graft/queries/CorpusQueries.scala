@@ -364,6 +364,19 @@ object CorpusQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // Winnowed substring detection — the corpus-scale path for p35:
+    // anchors thinned to sliding-window minima (expected 2/(w+1) density,
+    // detection guaranteed for spans >= w+n-1 words) BEFORE the gram
+    // shuffle. rows-only: winnowing runs over Spark's xxhash64 token
+    // hashes, which DuckDB lacks (same justification as p03); anchor-set
+    // subset/density, the detection guarantee, and clone agreement with
+    // the oracle-gated exact form are asserted in DedupSpec.
+    Q("p35b_substring_winnowed", None) { (s, d) =>
+      TextDedup.substringDupSpansWinnowed(t(s, d, "documents"), "doc_id", "text",
+          n = 4, w = 4, minAnchors = 2)
+        .orderBy("doc_a", "doc_b")
+    },
+
     // Per-doc top-5 TF-IDF keywords: corpus-weighted term importance.
     // Scores are rounded to 6dp BEFORE ranking (the p32 trick) so both
     // engines rank identical keys; ties break on the word.

@@ -149,6 +149,55 @@ class DedupSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 2L, 3L)))
   }
 
+  test("winnowed anchors are a subset of full anchors at ~2/(w+1) density") {
+    val d = Tables.t(spark, TestSpark.sf, "documents")
+    val th = d.filter(size(split(lower(col("text")), " ")) >= 4)
+      .select(col("doc_id"),
+        transform(split(lower(col("text")), " "), tk => xxhash64(tk)).as("th"))
+    val full = th.select(col("doc_id"),
+        posexplode(TextDedup.shingleHashesPositional(col("th"), 4)).as(Seq("p", "gh")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val win = th.select(col("doc_id"),
+        explode(graft.functions.CatalystExprs.winnowedGramAnchors(col("th"), 4, 4)).as("a"))
+      .select(col("doc_id"), col("a.p"), col("a.gh"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(win.subsetOf(full), "winnowed anchors must hash identically to the full set")
+    val density = win.size.toDouble / full.size
+    // expected 2/(w+1) = 0.4 at w=4; generous envelope for boundary effects
+    assert(density > 0.25 && density < 0.55, s"density $density out of range")
+  }
+
+  test("winnowing guarantee: a shared span of w+n-1 words is always detected") {
+    // w=4, n=4 → guarantee threshold is 7 shared words (4 winnowing
+    // windows over 4 grams share at least one selected minimum)
+    val span = "k1 k2 k3 k4 k5 k6 k7"
+    val d = Seq(
+      (1L, s"aa bb cc dd $span ee ff gg hh"),
+      (2L, s"q1 q2 q3 $span q4 q5 q6 q7 q8"),
+      (3L, "totally unrelated words in this one right here today now then"))
+      .toDF("doc_id", "text")
+    val got = TextDedup.substringDupSpansWinnowed(d, "doc_id", "text",
+        n = 4, w = 4, minAnchors = 1)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 2L)))
+  }
+
+  test("winnowed path agrees with the exact path on clone pairs") {
+    val d = Tables.t(spark, TestSpark.sf, "documents").limit(60)
+      .select(col("doc_id"), col("text"))
+    val clones = d.union(d.select(col("doc_id") + 100000L, col("text")))
+    val exact = TextDedup.substringDupSpans(clones, "doc_id", "text",
+        n = 4, minRun = 3)
+      .filter(col("doc_b") === col("doc_a") + 100000L)
+      .select("doc_a").collect().map(_.getLong(0)).toSet
+    val win = TextDedup.substringDupSpansWinnowed(clones, "doc_id", "text",
+        n = 4, w = 4, minAnchors = 1)
+      .filter(col("doc_b") === col("doc_a") + 100000L)
+      .select("doc_a").collect().map(_.getLong(0)).toSet
+    // every clone pair the exact path finds, the winnowed path finds too
+    assert(exact.subsetOf(win), s"missing clone pairs: ${exact -- win}")
+  }
+
   test("minhash LSH recall matches exhaustive jaccard at sf0.001") {
     val d = Tables.t(spark, TestSpark.sf, "documents")
     val lsh = TextDedup.minhashDedupPairs(d, "doc_id", "text", threshold = 0.5)
