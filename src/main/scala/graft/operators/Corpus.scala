@@ -265,6 +265,38 @@ object Corpus {
       .select(col("doc_id"), col("w"), col("tfidf"), col("rnk"))
   }
 
+  /** Per-document cross-entropy under the corpus unigram distribution —
+    * the scalable stand-in for CCNet-style LM-perplexity quality filtering
+    * (no external LM in this environment, and at corpus scale the unigram
+    * MLE model is itself corpus-derived): documents whose tokens are
+    * globally rare score HIGH (outliers, other-language, gibberish);
+    * boilerplate-heavy documents score LOW. Returns (doc_id, n_tokens,
+    * logppl) with logppl in nats, rounded to 6dp.
+    *
+    * Scale shape: identical to [[tfidfTopTerms]] minus the window — one
+    * (doc, word)-count shuffle, one word shuffle for corpus counts, and
+    * the corpus token total enters as a scalar subquery (no join node,
+    * no driver collect). MLE probabilities need no smoothing: every doc
+    * token is by construction in the corpus vocabulary.
+    */
+  def unigramLogPerplexity(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = df.select(col(idCol).as("doc_id"),
+        explode(split(lower(col(textCol)), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val wc = tf.groupBy("w").agg(sum(col("tf")).as("cnt"))
+    val total = org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+        tf.select(sum(col("tf")).as("total")).queryExecution.analyzed))
+    tf.join(wc, "w")
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).cast("bigint").as("n_tokens"),
+        (-sum(col("tf") * log(col("cnt").cast("double") / total)) /
+          sum(col("tf"))).as("_lp"))
+      .select(col("doc_id"), col("n_tokens"), round(col("_lp"), 6).as("logppl"))
+  }
+
   /** Connected components over an undirected pair list (e.g. near-duplicate
     * pairs from the LSH dedup operators) → (node, cluster) where cluster is
     * the smallest node id reachable from the node — the "pick one survivor

@@ -401,6 +401,25 @@ object CorpusQueries {
         .orderBy("doc_id", "rnk")
     },
 
+    // Per-doc cross-entropy under the corpus unigram distribution — the
+    // CCNet-style perplexity quality filter without an external LM. High
+    // = globally-rare tokens (outliers); low = boilerplate-heavy.
+    Q("p37_unigram_logppl", Some("""
+      WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+                   FROM documents),
+      tf AS (SELECT doc_id, w, count(*) AS tf FROM tok WHERE w <> ''
+             GROUP BY doc_id, w),
+      wc AS (SELECT w, sum(tf) AS cnt FROM tf GROUP BY w),
+      tot AS (SELECT sum(tf) AS total FROM tf)
+      SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+        round(-sum(tf.tf * ln(CAST(wc.cnt AS DOUBLE) / CAST(tot.total AS DOUBLE)))
+          / sum(tf.tf), 6) AS logppl
+      FROM tf JOIN wc USING (w) CROSS JOIN tot
+      GROUP BY tf.doc_id ORDER BY tf.doc_id""")) { (s, d) =>
+      Corpus.unigramLogPerplexity(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // Misra-Gries heavy-hitters vocabulary: the sketch path to top-k that
     // never shuffles per-key rows (each partition reduces to k counters,
     // maps merge pairwise). With k=1024 ≥ |vocab| of this corpus no

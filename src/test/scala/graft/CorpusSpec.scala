@@ -165,6 +165,20 @@ class CorpusSpec extends AnyFunSuite {
     assert(counts.forall(_ == 2L))
   }
 
+  test("unigramLogPerplexity ranks rare-token docs above common-token docs") {
+    // doc 1 = tokens that appear everywhere; doc 3 = tokens unique to it
+    val docs = Seq(
+      (1L, "the the the and and"),
+      (2L, "the and some more words here"),
+      (3L, "xylophone quixotic zephyr")).toDF("doc_id", "text")
+    val out = Corpus.unigramLogPerplexity(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(3L) > out(2L) && out(2L) > out(1L))
+    // exact check on doc 3: three singleton tokens, T = 14 total tokens
+    // → logppl = ln(14)
+    assert(math.abs(out(3L) - math.log(14.0)) < 1e-6)
+  }
+
   test("scalarQuantize error is bounded by half a code step per dimension") {
     val emb = Tables.t(spark, TestSpark.sf, "embeddings")
     // per-dim ranges of this data
