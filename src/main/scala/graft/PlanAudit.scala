@@ -11,7 +11,8 @@ object PlanAudit {
     val names = if (args.nonEmpty) args.toSeq else Seq(
       "q01_tpch_q1","q02_scan_pushdown","q54_star_join","q22_sort_topk",
       "p06_sim_topk","p04b_dedup_ngram_banded","p05b_dedup_embedding_lsh",
-      "p22_decontaminate","p24_seq_packing","p25_embedding_quantize")
+      "p22_decontaminate","p24_seq_packing","p25_embedding_quantize",
+      "p38_chunk_dedup")
     for (name <- names) {
       println(s"===== $name =====")
       val df = SparkEntry.queries(name)(spark, sf)

@@ -139,6 +139,46 @@ object Corpus {
         org.apache.spark.sql.functions.size(col("_chunk")).cast("bigint").as("n_tokens"))
   }
 
+  /** Chunk-level exact dedup with document REWRITE — the C4/Dolma duplicate-
+    * passage removal step: split every document into non-overlapping
+    * `size`-token chunks, keep only the globally FIRST occurrence of each
+    * distinct chunk text (corpus order = (id, chunk_id)), and reassemble
+    * each document from its surviving chunks. Unlike the detection operators
+    * ([[boilerplateSpans]], `TextDedup.substringDupSpans`) this one produces
+    * the cleaned corpus itself. Emits (id, new_text, n_kept, n_dropped);
+    * a document whose every chunk is a repeat survives with empty text
+    * (callers usually follow with a min-length gate).
+    *
+    * Scale shape: first-occurrence is a groupBy(chunk-hash) min-aggregate —
+    * partial aggregation collapses a hyper-frequent boilerplate chunk
+    * map-side, so a chunk repeated in 10⁹ documents costs each task one
+    * counter (the window-rank formulation would serialize that hot key
+    * through a single task). The join back is an equi-join on the same
+    * 8-byte hash, and the rewrite is one groupBy(id) with an in-memory
+    * sort of that document's own chunks. Chunk text crosses the shuffle
+    * once as join payload; raw document text never does.
+    */
+  def dedupChunks(
+      df: DataFrame, idCol: String, textCol: String, size: Int): DataFrame = {
+    require(size > 0, "size must be positive")
+    val chunks = chunkDocuments(df, idCol, textCol, size = size, stride = size)
+      .select(col(idCol), col("chunk_id"), col("chunk_text"),
+        xxhash64(col("chunk_text")).as("_ch"))
+    val first = chunks.groupBy("_ch")
+      .agg(min(struct(col(idCol), col("chunk_id"))).as("_first"))
+    chunks.join(first, Seq("_ch"))
+      .withColumn("_keep", struct(col(idCol), col("chunk_id")) === col("_first"))
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(" ",
+          transform(
+            array_sort(collect_list(when(col("_keep"),
+              struct(col("chunk_id"), col("chunk_text"))))),
+            x => x.getField("chunk_text"))).as("new_text"),
+        sum(when(col("_keep"), 1L).otherwise(0L)).cast("bigint").as("n_kept"),
+        sum(when(col("_keep"), 0L).otherwise(1L)).cast("bigint").as("n_dropped"))
+  }
+
   /** Corpus-internal boilerplate detection (the RefinedWeb/CCNet repeated-
     * span filter): annotate every document with the fraction of its word
     * n-gram spans that occur in at least `minDocs` DISTINCT documents —
@@ -191,6 +231,36 @@ object Corpus {
         row_number().over(Window.partitionBy(col(domainCol))
           .orderBy(col(scoreCol).desc, col(idCol))))
       .filter(col("rank_in_domain") <= cap)
+  }
+
+  /** Per-domain quality calibration — the CCNet head/middle/tail split:
+    * a document's quality is judged against its OWN domain's distribution
+    * (a median doc from an encyclopedia source and a median doc from a web
+    * crawl both land in "middle"), not against the global corpus, so no
+    * single well-written domain monopolizes the head bucket. Emits the
+    * input plus (pct, tier) where pct is the percent_rank of `scoreCol`
+    * within `domainCol` and tier is head (top quartile) / middle / tail.
+    *
+    * Ties break on `idCol` so the rank — and therefore the tier — is
+    * deterministic and engine-independent; callers should round the score
+    * BEFORE calling (the cross-engine ranking convention used throughout).
+    *
+    * Scale: one shuffle on the domain key + a per-domain sort. A domain too
+    * large to window-sort calibrates against per-domain approx quantiles
+    * (percentile_approx broadcast back) — the exact-rank form is kept here
+    * because it is oracle-checkable; the approx form trades that for a
+    * skew-free two-aggregate shape.
+    */
+  def calibrateByDomain(
+      df: DataFrame, domainCol: String, idCol: String,
+      scoreCol: String): DataFrame = {
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(col(scoreCol), col(idCol))
+    df.withColumn("pct", round(percent_rank().over(w), 6))
+      .withColumn("tier",
+        when(col("pct") >= 0.75, "head")
+          .when(col("pct") >= 0.25, "middle")
+          .otherwise("tail"))
   }
 
   /** Deterministic polynomial char hash (base 31, mod 1e9+7) — the

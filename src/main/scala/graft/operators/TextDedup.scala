@@ -117,6 +117,39 @@ object TextDedup {
   def simhash64(text: Column): Column =
     simhash64FromHashes(transform(split(lower(text), " "), tk => xxhash64(tk)))
 
+  /** Cross-engine SimHash signatures: the same bit-vote algorithm as
+    * [[simhash64]] but over md5-derived 60-bit word hashes (frequency-
+    * weighted, as in Charikar's original), so ANY SQL engine with md5 can
+    * reproduce the signature bit-for-bit — this is the oracle-checkable
+    * form that gates the algorithm itself (p03b), while the xxhash64 fused
+    * expression stays the production path (p03).
+    *
+    * 60 bits, not 64: both engines parse 15 hex chars (chars 2-16 of the
+    * md5 digest) into a signed 64-bit int — 16 chars could overflow the
+    * sign bit differently per engine.
+    *
+    * Scale shape: ONE shuffle — groupBy(id) with 60 independent ±1-vote
+    * SUM counters, all map-side combinable; no 60× row expansion, no
+    * window. Emits (id, simhash).
+    */
+  def simhashPortable(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bits = 60
+    val wh = df.select(col(idCol),
+        explode(split(lower(col(textCol)), " ")).as("_wd"))
+      .filter(col("_wd") =!= "")
+      .select(col(idCol),
+        conv(substring(md5(col("_wd")), 2, 15), 16, 10).cast("long").as("_wh"))
+    val votes = (0 until bits).map(b =>
+      sum(when(shiftright(col("_wh"), b).bitwiseAND(1L) === 1L, 1L)
+        .otherwise(-1L)).as(s"_v$b"))
+    wh.groupBy(col(idCol))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol),
+        (0 until bits).map(b => when(col(s"_v$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+  }
+
   /** Exact deduplication summary: group by content digest (md5 here so the
     * oracle can reproduce it), keep the smallest doc_id as the survivor.
     * At scale this shuffles only (digest, id) pairs. */

@@ -440,5 +440,71 @@ object CorpusQueries {
         .select(col("h.item").as("w"), col("h.n").as("n"))
         .orderBy(col("n").desc, col("w"))
     },
+
+    // Per-domain quality calibration (the CCNet head/middle/tail split):
+    // percent_rank of the (pre-rounded) quality score WITHIN each source,
+    // doc_id tiebreak, tier cut at the quartiles — a document is judged
+    // against its own domain's distribution, not the global corpus.
+    Q("p39_quality_calibrated", Some("""
+      WITH q AS (
+        SELECT doc_id, source,
+          round(least(length(text) / 500.0, 1.0) * 0.5 +
+                least(CAST(len(list_filter(string_split(lower(text), ' '),
+                  w -> w IN ('the','and','of','to','in','is','that','for','it','a'))) AS DOUBLE)
+                  / greatest(len(string_split(lower(text), ' ')), 1) * 10.0, 1.0) * 0.3 +
+                (1.0 - least((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+                  / greatest(CAST(length(text) AS DOUBLE), 1.0) * 5.0, 1.0)) * 0.2, 6) AS quality
+        FROM documents),
+      r AS (SELECT doc_id, source, quality,
+              round(percent_rank() OVER (PARTITION BY source
+                ORDER BY quality, doc_id), 6) AS pct
+            FROM q)
+      SELECT doc_id, source, quality, pct,
+             CASE WHEN pct >= 0.75 THEN 'head'
+                  WHEN pct >= 0.25 THEN 'middle'
+                  ELSE 'tail' END AS tier
+      FROM r ORDER BY doc_id""")) { (s, d) =>
+      val scored = t(s, d, "documents").select(col("doc_id"), col("source"),
+        round(graft.functions.TextAnalysis.qualityScore(col("text")), 6).as("quality"))
+      Corpus.calibrateByDomain(scored, "source", "doc_id", "quality")
+        .orderBy("doc_id")
+    },
+
+    // Chunk-level exact dedup with document REWRITE (C4/Dolma duplicate-
+    // passage removal): duplicate docs are injected in-query (copies of
+    // every doc_id % 50 == 0 under shifted ids) so the dedup action is
+    // actually exercised — the injected copies come out gutted (every
+    // chunk a repeat of the original's), the originals untouched.
+    // First-occurrence = groupBy(chunk) min-aggregate, NOT a window: a
+    // hyper-frequent boilerplate chunk collapses map-side instead of
+    // serializing through one window task.
+    Q("p38_chunk_dedup", Some("""
+      WITH docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        WHERE doc_id % 50 = 0),
+      w AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM docs),
+      c AS (SELECT doc_id, CAST(start // 8 AS BIGINT) AS chunk_id,
+              array_to_string(toks[start + 1 : start + 8], ' ') AS chunk_text
+            FROM (SELECT doc_id, toks,
+                    unnest(range(0, greatest(len(toks), 1), 8)) AS start
+                  FROM w)),
+      r AS (SELECT doc_id, chunk_id, chunk_text,
+              row_number() OVER (PARTITION BY chunk_text
+                ORDER BY doc_id, chunk_id) AS rn
+            FROM c)
+      SELECT doc_id,
+             coalesce(string_agg(CASE WHEN rn = 1 THEN chunk_text END,
+               ' ' ORDER BY chunk_id), '') AS new_text,
+             CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+      FROM r GROUP BY doc_id ORDER BY doc_id""")) { (s, d) =>
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val dupes = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      Corpus.dedupChunks(docs.unionByName(dupes), "doc_id", "text", size = 8)
+        .orderBy("doc_id")
+    },
   )
 }

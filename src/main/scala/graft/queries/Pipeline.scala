@@ -58,6 +58,27 @@ object Pipeline {
         .orderBy("doc_a", "doc_b")
     },
 
+    // The same SimHash bit-vote algorithm over md5-derived 60-bit word
+    // hashes — cross-engine reproducible, so the ALGORITHM is oracle-gated
+    // bit-for-bit even though the xxhash64 production path (p03) can't be.
+    // One shuffle: groupBy(doc) with 60 map-side-combinable vote counters.
+    Q("p03b_simhash_portable", Some("""
+      WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS wd
+                 FROM documents),
+      h AS (SELECT doc_id, CAST(('0x' || substr(md5(wd), 2, 15)) AS BIGINT) AS wh
+            FROM w WHERE wd <> ''),
+      v AS (SELECT doc_id, b AS bit,
+              sum(CASE WHEN (wh >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+            FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS b)
+            GROUP BY doc_id, b)
+      SELECT doc_id,
+             CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << bit)
+                           ELSE 0 END) AS BIGINT) AS simhash
+      FROM v GROUP BY doc_id ORDER BY doc_id""")) { (s, d) =>
+      TextDedup.simhashPortable(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // Character-3-gram Jaccard near-dups, blocked by source; oracle =
     // exhaustive within-block scan
     Q("p04_dedup_ngram", Some("""

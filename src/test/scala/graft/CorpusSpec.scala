@@ -191,4 +191,55 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.agg(min($"mse")).head().getDouble(0) >= 0.0)
     assert(out.count() == emb.count())
   }
+
+  test("calibrateByDomain ranks within the domain, not globally") {
+    // domain A's scores all exceed domain B's: global ranking would put all
+    // of B in the tail, per-domain calibration gives each its own quartiles
+    val rows = (1 to 8).map(i => (i.toLong, "A", 0.90 + i * 0.01)) ++
+      (11 to 18).map(i => (i.toLong, "B", 0.10 + (i - 10) * 0.01))
+    val df = rows.toDF("doc_id", "source", "quality")
+    val out = Corpus.calibrateByDomain(df, "source", "doc_id", "quality")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(3), r.getString(4)))).toMap
+    // the best of EACH domain is head, the worst of each is tail
+    assert(out(8L)._2 == "head" && out(18L)._2 == "head")
+    assert(out(1L)._2 == "tail" && out(11L)._2 == "tail")
+    // percent_rank spans [0, 1] inside every domain
+    assert(out(1L)._1 == 0.0 && out(8L)._1 == 1.0)
+    assert(out(11L)._1 == 0.0 && out(18L)._1 == 1.0)
+  }
+
+  test("dedupChunks keeps first occurrence, guts copies, preserves chunk order") {
+    val docs = Seq(
+      (1L, "a b c d e f"),  // chunks (size 3): "a b c", "d e f"
+      (2L, "a b c x y z"),  // first chunk repeats doc 1's
+      (3L, "a b c d e f"),  // full copy — every chunk a repeat
+      (4L, "u v w p q r"))  // untouched
+      .toDF("doc_id", "text")
+    val out = Corpus.dedupChunks(docs, "doc_id", "text", size = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("a b c d e f", 2L, 0L))) // first occurrence untouched
+    assert(out(2L) == (("x y z", 1L, 1L)))       // shared chunk removed
+    assert(out(3L) == (("", 0L, 2L)))            // full duplicate gutted
+    assert(out(4L) == (("u v w p q r", 2L, 0L)))
+  }
+
+  test("dedupChunks rewrite reassembles surviving chunks in position order") {
+    // doc 2 repeats doc 1's MIDDLE chunk; survivors must rejoin in order
+    val docs = Seq(
+      (1L, "m m m n n n o o o"),
+      (2L, "x x x n n n z z z"))
+      .toDF("doc_id", "text")
+    val out = Corpus.dedupChunks(docs, "doc_id", "text", size = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(2L) == "x x x z z z")
+  }
+
+  test("dedupChunks plans first-occurrence as an aggregate, not a window") {
+    val docs = Tables.t(spark, TestSpark.sf, "documents")
+    val plan = Corpus.dedupChunks(docs, "doc_id", "text", size = 8)
+      .queryExecution.executedPlan.toString
+    // the hot-chunk skew guard: dedup decision must come from a partial→
+    // final aggregate (map-side combinable), never a per-chunk-text window
+    assert(!plan.contains("RunningWindowFunction") && !plan.contains("Window "))
+  }
 }

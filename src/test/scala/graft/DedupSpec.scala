@@ -80,6 +80,24 @@ class DedupSpec extends AnyFunSuite {
     assert(out.exists(t => t._1 == 1L && t._2 == 4L && t._3 == 0))
   }
 
+  test("portable simhash: 60-bit range, bag-of-words invariance, near<far") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "theta eta zeta epsilon delta gamma beta alpha"), // same bag, reordered
+      (3L, "alpha beta gamma delta epsilon zeta eta iota"),  // one word off
+      (4L, "one two three four five six seven eight"))       // disjoint
+      .toDF("doc_id", "text")
+    val sigs = TextDedup.simhashPortable(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // frequency-weighted bit votes are order-independent
+    assert(sigs(1L) == sigs(2L))
+    // all signatures fit in 60 bits (both engines parse 15 hex chars)
+    assert(sigs.values.forall(s => s >= 0L && s < (1L << 60)))
+    val near = java.lang.Long.bitCount(sigs(1L) ^ sigs(3L))
+    val far = java.lang.Long.bitCount(sigs(1L) ^ sigs(4L))
+    assert(near < far)
+  }
+
   test("incremental dedup equals the cross-split slice of the full pair set") {
     val all = Tables.t(spark, TestSpark.sf, "documents")
     val isNew = (id: Long) => id % 10 < 2
