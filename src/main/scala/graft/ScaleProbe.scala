@@ -73,6 +73,12 @@ object ScaleProbe {
             maxBucket = 2000),
           "doc_a", "doc_b")
       },
+      time("chunk_dedup_rewrite") {
+        // worst case for the first-occurrence aggregate: every chunk has
+        // REP copies, so every hash bucket carries a full clone set and
+        // REP-1 of every doc's chunks are dropped in the rewrite
+        operators.Corpus.dedupChunks(docs, "doc_id", "text", size = 8)
+      },
       time("boilerplate_spans") {
         // worst case for the span-frequency table: EVERY span has df >= rep
         // (all clones), so the annotate-back join hits on every row

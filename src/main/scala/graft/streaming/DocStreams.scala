@@ -55,6 +55,57 @@ object DocStreams {
         TextDedup.shingleHashesFromTokenHashes(col("_th"), n)).as("gh"))
       .agg(collect_set(col("gh")).as("bench_gh"))
 
+  /** The index side of streaming chunk dedup: ONE row holding the distinct
+    * chunk-hash set of the already-ingested corpus (the nightly-batch
+    * artifact a streaming ingest dedups against). Non-overlapping
+    * `size`-token chunks, hashed with xxhash64 — same chunk definition as
+    * the batch `Corpus.dedupChunks`. */
+  def corpusChunkSet(corpus: DataFrame, textCol: String, size: Int): DataFrame = {
+    val toks = split(lower(col(textCol)), " ")
+    val starts = sequence(lit(0),
+      greatest(org.apache.spark.sql.functions.size(toks) - 1, lit(0)), lit(size))
+    corpus.select(toks.as("_toks"), explode(starts).as("_st"))
+      .select(xxhash64(concat_ws(" ",
+        slice(col("_toks"), col("_st") + 1, lit(size)))).as("ch"))
+      .agg(collect_set(col("ch")).as("corpus_ch"))
+  }
+
+  /** Streaming chunk-level dedup against a STATIC corpus index — the
+    * ingest-time shape of `Corpus.dedupChunks`: every arriving document is
+    * chunked in-row, chunks whose hash is already in the corpus index are
+    * dropped, and the document is reassembled from what survives — all as a
+    * stateless per-row transform (append mode, zero streaming state).
+    * Within-stream duplicates are deliberately NOT deduped here: that needs
+    * unbounded keyed state on an unbounded stream; the production shape is
+    * this stream-vs-index pass at ingest plus the batch rewrite
+    * re-indexing periodically.
+    *
+    * Scale: the index rides in one broadcast array; per-chunk membership is
+    * an array_contains scan — at corpus scale swap the set for a Bloom
+    * filter (`DataFrame.stat.bloomFilter` built offline from the same
+    * hashes; false positives only ever DROP a non-duplicate chunk, never
+    * leak one). Emits (id, new_text, n_kept, n_dropped).
+    */
+  def dedupChunksStream(docStream: DataFrame, chunkSet: DataFrame,
+      idCol: String, textCol: String, size: Int): DataFrame = {
+    val toks = split(lower(col(textCol)), " ")
+    val starts = sequence(lit(0),
+      greatest(org.apache.spark.sql.functions.size(toks) - 1, lit(0)), lit(size))
+    docStream
+      .select(col(idCol), transform(starts, st =>
+        concat_ws(" ", slice(toks, st + 1, lit(size)))).as("_chunks"))
+      .crossJoin(broadcast(chunkSet))
+      .select(col(idCol),
+        filter(col("_chunks"),
+          c => !array_contains(col("corpus_ch"), xxhash64(c))).as("_kept"),
+        org.apache.spark.sql.functions.size(col("_chunks")).as("_n"))
+      .select(col(idCol),
+        concat_ws(" ", col("_kept")).as("new_text"),
+        org.apache.spark.sql.functions.size(col("_kept")).cast("bigint").as("n_kept"),
+        (col("_n") - org.apache.spark.sql.functions.size(col("_kept")))
+          .cast("bigint").as("n_dropped"))
+  }
+
   /** Stream-static decontamination: per document, the word-n-gram overlap
     * with the static benchmark set — same numbers as the batch
     * `Corpus.decontaminate` (asserted in DocStreamingSpec), but computed

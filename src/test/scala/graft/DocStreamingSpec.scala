@@ -52,4 +52,31 @@ class DocStreamingSpec extends AnyFunSuite {
     assert(streamed.filter { case (id, _) => id % 20 == 7 }
       .forall { case (_, (g, h)) => g == h })
   }
+
+  test("streaming chunk dedup against a static index: indexed chunks dropped, stateless") {
+    import spark.implicits._
+    val docs = Tables.t(spark, TestSpark.sf, "documents")
+    // index = the whole corpus; streaming the same docs back must gut every
+    // one of them (every chunk is already indexed)
+    val fullIndex = DocStreams.corpusChunkSet(docs, "text", size = 8)
+    val stream = DocStreams.dedupChunksStream(
+      DocStreams.readStream(spark, docsDir), fullIndex, "doc_id", "text", size = 8)
+    val gutted = drain(stream, "chunk_dedup_stream")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(gutted.nonEmpty)
+    assert(gutted.forall { case (_, txt, kept, _) => txt == "" && kept == 0L })
+
+    // disjoint index: nothing is dropped, text round-trips (lowered)
+    val disjoint = Seq("zz yy xx").toDF("text")
+    val none = DocStreams.dedupChunksStream(
+      DocStreams.readStream(spark, docsDir),
+      DocStreams.corpusChunkSet(disjoint, "text", size = 8),
+      "doc_id", "text", size = 8)
+    val intact = drain(none, "chunk_nodrop_stream")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3)))).toMap
+    val orig = docs.select($"doc_id", lower($"text")).as[(Long, String)]
+      .collect().toMap
+    assert(intact.forall { case (id, (txt, dropped)) =>
+      dropped == 0L && txt == orig(id) })
+  }
 }
