@@ -511,6 +511,35 @@ class Context(val spark: SparkSession) {
     sql(query).queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
 
+  /** Plan visualization mirroring the reference's `Context.visualize`
+    * (context.py:573-578 renders the Dask task graph to a png). The Spark
+    * analogue of the task graph is the physical plan tree; this emits it as
+    * Graphviz DOT text (pure string — no image toolchain required; pipe to
+    * `dot -Tpng` to get the reference's png). Each node is labeled with its
+    * operator name and `nodeName` detail; edges point parent → child. */
+  def visualize(query: String): String = {
+    val plan = sql(query).queryExecution.executedPlan
+    val sb = new StringBuilder("digraph plan {\n  node [shape=box];\n")
+    var id = 0
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+      val me = id
+      id += 1
+      val label = p.nodeName.replace("\"", "'")
+      sb.append(s"""  n$me [label="$label"];\n""")
+      // AQE wraps the whole tree in one leaf-like node; descend into the
+      // current inner plan so the graph shows the real operators
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case other => other.children
+      }
+      kids.foreach { c => val ch = walk(c); sb.append(s"  n$me -> n$ch;\n") }
+      me
+    }
+    walk(plan)
+    sb.append("}\n").toString
+  }
+
   // ---------------- helpers ----------------
 
   private def lookupTable(name: String): DataFrame =

@@ -321,6 +321,47 @@ class ContextSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed shingle store: dedup verify join never shuffles the array side") {
+    // PLANS.md entry 14: at clone scale the dedup cost is the candidate ×
+    // shingle-array shuffle — bucketed storage removes it. Demonstrate: the
+    // per-doc shingle sets persist bucketed by doc_id; the pair-verify join
+    // then shuffles ONLY the thin (doc_a, doc_b) candidate list while both
+    // heavyweight array sides are read in place from their buckets.
+    import graft.operators.TextDedup
+    val sh = Tables.t(spark, TestSpark.sf, "documents")
+      .filter(size(split(lower(col("text")), " ")) >= 3)
+      .select(col("doc_id"),
+        array_sort(TextDedup.shingleHashesFromTokenHashes(
+          transform(split(lower(col("text")), " "), tk => xxhash64(tk)), 3)).as("sh"))
+    ctx.createBucketedTable("shingles_b", sh, 8, Seq("doc_id"), Seq("doc_id"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val store = spark.table("shingles_b")
+      import spark.implicits._
+      val cand = (0L until 50L).map(i => (i, i + 1L)).toDF("doc_a", "doc_b")
+      val verified = cand
+        .join(store.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
+        .join(store.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          graft.functions.CatalystExprs.sortedIntersectCount(
+            col("sha"), col("shb")).as("inter"))
+      assert(verified.count() > 0)
+      val plan = verified.queryExecution.executedPlan.toString
+      val nExchange = "Exchange".r.findAllIn(plan).size
+      assert(plan.contains("Bucketed: true"),
+        s"store scans must read buckets in place:\n${plan.take(2000)}")
+      // only the candidate side repartitions (once per join); the two
+      // shingle-array scans contribute NO Exchange
+      assert(nExchange <= 2,
+        s"array sides must not shuffle ($nExchange exchanges):\n${plan.take(3000)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      ctx.sql("DROP TABLE shingles_b")
+      spark.sql("DROP TABLE IF EXISTS shingles_b")
+    }
+  }
+
   test("partitioned tables prune statically and via dynamic partition pruning") {
     val orders = Tables.t(spark, TestSpark.sf, "orders")
       .withColumn("od_year", year(col("o_orderdate")))
@@ -450,5 +491,14 @@ class ContextSpec extends AnyFunSuite {
   test("explainString emits a formatted physical plan") {
     val plan = ctx.explainString("SELECT count(*) FROM lineitem")
     assert(plan.contains("Physical Plan"))
+  }
+
+  test("visualize emits a DOT graph of the physical plan") {
+    val dot = ctx.visualize(
+      "SELECT l_returnflag, count(*) FROM lineitem GROUP BY l_returnflag")
+    assert(dot.startsWith("digraph plan {"))
+    assert(dot.contains("HashAggregate"))
+    assert(dot.contains("->")) // at least one parent→child edge
+    assert(dot.trim.endsWith("}"))
   }
 }
