@@ -87,6 +87,10 @@ object GraftFunctions {
       new ExpressionInfo(classOf[CatalystExprs.AudioInfo].getName, "audio_info"),
       (exprs: Seq[Expression]) => CatalystExprs.AudioInfo(exprs.head)),
 
+    (new FunctionIdentifier("video_info"),
+      new ExpressionInfo(classOf[CatalystExprs.VideoInfo].getName, "video_info"),
+      (exprs: Seq[Expression]) => CatalystExprs.VideoInfo(exprs.head)),
+
     (new FunctionIdentifier("token_count"),
       new ExpressionInfo("graft.functions.TextAnalysis", "token_count"),
       (exprs: Seq[Expression]) => colFn(exprs, 1) { cols =>

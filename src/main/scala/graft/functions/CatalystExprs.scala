@@ -488,6 +488,86 @@ object CatalystExprs {
     override protected def withNewChildInternal(c: Expression): AudioInfo = copy(child = c)
   }
 
+  /** Video container metadata from payload bytes without any codec: an
+    * ISO-BMFF (MP4/MOV) box walk — the video analogue of [[ImageDimensions]]
+    * / [[AudioInfo]], completing the image/audio/video metadata triple.
+    * Finds `ftyp` (major brand), `moov`→`mvhd` (timescale + duration, v0/v1)
+    * and `moov`→`trak`→`tkhd` (16.16 fixed-point width/height; the max over
+    * tracks, since audio tracks carry 0×0). Returns
+    * (format, width, height, duration_ms) or NULL for unrecognized payloads.
+    */
+  case class VideoInfo(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("format", StringType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("duration_ms", LongType, nullable = false)))
+
+    private def be32(b: Array[Byte], i: Int): Long =
+      (((b(i) & 0xFF) << 24) | ((b(i + 1) & 0xFF) << 16) |
+        ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)).toLong & 0xFFFFFFFFL
+    private def be64(b: Array[Byte], i: Int): Long =
+      (be32(b, i) << 32) | be32(b, i + 4)
+    private def tag(b: Array[Byte], i: Int, s: String): Boolean =
+      i + 4 <= b.length && b(i) == s.charAt(0) && b(i + 1) == s.charAt(1) &&
+        b(i + 2) == s.charAt(2) && b(i + 3) == s.charAt(3)
+
+    override def nullSafeEval(input: Any): Any = {
+      val b = input.asInstanceOf[Array[Byte]]
+      if (b.length < 16 || !tag(b, 4, "ftyp")) null
+      else {
+        val brand = new String(b, 8, 4, java.nio.charset.StandardCharsets.US_ASCII).trim
+        var timescale = 0L; var duration = -1L
+        var width = 0; var height = 0
+        // walk sibling boxes in [from, to); descend into moov/trak
+        def walk(from: Int, to: Int, depth: Int): Unit = {
+          var i = from
+          while (i + 8 <= to) {
+            val size0 = be32(b, i)
+            val hdr = if (size0 == 1L) 16 else 8
+            val size = if (size0 == 1L && i + 16 <= to) be64(b, i + 8)
+                       else if (size0 == 0L) (to - i).toLong else size0
+            if (size < hdr || i + size > to) return // corrupt: stop walking
+            if (tag(b, i + 4, "moov") && depth == 0)
+              walk(i + hdr, i + size.toInt, 1)
+            else if (tag(b, i + 4, "trak") && depth == 1)
+              walk(i + hdr, i + size.toInt, 2)
+            else if (tag(b, i + 4, "mvhd") && depth == 1 && i + hdr + 4 <= to) {
+              val v = b(i + hdr) & 0xFF
+              if (v == 1 && i + hdr + 28 <= to) {
+                timescale = be32(b, i + hdr + 20)
+                duration = be64(b, i + hdr + 24)
+              } else if (v == 0 && i + hdr + 20 <= to) {
+                timescale = be32(b, i + hdr + 12)
+                duration = be32(b, i + hdr + 16)
+              }
+            } else if (tag(b, i + 4, "tkhd") && depth == 2 && i + hdr + 4 <= to) {
+              val v = b(i + hdr) & 0xFF
+              // verflags(4) cre/mod/trackid/reserved/duration then
+              // reserved(8) layer(2) alt(2) volume(2) reserved(2) matrix(36)
+              val base = i + hdr + 4 + (if (v == 1) 8 + 8 + 4 + 4 + 8 else 4 + 4 + 4 + 4 + 4)
+              val wOff = base + 8 + 2 + 2 + 2 + 2 + 36
+              if (wOff + 8 <= to) {
+                val w = (be32(b, wOff) >> 16).toInt   // 16.16 fixed point
+                val h = (be32(b, wOff + 4) >> 16).toInt
+                if (w > width) { width = w; height = h }
+              }
+            }
+            i += size.toInt
+          }
+        }
+        walk(0, b.length, 0)
+        if (timescale <= 0L || duration < 0L) null
+        else org.apache.spark.sql.catalyst.InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            if (brand.isEmpty) "mp4" else brand.toLowerCase),
+          width, height, duration * 1000L / timescale)
+      }
+    }
+    override protected def withNewChildInternal(c: Expression): VideoInfo = copy(child = c)
+  }
+
   /** 64-bit SimHash of an array<long> of token hashes: bit j set iff the
     * majority of hashes have bit j set. */
   case class SimHash64(child: Expression)
@@ -592,6 +672,9 @@ object CatalystExprs {
 
   def audioInfo(payload: Column): Column =
     GraftBridge.column(AudioInfo(GraftBridge.expression(payload)))
+
+  def videoInfo(payload: Column): Column =
+    GraftBridge.column(VideoInfo(GraftBridge.expression(payload)))
 
   def dotProduct(a: Column, b: Column): Column =
     GraftBridge.column(DotProduct(

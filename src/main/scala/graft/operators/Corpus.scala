@@ -233,6 +233,34 @@ object Corpus {
       .filter(col("rank_in_domain") <= cap)
   }
 
+  /** Temperature-scaled mixture weights — the step that PRODUCES the
+    * per-stratum quotas [[stratifiedQuota]] consumes: weight_i =
+    * n_i^alpha / Σ n_j^alpha (alpha < 1 upweights small domains, the
+    * multilingual-sampling trick; alpha = 1 is proportional, alpha = 0
+    * uniform), quota_i = round(weight_i × budget). Emits
+    * (stratum, n_docs, weight, quota).
+    *
+    * Scale shape: one count aggregate over the corpus (map-side
+    * combinable); the normalizer Σ n^alpha enters as a scalar subquery over
+    * the tiny per-stratum count table — no join node, no driver collect.
+    */
+  def mixtureWeights(
+      df: DataFrame, strataCol: String, alpha: Double,
+      budget: Long): DataFrame = {
+    require(alpha >= 0, "alpha must be non-negative")
+    require(budget > 0, "budget must be positive")
+    val counts = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"))
+    val totalPow = org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+        counts.select(sum(pow(col("n_docs"), alpha)).as("t"))
+          .queryExecution.analyzed))
+    counts
+      .withColumn("weight", round(pow(col("n_docs"), alpha) / totalPow, 6))
+      .withColumn("quota",
+        round(col("weight") * budget, 0).cast("bigint"))
+  }
+
   /** Per-domain quality calibration — the CCNet head/middle/tail split:
     * a document's quality is judged against its OWN domain's distribution
     * (a median doc from an encyclopedia source and a median doc from a web

@@ -441,6 +441,27 @@ object CorpusQueries {
         .orderBy(col("n").desc, col("w"))
     },
 
+    // Temperature-scaled mixture weights (alpha = 0.5 upweights small
+    // domains): the step that PRODUCES p23's quotas. Strata are
+    // substr(source, 1, 4) — 'src1' collects src1 + src10..src19, giving a
+    // genuinely skewed 275-vs-25 count distribution to weight. The
+    // normalizer enters as a scalar subquery, not a join.
+    Q("p40_mixture_weights", Some("""
+      WITH c AS (SELECT substr(source, 1, 4) AS src4, count(*) AS n_docs
+                 FROM documents GROUP BY 1),
+      t AS (SELECT sum(pow(n_docs, 0.5)) AS tp FROM c)
+      SELECT src4, CAST(n_docs AS BIGINT) AS n_docs,
+             round(pow(n_docs, 0.5) / t.tp, 6) AS weight,
+             CAST(round(round(pow(n_docs, 0.5) / t.tp, 6) * 10000, 0) AS BIGINT) AS quota
+      FROM c CROSS JOIN t ORDER BY src4""")) { (s, d) =>
+      Corpus.mixtureWeights(
+          t(s, d, "documents").select(substring(col("source"), 1, 4).as("src4")),
+          "src4", alpha = 0.5, budget = 10000L)
+        .select(col("src4"), col("n_docs").cast("bigint").as("n_docs"),
+          col("weight"), col("quota"))
+        .orderBy("src4")
+    },
+
     // Per-domain quality calibration (the CCNet head/middle/tail split):
     // percent_rank of the (pre-rounded) quality score WITHIN each source,
     // doc_id tiebreak, tier cut at the quartiles — a document is judged

@@ -192,6 +192,21 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.count() == emb.count())
   }
 
+  test("mixtureWeights: temperature compresses skew, quotas track the budget") {
+    // 900 docs in A, 100 in B: proportional sampling gives 9:1; alpha=0.5
+    // compresses to 3:1 (sqrt), upweighting the small domain
+    val docs = ((1 to 900).map(i => (i.toLong, "A")) ++
+      (1001 to 1100).map(i => (i.toLong, "B"))).toDF("doc_id", "source")
+    val half = Corpus.mixtureWeights(docs, "source", alpha = 0.5, budget = 1000L)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(2), r.getLong(3)))).toMap
+    assert(math.abs(half("A")._1 / half("B")._1 - 3.0) < 0.01)
+    assert(math.abs(half("A")._2 + half("B")._2 - 1000L) <= 1) // rounding slack
+    // alpha = 0 is uniform regardless of counts
+    val unif = Corpus.mixtureWeights(docs, "source", alpha = 0.0, budget = 1000L)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(unif("A") == unif("B"))
+  }
+
   test("calibrateByDomain ranks within the domain, not globally") {
     // domain A's scores all exceed domain B's: global ranking would put all
     // of B in the tail, per-domain calibration gives each its own quartiles

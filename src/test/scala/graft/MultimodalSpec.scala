@@ -113,4 +113,42 @@ class MultimodalSpec extends AnyFunSuite {
     Seq(Tuple1(wav)).toDF("p").createOrReplaceTempView("wav_t")
     assert(spark0.sql("SELECT audio_info(p).sample_rate FROM wav_t").head().getInt(0) == 44100)
   }
+
+  test("videoInfo walks ISO-BMFF boxes: brand, track dims, duration; rejects junk") {
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    def be16(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
+    def be32(v: Long) = Array[Byte](
+      (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def box(tag: String, body: Array[Byte]): Array[Byte] =
+      be32(8L + body.length) ++ tag.getBytes ++ body
+
+    // mvhd v0: verflags, creation, modification, timescale=1000,
+    // duration=90000 (90 s), then rate/volume/reserved/matrix/predef/next
+    val mvhd = box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++ be32(1000) ++
+      be32(90000) ++ Array.fill[Byte](80)(0))
+    // tkhd v0 for a 640x360 video track: verflags + cre/mod/id/res/dur
+    // + reserved(8) layer(2) alt(2) volume(2) res(2) matrix(36) + w + h
+    def tkhd(w: Int, h: Int) = box("tkhd",
+      be32(0) ++ be32(0) ++ be32(0) ++ be32(1) ++ be32(0) ++ be32(90000) ++
+        Array.fill[Byte](8 + 2 + 2 + 2 + 2 + 36)(0) ++
+        (be16(w) ++ be16(0)) ++ (be16(h) ++ be16(0)))
+    // audio track first (0x0) — the video track's dims must win
+    val moov = box("moov",
+      mvhd ++ box("trak", tkhd(0, 0)) ++ box("trak", tkhd(640, 360)))
+    val ftyp = box("ftyp", "isom".getBytes ++ be32(512) ++ "isommp42".getBytes)
+    val mp4 = ftyp ++ moov ++ box("mdat", Array.fill[Byte](16)(0))
+    val junk = "nope".getBytes ++ Array.fill[Byte](60)(0)
+
+    val out = Seq(("mp4", mp4), ("junk", junk)).toDF("name", "payload")
+      .select($"name", graft.functions.CatalystExprs.videoInfo($"payload").as("v"))
+      .collect().map(r => r.getString(0) -> Option(r.getStruct(1)).map(s =>
+        (s.getString(0), s.getInt(1), s.getInt(2), s.getLong(3)))).toMap
+    assert(out("mp4").contains(("isom", 640, 360, 90000L)))
+    assert(out("junk").isEmpty)
+    // and from SQL
+    GraftFunctions.register(spark0)
+    Seq(Tuple1(mp4)).toDF("p").createOrReplaceTempView("mp4_t")
+    assert(spark0.sql("SELECT video_info(p).duration_ms FROM mp4_t").head().getLong(0) == 90000L)
+  }
 }
