@@ -37,6 +37,7 @@ object Cli {
     "\\de" -> "List experiments",
     "\\d <table>" -> "Show columns of a table",
     "\\dss <schema>" -> "Switch schema",
+    "\\viz <sql>" -> "Physical plan as Graphviz DOT",
     "quit, exit, \\q" -> "Exit the REPL")
 
   def main(args: Array[String]): Unit = {
@@ -107,6 +108,11 @@ object Cli {
         render(ctx.sql(s"SHOW COLUMNS FROM $arg"), out); true
       case "\\dss" if arg.nonEmpty =>
         try { ctx.sql(s"USE SCHEMA $arg"); out.println(s"switched to $arg") }
+        catch { case NonFatal(e) => out.println(s"ERROR: ${e.getMessage}") }
+        true
+      case "\\viz" if arg.nonEmpty =>
+        // physical plan as Graphviz DOT (pipe into `dot -Tpng` for an image)
+        try out.println(ctx.visualize(arg))
         catch { case NonFatal(e) => out.println(s"ERROR: ${e.getMessage}") }
         true
       case other =>

@@ -47,6 +47,12 @@ class CliSpec extends AnyFunSuite {
     assert(output.contains("ERROR:")) // lineitem not visible in cli_s
   }
 
+  test("\\viz prints a DOT plan graph") {
+    val output = runScript("\\viz SELECT count(*) FROM lineitem\nquit\n")
+    assert(output.contains("digraph plan {"))
+    assert(output.contains("->"))
+  }
+
   test("unknown meta command points at help; help lists commands") {
     val output = runScript("\\zz\nhelp\nquit\n")
     assert(output.contains("Unknown meta command"))
