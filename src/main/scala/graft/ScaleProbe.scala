@@ -12,16 +12,25 @@ import org.apache.spark.sql.functions._
   * blowup beyond the genuine clone clusters) and throughput must scale
   * with rows, not pairs. Results recorded in PLANS.md.
   *
-  * Usage: runMain graft.ScaleProbe [sfDir] [replication]
+  * Usage: runMain graft.ScaleProbe [sfDir] [replication] [shufflePartitions]
+  *
+  * shufflePartitions is the memory-pressure knob, exactly as on a real
+  * cluster: per-task memory is heap / concurrent tasks, and the pair-verify
+  * stages carry (candidate, shingle-array) payloads whose per-partition
+  * volume scales with replication². 20× fits 64 partitions on the 24g
+  * local[32] JVM; 50× (6.1M clone pairs) needs ~256 so each task's slice of
+  * the pair stream stays spillable. Same code either way — partition count
+  * is config, not design.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
     val rep = args.drop(1).headOption.map(_.toInt).getOrElse(20)
+    val parts = args.drop(2).headOption.map(_.toInt).getOrElse(64)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
       .appName("graft-scale-probe")
-      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.shuffle.partitions", parts.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -33,7 +42,7 @@ object ScaleProbe {
     val docs = docs0.crossJoin(reps)
       .select((col("doc_id") + col("_rep") * 10000000L).as("doc_id"),
         col("text"), col("lang"), col("source"), col("n_chars"))
-      .repartition(64)
+      .repartition(parts)
       .cache()
     val nDocs = docs.count() // materialize once; excluded from op timings
 
@@ -93,7 +102,7 @@ object ScaleProbe {
       val emb = emb0.crossJoin(reps)
         .select((col("vec_id") + col("_rep") * 10000000L).as("vec_id"),
           col("embedding"), col("label"))
-        .repartition(64)
+        .repartition(parts)
         .cache()
       val nVec = emb.count()
       val r = Seq(time(s"semantic_dedup_ivf_${nVec}v") {

@@ -7,10 +7,13 @@ import graft.functions.Sketches
 import graft.operators.{Corpus, Similarity, TextDedup}
 
 /** Corpus-construction pipeline queries (round 3): benchmark
-  * decontamination, deterministic dataset-mixing sampling, sequence packing,
-  * embedding quantization, duplicate-cluster resolution, and intra-document
-  * repetition signals. All deterministic (no RNG anywhere — sampling uses a
-  * fixed multiplicative hash), so every query here is oracle-gated.
+  * decontamination, deterministic dataset-mixing sampling + mixture weights,
+  * sequence packing, chunk-level dedup with rewrite, embedding quantization,
+  * duplicate-cluster resolution, per-domain quality calibration, and
+  * intra-document repetition signals. All deterministic (no RNG anywhere —
+  * sampling uses a fixed multiplicative hash), and every query is
+  * oracle-gated except p35b (winnowing runs over xxhash64 token hashes,
+  * which DuckDB lacks; justified at its registration).
   */
 object CorpusQueries {
 
