@@ -187,14 +187,58 @@ object TextDedup {
     // shingle sets SORTED once per doc: pair verification uses a merge
     // intersect (SortedIntersectCount), and MinHash signatures are
     // order-invariant (min over permutations)
-    val sh = parallelized(df)
-      .filter(size(split(lower(col(textCol)), " ")) >= shingleSize)
+    val sh = sortedWordShingles(parallelized(df), idCol, textCol, shingleSize)
+      .cache()
+    bandedPairs(sh, numHashes, bands, threshold, maxBucket, simName = "jaccard")
+  }
+
+  /** (doc_id, sorted distinct word-shingle hashes) — the shared shingle
+    * frame of [[minhashDedupPairs]] / [[saveShingleStore]]. Short docs
+    * filter on the RAW text column (the derived-array pushdown pitfall). */
+  private def sortedWordShingles(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.filter(size(split(lower(col(textCol)), " ")) >= n)
       .select(col(idCol).as("doc_id"),
         transform(split(lower(col(textCol)), " "), tk => xxhash64(tk)).as("th"))
       .select(col("doc_id"),
-        sort_array(shingleHashesFromTokenHashes(col("th"), shingleSize)).as("shingles"))
-      .cache()
-    bandedPairs(sh, numHashes, bands, threshold, maxBucket, simName = "jaccard")
+        sort_array(shingleHashesFromTokenHashes(col("th"), n)).as("shingles"))
+
+  /** Persist the per-doc shingle store as a doc_id-BUCKETED catalog table —
+    * the artifact that makes pair verification array-shuffle-free at scale
+    * (PLANS entry 22: at 50× clone replication the in-flight verify's
+    * candidate×array shuffle outgrows a single node's spill disk; against
+    * the bucketed store only the thin pair list ever shuffles). Build once
+    * per corpus snapshot, verify many candidate batches. */
+  def saveShingleStore(
+      df: DataFrame, idCol: String, textCol: String, table: String,
+      nBuckets: Int, shingleSize: Int = 3): Unit =
+    sortedWordShingles(df, idCol, textCol, shingleSize)
+      .write.format("parquet").mode("overwrite")
+      .bucketBy(nBuckets, "doc_id").sortBy("doc_id")
+      .saveAsTable(table)
+
+  /** Exact-Jaccard verification of candidate pairs against a bucketed
+    * shingle store ([[saveShingleStore]]): both heavyweight array sides are
+    * read in place from their buckets (`Bucketed: true` scans, no Exchange
+    * above them — asserted in DedupSpec/ContextSpec); only (doc_a, doc_b)
+    * rows repartition. Returns pairs with jaccard >= threshold. */
+  def verifyPairsBucketed(
+      spark: org.apache.spark.sql.SparkSession, candidates: DataFrame,
+      storeTable: String, threshold: Double): DataFrame = {
+    val store = spark.table(storeTable)
+    val inter = graft.functions.CatalystExprs.sortedIntersectCount(
+      col("sha"), col("shb"))
+    candidates
+      .join(store.select(col("doc_id").as("doc_a"), col("shingles").as("sha")),
+        Seq("doc_a"))
+      .join(store.select(col("doc_id").as("doc_b"), col("shingles").as("shb")),
+        Seq("doc_b"))
+      .withColumn("_i", inter)
+      .withColumn("jaccard_raw",
+        col("_i").cast("double") /
+          (size(col("sha")) + size(col("shb")) - col("_i")).cast("double"))
+      .filter(col("jaccard_raw") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard_raw"), 4).as("jaccard"))
   }
 
   /** Character n-gram Jaccard near-duplicate pairs via banded MinHash-LSH —

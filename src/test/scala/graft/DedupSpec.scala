@@ -216,6 +216,38 @@ class DedupSpec extends AnyFunSuite {
     assert(exact.subsetOf(win), s"missing clone pairs: ${exact -- win}")
   }
 
+  test("verifyPairsBucketed equals in-flight verification, arrays never shuffle") {
+    val corpus = Tables.t(spark, TestSpark.sf, "documents")
+    TextDedup.saveShingleStore(corpus, "doc_id", "text", "shingle_store", 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val expected = TextDedup.minhashDedupPairs(corpus, "doc_id", "text",
+        threshold = 0.5)
+      // materialize candidates as a plain local frame: the plan under
+      // audit must be ONLY the verify join, not the LSH pipeline above it
+      val cand = expected.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        .toDF("doc_a", "doc_b")
+      val viaStore = TextDedup.verifyPairsBucketed(spark, cand,
+        "shingle_store", threshold = 0.5)
+      val a = expected.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val b = viaStore.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(a == b && a.nonEmpty)
+      // AQE prints final + initial plans; audit only the final one
+      val plan = viaStore.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("Bucketed: true"))
+      assert("Exchange".r.findAllIn(plan).size <= 2,
+        s"store arrays must not shuffle:\n${plan.take(3000)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS shingle_store")
+    }
+  }
+
   test("minhash LSH recall matches exhaustive jaccard at sf0.001") {
     val d = Tables.t(spark, TestSpark.sf, "documents")
     val lsh = TextDedup.minhashDedupPairs(d, "doc_id", "text", threshold = 0.5)
