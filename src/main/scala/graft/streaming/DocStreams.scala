@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -98,6 +98,57 @@ object DocStreams {
       .select(col(idCol),
         filter(col("_chunks"),
           c => !array_contains(col("corpus_ch"), xxhash64(c))).as("_kept"),
+        org.apache.spark.sql.functions.size(col("_chunks")).as("_n"))
+      .select(col(idCol),
+        concat_ws(" ", col("_kept")).as("new_text"),
+        org.apache.spark.sql.functions.size(col("_kept")).cast("bigint").as("n_kept"),
+        (col("_n") - org.apache.spark.sql.functions.size(col("_kept")))
+          .cast("bigint").as("n_dropped"))
+  }
+
+  /** Corpus-scale variant of the chunk index: a Bloom filter over the
+    * corpus chunk hashes, built DISTRIBUTED via the public
+    * `DataFrameStatFunctions.bloomFilter` (per-partition filters merged on
+    * the driver) and serialized to bytes — the index artifact for corpora
+    * whose distinct-chunk set no longer fits a broadcast array (10⁹ chunks
+    * ≈ 1.7 GB of bloom at 0.1% fpp vs tens of GB of exact hashes). */
+  def buildChunkBloom(corpus: DataFrame, textCol: String, size: Int,
+      expectedItems: Long, fpp: Double): Array[Byte] = {
+    val toks = split(lower(col(textCol)), " ")
+    val starts = sequence(lit(0),
+      greatest(org.apache.spark.sql.functions.size(toks) - 1, lit(0)), lit(size))
+    val hashes = corpus.select(toks.as("_toks"), explode(starts).as("_st"))
+      .select(xxhash64(concat_ws(" ",
+        slice(col("_toks"), col("_st") + 1, lit(size)))).as("ch"))
+    val bf = hashes.stat.bloomFilter("ch", expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** [[dedupChunksStream]] against the Bloom index instead of the exact
+    * hash set: membership is Spark's native `BloomFilterMightContain`
+    * (the same expression AQE's runtime join filters use — the serialized
+    * filter rides as a foldable literal, deserialized once per task, and
+    * the stream stays stateless). A false positive can only DROP a
+    * non-duplicate chunk (rate = fpp), never leak a duplicate through —
+    * the safe direction for dedup. */
+  def dedupChunksStreamBloom(docStream: DataFrame, bloom: Array[Byte],
+      idCol: String, textCol: String, size: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.types.BinaryType
+    def mightContain(c: Column): Column =
+      org.apache.spark.sql.GraftBridge.column(BloomFilterMightContain(
+        Literal(bloom, BinaryType),
+        org.apache.spark.sql.GraftBridge.expression(xxhash64(c))))
+    val toks = split(lower(col(textCol)), " ")
+    val starts = sequence(lit(0),
+      greatest(org.apache.spark.sql.functions.size(toks) - 1, lit(0)), lit(size))
+    docStream
+      .select(col(idCol), transform(starts, st =>
+        concat_ws(" ", slice(toks, st + 1, lit(size)))).as("_chunks"))
+      .select(col(idCol),
+        filter(col("_chunks"), c => !mightContain(c)).as("_kept"),
         org.apache.spark.sql.functions.size(col("_chunks")).as("_n"))
       .select(col(idCol),
         concat_ws(" ", col("_kept")).as("new_text"),

@@ -79,4 +79,29 @@ class DocStreamingSpec extends AnyFunSuite {
     assert(intact.forall { case (id, (txt, dropped)) =>
       dropped == 0L && txt == orig(id) })
   }
+
+  test("bloom chunk index: no false negatives (full gutting), fp-rate-bounded drops") {
+    val docs = Tables.t(spark, TestSpark.sf, "documents")
+    // index the whole corpus: every streamed chunk MUST be dropped — bloom
+    // filters have no false negatives, so gutting is exact
+    val bloom = DocStreams.buildChunkBloom(docs, "text", size = 8,
+      expectedItems = 20000L, fpp = 0.000001)
+    val gutted = drain(DocStreams.dedupChunksStreamBloom(
+      DocStreams.readStream(spark, docsDir), bloom, "doc_id", "text", size = 8),
+      "bloom_gutted_stream")
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(gutted.nonEmpty && gutted.forall { case (txt, kept) => txt == "" && kept == 0L })
+
+    // disjoint index at fpp 1e-6 over ~10k probed chunks: expected false
+    // drops ≈ 0.01 — deterministic for this data, asserted zero
+    import spark.implicits._
+    val disjointBloom = DocStreams.buildChunkBloom(
+      Seq("zz yy xx").toDF("text"), "text", size = 8,
+      expectedItems = 100L, fpp = 0.000001)
+    val intact = drain(DocStreams.dedupChunksStreamBloom(
+      DocStreams.readStream(spark, docsDir), disjointBloom, "doc_id", "text", size = 8),
+      "bloom_intact_stream")
+      .collect().map(r => r.getLong(3)).sum
+    assert(intact == 0L)
+  }
 }
