@@ -118,6 +118,27 @@ object Similarity {
     def unpersist(): Unit = { cells.unpersist(); () }
   }
 
+  /** Persist an [[IvfIndex]] as catalog tables: `{prefix}_cells` bucketed
+    * by cell — probes touch only their cells' buckets — plus the tiny
+    * `{prefix}_centroids`. The offline-index / online-probe split every
+    * production ANN service runs: build nightly, serve query batches from
+    * the persisted tables without refitting KMeans. */
+  def saveIvfIndex(idx: IvfIndex, prefix: String, nBuckets: Int = 8): Unit = {
+    idx.cells.write.format("parquet").mode("overwrite")
+      .bucketBy(nBuckets, "cell").sortBy("cell")
+      .saveAsTable(s"${prefix}_cells")
+    idx.centroids.write.format("parquet").mode("overwrite")
+      .saveAsTable(s"${prefix}_centroids")
+  }
+
+  /** Reload a persisted [[IvfIndex]] — `probeIvf` runs against it
+    * unchanged (equality with the in-memory index asserted in
+    * SimilaritySpec). */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      prefix: String): IvfIndex =
+    IvfIndex(spark.table(s"${prefix}_cells"),
+      spark.table(s"${prefix}_centroids"))
+
   /** One KMeans fit + one corpus assignment pass → a reusable [[IvfIndex]].
     * At 100 TB this is the standard offline index-build job; probing then
     * touches ~nProbe/nCells of the data per query batch. */

@@ -275,6 +275,71 @@ object TextDedup {
     bandedPairs(sh, numHashes, bands, threshold, maxBucket, simName = "sim")
   }
 
+  /** Persist the full MinHash-LSH dedup index of a corpus snapshot as TWO
+    * bucketed catalog tables: `{prefix}_bands` (doc_id, band, bh) bucketed
+    * AND sorted by (band, bh) — the increment's candidate join co-locates
+    * against it with no corpus-side shuffle — and `{prefix}_shingles`
+    * (the [[saveShingleStore]] layout) so pair verification reads corpus
+    * arrays in place. Build once per snapshot (the nightly artifact);
+    * dedup every increment against it without touching corpus text again
+    * ([[minhashDedupIncrementalIndexed]]). */
+  def saveMinhashIndex(
+      df: DataFrame, idCol: String, textCol: String, prefix: String,
+      nBuckets: Int = 8, shingleSize: Int = 3, numHashes: Int = 64,
+      bands: Int = 16): Unit = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val sh = sortedWordShingles(df, idCol, textCol, shingleSize).cache()
+    try {
+      sh.write.format("parquet").mode("overwrite")
+        .bucketBy(nBuckets, "doc_id").sortBy("doc_id")
+        .saveAsTable(s"${prefix}_shingles")
+      sh.select(col("doc_id"),
+          posexplode(graft.functions.CatalystExprs.minhashBandHashes(
+            col("shingles"), numHashes, bands)).as(Seq("band", "bh")))
+        .write.format("parquet").mode("overwrite")
+        .bucketBy(nBuckets, "band", "bh").sortBy("band", "bh")
+        .saveAsTable(s"${prefix}_bands")
+    } finally sh.unpersist()
+  }
+
+  /** [[minhashDedupIncremental]] against a PERSISTED index
+    * ([[saveMinhashIndex]]) instead of re-preparing the corpus per run —
+    * the production daily-increment shape: the corpus side contributes its
+    * banded rows and shingle arrays straight from their buckets (no
+    * corpus-side Exchange for the candidate join; the maxBucket cap's
+    * window sorts within already-bucketed partitions), and only the
+    * increment's rows shuffle. Returns (doc_id, dup_of, jaccard). */
+  def minhashDedupIncrementalIndexed(
+      spark: org.apache.spark.sql.SparkSession, newDocs: DataFrame,
+      idCol: String, textCol: String, prefix: String,
+      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val shNew = sortedWordShingles(parallelized(newDocs), idCol, textCol,
+      shingleSize).cache()
+    val newBanded = shNew.select(col("doc_id"),
+      posexplode(graft.functions.CatalystExprs.minhashBandHashes(
+        col("shingles"), numHashes, bands)).as(Seq("band", "bh")))
+    val oldBanded = spark.table(s"${prefix}_bands")
+      .select(col("doc_id").as("dup_of"), col("band"), col("bh"))
+      .withColumn("_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
+      .filter(col("_n") <= maxBucket).drop("_n")
+    val cand = newBanded.join(oldBanded, Seq("band", "bh"))
+      .select("doc_id", "dup_of").distinct()
+    val sa = shNew.select(col("doc_id"), col("shingles").as("sh_a"))
+    val sb = spark.table(s"${prefix}_shingles")
+      .select(col("doc_id").as("dup_of"), col("shingles").as("sh_b"))
+    cand.join(sa, "doc_id").join(sb, "dup_of")
+      .select(col("doc_id"), col("dup_of"),
+        graft.functions.CatalystExprs.sortedIntersectCount(col("sh_a"), col("sh_b"))
+          .cast("double").as("_i"),
+        (size(col("sh_a")) + size(col("sh_b"))).cast("double").as("_s"))
+      .withColumn("j_raw", col("_i") / (col("_s") - col("_i")))
+      .filter(col("j_raw") >= threshold)
+      .select(col("doc_id"), col("dup_of"), round(col("j_raw"), 4).as("jaccard"))
+  }
+
   /** Incremental MinHash dedup: find near-duplicates of NEW documents
     * against an EXISTING corpus — the daily-increment pattern. Candidates
     * come from joining the increment's (band, bandHash) rows against the

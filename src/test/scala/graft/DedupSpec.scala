@@ -248,6 +248,29 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("indexed incremental dedup equals the direct incremental form") {
+    val corpus = Tables.t(spark, TestSpark.sf, "documents")
+    val old = corpus.filter($"doc_id" % 10 >= 2)
+    val fresh = corpus.filter($"doc_id" % 10 < 2)
+    TextDedup.saveMinhashIndex(old, "doc_id", "text", "mh_idx", nBuckets = 4)
+    try {
+      val direct = TextDedup.minhashDedupIncremental(fresh, old, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val indexed = TextDedup.minhashDedupIncrementalIndexed(
+          spark, fresh, "doc_id", "text", "mh_idx")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(indexed == direct && indexed.nonEmpty)
+      // the corpus side reads its buckets in place
+      val plan = TextDedup.minhashDedupIncrementalIndexed(
+          spark, fresh, "doc_id", "text", "mh_idx")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS mh_idx_bands")
+      spark.sql("DROP TABLE IF EXISTS mh_idx_shingles")
+    }
+  }
+
   test("minhash LSH recall matches exhaustive jaccard at sf0.001") {
     val d = Tables.t(spark, TestSpark.sf, "documents")
     val lsh = TextDedup.minhashDedupPairs(d, "doc_id", "text", threshold = 0.5)

@@ -141,6 +141,29 @@ class SimilaritySpec extends AnyFunSuite {
     } finally idx.unpersist()
   }
 
+  test("persisted IVF index probes identically to the in-memory one") {
+    val emb = Tables.t(spark, TestSpark.sf, "embeddings")
+    val idx = Similarity.buildIvfIndex(emb, nCells = 8)
+    try {
+      Similarity.saveIvfIndex(idx, "ivf_t", nBuckets = 4)
+      val loaded = Similarity.loadIvfIndex(spark, "ivf_t")
+      val q = emb.filter($"vec_id" < 5)
+      val mem = Similarity.probeIvf(idx, q, k = 3, nProbe = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val disk = Similarity.probeIvf(loaded, q, k = 3, nProbe = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(mem == disk && mem.nonEmpty)
+      // probe scans read the cell buckets in place
+      val plan = Similarity.probeIvf(loaded, q, k = 3, nProbe = 3)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"))
+    } finally {
+      idx.unpersist()
+      spark.sql("DROP TABLE IF EXISTS ivf_t_cells")
+      spark.sql("DROP TABLE IF EXISTS ivf_t_centroids")
+    }
+  }
+
   test("lshTopK on uniform random data returns real pairs with valid ranks") {
     val emb = Tables.t(spark, TestSpark.sf, "embeddings")
     val q = emb.filter($"vec_id" < 10)
