@@ -395,6 +395,30 @@ object Corpus {
       .select(col("doc_id"), col("n_tokens"), round(col("_lp"), 6).as("logppl"))
   }
 
+  /** The dedup ACTION that follows [[connectedComponents]]: pick ONE
+    * survivor per near-duplicate cluster — the best-scoring member (score
+    * desc, id asc tiebreak; "keep the longest/highest-quality copy", the
+    * standard resolution rule) — so the cluster labels become a concrete
+    * keep/drop decision. Emits (cluster, survivor, score, n_members).
+    *
+    * Scale: one join of the label list against the (id, score) projection
+    * and one map-side-combinable max-aggregate over a (score, -id) struct —
+    * a giant cluster collapses to one candidate per partition before the
+    * shuffle, so no window and no hot-cluster straggler.
+    */
+  def pickClusterSurvivors(
+      labels: DataFrame, docs: DataFrame, idCol: String,
+      scoreCol: String): DataFrame =
+    labels
+      .join(docs.select(col(idCol).cast("long").as("node"),
+        col(scoreCol).as("_score")), Seq("node"))
+      .groupBy(col("cluster"))
+      .agg(
+        max(struct(col("_score").as("s"), (-col("node")).as("negid"))).as("_m"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster"), (-col("_m.negid")).as("survivor"),
+        col("_m.s").as("score"), col("n_members"))
+
   /** Connected components over an undirected pair list (e.g. near-duplicate
     * pairs from the LSH dedup operators) → (node, cluster) where cluster is
     * the smallest node id reachable from the node — the "pick one survivor

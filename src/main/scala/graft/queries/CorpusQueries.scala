@@ -444,6 +444,50 @@ object CorpusQueries {
         .orderBy(col("n").desc, col("w"))
     },
 
+    // Cluster survivor selection — the document-level dedup ACTION on top
+    // of p26's connected components: keep the best member per near-dup
+    // cluster (n_chars desc, doc_id tiebreak). A map-side max over a
+    // (score, -id) struct, never a per-cluster window.
+    Q("p41_cluster_survivors", Some("""
+      WITH RECURSIVE sh AS (
+        SELECT doc_id, list_distinct([array_to_string(words[i:i+2], ' ')
+                for i in range(1, len(words) - 1)]) AS shingles
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents)
+        WHERE len(words) >= 3),
+      p AS (
+        SELECT a.doc_id AS a, b.doc_id AS b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+              (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.5),
+      edges AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+      reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      lab AS (SELECT a AS doc_id, least(a, min(b)) AS cluster
+              FROM reach GROUP BY a),
+      j AS (SELECT lab.cluster, lab.doc_id, d.n_chars
+            FROM lab JOIN documents d USING (doc_id)),
+      r AS (SELECT cluster, doc_id, n_chars,
+              row_number() OVER (PARTITION BY cluster
+                ORDER BY n_chars DESC, doc_id) AS rn,
+              count(*) OVER (PARTITION BY cluster) AS n_members
+            FROM j)
+      SELECT CAST(cluster AS BIGINT) AS cluster,
+             CAST(doc_id AS BIGINT) AS survivor,
+             CAST(n_chars AS BIGINT) AS score,
+             CAST(n_members AS BIGINT) AS n_members
+      FROM r WHERE rn = 1 ORDER BY cluster""")) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val pairs = TextDedup.minhashDedupPairs(docs, "doc_id", "text",
+        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      val labels = Corpus.connectedComponents(pairs, "doc_a", "doc_b")
+      Corpus.pickClusterSurvivors(labels, docs, "doc_id", "n_chars")
+        .select(col("cluster"), col("survivor"),
+          col("score").cast("bigint").as("score"), col("n_members"))
+        .orderBy("cluster")
+    },
+
     // Temperature-scaled mixture weights (alpha = 0.5 upweights small
     // domains): the step that PRODUCES p23's quotas. Strata are
     // substr(source, 1, 4) — 'src1' collects src1 + src10..src19, giving a

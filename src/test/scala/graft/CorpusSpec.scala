@@ -192,6 +192,19 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.count() == emb.count())
   }
 
+  test("pickClusterSurvivors keeps best score, min-id tiebreak, right counts") {
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("node", "cluster")
+    val docs = Seq(
+      (1L, 50L), (2L, 90L), (3L, 90L),   // tie at 90 -> doc 2 wins (min id)
+      (10L, 5L), (11L, 4L), (99L, 777L)) // 99 unlabeled: must not appear
+      .toDF("doc_id", "n_chars")
+    val out = Corpus.pickClusterSurvivors(labels, docs, "doc_id", "n_chars")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out == Map(1L -> ((2L, 90L, 3L)), 10L -> ((10L, 5L, 2L))))
+  }
+
   test("mixtureWeights: temperature compresses skew, quotas track the budget") {
     // 900 docs in A, 100 in B: proportional sampling gives 9:1; alpha=0.5
     // compresses to 3:1 (sqrt), upweighting the small domain
