@@ -291,6 +291,31 @@ object Corpus {
           .otherwise("tail"))
   }
 
+  /** The skew-free form of [[calibrateByDomain]] for domains too large to
+    * window-sort: per-domain quartile boundaries come from
+    * `percentile_approx` (one map-side-combinable aggregate, deterministic
+    * Greenwald-Khanna sketch), broadcast back onto the rows, and the tier
+    * is a pure projection against them — two aggregates and zero windows,
+    * so a 10⁹-doc domain costs the same plan shape as a 10³-doc one.
+    * Trades the exact percent_rank column for scale (tiers agree with the
+    * exact form away from quartile boundaries; asserted in CorpusSpec).
+    */
+  def calibrateByDomainApprox(
+      df: DataFrame, domainCol: String, scoreCol: String,
+      accuracy: Int = 10000): DataFrame = {
+    val bounds = df.groupBy(col(domainCol))
+      .agg(percentile_approx(col(scoreCol),
+        array(lit(0.25), lit(0.75)), lit(accuracy)).as("_q"))
+      .select(col(domainCol), col("_q").getItem(0).as("_q25"),
+        col("_q").getItem(1).as("_q75"))
+    df.join(broadcast(bounds), Seq(domainCol))
+      .withColumn("tier",
+        when(col(scoreCol) >= col("_q75"), "head")
+          .when(col(scoreCol) >= col("_q25"), "middle")
+          .otherwise("tail"))
+      .drop("_q25", "_q75")
+  }
+
   /** Deterministic polynomial char hash (base 31, mod 1e9+7) — the
     * cross-engine string analogue of [[stratifiedQuota]]'s multiplicative id
     * hash: reproducible in any SQL engine, no RNG, no engine-specific hash

@@ -236,6 +236,24 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(11L)._1 == 0.0 && out(18L)._1 == 1.0)
   }
 
+  test("calibrateByDomainApprox agrees with exact tiers away from boundaries, windowless") {
+    val docs = Tables.t(spark, TestSpark.sf, "documents")
+      .select($"doc_id", $"source", $"n_chars".cast("double").as("q"))
+    val exact = Corpus.calibrateByDomain(docs, "source", "doc_id", "q")
+      .select($"doc_id", $"tier".as("t_exact"))
+    val approx = Corpus.calibrateByDomainApprox(docs, "source", "q")
+    // the sketch-based tiers may flip docs sitting ON a quartile boundary;
+    // everything else must agree
+    val joined = approx.select($"doc_id", $"tier").join(exact, "doc_id")
+    val n = joined.count()
+    val agree = joined.filter($"tier" === $"t_exact").count()
+    assert(n == 500 && agree >= (n * 0.8).toLong)
+    assert(approx.select("tier").distinct().count() == 3)
+    // the scale claim: no window anywhere — two aggregates + a broadcast join
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"))
+  }
+
   test("dedupChunks keeps first occurrence, guts copies, preserves chunk order") {
     val docs = Seq(
       (1L, "a b c d e f"),  // chunks (size 3): "a b c", "d e f"
