@@ -212,6 +212,46 @@ object Corpus {
         col("n_boiler").cast("double") / greatest(col("n_spans"), lit(1L)).cast("double"))
   }
 
+  /** Boilerplate REMOVAL with document rewrite — the action on top of
+    * [[boilerplateSpans]]'s detection: any word covered by an n-gram span
+    * that occurs in ≥ `minDocs` distinct documents (headers, footers,
+    * license blurbs, templated text) is stripped, and the document is
+    * reassembled from the surviving words in order. Emits
+    * (id, clean_text, n_words, n_removed) for documents of ≥ n words
+    * (shorter ones carry no span and pass through any upstream filter).
+    *
+    * Scale shape: positional gram hashes cross ONE shuffle as (gh) for the
+    * document-frequency table (count DISTINCT doc — positional grams can
+    * repeat within a doc), flagged span starts come back as a per-doc
+    * sorted array (bounded by doc length), and the strip itself is a pure
+    * projection — the word-level coverage test runs inside the row against
+    * that array, so no per-word rows ever shuffle.
+    */
+  def removeBoilerplate(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minDocs: Int = 2): DataFrame = {
+    val toks = split(lower(col(textCol)), " ")
+    val base = df.filter(size(toks) >= n)
+      .select(col(idCol).as("doc_id"), toks.as("_w"))
+      .withColumn("_gh", TextDedup.shingleHashesPositional(
+        transform(col("_w"), tk => xxhash64(tk)), n))
+      .cache()
+    val g = base.select(col("doc_id"), posexplode(col("_gh")).as(Seq("p", "gh")))
+    val flaggedStarts = g.join(
+        g.groupBy("gh").agg(countDistinct(col("doc_id")).as("_df"))
+          .filter(col("_df") >= minDocs).select("gh"),
+        Seq("gh"))
+      .groupBy("doc_id").agg(sort_array(collect_set(col("p"))).as("_starts"))
+    base.join(flaggedStarts, Seq("doc_id"), "left")
+      .withColumn("_s", coalesce(col("_starts"), array().cast("array<int>")))
+      .withColumn("_kept", filter(col("_w"),
+        (_, i) => !exists(col("_s"), p => p <= i && i < p + n)))
+      .select(col("doc_id"),
+        concat_ws(" ", col("_kept")).as("clean_text"),
+        size(col("_w")).cast("bigint").as("n_words"),
+        (size(col("_w")) - size(col("_kept"))).cast("bigint").as("n_removed"))
+  }
+
   /** Per-domain document cap: keep the `cap` best documents per domain
     * (score desc, id asc tie-break) — the anti-boilerplate guard every web
     * corpus applies so no single domain dominates training data. Emits the

@@ -444,6 +444,43 @@ object CorpusQueries {
         .orderBy(col("n").desc, col("w"))
     },
 
+    // Boilerplate removal with rewrite — the action on top of p34's
+    // detection: strip every word covered by a 5-gram span shared by ≥2
+    // docs, reassemble the rest in order. Oracle compares by gram string
+    // (collision-free equivalence, as in p34); positions align 0-based
+    // (Spark) to 1-based (DuckDB) via the same coverage window.
+    Q("p42_boilerplate_removal", Some("""
+      WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words
+                 FROM documents),
+      g AS (SELECT doc_id, unnest([{'g': array_to_string(words[i:i+4], ' '), 'p': i}
+              for i in range(1, len(words) - 3)]) AS s
+            FROM w WHERE len(words) >= 5),
+      f AS (SELECT s.g AS g FROM g GROUP BY s.g
+            HAVING count(DISTINCT doc_id) >= 2),
+      flag AS (SELECT g.doc_id, g.s.p AS p FROM g JOIN f ON g.s.g = f.g),
+      cov AS (SELECT DISTINCT doc_id, p + o.o AS wp
+              FROM flag CROSS JOIN (SELECT unnest(range(0, 5)) AS o) o),
+      wordpos AS (SELECT doc_id,
+                    unnest([{'wd': words[i], 'i': i}
+                      for i in range(1, len(words) + 1)]) AS t
+                  FROM w WHERE len(words) >= 5),
+      k AS (SELECT wordpos.doc_id, wordpos.t.i AS i, wordpos.t.wd AS wd
+            FROM wordpos LEFT JOIN cov
+              ON wordpos.doc_id = cov.doc_id AND wordpos.t.i = cov.wp
+            WHERE cov.wp IS NULL)
+      SELECT w0.doc_id,
+             coalesce(string_agg(k.wd, ' ' ORDER BY k.i), '') AS clean_text,
+             CAST(len(w0.words) AS BIGINT) AS n_words,
+             CAST(len(w0.words) - count(k.wd) AS BIGINT) AS n_removed
+      FROM (SELECT doc_id, words FROM w WHERE len(words) >= 5) w0
+      LEFT JOIN k ON w0.doc_id = k.doc_id
+      GROUP BY w0.doc_id, len(w0.words)
+      ORDER BY w0.doc_id""")) { (s, d) =>
+      Corpus.removeBoilerplate(t(s, d, "documents"), "doc_id", "text",
+          n = 5, minDocs = 2)
+        .orderBy("doc_id")
+    },
+
     // Cluster survivor selection — the document-level dedup ACTION on top
     // of p26's connected components: keep the best member per near-dup
     // cluster (n_chars desc, doc_id tiebreak). A map-side max over a

@@ -192,6 +192,21 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.count() == emb.count())
   }
 
+  test("removeBoilerplate strips shared spans, keeps unique prose, rewrites in order") {
+    val docs = Seq(
+      // both docs share the same 5-word header; tails are unique
+      (1L, "common header words appear here unique tail of doc one"),
+      (2L, "common header words appear here another distinct ending"),
+      (3L, "totally original text with no shared spans at all"))
+      .toDF("doc_id", "text")
+    val out = Corpus.removeBoilerplate(docs, "doc_id", "text", n = 5, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) == (("unique tail of doc one", 10L, 5L)))
+    assert(out(2L) == (("another distinct ending", 8L, 5L)))
+    assert(out(3L) == (("totally original text with no shared spans at all", 9L, 0L)))
+  }
+
   test("pickClusterSurvivors keeps best score, min-id tiebreak, right counts") {
     val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
       .toDF("node", "cluster")
