@@ -12,7 +12,7 @@ object PlanAudit {
       "q01_tpch_q1","q02_scan_pushdown","q54_star_join","q22_sort_topk",
       "p06_sim_topk","p04b_dedup_ngram_banded","p05b_dedup_embedding_lsh",
       "p22_decontaminate","p24_seq_packing","p25_embedding_quantize",
-      "p38_chunk_dedup")
+      "p38_chunk_dedup","p42_boilerplate_removal")
     for (name <- names) {
       println(s"===== $name =====")
       val df = SparkEntry.queries(name)(spark, sf)
