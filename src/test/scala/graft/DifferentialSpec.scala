@@ -120,5 +120,27 @@ class DifferentialSpec extends AnyFunSuite {
           |FROM dta a JOIN dtb b ON a.k = b.k
           |GROUP BY a.k""".stripMargin)
     }
+
+    test(s"random frame (seed=$seed): outer join, HAVING, and CASE agree") {
+      loadBoth("dt", randRows(seed, 300))
+      loadBoth("dta", randRows(seed, 200))
+      loadBoth("dtb", randRows(seed + 1000, 50))
+      // LEFT JOIN: unmatched rows must produce NULLs identically, and
+      // COUNT(column) must skip them identically
+      assertAgree(
+        """SELECT a.k, COUNT(*) AS c, COUNT(b.v) AS cm
+          |FROM dta a LEFT JOIN dtb b ON a.v = b.v
+          |GROUP BY a.k""".stripMargin)
+      // HAVING over an aggregate
+      assertAgree(
+        """SELECT k, SUM(v) AS sv FROM dt GROUP BY k
+          |HAVING COUNT(*) > 20""".stripMargin)
+      // CASE + COALESCE three-valued logic in a projection
+      assertAgree(
+        """SELECT k,
+          |  CASE WHEN v > 50 THEN 'hi' WHEN v > 20 THEN 'mid' ELSE 'lo' END AS band,
+          |  COALESCE(s, 'none') AS s2
+          |FROM dt WHERE k IS NOT NULL""".stripMargin)
+    }
   }
 }
