@@ -529,26 +529,29 @@ object CatalystExprs {
             val size = if (size0 == 1L && i + 16 <= to) be64(b, i + 8)
                        else if (size0 == 0L) (to - i).toLong else size0
             if (size < hdr || i + size > to) return // corrupt: stop walking
+            // field reads are bounded by the box's own end, not the parent's,
+            // so an undersized box never reads sibling-box bytes as metadata
+            val boxEnd = (i + size).toInt
             if (tag(b, i + 4, "moov") && depth == 0)
-              walk(i + hdr, i + size.toInt, 1)
+              walk(i + hdr, boxEnd, 1)
             else if (tag(b, i + 4, "trak") && depth == 1)
-              walk(i + hdr, i + size.toInt, 2)
-            else if (tag(b, i + 4, "mvhd") && depth == 1 && i + hdr + 4 <= to) {
+              walk(i + hdr, boxEnd, 2)
+            else if (tag(b, i + 4, "mvhd") && depth == 1 && i + hdr + 4 <= boxEnd) {
               val v = b(i + hdr) & 0xFF
-              if (v == 1 && i + hdr + 28 <= to) {
+              if (v == 1 && i + hdr + 32 <= boxEnd) { // be64 duration ends at +32
                 timescale = be32(b, i + hdr + 20)
                 duration = be64(b, i + hdr + 24)
-              } else if (v == 0 && i + hdr + 20 <= to) {
+              } else if (v == 0 && i + hdr + 20 <= boxEnd) {
                 timescale = be32(b, i + hdr + 12)
                 duration = be32(b, i + hdr + 16)
               }
-            } else if (tag(b, i + 4, "tkhd") && depth == 2 && i + hdr + 4 <= to) {
+            } else if (tag(b, i + 4, "tkhd") && depth == 2 && i + hdr + 4 <= boxEnd) {
               val v = b(i + hdr) & 0xFF
               // verflags(4) cre/mod/trackid/reserved/duration then
               // reserved(8) layer(2) alt(2) volume(2) reserved(2) matrix(36)
               val base = i + hdr + 4 + (if (v == 1) 8 + 8 + 4 + 4 + 8 else 4 + 4 + 4 + 4 + 4)
               val wOff = base + 8 + 2 + 2 + 2 + 2 + 36
-              if (wOff + 8 <= to) {
+              if (wOff + 8 <= boxEnd) {
                 val w = (be32(b, wOff) >> 16).toInt   // 16.16 fixed point
                 val h = (be32(b, wOff + 4) >> 16).toInt
                 if (w > width) { width = w; height = h }

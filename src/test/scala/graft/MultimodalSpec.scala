@@ -151,4 +151,40 @@ class MultimodalSpec extends AnyFunSuite {
     Seq(Tuple1(mp4)).toDF("p").createOrReplaceTempView("mp4_t")
     assert(spark0.sql("SELECT video_info(p).duration_ms FROM mp4_t").head().getLong(0) == 90000L)
   }
+
+  test("videoInfo v1 mvhd parses; truncated/undersized boxes return NULL, not throw") {
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    def be32(v: Long) = Array[Byte](
+      (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def be64(v: Long) = be32(v >>> 32) ++ be32(v & 0xFFFFFFFFL)
+    def box(tag: String, body: Array[Byte]): Array[Byte] =
+      be32(8L + body.length) ++ tag.getBytes ++ body
+    val ftyp = box("ftyp", "isom".getBytes ++ be32(512) ++ "isommp42".getBytes)
+
+    // well-formed v1 mvhd: version=1, cre(8)+mod(8)+timescale(4)+duration(8)
+    val mvhdV1 = box("mvhd", Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++
+      be32(1000) ++ be64(90000L) ++ Array.fill[Byte](80)(0))
+    val okV1 = ftyp ++ box("moov", mvhdV1)
+
+    // truncated v1 mvhd as the LAST box: box size is honest (28-byte body)
+    // but the 8-byte duration read would run past the end of the payload —
+    // must yield NULL, not ArrayIndexOutOfBoundsException
+    val mvhdTrunc = box("mvhd", Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++
+      be32(1000) ++ be32(90000L)) // only 4 of the 8 duration bytes
+    val truncated = ftyp ++ box("moov", mvhdTrunc)
+
+    // undersized v1 mvhd FOLLOWED by a sibling box: the duration read fits in
+    // the parent but crosses into the sibling — must not read its bytes
+    val withSibling = ftyp ++ box("moov", mvhdTrunc ++ box("free", be64(-1L)))
+
+    val out = Seq(("ok", okV1), ("trunc", truncated), ("sib", withSibling))
+      .toDF("name", "payload")
+      .select($"name", graft.functions.CatalystExprs.videoInfo($"payload").as("v"))
+      .collect().map(r => r.getString(0) -> Option(r.getStruct(1)).map(s =>
+        (s.getString(0), s.getLong(3)))).toMap
+    assert(out("ok").contains(("isom", 90000L)))
+    assert(out("trunc").isEmpty)
+    assert(out("sib").isEmpty)
+  }
 }
