@@ -25,6 +25,10 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // fresh warehouse per run (in-memory catalog + persistent dir would
+      // orphan any bucketed tables a query creates; see Verify)
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -55,8 +59,19 @@ object Bench {
     // 100 TB) from actual data-throughput cost. The cache is cleared first
     // so run-1 operator caches are rebuilt, not reused — each steady run
     // does its full data work.
-    spark.catalog.clearCache()
-    val steady = names.flatMap(n => timeOnce(n).map(n -> _))
+    // min-of-N (N=2): this host sees episodic CPU steal that can inflate a
+    // single run 5-10× (PLANS entry 18 — BENCH_r03 recorded q55 at 9.14 s
+    // steady vs 0.87 s re-timed); the per-query minimum over independent
+    // passes is robust to one noisy window while still doing full data work
+    // every pass (cache cleared before each).
+    val steadyRuns = (1 to 2).map { _ =>
+      spark.catalog.clearCache()
+      names.flatMap(n => timeOnce(n).map(n -> _)).toMap
+    }
+    val steady = names.flatMap { n =>
+      val vs = steadyRuns.flatMap(_.get(n))
+      if (vs.isEmpty) None else Some(n -> vs.min)
+    }
     def jsonMap(rs: Seq[(String, Double)]) =
       rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -14,6 +14,12 @@ object Verify {
       .config("spark.sql.adaptive.enabled", "true")
       // events.parquet is TIMESTAMP(NANOS); graft.Tables converts to micros
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // fresh warehouse per run: the in-memory catalog starts empty each
+      // JVM, so a persistent warehouse dir would orphan the bucketed tables
+      // the persisted-index queries (p02b/p30b) create, and their next
+      // saveAsTable would die with LOCATION_ALREADY_EXISTS
+      .config("spark.sql.warehouse.dir",
+        Files.createTempDirectory("graft-wh").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

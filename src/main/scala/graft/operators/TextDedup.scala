@@ -241,6 +241,30 @@ object TextDedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard_raw"), 4).as("jaccard"))
   }
 
+  /** Full MinHash-LSH near-dup pairs driven entirely off a PERSISTED
+    * bucketed shingle store ([[saveShingleStore]]) — the build-once /
+    * dedup-many production shape: band hashes are computed from the store's
+    * shingle arrays (read in place from their buckets), candidates expand
+    * in-bucket exactly as in [[minhashDedupPairs]], and verification goes
+    * through [[verifyPairsBucketed]] so the heavyweight arrays never cross
+    * an Exchange — only (band, bh) rows and the thin candidate pair list
+    * shuffle. Semantically identical to [[minhashDedupPairs]] over the
+    * stored corpus (same signatures, same banding, same exact-Jaccard
+    * verify), so it is held to the same exhaustive oracle. */
+  def minhashDedupPairsViaStore(
+      spark: org.apache.spark.sql.SparkSession, storeTable: String,
+      numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val banded = spark.table(storeTable).select(col("doc_id"),
+      posexplode(graft.functions.CatalystExprs.minhashBandHashes(
+        col("shingles"), numHashes, bands)).as(Seq("band", "bh")))
+    val buckets = banded.groupBy("band", "bh")
+      .agg(collect_list(col("doc_id")).as("ids0"), count(lit(1)).as("n"))
+    val cand = bucketPairs(buckets, maxBucket, "doc_a", "doc_b")
+    verifyPairsBucketed(spark, cand, storeTable, threshold)
+  }
+
   /** Character n-gram Jaccard near-duplicate pairs via banded MinHash-LSH —
     * the GLOBAL scale path (no blocking key required): the same
     * signature → band → bucket pipeline as [[minhashDedupPairs]], run over

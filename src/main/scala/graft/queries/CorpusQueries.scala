@@ -240,6 +240,34 @@ object CorpusQueries {
         .orderBy("doc_id", "dup_of")
     },
 
+    // The same incremental dedup against the PERSISTED minhash index
+    // (saveMinhashIndex → (band,bh)- and doc_id-bucketed tables;
+    // minhashDedupIncrementalIndexed reads both in place) — the nightly
+    // build-once/increment-many 100 TB shape, held to p30's exhaustive
+    // cross-split oracle: the indexed path must produce bit-identical
+    // answers. Index build is part of the query (idempotent overwrite).
+    Q("p30b_dedup_incremental_indexed", Some("""
+      WITH sh AS (
+        SELECT doc_id, list_distinct([array_to_string(words[i:i+2], ' ')
+                for i in range(1, len(words) - 1)]) AS shingles
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents)
+        WHERE len(words) >= 3)
+      SELECT a.doc_id AS doc_id, b.doc_id AS dup_of,
+             round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+                   (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 4) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id % 10 < 2 AND b.doc_id % 10 >= 2
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+            (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+      ORDER BY a.doc_id, dup_of""")) { (s, d) =>
+      val docs = t(s, d, "documents")
+      TextDedup.saveMinhashIndex(docs.filter(pmod(col("doc_id"), lit(10)) >= 2),
+        "doc_id", "text", prefix = "p30b_mh_idx", nBuckets = 8)
+      TextDedup.minhashDedupIncrementalIndexed(s,
+          docs.filter(pmod(col("doc_id"), lit(10)) < 2),
+          "doc_id", "text", prefix = "p30b_mh_idx", threshold = 0.5)
+        .orderBy("doc_id", "dup_of")
+    },
+
     // SemDeDup-style semantic dedup: within a semantic cluster (here the
     // embeddings' label column; the KMeans-cell composition is spec-tested
     // in SimilaritySpec), remove every vector dominated by a lower-id

@@ -51,6 +51,33 @@ object Pipeline {
         .orderBy("doc_a", "doc_b")
     },
 
+    // The same MinHash-LSH dedup driven entirely off the PERSISTED bucketed
+    // shingle store (saveShingleStore → candidates from in-place bucket
+    // reads → verifyPairsBucketed) — the build-once/dedup-many 100 TB shape,
+    // held to the SAME exhaustive all-pairs oracle as p02: the persisted-
+    // index path must produce bit-identical answers, not just a spec-equal
+    // plan. Store build is part of the query (idempotent overwrite).
+    Q("p02b_dedup_minhash_store", Some("""
+      WITH sh AS (
+        SELECT doc_id, list_distinct([array_to_string(words[i:i+2], ' ')
+                for i in range(1, len(words) - 1)]) AS shingles
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents)
+        WHERE len(words) >= 3
+      )
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+                   (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 4) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+            (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+      ORDER BY doc_a, doc_b""")) { (s, d) =>
+      TextDedup.saveShingleStore(t(s, d, "documents"), "doc_id", "text",
+        table = "p02b_shingle_store", nBuckets = 8, shingleSize = 3)
+      TextDedup.minhashDedupPairsViaStore(s, "p02b_shingle_store",
+          numHashes = 64, bands = 16, threshold = 0.5)
+        .orderBy("doc_a", "doc_b")
+    },
+
     // SimHash Hamming-distance near-dups — signature depends on xxhash64,
     // not reproducible in DuckDB → rows-only; semantics tested in ScalaTest
     Q("p03_dedup_simhash", None) { (s, d) =>

@@ -248,6 +248,20 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("minhashDedupPairsViaStore equals the in-flight pipeline end-to-end") {
+    val corpus = Tables.t(spark, TestSpark.sf, "documents")
+    TextDedup.saveShingleStore(corpus, "doc_id", "text", "via_store", 8)
+    try {
+      val direct = TextDedup.minhashDedupPairs(corpus, "doc_id", "text",
+          threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val viaStore = TextDedup.minhashDedupPairsViaStore(spark, "via_store",
+          threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(viaStore == direct && viaStore.nonEmpty)
+    } finally spark.sql("DROP TABLE IF EXISTS via_store")
+  }
+
   test("indexed incremental dedup equals the direct incremental form") {
     val corpus = Tables.t(spark, TestSpark.sf, "documents")
     val old = corpus.filter($"doc_id" % 10 >= 2)

@@ -13,6 +13,11 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // fresh warehouse per test JVM: an interrupted previous run would
+      // otherwise orphan managed-table locations (catalog is in-memory,
+      // the dir is not) and fail the next saveAsTable
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-wh-test").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
