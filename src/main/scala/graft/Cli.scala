@@ -75,6 +75,10 @@ object Cli {
             buf.clear()
             try render(ctx.sql(sql), out)
             catch { case NonFatal(e) => out.println(s"ERROR: ${e.getMessage}") }
+            // the statement's display collect is done — drop any frames the
+            // dedup/corpus operators cached internally (a REPL session may
+            // run thousands of statements; see OpCache)
+            finally ctx.clearOperatorCache()
           }
         }
       }

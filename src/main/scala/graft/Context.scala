@@ -236,6 +236,13 @@ class Context(val spark: SparkSession) {
     if (currentSchema == norm(oldName)) currentSchema = norm(newName)
   }
 
+  /** Unpersist every frame the dedup/corpus operators cached internally
+    * (see [[graft.operators.OpCache]]) — the release hook for long-lived
+    * sessions (SQL server, CLI), where repeated operator invocations would
+    * otherwise pin storage memory until eviction churn. Safe at any time:
+    * still-held results recompute instead of reading the cache. */
+  def clearOperatorCache(): Unit = graft.operators.OpCache.release(spark)
+
   def tables: Seq[String] = schemas(currentSchema).tables.keys.toSeq
   def schemaNames: Seq[String] = schemas.keys.toSeq
 

@@ -231,11 +231,10 @@ object Corpus {
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 5, minDocs: Int = 2): DataFrame = {
     val toks = split(lower(col(textCol)), " ")
-    val base = df.filter(size(toks) >= n)
+    val base = OpCache.cached(df.filter(size(toks) >= n)
       .select(col(idCol).as("doc_id"), toks.as("_w"))
       .withColumn("_gh", TextDedup.shingleHashesPositional(
-        transform(col("_w"), tk => xxhash64(tk)), n))
-      .cache()
+        transform(col("_w"), tk => xxhash64(tk)), n)))
     val g = base.select(col("doc_id"), posexplode(col("_gh")).as(Seq("p", "gh")))
     val flaggedStarts = g.join(
         g.groupBy("gh").agg(countDistinct(col("doc_id")).as("_df"))

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-scoped registry of DataFrames cached INSIDE operators.
+  *
+  * Several dedup/corpus operators cache an intermediate frame that feeds
+  * multiple branches of the returned (lazy) plan — signature generation AND
+  * both sides of a verification join, say — so the operator itself can
+  * never unpersist: the caller's action is what consumes the cache. In a
+  * one-shot job the JVM exit cleans up; in a long-lived session (the SQL
+  * server, the CLI) repeated invocations would pin storage memory until
+  * eviction churn. Every such internal cache therefore registers here, and
+  * the session owner releases them between statements / on idle via
+  * [[release]] (surfaced as `Context.clearOperatorCache()`).
+  *
+  * Releasing is always safe: an unpersisted frame held by a still-live
+  * result plan just recomputes on its next action (Dataset.unpersist does
+  * not cascade to dependent cached plans).
+  */
+object OpCache {
+  private val reg = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, java.util.Queue[DataFrame]]()
+
+  /** Cache `df` and remember it for [[release]]. Returns the cached frame. */
+  def cached(df: DataFrame): DataFrame = {
+    reg.computeIfAbsent(df.sparkSession,
+      _ => new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]())
+      .add(df)
+    df.cache()
+  }
+
+  /** Unpersist every operator-cached frame registered for `spark`. */
+  def release(spark: SparkSession): Unit = {
+    val q = reg.remove(spark)
+    if (q != null) q.forEach { df => df.unpersist(blocking = false); () }
+  }
+
+  /** Number of registered (not yet released) frames — diagnostics/tests. */
+  def registered(spark: SparkSession): Int = {
+    val q = reg.get(spark)
+    if (q == null) 0 else q.size
+  }
+}

@@ -231,9 +231,9 @@ object Similarity {
       tables: Int = 8, bitsPerTable: Int = 8, maxBucket: Int = 1000,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // cached: feeds bucketing AND both sides of the verification join
-    val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
-      .withColumn("nrm", norm(col("vec")))
-      .cache()
+    val v = OpCache.cached(
+      df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
+        .withColumn("nrm", norm(col("vec"))))
     val tb = v.select(col("id"), explode(array((0 until tables).map { t =>
         struct(lit(t).as("tbl"),
           lshBucketAt(col("vec"), dim, bitsPerTable, t * bitsPerTable).as("bucket"))
@@ -286,10 +286,10 @@ object Similarity {
       clusterCol: String = "label"): DataFrame = {
     // norms materialized once per vector; `v` feeds both sides of the
     // within-cluster join AND the final left join, so cache it
-    val v = df.select(col(idCol).as("id"), col(clusterCol).as("cl"),
-      asDouble(col(vecCol)).as("vec"))
-      .withColumn("nrm", norm(col("vec")))
-      .cache()
+    val v = OpCache.cached(
+      df.select(col(idCol).as("id"), col(clusterCol).as("cl"),
+          asDouble(col(vecCol)).as("vec"))
+        .withColumn("nrm", norm(col("vec"))))
     val dom = v.as("a")
       .join(v.as("b"), col("a.cl") === col("b.cl") && col("b.id") < col("a.id"))
       .filter(dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")) >= tau)

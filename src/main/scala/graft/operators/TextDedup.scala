@@ -187,8 +187,8 @@ object TextDedup {
     // shingle sets SORTED once per doc: pair verification uses a merge
     // intersect (SortedIntersectCount), and MinHash signatures are
     // order-invariant (min over permutations)
-    val sh = sortedWordShingles(parallelized(df), idCol, textCol, shingleSize)
-      .cache()
+    val sh = OpCache.cached(
+      sortedWordShingles(parallelized(df), idCol, textCol, shingleSize))
     bandedPairs(sh, numHashes, bands, threshold, maxBucket, simName = "jaccard")
   }
 
@@ -290,12 +290,11 @@ object TextDedup {
     // short-doc filter on the RAW column (see pushdown note above); gram
     // hashing is one fused pass per row (CharNgramHashes) — the HOF chain
     // (sequence+substr+xxhash64+array_distinct) allocates per gram
-    val sh = parallelized(df)
+    val sh = OpCache.cached(parallelized(df)
       .filter(length(col(textCol)) >= n)
       .select(col(idCol).as("doc_id"),
         graft.functions.CatalystExprs.charNgramHashes(lower(col(textCol)), n)
-          .as("shingles"))
-      .cache()
+          .as("shingles")))
     bandedPairs(sh, numHashes, bands, threshold, maxBucket, simName = "sim")
   }
 
@@ -339,8 +338,8 @@ object TextDedup {
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val shNew = sortedWordShingles(parallelized(newDocs), idCol, textCol,
-      shingleSize).cache()
+    val shNew = OpCache.cached(sortedWordShingles(parallelized(newDocs),
+      idCol, textCol, shingleSize))
     val newBanded = shNew.select(col("doc_id"),
       posexplode(graft.functions.CatalystExprs.minhashBandHashes(
         col("shingles"), numHashes, bands)).as(Seq("band", "bh")))
@@ -379,13 +378,12 @@ object TextDedup {
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    def prep(df: DataFrame) = parallelized(df)
+    def prep(df: DataFrame) = OpCache.cached(parallelized(df)
       .filter(size(split(lower(col(textCol)), " ")) >= shingleSize)
       .select(col(idCol).as("doc_id"),
         transform(split(lower(col(textCol)), " "), tk => xxhash64(tk)).as("th"))
       .select(col("doc_id"),
-        sort_array(shingleHashesFromTokenHashes(col("th"), shingleSize)).as("shingles"))
-      .cache()
+        sort_array(shingleHashesFromTokenHashes(col("th"), shingleSize)).as("shingles")))
     def banded(sh: DataFrame, idName: String) = sh.select(col("doc_id").as(idName),
       posexplode(graft.functions.CatalystExprs.minhashBandHashes(
         col("shingles"), numHashes, bands)).as(Seq("band", "bh")))

@@ -167,10 +167,12 @@ final class SqlServer(ctx: Context, port: Int = 8080, pageSize: Int = 10000,
           nextUri = Some(statusUri(ex, id, page)), extra = ""))
       case Failed(msg) =>
         statements.remove(id)
+        maybeReleaseCaches()
         respond(ex, 200, failedJson(id, msg))
       case st: Streaming => st.synchronized {
         if (st.error != null) {
           statements.remove(id)
+          maybeReleaseCaches()
           respond(ex, 200, failedJson(id, st.error))
         } else if (page == st.servedPageNo) {
           respond(ex, 200, st.servedBody) // idempotent nextUri retry
@@ -180,6 +182,7 @@ final class SqlServer(ctx: Context, port: Int = 8080, pageSize: Int = 10000,
           case null =>
             if (st.error != null) { // worker failed while we waited
               statements.remove(id)
+              maybeReleaseCaches()
               respond(ex, 200, failedJson(id, st.error))
             } else
               respond(ex, 200, queryResultsJson(id, "RUNNING",
@@ -194,7 +197,7 @@ final class SqlServer(ctx: Context, port: Int = 8080, pageSize: Int = 10000,
               else s""","nextUri":${jstr(statusUri(ex, id, page + 1))}"""
             val body =
               s"""{"id":${jstr(id)},"columns":$columns,"data":$data$next,"stats":{"state":"FINISHED"},"warnings":[]}"""
-            if (last) statements.remove(id)
+            if (last) { statements.remove(id); maybeReleaseCaches() }
             else { st.servedPageNo = page; st.servedBody = body }
             respond(ex, 200, body)
         }
@@ -209,8 +212,18 @@ final class SqlServer(ctx: Context, port: Int = 8080, pageSize: Int = 10000,
         // removing the state makes a queue-blocked worker self-terminate;
         // cancelling the job group interrupts in-flight Spark tasks
         ctx.spark.sparkContext.cancelJobGroup(id)
+        maybeReleaseCaches()
         respond(ex, 200, """{"status":"ok"}""")
     }
+
+  /** When the LAST statement finishes (fully served, failed, or cancelled),
+    * unpersist the frames the dedup/corpus operators cached internally —
+    * a long-lived server session must return to baseline storage memory
+    * between query waves, not accumulate pinned blocks (see OpCache).
+    * Released only at idle so a concurrent statement's in-flight caches
+    * are never yanked mid-plan (they'd recompute, correct but slow). */
+  private def maybeReleaseCaches(): Unit =
+    if (statements.isEmpty) ctx.clearOperatorCache()
 
   // ---------------- response building ----------------
 

@@ -132,7 +132,12 @@ object DocStreams {
     * filter rides as a foldable literal, deserialized once per task, and
     * the stream stays stateless). A false positive can only DROP a
     * non-duplicate chunk (rate = fpp), never leak a duplicate through —
-    * the safe direction for dedup. */
+    * the safe direction for dedup.
+    *
+    * SIZE CEILING: a plan Literal is serialized into every task binary, so
+    * this form is for filters up to a few tens of MB (≲ 10⁸ items). Beyond
+    * that use [[dedupChunksStreamBloomBroadcast]], which ships the bytes
+    * once per executor via a broadcast variable. */
   def dedupChunksStreamBloom(docStream: DataFrame, bloom: Array[Byte],
       idCol: String, textCol: String, size: Int): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
@@ -155,6 +160,89 @@ object DocStreams {
         org.apache.spark.sql.functions.size(col("_kept")).cast("bigint").as("n_kept"),
         (col("_n") - org.apache.spark.sql.functions.size(col("_kept")))
           .cast("bigint").as("n_dropped"))
+  }
+
+  /** Deserialized Bloom filters, one per broadcast id per executor JVM —
+    * the probe UDF must not re-read the (potentially GB-sized) byte image
+    * per row or per task. */
+  private object BloomCache {
+    private val cache = new java.util.concurrent.ConcurrentHashMap[
+      Long, org.apache.spark.util.sketch.BloomFilter]()
+    def get(b: org.apache.spark.broadcast.Broadcast[Array[Byte]])
+        : org.apache.spark.util.sketch.BloomFilter =
+      cache.computeIfAbsent(b.id, _ =>
+        org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(b.value)))
+  }
+
+  /** [[dedupChunksStreamBloom]] for CORPUS-SCALE filters (the ~1.7 GB /
+    * 10⁹-chunk regime): the serialized filter is distributed ONCE per
+    * executor as a broadcast variable instead of riding in every task's
+    * plan Literal, and probed by an array-level UDF (one call per row,
+    * filter deserialized once per executor via [[BloomCache]]). The chunk
+    * hash is the same xxhash64(seed=42) the literal path and the batch
+    * operator use, so results are identical (asserted in DocStreamingSpec).
+    * Still a stateless per-row transform — append mode, zero streaming
+    * state. */
+  def dedupChunksStreamBloomBroadcast(docStream: DataFrame, bloom: Array[Byte],
+      idCol: String, textCol: String, size: Int): DataFrame = {
+    val bcast = docStream.sparkSession.sparkContext.broadcast(bloom)
+    val keep = udf { (chunks: Seq[String]) =>
+      val bf = BloomCache.get(bcast)
+      chunks.filterNot { c =>
+        bf.mightContainLong(
+          org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+            org.apache.spark.unsafe.types.UTF8String.fromString(c),
+            StringType, 42L))
+      }
+    }
+    val toks = split(lower(col(textCol)), " ")
+    val starts = sequence(lit(0),
+      greatest(org.apache.spark.sql.functions.size(toks) - 1, lit(0)), lit(size))
+    docStream
+      .select(col(idCol), transform(starts, st =>
+        concat_ws(" ", slice(toks, st + 1, lit(size)))).as("_chunks"))
+      .select(col(idCol),
+        keep(col("_chunks")).as("_kept"),
+        org.apache.spark.sql.functions.size(col("_chunks")).as("_n"))
+      .select(col(idCol),
+        concat_ws(" ", col("_kept")).as("new_text"),
+        org.apache.spark.sql.functions.size(col("_kept")).cast("bigint").as("n_kept"),
+        (col("_n") - org.apache.spark.sql.functions.size(col("_kept")))
+          .cast("bigint").as("n_dropped"))
+  }
+
+  /** WITHIN-stream chunk dedup with BOUNDED state — the piece
+    * [[dedupChunksStream]] deliberately defers: two documents arriving in
+    * the same ingest window can share chunks neither of which is in the
+    * static index yet. Chunks explode to rows keyed by their xxhash64,
+    * and `dropDuplicatesWithinWatermark` keeps a chunk hash's state ONLY
+    * while a duplicate could still arrive (inside the watermark), purging
+    * it after — the same bounded-state shape as
+    * [[EventStreams.dedupWithinWatermark]]; plain dropDuplicates would
+    * retain every chunk hash forever on an unbounded stream. The first
+    * occurrence survives; reassembly of gutted documents is the batch
+    * rewrite's job (`Corpus.dedupChunks`), which also re-indexes.
+    * Emits one row per surviving chunk (id, ts, chunk_id, chunk_text, ch).
+    */
+  def dedupChunksWithinStream(docStream: DataFrame, idCol: String,
+      textCol: String, tsCol: String, chunkSize: Int,
+      watermark: String = "1 hour"): DataFrame = {
+    val toks = split(lower(col(textCol)), " ")
+    val starts = sequence(lit(0),
+      greatest(org.apache.spark.sql.functions.size(toks) - 1, lit(0)),
+      lit(chunkSize))
+    docStream
+      .select(col(idCol), col(tsCol).as("_ts"),
+        posexplode(transform(starts, st =>
+          concat_ws(" ", slice(toks, st + 1, lit(chunkSize)))))
+          .as(Seq("chunk_id", "chunk_text")))
+      .withColumn("ch", xxhash64(col("chunk_text")))
+      .withWatermark("_ts", watermark)
+      .dropDuplicatesWithinWatermark("ch")
+      .select(col(idCol), col("_ts").as(tsCol),
+        col("chunk_id").cast("bigint").as("chunk_id"),
+        col("chunk_text"), col("ch"))
   }
 
   /** Stream-static decontamination: per document, the word-n-gram overlap

@@ -104,4 +104,56 @@ class DocStreamingSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(3)).sum
     assert(intact == 0L)
   }
+
+  test("broadcast-bloom variant equals the literal-bloom variant on a partial index") {
+    val docs = Tables.t(spark, TestSpark.sf, "documents")
+    // index only half the corpus so the output mixes kept and dropped chunks
+    val bloom = DocStreams.buildChunkBloom(
+      docs.filter(col("doc_id") % 2 === 0), "text", size = 8,
+      expectedItems = 20000L, fpp = 0.000001)
+    def run(df: org.apache.spark.sql.DataFrame, name: String) =
+      drain(df, name).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val viaLiteral = run(DocStreams.dedupChunksStreamBloom(
+      DocStreams.readStream(spark, docsDir), bloom, "doc_id", "text", size = 8),
+      "bloom_lit_eq")
+    val viaBroadcast = run(DocStreams.dedupChunksStreamBloomBroadcast(
+      DocStreams.readStream(spark, docsDir), bloom, "doc_id", "text", size = 8),
+      "bloom_bc_eq")
+    assert(viaBroadcast == viaLiteral)
+    assert(viaLiteral.exists(_._3 > 0) && viaLiteral.exists(_._4 > 0),
+      "partial index should both keep and drop")
+  }
+
+  test("within-stream duplicate chunks dropped, state bounded by the watermark") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_chunk_ws")
+    Seq(
+      (1L, java.sql.Timestamp.valueOf("2026-01-01 00:00:00"), "a b c d a b c d"),
+      (2L, java.sql.Timestamp.valueOf("2026-01-01 00:01:00"), "a b c d e f g h"),
+      (3L, java.sql.Timestamp.valueOf("2026-01-01 00:02:00"), "x y z w"))
+      .toDF("doc_id", "ts", "text")
+      .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream.schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("ts", TimestampType),
+        StructField("text", StringType))))
+      .parquet(dir.toString)
+    val q = DocStreams.dedupChunksWithinStream(stream, "doc_id", "text", "ts",
+        chunkSize = 4, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("chunk_ws_dedup")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val chunks = spark.table("chunk_ws_dedup")
+      .collect().map(_.getString(3)).toSeq
+    // "a b c d" occurs 3 times across the stream (twice in doc 1, once in
+    // doc 2): exactly ONE survives; unique chunks all survive
+    assert(chunks.count(_ == "a b c d") == 1)
+    assert(chunks.sorted == Seq("a b c d", "e f g h", "x y z w"))
+    // the dedup runs through a watermark-purged state store, and its state
+    // never exceeds the distinct chunk hashes seen inside the watermark
+    val stateRows = q.recentProgress.flatMap(_.stateOperators)
+    assert(stateRows.nonEmpty)
+    assert(stateRows.map(_.numRowsTotal).max <= 3)
+  }
 }

@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{OpCache, Similarity, TextDedup}
+
+/** Lifecycle of operator-internal caches (OpCache): repeated invocations in
+  * a long-lived session register frames; release() returns storage to
+  * baseline (the round-3 verdict's server-session leak). */
+class OpCacheSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def persistentCount: Int = spark.sparkContext.getPersistentRDDs.size
+
+  test("repeated dedup calls register caches; release returns storage to baseline") {
+    // start clean: other suites share the session
+    OpCache.release(spark)
+    spark.sharedState.cacheManager.clearCache()
+    val baselineRdds = persistentCount
+    val docs = Tables.t(spark, TestSpark.sf, "documents").limit(200)
+
+    // three rounds of the operators that cache internally, each consumed
+    // by an action (the server/CLI pattern)
+    (1 to 3).foreach { _ =>
+      TextDedup.minhashDedupPairs(docs, "doc_id", "text", threshold = 0.5).count()
+      graft.operators.Corpus.removeBoilerplate(docs, "doc_id", "text").count()
+    }
+    Similarity.semanticDedup(
+      Tables.t(spark, TestSpark.sf, "embeddings").limit(100), tau = 0.3).count()
+
+    assert(OpCache.registered(spark) >= 7) // 3×2 dedup/boilerplate + semantic
+    assert(persistentCount > baselineRdds, "caches should be materialized")
+
+    OpCache.release(spark)
+    assert(OpCache.registered(spark) == 0)
+    assert(persistentCount == baselineRdds,
+      s"storage must return to baseline ($baselineRdds), got $persistentCount")
+  }
+
+  test("released frames still answer correctly (recompute, not failure)") {
+    OpCache.release(spark)
+    val docs = Tables.t(spark, TestSpark.sf, "documents").limit(120)
+    val pairs = TextDedup.minhashDedupPairs(docs, "doc_id", "text", threshold = 0.5)
+    val before = pairs.count()
+    OpCache.release(spark) // yank the cache from under the live plan
+    assert(pairs.count() == before)
+  }
+
+  test("Context.clearOperatorCache is the public release hook") {
+    val ctx = new Context(spark)
+    val docs = Tables.t(spark, TestSpark.sf, "documents").limit(50)
+    TextDedup.ngramDedupPairsBanded(docs, "doc_id", "text").count()
+    assert(OpCache.registered(spark) >= 1)
+    ctx.clearOperatorCache()
+    assert(OpCache.registered(spark) == 0)
+  }
+}

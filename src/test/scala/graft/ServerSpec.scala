@@ -226,6 +226,22 @@ class ServerSpec extends AnyFunSuite {
     } finally s2.stop()
   }
 
+  test("operator caches release when the server goes idle") {
+    import graft.operators.{OpCache, TextDedup}
+    OpCache.release(spark)
+    // a dedup operator ran inside this session (UDF/extension/embedding
+    // scenarios) and left its internal cache registered
+    TextDedup.minhashDedupPairs(
+      Tables.t(spark, TestSpark.sf, "documents").limit(100),
+      "doc_id", "text", threshold = 0.5).count()
+    assert(OpCache.registered(spark) >= 1)
+    // serving a statement to completion drains `statements` → idle → release
+    val (_, rows) = drain(post("SELECT count(*) AS n FROM lineitem"))
+    assert(rows.nonEmpty)
+    assert(OpCache.registered(spark) == 0,
+      "server must release operator caches once no statement is in flight")
+  }
+
   test("DELETE /v1/cancel removes the statement; later polls 404") {
     val first = post("SELECT count(*) FROM lineitem l1 CROSS JOIN lineitem l2")
     val id = first.get("id").asText()
