@@ -50,6 +50,13 @@ class Context(val spark: SparkSession) {
   private val schemas = mutable.LinkedHashMap(DefaultSchema -> Schema())
   private var currentSchema = DefaultSchema
 
+  /** Monotonic DDL tick: bumped on every catalog mutation (table/schema
+    * create, drop, rename). Consumers that derive views from the registry
+    * (the JDBC metadata shim) cache against it instead of rebuilding per
+    * query — chatty BI clients enumerate metadata on every connect. */
+  @volatile private[graft] var catalogVersion: Long = 0L
+  private def bumpCatalog(): Unit = catalogVersion += 1
+
   // ---------------- config surface (reference: dask_sql/sql.yaml) --------
 
   /** The reference's `sql.yaml` knob inventory (SURVEY §4.2), keyed by the
@@ -119,6 +126,7 @@ class Context(val spark: SparkSession) {
     val d = if (persist) df.cache() else df
     schemas(currentSchema).tables(norm(name)) = d
     d.createOrReplaceTempView(norm(name))
+    bumpCatalog()
   }
 
   /** Register a table from a file location; format inferred from the
@@ -171,7 +179,7 @@ class Context(val spark: SparkSession) {
       throw new IllegalArgumentException(s"Table not found: $name")
     // only drop the session view if THIS schema owned the name — a same-named
     // view registered by another schema's namespace must survive
-    if (removed.nonEmpty) spark.catalog.dropTempView(norm(name))
+    if (removed.nonEmpty) { spark.catalog.dropTempView(norm(name)); bumpCatalog() }
   }
 
   /** Persist a DataFrame as a BUCKETED catalog table and bind it into the
@@ -234,6 +242,7 @@ class Context(val spark: SparkSession) {
       throw new IllegalArgumentException(s"Schema not found: $oldName"))
     schemas(norm(newName)) = s
     if (currentSchema == norm(oldName)) currentSchema = norm(newName)
+    bumpCatalog()
   }
 
   /** Unpersist every frame the dedup/corpus operators cached internally
@@ -358,6 +367,7 @@ class Context(val spark: SparkSession) {
       if (schemas.contains(norm(name)) && !ifNotExists)
         throw new IllegalArgumentException(s"Schema exists: $name")
       schemas.getOrElseUpdate(norm(name), Schema())
+      bumpCatalog()
       emptyResult
 
     case DropSchema(name, ifExists) =>
@@ -366,6 +376,7 @@ class Context(val spark: SparkSession) {
       if (schemas.remove(norm(name)).isEmpty && !ifExists)
         throw new IllegalArgumentException(s"Schema not found: $name")
       if (currentSchema == norm(name)) currentSchema = DefaultSchema
+      bumpCatalog()
       emptyResult
 
     case UseSchema(name) =>

@@ -15,9 +15,11 @@ import graft.Context
   *
   * Unlike the reference — which snapshots the metadata once at server
   * startup (`jdbc_metadata=True`) and goes stale — the server calls
-  * [[refresh]] on every metadata query. The views are tiny driver-side
-  * frames (one row per schema/table/column), so rebuilding costs no Spark
-  * jobs over data.
+  * [[refresh]] on every metadata query, and refresh caches against the
+  * context's DDL tick (`Context.catalogVersion`): the views rebuild only
+  * when a table or schema was actually created/dropped/renamed since the
+  * last metadata query. Chatty BI clients enumerate metadata on every
+  * connect; a rebuild per poll would be wasted driver work.
   */
 object JdbcMetadata {
 
@@ -28,8 +30,25 @@ object JdbcMetadata {
   def rewrite(sql: String): String =
     sql.replace("system.jdbc.", "system_jdbc_")
 
-  /** (Re)build the metadata views from the context's current registry. */
+  /** catalogVersion the views were last built at, per context. */
+  private val builtAt = new java.util.concurrent.ConcurrentHashMap[Context, java.lang.Long]()
+  /** Actual view rebuilds performed (test/diagnostic observability). */
+  private[graft] val rebuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Rebuild the metadata views IF the context's catalog changed since the
+    * last build (invalidate-on-DDL; a concurrent duplicate rebuild is
+    * harmless — view replacement is idempotent). */
   def refresh(ctx: Context): Unit = {
+    val v = ctx.catalogVersion
+    if (builtAt.get(ctx) != null && builtAt.get(ctx).longValue() == v) return
+    rebuild(ctx)
+    builtAt.put(ctx, v)
+    ()
+  }
+
+  /** Unconditionally (re)build the views from the context's registry. */
+  private def rebuild(ctx: Context): Unit = {
+    rebuilds.incrementAndGet()
     val spark = ctx.spark
     import spark.implicits._
 

@@ -141,6 +141,22 @@ class ServerSpec extends AnyFunSuite {
     drain(post("DROP TABLE jdbc_fresh"))
   }
 
+  test("JDBC metadata views rebuild once per DDL, not once per metadata query") {
+    import graft.server.JdbcMetadata
+    drain(post("CREATE SCHEMA meta_tick")) // DDL → next metadata query rebuilds
+    val base = JdbcMetadata.rebuilds.get()
+    drain(post("SELECT * FROM system.jdbc.schemas"))
+    assert(JdbcMetadata.rebuilds.get() == base + 1)
+    // consecutive metadata polls (the chatty-BI-client pattern) hit the cache
+    drain(post("SELECT * FROM system.jdbc.tables"))
+    drain(post("SELECT * FROM system.jdbc.schemas"))
+    assert(JdbcMetadata.rebuilds.get() == base + 1)
+    // the next DDL invalidates exactly once
+    drain(post("DROP SCHEMA meta_tick"))
+    drain(post("SELECT * FROM system.jdbc.columns"))
+    assert(JdbcMetadata.rebuilds.get() == base + 2)
+  }
+
   test("large results stream in pages without full driver materialization") {
     ServerSpec.evaluated.set(0)
     val ctx2 = new Context(spark)
