@@ -93,6 +93,22 @@ object ScaleProbe {
         // (all clones), so the annotate-back join hits on every row
         operators.Corpus.boilerplateSpans(docs, "doc_id", "text",
           n = 5, minDocs = 2)
+      },
+      time("boilerplate_removal") {
+        // the REWRITE form: same worst case as boilerplate_spans (every
+        // gram is corpus-frequent at clone scale) plus the in-row strip —
+        // the flagged-start arrays come back at full doc coverage
+        operators.Corpus.removeBoilerplate(docs, "doc_id", "text",
+          n = 5, minDocs = 2)
+      },
+      time("calibrate_domain_approx") {
+        // skew-free percentile_approx calibration: two aggregates, zero
+        // windows — per-domain row counts scale REP× but the state is one
+        // quantile sketch per domain either way
+        operators.Corpus.calibrateByDomainApprox(
+          docs.withColumn("q",
+            graft.functions.TextAnalysis.qualityScore(col("text"))),
+          "source", "q")
       }) ++ {
       // semantic dedup at clone scale: replicate the embeddings table the
       // same way (every vector rep exact copies), assign clusters with the
