@@ -94,7 +94,7 @@ class DifferentialSpec extends AnyFunSuite {
       s"engines disagree on:\n$sql")
   }
 
-  for (seed <- Seq(11L, 42L, 1337L)) {
+  for (seed <- Seq(7L, 11L, 42L, 1337L, 9001L)) {
     test(s"random frame (seed=$seed): grouped aggregates over NULL keys agree") {
       loadBoth("dt", randRows(seed, 300))
       assertAgree(
@@ -141,6 +141,66 @@ class DifferentialSpec extends AnyFunSuite {
           |  CASE WHEN v > 50 THEN 'hi' WHEN v > 20 THEN 'mid' ELSE 'lo' END AS band,
           |  COALESCE(s, 'none') AS s2
           |FROM dt WHERE k IS NOT NULL""".stripMargin)
+    }
+
+    test(s"random frame (seed=$seed): INTERSECT and EXCEPT agree") {
+      loadBoth("dta", randRows(seed, 200))
+      loadBoth("dtb", randRows(seed + 500, 200))
+      // set-op distinct semantics treat NULL = NULL in both engines
+      assertAgree("SELECT k, s FROM dta INTERSECT SELECT k, s FROM dtb")
+      assertAgree("SELECT k, s FROM dta EXCEPT SELECT k, s FROM dtb")
+      assertAgree("SELECT v FROM dta INTERSECT SELECT v FROM dtb")
+      assertAgree("SELECT v FROM dta EXCEPT SELECT v FROM dtb")
+    }
+
+    test(s"random frame (seed=$seed): scalar, EXISTS and NOT IN subqueries agree") {
+      loadBoth("dt", randRows(seed, 300))
+      loadBoth("dtb", randRows(seed + 500, 50))
+      // uncorrelated scalar subquery in a predicate
+      assertAgree(
+        """SELECT k, v FROM dt
+          |WHERE CAST(v AS DOUBLE) > (SELECT AVG(CAST(v AS DOUBLE)) FROM dt)""".stripMargin)
+      // correlated EXISTS
+      assertAgree(
+        """SELECT k, COUNT(*) AS c FROM dt a
+          |WHERE EXISTS (SELECT 1 FROM dtb b WHERE b.k = a.k AND b.v > a.v)
+          |GROUP BY k""".stripMargin)
+      // NOT IN with NULLs filtered: plain anti-join semantics
+      assertAgree(
+        "SELECT k, v FROM dt WHERE v NOT IN (SELECT v FROM dtb WHERE v IS NOT NULL)")
+      // the 3VL trap: one NULL in the NOT IN list empties (or not) BOTH
+      // engines identically — whichever way this seed's data falls
+      assertAgree("SELECT COUNT(*) AS c FROM dt WHERE v NOT IN (SELECT v FROM dtb)")
+    }
+
+    test(s"random frame (seed=$seed): window functions agree with their correlated form") {
+      loadBoth("dt", randRows(seed, 200))
+      // Derby has no usable window functions, so the differential runs the
+      // dialect-intersection FORM of the same semantics — RANK as
+      // 1 + count-of-strictly-smaller within the partition, SUM OVER as a
+      // correlated partition sum — on both engines...
+      val correlated =
+        """SELECT a.k, a.v, a.x,
+          |  (SELECT COUNT(*) FROM dt b WHERE b.k = a.k AND b.v < a.v) + 1 AS rnk,
+          |  (SELECT SUM(b.v) FROM dt b WHERE b.k = a.k) AS psum
+          |FROM dt a WHERE a.k IS NOT NULL AND a.v IS NOT NULL""".stripMargin
+      assertAgree(correlated)
+      // ...and the actual Spark window functions must match that form
+      // cell-for-cell, closing the loop Derby ↔ correlated ↔ window
+      def fmt(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.collect().map(_.toSeq.map {
+          case null => "null"
+          case d: java.lang.Double => f"${d.doubleValue()}%.9f"
+          case n: java.lang.Number => n.longValue().toString
+          case o => o.toString
+        }.mkString("|")).toSeq.sorted
+      val windowed = fmt(spark.sql(
+        """SELECT k, v, x,
+          |  RANK() OVER (PARTITION BY k ORDER BY v) AS rnk,
+          |  SUM(v) OVER (PARTITION BY k) AS psum
+          |FROM dt WHERE k IS NOT NULL AND v IS NOT NULL""".stripMargin))
+      assert(windowed == fmt(spark.sql(correlated)),
+        "Spark window functions disagree with the correlated-subquery form")
     }
   }
 }
