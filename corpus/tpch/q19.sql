@@ -1,0 +1,8 @@
+-- TPC-H Q19 (discounted revenue)
+SELECT sum(l_extendedprice * (1 - l_discount)) AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 1 AND l_quantity <= 30)
+   OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 25
+       AND l_quantity >= 5 AND l_quantity <= 40)

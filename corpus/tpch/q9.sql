@@ -1,0 +1,15 @@
+-- TPC-H Q9 (product type profit), adapted: the schema has no partsupp, so
+-- profit omits the supply-cost term (same adaptation as the registered
+-- q78_tpch_q9 oracle query)
+SELECT nation, o_year, sum(amount) AS sum_profit
+FROM (SELECT n_name AS nation,
+             year(o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount) AS amount
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%widget%') profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC

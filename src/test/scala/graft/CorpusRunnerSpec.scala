@@ -29,4 +29,18 @@ class CorpusRunnerSpec extends AnyFunSuite {
     assert(!bad.ok && bad.error.exists(_.nonEmpty))
     results.foreach(r => assert(r.seconds >= 0))
   }
+
+  test("bundled TPC-H corpus runs clean end-to-end against the testdata tables") {
+    val ctx = new Context(spark)
+    CorpusRunner.registerDir(ctx, TestSpark.sf)
+    val results = CorpusRunner.run(ctx, "corpus/tpch")
+    // known-good list: numeric order, every query passes (execution-only,
+    // through the noop sink — the harness the reference's test_queries.py
+    // runs its de-facto TPC corpus with)
+    assert(results.map(_.query) == Seq("q1.sql", "q3.sql", "q5.sql", "q6.sql",
+      "q7.sql", "q9.sql", "q13.sql", "q14.sql", "q18.sql", "q19.sql"))
+    val failed = results.filterNot(_.ok)
+    assert(failed.isEmpty,
+      s"corpus failures: ${failed.map(r => r.query -> r.error).mkString("; ")}")
+  }
 }
