@@ -489,6 +489,47 @@ class Context(val spark: SparkSession) {
       val df = sql(select)
       MlBridge.predict(df, m.pipeline, m.targetColumn)
 
+    // SELECT * FROM DEDUP(METHOD m [WITH (...)], <select>) — the SQL surface
+    // for the pipeline dedup operators, so server/CLI sessions can run them
+    // without Scala (composes with CTAS via the recursive sql(select)).
+    // Kwargs mirror the Scala defaults; column names default to the
+    // documents/embeddings schema.
+    case DedupTable(method, opts, select) =>
+      val df = sql(select)
+      def i(k: String, d: Int) = opts.get(k).map(_.trim.toInt).getOrElse(d)
+      def f(k: String, d: Double) = opts.get(k).map(_.trim.toDouble).getOrElse(d)
+      val id = opts.getOrElse("id", "doc_id")
+      val text = opts.getOrElse("text", "text")
+      import graft.operators.{Similarity, TextDedup}
+      method match {
+        case "exact" => TextDedup.exactDedup(df, id, text)
+        case "minhash" => TextDedup.minhashDedupPairs(df, id, text,
+          shingleSize = i("shingle_size", 3), numHashes = i("num_hashes", 64),
+          bands = i("bands", 16), threshold = f("threshold", 0.5),
+          maxBucket = i("max_bucket", 1000))
+        case "ngram" => TextDedup.ngramDedupPairsBanded(df, id, text,
+          n = i("n", 5), numHashes = i("num_hashes", 64),
+          bands = i("bands", 16), threshold = f("threshold", 0.8),
+          maxBucket = i("max_bucket", 1000))
+        case "simhash" => TextDedup.simhashDedupPairs(df, id, text,
+          maxHamming = i("max_hamming", 3))
+        case "substring" => TextDedup.substringDupSpans(df, id, text,
+          n = i("n", 4), minRun = i("min_run", 3),
+          maxAnchors = i("max_anchors", 256))
+        case "embedding" => Similarity.cosineDedupPairsBanded(df,
+          threshold = f("threshold", 0.9),
+          dim = opts.get("dim").map(_.trim.toInt).getOrElse(
+            throw new IllegalArgumentException(
+              "DEDUP method embedding requires dim=")),
+          tables = i("tables", 8), bitsPerTable = i("bits_per_table", 8),
+          maxBucket = i("max_bucket", 1000),
+          idCol = opts.getOrElse("id", "vec_id"),
+          vecCol = opts.getOrElse("vec", "embedding"))
+        case other => throw new IllegalArgumentException(
+          s"Unknown DEDUP method: $other " +
+            "(exact|minhash|ngram|simhash|substring|embedding)")
+      }
+
     case DescribeModel(name) =>
       val m = schemas(currentSchema).models.getOrElse(name.toLowerCase,
         throw new IllegalArgumentException(s"Model not found: $name"))

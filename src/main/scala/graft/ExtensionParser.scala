@@ -36,6 +36,10 @@ object ExtensionParser {
   final case class CreateExperiment(name: String, options: Map[String, String],
       select: String, orReplace: Boolean) extends Statement
   final case class PredictModel(model: String, select: String) extends Statement
+  /** Table-level dedup over an inner query — the SQL surface for the
+    * pipeline dedup operators (no reference analogue; parity-plus). */
+  final case class DedupTable(method: String, options: Map[String, String],
+      select: String) extends Statement
   final case class DescribeModel(name: String) extends Statement
   final case class DropModel(name: String, ifExists: Boolean) extends Statement
   final case class ExportModel(name: String, options: Map[String, String]) extends Statement
@@ -127,6 +131,9 @@ object ExtensionParser {
     re(s"CREATE${ws}(OR${ws}REPLACE${ws})?EXPERIMENT${ws}$ident${ws}WITH${ws}\\($kwSpan\\)${ws}AS${ws}(.*)")
   private val predictModel =
     re(s"SELECT${ws}\\*${ws}FROM${ws}PREDICT\\s*\\(\\s*MODEL${ws}$ident\\s*,(.*)\\)")
+  // SELECT * FROM DEDUP(METHOD minhash [WITH (threshold=0.6, ...)], <select>)
+  private val dedupTable =
+    re(s"SELECT${ws}\\*${ws}FROM${ws}DEDUP\\s*\\(\\s*METHOD${ws}$ident(?:${ws}WITH${ws}\\($kwSpan\\))?\\s*,(.*)\\)")
   private val describeModel = re(s"DESCRIBE${ws}MODEL${ws}$ident")
   private val dropModel = re(s"DROP${ws}MODEL${ws}(IF${ws}EXISTS${ws})?$ident")
   private val exportModel =
@@ -143,6 +150,9 @@ object ExtensionParser {
     case createExperiment(orRepl, name, kwargs, select) =>
       CreateExperiment(name, parseKwargs(kwargs), select.trim, orRepl != null)
     case predictModel(model, select) => PredictModel(model, select.trim)
+    case dedupTable(method, kwargs, select) =>
+      DedupTable(method.toLowerCase,
+        Option(kwargs).map(parseKwargs).getOrElse(Map()), select.trim)
     case describeModel(name) => DescribeModel(name)
     case dropModel(ifEx, name) => DropModel(name, ifEx != null)
     case exportModel(name, kwargs) => ExportModel(name, parseKwargs(kwargs))

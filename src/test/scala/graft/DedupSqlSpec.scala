@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Similarity, TextDedup}
+
+/** The SQL surface for the pipeline dedup operators:
+  * `SELECT * FROM DEDUP(METHOD m [WITH (...)], <select>)` — results must be
+  * identical to the direct Scala API, kwargs must be honored, and the
+  * statement must compose with CTAS. */
+class DedupSqlSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val ctx: Context = {
+    val c = new Context(spark)
+    c.createTableFromPath("documents", s"${TestSpark.sf}/documents.parquet")
+    c.createTableFromPath("embeddings", s"${TestSpark.sf}/embeddings.parquet")
+    c
+  }
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("DEDUP(METHOD minhash) equals the Scala API") {
+    val viaSql = pairs(ctx.sql(
+      "SELECT * FROM DEDUP(METHOD minhash, SELECT doc_id, text FROM documents)"))
+    val direct = pairs(TextDedup.minhashDedupPairs(
+      Tables.t(spark, TestSpark.sf, "documents"), "doc_id", "text"))
+    assert(viaSql == direct && viaSql.nonEmpty)
+  }
+
+  test("DEDUP kwargs are honored (threshold tightens the pair set)") {
+    val loose = pairs(ctx.sql(
+      """SELECT * FROM DEDUP(METHOD minhash WITH (threshold = 0.5),
+        |SELECT doc_id, text FROM documents)""".stripMargin))
+    val tight = pairs(ctx.sql(
+      """SELECT * FROM DEDUP(METHOD minhash WITH (threshold = 0.9),
+        |SELECT doc_id, text FROM documents)""".stripMargin))
+    assert(tight.subsetOf(loose) && tight.size < loose.size)
+    assert(tight.forall(_._3 >= 0.9))
+  }
+
+  test("DEDUP(METHOD exact) groups by content digest") {
+    val out = ctx.sql(
+      "SELECT * FROM DEDUP(METHOD exact, SELECT doc_id, text FROM documents)")
+    assert(out.columns.toSeq == Seq("content_hash", "keeper", "n_copies"))
+    val n = Tables.t(spark, TestSpark.sf, "documents")
+      .select(md5(col("text"))).distinct().count()
+    assert(out.count() == n)
+  }
+
+  test("DEDUP(METHOD embedding) requires dim= and matches the Scala API") {
+    val e = intercept[IllegalArgumentException](ctx.sql(
+      "SELECT * FROM DEDUP(METHOD embedding, SELECT vec_id, embedding FROM embeddings)"))
+    assert(e.getMessage.contains("dim"))
+    val viaSql = pairs(ctx.sql(
+      """SELECT * FROM DEDUP(METHOD embedding WITH (dim = 64, threshold = 0.5),
+        |SELECT vec_id, embedding FROM embeddings)""".stripMargin))
+    val direct = pairs(Similarity.cosineDedupPairsBanded(
+      Tables.t(spark, TestSpark.sf, "embeddings"), threshold = 0.5, dim = 64))
+    assert(viaSql == direct)
+  }
+
+  test("DEDUP composes with CTAS and the result is queryable") {
+    ctx.sql(
+      """CREATE OR REPLACE TABLE dup_pairs AS
+        |SELECT * FROM DEDUP(METHOD minhash, SELECT doc_id, text FROM documents)""".stripMargin)
+    val n = ctx.sql("SELECT count(*) AS n FROM dup_pairs").head().getLong(0)
+    assert(n > 0)
+    ctx.sql("DROP TABLE dup_pairs")
+  }
+
+  test("unknown DEDUP method names the valid ones") {
+    val e = intercept[IllegalArgumentException](ctx.sql(
+      "SELECT * FROM DEDUP(METHOD nope, SELECT doc_id, text FROM documents)"))
+    assert(e.getMessage.contains("minhash"))
+  }
+}

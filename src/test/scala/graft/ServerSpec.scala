@@ -242,18 +242,17 @@ class ServerSpec extends AnyFunSuite {
     } finally s2.stop()
   }
 
-  test("operator caches release when the server goes idle") {
-    import graft.operators.{OpCache, TextDedup}
+  test("a DEDUP statement over the wire leaves no operator caches once idle") {
+    import graft.operators.OpCache
     OpCache.release(spark)
-    // a dedup operator ran inside this session (UDF/extension/embedding
-    // scenarios) and left its internal cache registered
-    TextDedup.minhashDedupPairs(
-      Tables.t(spark, TestSpark.sf, "documents").limit(100),
-      "doc_id", "text", threshold = 0.5).count()
-    assert(OpCache.registered(spark) >= 1)
-    // serving a statement to completion drains `statements` → idle → release
-    val (_, rows) = drain(post("SELECT count(*) AS n FROM lineitem"))
-    assert(rows.nonEmpty)
+    // the documents table isn't in the server's ctx; register it over the wire
+    drain(post(s"CREATE OR REPLACE TABLE documents WITH " +
+      s"(location = '${TestSpark.sf}/documents.parquet')"))
+    val (_, rows) = drain(post(
+      "SELECT * FROM DEDUP(METHOD minhash, SELECT doc_id, text FROM documents)"))
+    assert(rows.nonEmpty) // near-dup pairs actually streamed back
+    // the statement's internal cache (the shingle frame) was registered
+    // during execution and released when the server went idle
     assert(OpCache.registered(spark) == 0,
       "server must release operator caches once no statement is in flight")
   }
