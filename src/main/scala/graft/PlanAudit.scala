@@ -5,6 +5,9 @@ object PlanAudit {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions","8")
       .config("spark.sql.adaptive.enabled","true")
+      .config("spark.sql.legacy.parquet.nanosAsLong","true")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-wh").toString)
       .config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.01"
@@ -12,7 +15,8 @@ object PlanAudit {
       "q01_tpch_q1","q02_scan_pushdown","q54_star_join","q22_sort_topk",
       "p06_sim_topk","p04b_dedup_ngram_banded","p05b_dedup_embedding_lsh",
       "p22_decontaminate","p24_seq_packing","p25_embedding_quantize",
-      "p38_chunk_dedup","p42_boilerplate_removal")
+      "p38_chunk_dedup","p42_boilerplate_removal",
+      "p02b_dedup_minhash_store","p30b_dedup_incremental_indexed")
     for (name <- names) {
       println(s"===== $name =====")
       val df = SparkEntry.queries(name)(spark, sf)

@@ -78,6 +78,31 @@ object Pipeline {
         .orderBy("doc_a", "doc_b")
     },
 
+    // The SAME dedup once more through the SQL statement surface
+    // (`SELECT * FROM DEDUP(METHOD minhash, ...)` via Context.sql) — the
+    // server/CLI path a reference user would type, held to the same
+    // exhaustive oracle so the statement wiring itself is hash-gated.
+    Q("p02c_dedup_minhash_sql", Some("""
+      WITH sh AS (
+        SELECT doc_id, list_distinct([array_to_string(words[i:i+2], ' ')
+                for i in range(1, len(words) - 1)]) AS shingles
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents)
+        WHERE len(words) >= 3
+      )
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+                   (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 4) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+            (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+      ORDER BY doc_a, doc_b""")) { (s, d) =>
+      val ctx = new graft.Context(s)
+      ctx.createTableFromPath("documents", s"$d/documents.parquet")
+      ctx.sql(
+        "SELECT * FROM DEDUP(METHOD minhash, SELECT doc_id, text FROM documents)")
+        .orderBy("doc_a", "doc_b")
+    },
+
     // SimHash Hamming-distance near-dups — signature depends on xxhash64,
     // not reproducible in DuckDB → rows-only; semantics tested in ScalaTest
     Q("p03_dedup_simhash", None) { (s, d) =>
