@@ -530,6 +530,30 @@ class Context(val spark: SparkSession) {
             "(exact|minhash|ngram|simhash|substring|embedding)")
       }
 
+    // SELECT * FROM SIMSEARCH(TABLE corpus, METHOD m, K n [WITH (...)],
+    // <queries select>) — top-k cosine neighbors of the inner query's
+    // vectors against a registered corpus table: brute (exact), lsh
+    // (multiprobe SRP buckets), ivf (KMeans coarse quantizer).
+    case SimSearch(table, method, k, opts, select) =>
+      val corpus = lookupTable(table)
+      val queries = sql(select)
+      def i(k0: String, d: Int) = opts.get(k0).map(_.trim.toInt).getOrElse(d)
+      val id = opts.getOrElse("id", "vec_id")
+      val vec = opts.getOrElse("vec", "embedding")
+      import graft.operators.Similarity
+      method match {
+        case "brute" =>
+          Similarity.bruteForceTopK(corpus, queries, k, idCol = id, vecCol = vec)
+        case "lsh" =>
+          Similarity.lshTopK(corpus, queries, k, dim = i("dim", 64),
+            nBits = i("n_bits", 12), idCol = id, vecCol = vec)
+        case "ivf" =>
+          Similarity.ivfTopK(corpus, queries, k, nCells = i("n_cells", 16),
+            nProbe = i("n_probe", 3), idCol = id, vecCol = vec)
+        case other => throw new IllegalArgumentException(
+          s"Unknown SIMSEARCH method: $other (brute|lsh|ivf)")
+      }
+
     case DescribeModel(name) =>
       val m = schemas(currentSchema).models.getOrElse(name.toLowerCase,
         throw new IllegalArgumentException(s"Model not found: $name"))

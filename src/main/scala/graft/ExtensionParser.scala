@@ -40,6 +40,10 @@ object ExtensionParser {
     * pipeline dedup operators (no reference analogue; parity-plus). */
   final case class DedupTable(method: String, options: Map[String, String],
       select: String) extends Statement
+  /** Similarity search of the inner query's vectors against a registered
+    * corpus table (no reference analogue; parity-plus). */
+  final case class SimSearch(table: String, method: String, k: Int,
+      options: Map[String, String], select: String) extends Statement
   final case class DescribeModel(name: String) extends Statement
   final case class DropModel(name: String, ifExists: Boolean) extends Statement
   final case class ExportModel(name: String, options: Map[String, String]) extends Statement
@@ -134,6 +138,9 @@ object ExtensionParser {
   // SELECT * FROM DEDUP(METHOD minhash [WITH (threshold=0.6, ...)], <select>)
   private val dedupTable =
     re(s"SELECT${ws}\\*${ws}FROM${ws}DEDUP\\s*\\(\\s*METHOD${ws}$ident(?:${ws}WITH${ws}\\($kwSpan\\))?\\s*,(.*)\\)")
+  // SELECT * FROM SIMSEARCH(TABLE corpus, METHOD brute, K 5 [WITH (...)], <queries select>)
+  private val simSearch =
+    re(s"SELECT${ws}\\*${ws}FROM${ws}SIMSEARCH\\s*\\(\\s*TABLE${ws}$ident\\s*,\\s*METHOD${ws}$ident\\s*,\\s*K${ws}(\\d+)(?:${ws}WITH${ws}\\($kwSpan\\))?\\s*,(.*)\\)")
   private val describeModel = re(s"DESCRIBE${ws}MODEL${ws}$ident")
   private val dropModel = re(s"DROP${ws}MODEL${ws}(IF${ws}EXISTS${ws})?$ident")
   private val exportModel =
@@ -152,6 +159,9 @@ object ExtensionParser {
     case predictModel(model, select) => PredictModel(model, select.trim)
     case dedupTable(method, kwargs, select) =>
       DedupTable(method.toLowerCase,
+        Option(kwargs).map(parseKwargs).getOrElse(Map()), select.trim)
+    case simSearch(table, method, k, kwargs, select) =>
+      SimSearch(table, method.toLowerCase, k.toInt,
         Option(kwargs).map(parseKwargs).getOrElse(Map()), select.trim)
     case describeModel(name) => DescribeModel(name)
     case dropModel(ifEx, name) => DropModel(name, ifEx != null)

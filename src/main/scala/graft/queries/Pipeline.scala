@@ -242,6 +242,29 @@ object Pipeline {
         .orderBy("qid", "rnk")
     },
 
+    // Brute-force top-k once more through the SIMSEARCH statement surface
+    // (Context.sql) — the server/CLI path, held to p06's exhaustive oracle
+    // so the statement wiring is hash-gated like p02c.
+    Q("p06c_sim_topk_sql", Some("""
+      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 10)
+      SELECT qid, nid, round(sim, 6) AS sim, rnk FROM (
+        SELECT qid, vec_id AS nid,
+               list_dot_product(qe, e) /
+               (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e))) AS sim,
+               row_number() OVER (PARTITION BY qid ORDER BY
+                 list_dot_product(qe, e) /
+                 (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e))) DESC, vec_id) AS rnk
+        FROM q JOIN v ON qid <> vec_id)
+      WHERE rnk <= 5 ORDER BY qid, rnk""")) { (s, d) =>
+      val ctx = new graft.Context(s)
+      ctx.createTableFromPath("embeddings", s"$d/embeddings.parquet")
+      ctx.sql(
+        """SELECT * FROM SIMSEARCH(TABLE embeddings, METHOD brute, K 5,
+          |SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10)""".stripMargin)
+        .orderBy("qid", "rnk")
+    },
+
     // LSH-bucketed ANN (the scale path) — approximate by design → rows-only;
     // recall vs brute force asserted in ScalaTest
     Q("p07_sim_lsh_ann", None) { (s, d) =>

@@ -76,4 +76,32 @@ class DedupSqlSpec extends AnyFunSuite {
       "SELECT * FROM DEDUP(METHOD nope, SELECT doc_id, text FROM documents)"))
     assert(e.getMessage.contains("minhash"))
   }
+
+  test("SIMSEARCH(METHOD brute) equals the Scala API") {
+    val viaSql = ctx.sql(
+      """SELECT * FROM SIMSEARCH(TABLE embeddings, METHOD brute, K 5,
+        |SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10)""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val emb = Tables.t(spark, TestSpark.sf, "embeddings")
+    val direct = Similarity.bruteForceTopK(
+        emb, emb.filter(col("vec_id") < 10), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(viaSql == direct && viaSql.nonEmpty)
+  }
+
+  test("SIMSEARCH honors K and the lsh/ivf methods run") {
+    val out = ctx.sql(
+      """SELECT * FROM SIMSEARCH(TABLE embeddings, METHOD brute, K 3,
+        |SELECT vec_id, embedding FROM embeddings WHERE vec_id < 4)""".stripMargin)
+      .collect()
+    assert(out.nonEmpty && out.map(_.getInt(3)).max <= 3)
+    val lsh = ctx.sql(
+      """SELECT * FROM SIMSEARCH(TABLE embeddings, METHOD lsh, K 3 WITH (n_bits = 8),
+        |SELECT vec_id, embedding FROM embeddings WHERE vec_id < 4)""".stripMargin)
+    assert(lsh.count() > 0)
+    val ivf = ctx.sql(
+      """SELECT * FROM SIMSEARCH(TABLE embeddings, METHOD ivf, K 3 WITH (n_cells = 4, n_probe = 4),
+        |SELECT vec_id, embedding FROM embeddings WHERE vec_id < 4)""".stripMargin)
+    assert(ivf.count() > 0)
+  }
 }
