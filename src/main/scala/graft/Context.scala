@@ -513,6 +513,13 @@ class Context(val spark: SparkSession) {
           maxBucket = i("max_bucket", 1000))
         case "simhash" => TextDedup.simhashDedupPairs(df, id, text,
           maxHamming = i("max_hamming", 3))
+        case "incremental" => TextDedup.minhashDedupIncrementalIndexed(
+          spark, df, id, text,
+          prefix = opts.getOrElse("index", throw new IllegalArgumentException(
+            "DEDUP method incremental requires index= (a CREATE DEDUP INDEX prefix)")),
+          shingleSize = i("shingle_size", 3), numHashes = i("num_hashes", 64),
+          bands = i("bands", 16), threshold = f("threshold", 0.5),
+          maxBucket = i("max_bucket", 1000))
         case "substring" => TextDedup.substringDupSpans(df, id, text,
           n = i("n", 4), minRun = i("min_run", 3),
           maxAnchors = i("max_anchors", 256))
@@ -527,7 +534,7 @@ class Context(val spark: SparkSession) {
           vecCol = opts.getOrElse("vec", "embedding"))
         case other => throw new IllegalArgumentException(
           s"Unknown DEDUP method: $other " +
-            "(exact|minhash|ngram|simhash|substring|embedding)")
+            "(exact|minhash|ngram|simhash|substring|embedding|incremental)")
       }
 
     // SELECT * FROM SIMSEARCH(TABLE corpus, METHOD m, K n [WITH (...)],
@@ -550,9 +557,50 @@ class Context(val spark: SparkSession) {
         case "ivf" =>
           Similarity.ivfTopK(corpus, queries, k, nCells = i("n_cells", 16),
             nProbe = i("n_probe", 3), idCol = id, vecCol = vec)
+        case "ivf_index" =>
+          // probe a PERSISTED index (CREATE SIMSEARCH INDEX) — the corpus
+          // table operand is unused: cells are read from their buckets
+          Similarity.probeIvf(
+            Similarity.loadIvfIndex(spark, opts.getOrElse("index",
+              throw new IllegalArgumentException(
+                "SIMSEARCH method ivf_index requires index="))),
+            queries, k, nProbe = i("n_probe", 3), idCol = id, vecCol = vec)
         case other => throw new IllegalArgumentException(
-          s"Unknown SIMSEARCH method: $other (brute|lsh|ivf)")
+          s"Unknown SIMSEARCH method: $other (brute|lsh|ivf|ivf_index)")
       }
+
+    // CREATE DEDUP|SIMSEARCH INDEX name ON table WITH (...) — persist the
+    // build-once artifacts of the 100 TB dedup/ANN paths as bucketed
+    // catalog tables: the nightly index job as one SQL statement, consumed
+    // by DEDUP(METHOD incremental WITH (index=...)) / SIMSEARCH(...
+    // METHOD ivf_index WITH (index=...)).
+    case CreateIndex(kind, name, table, opts) =>
+      val src = lookupTable(table)
+      def i(k0: String, d: Int) = opts.get(k0).map(_.trim.toInt).getOrElse(d)
+      val id = opts.getOrElse("id", "doc_id")
+      val text = opts.getOrElse("text", "text")
+      import graft.operators.{Similarity, TextDedup}
+      kind match {
+        case "dedup" => opts.getOrElse("kind", "minhash") match {
+          case "minhash" => TextDedup.saveMinhashIndex(src, id, text,
+            prefix = name, nBuckets = i("n_buckets", 8),
+            shingleSize = i("shingle_size", 3),
+            numHashes = i("num_hashes", 64), bands = i("bands", 16))
+          case "shingles" => TextDedup.saveShingleStore(src, id, text,
+            table = name, nBuckets = i("n_buckets", 8),
+            shingleSize = i("shingle_size", 3))
+          case other => throw new IllegalArgumentException(
+            s"Unknown DEDUP INDEX kind: $other (minhash|shingles)")
+        }
+        case "simsearch" =>
+          val idx = Similarity.buildIvfIndex(src,
+            nCells = i("n_cells", 16),
+            idCol = opts.getOrElse("id", "vec_id"),
+            vecCol = opts.getOrElse("vec", "embedding"))
+          try Similarity.saveIvfIndex(idx, name, nBuckets = i("n_buckets", 8))
+          finally idx.unpersist()
+      }
+      emptyResult
 
     case DescribeModel(name) =>
       val m = schemas(currentSchema).models.getOrElse(name.toLowerCase,

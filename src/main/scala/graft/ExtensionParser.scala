@@ -44,6 +44,10 @@ object ExtensionParser {
     * corpus table (no reference analogue; parity-plus). */
   final case class SimSearch(table: String, method: String, k: Int,
       options: Map[String, String], select: String) extends Statement
+  /** Persist a build-once dedup/ANN index of a registered table
+    * (no reference analogue; parity-plus). */
+  final case class CreateIndex(kind: String, name: String, table: String,
+      options: Map[String, String]) extends Statement
   final case class DescribeModel(name: String) extends Statement
   final case class DropModel(name: String, ifExists: Boolean) extends Statement
   final case class ExportModel(name: String, options: Map[String, String]) extends Statement
@@ -141,6 +145,9 @@ object ExtensionParser {
   // SELECT * FROM SIMSEARCH(TABLE corpus, METHOD brute, K 5 [WITH (...)], <queries select>)
   private val simSearch =
     re(s"SELECT${ws}\\*${ws}FROM${ws}SIMSEARCH\\s*\\(\\s*TABLE${ws}$ident\\s*,\\s*METHOD${ws}$ident\\s*,\\s*K${ws}(\\d+)(?:${ws}WITH${ws}\\($kwSpan\\))?\\s*,(.*)\\)")
+  // CREATE DEDUP|SIMSEARCH INDEX name ON table [WITH (...)]
+  private val createIndex =
+    re(s"CREATE${ws}(DEDUP|SIMSEARCH)${ws}INDEX${ws}$ident${ws}ON${ws}$ident(?:${ws}WITH${ws}\\($kwSpan\\))?")
   private val describeModel = re(s"DESCRIBE${ws}MODEL${ws}$ident")
   private val dropModel = re(s"DROP${ws}MODEL${ws}(IF${ws}EXISTS${ws})?$ident")
   private val exportModel =
@@ -163,6 +170,9 @@ object ExtensionParser {
     case simSearch(table, method, k, kwargs, select) =>
       SimSearch(table, method.toLowerCase, k.toInt,
         Option(kwargs).map(parseKwargs).getOrElse(Map()), select.trim)
+    case createIndex(kind, name, table, kwargs) =>
+      CreateIndex(kind.toLowerCase, name, table,
+        Option(kwargs).map(parseKwargs).getOrElse(Map()))
     case describeModel(name) => DescribeModel(name)
     case dropModel(ifEx, name) => DropModel(name, ifEx != null)
     case exportModel(name, kwargs) => ExportModel(name, parseKwargs(kwargs))

@@ -89,6 +89,47 @@ class DedupSqlSpec extends AnyFunSuite {
     assert(viaSql == direct && viaSql.nonEmpty)
   }
 
+  test("CREATE DEDUP INDEX + DEDUP(METHOD incremental) equals the direct incremental API") {
+    // index the corpus split, then dedup the increment split against it
+    ctx.sql("CREATE OR REPLACE TABLE corpus_split AS SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 2")
+    ctx.sql("CREATE DEDUP INDEX sql_mh_idx ON corpus_split")
+    try {
+      val viaSql = pairs(ctx.sql(
+        """SELECT * FROM DEDUP(METHOD incremental WITH (index = 'sql_mh_idx'),
+          |SELECT doc_id, text FROM documents WHERE doc_id % 10 < 2)""".stripMargin))
+      val docs = Tables.t(spark, TestSpark.sf, "documents")
+      val direct = pairs(TextDedup.minhashDedupIncremental(
+        docs.filter(col("doc_id") % 10 < 2), docs.filter(col("doc_id") % 10 >= 2),
+        "doc_id", "text"))
+      assert(viaSql == direct && viaSql.nonEmpty)
+    } finally {
+      ctx.sql("DROP TABLE corpus_split")
+      spark.sql("DROP TABLE IF EXISTS sql_mh_idx_bands")
+      spark.sql("DROP TABLE IF EXISTS sql_mh_idx_shingles")
+    }
+  }
+
+  test("CREATE SIMSEARCH INDEX + SIMSEARCH(METHOD ivf_index) probes the persisted cells") {
+    ctx.sql("CREATE SIMSEARCH INDEX sql_ivf ON embeddings WITH (n_cells = 4)")
+    try {
+      // full probe of a 4-cell index == brute force (the SimilaritySpec
+      // equality, here end-to-end through the SQL statements)
+      val viaSql = ctx.sql(
+        """SELECT * FROM SIMSEARCH(TABLE embeddings, METHOD ivf_index, K 3
+          |WITH (index = 'sql_ivf', n_probe = 4),
+          |SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5)""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+      val emb = Tables.t(spark, TestSpark.sf, "embeddings")
+      val brute = Similarity.bruteForceTopK(
+          emb, emb.filter(col("vec_id") < 5), k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+      assert(viaSql == brute && viaSql.nonEmpty)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS sql_ivf_cells")
+      spark.sql("DROP TABLE IF EXISTS sql_ivf_centroids")
+    }
+  }
+
   test("SIMSEARCH honors K and the lsh/ivf methods run") {
     val out = ctx.sql(
       """SELECT * FROM SIMSEARCH(TABLE embeddings, METHOD brute, K 3,
