@@ -38,7 +38,16 @@ object Cli {
     "\\d <table>" -> "Show columns of a table",
     "\\dss <schema>" -> "Switch schema",
     "\\viz <sql>" -> "Physical plan as Graphviz DOT",
-    "quit, exit, \\q" -> "Exit the REPL")
+    "quit, exit, \\q" -> "Exit the REPL",
+    // statement families beyond plain SQL (see COVERAGE.md §2.5)
+    "CREATE MODEL/EXPERIMENT" -> "Train MLlib models / tuning grids over a query",
+    "SELECT * FROM PREDICT(MODEL m, <sql>)" -> "Score a query with a trained model",
+    "SELECT * FROM DEDUP(METHOD m [WITH (...)], <sql>)" ->
+      "Dedup pairs: exact|minhash|ngram|simhash|substring|embedding|incremental",
+    "SELECT * FROM SIMSEARCH(TABLE t, METHOD m, K n [WITH (...)], <sql>)" ->
+      "Top-k cosine neighbors: brute|lsh|ivf|ivf_index",
+    "CREATE DEDUP|SIMSEARCH INDEX i ON t [WITH (...)]" ->
+      "Persist the build-once dedup/ANN index tables")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
