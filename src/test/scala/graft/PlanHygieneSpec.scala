@@ -21,6 +21,7 @@ class PlanHygieneSpec extends AnyFunSuite {
     "p04_dedup_ngram",         // exact all-pairs baseline (scale path: p04b)
     "p05_dedup_embedding",     // exact all-pairs baseline (scale path: p05b)
     "p06_sim_topk",            // 10-row query side broadcast-looped on purpose
+    "p06c_sim_topk_sql",       // same plan via the SIMSEARCH statement
     "p07b_sim_ivf",            // query × broadcast nCells-row centroid table
     "q26_empty_select",        // one-row VALUES scan
     "q27_values",              // VALUES scan
