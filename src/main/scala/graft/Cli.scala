@@ -47,7 +47,17 @@ object Cli {
     "SELECT * FROM SIMSEARCH(TABLE t, METHOD m, K n [WITH (...)], <sql>)" ->
       "Top-k cosine neighbors: brute|lsh|ivf|ivf_index",
     "CREATE DEDUP|SIMSEARCH INDEX i ON t [WITH (...)]" ->
-      "Persist the build-once dedup/ANN index tables")
+      "Persist the build-once dedup/ANN index tables",
+    "SELECT * FROM DECONTAMINATE(TABLE bench [WITH (...)], <sql>)" ->
+      "Benchmark n-gram overlap per document (threshold= adds the flag)",
+    "SELECT * FROM STRATIFY(TABLE quotas [WITH (...)], <sql>)" ->
+      "Deterministic per-stratum quota sample",
+    "SELECT * FROM CHUNK(SIZE n [STRIDE m] [WITH (...)], <sql>)" ->
+      "Overlapping token windows per document",
+    "SELECT * FROM PACK(CAPACITY n [WITH (...)], <sql>)" ->
+      "Token-budget bin assignment per packing group",
+    "lang_id(t), quality_score(t), token_count(t), ..." ->
+      "Text-analysis battery callable from any SQL (see COVERAGE.md §2.6)")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

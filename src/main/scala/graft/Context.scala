@@ -263,6 +263,20 @@ class Context(val spark: SparkSession) {
       s.tables.toSeq.map { case (tn, df) => (sn, tn, df) }
     }
 
+  // ---------------- built-in SQL function surface -------------------------
+
+  // Register the engine's SQL function battery ([[GraftFunctions]]: the
+  // text-analysis functions, fused vector math, minhash/simhash, media
+  // header parsers) on this session, so server/CLI users can call
+  // `lang_id(text)`, `quality_score(text)`, `cosine_sim(a, b)`, ... from
+  // plain SQL. Each expands into the same native expression the Scala API
+  // produces — codegen'd, no UDF in the plan (asserted in
+  // SqlFunctionsSpec), unlike the reference where every registered
+  // function is a Python callable on the hot path. Sessions built without
+  // a Context get the same battery via `spark.sql.extensions=
+  // graft.GraftExtensions`.
+  GraftFunctions.register(spark)
+
   // ---------------- UDF registration (context.py:324-480) ----------------
 
   /** Register a scalar function usable from SQL (reference:
@@ -601,6 +615,52 @@ class Context(val spark: SparkSession) {
           finally idx.unpersist()
       }
       emptyResult
+
+    // SELECT * FROM DECONTAMINATE(TABLE bench [WITH (...)], <train select>)
+    // — benchmark-contamination annotation as a statement: the registered
+    // benchmark table's n-gram set is broadcast against the inner query's
+    // documents. threshold= additionally emits a `contaminated` boolean so
+    // a server session can CTAS the clean split in one statement.
+    case Decontaminate(table, opts, select) =>
+      val annotated = graft.operators.Corpus.decontaminate(
+        sql(select), lookupTable(table),
+        idCol = opts.getOrElse("id", "doc_id"),
+        textCol = opts.getOrElse("text", "text"),
+        n = opts.get("n").map(_.trim.toInt).getOrElse(3))
+      opts.get("threshold").map(_.trim.toDouble) match {
+        case Some(thr) =>
+          annotated.withColumn("contaminated", col("ratio") >= thr)
+        case None => annotated
+      }
+
+    // SELECT * FROM STRATIFY(TABLE quotas [WITH (...)], <select>) —
+    // deterministic quota sampling; the quota table has (strata, quota)
+    // rows and is broadcast against the inner query.
+    case Stratify(table, opts, select) =>
+      graft.operators.Corpus.stratifiedQuota(
+        sql(select),
+        strataCol = opts.getOrElse("strata", "source"),
+        idCol = opts.getOrElse("id", "doc_id"),
+        quotas = lookupTable(table))
+
+    // SELECT * FROM CHUNK(SIZE n [STRIDE m] [WITH (...)], <select>) —
+    // overlapping token windows; STRIDE defaults to SIZE (non-overlapping).
+    case Chunk(size, stride, opts, select) =>
+      graft.operators.Corpus.chunkDocuments(
+        sql(select),
+        idCol = opts.getOrElse("id", "doc_id"),
+        textCol = opts.getOrElse("text", "text"),
+        size = size, stride = stride.getOrElse(size))
+
+    // SELECT * FROM PACK(CAPACITY n [WITH (...)], <select>) — token-budget
+    // bin assignment per packing group (window per group, never global).
+    case Pack(capacity, opts, select) =>
+      graft.operators.Corpus.packSequences(
+        sql(select),
+        idCol = opts.getOrElse("id", "doc_id"),
+        tokensCol = opts.getOrElse("tokens", "n_tokens"),
+        groupCol = opts.getOrElse("group", "source"),
+        capacity = capacity)
 
     case DescribeModel(name) =>
       val m = schemas(currentSchema).models.getOrElse(name.toLowerCase,

@@ -48,6 +48,22 @@ object ExtensionParser {
     * (no reference analogue; parity-plus). */
   final case class CreateIndex(kind: String, name: String, table: String,
       options: Map[String, String]) extends Statement
+  /** Annotate the inner query's documents with benchmark n-gram overlap
+    * (no reference analogue; parity-plus). */
+  final case class Decontaminate(table: String, options: Map[String, String],
+      select: String) extends Statement
+  /** Deterministic per-stratum quota sampling against a registered quota
+    * table (no reference analogue; parity-plus). */
+  final case class Stratify(table: String, options: Map[String, String],
+      select: String) extends Statement
+  /** Split the inner query's documents into overlapping token windows
+    * (no reference analogue; parity-plus). */
+  final case class Chunk(size: Int, stride: Option[Int],
+      options: Map[String, String], select: String) extends Statement
+  /** Assign the inner query's rows to fixed token-budget bins per group
+    * (no reference analogue; parity-plus). */
+  final case class Pack(capacity: Long, options: Map[String, String],
+      select: String) extends Statement
   final case class DescribeModel(name: String) extends Statement
   final case class DropModel(name: String, ifExists: Boolean) extends Statement
   final case class ExportModel(name: String, options: Map[String, String]) extends Statement
@@ -148,6 +164,18 @@ object ExtensionParser {
   // CREATE DEDUP|SIMSEARCH INDEX name ON table [WITH (...)]
   private val createIndex =
     re(s"CREATE${ws}(DEDUP|SIMSEARCH)${ws}INDEX${ws}$ident${ws}ON${ws}$ident(?:${ws}WITH${ws}\\($kwSpan\\))?")
+  // SELECT * FROM DECONTAMINATE(TABLE bench [WITH (...)], <train select>)
+  private val decontaminate =
+    re(s"SELECT${ws}\\*${ws}FROM${ws}DECONTAMINATE\\s*\\(\\s*TABLE${ws}$ident(?:${ws}WITH${ws}\\($kwSpan\\))?\\s*,(.*)\\)")
+  // SELECT * FROM STRATIFY(TABLE quotas [WITH (...)], <select>)
+  private val stratify =
+    re(s"SELECT${ws}\\*${ws}FROM${ws}STRATIFY\\s*\\(\\s*TABLE${ws}$ident(?:${ws}WITH${ws}\\($kwSpan\\))?\\s*,(.*)\\)")
+  // SELECT * FROM CHUNK(SIZE n [STRIDE m] [WITH (...)], <select>)
+  private val chunkStmt =
+    re(s"SELECT${ws}\\*${ws}FROM${ws}CHUNK\\s*\\(\\s*SIZE${ws}(\\d+)(?:${ws}STRIDE${ws}(\\d+))?(?:${ws}WITH${ws}\\($kwSpan\\))?\\s*,(.*)\\)")
+  // SELECT * FROM PACK(CAPACITY n [WITH (...)], <select>)
+  private val packStmt =
+    re(s"SELECT${ws}\\*${ws}FROM${ws}PACK\\s*\\(\\s*CAPACITY${ws}(\\d+)(?:${ws}WITH${ws}\\($kwSpan\\))?\\s*,(.*)\\)")
   private val describeModel = re(s"DESCRIBE${ws}MODEL${ws}$ident")
   private val dropModel = re(s"DROP${ws}MODEL${ws}(IF${ws}EXISTS${ws})?$ident")
   private val exportModel =
@@ -173,6 +201,18 @@ object ExtensionParser {
     case createIndex(kind, name, table, kwargs) =>
       CreateIndex(kind.toLowerCase, name, table,
         Option(kwargs).map(parseKwargs).getOrElse(Map()))
+    case decontaminate(table, kwargs, select) =>
+      Decontaminate(table,
+        Option(kwargs).map(parseKwargs).getOrElse(Map()), select.trim)
+    case stratify(table, kwargs, select) =>
+      Stratify(table,
+        Option(kwargs).map(parseKwargs).getOrElse(Map()), select.trim)
+    case chunkStmt(size, stride, kwargs, select) =>
+      Chunk(size.toInt, Option(stride).map(_.toInt),
+        Option(kwargs).map(parseKwargs).getOrElse(Map()), select.trim)
+    case packStmt(capacity, kwargs, select) =>
+      Pack(capacity.toLong,
+        Option(kwargs).map(parseKwargs).getOrElse(Map()), select.trim)
     case describeModel(name) => DescribeModel(name)
     case dropModel(ifEx, name) => DropModel(name, ifEx != null)
     case exportModel(name, kwargs) => ExportModel(name, parseKwargs(kwargs))

@@ -96,6 +96,31 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => colFn(exprs, 1) { cols =>
         graft.functions.TextAnalysis.tokenCount(cols.head) }),
 
+    (new FunctionIdentifier("mean_word_length"),
+      new ExpressionInfo("graft.functions.TextAnalysis", "mean_word_length"),
+      (exprs: Seq[Expression]) => colFn(exprs, 1) { cols =>
+        graft.functions.TextAnalysis.meanWordLength(cols.head) }),
+
+    (new FunctionIdentifier("unique_word_ratio"),
+      new ExpressionInfo("graft.functions.TextAnalysis", "unique_word_ratio"),
+      (exprs: Seq[Expression]) => colFn(exprs, 1) { cols =>
+        graft.functions.TextAnalysis.uniqueWordRatio(cols.head) }),
+
+    (new FunctionIdentifier("symbol_ratio"),
+      new ExpressionInfo("graft.functions.TextAnalysis", "symbol_ratio"),
+      (exprs: Seq[Expression]) => colFn(exprs, 1) { cols =>
+        graft.functions.TextAnalysis.symbolRatio(cols.head) }),
+
+    (new FunctionIdentifier("email_count"),
+      new ExpressionInfo("graft.functions.TextAnalysis", "email_count"),
+      (exprs: Seq[Expression]) => colFn(exprs, 1) { cols =>
+        graft.functions.TextAnalysis.emailCount(cols.head) }),
+
+    (new FunctionIdentifier("ipv4_count"),
+      new ExpressionInfo("graft.functions.TextAnalysis", "ipv4_count"),
+      (exprs: Seq[Expression]) => colFn(exprs, 1) { cols =>
+        graft.functions.TextAnalysis.ipv4Count(cols.head) }),
+
     (new FunctionIdentifier("bpe_token_count"),
       new ExpressionInfo("graft.functions.TextAnalysis", "bpe_token_count"),
       (exprs: Seq[Expression]) => colFn(exprs, 1) { cols =>
@@ -146,14 +171,28 @@ object GraftFunctions {
       f(exprs.map(org.apache.spark.sql.GraftBridge.column)))
   }
 
-  /** Register every function on an already-built session. */
+  /** `all`, with every builder's argument errors prefixed by the function
+    * name — a bare "expected 1 argument(s)" from deep inside analysis is
+    * useless to a SQL user who called three of these in one statement. */
+  private[graft] lazy val named: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    all.map { case (ident, info, builder) =>
+      val b: Seq[Expression] => Expression = exprs =>
+        try builder(exprs) catch {
+          case e: IllegalArgumentException =>
+            throw new IllegalArgumentException(s"${ident.funcName}: ${e.getMessage}", e)
+        }
+      (ident, info, b)
+    }
+
+  /** Register every function on an already-built session (the Context does
+    * this in its constructor, so server/CLI SQL always has the battery). */
   def register(spark: SparkSession): Unit =
-    all.foreach { case (ident, info, builder) =>
+    named.foreach { case (ident, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
-    GraftFunctions.all.foreach(e.injectFunction)
+    GraftFunctions.named.foreach(e.injectFunction)
 }

@@ -44,6 +44,6 @@ object SparkEntry {
     "p01_dedup_exact", "p02_dedup_minhash", "p06_sim_topk", "p14_asof_join",
     "p20_range_join", "p21_salted_join", "p22_decontaminate",
     "p25_embedding_quantize", "p31_semantic_dedup", "p35_substring_dedup",
-    "p36_tfidf", "p37_unigram_logppl", "p38_chunk_dedup",
+    "p36_tfidf", "p37_unigram_logppl", "p38_chunk_dedup", "p43_bigram_logppl",
     "s01_events_tumbling", "s03_events_session")
 }

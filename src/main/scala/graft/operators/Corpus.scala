@@ -459,6 +459,151 @@ object Corpus {
       .select(col("doc_id"), col("n_tokens"), round(col("_lp"), 6).as("logppl"))
   }
 
+  /** Per-document cross-entropy under the corpus BIGRAM model — one order
+    * up from [[unigramLogPerplexity]], and a materially better CCNet-style
+    * quality signal: word-salad that fools unigram statistics (common words
+    * in nonsense order) scores high here, because p(w2|w1) is estimated
+    * from how often the corpus actually continues w1 with w2. MLE over the
+    * observed-bigram event space (p = cnt(w1,w2) / Σ_w cnt(w1,w)) needs no
+    * smoothing: every document bigram is by construction in the corpus.
+    * Documents with fewer than two non-empty tokens have no bigrams and are
+    * not emitted (callers length-gate first). Returns (doc_id, n_bigrams,
+    * logppl) with logppl in nats, rounded to 6dp.
+    *
+    * Scale shape: the [[unigramLogPerplexity]] family — thin aggregate keys
+    * only, raw text never reshuffled. One (doc, bigram)-count shuffle, one
+    * bigram-count shuffle, one context-count shuffle (all map-side
+    * combinable: a boilerplate bigram repeated 10⁹ times costs each task
+    * one counter), and two equi-joins on the same thin keys. No windows,
+    * no scalar collects.
+    */
+  def bigramLogPerplexity(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = filter(split(lower(col(textCol)), " "), t => t =!= "")
+    val bigrams = when(size(toks) >= 2,
+        transform(sequence(lit(0), size(toks) - 2), i =>
+          concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val tf = df.select(col(idCol).as("doc_id"), explode(bigrams).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("tf"))
+    val bc = tf.groupBy("bg").agg(sum(col("tf")).as("cnt"))
+    // context totals Σ_w cnt(w1, w): regroup the bigram counts by their
+    // first word — cheaper than a unigram pass (|bigram vocab| rows in,
+    // |unigram vocab| out) and exactly the MLE denominator
+    val ctx = bc.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("cnt")).as("ctx_cnt"))
+    tf.join(bc, "bg")
+      .join(ctx, substring_index(col("bg"), " ", 1) === ctx("w1"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).cast("bigint").as("n_bigrams"),
+        (-sum(col("tf") * log(col("cnt").cast("double") / col("ctx_cnt"))) /
+          sum(col("tf"))).as("_lp"))
+      .select(col("doc_id"), col("n_bigrams"), round(col("_lp"), 6).as("logppl"))
+  }
+
+  /** BPE pair statistics — the first merge step of byte-pair-encoding
+    * tokenizer training, at corpus scale: for every word occurrence, count
+    * adjacent SYMBOL pairs (symbols = characters before any merge), and
+    * rank pairs by corpus frequency. The top pair IS the first BPE merge;
+    * re-running after applying a merge yields the next (see
+    * [[bpeLearnMerges]]). Returns the k most frequent pairs as
+    * (rank, left, right, n) — deterministic: ties break lexicographically.
+    *
+    * Scale shape: word de-dup FIRST (groupBy word with map-side-combinable
+    * counts — the corpus's Zipf head collapses before any per-character
+    * work), then per-distinct-word pair explosion weighted by the word
+    * count, one pair-count shuffle, and a top-k sort of the tiny pair
+    * vocabulary. Raw text is scanned once and never reshuffled. (Columns
+    * are named lhs/rhs, not LEFT/RIGHT — those are SQL reserved words.)
+    */
+  def bpePairStats(
+      df: DataFrame, textCol: String, k: Int = 20): DataFrame = {
+    val words = df.select(explode(
+        filter(split(lower(col(textCol)), " "), t => t =!= "")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n_occ"))
+    val chars = split(col("word"), "")
+    val pairs = when(size(chars) >= 2,
+        transform(sequence(lit(0), size(chars) - 2), i =>
+          struct(element_at(chars, i + 1).as("lhs"),
+            element_at(chars, i + 2).as("rhs"))))
+      .otherwise(array().cast("array<struct<lhs:string,rhs:string>>"))
+    words.select(explode(pairs).as("p"), col("n_occ"))
+      .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+      .agg(sum(col("n_occ")).cast("bigint").as("n"))
+      .orderBy(col("n").desc, col("lhs"), col("rhs"))
+      .limit(k)
+      .select(row_number().over(Window.orderBy(col("n").desc, col("lhs"),
+        col("rhs"))).cast("bigint").as("rank"),
+        col("lhs"), col("rhs"), col("n"))
+  }
+
+  /** BPE merge learning — tokenizer training over a corpus: run
+    * [[bpePairStats]]-style counting iteratively, each round adopting the
+    * most frequent adjacent symbol pair as a merge and rewriting the
+    * vocabulary with it (greedy left-to-right, non-overlapping — standard
+    * BPE). Returns the learned merge table (round, left, right, n).
+    *
+    * Scale shape: the loop iterates over the DISTINCT-WORD vocabulary with
+    * per-word occurrence weights, computed once — corpus text is scanned a
+    * single time regardless of nMerges, and each round touches only
+    * |vocab| rows (Zipf: orders of magnitude smaller than the corpus).
+    * Per round: one map-side-combinable pair-count aggregate, ONE top-1
+    * row collected to the driver (the merge decision — same bounded
+    * per-round action as [[connectedComponents]]' convergence check), and
+    * a pure projection applying the merge as an `aggregate` fold over each
+    * word's symbols. Lineage is truncated per round with localCheckpoint.
+    */
+  def bpeLearnMerges(
+      df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    require(nMerges > 0, "nMerges must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var vocab = df.select(explode(
+        filter(split(lower(col(textCol)), " "), t => t =!= "")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n_occ"))
+      .select(split(col("word"), "").as("syms"), col("n_occ"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    var round = 1
+    while (round <= nMerges) {
+      val top = vocab.select(explode(when(size(col("syms")) >= 2,
+          transform(sequence(lit(0), size(col("syms")) - 2), i =>
+            struct(element_at(col("syms"), i + 1).as("left"),
+              element_at(col("syms"), i + 2).as("right"))))
+          .otherwise(array().cast("array<struct<left:string,right:string>>"))).as("p"),
+          col("n_occ"))
+        .groupBy(col("p.left").as("left"), col("p.right").as("right"))
+        .agg(sum(col("n_occ")).as("n"))
+        .orderBy(col("n").desc, col("left"), col("right"))
+        .limit(1).collect()
+      if (top.isEmpty) {
+        round = nMerges + 1 // every word is one symbol — nothing left to merge
+      } else {
+        val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((round.toLong, l, r, n))
+        // greedy non-overlapping left-to-right merge: fold each word's
+        // symbols with a (result, carry) state — carry holds the symbol
+        // that may still pair with the next one
+        val merged = aggregate(col("syms"),
+          struct(array().cast("array<string>").as("res"), lit("").as("carry")),
+          (acc, s) =>
+            when(acc.getField("carry") === "",
+              struct(acc.getField("res").as("res"), s.as("carry")))
+            .when(acc.getField("carry") === l && s === r,
+              struct(concat(acc.getField("res"), array(lit(l + r))).as("res"),
+                lit("").as("carry")))
+            .otherwise(
+              struct(concat(acc.getField("res"), array(acc.getField("carry"))).as("res"),
+                s.as("carry"))),
+          acc => when(acc.getField("carry") === "", acc.getField("res"))
+            .otherwise(concat(acc.getField("res"), array(acc.getField("carry")))))
+        vocab = vocab.select(merged.as("syms"), col("n_occ")).localCheckpoint()
+        round += 1
+      }
+    }
+    merges.toSeq.toDF("round", "lhs", "rhs", "n")
+  }
+
   /** The dedup ACTION that follows [[connectedComponents]]: pick ONE
     * survivor per near-duplicate cluster — the best-scoring member (score
     * desc, id asc tiebreak; "keep the longest/highest-quality copy", the

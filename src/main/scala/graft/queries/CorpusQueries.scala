@@ -50,6 +50,40 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // The SAME decontamination through the SQL statement surface
+    // (`SELECT * FROM DECONTAMINATE(TABLE bench, ...)` via Context.sql) —
+    // held to p22's oracle so the statement wiring itself is hash-gated
+    // (the p02c precedent). The benchmark split registers as a VIEW first,
+    // so the statement also exercises name resolution through the Context.
+    Q("p22c_decontaminate_sql", Some("""
+      WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct([array_to_string(words[i:i+2], ' ')
+                for i in range(1, len(words) - 1)]) AS grams
+        FROM w WHERE len(words) >= 3),
+      bench AS (SELECT DISTINCT unnest(grams) AS g FROM sh WHERE doc_id % 20 = 7),
+      tr AS (SELECT doc_id, unnest(grams) AS g FROM sh WHERE doc_id % 20 <> 7),
+      hits AS (
+        SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN bench.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+        FROM tr LEFT JOIN bench ON tr.g = bench.g
+        GROUP BY tr.doc_id)
+      SELECT doc_id, n_grams, n_hits,
+             round(CAST(n_hits AS DOUBLE) / greatest(n_grams, 1), 6) AS ratio,
+             CAST(n_hits AS DOUBLE) / greatest(n_grams, 1) >= 0.2 AS contaminated
+      FROM hits ORDER BY doc_id""")) { (s, d) =>
+      val ctx = new graft.Context(s)
+      ctx.createTableFromPath("documents", s"$d/documents.parquet")
+      ctx.sql("CREATE OR REPLACE VIEW bench_docs AS " +
+        "SELECT doc_id, text FROM documents WHERE doc_id % 20 = 7")
+      ctx.sql(
+        """SELECT * FROM DECONTAMINATE(TABLE bench_docs WITH (threshold = 0.2),
+          |SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 7)""".stripMargin)
+        .select(col("doc_id"), col("n_grams").cast("bigint").as("n_grams"),
+          col("n_hits"), round(col("ratio"), 6).as("ratio"), col("contaminated"))
+        .orderBy("doc_id")
+    },
+
     // Deterministic stratified quota sampling — the dataset-mixing step:
     // exactly 10 docs from src0-2, 4 from every other source, chosen by a
     // fixed multiplicative hash (reproducible across engines, unlike RNG
@@ -74,6 +108,32 @@ object CorpusQueries {
         .orderBy("source", "rank_in_stratum")
     },
 
+    // The SAME quota sampling through the SQL statement surface — the quota
+    // table is built by a plain SQL VIEW, then STRATIFY references it by
+    // name; held to p23's oracle (statement wiring hash-gated).
+    Q("p23c_mix_sample_sql", Some("""
+      WITH ranked AS (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS r
+        FROM documents)
+      SELECT doc_id, source, CAST(r AS BIGINT) AS rank_in_stratum
+      FROM ranked
+      WHERE r <= CASE WHEN source IN ('src0','src1','src2') THEN 10 ELSE 4 END
+      ORDER BY source, rank_in_stratum""")) { (s, d) =>
+      val ctx = new graft.Context(s)
+      ctx.createTableFromPath("documents", s"$d/documents.parquet")
+      ctx.sql("""CREATE OR REPLACE VIEW mix_quotas AS
+        |SELECT source,
+        |       CASE WHEN source IN ('src0','src1','src2') THEN 10 ELSE 4 END AS quota
+        |FROM (SELECT DISTINCT source FROM documents)""".stripMargin)
+      ctx.sql(
+        "SELECT * FROM STRATIFY(TABLE mix_quotas, SELECT doc_id, source FROM documents)")
+        .select(col("doc_id"), col("source"),
+          col("rank_in_stratum").cast("bigint").as("rank_in_stratum"))
+        .orderBy("source", "rank_in_stratum")
+    },
+
     // Sequence packing: concat-and-chunk token budgeting into 256-token
     // bins per source shard (window per group, never global)
     Q("p24_seq_packing", Some("""
@@ -91,6 +151,33 @@ object CorpusQueries {
       val docs = t(s, d, "documents").select(col("doc_id"), col("source"),
         size(split(lower(col("text")), " ")).cast("long").as("n_tokens"))
       Corpus.packSequences(docs, "doc_id", "n_tokens", "source", 256L)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("bin"), col("bin_offset"))
+        .orderBy("doc_id")
+    },
+
+    // The SAME packing through the SQL statement surface — the token count
+    // is computed by the inner (standard-SQL) select, PACK assigns bins;
+    // held to p24's oracle (statement wiring hash-gated).
+    Q("p24c_seq_packing_sql", Some("""
+      WITH d AS (SELECT doc_id, source,
+                   CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+                 FROM documents),
+      c AS (SELECT doc_id, source, n_tokens,
+              CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS cum_before
+            FROM d)
+      SELECT doc_id, source, n_tokens,
+             CAST(cum_before // 256 AS BIGINT) AS bin,
+             CAST(cum_before % 256 AS BIGINT) AS bin_offset
+      FROM c ORDER BY doc_id""")) { (s, d) =>
+      val ctx = new graft.Context(s)
+      ctx.createTableFromPath("documents", s"$d/documents.parquet")
+      ctx.sql(
+        """SELECT * FROM PACK(CAPACITY 256,
+          |SELECT doc_id, source,
+          |       CAST(size(split(lower(text), ' ')) AS BIGINT) AS n_tokens
+          |FROM documents)""".stripMargin)
         .select(col("doc_id"), col("source"), col("n_tokens"),
           col("bin"), col("bin_offset"))
         .orderBy("doc_id")
@@ -212,6 +299,24 @@ object CorpusQueries {
       FROM s ORDER BY doc_id, chunk_id""")) { (s, d) =>
       Corpus.chunkDocuments(t(s, d, "documents"), "doc_id", "text",
           size = 16, stride = 8)
+        .orderBy("doc_id", "chunk_id")
+    },
+
+    // The SAME chunking through the SQL statement surface — held to p29's
+    // oracle (statement wiring hash-gated).
+    Q("p29c_doc_chunks_sql", Some("""
+      WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+      s AS (SELECT doc_id, toks,
+              unnest(range(0, greatest(len(toks), 1), 8)) AS start
+            FROM w)
+      SELECT doc_id, CAST(start // 8 AS BIGINT) AS chunk_id,
+             array_to_string(toks[start + 1 : start + 16], ' ') AS chunk_text,
+             CAST(len(toks[start + 1 : start + 16]) AS BIGINT) AS n_tokens
+      FROM s ORDER BY doc_id, chunk_id""")) { (s, d) =>
+      val ctx = new graft.Context(s)
+      ctx.createTableFromPath("documents", s"$d/documents.parquet")
+      ctx.sql(
+        "SELECT * FROM CHUNK(SIZE 16 STRIDE 8, SELECT doc_id, text FROM documents)")
         .orderBy("doc_id", "chunk_id")
     },
 
@@ -449,6 +554,61 @@ object CorpusQueries {
       GROUP BY tf.doc_id ORDER BY tf.doc_id""")) { (s, d) =>
       Corpus.unigramLogPerplexity(t(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")
+    },
+
+    // Bigram-LM cross-entropy — one order up from p37: p(w2|w1) estimated
+    // from corpus continuation counts, so common-words-in-nonsense-order
+    // (which fools unigram stats) scores high. MLE over observed bigrams,
+    // no smoothing needed (every doc bigram is in the corpus).
+    Q("p43_bigram_logppl", Some("""
+      WITH toks AS (SELECT doc_id,
+                      list_filter(string_split(lower(text), ' '), t -> t <> '') AS w
+                    FROM documents),
+      bgl AS (SELECT doc_id,
+                unnest([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]) AS bg
+              FROM toks WHERE len(w) >= 2),
+      tf AS (SELECT doc_id, bg, count(*) AS tf FROM bgl GROUP BY doc_id, bg),
+      bc AS (SELECT bg, sum(tf) AS cnt FROM tf GROUP BY bg),
+      ctx AS (SELECT split_part(bg, ' ', 1) AS w1, sum(cnt) AS ctx_cnt
+              FROM bc GROUP BY 1)
+      SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_bigrams,
+        round(-sum(tf.tf * ln(CAST(bc.cnt AS DOUBLE) / CAST(ctx.ctx_cnt AS DOUBLE)))
+          / sum(tf.tf), 6) AS logppl
+      FROM tf JOIN bc USING (bg)
+      JOIN ctx ON split_part(tf.bg, ' ', 1) = ctx.w1
+      GROUP BY tf.doc_id ORDER BY tf.doc_id""")) { (s, d) =>
+      Corpus.bigramLogPerplexity(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // BPE pair statistics — the first merge step of tokenizer training at
+    // corpus scale: adjacent character-pair frequencies weighted by word
+    // occurrence, top-20, ties broken lexicographically.
+    Q("p44_bpe_pairs", Some("""
+      WITH v AS (SELECT word, count(*) AS n_occ FROM (
+                   SELECT unnest(list_filter(string_split(lower(text), ' '),
+                     t -> t <> '')) AS word FROM documents)
+                 GROUP BY word),
+      x AS (SELECT cs, n_occ, unnest(range(1, len(cs))) AS i
+            FROM (SELECT string_split(word, '') AS cs, n_occ FROM v)),
+      agg AS (SELECT cs[i] AS lhs, cs[i+1] AS rhs,
+                CAST(sum(n_occ) AS BIGINT) AS n
+              FROM x GROUP BY 1, 2)
+      SELECT CAST(row_number() OVER (ORDER BY n DESC, lhs, rhs) AS BIGINT) AS rank,
+             lhs, rhs, n
+      FROM agg ORDER BY n DESC, lhs, rhs LIMIT 20""")) { (s, d) =>
+      Corpus.bpePairStats(t(s, d, "documents"), "text", k = 20)
+    },
+
+    // Full BPE merge learning (10 rounds) — the iterative merge decisions
+    // are a driver loop over the distinct-word vocabulary (one top-1 row
+    // per round, the connectedComponents precedent), which a single SQL
+    // query cannot replicate → rows-only here; the ALGORITHM is verified
+    // in CorpusSpec against hand-computed merges, and round 1 is exactly
+    // p44's oracle-gated top pair.
+    Q("p44b_bpe_merges", None) { (s, d) =>
+      Corpus.bpeLearnMerges(t(s, d, "documents"), "text", nMerges = 10)
+        .orderBy("round")
     },
 
     // Misra-Gries heavy-hitters vocabulary: the sketch path to top-k that

@@ -318,6 +318,36 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // The SAME language ID through the SQL FUNCTION surface — `lang_id(text)`
+    // registered by the Context as an expression builder expanding to the
+    // native Column expression (no UDF in the plan; SqlFunctionsSpec), held
+    // to p08's oracle logic so the registration path itself is hash-gated.
+    Q("p08c_lang_id_sql", Some("""
+      WITH scored AS (
+        SELECT doc_id,
+          CAST(len(list_filter(string_split(lower(text), ' '),
+            w -> w IN ('the','and','of','to','in','is','that','for','it','a'))) AS BIGINT) AS en_hits,
+          CAST(len(list_filter(string_split(lower(text), ' '),
+            w -> w IN ('der','die','und','das','ist','nicht','ein','mit','zu','auf'))) AS BIGINT) AS de_hits,
+          CAST(len(list_filter(string_split(lower(text), ' '),
+            w -> w IN ('le','la','les','et','des','est','une','dans','que','pour'))) AS BIGINT) AS fr_hits,
+          CAST(len(list_filter(string_split(lower(text), ' '),
+            w -> w IN ('el','los','las','es','una','por','con','para','como','y'))) AS BIGINT) AS es_hits,
+          CAST(length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')) AS BIGINT) AS cjk
+        FROM documents)
+      SELECT doc_id,
+             CASE WHEN cjk > 0 THEN 'zh'
+                  WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits AND en_hits > 0 THEN 'en'
+                  WHEN de_hits >= fr_hits AND de_hits >= es_hits AND de_hits > 0 THEN 'de'
+                  WHEN fr_hits >= es_hits AND fr_hits > 0 THEN 'fr'
+                  WHEN es_hits > 0 THEN 'es'
+                  ELSE 'unknown' END AS pred
+      FROM scored ORDER BY doc_id""")) { (s, d) =>
+      val ctx = new graft.Context(s)
+      ctx.createTableFromPath("documents", s"$d/documents.parquet")
+      ctx.sql("SELECT doc_id, lang_id(text) AS pred FROM documents ORDER BY doc_id")
+    },
+
     // Quality scoring: length / punctuation / stopword-ratio heuristic
     Q("p09_quality_score", Some("""
       SELECT doc_id,
@@ -332,6 +362,22 @@ object Pipeline {
         col("doc_id"),
         TextAnalysis.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")
+    },
+
+    // The SAME quality heuristic through the SQL function surface
+    // (`quality_score(text)`), held to p09's oracle.
+    Q("p09c_quality_score_sql", Some("""
+      SELECT doc_id,
+        round(least(length(text) / 500.0, 1.0) * 0.5 +
+              least(CAST(len(list_filter(string_split(lower(text), ' '),
+                w -> w IN ('the','and','of','to','in','is','that','for','it','a'))) AS DOUBLE)
+                / greatest(len(string_split(lower(text), ' ')), 1) * 10.0, 1.0) * 0.3 +
+              (1.0 - least((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+                / greatest(CAST(length(text) AS DOUBLE), 1.0) * 5.0, 1.0)) * 0.2, 6) AS quality
+      FROM documents ORDER BY doc_id""")) { (s, d) =>
+      val ctx = new graft.Context(s)
+      ctx.createTableFromPath("documents", s"$d/documents.parquet")
+      ctx.sql("SELECT doc_id, quality_score(text) AS quality FROM documents ORDER BY doc_id")
     },
 
     // Token counting: whitespace + BPE-ish pre-tokenizer
@@ -363,6 +409,21 @@ object Pipeline {
         TextAnalysis.fingerprint(col("text")).as("fp"),
         TextAnalysis.rollingHash(col("text")).as("rhash"))
         .orderBy("doc_id")
+    },
+
+    // The SAME fingerprints through the SQL function surface
+    // (`doc_fingerprint(text)`, `rolling_hash(text)`), held to p11's oracle.
+    Q("p11c_fingerprint_sql", Some("""
+      SELECT doc_id,
+             md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+                           [CAST(ascii(c) AS BIGINT) for c in string_split(text, '')]),
+                         (a, b) -> (a * 31 + b) % 1000000007) AS rhash
+      FROM documents ORDER BY doc_id""")) { (s, d) =>
+      val ctx = new graft.Context(s)
+      ctx.createTableFromPath("documents", s"$d/documents.parquet")
+      ctx.sql("SELECT doc_id, doc_fingerprint(text) AS fp, " +
+        "rolling_hash(text) AS rhash FROM documents ORDER BY doc_id")
     },
 
     // Multimodal: binary payload + metadata struct; SQL-expressible slice

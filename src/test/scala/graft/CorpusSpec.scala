@@ -31,6 +31,64 @@ class CorpusSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("bigramLogPerplexity: hand-computed MLE probabilities; bigram-less docs not emitted") {
+    val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "x")).toDF("doc_id", "text")
+    val out = Corpus.bigramLogPerplexity(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // corpus: "a b":1, "a c":1 → ctx(a)=2 → p = 0.5 for both docs' one bigram
+    assert(out.keySet == Set(1L, 2L)) // doc 3 has no bigram
+    assert(out(1L) == ((1L, math.rint(math.log(2.0) * 1e6) / 1e6)))
+    assert(out(1L) == out(2L))
+  }
+
+  test("bigramLogPerplexity flags word salad that unigram statistics miss") {
+    // many docs share the SAME word order; one doc uses the same words shuffled
+    val normal = (1L to 20L).map(i => (i, "the cat sat on the mat"))
+    val salad = Seq((99L, "mat the on sat cat the"))
+    val docs = (normal ++ salad).toDF("doc_id", "text")
+    val uni = Corpus.unigramLogPerplexity(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val bi = Corpus.bigramLogPerplexity(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // same bag of words → unigram cannot separate; bigram must
+    assert(math.abs(uni(99L) - uni(1L)) < 1e-9)
+    assert(bi(99L) > bi(1L) + 1.0)
+  }
+
+  test("bpePairStats: weighted pair counts with lexicographic tiebreak") {
+    val docs = Seq((1L, "low low low lower lowest")).toDF("doc_id", "text")
+    val out = Corpus.bpePairStats(docs, "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // (l,o) and (o,w) both occur in all 5 word occurrences; tie → l < o
+    assert(out(0) == ((1L, "l", "o", 5L)))
+    assert(out(1) == ((2L, "o", "w", 5L)))
+    assert(out(2) == ((3L, "w", "e", 2L)))
+  }
+
+  test("bpeLearnMerges reproduces the classic hand-computed merge sequence") {
+    val docs = Seq((1L, "low low low lower lowest")).toDF("doc_id", "text")
+    val merges = Corpus.bpeLearnMerges(docs, "text", nMerges = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // greedy BPE over {low×3, lower, lowest}: lo, low, lowe, lower, lowes,
+    // lowest — then every word is a single symbol and learning stops early
+    assert(merges.toSeq == Seq(
+      (1L, "l", "o", 5L),
+      (2L, "lo", "w", 5L),
+      (3L, "low", "e", 2L),
+      (4L, "lowe", "r", 1L),
+      (5L, "lowe", "s", 1L),
+      (6L, "lowes", "t", 1L)))
+  }
+
+  test("bpeLearnMerges round 1 equals bpePairStats' top pair on the corpus") {
+    val docs = Tables.t(spark, TestSpark.sf, "documents").limit(100)
+    val top = Corpus.bpePairStats(docs, "text", k = 1)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3))).head
+    val m1 = Corpus.bpeLearnMerges(docs, "text", nMerges = 1)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3))).head
+    assert(m1 == top)
+  }
+
   test("stratifiedQuota takes exactly the quota per stratum, deterministically") {
     val docs = Tables.t(spark, TestSpark.sf, "documents")
     val quotas = docs.select("source").distinct()

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Corpus
+
+/** The SQL statement surface for the corpus-construction operators:
+  * `SELECT * FROM DECONTAMINATE(TABLE bench, ...)`, `STRATIFY(TABLE quotas,
+  * ...)`, `CHUNK(SIZE n STRIDE m, ...)`, `PACK(CAPACITY n, ...)` — results
+  * must be identical to the direct Scala API, kwargs must be honored, and
+  * the statements must compose with CTAS (the DedupSqlSpec contract,
+  * extended to the multi-input corpus ops).
+  */
+class CorpusSqlSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val ctx: Context = {
+    val c = new Context(spark)
+    c.createTableFromPath("documents", s"${TestSpark.sf}/documents.parquet")
+    c
+  }
+
+  private def docs = Tables.t(spark, TestSpark.sf, "documents")
+
+  test("DECONTAMINATE(TABLE bench) equals the Scala API; threshold adds the flag") {
+    ctx.sql("CREATE OR REPLACE VIEW bench_split AS " +
+      "SELECT doc_id, text FROM documents WHERE doc_id % 20 = 7")
+    val viaSql = ctx.sql(
+      """SELECT * FROM DECONTAMINATE(TABLE bench_split WITH (threshold = 0.2),
+        |SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 7)""".stripMargin)
+    assert(viaSql.columns.toSeq ==
+      Seq("doc_id", "n_grams", "n_hits", "ratio", "contaminated"))
+    val direct = Corpus.decontaminate(
+      docs.filter(col("doc_id") % 20 =!= 7), docs.filter(col("doc_id") % 20 === 7),
+      "doc_id", "text", n = 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_grams", "n_hits").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows(viaSql) == rows(direct) && rows(viaSql).nonEmpty)
+    // the flag is the ratio gate, not a separate computation
+    assert(viaSql.filter(col("contaminated") =!= (col("ratio") >= 0.2)).count() == 0)
+    ctx.sql("DROP TABLE bench_split")
+  }
+
+  test("STRATIFY(TABLE quotas) equals the Scala API and honors per-stratum quotas") {
+    ctx.sql("""CREATE OR REPLACE VIEW q_spec AS
+      |SELECT source, CASE WHEN source = 'src0' THEN 3 ELSE 2 END AS quota
+      |FROM (SELECT DISTINCT source FROM documents)""".stripMargin)
+    val viaSql = ctx.sql(
+      "SELECT * FROM STRATIFY(TABLE q_spec, SELECT doc_id, source FROM documents)")
+    val quotas = docs.select("source").distinct()
+      .withColumn("quota", when(col("source") === "src0", 3).otherwise(2))
+    val direct = Corpus.stratifiedQuota(
+      docs.select("doc_id", "source"), "source", "doc_id", quotas)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(viaSql) == ids(direct) && ids(viaSql).nonEmpty)
+    val perStratum = viaSql.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perStratum("src0") == 3 && perStratum.filterNot(_._1 == "src0").values.forall(_ == 2))
+    ctx.sql("DROP TABLE q_spec")
+  }
+
+  test("CHUNK(SIZE n STRIDE m) equals the Scala API; STRIDE defaults to SIZE") {
+    val viaSql = ctx.sql(
+      "SELECT * FROM CHUNK(SIZE 16 STRIDE 8, SELECT doc_id, text FROM documents)")
+    val direct = Corpus.chunkDocuments(docs, "doc_id", "text", size = 16, stride = 8)
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "chunk_id", "n_tokens").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(keys(viaSql) == keys(direct) && keys(viaSql).nonEmpty)
+    // no STRIDE ⇒ non-overlapping: total chunk tokens == document tokens
+    val nonOverlap = ctx.sql(
+      "SELECT * FROM CHUNK(SIZE 16, SELECT doc_id, text FROM documents)")
+      .groupBy("doc_id").agg(sum("n_tokens").as("n"))
+    val docTokens = docs.select(col("doc_id"),
+      size(split(lower(col("text")), " ")).cast("long").as("n"))
+    assert(nonOverlap.join(docTokens, Seq("doc_id"))
+      .filter(nonOverlap("n") =!= docTokens("n")).count() == 0)
+  }
+
+  test("PACK(CAPACITY n) equals the Scala API and composes with CTAS") {
+    val inner = "SELECT doc_id, source, " +
+      "CAST(size(split(lower(text), ' ')) AS BIGINT) AS n_tokens FROM documents"
+    val viaSql = ctx.sql(s"SELECT * FROM PACK(CAPACITY 256, $inner)")
+    val tokens = docs.select(col("doc_id"), col("source"),
+      size(split(lower(col("text")), " ")).cast("long").as("n_tokens"))
+    val direct = Corpus.packSequences(tokens, "doc_id", "n_tokens", "source", 256L)
+    def bins(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "bin", "bin_offset").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(bins(viaSql) == bins(direct) && bins(viaSql).nonEmpty)
+    ctx.sql(s"CREATE OR REPLACE TABLE packed AS SELECT * FROM PACK(CAPACITY 256, $inner)")
+    assert(ctx.sql("SELECT count(*) AS n FROM packed").head().getLong(0) == docs.count())
+    ctx.sql("DROP TABLE packed")
+  }
+}

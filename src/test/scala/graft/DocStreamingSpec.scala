@@ -125,6 +125,25 @@ class DocStreamingSpec extends AnyFunSuite {
       "partial index should both keep and drop")
   }
 
+  test("the CHUNK statement runs unchanged on a streaming table and equals batch") {
+    // CHUNK is a stateless per-row generate, so the SAME SQL statement a
+    // batch user types works on a registered STREAMING table — the
+    // Spark-native unification the reference (batch-only Dask) cannot offer
+    val ctx = new Context(spark)
+    ctx.createTable("docs_stream", DocStreams.readStream(spark, docsDir))
+    val out = ctx.sql(
+      "SELECT * FROM CHUNK(SIZE 16 STRIDE 8, SELECT doc_id, text FROM docs_stream)")
+    assert(out.isStreaming)
+    val streamed = drain(out, "chunk_stmt_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val batch = Corpus.chunkDocuments(
+        Tables.t(spark, TestSpark.sf, "documents"), "doc_id", "text",
+        size = 16, stride = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    ctx.dropTable("docs_stream")
+  }
+
   test("within-stream duplicate chunks dropped, state bounded by the watermark") {
     import org.apache.spark.sql.types._
     import spark.implicits._

@@ -43,6 +43,31 @@ class ExtensionParserSpec extends AnyFunSuite {
     assert(opts("shape") == "(2, 3)" && opts("location") == "/tmp/m")
   }
 
+  test("corpus pipeline statements parse: DECONTAMINATE/STRATIFY/CHUNK/PACK") {
+    val Decontaminate(bt, bOpts, bSel) = parse(
+      """SELECT * FROM DECONTAMINATE(TABLE bench WITH (n = 3, threshold = 0.2),
+        |SELECT doc_id, text FROM docs)""".stripMargin): @unchecked
+    assert(bt == "bench" && bOpts == Map("n" -> "3", "threshold" -> "0.2"))
+    assert(bSel == "SELECT doc_id, text FROM docs")
+
+    val Stratify(qt, _, qSel) = parse(
+      "SELECT * FROM STRATIFY(TABLE quotas, SELECT doc_id, source FROM docs)"): @unchecked
+    assert(qt == "quotas" && qSel == "SELECT doc_id, source FROM docs")
+
+    val Chunk(size, stride, _, _) = parse(
+      "SELECT * FROM CHUNK(SIZE 16 STRIDE 8, SELECT doc_id, text FROM docs)"): @unchecked
+    assert(size == 16 && stride.contains(8))
+    val Chunk(_, noStride, cOpts, _) = parse(
+      "SELECT * FROM CHUNK(SIZE 32 WITH (id = 'id'), SELECT id, text FROM docs)"): @unchecked
+    assert(noStride.isEmpty && cOpts == Map("id" -> "id"))
+
+    val Pack(cap, pOpts, pSel) = parse(
+      """SELECT * FROM PACK(CAPACITY 256 WITH (tokens = 'n_tok'),
+        |SELECT doc_id, source, n_tok FROM d)""".stripMargin): @unchecked
+    assert(cap == 256L && pOpts == Map("tokens" -> "n_tok"))
+    assert(pSel == "SELECT doc_id, source, n_tok FROM d")
+  }
+
   test("standard SQL with WITH clauses still falls through") {
     assert(parse("WITH t AS (SELECT 1 AS x) SELECT * FROM t")
       .isInstanceOf[Passthrough])

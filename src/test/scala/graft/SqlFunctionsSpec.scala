@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextAnalysis
+
+/** The SQL FUNCTION surface for the text-analysis battery: every function
+  * the Context registers (`lang_id`, `quality_score`, `redact_pii`, ...)
+  * must return exactly what the Scala Column API returns, and must expand
+  * into native expressions — no ScalaUDF anywhere in the plan (the whole
+  * point vs the reference's Python-callable registered functions).
+  */
+class SqlFunctionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val ctx: Context = {
+    val c = new Context(spark)
+    c.createTableFromPath("documents", s"${TestSpark.sf}/documents.parquet")
+    c
+  }
+
+  private def docs = Tables.t(spark, TestSpark.sf, "documents")
+
+  private def sqlEqualsColumn(expr: String, columnForm: org.apache.spark.sql.Column): Unit = {
+    val viaSql = ctx.sql(
+      s"SELECT doc_id, $expr AS v FROM documents ORDER BY doc_id").collect()
+    val direct = docs.select(col("doc_id"), columnForm.as("v"))
+      .orderBy("doc_id").collect()
+    assert(viaSql.sameElements(direct), s"$expr diverges from the Column API")
+  }
+
+  test("each registered text function equals its Column form") {
+    val txt = col("text")
+    sqlEqualsColumn("lang_id(text)", TextAnalysis.langId(txt))
+    sqlEqualsColumn("token_count(text)", TextAnalysis.tokenCount(txt))
+    sqlEqualsColumn("bpe_token_count(text)", TextAnalysis.bpeTokenCount(txt))
+    sqlEqualsColumn("quality_score(text)", TextAnalysis.qualityScore(txt))
+    sqlEqualsColumn("mean_word_length(text)", TextAnalysis.meanWordLength(txt))
+    sqlEqualsColumn("unique_word_ratio(text)", TextAnalysis.uniqueWordRatio(txt))
+    sqlEqualsColumn("symbol_ratio(text)", TextAnalysis.symbolRatio(txt))
+    sqlEqualsColumn("gopher_pass(text)", TextAnalysis.gopherPass(txt))
+    sqlEqualsColumn("email_count(text)", TextAnalysis.emailCount(txt))
+    sqlEqualsColumn("ipv4_count(text)", TextAnalysis.ipv4Count(txt))
+    sqlEqualsColumn("redact_pii(text)", TextAnalysis.redactPii(txt))
+    sqlEqualsColumn("doc_fingerprint(text)", TextAnalysis.fingerprint(txt))
+    sqlEqualsColumn("rolling_hash(text)", TextAnalysis.rollingHash(txt))
+    sqlEqualsColumn("dup_ngram_frac(text, 3)", TextAnalysis.dupNgramFrac(txt, 3))
+  }
+
+  test("the functions expand to native expressions — no UDF in the plan") {
+    val plan = ctx.sql(
+      "SELECT lang_id(text), quality_score(text), dup_ngram_frac(text, 3) FROM documents")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      s"UDF found in plan:\n$plan")
+  }
+
+  test("dup_ngram_frac rejects a non-literal gram width") {
+    val e = intercept[Exception](ctx.sql(
+      "SELECT dup_ngram_frac(text, doc_id) FROM documents").collect())
+    assert(e.getMessage.contains("literal"))
+  }
+
+  test("arity errors name the function") {
+    val e = intercept[Exception](ctx.sql(
+      "SELECT lang_id(text, 2) FROM documents").collect())
+    assert(e.getMessage.contains("lang_id"))
+  }
+
+  test("the functions compose with WHERE / GROUP BY / the pipeline statements") {
+    // language histogram entirely in SQL — the pipeline a server user runs
+    val hist = ctx.sql(
+      """SELECT lang_id(text) AS lang, count(*) AS n FROM documents
+        |WHERE gopher_pass(text) GROUP BY lang_id(text)""".stripMargin).collect()
+    assert(hist.map(_.getLong(1)).sum > 0)
+    // and inside a statement's inner select: chunk only the quality docs
+    val chunked = ctx.sql(
+      """SELECT * FROM CHUNK(SIZE 32,
+        |SELECT doc_id, text FROM documents WHERE quality_score(text) > 0.5)""".stripMargin)
+    assert(chunked.count() > 0)
+  }
+}
