@@ -56,6 +56,8 @@ object Cli {
       "Overlapping token windows per document",
     "SELECT * FROM PACK(CAPACITY n [WITH (...)], <sql>)" ->
       "Token-budget bin assignment per packing group",
+    "SELECT * FROM SCORE(METHOD m [WITH (...)], <sql>)" ->
+      "LM perplexity / TF-IDF: unigram|bigram|bigram_ref|tfidf",
     "lang_id(t), quality_score(t), token_count(t), ..." ->
       "Text-analysis battery callable from any SQL (see COVERAGE.md §2.6)")
 

@@ -662,6 +662,30 @@ class Context(val spark: SparkSession) {
         groupCol = opts.getOrElse("group", "source"),
         capacity = capacity)
 
+    // SELECT * FROM SCORE(METHOD m [WITH (...)], <select>) — document
+    // scoring: corpus-LM perplexity (self-scored unigram/bigram MLE, or
+    // bigram with stupid backoff against a trusted reference table) and
+    // TF-IDF keyword extraction.
+    case Score(method, opts, select) =>
+      val df = sql(select)
+      val id = opts.getOrElse("id", "doc_id")
+      val text = opts.getOrElse("text", "text")
+      import graft.operators.Corpus
+      method match {
+        case "unigram" => Corpus.unigramLogPerplexity(df, id, text)
+        case "bigram" => Corpus.bigramLogPerplexity(df, id, text)
+        case "bigram_ref" => Corpus.bigramLogPerplexityAgainst(
+          lookupTable(opts.getOrElse("reference",
+            throw new IllegalArgumentException(
+              "SCORE method bigram_ref requires reference= (a registered table)"))),
+          df, id, text,
+          alpha = opts.get("alpha").map(_.trim.toDouble).getOrElse(0.4))
+        case "tfidf" => Corpus.tfidfTopTerms(df, id, text,
+          k = opts.get("k").map(_.trim.toInt).getOrElse(5))
+        case other => throw new IllegalArgumentException(
+          s"Unknown SCORE method: $other (unigram|bigram|bigram_ref|tfidf)")
+      }
+
     case DescribeModel(name) =>
       val m = schemas(currentSchema).models.getOrElse(name.toLowerCase,
         throw new IllegalArgumentException(s"Model not found: $name"))

@@ -64,6 +64,10 @@ object ExtensionParser {
     * (no reference analogue; parity-plus). */
   final case class Pack(capacity: Long, options: Map[String, String],
       select: String) extends Statement
+  /** Score the inner query's documents: LM perplexity / TF-IDF keywords
+    * (no reference analogue; parity-plus). */
+  final case class Score(method: String, options: Map[String, String],
+      select: String) extends Statement
   final case class DescribeModel(name: String) extends Statement
   final case class DropModel(name: String, ifExists: Boolean) extends Statement
   final case class ExportModel(name: String, options: Map[String, String]) extends Statement
@@ -176,6 +180,9 @@ object ExtensionParser {
   // SELECT * FROM PACK(CAPACITY n [WITH (...)], <select>)
   private val packStmt =
     re(s"SELECT${ws}\\*${ws}FROM${ws}PACK\\s*\\(\\s*CAPACITY${ws}(\\d+)(?:${ws}WITH${ws}\\($kwSpan\\))?\\s*,(.*)\\)")
+  // SELECT * FROM SCORE(METHOD unigram|bigram|bigram_ref|tfidf [WITH (...)], <select>)
+  private val scoreStmt =
+    re(s"SELECT${ws}\\*${ws}FROM${ws}SCORE\\s*\\(\\s*METHOD${ws}$ident(?:${ws}WITH${ws}\\($kwSpan\\))?\\s*,(.*)\\)")
   private val describeModel = re(s"DESCRIBE${ws}MODEL${ws}$ident")
   private val dropModel = re(s"DROP${ws}MODEL${ws}(IF${ws}EXISTS${ws})?$ident")
   private val exportModel =
@@ -212,6 +219,9 @@ object ExtensionParser {
         Option(kwargs).map(parseKwargs).getOrElse(Map()), select.trim)
     case packStmt(capacity, kwargs, select) =>
       Pack(capacity.toLong,
+        Option(kwargs).map(parseKwargs).getOrElse(Map()), select.trim)
+    case scoreStmt(method, kwargs, select) =>
+      Score(method.toLowerCase,
         Option(kwargs).map(parseKwargs).getOrElse(Map()), select.trim)
     case describeModel(name) => DescribeModel(name)
     case dropModel(ifEx, name) => DropModel(name, ifEx != null)

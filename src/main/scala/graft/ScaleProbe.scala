@@ -101,6 +101,25 @@ object ScaleProbe {
         operators.Corpus.removeBoilerplate(docs, "doc_id", "text",
           n = 5, minDocs = 2)
       },
+      time("bigram_logppl") {
+        // the clone corpus is the LM's WORST skew case: every bigram count
+        // is inflated REP× but the model tables stay vocabulary-sized —
+        // throughput must scale with rows, state with distinct bigrams
+        operators.Corpus.bigramLogPerplexity(docs, "doc_id", "text")
+      },
+      time("bigram_logppl_xcorpus") {
+        // reference = one clone generation, candidates = the rest: the
+        // left-joins hit on every candidate bigram (clones are in-model)
+        operators.Corpus.bigramLogPerplexityAgainst(
+          docs.filter(col("doc_id") < 10000000L),
+          docs.filter(col("doc_id") >= 10000000L),
+          "doc_id", "text")
+      },
+      time("bpe_pairs") {
+        // pair counting collapses to the distinct-word vocabulary first —
+        // REP× occurrences cost map-side counters, not rows
+        operators.Corpus.bpePairStats(docs, "text", k = 50)
+      },
       time("calibrate_domain_approx") {
         // skew-free percentile_approx calibration: two aggregates, zero
         // windows — per-domain row counts scale REP× but the state is one

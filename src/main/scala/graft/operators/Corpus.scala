@@ -501,6 +501,69 @@ object Corpus {
       .select(col("doc_id"), col("n_bigrams"), round(col("_lp"), 6).as("logppl"))
   }
 
+  /** Cross-corpus bigram perplexity with stupid backoff — the actual CCNet
+    * deployment shape: the LM is estimated from a TRUSTED reference corpus
+    * (Wikipedia-grade), and candidate documents are scored against it, so
+    * "reads like the reference" scores low and off-distribution text scores
+    * high. Unlike [[bigramLogPerplexity]] (self-scored, MLE suffices),
+    * candidate bigrams can be absent from the reference — those back off
+    * to `alpha * p_add1(w2)`, the standard stupid-backoff estimate with an
+    * add-one unigram floor so even unseen WORDS stay finite:
+    * p_add1(w2) = (cnt_ref(w2) + 1) / (total_ref + |vocab_ref|).
+    * Returns (id, n_bigrams, n_oov, logppl): n_oov counts backed-off
+    * bigram occurrences (itself a useful novelty signal).
+    *
+    * Scale shape: reference model tables are thin aggregates (bigram,
+    * context, unigram counts — map-side combinable); candidates LEFT-join
+    * them on the same thin keys; the two reference scalars (total tokens,
+    * vocab size) enter as scalar subqueries, no collects. Candidate text
+    * never reshuffles.
+    */
+  def bigramLogPerplexityAgainst(
+      reference: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String, alpha: Double = 0.4): DataFrame = {
+    def toks(c: Column) = filter(split(lower(c), " "), t => t =!= "")
+    def bigramsOf(df: DataFrame, id: Column) = {
+      val w = toks(col(textCol))
+      df.select(id.as("_id"), explode(when(size(w) >= 2,
+          transform(sequence(lit(0), size(w) - 2), i =>
+            concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2))))
+        .otherwise(array().cast("array<string>"))).as("bg"))
+    }
+    // reference model: bigram counts, context totals, add-one unigrams
+    val refBg = bigramsOf(reference, lit(0L))
+      .groupBy("bg").agg(count(lit(1)).as("cnt"))
+    val refCtx = refBg.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("cnt")).as("ctx_cnt"))
+    val refUni = reference.select(explode(toks(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("ucnt"))
+    def scalarOf(df: DataFrame) = org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+        df.queryExecution.analyzed))
+    val total = scalarOf(refUni.select(sum(col("ucnt")).cast("double").as("t")))
+    val vocab = scalarOf(refUni.select(count(lit(1)).cast("double").as("v")))
+    // candidate bigrams scored against the model
+    val tf = bigramsOf(docs, col(idCol))
+      .groupBy("_id", "bg").agg(count(lit(1)).as("tf"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+    val pAdd1 = (coalesce(col("ucnt"), lit(0L)).cast("double") + 1.0) /
+      (total + vocab)
+    val p = when(col("cnt").isNotNull,
+        col("cnt").cast("double") / col("ctx_cnt").cast("double"))
+      .otherwise(lit(alpha) * pAdd1)
+    tf.join(refBg, Seq("bg"), "left")
+      .join(refCtx, Seq("w1"), "left")
+      .join(refUni.withColumnRenamed("w", "w2"), Seq("w2"), "left")
+      .groupBy(col("_id").as(idCol))
+      .agg(sum(col("tf")).cast("bigint").as("n_bigrams"),
+        sum(when(col("cnt").isNull, col("tf")).otherwise(lit(0L)))
+          .cast("bigint").as("n_oov"),
+        (-sum(col("tf") * log(p)) / sum(col("tf"))).as("_lp"))
+      .select(col(idCol), col("n_bigrams"), col("n_oov"),
+        round(col("_lp"), 6).as("logppl"))
+  }
+
   /** BPE pair statistics — the first merge step of byte-pair-encoding
     * tokenizer training, at corpus scale: for every word occurrence, count
     * adjacent SYMBOL pairs (symbols = characters before any merge), and

@@ -581,6 +581,77 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // Cross-corpus bigram perplexity with stupid backoff — the LM is
+    // estimated from the even-id split ("trusted reference") and the odd-id
+    // split is scored against it; bigrams absent from the reference back
+    // off to 0.4 * add-one unigram. Oracle replicates model + backoff.
+    Q("p43b_bigram_logppl_xcorpus", Some("""
+      WITH tk AS (SELECT doc_id,
+                    list_filter(string_split(lower(text), ' '), t -> t <> '') AS w
+                  FROM documents),
+      rbg AS (SELECT unnest([array_to_string(w[i:i+1], ' ')
+                for i in range(1, len(w))]) AS bg
+              FROM tk WHERE doc_id % 2 = 0 AND len(w) >= 2),
+      rb AS (SELECT bg, count(*) AS cnt FROM rbg GROUP BY bg),
+      rctx AS (SELECT split_part(bg, ' ', 1) AS w1, sum(cnt) AS ctx_cnt
+               FROM rb GROUP BY 1),
+      ru AS (SELECT wd, count(*) AS ucnt FROM (
+               SELECT unnest(w) AS wd FROM tk WHERE doc_id % 2 = 0)
+             GROUP BY wd),
+      tot AS (SELECT CAST(sum(ucnt) AS DOUBLE) AS t,
+                     CAST(count(*) AS DOUBLE) AS v FROM ru),
+      cbg AS (SELECT doc_id, unnest([array_to_string(w[i:i+1], ' ')
+                for i in range(1, len(w))]) AS bg
+              FROM tk WHERE doc_id % 2 = 1 AND len(w) >= 2),
+      tf AS (SELECT doc_id, bg, count(*) AS tf FROM cbg GROUP BY doc_id, bg)
+      SELECT tf.doc_id,
+        CAST(sum(tf.tf) AS BIGINT) AS n_bigrams,
+        CAST(sum(CASE WHEN rb.cnt IS NULL THEN tf.tf ELSE 0 END) AS BIGINT) AS n_oov,
+        round(-sum(tf.tf * ln(
+            CASE WHEN rb.cnt IS NOT NULL
+                 THEN CAST(rb.cnt AS DOUBLE) / CAST(rctx.ctx_cnt AS DOUBLE)
+                 ELSE 0.4 * (CAST(coalesce(ru.ucnt, 0) AS DOUBLE) + 1.0) / (tot.t + tot.v)
+            END)) / sum(tf.tf), 6) AS logppl
+      FROM tf
+      LEFT JOIN rb USING (bg)
+      LEFT JOIN rctx ON split_part(tf.bg, ' ', 1) = rctx.w1
+      LEFT JOIN ru ON split_part(tf.bg, ' ', 2) = ru.wd
+      CROSS JOIN tot
+      GROUP BY tf.doc_id ORDER BY tf.doc_id""")) { (s, d) =>
+      val docs = t(s, d, "documents")
+      Corpus.bigramLogPerplexityAgainst(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+          "doc_id", "text", alpha = 0.4)
+        .orderBy("doc_id")
+    },
+
+    // The self-scored bigram perplexity once more through the SCORE
+    // statement surface — held to p43's oracle (statement wiring
+    // hash-gated, the p02c precedent).
+    Q("p43c_bigram_logppl_sql", Some("""
+      WITH toks AS (SELECT doc_id,
+                      list_filter(string_split(lower(text), ' '), t -> t <> '') AS w
+                    FROM documents),
+      bgl AS (SELECT doc_id,
+                unnest([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]) AS bg
+              FROM toks WHERE len(w) >= 2),
+      tf AS (SELECT doc_id, bg, count(*) AS tf FROM bgl GROUP BY doc_id, bg),
+      bc AS (SELECT bg, sum(tf) AS cnt FROM tf GROUP BY bg),
+      ctx AS (SELECT split_part(bg, ' ', 1) AS w1, sum(cnt) AS ctx_cnt
+              FROM bc GROUP BY 1)
+      SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_bigrams,
+        round(-sum(tf.tf * ln(CAST(bc.cnt AS DOUBLE) / CAST(ctx.ctx_cnt AS DOUBLE)))
+          / sum(tf.tf), 6) AS logppl
+      FROM tf JOIN bc USING (bg)
+      JOIN ctx ON split_part(tf.bg, ' ', 1) = ctx.w1
+      GROUP BY tf.doc_id ORDER BY tf.doc_id""")) { (s, d) =>
+      val ctx = new graft.Context(s)
+      ctx.createTableFromPath("documents", s"$d/documents.parquet")
+      ctx.sql("SELECT * FROM SCORE(METHOD bigram, SELECT doc_id, text FROM documents)")
+        .orderBy("doc_id")
+    },
+
     // BPE pair statistics — the first merge step of tokenizer training at
     // corpus scale: adjacent character-pair frequencies weighted by word
     // occurrence, top-20, ties broken lexicographically.

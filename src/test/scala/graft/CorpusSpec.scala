@@ -55,6 +55,30 @@ class CorpusSpec extends AnyFunSuite {
     assert(bi(99L) > bi(1L) + 1.0)
   }
 
+  test("bigramLogPerplexityAgainst: hand-computed backoff and OOV accounting") {
+    val ref = Seq((1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
+    // ref model: bigrams {a b:1, a c:1}, ctx(a)=2; unigrams a:2,b:1,c:1 →
+    // total=4, vocab=3
+    val cand = Seq((3L, "a b"), (4L, "b z")).toDF("doc_id", "text")
+    val out = Corpus.bigramLogPerplexityAgainst(ref, cand, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // seen bigram: p = 1/2
+    assert(out(3L) == ((1L, 0L, math.rint(math.log(2.0) * 1e6) / 1e6)))
+    // unseen bigram "b z", unseen word z: 0.4 * (0+1)/(4+3) = 0.4/7
+    assert(out(4L) == ((1L, 1L, math.rint(-math.log(0.4 / 7.0) * 1e6) / 1e6)))
+  }
+
+  test("bigramLogPerplexityAgainst separates reference-like from off-distribution text") {
+    val docs = Tables.t(spark, TestSpark.sf, "documents")
+    val ref = docs.filter($"doc_id" % 2 === 0)
+    val like = docs.filter($"doc_id" % 2 === 0).limit(5)
+      .select($"doc_id" + 100000, $"text").toDF("doc_id", "text")
+    val off = Seq((200001L, "zzz qqq www jjj kkk vvv xxx yyy")).toDF("doc_id", "text")
+    val out = Corpus.bigramLogPerplexityAgainst(ref, like.union(off), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(200001L) > out.filter(_._1 < 200000L).values.max)
+  }
+
   test("bpePairStats: weighted pair counts with lexicographic tiebreak") {
     val docs = Seq((1L, "low low low lower lowest")).toDF("doc_id", "text")
     val out = Corpus.bpePairStats(docs, "text", k = 3)

@@ -80,6 +80,36 @@ class CorpusSqlSpec extends AnyFunSuite {
       .filter(nonOverlap("n") =!= docTokens("n")).count() == 0)
   }
 
+  test("SCORE methods equal the Scala APIs; bigram_ref resolves the reference table") {
+    val viaSql = ctx.sql(
+      "SELECT * FROM SCORE(METHOD unigram, SELECT doc_id, text FROM documents)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = Corpus.unigramLogPerplexity(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaSql == direct && viaSql.nonEmpty)
+
+    ctx.sql("CREATE OR REPLACE VIEW ref_split AS " +
+      "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0")
+    val refSql = ctx.sql(
+      """SELECT * FROM SCORE(METHOD bigram_ref WITH (reference = 'ref_split'),
+        |SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1)""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSet
+    val refDirect = Corpus.bigramLogPerplexityAgainst(
+        docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSet
+    assert(refSql == refDirect && refSql.nonEmpty)
+    ctx.sql("DROP TABLE ref_split")
+
+    val tfidf = ctx.sql(
+      "SELECT * FROM SCORE(METHOD tfidf WITH (k = 3), SELECT doc_id, text FROM documents)")
+    assert(tfidf.groupBy("doc_id").count().agg(max("count")).head().getLong(0) <= 3)
+
+    val e = intercept[IllegalArgumentException](ctx.sql(
+      "SELECT * FROM SCORE(METHOD nope, SELECT doc_id, text FROM documents)"))
+    assert(e.getMessage.contains("bigram_ref"))
+  }
+
   test("PACK(CAPACITY n) equals the Scala API and composes with CTAS") {
     val inner = "SELECT doc_id, source, " +
       "CAST(size(split(lower(text), ' ')) AS BIGINT) AS n_tokens FROM documents"

@@ -66,6 +66,12 @@ class ExtensionParserSpec extends AnyFunSuite {
         |SELECT doc_id, source, n_tok FROM d)""".stripMargin): @unchecked
     assert(cap == 256L && pOpts == Map("tokens" -> "n_tok"))
     assert(pSel == "SELECT doc_id, source, n_tok FROM d")
+
+    val Score(m, sOpts, sSel) = parse(
+      """SELECT * FROM SCORE(METHOD bigram_ref WITH (reference = 'wiki'),
+        |SELECT doc_id, text FROM docs)""".stripMargin): @unchecked
+    assert(m == "bigram_ref" && sOpts == Map("reference" -> "wiki"))
+    assert(sSel == "SELECT doc_id, text FROM docs")
   }
 
   test("standard SQL with WITH clauses still falls through") {

@@ -54,7 +54,11 @@ class OperatorSpec extends AnyFunSuite {
     val rowsOnly = SparkEntry.all.filter(_.oracle.isEmpty).map(_.name).toSet
     val expected = Set("q28_sample", "q37_agg_approx_distinct", "q49_rand",
       "p03_dedup_simhash", "p05b_dedup_embedding_lsh", "p07_sim_lsh_ann",
-      "p07b_sim_ivf", "p12b_multimodal_decode", "p35b_substring_winnowed")
+      "p07b_sim_ivf", "p12b_multimodal_decode", "p35b_substring_winnowed",
+      // p44b: iterative BPE merge decisions are a driver loop a single SQL
+      // query can't replicate; algorithm hand-verified in CorpusSpec and
+      // round 1 is p44's oracle-gated top pair
+      "p44b_bpe_merges")
     assert(rowsOnly == expected)
   }
 }
