@@ -40,7 +40,7 @@ object Bench {
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     def timeOnce(name: String): Option[Double] = {
       val t0 = System.nanoTime()
-      try {
+      val r = try {
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         Some((System.nanoTime() - t0) / 1e9)
@@ -49,6 +49,13 @@ object Bench {
         failed += name
         None
       }
+      // drop this query's operator-internal caches before the next query
+      // runs (the server's per-statement release): accumulated storage from
+      // 25 queries in one session otherwise pressures the later queries'
+      // shuffles — each query is timed from a cache-empty session, which is
+      // also what the one-query-per-session TimeQuery measures
+      operators.OpCache.release(spark)
+      r
     }
 
     val names = SparkEntry.benchQueries

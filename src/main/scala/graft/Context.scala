@@ -335,11 +335,32 @@ class Context(val spark: SparkSession) {
 
   // ---------------- SQL entry point (context.py:482-533) ----------------
 
+  private val ExplainRe =
+    "(?is)^\\s*EXPLAIN(?:\\s+(FORMATTED|EXTENDED|CODEGEN|COST))?\\s+(.+)$".r
+
   /** Execute SQL. Standard statements go straight to Catalyst; extension
     * statements (SURVEY.md §2.5) are handled here. Always lazy — callers
     * trigger execution with an action, as in the reference
-    * (`return_futures=True`). */
-  def sql(query: String): DataFrame = ExtensionParser.parse(query) match {
+    * (`return_futures=True`). `EXPLAIN [mode] <stmt>` works on the
+    * SELECT-family pipeline statements too (DEDUP/SIMSEARCH/PREDICT/
+    * DECONTAMINATE/STRATIFY/CHUNK/PACK/SCORE — Spark's own EXPLAIN cannot
+    * parse them); DDL-family statements are not explainable, they execute. */
+  def sql(query: String): DataFrame = query match {
+    case ExplainRe(mode, rest) =>
+      ExtensionParser.parse(rest) match {
+        case _: DedupTable | _: SimSearch | _: PredictModel | _: Decontaminate |
+             _: Stratify | _: Chunk | _: Pack | _: Score =>
+          val plan = exec(rest).queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString(
+              Option(mode).map(_.trim.toLowerCase).getOrElse("formatted")))
+          import spark.implicits._
+          Seq(plan).toDF("plan")
+        case _ => exec(query) // Spark's native EXPLAIN handles standard SQL
+      }
+    case _ => exec(query)
+  }
+
+  private def exec(query: String): DataFrame = ExtensionParser.parse(query) match {
     case Passthrough(q) => spark.sql(q)
 
     case CreateTableWith(name, opts, _) =>
@@ -673,7 +694,8 @@ class Context(val spark: SparkSession) {
       import graft.operators.Corpus
       method match {
         case "unigram" => Corpus.unigramLogPerplexity(df, id, text)
-        case "bigram" => Corpus.bigramLogPerplexity(df, id, text)
+        case "bigram" => Corpus.bigramLogPerplexity(df, id, text,
+          cacheTf = opts.get("cache_tf").exists(_.trim.toBoolean))
         case "bigram_ref" => Corpus.bigramLogPerplexityAgainst(
           lookupTable(opts.getOrElse("reference",
             throw new IllegalArgumentException(

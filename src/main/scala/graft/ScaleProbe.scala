@@ -105,7 +105,8 @@ object ScaleProbe {
         // the clone corpus is the LM's WORST skew case: every bigram count
         // is inflated REP× but the model tables stay vocabulary-sized —
         // throughput must scale with rows, state with distinct bigrams
-        operators.Corpus.bigramLogPerplexity(docs, "doc_id", "text")
+        operators.Corpus.bigramLogPerplexity(docs, "doc_id", "text",
+          cacheTf = true) // past the crossover: see the operator's scaladoc
       },
       time("bigram_logppl_xcorpus") {
         // reference = one clone generation, candidates = the rest: the

@@ -31,7 +31,7 @@ object TimeQuery {
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"[timequery] $name run $i: $secs%.3f s")
       if (showPlan && i == runs)
-        println(df.queryExecution.executedPlan.toString.take(8000))
+        println(df.queryExecution.executedPlan.toString.take(60000))
     }
     spark.stop()
   }

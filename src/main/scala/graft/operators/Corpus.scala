@@ -403,6 +403,8 @@ object Corpus {
     */
   def tfidfTopTerms(
       df: DataFrame, idCol: String, textCol: String, k: Int = 5): DataFrame = {
+    // tf not cached — same verdict as unigramLogPerplexity: the unigram
+    // explode re-run is cheaper than materializing the cache
     val tf = df.select(col(idCol).as("doc_id"),
         explode(split(lower(col(textCol)), " ")).as("w"))
       .filter(col("w") =!= "")
@@ -443,6 +445,10 @@ object Corpus {
     */
   def unigramLogPerplexity(
       df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // tf feeds three plan branches, but NOT cached: the unigram explode is
+    // cheap enough that re-running it loses to the cache's materialization
+    // cost (timed both ways at sf0.1 — the opposite verdict from
+    // bigramLogPerplexity, whose tf is ~2× the rows and wider strings)
     val tf = df.select(col(idCol).as("doc_id"),
         explode(split(lower(col(textCol)), " ")).as("w"))
       .filter(col("w") =!= "")
@@ -478,14 +484,28 @@ object Corpus {
     * no scalar collects.
     */
   def bigramLogPerplexity(
-      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+      df: DataFrame, idCol: String, textCol: String,
+      cacheTf: Boolean = false): DataFrame = {
     val toks = filter(split(lower(col(textCol)), " "), t => t =!= "")
     val bigrams = when(size(toks) >= 2,
         transform(sequence(lit(0), size(toks) - 2), i =>
           concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
       .otherwise(array().cast("array<string>"))
-    val tf = df.select(col(idCol).as("doc_id"), explode(bigrams).as("bg"))
+    // the (doc, bigram) tf table feeds THREE plan branches (the join probe,
+    // the bigram counts, and the context totals), each aggregating on a
+    // DIFFERENT key — no common exchange for Spark to reuse, so the
+    // uncached plan re-explodes the text once per branch (3 scans,
+    // verified in the executed plan). `cacheTf` trades pinned storage for
+    // the two extra explodes; the crossover is corpus size: at sf0.1 the
+    // recompute wins (Bench full-work steady 4.1 s vs 5.5 s cached — the
+    // thin cache's materialization costs more than two cheap explodes),
+    // at the 20× clone envelope the cache wins (8.8 s vs 12.6 s,
+    // ScaleProbe sets it). Measure with Bench-style fresh-cache runs, NOT
+    // a TimeQuery repeat loop — its runs 2+ silently dedupe onto the run-1
+    // cache entry and skip the tf work entirely (PLANS.md entry 24).
+    val tf0 = df.select(col(idCol).as("doc_id"), explode(bigrams).as("bg"))
       .groupBy("doc_id", "bg").agg(count(lit(1)).as("tf"))
+    val tf = if (cacheTf) OpCache.cached(tf0) else tf0
     val bc = tf.groupBy("bg").agg(sum(col("tf")).as("cnt"))
     // context totals Σ_w cnt(w1, w): regroup the bigram counts by their
     // first word — cheaper than a unigram pass (|bigram vocab| rows in,
@@ -530,7 +550,11 @@ object Corpus {
             concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2))))
         .otherwise(array().cast("array<string>"))).as("bg"))
     }
-    // reference model: bigram counts, context totals, add-one unigrams
+    // reference model: bigram counts, context totals, add-one unigrams.
+    // Not cached — exchange reuse dedupes the underlying shuffles (see
+    // bigramLogPerplexity); the scalar subqueries run their own tiny jobs
+    // either way. At 20× clone scale cached-vs-not measured within noise
+    // (6.3 vs 6.5 s), so no pinned storage.
     val refBg = bigramsOf(reference, lit(0L))
       .groupBy("bg").agg(count(lit(1)).as("cnt"))
     val refCtx = refBg.groupBy(substring_index(col("bg"), " ", 1).as("w1"))

@@ -110,6 +110,22 @@ class CorpusSqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("bigram_ref"))
   }
 
+  test("EXPLAIN works on the pipeline statements and stays native for plain SQL") {
+    val plan = ctx.sql(
+      "EXPLAIN SELECT * FROM CHUNK(SIZE 16, SELECT doc_id, text FROM documents)")
+    assert(plan.columns.toSeq == Seq("plan"))
+    val txt = plan.head().getString(0)
+    assert(txt.contains("Generate") && txt.contains("Physical Plan"))
+    val formatted = ctx.sql(
+      """EXPLAIN FORMATTED SELECT * FROM SCORE(METHOD bigram,
+        |SELECT doc_id, text FROM documents)""".stripMargin).head().getString(0)
+    assert(formatted.contains("HashAggregate"))
+    // plain SQL EXPLAIN still goes through Spark's own statement
+    val native = ctx.sql("EXPLAIN SELECT count(*) FROM documents")
+    assert(native.columns.toSeq == Seq("plan"))
+    assert(native.head().getString(0).nonEmpty)
+  }
+
   test("PACK(CAPACITY n) equals the Scala API and composes with CTAS") {
     val inner = "SELECT doc_id, source, " +
       "CAST(size(split(lower(text), ' ')) AS BIGINT) AS n_tokens FROM documents"
