@@ -456,9 +456,13 @@ class Context(val spark: SparkSession) {
 
     case ShowFunctions() =>
       // the context's USER-registered functions (reference cmd.py \df over
-      // SchemaContainer.functions) — built-ins live in Spark's own
-      // `SHOW FUNCTIONS`, reachable via spark.sql directly
-      toDf2(schemas(currentSchema).functions.toSeq, "function", "kind")
+      // SchemaContainer.functions), followed by the engine's own battery
+      // (GraftFunctions) as kind "builtin" so `\df` makes the pipeline
+      // functions discoverable; Spark's full built-in list stays reachable
+      // via `SHOW FUNCTIONS LIKE ...` (falls through to spark.sql)
+      toDf2(schemas(currentSchema).functions.toSeq ++
+        GraftFunctions.all.map { case (ident, _, _) => ident.funcName -> "builtin" },
+        "function", "kind")
 
     case AnalyzeTable(table, columnsOpt) =>
       // Returns describe-style stats like the reference (analyze_table.py:

@@ -262,6 +262,8 @@ class ContextSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(fns("ctx_double_it") == "scalar")
     assert(fns("ctx_geo2") == "aggregate")
+    // the engine battery is discoverable alongside user registrations
+    assert(fns("lang_id") == "builtin" && fns("cosine_sim") == "builtin")
   }
 
   test("JDBC source round-trips through embedded Derby") {

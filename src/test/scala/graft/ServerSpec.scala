@@ -88,6 +88,26 @@ class ServerSpec extends AnyFunSuite {
     drain(post("DROP TABLE wire_t"))
   }
 
+  test("pipeline statements run over the wire: SCORE and DECONTAMINATE") {
+    drain(post(s"CREATE TABLE wire_docs WITH (location = '${TestSpark.sf}/documents.parquet')"))
+    drain(post("CREATE OR REPLACE VIEW wire_bench AS " +
+      "SELECT doc_id, text FROM wire_docs WHERE doc_id % 20 = 7"))
+    val (sCols, sRows) = drain(post(
+      "SELECT * FROM SCORE(METHOD bigram, SELECT doc_id, text FROM wire_docs WHERE doc_id < 30)"),
+      maxPolls = 400)
+    assert(sCols.map(_.get("name").asText()) == Seq("doc_id", "n_bigrams", "logppl"))
+    assert(sRows.nonEmpty && sRows.forall(_.last.asDouble() >= 0.0))
+    val (dCols, dRows) = drain(post(
+      """SELECT * FROM DECONTAMINATE(TABLE wire_bench WITH (threshold = 0.2),
+        |SELECT doc_id, text FROM wire_docs WHERE doc_id < 30)""".stripMargin),
+      maxPolls = 400)
+    assert(dCols.map(_.get("name").asText()) ==
+      Seq("doc_id", "n_grams", "n_hits", "ratio", "contaminated"))
+    assert(dRows.nonEmpty)
+    drain(post("DROP TABLE wire_bench"))
+    drain(post("DROP TABLE wire_docs"))
+  }
+
   test("a failing statement reports FAILED with a message") {
     val first = post("SELECT * FROM no_such_table_anywhere")
     var node = first
