@@ -136,6 +136,14 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => colFn(exprs, 1) { cols =>
         graft.functions.TextAnalysis.rollingHash(cols.head) }),
 
+    // hash_embedding(text[, dim]) — feature-hashed embedding from raw text;
+    // dim must be a literal (it shapes the expression)
+    (new FunctionIdentifier("hash_embedding"),
+      new ExpressionInfo("graft.functions.TextAnalysis", "hash_embedding"),
+      (exprs: Seq[Expression]) => colFn(exprs.take(1), 1) { cols =>
+        graft.functions.TextAnalysis.hashEmbedding(cols.head,
+          if (exprs.size > 1) intArg(exprs(1), "dim") else 64) }),
+
     // dup_ngram_frac(text[, n]) — n must be a literal (it shapes the expr)
     (new FunctionIdentifier("dup_ngram_frac"),
       new ExpressionInfo("graft.functions.TextAnalysis", "dup_ngram_frac"),

@@ -127,6 +127,40 @@ object TextAnalysis {
       lit(0L),
       (acc, code) => pmod(acc * 31 + code, lit(1000000007L)))
 
+  /** Feature-hashed text embedding (the hashing trick): each token is
+    * md5-hashed into one of `dim` buckets with a ±1 sign bit, bucket sums
+    * are L2-normalized, and the result is a deterministic `array<double>`
+    * embedding — no model, no vocabulary, reproducible in any engine (the
+    * md5-prefix hash of `TextDedup.simhashPortable`). Cosine similarity on
+    * these vectors approximates unigram-profile similarity, which makes the
+    * whole embedding pipeline (SIMSEARCH / semantic dedup / IVF indexes)
+    * runnable from raw text with zero external dependencies.
+    *
+    * Scale shape: a pure per-row projection — no explode, no shuffle,
+    * embarrassingly parallel. O(tokens × dim) work per document via an
+    * in-row fold; `dim` is a literal because it shapes the expression.
+    * Components are rounded to 6dp (cross-engine oracle-stable; the bucket
+    * sums themselves are integer-valued so normalization is exact IEEE).
+    */
+  def hashEmbedding(text: Column, dim: Int = 64): Column = {
+    require(dim > 0, "dim must be positive")
+    def h(t: Column) = conv(substring(md5(t), 2, 15), 16, 10).cast("long")
+    aggregate(
+      filter(tokens(text), t => t =!= ""),
+      array_repeat(lit(0.0), dim),
+      (acc, t) => {
+        val bucket = pmod(h(t), lit(dim.toLong)).cast("int")
+        val sgn = when(shiftright(h(t), 59).bitwiseAND(1L) === 1L, lit(1.0))
+          .otherwise(lit(-1.0))
+        transform(acc, (v, i) => when(i === bucket, v + sgn).otherwise(v))
+      },
+      acc => {
+        val nrm = sqrt(aggregate(acc, lit(0.0), (s, v) => s + v * v))
+        transform(acc, v =>
+          when(nrm === 0.0, 0.0).otherwise(round(v / nrm, 6)))
+      })
+  }
+
   /** Duplicate word-n-gram fraction: 1 - |distinct grams| / |grams| —
     * the Gopher repetition signal (0 = no repeated n-gram, →1 = the text is
     * one phrase looped). Docs shorter than n words score 0.0. */

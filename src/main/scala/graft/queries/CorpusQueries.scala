@@ -671,6 +671,38 @@ object CorpusQueries {
       Corpus.bpePairStats(t(s, d, "documents"), "text", k = 20)
     },
 
+    // Feature-hashed text embeddings — text → deterministic L2-normalized
+    // vector with no model (the hashing trick over md5-prefix token
+    // hashes), the entry point that makes the embedding pipeline runnable
+    // from raw text. Long format (doc_id, i, val) so the driver's compare
+    // checks every component; computed through the SQL function surface
+    // (hash_embedding) so the registration path is hash-gated too.
+    Q("p45_hash_embed", Some("""
+      WITH tok AS (SELECT doc_id,
+                     unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS w
+                   FROM documents),
+      h AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 2, 15)) AS BIGINT) AS hv FROM tok),
+      b AS (SELECT doc_id, hv % 64 AS bucket,
+              CASE WHEN (hv >> 59) & 1 = 1 THEN 1.0 ELSE -1.0 END AS sgn FROM h),
+      s AS (SELECT doc_id, bucket, sum(sgn) AS v FROM b GROUP BY doc_id, bucket),
+      grid AS (SELECT doc_id, i
+               FROM (SELECT DISTINCT doc_id FROM documents)
+               CROSS JOIN (SELECT unnest(range(0, 64)) AS i)),
+      d AS (SELECT g.doc_id, g.i, coalesce(s.v, 0.0) AS v
+            FROM grid g LEFT JOIN s ON s.doc_id = g.doc_id AND s.bucket = g.i),
+      n AS (SELECT doc_id, sqrt(sum(v * v)) AS nrm FROM d GROUP BY doc_id)
+      SELECT d.doc_id, CAST(d.i AS BIGINT) AS i,
+             CASE WHEN n.nrm = 0 THEN 0.0 ELSE round(d.v / n.nrm, 6) END AS val
+      FROM d JOIN n USING (doc_id)
+      ORDER BY doc_id, i""")) { (s, d) =>
+      val ctx = new graft.Context(s)
+      ctx.createTableFromPath("documents", s"$d/documents.parquet")
+      ctx.sql("""SELECT doc_id, i, val FROM documents
+        |LATERAL VIEW posexplode(hash_embedding(text, 64)) e AS i, val""".stripMargin)
+        .select(col("doc_id"), col("i").cast("bigint").as("i"), col("val"))
+        .orderBy("doc_id", "i")
+    },
+
     // Full BPE merge learning (10 rounds) — the iterative merge decisions
     // are a driver loop over the distinct-word vocabulary (one top-1 row
     // per round, the connectedComponents precedent), which a single SQL

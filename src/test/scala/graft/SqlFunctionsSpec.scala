@@ -48,6 +48,30 @@ class SqlFunctionsSpec extends AnyFunSuite {
     sqlEqualsColumn("dup_ngram_frac(text, 3)", TextAnalysis.dupNgramFrac(txt, 3))
   }
 
+  test("hash_embedding: SQL == Column, unit norm, and composes with the ANN operators") {
+    import graft.operators.Similarity
+    val viaSql = ctx.sql(
+      "SELECT doc_id, hash_embedding(text, 64) AS e FROM documents ORDER BY doc_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val direct = docs.select(col("doc_id"),
+        TextAnalysis.hashEmbedding(col("text"), 64).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(viaSql == direct && viaSql.nonEmpty)
+    // unit norm (up to component rounding) for every non-empty doc
+    viaSql.values.filter(_.exists(_ != 0.0)).foreach { e =>
+      assert(math.abs(e.map(x => x * x).sum - 1.0) < 1e-3)
+    }
+    // the embeddings feed the existing ANN operators directly: a doc's
+    // nearest neighbor by cosine must be itself when queried verbatim
+    val emb = docs.select(col("doc_id").as("vec_id"),
+      TextAnalysis.hashEmbedding(col("text"), 64).as("embedding"))
+    val hits = Similarity.bruteForceTopK(
+        emb, emb.filter(col("vec_id") < 3).withColumn("vec_id", col("vec_id") + 1000),
+        k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((0L until 3L).forall(i => hits(i + 1000) == i))
+  }
+
   test("the functions expand to native expressions — no UDF in the plan") {
     val plan = ctx.sql(
       "SELECT lang_id(text), quality_score(text), dup_ngram_frac(text, 3) FROM documents")
