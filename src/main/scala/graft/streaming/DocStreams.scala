@@ -245,6 +245,72 @@ object DocStreams {
         col("chunk_text"), col("ch"))
   }
 
+  /** The model side of streaming LM scoring: ONE row holding the reference
+    * corpus's bigram model as lookup maps (bigram → count, context word →
+    * continuation total, word → unigram count) plus the two scalars the
+    * add-one backoff needs. Trusted reference corpora are SMALL by
+    * construction (the [[benchGramSet]] argument), so the maps broadcast. */
+  def bigramRefModel(reference: DataFrame, textCol: String): DataFrame = {
+    def toks(c: Column) = filter(split(lower(c), " "), t => t =!= "")
+    val w = toks(col(textCol))
+    val bg = reference.select(explode(when(size(w) >= 2,
+        transform(sequence(lit(0), size(w) - 2), i =>
+          concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2))))
+      .otherwise(array().cast("array<string>"))).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("cnt"))
+    val ctx = bg.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("cnt")).as("ctx_cnt"))
+    val uni = reference.select(explode(toks(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("ucnt"))
+    val bgMap = bg.agg(map_from_entries(
+      collect_list(struct(col("bg"), col("cnt")))).as("bg_map"))
+    val ctxMap = ctx.agg(map_from_entries(
+      collect_list(struct(col("w1"), col("ctx_cnt")))).as("ctx_map"))
+    val uniMap = uni.agg(map_from_entries(
+      collect_list(struct(col("w"), col("ucnt")))).as("uni_map"),
+      sum(col("ucnt")).cast("double").as("total"),
+      count(lit(1)).cast("double").as("vocab"))
+    bgMap.crossJoin(ctxMap).crossJoin(uniMap)
+  }
+
+  /** Streaming cross-corpus LM scoring — the ingest-time shape of
+    * `Corpus.bigramLogPerplexityAgainst`: every arriving document is scored
+    * against the static reference bigram model ([[bigramRefModel]]) with
+    * the same stupid backoff, entirely IN-ROW (bigrams fold against the
+    * broadcast lookup maps), so the stream needs no aggregation state, no
+    * watermark, and runs in append mode — where the explode-join-regroup
+    * batch formulation would demand windowed aggregation state. Same
+    * numbers as the batch operator up to summation order (asserted ±1e-6
+    * in DocStreamingSpec). Emits (id, n_bigrams, n_oov, logppl). */
+  def scoreStreamBigramRef(docStream: DataFrame, model: DataFrame,
+      idCol: String, textCol: String, alpha: Double = 0.4): DataFrame = {
+    def toks(c: Column) = filter(split(lower(c), " "), t => t =!= "")
+    val w = toks(col(textCol))
+    val bigrams = when(size(w) >= 2,
+        transform(sequence(lit(0), size(w) - 2), i =>
+          concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    def logp(bg: Column): Column = {
+      val cnt = element_at(col("bg_map"), bg)
+      val ctxCnt = element_at(col("ctx_map"), substring_index(bg, " ", 1))
+      val uCnt = coalesce(
+        element_at(col("uni_map"), substring_index(bg, " ", -1)), lit(0L))
+      when(cnt.isNotNull, log(cnt.cast("double") / ctxCnt.cast("double")))
+        .otherwise(log(lit(alpha) * (uCnt.cast("double") + 1.0) /
+          (col("total") + col("vocab"))))
+    }
+    docStream
+      .filter(size(w) >= 2)
+      .select(col(idCol), bigrams.as("_bgs"))
+      .crossJoin(broadcast(model))
+      .select(col(idCol),
+        size(col("_bgs")).cast("bigint").as("n_bigrams"),
+        size(filter(col("_bgs"), bg => element_at(col("bg_map"), bg).isNull))
+          .cast("bigint").as("n_oov"),
+        round(-aggregate(col("_bgs"), lit(0.0), (s, bg) => s + logp(bg)) /
+          size(col("_bgs")).cast("double"), 6).as("logppl"))
+  }
+
   /** Stream-static decontamination: per document, the word-n-gram overlap
     * with the static benchmark set — same numbers as the batch
     * `Corpus.decontaminate` (asserted in DocStreamingSpec), but computed

@@ -126,6 +126,32 @@ class CorpusSqlSpec extends AnyFunSuite {
     assert(native.head().getString(0).nonEmpty)
   }
 
+  test("pure-SQL pipeline: text → hash_embedding CTAS → SIMSEARCH INDEX → probe") {
+    import graft.operators.Similarity
+    // the full embedding pipeline as four SQL statements, no Scala, no model
+    ctx.sql("""CREATE OR REPLACE TABLE doc_emb AS
+      |SELECT doc_id AS vec_id, hash_embedding(text, 64) AS embedding
+      |FROM documents""".stripMargin)
+    ctx.sql("CREATE SIMSEARCH INDEX e2e_ivf ON doc_emb WITH (n_cells = 4)")
+    try {
+      val viaSql = ctx.sql(
+        """SELECT * FROM SIMSEARCH(TABLE doc_emb, METHOD ivf_index, K 3
+          |WITH (index = 'e2e_ivf', n_probe = 4),
+          |SELECT vec_id, embedding FROM doc_emb WHERE vec_id < 5)""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+      // full probe of a 4-cell index == brute force over the same embeddings
+      val emb = docs.select(col("doc_id").as("vec_id"),
+        graft.functions.TextAnalysis.hashEmbedding(col("text"), 64).as("embedding"))
+      val brute = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+      assert(viaSql == brute && viaSql.nonEmpty)
+    } finally {
+      ctx.sql("DROP TABLE doc_emb")
+      spark.sql("DROP TABLE IF EXISTS e2e_ivf_cells")
+      spark.sql("DROP TABLE IF EXISTS e2e_ivf_centroids")
+    }
+  }
+
   test("PACK(CAPACITY n) equals the Scala API and composes with CTAS") {
     val inner = "SELECT doc_id, source, " +
       "CAST(size(split(lower(text), ' ')) AS BIGINT) AS n_tokens FROM documents"

@@ -125,6 +125,28 @@ class DocStreamingSpec extends AnyFunSuite {
       "partial index should both keep and drop")
   }
 
+  test("streaming LM scoring equals batch cross-corpus perplexity, stateless") {
+    val docs = Tables.t(spark, TestSpark.sf, "documents")
+    val ref = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val model = DocStreams.bigramRefModel(ref, "text")
+    val streamed = drain(DocStreams.scoreStreamBigramRef(
+        DocStreams.readStream(spark, docsDir), model, "doc_id", "text"),
+      "lm_score_stream")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val batch = Corpus.bigramLogPerplexityAgainst(ref, docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(streamed.keySet == batch.keySet && streamed.nonEmpty)
+    // same counts exactly; same score up to summation order (in-row fold
+    // over occurrences vs grouped tf-weighted sum)
+    streamed.foreach { case (id, (nb, noov, lp)) =>
+      val (bnb, bnoov, blp) = batch(id)
+      assert(nb == bnb && noov == bnoov, s"counts diverge for doc $id")
+      assert(math.abs(lp - blp) <= 1e-5, s"logppl diverges for doc $id: $lp vs $blp")
+    }
+    // reference docs score themselves fully in-model
+    assert(streamed.filter(_._1 % 2 == 0).forall(_._2._2 == 0L))
+  }
+
   test("the CHUNK statement runs unchanged on a streaming table and equals batch") {
     // CHUNK is a stateless per-row generate, so the SAME SQL statement a
     // batch user types works on a registered STREAMING table — the
