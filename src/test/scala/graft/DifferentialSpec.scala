@@ -173,6 +173,37 @@ class DifferentialSpec extends AnyFunSuite {
       assertAgree("SELECT COUNT(*) AS c FROM dt WHERE v NOT IN (SELECT v FROM dtb)")
     }
 
+    test(s"random frame (seed=$seed): UNION semantics and DISTINCT aggregates agree") {
+      loadBoth("dta", randRows(seed, 200))
+      loadBoth("dtb", randRows(seed + 500, 200))
+      // UNION dedups treating NULL = NULL; UNION ALL keeps multiplicity
+      assertAgree("SELECT k, s FROM dta UNION SELECT k, s FROM dtb")
+      assertAgree("SELECT k FROM dta UNION ALL SELECT k FROM dtb")
+      // DISTINCT aggregates skip NULLs identically in both engines
+      assertAgree(
+        """SELECT k, COUNT(DISTINCT v) AS cd, SUM(DISTINCT v) AS sd,
+          |  COUNT(DISTINCT s) AS cs
+          |FROM dta GROUP BY k""".stripMargin)
+    }
+
+    test(s"random frame (seed=$seed): scalar string/numeric battery agrees") {
+      loadBoth("dt", randRows(seed, 300))
+      // string functions + || concat, NULL-propagating in both engines
+      assertAgree(
+        """SELECT UPPER(s) AS u, LOWER(s) AS l, LENGTH(s) AS n,
+          |  SUBSTR(s, 1, 3) AS p, s || '_x' AS cc
+          |FROM dt WHERE k IS NOT NULL""".stripMargin)
+      // numeric battery; FLOOR/CEILING cast to DOUBLE — Spark returns
+      // BIGINT, Derby DOUBLE, the cast lands both on the same type
+      assertAgree(
+        """SELECT ABS(v - 50) AS a, MOD(v, 7) AS m,
+          |  CAST(FLOOR(x) AS DOUBLE) AS f, CAST(CEILING(x) AS DOUBLE) AS c,
+          |  SQRT(CAST(v AS DOUBLE)) AS sq, LN(x + 1.0) AS lx, EXP(0.001 * x) AS ex
+          |FROM dt WHERE v IS NOT NULL""".stripMargin)
+      // BETWEEN and IN-list three-valued logic
+      assertAgree("SELECT k, v FROM dt WHERE v BETWEEN 25 AND 75 OR s IN ('alpha', 'beta')")
+    }
+
     test(s"random frame (seed=$seed): window functions agree with their correlated form") {
       loadBoth("dt", randRows(seed, 200))
       // Derby has no usable window functions, so the differential runs the
