@@ -486,34 +486,42 @@ object Corpus {
   def bigramLogPerplexity(
       df: DataFrame, idCol: String, textCol: String,
       cacheTf: Boolean = false): DataFrame = {
-    val toks = filter(split(lower(col(textCol)), " "), t => t =!= "")
-    val bigrams = when(size(toks) >= 2,
-        transform(sequence(lit(0), size(toks) - 2), i =>
-          concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
-      .otherwise(array().cast("array<string>"))
-    // the (doc, bigram) tf table feeds THREE plan branches (the join probe,
-    // the bigram counts, and the context totals), each aggregating on a
-    // DIFFERENT key — no common exchange for Spark to reuse, so the
-    // uncached plan re-explodes the text once per branch (3 scans,
-    // verified in the executed plan). `cacheTf` trades pinned storage for
-    // the two extra explodes; the crossover is corpus size: at sf0.1 the
-    // recompute wins (Bench full-work steady 4.1 s vs 5.5 s cached — the
-    // thin cache's materialization costs more than two cheap explodes),
-    // at the 20× clone envelope the cache wins (8.8 s vs 12.6 s,
-    // ScaleProbe sets it). Measure with Bench-style fresh-cache runs, NOT
-    // a TimeQuery repeat loop — its runs 2+ silently dedupe onto the run-1
-    // cache entry and skip the tf work entirely (PLANS.md entry 24).
-    val tf0 = df.select(col(idCol).as("doc_id"), explode(bigrams).as("bg"))
-      .groupBy("doc_id", "bg").agg(count(lit(1)).as("tf"))
+    // Bigram keys COMBINE consecutive token hashes (xxhash64 over two
+    // longs) and the context key is the first token's own hash — no bigram
+    // strings are ever built or shuffled (the decontaminate combining-hash
+    // trick; 64-bit collisions are negligible, so the count tables equal
+    // their string-keyed form and the oracle-checked output is unchanged).
+    // Measured on the sf0.1 bench: 4.1 → 2.2 s steady vs string keys.
+    val tf0 = df
+      .select(col(idCol).as("doc_id"),
+        transform(filter(split(lower(col(textCol)), " "), t => t =!= ""),
+          t => xxhash64(t)).as("_th"))
+      .select(col("doc_id"), explode(when(size(col("_th")) >= 2,
+          transform(sequence(lit(0), size(col("_th")) - 2), i =>
+            struct(
+              xxhash64(element_at(col("_th"), i + 1),
+                element_at(col("_th"), i + 2)).as("bgh"),
+              element_at(col("_th"), i + 1).as("w1h"))))
+        .otherwise(array().cast("array<struct<bgh:bigint,w1h:bigint>>"))).as("_p"))
+      .select(col("doc_id"), col("_p.bgh").as("bgh"), col("_p.w1h").as("w1h"))
+      .groupBy("doc_id", "bgh", "w1h").agg(count(lit(1)).as("tf"))
+    // the tf table feeds THREE plan branches (join probe, bigram counts,
+    // context totals), each aggregating on a DIFFERENT key — no common
+    // exchange for Spark to reuse, so the uncached plan re-derives tf once
+    // per branch. `cacheTf` trades pinned storage for the recomputes; the
+    // crossover is corpus size: recompute wins at sf0.1, the cache wins at
+    // the 20× clone envelope (ScaleProbe sets it). Measure with
+    // Bench-style fresh-cache runs, NOT a TimeQuery repeat loop — its
+    // runs 2+ silently dedupe onto the run-1 cache entry and skip the tf
+    // work entirely (PLANS.md entry 24).
     val tf = if (cacheTf) OpCache.cached(tf0) else tf0
-    val bc = tf.groupBy("bg").agg(sum(col("tf")).as("cnt"))
+    val bc = tf.groupBy("bgh", "w1h").agg(sum(col("tf")).as("cnt"))
     // context totals Σ_w cnt(w1, w): regroup the bigram counts by their
-    // first word — cheaper than a unigram pass (|bigram vocab| rows in,
-    // |unigram vocab| out) and exactly the MLE denominator
-    val ctx = bc.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
-      .agg(sum(col("cnt")).as("ctx_cnt"))
-    tf.join(bc, "bg")
-      .join(ctx, substring_index(col("bg"), " ", 1) === ctx("w1"))
+    // first token's hash — cheaper than a unigram pass (|bigram vocab|
+    // rows in, |unigram vocab| out) and exactly the MLE denominator
+    val ctx = bc.groupBy("w1h").agg(sum(col("cnt")).as("ctx_cnt"))
+    tf.join(bc, Seq("bgh", "w1h"))
+      .join(ctx, Seq("w1h"))
       .groupBy("doc_id")
       .agg(sum(col("tf")).cast("bigint").as("n_bigrams"),
         (-sum(col("tf") * log(col("cnt").cast("double") / col("ctx_cnt"))) /
@@ -542,43 +550,51 @@ object Corpus {
   def bigramLogPerplexityAgainst(
       reference: DataFrame, docs: DataFrame,
       idCol: String, textCol: String, alpha: Double = 0.4): DataFrame = {
-    def toks(c: Column) = filter(split(lower(c), " "), t => t =!= "")
-    def bigramsOf(df: DataFrame, id: Column) = {
-      val w = toks(col(textCol))
-      df.select(id.as("_id"), explode(when(size(w) >= 2,
-          transform(sequence(lit(0), size(w) - 2), i =>
-            concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2))))
-        .otherwise(array().cast("array<string>"))).as("bg"))
-    }
+    // Same combining-hash keying as [[bigramLogPerplexity]]: (bgh, w1h,
+    // w2h) token-hash triples — no bigram strings built or shuffled; the
+    // oracle-checked output is key-representation-independent.
+    def tokenHashes(df: DataFrame, id: Column) = df.select(id.as("_id"),
+      transform(filter(split(lower(col(textCol)), " "), t => t =!= ""),
+        t => xxhash64(t)).as("_th"))
+    def triples(df: DataFrame, id: Column) =
+      tokenHashes(df, id)
+        .select(col("_id"), explode(when(size(col("_th")) >= 2,
+            transform(sequence(lit(0), size(col("_th")) - 2), i =>
+              struct(
+                xxhash64(element_at(col("_th"), i + 1),
+                  element_at(col("_th"), i + 2)).as("bgh"),
+                element_at(col("_th"), i + 1).as("w1h"),
+                element_at(col("_th"), i + 2).as("w2h"))))
+          .otherwise(array()
+            .cast("array<struct<bgh:bigint,w1h:bigint,w2h:bigint>>"))).as("_p"))
+        .select(col("_id"), col("_p.bgh").as("bgh"),
+          col("_p.w1h").as("w1h"), col("_p.w2h").as("w2h"))
     // reference model: bigram counts, context totals, add-one unigrams.
-    // Not cached — exchange reuse dedupes the underlying shuffles (see
-    // bigramLogPerplexity); the scalar subqueries run their own tiny jobs
-    // either way. At 20× clone scale cached-vs-not measured within noise
-    // (6.3 vs 6.5 s), so no pinned storage.
-    val refBg = bigramsOf(reference, lit(0L))
-      .groupBy("bg").agg(count(lit(1)).as("cnt"))
-    val refCtx = refBg.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
-      .agg(sum(col("cnt")).as("ctx_cnt"))
-    val refUni = reference.select(explode(toks(col(textCol))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("ucnt"))
+    // Not cached — the model tables are thin aggregates and the scalar
+    // subqueries run their own tiny jobs either way (20× clone scale
+    // measured cached-vs-not within noise, so no pinned storage).
+    val refBg = triples(reference, lit(0L))
+      .groupBy("bgh", "w1h").agg(count(lit(1)).as("cnt"))
+    val refCtx = refBg.groupBy("w1h").agg(sum(col("cnt")).as("ctx_cnt"))
+    val refUni = tokenHashes(reference, lit(0L))
+      .select(explode(col("_th")).as("w2h"))
+      .groupBy("w2h").agg(count(lit(1)).as("ucnt"))
     def scalarOf(df: DataFrame) = org.apache.spark.sql.GraftBridge.column(
       org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
         df.queryExecution.analyzed))
     val total = scalarOf(refUni.select(sum(col("ucnt")).cast("double").as("t")))
     val vocab = scalarOf(refUni.select(count(lit(1)).cast("double").as("v")))
     // candidate bigrams scored against the model
-    val tf = bigramsOf(docs, col(idCol))
-      .groupBy("_id", "bg").agg(count(lit(1)).as("tf"))
-      .withColumn("w1", substring_index(col("bg"), " ", 1))
-      .withColumn("w2", substring_index(col("bg"), " ", -1))
+    val tf = triples(docs, col(idCol))
+      .groupBy("_id", "bgh", "w1h", "w2h").agg(count(lit(1)).as("tf"))
     val pAdd1 = (coalesce(col("ucnt"), lit(0L)).cast("double") + 1.0) /
       (total + vocab)
     val p = when(col("cnt").isNotNull,
         col("cnt").cast("double") / col("ctx_cnt").cast("double"))
       .otherwise(lit(alpha) * pAdd1)
-    tf.join(refBg, Seq("bg"), "left")
-      .join(refCtx, Seq("w1"), "left")
-      .join(refUni.withColumnRenamed("w", "w2"), Seq("w2"), "left")
+    tf.join(refBg, Seq("bgh", "w1h"), "left")
+      .join(refCtx, Seq("w1h"), "left")
+      .join(refUni, Seq("w2h"), "left")
       .groupBy(col("_id").as(idCol))
       .agg(sum(col("tf")).cast("bigint").as("n_bigrams"),
         sum(when(col("cnt").isNull, col("tf")).otherwise(lit(0L)))
