@@ -1,0 +1,2 @@
+CREATE OR REPLACE VIEW bench_split AS
+SELECT doc_id, text FROM documents WHERE doc_id % 20 = 7

@@ -1,0 +1,1 @@
+CREATE SIMSEARCH INDEX pipeline_ivf ON doc_emb WITH (n_cells = 4)

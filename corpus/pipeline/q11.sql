@@ -1,0 +1,3 @@
+SELECT * FROM SIMSEARCH(TABLE doc_emb, METHOD ivf_index, K 3
+WITH (index = 'pipeline_ivf', n_probe = 2),
+SELECT vec_id, embedding FROM doc_emb WHERE vec_id < 10)

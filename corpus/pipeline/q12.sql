@@ -1,0 +1,2 @@
+SELECT lang_id(text) AS lang, count(*) AS n, avg(quality_score(text)) AS q
+FROM documents WHERE gopher_pass(text) GROUP BY lang_id(text)

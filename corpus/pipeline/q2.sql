@@ -1,0 +1,4 @@
+CREATE OR REPLACE VIEW mix_quotas AS
+SELECT source,
+       CASE WHEN source IN ('src0','src1','src2') THEN 10 ELSE 4 END AS quota
+FROM (SELECT DISTINCT source FROM documents)

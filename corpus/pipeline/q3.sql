@@ -1,0 +1,2 @@
+SELECT * FROM DEDUP(METHOD minhash WITH (threshold = 0.5),
+SELECT doc_id, text FROM documents)

@@ -1,0 +1,1 @@
+SELECT * FROM STRATIFY(TABLE mix_quotas, SELECT doc_id, source FROM documents)

@@ -1,0 +1,3 @@
+SELECT * FROM PACK(CAPACITY 256,
+SELECT doc_id, source, CAST(size(split(lower(text), ' ')) AS BIGINT) AS n_tokens
+FROM documents)

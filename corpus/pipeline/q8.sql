@@ -1,0 +1,2 @@
+SELECT * FROM SCORE(METHOD bigram_ref WITH (reference = 'bench_split'),
+SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 7)

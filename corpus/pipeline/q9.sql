@@ -1,0 +1,2 @@
+CREATE OR REPLACE TABLE doc_emb AS
+SELECT doc_id AS vec_id, hash_embedding(text, 64) AS embedding FROM documents

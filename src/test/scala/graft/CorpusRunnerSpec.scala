@@ -30,6 +30,25 @@ class CorpusRunnerSpec extends AnyFunSuite {
     results.foreach(r => assert(r.seconds >= 0))
   }
 
+  test("bundled pipeline-statement corpus runs clean: the statement surface as q*.sql") {
+    val ctx = new Context(spark)
+    CorpusRunner.registerDir(ctx, TestSpark.sf)
+    try {
+      val results = CorpusRunner.run(ctx, "corpus/pipeline")
+      // ordered build: views (q1-q2) feed DECONTAMINATE/STRATIFY/SCORE,
+      // the CTAS embedding table (q9) feeds the index (q10) and its probe
+      assert(results.size == 12)
+      val failed = results.filterNot(_.ok)
+      assert(failed.isEmpty,
+        s"pipeline corpus failures: ${failed.map(r => r.query -> r.error).mkString("; ")}")
+    } finally {
+      Seq("doc_emb", "bench_split", "mix_quotas")
+        .foreach(t => ctx.sql(s"DROP TABLE IF EXISTS $t"))
+      spark.sql("DROP TABLE IF EXISTS pipeline_ivf_cells")
+      spark.sql("DROP TABLE IF EXISTS pipeline_ivf_centroids")
+    }
+  }
+
   test("bundled TPC-H corpus runs clean end-to-end against the testdata tables") {
     val ctx = new Context(spark)
     CorpusRunner.registerDir(ctx, TestSpark.sf)
