@@ -55,6 +55,21 @@ class CorpusSpec extends AnyFunSuite {
     assert(bi(99L) > bi(1L) + 1.0)
   }
 
+  test("bigram scorers shuffle only hashed keys: no strings built, no windows") {
+    val docs = Tables.t(spark, TestSpark.sf, "documents")
+    val self = Corpus.bigramLogPerplexity(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // re-keyed on combining hashes: no bigram string construction anywhere
+    // in the plan, and the whole scorer is joins + aggregates, no windows
+    assert(!self.contains("concat_ws"), "bigram strings built in the self-scored plan")
+    assert(!self.contains("Window"), "window in the self-scored plan")
+    val xcorp = Corpus.bigramLogPerplexityAgainst(
+        docs.filter($"doc_id" % 2 === 0), docs.filter($"doc_id" % 2 === 1),
+        "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!xcorp.contains("concat_ws") && !xcorp.contains("Window"))
+  }
+
   test("bigramLogPerplexityAgainst: hand-computed backoff and OOV accounting") {
     val ref = Seq((1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
     // ref model: bigrams {a b:1, a c:1}, ctx(a)=2; unigrams a:2,b:1,c:1 →

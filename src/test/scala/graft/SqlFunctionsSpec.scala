@@ -72,6 +72,13 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert((0L until 3L).forall(i => hits(i + 1000) == i))
   }
 
+  test("hash_embedding is a pure projection — no Exchange in the plan") {
+    val plan = docs.select(col("doc_id"),
+        TextAnalysis.hashEmbedding(col("text"), 64).as("e"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"shuffle in an embarrassingly-parallel op:\n$plan")
+  }
+
   test("the functions expand to native expressions — no UDF in the plan") {
     val plan = ctx.sql(
       "SELECT lang_id(text), quality_score(text), dup_ngram_frac(text, 3) FROM documents")
