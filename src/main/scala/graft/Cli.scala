@@ -43,7 +43,8 @@ object Cli {
     "CREATE MODEL/EXPERIMENT" -> "Train MLlib models / tuning grids over a query",
     "SELECT * FROM PREDICT(MODEL m, <sql>)" -> "Score a query with a trained model",
     "SELECT * FROM DEDUP(METHOD m [WITH (...)], <sql>)" ->
-      "Dedup pairs: exact|minhash|ngram|simhash|substring|embedding|incremental",
+      ("Dedup: exact|minhash|ngram|simhash|substring|embedding|incremental" +
+        "|chunks|boilerplate (last two rewrite the corpus)"),
     "SELECT * FROM SIMSEARCH(TABLE t, METHOD m, K n [WITH (...)], <sql>)" ->
       "Top-k cosine neighbors: brute|lsh|ivf|ivf_index",
     "CREATE DEDUP|SIMSEARCH INDEX i ON t [WITH (...)]" ->

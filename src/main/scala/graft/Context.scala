@@ -562,6 +562,11 @@ class Context(val spark: SparkSession) {
         case "substring" => TextDedup.substringDupSpans(df, id, text,
           n = i("n", 4), minRun = i("min_run", 3),
           maxAnchors = i("max_anchors", 256))
+        // the REWRITE actions: these return the cleaned corpus itself
+        case "chunks" => graft.operators.Corpus.dedupChunks(df, id, text,
+          size = i("size", 8))
+        case "boilerplate" => graft.operators.Corpus.removeBoilerplate(
+          df, id, text, n = i("n", 5), minDocs = i("min_docs", 2))
         case "embedding" => Similarity.cosineDedupPairsBanded(df,
           threshold = f("threshold", 0.9),
           dim = opts.get("dim").map(_.trim.toInt).getOrElse(
@@ -572,8 +577,8 @@ class Context(val spark: SparkSession) {
           idCol = opts.getOrElse("id", "vec_id"),
           vecCol = opts.getOrElse("vec", "embedding"))
         case other => throw new IllegalArgumentException(
-          s"Unknown DEDUP method: $other " +
-            "(exact|minhash|ngram|simhash|substring|embedding|incremental)")
+          s"Unknown DEDUP method: $other (exact|minhash|ngram|simhash|" +
+            "substring|embedding|incremental|chunks|boilerplate)")
       }
 
     // SELECT * FROM SIMSEARCH(TABLE corpus, METHOD m, K n [WITH (...)],

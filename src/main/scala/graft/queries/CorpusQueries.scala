@@ -902,5 +902,78 @@ object CorpusQueries {
       Corpus.dedupChunks(docs.unionByName(dupes), "doc_id", "text", size = 8)
         .orderBy("doc_id")
     },
+
+    // The SAME chunk-rewrite through the DEDUP statement surface (the
+    // inner select builds the duplicated split in plain SQL); held to
+    // p38's oracle so the statement wiring is hash-gated.
+    Q("p38c_chunk_dedup_sql", Some("""
+      WITH docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        WHERE doc_id % 50 = 0),
+      w AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM docs),
+      c AS (SELECT doc_id, CAST(start // 8 AS BIGINT) AS chunk_id,
+              array_to_string(toks[start + 1 : start + 8], ' ') AS chunk_text
+            FROM (SELECT doc_id, toks,
+                    unnest(range(0, greatest(len(toks), 1), 8)) AS start
+                  FROM w)),
+      r AS (SELECT doc_id, chunk_id, chunk_text,
+              row_number() OVER (PARTITION BY chunk_text
+                ORDER BY doc_id, chunk_id) AS rn
+            FROM c)
+      SELECT doc_id,
+             coalesce(string_agg(CASE WHEN rn = 1 THEN chunk_text END,
+               ' ' ORDER BY chunk_id), '') AS new_text,
+             CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+      FROM r GROUP BY doc_id ORDER BY doc_id""")) { (s, d) =>
+      val ctx = new graft.Context(s)
+      ctx.createTableFromPath("documents", s"$d/documents.parquet")
+      ctx.sql(
+        """SELECT * FROM DEDUP(METHOD chunks WITH (size = 8),
+          |SELECT doc_id, text FROM documents
+          |UNION ALL
+          |SELECT doc_id + 1000000 AS doc_id, text FROM documents
+          |WHERE doc_id % 50 = 0)""".stripMargin)
+        .orderBy("doc_id")
+    },
+
+    // The SAME boilerplate removal through the DEDUP statement surface —
+    // held to p42's oracle (statement wiring hash-gated).
+    Q("p42c_boilerplate_removal_sql", Some("""
+      WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words
+                 FROM documents),
+      g AS (SELECT doc_id, unnest([{'g': array_to_string(words[i:i+4], ' '), 'p': i}
+              for i in range(1, len(words) - 3)]) AS s
+            FROM w WHERE len(words) >= 5),
+      f AS (SELECT s.g AS g FROM g GROUP BY s.g
+            HAVING count(DISTINCT doc_id) >= 2),
+      flag AS (SELECT g.doc_id, g.s.p AS p FROM g JOIN f ON g.s.g = f.g),
+      cov AS (SELECT DISTINCT doc_id, p + o.o AS wp
+              FROM flag CROSS JOIN (SELECT unnest(range(0, 5)) AS o) o),
+      wordpos AS (SELECT doc_id,
+                    unnest([{'wd': words[i], 'i': i}
+                      for i in range(1, len(words) + 1)]) AS t
+                  FROM w WHERE len(words) >= 5),
+      k AS (SELECT wordpos.doc_id, wordpos.t.i AS i, wordpos.t.wd AS wd
+            FROM wordpos LEFT JOIN cov
+              ON wordpos.doc_id = cov.doc_id AND wordpos.t.i = cov.wp
+            WHERE cov.wp IS NULL)
+      SELECT w0.doc_id,
+             coalesce(string_agg(k.wd, ' ' ORDER BY k.i), '') AS clean_text,
+             CAST(len(w0.words) AS BIGINT) AS n_words,
+             CAST(len(w0.words) - count(k.wd) AS BIGINT) AS n_removed
+      FROM (SELECT doc_id, words FROM w WHERE len(words) >= 5) w0
+      LEFT JOIN k ON w0.doc_id = k.doc_id
+      GROUP BY w0.doc_id, len(w0.words)
+      ORDER BY w0.doc_id""")) { (s, d) =>
+      val ctx = new graft.Context(s)
+      ctx.createTableFromPath("documents", s"$d/documents.parquet")
+      ctx.sql(
+        """SELECT * FROM DEDUP(METHOD boilerplate WITH (n = 5, min_docs = 2),
+          |SELECT doc_id, text FROM documents)""".stripMargin)
+        .orderBy("doc_id")
+    },
   )
 }
