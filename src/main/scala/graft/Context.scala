@@ -552,13 +552,23 @@ class Context(val spark: SparkSession) {
           maxBucket = i("max_bucket", 1000))
         case "simhash" => TextDedup.simhashDedupPairs(df, id, text,
           maxHamming = i("max_hamming", 3))
-        case "incremental" => TextDedup.minhashDedupIncrementalIndexed(
-          spark, df, id, text,
-          prefix = opts.getOrElse("index", throw new IllegalArgumentException(
-            "DEDUP method incremental requires index= (a CREATE DEDUP INDEX prefix)")),
-          shingleSize = i("shingle_size", 3), numHashes = i("num_hashes", 64),
-          bands = i("bands", 16), threshold = f("threshold", 0.5),
-          maxBucket = i("max_bucket", 1000))
+        case "incremental" => opts.get("corpus") match {
+          // direct form: the corpus is a registered table, signatures are
+          // recomputed for it (one-shot jobs); the index= form reads the
+          // persisted bucketed band table instead (run-many production)
+          case Some(tbl) => TextDedup.minhashDedupIncremental(
+            df, lookupTable(tbl), id, text,
+            shingleSize = i("shingle_size", 3), numHashes = i("num_hashes", 64),
+            bands = i("bands", 16), threshold = f("threshold", 0.5))
+          case None => TextDedup.minhashDedupIncrementalIndexed(
+            spark, df, id, text,
+            prefix = opts.getOrElse("index", throw new IllegalArgumentException(
+              "DEDUP method incremental requires index= (a CREATE DEDUP INDEX " +
+                "prefix) or corpus= (a registered table)")),
+            shingleSize = i("shingle_size", 3), numHashes = i("num_hashes", 64),
+            bands = i("bands", 16), threshold = f("threshold", 0.5),
+            maxBucket = i("max_bucket", 1000))
+        }
         case "substring" => TextDedup.substringDupSpans(df, id, text,
           n = i("n", 4), minRun = i("min_run", 3),
           maxAnchors = i("max_anchors", 256))

@@ -116,6 +116,27 @@ object ScaleProbe {
           docs.filter(col("doc_id") >= 10000000L),
           "doc_id", "text")
       },
+      time("semantic_dedup_from_text") {
+        // the full text→semantic pipeline at clone scale: feature-hashed
+        // embeddings, IVF coarse quantizer, then within-cell SemDeDup.
+        // Every doc has 20 exact clones, so every cell holds full clone
+        // clusters — the cosine threshold's worst case end-to-end from raw
+        // text. The embedding table is MATERIALIZED before the quantizer,
+        // exactly as the production SQL pipeline does with a CTAS — the
+        // KMeans build makes multiple passes, and an uncached projection
+        // would recompute every embedding per pass (measured 105 s vs
+        // 31 s materialized at 20×)
+        // cached for the stage's whole lifetime (~50 MB at 20×); the probe
+        // JVM exits after the sweep, like the other stages' operator caches
+        val emb = docs.select(col("doc_id").as("vec_id"),
+          graft.functions.TextAnalysis.hashEmbedding(col("text"), 64).as("embedding"))
+          .cache()
+        val idx = operators.Similarity.buildIvfIndex(emb, nCells = 64)
+        operators.Similarity.semanticDedup(
+          idx.cells.select(col("nid").as("vec_id"), col("nvec").as("embedding"),
+            col("cell")),
+          tau = 0.99, clusterCol = "cell")
+      },
       time("bpe_pairs") {
         // pair counting collapses to the distinct-word vocabulary first —
         // REP× occurrences cost map-side counters, not rows

@@ -109,6 +109,20 @@ class DedupSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("DEDUP(METHOD incremental WITH (corpus=...)) equals the direct API without an index") {
+    ctx.sql("CREATE OR REPLACE VIEW corpus_view AS " +
+      "SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 2")
+    val viaSql = pairs(ctx.sql(
+      """SELECT * FROM DEDUP(METHOD incremental WITH (corpus = 'corpus_view'),
+        |SELECT doc_id, text FROM documents WHERE doc_id % 10 < 2)""".stripMargin))
+    val docs = Tables.t(spark, TestSpark.sf, "documents")
+    val direct = pairs(TextDedup.minhashDedupIncremental(
+      docs.filter(col("doc_id") % 10 < 2), docs.filter(col("doc_id") % 10 >= 2),
+      "doc_id", "text"))
+    assert(viaSql == direct && viaSql.nonEmpty)
+    ctx.sql("DROP TABLE corpus_view")
+  }
+
   test("CREATE SIMSEARCH INDEX + SIMSEARCH(METHOD ivf_index) probes the persisted cells") {
     ctx.sql("CREATE SIMSEARCH INDEX sql_ivf ON embeddings WITH (n_cells = 4)")
     try {
