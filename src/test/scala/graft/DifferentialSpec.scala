@@ -204,6 +204,26 @@ class DifferentialSpec extends AnyFunSuite {
       assertAgree("SELECT k, v FROM dt WHERE v BETWEEN 25 AND 75 OR s IN ('alpha', 'beta')")
     }
 
+    test(s"random frame (seed=$seed): derived tables and nested aggregation agree") {
+      loadBoth("dt", randRows(seed, 300))
+      loadBoth("dtb", randRows(seed + 500, 100))
+      // aggregate over an aggregate (the classic two-level rollup)
+      assertAgree(
+        """SELECT k, MAX(sv) AS mx, MIN(sv) AS mn, COUNT(*) AS groups
+          |FROM (SELECT k, s, SUM(v) AS sv FROM dt GROUP BY k, s) t
+          |GROUP BY k""".stripMargin)
+      // join a derived aggregate back to detail rows
+      assertAgree(
+        """SELECT d.k, d.v, t.sv
+          |FROM dt d JOIN (SELECT k, SUM(v) AS sv FROM dt GROUP BY k) t
+          |ON d.k = t.k WHERE d.v > 80""".stripMargin)
+      // filter inside the derived table vs outside must both agree
+      assertAgree(
+        """SELECT k, COUNT(*) AS c
+          |FROM (SELECT k, v FROM dtb WHERE v IS NOT NULL AND v < 50) t
+          |GROUP BY k""".stripMargin)
+    }
+
     test(s"random frame (seed=$seed): window functions agree with their correlated form") {
       loadBoth("dt", randRows(seed, 200))
       // Derby has no usable window functions, so the differential runs the

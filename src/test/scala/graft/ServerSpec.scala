@@ -104,6 +104,11 @@ class ServerSpec extends AnyFunSuite {
     assert(dCols.map(_.get("name").asText()) ==
       Seq("doc_id", "n_grams", "n_hits", "ratio", "contaminated"))
     assert(dRows.nonEmpty)
+    // EXPLAIN on a pipeline statement works over the wire too: one plan row
+    val (eCols, eRows) = drain(post(
+      "EXPLAIN SELECT * FROM SCORE(METHOD bigram, SELECT doc_id, text FROM wire_docs)"))
+    assert(eCols.map(_.get("name").asText()) == Seq("plan"))
+    assert(eRows.size == 1 && eRows.head.head.asText().contains("Physical Plan"))
     drain(post("DROP TABLE wire_bench"))
     drain(post("DROP TABLE wire_docs"))
   }
