@@ -344,7 +344,11 @@ class Context(val spark: SparkSession) {
     * (`return_futures=True`). `EXPLAIN [mode] <stmt>` works on the
     * SELECT-family pipeline statements too (DEDUP/SIMSEARCH/PREDICT/
     * DECONTAMINATE/STRATIFY/CHUNK/PACK/SCORE — Spark's own EXPLAIN cannot
-    * parse them); DDL-family statements are not explainable, they execute. */
+    * parse them); EXPLAIN on extension DDL is rejected with a clear error
+    * (it has no plan, and silently executing it would be worse). Note the
+    * model-building SELECT statements (SIMSEARCH METHOD ivf, PREDICT)
+    * fit their model while the plan is CONSTRUCTED, so explaining them
+    * runs that build — the plan shown is the real scoring plan. */
   def sql(query: String): DataFrame = query match {
     case ExplainRe(mode, rest) =>
       ExtensionParser.parse(rest) match {
@@ -355,7 +359,11 @@ class Context(val spark: SparkSession) {
               Option(mode).map(_.trim.toLowerCase).getOrElse("formatted")))
           import spark.implicits._
           Seq(plan).toDF("plan")
-        case _ => exec(query) // Spark's native EXPLAIN handles standard SQL
+        case _: Passthrough =>
+          exec(query) // Spark's native EXPLAIN handles standard SQL
+        case other => throw new IllegalArgumentException(
+          s"EXPLAIN is not supported for ${other.getClass.getSimpleName} " +
+            "statements (DDL has no query plan); run the statement directly")
       }
     case _ => exec(query)
   }
@@ -559,7 +567,8 @@ class Context(val spark: SparkSession) {
           case Some(tbl) => TextDedup.minhashDedupIncremental(
             df, lookupTable(tbl), id, text,
             shingleSize = i("shingle_size", 3), numHashes = i("num_hashes", 64),
-            bands = i("bands", 16), threshold = f("threshold", 0.5))
+            bands = i("bands", 16), threshold = f("threshold", 0.5),
+            maxBucket = i("max_bucket", 1000))
           case None => TextDedup.minhashDedupIncrementalIndexed(
             spark, df, id, text,
             prefix = opts.getOrElse("index", throw new IllegalArgumentException(

@@ -140,16 +140,22 @@ object GraftFunctions {
     // dim must be a literal (it shapes the expression)
     (new FunctionIdentifier("hash_embedding"),
       new ExpressionInfo("graft.functions.TextAnalysis", "hash_embedding"),
-      (exprs: Seq[Expression]) => colFn(exprs.take(1), 1) { cols =>
-        graft.functions.TextAnalysis.hashEmbedding(cols.head,
-          if (exprs.size > 1) intArg(exprs(1), "dim") else 64) }),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size <= 2, s"expected (text[, dim]), got ${exprs.length} arguments")
+        colFn(exprs.take(1), 1) { cols =>
+          graft.functions.TextAnalysis.hashEmbedding(cols.head,
+            if (exprs.size > 1) intArg(exprs(1), "dim") else 64) }
+      }),
 
     // dup_ngram_frac(text[, n]) — n must be a literal (it shapes the expr)
     (new FunctionIdentifier("dup_ngram_frac"),
       new ExpressionInfo("graft.functions.TextAnalysis", "dup_ngram_frac"),
-      (exprs: Seq[Expression]) => colFn(exprs.take(1), 1) { cols =>
-        graft.functions.TextAnalysis.dupNgramFrac(cols.head,
-          if (exprs.size > 1) intArg(exprs(1), "n") else 2) }),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size <= 2, s"expected (text[, n]), got ${exprs.length} arguments")
+        colFn(exprs.take(1), 1) { cols =>
+          graft.functions.TextAnalysis.dupNgramFrac(cols.head,
+            if (exprs.size > 1) intArg(exprs(1), "n") else 2) }
+      }),
 
     // fused vector math (round 3): the embedding-pipeline hot loops,
     // exposed so server/CLI SQL users get the same codepath as the

@@ -144,13 +144,18 @@ object TextAnalysis {
     */
   def hashEmbedding(text: Column, dim: Int = 64): Column = {
     require(dim > 0, "dim must be positive")
-    def h(t: Column) = conv(substring(md5(t), 2, 15), 16, 10).cast("long")
+    // tokens are hashed ONCE up front (the fold's lambda variable is then
+    // the 60-bit hash itself — bucket and sign both derive from it; an
+    // h(t) call per use would run the md5 pipeline twice per token, and
+    // codegen does not CSE across lambda bodies)
+    val hashes = transform(filter(tokens(text), t => t =!= ""),
+      t => conv(substring(md5(t), 2, 15), 16, 10).cast("long"))
     aggregate(
-      filter(tokens(text), t => t =!= ""),
+      hashes,
       array_repeat(lit(0.0), dim),
-      (acc, t) => {
-        val bucket = pmod(h(t), lit(dim.toLong)).cast("int")
-        val sgn = when(shiftright(h(t), 59).bitwiseAND(1L) === 1L, lit(1.0))
+      (acc, hv) => {
+        val bucket = pmod(hv, lit(dim.toLong)).cast("int")
+        val sgn = when(shiftright(hv, 59).bitwiseAND(1L) === 1L, lit(1.0))
           .otherwise(lit(-1.0))
         transform(acc, (v, i) => when(i === bucket, v + sgn).otherwise(v))
       },

@@ -153,9 +153,11 @@ object Similarity {
     val km = new org.apache.spark.ml.clustering.KMeans()
       .setK(nCells).setSeed(42).setFeaturesCol("fv").setPredictionCol("cell")
       .fit(base)
-    val cells = km.transform(base).select(col("nid"), col("nvec"), col("cell"))
-      .withColumn("nnorm", norm(col("nvec")))
-      .persist()
+    // cached via the session OpCache registry (not a bare persist) so a
+    // long-lived server/CLI session's per-statement release reclaims it
+    val cells = OpCache.cached(
+      km.transform(base).select(col("nid"), col("nvec"), col("cell"))
+        .withColumn("nnorm", norm(col("nvec"))))
 
     // tiny (nCells × dim) centroid table, broadcast for query assignment
     import spark.implicits._

@@ -281,7 +281,15 @@ object DocStreams {
     * watermark, and runs in append mode — where the explode-join-regroup
     * batch formulation would demand windowed aggregation state. Same
     * numbers as the batch operator up to summation order (asserted ±1e-6
-    * in DocStreamingSpec). Emits (id, n_bigrams, n_oov, logppl). */
+    * in DocStreamingSpec). Emits (id, n_bigrams, n_oov, logppl).
+    *
+    * SIZE CEILING: Spark's map lookup (GetMapValue) scans entries
+    * linearly, so per-document cost is O(doc bigrams × |reference bigram
+    * vocab|). That is the price of statelessness and is fine for the
+    * curated references this is for (10³–10⁴ distinct bigrams); for a
+    * reference corpus beyond ~10⁵ bigrams score in batch
+    * (`Corpus.bigramLogPerplexityAgainst` — hash joins) on micro-batch
+    * output instead. */
   def scoreStreamBigramRef(docStream: DataFrame, model: DataFrame,
       idCol: String, textCol: String, alpha: Double = 0.4): DataFrame = {
     def toks(c: Column) = filter(split(lower(c), " "), t => t =!= "")

@@ -124,6 +124,12 @@ class CorpusSqlSpec extends AnyFunSuite {
     val native = ctx.sql("EXPLAIN SELECT count(*) FROM documents")
     assert(native.columns.toSeq == Seq("plan"))
     assert(native.head().getString(0).nonEmpty)
+    // extension DDL has no plan: clear rejection, not a parse error and
+    // NOT a silent execution
+    val e = intercept[IllegalArgumentException](ctx.sql(
+      "EXPLAIN CREATE DEDUP INDEX never_built ON documents"))
+    assert(e.getMessage.contains("not supported"))
+    assert(!spark.catalog.tableExists("never_built_bands"), "EXPLAIN executed the DDL")
   }
 
   test("pure-SQL pipeline: text → hash_embedding CTAS → SIMSEARCH INDEX → probe") {

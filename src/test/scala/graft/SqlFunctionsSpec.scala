@@ -97,6 +97,14 @@ class SqlFunctionsSpec extends AnyFunSuite {
     val e = intercept[Exception](ctx.sql(
       "SELECT lang_id(text, 2) FROM documents").collect())
     assert(e.getMessage.contains("lang_id"))
+    // the optional-second-arg functions reject a THIRD argument instead of
+    // silently discarding it
+    val e2 = intercept[Exception](ctx.sql(
+      "SELECT hash_embedding(text, 64, 42) FROM documents").collect())
+    assert(e2.getMessage.contains("hash_embedding"))
+    val e3 = intercept[Exception](ctx.sql(
+      "SELECT dup_ngram_frac(text, 3, 4) FROM documents").collect())
+    assert(e3.getMessage.contains("dup_ngram_frac"))
   }
 
   test("the functions compose with WHERE / GROUP BY / the pipeline statements") {
