@@ -1,0 +1,69 @@
+package graft
+
+/** Diagnostic harness for the Bench steady-pass anomaly (not part of the
+  * driver contract): replicates Bench's exact per-query protocol — noop
+  * sink, OpCache.release after each run, clearCache between passes — for a
+  * SINGLE query over N passes in one session, so pass-to-pass drift can be
+  * attributed to the protocol itself rather than to the other 25 queries.
+  *
+  * Usage: runMain graft.BenchProbe <query> [passes] [sfDir] [flags...]
+  * Flags: --blocking   release caches with blocking=true
+  *        --gc         System.gc() + sleep between passes
+  *        --no-clear   skip catalog.clearCache() between passes
+  *        --preload    run every benchQueries query once first (replicates
+  *                     the session contamination the steady passes see)
+  */
+object BenchProbe {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse("p02_dedup_minhash")
+    val passes = args.drop(1).find(!_.startsWith("--")).map(_.toInt).getOrElse(5)
+    val sfDir = args.drop(2).find(!_.startsWith("--")).getOrElse("/root/testdata/sf0.1")
+    val blocking = args.contains("--blocking")
+    val gc = args.contains("--gc")
+    val clear = !args.contains("--no-clear")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-benchprobe")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-wh").toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // Bench's warm-up
+    spark.range(1000000).selectExpr("sum(id) s").write.format("noop").mode("overwrite").save()
+    Tables.t(spark, sfDir, "lineitem").limit(1000)
+      .write.format("noop").mode("overwrite").save()
+
+    if (args.contains("--preload")) {
+      val t0 = System.nanoTime()
+      SparkEntry.benchQueries.foreach { n =>
+        SparkEntry.queries(n)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        graft.operators.OpCache.release(spark)
+      }
+      println(f"[benchprobe] preload pass done: ${(System.nanoTime()-t0)/1e9}%.1f s")
+    }
+
+    for (i <- 1 to passes) {
+      if (clear && i > 1) spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[benchprobe] $name pass $i: $secs%.3f s (blocking=$blocking gc=$gc clear=$clear)")
+      val q = graft.operators.OpCache.registered(spark)
+      if (blocking) {
+        // mirror release() but blocking
+        graft.operators.OpCache.releaseBlocking(spark)
+      } else graft.operators.OpCache.release(spark)
+      println(s"[benchprobe] released $q operator cache entries")
+      if (gc) { System.gc(); Thread.sleep(500) }
+    }
+    spark.stop()
+  }
+}

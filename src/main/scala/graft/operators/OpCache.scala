@@ -36,6 +36,12 @@ object OpCache {
     if (q != null) q.forEach { df => df.unpersist(blocking = false); () }
   }
 
+  /** [[release]] with synchronous block removal — diagnostics (BenchProbe). */
+  def releaseBlocking(spark: SparkSession): Unit = {
+    val q = reg.remove(spark)
+    if (q != null) q.forEach { df => df.unpersist(blocking = true); () }
+  }
+
   /** Number of registered (not yet released) frames — diagnostics/tests. */
   def registered(spark: SparkSession): Int = {
     val q = reg.get(spark)
