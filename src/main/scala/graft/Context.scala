@@ -54,8 +54,12 @@ class Context(val spark: SparkSession) {
     * create, drop, rename). Consumers that derive views from the registry
     * (the JDBC metadata shim) cache against it instead of rebuilding per
     * query — chatty BI clients enumerate metadata on every connect. */
-  @volatile private[graft] var catalogVersion: Long = 0L
-  private def bumpCatalog(): Unit = catalogVersion += 1
+  private[graft] val catalogVersion = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def bumpCatalog(): Unit = { catalogVersion.incrementAndGet(); () }
+  /** catalogVersion the JDBC metadata views were last built at (-1 = never);
+    * lives here so [[graft.server.JdbcMetadata]] needs no context-keyed
+    * registry that would pin contexts in memory. */
+  private[graft] val jdbcMetaBuiltAt = new java.util.concurrent.atomic.AtomicLong(-1L)
 
   // ---------------- config surface (reference: dask_sql/sql.yaml) --------
 
@@ -344,8 +348,9 @@ class Context(val spark: SparkSession) {
     * (`return_futures=True`). `EXPLAIN [mode] <stmt>` works on the
     * SELECT-family pipeline statements too (DEDUP/SIMSEARCH/PREDICT/
     * DECONTAMINATE/STRATIFY/CHUNK/PACK/SCORE — Spark's own EXPLAIN cannot
-    * parse them); EXPLAIN on extension DDL is rejected with a clear error
-    * (it has no plan, and silently executing it would be worse). Note the
+    * parse them); EXPLAIN on extension DDL returns a one-row description
+    * (it has no plan; nothing is executed — mirrors Spark's native
+    * EXPLAIN-on-DDL, which also answers rather than errors). Note the
     * model-building SELECT statements (SIMSEARCH METHOD ivf, PREDICT)
     * fit their model while the plan is CONSTRUCTED, so explaining them
     * runs that build — the plan shown is the real scoring plan. */
@@ -361,9 +366,14 @@ class Context(val spark: SparkSession) {
           Seq(plan).toDF("plan")
         case _: Passthrough =>
           exec(query) // Spark's native EXPLAIN handles standard SQL
-        case other => throw new IllegalArgumentException(
-          s"EXPLAIN is not supported for ${other.getClass.getSimpleName} " +
-            "statements (DDL has no query plan); run the statement directly")
+        case other =>
+          // extension DDL has no Catalyst plan; mirror Spark's native
+          // EXPLAIN-on-DDL behavior (one descriptive row, nothing
+          // executed) instead of erroring — BI clients explain blindly
+          import spark.implicits._
+          Seq(s"Graft extension DDL (no query plan): " +
+            s"${other.getClass.getSimpleName} — ${rest.trim.take(200)}. " +
+            "Not executed; run without EXPLAIN to apply.").toDF("plan")
       }
     case _ => exec(query)
   }
@@ -660,8 +670,10 @@ class Context(val spark: SparkSession) {
             nCells = i("n_cells", 16),
             idCol = opts.getOrElse("id", "vec_id"),
             vecCol = opts.getOrElse("vec", "embedding"))
-          try Similarity.saveIvfIndex(idx, name, nBuckets = i("n_buckets", 8))
-          finally idx.unpersist()
+          // no local unpersist: the cells frame is OpCache-owned (a prior
+          // SIMSEARCH ivf query in this session may share the exact plan —
+          // one owner, released between statements / clearOperatorCache)
+          Similarity.saveIvfIndex(idx, name, nBuckets = i("n_buckets", 8))
       }
       emptyResult
 

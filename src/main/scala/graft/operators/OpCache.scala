@@ -22,12 +22,22 @@ object OpCache {
   private val reg = new java.util.concurrent.ConcurrentHashMap[
     SparkSession, java.util.Queue[DataFrame]]()
 
-  /** Cache `df` and remember it for [[release]]. Returns the cached frame. */
+  /** Cache `df` and remember it for [[release]]. Returns the cached frame.
+    *
+    * One owner per cached plan: if this exact plan is ALREADY in the
+    * CacheManager (a composed statement re-deriving a frame another
+    * operator holds — e.g. CREATE DEDUP INDEX after a DEDUP minhash both
+    * build the shingle store), the existing entry is reused untouched and
+    * nothing is registered here — re-caching would log `Asked to cache
+    * already cached data` and set up a double-release. */
   def cached(df: DataFrame): DataFrame = {
-    reg.computeIfAbsent(df.sparkSession,
-      _ => new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]())
-      .add(df)
-    df.cache()
+    if (org.apache.spark.sql.GraftBridge.isPlanCached(df)) df
+    else {
+      reg.computeIfAbsent(df.sparkSession,
+        _ => new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]())
+        .add(df)
+      df.cache()
+    }
   }
 
   /** Unpersist every operator-cached frame registered for `spark`. */

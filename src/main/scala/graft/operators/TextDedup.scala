@@ -311,18 +311,21 @@ object TextDedup {
       nBuckets: Int = 8, shingleSize: Int = 3, numHashes: Int = 64,
       bands: Int = 16): Unit = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val sh = sortedWordShingles(df, idCol, textCol, shingleSize).cache()
-    try {
-      sh.write.format("parquet").mode("overwrite")
-        .bucketBy(nBuckets, "doc_id").sortBy("doc_id")
-        .saveAsTable(s"${prefix}_shingles")
-      sh.select(col("doc_id"),
-          posexplode(graft.functions.CatalystExprs.minhashBandHashes(
-            col("shingles"), numHashes, bands)).as(Seq("band", "bh")))
-        .write.format("parquet").mode("overwrite")
-        .bucketBy(nBuckets, "band", "bh").sortBy("band", "bh")
-        .saveAsTable(s"${prefix}_bands")
-    } finally sh.unpersist()
+    // OpCache-owned (not a bare .cache() + finally-unpersist): the same
+    // shingle plan may already be cached by a composed DEDUP statement in
+    // this session, and a local unpersist here would yank the frame that
+    // operator still counts on. OpCache reuses an existing entry and the
+    // session owner releases between statements.
+    val sh = OpCache.cached(sortedWordShingles(df, idCol, textCol, shingleSize))
+    sh.write.format("parquet").mode("overwrite")
+      .bucketBy(nBuckets, "doc_id").sortBy("doc_id")
+      .saveAsTable(s"${prefix}_shingles")
+    sh.select(col("doc_id"),
+        posexplode(graft.functions.CatalystExprs.minhashBandHashes(
+          col("shingles"), numHashes, bands)).as(Seq("band", "bh")))
+      .write.format("parquet").mode("overwrite")
+      .bucketBy(nBuckets, "band", "bh").sortBy("band", "bh")
+      .saveAsTable(s"${prefix}_bands")
   }
 
   /** [[minhashDedupIncremental]] against a PERSISTED index

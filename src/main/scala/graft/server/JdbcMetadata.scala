@@ -30,20 +30,20 @@ object JdbcMetadata {
   def rewrite(sql: String): String =
     sql.replace("system.jdbc.", "system_jdbc_")
 
-  /** catalogVersion the views were last built at, per context. */
-  private val builtAt = new java.util.concurrent.ConcurrentHashMap[Context, java.lang.Long]()
   /** Actual view rebuilds performed (test/diagnostic observability). */
   private[graft] val rebuilds = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Rebuild the metadata views IF the context's catalog changed since the
     * last build (invalidate-on-DDL; a concurrent duplicate rebuild is
-    * harmless — view replacement is idempotent). */
+    * harmless — view replacement is idempotent). The last-built version
+    * lives ON the context (`jdbcMetaBuiltAt`), not in a map here — a
+    * registry keyed by Context would strongly hold every context (and its
+    * table registry) ever refreshed, a leak in embedded/multi-context use. */
   def refresh(ctx: Context): Unit = {
-    val v = ctx.catalogVersion
-    if (builtAt.get(ctx) != null && builtAt.get(ctx).longValue() == v) return
+    val v = ctx.catalogVersion.get()
+    if (ctx.jdbcMetaBuiltAt.get() == v) return
     rebuild(ctx)
-    builtAt.put(ctx, v)
-    ()
+    ctx.jdbcMetaBuiltAt.set(v)
   }
 
   /** Unconditionally (re)build the views from the context's registry. */

@@ -112,7 +112,12 @@ final class SqlServer(ctx: Context, port: Int = 8080, pageSize: Int = 10000,
       JdbcMetadata.refresh(ctx); JdbcMetadata.rewrite(raw)
     } else raw
     val id = UUID.randomUUID.toString
-    statements.put(id, Running)
+    // registration is synchronized against maybeReleaseCaches' idle check:
+    // without it, a statement registered between "statements.isEmpty" and
+    // clearOperatorCache() could have the operator caches it just built
+    // unpersisted mid-statement (correct — they recompute — but silently
+    // defeats the cache it paid for)
+    releaseLock.synchronized { statements.put(id, Running) }
     pool.submit(new Runnable {
       def run(): Unit = {
         // job group = statement id → DELETE /v1/cancel kills the Spark jobs.
@@ -221,9 +226,14 @@ final class SqlServer(ctx: Context, port: Int = 8080, pageSize: Int = 10000,
     * a long-lived server session must return to baseline storage memory
     * between query waves, not accumulate pinned blocks (see OpCache).
     * Released only at idle so a concurrent statement's in-flight caches
-    * are never yanked mid-plan (they'd recompute, correct but slow). */
+    * are never yanked mid-plan (they'd recompute, correct but slow); the
+    * idle check and the release are one atomic step against registration
+    * (releaseLock) so a statement arriving in between keeps its caches. */
+  private val releaseLock = new Object
   private def maybeReleaseCaches(): Unit =
-    if (statements.isEmpty) ctx.clearOperatorCache()
+    releaseLock.synchronized {
+      if (statements.isEmpty) ctx.clearOperatorCache()
+    }
 
   // ---------------- response building ----------------
 

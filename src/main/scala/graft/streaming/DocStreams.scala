@@ -162,33 +162,33 @@ object DocStreams {
           .cast("bigint").as("n_dropped"))
   }
 
-  /** Deserialized Bloom filters, one per broadcast id per executor JVM —
-    * the probe UDF must not re-read the (potentially GB-sized) byte image
-    * per row or per task. */
-  private object BloomCache {
-    private val cache = new java.util.concurrent.ConcurrentHashMap[
-      Long, org.apache.spark.util.sketch.BloomFilter]()
-    def get(b: org.apache.spark.broadcast.Broadcast[Array[Byte]])
-        : org.apache.spark.util.sketch.BloomFilter =
-      cache.computeIfAbsent(b.id, _ =>
-        org.apache.spark.util.sketch.BloomFilter.readFrom(
-          new java.io.ByteArrayInputStream(b.value)))
+  /** Serializable carrier shipping the Bloom filter's byte image once per
+    * executor via broadcast; the filter deserializes lazily, at most once
+    * per executor JVM (lazy val — the probe UDF must not re-read a
+    * GB-sized image per row or task). The deserialized filter hangs off
+    * the broadcast's own block, so destroying or GC-ing the broadcast
+    * after stream shutdown releases it — no global registry pinning
+    * filters for the life of the executor. */
+  private final class LazyBloom(bytes: Array[Byte]) extends Serializable {
+    @transient lazy val filter: org.apache.spark.util.sketch.BloomFilter =
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bytes))
   }
 
   /** [[dedupChunksStreamBloom]] for CORPUS-SCALE filters (the ~1.7 GB /
     * 10⁹-chunk regime): the serialized filter is distributed ONCE per
     * executor as a broadcast variable instead of riding in every task's
     * plan Literal, and probed by an array-level UDF (one call per row,
-    * filter deserialized once per executor via [[BloomCache]]). The chunk
+    * filter deserialized once per executor via [[LazyBloom]]). The chunk
     * hash is the same xxhash64(seed=42) the literal path and the batch
     * operator use, so results are identical (asserted in DocStreamingSpec).
     * Still a stateless per-row transform — append mode, zero streaming
     * state. */
   def dedupChunksStreamBloomBroadcast(docStream: DataFrame, bloom: Array[Byte],
       idCol: String, textCol: String, size: Int): DataFrame = {
-    val bcast = docStream.sparkSession.sparkContext.broadcast(bloom)
+    val bcast = docStream.sparkSession.sparkContext.broadcast(new LazyBloom(bloom))
     val keep = udf { (chunks: Seq[String]) =>
-      val bf = BloomCache.get(bcast)
+      val bf = bcast.value.filter
       chunks.filterNot { c =>
         bf.mightContainLong(
           org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(

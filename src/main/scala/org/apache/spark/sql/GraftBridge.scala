@@ -42,6 +42,16 @@ object GraftBridge {
       s"Unsupported UserDefinedFunction implementation: ${other.getClass}")
   }
 
+  /** True if this exact plan already has a CacheManager entry (whoever
+    * created it owns its lifecycle). Lets cache registries stay
+    * one-owner-per-frame: re-caching an already-cached plan would log
+    * `Asked to cache already cached data` and create a second claimant
+    * whose unpersist could yank a frame the first owner still counts on. */
+  def isPlanCached(df: Dataset[_]): Boolean = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    ds.sparkSession.sharedState.cacheManager.lookupCachedData(ds).isDefined
+  }
+
   /** Register a temp SQL function by expression-builder — the hook Spark's
     * own registration sugar sits on, needed for signature-dispatched
     * overloads (plain `spark.udf.register` holds ONE function per name). */

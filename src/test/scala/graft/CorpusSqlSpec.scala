@@ -124,11 +124,11 @@ class CorpusSqlSpec extends AnyFunSuite {
     val native = ctx.sql("EXPLAIN SELECT count(*) FROM documents")
     assert(native.columns.toSeq == Seq("plan"))
     assert(native.head().getString(0).nonEmpty)
-    // extension DDL has no plan: clear rejection, not a parse error and
-    // NOT a silent execution
-    val e = intercept[IllegalArgumentException](ctx.sql(
-      "EXPLAIN CREATE DEDUP INDEX never_built ON documents"))
-    assert(e.getMessage.contains("not supported"))
+    // extension DDL has no plan: one descriptive row (like Spark's own
+    // EXPLAIN on DDL), and NOT a silent execution
+    val ddl = ctx.sql("EXPLAIN CREATE DEDUP INDEX never_built ON documents")
+    assert(ddl.columns.toSeq == Seq("plan"))
+    assert(ddl.head().getString(0).contains("Not executed"))
     assert(!spark.catalog.tableExists("never_built_bands"), "EXPLAIN executed the DDL")
   }
 

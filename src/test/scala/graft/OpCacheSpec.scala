@@ -20,15 +20,23 @@ class OpCacheSpec extends AnyFunSuite {
     val docs = Tables.t(spark, TestSpark.sf, "documents").limit(200)
 
     // three rounds of the operators that cache internally, each consumed
-    // by an action (the server/CLI pattern)
-    (1 to 3).foreach { _ =>
+    // by an action (the server/CLI pattern). One OWNER per cached plan:
+    // rounds 2-3 re-derive the identical plans, find them in the
+    // CacheManager, and must NOT register duplicate claimants (r4 verdict:
+    // a second claimant's unpersist can yank a shared frame).
+    TextDedup.minhashDedupPairs(docs, "doc_id", "text", threshold = 0.5).count()
+    graft.operators.Corpus.removeBoilerplate(docs, "doc_id", "text").count()
+    val afterFirstRound = OpCache.registered(spark)
+    assert(afterFirstRound >= 2) // minhash shingles + boilerplate base
+    (1 to 2).foreach { _ =>
       TextDedup.minhashDedupPairs(docs, "doc_id", "text", threshold = 0.5).count()
       graft.operators.Corpus.removeBoilerplate(docs, "doc_id", "text").count()
     }
+    assert(OpCache.registered(spark) == afterFirstRound,
+      "identical plans must reuse the existing cache entry, not re-register")
     Similarity.semanticDedup(
       Tables.t(spark, TestSpark.sf, "embeddings").limit(100), tau = 0.3).count()
-
-    assert(OpCache.registered(spark) >= 7) // 3×2 dedup/boilerplate + semantic
+    assert(OpCache.registered(spark) > afterFirstRound) // new plan, new entry
     assert(persistentCount > baselineRdds, "caches should be materialized")
 
     OpCache.release(spark)
