@@ -596,6 +596,8 @@ class Context(val spark: SparkSession) {
           size = i("size", 8))
         case "boilerplate" => graft.operators.Corpus.removeBoilerplate(
           df, id, text, n = i("n", 5), minDocs = i("min_docs", 2))
+        case "lines" => graft.operators.Corpus.dedupLinesInDoc(
+          df, id, text, sep = opts.getOrElse("sep", "\n"))
         case "embedding" => Similarity.cosineDedupPairsBanded(df,
           threshold = f("threshold", 0.9),
           dim = opts.get("dim").map(_.trim.toInt).getOrElse(
@@ -607,7 +609,7 @@ class Context(val spark: SparkSession) {
           vecCol = opts.getOrElse("vec", "embedding"))
         case other => throw new IllegalArgumentException(
           s"Unknown DEDUP method: $other (exact|minhash|ngram|simhash|" +
-            "substring|embedding|incremental|chunks|boilerplate)")
+            "substring|embedding|incremental|chunks|boilerplate|lines)")
       }
 
     // SELECT * FROM SIMSEARCH(TABLE corpus, METHOD m, K n [WITH (...)],

@@ -179,6 +179,23 @@ object Corpus {
         sum(when(col("_keep"), 0L).otherwise(1L)).cast("bigint").as("n_dropped"))
   }
 
+  /** WITHIN-document line deduplication (the C4 cleanup pass: a page's
+    * repeated lines — nav menus, cookie banners, footers — are dropped,
+    * keeping each line's FIRST occurrence in document order). A pure
+    * per-row projection: `split` on the separator, `array_distinct`
+    * (order-preserving: Spark appends first occurrences in encounter
+    * order), re-join — no shuffle, no state, trivially 100 TB-safe.
+    * Returns (id, dedup_text, n_lines, n_kept). */
+  def dedupLinesInDoc(
+      df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n"): DataFrame = {
+    val ls = split(col(textCol), java.util.regex.Pattern.quote(sep))
+    df.select(col(idCol),
+      concat_ws(sep, array_distinct(ls)).as("dedup_text"),
+      size(ls).cast("bigint").as("n_lines"),
+      size(array_distinct(ls)).cast("bigint").as("n_kept"))
+  }
+
   /** Corpus-internal boilerplate detection (the RefinedWeb/CCNet repeated-
     * span filter): annotate every document with the fraction of its word
     * n-gram spans that occur in at least `minDocs` DISTINCT documents —

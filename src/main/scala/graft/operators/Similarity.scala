@@ -252,6 +252,111 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("sim_raw"), 6).as("sim"))
   }
 
+  // ------------- portable (cross-engine reproducible) SRP family --------
+  //
+  // The production SRP forms hash with xxhash64-seeded planes (fused
+  // expression) — not reproducible in DuckDB, so p05b/p07/p07b are
+  // rows-only. These twins run the SAME algorithm with two substitutions
+  // that make every step bit-reproducible in any engine (the p03b
+  // pattern):
+  //  1. plane weights ±1 derived from md5("<plane>_<dim>") — DuckDB's
+  //     md5() produces the identical hex string;
+  //  2. the plane projection is computed over INTEGER-quantized components
+  //     floor(x*1000) — an integer dot product is fold-order-independent,
+  //     so a near-zero projection can never flip a sign bit between
+  //     engines (a double fold could differ in the last ulp).
+  // Verification still uses the exact double cosine on the original
+  // vectors (rounded to 6dp, the proven p05/p06 oracle convention).
+
+  /** ±1 weight matrix [plane][dim], weight = parity of the 60-bit integer
+    * in md5 hex chars [2,16) of "<plane>_<dim>" (1-based, as DuckDB's
+    * `substr(md5(p || '_' || i), 2, 15)`). */
+  private[graft] def portableSignPlanes(nPlanes: Int, dim: Int): Array[Array[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(nPlanes, dim) { (p, i) =>
+      val hex = md.digest(s"${p}_${i}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if ((java.lang.Long.parseLong(hex.substring(1, 16), 16) & 1L) == 0L) 1L else -1L
+    }
+  }
+
+  /** Integer-quantized components floor(x*1000): one IEEE multiply + floor,
+    * deterministic across engines. */
+  private def quantized(vecD: Column): Column =
+    transform(vecD, x => floor(x * 1000).cast("long"))
+
+  /** Exact integer plane projection Σᵢ wᵢ·cᵢ (order-independent). */
+  private def planeDot(codes: Column, w: Array[Long]): Column =
+    aggregate(zip_with(codes, typedLit(w.toSeq), (x, wt) => x * wt),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Bucket id from `bits` consecutive portable planes starting at
+    * `offset`: bit b set when the plane projection is >= 0. */
+  private def portableBucket(codes: Column, planes: Array[Array[Long]],
+      offset: Int, bits: Int): Column =
+    (0 until bits).map(b =>
+      when(planeDot(codes, planes(offset + b)) >= 0, lit(1L << b)).otherwise(0L))
+      .reduce(_ + _)
+
+  /** [[cosineDedupPairsBanded]] with portable planes — same banding
+    * pipeline (multi-table buckets → in-bucket candidates → maxBucket skew
+    * cap → exact-cosine verify), every stage reproducible in DuckDB, so
+    * the BANDED family's algorithm is oracle-gated bit-for-bit (p05c). */
+  def cosineDedupPairsBandedPortable(
+      df: DataFrame, threshold: Double, dim: Int,
+      tables: Int = 8, bitsPerTable: Int = 8, maxBucket: Int = 1000,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val planes = portableSignPlanes(tables * bitsPerTable, dim)
+    val v = OpCache.cached(
+      df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
+        .withColumn("nrm", norm(col("vec")))
+        .withColumn("codes", quantized(col("vec"))))
+    val tb = v.select(col("id"), explode(array((0 until tables).map { t =>
+        struct(lit(t.toLong).as("tbl"),
+          portableBucket(col("codes"), planes, t * bitsPerTable, bitsPerTable)
+            .as("bucket"))
+      }: _*)).as("tb"))
+      .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val buckets = tb.groupBy("tbl", "bucket")
+      .agg(collect_list(col("id")).as("ids0"), count(lit(1)).as("n"))
+    val cand = TextDedup.bucketPairs(buckets, maxBucket, "id_a", "id_b")
+    val va = v.select(col("id").as("id_a"), col("vec").as("va"), col("nrm").as("na"))
+    val vb = v.select(col("id").as("id_b"), col("vec").as("vb"), col("nrm").as("nb"))
+    cand.join(va, "id_a").join(vb, "id_b")
+      .withColumn("sim_raw", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("sim_raw") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim_raw"), 6).as("sim"))
+  }
+
+  /** [[lshTopK]] with portable planes — same bucket + single-bit-multiprobe
+    * + exact-cosine-rank pipeline, reproducible in DuckDB (p07c). */
+  def lshTopKPortable(
+      corpus: DataFrame, queries: DataFrame, k: Int, dim: Int, nBits: Int = 12,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val planes = portableSignPlanes(nBits, dim)
+    def bucketed(df: DataFrame, id: String, vec: String, nrm: String) =
+      df.select(col(idCol).as(id), asDouble(col(vecCol)).as(vec))
+        .withColumn(nrm, norm(col(vec)))
+        .withColumn("_bk", portableBucket(quantized(col(vec)), planes, 0, nBits))
+    val c = bucketed(corpus, "nid", "nvec", "nnorm")
+      .withColumnRenamed("_bk", "bucket")
+    val qb = bucketed(queries, "qid", "qvec", "qnorm")
+      .withColumnRenamed("_bk", "b0")
+    val probes = qb.select(col("qid"), col("qvec"), col("qnorm"), explode(array(
+      col("b0") +: (0 until nBits).map(p => col("b0").bitwiseXOR(lit(1L << p))): _*))
+      .as("bucket"))
+    val scored = broadcast(probes).join(c, Seq("bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (dot(col("qvec"), col("nvec")) / (col("qnorm") * col("nnorm"))).as("sim"))
+      .groupBy("qid", "nid").agg(max("sim").as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("nid"), round(col("sim"), 6).as("sim"), col("rnk"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, blocked by
     * LSH bucket so the pair join is bucket-local (the scale path); exact
     * cosine verification keeps precision. */

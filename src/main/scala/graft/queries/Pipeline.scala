@@ -224,6 +224,47 @@ object Pipeline {
         .orderBy("id_a", "id_b")
     },
 
+    // The banded multi-table SRP dedup pipeline with PORTABLE planes (±1
+    // weights from md5, plane projections over integer-quantized
+    // components — fold-order-independent, so no engine can flip a sign
+    // bit) — every stage bit-reproducible in DuckDB. The xxhash64
+    // production twin (p05b) stays rows-only; this gates the ALGORITHM —
+    // banding, bucket expansion, maxBucket cap, exact-cosine verify —
+    // against an exhaustive recomputation, the p03b pattern.
+    Q("p05c_dedup_embedding_lsh_portable", Some("""
+      WITH v AS (
+        SELECT vec_id AS id, embedding::DOUBLE[] AS vec,
+               list_transform(embedding::DOUBLE[], x -> CAST(floor(x*1000) AS BIGINT)) AS c
+        FROM embeddings),
+      w AS (SELECT p, i,
+              CASE WHEN CAST(('0x' || substr(md5(p || '_' || i), 2, 15)) AS BIGINT) & 1 = 0
+                   THEN 1 ELSE -1 END AS wt
+            FROM (SELECT unnest(range(0, 128)) AS p) CROSS JOIN
+                 (SELECT unnest(range(0, 64)) AS i)),
+      bits AS (SELECT id, p,
+                 CASE WHEN sum(c[i + 1] * wt) >= 0 THEN 1 ELSE 0 END AS bit
+               FROM v CROSS JOIN w GROUP BY id, p),
+      buckets AS (SELECT id, p // 8 AS tbl,
+                    CAST(sum(bit * (1 << (p % 8))) AS BIGINT) AS bucket
+                  FROM bits GROUP BY id, p // 8),
+      bsz AS (SELECT tbl, bucket, count(*) AS n FROM buckets GROUP BY tbl, bucket),
+      cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+               FROM buckets a
+               JOIN buckets b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id < b.id
+               JOIN bsz s ON s.tbl = a.tbl AND s.bucket = a.bucket
+               WHERE s.n <= 1000)
+      SELECT id_a, id_b, round(sim_raw, 6) AS sim FROM (
+        SELECT cd.id_a, cd.id_b,
+               list_dot_product(a.vec, b.vec) /
+               (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))) AS sim_raw
+        FROM cand cd JOIN v a ON a.id = cd.id_a JOIN v b ON b.id = cd.id_b)
+      WHERE sim_raw >= 0.4
+      ORDER BY id_a, id_b""")) { (s, d) =>
+      Similarity.cosineDedupPairsBandedPortable(t(s, d, "embeddings"),
+          threshold = 0.4, dim = 64, tables = 16, bitsPerTable = 8)
+        .orderBy("id_a", "id_b")
+    },
+
     // Brute-force cosine top-k for 10 query vectors (exact ANN baseline)
     Q("p06_sim_topk", Some("""
       WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
@@ -270,6 +311,50 @@ object Pipeline {
     Q("p07_sim_lsh_ann", None) { (s, d) =>
       val emb = t(s, d, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5, dim = 64, nBits = 12)
+        .orderBy("qid", "rnk")
+    },
+
+    // The LSH ANN pipeline (bucket → single-bit multiprobe → exact-cosine
+    // rank) with PORTABLE planes — DuckDB reproduces bucket assignment,
+    // probing, and ranking bit-for-bit (see p05c; same md5 ±1 planes over
+    // integer-quantized components). Gates the ANN algorithm the xxhash64
+    // production form (p07) runs.
+    Q("p07c_sim_lsh_ann_portable", Some("""
+      WITH v AS (
+        SELECT vec_id AS id, embedding::DOUBLE[] AS vec,
+               list_transform(embedding::DOUBLE[], x -> CAST(floor(x*1000) AS BIGINT)) AS c
+        FROM embeddings),
+      w AS (SELECT p, i,
+              CASE WHEN CAST(('0x' || substr(md5(p || '_' || i), 2, 15)) AS BIGINT) & 1 = 0
+                   THEN 1 ELSE -1 END AS wt
+            FROM (SELECT unnest(range(0, 12)) AS p) CROSS JOIN
+                 (SELECT unnest(range(0, 64)) AS i)),
+      bits AS (SELECT id, p,
+                 CASE WHEN sum(c[i + 1] * wt) >= 0 THEN 1 ELSE 0 END AS bit
+               FROM v CROSS JOIN w GROUP BY id, p),
+      bk AS (SELECT id, CAST(sum(bit * (1 << p)) AS BIGINT) AS bucket
+             FROM bits GROUP BY id),
+      q AS (SELECT id AS qid, bucket AS b0 FROM bk WHERE id < 10),
+      probes AS (SELECT qid, b0 AS bucket FROM q
+                 UNION ALL
+                 SELECT qid, xor(b0, CAST(1 << f AS BIGINT)) AS bucket
+                 FROM q CROSS JOIN (SELECT unnest(range(0, 12)) AS f)),
+      cand AS (SELECT DISTINCT qid, id AS nid
+               FROM probes JOIN bk ON bk.bucket = probes.bucket
+               WHERE qid <> id),
+      scored AS (
+        SELECT cd.qid, cd.nid,
+               list_dot_product(a.vec, b.vec) /
+               (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))) AS sim
+        FROM cand cd JOIN v a ON a.id = cd.qid JOIN v b ON b.id = cd.nid)
+      SELECT qid, nid, round(sim, 6) AS sim, rnk FROM (
+        SELECT qid, nid, sim,
+               row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+        FROM scored)
+      WHERE rnk <= 5 ORDER BY qid, rnk""")) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      Similarity.lshTopKPortable(emb, emb.filter(col("vec_id") < 10),
+          k = 5, dim = 64, nBits = 12)
         .orderBy("qid", "rnk")
     },
 
@@ -521,6 +606,72 @@ object Pipeline {
         TextAnalysis.emailCount(injected).as("n_emails"),
         TextAnalysis.ipv4Count(injected).as("n_ips"),
         TextAnalysis.redactPii(injected).as("redacted"))
+        .orderBy("doc_id")
+    },
+
+    // WITHIN-document line dedup (C4's repeated-line cleanup): the corpus
+    // has no newlines, so line structure is injected in-query (the p16
+    // pattern) — line1 | line2 | line1-again | unique tail — and the
+    // operator must drop the repeat while preserving first-occurrence
+    // order. Pure projection (split → order-preserving array_distinct →
+    // re-join), no shuffle; the oracle rebuilds it with an explicit
+    // min-position window so DuckDB's unordered list_distinct is avoided.
+    Q("p46_line_dedup", Some("""
+      WITH inj AS (
+        SELECT doc_id,
+               substr(text, 1, 40) || ' | ' || substr(text, 41, 40) || ' | ' ||
+               substr(text, 1, 40) || ' | tail ' || doc_id AS t
+        FROM documents),
+      ls AS (SELECT doc_id, string_split(t, ' | ') AS lls FROM inj),
+      lines AS (SELECT doc_id, lls, unnest(range(1, len(lls) + 1)) AS i FROM ls),
+      firsts AS (SELECT doc_id, lls[i] AS ln, min(i) AS fi
+                 FROM lines GROUP BY doc_id, lls[i])
+      SELECT f.doc_id,
+             string_agg(f.ln, ' | ' ORDER BY f.fi) AS dedup_text,
+             max(l.nl) AS n_lines,
+             CAST(count(*) AS BIGINT) AS n_kept
+      FROM firsts f JOIN (SELECT doc_id, CAST(len(lls) AS BIGINT) AS nl FROM ls) l
+        USING (doc_id)
+      GROUP BY f.doc_id ORDER BY f.doc_id""")) { (s, d) =>
+      val injected = concat(
+        substring(col("text"), 1, 40), lit(" | "),
+        substring(col("text"), 41, 40), lit(" | "),
+        substring(col("text"), 1, 40), lit(" | tail "),
+        col("doc_id").cast("string"))
+      graft.operators.Corpus.dedupLinesInDoc(
+        t(s, d, "documents").select(col("doc_id"), injected.as("t")),
+        "doc_id", "t", sep = " | ")
+        .orderBy("doc_id")
+    },
+
+    // The same line dedup through the DEDUP statement surface
+    // (METHOD lines WITH sep=) — the server/CLI path, hash-gated like the
+    // other *c statement twins.
+    Q("p46c_line_dedup_sql", Some("""
+      WITH inj AS (
+        SELECT doc_id,
+               substr(text, 1, 40) || ' | ' || substr(text, 41, 40) || ' | ' ||
+               substr(text, 1, 40) || ' | tail ' || doc_id AS t
+        FROM documents),
+      ls AS (SELECT doc_id, string_split(t, ' | ') AS lls FROM inj),
+      lines AS (SELECT doc_id, lls, unnest(range(1, len(lls) + 1)) AS i FROM ls),
+      firsts AS (SELECT doc_id, lls[i] AS ln, min(i) AS fi
+                 FROM lines GROUP BY doc_id, lls[i])
+      SELECT f.doc_id,
+             string_agg(f.ln, ' | ' ORDER BY f.fi) AS dedup_text,
+             max(l.nl) AS n_lines,
+             CAST(count(*) AS BIGINT) AS n_kept
+      FROM firsts f JOIN (SELECT doc_id, CAST(len(lls) AS BIGINT) AS nl FROM ls) l
+        USING (doc_id)
+      GROUP BY f.doc_id ORDER BY f.doc_id""")) { (s, d) =>
+      val ctx = new graft.Context(s)
+      ctx.createTableFromPath("documents", s"$d/documents.parquet")
+      ctx.sql(
+        """SELECT * FROM DEDUP(METHOD lines WITH (sep = ' | ', text = 't'),
+          |SELECT doc_id,
+          |       substr(text, 1, 40) || ' | ' || substr(text, 41, 40) || ' | ' ||
+          |       substr(text, 1, 40) || ' | tail ' || CAST(doc_id AS STRING) AS t
+          |FROM documents)""".stripMargin)
         .orderBy("doc_id")
     },
 

@@ -400,4 +400,28 @@ class CorpusSpec extends AnyFunSuite {
     // final aggregate (map-side combinable), never a per-chunk-text window
     assert(!plan.contains("RunningWindowFunction") && !plan.contains("Window "))
   }
+
+  test("dedupLinesInDoc drops repeated lines, keeps first-occurrence order") {
+    val docs = Seq(
+      (1L, "nav menu\nbody text\nnav menu\nfooter\nbody text"),
+      (2L, "only line"),
+      (3L, "a\na\na")).toDF("doc_id", "text")
+    val out = Corpus.dedupLinesInDoc(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("nav menu\nbody text\nfooter", 5L, 3L)))
+    assert(out(2L) == (("only line", 1L, 1L)))
+    assert(out(3L) == (("a", 3L, 1L)))
+    // pure projection: no shuffle anywhere in the plan
+    val plan = Corpus.dedupLinesInDoc(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
+  test("dedupLinesInDoc honors a multi-char separator literally") {
+    val docs = Seq((1L, "x .|. y .|. x")).toDF("doc_id", "text")
+    val out = Corpus.dedupLinesInDoc(docs, "doc_id", "text", sep = " .|. ")
+      .collect().head
+    // '.' and '|' are regex metachars — must be quoted, not interpreted
+    assert(out.getString(1) == "x .|. y")
+  }
 }
