@@ -168,6 +168,18 @@ object ScaleProbe {
           idx.cells.select(col("nid").as("vec_id"), col("nvec").as("embedding"),
             col("cell")),
           tau = 0.9, clusterCol = "cell")
+      },
+      time(s"ivfpq_ann_${nVec}v") {
+        // the compressed serving pair at clone scale: both index builds
+        // (coarse cells + 8×16 PQ codebooks over the replicated corpus),
+        // then a 100-query batch probed at nProbe=8 — query-time work
+        // touches only code words (m ints/vector), never the float
+        // vectors; ADC tables build once per query on the broadcast side
+        val ivf = operators.Similarity.buildIvfIndex(emb, nCells = 64)
+        val pq = operators.Similarity.buildPqIndex(emb, dim = 64, m = 8,
+          kCodes = 16)
+        operators.Similarity.ivfPqTopK(ivf, pq,
+          emb.filter(col("vec_id") < 100), k = 5, nProbe = 8)
       })
       emb.unpersist()
       r

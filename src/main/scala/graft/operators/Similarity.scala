@@ -406,6 +406,124 @@ object Similarity {
         col("dup_of").isNotNull.as("removed"), col("dup_of"))
   }
 
+  // ---------------------- product quantization (PQ) ---------------------
+
+  /** A built PQ index: per-vector code words (id, codes: array<int>, and
+    * the IVF cell when layered over [[buildIvfIndex]]) plus the tiny
+    * [m][k][subDim] codebook tensor. Codes are m small ints per vector —
+    * the 4-8 byte/vector representation that lets a 100 TB ANN index fit
+    * hot storage (the Jégou et al. 2011 PQ layout; reference precedent:
+    * the engine's ANN family, SURVEY §2 pipeline ops). */
+  final case class PqIndex(
+      codes: DataFrame, codebooks: Array[Array[Array[Double]]], subDim: Int)
+
+  /** Learn per-subvector codebooks (m independent KMeans fits, seeded) and
+    * encode every corpus vector as its nearest-centroid code per subspace.
+    * The fits are the standard offline index build: m distributed KMeans
+    * passes over slices of the (cached) corpus; encoding is m model
+    * transforms — no driver-side data loops (clusterCenters is k×subDim,
+    * driver-fit like [[buildIvfIndex]]'s quantizer). */
+  def buildPqIndex(
+      corpus: DataFrame, dim: Int, m: Int = 8, kCodes: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): PqIndex = {
+    require(dim % m == 0, s"dim $dim must split into m=$m subvectors")
+    val sd = dim / m
+    import org.apache.spark.ml.functions.array_to_vector
+    var base = OpCache.cached(
+      corpus.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nvec")))
+    for (mm <- 0 until m)
+      base = base.withColumn(s"_fv$mm",
+        array_to_vector(slice(col("nvec"), mm * sd + 1, sd)))
+    val models = (0 until m).map { mm =>
+      new org.apache.spark.ml.clustering.KMeans()
+        .setK(kCodes).setSeed(42L + mm)
+        .setFeaturesCol(s"_fv$mm").setPredictionCol(s"_c$mm")
+        .fit(base)
+    }
+    val enc = models.foldLeft[DataFrame](base)((df, md) => md.transform(df))
+      .select(col("nid"),
+        array((0 until m).map(mm => col(s"_c$mm")): _*).as("codes"))
+    PqIndex(enc, models.map(_.clusterCenters.map(_.toArray).toArray).toArray, sd)
+  }
+
+  /** Per-query ADC distance table: dt[m][k] = ‖q_m − c_{m,k}‖² — computed
+    * ONCE per query row (queries are the small broadcast side), so the
+    * per-pair scoring below is m table lookups, never subvector math. */
+  private def adcTable(qvec: Column, idx: PqIndex): Column = {
+    val m = idx.codebooks.length
+    val k = idx.codebooks(0).length
+    val cb = typedLit(idx.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    transform(sequence(lit(0), lit(m - 1)), mm =>
+      transform(sequence(lit(0), lit(k - 1)), kk =>
+        aggregate(
+          zip_with(slice(qvec, mm * idx.subDim + 1, lit(idx.subDim)),
+            element_at(element_at(cb, mm + 1), kk + 1),
+            (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, v) => acc + v)))
+  }
+
+  /** Σ_m dt[m][codes[m]] — the asymmetric PQ distance of one encoded
+    * corpus vector to the query whose table `dt` is. */
+  private def adcDistance(dt: Column, codes: Column): Column =
+    aggregate(zip_with(dt, codes, (row, c) => element_at(row, c + 1)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Approximate top-k by PQ asymmetric distance, flat scan (every code
+    * word scored — the PQ baseline; [[ivfPqTopK]] adds the cell filter).
+    * Approximate by construction → registered rows-only (p47); recall vs
+    * the exact-L2 brute answer is asserted in SimilaritySpec. */
+  def pqTopK(
+      index: PqIndex, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(
+      queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
+        .withColumn("dt", adcTable(col("qvec"), index)))
+    val scored = index.codes.join(q, col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        adcDistance(col("dt"), col("codes")).as("adist"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("adist"), col("nid"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("nid"), round(col("adist"), 6).as("adist"), col("rnk"))
+  }
+
+  /** IVF-PQ: the coarse quantizer picks each query's `nProbe` nearest
+    * cells ([[buildIvfIndex]]); only those cells' code words are ADC-
+    * scored. The production ANN serving shape at 100 TB: cells bound the
+    * candidates (~nProbe/nCells of the corpus), PQ codes bound the bytes
+    * per candidate (m ints vs dim floats) — the corpus's float vectors are
+    * touched only at index build time, never at query time. */
+  def ivfPqTopK(
+      ivf: IvfIndex, pq: PqIndex, queries: DataFrame, k: Int, nProbe: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
+    val qDist = q.crossJoin(broadcast(ivf.centroids))
+      .withColumn("dist",
+        aggregate(zip_with(col("qvec"), col("centroid"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, v) => acc + v))
+    val wCell = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("dist"), col("cell"))
+    val probes = qDist
+      .withColumn("cr", row_number().over(wCell))
+      .filter(col("cr") <= nProbe)
+      .select(col("qid"), col("qvec"), col("cell"))
+      .withColumn("dt", adcTable(col("qvec"), pq))
+    // cell-local candidates: cells carry (nid, cell); codes join on nid is
+    // a thin (id, codes) equi-join, no float vectors move
+    val cand = broadcast(probes)
+      .join(ivf.cells.select(col("nid"), col("cell")), Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+    val scored = cand.join(pq.codes, Seq("nid"))
+      .select(col("qid"), col("nid"),
+        adcDistance(col("dt"), col("codes")).as("adist"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("adist"), col("nid"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("nid"), round(col("adist"), 6).as("adist"), col("rnk"))
+  }
+
   /** Int8 scalar quantization of an embedding column with reconstruction
     * error — the embedding-compression pass that shrinks an ANN index 4×
     * before serving. Per-dimension min/max define a linear [0,255] code;

@@ -358,6 +358,29 @@ object Pipeline {
         .orderBy("qid", "rnk")
     },
 
+    // PQ ANN: per-subvector KMeans codebooks (8 subspaces × 16 codes) +
+    // asymmetric-distance top-k over the 8-byte code words — the
+    // compressed-index ANN path (codes are m ints; float vectors are
+    // never touched at query time). KMeans fits → rows-only; recall vs
+    // exact-L2 brute force and full-probe equality are SimilaritySpec's.
+    Q("p47_pq_ann", None) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val pq = Similarity.buildPqIndex(emb, dim = 64, m = 8, kCodes = 16)
+      Similarity.pqTopK(pq, emb.filter(col("vec_id") < 10), k = 5)
+        .orderBy("qid", "rnk")
+    },
+
+    // IVF-PQ: coarse cells bound the candidates, PQ codes bound the bytes
+    // per candidate — the production serving pair (build both offline,
+    // probe nProbe cells, ADC-score only their code words).
+    Q("p47b_ivfpq_ann", None) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val ivf = Similarity.buildIvfIndex(emb, nCells = 8)
+      val pq = Similarity.buildPqIndex(emb, dim = 64, m = 8, kCodes = 16)
+      Similarity.ivfPqTopK(ivf, pq, emb.filter(col("vec_id") < 10), k = 5, nProbe = 3)
+        .orderBy("qid", "rnk")
+    },
+
     // IVF ANN (KMeans coarse quantizer + nProbe cells) — the second scale
     // path besides LSH; full-probe==brute-force equality is asserted in
     // SimilaritySpec, so this runs a rows-only partial-probe config

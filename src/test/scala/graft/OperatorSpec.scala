@@ -55,6 +55,11 @@ class OperatorSpec extends AnyFunSuite {
     val expected = Set("q28_sample", "q37_agg_approx_distinct", "q49_rand",
       "p03_dedup_simhash", "p05b_dedup_embedding_lsh", "p07_sim_lsh_ann",
       "p07b_sim_ivf", "p12b_multimodal_decode", "p35b_substring_winnowed",
+      // p47/p47b: PQ code assignment comes from KMeans fits DuckDB cannot
+      // reproduce; recall-vs-brute and full-probe==flat equality are
+      // asserted in SimilaritySpec (the portable twins p05c/p07c gate the
+      // LSH family's algorithm instead)
+      "p47_pq_ann", "p47b_ivfpq_ann",
       // p44b: iterative BPE merge decisions are a driver loop a single SQL
       // query can't replicate; algorithm hand-verified in CorpusSpec and
       // round 1 is p44's oracle-gated top pair

@@ -23,6 +23,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     "p06_sim_topk",            // 10-row query side broadcast-looped on purpose
     "p06c_sim_topk_sql",       // same plan via the SIMSEARCH statement
     "p07b_sim_ivf",            // query × broadcast nCells-row centroid table
+    "p47_pq_ann",              // flat PQ scan: 10-row query side broadcast-looped
+    "p47b_ivfpq_ann",          // query × broadcast centroid table (as p07b)
     "q26_empty_select",        // one-row VALUES scan
     "q27_values",              // VALUES scan
     "q72_tpch_q15",            // single-row max joined by value (one-row loop)

@@ -253,4 +253,70 @@ class SimilaritySpec extends AnyFunSuite {
     idx.unpersist()
     assert(removed == expect)
   }
+
+  test("pqTopK keeps every neighbor in the query's cluster on clustered data") {
+    // PQ's guarantee is distance preservation at CODEBOOK granularity: in a
+    // tight cluster all members share one code word, so ADC ties and the
+    // in-cluster order is the nid tie-break, not the true rank — asserting
+    // top-5 identity would test the tie-break. The honest property is
+    // cluster-level: every returned neighbor must come from the query's own
+    // cluster (inter-cluster distances dominate quantization error).
+    val rnd = new scala.util.Random(13)
+    val centers = Array.fill(5)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val rows = for (c <- 0 until 5; i <- 0 until 20) yield {
+      val v = centers(c).map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+      ((c * 20 + i).toLong, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" % 20 === 0)
+    val pq = Similarity.buildPqIndex(df, dim = 16, m = 4, kCodes = 8)
+    val out = Similarity.pqTopK(pq, queries, k = 5)
+      .select($"qid", $"nid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == 25, "5 queries × k=5")
+    out.foreach { case (qid, nid) =>
+      assert(nid / 20 == qid / 20,
+        s"neighbor $nid of query $qid crossed clusters")
+    }
+  }
+
+  test("pqTopK recall on the uniform corpus carries real signal") {
+    // uniform 64-dim data is ANN's worst case (tiny true-neighbor margin);
+    // deterministic seeded build, measured recall@5 = 0.28 vs ≈0.01 for
+    // random guessing (5 of 499) — floor at 0.15 so a genuine ADC or
+    // encoding regression trips while quantization noise cannot
+    val emb = Tables.t(spark, TestSpark.sf, "embeddings")
+    val queries = emb.filter($"vec_id" < 10)
+    val pq = Similarity.buildPqIndex(emb, dim = 64, m = 8, kCodes = 16)
+    val approx = Similarity.pqTopK(pq, queries, k = 5)
+      .select($"qid", $"nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val v = emb.select($"vec_id".as("nid"),
+      Similarity.asDouble($"embedding").as("nvec"))
+    val q = queries.select($"vec_id".as("qid"),
+      Similarity.asDouble($"embedding").as("qvec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy($"d2", $"nid")
+    val exact = q.crossJoin(v).filter($"qid" =!= $"nid")
+      .withColumn("d2",
+        aggregate(zip_with($"qvec", $"nvec", (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x))
+      .withColumn("rnk", row_number().over(w)).filter($"rnk" <= 5)
+      .select($"qid", $"nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (approx intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.15, s"PQ recall@5 = $recall (random ≈ 0.01)")
+  }
+
+  test("ivfPqTopK with full probing equals flat pqTopK exactly") {
+    val emb = Tables.t(spark, TestSpark.sf, "embeddings")
+    val queries = emb.filter($"vec_id" < 10)
+    val ivf = Similarity.buildIvfIndex(emb, nCells = 8)
+    val pq = Similarity.buildPqIndex(emb, dim = 64, m = 8, kCodes = 16)
+    // ADC is deterministic given the codebooks, so probing EVERY cell must
+    // reproduce the flat scan bit-for-bit (same distances, same tie-break)
+    val full = Similarity.ivfPqTopK(ivf, pq, queries, k = 5, nProbe = 8)
+      .orderBy("qid", "rnk").collect().toSeq
+    val flat = Similarity.pqTopK(pq, queries, k = 5)
+      .orderBy("qid", "rnk").collect().toSeq
+    ivf.unpersist()
+    assert(full == flat)
+  }
 }
