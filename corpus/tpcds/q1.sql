@@ -1,0 +1,12 @@
+-- TPC-DS Q3 shape (report: brand revenue by year for one item class),
+-- adapted to the testdata star schema: orders supplies the date dimension,
+-- part supplies the item dimension (tests/unit/test_queries.py:41-45 runs
+-- the real q1-q99 as the reference's de-facto perf corpus)
+SELECT YEAR(o_orderdate) AS d_year, p_brand,
+       SUM(l_extendedprice * (1 - l_discount)) AS sum_agg
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+WHERE p_type = 'PROMO'
+GROUP BY YEAR(o_orderdate), p_brand
+ORDER BY d_year, sum_agg DESC, p_brand

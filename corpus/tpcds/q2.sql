@@ -1,0 +1,9 @@
+-- TPC-DS Q42 shape (revenue by item category for one month across years)
+SELECT YEAR(o_orderdate) AS d_year, p_type,
+       SUM(l_extendedprice * (1 - l_discount)) AS total_rev
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+WHERE MONTH(o_orderdate) = 11
+GROUP BY YEAR(o_orderdate), p_type
+ORDER BY total_rev DESC, d_year, p_type

@@ -1,0 +1,9 @@
+-- TPC-DS Q55 shape (brand revenue for one month, top-n)
+SELECT p_brand, SUM(l_extendedprice * (1 - l_discount)) AS ext_price
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+WHERE YEAR(o_orderdate) = 1998 AND MONTH(o_orderdate) = 3
+GROUP BY p_brand
+ORDER BY ext_price DESC, p_brand
+LIMIT 10

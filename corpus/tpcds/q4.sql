@@ -1,0 +1,14 @@
+-- TPC-DS Q89 shape (months whose sales deviate from the brand's windowed
+-- monthly average): aggregate, AVG OVER a partition, deviation filter, rank
+SELECT *
+FROM (SELECT p_brand, l_returnflag, d_moy, sum_sales,
+             AVG(sum_sales) OVER (PARTITION BY p_brand, l_returnflag) AS avg_monthly_sales
+      FROM (SELECT p_brand, l_returnflag, MONTH(l_shipdate) AS d_moy,
+                   SUM(l_extendedprice * (1 - l_discount)) AS sum_sales
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand, l_returnflag, MONTH(l_shipdate)) monthly) t
+WHERE avg_monthly_sales > 0
+  AND ABS(sum_sales - avg_monthly_sales) / avg_monthly_sales > 0.1
+ORDER BY sum_sales - avg_monthly_sales, p_brand, l_returnflag, d_moy
+LIMIT 100

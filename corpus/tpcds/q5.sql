@@ -1,0 +1,18 @@
+-- TPC-DS Q59 shape (year-over-year same-month sales comparison via
+-- self-join of the aggregated fact on the date key offset)
+WITH monthly AS (
+  SELECT YEAR(o_orderdate) AS d_year, MONTH(o_orderdate) AS d_moy,
+         o_orderpriority,
+         SUM(o_totalprice) AS sales
+  FROM orders
+  GROUP BY YEAR(o_orderdate), MONTH(o_orderdate), o_orderpriority)
+SELECT cur.o_orderpriority, cur.d_year, cur.d_moy,
+       cur.sales AS sales_cur, prev.sales AS sales_prev,
+       cur.sales / prev.sales AS yoy_ratio
+FROM monthly cur
+JOIN monthly prev
+  ON cur.o_orderpriority = prev.o_orderpriority
+ AND cur.d_moy = prev.d_moy
+ AND cur.d_year = prev.d_year + 1
+WHERE prev.sales > 0
+ORDER BY cur.o_orderpriority, cur.d_year, cur.d_moy

@@ -1,0 +1,11 @@
+-- TPC-DS Q98 shape (revenue share of each item within its class):
+-- windowed ratio-to-report over a grouped aggregate
+SELECT p_type, p_brand, itemrevenue,
+       itemrevenue * 100.0 / SUM(itemrevenue) OVER (PARTITION BY p_type) AS revenueratio
+FROM (SELECT p_type, p_brand,
+             SUM(l_extendedprice * (1 - l_discount)) AS itemrevenue
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+      GROUP BY p_type, p_brand) per_item
+ORDER BY p_type, revenueratio DESC, p_brand

@@ -1,0 +1,13 @@
+-- TPC-DS Q71 shape (multi-channel union rolled up together): the two fact
+-- streams the schema has (order lines, event stream) unioned under a
+-- channel tag, then aggregated across channels
+SELECT channel, bucket, SUM(amount) AS total_amount, COUNT(*) AS n
+FROM (SELECT 'orders' AS channel, l_returnflag AS bucket,
+             l_extendedprice * (1 - l_discount) AS amount
+      FROM lineitem
+      UNION ALL
+      SELECT 'events' AS channel, event_type AS bucket, value AS amount
+      FROM events
+      WHERE value IS NOT NULL) channels
+GROUP BY channel, bucket
+ORDER BY channel, total_amount DESC, bucket

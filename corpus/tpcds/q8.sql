@@ -1,0 +1,17 @@
+-- TPC-DS Q1 shape (customers whose returns exceed 1.2x their segment's
+-- average): grouped CTE, correlated scalar-subquery threshold, dim join
+WITH customer_returns AS (
+  SELECT o_custkey, c_mktsegment, SUM(l_extendedprice) AS ret_total
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE l_returnflag = 'R'
+  GROUP BY o_custkey, c_mktsegment)
+SELECT c.c_name, r.ret_total
+FROM customer_returns r
+JOIN customer c ON r.o_custkey = c.c_custkey
+WHERE r.ret_total > (SELECT AVG(ret_total) * 1.2
+                     FROM customer_returns r2
+                     WHERE r2.c_mktsegment = r.c_mktsegment)
+ORDER BY r.ret_total DESC, c.c_name
+LIMIT 100

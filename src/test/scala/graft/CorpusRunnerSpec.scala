@@ -49,6 +49,16 @@ class CorpusRunnerSpec extends AnyFunSuite {
     }
   }
 
+  test("bundled TPC-DS-shape corpus runs clean end-to-end against the testdata tables") {
+    val ctx = new Context(spark)
+    CorpusRunner.registerDir(ctx, TestSpark.sf)
+    val results = CorpusRunner.run(ctx, "corpus/tpcds")
+    assert(results.map(_.query) == (1 to 8).map(i => s"q$i.sql"))
+    val failed = results.filterNot(_.ok)
+    assert(failed.isEmpty,
+      s"corpus failures: ${failed.map(r => r.query -> r.error).mkString("; ")}")
+  }
+
   test("bundled TPC-H corpus runs clean end-to-end against the testdata tables") {
     val ctx = new Context(spark)
     CorpusRunner.registerDir(ctx, TestSpark.sf)

@@ -94,6 +94,18 @@ class DifferentialSpec extends AnyFunSuite {
       s"engines disagree on:\n$sql")
   }
 
+  /** Normalize a Spark result for order-insensitive whole-frame equality —
+    * used by the loop-closing comparisons (Spark window/rollup form vs the
+    * dialect-intersection form that also ran on Derby).
+    */
+  private def fmtDf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.map {
+      case null => "null"
+      case d: java.lang.Double => f"${d.doubleValue()}%.9f"
+      case n: java.lang.Number => n.longValue().toString
+      case o => o.toString
+    }.mkString("|")).toSeq.sorted
+
   for (seed <- Seq(7L, 11L, 42L, 1337L, 9001L)) {
     test(s"random frame (seed=$seed): grouped aggregates over NULL keys agree") {
       loadBoth("dt", randRows(seed, 300))
@@ -224,6 +236,119 @@ class DifferentialSpec extends AnyFunSuite {
           |GROUP BY k""".stripMargin)
     }
 
+    test(s"random frame (seed=$seed): INTERSECT ALL and EXCEPT ALL multiplicities agree") {
+      loadBoth("dta", randRows(seed, 200))
+      loadBoth("dtb", randRows(seed + 500, 200))
+      // bag semantics: with k in 0..4 and five words, (k,s) pairs repeat
+      // heavily, so the ALL variants' multiplicity arithmetic
+      // (min(m,n) / max(m-n,0)) is genuinely exercised — and NULL keys
+      // must count as equal in the bag matching of both engines
+      assertAgree("SELECT k, s FROM dta INTERSECT ALL SELECT k, s FROM dtb")
+      assertAgree("SELECT k, s FROM dta EXCEPT ALL SELECT k, s FROM dtb")
+      assertAgree("SELECT v FROM dta INTERSECT ALL SELECT v FROM dtb")
+      assertAgree("SELECT k FROM dta EXCEPT ALL SELECT k FROM dtb")
+    }
+
+    test(s"random frame (seed=$seed): RANGE window frames agree with their correlated form") {
+      loadBoth("dt", randRows(seed, 200))
+      // RANGE BETWEEN 10 PRECEDING AND CURRENT ROW is value-based, so it is
+      // expressible as a single-level correlated subquery (tie-safe: peers
+      // fall in the same value interval for both forms)
+      val correlated =
+        """SELECT a.k, a.v,
+          |  (SELECT SUM(b.x) FROM dt b WHERE b.k = a.k AND b.v BETWEEN a.v - 10 AND a.v) AS rsum,
+          |  (SELECT COUNT(*) FROM dt b WHERE b.k = a.k AND b.v BETWEEN a.v - 10 AND a.v) AS rcnt
+          |FROM dt a WHERE a.k IS NOT NULL AND a.v IS NOT NULL""".stripMargin
+      assertAgree(correlated)
+      val windowed = fmtDf(spark.sql(
+        """SELECT k, v,
+          |  SUM(x) OVER (PARTITION BY k ORDER BY v RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) AS rsum,
+          |  COUNT(*) OVER (PARTITION BY k ORDER BY v RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) AS rcnt
+          |FROM dt WHERE k IS NOT NULL AND v IS NOT NULL""".stripMargin))
+      assert(windowed == fmtDf(spark.sql(correlated)),
+        "Spark RANGE frame disagrees with the correlated-subquery form")
+    }
+
+    test(s"random frame (seed=$seed): ROWS k FOLLOWING frames agree with their join form") {
+      // tie-free ordering by construction (v = row index), so ROWS-frame
+      // membership is decidable from values and the dialect-intersection
+      // join form is exact: b is in a's (1 FOLLOWING, 2 FOLLOWING) frame
+      // iff b.v > a.v with fewer than 2 same-k rows strictly between them
+      val rnd = new java.util.Random(seed * 31)
+      val rows = (0 until 150).map { i =>
+        Row(Integer.valueOf(rnd.nextInt(4)), Integer.valueOf(i),
+          java.lang.Double.valueOf(math.round(rnd.nextDouble() * 1000.0) / 10.0),
+          if (rnd.nextInt(8) == 0) null else "w" + rnd.nextInt(5))
+      }
+      loadBoth("dtu", rows)
+      // ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING as a join + between-count
+      val following =
+        """SELECT a.k, a.v, SUM(b.x) AS fsum, COUNT(*) AS fcnt
+          |FROM dtu a JOIN dtu b ON b.k = a.k AND b.v > a.v
+          |WHERE (SELECT COUNT(*) FROM dtu u
+          |       WHERE u.k = a.k AND u.v > a.v AND u.v < b.v) < 2
+          |GROUP BY a.k, a.v""".stripMargin
+      assertAgree(following)
+      // ROWS UNBOUNDED PRECEDING running totals as a plain theta join
+      val running =
+        """SELECT a.k, a.v, SUM(b.x) AS runsum, COUNT(*) AS runcnt
+          |FROM dtu a JOIN dtu b ON b.k = a.k AND b.v <= a.v
+          |GROUP BY a.k, a.v""".stripMargin
+      assertAgree(running)
+      // ...and Spark's actual ROWS frames must match those forms (the join
+      // form omits empty-frame rows; the window form marks them NULL — q19
+      // already pins empty→NULL, so filter them here)
+      val wFollowing = fmtDf(spark.sql(
+        """SELECT k, v, fsum, fcnt FROM (
+          |  SELECT k, v,
+          |    SUM(x) OVER (PARTITION BY k ORDER BY v ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS fsum,
+          |    COUNT(*) OVER (PARTITION BY k ORDER BY v ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS fcnt
+          |  FROM dtu) t WHERE fsum IS NOT NULL""".stripMargin))
+      assert(wFollowing == fmtDf(spark.sql(following)),
+        "Spark ROWS FOLLOWING frame disagrees with the join form")
+      val wRunning = fmtDf(spark.sql(
+        """SELECT k, v,
+          |  SUM(x) OVER (PARTITION BY k ORDER BY v ROWS UNBOUNDED PRECEDING) AS runsum,
+          |  COUNT(*) OVER (PARTITION BY k ORDER BY v ROWS UNBOUNDED PRECEDING) AS runcnt
+          |FROM dtu""".stripMargin))
+      assert(wRunning == fmtDf(spark.sql(running)),
+        "Spark running-total frame disagrees with the join form")
+    }
+
+    test(s"random frame (seed=$seed): NULL-heavy ROLLUP and GROUPING SETS agree with their UNION ALL form") {
+      loadBoth("dt", randRows(seed, 300))
+      // the trap under test: k and s CONTAIN NULLs, so a rollup NULL is
+      // indistinguishable from a data NULL except through GROUPING() — the
+      // UNION ALL emulation carries an explicit lvl marker instead, and
+      // both engines must agree on it cell-for-cell
+      val rollupUnion =
+        """SELECT k, s, 0 AS lvl, COUNT(*) AS c, SUM(v) AS sv FROM dt GROUP BY k, s
+          |UNION ALL
+          |SELECT k, CAST(NULL AS VARCHAR(16)), 1, COUNT(*), SUM(v) FROM dt GROUP BY k
+          |UNION ALL
+          |SELECT CAST(NULL AS INT), CAST(NULL AS VARCHAR(16)), 3, COUNT(*), SUM(v) FROM dt""".stripMargin
+      assertAgree(rollupUnion)
+      val gsetsUnion =
+        """SELECT k, CAST(NULL AS VARCHAR(16)) AS s, 1 AS lvl, COUNT(*) AS c, SUM(v) AS sv FROM dt GROUP BY k
+          |UNION ALL
+          |SELECT CAST(NULL AS INT), s, 2, COUNT(*), SUM(v) FROM dt GROUP BY s
+          |UNION ALL
+          |SELECT CAST(NULL AS INT), CAST(NULL AS VARCHAR(16)), 3, COUNT(*), SUM(v) FROM dt""".stripMargin
+      assertAgree(gsetsUnion)
+      // close the loop: Spark's native ROLLUP / GROUPING SETS with
+      // GROUPING()-derived lvl must equal the emulated forms exactly
+      val sparkRollup = fmtDf(spark.sql(
+        """SELECT k, s, GROUPING(k) * 2 + GROUPING(s) AS lvl, COUNT(*) AS c, SUM(v) AS sv
+          |FROM dt GROUP BY ROLLUP(k, s)""".stripMargin))
+      assert(sparkRollup == fmtDf(spark.sql(rollupUnion)),
+        "Spark ROLLUP disagrees with its UNION ALL emulation")
+      val sparkGsets = fmtDf(spark.sql(
+        """SELECT k, s, GROUPING(k) * 2 + GROUPING(s) AS lvl, COUNT(*) AS c, SUM(v) AS sv
+          |FROM dt GROUP BY GROUPING SETS ((k), (s), ())""".stripMargin))
+      assert(sparkGsets == fmtDf(spark.sql(gsetsUnion)),
+        "Spark GROUPING SETS disagrees with its UNION ALL emulation")
+    }
+
     test(s"random frame (seed=$seed): window functions agree with their correlated form") {
       loadBoth("dt", randRows(seed, 200))
       // Derby has no usable window functions, so the differential runs the
@@ -238,19 +363,12 @@ class DifferentialSpec extends AnyFunSuite {
       assertAgree(correlated)
       // ...and the actual Spark window functions must match that form
       // cell-for-cell, closing the loop Derby ↔ correlated ↔ window
-      def fmt(df: org.apache.spark.sql.DataFrame): Seq[String] =
-        df.collect().map(_.toSeq.map {
-          case null => "null"
-          case d: java.lang.Double => f"${d.doubleValue()}%.9f"
-          case n: java.lang.Number => n.longValue().toString
-          case o => o.toString
-        }.mkString("|")).toSeq.sorted
-      val windowed = fmt(spark.sql(
+      val windowed = fmtDf(spark.sql(
         """SELECT k, v, x,
           |  RANK() OVER (PARTITION BY k ORDER BY v) AS rnk,
           |  SUM(v) OVER (PARTITION BY k) AS psum
           |FROM dt WHERE k IS NOT NULL AND v IS NOT NULL""".stripMargin))
-      assert(windowed == fmt(spark.sql(correlated)),
+      assert(windowed == fmtDf(spark.sql(correlated)),
         "Spark window functions disagree with the correlated-subquery form")
     }
   }
