@@ -342,37 +342,83 @@ object CatalystExprs {
         gh(i) = h
         i += 1
       }
-      if (m <= w) {
-        // one window: keep the single rightmost minimum
-        var best = 0
-        i = 1
-        while (i < m) { if (gh(i) <= gh(best)) best = i; i += 1 }
-        return new GenericArrayData(Array[Any](
-          org.apache.spark.sql.catalyst.InternalRow(best, gh(best))))
-      }
-      // monotonic deque of candidate indices, increasing gh; ties evict
-      // (<=) so the RIGHTMOST minimum wins, per the robust-winnowing rule
-      val deque = new Array[Int](m)
-      var head = 0; var tail = 0 // [head, tail)
-      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
-      var lastSel = -1
-      i = 0
-      while (i < m) {
-        while (tail > head && gh(deque(tail - 1)) >= gh(i)) tail -= 1
-        deque(tail) = i; tail += 1
-        if (deque(head) <= i - w) head += 1
-        if (i >= w - 1) {
-          val sel = deque(head)
-          if (sel != lastSel) {
-            out += org.apache.spark.sql.catalyst.InternalRow(sel, gh(sel))
-            lastSel = sel
-          }
-        }
-        i += 1
-      }
-      new GenericArrayData(out.toArray)
+      new GenericArrayData(winnowSelectRows(gh, w))
     }
     override protected def withNewChildInternal(c: Expression): WinnowedGramAnchors =
+      copy(child = c)
+  }
+
+  /** The winnowing selection rule shared by [[WinnowedGramAnchors]] (over
+    * xxhash64 gram hashes) and [[WinnowSelect]] (over caller-supplied —
+    * e.g. md5-portable — gram hashes): for each window of `w` consecutive
+    * gram hashes keep the RIGHTMOST minimum (robust winnowing; ties evict
+    * on <=), deduping consecutive re-selections. One pass, O(len) via a
+    * monotonic deque. Returns (index, hash) InternalRows.
+    */
+  private def winnowSelectRows(gh: Array[Long], w: Int): Array[Any] = {
+    val m = gh.length
+    if (m <= w) {
+      // one window: keep the single rightmost minimum
+      var best = 0
+      var i = 1
+      while (i < m) { if (gh(i) <= gh(best)) best = i; i += 1 }
+      return Array[Any](org.apache.spark.sql.catalyst.InternalRow(best, gh(best)))
+    }
+    val deque = new Array[Int](m)
+    var head = 0; var tail = 0 // [head, tail)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var lastSel = -1
+    var i = 0
+    while (i < m) {
+      while (tail > head && gh(deque(tail - 1)) >= gh(i)) tail -= 1
+      deque(tail) = i; tail += 1
+      if (deque(head) <= i - w) head += 1
+      if (i >= w - 1) {
+        val sel = deque(head)
+        if (sel != lastSel) {
+          out += org.apache.spark.sql.catalyst.InternalRow(sel, gh(sel))
+          lastSel = sel
+        }
+      }
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** Winnowing selection over PRE-COMPUTED gram hashes (array<bigint> →
+    * array<struct<p int, gh long>>, p = 0-based index into the input).
+    * Same deque rule as [[WinnowedGramAnchors]]; exists so a portable
+    * (md5-derived, engine-reproducible) hash plane can run the identical
+    * selection the xxhash64 production path runs — the p03b/p05c oracle
+    * pattern applied to winnowing (reference:
+    * dask_sql/physical/rel/custom/wordcount-style text ops have no
+    * winnowing; this is parity-plus).
+    */
+  case class WinnowSelect(child: Expression, w: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(w >= 1, "w must be >= 1")
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("p", IntegerType, nullable = false),
+      StructField("gh", LongType, nullable = false))), containsNull = false)
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(LongType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"winnow_select expects array<bigint> gram hashes, got ${t.sql}")
+      }
+
+    override def nullSafeEval(a: Any): Any = {
+      val arr = a.asInstanceOf[ArrayData]
+      val m = arr.numElements()
+      if (m == 0) return new GenericArrayData(Array.empty[Any])
+      val gh = new Array[Long](m)
+      var i = 0
+      while (i < m) { gh(i) = arr.getLong(i); i += 1 }
+      new GenericArrayData(winnowSelectRows(gh, w))
+    }
+    override protected def withNewChildInternal(c: Expression): WinnowSelect =
       copy(child = c)
   }
 
@@ -688,6 +734,9 @@ object CatalystExprs {
 
   def winnowedGramAnchors(tokenHashes: Column, n: Int, w: Int): Column =
     GraftBridge.column(WinnowedGramAnchors(GraftBridge.expression(tokenHashes), n, w))
+
+  def winnowSelect(gramHashes: Column, w: Int): Column =
+    GraftBridge.column(WinnowSelect(GraftBridge.expression(gramHashes), w))
 
   def sortedIntersectCount(a: Column, b: Column): Column =
     GraftBridge.column(SortedIntersectCount(

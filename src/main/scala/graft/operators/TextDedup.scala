@@ -589,6 +589,40 @@ object TextDedup {
         (col("aligned_anchors") * (w + 1) / 2 + lit(n - 1)).cast("long"))
   }
 
+  /** [[substringDupSpansWinnowed]] with a PORTABLE (md5-derived) gram-hash
+    * plane: gram hash = first 15 hex chars of md5 of the n-word gram text,
+    * built from codegen'd builtins (md5/conv/slice), with the SAME
+    * winnowing selection (CatalystExprs.WinnowSelect — rightmost window
+    * minimum, consecutive-dedup) the xxhash64 production form runs. Every
+    * stage is bit-reproducible in DuckDB, so the winnowed ALGORITHM —
+    * selection, alignment, maxAnchors cap, span estimate — is
+    * oracle-gated (the p03b/p05c pattern); the production twin stays
+    * rows-only on its irreproducible hash plane. Positions are 1-based to
+    * match the exact-form oracle convention.
+    */
+  def substringDupSpansWinnowedPortable(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 4, w: Int = 4, minAnchors: Int = 2,
+      maxAnchors: Int = 256): DataFrame = {
+    val words = split(lower(col(textCol)), " ")
+    val ghArr = transform(sequence(lit(1), size(words) - (n - 1)), i =>
+      conv(substring(md5(concat_ws(" ", slice(words, i, lit(n)))), 1, 15), 16, 10)
+        .cast("long"))
+    val anchors = parallelized(df)
+      .filter(size(words) >= n)
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.CatalystExprs.winnowSelect(ghArr, w)).as("a"))
+      .select(col("doc_id"), (col("a.p") + 1).as("p"), col("a.gh").as("gh"))
+    alignedMatches(anchors, maxAnchors)
+      .groupBy("doc_a", "doc_b", "delta")
+      .agg(count(lit(1)).as("aligned"))
+      .groupBy("doc_a", "doc_b")
+      .agg(max(col("aligned")).as("aligned_anchors"))
+      .filter(col("aligned_anchors") >= minAnchors)
+      .withColumn("est_shared_words",
+        (col("aligned_anchors") * (w + 1) / 2 + lit(n - 1)).cast("long"))
+  }
+
   /** SimHash near-duplicate pairs: pigeonhole on 4×16-bit chunks (any pair
     * with Hamming distance ≤ 3 must agree on ≥1 chunk), verified with
     * bit_count(a xor b) ≤ maxHamming. */

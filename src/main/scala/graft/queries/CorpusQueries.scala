@@ -513,6 +513,49 @@ object CorpusQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // The winnowed-substring pipeline with a PORTABLE md5 gram-hash plane
+    // (p03b/p05c pattern): DuckDB reproduces the hashes bit-for-bit and
+    // runs the IDENTICAL selection rule — rightmost window minimum via a
+    // lexicographic min over gh*2^32 + (2^32-1-p) (ties to larger p, the
+    // deque's <=-evict), windows ending at p >= w plus the whole-array
+    // window when m < w, consecutive re-selections collapsed by DISTINCT.
+    // Gates the winnowing ALGORITHM (selection, alignment, maxAnchors cap,
+    // span estimate) that the xxhash64 production twin (p35b) runs.
+    Q("p35c_substring_winnowed_portable", Some("""
+      WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
+      g AS (SELECT doc_id, unnest([{'p': i,
+                'gh': CAST(('0x' || substr(md5(array_to_string(words[i:i+3], ' ')), 1, 15)) AS BIGINT)}
+              for i in range(1, len(words) - 2)]) AS s
+            FROM w WHERE len(words) >= 4),
+      sel AS (SELECT doc_id, s.p AS p,
+                count(*) OVER (PARTITION BY doc_id) AS m,
+                min(CAST(s.gh AS HUGEINT) * 4294967296 + (4294967295 - s.p)) OVER
+                  (PARTITION BY doc_id ORDER BY s.p
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mk
+              FROM g),
+      anch AS (SELECT DISTINCT doc_id,
+                 CAST(mk // 4294967296 AS BIGINT) AS gh,
+                 4294967295 - CAST(mk % 4294967296 AS BIGINT) AS p
+               FROM sel WHERE p >= 4 OR p = m),
+      bkt AS (SELECT gh FROM anch GROUP BY gh
+              HAVING count(*) > 1 AND count(*) <= 256),
+      mt AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.p - y.p AS delta
+             FROM anch x JOIN anch y ON x.gh = y.gh AND x.doc_id < y.doc_id
+             JOIN bkt ON bkt.gh = x.gh),
+      ag AS (SELECT doc_a, doc_b, delta, count(*) AS aligned
+             FROM mt GROUP BY doc_a, doc_b, delta)
+      SELECT doc_a, doc_b, CAST(max(aligned) AS BIGINT) AS aligned_anchors,
+             CAST(max(aligned) * 5 // 2 + 3 AS BIGINT) AS est_shared_words
+      FROM ag GROUP BY doc_a, doc_b HAVING max(aligned) >= 2
+      ORDER BY doc_a, doc_b""")) { (s, d) =>
+      TextDedup.substringDupSpansWinnowedPortable(t(s, d, "documents"),
+          "doc_id", "text", n = 4, w = 4, minAnchors = 2)
+        .select(col("doc_a"), col("doc_b"),
+          col("aligned_anchors").cast("bigint").as("aligned_anchors"),
+          col("est_shared_words"))
+        .orderBy("doc_a", "doc_b")
+    },
+
     // Per-doc top-5 TF-IDF keywords: corpus-weighted term importance.
     // Scores are rounded to 6dp BEFORE ranking (the p32 trick) so both
     // engines rank identical keys; ties break on the word.

@@ -216,6 +216,39 @@ class DedupSpec extends AnyFunSuite {
     assert(exact.subsetOf(win), s"missing clone pairs: ${exact -- win}")
   }
 
+  test("WinnowSelect picks rightmost window minima with consecutive dedup") {
+    // hand-traced: w=3 over [9,4,7,4,8,2] — window minima at ends 2..5
+    // select indices 1, 3 (tie 4==4 → rightmost), 3, 5 → deduped anchors
+    // (1,4),(3,4),(5,2)
+    val d = Seq(Tuple1(Array(9L, 4L, 7L, 4L, 8L, 2L))).toDF("gh")
+    val got = d.select(explode(
+        graft.functions.CatalystExprs.winnowSelect(col("gh"), 3)).as("a"))
+      .select(col("a.p"), col("a.gh")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(got == Seq((1, 4L), (3, 4L), (5, 2L)))
+    // m <= w: single rightmost minimum of the whole array
+    val short = Seq(Tuple1(Array(5L, 1L, 1L))).toDF("gh")
+      .select(explode(graft.functions.CatalystExprs.winnowSelect(col("gh"), 4)).as("a"))
+      .select(col("a.p")).collect().map(_.getInt(0)).toSeq
+    assert(short == Seq(2))
+  }
+
+  test("portable winnowed form detects the same clone pairs as the production form") {
+    val d = Tables.t(spark, TestSpark.sf, "documents").limit(60)
+      .select(col("doc_id"), col("text"))
+    val clones = d.union(d.select(col("doc_id") + 100000L, col("text")))
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.filter(col("doc_b") === col("doc_a") + 100000L)
+        .select("doc_a").collect().map(_.getLong(0)).toSet
+    val prod = pairs(TextDedup.substringDupSpansWinnowed(clones, "doc_id", "text",
+      n = 4, w = 4, minAnchors = 1))
+    val port = pairs(TextDedup.substringDupSpansWinnowedPortable(clones, "doc_id", "text",
+      n = 4, w = 4, minAnchors = 1))
+    // identical selection rule over different hash planes: both must flag
+    // every exact clone (every window's minimum aligns on identical text)
+    assert(prod == port, s"clone-pair disagreement: ${prod.diff(port)} / ${port.diff(prod)}")
+  }
+
   test("verifyPairsBucketed equals in-flight verification, arrays never shuffle") {
     val corpus = Tables.t(spark, TestSpark.sf, "documents")
     TextDedup.saveShingleStore(corpus, "doc_id", "text", "shingle_store", 8)
