@@ -59,6 +59,8 @@ object Cli {
       "Token-budget bin assignment per packing group",
     "SELECT * FROM SCORE(METHOD m [WITH (...)], <sql>)" ->
       "LM perplexity / TF-IDF: unigram|bigram|bigram_ref|tfidf",
+    "SELECT * FROM SAMPLE(METHOD m [WITH (...)], <sql>)" ->
+      "Deterministic hash downsample: weighted (weight=, transform=sqrt)|rate (rate=)",
     "lang_id(t), quality_score(t), token_count(t), ..." ->
       "Text-analysis battery callable from any SQL (see COVERAGE.md §2.6)")
 

@@ -347,7 +347,7 @@ class Context(val spark: SparkSession) {
     * trigger execution with an action, as in the reference
     * (`return_futures=True`). `EXPLAIN [mode] <stmt>` works on the
     * SELECT-family pipeline statements too (DEDUP/SIMSEARCH/PREDICT/
-    * DECONTAMINATE/STRATIFY/CHUNK/PACK/SCORE — Spark's own EXPLAIN cannot
+    * DECONTAMINATE/STRATIFY/CHUNK/PACK/SCORE/SAMPLE — Spark's own EXPLAIN cannot
     * parse them); EXPLAIN on extension DDL returns a one-row description
     * (it has no plan; nothing is executed — mirrors Spark's native
     * EXPLAIN-on-DDL, which also answers rather than errors). Note the
@@ -358,7 +358,7 @@ class Context(val spark: SparkSession) {
     case ExplainRe(mode, rest) =>
       ExtensionParser.parse(rest) match {
         case _: DedupTable | _: SimSearch | _: PredictModel | _: Decontaminate |
-             _: Stratify | _: Chunk | _: Pack | _: Score =>
+             _: Stratify | _: Chunk | _: Pack | _: Score | _: Sample =>
           val plan = exec(rest).queryExecution.explainString(
             org.apache.spark.sql.execution.ExplainMode.fromString(
               Option(mode).map(_.trim.toLowerCase).getOrElse("formatted")))
@@ -748,6 +748,34 @@ class Context(val spark: SparkSession) {
           k = opts.get("k").map(_.trim.toInt).getOrElse(5))
         case other => throw new IllegalArgumentException(
           s"Unknown SCORE method: $other (unigram|bigram|bigram_ref|tfidf)")
+      }
+
+    // SELECT * FROM SAMPLE(METHOD weighted|rate [WITH (...)], <select>) —
+    // deterministic hash-based downsample: md5-derived uniform per id vs a
+    // weight column (optionally transform=sqrt) or a fixed rate=.
+    case Sample(method, opts, select) =>
+      val df = sql(select)
+      val id = opts.getOrElse("id", "doc_id")
+      val seed = opts.getOrElse("seed", "smp|")
+      import graft.operators.Corpus
+      method match {
+        case "weighted" =>
+          val sqrtW = opts.get("transform").map(_.trim.toLowerCase) match {
+            case Some("sqrt") => true
+            case Some("none") | None => false
+            case Some(other) => throw new IllegalArgumentException(
+              s"Unknown SAMPLE transform: $other (sqrt|none)")
+          }
+          Corpus.deterministicSample(df, id,
+            weightCol = Some(opts.getOrElse("weight", "quality")),
+            seed = seed, sqrtWeight = sqrtW)
+        case "rate" =>
+          Corpus.deterministicSample(df, id,
+            rate = Some(opts.getOrElse("rate", throw new IllegalArgumentException(
+              "SAMPLE method rate requires rate=")).trim.toDouble),
+            seed = seed)
+        case other => throw new IllegalArgumentException(
+          s"Unknown SAMPLE method: $other (weighted|rate)")
       }
 
     case DescribeModel(name) =>

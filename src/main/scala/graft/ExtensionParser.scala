@@ -68,6 +68,10 @@ object ExtensionParser {
     * (no reference analogue; parity-plus). */
   final case class Score(method: String, options: Map[String, String],
       select: String) extends Statement
+  /** Deterministic hash-based downsample of the inner query's rows
+    * (no reference analogue; parity-plus). */
+  final case class Sample(method: String, options: Map[String, String],
+      select: String) extends Statement
   final case class DescribeModel(name: String) extends Statement
   final case class DropModel(name: String, ifExists: Boolean) extends Statement
   final case class ExportModel(name: String, options: Map[String, String]) extends Statement
@@ -183,6 +187,9 @@ object ExtensionParser {
   // SELECT * FROM SCORE(METHOD unigram|bigram|bigram_ref|tfidf [WITH (...)], <select>)
   private val scoreStmt =
     re(s"SELECT${ws}\\*${ws}FROM${ws}SCORE\\s*\\(\\s*METHOD${ws}$ident(?:${ws}WITH${ws}\\($kwSpan\\))?\\s*,(.*)\\)")
+  // SELECT * FROM SAMPLE(METHOD weighted|rate [WITH (...)], <select>)
+  private val sampleStmt =
+    re(s"SELECT${ws}\\*${ws}FROM${ws}SAMPLE\\s*\\(\\s*METHOD${ws}$ident(?:${ws}WITH${ws}\\($kwSpan\\))?\\s*,(.*)\\)")
   private val describeModel = re(s"DESCRIBE${ws}MODEL${ws}$ident")
   private val dropModel = re(s"DROP${ws}MODEL${ws}(IF${ws}EXISTS${ws})?$ident")
   private val exportModel =
@@ -222,6 +229,9 @@ object ExtensionParser {
         Option(kwargs).map(parseKwargs).getOrElse(Map()), select.trim)
     case scoreStmt(method, kwargs, select) =>
       Score(method.toLowerCase,
+        Option(kwargs).map(parseKwargs).getOrElse(Map()), select.trim)
+    case sampleStmt(method, kwargs, select) =>
+      Sample(method.toLowerCase,
         Option(kwargs).map(parseKwargs).getOrElse(Map()), select.trim)
     case describeModel(name) => DescribeModel(name)
     case dropModel(ifEx, name) => DropModel(name, ifEx != null)

@@ -18,17 +18,28 @@ object Tables {
 
   /** Read one table from a scale-factor directory (plain lazy scan).
     *
-    * `events.ts` is physically INT64 TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects; read it as raw nanos and truncate to microseconds
-    * (exactly what DuckDB's ns→us cast does, keeping the oracle comparable).
+    * `events.ts` has shipped in two physical layouts across testdata
+    * generations: INT64 TIMESTAMP(NANOS) (which Spark's parquet reader
+    * rejects — read as raw nanos and truncate to micros, exactly DuckDB's
+    * ns→us cast) and plain TIMESTAMP(MICROS). Normalize both to a
+    * microsecond timestamp so queries and oracles see one shape.
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("CAST(ts DIV 1000 AS BIGINT)")))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts",
+            org.apache.spark.sql.functions.timestamp_micros(
+              org.apache.spark.sql.functions.expr("CAST(ts DIV 1000 AS BIGINT)")))
+        case _: org.apache.spark.sql.types.TimestampNTZType =>
+          // same micros, session-type (UTC sessions ⇒ value-preserving);
+          // keeps row accessors / written parquet identical to the nanos era
+          raw.withColumn("ts",
+            raw("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case _ => raw
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   // Re-registering views is cheap but re-reads parquet footers; cache the

@@ -178,4 +178,59 @@ object TextAnalysis {
     lit(1.0) - size(array_distinct(grams)).cast("double") /
       greatest(size(grams), lit(1)).cast("double")
   }
+
+  /** The word-n-gram array (lowercased, space-joined) — shared by the
+    * repetition-mass metrics below. Docs shorter than n words → empty. */
+  private def wordNgrams(text: Column, n: Int): Column = {
+    val words = tokens(text)
+    val idx = when(size(words) >= n, sequence(lit(0), size(words) - n))
+      .otherwise(array().cast("array<int>"))
+    transform(idx, i =>
+      concat_ws(" ", (0 until n).map(j => element_at(words, i + j + 1)): _*))
+  }
+
+  /** Run-length fold over the SORTED gram array: one pass tracking
+    * (previous gram, current run length, best/dup mass so far). Sorting
+    * makes equal grams adjacent, so per-gram counts fall out of run
+    * lengths without the O(g²) count-each-distinct-gram inner loop —
+    * O(g log g) per row, still a pure projection with no explode/shuffle.
+    */
+  private def gramRunFold(grams: Column)(
+      massOf: (Column, Column, Column) => Column): Column = {
+    val z = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("mass"))
+    aggregate(array_sort(grams), z, (acc, g) => {
+      val run = when(g === acc("prev"), acc("run") + 1L).otherwise(lit(1L))
+      struct(g.as("prev"), run.as("run"),
+        massOf(acc("mass"), run, g).as("mass"))
+    })("mass")
+  }
+
+  /** Gopher "fraction of characters contained in the most frequent
+    * word-n-gram": max over grams of count × gram-length, over the
+    * document's character count. The max is taken over the PRODUCT, so no
+    * tie-break rule is needed for equally-frequent grams. Docs shorter
+    * than n words score 0.0. */
+  def topNgramCharFrac(text: Column, n: Int): Column = {
+    val best = gramRunFold(wordNgrams(text, n)) { (mass, run, g) =>
+      greatest(mass, run * length(g))
+    }
+    round(best.cast("double") /
+      greatest(length(text), lit(1)).cast("double"), 6)
+  }
+
+  /** Gopher "fraction of characters inside duplicated word-n-grams":
+    * sum of count × gram-length over grams occurring more than once, over
+    * the character count, clamped to 1.0. Overlapping occurrences are
+    * counted at full length (the published metric's standard cheap
+    * approximation — exact overlap accounting needs interval merging per
+    * doc for no added discriminative power). */
+  def dupNgramCharFrac(text: Column, n: Int): Column = {
+    val dupMass = gramRunFold(wordNgrams(text, n)) { (mass, run, g) =>
+      // run hits 2 → the run's first occurrence retroactively counts too
+      mass + when(run === 2L, length(g).cast("long") * 2L)
+        .when(run > 2L, length(g).cast("long")).otherwise(lit(0L))
+    }
+    round(least(dupMass.cast("double") /
+      greatest(length(text), lit(1)).cast("double"), lit(1.0)), 6)
+  }
 }

@@ -94,6 +94,35 @@ object Corpus {
       .drop("_h", "quota")
   }
 
+  /** Deterministic hash-based downsampling: keep a row iff
+    * `u(id) < p`, where `u(id)` is a uniform-in-[0,1) draw derived from
+    * md5(seed || id) (60-bit prefix / 2^60) and `p` is either a fixed
+    * `rate` or a per-row weight column (optionally √-transformed — the
+    * quality-temperature downsample; sqrt is IEEE correctly-rounded, so
+    * the keep decision is bit-identical in any engine, unlike pow).
+    *
+    * At 100 TB this is THE sampling shape: a pure projection + filter —
+    * no RNG state, no shuffle, restartable mid-job, and the same rows
+    * survive no matter how the data is partitioned or re-run. Appends a
+    * `u` column (the draw, rounded 6dp for display; the decision uses the
+    * unrounded value).
+    */
+  def deterministicSample(
+      df: DataFrame, idCol: String,
+      weightCol: Option[String] = None, rate: Option[Double] = None,
+      seed: String = "smp|", sqrtWeight: Boolean = false): DataFrame = {
+    require(weightCol.nonEmpty != rate.nonEmpty,
+      "exactly one of weightCol / rate must be given")
+    rate.foreach(r => require(r >= 0.0 && r <= 1.0, "rate must be in [0,1]"))
+    val u = conv(substring(md5(concat(lit(seed), col(idCol).cast("string"))),
+      2, 15), 16, 10).cast("long").cast("double") / lit(1.152921504606846976e18)
+    val p = weightCol
+      .map(w => if (sqrtWeight) sqrt(col(w)) else col(w))
+      .getOrElse(lit(rate.get))
+    df.withColumn("_u", u).where(col("_u") < p)
+      .withColumn("u", round(col("_u"), 6)).drop("_u")
+  }
+
   /** Sequence packing: assign documents to fixed token-budget bins by
     * cumulative token count within a packing group — the concat-and-chunk
     * packing used to build training batches. A document starts at

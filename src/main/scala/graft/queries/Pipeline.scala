@@ -698,6 +698,120 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // Gopher repetition battery (the published pre-training repetition
+    // signals this engine didn't yet expose): top-n-gram character
+    // fraction for n=2,3 on natural text, and duplicated-5-gram character
+    // coverage on text with an injected repeat (text + its own first 60
+    // chars — the corpus has no natural 5-gram repeats, so the repeat is
+    // injected in-query, the p16/p46 pattern, to actually exercise the
+    // dup-mass accounting). All three are pure per-row projections: grams
+    // are sorted in-row and counted by a run-length fold (O(g log g), no
+    // explode, no shuffle) — at 100 TB this is embarrassingly parallel
+    // scan work. The oracle rebuilds the same masses with an explicit
+    // unnest + GROUP BY in DuckDB.
+    Q("p48_repetition_metrics", Some("""
+      WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws,
+                        greatest(length(text), 1) AS nc FROM documents),
+      wi AS (SELECT doc_id,
+                    string_split(lower(text || ' ' || substr(text, 1, 60)), ' ') AS ws,
+                    greatest(length(text || ' ' || substr(text, 1, 60)), 1) AS nc
+             FROM documents),
+      g2 AS (SELECT doc_id, nc, ws[i] || ' ' || ws[i+1] AS gram
+             FROM w, unnest(range(1, len(ws))) AS t(i)),
+      g3 AS (SELECT doc_id, nc, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+             FROM w, unnest(range(1, len(ws) - 1)) AS t(i)),
+      g5 AS (SELECT doc_id, nc, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                    || ' ' || ws[i+3] || ' ' || ws[i+4] AS gram
+             FROM wi, unnest(range(1, len(ws) - 3)) AS t(i)),
+      t2 AS (SELECT doc_id, round(max(cnt * length(gram)) / CAST(nc AS DOUBLE), 6) AS v
+             FROM (SELECT doc_id, nc, gram, count(*) AS cnt FROM g2 GROUP BY 1, 2, 3)
+             GROUP BY doc_id, nc),
+      t3 AS (SELECT doc_id, round(max(cnt * length(gram)) / CAST(nc AS DOUBLE), 6) AS v
+             FROM (SELECT doc_id, nc, gram, count(*) AS cnt FROM g3 GROUP BY 1, 2, 3)
+             GROUP BY doc_id, nc),
+      d5 AS (SELECT doc_id, round(least(coalesce(
+                    sum(CASE WHEN cnt > 1 THEN cnt * length(gram) END), 0)
+                    / CAST(nc AS DOUBLE), 1.0), 6) AS v
+             FROM (SELECT doc_id, nc, gram, count(*) AS cnt FROM g5 GROUP BY 1, 2, 3)
+             GROUP BY doc_id, nc)
+      SELECT d.doc_id,
+             coalesce(t2.v, 0.0) AS top2_frac,
+             coalesce(t3.v, 0.0) AS top3_frac,
+             coalesce(d5.v, 0.0) AS dup5_frac
+      FROM documents d LEFT JOIN t2 ON d.doc_id = t2.doc_id
+        LEFT JOIN t3 ON d.doc_id = t3.doc_id
+        LEFT JOIN d5 ON d.doc_id = d5.doc_id
+      ORDER BY d.doc_id""")) { (s, d) =>
+      val inj = concat(col("text"), lit(" "), substring(col("text"), 1, 60))
+      t(s, d, "documents").select(
+        col("doc_id"),
+        TextAnalysis.topNgramCharFrac(col("text"), 2).as("top2_frac"),
+        TextAnalysis.topNgramCharFrac(col("text"), 3).as("top3_frac"),
+        TextAnalysis.dupNgramCharFrac(inj, 5).as("dup5_frac"))
+        .orderBy("doc_id")
+    },
+
+    // Deterministic quality-weighted downsampling: keep a document with
+    // probability sqrt(quality) where the uniform draw is a pure function
+    // of the doc_id (md5 → 60-bit integer / 2^60) — no RNG, so the sample
+    // is reproducible across engines and runs, byte-for-byte. This is the
+    // oracle-able counterpart to q28's engine-RNG TABLESAMPLE: at 100 TB a
+    // quality-temperature downsample MUST be a deterministic hash filter
+    // (pure projection + filter, no shuffle, restartable mid-job), never a
+    // stateful RNG. sqrt (IEEE correctly-rounded, unlike pow) keeps the
+    // keep-decision bit-identical in any engine.
+    Q("p49_weighted_sample", Some("""
+      WITH q AS (
+        SELECT doc_id,
+          round(least(length(text) / 500.0, 1.0) * 0.5 +
+                least(CAST(len(list_filter(string_split(lower(text), ' '),
+                  w -> w IN ('the','and','of','to','in','is','that','for','it','a'))) AS DOUBLE)
+                  / greatest(len(string_split(lower(text), ' ')), 1) * 10.0, 1.0) * 0.3 +
+                (1.0 - least((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+                  / greatest(CAST(length(text) AS DOUBLE), 1.0) * 5.0, 1.0)) * 0.2, 6) AS quality
+        FROM documents),
+      h AS (SELECT doc_id, quality,
+              CAST(('0x' || substr(md5('smp|' || CAST(doc_id AS VARCHAR)), 2, 15)) AS BIGINT)
+                / 1152921504606846976.0 AS u
+            FROM q)
+      SELECT doc_id, quality, round(u, 6) AS u
+      FROM h WHERE u < sqrt(quality)
+      ORDER BY doc_id""")) { (s, d) =>
+      val scored = t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      graft.operators.Corpus.deterministicSample(scored, "doc_id",
+        weightCol = Some("quality"), sqrtWeight = true)
+        .orderBy("doc_id")
+    },
+
+    // The same deterministic downsample through the SAMPLE statement
+    // surface (METHOD weighted WITH transform=sqrt) — server/CLI path,
+    // hash-gated like the other *c statement twins.
+    Q("p49c_weighted_sample_sql", Some("""
+      WITH q AS (
+        SELECT doc_id,
+          round(least(length(text) / 500.0, 1.0) * 0.5 +
+                least(CAST(len(list_filter(string_split(lower(text), ' '),
+                  w -> w IN ('the','and','of','to','in','is','that','for','it','a'))) AS DOUBLE)
+                  / greatest(len(string_split(lower(text), ' ')), 1) * 10.0, 1.0) * 0.3 +
+                (1.0 - least((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+                  / greatest(CAST(length(text) AS DOUBLE), 1.0) * 5.0, 1.0)) * 0.2, 6) AS quality
+        FROM documents),
+      h AS (SELECT doc_id, quality,
+              CAST(('0x' || substr(md5('smp|' || CAST(doc_id AS VARCHAR)), 2, 15)) AS BIGINT)
+                / 1152921504606846976.0 AS u
+            FROM q)
+      SELECT doc_id, quality, round(u, 6) AS u
+      FROM h WHERE u < sqrt(quality)
+      ORDER BY doc_id""")) { (s, d) =>
+      val ctx = new graft.Context(s)
+      ctx.createTableFromPath("documents", s"$d/documents.parquet")
+      ctx.sql(
+        """SELECT * FROM SAMPLE(METHOD weighted WITH (weight = 'quality', transform = 'sqrt'),
+          |SELECT doc_id, quality_score(text) AS quality FROM documents)""".stripMargin)
+        .orderBy("doc_id")
+    },
+
     // Corpus vocabulary: global token frequencies, top-50 — the
     // tokenizer-training / vocab-building aggregation (explode → one
     // shuffled count → TakeOrdered top-k, no driver-side loops)

@@ -16,16 +16,28 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** events.parquet is TIMESTAMP(NANOS): declared as long + converted, same
+  /** events.parquet has shipped as both TIMESTAMP(NANOS) (declared long +
+    * converted) and TIMESTAMP(MICROS) (declared NTZ + session-cast), same
     * as graft.Tables.t (the batch side). */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  def readStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(eventsSchema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("CAST(ts DIV 1000 AS BIGINT)")))
+  def readStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // streams must declare their schema up front; peek at the batch-read
+    // footer once to pick the layout (driver-side, one footer read)
+    val legacyNanos = spark.read.parquet(dir).schema("ts").dataType == LongType
+    if (legacyNanos)
+      spark.readStream.schema(eventsSchema).parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("CAST(ts DIV 1000 AS BIGINT)")))
+    else
+      spark.readStream.schema(StructType(eventsSchema.map(f =>
+        if (f.name == "ts") f.copy(dataType = TimestampNTZType) else f)))
+        .parquet(dir)
+        .withColumn("ts", col("ts").cast(TimestampType))
+  }
 
   /** State-BOUNDED streaming dedup: `dropDuplicatesWithinWatermark` keeps
     * a key's state only while a duplicate could still arrive (inside the

@@ -110,6 +110,34 @@ class CorpusSqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("bigram_ref"))
   }
 
+  test("SAMPLE methods equal the Scala API, are deterministic, and scale with rate") {
+    val viaSql = ctx.sql(
+      """SELECT * FROM SAMPLE(METHOD weighted WITH (weight = 'q', transform = 'sqrt'),
+        |SELECT doc_id, quality_score(text) AS q FROM documents)""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+    val direct = Corpus.deterministicSample(
+      docs.select(col("doc_id"),
+        graft.functions.TextAnalysis.qualityScore(col("text")).as("q")),
+      "doc_id", weightCol = Some("q"), sqrtWeight = true)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+    assert(viaSql == direct && viaSql.nonEmpty)
+
+    // rate method: deterministic (same rows both runs), monotone in rate
+    def run(rate: Double) = ctx.sql(
+      s"""SELECT * FROM SAMPLE(METHOD rate WITH (rate = '$rate'),
+         |SELECT doc_id, text FROM documents)""".stripMargin)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val half1 = run(0.5); val half2 = run(0.5); val tenth = run(0.1)
+    assert(half1 == half2 && tenth.subsetOf(half1))
+    val n = docs.count().toDouble
+    assert(math.abs(half1.size / n - 0.5) < 0.1)
+    assert(math.abs(tenth.size / n - 0.1) < 0.06)
+
+    val e = intercept[IllegalArgumentException](ctx.sql(
+      "SELECT * FROM SAMPLE(METHOD nope, SELECT doc_id, text FROM documents)"))
+    assert(e.getMessage.contains("weighted|rate"))
+  }
+
   test("EXPLAIN works on the pipeline statements and stays native for plain SQL") {
     val plan = ctx.sql(
       "EXPLAIN SELECT * FROM CHUNK(SIZE 16, SELECT doc_id, text FROM documents)")

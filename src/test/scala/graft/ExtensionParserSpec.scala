@@ -72,6 +72,12 @@ class ExtensionParserSpec extends AnyFunSuite {
         |SELECT doc_id, text FROM docs)""".stripMargin): @unchecked
     assert(m == "bigram_ref" && sOpts == Map("reference" -> "wiki"))
     assert(sSel == "SELECT doc_id, text FROM docs")
+
+    val Sample(sm, smOpts, smSel) = parse(
+      """SELECT * FROM SAMPLE(METHOD weighted WITH (weight = 'q', transform = 'sqrt'),
+        |SELECT doc_id, q FROM docs)""".stripMargin): @unchecked
+    assert(sm == "weighted" && smOpts == Map("weight" -> "q", "transform" -> "sqrt"))
+    assert(smSel == "SELECT doc_id, q FROM docs")
   }
 
   test("standard SQL with WITH clauses still falls through") {

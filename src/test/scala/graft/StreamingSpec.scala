@@ -11,13 +11,6 @@ import org.scalatest.funsuite.AnyFunSuite
 class StreamingSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  // events.parquet is TIMESTAMP(NANOS): stream-read as long, convert (same
-  // conversion as graft.Tables.t)
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
   // FileStreamSource needs a directory, not a single file
   private lazy val eventsDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_events_stream")
@@ -27,10 +20,9 @@ class StreamingSpec extends AnyFunSuite {
     dir.toString
   }
 
-  private def streamingEvents = spark.readStream
-    .schema(eventsSchema)
-    .parquet(eventsDir)
-    .withColumn("ts", timestamp_micros(expr("CAST(ts DIV 1000 AS BIGINT)")))
+  // layout-aware read (nanos-era vs micros-era testdata), same as Tables.t
+  private def streamingEvents =
+    graft.streaming.EventStreams.readStream(spark, eventsDir)
 
   test("streaming tumbling-window counts equal the batch result") {
     val agg = streamingEvents

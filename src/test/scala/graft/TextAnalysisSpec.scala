@@ -125,4 +125,43 @@ class TextAnalysisSpec extends AnyFunSuite {
       .collect().map(_.getString(0))
     assert(out.sameElements(Array("2024-01-01 06:00:00", "2024-01-01 06:00:00")))
   }
+
+  test("topNgramCharFrac matches hand-computed mass on crafted docs") {
+    // "ab cd ab cd ab": bigrams = [ab cd, cd ab, ab cd, cd ab] →
+    // "ab cd"×2 (len 5) and "cd ab"×2 (len 5); best mass = 10, chars = 14
+    val df = Seq(
+      (1L, "ab cd ab cd ab"),
+      (2L, "x y z"),        // all bigrams distinct: best = 1×len("x y")=3, chars=5
+      (3L, "solo"),         // < 2 words → 0.0
+      (4L, "")).toDF("id", "text")
+    val got = df.orderBy("id")
+      .select(TextAnalysis.topNgramCharFrac($"text", 2))
+      .collect().map(_.getDouble(0))
+    assert(got(0) == math.rint(10.0 / 14.0 * 1e6) / 1e6)
+    assert(got(1) == 0.6) // 3/5
+    assert(got(2) == 0.0 && got(3) == 0.0)
+  }
+
+  test("dupNgramCharFrac counts full run mass once per duplicated gram") {
+    // "a b c a b c a b c": 7 trigrams; "a b c"×3 (mass 15), "b c a"×2
+    // (10), "c a b"×2 (10) → dup mass 35, chars 17 → clamped to 1.0;
+    // distinct-gram text → 0.0
+    val df = Seq(
+      (1L, "a b c a b c a b c"),
+      (2L, "one two three four five")).toDF("id", "text")
+    val got = df.orderBy("id")
+      .select(TextAnalysis.dupNgramCharFrac($"text", 3))
+      .collect().map(_.getDouble(0))
+    assert(got(0) == 1.0)
+    assert(got(1) == 0.0)
+  }
+
+  test("dupNgramCharFrac partial coverage is exact below the clamp") {
+    // "aa bb aa bb cc dd ee": bigrams [aa bb, bb aa, aa bb, bb cc, cc dd,
+    // dd ee] → only "aa bb"×2 duplicated, mass 2×5=10, chars 20 → 0.5
+    val got = Seq("aa bb aa bb cc dd ee").toDF("text")
+      .select(TextAnalysis.dupNgramCharFrac($"text", 2))
+      .head().getDouble(0)
+    assert(got == 0.5)
+  }
 }
