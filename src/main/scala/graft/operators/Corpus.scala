@@ -730,27 +730,65 @@ object Corpus {
       } else {
         val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((round.toLong, l, r, n))
-        // greedy non-overlapping left-to-right merge: fold each word's
-        // symbols with a (result, carry) state — carry holds the symbol
-        // that may still pair with the next one
-        val merged = aggregate(col("syms"),
-          struct(array().cast("array<string>").as("res"), lit("").as("carry")),
-          (acc, s) =>
-            when(acc.getField("carry") === "",
-              struct(acc.getField("res").as("res"), s.as("carry")))
-            .when(acc.getField("carry") === l && s === r,
-              struct(concat(acc.getField("res"), array(lit(l + r))).as("res"),
-                lit("").as("carry")))
-            .otherwise(
-              struct(concat(acc.getField("res"), array(acc.getField("carry"))).as("res"),
-                s.as("carry"))),
-          acc => when(acc.getField("carry") === "", acc.getField("res"))
-            .otherwise(concat(acc.getField("res"), array(acc.getField("carry")))))
-        vocab = vocab.select(merged.as("syms"), col("n_occ")).localCheckpoint()
+        vocab = vocab.select(mergePairFold(col("syms"), l, r).as("syms"),
+          col("n_occ")).localCheckpoint()
         round += 1
       }
     }
     merges.toSeq.toDF("round", "lhs", "rhs", "n")
+  }
+
+  /** Greedy non-overlapping left-to-right application of ONE merge (l, r)
+    * to a symbol array: fold with a (result, carry) state — carry holds the
+    * symbol that may still pair with the next one. Shared by
+    * [[bpeLearnMerges]] (training) and [[bpeEncode]] (inference). */
+  private def mergePairFold(syms: Column, l: String, r: String): Column =
+    aggregate(syms,
+      struct(array().cast("array<string>").as("res"), lit("").as("carry")),
+      (acc, s) =>
+        when(acc.getField("carry") === "",
+          struct(acc.getField("res").as("res"), s.as("carry")))
+        .when(acc.getField("carry") === l && s === r,
+          struct(concat(acc.getField("res"), array(lit(l + r))).as("res"),
+            lit("").as("carry")))
+        .otherwise(
+          struct(concat(acc.getField("res"), array(acc.getField("carry"))).as("res"),
+            s.as("carry"))),
+      acc => when(acc.getField("carry") === "", acc.getField("res"))
+        .otherwise(concat(acc.getField("res"), array(acc.getField("carry")))))
+
+  /** BPE ENCODING — apply a learned merge table (the output of
+    * [[bpeLearnMerges]], or any (round, lhs, rhs) frame) to tokenize text:
+    * each word starts as characters and every merge is applied in learned
+    * order (rank order — exactly the standard BPE inference rule). Emits
+    * (id, tokens, n_tokens). Completes the tokenizer story:
+    * learn ([[bpeLearnMerges]]) → encode (this) → count/pack downstream.
+    *
+    * Scale shape: the merge table is TOKENIZER-sized (kilobytes — the
+    * trusted small side, like [[bigramLogPerplexityAgainst]]'s reference
+    * model), collected once on the driver and compiled INTO the expression
+    * as literals; encoding is then a pure per-row projection — no shuffle,
+    * no UDF, no per-row state, embarrassingly parallel over any corpus
+    * size. Expression depth grows with the merge count, so the table size
+    * is capped (analysis cost is O(merges × fold body); the cap is far
+    * above any hand-learned table and protects against feeding a full
+    * 50k-merge production tokenizer into a single expression tree —
+    * chunked application via intermediate columns is the path there).
+    */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+      merges: DataFrame, maxMerges: Int = 256): DataFrame = {
+    val table = merges.orderBy("round").select("lhs", "rhs")
+      .collect().map(row => (row.getString(0), row.getString(1)))
+    require(table.length <= maxMerges,
+      s"merge table has ${table.length} rows (> $maxMerges); " +
+        "apply in chunks via intermediate columns for production tokenizers")
+    val words = filter(split(lower(col(textCol)), " "), t => t =!= "")
+    val perWord = transform(words, w =>
+      table.foldLeft(split(w, "")) { case (syms, (l, r)) =>
+        mergePairFold(syms, l, r)
+      })
+    df.select(col(idCol), flatten(perWord).as("tokens"))
+      .withColumn("n_tokens", size(col("tokens")).cast("bigint"))
   }
 
   /** The dedup ACTION that follows [[connectedComponents]]: pick ONE

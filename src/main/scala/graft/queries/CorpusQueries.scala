@@ -757,6 +757,40 @@ object CorpusQueries {
         .orderBy("round")
     },
 
+    // BPE ENCODING against a fixed merge table — oracle-gated: greedy
+    // left-to-right non-overlapping merging is exactly SQL replace()
+    // semantics, so DuckDB reproduces the token count by chained replaces
+    // with one private placeholder char per learned token (merges never
+    // cross spaces, so whole-text replace == per-word merge; n_tokens =
+    // chars left after stripping spaces, since every token is one
+    // placeholder or one original char). Encoding itself is a pure
+    // projection — the merge table is compiled into the expression.
+    Q("p50_bpe_encode", Some("""
+      SELECT doc_id, CAST(length(regexp_replace(
+        replace(replace(replace(replace(replace(lower(text),
+          'th', 'Θ'), 'Θe', 'Φ'), 'an', 'Δ'), 'in', 'Ψ'), 'er', 'Ω'),
+        ' ', '', 'g')) AS BIGINT) AS n_tokens
+      FROM documents ORDER BY doc_id""")) { (s, d) =>
+      import s.implicits._
+      val merges = Seq((1L, "t", "h"), (2L, "th", "e"), (3L, "a", "n"),
+        (4L, "i", "n"), (5L, "e", "r")).toDF("round", "lhs", "rhs")
+      Corpus.bpeEncode(t(s, d, "documents"), "doc_id", "text", merges)
+        .select(col("doc_id"), col("n_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // Learn → encode composition: tokenize the corpus with its OWN learned
+    // merge table (10 rounds). The learning loop is driver-iterative →
+    // rows-only like p44b; the encoding algorithm is oracle-gated in p50
+    // and the composition is spec-verified against hand-computed BPE.
+    Q("p50b_bpe_learn_encode", None) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val merges = Corpus.bpeLearnMerges(docs, "text", nMerges = 10)
+      Corpus.bpeEncode(docs, "doc_id", "text", merges)
+        .select(col("doc_id"), col("n_tokens"))
+        .orderBy("doc_id")
+    },
+
     // Misra-Gries heavy-hitters vocabulary: the sketch path to top-k that
     // never shuffles per-key rows (each partition reduces to k counters,
     // maps merge pairwise). With k=1024 ≥ |vocab| of this corpus no

@@ -128,6 +128,38 @@ class CorpusSpec extends AnyFunSuite {
     assert(m1 == top)
   }
 
+  test("bpeEncode applies learned merges exactly: hand-computed tokens") {
+    val docs = Seq((1L, "low low low lower lowest")).toDF("doc_id", "text")
+    val merges = Corpus.bpeLearnMerges(docs, "text", nMerges = 10)
+    val toks = Corpus.bpeEncode(docs, "doc_id", "text", merges)
+      .select("tokens").head().getSeq[String](0)
+    // full merge table makes every word one token
+    assert(toks == Seq("low", "low", "low", "lower", "lowest"))
+    // a 2-merge prefix stops at "low": lowest → low+e+s+t etc.
+    val toks2 = Corpus.bpeEncode(docs, "doc_id", "text", merges.where($"round" <= 2))
+      .select("tokens").head().getSeq[String](0)
+    assert(toks2 == Seq("low", "low", "low", "low", "e", "r", "low", "e", "s", "t"))
+  }
+
+  test("bpeEncode invariants on real docs: roundtrip concat, monotone token count") {
+    val docs = Tables.t(spark, TestSpark.sf, "documents").limit(200)
+    val merges = Corpus.bpeLearnMerges(docs, "text", nMerges = 6)
+    val enc = Corpus.bpeEncode(docs, "doc_id", "text", merges)
+    // merges only ever JOIN symbols: concatenated tokens == text minus spaces
+    val bad = enc.join(docs, "doc_id")
+      .where(concat_ws("", $"tokens") =!=
+        regexp_replace(lower($"text"), " ", ""))
+      .count()
+    assert(bad == 0L)
+    // more merges → token count never increases, and is below char count
+    val n6 = enc.agg(sum("n_tokens")).head().getLong(0)
+    val n3 = Corpus.bpeEncode(docs, "doc_id", "text", merges.where($"round" <= 3))
+      .agg(sum("n_tokens")).head().getLong(0)
+    val chars = docs.agg(sum(length(regexp_replace(lower($"text"), " ", ""))))
+      .head().getLong(0)
+    assert(n6 <= n3 && n3 <= chars && n6 < chars)
+  }
+
   test("stratifiedQuota takes exactly the quota per stratum, deterministically") {
     val docs = Tables.t(spark, TestSpark.sf, "documents")
     val quotas = docs.select("source").distinct()
