@@ -1,0 +1,2 @@
+SELECT * FROM SAMPLE(METHOD weighted WITH (weight = 'quality', transform = 'sqrt'),
+SELECT doc_id, quality_score(text) AS quality FROM documents)

@@ -1,0 +1,3 @@
+CREATE OR REPLACE VIEW bpe_merges AS
+SELECT * FROM VALUES (1, 't', 'h'), (2, 'th', 'e'), (3, 'a', 'n'),
+  (4, 'i', 'n'), (5, 'e', 'r') AS t(round, lhs, rhs)

@@ -1,0 +1,2 @@
+SELECT * FROM TOKENIZE(TABLE bpe_merges,
+SELECT doc_id, text FROM documents)

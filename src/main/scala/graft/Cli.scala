@@ -61,6 +61,8 @@ object Cli {
       "LM perplexity / TF-IDF: unigram|bigram|bigram_ref|tfidf",
     "SELECT * FROM SAMPLE(METHOD m [WITH (...)], <sql>)" ->
       "Deterministic hash downsample: weighted (weight=, transform=sqrt)|rate (rate=)",
+    "SELECT * FROM TOKENIZE(TABLE merges [WITH (...)], <sql>)" ->
+      "BPE-encode documents with a registered (round, lhs, rhs) merge table",
     "lang_id(t), quality_score(t), token_count(t), ..." ->
       "Text-analysis battery callable from any SQL (see COVERAGE.md §2.6)")
 

@@ -347,7 +347,7 @@ class Context(val spark: SparkSession) {
     * trigger execution with an action, as in the reference
     * (`return_futures=True`). `EXPLAIN [mode] <stmt>` works on the
     * SELECT-family pipeline statements too (DEDUP/SIMSEARCH/PREDICT/
-    * DECONTAMINATE/STRATIFY/CHUNK/PACK/SCORE/SAMPLE — Spark's own EXPLAIN cannot
+    * DECONTAMINATE/STRATIFY/CHUNK/PACK/SCORE/SAMPLE/TOKENIZE — Spark's own EXPLAIN cannot
     * parse them); EXPLAIN on extension DDL returns a one-row description
     * (it has no plan; nothing is executed — mirrors Spark's native
     * EXPLAIN-on-DDL, which also answers rather than errors). Note the
@@ -358,7 +358,8 @@ class Context(val spark: SparkSession) {
     case ExplainRe(mode, rest) =>
       ExtensionParser.parse(rest) match {
         case _: DedupTable | _: SimSearch | _: PredictModel | _: Decontaminate |
-             _: Stratify | _: Chunk | _: Pack | _: Score | _: Sample =>
+             _: Stratify | _: Chunk | _: Pack | _: Score | _: Sample |
+             _: Tokenize =>
           val plan = exec(rest).queryExecution.explainString(
             org.apache.spark.sql.execution.ExplainMode.fromString(
               Option(mode).map(_.trim.toLowerCase).getOrElse("formatted")))
@@ -777,6 +778,19 @@ class Context(val spark: SparkSession) {
         case other => throw new IllegalArgumentException(
           s"Unknown SAMPLE method: $other (weighted|rate)")
       }
+
+    // SELECT * FROM TOKENIZE(TABLE merges [WITH (...)], <select>) —
+    // BPE-encode the inner query's documents with a registered merge table
+    // (any (round, lhs, rhs) frame, e.g. a persisted bpeLearnMerges
+    // output); the table is tokenizer-sized and compiled into the
+    // projection.
+    case Tokenize(table, opts, select) =>
+      graft.operators.Corpus.bpeEncode(
+        sql(select),
+        idCol = opts.getOrElse("id", "doc_id"),
+        textCol = opts.getOrElse("text", "text"),
+        merges = lookupTable(table),
+        maxMerges = opts.get("max_merges").map(_.trim.toInt).getOrElse(256))
 
     case DescribeModel(name) =>
       val m = schemas(currentSchema).models.getOrElse(name.toLowerCase,

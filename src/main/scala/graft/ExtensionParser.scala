@@ -72,6 +72,10 @@ object ExtensionParser {
     * (no reference analogue; parity-plus). */
   final case class Sample(method: String, options: Map[String, String],
       select: String) extends Statement
+  /** BPE-encode the inner query's documents with a registered merge table
+    * (no reference analogue; parity-plus). */
+  final case class Tokenize(table: String, options: Map[String, String],
+      select: String) extends Statement
   final case class DescribeModel(name: String) extends Statement
   final case class DropModel(name: String, ifExists: Boolean) extends Statement
   final case class ExportModel(name: String, options: Map[String, String]) extends Statement
@@ -190,6 +194,9 @@ object ExtensionParser {
   // SELECT * FROM SAMPLE(METHOD weighted|rate [WITH (...)], <select>)
   private val sampleStmt =
     re(s"SELECT${ws}\\*${ws}FROM${ws}SAMPLE\\s*\\(\\s*METHOD${ws}$ident(?:${ws}WITH${ws}\\($kwSpan\\))?\\s*,(.*)\\)")
+  // SELECT * FROM TOKENIZE(TABLE merges [WITH (...)], <select>)
+  private val tokenizeStmt =
+    re(s"SELECT${ws}\\*${ws}FROM${ws}TOKENIZE\\s*\\(\\s*TABLE${ws}$ident(?:${ws}WITH${ws}\\($kwSpan\\))?\\s*,(.*)\\)")
   private val describeModel = re(s"DESCRIBE${ws}MODEL${ws}$ident")
   private val dropModel = re(s"DROP${ws}MODEL${ws}(IF${ws}EXISTS${ws})?$ident")
   private val exportModel =
@@ -232,6 +239,9 @@ object ExtensionParser {
         Option(kwargs).map(parseKwargs).getOrElse(Map()), select.trim)
     case sampleStmt(method, kwargs, select) =>
       Sample(method.toLowerCase,
+        Option(kwargs).map(parseKwargs).getOrElse(Map()), select.trim)
+    case tokenizeStmt(table, kwargs, select) =>
+      Tokenize(table,
         Option(kwargs).map(parseKwargs).getOrElse(Map()), select.trim)
     case describeModel(name) => DescribeModel(name)
     case dropModel(ifEx, name) => DropModel(name, ifEx != null)

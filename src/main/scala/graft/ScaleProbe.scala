@@ -142,6 +142,27 @@ object ScaleProbe {
         // REP× occurrences cost map-side counters, not rows
         operators.Corpus.bpePairStats(docs, "text", k = 50)
       },
+      time("repetition_metrics") {
+        // pure per-row projections: grams sorted + run-length-folded
+        // in-row (no explode, no shuffle) — cost scales with rows × doc
+        // length and nothing else; the injected repeat makes every doc
+        // exercise the dup-mass branch
+        docs.select(col("doc_id"),
+          graft.functions.TextAnalysis.topNgramCharFrac(col("text"), 2).as("t2"),
+          graft.functions.TextAnalysis.topNgramCharFrac(col("text"), 3).as("t3"),
+          graft.functions.TextAnalysis.dupNgramCharFrac(
+            concat(col("text"), lit(" "), substring(col("text"), 1, 60)), 5)
+            .as("d5"))
+      },
+      time("bpe_learn_encode") {
+        // learn on the clone corpus (vocabulary is UNCHANGED by cloning —
+        // the word-collapse means REP× rows cost only map-side counters),
+        // then encode every row: the encode pass is a pure projection with
+        // the 8-merge table compiled in
+        val merges = operators.Corpus.bpeLearnMerges(docs, "text", nMerges = 8)
+        operators.Corpus.bpeEncode(docs, "doc_id", "text", merges)
+          .select(col("doc_id"), col("n_tokens"))
+      },
       time("calibrate_domain_approx") {
         // skew-free percentile_approx calibration: two aggregates, zero
         // windows — per-domain row counts scale REP× but the state is one

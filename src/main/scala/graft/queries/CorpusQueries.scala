@@ -791,6 +791,26 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // The same fixed-table encode through the TOKENIZE statement surface
+    // (registered merge table → statement → same oracle as p50) — the
+    // server/CLI path, hash-gated like the other *c statement twins.
+    Q("p50c_bpe_encode_sql", Some("""
+      SELECT doc_id, CAST(length(regexp_replace(
+        replace(replace(replace(replace(replace(lower(text),
+          'th', 'Θ'), 'Θe', 'Φ'), 'an', 'Δ'), 'in', 'Ψ'), 'er', 'Ω'),
+        ' ', '', 'g')) AS BIGINT) AS n_tokens
+      FROM documents ORDER BY doc_id""")) { (s, d) =>
+      val ctx = new graft.Context(s)
+      ctx.createTableFromPath("documents", s"$d/documents.parquet")
+      ctx.sql("""CREATE OR REPLACE VIEW p50_merges AS
+        |SELECT * FROM VALUES (1, 't', 'h'), (2, 'th', 'e'), (3, 'a', 'n'),
+        |  (4, 'i', 'n'), (5, 'e', 'r') AS t(round, lhs, rhs)""".stripMargin)
+      ctx.sql("""SELECT * FROM TOKENIZE(TABLE p50_merges,
+        |SELECT doc_id, text FROM documents)""".stripMargin)
+        .select(col("doc_id"), col("n_tokens"))
+        .orderBy("doc_id")
+    },
+
     // Misra-Gries heavy-hitters vocabulary: the sketch path to top-k that
     // never shuffles per-key rows (each partition reduces to k counters,
     // maps merge pairwise). With k=1024 ≥ |vocab| of this corpus no

@@ -138,6 +138,28 @@ class CorpusSqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("weighted|rate"))
   }
 
+  test("TOKENIZE(TABLE merges) equals the Scala bpeEncode and honors max_merges") {
+    import spark.implicits._
+    val mergeDf = Seq((1L, "t", "h"), (2L, "th", "e"), (3L, "a", "n"))
+      .toDF("round", "lhs", "rhs")
+    ctx.createTable("tok_merges", mergeDf)
+    val viaSql = ctx.sql(
+      """SELECT * FROM TOKENIZE(TABLE tok_merges,
+        |SELECT doc_id, text FROM documents)""".stripMargin)
+      .select("doc_id", "n_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = Corpus.bpeEncode(docs, "doc_id", "text", mergeDf)
+      .select("doc_id", "n_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaSql == direct && viaSql.nonEmpty)
+
+    val e = intercept[IllegalArgumentException](ctx.sql(
+      """SELECT * FROM TOKENIZE(TABLE tok_merges WITH (max_merges = '2'),
+        |SELECT doc_id, text FROM documents)""".stripMargin))
+    assert(e.getMessage.contains("merge table"))
+    ctx.sql("DROP TABLE IF EXISTS tok_merges")
+  }
+
   test("EXPLAIN works on the pipeline statements and stays native for plain SQL") {
     val plan = ctx.sql(
       "EXPLAIN SELECT * FROM CHUNK(SIZE 16, SELECT doc_id, text FROM documents)")

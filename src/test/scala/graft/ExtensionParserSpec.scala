@@ -78,6 +78,12 @@ class ExtensionParserSpec extends AnyFunSuite {
         |SELECT doc_id, q FROM docs)""".stripMargin): @unchecked
     assert(sm == "weighted" && smOpts == Map("weight" -> "q", "transform" -> "sqrt"))
     assert(smSel == "SELECT doc_id, q FROM docs")
+
+    val Tokenize(tt, tOpts, tSel) = parse(
+      """SELECT * FROM TOKENIZE(TABLE my_merges WITH (max_merges = '32'),
+        |SELECT doc_id, text FROM docs)""".stripMargin): @unchecked
+    assert(tt == "my_merges" && tOpts == Map("max_merges" -> "32"))
+    assert(tSel == "SELECT doc_id, text FROM docs")
   }
 
   test("standard SQL with WITH clauses still falls through") {
