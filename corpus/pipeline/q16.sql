@@ -1,0 +1,5 @@
+SELECT * FROM DEDUP(METHOD global_lines WITH (sep = ' | ', min_docs = 3),
+SELECT doc_id,
+       'NAV HOME | banner ' || CAST(doc_id % 7 AS STRING)
+       || ' | body ' || CAST(doc_id AS STRING) || ' ' || substr(text, 1, 40) AS text
+FROM documents)

@@ -1,0 +1,2 @@
+CREATE OR REPLACE VIEW dsir_target AS
+SELECT doc_id, text FROM documents WHERE lang = 'en'

@@ -1,0 +1,2 @@
+SELECT * FROM SCORE(METHOD dsir WITH (target = 'dsir_target', buckets = '4096'),
+SELECT doc_id, text FROM documents)

@@ -44,7 +44,7 @@ object Cli {
     "SELECT * FROM PREDICT(MODEL m, <sql>)" -> "Score a query with a trained model",
     "SELECT * FROM DEDUP(METHOD m [WITH (...)], <sql>)" ->
       ("Dedup: exact|minhash|ngram|simhash|substring|embedding|incremental" +
-        "|chunks|boilerplate (last two rewrite the corpus)"),
+        "|chunks|boilerplate|lines|global_lines (the last four rewrite the corpus)"),
     "SELECT * FROM SIMSEARCH(TABLE t, METHOD m, K n [WITH (...)], <sql>)" ->
       "Top-k cosine neighbors: brute|lsh|ivf|ivf_index",
     "CREATE DEDUP|SIMSEARCH INDEX i ON t [WITH (...)]" ->
@@ -58,7 +58,7 @@ object Cli {
     "SELECT * FROM PACK(CAPACITY n [WITH (...)], <sql>)" ->
       "Token-budget bin assignment per packing group",
     "SELECT * FROM SCORE(METHOD m [WITH (...)], <sql>)" ->
-      "LM perplexity / TF-IDF: unigram|bigram|bigram_ref|tfidf",
+      "LM perplexity / TF-IDF / DSIR: unigram|bigram|bigram_ref|tfidf|dsir (target=)",
     "SELECT * FROM SAMPLE(METHOD m [WITH (...)], <sql>)" ->
       "Deterministic hash downsample: weighted (weight=, transform=sqrt)|rate (rate=)",
     "SELECT * FROM TOKENIZE(TABLE merges [WITH (...)], <sql>)" ->

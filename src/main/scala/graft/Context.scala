@@ -599,6 +599,9 @@ class Context(val spark: SparkSession) {
           df, id, text, n = i("n", 5), minDocs = i("min_docs", 2))
         case "lines" => graft.operators.Corpus.dedupLinesInDoc(
           df, id, text, sep = opts.getOrElse("sep", "\n"))
+        case "global_lines" => graft.operators.Corpus.removeGlobalRepeatedLines(
+          df, id, text, sep = opts.getOrElse("sep", "\n"),
+          minDocs = i("min_docs", 3))
         case "embedding" => Similarity.cosineDedupPairsBanded(df,
           threshold = f("threshold", 0.9),
           dim = opts.get("dim").map(_.trim.toInt).getOrElse(
@@ -610,7 +613,8 @@ class Context(val spark: SparkSession) {
           vecCol = opts.getOrElse("vec", "embedding"))
         case other => throw new IllegalArgumentException(
           s"Unknown DEDUP method: $other (exact|minhash|ngram|simhash|" +
-            "substring|embedding|incremental|chunks|boilerplate|lines)")
+            "substring|embedding|incremental|chunks|boilerplate|lines|" +
+            "global_lines)")
       }
 
     // SELECT * FROM SIMSEARCH(TABLE corpus, METHOD m, K n [WITH (...)],
@@ -747,8 +751,15 @@ class Context(val spark: SparkSession) {
           alpha = opts.get("alpha").map(_.trim.toDouble).getOrElse(0.4))
         case "tfidf" => Corpus.tfidfTopTerms(df, id, text,
           k = opts.get("k").map(_.trim.toInt).getOrElse(5))
+        case "dsir" => Corpus.dsirLogWeights(
+          df,
+          lookupTable(opts.getOrElse("target",
+            throw new IllegalArgumentException(
+              "SCORE method dsir requires target= (a registered table)"))),
+          id, text,
+          buckets = opts.get("buckets").map(_.trim.toInt).getOrElse(8192))
         case other => throw new IllegalArgumentException(
-          s"Unknown SCORE method: $other (unigram|bigram|bigram_ref|tfidf)")
+          s"Unknown SCORE method: $other (unigram|bigram|bigram_ref|tfidf|dsir)")
       }
 
     // SELECT * FROM SAMPLE(METHOD weighted|rate [WITH (...)], <select>) —

@@ -46,13 +46,23 @@ object ScaleProbe {
       .cache()
     val nDocs = docs.count() // materialize once; excluded from op timings
 
-    def time(name: String)(df: => DataFrame): (String, Double, Long) = {
-      val t0 = System.nanoTime()
-      val out = df
-      out.write.format("noop").mode("overwrite").save()
-      val secs = (System.nanoTime() - t0) / 1e9
-      val rows = out.count()
-      (name, secs, rows)
+    // arg 4 (optional): comma-separated op-name filter — probe a few new
+    // ops without re-running the whole battery (skipped ops cost nothing:
+    // the DataFrame thunk is by-name and never forced)
+    val only: Option[Set[String]] =
+      args.drop(3).headOption.map(_.split(",").map(_.trim).toSet)
+    def wanted(name: String): Boolean =
+      only.forall(_.exists(p => name.startsWith(p)))
+    def time(name: String)(df: => DataFrame): Option[(String, Double, Long)] = {
+      if (!wanted(name)) None
+      else {
+        val t0 = System.nanoTime()
+        val out = df
+        out.write.format("noop").mode("overwrite").save()
+        val secs = (System.nanoTime() - t0) / 1e9
+        val rows = out.count()
+        Some((name, secs, rows))
+      }
     }
 
     val results = Seq(
@@ -163,6 +173,31 @@ object ScaleProbe {
         operators.Corpus.bpeEncode(docs, "doc_id", "text", merges)
           .select(col("doc_id"), col("n_tokens"))
       },
+      time("global_line_removal") {
+        // corpus-wide C4 line rule at clone scale: line structure injected
+        // as in p51 (nav constant + banner by id%7 + unique body), so the
+        // hot set stays tiny (8 lines) while EVERY doc contributes 3 line
+        // hashes to the counting shuffle and every rewrite drops 2 of 3
+        // lines — the broadcast-array + pure-projection shape must hold
+        // at REP× rows with zero document shuffle
+        val injected = docs.select(col("doc_id"),
+          concat(lit("NAV HOME ABOUT | banner "),
+            pmod(col("doc_id"), lit(7)).cast("string"),
+            lit(" | body "), col("doc_id").cast("string"), lit(" "),
+            substring(col("text"), 1, 40)).as("text"))
+        operators.Corpus.removeGlobalRepeatedLines(
+          injected, "doc_id", "text", sep = " | ", minDocs = 3)
+      },
+      time("dsir_weights") {
+        // DSIR importance weights at clone scale: gram volume inflates
+        // REP× but both LM tables stay <= buckets rows (map-side combine),
+        // the stats join stays broadcast, and the per-doc re-group rides
+        // partial aggregation — cost must scale with rows, state with
+        // buckets
+        operators.Corpus.dsirLogWeights(
+          docs, docs.filter(col("lang") === "en"), "doc_id", "text",
+          buckets = 8192)
+      },
       time("calibrate_domain_approx") {
         // skew-free percentile_approx calibration: two aggregates, zero
         // windows — per-domain row counts scale REP× but the state is one
@@ -171,11 +206,13 @@ object ScaleProbe {
           docs.withColumn("q",
             graft.functions.TextAnalysis.qualityScore(col("text"))),
           "source", "q")
-      }) ++ {
+      }).flatten ++ {
       // semantic dedup at clone scale: replicate the embeddings table the
       // same way (every vector rep exact copies), assign clusters with the
       // IVF KMeans quantizer, then dedup within cells — the full SemDeDup
       // pipeline at REP× volume
+      if (!wanted("semantic_dedup_ivf") && !wanted("ivfpq_ann")) Seq.empty
+      else {
       val emb0 = Tables.t(spark, sf, "embeddings")
       val emb = emb0.crossJoin(reps)
         .select((col("vec_id") + col("_rep") * 10000000L).as("vec_id"),
@@ -203,7 +240,8 @@ object ScaleProbe {
           emb.filter(col("vec_id") < 100), k = 5, nProbe = 8)
       })
       emb.unpersist()
-      r
+      r.flatten
+      }
     }
 
     val fields = results.map { case (n, s, r) =>

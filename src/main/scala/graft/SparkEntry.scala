@@ -45,5 +45,6 @@ object SparkEntry {
     "p20_range_join", "p21_salted_join", "p22_decontaminate",
     "p25_embedding_quantize", "p31_semantic_dedup", "p35_substring_dedup",
     "p36_tfidf", "p37_unigram_logppl", "p38_chunk_dedup", "p43_bigram_logppl",
+    "p51_global_line_dedup", "p52_dsir_weights",
     "s01_events_tumbling", "s03_events_session")
 }

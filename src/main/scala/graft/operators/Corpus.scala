@@ -225,6 +225,116 @@ object Corpus {
       size(array_distinct(ls)).cast("bigint").as("n_kept"))
   }
 
+  /** GLOBAL repeated-line removal (the other half of C4's line cleanup:
+    * [[dedupLinesInDoc]] drops a page's own repeats; this drops any line
+    * that occurs in at least `minDocs` DISTINCT documents across the whole
+    * corpus — cookie banners, nav menus, share buttons — from every
+    * document, preserving the order of what survives).
+    *
+    * Scale shape: lines cross the one counting shuffle only as xxhash64
+    * digests (per-doc `array_distinct` first, so count(*) over hashes IS
+    * the distinct-document frequency); the hot set — lines ABOVE the
+    * frequency threshold, i.e. the corpus's boilerplate tail, bounded in
+    * practice at ~10⁴-10⁵ entries — is collapsed to a single array row and
+    * broadcast with a nested-loop cross join, after which the rewrite is a
+    * pure per-row projection (split → filter by membership → re-join): the
+    * documents themselves never shuffle. If a corpus's hot set outgrew the
+    * broadcast regime, the fallback is the posexplode → join-on-hash →
+    * re-assemble window form (one extra shuffle of surviving lines) — not
+    * implemented because the threshold makes the set small by construction.
+    * Returns (id, clean_text, n_lines, n_removed).
+    */
+  def removeGlobalRepeatedLines(
+      df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n", minDocs: Int = 3): DataFrame = {
+    require(minDocs >= 2, "minDocs must be at least 2")
+    val qsep = java.util.regex.Pattern.quote(sep)
+    val ls = split(col(textCol), qsep)
+    // distinct per doc BEFORE exploding: one row per (doc, line), so the
+    // per-hash count is the distinct-document frequency without a
+    // count(DISTINCT) (same explode_outer guard as decontaminate)
+    val hot = df
+      .select(explode_outer(array_distinct(split(col(textCol), qsep))).as("ln"))
+      .select(xxhash64(col("ln")).as("lh"))
+      .groupBy("lh").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs)
+      .agg(collect_list(col("lh")).as("_hot")) // exactly one row, maybe empty list
+    df.crossJoin(broadcast(hot))
+      .select(col(idCol), col("_hot"),
+        filter(ls, l => !array_contains(col("_hot"), xxhash64(l))).as("_kept"),
+        size(ls).cast("bigint").as("n_lines"))
+      .select(col(idCol),
+        concat_ws(sep, col("_kept")).as("clean_text"),
+        col("n_lines"),
+        (col("n_lines") - size(col("_kept"))).cast("bigint").as("n_removed"))
+  }
+
+  /** DSIR-style importance weights for data selection (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * estimate two hashed-bigram unigram-over-buckets LMs — one on a small
+    * high-quality TARGET corpus, one on the RAW pool — and weight every raw
+    * document by log P_target(doc) − log P_raw(doc) under add-1 smoothing
+    * over the `buckets` feature space. High-weight documents "look like"
+    * the target distribution; selection is then a deterministic
+    * top-k/quota pass ([[stratifiedQuota]]) or a hash draw
+    * ([[deterministicSample]] with the exponentiated-weight column).
+    *
+    * Buckets are derived from a 60-bit md5 prefix of the gram string so
+    * the whole computation is engine-portable (the DuckDB oracle reproduces
+    * it bit-for-bit; swap the bucket expression for the xxhash64
+    * token-hash-combining form of [[decontaminate]] when md5 throughput
+    * matters — the plan shape is identical). Scale shape: only bucket ints
+    * are ever exploded; both count tables collapse to ≤ `buckets` rows
+    * (map-side combine) and join broadcast; the per-doc score re-groups
+    * grams that are CO-LOCATED with their source row, so partial
+    * aggregation collapses the shuffle to ~one row per document. Two
+    * passes over the raw gram frame (count + score), the
+    * [[boilerplateSpans]] trade. Returns (id, n_grams, logw round 6dp).
+    */
+  def dsirLogWeights(
+      raw: DataFrame, target: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 8192): DataFrame =
+    dsirLogWeightsRaw(raw, target, idCol, textCol, buckets)
+      .select(col(idCol), col("n_grams"), round(col("lw"), 6).as("logw"))
+
+  /** [[dsirLogWeights]] with the weight UNROUNDED (column `lw`) — for
+    * downstream ranking/selection, where rounding before the ORDER BY
+    * would put ties at the rounding boundary. */
+  def dsirLogWeightsRaw(
+      raw: DataFrame, target: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 8192): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    def gramBuckets(df: DataFrame): DataFrame = {
+      val toks = split(lower(col(textCol)), " ")
+      df.filter(size(toks) >= 2)
+        .select(col(idCol).as("_id"),
+          explode_outer(transform(sequence(lit(1), size(toks) - 1), i =>
+            pmod(
+              conv(substring(md5(concat(
+                element_at(toks, i), lit(" "), element_at(toks, i + 1))),
+                2, 15), 16, 10).cast("long"),
+              lit(buckets.toLong)))).as("b"))
+    }
+    val rg = gramBuckets(raw)
+    val rc = rg.groupBy("b").agg(count(lit(1)).as("cr"))
+    val tc = gramBuckets(target).groupBy("b").agg(count(lit(1)).as("ct"))
+    val totals = rc.agg(sum(col("cr")).as("crt"))
+      .crossJoin(tc.agg(coalesce(sum(col("ct")), lit(0L)).as("ctt")))
+    // stats rows exist exactly for buckets seen in raw — the only buckets a
+    // raw doc can look up; target-only buckets can never be probed
+    val stats = rc.join(tc, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        (log((coalesce(col("ct"), lit(0L)) + lit(1.0)) /
+          (col("ctt").cast("double") + lit(buckets.toDouble))) -
+          log((col("cr") + lit(1.0)) /
+            (col("crt").cast("double") + lit(buckets.toDouble)))).as("lr"))
+    rg.join(broadcast(stats), Seq("b"))
+      .groupBy(col("_id").as(idCol))
+      .agg(count(lit(1)).cast("bigint").as("n_grams"),
+        sum(col("lr")).as("lw"))
+  }
+
   /** Corpus-internal boilerplate detection (the RefinedWeb/CCNet repeated-
     * span filter): annotate every document with the fraction of its word
     * n-gram spans that occur in at least `minDocs` DISTINCT documents —

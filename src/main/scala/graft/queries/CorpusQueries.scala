@@ -1072,5 +1072,134 @@ object CorpusQueries {
           |SELECT doc_id, text FROM documents)""".stripMargin)
         .orderBy("doc_id")
     },
+
+    // DSIR importance weights (Xie et al. 2023): hashed-bigram LMs on a
+    // high-quality target slice (lang = 'en') and the raw pool, add-1
+    // smoothed over 4096 md5-derived buckets; every raw doc scored
+    // log P_target − log P_raw. Bucket ints are the only thing exploded;
+    // both count tables collapse to ≤4096 rows and broadcast. The md5
+    // bucketing makes the whole computation engine-portable, so the
+    // oracle reproduces it bit-for-bit (the p03b/p49 pattern).
+    Q("p52_dsir_weights", Some("""
+      WITH tokr AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                    FROM documents
+                    WHERE len(string_split(lower(text), ' ')) >= 2),
+      gr AS (SELECT doc_id,
+               CAST(('0x' || substr(md5(ws[i] || ' ' || ws[i+1]), 2, 15)) AS BIGINT)
+                 % 4096 AS b
+             FROM tokr, unnest(range(1, len(ws))) AS u(i)),
+      gt AS (SELECT
+               CAST(('0x' || substr(md5(ws[i] || ' ' || ws[i+1]), 2, 15)) AS BIGINT)
+                 % 4096 AS b
+             FROM (SELECT string_split(lower(text), ' ') AS ws FROM documents
+                   WHERE lang = 'en'
+                     AND len(string_split(lower(text), ' ')) >= 2) tt,
+                  unnest(range(1, len(ws))) AS u(i)),
+      rc AS (SELECT b, count(*) AS cr FROM gr GROUP BY b),
+      tc AS (SELECT b, count(*) AS ct FROM gt GROUP BY b),
+      tot AS (SELECT (SELECT count(*) FROM gr) AS crt,
+                     (SELECT count(*) FROM gt) AS ctt),
+      stats AS (SELECT rc.b,
+                  ln((coalesce(tc.ct, 0) + 1.0) / (tot.ctt + 4096.0))
+                  - ln((rc.cr + 1.0) / (tot.crt + 4096.0)) AS lr
+                FROM rc LEFT JOIN tc ON rc.b = tc.b, tot)
+      SELECT gr.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             round(sum(stats.lr), 6) AS logw
+      FROM gr JOIN stats ON gr.b = stats.b
+      GROUP BY gr.doc_id ORDER BY gr.doc_id""")) { (s, d) =>
+      val docs = t(s, d, "documents")
+      Corpus.dsirLogWeights(docs, docs.filter(col("lang") === "en"),
+        "doc_id", "text", buckets = 4096)
+        .orderBy("doc_id")
+    },
+
+    // DSIR end-to-end selection: the weights above, then a deterministic
+    // per-source top-quota by importance (rank on the UNROUNDED weight,
+    // doc_id tie-break — engines agree to ~1e-14 rel so the order is
+    // stable; only the displayed weight is rounded).
+    Q("p52b_dsir_select", Some("""
+      WITH tokr AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                    FROM documents
+                    WHERE len(string_split(lower(text), ' ')) >= 2),
+      gr AS (SELECT doc_id,
+               CAST(('0x' || substr(md5(ws[i] || ' ' || ws[i+1]), 2, 15)) AS BIGINT)
+                 % 4096 AS b
+             FROM tokr, unnest(range(1, len(ws))) AS u(i)),
+      gt AS (SELECT
+               CAST(('0x' || substr(md5(ws[i] || ' ' || ws[i+1]), 2, 15)) AS BIGINT)
+                 % 4096 AS b
+             FROM (SELECT string_split(lower(text), ' ') AS ws FROM documents
+                   WHERE lang = 'en'
+                     AND len(string_split(lower(text), ' ')) >= 2) tt,
+                  unnest(range(1, len(ws))) AS u(i)),
+      rc AS (SELECT b, count(*) AS cr FROM gr GROUP BY b),
+      tc AS (SELECT b, count(*) AS ct FROM gt GROUP BY b),
+      tot AS (SELECT (SELECT count(*) FROM gr) AS crt,
+                     (SELECT count(*) FROM gt) AS ctt),
+      stats AS (SELECT rc.b,
+                  ln((coalesce(tc.ct, 0) + 1.0) / (tot.ctt + 4096.0))
+                  - ln((rc.cr + 1.0) / (tot.crt + 4096.0)) AS lr
+                FROM rc LEFT JOIN tc ON rc.b = tc.b, tot),
+      wts AS (SELECT gr.doc_id, sum(stats.lr) AS lw
+              FROM gr JOIN stats ON gr.b = stats.b GROUP BY gr.doc_id),
+      ranked AS (SELECT d.source, d.doc_id, w.lw,
+                   row_number() OVER (PARTITION BY d.source
+                                      ORDER BY w.lw DESC, d.doc_id) AS rk
+                 FROM wts w JOIN documents d ON w.doc_id = d.doc_id)
+      SELECT source, doc_id, round(lw, 6) AS logw, CAST(rk AS BIGINT) AS rk
+      FROM ranked WHERE rk <= 10 ORDER BY source, rk""")) { (s, d) =>
+      import org.apache.spark.sql.expressions.{Window => W}
+      val docs = t(s, d, "documents")
+      val wts = Corpus.dsirLogWeightsRaw(docs, docs.filter(col("lang") === "en"),
+        "doc_id", "text", buckets = 4096)
+      val ranked = wts
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .withColumn("rk", row_number().over(
+          W.partitionBy(col("source")).orderBy(col("lw").desc, col("doc_id"))))
+      ranked.filter(col("rk") <= 10)
+        .select(col("source"), col("doc_id"),
+          round(col("lw"), 6).as("logw"), col("rk").cast("bigint").as("rk"))
+        .orderBy("source", "rk")
+    },
+
+    // The same weights through the SCORE statement surface
+    // (METHOD dsir WITH target=) — server/CLI path, held to p52's oracle.
+    Q("p52c_dsir_weights_sql", Some("""
+      WITH tokr AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                    FROM documents
+                    WHERE len(string_split(lower(text), ' ')) >= 2),
+      gr AS (SELECT doc_id,
+               CAST(('0x' || substr(md5(ws[i] || ' ' || ws[i+1]), 2, 15)) AS BIGINT)
+                 % 4096 AS b
+             FROM tokr, unnest(range(1, len(ws))) AS u(i)),
+      gt AS (SELECT
+               CAST(('0x' || substr(md5(ws[i] || ' ' || ws[i+1]), 2, 15)) AS BIGINT)
+                 % 4096 AS b
+             FROM (SELECT string_split(lower(text), ' ') AS ws FROM documents
+                   WHERE lang = 'en'
+                     AND len(string_split(lower(text), ' ')) >= 2) tt,
+                  unnest(range(1, len(ws))) AS u(i)),
+      rc AS (SELECT b, count(*) AS cr FROM gr GROUP BY b),
+      tc AS (SELECT b, count(*) AS ct FROM gt GROUP BY b),
+      tot AS (SELECT (SELECT count(*) FROM gr) AS crt,
+                     (SELECT count(*) FROM gt) AS ctt),
+      stats AS (SELECT rc.b,
+                  ln((coalesce(tc.ct, 0) + 1.0) / (tot.ctt + 4096.0))
+                  - ln((rc.cr + 1.0) / (tot.crt + 4096.0)) AS lr
+                FROM rc LEFT JOIN tc ON rc.b = tc.b, tot)
+      SELECT gr.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             round(sum(stats.lr), 6) AS logw
+      FROM gr JOIN stats ON gr.b = stats.b
+      GROUP BY gr.doc_id ORDER BY gr.doc_id""")) { (s, d) =>
+      val ctx = new graft.Context(s)
+      ctx.createTableFromPath("documents", s"$d/documents.parquet")
+      ctx.sql("""CREATE OR REPLACE VIEW p52_target AS
+        |SELECT doc_id, text FROM documents WHERE lang = 'en'""".stripMargin)
+      ctx.sql(
+        """SELECT * FROM SCORE(METHOD dsir
+          |  WITH (target = 'p52_target', buckets = '4096'),
+          |SELECT doc_id, text FROM documents)""".stripMargin)
+        .orderBy("doc_id")
+    },
   )
 }

@@ -698,6 +698,86 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // GLOBAL repeated-line removal (the corpus-wide half of C4's line
+    // cleanup: any line occurring in >= min_docs DISTINCT documents is
+    // boilerplate and is dropped from every document). Line structure is
+    // injected in-query (the p16/p46 pattern): a constant nav line (hot in
+    // all docs), a banner keyed by doc_id % 7 (hot, ~1/7 of the corpus
+    // each), a promo line only on doc_id % 3 == 0 (hot), and a unique body
+    // + tail that must survive. The hot set crosses the plan as one
+    // broadcast array of xxhash64 digests; the rewrite itself is a pure
+    // projection — output is hash-representation-independent, so the
+    // DuckDB oracle rebuilds it on the raw line strings.
+    Q("p51_global_line_dedup", Some("""
+      WITH inj AS (
+        SELECT doc_id,
+               'NAV HOME ABOUT CONTACT | banner ' || CAST(doc_id % 7 AS VARCHAR)
+               || CASE WHEN doc_id % 3 = 0 THEN ' | promo subscribe now' ELSE '' END
+               || ' | body ' || CAST(doc_id AS VARCHAR) || ' ' || substr(text, 1, 40)
+               || ' | tail ' || CAST(doc_id AS VARCHAR) AS t
+        FROM documents),
+      ls AS (SELECT doc_id, string_split(t, ' | ') AS lls FROM inj),
+      lines AS (SELECT doc_id, lls[i] AS ln, i
+                FROM ls, unnest(range(1, len(lls) + 1)) AS u(i)),
+      hot AS (SELECT ln FROM lines GROUP BY ln
+              HAVING count(DISTINCT doc_id) >= 3),
+      kept AS (SELECT doc_id, ln, i FROM lines
+               WHERE ln NOT IN (SELECT ln FROM hot))
+      SELECT s.doc_id,
+             coalesce(string_agg(k.ln, ' | ' ORDER BY k.i), '') AS clean_text,
+             CAST(len(s.lls) AS BIGINT) AS n_lines,
+             CAST(len(s.lls) - count(k.ln) AS BIGINT) AS n_removed
+      FROM ls s LEFT JOIN kept k ON s.doc_id = k.doc_id
+      GROUP BY s.doc_id, len(s.lls) ORDER BY s.doc_id""")) { (s, d) =>
+      val injected = concat(
+        lit("NAV HOME ABOUT CONTACT | banner "), (col("doc_id") % 7).cast("string"),
+        when(col("doc_id") % 3 === 0, lit(" | promo subscribe now")).otherwise(lit("")),
+        lit(" | body "), col("doc_id").cast("string"), lit(" "),
+        substring(col("text"), 1, 40),
+        lit(" | tail "), col("doc_id").cast("string"))
+      graft.operators.Corpus.removeGlobalRepeatedLines(
+        t(s, d, "documents").select(col("doc_id"), injected.as("t")),
+        "doc_id", "t", sep = " | ", minDocs = 3)
+        .orderBy("doc_id")
+    },
+
+    // The same corpus-wide line removal through the DEDUP statement
+    // surface (METHOD global_lines), hash-gated like the other *c twins.
+    Q("p51c_global_line_dedup_sql", Some("""
+      WITH inj AS (
+        SELECT doc_id,
+               'NAV HOME ABOUT CONTACT | banner ' || CAST(doc_id % 7 AS VARCHAR)
+               || CASE WHEN doc_id % 3 = 0 THEN ' | promo subscribe now' ELSE '' END
+               || ' | body ' || CAST(doc_id AS VARCHAR) || ' ' || substr(text, 1, 40)
+               || ' | tail ' || CAST(doc_id AS VARCHAR) AS t
+        FROM documents),
+      ls AS (SELECT doc_id, string_split(t, ' | ') AS lls FROM inj),
+      lines AS (SELECT doc_id, lls[i] AS ln, i
+                FROM ls, unnest(range(1, len(lls) + 1)) AS u(i)),
+      hot AS (SELECT ln FROM lines GROUP BY ln
+              HAVING count(DISTINCT doc_id) >= 3),
+      kept AS (SELECT doc_id, ln, i FROM lines
+               WHERE ln NOT IN (SELECT ln FROM hot))
+      SELECT s.doc_id,
+             coalesce(string_agg(k.ln, ' | ' ORDER BY k.i), '') AS clean_text,
+             CAST(len(s.lls) AS BIGINT) AS n_lines,
+             CAST(len(s.lls) - count(k.ln) AS BIGINT) AS n_removed
+      FROM ls s LEFT JOIN kept k ON s.doc_id = k.doc_id
+      GROUP BY s.doc_id, len(s.lls) ORDER BY s.doc_id""")) { (s, d) =>
+      val ctx = new graft.Context(s)
+      ctx.createTableFromPath("documents", s"$d/documents.parquet")
+      ctx.sql(
+        """SELECT * FROM DEDUP(METHOD global_lines
+          |  WITH (sep = ' | ', text = 't', min_docs = '3'),
+          |SELECT doc_id,
+          |       'NAV HOME ABOUT CONTACT | banner ' || CAST(doc_id % 7 AS STRING)
+          |       || CASE WHEN doc_id % 3 = 0 THEN ' | promo subscribe now' ELSE '' END
+          |       || ' | body ' || CAST(doc_id AS STRING) || ' ' || substr(text, 1, 40)
+          |       || ' | tail ' || CAST(doc_id AS STRING) AS t
+          |FROM documents)""".stripMargin)
+        .orderBy("doc_id")
+    },
+
     // Gopher repetition battery (the published pre-training repetition
     // signals this engine didn't yet expose): top-n-gram character
     // fraction for n=2,3 on natural text, and duplicated-5-gram character

@@ -456,4 +456,58 @@ class CorpusSpec extends AnyFunSuite {
     // '.' and '|' are regex metachars — must be quoted, not interpreted
     assert(out.getString(1) == "x .|. y")
   }
+
+  test("removeGlobalRepeatedLines drops corpus-hot lines, keeps order; docs never shuffle") {
+    val docs = Seq(
+      (1L, "COOKIE BANNER\nunique one\nCOOKIE BANNER"),
+      (2L, "COOKIE BANNER\nunique two"),
+      (3L, "COOKIE BANNER\nunique three\nrare pair"),
+      (4L, "rare pair\nunique four")).toDF("doc_id", "text")
+    // minDocs=3: COOKIE BANNER is in 3 docs → hot; "rare pair" in 2 → kept;
+    // doc 1's own repeat counts once (distinct-doc frequency, not raw count)
+    val out = Corpus.removeGlobalRepeatedLines(docs, "doc_id", "text", minDocs = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("unique one", 3L, 2L)))
+    assert(out(2L) == (("unique two", 2L, 1L)))
+    assert(out(3L) == (("unique three\nrare pair", 3L, 1L)))
+    assert(out(4L) == (("rare pair\nunique four", 2L, 0L)))
+    // the rewrite side of the plan is broadcast + projection: the only
+    // exchange feeds the hot-line count (hash digests), never document rows
+    val plan = Corpus.removeGlobalRepeatedLines(docs, "doc_id", "text", minDocs = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("removeGlobalRepeatedLines with no hot lines is the identity rewrite") {
+    val docs = Seq((1L, "a\nb"), (2L, "c\nd")).toDF("doc_id", "text")
+    val out = Corpus.removeGlobalRepeatedLines(docs, "doc_id", "text", minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a\nb", 2L -> "c\nd"))
+  }
+
+  test("dsirLogWeights ranks target-like docs above off-distribution docs") {
+    val target = Seq(
+      (100L, "the cat sat on the mat and the cat slept"),
+      (101L, "the dog sat on the rug and the dog slept")).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "the cat sat on the mat"), // verbatim target-like
+      (2L, "zzz qqq www eee rrr ttt"), // off-distribution
+      (3L, "the cat sat near a mat")) // partially target-like
+      .toDF("doc_id", "text")
+    val w = Corpus.dsirLogWeights(raw, target, "doc_id", "text", buckets = 1 << 12)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w(1L) > w(3L) && w(3L) > w(2L))
+  }
+
+  test("dsirLogWeights broadcasts the bucket stats and never shuffles gram strings") {
+    val docs = Tables.t(spark, TestSpark.sf, "documents")
+    val plan = Corpus.dsirLogWeightsRaw(
+        docs, docs.filter($"lang" === "en"), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // score-side join against the ≤buckets-row stats table must be broadcast
+    assert(plan.contains("BroadcastHashJoin"))
+    // nothing string-typed crosses an exchange: every shuffle key is the
+    // bucket int or the doc id
+    assert(!plan.contains("hashpartitioning(ws"))
+  }
 }

@@ -63,7 +63,11 @@ class OperatorSpec extends AnyFunSuite {
       // p44b: iterative BPE merge decisions are a driver loop a single SQL
       // query can't replicate; algorithm hand-verified in CorpusSpec and
       // round 1 is p44's oracle-gated top pair
-      "p44b_bpe_merges")
+      "p44b_bpe_merges",
+      // p50b: learn→encode composition inherits p44b's driver loop; the
+      // encoding algorithm itself is oracle-gated in p50/p50c and the
+      // composition is spec-verified against hand-computed BPE
+      "p50b_bpe_learn_encode")
     assert(rowsOnly == expected)
   }
 }

@@ -31,6 +31,11 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q73_tpch_q17",            // decorrelated scalar bound; tiny residual
     "q76_tpch_q22",            // single-row threshold broadcast
     "p22_decontaminate",       // single-row broadcast of the bench gram set
+    "p51_global_line_dedup",   // single-row broadcast of the hot-line array
+    "p51c_global_line_dedup_sql", // same plan via the DEDUP statement
+    "p52_dsir_weights",        // single-row broadcast of the (crt, ctt) totals
+    "p52b_dsir_select",        // same totals broadcast inside the weight CTE
+    "p52c_dsir_weights_sql",   // same plan via the SCORE statement
     "q14_agg_global", "q67_tpch_q6", "q71_tpch_q14", "q75_tpch_q19",
     "q64_nan_semantics",       // single-row aggregates / literal frames
     "p12b_multimodal_decode"
