@@ -359,7 +359,7 @@ class Context(val spark: SparkSession) {
       ExtensionParser.parse(rest) match {
         case _: DedupTable | _: SimSearch | _: PredictModel | _: Decontaminate |
              _: Stratify | _: Chunk | _: Pack | _: Score | _: Sample |
-             _: Tokenize =>
+             _: Tokenize | _: Summarize =>
           val plan = exec(rest).queryExecution.explainString(
             org.apache.spark.sql.execution.ExplainMode.fromString(
               Option(mode).map(_.trim.toLowerCase).getOrElse("formatted")))
@@ -645,8 +645,21 @@ class Context(val spark: SparkSession) {
               throw new IllegalArgumentException(
                 "SIMSEARCH method ivf_index requires index="))),
             queries, k, nProbe = i("n_probe", 3), idCol = id, vecCol = vec)
+        case "ivfpq" =>
+          // full IVF-PQ serving path: coarse cells bound the candidates,
+          // PQ codes bound bytes per candidate; both builds happen at
+          // statement-construction time (the documented model-building-
+          // SELECT behavior — persist with CREATE SIMSEARCH INDEX for the
+          // nightly-build split)
+          val dim = i("dim", 64)
+          Similarity.ivfPqTopK(
+            Similarity.buildIvfIndex(corpus, nCells = i("n_cells", 16),
+              idCol = id, vecCol = vec),
+            Similarity.buildPqIndex(corpus, dim = dim, m = i("m", 8),
+              kCodes = i("k_codes", 16), idCol = id, vecCol = vec),
+            queries, k, nProbe = i("n_probe", 3), idCol = id, vecCol = vec)
         case other => throw new IllegalArgumentException(
-          s"Unknown SIMSEARCH method: $other (brute|lsh|ivf|ivf_index)")
+          s"Unknown SIMSEARCH method: $other (brute|lsh|ivf|ivf_index|ivfpq)")
       }
 
     // CREATE DEDUP|SIMSEARCH INDEX name ON table WITH (...) — persist the
@@ -751,6 +764,16 @@ class Context(val spark: SparkSession) {
           alpha = opts.get("alpha").map(_.trim.toDouble).getOrElse(0.4))
         case "tfidf" => Corpus.tfidfTopTerms(df, id, text,
           k = opts.get("k").map(_.trim.toInt).getOrElse(5))
+        case "bm25" => Corpus.bm25Scores(df, id, text,
+          terms = opts.getOrElse("terms", throw new IllegalArgumentException(
+            "SCORE method bm25 requires terms= (comma-separated)"))
+            .split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+          k1 = opts.get("k1").map(_.trim.toDouble).getOrElse(1.2),
+          b = opts.get("b").map(_.trim.toDouble).getOrElse(0.75))
+        case "blocklist" => Corpus.blocklistFlag(df,
+          lookupTable(opts.getOrElse("table", throw new IllegalArgumentException(
+            "SCORE method blocklist requires table= (a registered table)"))),
+          id, text, phraseCol = opts.getOrElse("phrase", "phrase"))
         case "dsir" => Corpus.dsirLogWeights(
           df,
           lookupTable(opts.getOrElse("target",
@@ -759,7 +782,7 @@ class Context(val spark: SparkSession) {
           id, text,
           buckets = opts.get("buckets").map(_.trim.toInt).getOrElse(8192))
         case other => throw new IllegalArgumentException(
-          s"Unknown SCORE method: $other (unigram|bigram|bigram_ref|tfidf|dsir)")
+          s"Unknown SCORE method: $other (unigram|bigram|bigram_ref|tfidf|dsir|bm25|blocklist)")
       }
 
     // SELECT * FROM SAMPLE(METHOD weighted|rate [WITH (...)], <select>) —
@@ -802,6 +825,16 @@ class Context(val spark: SparkSession) {
         textCol = opts.getOrElse("text", "text"),
         merges = lookupTable(table),
         maxMerges = opts.get("max_merges").map(_.trim.toInt).getOrElse(256))
+
+    // SELECT * FROM SUMMARIZE(BY col [WITH (...)], <select>) — per-group
+    // corpus profile (doc count, char/token volume, length percentiles,
+    // mean heuristic quality); approx='true' swaps exact percentiles for
+    // mergeable t-digests (the 100 TB default).
+    case Summarize(by, opts, select) =>
+      graft.operators.Corpus.corpusStats(
+        sql(select), groupCol = by,
+        textCol = opts.getOrElse("text", "text"),
+        approxQuantiles = opts.get("approx").exists(_.trim.toBoolean))
 
     case DescribeModel(name) =>
       val m = schemas(currentSchema).models.getOrElse(name.toLowerCase,

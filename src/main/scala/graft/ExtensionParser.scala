@@ -76,6 +76,10 @@ object ExtensionParser {
     * (no reference analogue; parity-plus). */
   final case class Tokenize(table: String, options: Map[String, String],
       select: String) extends Statement
+  /** Per-group corpus profile of the inner query's documents
+    * (no reference analogue; parity-plus). */
+  final case class Summarize(by: String, options: Map[String, String],
+      select: String) extends Statement
   final case class DescribeModel(name: String) extends Statement
   final case class DropModel(name: String, ifExists: Boolean) extends Statement
   final case class ExportModel(name: String, options: Map[String, String]) extends Statement
@@ -197,6 +201,9 @@ object ExtensionParser {
   // SELECT * FROM TOKENIZE(TABLE merges [WITH (...)], <select>)
   private val tokenizeStmt =
     re(s"SELECT${ws}\\*${ws}FROM${ws}TOKENIZE\\s*\\(\\s*TABLE${ws}$ident(?:${ws}WITH${ws}\\($kwSpan\\))?\\s*,(.*)\\)")
+  // SELECT * FROM SUMMARIZE(BY col [WITH (...)], <select>)
+  private val summarizeStmt =
+    re(s"SELECT${ws}\\*${ws}FROM${ws}SUMMARIZE\\s*\\(\\s*BY${ws}$ident(?:${ws}WITH${ws}\\($kwSpan\\))?\\s*,(.*)\\)")
   private val describeModel = re(s"DESCRIBE${ws}MODEL${ws}$ident")
   private val dropModel = re(s"DROP${ws}MODEL${ws}(IF${ws}EXISTS${ws})?$ident")
   private val exportModel =
@@ -242,6 +249,9 @@ object ExtensionParser {
         Option(kwargs).map(parseKwargs).getOrElse(Map()), select.trim)
     case tokenizeStmt(table, kwargs, select) =>
       Tokenize(table,
+        Option(kwargs).map(parseKwargs).getOrElse(Map()), select.trim)
+    case summarizeStmt(by, kwargs, select) =>
+      Summarize(by,
         Option(kwargs).map(parseKwargs).getOrElse(Map()), select.trim)
     case describeModel(name) => DescribeModel(name)
     case dropModel(ifEx, name) => DropModel(name, ifEx != null)

@@ -157,6 +157,36 @@ object GraftFunctions {
             if (exprs.size > 1) intArg(exprs(1), "n") else 2) }
       }),
 
+    // normalize_text(text[, form]) — Unicode normalization (NFC default);
+    // form must be a literal (it shapes the expression)
+    (new FunctionIdentifier("normalize_text"),
+      new ExpressionInfo(classOf[CatalystExprs.NormalizeUnicode].getName, "normalize_text"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.nonEmpty && exprs.size <= 2,
+          s"expected (text[, form]), got ${exprs.length} arguments")
+        CatalystExprs.NormalizeUnicode(exprs.head,
+          if (exprs.size > 1) stringArg(exprs(1), "form") else "NFC")
+      }),
+
+    (new FunctionIdentifier("clean_text"),
+      new ExpressionInfo("graft.functions.TextAnalysis", "clean_text"),
+      (exprs: Seq[Expression]) => colFn(exprs, 1) { cols =>
+        graft.functions.TextAnalysis.cleanText(cols.head) }),
+
+    // blocklist_hits(text, 'phrase,phrase,...') — the literal-list C4
+    // badwords gate; the list must be a literal (it compiles into the
+    // expression; table-driven lists go through SCORE METHOD blocklist)
+    (new FunctionIdentifier("blocklist_hits"),
+      new ExpressionInfo("graft.functions.TextAnalysis", "blocklist_hits"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 2,
+          s"expected (text, 'p1,p2,...'), got ${exprs.length} arguments")
+        val phrases = stringArg(exprs(1), "phrases")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        colFn(exprs.take(1), 1) { cols =>
+          graft.functions.TextAnalysis.blocklistHits(cols.head, phrases) }
+      }),
+
     // fused vector math (round 3): the embedding-pipeline hot loops,
     // exposed so server/CLI SQL users get the same codepath as the
     // operator library

@@ -744,4 +744,31 @@ object CatalystExprs {
 
   def sqlDiv(a: Column, b: Column): Column =
     GraftBridge.column(SqlDiv(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Unicode normalization (NFC/NFD/NFKC/NFKD) of a string — ONE node
+    * wrapping `java.text.Normalizer`. Spark has no normalization builtin;
+    * composing it from regexp would be both wrong (normalization is not a
+    * character-class rewrite) and slow. A quick-check fast path skips the
+    * normalizer allocation for ASCII-only rows, which at corpus scale is
+    * the overwhelming majority — `Normalizer.isNormalized` is O(n) with no
+    * allocation, so the clean-row cost is one scan. NULL in → NULL out
+    * (UnaryExpression default null-intolerance). */
+  case class NormalizeUnicode(child: Expression, form: String)
+      extends UnaryExpression with CodegenFallback {
+    private lazy val nf = java.text.Normalizer.Form.valueOf(form.toUpperCase(java.util.Locale.ROOT))
+    override def dataType: DataType = StringType
+    override def nullSafeEval(input: Any): Any = {
+      val u = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      val s = u.toString
+      if (java.text.Normalizer.isNormalized(s, nf)) u
+      else org.apache.spark.unsafe.types.UTF8String.fromString(
+        java.text.Normalizer.normalize(s, nf))
+    }
+    override def prettyName: String = "normalize_unicode"
+    override protected def withNewChildInternal(c: Expression): NormalizeUnicode =
+      copy(child = c)
+  }
+
+  def normalizeUnicode(text: Column, form: String): Column =
+    GraftBridge.column(NormalizeUnicode(GraftBridge.expression(text), form))
 }

@@ -218,6 +218,45 @@ object TextAnalysis {
       greatest(length(text), lit(1)).cast("double"), 6)
   }
 
+  /** Unicode normalization of raw text (default NFC — the canonical
+    * composed form every serious corpus pipeline applies before hashing,
+    * so that `café` composed and decomposed dedup together). Native
+    * Catalyst expression (Spark has no builtin); DuckDB's `nfc_normalize`
+    * reproduces the NFC form bit-for-bit, which is what the oracle checks.
+    * NFKC/NFKD (compatibility folding: ligatures, full-width forms,
+    * circled digits) are ScalaTest-verified — DuckDB only ships NFC. */
+  def normalizeText(text: Column, form: String = "NFC"): Column =
+    CatalystExprs.normalizeUnicode(text, form)
+
+  /** Standard corpus text cleanup, order-sensitive: (1) strip NON-WHITESPACE
+    * control and format characters (C0/C1 minus \t\n\v\f\r, zero-width
+    * joiners, BiDi marks — the classic web-scrape debris; whitespace
+    * controls must survive this step or "a\tb" would glue to "ab"),
+    * (2) collapse whitespace runs (incl. NBSP and the other Zs spaces) to
+    * one space, (3) trim. Explicit \xNN ranges instead of [Cc&&^\s]
+    * intersection because RE2 lacks class intersection — this exact
+    * pattern runs in DuckDB's regexp_replace bit-for-bit. Normalization is
+    * deliberately NOT folded in: callers compose
+    * `cleanText(normalizeText(c))` so each stage stays individually
+    * testable. */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(text, "[\\x00-\\x08\\x0e-\\x1f\\x7f-\\x9f\\p{Cf}]", ""),
+      "[\\s\\p{Zs}]+", " "))
+
+  /** Number of blocklist phrases contained in the text (case-insensitive
+    * substring scan, so multi-word phrases work — the C4 badwords gate).
+    * Literal-list form: the list compiles into the expression and each row
+    * does one `contains` pass per phrase — right for the usual O(100)-
+    * phrase curated lists. For open-ended table-driven lists use
+    * `Corpus.blocklistFlag` (one broadcast, token-set probe per row). */
+  def blocklistHits(text: Column, phrases: Seq[String]): Column = {
+    require(phrases.nonEmpty, "blocklist must not be empty")
+    val lt = lower(text)
+    size(filter(array(phrases.map(p => lit(p.toLowerCase)): _*),
+      p => contains(lt, p))).cast("bigint")
+  }
+
   /** Gopher "fraction of characters inside duplicated word-n-grams":
     * sum of count × gram-length over grams occurring more than once, over
     * the character count, clamped to 1.0. Overlapping occurrences are

@@ -269,6 +269,38 @@ object Corpus {
         (col("n_lines") - size(col("_kept"))).cast("bigint").as("n_removed"))
   }
 
+  /** Table-driven blocklist gate (the C4 badwords filter, scaled past the
+    * literal-list form of `TextAnalysis.blocklistHits`): flag every
+    * document that matches any entry of a blocklist TABLE. Single-word
+    * entries match on whitespace-token identity via a per-row set intersect
+    * (O(tokens + |list|), no substring scans); multi-word entries fall back
+    * to a case-insensitive substring scan per phrase (curated phrase lists
+    * are O(100), so the per-row cost is bounded by design — an Aho-Corasick
+    * expression is the upgrade path if a list ever grows past that).
+    *
+    * Scale shape: the list collapses to ONE array row (word set + phrase
+    * set) and rides a broadcast nested-loop join — the [[removeGlobalRepeatedLines]]
+    * hot-set pattern; documents never shuffle and the check is a pure
+    * projection. `n_hits` counts DISTINCT matched entries, so the output
+    * is list-order independent. Returns (id, n_hits, blocked).
+    */
+  def blocklistFlag(
+      df: DataFrame, blocklist: DataFrame, idCol: String,
+      textCol: String, phraseCol: String): DataFrame = {
+    val norm = blocklist
+      .select(lower(trim(col(phraseCol))).as("p"))
+      .filter(col("p") =!= "").distinct()
+    val hot = norm.agg(
+      sort_array(collect_set(when(!col("p").contains(" "), col("p")))).as("_w"),
+      sort_array(collect_set(when(col("p").contains(" "), col("p")))).as("_ph"))
+    val lt = lower(col(textCol))
+    df.crossJoin(broadcast(hot))
+      .select(col(idCol),
+        (size(array_intersect(array_distinct(split(lt, " ")), col("_w"))) +
+          size(filter(col("_ph"), p => contains(lt, p)))).cast("bigint").as("n_hits"))
+      .withColumn("blocked", col("n_hits") > 0L)
+  }
+
   /** DSIR-style importance weights for data selection (Xie et al. 2023,
     * "Data Selection for Language Models via Importance Resampling"):
     * estimate two hashed-bigram unigram-over-buckets LMs — one on a small
@@ -583,6 +615,81 @@ object Corpus {
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("doc_id"), col("w"), col("tfidf"), col("rnk"))
+  }
+
+  /** Okapi BM25 relevance of every document against a fixed term set — the
+    * standard retrieval score (and the retrieval half of deduplication-by-
+    * search pipelines): score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 −
+    * b + b·|d|/avgdl)), with the Lucene idf = ln(1 + (N − df + 0.5)/(df +
+    * 0.5)). Documents matching no term score 0.0 and are still emitted
+    * (retrieval callers filter; calibration callers need the zeros).
+    *
+    * Scale shape: tokens are filtered to the query-term set BEFORE
+    * anything else — the exploded frame carries only matching tokens, so
+    * its volume is per-doc term hits, not corpus tokens. Document length
+    * is computed in-row (no second pass); N and avgdl enter as ONE scalar
+    * subquery over the in-row lengths; per-term document frequencies
+    * collapse to ≤|terms| rows map-side and broadcast into the scoring
+    * join. One real shuffle: the per-doc regroup of term partials, and
+    * those are co-located with their source row so partial aggregation
+    * sends ~|terms| rows per document. Returns (id, dl, score round 6dp).
+    */
+  def bm25Scores(
+      df: DataFrame, idCol: String, textCol: String, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "terms must not be empty")
+    val termLits = terms.map(t => lit(t.toLowerCase))
+    val toks = split(lower(col(textCol)), " ")
+    val docs = df.select(col(idCol).as("_id"),
+      size(filter(toks, t => t =!= "")).cast("bigint").as("dl"),
+      filter(toks, t => t.isin(termLits: _*)).as("_hits"))
+    val stats = org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+        docs.select(struct(count(lit(1)).as("n"),
+          avg(col("dl")).as("avgdl")).as("s")).queryExecution.analyzed))
+    val tf = docs.select(col("_id"), col("dl"), explode(col("_hits")).as("t"))
+      .groupBy("_id", "dl", "t").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df")) // tf is per-(doc,t)
+    val contrib = tf.join(broadcast(dfreq), "t")
+      .select(col("_id"), col("dl"),
+        (log(lit(1.0) + (stats("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / stats("avgdl"))))
+          .as("c"))
+      .groupBy("_id").agg(sum(col("c")).as("_s"))
+    docs.select(col("_id"), col("dl")).join(contrib, Seq("_id"), "left")
+      .select(col("_id").as(idCol), col("dl"),
+        round(coalesce(col("_s"), lit(0.0)), 6).as("score"))
+  }
+
+  /** Per-group corpus profile — the dataset card's summary table (doc
+    * count, char/token volume, length distribution, mean heuristic
+    * quality) in ONE aggregate. All signals are computed in-row first, so
+    * the only shuffle is the group-by; every aggregate except the exact
+    * percentiles is map-side combinable. Exact `percentile` holds the
+    * group's values (fine for profiling jobs and oracle-checkable);
+    * `approxQuantiles = true` swaps in `approx_percentile` (t-digest,
+    * mergeable, bounded state) — the 100 TB default, rows-only by nature.
+    * Returns one row per group, ordered by the caller.
+    */
+  def corpusStats(
+      df: DataFrame, groupCol: String, textCol: String,
+      approxQuantiles: Boolean = false): DataFrame = {
+    val sig = df.select(col(groupCol),
+      length(col(textCol)).cast("bigint").as("_nc"),
+      graft.functions.TextAnalysis.tokenCount(col(textCol)).as("_nt"),
+      graft.functions.TextAnalysis.qualityScore(col(textCol)).as("_q"))
+    def pct(p: Double) =
+      if (approxQuantiles) expr(s"approx_percentile(_nc, $p, 1000)").cast("double")
+      else expr(s"percentile(_nc, $p)")
+    sig.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_nc")).cast("bigint").as("total_chars"),
+        sum(col("_nt")).cast("bigint").as("total_tokens"),
+        round(avg(col("_nc")), 4).as("mean_chars"),
+        round(pct(0.5), 4).as("p50_chars"),
+        round(pct(0.9), 4).as("p90_chars"),
+        round(avg(col("_q")), 6).as("mean_quality"))
   }
 
   /** Per-document cross-entropy under the corpus unigram distribution —

@@ -328,6 +328,44 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("sim_raw"), 6).as("sim"))
   }
 
+  /** Random-projection dimensionality reduction (sign-matrix
+    * Johnson–Lindenstrauss): out[j] = Σᵢ w[j][i]·q(v)[i] / (1000·√outDim)
+    * over the integer-quantized components q(v) = floor(v·1000) and the
+    * deterministic ±1 [[portableSignPlanes]]. Quantizing BEFORE the
+    * projection makes every sum an exact integer (fold-order independent),
+    * so the reduced vectors are bit-reproducible in any engine — the
+    * DuckDB oracle rebuilds the same planes from md5 (p56); the 1e-3
+    * quantization is far below the JL distortion floor at these dims.
+    * Cosine preservation vs the original vectors is SimilaritySpec's
+    * concern. A pure per-row projection: no explode, no shuffle; O(inDim ·
+    * outDim) per row. Feeds the ANN family when the stored dimension must
+    * shrink (the cheap alternative to PQ when 4-8× is enough). */
+  def randomProjectionVec(vec: Column, inDim: Int, outDim: Int): Column = {
+    require(outDim > 0 && inDim > 0, "dims must be positive")
+    val planes = portableSignPlanes(outDim, inDim)
+    val scale = 1000.0 * math.sqrt(outDim.toDouble)
+    val codes = quantized(asDouble(vec))
+    array((0 until outDim).map(j =>
+      round(planeDot(codes, planes(j)).cast("double") / scale, 6)): _*)
+  }
+
+  /** [[randomProjectionVec]] as a table op, exploded to (id, j, comp) —
+    * the oracle-friendly long form (p45's layout). The quantized codes are
+    * materialized as an attribute first so the outDim plane dots share one
+    * quantization pass (CollapseProject keeps non-cheap multi-referenced
+    * aliases out of line). */
+  def randomProjection(df: DataFrame, idCol: String, vecCol: String,
+      inDim: Int, outDim: Int): DataFrame = {
+    val planes = portableSignPlanes(outDim, inDim)
+    val scale = 1000.0 * math.sqrt(outDim.toDouble)
+    df.select(col(idCol), quantized(asDouble(col(vecCol))).as("_codes"))
+      .select(col(idCol), explode(array((0 until outDim).map(j =>
+        struct(lit(j).as("j"),
+          round(planeDot(col("_codes"), planes(j)).cast("double") / scale, 6)
+            .as("comp"))): _*)).as("e"))
+      .select(col(idCol), col("e.j").as("j"), col("e.comp").as("comp"))
+  }
+
   /** [[lshTopK]] with portable planes — same bucket + single-bit-multiprobe
     * + exact-cosine-rank pipeline, reproducible in DuckDB (p07c). */
   def lshTopKPortable(

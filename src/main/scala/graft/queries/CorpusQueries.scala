@@ -1201,5 +1201,227 @@ object CorpusQueries {
           |SELECT doc_id, text FROM documents)""".stripMargin)
         .orderBy("doc_id")
     },
+
+    // Table-driven blocklist gate (the C4 badwords filter): single words
+    // match on distinct-token identity, multi-word phrases on substring —
+    // n_hits counts DISTINCT matched entries. The list collapses to one
+    // broadcast array row; documents never shuffle (the p51 hot-set shape).
+    Q("p53_blocklist", Some("""
+      WITH bl AS (SELECT * FROM (VALUES ('vector'),('merge'),('slow scan'),('hash join')) t(p)),
+      w AS (SELECT doc_id, lower(text) AS lt,
+                   list_distinct(string_split(lower(text), ' ')) AS toks
+            FROM documents)
+      SELECT doc_id,
+             CAST((SELECT count(*) FROM bl
+                   WHERE NOT contains(bl.p, ' ') AND list_contains(w.toks, bl.p)) +
+                  (SELECT count(*) FROM bl
+                   WHERE contains(bl.p, ' ') AND contains(w.lt, bl.p)) AS BIGINT) AS n_hits,
+             ((SELECT count(*) FROM bl
+               WHERE NOT contains(bl.p, ' ') AND list_contains(w.toks, bl.p)) +
+              (SELECT count(*) FROM bl
+               WHERE contains(bl.p, ' ') AND contains(w.lt, bl.p))) > 0 AS blocked
+      FROM w ORDER BY doc_id""")) { (s, d) =>
+      val bl = { import s.implicits._
+        Seq("vector", "merge", "slow scan", "hash join").toDF("phrase") }
+      Corpus.blocklistFlag(t(s, d, "documents"), bl, "doc_id", "text", "phrase")
+        .orderBy("doc_id")
+    },
+
+    // The SAME gate through the statement surface (SCORE METHOD blocklist
+    // against a registered table) — held to p53's oracle.
+    Q("p53c_blocklist_sql", Some("""
+      WITH bl AS (SELECT * FROM (VALUES ('vector'),('merge'),('slow scan'),('hash join')) t(p)),
+      w AS (SELECT doc_id, lower(text) AS lt,
+                   list_distinct(string_split(lower(text), ' ')) AS toks
+            FROM documents)
+      SELECT doc_id,
+             CAST((SELECT count(*) FROM bl
+                   WHERE NOT contains(bl.p, ' ') AND list_contains(w.toks, bl.p)) +
+                  (SELECT count(*) FROM bl
+                   WHERE contains(bl.p, ' ') AND contains(w.lt, bl.p)) AS BIGINT) AS n_hits,
+             ((SELECT count(*) FROM bl
+               WHERE NOT contains(bl.p, ' ') AND list_contains(w.toks, bl.p)) +
+              (SELECT count(*) FROM bl
+               WHERE contains(bl.p, ' ') AND contains(w.lt, bl.p))) > 0 AS blocked
+      FROM w ORDER BY doc_id""")) { (s, d) =>
+      val ctx = new graft.Context(s)
+      ctx.createTableFromPath("documents", s"$d/documents.parquet")
+      ctx.sql("""CREATE OR REPLACE VIEW p53_bl AS
+        |SELECT * FROM VALUES ('vector'),('merge'),('slow scan'),('hash join') AS t(phrase)""".stripMargin)
+      ctx.sql(
+        """SELECT * FROM SCORE(METHOD blocklist WITH (table = 'p53_bl'),
+          |SELECT doc_id, text FROM documents)""".stripMargin)
+        .orderBy("doc_id")
+    },
+
+    // Unicode normalization + text cleanup (native NormalizeUnicode
+    // expression — Spark has no builtin; DuckDB's nfc_normalize checks the
+    // NFC bytes exactly). The synthetic corpus is ASCII, so the interesting
+    // inputs are INJECTED in-query (the p16 pattern): a decomposed é
+    // (e + U+0301), a tab, and a zero-width space; NFC must compose the
+    // accent, cleanup must strip Cc/Cf debris and collapse the whitespace.
+    Q("p54_normalize", Some("""
+      WITH inj AS (SELECT doc_id,
+             text || ' cafe' || chr(769) || chr(9) || chr(8203) || ' x' AS raw
+           FROM documents),
+      n AS (SELECT doc_id, raw, nfc_normalize(raw) AS nfc FROM inj)
+      SELECT doc_id,
+             CAST(octet_length(encode(raw)) AS BIGINT) AS raw_bytes,
+             CAST(octet_length(encode(nfc)) AS BIGINT) AS nfc_bytes,
+             md5(nfc) AS nfc_fp,
+             md5(trim(regexp_replace(regexp_replace(nfc, '[\x00-\x08\x0e-\x1f\x7f-\x9f\p{Cf}]', '', 'g'),
+                                     '[\s\p{Zs}]+', ' ', 'g'))) AS clean_fp
+      FROM n ORDER BY doc_id""")) { (s, d) =>
+      import graft.functions.TextAnalysis
+      val raw = concat(col("text"), lit(" cafe\u0301\t\u200b x"))
+      t(s, d, "documents")
+        .select(col("doc_id"), raw.as("raw"))
+        .select(col("doc_id"), col("raw"),
+          TextAnalysis.normalizeText(col("raw")).as("nfc"))
+        .select(col("doc_id"),
+          octet_length(col("raw")).cast("bigint").as("raw_bytes"),
+          octet_length(col("nfc")).cast("bigint").as("nfc_bytes"),
+          md5(col("nfc")).as("nfc_fp"),
+          md5(TextAnalysis.cleanText(col("nfc"))).as("clean_fp"))
+        .orderBy("doc_id")
+    },
+
+    // The SAME normalization through the SQL function surface
+    // (`normalize_text`, `clean_text`) — held to p54's oracle.
+    Q("p54c_normalize_sql", Some("""
+      WITH inj AS (SELECT doc_id,
+             text || ' cafe' || chr(769) || chr(9) || chr(8203) || ' x' AS raw
+           FROM documents),
+      n AS (SELECT doc_id, nfc_normalize(raw) AS nfc FROM inj)
+      SELECT doc_id, md5(nfc) AS nfc_fp,
+             md5(trim(regexp_replace(regexp_replace(nfc, '[\x00-\x08\x0e-\x1f\x7f-\x9f\p{Cf}]', '', 'g'),
+                                     '[\s\p{Zs}]+', ' ', 'g'))) AS clean_fp
+      FROM n ORDER BY doc_id""")) { (s, d) =>
+      val ctx = new graft.Context(s)
+      ctx.createTableFromPath("documents", s"$d/documents.parquet")
+      // Spark SQL string literals process \uXXXX escapes (chr() tops out at
+      // one byte, so the escape form is the portable way to inject these)
+      ctx.sql(
+        """SELECT doc_id,
+          |  md5(normalize_text(text || ' cafe\u0301\t\u200b x')) AS nfc_fp,
+          |  md5(clean_text(normalize_text(text || ' cafe\u0301\t\u200b x'))) AS clean_fp
+          |FROM documents ORDER BY doc_id""".stripMargin)
+    },
+
+    // Okapi BM25 relevance against a fixed term set (Lucene idf) — the
+    // retrieval scorer. Tokens are filtered to the term set BEFORE any
+    // shuffle; N and avgdl enter as one scalar subquery; per-term document
+    // frequencies broadcast; zero-match docs emitted with score 0.
+    Q("p55_bm25", Some("""
+      WITH docs AS (SELECT doc_id,
+             CAST(len(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS BIGINT) AS dl,
+             list_filter(string_split(lower(text), ' '),
+               w -> w IN ('hash','join','vector','customer')) AS hits
+           FROM documents),
+      stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM docs),
+      tfc AS (SELECT doc_id, dl, t, count(*) AS tf
+              FROM (SELECT doc_id, dl, unnest(hits) AS t FROM docs)
+              GROUP BY doc_id, dl, t),
+      dfreq AS (SELECT t, count(*) AS df FROM tfc GROUP BY t),
+      contrib AS (
+        SELECT tfc.doc_id,
+               ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5)) *
+               (tfc.tf * (1.2 + 1.0)) /
+               (tfc.tf + 1.2 * (1.0 - 0.75 + 0.75 * tfc.dl / stats.avgdl)) AS c
+        FROM tfc JOIN dfreq USING (t), stats),
+      agg AS (SELECT doc_id, sum(c) AS sc FROM contrib GROUP BY doc_id)
+      SELECT docs.doc_id, docs.dl, round(coalesce(agg.sc, 0.0), 6) AS score
+      FROM docs LEFT JOIN agg USING (doc_id)
+      ORDER BY doc_id""")) { (s, d) =>
+      Corpus.bm25Scores(t(s, d, "documents"), "doc_id", "text",
+          terms = Seq("hash", "join", "vector", "customer"))
+        .orderBy("doc_id")
+    },
+
+    // The SAME scorer through the statement surface (SCORE METHOD bm25) —
+    // held to p55's oracle.
+    Q("p55c_bm25_sql", Some("""
+      WITH docs AS (SELECT doc_id,
+             CAST(len(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS BIGINT) AS dl,
+             list_filter(string_split(lower(text), ' '),
+               w -> w IN ('hash','join','vector','customer')) AS hits
+           FROM documents),
+      stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM docs),
+      tfc AS (SELECT doc_id, dl, t, count(*) AS tf
+              FROM (SELECT doc_id, dl, unnest(hits) AS t FROM docs)
+              GROUP BY doc_id, dl, t),
+      dfreq AS (SELECT t, count(*) AS df FROM tfc GROUP BY t),
+      contrib AS (
+        SELECT tfc.doc_id,
+               ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5)) *
+               (tfc.tf * (1.2 + 1.0)) /
+               (tfc.tf + 1.2 * (1.0 - 0.75 + 0.75 * tfc.dl / stats.avgdl)) AS c
+        FROM tfc JOIN dfreq USING (t), stats),
+      agg AS (SELECT doc_id, sum(c) AS sc FROM contrib GROUP BY doc_id)
+      SELECT docs.doc_id, docs.dl, round(coalesce(agg.sc, 0.0), 6) AS score
+      FROM docs LEFT JOIN agg USING (doc_id)
+      ORDER BY doc_id""")) { (s, d) =>
+      val ctx = new graft.Context(s)
+      ctx.createTableFromPath("documents", s"$d/documents.parquet")
+      ctx.sql(
+        """SELECT * FROM SCORE(METHOD bm25
+          |  WITH (terms = 'hash,join,vector,customer'),
+          |SELECT doc_id, text FROM documents)""".stripMargin)
+        .orderBy("doc_id")
+    },
+
+    // Random-projection dimensionality reduction 64 → 16 (sign-matrix JL
+    // over integer-quantized components — every sum exact, so DuckDB
+    // rebuilds the reduced vectors bit-for-bit from the same md5 planes;
+    // cosine preservation vs the original vectors is SimilaritySpec's
+    // concern). Long (id, j, comp) layout, the p45 convention.
+    Q("p56_rp_reduce", Some("""
+      WITH w AS (SELECT p, i,
+              CASE WHEN CAST(('0x' || substr(md5(p || '_' || i), 2, 15)) AS BIGINT) & 1 = 0
+                   THEN 1 ELSE -1 END AS wt
+            FROM (SELECT unnest(range(0, 16)) AS p) CROSS JOIN
+                 (SELECT unnest(range(0, 64)) AS i)),
+      c AS (SELECT vec_id, i.i AS i,
+              CAST(floor(CAST(embedding[i.i + 1] AS DOUBLE) * 1000) AS BIGINT) AS cv
+            FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i)
+      SELECT c.vec_id, w.p AS j,
+             round(CAST(sum(w.wt * c.cv) AS DOUBLE) / (1000.0 * sqrt(16.0)), 6) AS comp
+      FROM c JOIN w ON c.i = w.i
+      GROUP BY c.vec_id, w.p
+      ORDER BY vec_id, j""")) { (s, d) =>
+      Similarity.randomProjection(t(s, d, "embeddings"),
+          "vec_id", "embedding", inDim = 64, outDim = 16)
+        .orderBy("vec_id", "j")
+    },
+
+    // Per-source corpus profile through the SUMMARIZE statement — doc
+    // count, char/token volume, exact length percentiles (the
+    // quantile_cont pairing proven by q38), mean heuristic quality.
+    Q("p57_corpus_stats", Some("""
+      WITH sig AS (SELECT source,
+             CAST(length(text) AS BIGINT) AS nc,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS nt,
+             round(least(length(text) / 500.0, 1.0) * 0.5 +
+                   least(CAST(len(list_filter(string_split(lower(text), ' '),
+                     w -> w IN ('the','and','of','to','in','is','that','for','it','a'))) AS DOUBLE)
+                     / greatest(len(string_split(lower(text), ' ')), 1) * 10.0, 1.0) * 0.3 +
+                   (1.0 - least((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+                     / greatest(CAST(length(text) AS DOUBLE), 1.0) * 5.0, 1.0)) * 0.2, 6) AS q
+           FROM documents)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(nc) AS BIGINT) AS total_chars,
+             CAST(sum(nt) AS BIGINT) AS total_tokens,
+             round(avg(nc), 4) AS mean_chars,
+             round(quantile_cont(nc, 0.5), 4) AS p50_chars,
+             round(quantile_cont(nc, 0.9), 4) AS p90_chars,
+             round(avg(q), 6) AS mean_quality
+      FROM sig GROUP BY source ORDER BY source""")) { (s, d) =>
+      val ctx = new graft.Context(s)
+      ctx.createTableFromPath("documents", s"$d/documents.parquet")
+      ctx.sql(
+        """SELECT * FROM SUMMARIZE(BY source,
+          |SELECT source, text FROM documents)""".stripMargin)
+        .orderBy("source")
+    },
   )
 }

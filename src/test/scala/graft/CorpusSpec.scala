@@ -510,4 +510,73 @@ class CorpusSpec extends AnyFunSuite {
     // bucket int or the doc id
     assert(!plan.contains("hashpartitioning(ws"))
   }
+
+  test("blocklistFlag: words match tokens, phrases match substrings, distinct count") {
+    val bl = Seq("bad", "bad", " Very bad phrase ", "absent").toDF("phrase")
+    val docs = Seq(
+      (1L, "this is bad"),                 // word only
+      (2L, "a very bad phrase here"),      // word AND phrase
+      (3L, "clean text entirely"),         // nothing
+      (4L, "badge badly embadded"))        // substrings of tokens do NOT match words
+      .toDF("doc_id", "text")
+    val out = Corpus.blocklistFlag(docs, bl, "doc_id", "text", "phrase")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out(1L) == ((1L, true)))
+    assert(out(2L) == ((2L, true))) // "bad" token + "very bad phrase" substring
+    assert(out(3L) == ((0L, false)))
+    assert(out(4L) == ((0L, false)))
+  }
+
+  test("blocklistFlag: documents never shuffle — one broadcast of the list arrays") {
+    val docs = Tables.t(spark, TestSpark.sf, "documents")
+    val bl = Seq("vector", "slow scan").toDF("phrase")
+    val plan = Corpus.blocklistFlag(docs, bl, "doc_id", "text", "phrase")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin")) // 1-row hot side
+    assert(!plan.contains("SortMergeJoin"))
+    // the only hash-shuffle allowed is the blocklist's own distinct (tiny);
+    // nothing keyed by doc_id or text ever exchanges
+    assert(!plan.contains("hashpartitioning(doc_id"))
+    assert(!plan.contains("hashpartitioning(text"))
+  }
+
+  test("bm25Scores matches the hand-computed Okapi formula; zero-match docs emit 0") {
+    val docs = Seq(
+      (1L, "a a b"), (2L, "a c"), (3L, "z z z")).toDF("doc_id", "text")
+    val out = Corpus.bm25Scores(docs, "doc_id", "text", Seq("a", "b"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val n = 3.0; val avgdl = 8.0 / 3.0; val k1 = 1.2; val b = 0.75
+    def idf(df: Double) = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def w(tf: Double, dl: Double, df: Double) =
+      idf(df) * (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * dl / avgdl))
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(out(1L) == ((3L, r6(w(2, 3, 2) + w(1, 3, 1)))))
+    assert(out(2L) == ((2L, r6(w(1, 2, 2)))))
+    assert(out(3L) == ((3L, 0.0)))
+  }
+
+  test("bm25Scores: term filter precedes the explode; dfreq broadcast; no window") {
+    val docs = Tables.t(spark, TestSpark.sf, "documents")
+    val q = Corpus.bm25Scores(docs, "doc_id", "text", Seq("hash", "join"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("Window"))
+    assert(!plan.contains("hashpartitioning(text"))
+  }
+
+  test("corpusStats: hand-checked profile; approx path agrees on these sizes") {
+    val docs = Seq(
+      ("s1", "aa bb"), ("s1", "cc dd ee ff"), ("s2", "x")).toDF("source", "text")
+    val out = Corpus.corpusStats(docs, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    // s1: lengths 5 and 11, tokens 2 and 4
+    assert(out("s1") == ((2L, 16L, 6L, 8.0, 8.0, 10.4)))
+    assert(out("s2")._1 == 1L && out("s2")._2 == 1L)
+    val approx = Corpus.corpusStats(docs, "source", "text", approxQuantiles = true)
+      .collect().map(r => r.getString(0) -> r.getDouble(5)).toMap
+    // exact t-digest regime at 3 rows: the approx percentile is a real value
+    assert(Set(5.0, 11.0).contains(approx("s1")))
+  }
 }

@@ -223,4 +223,65 @@ class CorpusSqlSpec extends AnyFunSuite {
     assert(ctx.sql("SELECT count(*) AS n FROM packed").head().getLong(0) == docs.count())
     ctx.sql("DROP TABLE packed")
   }
+
+  test("SCORE bm25/blocklist equal the Scala APIs and honor their kwargs") {
+    val viaSql = ctx.sql(
+      """SELECT * FROM SCORE(METHOD bm25 WITH (terms = 'hash,join', k1 = 2.0, b = 0.5),
+        |SELECT doc_id, text FROM documents)""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = Corpus.bm25Scores(docs, "doc_id", "text", Seq("hash", "join"),
+        k1 = 2.0, b = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaSql == direct && viaSql.nonEmpty)
+
+    ctx.sql("CREATE OR REPLACE VIEW bl AS " +
+      "SELECT * FROM VALUES ('table'),('slow scan') AS t(phrase)")
+    val blSql = ctx.sql(
+      """SELECT * FROM SCORE(METHOD blocklist WITH (table = 'bl'),
+        |SELECT doc_id, text FROM documents)""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val blDirect = Corpus.blocklistFlag(docs,
+        ctx.sql("SELECT * FROM bl"), "doc_id", "text", "phrase")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(blSql == blDirect && blSql.nonEmpty)
+    ctx.sql("DROP TABLE bl")
+  }
+
+  test("SUMMARIZE(BY col) equals the Scala API; approx kwarg swaps the percentile impl") {
+    val viaSql = ctx.sql(
+      "SELECT * FROM SUMMARIZE(BY source, SELECT source, text FROM documents)")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = Corpus.corpusStats(docs, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaSql == direct && viaSql.nonEmpty)
+    val approxPlan = ctx.sql(
+      """SELECT * FROM SUMMARIZE(BY source WITH (approx = 'true'),
+        |SELECT source, text FROM documents)""".stripMargin)
+      .queryExecution.analyzed.toString
+    assert(approxPlan.contains("approx_percentile"))
+    // the approx form still aggregates to one row per group
+    val approx = ctx.sql(
+      """SELECT * FROM SUMMARIZE(BY source WITH (approx = 'true'),
+        |SELECT source, text FROM documents)""".stripMargin).collect()
+    assert(approx.length == viaSql.size)
+  }
+
+  test("SIMSEARCH METHOD ivfpq serves ADC top-k over the statement surface") {
+    val c2 = new Context(spark)
+    c2.createTableFromPath("embeddings", s"${TestSpark.sf}/embeddings.parquet")
+    val out = c2.sql(
+      """SELECT * FROM SIMSEARCH(TABLE embeddings, METHOD ivfpq, K 3
+        |  WITH (n_cells = 4, n_probe = 4, m = 8, k_codes = 8),
+        |SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5)""".stripMargin)
+      .collect()
+    assert(out.nonEmpty)
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until 5L).toSet)
+    // k results per query, ranks 1..3, no self-matches
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getInt(3)).sorted.toSeq == Seq(1, 2, 3))
+      rows.foreach(r => assert(r.getLong(0) != r.getLong(1)))
+    }
+    graft.operators.OpCache.release(spark)
+  }
 }

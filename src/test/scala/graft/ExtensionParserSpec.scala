@@ -84,6 +84,12 @@ class ExtensionParserSpec extends AnyFunSuite {
         |SELECT doc_id, text FROM docs)""".stripMargin): @unchecked
     assert(tt == "my_merges" && tOpts == Map("max_merges" -> "32"))
     assert(tSel == "SELECT doc_id, text FROM docs")
+
+    val Summarize(by, suOpts, suSel) = parse(
+      """SELECT * FROM SUMMARIZE(BY source WITH (approx = 'true'),
+        |SELECT source, text FROM docs)""".stripMargin): @unchecked
+    assert(by == "source" && suOpts == Map("approx" -> "true"))
+    assert(suSel == "SELECT source, text FROM docs")
   }
 
   test("standard SQL with WITH clauses still falls through") {

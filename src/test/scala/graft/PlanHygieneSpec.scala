@@ -33,6 +33,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     "p22_decontaminate",       // single-row broadcast of the bench gram set
     "p51_global_line_dedup",   // single-row broadcast of the hot-line array
     "p51c_global_line_dedup_sql", // same plan via the DEDUP statement
+    "p53_blocklist",           // single-row broadcast of the blocklist arrays
+    "p53c_blocklist_sql",      // same plan via the SCORE statement
     "p52_dsir_weights",        // single-row broadcast of the (crt, ctt) totals
     "p52b_dsir_select",        // same totals broadcast inside the weight CTE
     "p52c_dsir_weights_sql",   // same plan via the SCORE statement

@@ -319,4 +319,33 @@ class SimilaritySpec extends AnyFunSuite {
     ivf.unpersist()
     assert(full == flat)
   }
+
+  test("randomProjection: identical inputs map identically; cosine is JL-preserved") {
+    val emb = Tables.t(spark, TestSpark.sf, "embeddings").filter($"vec_id" < 40)
+    val reduced = Similarity.randomProjection(emb, "vec_id", "embedding",
+        inDim = 64, outDim = 16)
+      .groupBy("vec_id").agg(collect_list(struct($"j", $"comp")).as("c"))
+      .select($"vec_id", expr("transform(array_sort(c), s -> s.comp)").as("rp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val orig = emb.select($"vec_id", Similarity.asDouble($"embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    // determinism: the projection is a pure function of the vector
+    val again = Similarity.randomProjection(emb.filter($"vec_id" < 5),
+        "vec_id", "embedding", inDim = 64, outDim = 16)
+      .groupBy("vec_id").agg(collect_list(struct($"j", $"comp")).as("c"))
+      .select($"vec_id", expr("transform(array_sort(c), s -> s.comp)").as("rp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    again.foreach { case (id, v) => assert(v.sameElements(reduced(id))) }
+    // JL: pairwise cosine distortion at 64→16 is bounded on average
+    val ids = orig.keys.toSeq.sorted
+    val errs = for (i <- ids; j <- ids if i < j)
+      yield math.abs(cos(orig(i), orig(j)) - cos(reduced(i), reduced(j)))
+    val mean = errs.sum / errs.size
+    assert(mean < 0.2, s"mean pairwise cosine distortion $mean")
+    assert(errs.max < 0.7, s"max pairwise cosine distortion ${errs.max}")
+  }
 }

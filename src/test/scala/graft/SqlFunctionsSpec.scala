@@ -48,6 +48,33 @@ class SqlFunctionsSpec extends AnyFunSuite {
     sqlEqualsColumn("dup_ngram_frac(text, 3)", TextAnalysis.dupNgramFrac(txt, 3))
   }
 
+  test("normalize_text / clean_text: SQL == Column; NFC composes, NFKC folds, cleanup scrubs") {
+    sqlEqualsColumn("normalize_text(text)", TextAnalysis.normalizeText(col("text")))
+    sqlEqualsColumn("clean_text(text)", TextAnalysis.cleanText(col("text")))
+    // NFC: decomposed e + U+0301 composes to é (one char, two bytes)
+    val nfc = ctx.sql("SELECT normalize_text('cafe\\u0301') AS v").collect()(0).getString(0)
+    assert(nfc == "caf\u00e9" && nfc.length == 4)
+    // NFKC compatibility folding: ﬁ ligature → fi, ① → 1 (DuckDB cannot
+    // check these — it only ships NFC — hence spec-gated here)
+    val nfkc = ctx.sql("SELECT normalize_text('\\uFB01le \\u2460', 'NFKC') AS v")
+      .collect()(0).getString(0)
+    assert(nfkc == "file 1")
+    // cleanup: control chars out, unicode space runs collapsed, trimmed
+    val clean = ctx.sql("SELECT clean_text(' a\\tb\\u200b  c ') AS v")
+      .collect()(0).getString(0)
+    assert(clean == "a b c")
+  }
+
+  test("blocklist_hits counts distinct matched phrases, case-insensitive") {
+    val hits = ctx.sql(
+      "SELECT blocklist_hits('Bad stuff and a VERY bad phrase', 'bad,very bad phrase,absent') AS v")
+      .collect()(0).getLong(0)
+    assert(hits == 2L)
+    val none = ctx.sql("SELECT blocklist_hits('all clean here', 'bad,worse') AS v")
+      .collect()(0).getLong(0)
+    assert(none == 0L)
+  }
+
   test("hash_embedding: SQL == Column, unit norm, and composes with the ANN operators") {
     import graft.operators.Similarity
     val viaSql = ctx.sql(
