@@ -1,0 +1,2 @@
+SELECT * FROM SUMMARIZE(BY source WITH (approx = 'true'),
+SELECT source, text FROM documents)

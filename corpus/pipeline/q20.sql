@@ -1,0 +1,2 @@
+SELECT * FROM SCORE(METHOD bm25 WITH (terms = 'hash,join,vector'),
+SELECT doc_id, text FROM documents)

@@ -1,0 +1,2 @@
+CREATE OR REPLACE VIEW badwords AS
+SELECT * FROM VALUES ('vector'),('slow scan') AS t(phrase)

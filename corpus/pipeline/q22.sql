@@ -1,0 +1,2 @@
+SELECT * FROM SCORE(METHOD blocklist WITH (table = 'badwords'),
+SELECT doc_id, clean_text(normalize_text(text)) AS text FROM documents)

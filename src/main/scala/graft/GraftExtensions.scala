@@ -187,6 +187,21 @@ object GraftFunctions {
           graft.functions.TextAnalysis.blocklistHits(cols.head, phrases) }
       }),
 
+    (new FunctionIdentifier("canonical_url"),
+      new ExpressionInfo("graft.functions.TextAnalysis", "canonical_url"),
+      (exprs: Seq[Expression]) => colFn(exprs, 1) { cols =>
+        graft.functions.TextAnalysis.canonicalUrl(cols.head) }),
+
+    (new FunctionIdentifier("url_domain"),
+      new ExpressionInfo("graft.functions.TextAnalysis", "url_domain"),
+      (exprs: Seq[Expression]) => colFn(exprs, 1) { cols =>
+        graft.functions.TextAnalysis.urlDomain(cols.head) }),
+
+    (new FunctionIdentifier("char_entropy"),
+      new ExpressionInfo("graft.functions.TextAnalysis", "char_entropy"),
+      (exprs: Seq[Expression]) => colFn(exprs, 1) { cols =>
+        graft.functions.TextAnalysis.charEntropy(cols.head) }),
+
     // fused vector math (round 3): the embedding-pipeline hot loops,
     // exposed so server/CLI SQL users get the same codepath as the
     // operator library

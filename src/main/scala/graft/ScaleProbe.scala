@@ -198,6 +198,30 @@ object ScaleProbe {
           docs, docs.filter(col("lang") === "en"), "doc_id", "text",
           buckets = 8192)
       },
+      time("bm25_scores") {
+        // retrieval scorer at clone scale: term-hit volume inflates REP×
+        // but dfreq stays |terms| rows (broadcast) and the per-doc regroup
+        // rides partial aggregation — cost scales with rows, state with
+        // |terms|
+        operators.Corpus.bm25Scores(docs, "doc_id", "text",
+          Seq("hash", "join", "vector", "customer"))
+      },
+      time("blocklist_flag") {
+        // broadcast-array badwords gate: per-row distinct-token intersect
+        // + phrase scans, zero document shuffle at any REP
+        import spark.implicits._
+        operators.Corpus.blocklistFlag(docs,
+          Seq("vector", "merge", "slow scan", "hash join").toDF("phrase"),
+          "doc_id", "text", "phrase")
+      },
+      time("normalize_clean") {
+        // per-row normalization battery: pure projection; the injected
+        // decomposed accent forces the non-fast-path branch on every row
+        docs.select(col("doc_id"),
+          md5(graft.functions.TextAnalysis.cleanText(
+            graft.functions.TextAnalysis.normalizeText(
+              concat(col("text"), lit(" cafe\u0301\t x"))))).as("fp"))
+      },
       time("calibrate_domain_approx") {
         // skew-free percentile_approx calibration: two aggregates, zero
         // windows — per-domain row counts scale REP× but the state is one

@@ -166,6 +166,50 @@ object TextAnalysis {
       })
   }
 
+  /** Canonical URL for URL-level dedup (the first pass of web-corpus
+    * cleanup: the same page arrives under http/https, with/without www,
+    * trailing slash, fragments, and click-tracking params). Order-
+    * sensitive regexp pipeline, every step RE2-compatible so the DuckDB
+    * oracle reproduces it byte-for-byte: (1) drop the #fragment,
+    * (2) lowercase (canonicalization-for-dedup favors recall; paths are
+    * rarely case-significant in practice), (3) strip the http/https
+    * scheme, (4) strip one leading "www.", (5) remove the utm_ family,
+    * fbclid, gclid and ref query pairs, (6) drop dangling ?/& separators,
+    * (7) drop trailing slashes. */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(lower(url), "#.*", "")
+    val noScheme = regexp_replace(regexp_replace(noFrag, "^https?://", ""), "^www\\.", "")
+    val noTrack = regexp_replace(noScheme,
+      "(utm_[a-z0-9_]*|fbclid|gclid|\\bref)=[^&]*&?", "")
+    regexp_replace(regexp_replace(noTrack, "[?&]+$", ""), "/+$", "")
+  }
+
+  /** Registrable host of a URL (no scheme, no www., stops at /?#:) — the
+    * key for per-domain caps/calibration when documents carry URLs. */
+  def urlDomain(url: Column): Column =
+    regexp_extract(lower(url), "^(?:https?://)?(?:www\\.)?([^/?#:]+)", 1)
+
+  /** Shannon entropy (nats) of the character distribution — the classic
+    * cheap gibberish/encoded-blob detector (natural language sits ~2.5-3.3
+    * nats; base64 walls and key dumps push toward ln(alphabet)). Computed
+    * in-row with the same sort + run-length fold as the repetition
+    * metrics: H = ln n − (Σ cᵢ·ln cᵢ)/n over per-char counts cᵢ — no
+    * explode, no shuffle, O(n log n) per row. Empty text → 0.0. */
+  def charEntropy(text: Column): Column = {
+    val chars = filter(split(text, ""), c => c =!= "")
+    val n = size(chars)
+    def runTerm(run: Column): Column =
+      when(run > 0L, run.cast("double") * log(run.cast("double"))).otherwise(lit(0.0))
+    val z = struct(lit("").as("prev"), lit(0L).as("run"), lit(0.0).as("acc"))
+    val folded = aggregate(array_sort(chars), z, (acc, c) => {
+      val run = when(c === acc("prev"), acc("run") + 1L).otherwise(lit(1L))
+      val inc = when(c === acc("prev"), lit(0.0)).otherwise(runTerm(acc("run")))
+      struct(c.as("prev"), run.as("run"), (acc("acc") + inc).as("acc"))
+    }, a => a("acc") + runTerm(a("run")))
+    when(n === 0, lit(0.0))
+      .otherwise(round(log(n.cast("double")) - folded / n.cast("double"), 6))
+  }
+
   /** Duplicate word-n-gram fraction: 1 - |distinct grams| / |grams| —
     * the Gopher repetition signal (0 = no repeated n-gram, →1 = the text is
     * one phrase looped). Docs shorter than n words score 0.0. */

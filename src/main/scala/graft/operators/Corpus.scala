@@ -301,6 +301,35 @@ object Corpus {
       .withColumn("blocked", col("n_hits") > 0L)
   }
 
+  /** Per-document out-of-vocabulary rate against a vocab TABLE (the
+    * tokenizer-fit signal: docs whose tokens fall outside the training
+    * vocabulary inflate UNK rates downstream; also a cheap other-language/
+    * gibberish gate when the vocab is the corpus top-k). Same single-row-
+    * broadcast shape as [[blocklistFlag]]: the vocab collapses to one
+    * sorted array row, the check is a per-row membership scan, documents
+    * never shuffle. Vocabularies are tokenizer-sized (10⁴-10⁵) by
+    * construction; array_contains is a linear probe, so for the 10⁵ end
+    * switch the probe to a map-side join on token hashes — not done here
+    * because the in-row form wins at every realistic vocab size tested.
+    * Returns (id, n_tokens, n_oov, oov_rate round 6dp). */
+  def oovRate(
+      df: DataFrame, vocab: DataFrame, idCol: String,
+      textCol: String, wordCol: String): DataFrame = {
+    val hot = vocab
+      .select(lower(trim(col(wordCol))).as("w"))
+      .filter(col("w") =!= "").distinct()
+      .agg(sort_array(collect_set(col("w"))).as("_v"))
+    df.crossJoin(broadcast(hot))
+      .select(col(idCol), col("_v"),
+        filter(split(lower(col(textCol)), " "), t => t =!= "").as("_toks"))
+      .select(col(idCol),
+        size(col("_toks")).cast("bigint").as("n_tokens"),
+        size(filter(col("_toks"), t => !array_contains(col("_v"), t)))
+          .cast("bigint").as("n_oov"))
+      .withColumn("oov_rate", round(col("n_oov").cast("double") /
+        greatest(col("n_tokens"), lit(1L)).cast("double"), 6))
+  }
+
   /** DSIR-style importance weights for data selection (Xie et al. 2023,
     * "Data Selection for Language Models via Importance Resampling"):
     * estimate two hashed-bigram unigram-over-buckets LMs — one on a small

@@ -1394,6 +1394,116 @@ object CorpusQueries {
         .orderBy("vec_id", "j")
     },
 
+    // URL canonicalization + dedup-by-URL (the first pass of web-corpus
+    // cleanup): URLs injected in-query (p16 pattern — scheme/www case
+    // noise, per-doc tracking params, fragment), canonicalized with the
+    // native regexp pipeline, grouped — tracking noise must collapse the
+    // 500 URLs to the 50 true pages.
+    Q("p58_url_canon", Some("""
+      WITH u AS (SELECT doc_id,
+          'https://WWW.Ex' || (doc_id % 5) || '.com/p/' || (doc_id % 50) ||
+          '/?utm_source=s' || doc_id || '&fbclid=f' || doc_id || '#frag' AS url
+        FROM documents),
+      c AS (SELECT doc_id,
+          regexp_replace(regexp_replace(
+            regexp_replace(
+              regexp_replace(regexp_replace(regexp_replace(lower(url), '#.*', ''),
+                '^https?://', ''), '^www\.', ''),
+              '(utm_[a-z0-9_]*|fbclid|gclid|\\bref)=[^&]*&?', '', 'g'),
+            '[?&]+$', ''), '/+$', '') AS canon,
+          regexp_extract(lower(url), '^(?:https?://)?(?:www\.)?([^/?#:]+)', 1) AS dom
+        FROM u)
+      SELECT canon, dom, CAST(count(*) AS BIGINT) AS n_docs
+      FROM c GROUP BY canon, dom ORDER BY canon""")) { (s, d) =>
+      import graft.functions.TextAnalysis
+      val url = concat(lit("https://WWW.Ex"), pmod(col("doc_id"), lit(5)).cast("string"),
+        lit(".com/p/"), pmod(col("doc_id"), lit(50)).cast("string"),
+        lit("/?utm_source=s"), col("doc_id").cast("string"),
+        lit("&fbclid=f"), col("doc_id").cast("string"), lit("#frag"))
+      t(s, d, "documents").select(url.as("url"))
+        .select(TextAnalysis.canonicalUrl(col("url")).as("canon"),
+          TextAnalysis.urlDomain(col("url")).as("dom"))
+        .groupBy("canon", "dom")
+        .agg(count(lit(1)).cast("bigint").as("n_docs"))
+        .orderBy("canon")
+    },
+
+    // The SAME canonicalization through the SQL function surface
+    // (`canonical_url`, `url_domain`) — held to p58's oracle.
+    Q("p58c_url_canon_sql", Some("""
+      WITH u AS (SELECT doc_id,
+          'https://WWW.Ex' || (doc_id % 5) || '.com/p/' || (doc_id % 50) ||
+          '/?utm_source=s' || doc_id || '&fbclid=f' || doc_id || '#frag' AS url
+        FROM documents),
+      c AS (SELECT doc_id,
+          regexp_replace(regexp_replace(
+            regexp_replace(
+              regexp_replace(regexp_replace(regexp_replace(lower(url), '#.*', ''),
+                '^https?://', ''), '^www\.', ''),
+              '(utm_[a-z0-9_]*|fbclid|gclid|\\bref)=[^&]*&?', '', 'g'),
+            '[?&]+$', ''), '/+$', '') AS canon,
+          regexp_extract(lower(url), '^(?:https?://)?(?:www\.)?([^/?#:]+)', 1) AS dom
+        FROM u)
+      SELECT canon, dom, CAST(count(*) AS BIGINT) AS n_docs
+      FROM c GROUP BY canon, dom ORDER BY canon""")) { (s, d) =>
+      val ctx = new graft.Context(s)
+      ctx.createTableFromPath("documents", s"$d/documents.parquet")
+      ctx.sql(
+        """SELECT canonical_url(url) AS canon, url_domain(url) AS dom,
+          |       CAST(count(*) AS BIGINT) AS n_docs
+          |FROM (SELECT 'https://WWW.Ex' || (doc_id % 5) || '.com/p/' ||
+          |        (doc_id % 50) || '/?utm_source=s' || doc_id ||
+          |        '&fbclid=f' || doc_id || '#frag' AS url
+          |      FROM documents)
+          |GROUP BY 1, 2 ORDER BY canon""".stripMargin)
+    },
+
+    // Out-of-vocabulary rate against the corpus top-20 vocabulary (the
+    // tokenizer-fit / UNK-rate signal). The vocab table is derived
+    // in-query (count desc, word tie-break — deterministic in both
+    // engines) and collapses to one broadcast array row; documents never
+    // shuffle for the check itself.
+    Q("p59_oov_rate", Some("""
+      WITH w AS (SELECT unnest(string_split(lower(text),' ')) AS t FROM documents),
+      v AS (SELECT t FROM (SELECT t, count(*) AS c FROM w WHERE t <> '' GROUP BY t
+                           ORDER BY c DESC, t LIMIT 20)),
+      vl AS (SELECT list(t ORDER BY t) AS vs FROM v),
+      toks AS (SELECT doc_id,
+          list_filter(string_split(lower(text),' '), x -> x <> '') AS tk
+        FROM documents)
+      SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+        CAST(len(list_filter(tk, x -> NOT list_contains(vl.vs, x))) AS BIGINT) AS n_oov,
+        round(CAST(len(list_filter(tk, x -> NOT list_contains(vl.vs, x))) AS DOUBLE)
+              / greatest(len(tk), 1), 6) AS oov_rate
+      FROM toks, vl ORDER BY doc_id""")) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val vocab = docs
+        .select(explode(split(lower(col("text")), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w")).limit(20)
+      Corpus.oovRate(docs, vocab, "doc_id", "text", "w")
+        .orderBy("doc_id")
+    },
+
+    // Per-document character-distribution entropy (gibberish / encoded-
+    // blob detector) — in-row sorted run-length fold, no explode; the
+    // oracle recomputes it the flat way (explode → per-char counts).
+    Q("p60_char_entropy", Some("""
+      WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+                  FROM documents WHERE n_chars > 0),
+      cnt AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c),
+      ent AS (SELECT doc_id, CAST(sum(k) AS DOUBLE) AS n, sum(k * ln(k)) AS s
+              FROM cnt GROUP BY doc_id)
+      SELECT doc_id, round(ln(n) - s / n, 6) AS entropy
+      FROM ent ORDER BY doc_id""")) { (s, d) =>
+      import graft.functions.TextAnalysis
+      t(s, d, "documents").filter(col("n_chars") > 0)
+        .select(col("doc_id"),
+          TextAnalysis.charEntropy(col("text")).as("entropy"))
+        .orderBy("doc_id")
+    },
+
     // Per-source corpus profile through the SUMMARIZE statement — doc
     // count, char/token volume, exact length percentiles (the
     // quantile_cont pairing proven by q38), mean heuristic quality.

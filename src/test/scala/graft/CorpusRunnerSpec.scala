@@ -37,12 +37,13 @@ class CorpusRunnerSpec extends AnyFunSuite {
       val results = CorpusRunner.run(ctx, "corpus/pipeline")
       // ordered build: views (q1-q2) feed DECONTAMINATE/STRATIFY/SCORE,
       // the CTAS embedding table (q9) feeds the index (q10) and its probe
-      assert(results.size == 18)
+      assert(results.size == 22)
       val failed = results.filterNot(_.ok)
       assert(failed.isEmpty,
         s"pipeline corpus failures: ${failed.map(r => r.query -> r.error).mkString("; ")}")
     } finally {
-      Seq("doc_emb", "bench_split", "mix_quotas", "bpe_merges", "dsir_target")
+      Seq("doc_emb", "bench_split", "mix_quotas", "bpe_merges", "dsir_target",
+        "badwords")
         .foreach(t => ctx.sql(s"DROP TABLE IF EXISTS $t"))
       spark.sql("DROP TABLE IF EXISTS pipeline_ivf_cells")
       spark.sql("DROP TABLE IF EXISTS pipeline_ivf_centroids")

@@ -564,6 +564,21 @@ class CorpusSpec extends AnyFunSuite {
     assert(!plan.contains("hashpartitioning(text"))
   }
 
+  test("oovRate: hand-checked fractions against a vocab table; no doc shuffle") {
+    val vocab = Seq("the", "cat", " The ").toDF("w") // dup + case noise normalized away
+    val docs = Seq(
+      (1L, "the cat"), (2L, "the dog"), (3L, "zz qq ww")).toDF("doc_id", "text")
+    val out = Corpus.oovRate(docs, vocab, "doc_id", "text", "w")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((2L, 0L, 0.0)))
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    assert(out(3L) == ((3L, 3L, 1.0)))
+    val plan = Corpus.oovRate(Tables.t(spark, TestSpark.sf, "documents"),
+        vocab, "doc_id", "text", "w")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("hashpartitioning(doc_id"))
+  }
+
   test("corpusStats: hand-checked profile; approx path agrees on these sizes") {
     val docs = Seq(
       ("s1", "aa bb"), ("s1", "cc dd ee ff"), ("s2", "x")).toDF("source", "text")

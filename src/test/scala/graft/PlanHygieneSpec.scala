@@ -35,6 +35,7 @@ class PlanHygieneSpec extends AnyFunSuite {
     "p51c_global_line_dedup_sql", // same plan via the DEDUP statement
     "p53_blocklist",           // single-row broadcast of the blocklist arrays
     "p53c_blocklist_sql",      // same plan via the SCORE statement
+    "p59_oov_rate",            // single-row broadcast of the vocab array
     "p52_dsir_weights",        // single-row broadcast of the (crt, ctt) totals
     "p52b_dsir_select",        // same totals broadcast inside the weight CTE
     "p52c_dsir_weights_sql",   // same plan via the SCORE statement

@@ -46,6 +46,9 @@ class SqlFunctionsSpec extends AnyFunSuite {
     sqlEqualsColumn("doc_fingerprint(text)", TextAnalysis.fingerprint(txt))
     sqlEqualsColumn("rolling_hash(text)", TextAnalysis.rollingHash(txt))
     sqlEqualsColumn("dup_ngram_frac(text, 3)", TextAnalysis.dupNgramFrac(txt, 3))
+    sqlEqualsColumn("char_entropy(text)", TextAnalysis.charEntropy(txt))
+    sqlEqualsColumn("canonical_url(text)", TextAnalysis.canonicalUrl(txt))
+    sqlEqualsColumn("url_domain(text)", TextAnalysis.urlDomain(txt))
   }
 
   test("normalize_text / clean_text: SQL == Column; NFC composes, NFKC folds, cleanup scrubs") {

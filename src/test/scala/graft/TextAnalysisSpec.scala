@@ -164,4 +164,49 @@ class TextAnalysisSpec extends AnyFunSuite {
       .head().getDouble(0)
     assert(got == 0.5)
   }
+
+  test("canonicalUrl collapses scheme/www/tracking/fragment/slash noise") {
+    val cases = Seq(
+      "https://WWW.Example.com/Path/?utm_source=x&utm_medium=y#top",
+      "http://example.com/path",            // no www, no query
+      "example.com/path/",                  // bare, trailing slash
+      "https://example.com/path?fbclid=abc" // tracking only
+    ).toDF("u").select(TextAnalysis.canonicalUrl($"u"))
+      .collect().map(_.getString(0))
+    assert(cases(0) == "example.com/path")
+    assert(cases(1) == "example.com/path")
+    assert(cases(2) == "example.com/path")
+    assert(cases(3) == "example.com/path")
+    // real params survive; only the tracking pairs are stripped
+    val kept = Seq("https://a.com/x?id=3&utm_campaign=c&page=2").toDF("u")
+      .select(TextAnalysis.canonicalUrl($"u")).head().getString(0)
+    assert(kept == "a.com/x?id=3&page=2")
+  }
+
+  test("urlDomain extracts the registrable host, stops at port/path") {
+    val got = Seq(
+      "https://www.Sub.Example.org:8080/a/b",
+      "example.com/x?q=1",
+      "http://host.io#frag").toDF("u")
+      .select(TextAnalysis.urlDomain($"u")).collect().map(_.getString(0))
+    assert(got.toSeq == Seq("sub.example.org", "example.com", "host.io"))
+  }
+
+  test("charEntropy: hand values — uniform, constant, empty") {
+    val got = Seq("ab", "aaaa", "", "aabb").toDF("text")
+      .select(TextAnalysis.charEntropy($"text")).collect().map(_.getDouble(0))
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got(0) == r6(math.log(2)))  // two distinct chars, uniform
+    assert(got(1) == 0.0)              // one symbol → zero entropy
+    assert(got(2) == 0.0)              // empty → defined as 0
+    assert(got(3) == r6(math.log(2)))  // 2+2 uniform over {a,b}
+  }
+
+  test("charEntropy separates prose from low-entropy repetition") {
+    val e = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa").toDF("text")
+      .select(TextAnalysis.charEntropy($"text")).collect().map(_.getDouble(0))
+    assert(e(0) > 2.5 && e(1) == 0.0)
+  }
 }
