@@ -780,7 +780,8 @@ class Context(val spark: SparkSession) {
             throw new IllegalArgumentException(
               "SCORE method dsir requires target= (a registered table)"))),
           id, text,
-          buckets = opts.get("buckets").map(_.trim.toInt).getOrElse(8192))
+          buckets = opts.get("buckets").map(_.trim.toInt).getOrElse(8192),
+          cacheGrams = opts.get("cache_grams").forall(_.trim.toBoolean))
         case other => throw new IllegalArgumentException(
           s"Unknown SCORE method: $other (unigram|bigram|bigram_ref|tfidf|dsir|bm25|blocklist)")
       }

@@ -32,6 +32,12 @@ object TimeQuery {
       println(f"[timequery] $name run $i: $secs%.3f s")
       if (showPlan && i == runs)
         println(df.queryExecution.executedPlan.toString.take(60000))
+      // SPARK_GRAFT_RELEASE=1 → drop operator caches between runs, so each
+      // run pays materialization exactly as one Bench pass does (without
+      // it, an OpCache-using query serves runs 2+ from the warm cache and
+      // the repeat times measure cache hits, not the operator)
+      if (sys.env.get("SPARK_GRAFT_RELEASE").contains("1"))
+        operators.OpCache.releaseBlocking(spark)
     }
     spark.stop()
   }

@@ -354,8 +354,8 @@ object Corpus {
     */
   def dsirLogWeights(
       raw: DataFrame, target: DataFrame, idCol: String, textCol: String,
-      buckets: Int = 8192): DataFrame =
-    dsirLogWeightsRaw(raw, target, idCol, textCol, buckets)
+      buckets: Int = 8192, cacheGrams: Boolean = true): DataFrame =
+    dsirLogWeightsRaw(raw, target, idCol, textCol, buckets, cacheGrams)
       .select(col(idCol), col("n_grams"), round(col("lw"), 6).as("logw"))
 
   /** [[dsirLogWeights]] with the weight UNROUNDED (column `lw`) — for
@@ -363,7 +363,7 @@ object Corpus {
     * would put ties at the rounding boundary. */
   def dsirLogWeightsRaw(
       raw: DataFrame, target: DataFrame, idCol: String, textCol: String,
-      buckets: Int = 8192): DataFrame = {
+      buckets: Int = 8192, cacheGrams: Boolean = true): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     def gramBuckets(df: DataFrame): DataFrame = {
       val toks = split(lower(col(textCol)), " ")
@@ -376,7 +376,16 @@ object Corpus {
                 2, 15), 16, 10).cast("long"),
               lit(buckets.toLong)))).as("b"))
     }
-    val rg = gramBuckets(raw)
+    // the raw gram frame feeds BOTH the bucket-count aggregate and the
+    // scoring join — cacheGrams trades one md5 explode pass for
+    // materializing (id, bucket) long pairs in OpCache (~16 B/gram,
+    // MEMORY_AND_DISK so it spills, ~60 MB at sf0.1). Measured at sf0.1
+    // (TimeQuery with per-run OpCache release, min of 5): cached 3.0 s vs
+    // recomputed 5.4 s — the md5-per-gram explode is expensive enough
+    // that, unlike the unigram scorer's cheap token split, paying it once
+    // wins. Default ON; the knob exists for memory-starved executors.
+    val rg0 = gramBuckets(raw)
+    val rg = if (cacheGrams) OpCache.cached(rg0) else rg0
     val rc = rg.groupBy("b").agg(count(lit(1)).as("cr"))
     val tc = gramBuckets(target).groupBy("b").agg(count(lit(1)).as("ct"))
     val totals = rc.agg(sum(col("cr")).as("crt"))
