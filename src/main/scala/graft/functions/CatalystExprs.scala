@@ -745,6 +745,87 @@ object CatalystExprs {
   def sqlDiv(a: Column, b: Column): Column =
     GraftBridge.column(SqlDiv(GraftBridge.expression(a), GraftBridge.expression(b)))
 
+  /** Count of DISTINCT phrases (case-insensitive substrings) present in
+    * the text, via one Aho–Corasick pass — O(text + matches) regardless of
+    * list size, vs the compositional `contains`-per-phrase scan's
+    * O(text × phrases). The automaton (goto trie + BFS failure links with
+    * propagated output sets) is built once per expression instance from
+    * the literal phrase list and shared by every row the task evaluates.
+    * ASCII-lowercased on both sides, matching the `lower()`+`contains`
+    * composition for ASCII phrase lists (curated blocklists are ASCII in
+    * practice; a non-ASCII phrase still matches, byte-sensibly, without
+    * locale case folding). NULL in → NULL out. */
+  case class MultiSubstringHits(child: Expression, phrases: Seq[String])
+      extends UnaryExpression with CodegenFallback {
+    require(phrases.nonEmpty, "phrase list must not be empty")
+
+    @transient private lazy val pats: Array[String] =
+      phrases.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
+        .filter(_.nonEmpty).toArray
+
+    // goto: per-node char → next; fail: longest proper suffix node;
+    // out: phrase ids ending at this node (failure outputs propagated in)
+    @transient private lazy val (acGoto, acFail, acOut) = {
+      import scala.collection.mutable
+      val goto = mutable.ArrayBuffer(mutable.HashMap.empty[Char, Int])
+      val out = mutable.ArrayBuffer(mutable.BitSet())
+      pats.zipWithIndex.foreach { case (p, id) =>
+        var node = 0
+        p.foreach { c =>
+          node = goto(node).getOrElse(c, {
+            goto.append(mutable.HashMap.empty[Char, Int])
+            out.append(mutable.BitSet())
+            goto(node)(c) = goto.size - 1
+            goto.size - 1
+          })
+        }
+        out(node) += id
+      }
+      val fail = Array.fill(goto.size)(0)
+      val queue = mutable.Queue[Int]()
+      goto(0).valuesIterator.foreach(queue.enqueue)
+      while (queue.nonEmpty) {
+        val u = queue.dequeue()
+        // sorted for determinism of the BFS (not semantically required)
+        goto(u).toSeq.sortBy(_._1).foreach { case (c, v) =>
+          queue.enqueue(v)
+          var f = fail(u)
+          while (f != 0 && !goto(f).contains(c)) f = fail(f)
+          fail(v) = goto(f).get(c).filter(_ != v).getOrElse(0)
+          out(v) |= out(fail(v))
+        }
+      }
+      (goto.toArray, fail, out.toArray)
+    }
+
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+        .toString.toLowerCase(java.util.Locale.ROOT)
+      val seen = new Array[Boolean](pats.length)
+      var found = 0
+      var node = 0
+      var i = 0
+      val n = s.length
+      while (i < n && found < pats.length) {
+        val c = s.charAt(i)
+        while (node != 0 && !acGoto(node).contains(c)) node = acFail(node)
+        node = acGoto(node).getOrElse(c, 0) // after the fail walk: match or root
+        if (acOut(node).nonEmpty) acOut(node).foreach { id =>
+          if (!seen(id)) { seen(id) = true; found += 1 }
+        }
+        i += 1
+      }
+      java.lang.Long.valueOf(found.toLong)
+    }
+    override def prettyName: String = "multi_substring_hits"
+    override protected def withNewChildInternal(c: Expression): MultiSubstringHits =
+      copy(child = c)
+  }
+
+  def multiSubstringHits(text: Column, phrases: Seq[String]): Column =
+    GraftBridge.column(MultiSubstringHits(GraftBridge.expression(text), phrases))
+
   /** Unicode normalization (NFC/NFD/NFKC/NFKD) of a string — ONE node
     * wrapping `java.text.Normalizer`. Spark has no normalization builtin;
     * composing it from regexp would be both wrong (normalization is not a

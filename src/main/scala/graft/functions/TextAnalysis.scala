@@ -288,17 +288,19 @@ object TextAnalysis {
       regexp_replace(text, "[\\x00-\\x08\\x0e-\\x1f\\x7f-\\x9f\\p{Cf}]", ""),
       "[\\s\\p{Zs}]+", " "))
 
-  /** Number of blocklist phrases contained in the text (case-insensitive
-    * substring scan, so multi-word phrases work — the C4 badwords gate).
-    * Literal-list form: the list compiles into the expression and each row
-    * does one `contains` pass per phrase — right for the usual O(100)-
-    * phrase curated lists. For open-ended table-driven lists use
-    * `Corpus.blocklistFlag` (one broadcast, token-set probe per row). */
+  /** Number of DISTINCT blocklist phrases contained in the text
+    * (case-insensitive substring, so multi-word phrases work — the C4
+    * badwords gate). Literal-list form: the list compiles into ONE
+    * Aho–Corasick expression ([[CatalystExprs.MultiSubstringHits]]), so
+    * the per-row cost is one text pass regardless of list size — a 10⁴-
+    * phrase list costs the same scan as a 10-phrase list (the
+    * `contains`-per-phrase composition this replaces was O(text×phrases);
+    * equality between the two is spec-asserted). For open-ended
+    * table-driven lists use `Corpus.blocklistFlag` (one broadcast,
+    * token-set probe per row). */
   def blocklistHits(text: Column, phrases: Seq[String]): Column = {
     require(phrases.nonEmpty, "blocklist must not be empty")
-    val lt = lower(text)
-    size(filter(array(phrases.map(p => lit(p.toLowerCase)): _*),
-      p => contains(lt, p))).cast("bigint")
+    CatalystExprs.multiSubstringHits(text, phrases).cast("bigint")
   }
 
   /** Gopher "fraction of characters inside duplicated word-n-grams":

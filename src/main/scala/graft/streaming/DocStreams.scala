@@ -339,4 +339,20 @@ object DocStreams {
       .withColumn("ratio",
         col("n_hits").cast("double") / greatest(col("n_grams"), lit(1L)).cast("double"))
   }
+
+  /** Streaming running corpus profile per group — the SUMMARIZE
+    * statement's ingest-time shape (watch the corpus's volume/length/
+    * quality mix evolve as documents land). Deliberately THE SAME code as
+    * the batch `Corpus.corpusStats` in its approx form: every aggregate
+    * is mergeable (counts, sums, running mean, t-digest percentiles), so
+    * Structured Streaming keeps exactly ONE state row per group — bounded
+    * by the group-key cardinality, never by stream length. Exact
+    * percentiles are structurally impossible here (they'd hold every
+    * value in state), which is why corpusStats grows the approx knob
+    * instead of a streaming fork. Run with update/complete output mode
+    * (it is a streaming aggregation, not an append transform). */
+  def profileStream(docStream: DataFrame, groupCol: String = "source",
+      textCol: String = "text"): DataFrame =
+    graft.operators.Corpus.corpusStats(docStream, groupCol, textCol,
+      approxQuantiles = true)
 }

@@ -197,4 +197,25 @@ class DocStreamingSpec extends AnyFunSuite {
     assert(stateRows.nonEmpty)
     assert(stateRows.map(_.numRowsTotal).max <= 3)
   }
+
+  test("streaming corpus profile equals the batch approx profile; one state row per group") {
+    val stream = DocStreams.profileStream(DocStreams.readStream(spark, docsDir))
+    val q = stream.writeStream.format("memory").queryName("profile_stream")
+      .outputMode("complete").start()
+    val stateMax =
+      try { q.processAllAvailable()
+        q.recentProgress.flatMap(_.stateOperators).map(_.numRowsTotal).max
+      } finally q.stop()
+    val streamed = spark.table("profile_stream")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(6)))).toMap
+    val batch = Corpus.corpusStats(
+        Tables.t(spark, TestSpark.sf, "documents"), "source", "text",
+        approxQuantiles = true)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(6)))).toMap
+    assert(streamed == batch && streamed.nonEmpty)
+    // state bounded by group-key cardinality, not stream length
+    assert(stateMax <= batch.size)
+  }
 }

@@ -165,6 +165,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got == 0.5)
   }
 
+  test("blocklistHits (Aho–Corasick) equals the contains-per-phrase composition") {
+    // overlapping patterns, shared prefixes, suffix outputs via fail
+    // links, duplicate/case noise in the list
+    val phrases = Seq("ab", "babc", "bc", "c", "bad", "badge", "slow scan", "Bad")
+    def hofForm(text: org.apache.spark.sql.Column) = {
+      val lt = lower(text)
+      size(filter(array(phrases.map(_.toLowerCase).distinct.map(lit): _*),
+        p => contains(lt, p))).cast("bigint")
+    }
+    val docs = Tables.t(spark, TestSpark.sf, "documents")
+      .select(concat($"text", lit(" xbabcx badger slow scan")).as("text"))
+    val diverging = docs.select(
+        TextAnalysis.blocklistHits($"text", phrases).as("ac"),
+        hofForm($"text").as("hof"))
+      .filter($"ac" =!= $"hof").count()
+    assert(diverging == 0)
+    val vals = Seq("ABCD", "badge", "bc", "zzz", "bad slow scan bad")
+      .toDF("text").select(TextAnalysis.blocklistHits($"text", phrases))
+      .collect().map(_.getLong(0)).toSeq
+    assert(vals == Seq(3, 2, 2, 0, 3)) // hand-walked; duplicates count once
+  }
+
   test("canonicalUrl collapses scheme/www/tracking/fragment/slash noise") {
     val cases = Seq(
       "https://WWW.Example.com/Path/?utm_source=x&utm_medium=y#top",
