@@ -202,6 +202,22 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => colFn(exprs, 1) { cols =>
         graft.functions.TextAnalysis.charEntropy(cols.head) }),
 
+    (new FunctionIdentifier("compression_ratio"),
+      new ExpressionInfo(classOf[CatalystExprs.DeflateRatio].getName, "compression_ratio"),
+      (exprs: Seq[Expression]) => CatalystExprs.DeflateRatio(exprs.head)),
+
+    // rp_project(vec, inDim, outDim) — sign-matrix random projection;
+    // dims must be literals (they shape the expression)
+    (new FunctionIdentifier("rp_project"),
+      new ExpressionInfo("graft.operators.Similarity", "rp_project"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 3,
+          s"expected (vec, inDim, outDim), got ${exprs.length} arguments")
+        colFn(exprs.take(1), 1) { cols =>
+          graft.operators.Similarity.randomProjectionVec(cols.head,
+            intArg(exprs(1), "inDim"), intArg(exprs(2), "outDim")) }
+      }),
+
     // fused vector math (round 3): the embedding-pipeline hot loops,
     // exposed so server/CLI SQL users get the same codepath as the
     // operator library

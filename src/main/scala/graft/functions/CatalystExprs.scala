@@ -826,6 +826,42 @@ object CatalystExprs {
   def multiSubstringHits(text: Column, phrases: Seq[String]): Column =
     GraftBridge.column(MultiSubstringHits(GraftBridge.expression(text), phrases))
 
+  /** zlib-compressed size over raw UTF-8 size — the compression-ratio
+    * quality signal (CCNet/RefinedWeb lineage): highly repetitive or
+    * templated text compresses far below prose (~0.3 vs ~0.6 at these doc
+    * lengths), encoded blobs sit near 1.0. One Deflater pass per row at
+    * BEST_SPEED (the signal is insensitive to level; speed is not); a
+    * fresh Deflater per row keeps the node thread-safe across tasks, and
+    * its allocation is dwarfed by the deflate itself. Empty text → 1.0.
+    * Registered rows-only: no engine-portable zlib exists in DuckDB, so
+    * the behavioral contract (repetition ↓, prose middle, noise ↑) is
+    * spec-gated instead. */
+  case class DeflateRatio(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(input: Any): Any = {
+      val raw = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+      if (raw.isEmpty) java.lang.Double.valueOf(1.0)
+      else {
+        val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
+        try {
+          d.setInput(raw); d.finish()
+          val buf = new Array[Byte](raw.length + 64)
+          var total = 0L
+          while (!d.finished()) total += d.deflate(buf)
+          java.lang.Double.valueOf(
+            math.rint(total.toDouble / raw.length * 1e6) / 1e6)
+        } finally d.end()
+      }
+    }
+    override def prettyName: String = "compression_ratio"
+    override protected def withNewChildInternal(c: Expression): DeflateRatio =
+      copy(child = c)
+  }
+
+  def deflateRatio(text: Column): Column =
+    GraftBridge.column(DeflateRatio(GraftBridge.expression(text)))
+
   /** Unicode normalization (NFC/NFD/NFKC/NFKD) of a string — ONE node
     * wrapping `java.text.Normalizer`. Spark has no normalization builtin;
     * composing it from regexp would be both wrong (normalization is not a

@@ -166,6 +166,11 @@ object TextAnalysis {
       })
   }
 
+  /** zlib compression ratio (compressed/raw bytes) — the cheap whole-
+    * document repetition/noise signal complementing the n-gram metrics;
+    * see [[CatalystExprs.DeflateRatio]] for the contract. */
+  def compressionRatio(text: Column): Column = CatalystExprs.deflateRatio(text)
+
   /** Canonical URL for URL-level dedup (the first pass of web-corpus
     * cleanup: the same page arrives under http/https, with/without www,
     * trailing slash, fragments, and click-tracking params). Order-

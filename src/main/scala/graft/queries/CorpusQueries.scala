@@ -1504,6 +1504,17 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // zlib compression-ratio quality signal — rows-only BY NATURE: DuckDB
+    // ships no zlib function, so no oracle can reproduce deflate output;
+    // the behavioral contract (repetition compresses below prose, noise
+    // above; deterministic across runs) is TextAnalysisSpec's, and the
+    // SQL==Column equality is SqlFunctionsSpec's.
+    Q("p61_compression_ratio", None) { (s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+          graft.functions.TextAnalysis.compressionRatio(col("text")).as("ratio"))
+        .orderBy("doc_id")
+    },
+
     // Per-source corpus profile through the SUMMARIZE statement — doc
     // count, char/token volume, exact length percentiles (the
     // quantile_cont pairing proven by q38), mean heuristic quality.

@@ -49,6 +49,24 @@ class SqlFunctionsSpec extends AnyFunSuite {
     sqlEqualsColumn("char_entropy(text)", TextAnalysis.charEntropy(txt))
     sqlEqualsColumn("canonical_url(text)", TextAnalysis.canonicalUrl(txt))
     sqlEqualsColumn("url_domain(text)", TextAnalysis.urlDomain(txt))
+    sqlEqualsColumn("compression_ratio(text)", TextAnalysis.compressionRatio(txt))
+  }
+
+  test("rp_project: SQL == the Similarity Column form, dims must be literals") {
+    import graft.operators.Similarity
+    val c2 = new Context(spark)
+    c2.createTableFromPath("embeddings", s"${TestSpark.sf}/embeddings.parquet")
+    val viaSql = c2.sql(
+      "SELECT vec_id, rp_project(embedding, 64, 16) AS r FROM embeddings ORDER BY vec_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val direct = Tables.t(spark, TestSpark.sf, "embeddings")
+      .select(col("vec_id"),
+        Similarity.randomProjectionVec(col("embedding"), 64, 16).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(viaSql == direct && viaSql.nonEmpty)
+    val e = intercept[Exception](c2.sql(
+      "SELECT rp_project(embedding, 64, vec_id) FROM embeddings").collect())
+    assert(e.getMessage.contains("literal"))
   }
 
   test("normalize_text / clean_text: SQL == Column; NFC composes, NFKC folds, cleanup scrubs") {

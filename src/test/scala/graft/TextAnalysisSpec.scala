@@ -224,6 +224,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(3) == r6(math.log(2)))  // 2+2 uniform over {a,b}
   }
 
+  test("compressionRatio orders repetition < prose < noise, deterministically") {
+    val texts = Seq(
+      ("rep", "spam ham " * 200),                       // heavy repetition
+      ("prose", ("the quick brown fox jumps over the lazy dog and then " +
+        "wanders toward a distant river bank looking for something new ") * 20),
+      ("noise", (1 to 1600).map(i =>                     // hash-like chars
+        Integer.toString(i * 2654435761L.toInt, 36)).mkString))
+      .toDF("kind", "text")
+    val r = texts.select($"kind", TextAnalysis.compressionRatio($"text"))
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r("rep") < r("prose") && r("prose") < r("noise"),
+      s"unexpected ordering: $r")
+    assert(r("rep") < 0.1 && r("noise") > 0.5)
+    // deterministic: same input → identical ratio on a second evaluation
+    val again = texts.select($"kind", TextAnalysis.compressionRatio($"text"))
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(again == r)
+  }
+
   test("charEntropy separates prose from low-entropy repetition") {
     val e = Seq(
       "the quick brown fox jumps over the lazy dog",
