@@ -645,6 +645,17 @@ class Context(val spark: SparkSession) {
               throw new IllegalArgumentException(
                 "SIMSEARCH method ivf_index requires index="))),
             queries, k, nProbe = i("n_probe", 3), idCol = id, vecCol = vec)
+        case "ivfpq_index" =>
+          // serve from a PERSISTED compressed index (CREATE SIMSEARCH
+          // INDEX ... WITH (kind='ivfpq')): cells read from their cell
+          // buckets, codes from nid buckets, codebooks re-collected (tiny)
+          val prefix = opts.getOrElse("index",
+            throw new IllegalArgumentException(
+              "SIMSEARCH method ivfpq_index requires index="))
+          Similarity.ivfPqTopK(
+            Similarity.loadIvfIndex(spark, prefix),
+            Similarity.loadPqIndex(spark, prefix),
+            queries, k, nProbe = i("n_probe", 3), idCol = id, vecCol = vec)
         case "ivfpq" =>
           // full IVF-PQ serving path: coarse cells bound the candidates,
           // PQ codes bound bytes per candidate; both builds happen at
@@ -659,7 +670,7 @@ class Context(val spark: SparkSession) {
               kCodes = i("k_codes", 16), idCol = id, vecCol = vec),
             queries, k, nProbe = i("n_probe", 3), idCol = id, vecCol = vec)
         case other => throw new IllegalArgumentException(
-          s"Unknown SIMSEARCH method: $other (brute|lsh|ivf|ivf_index|ivfpq)")
+          s"Unknown SIMSEARCH method: $other (brute|lsh|ivf|ivf_index|ivfpq|ivfpq_index)")
       }
 
     // CREATE DEDUP|SIMSEARCH INDEX name ON table WITH (...) — persist the
@@ -686,14 +697,22 @@ class Context(val spark: SparkSession) {
             s"Unknown DEDUP INDEX kind: $other (minhash|shingles)")
         }
         case "simsearch" =>
+          val vid = opts.getOrElse("id", "vec_id")
+          val vvec = opts.getOrElse("vec", "embedding")
           val idx = Similarity.buildIvfIndex(src,
-            nCells = i("n_cells", 16),
-            idCol = opts.getOrElse("id", "vec_id"),
-            vecCol = opts.getOrElse("vec", "embedding"))
+            nCells = i("n_cells", 16), idCol = vid, vecCol = vvec)
           // no local unpersist: the cells frame is OpCache-owned (a prior
           // SIMSEARCH ivf query in this session may share the exact plan —
           // one owner, released between statements / clearOperatorCache)
           Similarity.saveIvfIndex(idx, name, nBuckets = i("n_buckets", 8))
+          // kind='ivfpq' additionally persists the PQ codes + codebooks,
+          // completing the compressed-serving artifact under one prefix
+          if (opts.get("kind").map(_.trim.toLowerCase).contains("ivfpq")) {
+            val pq = Similarity.buildPqIndex(src, dim = i("dim", 64),
+              m = i("m", 8), kCodes = i("k_codes", 16),
+              idCol = vid, vecCol = vvec)
+            Similarity.savePqIndex(pq, name, nBuckets = i("n_buckets", 8))
+          }
       }
       emptyResult
 

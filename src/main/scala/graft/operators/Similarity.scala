@@ -455,6 +455,43 @@ object Similarity {
   final case class PqIndex(
       codes: DataFrame, codebooks: Array[Array[Array[Double]]], subDim: Int)
 
+  /** Persist a [[PqIndex]] as catalog tables: `{prefix}_pq_codes` (nid →
+    * m code words, bucketed by nid so the candidate→codes join of
+    * [[ivfPqTopK]] reads co-located buckets) plus the tiny
+    * `{prefix}_pq_codebooks` (m × k centroid rows). Together with
+    * [[saveIvfIndex]] under the same prefix this is the full compressed-
+    * serving artifact: nightly build writes cells + codes + codebooks;
+    * query time touches only cell buckets and m-int code words. */
+  def savePqIndex(idx: PqIndex, prefix: String, nBuckets: Int = 8): Unit = {
+    idx.codes.write.format("parquet").mode("overwrite")
+      .bucketBy(nBuckets, "nid").sortBy("nid")
+      .saveAsTable(s"${prefix}_pq_codes")
+    val spark = idx.codes.sparkSession
+    import spark.implicits._
+    idx.codebooks.zipWithIndex.flatMap { case (book, m) =>
+      book.zipWithIndex.map { case (center, k) => (m, k, center.toSeq) }
+    }.toSeq.toDF("m", "k", "center")
+      .write.format("parquet").mode("overwrite")
+      .saveAsTable(s"${prefix}_pq_codebooks")
+  }
+
+  /** Reload a persisted [[PqIndex]] — codebooks are tiny (m × k × subDim
+    * doubles) and collect to the driver exactly as the fit left them;
+    * [[pqTopK]]/[[ivfPqTopK]] run against it unchanged (equality asserted
+    * in SimilaritySpec). */
+  def loadPqIndex(spark: org.apache.spark.sql.SparkSession,
+      prefix: String): PqIndex = {
+    val rows = spark.table(s"${prefix}_pq_codebooks")
+      .select(col("m"), col("k"), col("center")).collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    val k = rows.map(_.getInt(1)).max + 1
+    val books = Array.ofDim[Array[Double]](m, k)
+    rows.foreach { r =>
+      books(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+    }
+    PqIndex(spark.table(s"${prefix}_pq_codes"), books, books(0)(0).length)
+  }
+
   /** Learn per-subvector codebooks (m independent KMeans fits, seeded) and
     * encode every corpus vector as its nearest-centroid code per subspace.
     * The fits are the standard offline index build: m distributed KMeans

@@ -284,4 +284,31 @@ class CorpusSqlSpec extends AnyFunSuite {
     }
     graft.operators.OpCache.release(spark)
   }
+
+  test("CREATE SIMSEARCH INDEX kind='ivfpq' persists the compressed artifact; ivfpq_index serves it") {
+    import graft.operators.Similarity
+    val c2 = new Context(spark)
+    c2.createTableFromPath("embeddings", s"${TestSpark.sf}/embeddings.parquet")
+    try {
+      c2.sql("""CREATE SIMSEARCH INDEX pq_idx ON embeddings
+        |WITH (n_cells = 4, n_buckets = 4, kind = 'ivfpq', dim = 64,
+        |      m = 8, k_codes = 8)""".stripMargin)
+      val served = c2.sql(
+        """SELECT * FROM SIMSEARCH(TABLE embeddings, METHOD ivfpq_index, K 3
+          |  WITH (index = 'pq_idx', n_probe = 4),
+          |SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5)""".stripMargin)
+        .orderBy("qid", "rnk").collect().toSeq
+      val emb = Tables.t(spark, TestSpark.sf, "embeddings")
+      val direct = Similarity.ivfPqTopK(
+          Similarity.loadIvfIndex(spark, "pq_idx"),
+          Similarity.loadPqIndex(spark, "pq_idx"),
+          emb.filter(col("vec_id") < 5), k = 3, nProbe = 4)
+        .orderBy("qid", "rnk").collect().toSeq
+      assert(served == direct && served.nonEmpty)
+    } finally {
+      graft.operators.OpCache.release(spark)
+      Seq("pq_idx_cells", "pq_idx_centroids", "pq_idx_pq_codes", "pq_idx_pq_codebooks")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
 }

@@ -320,6 +320,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(full == flat)
   }
 
+  test("persisted PQ index round-trips: load == fit, ivfPqTopK identical") {
+    val emb = Tables.t(spark, TestSpark.sf, "embeddings")
+    val queries = emb.filter($"vec_id" < 5)
+    val ivf = Similarity.buildIvfIndex(emb, nCells = 4)
+    val pq = Similarity.buildPqIndex(emb, dim = 64, m = 8, kCodes = 8)
+    try {
+      Similarity.saveIvfIndex(ivf, "pqrt", nBuckets = 4)
+      Similarity.savePqIndex(pq, "pqrt", nBuckets = 4)
+      val loaded = Similarity.loadPqIndex(spark, "pqrt")
+      assert(loaded.subDim == pq.subDim)
+      assert(loaded.codebooks.flatten.flatten.toSeq == pq.codebooks.flatten.flatten.toSeq)
+      val live = Similarity.ivfPqTopK(ivf, pq, queries, k = 3, nProbe = 4)
+        .orderBy("qid", "rnk").collect().toSeq
+      val persisted = Similarity.ivfPqTopK(
+          Similarity.loadIvfIndex(spark, "pqrt"), loaded, queries, k = 3, nProbe = 4)
+        .orderBy("qid", "rnk").collect().toSeq
+      assert(live == persisted && live.nonEmpty)
+    } finally {
+      ivf.unpersist()
+      Seq("pqrt_cells", "pqrt_centroids", "pqrt_pq_codes", "pqrt_pq_codebooks")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("randomProjection: identical inputs map identically; cosine is JL-preserved") {
     val emb = Tables.t(spark, TestSpark.sf, "embeddings").filter($"vec_id" < 40)
     val reduced = Similarity.randomProjection(emb, "vec_id", "embedding",
