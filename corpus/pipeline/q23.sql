@@ -1,0 +1,2 @@
+CREATE SIMSEARCH INDEX pipeline_pq ON doc_emb
+WITH (n_cells = 4, n_buckets = 4, kind = 'ivfpq', dim = 64, m = 8, k_codes = 8)

@@ -1,0 +1,3 @@
+SELECT * FROM SIMSEARCH(TABLE doc_emb, METHOD ivfpq_index, K 3
+  WITH (index = 'pipeline_pq', n_probe = 4),
+SELECT vec_id, embedding FROM doc_emb WHERE vec_id < 5)

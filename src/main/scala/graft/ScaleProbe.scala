@@ -214,6 +214,20 @@ object ScaleProbe {
           Seq("vector", "merge", "slow scan", "hash join").toDF("phrase"),
           "doc_id", "text", "phrase")
       },
+      time("blocklist_ac_500") {
+        // the Aho-Corasick claim, measured: 500 phrases in ONE text pass.
+        // Phrases derived deterministically from the corpus vocabulary so
+        // a realistic fraction actually hit.
+        val words = Seq("key", "agg", "row", "scan", "slow", "fast", "table",
+          "value", "part", "hash", "merge", "batch", "line", "sort", "window",
+          "join", "small", "customer", "query", "big", "vector", "stream",
+          "filter", "group", "order", "column", "data", "spark")
+        val phrases = (for (a <- words; b <- words if a != b)
+          yield s"$a $b").take(500)
+        docs.select(col("doc_id"),
+          graft.functions.TextAnalysis.blocklistHits(col("text"), phrases)
+            .as("hits"))
+      },
       time("normalize_clean") {
         // per-row normalization battery: pure projection; the injected
         // decomposed accent forces the non-fast-path branch on every row

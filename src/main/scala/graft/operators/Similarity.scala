@@ -455,6 +455,17 @@ object Similarity {
   final case class PqIndex(
       codes: DataFrame, codebooks: Array[Array[Array[Double]]], subDim: Int)
 
+  /** KMeans may return FEWER than k centers when a subspace is duplicate-
+    * heavy (empty clusters are dropped) — found on hash-embedding corpora,
+    * where some subvectors take few distinct values. The ADC table literal
+    * must be rectangular, so short books are padded with copies of their
+    * own first center; padded slots are unreachable (codes only ever
+    * reference centers the model actually predicts). */
+  private def padBooks(books: Array[Array[Array[Double]]]): Array[Array[Array[Double]]] = {
+    val k = books.map(_.length).max
+    books.map(b => if (b.length == k) b else b ++ Array.fill(k - b.length)(b(0)))
+  }
+
   /** Persist a [[PqIndex]] as catalog tables: `{prefix}_pq_codes` (nid →
     * m code words, bucketed by nid so the candidate→codes join of
     * [[ivfPqTopK]] reads co-located buckets) plus the tiny
@@ -484,12 +495,14 @@ object Similarity {
     val rows = spark.table(s"${prefix}_pq_codebooks")
       .select(col("m"), col("k"), col("center")).collect()
     val m = rows.map(_.getInt(0)).max + 1
-    val k = rows.map(_.getInt(1)).max + 1
-    val books = Array.ofDim[Array[Double]](m, k)
-    rows.foreach { r =>
-      books(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+    // per-m books may be ragged on disk (see padBooks) — rebuild each
+    // from its own rows, then pad to rectangular exactly as the fit does
+    val books = Array.tabulate(m) { mm =>
+      rows.filter(_.getInt(0) == mm).sortBy(_.getInt(1))
+        .map(_.getSeq[Double](2).toArray)
     }
-    PqIndex(spark.table(s"${prefix}_pq_codes"), books, books(0)(0).length)
+    val padded = padBooks(books)
+    PqIndex(spark.table(s"${prefix}_pq_codes"), padded, padded(0)(0).length)
   }
 
   /** Learn per-subvector codebooks (m independent KMeans fits, seeded) and
@@ -518,7 +531,8 @@ object Similarity {
     val enc = models.foldLeft[DataFrame](base)((df, md) => md.transform(df))
       .select(col("nid"),
         array((0 until m).map(mm => col(s"_c$mm")): _*).as("codes"))
-    PqIndex(enc, models.map(_.clusterCenters.map(_.toArray).toArray).toArray, sd)
+    PqIndex(enc,
+      padBooks(models.map(_.clusterCenters.map(_.toArray).toArray).toArray), sd)
   }
 
   /** Per-query ADC distance table: dt[m][k] = ‖q_m − c_{m,k}‖² — computed

@@ -37,7 +37,7 @@ class CorpusRunnerSpec extends AnyFunSuite {
       val results = CorpusRunner.run(ctx, "corpus/pipeline")
       // ordered build: views (q1-q2) feed DECONTAMINATE/STRATIFY/SCORE,
       // the CTAS embedding table (q9) feeds the index (q10) and its probe
-      assert(results.size == 22)
+      assert(results.size == 24)
       val failed = results.filterNot(_.ok)
       assert(failed.isEmpty,
         s"pipeline corpus failures: ${failed.map(r => r.query -> r.error).mkString("; ")}")
@@ -45,8 +45,9 @@ class CorpusRunnerSpec extends AnyFunSuite {
       Seq("doc_emb", "bench_split", "mix_quotas", "bpe_merges", "dsir_target",
         "badwords")
         .foreach(t => ctx.sql(s"DROP TABLE IF EXISTS $t"))
-      spark.sql("DROP TABLE IF EXISTS pipeline_ivf_cells")
-      spark.sql("DROP TABLE IF EXISTS pipeline_ivf_centroids")
+      Seq("pipeline_ivf_cells", "pipeline_ivf_centroids", "pipeline_pq_cells",
+        "pipeline_pq_centroids", "pipeline_pq_pq_codes", "pipeline_pq_pq_codebooks")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
 

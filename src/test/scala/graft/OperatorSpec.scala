@@ -67,7 +67,12 @@ class OperatorSpec extends AnyFunSuite {
       // p50b: learn→encode composition inherits p44b's driver loop; the
       // encoding algorithm itself is oracle-gated in p50/p50c and the
       // composition is spec-verified against hand-computed BPE
-      "p50b_bpe_learn_encode")
+      "p50b_bpe_learn_encode",
+      // p61: DuckDB ships no zlib function, so deflate output cannot be
+      // oracle-reproduced; ordering contract (repetition < prose < noise)
+      // and determinism are TextAnalysisSpec's, SQL==Column is
+      // SqlFunctionsSpec's
+      "p61_compression_ratio")
     assert(rowsOnly == expected)
   }
 }
