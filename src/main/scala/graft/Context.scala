@@ -754,13 +754,20 @@ class Context(val spark: SparkSession) {
 
     // SELECT * FROM PACK(CAPACITY n [WITH (...)], <select>) — token-budget
     // bin assignment per packing group (window per group, never global).
+    // materialize='true' additionally concatenates each bin's documents in
+    // offset order into the final training sequence (requires text=).
     case Pack(capacity, opts, select) =>
-      graft.operators.Corpus.packSequences(
-        sql(select),
-        idCol = opts.getOrElse("id", "doc_id"),
-        tokensCol = opts.getOrElse("tokens", "n_tokens"),
-        groupCol = opts.getOrElse("group", "source"),
-        capacity = capacity)
+      val packId = opts.getOrElse("id", "doc_id")
+      val packTokens = opts.getOrElse("tokens", "n_tokens")
+      val packGroup = opts.getOrElse("group", "source")
+      if (opts.get("materialize").exists(_.trim.toBoolean))
+        graft.operators.Corpus.materializePacked(
+          sql(select), packId, opts.getOrElse("text", "text"), packTokens,
+          packGroup, capacity, eos = opts.getOrElse("eos", " <eos> "))
+      else
+        graft.operators.Corpus.packSequences(
+          sql(select), idCol = packId, tokensCol = packTokens,
+          groupCol = packGroup, capacity = capacity)
 
     // SELECT * FROM SCORE(METHOD m [WITH (...)], <select>) — document
     // scoring: corpus-LM perplexity (self-scored unigram/bigram MLE, or

@@ -152,6 +152,33 @@ object Corpus {
     * Emits (id, chunk_id, chunk_text, n_tokens); the final partial window
     * is kept. Pure per-row generate — embarrassingly parallel, no shuffle.
     */
+  /** Materialize [[packSequences]]'s bin assignment into the actual
+    * training sequences: per (group, bin), documents concatenated in
+    * offset order with an explicit separator token — the final artifact a
+    * training job reads. Returns (group, bin, n_docs, n_tokens, seq_text),
+    * one row per bin.
+    *
+    * Scale shape: the packing window's one group shuffle, then a
+    * per-(group, bin) aggregate whose partials combine map-side; order
+    * inside a bin is recovered by sorting the collected (offset, text)
+    * structs IN-ROW (array_sort on the struct's leading field), so no
+    * second window and no assumption about collect_list's arrival order.
+    * Bin text size is bounded by `capacity` tokens by construction — the
+    * one place concatenating text is safe. */
+  def materializePacked(
+      df: DataFrame, idCol: String, textCol: String, tokensCol: String,
+      groupCol: String, capacity: Long, eos: String = " <eos> "): DataFrame = {
+    val packed = packSequences(df, idCol, tokensCol, groupCol, capacity)
+    packed.groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum(col(tokensCol).cast("long")).cast("bigint").as("n_tokens"),
+        collect_list(struct(col("bin_offset"), col(idCol).as("_id"),
+          col(textCol).as("_t"))).as("_parts"))
+      .withColumn("seq_text",
+        array_join(transform(array_sort(col("_parts")), p => p("_t")), eos))
+      .drop("_parts")
+  }
+
   def chunkDocuments(
       df: DataFrame, idCol: String, textCol: String,
       size: Int, stride: Int): DataFrame = {

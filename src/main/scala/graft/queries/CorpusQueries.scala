@@ -1504,6 +1504,33 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // Materialized sequence packing: the PACK bin assignment turned into
+    // the actual training sequences — per (source, bin), documents
+    // concatenated in offset order with an explicit separator. The last
+    // step of the packing pipeline; in-bin order is recovered by an
+    // in-row struct sort, never a second window.
+    Q("p62_pack_materialize", Some("""
+      WITH tok AS (SELECT doc_id, source, text,
+             CAST(len(string_split(lower(text),' ')) AS BIGINT) AS nt FROM documents),
+      w AS (SELECT doc_id, source, text, nt,
+              sum(nt) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+            FROM tok),
+      b AS (SELECT doc_id, source, text, nt,
+              CAST(floor((cum - nt) / 256.0) AS BIGINT) AS bin,
+              (cum - nt) % 256 AS off
+            FROM w)
+      SELECT source, bin, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(nt) AS BIGINT) AS n_tokens,
+             string_agg(text, ' <eos> ' ORDER BY off, doc_id) AS seq_text
+      FROM b GROUP BY source, bin ORDER BY source, bin""")) { (s, d) =>
+      import graft.functions.TextAnalysis
+      val docs = t(s, d, "documents").select(col("doc_id"), col("source"),
+        col("text"), TextAnalysis.tokenCount(col("text")).as("nt"))
+      Corpus.materializePacked(docs, "doc_id", "text", "nt", "source", 256L)
+        .orderBy("source", "bin")
+    },
+
     // zlib compression-ratio quality signal — rows-only BY NATURE: DuckDB
     // ships no zlib function, so no oracle can reproduce deflate output;
     // the behavioral contract (repetition compresses below prose, noise

@@ -564,6 +564,28 @@ class CorpusSpec extends AnyFunSuite {
     assert(!plan.contains("hashpartitioning(text"))
   }
 
+  test("materializePacked: offset-ordered concatenation, one window, no extra shuffle") {
+    val docs = Seq(
+      (1L, "g", "aa", 100L), (2L, "g", "bb", 100L), (3L, "g", "cc", 100L),
+      (4L, "g", "dd", 100L), (5L, "h", "ee", 10L)).toDF("doc_id", "grp", "text", "nt")
+    val out = Corpus.materializePacked(docs, "doc_id", "text", "nt", "grp", 256L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // before = 0,100,200 → bin 0; doc 4 before=300 → bin 1
+    assert(out(("g", 0L)) == ((3L, 300L, "aa <eos> bb <eos> cc")))
+    assert(out(("g", 1L)) == ((1L, 100L, "dd")))
+    assert(out(("h", 0L)) == ((1L, 10L, "ee")))
+    val plan = Corpus.materializePacked(
+        Tables.t(spark, TestSpark.sf, "documents")
+          .select($"doc_id", $"source", $"text",
+            graft.functions.TextAnalysis.tokenCount($"text").as("nt")),
+        "doc_id", "text", "nt", "source", 256L)
+      .queryExecution.executedPlan.toString
+    // exactly packSequences' per-group window; in-bin order is an in-row
+    // struct sort, so no second Window node appears
+    assert(plan.split("Window").length - 1 == 1, s"extra window:\n$plan")
+  }
+
   test("oovRate: hand-checked fractions against a vocab table; no doc shuffle") {
     val vocab = Seq("the", "cat", " The ").toDF("w") // dup + case noise normalized away
     val docs = Seq(

@@ -224,6 +224,19 @@ class CorpusSqlSpec extends AnyFunSuite {
     ctx.sql("DROP TABLE packed")
   }
 
+  test("PACK materialize='true' emits the final sequences, equal to the Scala API") {
+    val inner = "SELECT doc_id, source, text, token_count(text) AS n_tokens FROM documents"
+    val viaSql = ctx.sql(
+      s"SELECT * FROM PACK(CAPACITY 256 WITH (materialize = 'true'), $inner)")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getString(4)).toMap
+    val direct = Corpus.materializePacked(
+        docs.select(col("doc_id"), col("source"), col("text"),
+          graft.functions.TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+        "doc_id", "text", "n_tokens", "source", 256L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getString(4)).toMap
+    assert(viaSql == direct && viaSql.nonEmpty)
+  }
+
   test("SCORE bm25/blocklist equal the Scala APIs and honor their kwargs") {
     val viaSql = ctx.sql(
       """SELECT * FROM SCORE(METHOD bm25 WITH (terms = 'hash,join', k1 = 2.0, b = 0.5),
