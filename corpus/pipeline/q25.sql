@@ -1,0 +1,4 @@
+SELECT * FROM DEDUP(METHOD exact WITH (text = 'url'),
+SELECT doc_id,
+       canonical_url('https://WWW.Ex' || (doc_id % 50) || '.com/p/x?utm_source=s' || doc_id) AS url
+FROM documents)

@@ -109,6 +109,18 @@ class ServerSpec extends AnyFunSuite {
       "EXPLAIN SELECT * FROM SCORE(METHOD bigram, SELECT doc_id, text FROM wire_docs)"))
     assert(eCols.map(_.get("name").asText()) == Seq("plan"))
     assert(eRows.size == 1 && eRows.head.head.asText().contains("Physical Plan"))
+    // the round-5 statements: SUMMARIZE and the SQL-function battery
+    val (pCols, pRows) = drain(post(
+      "SELECT * FROM SUMMARIZE(BY source, SELECT source, text FROM wire_docs)"),
+      maxPolls = 400)
+    assert(pCols.map(_.get("name").asText()) == Seq("source", "n_docs",
+      "total_chars", "total_tokens", "mean_chars", "p50_chars", "p90_chars",
+      "mean_quality"))
+    assert(pRows.nonEmpty)
+    val (uCols, uRows) = drain(post(
+      "SELECT canonical_url('https://WWW.A.com/x/?utm_source=s#f') AS u"))
+    assert(uCols.map(_.get("name").asText()) == Seq("u"))
+    assert(uRows.head.head.asText() == "a.com/x")
     drain(post("DROP TABLE wire_bench"))
     drain(post("DROP TABLE wire_docs"))
   }
