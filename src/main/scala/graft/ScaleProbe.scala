@@ -236,6 +236,16 @@ object ScaleProbe {
             graft.functions.TextAnalysis.normalizeText(
               concat(col("text"), lit(" cafe\u0301\t x"))))).as("fp"))
       },
+      time("pack_materialize") {
+        // the packing pipeline end-to-end at clone scale: per-group window
+        // for bin assignment, then the per-(group,bin) concat aggregate —
+        // bin text bounded by capacity regardless of corpus size, so the
+        // concat stage's row width is constant as rows scale
+        operators.Corpus.materializePacked(
+          docs.select(col("doc_id"), col("source"), col("text"),
+            graft.functions.TextAnalysis.tokenCount(col("text")).as("nt")),
+          "doc_id", "text", "nt", "source", 2048L)
+      },
       time("calibrate_domain_approx") {
         // skew-free percentile_approx calibration: two aggregates, zero
         // windows — per-domain row counts scale REP× but the state is one
