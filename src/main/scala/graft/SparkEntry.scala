@@ -46,5 +46,8 @@ object SparkEntry {
     "p25_embedding_quantize", "p31_semantic_dedup", "p35_substring_dedup",
     "p36_tfidf", "p37_unigram_logppl", "p38_chunk_dedup", "p43_bigram_logppl",
     "p51_global_line_dedup", "p52_dsir_weights",
+    // r5 second half: the retrieval scorer (filtered explode + broadcast
+    // dfreq) and the packing pipeline's window+concat shape
+    "p55_bm25", "p62_pack_materialize",
     "s01_events_tumbling", "s03_events_session")
 }
