@@ -1,0 +1,6 @@
+CREATE OR REPLACE MODEL lang_clf WITH (
+  model_class = 'LogisticRegression', target_column = 'label'
+) AS SELECT CAST(lang_id(text) = 'en' AS INT) AS label,
+       quality_score(text) AS q, char_entropy(text) AS h,
+       symbol_ratio(text) AS sr, CAST(token_count(text) AS DOUBLE) AS nt
+FROM documents

@@ -1,0 +1,5 @@
+SELECT * FROM PREDICT(MODEL lang_clf,
+SELECT CAST(lang_id(text) = 'en' AS INT) AS label,
+       quality_score(text) AS q, char_entropy(text) AS h,
+       symbol_ratio(text) AS sr, CAST(token_count(text) AS DOUBLE) AS nt
+FROM documents)
