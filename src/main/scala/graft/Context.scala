@@ -876,6 +876,40 @@ class Context(val spark: SparkSession) {
         throw new IllegalArgumentException(s"Model not found: $name")
       emptyResult
 
+    // EXPORT TABLE t WITH (location='...') — write a registered table out
+    // as training shards: shards= fixes the file count via a hash
+    // repartition (shard_by= keys it — same key, same shard, run after
+    // run), sort_by= orders within each shard (sortWithinPartitions — a
+    // global sort would serialize the corpus for nothing), partition_by=
+    // lays out a directory per value, and max_records_per_file= bounds
+    // every file regardless of shard skew. The missing sink half of the
+    // pipeline: CTAS persists into the warehouse; this writes the
+    // artifact a training job actually mounts.
+    case ExportTable(name, opts) =>
+      val df = lookupTable(name)
+      val location = opts.getOrElse("location",
+        throw new IllegalArgumentException("EXPORT TABLE requires location="))
+      def cols(k: String) =
+        opts.get(k).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      val sharded = (opts.get("shards").map(_.trim.toInt), cols("shard_by")) match {
+        case (Some(n), Some(ks)) => df.repartition(n, ks.map(col): _*)
+        case (Some(n), None) => df.repartition(n)
+        case (None, Some(ks)) => df.repartition(ks.map(col): _*)
+        case (None, None) => df
+      }
+      val sorted = cols("sort_by") match {
+        case Some(ks) => sharded.sortWithinPartitions(ks.map(col): _*)
+        case None => sharded
+      }
+      var w = sorted.write
+        .format(opts.getOrElse("format", "parquet"))
+        .mode(opts.getOrElse("mode", "overwrite"))
+      opts.get("max_records_per_file").foreach(n =>
+        w = w.option("maxRecordsPerFile", n.trim.toLong))
+      cols("partition_by").foreach(ks => w = w.partitionBy(ks: _*))
+      w.save(location)
+      emptyResult
+
     case ExportModel(name, opts) =>
       val m = schemas(currentSchema).models.getOrElse(name.toLowerCase,
         throw new IllegalArgumentException(s"Model not found: $name"))

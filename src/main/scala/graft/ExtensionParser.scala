@@ -83,6 +83,9 @@ object ExtensionParser {
   final case class DescribeModel(name: String) extends Statement
   final case class DropModel(name: String, ifExists: Boolean) extends Statement
   final case class ExportModel(name: String, options: Map[String, String]) extends Statement
+  /** Write a registered table to an external location as training shards
+    * (no reference analogue; parity-plus). */
+  final case class ExportTable(name: String, options: Map[String, String]) extends Statement
   final case class AlterTable(oldName: String, newName: String, ifExists: Boolean) extends Statement
   final case class AlterSchema(oldName: String, newName: String) extends Statement
 
@@ -208,6 +211,10 @@ object ExtensionParser {
   private val dropModel = re(s"DROP${ws}MODEL${ws}(IF${ws}EXISTS${ws})?$ident")
   private val exportModel =
     re(s"EXPORT${ws}MODEL${ws}$ident${ws}WITH${ws}\\($kwSpan\\)")
+  // EXPORT TABLE t WITH (location='...', format=..., shards=, shard_by=,
+  // sort_by=, partition_by=, max_records_per_file=, mode=)
+  private val exportTable =
+    re(s"EXPORT${ws}TABLE${ws}$ident${ws}WITH${ws}\\($kwSpan\\)")
   // reference: physical/rel/custom/alter.py:13 (schema), :47 (table)
   private val alterTable =
     re(s"ALTER${ws}TABLE${ws}(IF${ws}EXISTS${ws})?$ident${ws}RENAME${ws}TO${ws}$ident")
@@ -256,6 +263,7 @@ object ExtensionParser {
     case describeModel(name) => DescribeModel(name)
     case dropModel(ifEx, name) => DropModel(name, ifEx != null)
     case exportModel(name, kwargs) => ExportModel(name, parseKwargs(kwargs))
+    case exportTable(name, kwargs) => ExportTable(name, parseKwargs(kwargs))
     case showModels() => ShowModels()
     case showExperiments() => ShowExperiments()
     case describeExperiment(name) => DescribeExperiment(name)

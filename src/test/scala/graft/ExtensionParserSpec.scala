@@ -90,6 +90,12 @@ class ExtensionParserSpec extends AnyFunSuite {
         |SELECT source, text FROM docs)""".stripMargin): @unchecked
     assert(by == "source" && suOpts == Map("approx" -> "true"))
     assert(suSel == "SELECT source, text FROM docs")
+
+    val ExportTable(et, etOpts) = parse(
+      """EXPORT TABLE shards WITH (location = '/tmp/out', shards = 8,
+        |sort_by = 'doc_id', max_records_per_file = 1000)""".stripMargin): @unchecked
+    assert(et == "shards" && etOpts("location") == "/tmp/out" &&
+      etOpts("shards") == "8")
   }
 
   test("standard SQL with WITH clauses still falls through") {
