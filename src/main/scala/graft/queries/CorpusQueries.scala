@@ -1531,6 +1531,62 @@ object CorpusQueries {
         .orderBy("source", "bin")
     },
 
+    // Edge-case battery for the per-row text functions: empty string,
+    // whitespace-only, control+zero-width debris, decomposed unicode,
+    // repetition, URL junk, and non-URLs — each through token counting,
+    // symbol ratio, entropy, normalize+clean fingerprints, URL
+    // canonicalization, and the document fingerprint, oracle-gated cell
+    // by cell (the fixed corpus never exercises these boundaries; VALUES
+    // injection does, the p16/p54 pattern).
+    Q("p63_edge_battery", Some("""
+      WITH t(id, s) AS (VALUES
+        (1, ''), (2, ' '), (3, 'a'),
+        (4, chr(9) || 'x' || chr(8203)),
+        (5, 'e' || chr(769) || ' test'),
+        (6, 'aaa bbb aaa'),
+        (7, 'https://WWW.X.com/p/?utm_a=1&ref=2#z'),
+        (8, 'EX.com/Path/')),
+      ch AS (SELECT id, unnest(string_split(s, '')) AS c FROM t),
+      cnt AS (SELECT id, c, count(*) AS k FROM ch GROUP BY id, c),
+      ent AS (SELECT id, CAST(sum(k) AS DOUBLE) AS n, sum(k * ln(k)) AS sm
+              FROM cnt GROUP BY id)
+      SELECT CAST(t.id AS BIGINT) AS id,
+        CAST(len(string_split(lower(s), ' ')) AS BIGINT) AS ws_tokens,
+        round((length(s) - length(regexp_replace(lower(s), '[^a-z0-9 ]', '', 'g')))
+              / greatest(CAST(length(s) AS DOUBLE), 1.0), 6) AS sym,
+        coalesce(round(ln(ent.n) - ent.sm / ent.n, 6), 0.0) AS ent,
+        md5(trim(regexp_replace(regexp_replace(nfc_normalize(s),
+              '[\x00-\x08\x0e-\x1f\x7f-\x9f\p{Cf}]', '', 'g'),
+              '[\s\p{Zs}]+', ' ', 'g'))) AS clean_fp,
+        regexp_replace(regexp_replace(
+          regexp_replace(
+            regexp_replace(regexp_replace(regexp_replace(lower(s), '#.*', ''),
+              '^https?://', ''), '^www\.', ''),
+            '(utm_[a-z0-9_]*|fbclid|gclid|\bref)=[^&]*&?', '', 'g'),
+          '[?&]+$', ''), '/+$', '') AS canon,
+        regexp_extract(lower(s), '^(?:https?://)?(?:www\.)?([^/?#:]+)', 1) AS dom,
+        md5(regexp_replace(lower(s), '\s+', ' ', 'g')) AS fp
+      FROM t LEFT JOIN ent ON t.id = ent.id
+      ORDER BY id""")) { (s, d) =>
+      import s.implicits._
+      import graft.functions.TextAnalysis
+      Seq((1L, ""), (2L, " "), (3L, "a"),
+          (4L, "\tx\u200b"),
+          (5L, "e\u0301 test"),
+          (6L, "aaa bbb aaa"),
+          (7L, "https://WWW.X.com/p/?utm_a=1&ref=2#z"),
+          (8L, "EX.com/Path/")).toDF("id", "s")
+        .select($"id",
+          TextAnalysis.tokenCount($"s").as("ws_tokens"),
+          round(TextAnalysis.symbolRatio($"s"), 6).as("sym"),
+          TextAnalysis.charEntropy($"s").as("ent"),
+          md5(TextAnalysis.cleanText(TextAnalysis.normalizeText($"s"))).as("clean_fp"),
+          TextAnalysis.canonicalUrl($"s").as("canon"),
+          TextAnalysis.urlDomain($"s").as("dom"),
+          TextAnalysis.fingerprint($"s").as("fp"))
+        .orderBy("id")
+    },
+
     // zlib compression-ratio quality signal — rows-only BY NATURE: DuckDB
     // ships no zlib function, so no oracle can reproduce deflate output;
     // the behavioral contract (repetition compresses below prose, noise
