@@ -371,5 +371,22 @@ class DifferentialSpec extends AnyFunSuite {
       assert(windowed == fmtDf(spark.sql(correlated)),
         "Spark window functions disagree with the correlated-subquery form")
     }
+
+    test(s"random frame (seed=$seed): LIKE pattern battery agrees, incl. ESCAPE") {
+      loadBoth("dt", randRows(seed, 300))
+      // standard-SQL LIKE over the word column: leading/trailing/infix %,
+      // single-char _, negation, and three-valued logic on NULL strings
+      assertAgree("SELECT k, s FROM dt WHERE s LIKE '%a%'")
+      assertAgree("SELECT k, s FROM dt WHERE s LIKE '_e%'")
+      assertAgree("SELECT k, s FROM dt WHERE s LIKE 'ga_ma'")
+      assertAgree("SELECT k, s FROM dt WHERE s NOT LIKE '%ta'")
+      assertAgree(
+        "SELECT k, COUNT(*) AS c FROM dt WHERE s LIKE '%l%' OR s LIKE 'de%' GROUP BY k")
+      // ESCAPE: '!' escapes the wildcard, so '!_' matches a literal
+      // underscore — no data word contains one, so the sets diverge
+      // between the escaped and unescaped forms iff both engines agree
+      assertAgree("SELECT k, s FROM dt WHERE s LIKE '%!_%' ESCAPE '!'")
+      assertAgree("SELECT k, s FROM dt WHERE s LIKE '%_%' ESCAPE '!'")
+    }
   }
 }
