@@ -204,7 +204,10 @@ object GraftFunctions {
 
     (new FunctionIdentifier("compression_ratio"),
       new ExpressionInfo(classOf[CatalystExprs.DeflateRatio].getName, "compression_ratio"),
-      (exprs: Seq[Expression]) => CatalystExprs.DeflateRatio(exprs.head)),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 1, s"expected 1 argument, got ${exprs.length}")
+        CatalystExprs.DeflateRatio(exprs.head)
+      }),
 
     // rp_project(vec, inDim, outDim) — sign-matrix random projection;
     // dims must be literals (they shape the expression)

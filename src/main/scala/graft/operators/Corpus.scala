@@ -705,9 +705,13 @@ object Corpus {
     require(terms.nonEmpty, "terms must not be empty")
     val termLits = terms.map(t => lit(t.toLowerCase))
     val toks = split(lower(col(textCol)), " ")
-    val docs = df.select(col(idCol).as("_id"),
+    // tokenization feeds THREE consumers (the stats scalar subquery, the
+    // tf branch, and the zero-match left join) — cached for the same
+    // reason as dsirLogWeightsRaw's gram frame, and the cached frame is
+    // even thinner here (id, dl, term hits only — the raw text is gone)
+    val docs = OpCache.cached(df.select(col(idCol).as("_id"),
       size(filter(toks, t => t =!= "")).cast("bigint").as("dl"),
-      filter(toks, t => t.isin(termLits: _*)).as("_hits"))
+      filter(toks, t => t.isin(termLits: _*)).as("_hits")))
     val stats = org.apache.spark.sql.GraftBridge.column(
       org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
         docs.select(struct(count(lit(1)).as("n"),
@@ -744,17 +748,26 @@ object Corpus {
       length(col(textCol)).cast("bigint").as("_nc"),
       graft.functions.TextAnalysis.tokenCount(col(textCol)).as("_nt"),
       graft.functions.TextAnalysis.qualityScore(col(textCol)).as("_q"))
-    def pct(p: Double) =
-      if (approxQuantiles) expr(s"approx_percentile(_nc, $p, 1000)").cast("double")
-      else expr(s"percentile(_nc, $p)")
+    // ONE percentile buffer per group serving both quantiles (the
+    // two-separate-aggregates form would hold the group's full length
+    // distribution twice on the exact path / two t-digests on approx)
+    val pcts =
+      if (approxQuantiles)
+        expr("approx_percentile(_nc, array(0.5D, 0.9D), 1000)")
+      else expr("percentile(_nc, array(0.5D, 0.9D))")
     sig.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("_nc")).cast("bigint").as("total_chars"),
         sum(col("_nt")).cast("bigint").as("total_tokens"),
         round(avg(col("_nc")), 4).as("mean_chars"),
-        round(pct(0.5), 4).as("p50_chars"),
-        round(pct(0.9), 4).as("p90_chars"),
+        pcts.as("_p"),
         round(avg(col("_q")), 6).as("mean_quality"))
+      .withColumn("p50_chars", round(element_at(col("_p"), 1).cast("double"), 4))
+      .withColumn("p90_chars", round(element_at(col("_p"), 2).cast("double"), 4))
+      .drop("_p")
+      .select(col(groupCol), col("n_docs"), col("total_chars"),
+        col("total_tokens"), col("mean_chars"), col("p50_chars"),
+        col("p90_chars"), col("mean_quality"))
   }
 
   /** Per-document cross-entropy under the corpus unigram distribution —

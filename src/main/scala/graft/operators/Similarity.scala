@@ -494,12 +494,18 @@ object Similarity {
       prefix: String): PqIndex = {
     val rows = spark.table(s"${prefix}_pq_codebooks")
       .select(col("m"), col("k"), col("center")).collect()
+    require(rows.nonEmpty,
+      s"PQ index '$prefix' has an empty codebook table (${prefix}_pq_codebooks) — " +
+        "was the CREATE SIMSEARCH INDEX ... kind='ivfpq' build interrupted?")
     val m = rows.map(_.getInt(0)).max + 1
     // per-m books may be ragged on disk (see padBooks) — rebuild each
     // from its own rows, then pad to rectangular exactly as the fit does
     val books = Array.tabulate(m) { mm =>
-      rows.filter(_.getInt(0) == mm).sortBy(_.getInt(1))
+      val b = rows.filter(_.getInt(0) == mm).sortBy(_.getInt(1))
         .map(_.getSeq[Double](2).toArray)
+      require(b.nonEmpty,
+        s"PQ index '$prefix' has no codebook rows for subspace m=$mm — corrupt index")
+      b
     }
     val padded = padBooks(books)
     PqIndex(spark.table(s"${prefix}_pq_codes"), padded, padded(0)(0).length)

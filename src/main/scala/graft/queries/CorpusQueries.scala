@@ -1409,7 +1409,7 @@ object CorpusQueries {
             regexp_replace(
               regexp_replace(regexp_replace(regexp_replace(lower(url), '#.*', ''),
                 '^https?://', ''), '^www\.', ''),
-              '(utm_[a-z0-9_]*|fbclid|gclid|\\bref)=[^&]*&?', '', 'g'),
+              '(utm_[a-z0-9_]*|fbclid|gclid|\bref)=[^&]*&?', '', 'g'),
             '[?&]+$', ''), '/+$', '') AS canon,
           regexp_extract(lower(url), '^(?:https?://)?(?:www\.)?([^/?#:]+)', 1) AS dom
         FROM u)
@@ -1440,7 +1440,7 @@ object CorpusQueries {
             regexp_replace(
               regexp_replace(regexp_replace(regexp_replace(lower(url), '#.*', ''),
                 '^https?://', ''), '^www\.', ''),
-              '(utm_[a-z0-9_]*|fbclid|gclid|\\bref)=[^&]*&?', '', 'g'),
+              '(utm_[a-z0-9_]*|fbclid|gclid|\bref)=[^&]*&?', '', 'g'),
             '[?&]+$', ''), '/+$', '') AS canon,
           regexp_extract(lower(url), '^(?:https?://)?(?:www\.)?([^/?#:]+)', 1) AS dom
         FROM u)

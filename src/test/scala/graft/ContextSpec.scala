@@ -136,14 +136,26 @@ class ContextSpec extends AnyFunSuite {
       val n = spark.read.parquet(f.getAbsolutePath).count()
       assert(n <= 40, s"${f.getName} has $n rows")
     }
-    // deterministic hash sharding: the same export twice yields the same
-    // doc_id → file-content assignment (compare per-file row multisets)
+    // deterministic hash sharding: the same export twice assigns every
+    // doc_id to the SAME (partition dir, shard index) — compared per
+    // shard, not per directory tree (a whole-tree multiset compare would
+    // pass for any assignment)
     ctx.sql(s"""EXPORT TABLE exp_docs WITH (location = '$dir/shards2',
       |shards = 4, shard_by = 'doc_id', sort_by = 'doc_id',
       |partition_by = 'lang', max_records_per_file = 40)""".stripMargin)
-    def sig(p: String) = spark.read.parquet(p)
-      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
-    assert(sig(s"$dir/shards") == sig(s"$dir/shards2"))
+    def sig(root: String): Map[(String, String), Seq[Long]] =
+      new java.io.File(root).listFiles()
+        .filter(_.getName.startsWith("lang=")).flatMap { d =>
+          d.listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
+            // part-00002-<uuid>[.c000].parquet → shard index "00002";
+            // maxRecordsPerFile splits of one shard share the index
+            (d.getName, f.getName.split("-")(1)) ->
+              spark.read.parquet(f.getAbsolutePath)
+                .select("doc_id").collect().map(_.getLong(0)).toSeq
+          }
+        }.groupBy(_._1).map { case (k, vs) => k -> vs.flatMap(_._2).sorted.toSeq }
+    val s1 = sig(s"$dir/shards"); val s2 = sig(s"$dir/shards2")
+    assert(s1 == s2 && s1.size > 1)
     ctx.sql("DROP TABLE exp_docs")
   }
 
