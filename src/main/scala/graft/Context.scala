@@ -561,10 +561,18 @@ class Context(val spark: SparkSession) {
       import graft.operators.{Similarity, TextDedup}
       method match {
         case "exact" => TextDedup.exactDedup(df, id, text)
-        case "minhash" => TextDedup.minhashDedupPairs(df, id, text,
-          shingleSize = i("shingle_size", 3), numHashes = i("num_hashes", 64),
-          bands = i("bands", 16), threshold = f("threshold", 0.5),
-          maxBucket = i("max_bucket", 1000))
+        case "minhash" =>
+          val pairs = TextDedup.minhashDedupPairs(df, id, text,
+            shingleSize = i("shingle_size", 3), numHashes = i("num_hashes", 64),
+            bands = i("bands", 16), threshold = f("threshold", 0.5),
+            maxBucket = i("max_bucket", 1000))
+          // action='rewrite' runs the FULL pass (pairs → clusters →
+          // survivors → filtered corpus) and returns the deduped corpus;
+          // score= picks the per-cluster survivor criterion
+          if (opts.get("action").map(_.trim.toLowerCase).contains("rewrite"))
+            graft.operators.Corpus.dedupCorpus(df, pairs, "doc_a", "doc_b",
+              id, opts.getOrElse("score", "n_chars"))
+          else pairs
         case "ngram" => TextDedup.ngramDedupPairsBanded(df, id, text,
           n = i("n", 5), numHashes = i("num_hashes", 64),
           bands = i("bands", 16), threshold = f("threshold", 0.8),

@@ -1110,6 +1110,30 @@ object Corpus {
       .select(col("cluster"), (-col("_m.negid")).as("survivor"),
         col("_m.s").as("score"), col("n_members"))
 
+  /** The COMPLETE near-dup dedup pass in one call: candidate pairs →
+    * [[connectedComponents]] → [[pickClusterSurvivors]] → the corpus with
+    * every clustered non-survivor dropped (docs in no cluster are
+    * untouched). The composition every pipeline hand-writes; registering
+    * it keeps the cluster/survivor/anti-join seams oracle-gated END TO
+    * END, not just piecewise.
+    *
+    * Scale shape: CC and the survivor pick run over the EDGE list and the
+    * thin (node, score) projection only; the corpus itself is touched
+    * exactly twice — once to source the scores, once for the final LEFT
+    * ANTI join against the loser id list, whose size is bounded by the
+    * pair volume (at sane thresholds a sliver of the corpus). */
+  def dedupCorpus(
+      docs: DataFrame, pairs: DataFrame, aCol: String, bCol: String,
+      idCol: String, scoreCol: String): DataFrame = {
+    val labels = connectedComponents(pairs, aCol, bCol)
+    val surv = pickClusterSurvivors(labels, docs, idCol, scoreCol)
+    val losers = labels
+      .join(surv.select(col("cluster"), col("survivor")), Seq("cluster"))
+      .filter(col("node") =!= col("survivor"))
+      .select(col("node"))
+    docs.join(losers, docs(idCol).cast("long") === losers("node"), "left_anti")
+  }
+
   /** Connected components over an undirected pair list (e.g. near-duplicate
     * pairs from the LSH dedup operators) → (node, cluster) where cluster is
     * the smallest node id reachable from the node — the "pick one survivor

@@ -913,6 +913,48 @@ object CorpusQueries {
         .orderBy("cluster")
     },
 
+    // The COMPLETE dedup pass end-to-end: minhash pairs → connected
+    // components → per-cluster survivor (n_chars max, id tiebreak) → the
+    // corpus with every clustered non-survivor dropped. Oracle rebuilds
+    // the whole chain: exhaustive Jaccard pairs, recursive-CTE reachability,
+    // windowed survivor, NOT IN losers.
+    Q("p64_dedup_corpus_rewrite", Some("""
+      WITH RECURSIVE sh AS (
+        SELECT doc_id, list_distinct([array_to_string(words[i:i+2], ' ')
+                for i in range(1, len(words) - 1)]) AS shingles
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents)
+        WHERE len(words) >= 3),
+      p AS (
+        SELECT a.doc_id AS a, b.doc_id AS b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+              (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.5),
+      edges AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+      reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      lab AS (SELECT a AS doc_id, least(a, min(b)) AS cluster
+              FROM reach GROUP BY a),
+      j AS (SELECT lab.cluster, lab.doc_id, d.n_chars
+            FROM lab JOIN documents d USING (doc_id)),
+      r AS (SELECT cluster, doc_id,
+              row_number() OVER (PARTITION BY cluster
+                ORDER BY n_chars DESC, doc_id) AS rn
+            FROM j),
+      losers AS (SELECT doc_id FROM r WHERE rn > 1)
+      SELECT d.doc_id, d.n_chars
+      FROM documents d
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+      ORDER BY d.doc_id""")) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val pairs = TextDedup.minhashDedupPairs(docs, "doc_id", "text",
+        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      Corpus.dedupCorpus(docs, pairs, "doc_a", "doc_b", "doc_id", "n_chars")
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+
     // Temperature-scaled mixture weights (alpha = 0.5 upweights small
     // domains): the step that PRODUCES p23's quotas. Strata are
     // substr(source, 1, 4) — 'src1' collects src1 + src10..src19, giving a

@@ -224,6 +224,23 @@ class CorpusSqlSpec extends AnyFunSuite {
     ctx.sql("DROP TABLE packed")
   }
 
+  test("DEDUP minhash action='rewrite' returns the deduped corpus, equal to the Scala API") {
+    import graft.operators.TextDedup
+    val viaSql = ctx.sql(
+      """SELECT * FROM DEDUP(METHOD minhash
+        |  WITH (threshold = 0.5, action = 'rewrite', score = 'n_chars'),
+        |SELECT doc_id, text, n_chars FROM documents)""".stripMargin)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val docs3 = docs.select(col("doc_id"), col("text"), col("n_chars"))
+    val pairs = TextDedup.minhashDedupPairs(docs3, "doc_id", "text",
+      shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
+    val direct = Corpus.dedupCorpus(docs3, pairs, "doc_a", "doc_b",
+        "doc_id", "n_chars")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaSql == direct && viaSql.nonEmpty)
+    assert(viaSql.size < docs.count()) // something was actually dropped
+  }
+
   test("PACK materialize='true' emits the final sequences, equal to the Scala API") {
     val inner = "SELECT doc_id, source, text, token_count(text) AS n_tokens FROM documents"
     val viaSql = ctx.sql(
