@@ -92,6 +92,17 @@ object ScaleProbe {
             maxBucket = 2000),
           "doc_a", "doc_b")
       },
+      time("dedup_corpus_rewrite") {
+        // the COMPLETE pass at clone scale — every doc sits in a 20-clone
+        // cluster, so 19/20 of the corpus is dropped: worst case for the
+        // loser list (it is almost the whole corpus, the anti-join's
+        // broadcast assumption must degrade gracefully to shuffle)
+        operators.Corpus.dedupCorpus(docs,
+          operators.TextDedup.minhashDedupPairs(docs, "doc_id", "text",
+            shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5,
+            maxBucket = 2000),
+          "doc_a", "doc_b", "doc_id", "n_chars")
+      },
       time("chunk_dedup_rewrite") {
         // worst case for the first-occurrence aggregate: every chunk has
         // REP copies, so every hash bucket carries a full clone set and
