@@ -1,0 +1,14 @@
+-- TPC-DS Q67 shape (top revenue rows per rollup group): ROLLUP over the
+-- item/date hierarchy, then a windowed rank within each rollup cell keeps
+-- only the leaders — rollup + window composing over one aggregate
+SELECT * FROM (
+  SELECT p_type, YEAR(o_orderdate) AS d_year,
+         SUM(l_extendedprice * (1 - l_discount)) AS rev,
+         RANK() OVER (PARTITION BY GROUPING(p_type), GROUPING(YEAR(o_orderdate))
+                      ORDER BY SUM(l_extendedprice * (1 - l_discount)) DESC) AS rk
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  GROUP BY ROLLUP(p_type, YEAR(o_orderdate))
+) WHERE rk <= 5
+ORDER BY rk, p_type, d_year

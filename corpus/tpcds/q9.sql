@@ -1,0 +1,14 @@
+-- TPC-DS Q88 shape (one-scan multi-bucket report): several conditional
+-- counts over disjoint predicate bands computed in a single pass over the
+-- fact table — the classic "hourly store traffic" report reduced to one
+-- aggregate instead of N self-joined subqueries
+SELECT
+  COUNT(CASE WHEN l_quantity BETWEEN 1 AND 10 THEN 1 END) AS band_1_10,
+  COUNT(CASE WHEN l_quantity BETWEEN 11 AND 20 THEN 1 END) AS band_11_20,
+  COUNT(CASE WHEN l_quantity BETWEEN 21 AND 30 THEN 1 END) AS band_21_30,
+  COUNT(CASE WHEN l_quantity BETWEEN 31 AND 40 THEN 1 END) AS band_31_40,
+  COUNT(CASE WHEN l_quantity > 40 THEN 1 END) AS band_41_up,
+  SUM(CASE WHEN l_discount > 0.05 THEN l_extendedprice END) AS discounted_rev
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderstatus <> 'X'

@@ -55,7 +55,7 @@ class CorpusRunnerSpec extends AnyFunSuite {
     val ctx = new Context(spark)
     CorpusRunner.registerDir(ctx, TestSpark.sf)
     val results = CorpusRunner.run(ctx, "corpus/tpcds")
-    assert(results.map(_.query) == (1 to 8).map(i => s"q$i.sql"))
+    assert(results.map(_.query) == (1 to 10).map(i => s"q$i.sql"))
     val failed = results.filterNot(_.ok)
     assert(failed.isEmpty,
       s"corpus failures: ${failed.map(r => r.query -> r.error).mkString("; ")}")
