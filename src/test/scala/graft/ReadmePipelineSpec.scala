@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The README's "training-data pipeline, entirely in SQL" example,
+  * executed statement for statement — documentation that cannot rot.
+  * Each stage CTASes the next stage's input, ending in an EXPORT TABLE
+  * shard write that is read back and checked.
+  */
+class ReadmePipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("the README pipeline example runs end-to-end and exports shards") {
+    val ctx = new Context(spark)
+    val out = java.nio.file.Files.createTempDirectory("graft-readme").toString
+    try {
+      ctx.sql(s"CREATE TABLE docs WITH (location = '${TestSpark.sf}/documents.parquet')")
+      ctx.sql("CREATE OR REPLACE VIEW badwords AS SELECT * FROM VALUES ('nosuchword') AS t(phrase)")
+      ctx.sql("CREATE OR REPLACE VIEW bench AS SELECT doc_id, text FROM docs WHERE doc_id % 20 = 7")
+      ctx.sql("CREATE OR REPLACE VIEW quotas AS " +
+        "SELECT source, 10 AS quota FROM (SELECT DISTINCT source FROM docs)")
+      ctx.sql("""CREATE OR REPLACE TABLE flags AS
+        SELECT * FROM SCORE(METHOD blocklist WITH (table = 'badwords'),
+        SELECT doc_id, text FROM docs)""")
+      ctx.sql("""CREATE OR REPLACE TABLE clean AS
+        SELECT d.doc_id, d.source, clean_text(normalize_text(d.text)) AS text, d.n_chars
+        FROM docs d JOIN flags f ON d.doc_id = f.doc_id WHERE NOT f.blocked""")
+      ctx.sql("""CREATE OR REPLACE TABLE deduped AS
+        SELECT * FROM DEDUP(METHOD minhash WITH (threshold = 0.5, action = 'rewrite'),
+        SELECT doc_id, source, text, n_chars FROM clean)""")
+      ctx.sql("""CREATE OR REPLACE TABLE train AS
+        SELECT * FROM DECONTAMINATE(TABLE bench WITH (threshold = 0.2),
+        SELECT doc_id, text FROM deduped)""")
+      ctx.sql("""CREATE OR REPLACE TABLE mixed AS
+        SELECT * FROM STRATIFY(TABLE quotas,
+        SELECT d.doc_id, d.source, d.text FROM deduped d
+        JOIN train t ON t.doc_id = d.doc_id WHERE NOT t.contaminated)""")
+      ctx.sql("""CREATE OR REPLACE TABLE packed AS
+        SELECT * FROM PACK(CAPACITY 2048 WITH (materialize = 'true'),
+        SELECT doc_id, source, text, token_count(text) AS n_tokens FROM mixed)""")
+      ctx.sql(s"""EXPORT TABLE packed WITH (location = '$out/shards', shards = 4,
+        shard_by = 'bin', sort_by = 'bin', max_records_per_file = 100000)""")
+      val shards = spark.read.parquet(s"$out/shards")
+      val packedRows = ctx.sql("SELECT count(*) AS c FROM packed").head().getLong(0)
+      assert(packedRows > 0 && shards.count() == packedRows)
+      assert(shards.columns.toSeq ==
+        Seq("source", "bin", "n_docs", "n_tokens", "seq_text"))
+      // the pipeline actually narrowed the corpus at each gated stage
+      val nDocs = ctx.sql("SELECT count(*) AS c FROM docs").head().getLong(0)
+      val nMixed = ctx.sql("SELECT count(*) AS c FROM mixed").head().getLong(0)
+      assert(nMixed > 0 && nMixed < nDocs)
+    } finally {
+      Seq("flags", "clean", "deduped", "train", "mixed", "packed",
+        "badwords", "bench", "quotas", "docs")
+        .foreach(t => ctx.sql(s"DROP TABLE IF EXISTS $t"))
+      graft.operators.OpCache.release(spark)
+    }
+  }
+}
