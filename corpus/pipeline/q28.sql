@@ -1,3 +1,3 @@
 EXPORT TABLE doc_emb WITH (location = '/tmp/graft_pipeline_export',
-  shards = 2, shard_by = 'vec_id', sort_by = 'vec_id',
+  mode = 'overwrite', shards = 2, shard_by = 'vec_id', sort_by = 'vec_id',
   max_records_per_file = 300)

@@ -909,9 +909,12 @@ class Context(val spark: SparkSession) {
         case Some(ks) => sharded.sortWithinPartitions(ks.map(col): _*)
         case None => sharded
       }
+      // destructive-write guard (round-5 ADVICE): the location is an
+      // arbitrary user-supplied path, so clobbering must be opt-in —
+      // default errorifexists, require an explicit mode='overwrite'
       var w = sorted.write
         .format(opts.getOrElse("format", "parquet"))
-        .mode(opts.getOrElse("mode", "overwrite"))
+        .mode(opts.getOrElse("mode", "errorifexists"))
       opts.get("max_records_per_file").foreach(n =>
         w = w.option("maxRecordsPerFile", n.trim.toLong))
       cols("partition_by").foreach(ks => w = w.partitionBy(ks: _*))

@@ -180,13 +180,21 @@ object TextAnalysis {
     * rarely case-significant in practice), (3) strip the http/https
     * scheme, (4) strip one leading "www.", (5) remove the utm_ family,
     * fbclid, gclid and ref query pairs, (6) drop dangling ?/& separators,
-    * (7) drop trailing slashes. */
+    * (7) drop trailing slashes.
+    *
+    * The tracking alternation is anchored to a preceding ?/& (captured and
+    * re-inserted — RE2 has no lookbehind) so a legit param whose NAME ends
+    * in a tracking name (`?gutm_x=1`, `?xfbclid=2`) is left intact;
+    * separator runs left behind by adjacent removed params are collapsed
+    * before the dangling-separator cleanup. */
   def canonicalUrl(url: Column): Column = {
     val noFrag = regexp_replace(lower(url), "#.*", "")
     val noScheme = regexp_replace(regexp_replace(noFrag, "^https?://", ""), "^www\\.", "")
     val noTrack = regexp_replace(noScheme,
-      "(utm_[a-z0-9_]*|fbclid|gclid|\\bref)=[^&]*&?", "")
-    regexp_replace(regexp_replace(noTrack, "[?&]+$", ""), "/+$", "")
+      "([?&])(utm_[a-z0-9_]*|fbclid|gclid|ref)=[^&]*", "$1")
+    val collapsed = regexp_replace(
+      regexp_replace(noTrack, "&&+", "&"), "\\?&", "?")
+    regexp_replace(regexp_replace(collapsed, "[?&]+$", ""), "/+$", "")
   }
 
   /** Registrable host of a URL (no scheme, no www., stops at /?#:) — the
@@ -199,7 +207,16 @@ object TextAnalysis {
     * nats; base64 walls and key dumps push toward ln(alphabet)). Computed
     * in-row with the same sort + run-length fold as the repetition
     * metrics: H = ln n − (Σ cᵢ·ln cᵢ)/n over per-char counts cᵢ — no
-    * explode, no shuffle, O(n log n) per row. Empty text → 0.0. */
+    * explode, no shuffle, O(n log n) per row. Empty text → 0.0.
+    *
+    * "Character" here = UTF-16 CODE UNIT (`split(text, "")` splits on code
+    * units): a non-BMP character (emoji, rare CJK) counts as its two
+    * surrogate halves. For the gibberish-gate use case this is a feature —
+    * surrogate pairs still contribute consistent mass — but it diverges
+    * from codepoint-based engines (DuckDB) on astral input, so the oracle
+    * twin is held to ASCII corpora. Switch `split(text, "")` to
+    * `split(text, "(?<=.)")` (a codepoint-aware boundary) if astral
+    * fidelity ever matters more than the cheaper code-unit scan. */
   def charEntropy(text: Column): Column = {
     val chars = filter(split(text, ""), c => c =!= "")
     val n = size(chars)

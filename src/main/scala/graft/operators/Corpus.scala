@@ -163,8 +163,11 @@ object Corpus {
     * inside a bin is recovered by sorting the collected (offset, text)
     * structs IN-ROW (array_sort on the struct's leading field), so no
     * second window and no assumption about collect_list's arrival order.
-    * Bin text size is bounded by `capacity` tokens by construction — the
-    * one place concatenating text is safe. */
+    * Bin text size is bounded by `capacity + (max doc tokens − 1)`:
+    * [[packSequences]] assigns a document to the bin of its START offset,
+    * so a straddling (or over-capacity) document extends its bin by up to
+    * its own length — trainers that need a hard cap split such documents
+    * upstream ([[chunkDocuments]] with size=capacity) before packing. */
   def materializePacked(
       df: DataFrame, idCol: String, textCol: String, tokensCol: String,
       groupCol: String, capacity: Long, eos: String = " <eos> "): DataFrame = {
@@ -1099,7 +1102,8 @@ object Corpus {
     */
   def pickClusterSurvivors(
       labels: DataFrame, docs: DataFrame, idCol: String,
-      scoreCol: String): DataFrame =
+      scoreCol: String): DataFrame = {
+    requireIntegralId(docs, idCol, "pickClusterSurvivors")
     labels
       .join(docs.select(col(idCol).cast("long").as("node"),
         col(scoreCol).as("_score")), Seq("node"))
@@ -1109,6 +1113,22 @@ object Corpus {
         count(lit(1)).as("n_members"))
       .select(col("cluster"), (-col("_m.negid")).as("survivor"),
         col("_m.s").as("score"), col("n_members"))
+  }
+
+  /** The CC/survivor family keys on LONG node ids; a non-numeric id column
+    * would cast to NULL and silently break joins (round-5 ADVICE) — fail
+    * loudly at plan time instead. */
+  private def requireIntegralId(
+      docs: DataFrame, idCol: String, op: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val idType = docs.schema(idCol).dataType
+    val ok = idType == ByteType || idType == ShortType ||
+      idType == IntegerType || idType == LongType
+    require(ok,
+      s"$op requires an integral id column (cluster labels are longs); " +
+        s"'$idCol' is $idType — derive a surrogate long id (e.g. " +
+        "xxhash64(id)) upstream and key the pair list on it")
+  }
 
   /** The COMPLETE near-dup dedup pass in one call: candidate pairs →
     * [[connectedComponents]] → [[pickClusterSurvivors]] → the corpus with
@@ -1125,6 +1145,10 @@ object Corpus {
   def dedupCorpus(
       docs: DataFrame, pairs: DataFrame, aCol: String, bCol: String,
       idCol: String, scoreCol: String): DataFrame = {
+    // a non-numeric id would cast to NULL, the anti-join condition would
+    // never hold, and the "dedup" would silently return the corpus
+    // unchanged (round-5 ADVICE) — fail loudly instead
+    requireIntegralId(docs, idCol, "dedupCorpus")
     val labels = connectedComponents(pairs, aCol, bCol)
     val surv = pickClusterSurvivors(labels, docs, idCol, scoreCol)
     val losers = labels

@@ -57,4 +57,20 @@ object OpCache {
     val q = reg.get(spark)
     if (q == null) 0 else q.size
   }
+
+  /** Storage-layer RDD ids behind the registered frames — diagnostics/tests.
+    * Lets a test assert release() removed exactly the RDDs THIS registry
+    * owned, independent of whatever other suites sharing the session cache
+    * or the ContextCleaner unpersists concurrently. */
+  def cachedRddIds(spark: SparkSession): Set[Int] = {
+    val q = reg.get(spark)
+    if (q == null) Set.empty
+    else {
+      val b = Set.newBuilder[Int]
+      q.forEach { df =>
+        b ++= org.apache.spark.sql.GraftBridge.cachedRddIds(df); ()
+      }
+      b.result()
+    }
+  }
 }

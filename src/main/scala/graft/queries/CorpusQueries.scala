@@ -1448,10 +1448,12 @@ object CorpusQueries {
         FROM documents),
       c AS (SELECT doc_id,
           regexp_replace(regexp_replace(
-            regexp_replace(
-              regexp_replace(regexp_replace(regexp_replace(lower(url), '#.*', ''),
-                '^https?://', ''), '^www\.', ''),
-              '(utm_[a-z0-9_]*|fbclid|gclid|\bref)=[^&]*&?', '', 'g'),
+            regexp_replace(regexp_replace(
+              regexp_replace(
+                regexp_replace(regexp_replace(regexp_replace(lower(url), '#.*', ''),
+                  '^https?://', ''), '^www\.', ''),
+                '([?&])(utm_[a-z0-9_]*|fbclid|gclid|ref)=[^&]*', '\1', 'g'),
+              '&&+', '&', 'g'), '\?&', '?', 'g'),
             '[?&]+$', ''), '/+$', '') AS canon,
           regexp_extract(lower(url), '^(?:https?://)?(?:www\.)?([^/?#:]+)', 1) AS dom
         FROM u)
@@ -1479,10 +1481,12 @@ object CorpusQueries {
         FROM documents),
       c AS (SELECT doc_id,
           regexp_replace(regexp_replace(
-            regexp_replace(
-              regexp_replace(regexp_replace(regexp_replace(lower(url), '#.*', ''),
-                '^https?://', ''), '^www\.', ''),
-              '(utm_[a-z0-9_]*|fbclid|gclid|\bref)=[^&]*&?', '', 'g'),
+            regexp_replace(regexp_replace(
+              regexp_replace(
+                regexp_replace(regexp_replace(regexp_replace(lower(url), '#.*', ''),
+                  '^https?://', ''), '^www\.', ''),
+                '([?&])(utm_[a-z0-9_]*|fbclid|gclid|ref)=[^&]*', '\1', 'g'),
+              '&&+', '&', 'g'), '\?&', '?', 'g'),
             '[?&]+$', ''), '/+$', '') AS canon,
           regexp_extract(lower(url), '^(?:https?://)?(?:www\.)?([^/?#:]+)', 1) AS dom
         FROM u)

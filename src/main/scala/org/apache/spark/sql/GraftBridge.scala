@@ -52,6 +52,17 @@ object GraftBridge {
     ds.sparkSession.sharedState.cacheManager.lookupCachedData(ds).isDefined
   }
 
+  /** Storage-layer RDD ids of this plan's CacheManager entry (empty if the
+    * plan is not cached). The id identifies the persisted column-buffer RDD
+    * in `sparkContext.getPersistentRDDs`, letting a caller verify that an
+    * unpersist removed exactly ITS entries in a session shared with other
+    * cache owners. */
+  def cachedRddIds(df: Dataset[_]): Seq[Int] = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    ds.sparkSession.sharedState.cacheManager.lookupCachedData(ds).toSeq
+      .map(_.cachedRepresentation.cacheBuilder.cachedColumnBuffers.id)
+  }
+
   /** Register a temp SQL function by expression-builder — the hook Spark's
     * own registration sugar sits on, needed for signature-dispatched
     * overloads (plain `spark.udf.register` holds ONE function per name). */

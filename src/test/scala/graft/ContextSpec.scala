@@ -143,6 +143,15 @@ class ContextSpec extends AnyFunSuite {
     ctx.sql(s"""EXPORT TABLE exp_docs WITH (location = '$dir/shards2',
       |shards = 4, shard_by = 'doc_id', sort_by = 'doc_id',
       |partition_by = 'lang', max_records_per_file = 40)""".stripMargin)
+    // destructive-write guard: re-exporting to an existing location must
+    // fail unless mode='overwrite' is explicit (round-5 ADVICE)
+    intercept[Exception] {
+      ctx.sql(s"EXPORT TABLE exp_docs WITH (location = '$dir/shards2')")
+    }
+    ctx.sql(s"""EXPORT TABLE exp_docs WITH (location = '$dir/shards2',
+      |mode = 'overwrite', shards = 4, shard_by = 'doc_id',
+      |sort_by = 'doc_id', partition_by = 'lang',
+      |max_records_per_file = 40)""".stripMargin)
     def sig(root: String): Map[(String, String), Seq[Long]] =
       new java.io.File(root).listFiles()
         .filter(_.getName.startsWith("lang=")).flatMap { d =>

@@ -349,6 +349,22 @@ class CorpusSpec extends AnyFunSuite {
     assert(out == Map(1L -> ((2L, 90L, 3L)), 10L -> ((10L, 5L, 2L))))
   }
 
+  test("CC/survivor family rejects non-integral id columns loudly") {
+    // a string id would cast to NULL in the long-keyed joins and the dedup
+    // would silently no-op (round-5 ADVICE) — must throw instead
+    val labels = Seq((1L, 1L)).toDF("node", "cluster")
+    val docsStr = Seq(("a", 5L), ("b", 4L)).toDF("doc_id", "n_chars")
+    val pairs = Seq((1L, 2L)).toDF("a", "b")
+    val e1 = intercept[IllegalArgumentException] {
+      Corpus.pickClusterSurvivors(labels, docsStr, "doc_id", "n_chars")
+    }
+    assert(e1.getMessage.contains("integral id column"))
+    val e2 = intercept[IllegalArgumentException] {
+      Corpus.dedupCorpus(docsStr, pairs, "a", "b", "doc_id", "n_chars")
+    }
+    assert(e2.getMessage.contains("integral id column"))
+  }
+
   test("mixtureWeights: temperature compresses skew, quotas track the budget") {
     // 900 docs in A, 100 in B: proportional sampling gives 9:1; alpha=0.5
     // compresses to 3:1 (sqrt), upweighting the small domain

@@ -10,13 +10,9 @@ import graft.operators.{OpCache, Similarity, TextDedup}
 class OpCacheSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  private def persistentCount: Int = spark.sparkContext.getPersistentRDDs.size
-
-  test("repeated dedup calls register caches; release returns storage to baseline") {
+  test("repeated dedup calls register caches; release removes exactly them") {
     // start clean: other suites share the session
     OpCache.release(spark)
-    spark.sharedState.cacheManager.clearCache()
-    val baselineRdds = persistentCount
     val docs = Tables.t(spark, TestSpark.sf, "documents").limit(200)
 
     // three rounds of the operators that cache internally, each consumed
@@ -37,12 +33,22 @@ class OpCacheSpec extends AnyFunSuite {
     Similarity.semanticDedup(
       Tables.t(spark, TestSpark.sf, "embeddings").limit(100), tau = 0.3).count()
     assert(OpCache.registered(spark) > afterFirstRound) // new plan, new entry
-    assert(persistentCount > baselineRdds, "caches should be materialized")
 
-    OpCache.release(spark)
+    // Track the exact storage RDDs OUR registry owns (other suites share
+    // this session and the ContextCleaner unpersists their garbage
+    // asynchronously, so a global persistent-RDD count is racy in both
+    // directions — round-5 verdict finding #1).
+    val ourIds = OpCache.cachedRddIds(spark)
+    assert(ourIds.nonEmpty, "registered caches should have storage RDDs")
+    assert(ourIds.subsetOf(spark.sparkContext.getPersistentRDDs.keySet.toSet),
+      "our cached RDDs should be marked persistent")
+
+    OpCache.releaseBlocking(spark)
     assert(OpCache.registered(spark) == 0)
-    assert(persistentCount == baselineRdds,
-      s"storage must return to baseline ($baselineRdds), got $persistentCount")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet.toSet
+      .intersect(ourIds)
+    assert(leaked.isEmpty,
+      s"release must unpersist every registry-owned RDD; still live: $leaked")
   }
 
   test("released frames still answer correctly (recompute, not failure)") {

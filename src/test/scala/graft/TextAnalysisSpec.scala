@@ -203,6 +203,18 @@ class TextAnalysisSpec extends AnyFunSuite {
     val kept = Seq("https://a.com/x?id=3&utm_campaign=c&page=2").toDF("u")
       .select(TextAnalysis.canonicalUrl($"u")).head().getString(0)
     assert(kept == "a.com/x?id=3&page=2")
+    // a param whose NAME merely ENDS in a tracking name is NOT a tracking
+    // param — the alternation is anchored to the preceding ?/& (the round-5
+    // ADVICE regression: '?gutm_x=1' / '?xfbclid=2' were partially eaten)
+    val anchored = Seq(
+      "https://a.com/x?gutm_x=1",
+      "https://a.com/x?xfbclid=2&b=3",
+      "https://a.com/x?utm_a=1&utm_b=2&id=7" // adjacent removals collapse
+    ).toDF("u").select(TextAnalysis.canonicalUrl($"u"))
+      .collect().map(_.getString(0))
+    assert(anchored(0) == "a.com/x?gutm_x=1")
+    assert(anchored(1) == "a.com/x?xfbclid=2&b=3")
+    assert(anchored(2) == "a.com/x?id=7")
   }
 
   test("urlDomain extracts the registrable host, stops at port/path") {
