@@ -859,7 +859,12 @@ class Context(val spark: SparkSession) {
         idCol = opts.getOrElse("id", "doc_id"),
         textCol = opts.getOrElse("text", "text"),
         merges = lookupTable(table),
-        maxMerges = opts.get("max_merges").map(_.trim.toInt).getOrElse(256))
+        // max_merges is an optional acceptance guard; production-size
+        // tables (32k+ merges) compile into the single-node native
+        // expression past fold_limit, so there is no default cap
+        maxMerges = opts.get("max_merges").map(_.trim.toInt)
+          .getOrElse(Int.MaxValue),
+        foldLimit = opts.get("fold_limit").map(_.trim.toInt).getOrElse(96))
 
     // SELECT * FROM SUMMARIZE(BY col [WITH (...)], <select>) — per-group
     // corpus profile (doc count, char/token volume, length percentiles,

@@ -184,6 +184,27 @@ object ScaleProbe {
         operators.Corpus.bpeEncode(docs, "doc_id", "text", merges)
           .select(col("doc_id"), col("n_tokens"))
       },
+      time("bpe_encode_32k_native") {
+        // production-size tokenizer table through the native eval-looped
+        // expression: 64 merges learned from the corpus (these do the real
+        // merge work) + a deterministic synthetic tail to 32,768 rows (the
+        // rank-index size a real 32k tokenizer carries). The fold form
+        // cannot even ANALYZE a table this size (tree depth grows with
+        // merges); the native node's per-word cost is O(len²), independent
+        // of table size — encode throughput must match the small-table run
+        val learned = operators.Corpus.bpeLearnMerges(docs.limit(3000), "text",
+          nMerges = 8).select("lhs", "rhs").collect()
+          .map(r => (r.getString(0), r.getString(1)))
+        val syms = ('a' to 'z').map(_.toString)
+        val tail = (for (a <- syms; b <- syms; c <- syms; d <- syms)
+          yield (a + b + "q", c + d + "z")).take(32768 - learned.length)
+        import spark.implicits._
+        val table = (learned ++ tail).zipWithIndex
+          .map { case ((l, r), i) => (i.toLong + 1, l, r) }
+          .toSeq.toDF("round", "lhs", "rhs")
+        operators.Corpus.bpeEncode(docs, "doc_id", "text", table)
+          .select(col("doc_id"), col("n_tokens"))
+      },
       time("global_line_removal") {
         // corpus-wide C4 line rule at clone scale: line structure injected
         // as in p51 (nav constant + banner by id%7 + unique body), so the

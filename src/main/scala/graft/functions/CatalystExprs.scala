@@ -888,4 +888,130 @@ object CatalystExprs {
 
   def normalizeUnicode(text: Column, form: String): Column =
     GraftBridge.column(NormalizeUnicode(GraftBridge.expression(text), form))
+
+  /** Production-size BPE encoding — the scale path past `Corpus.bpeEncode`'s
+    * expression-compiled fold form, whose tree depth grows with the merge
+    * count (a 32k-merge tokenizer would be a 32k-deep nested-aggregate tree:
+    * unanalyzable, uncodegen-able, and chained-projection chunking collapses
+    * right back under CollapseProject). This is ONE tree node whose eval
+    * loops the table instead: constant plan size and analysis cost at ANY
+    * merge count, still a pure per-row projection (CodegenFallback — the
+    * surrounding projection codegens; only this node runs interpreted).
+    *
+    * Semantics are EXACTLY the fold form's (spec-enforced equality):
+    * lowercase, split on single spaces, drop empty words, start each word
+    * as its UTF-16 code units, then apply every merge in learned (rank)
+    * order, each as one greedy left-to-right non-overlapping pass.
+    *
+    * The sequential pass is executed WITHOUT touching most of the table:
+    * maintain a cursor k = next unapplied rank; each step scans the word's
+    * current ADJACENT pairs, looks each up in the rank index, applies the
+    * minimal present rank ≥ k, and advances k past it. Ranks skipped this
+    * way are exactly the no-op passes of the sequential definition (their
+    * pair is absent — pair adjacency can never be CREATED for a pair of
+    * symbols that doesn't involve the newly merged symbol, and merges
+    * involving that symbol always rank later). Per-word cost is therefore
+    * O(len² × lookup), INDEPENDENT of table size — a 32k-merge vocabulary
+    * costs the same as 100 merges. A duplicate (lhs, rhs) pair at several
+    * ranks keeps all its ranks (sorted; binary-searched for the first
+    * ≥ k), so even degenerate hand-built tables replay exactly.
+    *
+    * Reference: the merge-table inference rule of Sennrich et al. 2016
+    * (BPE subword units), applied in learned order — the semantics
+    * `Corpus.bpeLearnMerges` trains for. */
+  case class BpeEncodeMerges(child: Expression, merges: Seq[(String, String)])
+      extends UnaryExpression with CodegenFallback {
+
+    @transient private lazy val mergeArr: Array[(String, String)] =
+      merges.toArray
+
+    // rank index: pair -> ascending ranks (0-based learned order)
+    @transient private lazy val rankIndex
+        : java.util.HashMap[(String, String), Array[Int]] = {
+      val m = new java.util.HashMap[(String, String), Array[Int]]()
+      merges.zipWithIndex.foreach { case (p, i) =>
+        m.merge(p, Array(i), (a, b) => a ++ b)
+      }
+      m // per-pair arrays are appended in index order => already sorted
+    }
+
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+    /** First rank ≥ k for this pair, or Int.MaxValue. */
+    private def firstRankAtLeast(a: String, b: String, k: Int): Int = {
+      val rs = rankIndex.get((a, b))
+      if (rs == null) Int.MaxValue
+      else {
+        // tables are de-duplicated in practice: rs.length is 1 — linear scan
+        var i = 0
+        while (i < rs.length && rs(i) < k) i += 1
+        if (i < rs.length) rs(i) else Int.MaxValue
+      }
+    }
+
+    private def encodeWord(
+        word: String, out: scala.collection.mutable.ArrayBuffer[Any]): Unit = {
+      var syms: Array[String] = {
+        val a = new Array[String](word.length)
+        var i = 0
+        while (i < word.length) { a(i) = String.valueOf(word.charAt(i)); i += 1 }
+        a
+      }
+      var k = 0
+      var done = syms.length < 2
+      while (!done) {
+        // minimal applicable rank ≥ k among current adjacent pairs
+        var best = Int.MaxValue
+        var i = 0
+        while (i < syms.length - 1) {
+          val r = firstRankAtLeast(syms(i), syms(i + 1), k)
+          if (r < best) best = r
+          i += 1
+        }
+        if (best == Int.MaxValue) done = true
+        else {
+          val (l, r) = mergeArr(best)
+          val nb = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+          var j = 0
+          while (j < syms.length) { // greedy left-to-right, non-overlapping
+            if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+              nb += l + r; j += 2
+            } else { nb += syms(j); j += 1 }
+          }
+          syms = nb.toArray
+          k = best + 1
+          done = syms.length < 2
+        }
+      }
+      var i = 0
+      while (i < syms.length) {
+        out += org.apache.spark.unsafe.types.UTF8String.fromString(syms(i))
+        i += 1
+      }
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+        .toLowerCase.toString
+      val out = new scala.collection.mutable.ArrayBuffer[Any]()
+      var start = 0
+      var i = 0
+      val n = text.length
+      while (i <= n) {
+        if (i == n || text.charAt(i) == ' ') {
+          if (i > start) encodeWord(text.substring(start, i), out)
+          start = i + 1
+        }
+        i += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+
+    override def prettyName: String = "bpe_encode_merges"
+    override protected def withNewChildInternal(c: Expression): BpeEncodeMerges =
+      copy(child = c)
+  }
+
+  def bpeEncodeMerges(text: Column, merges: Seq[(String, String)]): Column =
+    GraftBridge.column(BpeEncodeMerges(GraftBridge.expression(text), merges))
 }

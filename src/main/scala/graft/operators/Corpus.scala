@@ -1062,30 +1062,49 @@ object Corpus {
     * (id, tokens, n_tokens). Completes the tokenizer story:
     * learn ([[bpeLearnMerges]]) → encode (this) → count/pack downstream.
     *
-    * Scale shape: the merge table is TOKENIZER-sized (kilobytes — the
-    * trusted small side, like [[bigramLogPerplexityAgainst]]'s reference
-    * model), collected once on the driver and compiled INTO the expression
-    * as literals; encoding is then a pure per-row projection — no shuffle,
+    * Scale shape: the merge table is TOKENIZER-sized (kilobytes to a few
+    * MB — the trusted small side, like [[bigramLogPerplexityAgainst]]'s
+    * reference model), collected once on the driver and compiled INTO the
+    * expression; encoding is then a pure per-row projection — no shuffle,
     * no UDF, no per-row state, embarrassingly parallel over any corpus
-    * size. Expression depth grows with the merge count, so the table size
-    * is capped (analysis cost is O(merges × fold body); the cap is far
-    * above any hand-learned table and protects against feeding a full
-    * 50k-merge production tokenizer into a single expression tree —
-    * chunked application via intermediate columns is the path there).
+    * size. TWO compilation strategies, identical semantics (spec-enforced
+    * equality), switched on table size:
+    *
+    *  - `≤ foldLimit` merges: the nested-aggregate FOLD form — every merge
+    *    one codegen'd fold pass. Whole-stage-codegen keeps it fused, and
+    *    the fold is what the DuckDB oracle replays (chained replace()), so
+    *    the small-table form stays oracle-portable. Its expression DEPTH
+    *    grows with the merge count, though: analysis cost is
+    *    O(merges × fold body) and the interpreter recurses the tree, so a
+    *    production table would blow the tree up (and chunking across
+    *    chained projections just collapses back under CollapseProject).
+    *  - above: ONE native node ([[graft.functions.CatalystExprs.BpeEncodeMerges]])
+    *    whose eval loops the table — constant plan size/analysis cost at
+    *    ANY merge count, per-word cost O(len²) INDEPENDENT of table size
+    *    (rank-indexed skip of absent pairs), lifting the old 256-merge cap
+    *    to full 32k–50k production tokenizers.
+    *
+    * `maxMerges` remains an optional hard guard for callers that want to
+    * bound the table they accept (the TOKENIZE statement's max_merges=).
     */
   def bpeEncode(df: DataFrame, idCol: String, textCol: String,
-      merges: DataFrame, maxMerges: Int = 256): DataFrame = {
+      merges: DataFrame, maxMerges: Int = Int.MaxValue,
+      foldLimit: Int = 96): DataFrame = {
     val table = merges.orderBy("round").select("lhs", "rhs")
       .collect().map(row => (row.getString(0), row.getString(1)))
     require(table.length <= maxMerges,
-      s"merge table has ${table.length} rows (> $maxMerges); " +
-        "apply in chunks via intermediate columns for production tokenizers")
-    val words = filter(split(lower(col(textCol)), " "), t => t =!= "")
-    val perWord = transform(words, w =>
-      table.foldLeft(split(w, "")) { case (syms, (l, r)) =>
-        mergePairFold(syms, l, r)
-      })
-    df.select(col(idCol), flatten(perWord).as("tokens"))
+      s"merge table has ${table.length} rows (> max_merges=$maxMerges)")
+    val toks =
+      if (table.length <= foldLimit) {
+        val words = filter(split(lower(col(textCol)), " "), t => t =!= "")
+        flatten(transform(words, w =>
+          table.foldLeft(split(w, "")) { case (syms, (l, r)) =>
+            mergePairFold(syms, l, r)
+          }))
+      } else {
+        graft.functions.CatalystExprs.bpeEncodeMerges(col(textCol), table.toSeq)
+      }
+    df.select(col(idCol), toks.as("tokens"))
       .withColumn("n_tokens", size(col("tokens")).cast("bigint"))
   }
 

@@ -1,0 +1,224 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Corpus
+
+/** Production-size BPE encoding (the round-5 verdict's "chunked BPE" item,
+  * resolved as ONE native eval-looped expression instead of chunked
+  * columns — see [[graft.functions.CatalystExprs.BpeEncodeMerges]]):
+  *
+  *  - fold form and native form are spec-equal on a learned table,
+  *  - the native form equals an independent pure-Scala SEQUENTIAL reference
+  *    on a 1,000-merge learned table (the verdict's done-bar),
+  *  - sequential-order semantics are pinned by an adversarial table where
+  *    priority-queue BPE (GPT-2 style "min rank present, re-scan") would
+  *    give a DIFFERENT answer,
+  *  - duplicate (lhs,rhs) ranks replay exactly,
+  *  - a full 32k-merge table compiles and runs (the old 256 cap is gone).
+  */
+class BpeEncodeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- pure-Scala reference: one greedy left-to-right pass of ONE merge
+  private def applyMergeRef(
+      syms: Vector[String], l: String, r: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Sequential BPE inference: every merge applied in learned order. */
+  private def encodeRef(word: String, merges: Seq[(String, String)]): Vector[String] =
+    merges.foldLeft(word.map(_.toString).toVector) {
+      case (s, (l, r)) => applyMergeRef(s, l, r)
+    }
+
+  /** Reference BPE learner over a word-count map (mirrors bpeLearnMerges:
+    * max pair count, (lhs, rhs) lexicographic tiebreak, greedy rewrite). */
+  private def learnRef(
+      wordCounts: Map[String, Long], n: Int): Seq[(String, String)] = {
+    var vocab: Map[Vector[String], Long] = wordCounts.toSeq
+      .groupMapReduce(_._1.map(_.toString).toVector)(_._2)(_ + _)
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var stop = false
+    while (merges.length < n && !stop) {
+      val counts = scala.collection.mutable.HashMap
+        .empty[(String, String), Long].withDefaultValue(0L)
+      vocab.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          counts((syms(i), syms(i + 1))) += c; i += 1
+        }
+      }
+      if (counts.isEmpty) stop = true
+      else {
+        val (l, r) = counts.toSeq
+          .minBy { case ((a, b), c) => (-c, a, b) }._1
+        merges += ((l, r))
+        vocab = vocab.toSeq
+          .map { case (syms, c) => applyMergeRef(syms, l, r) -> c }
+          .groupMapReduce(_._1)(_._2)(_ + _)
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Word counts of the test corpus, computed Scala-side (ASCII docs only
+    * so JVM toLowerCase == Spark lower byte-for-byte). */
+  private lazy val (docs, wordCounts) = {
+    val d = Tables.t(spark, TestSpark.sf, "documents")
+      .filter(col("text").rlike("^[\\x00-\\x7F]*$")).limit(120)
+      .select("doc_id", "text").cache()
+    val wc = d.collect()
+      .flatMap(_.getString(1).toLowerCase.split(' ').filter(_.nonEmpty))
+      .groupMapReduce(identity)(_ => 1L)(_ + _)
+    (d, wc)
+  }
+
+  /** The sf documents use a ~90-word vocabulary — too small to LEARN a
+    * production-size table from (≈89 merges exhaust it). The big-table
+    * tests use a deterministic synthetic corpus instead: 3,000 distinct
+    * letter-words with a Zipf head, rich enough for 1,000+ learned merges. */
+  private def synthWord(i: Int): String = {
+    var x = (i * 2654435761L + 11L) & 0x7fffffffL
+    val len = 6 + (i % 5)
+    val sb = new StringBuilder
+    (0 until len).foreach { _ =>
+      sb.append(('a' + (x % 26)).toChar)
+      x = (x * 6364136223846793005L + 1442695040888963407L) & 0x7fffffffL
+    }
+    sb.result()
+  }
+  private lazy val (synthDocs, synthWordCounts) = {
+    val texts = (0 until 300).map { d =>
+      val words = (0 until 80).map { j =>
+        // Zipf-ish head: every 4th slot draws from the top-60 words
+        val idx = if (j % 4 == 0) (d * 7 + j) % 60 else (d * 31 + j * 13) % 3000
+        synthWord(idx)
+      }
+      (d.toLong, words.mkString(" "))
+    }
+    val df = texts.toDF("doc_id", "text").cache()
+    val wc = texts.flatMap(_._2.split(' ')).groupMapReduce(identity)(_ => 1L)(_ + _)
+    (df, wc)
+  }
+
+  private def mergesDf(t: Seq[(String, String)]) =
+    t.zipWithIndex.map { case ((l, r), i) => (i.toLong + 1, l, r) }
+      .toDF("round", "lhs", "rhs")
+
+  private def tokensOf(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[String]] =
+    df.collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+
+  test("fold form and native form produce identical tokens (64 learned merges)") {
+    val table = learnRef(wordCounts, 64)
+    assert(table.length == 64)
+    val fold = tokensOf(Corpus.bpeEncode(docs, "doc_id", "text",
+      mergesDf(table))) // 64 <= foldLimit: the codegen'd fold path
+    val native = tokensOf(Corpus.bpeEncode(docs, "doc_id", "text",
+      mergesDf(table), foldLimit = 0)) // forced native expression
+    assert(fold.nonEmpty && fold == native)
+  }
+
+  test("native form equals the sequential reference on a 1,000-merge learned table") {
+    val table = learnRef(synthWordCounts, 1000)
+    assert(table.length == 1000, s"corpus supports only ${table.length} merges")
+    val got = tokensOf(Corpus.bpeEncode(synthDocs, "doc_id", "text", mergesDf(table)))
+    // reference encode over DISTINCT words (Zipf), then per-doc expansion
+    val cache = scala.collection.mutable.HashMap.empty[String, Vector[String]]
+    val expected = synthDocs.collect().map { r =>
+      r.getLong(0) -> r.getString(1).split(' ').filter(_.nonEmpty)
+        .flatMap(w => cache.getOrElseUpdate(w, encodeRef(w, table))).toSeq
+    }.toMap
+    assert(got == expected)
+    // sanity: the learned head actually compresses (fewer tokens than chars)
+    val nTok = got.values.map(_.size).sum
+    val nChar = expected.values.map(_.map(_.length).sum).sum
+    assert(nTok > 0 && nTok < nChar)
+  }
+
+  test("sequential order is preserved where priority-queue BPE would diverge") {
+    // r5 re-creates 'abc' AFTER the cursor has passed r4's (abc, d):
+    // sequential yields [abc, d]; priority BPE (min rank present, rescan
+    // from scratch) would then apply r4 and yield [abcd]
+    val table = Seq(("a", "b"), ("b", "c"), ("a", "bc"), ("abc", "d"), ("ab", "c"))
+    val df = Seq((1L, "abcd")).toDF("doc_id", "text")
+    assert(encodeRef("abcd", table) == Vector("abc", "d")) // pin the reference
+    val native = tokensOf(Corpus.bpeEncode(df, "doc_id", "text",
+      mergesDf(table), foldLimit = 0))(1L)
+    val fold = tokensOf(Corpus.bpeEncode(df, "doc_id", "text",
+      mergesDf(table)))(1L)
+    assert(native == Seq("abc", "d") && fold == Seq("abc", "d"))
+  }
+
+  test("duplicate (lhs, rhs) pairs replay at EVERY rank, not just the first") {
+    // ("ab","cd") appears at rank 1 (inapplicable: symbols not built yet)
+    // and again at rank 4 (applicable) — a min-rank-only index would skip
+    // the rank-4 replay and leave [ab, cd]
+    val table = Seq(("ab", "cd"), ("a", "b"), ("c", "d"), ("ab", "cd"))
+    val df = Seq((1L, "abcd")).toDF("doc_id", "text")
+    assert(encodeRef("abcd", table) == Vector("abcd"))
+    val native = tokensOf(Corpus.bpeEncode(df, "doc_id", "text",
+      mergesDf(table), foldLimit = 0))(1L)
+    assert(native == Seq("abcd"))
+  }
+
+  test("a 32k-merge production-size table compiles and encodes (cap lifted)") {
+    // learned head (does real merge work) + deterministic synthetic tail
+    // to 32,768 rows — the tail exercises rank-index size, not the text
+    val head = learnRef(synthWordCounts, 1024)
+    val syms = ('a' to 'z').map(_.toString)
+    val tail = (for (a <- syms; b <- syms; c <- syms; d <- syms)
+      yield (a + b + "q", c + d + "z")).take(32768 - head.length)
+    val table = head ++ tail
+    assert(table.length == 32768)
+    val t0 = System.nanoTime()
+    val out = Corpus.bpeEncode(synthDocs.limit(40), "doc_id", "text",
+      mergesDf(table)).select("doc_id", "n_tokens").collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(out.length == 40 && out.forall(_.getLong(1) > 0))
+    // the old fold form could not ANALYZE this table; the native node must
+    // stay interactive (constant plan size, O(len²) per word)
+    assert(secs < 60.0, f"32k-merge encode took $secs%.1f s")
+    // and the head merges must still match the sequential reference
+    val toks = tokensOf(Corpus.bpeEncode(synthDocs.limit(10), "doc_id", "text",
+      mergesDf(table)))
+    val cache = scala.collection.mutable.HashMap.empty[String, Vector[String]]
+    val expected = synthDocs.limit(10).collect().map { r =>
+      r.getLong(0) -> r.getString(1).split(' ').filter(_.nonEmpty)
+        .flatMap(w => cache.getOrElseUpdate(w, encodeRef(w, table))).toSeq
+    }.toMap
+    assert(toks == expected)
+  }
+
+  test("TOKENIZE runs a production-size merge table through the statement surface") {
+    val ctx = new Context(spark)
+    ctx.createTable("docs_tok", synthDocs)
+    val table = learnRef(synthWordCounts, 1000)
+    ctx.createTable("big_merges", mergesDf(table))
+    val viaSql = ctx.sql(
+      """SELECT * FROM TOKENIZE(TABLE big_merges,
+        |SELECT doc_id, text FROM docs_tok)""".stripMargin)
+      .select("doc_id", "n_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val direct = Corpus.bpeEncode(synthDocs, "doc_id", "text", mergesDf(table))
+      .select("doc_id", "n_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaSql == direct && viaSql.nonEmpty)
+    // the acceptance guard still works when asked for
+    val e = intercept[IllegalArgumentException](ctx.sql(
+      """SELECT * FROM TOKENIZE(TABLE big_merges WITH (max_merges = '100'),
+        |SELECT doc_id, text FROM docs_tok)""".stripMargin))
+    assert(e.getMessage.contains("merge table"))
+    ctx.sql("DROP TABLE IF EXISTS big_merges")
+    ctx.sql("DROP TABLE IF EXISTS docs_tok")
+  }
+}
