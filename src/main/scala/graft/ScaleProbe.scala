@@ -246,6 +246,21 @@ object ScaleProbe {
           Seq("vector", "merge", "slow scan", "hash join").toDF("phrase"),
           "doc_id", "text", "phrase")
       },
+      time("blocklist_flag_500_table") {
+        // the TABLE-driven gate at 500 phrases: since r6 the phrase half is
+        // collected once and compiled into the same Aho-Corasick node the
+        // literal form uses (below) — cost must match blocklist_ac_500,
+        // not scale with the list
+        import spark.implicits._
+        val words = Seq("key", "agg", "row", "scan", "slow", "fast", "table",
+          "value", "part", "hash", "merge", "batch", "line", "sort", "window",
+          "join", "small", "customer", "query", "big", "vector", "stream",
+          "filter", "group", "order", "column", "data", "spark")
+        val phrases = (for (a <- words; b <- words if a != b)
+          yield s"$a $b").take(500)
+        operators.Corpus.blocklistFlag(docs, phrases.toDF("phrase"),
+          "doc_id", "text", "phrase")
+      },
       time("blocklist_ac_500") {
         // the Aho-Corasick claim, measured: 500 phrases in ONE text pass.
         // Phrases derived deterministically from the corpus vocabulary so

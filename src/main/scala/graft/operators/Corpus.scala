@@ -303,32 +303,60 @@ object Corpus {
     * literal-list form of `TextAnalysis.blocklistHits`): flag every
     * document that matches any entry of a blocklist TABLE. Single-word
     * entries match on whitespace-token identity via a per-row set intersect
-    * (O(tokens + |list|), no substring scans); multi-word entries fall back
-    * to a case-insensitive substring scan per phrase (curated phrase lists
-    * are O(100), so the per-row cost is bounded by design — an Aho-Corasick
-    * expression is the upgrade path if a list ever grows past that).
+    * (O(tokens + |list|), no substring scans); multi-word entries are
+    * COLLECTED once (blocklists are curated-small by the operator's
+    * contract — guarded at 64k phrases) and compiled into ONE Aho–Corasick
+    * pass ([[graft.functions.CatalystExprs.MultiSubstringHits]]):
+    * O(text + matches) per row regardless of phrase count, vs the
+    * contains-per-phrase composition's O(text × phrases) — measured at the
+    * 20× envelope, 500 phrases cost the same as 4 (PLANS 34/40).
     *
-    * Scale shape: the list collapses to ONE array row (word set + phrase
-    * set) and rides a broadcast nested-loop join — the [[removeGlobalRepeatedLines]]
-    * hot-set pattern; documents never shuffle and the check is a pure
-    * projection. `n_hits` counts DISTINCT matched entries, so the output
-    * is list-order independent. Returns (id, n_hits, blocked).
+    * Scale shape: the word set collapses to ONE array row and rides a
+    * broadcast nested-loop join — the [[removeGlobalRepeatedLines]]
+    * hot-set pattern; the phrase automaton ships inside the projection
+    * itself; documents never shuffle and the check is a pure projection.
+    * `n_hits` counts DISTINCT matched entries, so the output is list-order
+    * independent. Returns (id, n_hits, blocked).
+    *
+    * `compilePhrases = false` keeps the composed contains-per-phrase form
+    * (the equality-spec baseline; also the escape hatch if a caller must
+    * avoid the plan-time collect of the phrase half).
     */
   def blocklistFlag(
       df: DataFrame, blocklist: DataFrame, idCol: String,
-      textCol: String, phraseCol: String): DataFrame = {
+      textCol: String, phraseCol: String,
+      compilePhrases: Boolean = true): DataFrame = {
     val norm = blocklist
       .select(lower(trim(col(phraseCol))).as("p"))
       .filter(col("p") =!= "").distinct()
-    val hot = norm.agg(
-      sort_array(collect_set(when(!col("p").contains(" "), col("p")))).as("_w"),
-      sort_array(collect_set(when(col("p").contains(" "), col("p")))).as("_ph"))
     val lt = lower(col(textCol))
-    df.crossJoin(broadcast(hot))
-      .select(col(idCol),
-        (size(array_intersect(array_distinct(split(lt, " ")), col("_w"))) +
-          size(filter(col("_ph"), p => contains(lt, p)))).cast("bigint").as("n_hits"))
-      .withColumn("blocked", col("n_hits") > 0L)
+    if (compilePhrases) {
+      val phrases = norm.filter(col("p").contains(" "))
+        .orderBy("p").limit(65537).collect().map(_.getString(0))
+      require(phrases.length <= 65536,
+        "blocklist has more than 65536 multi-word phrases — not a curated " +
+          "list; pass compilePhrases=false to keep the broadcast form")
+      val hot = norm.agg(
+        sort_array(collect_set(when(!col("p").contains(" "), col("p")))).as("_w"))
+      val phraseHits =
+        if (phrases.isEmpty) lit(0L)
+        else graft.functions.CatalystExprs.multiSubstringHits(
+          col(textCol), phrases.toSeq)
+      df.crossJoin(broadcast(hot))
+        .select(col(idCol),
+          (size(array_intersect(array_distinct(split(lt, " ")), col("_w")))
+            .cast("bigint") + phraseHits).as("n_hits"))
+        .withColumn("blocked", col("n_hits") > 0L)
+    } else {
+      val hot = norm.agg(
+        sort_array(collect_set(when(!col("p").contains(" "), col("p")))).as("_w"),
+        sort_array(collect_set(when(col("p").contains(" "), col("p")))).as("_ph"))
+      df.crossJoin(broadcast(hot))
+        .select(col(idCol),
+          (size(array_intersect(array_distinct(split(lt, " ")), col("_w"))) +
+            size(filter(col("_ph"), p => contains(lt, p)))).cast("bigint").as("n_hits"))
+        .withColumn("blocked", col("n_hits") > 0L)
+    }
   }
 
   /** Per-document out-of-vocabulary rate against a vocab TABLE (the
