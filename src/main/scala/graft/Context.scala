@@ -815,7 +815,11 @@ class Context(val spark: SparkSession) {
               "SCORE method dsir requires target= (a registered table)"))),
           id, text,
           buckets = opts.get("buckets").map(_.trim.toInt).getOrElse(8192),
-          cacheGrams = opts.get("cache_grams").forall(_.trim.toBoolean))
+          cacheGrams = opts.get("cache_grams").forall(_.trim.toBoolean),
+          // hash='xxhash64' is the production bucket hash (no gram strings,
+          // ~an order of magnitude cheaper than md5); md5 stays the default
+          // because it is what external engines can reproduce
+          hash = opts.getOrElse("hash", "md5").trim.toLowerCase)
         case other => throw new IllegalArgumentException(
           s"Unknown SCORE method: $other (unigram|bigram|bigram_ref|tfidf|dsir|bm25|blocklist)")
       }

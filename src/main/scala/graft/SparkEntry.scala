@@ -46,6 +46,9 @@ object SparkEntry {
     "p25_embedding_quantize", "p31_semantic_dedup", "p35_substring_dedup",
     "p36_tfidf", "p37_unigram_logppl", "p38_chunk_dedup", "p43_bigram_logppl",
     "p51_global_line_dedup", "p52_dsir_weights",
+    // the xxhash64 production DSIR twin: the bench must measure what a
+    // production pipeline would actually run, not only the md5 oracle form
+    "p52d_dsir_weights_xx",
     // r5 second half: the retrieval scorer (filtered explode + broadcast
     // dfreq) and the packing pipeline's window+concat shape
     "p55_bm25", "p62_pack_materialize",

@@ -398,22 +398,31 @@ object Corpus {
     * top-k/quota pass ([[stratifiedQuota]]) or a hash draw
     * ([[deterministicSample]] with the exponentiated-weight column).
     *
-    * Buckets are derived from a 60-bit md5 prefix of the gram string so
-    * the whole computation is engine-portable (the DuckDB oracle reproduces
-    * it bit-for-bit; swap the bucket expression for the xxhash64
-    * token-hash-combining form of [[decontaminate]] when md5 throughput
-    * matters — the plan shape is identical). Scale shape: only bucket ints
-    * are ever exploded; both count tables collapse to ≤ `buckets` rows
-    * (map-side combine) and join broadcast; the per-doc score re-groups
-    * grams that are CO-LOCATED with their source row, so partial
-    * aggregation collapses the shuffle to ~one row per document. Two
-    * passes over the raw gram frame (count + score), the
+    * TWO bucket hashes, same plan shape (spec-enforced: identical
+    * downstream math at buckets=1, identical gram counts and exchange
+    * count at any buckets):
+    *  - `hash = "md5"` (default): a 60-bit md5 prefix of the gram STRING —
+    *    engine-portable, the DuckDB oracle reproduces it bit-for-bit
+    *    (p52/p52b/p52c). md5-per-gram is also the dominant cost.
+    *  - `hash = "xxhash64"`: the production form — per-token xxhash64
+    *    combined pairwise (the [[decontaminate]] trick: no gram strings
+    *    are ever BUILT, and xxhash64 is an order of magnitude cheaper than
+    *    the md5→hex→conv pipeline). Not reproducible in DuckDB → its
+    *    driver query (p52d) is rows-only; correctness rides the
+    *    plan-equality specs plus the oracle-gated md5 twin.
+    *
+    * Scale shape: only bucket ints are ever exploded; both count tables
+    * collapse to ≤ `buckets` rows (map-side combine) and join broadcast;
+    * the per-doc score re-groups grams that are CO-LOCATED with their
+    * source row, so partial aggregation collapses the shuffle to ~one row
+    * per document. Two passes over the raw gram frame (count + score), the
     * [[boilerplateSpans]] trade. Returns (id, n_grams, logw round 6dp).
     */
   def dsirLogWeights(
       raw: DataFrame, target: DataFrame, idCol: String, textCol: String,
-      buckets: Int = 8192, cacheGrams: Boolean = true): DataFrame =
-    dsirLogWeightsRaw(raw, target, idCol, textCol, buckets, cacheGrams)
+      buckets: Int = 8192, cacheGrams: Boolean = true,
+      hash: String = "md5"): DataFrame =
+    dsirLogWeightsRaw(raw, target, idCol, textCol, buckets, cacheGrams, hash)
       .select(col(idCol), col("n_grams"), round(col("lw"), 6).as("logw"))
 
   /** [[dsirLogWeights]] with the weight UNROUNDED (column `lw`) — for
@@ -421,18 +430,32 @@ object Corpus {
     * would put ties at the rounding boundary. */
   def dsirLogWeightsRaw(
       raw: DataFrame, target: DataFrame, idCol: String, textCol: String,
-      buckets: Int = 8192, cacheGrams: Boolean = true): DataFrame = {
+      buckets: Int = 8192, cacheGrams: Boolean = true,
+      hash: String = "md5"): DataFrame = {
     require(buckets > 0, "buckets must be positive")
+    require(hash == "md5" || hash == "xxhash64",
+      s"hash must be md5 (oracle-portable) or xxhash64 (production): $hash")
     def gramBuckets(df: DataFrame): DataFrame = {
       val toks = split(lower(col(textCol)), " ")
-      df.filter(size(toks) >= 2)
-        .select(col(idCol).as("_id"),
-          explode_outer(transform(sequence(lit(1), size(toks) - 1), i =>
-            pmod(
-              conv(substring(md5(concat(
-                element_at(toks, i), lit(" "), element_at(toks, i + 1))),
-                2, 15), 16, 10).cast("long"),
-              lit(buckets.toLong)))).as("b"))
+      if (hash == "md5")
+        df.filter(size(toks) >= 2)
+          .select(col(idCol).as("_id"),
+            explode_outer(transform(sequence(lit(1), size(toks) - 1), i =>
+              pmod(
+                conv(substring(md5(concat(
+                  element_at(toks, i), lit(" "), element_at(toks, i + 1))),
+                  2, 15), 16, 10).cast("long"),
+                lit(buckets.toLong)))).as("b"))
+      else
+        // token hashes materialized once, combined pairwise — gram strings
+        // are never built (NO array_distinct: DSIR counts every occurrence)
+        df.filter(size(toks) >= 2)
+          .select(col(idCol).as("_id"),
+            transform(toks, tk => xxhash64(tk)).as("_th"))
+          .select(col("_id"),
+            explode_outer(transform(sequence(lit(1), size(col("_th")) - 1), i =>
+              pmod(xxhash64(element_at(col("_th"), i),
+                element_at(col("_th"), i + 1)), lit(buckets.toLong)))).as("b"))
     }
     // the raw gram frame feeds BOTH the bucket-count aggregate and the
     // scoring join — cacheGrams trades one md5 explode pass for

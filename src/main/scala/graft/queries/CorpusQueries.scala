@@ -1155,6 +1155,19 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // The PRODUCTION DSIR form: identical plan shape, xxhash64 bucket hash
+    // (per-token hashes combined pairwise — no gram strings, no md5
+    // hex/conv pipeline). xxhash64 is not reproducible in DuckDB → rows-
+    // only (the p03/p03b pattern inverted: here the md5 twin p52 is the
+    // oracle-gated one); buckets=1 logw-equality and plan-shape specs in
+    // CorpusSpec pin this form to p52's math.
+    Q("p52d_dsir_weights_xx", None) { (s, d) =>
+      val docs = t(s, d, "documents")
+      Corpus.dsirLogWeights(docs, docs.filter(col("lang") === "en"),
+        "doc_id", "text", buckets = 4096, hash = "xxhash64")
+        .orderBy("doc_id")
+    },
+
     // DSIR end-to-end selection: the weights above, then a deterministic
     // per-source top-quota by importance (rank on the UNROUNDED weight,
     // doc_id tie-break — engines agree to ~1e-14 rel so the order is

@@ -527,6 +527,34 @@ class CorpusSpec extends AnyFunSuite {
     assert(!plan.contains("hashpartitioning(ws"))
   }
 
+  test("dsir xxhash64 production form: identical math, identical plan shape") {
+    val docs = Tables.t(spark, TestSpark.sf, "documents").limit(200)
+    val target = docs.filter($"lang" === "en")
+    // buckets=1 collapses BOTH hash functions to the same (only) bucket —
+    // everything downstream (counts, smoothing, per-doc sums) must then be
+    // bit-identical between the md5 oracle form and the xxhash64 form
+    def w(h: String) = Corpus.dsirLogWeights(docs, target, "doc_id", "text",
+      buckets = 1, hash = h).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(w("md5") == w("xxhash64") && w("md5").nonEmpty)
+    // at real bucket counts the gram volume is hash-independent
+    def grams(h: String) = Corpus.dsirLogWeights(docs, target, "doc_id",
+      "text", buckets = 4096, hash = h).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    assert(grams("md5") == grams("xxhash64"))
+    // same plan SHAPE: equal exchange count, stats join still broadcast,
+    // still no string shuffle
+    def shape(h: String) = {
+      val p = Corpus.dsirLogWeightsRaw(docs, target, "doc_id", "text",
+        buckets = 4096, hash = h).queryExecution.executedPlan.toString
+      (p.sliding("Exchange".length).count(_ == "Exchange"),
+        p.contains("BroadcastHashJoin"), p.contains("hashpartitioning(ws"))
+    }
+    val (exM, bhjM, strM) = shape("md5")
+    val (exX, bhjX, strX) = shape("xxhash64")
+    assert(exM == exX && bhjM && bhjX && !strM && !strX)
+  }
+
   test("blocklistFlag: words match tokens, phrases match substrings, distinct count") {
     val bl = Seq("bad", "bad", " Very bad phrase ", "absent").toDF("phrase")
     val docs = Seq(
