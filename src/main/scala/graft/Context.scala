@@ -609,7 +609,9 @@ class Context(val spark: SparkSession) {
           df, id, text, sep = opts.getOrElse("sep", "\n"))
         case "global_lines" => graft.operators.Corpus.removeGlobalRepeatedLines(
           df, id, text, sep = opts.getOrElse("sep", "\n"),
-          minDocs = i("min_docs", 3))
+          minDocs = i("min_docs", 3),
+          // hot_strategy='join' for a boilerplate tail too big to broadcast
+          hotStrategy = opts.getOrElse("hot_strategy", "broadcast"))
         case "embedding" => Similarity.cosineDedupPairsBanded(df,
           threshold = f("threshold", 0.9),
           dim = opts.get("dim").map(_.trim.toInt).getOrElse(

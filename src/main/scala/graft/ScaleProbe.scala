@@ -23,6 +23,26 @@ import org.apache.spark.sql.functions._
   * is config, not design.
   */
 object ScaleProbe {
+  /** 10⁵-entry vocab (size overridable via SPARK_GRAFT_OOV_VOCAB for
+    * crossover probing): the corpus word list (so real tokens hit) padded
+    * with deterministic synthetic words to tokenizer scale. */
+  private def oovVocab100k(spark: SparkSession): Seq[String] = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_OOV_VOCAB", "100000").toInt
+    val synth = (0 until n).map { i =>
+      var x = (i * 2654435761L + 17L) & 0x7fffffffL
+      val sb = new StringBuilder
+      (0 until 7).foreach { _ =>
+        sb.append(('a' + (x % 26)).toChar)
+        x = (x * 6364136223846793005L + 1442695040888963407L) & 0x7fffffffL
+      }
+      sb.result()
+    }
+    (Seq("key", "agg", "row", "scan", "slow", "fast", "table", "value",
+      "part", "hash", "merge", "batch", "line", "sort", "window", "join",
+      "small", "customer", "query", "big", "vector", "stream", "filter",
+      "group", "order", "column", "data", "spark") ++ synth).distinct
+  }
+
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
     val rep = args.drop(1).headOption.map(_.toInt).getOrElse(20)
@@ -220,6 +240,32 @@ object ScaleProbe {
         operators.Corpus.removeGlobalRepeatedLines(
           injected, "doc_id", "text", sep = " | ", minDocs = 3)
       },
+      time("global_line_removal_allhot_bcast") {
+        // the WORST case for the hot set: minDocs=2 at clone scale with no
+        // per-doc unique suffix — EVERY line is hot (df >= rep), so the
+        // "hot set is small by construction" assumption is broken on
+        // purpose: ~15k distinct hot lines, every rewrite drops every line
+        val allHot = docs.select(col("doc_id"),
+          concat(lit("NAV HOME ABOUT | banner "),
+            pmod(col("doc_id"), lit(7)).cast("string"),
+            lit(" | "), substring(col("text"), 1, 40)).as("text"))
+        operators.Corpus.removeGlobalRepeatedLines(
+          allHot, "doc_id", "text", sep = " | ", minDocs = 2,
+          hotStrategy = "broadcast")
+      },
+      time("global_line_removal_allhot_join") {
+        // same worst case through the join fallback: lines shuffle once as
+        // (hash, pos, line), the hot table joins shuffled (no single-row
+        // broadcast), survivors reassemble with an in-row struct sort —
+        // the shape that holds when the hot set outgrows broadcast
+        val allHot = docs.select(col("doc_id"),
+          concat(lit("NAV HOME ABOUT | banner "),
+            pmod(col("doc_id"), lit(7)).cast("string"),
+            lit(" | "), substring(col("text"), 1, 40)).as("text"))
+        operators.Corpus.removeGlobalRepeatedLines(
+          allHot, "doc_id", "text", sep = " | ", minDocs = 2,
+          hotStrategy = "join")
+      },
       time("dsir_weights") {
         // DSIR importance weights at clone scale: gram volume inflates
         // REP× but both LM tables stay <= buckets rows (map-side combine),
@@ -274,6 +320,19 @@ object ScaleProbe {
         docs.select(col("doc_id"),
           graft.functions.TextAnalysis.blocklistHits(col("text"), phrases)
             .as("hits"))
+      },
+      time("oov_rate_1e5_inrow") {
+        // tokenizer-scale vocab through the in-row linear probe: the shape
+        // that motivated the join form — per-token cost is O(|vocab|)
+        import spark.implicits._
+        operators.Corpus.oovRate(docs, oovVocab100k(spark).toDF("w"),
+          "doc_id", "text", "w", vocabStrategy = "inrow")
+      },
+      time("oov_rate_1e5_join") {
+        // same vocab through the broadcast hash join: O(1) per token
+        import spark.implicits._
+        operators.Corpus.oovRate(docs, oovVocab100k(spark).toDF("w"),
+          "doc_id", "text", "w", vocabStrategy = "join")
       },
       time("normalize_clean") {
         // per-row normalization battery: pure projection; the injected

@@ -268,35 +268,71 @@ object Corpus {
     * practice at ~10⁴-10⁵ entries — is collapsed to a single array row and
     * broadcast with a nested-loop cross join, after which the rewrite is a
     * pure per-row projection (split → filter by membership → re-join): the
-    * documents themselves never shuffle. If a corpus's hot set outgrew the
-    * broadcast regime, the fallback is the posexplode → join-on-hash →
-    * re-assemble window form (one extra shuffle of surviving lines) — not
-    * implemented because the threshold makes the set small by construction.
+    * documents themselves never shuffle.
+    *
+    * `hotStrategy` picks the rewrite shape (equality spec-enforced):
+    *  - `"broadcast"` (default): the single-array-row form above — right
+    *    whenever the hot set fits a broadcast (the threshold keeps it
+    *    ~10⁴-10⁵ entries on real corpora, ~1 MB of hashes).
+    *  - `"join"`: the fallback for a boilerplate tail that OUTGROWS the
+    *    broadcast regime — posexplode every line once, LEFT join its hash
+    *    against the (unbounded, shuffled) hot-hash table, and reassemble
+    *    survivors per document with an IN-ROW sort of (pos, line) structs
+    *    (the [[materializePacked]] trick — no window, no second shuffle of
+    *    the lines). Costs one extra shuffle of all lines + the per-doc
+    *    regroup, so it loses to broadcast until the hot set stops fitting:
+    *    measured at the 20× clone envelope (100k docs, EVERY line hot at
+    *    minDocs=2, ~5k-entry hot set), join 3.6 s vs broadcast 2.3 s
+    *    (PLANS 43) — the knob exists for the set broadcast can't hold
+    *    (≳10⁷ hashes ≈ 100 MB in one array row), not for speed. The
+    *    switch is explicit rather than automatic because sizing the hot
+    *    set costs an extra action by definition; operators running under
+    *    a driver that knows its corpus (the C4 pipeline case) set it once.
     * Returns (id, clean_text, n_lines, n_removed).
     */
   def removeGlobalRepeatedLines(
       df: DataFrame, idCol: String, textCol: String,
-      sep: String = "\n", minDocs: Int = 3): DataFrame = {
+      sep: String = "\n", minDocs: Int = 3,
+      hotStrategy: String = "broadcast"): DataFrame = {
     require(minDocs >= 2, "minDocs must be at least 2")
+    require(hotStrategy == "broadcast" || hotStrategy == "join",
+      s"hotStrategy must be broadcast or join: $hotStrategy")
     val qsep = java.util.regex.Pattern.quote(sep)
     val ls = split(col(textCol), qsep)
     // distinct per doc BEFORE exploding: one row per (doc, line), so the
     // per-hash count is the distinct-document frequency without a
     // count(DISTINCT) (same explode_outer guard as decontaminate)
-    val hot = df
+    val hotHashes = df
       .select(explode_outer(array_distinct(split(col(textCol), qsep))).as("ln"))
       .select(xxhash64(col("ln")).as("lh"))
       .groupBy("lh").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDocs)
-      .agg(collect_list(col("lh")).as("_hot")) // exactly one row, maybe empty list
-    df.crossJoin(broadcast(hot))
-      .select(col(idCol), col("_hot"),
-        filter(ls, l => !array_contains(col("_hot"), xxhash64(l))).as("_kept"),
-        size(ls).cast("bigint").as("n_lines"))
-      .select(col(idCol),
-        concat_ws(sep, col("_kept")).as("clean_text"),
-        col("n_lines"),
-        (col("n_lines") - size(col("_kept"))).cast("bigint").as("n_removed"))
+    if (hotStrategy == "broadcast") {
+      val hot = hotHashes
+        .agg(collect_list(col("lh")).as("_hot")) // exactly one row, maybe empty list
+      df.crossJoin(broadcast(hot))
+        .select(col(idCol), col("_hot"),
+          filter(ls, l => !array_contains(col("_hot"), xxhash64(l))).as("_kept"),
+          size(ls).cast("bigint").as("n_lines"))
+        .select(col(idCol),
+          concat_ws(sep, col("_kept")).as("clean_text"),
+          col("n_lines"),
+          (col("n_lines") - size(col("_kept"))).cast("bigint").as("n_removed"))
+    } else {
+      val lines = df.select(col(idCol),
+          posexplode(split(col(textCol), qsep)).as(Seq("p", "ln")))
+        .withColumn("lh", xxhash64(col("ln")))
+      lines.join(hotHashes.select(col("lh"), lit(1).as("_hot")), Seq("lh"), "left")
+        .groupBy(col(idCol))
+        .agg(
+          concat_ws(sep, transform(
+            array_sort(collect_list(
+              when(col("_hot").isNull, struct(col("p"), col("ln"))))),
+            x => x.getField("ln"))).as("clean_text"),
+          count(lit(1)).cast("bigint").as("n_lines"),
+          sum(when(col("_hot").isNotNull, 1L).otherwise(0L))
+            .cast("bigint").as("n_removed"))
+    }
   }
 
   /** Table-driven blocklist gate (the C4 badwords filter, scaled past the
@@ -362,30 +398,59 @@ object Corpus {
   /** Per-document out-of-vocabulary rate against a vocab TABLE (the
     * tokenizer-fit signal: docs whose tokens fall outside the training
     * vocabulary inflate UNK rates downstream; also a cheap other-language/
-    * gibberish gate when the vocab is the corpus top-k). Same single-row-
-    * broadcast shape as [[blocklistFlag]]: the vocab collapses to one
-    * sorted array row, the check is a per-row membership scan, documents
-    * never shuffle. Vocabularies are tokenizer-sized (10⁴-10⁵) by
-    * construction; array_contains is a linear probe, so for the 10⁵ end
-    * switch the probe to a map-side join on token hashes — not done here
-    * because the in-row form wins at every realistic vocab size tested.
+    * gibberish gate when the vocab is the corpus top-k).
+    *
+    * `vocabStrategy` picks the probe shape (equality spec-enforced):
+    *  - `"inrow"` (default): the [[blocklistFlag]] single-row-broadcast
+    *    shape — the vocab collapses to one sorted array row, the check is
+    *    a per-row membership scan, documents never shuffle. The probe is
+    *    LINEAR in |vocab| per token, so it carries a size guard: right up
+    *    to ~10⁴ entries, wrong for tokenizer-scale vocabularies.
+    *  - `"join"`: the 10⁵+ form — explode tokens, BROADCAST HASH join
+    *    against the vocab (O(1) probe per token), re-group per doc. The
+    *    regroup rides partial aggregation (tokens are co-located with
+    *    their doc row → ~1 row/doc reaches the shuffle). Measured at the
+    *    20× envelope (100k docs): join is FLAT at ~3-4 s from 100 to 10⁵
+    *    vocab entries while in-row grows linearly — 3.4 s at 100, 8.6 s
+    *    at 1k, 18.7 s at 4k, 322.7 s at 10⁵ (PLANS 43). The crossover is
+    *    ≈100 entries: in-row stays the default only because curated
+    *    quality vocabs ARE that small and its zero-shuffle plan composes
+    *    anywhere; anything tokenizer-shaped should pass `"join"`.
     * Returns (id, n_tokens, n_oov, oov_rate round 6dp). */
   def oovRate(
       df: DataFrame, vocab: DataFrame, idCol: String,
-      textCol: String, wordCol: String): DataFrame = {
-    val hot = vocab
+      textCol: String, wordCol: String,
+      vocabStrategy: String = "inrow"): DataFrame = {
+    require(vocabStrategy == "inrow" || vocabStrategy == "join",
+      s"vocabStrategy must be inrow or join: $vocabStrategy")
+    val norm = vocab
       .select(lower(trim(col(wordCol))).as("w"))
       .filter(col("w") =!= "").distinct()
-      .agg(sort_array(collect_set(col("w"))).as("_v"))
-    df.crossJoin(broadcast(hot))
-      .select(col(idCol), col("_v"),
-        filter(split(lower(col(textCol)), " "), t => t =!= "").as("_toks"))
-      .select(col(idCol),
-        size(col("_toks")).cast("bigint").as("n_tokens"),
-        size(filter(col("_toks"), t => !array_contains(col("_v"), t)))
-          .cast("bigint").as("n_oov"))
-      .withColumn("oov_rate", round(col("n_oov").cast("double") /
-        greatest(col("n_tokens"), lit(1L)).cast("double"), 6))
+    val rate = round(col("n_oov").cast("double") /
+      greatest(col("n_tokens"), lit(1L)).cast("double"), 6)
+    if (vocabStrategy == "inrow") {
+      val hot = norm.agg(sort_array(collect_set(col("w"))).as("_v"))
+      df.crossJoin(broadcast(hot))
+        .select(col(idCol), col("_v"),
+          filter(split(lower(col(textCol)), " "), t => t =!= "").as("_toks"))
+        .select(col(idCol),
+          size(col("_toks")).cast("bigint").as("n_tokens"),
+          size(filter(col("_toks"), t => !array_contains(col("_v"), t)))
+            .cast("bigint").as("n_oov"))
+        .withColumn("oov_rate", rate)
+    } else {
+      val toks = filter(split(lower(col(textCol)), " "), t => t =!= "")
+      // explode_outer: a token-less document must still emit a row
+      // (n_tokens = 0), exactly as the in-row form does
+      df.select(col(idCol), explode_outer(toks).as("_t"))
+        .join(broadcast(norm.select(col("w").as("_t"), lit(1).as("_in"))),
+          Seq("_t"), "left")
+        .groupBy(col(idCol))
+        .agg(count(col("_t")).cast("bigint").as("n_tokens"),
+          sum(when(col("_t").isNotNull && col("_in").isNull, 1L).otherwise(0L))
+            .cast("bigint").as("n_oov"))
+        .withColumn("oov_rate", rate)
+    }
   }
 
   /** DSIR-style importance weights for data selection (Xie et al. 2023,

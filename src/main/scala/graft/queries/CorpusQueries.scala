@@ -1545,6 +1545,37 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // The SAME OOV computation through the tokenizer-scale plan shape
+    // (explode → broadcast HASH join → per-doc regroup, O(1) probe per
+    // token vs the in-row form's O(|vocab|)) — held to p59's exact oracle:
+    // the two strategies must be indistinguishable in output, so the hash
+    // gate covers the join rewrite end to end. The in-row form stays the
+    // registered default for curated-small vocabs (crossover ≈ 100
+    // entries, PLANS 43).
+    Q("p59b_oov_rate_join", Some("""
+      WITH w AS (SELECT unnest(string_split(lower(text),' ')) AS t FROM documents),
+      v AS (SELECT t FROM (SELECT t, count(*) AS c FROM w WHERE t <> '' GROUP BY t
+                           ORDER BY c DESC, t LIMIT 20)),
+      vl AS (SELECT list(t ORDER BY t) AS vs FROM v),
+      toks AS (SELECT doc_id,
+          list_filter(string_split(lower(text),' '), x -> x <> '') AS tk
+        FROM documents)
+      SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+        CAST(len(list_filter(tk, x -> NOT list_contains(vl.vs, x))) AS BIGINT) AS n_oov,
+        round(CAST(len(list_filter(tk, x -> NOT list_contains(vl.vs, x))) AS DOUBLE)
+              / greatest(len(tk), 1), 6) AS oov_rate
+      FROM toks, vl ORDER BY doc_id""")) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val vocab = docs
+        .select(explode(split(lower(col("text")), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w")).limit(20)
+      Corpus.oovRate(docs, vocab, "doc_id", "text", "w",
+          vocabStrategy = "join")
+        .orderBy("doc_id")
+    },
+
     // Per-document character-distribution entropy (gibberish / encoded-
     // blob detector) — in-row sorted run-length fold, no explode; the
     // oracle recomputes it the flat way (explode → per-char counts).

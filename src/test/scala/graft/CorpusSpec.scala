@@ -501,6 +501,36 @@ class CorpusSpec extends AnyFunSuite {
     assert(out == Map(1L -> "a\nb", 2L -> "c\nd"))
   }
 
+  test("removeGlobalRepeatedLines join fallback equals the broadcast form") {
+    // hand frame covering the edge cases: own-doc repeats, empty lines
+    // (split artifacts), hot-at-threshold, all-hot documents
+    val hand = Seq(
+      (1L, "HOT\nunique one\nHOT\n"),
+      (2L, "HOT\nunique two"),
+      (3L, "HOT\n\nrare"),
+      (4L, "rare\n"),
+      (5L, "HOT")).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame, minDocs: Int, s: String) =
+      Corpus.removeGlobalRepeatedLines(df, "doc_id", "text",
+          minDocs = minDocs, hotStrategy = s)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+    assert(run(hand, 3, "broadcast") == run(hand, 3, "join"))
+    assert(run(hand, 2, "broadcast") == run(hand, 2, "join"))
+    // and on real corpus docs with an injected line structure
+    val injected = Tables.t(spark, TestSpark.sf, "documents").limit(300)
+      .select($"doc_id", concat(lit("NAV HOME | banner "),
+        pmod($"doc_id", lit(7)).cast("string"), lit(" | "),
+        substring($"text", 1, 60)).as("text"))
+    assert(run(injected, 3, "broadcast") == run(injected, 3, "join"))
+    // the fallback must NOT carry the broadcast single-row cross join —
+    // its whole point is the hot set that no longer fits one row
+    val plan = Corpus.removeGlobalRepeatedLines(hand, "doc_id", "text",
+      minDocs = 2, hotStrategy = "join").queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("dsirLogWeights ranks target-like docs above off-distribution docs") {
     val target = Seq(
       (100L, "the cat sat on the mat and the cat slept"),
@@ -660,6 +690,31 @@ class CorpusSpec extends AnyFunSuite {
         vocab, "doc_id", "text", "w")
       .queryExecution.executedPlan.toString
     assert(!plan.contains("SortMergeJoin") && !plan.contains("hashpartitioning(doc_id"))
+  }
+
+  test("oovRate join form equals the in-row probe, hash-joins the vocab") {
+    // edge cases: token-less doc (must still emit n_tokens=0), all-OOV,
+    // repeated in-vocab token counted per occurrence
+    val vocab = Seq("the", "cat", " The ").toDF("w")
+    val hand = Seq(
+      (1L, "the cat the"), (2L, "zz qq"), (3L, ""), (4L, "  ")
+    ).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame, s: String) =
+      Corpus.oovRate(df, vocab, "doc_id", "text", "w", vocabStrategy = s)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(_._1).toSeq
+    assert(run(hand, "inrow") == run(hand, "join"))
+    val docs = Tables.t(spark, TestSpark.sf, "documents").limit(300)
+    assert(run(docs, "inrow") == run(docs, "join"))
+    // the vocab probe must be a broadcast HASH join (O(1) per token), and
+    // the per-doc regroup must ride partial aggregation — no token rows
+    // hash-partitioned by anything except the doc id regroup itself
+    val plan = Corpus.oovRate(docs, vocab, "doc_id", "text", "w",
+      vocabStrategy = "join").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+    assert(!plan.contains("hashpartitioning(_t"))
   }
 
   test("corpusStats: hand-checked profile; approx path agrees on these sizes") {
