@@ -791,6 +791,25 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // The same fixed-table encode FORCED through the native eval-looped
+    // expression (fold_limit=0 → BpeEncodeMerges, the production-size
+    // path) — held to p50's exact oracle, so the 32k-merge code path is
+    // hash-gated end to end, not just spec-compared.
+    Q("p50d_bpe_encode_native", Some("""
+      SELECT doc_id, CAST(length(regexp_replace(
+        replace(replace(replace(replace(replace(lower(text),
+          'th', 'Θ'), 'Θe', 'Φ'), 'an', 'Δ'), 'in', 'Ψ'), 'er', 'Ω'),
+        ' ', '', 'g')) AS BIGINT) AS n_tokens
+      FROM documents ORDER BY doc_id""")) { (s, d) =>
+      import s.implicits._
+      val merges = Seq((1L, "t", "h"), (2L, "th", "e"), (3L, "a", "n"),
+        (4L, "i", "n"), (5L, "e", "r")).toDF("round", "lhs", "rhs")
+      Corpus.bpeEncode(t(s, d, "documents"), "doc_id", "text", merges,
+          foldLimit = 0)
+        .select(col("doc_id"), col("n_tokens"))
+        .orderBy("doc_id")
+    },
+
     // The same fixed-table encode through the TOKENIZE statement surface
     // (registered merge table → statement → same oracle as p50) — the
     // server/CLI path, hash-gated like the other *c statement twins.
