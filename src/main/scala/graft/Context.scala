@@ -810,6 +810,17 @@ class Context(val spark: SparkSession) {
           lookupTable(opts.getOrElse("table", throw new IllegalArgumentException(
             "SCORE method blocklist requires table= (a registered table)"))),
           id, text, phraseCol = opts.getOrElse("phrase", "phrase"))
+        // fastText-shaped linear classifier inference: weights table +
+        // bias, mean-pooled logit → sigmoid → threshold gate
+        case "linear" => Corpus.linearScore(df,
+          lookupTable(opts.getOrElse("table", throw new IllegalArgumentException(
+            "SCORE method linear requires table= (a registered weights table)"))),
+          id, text,
+          termCol = opts.getOrElse("term", "term"),
+          weightCol = opts.getOrElse("weight", "weight"),
+          bias = opts.get("bias").map(_.trim.toDouble).getOrElse(0.0),
+          threshold = opts.get("threshold").map(_.trim.toDouble).getOrElse(0.5),
+          average = opts.get("average").forall(_.trim.toBoolean))
         case "dsir" => Corpus.dsirLogWeights(
           df,
           lookupTable(opts.getOrElse("target",
@@ -823,7 +834,7 @@ class Context(val spark: SparkSession) {
           // because it is what external engines can reproduce
           hash = opts.getOrElse("hash", "md5").trim.toLowerCase)
         case other => throw new IllegalArgumentException(
-          s"Unknown SCORE method: $other (unigram|bigram|bigram_ref|tfidf|dsir|bm25|blocklist)")
+          s"Unknown SCORE method: $other (unigram|bigram|bigram_ref|tfidf|dsir|bm25|blocklist|linear)")
       }
 
     // SELECT * FROM SAMPLE(METHOD weighted|rate [WITH (...)], <select>) —

@@ -334,6 +334,17 @@ object ScaleProbe {
         operators.Corpus.oovRate(docs, oovVocab100k(spark).toDF("w"),
           "doc_id", "text", "w", vocabStrategy = "join")
       },
+      time("linear_score_1e5") {
+        // fastText-shaped classifier inference with a tokenizer-scale
+        // (10⁵-term) weights table: same broadcast-hash-join shape as
+        // oov_rate_1e5_join, so cost must be flat in model size
+        import spark.implicits._
+        val wts = oovVocab100k(spark).zipWithIndex
+          .map { case (w, i) => (w, ((i % 201) - 100) / 100.0) }
+          .toDF("term", "weight")
+        operators.Corpus.linearScore(docs, wts, "doc_id", "text",
+          bias = -1.0, threshold = 0.3)
+      },
       time("normalize_clean") {
         // per-row normalization battery: pure projection; the injected
         // decomposed accent forces the non-fast-path branch on every row

@@ -850,6 +850,53 @@ object Corpus {
         round(coalesce(col("_s"), lit(0.0)), 6).as("score"))
   }
 
+  /** Linear text-classifier INFERENCE against a weights TABLE — the
+    * fastText-shaped quality gate modern pipelines filter with (CCNet's
+    * LM+classifier, FineWeb-Edu's educational scorer): a trained bag-of-
+    * words model is just (term, weight) rows + a bias, and scoring is
+    *   logit = bias + (Σ_tokens tf(t)·w(t)) [/ n_tokens if average]
+    *   prob  = 1 / (1 + e^(−logit)),  kept = prob ≥ threshold
+    * `average = true` (default) is fastText's mean pooling — length-
+    * invariant, the form classifiers are actually trained with.
+    * Duplicate terms in the table sum their weights (deterministic, and
+    * the natural merge of sharded weight exports).
+    *
+    * Scale shape: the [[oovRate]] join form — tokens explode once,
+    * BROADCAST HASH join against the weights (models are vocabulary-
+    * sized: 10⁴-10⁶ rows, megabytes), per-doc regroup rides partial
+    * aggregation (~1 row/doc reaches the shuffle). Documents never
+    * shuffle; no driver collect. Engine-portable math (sum/ln/exp on
+    * doubles, 6dp-rounded outputs) so the DuckDB oracle replays it.
+    * Returns (id, n_tokens, n_hits, logit r6, prob r6, kept).
+    */
+  def linearScore(
+      df: DataFrame, weights: DataFrame, idCol: String, textCol: String,
+      termCol: String = "term", weightCol: String = "weight",
+      bias: Double = 0.0, threshold: Double = 0.5,
+      average: Boolean = true): DataFrame = {
+    val w = weights
+      .select(lower(trim(col(termCol))).as("_t"),
+        col(weightCol).cast("double").as("_w"))
+      .filter(col("_t") =!= "")
+      .groupBy("_t").agg(sum(col("_w")).as("_w"))
+    val toks = filter(split(lower(col(textCol)), " "), t => t =!= "")
+    // explode_outer: token-less docs still score (logit = bias)
+    val denom =
+      if (average) greatest(col("n_tokens"), lit(1L)).cast("double")
+      else lit(1.0)
+    df.select(col(idCol), explode_outer(toks).as("_t"))
+      .join(broadcast(w), Seq("_t"), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("_t")).cast("bigint").as("n_tokens"),
+        count(col("_w")).cast("bigint").as("n_hits"),
+        sum(coalesce(col("_w"), lit(0.0))).as("_raw"))
+      .withColumn("logit", lit(bias) + coalesce(col("_raw"), lit(0.0)) / denom)
+      .withColumn("prob", lit(1.0) / (lit(1.0) + exp(-col("logit"))))
+      .select(col(idCol), col("n_tokens"), col("n_hits"),
+        round(col("logit"), 6).as("logit"), round(col("prob"), 6).as("prob"))
+      .withColumn("kept", col("prob") >= threshold)
+  }
+
   /** Per-group corpus profile — the dataset card's summary table (doc
     * count, char/token volume, length distribution, mean heuristic
     * quality) in ONE aggregate. All signals are computed in-row first, so

@@ -1595,6 +1595,78 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // Linear classifier inference (the fastText-shaped quality gate:
+    // CCNet / FineWeb-Edu filtering): weights table broadcast-hash-joined
+    // against exploded tokens, mean-pooled logit → sigmoid → threshold.
+    // Engine-portable double math, oracle-gated end to end including the
+    // token-less-doc row and the duplicate-term weight merge.
+    Q("p65_linear_score", Some("""
+      WITH wt AS (SELECT lower(trim(term)) AS t, CAST(sum(wght) AS DOUBLE) AS w
+             FROM (VALUES ('vector', 1.2), ('merge', 0.8), ('slow', -1.5),
+                   ('scan', -0.7), ('the', 0.05), ('customer', 0.9),
+                   (' Vector ', 0.3)) v(term, wght)
+             WHERE lower(trim(term)) <> '' GROUP BY 1),
+      toks AS (SELECT doc_id,
+          list_filter(string_split(lower(text),' '), x -> x <> '') AS tk
+        FROM documents),
+      ex AS (SELECT doc_id, unnest(tk) AS t FROM toks),
+      hit AS (SELECT ex.doc_id, CAST(count(*) AS BIGINT) AS nh, sum(wt.w) AS raw
+              FROM ex JOIN wt ON ex.t = wt.t GROUP BY ex.doc_id),
+      base AS (SELECT toks.doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+                 coalesce(hit.nh, 0) AS n_hits, coalesce(hit.raw, 0.0) AS raw
+               FROM toks LEFT JOIN hit ON toks.doc_id = hit.doc_id),
+      lg AS (SELECT doc_id, n_tokens, n_hits,
+               -1.0 + raw / greatest(n_tokens, 1) AS lraw FROM base)
+      SELECT doc_id, n_tokens, CAST(n_hits AS BIGINT) AS n_hits,
+        round(lraw, 6) AS logit,
+        round(1.0 / (1.0 + exp(-lraw)), 6) AS prob,
+        round(1.0 / (1.0 + exp(-lraw)), 6) >= 0.3 AS kept
+      FROM lg ORDER BY doc_id""")) { (s, d) =>
+      val wts = { import s.implicits._
+        Seq(("vector", 1.2), ("merge", 0.8), ("slow", -1.5), ("scan", -0.7),
+          ("the", 0.05), ("customer", 0.9), (" Vector ", 0.3))
+          .toDF("term", "weight") }
+      Corpus.linearScore(t(s, d, "documents"), wts, "doc_id", "text",
+          bias = -1.0, threshold = 0.3)
+        .orderBy("doc_id")
+    },
+
+    // The SAME classifier through the statement surface (SCORE METHOD
+    // linear against a registered weights table) — held to p65's oracle.
+    Q("p65c_linear_score_sql", Some("""
+      WITH wt AS (SELECT lower(trim(term)) AS t, CAST(sum(wght) AS DOUBLE) AS w
+             FROM (VALUES ('vector', 1.2), ('merge', 0.8), ('slow', -1.5),
+                   ('scan', -0.7), ('the', 0.05), ('customer', 0.9),
+                   (' Vector ', 0.3)) v(term, wght)
+             WHERE lower(trim(term)) <> '' GROUP BY 1),
+      toks AS (SELECT doc_id,
+          list_filter(string_split(lower(text),' '), x -> x <> '') AS tk
+        FROM documents),
+      ex AS (SELECT doc_id, unnest(tk) AS t FROM toks),
+      hit AS (SELECT ex.doc_id, CAST(count(*) AS BIGINT) AS nh, sum(wt.w) AS raw
+              FROM ex JOIN wt ON ex.t = wt.t GROUP BY ex.doc_id),
+      base AS (SELECT toks.doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+                 coalesce(hit.nh, 0) AS n_hits, coalesce(hit.raw, 0.0) AS raw
+               FROM toks LEFT JOIN hit ON toks.doc_id = hit.doc_id),
+      lg AS (SELECT doc_id, n_tokens, n_hits,
+               -1.0 + raw / greatest(n_tokens, 1) AS lraw FROM base)
+      SELECT doc_id, n_tokens, CAST(n_hits AS BIGINT) AS n_hits,
+        round(lraw, 6) AS logit,
+        round(1.0 / (1.0 + exp(-lraw)), 6) AS prob,
+        round(1.0 / (1.0 + exp(-lraw)), 6) >= 0.3 AS kept
+      FROM lg ORDER BY doc_id""")) { (s, d) =>
+      val ctx = new graft.Context(s)
+      ctx.createTableFromPath("documents", s"$d/documents.parquet")
+      ctx.sql("""CREATE OR REPLACE VIEW p65_weights AS
+        |SELECT * FROM VALUES ('vector', 1.2D), ('merge', 0.8D),
+        |  ('slow', -1.5D), ('scan', -0.7D), ('the', 0.05D),
+        |  ('customer', 0.9D), (' Vector ', 0.3D) AS t(term, weight)""".stripMargin)
+      ctx.sql("""SELECT * FROM SCORE(METHOD linear
+        |WITH (table = 'p65_weights', bias = '-1.0', threshold = '0.3'),
+        |SELECT doc_id, text FROM documents)""".stripMargin)
+        .orderBy("doc_id")
+    },
+
     // Per-document character-distribution entropy (gibberish / encoded-
     // blob detector) — in-row sorted run-length fold, no explode; the
     // oracle recomputes it the flat way (explode → per-char counts).

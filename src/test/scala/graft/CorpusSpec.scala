@@ -717,6 +717,42 @@ class CorpusSpec extends AnyFunSuite {
     assert(!plan.contains("hashpartitioning(_t"))
   }
 
+  test("linearScore: hand-computed fastText-style inference; weights hash-joined") {
+    // weights: duplicate term must SUM (0.5 + 0.5 = 1.0); case/trim noise
+    // normalized; empty entry dropped
+    val wts = Seq(("good", 0.5), (" Good ", 0.5), ("bad", -2.0), ("", 9.9))
+      .toDF("term", "weight")
+    val docs = Seq(
+      (1L, "good good stuff"), // raw = 2.0, n=3 → logit 2/3
+      (2L, "bad one"),         // raw = -2.0, n=2 → logit -1
+      (3L, "neutral words"),   // raw = 0, n=2 → logit 0 → prob .5
+      (4L, "")                 // token-less: n=0, logit = bias = 0
+    ).toDF("doc_id", "text")
+    def sig(x: Double) = 1.0 / (1.0 + math.exp(-x))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = Corpus.linearScore(docs, wts, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5))))
+      .toMap
+    assert(out(1L) == ((3L, 2L, r6(2.0 / 3), r6(sig(2.0 / 3)), true)))
+    assert(out(2L) == ((2L, 1L, -1.0, r6(sig(-1.0)), false)))
+    assert(out(3L) == ((2L, 0L, 0.0, 0.5, true))) // prob .5 >= .5 kept
+    assert(out(4L) == ((0L, 0L, 0.0, 0.5, true))) // bias-only row survives
+    // average=false: raw sums, no length normalization
+    val rawOut = Corpus.linearScore(docs, wts, "doc_id", "text",
+        bias = 1.0, average = false)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(rawOut(1L) == 3.0 && rawOut(2L) == -1.0 && rawOut(4L) == 1.0)
+    // plan: weights probe is a broadcast HASH join; docs never shuffle
+    // except the per-doc regroup
+    val plan = Corpus.linearScore(Tables.t(spark, TestSpark.sf, "documents"),
+      wts, "doc_id", "text").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    // (the tiny weights table's own dedup aggregate may exchange by _t;
+    // the TOKEN rows must not — their only shuffle is the doc_id regroup)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("hashpartitioning(text"))
+  }
+
   test("corpusStats: hand-checked profile; approx path agrees on these sizes") {
     val docs = Seq(
       ("s1", "aa bb"), ("s1", "cc dd ee ff"), ("s2", "x")).toDF("source", "text")

@@ -121,6 +121,35 @@ class StatementDifferentialSpec extends AnyFunSuite {
       assert(got.nonEmpty && got.size < docs.size) // the gate actually cuts
     }
 
+    test(s"statement diff (seed=$seed): SCORE linear matches the mean-pooled logit model") {
+      val docs = randDocs(seed, 60)
+      val rnd = new java.util.Random(seed * 17)
+      val wts = wordPool.map(w =>
+        (w, math.round(rnd.nextGaussian() * 100.0) / 100.0))
+      val ctx = ctxWith("sd_docs", docs)
+      ctx.createTable("sd_weights", wts.toDF("term", "weight"))
+      val wmap = wts.groupMapReduce(_._1.trim.toLowerCase)(_._2)(_ + _)
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val expected = docs.map { case (id, text) =>
+        val toks = text.toLowerCase
+          .split(Pattern.quote(" "), -1).filter(_.nonEmpty)
+        val raw = toks.flatMap(wmap.get).sum
+        val logit = -0.5 + raw / math.max(toks.length, 1).toDouble
+        val prob = 1.0 / (1.0 + math.exp(-logit))
+        id -> ((toks.length.toLong, toks.count(wmap.contains).toLong,
+          r6(logit), r6(prob), r6(prob) >= 0.4))
+      }.toMap
+      val got = ctx.sql(
+        """SELECT * FROM SCORE(METHOD linear
+          |WITH (table = 'sd_weights', bias = '-0.5', threshold = '0.4'),
+          |SELECT doc_id, text FROM sd_docs)""".stripMargin)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4), r.getBoolean(5)))).toMap
+      assert(got == expected)
+      assert(got.values.exists(_._5) && got.values.exists(!_._5))
+    }
+
     test(s"statement diff (seed=$seed): SCORE blocklist matches the token/substring model") {
       val docs = randDocs(seed, 60)
       val entries = Seq("vector", " Merge ", "slow scan", "hash join",
