@@ -280,14 +280,19 @@ object Corpus {
     *    survivors per document with an IN-ROW sort of (pos, line) structs
     *    (the [[materializePacked]] trick — no window, no second shuffle of
     *    the lines). Costs one extra shuffle of all lines + the per-doc
-    *    regroup, so it loses to broadcast until the hot set stops fitting:
-    *    measured at the 20× clone envelope (100k docs, EVERY line hot at
-    *    minDocs=2, ~5k-entry hot set), join 3.6 s vs broadcast 2.3 s
-    *    (PLANS 43) — the knob exists for the set broadcast can't hold
-    *    (≳10⁷ hashes ≈ 100 MB in one array row), not for speed. The
-    *    switch is explicit rather than automatic because sizing the hot
-    *    set costs an extra action by definition; operators running under
-    *    a driver that knows its corpus (the C4 pipeline case) set it once.
+    *    regroup — but its membership probe is a HASH lookup where the
+    *    broadcast form's array_contains is LINEAR in the hot set per
+    *    line, so the crossover arrives well before broadcast memory runs
+    *    out. Measured at the clone envelope with a ~5k-entry hot set
+    *    (every line hot, minDocs=2): 20× (100k docs) broadcast 2.3 s vs
+    *    join 3.6 s; 50× (250k docs) broadcast 7.7 s vs join 2.8 s
+    *    (PLANS 43) — broadcast wins only while hotSet × lines stays
+    *    small; at 10⁷-hash hot sets it also stops FITTING (~100 MB in
+    *    one array row). Rule of thumb: hot sets ≤ ~10³ → broadcast;
+    *    anything larger at real corpus sizes → join. The switch is
+    *    explicit rather than automatic because sizing the hot set costs
+    *    an extra action by definition; operators running under a driver
+    *    that knows its corpus (the C4 pipeline case) set it once.
     * Returns (id, clean_text, n_lines, n_removed).
     */
   def removeGlobalRepeatedLines(
