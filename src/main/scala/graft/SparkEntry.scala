@@ -52,5 +52,7 @@ object SparkEntry {
     // r5 second half: the retrieval scorer (filtered explode + broadcast
     // dfreq) and the packing pipeline's window+concat shape
     "p55_bm25", "p62_pack_materialize",
+    // r6: the fastText-shaped classifier gate (broadcast weights join)
+    "p65_linear_score",
     "s01_events_tumbling", "s03_events_session")
 }

@@ -355,4 +355,51 @@ object DocStreams {
       textCol: String = "text"): DataFrame =
     graft.operators.Corpus.corpusStats(docStream, groupCol, textCol,
       approxQuantiles = true)
+
+  /** Static linear-classifier weights → ONE broadcastable row
+    * (map<term, weight>; duplicate terms sum, exactly as the batch
+    * `Corpus.linearScore` merges them) for [[scoreStreamLinear]]. Models
+    * are vocabulary-sized (10⁴-10⁶ terms, megabytes) — the
+    * [[bigramRefModel]] regime. */
+  def linearModel(weights: DataFrame, termCol: String = "term",
+      weightCol: String = "weight"): DataFrame =
+    weights
+      .select(lower(trim(col(termCol))).as("t"),
+        col(weightCol).cast("double").as("w"))
+      .filter(col("t") =!= "")
+      .groupBy("t").agg(sum(col("w")).as("w"))
+      .agg(map_from_entries(collect_list(struct(col("t"), col("w"))))
+        .as("w_map"))
+
+  /** Stream-side fastText-shaped classifier gate — the real-time twin of
+    * `Corpus.linearScore` (same outputs, asserted equal in
+    * DocStreamingSpec): mean-pooled logit → sigmoid → threshold, computed
+    * per row against the broadcast weight map, so the stream needs no
+    * aggregation state at all (append mode, watermark-free). The batch
+    * form's explode+join shape would be a streaming aggregation; the
+    * in-row fold trades the O(1) hash probe for map lookups at the same
+    * asymptotic cost and keeps the operator stateless. */
+  def scoreStreamLinear(docStream: DataFrame, model: DataFrame,
+      idCol: String, textCol: String, bias: Double = 0.0,
+      threshold: Double = 0.5, average: Boolean = true): DataFrame = {
+    val toks = filter(split(lower(col(textCol)), " "), t => t =!= "")
+    val denom =
+      if (average) greatest(col("n_tokens"), lit(1L)).cast("double")
+      else lit(1.0)
+    docStream
+      .select(col(idCol), toks.as("_toks"))
+      .crossJoin(broadcast(model))
+      .select(col(idCol),
+        size(col("_toks")).cast("bigint").as("n_tokens"),
+        size(filter(col("_toks"), t => element_at(col("w_map"), t).isNotNull))
+          .cast("bigint").as("n_hits"),
+        aggregate(col("_toks"), lit(0.0),
+          (s, t) => s + coalesce(element_at(col("w_map"), t), lit(0.0)))
+          .as("_raw"))
+      .withColumn("logit", lit(bias) + col("_raw") / denom)
+      .withColumn("prob", lit(1.0) / (lit(1.0) + exp(-col("logit"))))
+      .select(col(idCol), col("n_tokens"), col("n_hits"),
+        round(col("logit"), 6).as("logit"), round(col("prob"), 6).as("prob"))
+      .withColumn("kept", col("prob") >= threshold)
+  }
 }

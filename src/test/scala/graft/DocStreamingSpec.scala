@@ -53,6 +53,29 @@ class DocStreamingSpec extends AnyFunSuite {
       .forall { case (_, (g, h)) => g == h })
   }
 
+  test("streaming linear classifier gate equals batch linearScore, stateless") {
+    import spark.implicits._
+    val wts = Seq(("vector", 1.2), ("merge", 0.8), ("slow", -1.5),
+      ("scan", -0.7), ("the", 0.05), ("customer", 0.9), (" Vector ", 0.3))
+      .toDF("term", "weight")
+    val model = DocStreams.linearModel(wts)
+    val stream = DocStreams.scoreStreamLinear(
+      DocStreams.readStream(spark, docsDir), model, "doc_id", "text",
+      bias = -1.0, threshold = 0.3)
+    // append mode with no watermark: if this were a streaming aggregation
+    // it would refuse to start — draining proves it's stateless
+    val streamed = drain(stream, "lin_stream")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    val batch = Corpus.linearScore(
+        Tables.t(spark, TestSpark.sf, "documents"), wts, "doc_id", "text",
+        bias = -1.0, threshold = 0.3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(streamed == batch)
+    assert(batch.values.exists(_._5) && batch.values.exists(!_._5))
+  }
+
   test("streaming chunk dedup against a static index: indexed chunks dropped, stateless") {
     import spark.implicits._
     val docs = Tables.t(spark, TestSpark.sf, "documents")
