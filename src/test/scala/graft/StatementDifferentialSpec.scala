@@ -121,6 +121,57 @@ class StatementDifferentialSpec extends AnyFunSuite {
       assert(got.nonEmpty && got.size < docs.size) // the gate actually cuts
     }
 
+    test(s"statement diff (seed=$seed): TOKENIZE matches the sequential-merge model") {
+      val docs = randDocs(seed, 40)
+      val rnd = new java.util.Random(seed * 23)
+      // random merge table drawn from the word pool's character bigrams,
+      // with follow-up merges over already-merged symbols — exercises both
+      // applicable and inapplicable ranks in random order
+      val chars = "thecatsvmrjoinlwz".map(_.toString).distinct
+      val table = (0 until 40).map { i =>
+        if (i < 30 || i % 3 != 0)
+          (chars(rnd.nextInt(chars.length)), chars(rnd.nextInt(chars.length)))
+        else { // a rank whose lhs is an earlier merge's output
+          val (l, r) = (chars(rnd.nextInt(chars.length)),
+            chars(rnd.nextInt(chars.length)))
+          (l + r, chars(rnd.nextInt(chars.length)))
+        }
+      }
+      def applyMerge(syms: Vector[String], l: String, r: String): Vector[String] = {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.result()
+      }
+      def encode(word: String): Vector[String] =
+        table.foldLeft(word.map(_.toString).toVector) {
+          case (s, (l, r)) => applyMerge(s, l, r)
+        }
+      val cache = scala.collection.mutable.HashMap.empty[String, Vector[String]]
+      val expected = docs.map { case (id, text) =>
+        id -> text.toLowerCase.split(' ').filter(_.nonEmpty)
+          .flatMap(w => cache.getOrElseUpdate(w, encode(w))).toSeq
+      }.toMap
+      val ctx = ctxWith("sd_docs", docs)
+      ctx.createTable("sd_merges", table.zipWithIndex
+        .map { case ((l, r), i) => (i.toLong + 1, l, r) }
+        .toDF("round", "lhs", "rhs"))
+      // both compile strategies must match the model (fold ≤96 merges →
+      // default path; fold_limit=0 forces the production native node)
+      for (foldLimit <- Seq("96", "0")) {
+        val got = ctx.sql(
+          s"""SELECT * FROM TOKENIZE(TABLE sd_merges
+             |WITH (fold_limit = '$foldLimit'),
+             |SELECT doc_id, text FROM sd_docs)""".stripMargin)
+          .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+        assert(got == expected, s"fold_limit=$foldLimit")
+      }
+    }
+
     test(s"statement diff (seed=$seed): SCORE linear matches the mean-pooled logit model") {
       val docs = randDocs(seed, 60)
       val rnd = new java.util.Random(seed * 17)
