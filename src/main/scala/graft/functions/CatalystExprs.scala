@@ -1014,4 +1014,97 @@ object CatalystExprs {
 
   def bpeEncodeMerges(text: Column, merges: Seq[(String, String)]): Column =
     GraftBridge.column(BpeEncodeMerges(GraftBridge.expression(text), merges))
+
+  /** Perceptual image hash (dHash, 64-bit) of an UNCOMPRESSED 24/32-bit
+    * BMP payload — REAL pixel work, no codec library: BI_RGB bitmaps are
+    * raw BGR rows behind a fixed header, so pure byte parsing reaches the
+    * pixels (same no-codec rule as ImageDimensions' header parsers). The
+    * hash is the standard difference hash: average-pool the grayscale
+    * image to a 9×8 grid, emit bit (row, col) = 1 iff cell[row][col+1] >
+    * cell[row][col] — 64 bits of left-to-right brightness gradients.
+    * Gradients are invariant to global brightness/contrast shifts and the
+    * pooling to scale, which is exactly what makes it a NEAR-duplicate
+    * key where a byte checksum is an exact one; pairs within a small
+    * Hamming distance are visual near-dups (banded like SimHash —
+    * `Multimodal.imageDedupPairs`).
+    *
+    * NULL for anything that isn't a valid uncompressed 24/32-bit BMP of
+    * at least 9×8 pixels (compressed formats need the codec stage, which
+    * the container stubs — see Multimodal.fakeDecode). Handles bottom-up
+    * (positive height) and top-down (negative height) row orders; row
+    * order doesn't change the hash definition because pooling indexes by
+    * image coordinates, not file order. */
+  case class BmpDHash(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+
+    private def i32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+        ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+    private def i16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+
+    override def nullSafeEval(input: Any): Any = {
+      val b = input.asInstanceOf[Array[Byte]]
+      if (b == null || b.length < 54 || b(0) != 'B' || b(1) != 'M') return null
+      val dataOff = i32(b, 10)
+      val hdrSize = i32(b, 14)
+      if (hdrSize < 40) return null // BITMAPCOREHEADER not supported
+      val w = i32(b, 18)
+      val hRaw = i32(b, 22)
+      val topDown = hRaw < 0
+      val h = math.abs(hRaw)
+      val bpp = i16(b, 28)
+      val compression = i32(b, 30)
+      if (compression != 0 || (bpp != 24 && bpp != 32)) return null
+      if (w < 9 || h < 8) return null
+      val bytesPerPx = bpp / 8
+      val stride = ((bytesPerPx * w + 3) / 4) * 4
+      if (dataOff.toLong + stride.toLong * h > b.length) return null
+
+      // grayscale average-pool to 9 (cols) × 8 (rows), image coordinates:
+      // row 0 = top of the image regardless of file row order
+      val pool = Array.ofDim[Long](8, 9)
+      val cnt = Array.ofDim[Long](8, 9)
+      var y = 0
+      while (y < h) {
+        val fileRow = if (topDown) y else h - 1 - y
+        val rowOff = dataOff + fileRow * stride
+        val pr = (y * 8) / h
+        var x = 0
+        while (x < w) {
+          val o = rowOff + x * bytesPerPx
+          val blue = b(o) & 0xFF
+          val green = b(o + 1) & 0xFF
+          val red = b(o + 2) & 0xFF
+          val gray = (red * 299 + green * 587 + blue * 114) / 1000
+          val pc = (x * 9) / w
+          pool(pr)(pc) += gray
+          cnt(pr)(pc) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var hash = 0L
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 8) {
+          val left = pool(r)(c).toDouble / cnt(r)(c)
+          val right = pool(r)(c + 1).toDouble / cnt(r)(c + 1)
+          if (right > left) hash |= 1L << (r * 8 + c)
+          c += 1
+        }
+        r += 1
+      }
+      java.lang.Long.valueOf(hash)
+    }
+    override def prettyName: String = "bmp_dhash"
+    override protected def withNewChildInternal(c: Expression): BmpDHash =
+      copy(child = c)
+  }
+
+  def bmpDHash(payload: Column): Column =
+    GraftBridge.column(BmpDHash(GraftBridge.expression(payload)))
 }

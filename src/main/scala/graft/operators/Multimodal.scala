@@ -96,6 +96,64 @@ object Multimodal {
     }(enc)
   }
 
+  /** REAL perceptual hashing (see CatalystExprs.BmpDHash): 64-bit dHash
+    * over the decoded grayscale of uncompressed 24/32-bit BMP payloads —
+    * brightness/contrast/scale-tolerant, so it keys visual NEAR-dups where
+    * byte checksums key exact ones. NULL for payloads that need a codec
+    * (the stubbed stage); a production deploy swaps the decode, keeps
+    * everything downstream. Pure projection — payload bytes never shuffle. */
+  def imageDHash(media: DataFrame): DataFrame =
+    media.withColumn("dhash",
+      graft.functions.CatalystExprs.bmpDHash(col("payload")))
+
+  /** Visual near-duplicate pairs by dHash Hamming distance — the image
+    * half of corpus dedup (screenshot farms, re-encoded thumbnails,
+    * brightness-shifted re-uploads). Same pigeonhole shape as
+    * `TextDedup.simhashDedupPairs`: any pair within Hamming ≤ 3 agrees on
+    * at least one of four 16-bit chunks, so candidates come from 4
+    * chunk-equality buckets and only (id, hash) pairs ever shuffle —
+    * payloads are dropped before the explode. Verified with
+    * bit_count(xor). Emits (media_a, media_b, hamming). */
+  def imageDedupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = imageDHash(media)
+      .filter(col("dhash").isNotNull)
+      .select(col("media_id"), col("dhash"))
+    val chunked = sigs.select(col("media_id"), col("dhash"),
+        explode(array((0 until 4).map { c =>
+          struct(lit(c).as("chunk"),
+            shiftright(col("dhash"), 16 * c).bitwiseAND(lit(0xFFFFL)).as("cv"))
+        }: _*)).as("cc"))
+      .select(col("media_id"), col("dhash"),
+        col("cc.chunk").as("chunk"), col("cc.cv").as("cv"))
+    chunked.as("x").join(chunked.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("media_a"), col("y.media_id").as("media_b"),
+        bit_count(col("x.dhash").bitwiseXOR(col("y.dhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Deterministic synthetic grayscale BMP (uncompressed 24-bit, bottom-up)
+    * — the fixture generator for the image-dedup driver query and probes:
+    * real BMP bytes the REAL decoder path parses, no codec involved.
+    * `px(x, y)` returns gray 0..255 with (0,0) the top-left corner. */
+  def syntheticBmpGray(w: Int, h: Int)(px: (Int, Int) => Int): Array[Byte] = {
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](
+      v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val stride = ((3 * w + 3) / 4) * 4
+    val data = new Array[Byte](stride * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = px(x, y) & 0xFF
+      val o = (h - 1 - y) * stride + x * 3
+      data(o) = g.toByte; data(o + 1) = g.toByte; data(o + 2) = g.toByte
+    }
+    "BM".getBytes ++ le32(54 + data.length) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++ le32(0) ++
+      le32(data.length) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++ data
+  }
+
   /** Deterministic "resize" stub: truncate payload to maxBytes — stands in
     * for a real thumbnail/resample stage; shape and laziness are what
     * matter for the pipeline. */

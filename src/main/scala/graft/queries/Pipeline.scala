@@ -559,6 +559,38 @@ object Pipeline {
         .orderBy("media_id")
     },
 
+    // Visual near-duplicate detection over REAL image bytes: 120 synthetic
+    // uncompressed BMPs — 6 visually distinct gradient patterns × 20
+    // variants (byte copies, global brightness shifts, 2× integer
+    // upscales) — hashed with the real BMP-decoding dHash expression and
+    // paired by Hamming banding. The oracle is the PLANTED ground truth:
+    // dHash is exactly invariant under those variant transforms (spec-
+    // proved invariances), so the pair list must be precisely every
+    // within-pattern combination at Hamming 0 — a DuckDB-expressible
+    // structural oracle with no image code on the oracle side.
+    Q("p66_image_dhash_dedup", Some("""
+      WITH p AS (SELECT unnest(range(0, 6)) AS p),
+      v AS (SELECT unnest(range(0, 20)) AS v),
+      ids AS (SELECT p.p * 100 + v.v AS id, p.p AS pat FROM p, v)
+      SELECT CAST(a.id AS BIGINT) AS media_a, CAST(b.id AS BIGINT) AS media_b,
+             CAST(0 AS INT) AS hamming
+      FROM ids a JOIN ids b ON a.pat = b.pat AND a.id < b.id
+      ORDER BY media_a, media_b""")) { (s, d) =>
+      import s.implicits._
+      def pat(p: Int)(x: Int, y: Int): Int =
+        ((x * (2 * p + 3) + y * (17 - 2 * p) + (x * y) % (p + 2)) % 160) + 20
+      val media = (for (p <- 0 until 6; v <- 0 until 20) yield {
+        val shift = (v % 4) * 20
+        val img =
+          if (v >= 10)
+            Multimodal.syntheticBmpGray(54, 48)((x, y) => pat(p)(x / 2, y / 2) + shift)
+          else Multimodal.syntheticBmpGray(27, 24)((x, y) => pat(p)(x, y) + shift)
+        ((p * 100 + v).toLong, img)
+      }).toDF("media_id", "payload")
+      Multimodal.imageDedupPairs(media, maxHamming = 3)
+        .orderBy("media_a", "media_b")
+    },
+
     // Gopher-style hard quality gates: word-count window, mean word length,
     // distinct-token (repetition) ratio, symbol ratio — the standard
     // pre-training document filter, every signal oracle-reproducible.

@@ -187,4 +187,89 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out("trunc").isEmpty)
     assert(out("sib").isEmpty)
   }
+
+  /** A real uncompressed BMP writer (pure bytes — the same no-codec rule
+    * the decoder plays by). `px(x, y)` returns gray in 0..255; (0,0) is
+    * the TOP-LEFT image corner regardless of the file row order. */
+  private def makeBmp(w: Int, h: Int, bpp: Int = 24, topDown: Boolean = false)(
+      px: (Int, Int) => Int): Array[Byte] = {
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](
+      v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val bytesPerPx = bpp / 8
+    val stride = ((bytesPerPx * w + 3) / 4) * 4
+    val data = new Array[Byte](stride * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val fileRow = if (topDown) y else h - 1 - y
+      val g = px(x, y) & 0xFF
+      val o = fileRow * stride + x * bytesPerPx
+      data(o) = g.toByte; data(o + 1) = g.toByte; data(o + 2) = g.toByte
+      if (bytesPerPx == 4) data(o + 3) = 0xFF.toByte
+    }
+    "BM".getBytes ++ le32(54 + data.length) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(w) ++ le32(if (topDown) -h else h) ++ le16(1) ++
+      le16(bpp) ++ le32(0) ++ le32(data.length) ++ le32(0) ++ le32(0) ++
+      le32(0) ++ le32(0) ++ data
+  }
+
+  private def dhashOf(payloads: Seq[(Long, Array[Byte])]): Map[Long, Option[Long]] = {
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    payloads.toDF("media_id", "payload")
+      .select($"media_id", graft.functions.CatalystExprs.bmpDHash($"payload").as("d"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+  }
+
+  test("bmpDHash: real BMP pixels, perceptual invariances, codec-needing inputs null") {
+    def base(x: Int, y: Int): Int = (x * 9 + y * 4) % 180 + 20 // smooth gradient
+    val ident = makeBmp(18, 16)(base)
+    val out = dhashOf(Seq(
+      1L -> ident,
+      2L -> makeBmp(18, 16)(base),                          // byte-identical
+      3L -> makeBmp(18, 16)((x, y) => base(x, y) + 40),     // brightness shift
+      4L -> makeBmp(36, 32)((x, y) => base(x / 2, y / 2)),  // 2x upscale
+      5L -> makeBmp(18, 16, topDown = true)(base),          // top-down rows
+      6L -> makeBmp(18, 16, bpp = 32)(base),                // 32-bit pixels
+      7L -> makeBmp(18, 16)((x, y) => 200 - base(x, y)),    // inverted: far
+      8L -> "not an image at all".getBytes,                 // junk
+      9L -> makeBmp(8, 4)(base)))                           // too small to pool
+    val d1 = out(1L).get
+    // dHash is a GRADIENT signature: exact under copies, global brightness
+    // shifts, integer upscales, row-order flips, and pixel width changes
+    assert(out(2L).contains(d1) && out(3L).contains(d1) && out(4L).contains(d1))
+    assert(out(5L).contains(d1) && out(6L).contains(d1))
+    // inverting the image flips every gradient: maximal Hamming distance
+    assert(java.lang.Long.bitCount(out(7L).get ^ d1) == 64)
+    assert(out(8L).isEmpty && out(9L).isEmpty)
+  }
+
+  test("imageDedupPairs: visual near-dup clusters found, distinct patterns not paired") {
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    // 6 visually distinct patterns × 4 variants each (copy, +30 and +60
+    // brightness, 2x upscale): every within-pattern pair is hamming 0,
+    // cross-pattern pairs must all sit far beyond maxHamming
+    def pat(p: Int)(x: Int, y: Int): Int =
+      ((x * (2 * p + 3) + y * (17 - 2 * p) + (x * y) % (p + 2)) % 160) + 20
+    val media = (for (p <- 0 until 6; v <- 0 until 4) yield {
+      val id = (p * 10 + v).toLong
+      val img = v match {
+        case 0 | 1 => makeBmp(27, 24)(pat(p))
+        case 2 => makeBmp(27, 24)((x, y) => pat(p)(x, y) + 30)
+        case 3 => makeBmp(54, 48)((x, y) => pat(p)(x / 2, y / 2))
+      }
+      (id, img)
+    }).toDF("media_id", "payload")
+    val pairs = Multimodal.imageDedupPairs(media, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (for (p <- 0 until 6; a <- 0 until 4; b <- a + 1 until 4)
+      yield ((p * 10 + a).toLong, (p * 10 + b).toLong)).toSet
+    assert(pairs == expected)
+    // and the plan never shuffles payload bytes: the hash projection drops
+    // them before the chunk explode
+    val plan = Multimodal.imageDedupPairs(media, maxHamming = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning(payload"))
+  }
 }
