@@ -1107,4 +1107,95 @@ object CatalystExprs {
 
   def bmpDHash(payload: Column): Column =
     GraftBridge.column(BmpDHash(GraftBridge.expression(payload)))
+
+  /** Perceptual audio hash (64-bit envelope-gradient) of a PCM RIFF/WAVE
+    * payload — the audio twin of [[BmpDHash]], and like it REAL signal
+    * work with no codec: PCM WAV is raw samples behind RIFF chunks, so
+    * pure byte parsing reaches them. The hash pools the mono-mixed
+    * mean-absolute amplitude into 65 equal time windows and emits bit i =
+    * 1 iff window i+1 is louder than window i — 64 bits of loudness
+    * gradients. Gradients are exactly invariant to volume scaling, sample
+    * duplication (integer resampling), bit depth (8 vs 16), and
+    * channel duplication (stereo from mono), making Hamming proximity a
+    * NEAR-duplicate key for re-encoded/re-leveled audio
+    * (`Multimodal.audioDedupPairs`).
+    *
+    * NULL unless: RIFF/WAVE container, fmt chunk with audioFormat=1 (PCM),
+    * 8- or 16-bit samples, and at least 65 sample frames. */
+  case class WavEnvelopeHash(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+
+    private def i32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+        ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+    private def i16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+
+    override def nullSafeEval(input: Any): Any = {
+      val b = input.asInstanceOf[Array[Byte]]
+      if (b == null || b.length < 44) return null
+      if (b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+        b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return null
+      // walk chunks for fmt + data
+      var pos = 12
+      var fmtOff = -1
+      var dataOff = -1
+      var dataLen = 0
+      while (pos + 8 <= b.length && (fmtOff < 0 || dataOff < 0)) {
+        val id = new String(b, pos, 4, "US-ASCII")
+        val len = i32(b, pos + 4)
+        if (len < 0 || pos + 8 + len > b.length) return null
+        if (id == "fmt " && len >= 16) fmtOff = pos + 8
+        else if (id == "data") { dataOff = pos + 8; dataLen = len }
+        pos += 8 + len + (len & 1) // chunks are word-aligned
+      }
+      if (fmtOff < 0 || dataOff < 0) return null
+      val audioFormat = i16(b, fmtOff)
+      val channels = i16(b, fmtOff + 2)
+      val bits = i16(b, fmtOff + 14)
+      if (audioFormat != 1 || channels < 1 ||
+        (bits != 8 && bits != 16)) return null
+      val bytesPerSample = bits / 8
+      val frameBytes = bytesPerSample * channels
+      val nFrames = dataLen / frameBytes
+      if (nFrames < 65) return null
+
+      // mono-mixed |amplitude|, pooled into 65 equal windows
+      val pool = new Array[Double](65)
+      val cnt = new Array[Long](65)
+      var f = 0
+      while (f < nFrames) {
+        val base = dataOff + f * frameBytes
+        var acc = 0L
+        var c = 0
+        while (c < channels) {
+          val o = base + c * bytesPerSample
+          val v =
+            if (bits == 16) i16(b, o).toShort.toInt
+            else ((b(o) & 0xFF) - 128) << 8 // center and scale 8-bit to 16
+          acc += math.abs(v)
+          c += 1
+        }
+        val w = ((f.toLong * 65) / nFrames).toInt
+        pool(w) += acc.toDouble / channels
+        cnt(w) += 1
+        f += 1
+      }
+      var hash = 0L
+      var i = 0
+      while (i < 64) {
+        if (pool(i + 1) / cnt(i + 1) > pool(i) / cnt(i)) hash |= 1L << i
+        i += 1
+      }
+      java.lang.Long.valueOf(hash)
+    }
+    override def prettyName: String = "wav_envelope_hash"
+    override protected def withNewChildInternal(c: Expression): WavEnvelopeHash =
+      copy(child = c)
+  }
+
+  def wavEnvelopeHash(payload: Column): Column =
+    GraftBridge.column(WavEnvelopeHash(GraftBridge.expression(payload)))
 }

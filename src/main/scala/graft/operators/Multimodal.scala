@@ -134,6 +134,63 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** REAL audio perceptual hashing (see CatalystExprs.WavEnvelopeHash):
+    * 64-bit loudness-gradient hash over PCM WAV samples — volume/
+    * resample/bit-depth/channel-layout-tolerant, the audio twin of
+    * [[imageDHash]]. NULL for codec-needing payloads. Pure projection. */
+  def audioEnvelopeHash(media: DataFrame): DataFrame =
+    media.withColumn("ahash",
+      graft.functions.CatalystExprs.wavEnvelopeHash(col("payload")))
+
+  /** Audio near-duplicate pairs by envelope-hash Hamming distance — same
+    * 16-bit pigeonhole banding as [[imageDedupPairs]]; only (id, hash)
+    * pairs shuffle, payload bytes are dropped before the explode. */
+  def audioDedupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = audioEnvelopeHash(media)
+      .filter(col("ahash").isNotNull)
+      .select(col("media_id"), col("ahash"))
+    val chunked = sigs.select(col("media_id"), col("ahash"),
+        explode(array((0 until 4).map { c =>
+          struct(lit(c).as("chunk"),
+            shiftright(col("ahash"), 16 * c).bitwiseAND(lit(0xFFFFL)).as("cv"))
+        }: _*)).as("cc"))
+      .select(col("media_id"), col("ahash"),
+        col("cc.chunk").as("chunk"), col("cc.cv").as("cv"))
+    chunked.as("x").join(chunked.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("media_a"), col("y.media_id").as("media_b"),
+        bit_count(col("x.ahash").bitwiseXOR(col("y.ahash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Deterministic synthetic PCM WAV — fixture generator for the audio-
+    * dedup driver query and probes: real RIFF/WAVE bytes the REAL decoder
+    * parses. `sample(i)` returns a 16-bit amplitude per frame; `channels`
+    * duplicates it per channel; `bits = 8` stores the top byte (exactly
+    * representable when samples are multiples of 256). */
+  def syntheticWavPcm(nFrames: Int, channels: Int = 1, bits: Int = 16,
+      sampleRate: Int = 16000)(sample: Int => Int): Array[Byte] = {
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](
+      v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val bytesPerSample = bits / 8
+    val frameBytes = bytesPerSample * channels
+    val data = new Array[Byte](nFrames * frameBytes)
+    for (f <- 0 until nFrames; c <- 0 until channels) {
+      val v = sample(f)
+      val o = f * frameBytes + c * bytesPerSample
+      if (bits == 16) { data(o) = v.toByte; data(o + 1) = (v >> 8).toByte }
+      else data(o) = (((v >> 8) + 128) & 0xFF).toByte
+    }
+    val byteRate = sampleRate * frameBytes
+    "RIFF".getBytes ++ le32(36 + data.length) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(channels) ++
+      le32(sampleRate) ++ le32(byteRate) ++ le16(frameBytes) ++ le16(bits) ++
+      "data".getBytes ++ le32(data.length) ++ data
+  }
+
   /** Deterministic synthetic grayscale BMP (uncompressed 24-bit, bottom-up)
     * — the fixture generator for the image-dedup driver query and probes:
     * real BMP bytes the REAL decoder path parses, no codec involved.

@@ -591,6 +591,34 @@ object Pipeline {
         .orderBy("media_a", "media_b")
     },
 
+    // The audio twin of p66: 60 synthetic PCM WAV clips — 5 distinct
+    // stepped loudness envelopes × 12 exact variants (byte copies, 2×
+    // volume, stereo duplication, 8-bit depth) — hashed with the real
+    // PCM-decoding envelope-gradient expression and paired by Hamming
+    // banding, against the planted-cluster structural oracle.
+    Q("p67_audio_envelope_dedup", Some("""
+      WITH p AS (SELECT unnest(range(0, 5)) AS p),
+      v AS (SELECT unnest(range(0, 12)) AS v),
+      ids AS (SELECT p.p * 100 + v.v AS id, p.p AS pat FROM p, v)
+      SELECT CAST(a.id AS BIGINT) AS media_a, CAST(b.id AS BIGINT) AS media_b,
+             CAST(0 AS INT) AS hamming
+      FROM ids a JOIN ids b ON a.pat = b.pat AND a.id < b.id
+      ORDER BY media_a, media_b""")) { (s, d) =>
+      import s.implicits._
+      def env(p: Int)(f: Int): Int =
+        (((f / 8) * (p + 2) + (f / 16) * (7 - p)) % 11) * 1024 + 1024
+      val media = (for (p <- 0 until 5; v <- 0 until 12) yield {
+        val scale = 1 + (v % 2)
+        val ch = 1 + ((v / 2) % 2)
+        val bits = if ((v / 4) % 3 == 2) 8 else 16
+        val wav = Multimodal.syntheticWavPcm(520, channels = ch,
+          bits = bits)(f => env(p)(f) * scale)
+        ((p * 100 + v).toLong, wav)
+      }).toDF("media_id", "payload")
+      Multimodal.audioDedupPairs(media, maxHamming = 3)
+        .orderBy("media_a", "media_b")
+    },
+
     // Gopher-style hard quality gates: word-count window, mean word length,
     // distinct-token (repetition) ratio, symbol ratio — the standard
     // pre-training document filter, every signal oracle-reproducible.

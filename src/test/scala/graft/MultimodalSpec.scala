@@ -244,6 +244,58 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(8L).isEmpty && out(9L).isEmpty)
   }
 
+  test("wavEnvelopeHash: real PCM samples, loudness-gradient invariances, junk null") {
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    // 520 frames = 65 windows × 8 — exact window blocks, so integer
+    // resampling keeps the envelope bit-identical. Samples are multiples
+    // of 256 so the 8-bit file carries exactly the same information.
+    def env(f: Int): Int = ((f / 8) % 13) * 1024 + 2048 // stepped envelope
+    def wav = Multimodal.syntheticWavPcm(520)(env)
+    val out = Seq(
+      1L -> wav,
+      2L -> Multimodal.syntheticWavPcm(520)(env),                 // copy
+      3L -> Multimodal.syntheticWavPcm(520)(f => env(f) * 2),     // 2x volume
+      4L -> Multimodal.syntheticWavPcm(1040)(f => env(f / 2)),    // 2x resample
+      5L -> Multimodal.syntheticWavPcm(520, channels = 2)(env),   // stereo
+      6L -> Multimodal.syntheticWavPcm(520, bits = 8)(env),       // 8-bit
+      7L -> Multimodal.syntheticWavPcm(520)(f => env(519 - f)),   // reversed: far
+      8L -> "RIFFjunk".getBytes,                                  // junk
+      9L -> Multimodal.syntheticWavPcm(40)(env))                  // too short
+      .toDF("media_id", "payload")
+      .select($"media_id",
+        graft.functions.CatalystExprs.wavEnvelopeHash($"payload").as("h"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val h1 = out(1L).get
+    assert(out(2L).contains(h1) && out(3L).contains(h1) && out(4L).contains(h1))
+    assert(out(5L).contains(h1) && out(6L).contains(h1))
+    assert(java.lang.Long.bitCount(out(7L).get ^ h1) > 16) // reversed is far
+    assert(out(8L).isEmpty && out(9L).isEmpty)
+  }
+
+  test("audioDedupPairs: planted audio clusters found, distinct envelopes not paired") {
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    // 5 distinct stepped envelopes × 4 exact variants each
+    def env(p: Int)(f: Int): Int =
+      (((f / 8) * (p + 2) + (f / 16) * (7 - p)) % 11) * 1024 + 1024
+    val media = (for (p <- 0 until 5; v <- 0 until 4) yield {
+      val id = (p * 10 + v).toLong
+      val wav = v match {
+        case 0 | 1 => Multimodal.syntheticWavPcm(520)(env(p))
+        case 2 => Multimodal.syntheticWavPcm(520)(f => env(p)(f) * 2)
+        case 3 => Multimodal.syntheticWavPcm(520, channels = 2)(env(p))
+      }
+      (id, wav)
+    }).toDF("media_id", "payload")
+    val pairs = Multimodal.audioDedupPairs(media, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (for (p <- 0 until 5; a <- 0 until 4; b <- a + 1 until 4)
+      yield ((p * 10 + a).toLong, (p * 10 + b).toLong)).toSet
+    assert(pairs == expected)
+  }
+
   test("imageDedupPairs: visual near-dup clusters found, distinct patterns not paired") {
     val spark0 = TestSpark.spark
     import spark0.implicits._
