@@ -621,10 +621,17 @@ class Context(val spark: SparkSession) {
           maxBucket = i("max_bucket", 1000),
           idCol = opts.getOrElse("id", "vec_id"),
           vecCol = opts.getOrElse("vec", "embedding"))
+        // media near-dup pairs over (media_id, payload) frames — the
+        // perceptual-hash family (real BMP/PCM decoders, codec formats
+        // hash NULL and drop out)
+        case "image" => graft.operators.Multimodal.imageDedupPairs(
+          df, maxHamming = i("max_hamming", 3))
+        case "audio" => graft.operators.Multimodal.audioDedupPairs(
+          df, maxHamming = i("max_hamming", 3))
         case other => throw new IllegalArgumentException(
           s"Unknown DEDUP method: $other (exact|minhash|ngram|simhash|" +
             "substring|embedding|incremental|chunks|boilerplate|lines|" +
-            "global_lines)")
+            "global_lines|image|audio)")
       }
 
     // SELECT * FROM SIMSEARCH(TABLE corpus, METHOD m, K n [WITH (...)],

@@ -192,6 +192,16 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => colFn(exprs, 1) { cols =>
         graft.functions.TextAnalysis.canonicalUrl(cols.head) }),
 
+    (new FunctionIdentifier("bmp_dhash"),
+      new ExpressionInfo("graft.functions.CatalystExprs", "bmp_dhash"),
+      (exprs: Seq[Expression]) => colFn(exprs, 1) { cols =>
+        graft.functions.CatalystExprs.bmpDHash(cols.head) }),
+
+    (new FunctionIdentifier("wav_envelope_hash"),
+      new ExpressionInfo("graft.functions.CatalystExprs", "wav_envelope_hash"),
+      (exprs: Seq[Expression]) => colFn(exprs, 1) { cols =>
+        graft.functions.CatalystExprs.wavEnvelopeHash(cols.head) }),
+
     (new FunctionIdentifier("url_domain"),
       new ExpressionInfo("graft.functions.TextAnalysis", "url_domain"),
       (exprs: Seq[Expression]) => colFn(exprs, 1) { cols =>

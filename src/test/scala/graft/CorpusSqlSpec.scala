@@ -241,6 +241,39 @@ class CorpusSqlSpec extends AnyFunSuite {
     assert(viaSql.size < docs.count()) // something was actually dropped
   }
 
+  test("DEDUP image/audio equal the Scala media-dedup APIs over real bytes") {
+    import graft.operators.Multimodal
+    val s0 = spark
+    import s0.implicits._
+    def pat(p: Int)(x: Int, y: Int): Int = (x * (2 * p + 3) + y * 5) % 180
+    val images = (for (p <- 0 until 3; v <- 0 until 3) yield
+      ((p * 10 + v).toLong, Multimodal.syntheticBmpGray(18, 16)((x, y) =>
+        pat(p)(x, y) + v * 20))).toDF("media_id", "payload")
+    ctx.createTable("media_img", images)
+    val viaSql = ctx.sql(
+      """SELECT * FROM DEDUP(METHOD image WITH (max_hamming = '3'),
+        |SELECT media_id, payload FROM media_img)""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = Multimodal.imageDedupPairs(images, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaSql == direct && viaSql.nonEmpty)
+
+    def env(p: Int)(f: Int): Int = (((f / 8) * (p + 2)) % 9) * 1024 + 1024
+    val clips = (for (p <- 0 until 3; v <- 0 until 3) yield
+      ((p * 10 + v).toLong, Multimodal.syntheticWavPcm(520)(f =>
+        env(p)(f) * (1 + v % 2)))).toDF("media_id", "payload")
+    ctx.createTable("media_wav", clips)
+    val viaSqlA = ctx.sql(
+      """SELECT * FROM DEDUP(METHOD audio,
+        |SELECT media_id, payload FROM media_wav)""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val directA = Multimodal.audioDedupPairs(clips, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaSqlA == directA && viaSqlA.nonEmpty)
+    ctx.sql("DROP TABLE IF EXISTS media_img")
+    ctx.sql("DROP TABLE IF EXISTS media_wav")
+  }
+
   test("PACK materialize='true' emits the final sequences, equal to the Scala API") {
     val inner = "SELECT doc_id, source, text, token_count(text) AS n_tokens FROM documents"
     val viaSql = ctx.sql(

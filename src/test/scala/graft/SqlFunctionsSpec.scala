@@ -52,6 +52,33 @@ class SqlFunctionsSpec extends AnyFunSuite {
     sqlEqualsColumn("compression_ratio(text)", TextAnalysis.compressionRatio(txt))
   }
 
+  test("media perceptual hashes: SQL == the Column form on real BMP/WAV bytes") {
+    import graft.operators.Multimodal
+    val s0 = spark
+    import s0.implicits._
+    val media = (0 until 8).map { i =>
+      val payload =
+        if (i % 2 == 0) Multimodal.syntheticBmpGray(18, 16)((x, y) =>
+          (x * (i + 3) + y * 5) % 200)
+        else Multimodal.syntheticWavPcm(520)(f => ((f / 8 + i) % 9) * 1024)
+      (i.toLong, payload)
+    }.toDF("media_id", "payload")
+    val c2 = new Context(spark)
+    c2.createTable("sql_media", media)
+    val viaSql = c2.sql(
+      """SELECT media_id, bmp_dhash(payload) AS d,
+        |wav_envelope_hash(payload) AS a
+        |FROM sql_media ORDER BY media_id""".stripMargin).collect()
+    val direct = media.select(col("media_id"),
+        graft.functions.CatalystExprs.bmpDHash(col("payload")).as("d"),
+        graft.functions.CatalystExprs.wavEnvelopeHash(col("payload")).as("a"))
+      .orderBy("media_id").collect()
+    assert(viaSql.sameElements(direct))
+    // a BMP payload hashes as an image and nulls as audio, and vice versa
+    assert(direct.forall(r => r.isNullAt(1) != r.isNullAt(2)))
+    c2.sql("DROP TABLE IF EXISTS sql_media")
+  }
+
   test("rp_project: SQL == the Similarity Column form, dims must be literals") {
     import graft.operators.Similarity
     val c2 = new Context(spark)
