@@ -508,18 +508,24 @@ object CatalystExprs {
       val b = input.asInstanceOf[Array[Byte]]
       if (b.length < 44 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) null
       else {
-        // walk chunks: fmt must precede data per spec, but don't assume
-        var i = 12
+        // walk chunks: fmt must precede data per spec, but don't assume.
+        // The cursor is a Long and a declared size past the payload end
+        // STOPS the walk — a crafted 32-bit size would otherwise wrap the
+        // cursor negative and index out of bounds (fuzz-found, r6)
+        var i = 12L
         var channels = -1; var rate = -1; var bits = -1
         var dataLen = -1L
-        while (i + 8 <= b.length && (channels < 0 || dataLen < 0)) {
-          val size = le32(b, i + 4)
-          if (tag(b, i, "fmt ") && i + 24 <= b.length) {
-            channels = le16(b, i + 10); rate = le32(b, i + 12).toInt
-            bits = le16(b, i + 22)
-          } else if (tag(b, i, "data")) dataLen = size
+        var stop = false
+        while (!stop && i + 8 <= b.length && (channels < 0 || dataLen < 0)) {
+          val ii = i.toInt
+          val size = le32(b, ii + 4)
+          if (tag(b, ii, "fmt ") && ii + 24 <= b.length) {
+            channels = le16(b, ii + 10); rate = le32(b, ii + 12).toInt
+            bits = le16(b, ii + 22)
+          } else if (tag(b, ii, "data")) dataLen = size
           // chunks are word-aligned: odd sizes carry a pad byte
-          i += 8 + size.toInt + (size.toInt & 1)
+          if (size > b.length - i - 8) stop = true // truncated/malformed tail
+          else i += 8 + size + (size & 1)
         }
         if (channels <= 0 || rate <= 0 || bits <= 0) null
         else {
@@ -1058,10 +1064,17 @@ object CatalystExprs {
       val bpp = i16(b, 28)
       val compression = i32(b, 30)
       if (compression != 0 || (bpp != 24 && bpp != 32)) return null
-      if (w < 9 || h < 8) return null
+      // bounds: a crafted header can carry a negative data offset or a
+      // width whose stride overflows Int — everything here must reject,
+      // never index out of bounds (the payload column is untrusted bytes).
+      // 2^20 px per side is far beyond any sane bitmap and keeps all the
+      // arithmetic below inside Int range.
+      if (w < 9 || h < 8 || w > (1 << 20) || h > (1 << 20)) return null
+      if (dataOff < 54 || dataOff > b.length) return null
       val bytesPerPx = bpp / 8
-      val stride = ((bytesPerPx * w + 3) / 4) * 4
-      if (dataOff.toLong + stride.toLong * h > b.length) return null
+      val strideL = ((bytesPerPx.toLong * w + 3) / 4) * 4
+      if (dataOff.toLong + strideL * h > b.length) return null
+      val stride = strideL.toInt
 
       // grayscale average-pool to 9 (cols) × 8 (rows), image coordinates:
       // row 0 = top of the image regardless of file row order

@@ -296,6 +296,53 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs == expected)
   }
 
+  test("media parsers never throw on adversarial bytes (fuzz: mutations, truncations, crafted headers)") {
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    val rnd = new java.util.Random(20260814L)
+    val validBmp = makeBmp(18, 16)((x, y) => (x * 7 + y * 3) % 200)
+    val validWav = Multimodal.syntheticWavPcm(520)(f => ((f / 8) % 9) * 1024)
+    def mutate(base: Array[Byte]): Array[Byte] = {
+      val c = base.clone()
+      (0 until 1 + rnd.nextInt(6)).foreach { _ =>
+        c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte
+      }
+      c
+    }
+    def crafted(): Array[Byte] = {
+      // valid magic, hostile header fields (negative offsets, giant dims,
+      // overflowing strides) — the class of input that must REJECT, not index
+      val c = (if (rnd.nextBoolean()) validBmp else validWav).clone()
+      (0 until 4).foreach { _ =>
+        val o = 2 + rnd.nextInt(50)
+        c(o) = (if (rnd.nextBoolean()) 0xFF else 0x7F).toByte
+      }
+      c
+    }
+    val payloads: Seq[Array[Byte]] =
+      (1 to 120).map(_ => mutate(if (rnd.nextBoolean()) validBmp else validWav)) ++
+      (1 to 60).map(_ => crafted()) ++
+      (1 to 60).map(_ => { // pure noise and truncations
+        val n = rnd.nextInt(200)
+        val a = new Array[Byte](n); rnd.nextBytes(a); a
+      }) ++
+      (1 to 40).map { _ =>
+        val src = if (rnd.nextBoolean()) validBmp else validWav
+        src.take(rnd.nextInt(src.length))
+      }
+    val df = payloads.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      .toDF("media_id", "payload")
+    // any uncaught decode exception fails the action
+    val out = df.select(
+        graft.functions.CatalystExprs.bmpDHash($"payload"),
+        graft.functions.CatalystExprs.wavEnvelopeHash($"payload"),
+        graft.functions.CatalystExprs.imageDimensions($"payload"),
+        graft.functions.CatalystExprs.audioInfo($"payload"),
+        graft.functions.CatalystExprs.videoInfo($"payload"))
+      .collect()
+    assert(out.length == payloads.length)
+  }
+
   test("imageDedupPairs: visual near-dup clusters found, distinct patterns not paired") {
     val spark0 = TestSpark.spark
     import spark0.implicits._
