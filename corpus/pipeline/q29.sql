@@ -1,0 +1,3 @@
+CREATE OR REPLACE VIEW clf_weights AS
+SELECT * FROM VALUES ('vector', 1.2D), ('merge', 0.8D), ('slow', -1.5D),
+  ('scan', -0.7D), ('the', 0.05D), ('customer', 0.9D) AS t(term, weight)

@@ -1,0 +1,3 @@
+SELECT * FROM SCORE(METHOD linear
+  WITH (table = 'clf_weights', bias = '-1.0', threshold = '0.3'),
+SELECT doc_id, text FROM documents)

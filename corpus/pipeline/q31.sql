@@ -1,0 +1,6 @@
+SELECT * FROM DEDUP(METHOD global_lines
+  WITH (sep = ' | ', min_docs = 3, hot_strategy = 'join'),
+SELECT doc_id,
+       'NAV HOME | banner ' || CAST(doc_id % 7 AS STRING)
+       || ' | body ' || CAST(doc_id AS STRING) || ' ' || substr(text, 1, 40) AS text
+FROM documents)

@@ -1,0 +1,3 @@
+SELECT * FROM SCORE(METHOD dsir
+  WITH (target = 'dsir_target', buckets = '4096', hash = 'xxhash64'),
+SELECT doc_id, text FROM documents)

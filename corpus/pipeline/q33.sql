@@ -1,0 +1,2 @@
+SELECT * FROM TOKENIZE(TABLE bpe_merges WITH (fold_limit = '0'),
+SELECT doc_id, text FROM documents)
