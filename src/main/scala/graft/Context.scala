@@ -623,11 +623,16 @@ class Context(val spark: SparkSession) {
           vecCol = opts.getOrElse("vec", "embedding"))
         // media near-dup pairs over (media_id, payload) frames — the
         // perceptual-hash family (real BMP/PCM decoders, codec formats
-        // hash NULL and drop out)
-        case "image" => graft.operators.Multimodal.imageDedupPairs(
-          df, maxHamming = i("max_hamming", 3))
-        case "audio" => graft.operators.Multimodal.audioDedupPairs(
-          df, maxHamming = i("max_hamming", 3))
+        // hash NULL and drop out); action='rewrite' collapses duplicate
+        // farms hash-first and returns the cleaned media frame
+        case k @ ("image" | "audio") =>
+          if (opts.get("action").map(_.trim.toLowerCase).contains("rewrite"))
+            graft.operators.Multimodal.dedupMediaCorpus(df, kind = k,
+              maxHamming = i("max_hamming", 3))
+          else if (k == "image") graft.operators.Multimodal.imageDedupPairs(
+            df, maxHamming = i("max_hamming", 3))
+          else graft.operators.Multimodal.audioDedupPairs(
+            df, maxHamming = i("max_hamming", 3))
         case other => throw new IllegalArgumentException(
           s"Unknown DEDUP method: $other (exact|minhash|ngram|simhash|" +
             "substring|embedding|incremental|chunks|boilerplate|lines|" +

@@ -1372,7 +1372,12 @@ object Corpus {
     var labels = edges.groupBy(col("src").as("node"))
       .agg(least(min(col("dst")), first(col("src"))).as("label"))
       .localCheckpoint()
-    var lastSum = labels.agg(sum(col("label"))).head().getLong(0)
+    // coalesce: an EMPTY pair list (nothing to cluster) sums to NULL —
+    // must converge to the empty labeling, not NPE (r6: the media dedup
+    // rewrite legitimately feeds zero near-dup edges)
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
+    var lastSum = labelSum(labels)
 
     var iter = 0
     var converged = false
@@ -1385,7 +1390,7 @@ object Corpus {
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         .localCheckpoint()
       // labels only ever decrease, so an unchanged sum means a fixpoint
-      val s = labels.agg(sum(col("label"))).head().getLong(0)
+      val s = labelSum(labels)
       converged = s == lastSum
       lastSum = s
       iter += 1

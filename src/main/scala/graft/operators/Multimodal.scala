@@ -165,6 +165,72 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** The media dedup REWRITE — keep one representative per visual/audio
+    * near-dup cluster and return the cleaned media frame (the
+    * `Corpus.dedupCorpus` analogue for payload tables).
+    *
+    * Scale shape, and why it differs from [[imageDedupPairs]]: duplicate
+    * FARMS (the same screenshot re-uploaded 10⁶ times) make pair
+    * enumeration inherently quadratic per cluster — fine when pairs are
+    * the product, fatal when only the survivors are. So exact perceptual
+    * duplicates (identical hashes) collapse to ONE representative node
+    * FIRST (a groupBy on the 8-byte hash — a 10⁶-copy farm becomes one
+    * row), Hamming banding and connected components run over DISTINCT
+    * hashes only, and every non-representative or non-survivor drops in
+    * one LEFT SEMI join keyed by hash. Payload bytes never shuffle:
+    * hashing is a projection, and the final semi join keys on (hash).
+    * Survivor rule: smallest media_id in the cluster (its
+    * representative's min id — deterministic, no score column needed;
+    * callers wanting quality-ranked survivors run the pair form through
+    * `Corpus.dedupCorpus`). `kind` picks the hash: "image" ([[imageDHash]])
+    * or "audio" ([[audioEnvelopeHash]]); payloads the decoder rejects
+    * (hash NULL) pass through untouched — dedup never drops what it
+    * cannot read. */
+  def dedupMediaCorpus(media: DataFrame, kind: String = "image",
+      maxHamming: Int = 3): DataFrame = {
+    val hashed = (kind match {
+      case "image" => imageDHash(media).withColumnRenamed("dhash", "_h")
+      case "audio" => audioEnvelopeHash(media).withColumnRenamed("ahash", "_h")
+      case other => throw new IllegalArgumentException(
+        s"dedupMediaCorpus kind must be image or audio: $other")
+    }).select(col("media_id"), col("_h"))
+    val sigs = hashed.filter(col("_h").isNotNull)
+    // exact perceptual duplicates → one representative node per hash
+    val groups = sigs.groupBy("_h").agg(min(col("media_id")).as("rep"))
+    val chunked = groups.select(col("_h"), col("rep"),
+        explode(array((0 until 4).map { c =>
+          struct(lit(c).as("chunk"),
+            shiftright(col("_h"), 16 * c).bitwiseAND(lit(0xFFFFL)).as("cv"))
+        }: _*)).as("cc"))
+      .select(col("_h"), col("rep"),
+        col("cc.chunk").as("chunk"), col("cc.cv").as("cv"))
+    val repPairs = chunked.as("x").join(chunked.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
+          col("x.rep") < col("y.rep"))
+      .filter(bit_count(col("x._h").bitwiseXOR(col("y._h"))) <= maxHamming)
+      .select(col("x.rep").as("rep_a"), col("y.rep").as("rep_b"))
+      .distinct()
+    // cluster the representative graph; survivor = min id per cluster
+    val labels = graft.operators.Corpus.connectedComponents(
+      repPairs, "rep_a", "rep_b")
+    val clusterSurv = labels.groupBy(col("cluster"))
+      .agg(min(col("node")).as("_surv"))
+    val repSurvives = labels.join(clusterSurv, Seq("cluster"))
+      .select(col("node").as("rep"), (col("node") === col("_surv")).as("_keep"))
+    // a representative outside any cluster has no near-dups: it survives
+    val survivingHashes = groups
+      .join(repSurvives, Seq("rep"), "left")
+      .filter(coalesce(col("_keep"), lit(true)))
+      .select(col("_h"), col("rep"))
+    media.join(hashed, Seq("media_id"))
+      .join(survivingHashes.withColumnRenamed("rep", "_rep"), Seq("_h"), "left")
+      // keep: undecodable payloads (hash null never matched: _rep null but
+      // _h null too — pass through), and the representative of a
+      // surviving hash; everything else is a perceptual duplicate
+      .filter(col("_h").isNull || col("media_id") === col("_rep"))
+      .drop("_h", "_rep")
+  }
+
   /** Deterministic synthetic PCM WAV — fixture generator for the audio-
     * dedup driver query and probes: real RIFF/WAVE bytes the REAL decoder
     * parses. `sample(i)` returns a 16-bit amplitude per frame; `channels`

@@ -343,6 +343,53 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.length == payloads.length)
   }
 
+  test("dedupMediaCorpus: one survivor per visual cluster, farms collapse hash-first, unreadable rows pass through") {
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    def base(x: Int, y: Int): Int = (x * 9 + y * 4) % 180 + 20
+    // a gradient ramp whose every left-to-right comparison is strict, so a
+    // LOCAL bump flips exactly the bits it touches (near-dup, hamming 1-3)
+    // +25 exceeds the ramp's +18-per-cell step, so the comparison INTO the
+    // bumped cell flips while the one out of it stays: 2 bits, a near-dup
+    val bumped = makeBmp(18, 16)((x, y) =>
+      base(x, y) + (if (x >= 6 && x < 8 && y < 4) 25 else 0))
+    def other(x: Int, y: Int): Int = 200 - base(x, y) // far from base
+    val media = Seq(
+      1L -> makeBmp(18, 16)(base),            // cluster A rep (survivor)
+      2L -> makeBmp(18, 16)(base),            // exact farm copy of 1
+      3L -> makeBmp(18, 16)(base),            // exact farm copy of 1
+      4L -> bumped,                            // near-dup of 1 (distinct hash)
+      5L -> bumped,                            // exact copy of 4
+      6L -> makeBmp(18, 16)(other),           // cluster B rep (survivor)
+      7L -> makeBmp(18, 16)(other),           // exact copy of 6
+      8L -> "unreadable payload".getBytes      // undecodable: passes through
+    ).toDF("media_id", "payload")
+    // sanity: the bump is a NEAR dup (0 < hamming <= 3), not an exact one
+    val hs = dhashOf(Seq(1L -> makeBmp(18, 16)(base), 4L -> bumped))
+    val hd = java.lang.Long.bitCount(hs(1L).get ^ hs(4L).get)
+    assert(hd > 0 && hd <= 3, s"bump hamming was $hd")
+    val kept = Multimodal.dedupMediaCorpus(media, "image", maxHamming = 3)
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    // cluster A = {1,2,3,4,5} -> survivor 1; cluster B = {6,7} -> 6; 8 kept
+    assert(kept == Set(1L, 6L, 8L))
+    // statement surface: DEDUP image action='rewrite' equals the API
+    val ctx = new Context(spark0)
+    ctx.createTable("media_rw", media)
+    val viaSql = ctx.sql(
+      """SELECT * FROM DEDUP(METHOD image WITH (action = 'rewrite'),
+        |SELECT media_id, payload FROM media_rw)""".stripMargin)
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(viaSql == kept)
+    ctx.sql("DROP TABLE IF EXISTS media_rw")
+    // no near-dup edges at all: every distinct image survives once
+    val distinctOnly = Seq(
+      1L -> makeBmp(18, 16)(base), 2L -> makeBmp(18, 16)(base),
+      3L -> makeBmp(18, 16)(other)).toDF("media_id", "payload")
+    val kept2 = Multimodal.dedupMediaCorpus(distinctOnly, "image")
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(kept2 == Set(1L, 3L))
+  }
+
   test("imageDedupPairs: visual near-dup clusters found, distinct patterns not paired") {
     val spark0 = TestSpark.spark
     import spark0.implicits._
