@@ -334,6 +334,27 @@ object ScaleProbe {
         operators.Corpus.oovRate(docs, oovVocab100k(spark).toDF("w"),
           "doc_id", "text", "w", vocabStrategy = "join")
       },
+      time("media_dedup_rewrite_farm") {
+        // duplicate-FARM scale for the media rewrite: 100k real BMPs =
+        // 1,000 distinct gradient patterns × 100 exact copies each (plus a
+        // brightness variant mix). Pair enumeration would be 1000 × C(100,2)
+        // ≈ 5M pairs; the hash-first collapse reduces the graph to ≤1000
+        // nodes before any join. Images are synthesized IN the executors
+        // (mapPartitions over the id range) — payload bytes never leave
+        // their partition until the final (tiny) survivor semi join.
+        import spark.implicits._
+        val media = spark.range(100000).select(col("id").as("media_id"))
+          .as[Long].mapPartitions { ids =>
+            ids.map { id =>
+              val p = (id % 1000).toInt
+              val shift = ((id / 1000) % 4).toInt * 15
+              (id, operators.Multimodal.syntheticBmpGray(27, 24)((x, y) =>
+                ((x * (p % 13 + 2) + y * (17 - p % 7) + p) % 170) + 20 + shift))
+            }
+          }.toDF("media_id", "payload")
+        operators.Multimodal.dedupMediaCorpus(media, "image", maxHamming = 3)
+          .select("media_id")
+      },
       time("linear_score_1e5") {
         // fastText-shaped classifier inference with a tokenizer-scale
         // (10⁵-term) weights table: same broadcast-hash-join shape as
