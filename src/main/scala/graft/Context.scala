@@ -821,7 +821,11 @@ class Context(val spark: SparkSession) {
         case "blocklist" => Corpus.blocklistFlag(df,
           lookupTable(opts.getOrElse("table", throw new IllegalArgumentException(
             "SCORE method blocklist requires table= (a registered table)"))),
-          id, text, phraseCol = opts.getOrElse("phrase", "phrase"))
+          id, text, phraseCol = opts.getOrElse("phrase", "phrase"),
+          // compile='false' keeps the broadcast contains-per-phrase form —
+          // the escape hatch the 64k-phrase guard points at must be
+          // reachable from SQL too
+          compilePhrases = opts.get("compile").forall(_.trim.toBoolean))
         // fastText-shaped linear classifier inference: weights table +
         // bias, mean-pooled logit → sigmoid → threshold gate
         case "linear" => Corpus.linearScore(df,

@@ -206,8 +206,10 @@ object ScaleProbe {
       },
       time("bpe_encode_32k_native") {
         // production-size tokenizer table through the native eval-looped
-        // expression: 64 merges learned from the corpus (these do the real
-        // merge work) + a deterministic synthetic tail to 32,768 rows (the
+        // expression: 8 merges learned from the corpus (these do the real
+        // merge work; bpeLearnMerges is one driver round per merge, so the
+        // probe keeps the learned head small) + a deterministic synthetic
+        // tail to 32,768 rows (the
         // rank-index size a real 32k tokenizer carries). The fold form
         // cannot even ANALYZE a table this size (tree depth grows with
         // merges); the native node's per-word cost is O(len²), independent

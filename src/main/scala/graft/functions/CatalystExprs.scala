@@ -1151,18 +1151,22 @@ object CatalystExprs {
       if (b == null || b.length < 44) return null
       if (b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
         b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return null
-      // walk chunks for fmt + data
-      var pos = 12
+      // walk chunks for fmt + data — Long cursor + Long comparison, the
+      // same crafted-chunk-size hardening as AudioInfo's walker (an Int
+      // `pos + 8 + len` wraps negative for len near 2^31 and the guard
+      // passes; review-found r6)
+      var pos = 12L
       var fmtOff = -1
       var dataOff = -1
       var dataLen = 0
       while (pos + 8 <= b.length && (fmtOff < 0 || dataOff < 0)) {
-        val id = new String(b, pos, 4, "US-ASCII")
-        val len = i32(b, pos + 4)
-        if (len < 0 || pos + 8 + len > b.length) return null
-        if (id == "fmt " && len >= 16) fmtOff = pos + 8
-        else if (id == "data") { dataOff = pos + 8; dataLen = len }
-        pos += 8 + len + (len & 1) // chunks are word-aligned
+        val pp = pos.toInt
+        val id = new String(b, pp, 4, "US-ASCII")
+        val len = i32(b, pp + 4)
+        if (len < 0 || pos + 8 + len.toLong > b.length) return null
+        if (id == "fmt " && len >= 16) fmtOff = pp + 8
+        else if (id == "data") { dataOff = pp + 8; dataLen = len }
+        pos += 8L + len + (len & 1) // chunks are word-aligned
       }
       if (fmtOff < 0 || dataOff < 0) return null
       val audioFormat = i16(b, fmtOff)

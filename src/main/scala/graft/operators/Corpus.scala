@@ -327,7 +327,8 @@ object Corpus {
       val lines = df.select(col(idCol),
           posexplode(split(col(textCol), qsep)).as(Seq("p", "ln")))
         .withColumn("lh", xxhash64(col("ln")))
-      lines.join(hotHashes.select(col("lh"), lit(1).as("_hot")), Seq("lh"), "left")
+      val perDoc = lines
+        .join(hotHashes.select(col("lh"), lit(1).as("_hot")), Seq("lh"), "left")
         .groupBy(col(idCol))
         .agg(
           concat_ws(sep, transform(
@@ -337,6 +338,14 @@ object Corpus {
           count(lit(1)).cast("bigint").as("n_lines"),
           sum(when(col("_hot").isNotNull, 1L).otherwise(0L))
             .cast("bigint").as("n_removed"))
+      // LEFT join back from the source so NULL-text documents survive with
+      // the broadcast form's exact outputs ("", NULL, NULL) — plain
+      // posexplode emits no rows for them and they would otherwise vanish
+      // (review-found r6); the join is id-keyed and both sides are thin
+      df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+        .select(col(idCol),
+          coalesce(col("clean_text"), lit("")).as("clean_text"),
+          col("n_lines"), col("n_removed"))
     }
   }
 
@@ -376,7 +385,8 @@ object Corpus {
         .orderBy("p").limit(65537).collect().map(_.getString(0))
       require(phrases.length <= 65536,
         "blocklist has more than 65536 multi-word phrases — not a curated " +
-          "list; pass compilePhrases=false to keep the broadcast form")
+          "list; pass compilePhrases=false (SCORE blocklist: compile='false') " +
+          "to keep the broadcast form")
       val hot = norm.agg(
         sort_array(collect_set(when(!col("p").contains(" "), col("p")))).as("_w"))
       val phraseHits =
@@ -446,14 +456,21 @@ object Corpus {
     } else {
       val toks = filter(split(lower(col(textCol)), " "), t => t =!= "")
       // explode_outer: a token-less document must still emit a row
-      // (n_tokens = 0), exactly as the in-row form does
-      df.select(col(idCol), explode_outer(toks).as("_t"))
+      // (n_tokens = 0), exactly as the in-row form does. n_tokens is
+      // computed IN-ROW before the explode and carried through the
+      // grouping — post-explode, a NULL text and an empty text are
+      // indistinguishable (both yield one null-token row), and the in-row
+      // form NULL-propagates on NULL text (review-found r6)
+      df.select(col(idCol), size(toks).cast("bigint").as("n_tokens"),
+          explode_outer(toks).as("_t"))
         .join(broadcast(norm.select(col("w").as("_t"), lit(1).as("_in"))),
           Seq("_t"), "left")
-        .groupBy(col(idCol))
-        .agg(count(col("_t")).cast("bigint").as("n_tokens"),
-          sum(when(col("_t").isNotNull && col("_in").isNull, 1L).otherwise(0L))
-            .cast("bigint").as("n_oov"))
+        .groupBy(col(idCol), col("n_tokens"))
+        .agg(sum(when(col("_t").isNotNull && col("_in").isNull, 1L).otherwise(0L))
+          .cast("bigint").as("_oov"))
+        .select(col(idCol), col("n_tokens"),
+          when(col("n_tokens").isNull, lit(null).cast("bigint"))
+            .otherwise(col("_oov")).as("n_oov"))
         .withColumn("oov_rate", rate)
     }
   }
@@ -864,7 +881,10 @@ object Corpus {
     * `average = true` (default) is fastText's mean pooling — length-
     * invariant, the form classifiers are actually trained with.
     * Duplicate terms in the table sum their weights (deterministic, and
-    * the natural merge of sharded weight exports).
+    * the natural merge of sharded weight exports). NULL text scores like
+    * empty text: n_tokens = 0, logit = bias (a classifier gate must emit
+    * a decision for every row; upstream quality rules drop unreadable
+    * docs if that's wanted).
     *
     * Scale shape: the [[oovRate]] join form — tokens explode once,
     * BROADCAST HASH join against the weights (models are vocabulary-

@@ -106,33 +106,45 @@ object Multimodal {
     media.withColumn("dhash",
       graft.functions.CatalystExprs.bmpDHash(col("payload")))
 
-  /** Visual near-duplicate pairs by dHash Hamming distance — the image
-    * half of corpus dedup (screenshot farms, re-encoded thumbnails,
-    * brightness-shifted re-uploads). Same pigeonhole shape as
-    * `TextDedup.simhashDedupPairs`: any pair within Hamming ≤ 3 agrees on
-    * at least one of four 16-bit chunks, so candidates come from 4
-    * chunk-equality buckets and only (id, hash) pairs ever shuffle —
-    * payloads are dropped before the explode. Verified with
-    * bit_count(xor). Emits (media_a, media_b, hamming). */
-  def imageDedupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sigs = imageDHash(media)
-      .filter(col("dhash").isNotNull)
-      .select(col("media_id"), col("dhash"))
-    val chunked = sigs.select(col("media_id"), col("dhash"),
+  /** 16-bit pigeonhole banding over a (media_id, _h) signature frame —
+    * the one banding implementation behind [[imageDedupPairs]],
+    * [[audioDedupPairs]] and [[dedupMediaCorpus]] (review-found r6: three
+    * copies had already drifted in filter placement). Any pair within
+    * Hamming ≤ 3 agrees on at least one of four 16-bit chunks, so
+    * candidates come from 4 chunk-equality buckets and only (id, hash)
+    * pairs ever shuffle; verified with bit_count(xor). maxHamming > 3
+    * would silently MISS pairs under this chunking, so it is refused.
+    * Emits (media_a, media_b, hamming). */
+  private def hammingBandPairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4-chunk pigeonhole banding guarantees recall only to Hamming 3; " +
+        s"got $maxHamming")
+    val chunked = sigs.select(col("media_id"), col("_h"),
         explode(array((0 until 4).map { c =>
           struct(lit(c).as("chunk"),
-            shiftright(col("dhash"), 16 * c).bitwiseAND(lit(0xFFFFL)).as("cv"))
+            shiftright(col("_h"), 16 * c).bitwiseAND(lit(0xFFFFL)).as("cv"))
         }: _*)).as("cc"))
-      .select(col("media_id"), col("dhash"),
+      .select(col("media_id"), col("_h"),
         col("cc.chunk").as("chunk"), col("cc.cv").as("cv"))
     chunked.as("x").join(chunked.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
           col("x.media_id") < col("y.media_id"))
       .select(col("x.media_id").as("media_a"), col("y.media_id").as("media_b"),
-        bit_count(col("x.dhash").bitwiseXOR(col("y.dhash"))).as("hamming"))
-      .distinct()
+        bit_count(col("x._h").bitwiseXOR(col("y._h"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
+
+  /** Visual near-duplicate pairs by dHash Hamming distance — the image
+    * half of corpus dedup (screenshot farms, re-encoded thumbnails,
+    * brightness-shifted re-uploads); [[hammingBandPairs]] over
+    * [[imageDHash]] signatures, payloads dropped before the explode.
+    * Emits (media_a, media_b, hamming). */
+  def imageDedupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame =
+    hammingBandPairs(
+      imageDHash(media).filter(col("dhash").isNotNull)
+        .select(col("media_id"), col("dhash").as("_h")),
+      maxHamming)
 
   /** REAL audio perceptual hashing (see CatalystExprs.WavEnvelopeHash):
     * 64-bit loudness-gradient hash over PCM WAV samples — volume/
@@ -142,28 +154,13 @@ object Multimodal {
     media.withColumn("ahash",
       graft.functions.CatalystExprs.wavEnvelopeHash(col("payload")))
 
-  /** Audio near-duplicate pairs by envelope-hash Hamming distance — same
-    * 16-bit pigeonhole banding as [[imageDedupPairs]]; only (id, hash)
-    * pairs shuffle, payload bytes are dropped before the explode. */
-  def audioDedupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sigs = audioEnvelopeHash(media)
-      .filter(col("ahash").isNotNull)
-      .select(col("media_id"), col("ahash"))
-    val chunked = sigs.select(col("media_id"), col("ahash"),
-        explode(array((0 until 4).map { c =>
-          struct(lit(c).as("chunk"),
-            shiftright(col("ahash"), 16 * c).bitwiseAND(lit(0xFFFFL)).as("cv"))
-        }: _*)).as("cc"))
-      .select(col("media_id"), col("ahash"),
-        col("cc.chunk").as("chunk"), col("cc.cv").as("cv"))
-    chunked.as("x").join(chunked.as("y"),
-        col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
-          col("x.media_id") < col("y.media_id"))
-      .select(col("x.media_id").as("media_a"), col("y.media_id").as("media_b"),
-        bit_count(col("x.ahash").bitwiseXOR(col("y.ahash"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
-  }
+  /** Audio near-duplicate pairs by envelope-hash Hamming distance —
+    * [[hammingBandPairs]] over [[audioEnvelopeHash]] signatures. */
+  def audioDedupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame =
+    hammingBandPairs(
+      audioEnvelopeHash(media).filter(col("ahash").isNotNull)
+        .select(col("media_id"), col("ahash").as("_h")),
+      maxHamming)
 
   /** The media dedup REWRITE — keep one representative per visual/audio
     * near-dup cluster and return the cleaned media frame (the
@@ -177,9 +174,13 @@ object Multimodal {
     * FIRST (a groupBy on the 8-byte hash — a 10⁶-copy farm becomes one
     * row), Hamming banding and connected components run over DISTINCT
     * hashes only, and every non-representative or non-survivor drops in
-    * one LEFT SEMI join keyed by hash. Payload bytes never shuffle:
-    * hashing is a projection, and the final semi join keys on (hash).
-    * Survivor rule: smallest media_id in the cluster (its
+    * ONE hash-keyed join. Hashing is a single projection over the media
+    * frame (payloads decoded once); the only join touching payload rows
+    * is that final survivor selection, whose other side is one (hash,
+    * rep) row per SURVIVING hash — in the dedup-heavy regime it
+    * broadcasts (AQE), and in the all-unique regime the join output IS
+    * the corpus, so there is no regime where payload bytes shuffle for
+    * nothing. Survivor rule: smallest media_id in the cluster (its
     * representative's min id — deterministic, no score column needed;
     * callers wanting quality-ranked survivors run the pair form through
     * `Corpus.dedupCorpus`). `kind` picks the hash: "image" ([[imageDHash]])
@@ -188,28 +189,23 @@ object Multimodal {
     * cannot read. */
   def dedupMediaCorpus(media: DataFrame, kind: String = "image",
       maxHamming: Int = 3): DataFrame = {
-    val hashed = (kind match {
+    // ONE hash projection over the full frame — payload columns ride
+    // along, so no re-join against the source and no second decode
+    // (review-found r6: the first cut joined media back to a hash
+    // projection on media_id, shuffling payloads and hashing twice)
+    val hashed = kind match {
       case "image" => imageDHash(media).withColumnRenamed("dhash", "_h")
       case "audio" => audioEnvelopeHash(media).withColumnRenamed("ahash", "_h")
       case other => throw new IllegalArgumentException(
         s"dedupMediaCorpus kind must be image or audio: $other")
-    }).select(col("media_id"), col("_h"))
-    val sigs = hashed.filter(col("_h").isNotNull)
+    }
+    val sigs = hashed.select(col("media_id"), col("_h"))
+      .filter(col("_h").isNotNull)
     // exact perceptual duplicates → one representative node per hash
     val groups = sigs.groupBy("_h").agg(min(col("media_id")).as("rep"))
-    val chunked = groups.select(col("_h"), col("rep"),
-        explode(array((0 until 4).map { c =>
-          struct(lit(c).as("chunk"),
-            shiftright(col("_h"), 16 * c).bitwiseAND(lit(0xFFFFL)).as("cv"))
-        }: _*)).as("cc"))
-      .select(col("_h"), col("rep"),
-        col("cc.chunk").as("chunk"), col("cc.cv").as("cv"))
-    val repPairs = chunked.as("x").join(chunked.as("y"),
-        col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
-          col("x.rep") < col("y.rep"))
-      .filter(bit_count(col("x._h").bitwiseXOR(col("y._h"))) <= maxHamming)
-      .select(col("x.rep").as("rep_a"), col("y.rep").as("rep_b"))
-      .distinct()
+    val repPairs = hammingBandPairs(
+        groups.select(col("rep").as("media_id"), col("_h")), maxHamming)
+      .select(col("media_a").as("rep_a"), col("media_b").as("rep_b"))
     // cluster the representative graph; survivor = min id per cluster
     val labels = graft.operators.Corpus.connectedComponents(
       repPairs, "rep_a", "rep_b")
@@ -221,9 +217,9 @@ object Multimodal {
     val survivingHashes = groups
       .join(repSurvives, Seq("rep"), "left")
       .filter(coalesce(col("_keep"), lit(true)))
-      .select(col("_h"), col("rep"))
-    media.join(hashed, Seq("media_id"))
-      .join(survivingHashes.withColumnRenamed("rep", "_rep"), Seq("_h"), "left")
+      .select(col("_h"), col("rep").as("_rep"))
+    hashed
+      .join(survivingHashes, Seq("_h"), "left")
       // keep: undecodable payloads (hash null never matched: _rep null but
       // _h null too — pass through), and the representative of a
       // surviving hash; everything else is a perceptual duplicate

@@ -382,7 +382,12 @@ object DocStreams {
   def scoreStreamLinear(docStream: DataFrame, model: DataFrame,
       idCol: String, textCol: String, bias: Double = 0.0,
       threshold: Double = 0.5, average: Boolean = true): DataFrame = {
-    val toks = filter(split(lower(col(textCol)), " "), t => t =!= "")
+    // NULL text scores like empty text (n_tokens = 0, logit = bias) —
+    // matching the batch form's explode_outer behavior; without the
+    // coalesce the in-row fold would NULL-propagate and the twins would
+    // gate NULL-text rows differently (review-found r6)
+    val toks = filter(
+      split(lower(coalesce(col(textCol), lit(""))), " "), t => t =!= "")
     val denom =
       if (average) greatest(col("n_tokens"), lit(1L)).cast("double")
       else lit(1.0)

@@ -503,18 +503,23 @@ class CorpusSpec extends AnyFunSuite {
 
   test("removeGlobalRepeatedLines join fallback equals the broadcast form") {
     // hand frame covering the edge cases: own-doc repeats, empty lines
-    // (split artifacts), hot-at-threshold, all-hot documents
+    // (split artifacts), hot-at-threshold, all-hot documents, and a
+    // NULL-text document (review-found r6: plain posexplode emitted no
+    // rows for it and the join form silently LOST the document)
     val hand = Seq(
       (1L, "HOT\nunique one\nHOT\n"),
       (2L, "HOT\nunique two"),
       (3L, "HOT\n\nrare"),
       (4L, "rare\n"),
-      (5L, "HOT")).toDF("doc_id", "text")
+      (5L, "HOT"),
+      (6L, null.asInstanceOf[String])).toDF("doc_id", "text")
     def run(df: org.apache.spark.sql.DataFrame, minDocs: Int, s: String) =
       Corpus.removeGlobalRepeatedLines(df, "doc_id", "text",
           minDocs = minDocs, hotStrategy = s)
         .collect()
-        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3)))
         .sortBy(_._1).toSeq
     assert(run(hand, 3, "broadcast") == run(hand, 3, "join"))
     assert(run(hand, 2, "broadcast") == run(hand, 2, "join"))
@@ -694,15 +699,22 @@ class CorpusSpec extends AnyFunSuite {
 
   test("oovRate join form equals the in-row probe, hash-joins the vocab") {
     // edge cases: token-less doc (must still emit n_tokens=0), all-OOV,
-    // repeated in-vocab token counted per occurrence
+    // repeated in-vocab token counted per occurrence, and NULL text
+    // (review-found r6: the in-row form NULL-propagates, the join form
+    // must too — post-explode the two are indistinguishable, so the join
+    // path carries the in-row n_tokens through the grouping)
     val vocab = Seq("the", "cat", " The ").toDF("w")
     val hand = Seq(
-      (1L, "the cat the"), (2L, "zz qq"), (3L, ""), (4L, "  ")
+      (1L, "the cat the"), (2L, "zz qq"), (3L, ""), (4L, "  "),
+      (5L, null.asInstanceOf[String])
     ).toDF("doc_id", "text")
     def run(df: org.apache.spark.sql.DataFrame, s: String) =
       Corpus.oovRate(df, vocab, "doc_id", "text", "w", vocabStrategy = s)
         .collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1.0 else r.getDouble(3)))
         .sortBy(_._1).toSeq
     assert(run(hand, "inrow") == run(hand, "join"))
     val docs = Tables.t(spark, TestSpark.sf, "documents").limit(300)

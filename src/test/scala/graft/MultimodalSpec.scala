@@ -319,7 +319,17 @@ class MultimodalSpec extends AnyFunSuite {
       }
       c
     }
+    // the exact crafted-size cases that wrap an Int cursor: a RIFF/WAVE
+    // whose first chunk declares ~2^31 bytes (review-found in
+    // WavEnvelopeHash after the same fix landed in AudioInfo)
+    def hugeChunk(size: Long): Array[Byte] = {
+      val c = validWav.clone()
+      c(16) = (size & 0xFF).toByte; c(17) = ((size >> 8) & 0xFF).toByte
+      c(18) = ((size >> 16) & 0xFF).toByte; c(19) = ((size >> 24) & 0xFF).toByte
+      c
+    }
     val payloads: Seq[Array[Byte]] =
+      Seq(hugeChunk(0x7FFFFFF8L), hugeChunk(0xFFFFFFF0L), hugeChunk(0x7FFFFFFFL)) ++
       (1 to 120).map(_ => mutate(if (rnd.nextBoolean()) validBmp else validWav)) ++
       (1 to 60).map(_ => crafted()) ++
       (1 to 60).map(_ => { // pure noise and truncations
