@@ -629,10 +629,19 @@ class Context(val spark: SparkSession) {
           if (opts.get("action").map(_.trim.toLowerCase).contains("rewrite"))
             graft.operators.Multimodal.dedupMediaCorpus(df, kind = k,
               maxHamming = i("max_hamming", 3))
+          // pairs mode is farm-safe (r7): identical hashes collapse to one
+          // node before banding; expand='reps' emits the linear
+          // representative+multiplicity product, and member expansion
+          // refuses identical-hash groups larger than max_group (default
+          // 10k) instead of silently going quadratic on a duplicate farm
           else if (k == "image") graft.operators.Multimodal.imageDedupPairs(
-            df, maxHamming = i("max_hamming", 3))
+            df, maxHamming = i("max_hamming", 3),
+            expand = opts.getOrElse("expand", "members"),
+            maxGroup = i("max_group", 10000))
           else graft.operators.Multimodal.audioDedupPairs(
-            df, maxHamming = i("max_hamming", 3))
+            df, maxHamming = i("max_hamming", 3),
+            expand = opts.getOrElse("expand", "members"),
+            maxGroup = i("max_group", 10000))
         case other => throw new IllegalArgumentException(
           s"Unknown DEDUP method: $other (exact|minhash|ngram|simhash|" +
             "substring|embedding|incremental|chunks|boilerplate|lines|" +
@@ -897,7 +906,11 @@ class Context(val spark: SparkSession) {
         // expression past fold_limit, so there is no default cap
         maxMerges = opts.get("max_merges").map(_.trim.toInt)
           .getOrElse(Int.MaxValue),
-        foldLimit = opts.get("fold_limit").map(_.trim.toInt).getOrElse(96))
+        foldLimit = opts.get("fold_limit").map(_.trim.toInt).getOrElse(96),
+        // pre-tokenizer word-length cap (code points): bounds the O(len²)
+        // per-word merge cost so a space-free megaword (minified JS,
+        // base64) cannot stall a task — chunks encode independently
+        maxWordLen = opts.get("max_word").map(_.trim.toInt).getOrElse(1024))
 
     // SELECT * FROM SUMMARIZE(BY col [WITH (...)], <select>) — per-group
     // corpus profile (doc count, char/token volume, length percentiles,

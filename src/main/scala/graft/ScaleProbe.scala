@@ -43,6 +43,45 @@ object ScaleProbe {
       "group", "order", "column", "data", "spark") ++ synth).distinct
   }
 
+  /** Megaword TOKENIZE probe (PLANS 47): 100 docs each carrying the SAME
+    * 16,384-code-point space-free "word" (the minified-JS/base64 shape)
+    * under a ~16k-rank merge table where (almost) every rank APPLIES
+    * exactly once — the true quadratic input class for the native node:
+    * each applied rank costs one O(current-len) adjacent-pair scan, so
+    * uncapped cost is Θ(len²) per word. A repetitive blob ("abab…") is
+    * NOT adversarial — one greedy pass merges every occurrence at once.
+    *
+    * The word is 16,384 DISTINCT CJK code points (unsegmented CJK text —
+    * one of the verdict's named megaword shapes); the table is the
+    * position-aligned binary merge tree over them, so every rank's (l, r)
+    * pair occurs at exactly one position and ranks fire strictly one at a
+    * time — what a learned tokenizer does to a long diverse blob, with
+    * none of the whole-word greedy shortcuts a repetitive "abab…" blob
+    * would enjoy. Forced onto the native node (foldLimit=0); the cap is
+    * the only variable between the two runs. */
+  private def megawordEncode(spark: SparkSession, docs0: DataFrame,
+      maxWordLen: Int): DataFrame = {
+    import spark.implicits._
+    val leaves = (0 until 16384).map(i => (0x4E00 + i).toChar.toString)
+    val mega = leaves.mkString
+    val ranks = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var level: Seq[String] = leaves // aligned binary tree: 16,383 ranks
+    while (level.length > 1) {
+      val next = level.grouped(2).map { g =>
+        if (g.length == 2) { ranks += ((g(0), g(1))); g(0) + g(1) } else g(0)
+      }.toSeq
+      level = next
+    }
+    val table = ranks.zipWithIndex
+      .map { case ((l, r), i) => (i.toLong + 1, l, r) }
+      .toSeq.toDF("round", "lhs", "rhs")
+    val docs = docs0.limit(100).repartition(32).select(col("doc_id"),
+      concat(col("text"), lit(" "), lit(mega)).as("text"))
+    operators.Corpus.bpeEncode(docs, "doc_id", "text", table,
+      foldLimit = 0, maxWordLen = maxWordLen)
+      .select(col("doc_id"), col("n_tokens"))
+  }
+
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
     val rep = args.drop(1).headOption.map(_.toInt).getOrElse(20)
@@ -226,6 +265,15 @@ object ScaleProbe {
           .toSeq.toDF("round", "lhs", "rhs")
         operators.Corpus.bpeEncode(docs, "doc_id", "text", table)
           .select(col("doc_id"), col("n_tokens"))
+      },
+      time("bpe_megaword_capped") {
+        megawordEncode(spark, docs0, maxWordLen = 1024)
+      },
+      time("bpe_megaword_uncapped") {
+        // the BEFORE number for the r6 verdict's #1 hazard: same input,
+        // cap disabled — the native node's O(len²) per-word pass walks
+        // the full 16k-symbol word in one piece
+        megawordEncode(spark, docs0, maxWordLen = 1 << 30)
       },
       time("global_line_removal") {
         // corpus-wide C4 line rule at clone scale: line structure injected

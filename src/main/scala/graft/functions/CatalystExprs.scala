@@ -906,8 +906,22 @@ object CatalystExprs {
     *
     * Semantics are EXACTLY the fold form's (spec-enforced equality):
     * lowercase, split on single spaces, drop empty words, start each word
-    * as its UTF-16 code units, then apply every merge in learned (rank)
+    * as its Unicode CODE POINTS (the fold form's `split(w, "")` is a Java
+    * regex split, which never cuts a surrogate pair — seeding by UTF-16
+    * char here would silently diverge on emoji/astral CJK the moment the
+    * table crosses foldLimit), then apply every merge in learned (rank)
     * order, each as one greedy left-to-right non-overlapping pass.
+    *
+    * Words longer than `maxWordLen` code points are split into
+    * maxWordLen-sized chunks first and each chunk encoded independently —
+    * the standard pre-tokenizer word-length cap (GPT-2's regex
+    * pre-tokenizer bounds words the same way). Without it a single
+    * space-free megaword (minified JS, base64 blobs, unsegmented CJK —
+    * exactly what a raw web corpus contains) costs O(len²) in ONE task:
+    * a 100 KB blob is ~10¹⁰ pair probes, a straggler that looks like a
+    * hang. With the cap, cost is O(len × maxWordLen) — linear in the
+    * document. The fold form chunks at the same code-point boundaries, so
+    * the two compilation strategies stay equal on capped input too.
     *
     * The sequential pass is executed WITHOUT touching most of the table:
     * maintain a cursor k = next unapplied rank; each step scans the word's
@@ -925,8 +939,10 @@ object CatalystExprs {
     * Reference: the merge-table inference rule of Sennrich et al. 2016
     * (BPE subword units), applied in learned order — the semantics
     * `Corpus.bpeLearnMerges` trains for. */
-  case class BpeEncodeMerges(child: Expression, merges: Seq[(String, String)])
+  case class BpeEncodeMerges(child: Expression, merges: Seq[(String, String)],
+      maxWordLen: Int = 1024)
       extends UnaryExpression with CodegenFallback {
+    require(maxWordLen >= 2, s"maxWordLen must be >= 2, got $maxWordLen")
 
     @transient private lazy val mergeArr: Array[(String, String)] =
       merges.toArray
@@ -957,12 +973,36 @@ object CatalystExprs {
 
     private def encodeWord(
         word: String, out: scala.collection.mutable.ArrayBuffer[Any]): Unit = {
-      var syms: Array[String] = {
-        val a = new Array[String](word.length)
+      // seed by CODE POINT (split(w, "") parity — see class doc)
+      val all: Array[String] = {
+        val n = word.codePointCount(0, word.length)
+        val a = new Array[String](n)
         var i = 0
-        while (i < word.length) { a(i) = String.valueOf(word.charAt(i)); i += 1 }
+        var o = 0
+        while (o < word.length) {
+          val cp = word.codePointAt(o)
+          a(i) = new String(Character.toChars(cp))
+          i += 1
+          o += Character.charCount(cp)
+        }
         a
       }
+      // pre-tokenizer cap: encode maxWordLen-sized chunks independently
+      if (all.length <= maxWordLen) encodeSyms(all, out)
+      else {
+        var from = 0
+        while (from < all.length) {
+          val until = math.min(from + maxWordLen, all.length)
+          encodeSyms(java.util.Arrays.copyOfRange(all, from, until), out)
+          from = until
+        }
+      }
+    }
+
+    private def encodeSyms(
+        seed: Array[String],
+        out: scala.collection.mutable.ArrayBuffer[Any]): Unit = {
+      var syms: Array[String] = seed
       var k = 0
       var done = syms.length < 2
       while (!done) {
@@ -1018,8 +1058,10 @@ object CatalystExprs {
       copy(child = c)
   }
 
-  def bpeEncodeMerges(text: Column, merges: Seq[(String, String)]): Column =
-    GraftBridge.column(BpeEncodeMerges(GraftBridge.expression(text), merges))
+  def bpeEncodeMerges(text: Column, merges: Seq[(String, String)],
+      maxWordLen: Int = 1024): Column =
+    GraftBridge.column(
+      BpeEncodeMerges(GraftBridge.expression(text), merges, maxWordLen))
 
   /** Perceptual image hash (dHash, 64-bit) of an UNCOMPRESSED 24/32-bit
     * BMP payload — REAL pixel work, no codec library: BI_RGB bitmaps are

@@ -1274,10 +1274,21 @@ object Corpus {
     *
     * `maxMerges` remains an optional hard guard for callers that want to
     * bound the table they accept (the TOKENIZE statement's max_merges=).
+    *
+    * `maxWordLen` is the PRE-TOKENIZER word-length cap (TOKENIZE's
+    * max_word=, default 1024 code points): words longer than the cap are
+    * split into cap-sized chunks and each chunk encoded independently, in
+    * BOTH compilation strategies at the same code-point boundaries.
+    * Standard tokenizers bound word length the same way (GPT-2's regex
+    * pre-tokenizer); without it one space-free megaword — minified JS, a
+    * base64 blob, unsegmented CJK — makes the native node's O(len²) pass
+    * a single-task straggler (~10¹⁰ pair probes for a 100 KB blob). With
+    * the cap the per-document cost is O(len × maxWordLen) — linear.
     */
   def bpeEncode(df: DataFrame, idCol: String, textCol: String,
       merges: DataFrame, maxMerges: Int = Int.MaxValue,
-      foldLimit: Int = 96): DataFrame = {
+      foldLimit: Int = 96, maxWordLen: Int = 1024): DataFrame = {
+    require(maxWordLen >= 2, s"maxWordLen must be >= 2, got $maxWordLen")
     val table = merges.orderBy("round").select("lhs", "rhs")
       .collect().map(row => (row.getString(0), row.getString(1)))
     require(table.length <= maxMerges,
@@ -1285,12 +1296,22 @@ object Corpus {
     val toks =
       if (table.length <= foldLimit) {
         val words = filter(split(lower(col(textCol)), " "), t => t =!= "")
-        flatten(transform(words, w =>
-          table.foldLeft(split(w, "")) { case (syms, (l, r)) =>
-            mergePairFold(syms, l, r)
-          }))
+        flatten(transform(words, w => {
+          // chunk the code-point symbol array at the cap (split(w, "") is
+          // a Java regex split: one element per code point), then fold
+          // each chunk independently — same boundaries as the native node
+          val syms = split(w, "")
+          val lastChunk = floor((size(syms) - 1) / lit(maxWordLen)).cast("int")
+          flatten(transform(
+            sequence(lit(0), lastChunk),
+            i => table.foldLeft(
+              slice(syms, i * lit(maxWordLen) + 1, lit(maxWordLen))) {
+              case (s, (l, r)) => mergePairFold(s, l, r)
+            }))
+        }))
       } else {
-        graft.functions.CatalystExprs.bpeEncodeMerges(col(textCol), table.toSeq)
+        graft.functions.CatalystExprs.bpeEncodeMerges(
+          col(textCol), table.toSeq, maxWordLen)
       }
     df.select(col(idCol), toks.as("tokens"))
       .withColumn("n_tokens", size(col("tokens")).cast("bigint"))

@@ -35,11 +35,17 @@ class BpeEncodeSpec extends AnyFunSuite {
     out.result()
   }
 
-  /** Sequential BPE inference: every merge applied in learned order. */
-  private def encodeRef(word: String, merges: Seq[(String, String)]): Vector[String] =
-    merges.foldLeft(word.map(_.toString).toVector) {
-      case (s, (l, r)) => applyMergeRef(s, l, r)
+  /** Sequential BPE inference: seed by CODE POINT (split(w, "") parity —
+    * never cuts a surrogate pair), chunk at the pre-tokenizer cap, apply
+    * every merge in learned order per chunk. */
+  private def encodeRef(word: String, merges: Seq[(String, String)],
+      cap: Int = 1024): Vector[String] = {
+    val cps = word.codePoints().toArray.toVector
+      .map(cp => new String(Character.toChars(cp)))
+    cps.grouped(cap).toVector.flatMap { chunk =>
+      merges.foldLeft(chunk) { case (s, (l, r)) => applyMergeRef(s, l, r) }
     }
+  }
 
   /** Reference BPE learner over a word-count map (mirrors bpeLearnMerges:
     * max pair count, (lhs, rhs) lexicographic tiebreak, greedy rewrite). */
@@ -197,6 +203,63 @@ class BpeEncodeSpec extends AnyFunSuite {
         .flatMap(w => cache.getOrElseUpdate(w, encodeRef(w, table))).toSeq
     }.toMap
     assert(toks == expected)
+  }
+
+  test("astral (non-BMP) characters seed as ONE symbol in both forms") {
+    // 🙂 = U+1F642 (surrogate pair in UTF-16). split(w, "") is a Java
+    // regex split and yields the emoji as one element; a charAt-seeded
+    // native node would see two lone surrogate halves instead and merge
+    // ("a", "🙂") could never apply — the r6 ADVICE divergence.
+    val emoji = new String(Character.toChars(0x1F642))
+    val table = Seq(("a", emoji), (emoji, "b"), ("a" + emoji, emoji + "b"))
+    val df = Seq((1L, s"a${emoji}${emoji}b x"), (2L, s"${emoji} a${emoji}"))
+      .toDF("doc_id", "text")
+    val expected = Map(
+      1L -> Seq("a" + emoji + emoji + "b", "x"),
+      2L -> Seq(emoji, "a" + emoji))
+    assert(df.collect().map(r => r.getLong(0) ->
+      r.getString(1).split(' ').filter(_.nonEmpty)
+        .flatMap(w => encodeRef(w, table)).toSeq).toMap == expected)
+    val fold = tokensOf(Corpus.bpeEncode(df, "doc_id", "text", mergesDf(table)))
+    val native = tokensOf(Corpus.bpeEncode(df, "doc_id", "text",
+      mergesDf(table), foldLimit = 0))
+    assert(fold == expected, s"fold diverges on astral input: $fold")
+    assert(native == expected, s"native diverges on astral input: $native")
+  }
+
+  test("space-free megaword is chunked at the cap: bounded runtime, forms equal") {
+    // A 50k-symbol unsegmented "word" where merges keep applying — the
+    // minified-JS/base64 shape that made the uncapped native pass O(len²)
+    // (~10¹⁰ probes at 100 KB). The cap bounds it to O(len × cap).
+    val mega = "ab" * 25000 // 50,000 code points, every (a,b) merges
+    val table = Seq(("a", "b"), ("ab", "ab"), ("abab", "abab"))
+    val df = Seq((1L, mega), (2L, s"normal words and $mega too"))
+      .toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val native = tokensOf(Corpus.bpeEncode(df, "doc_id", "text",
+      mergesDf(table), foldLimit = 0))
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 30.0, f"capped megaword encode took $secs%.1f s")
+    val expected = df.collect().map(r => r.getLong(0) ->
+      r.getString(1).toLowerCase.split(' ').filter(_.nonEmpty)
+        .flatMap(w => encodeRef(w, table)).toSeq).toMap
+    assert(native == expected)
+    // each 1024-cp chunk of "abab…" collapses independently: 512 "ab"
+    // → 256 "abab" → 128 "abababab"; 48 full chunks + an 848-cp tail
+    // (424 "ab" → 212 "abab" → 106 "abababab")
+    assert(native(1L).length == 48 * 128 + 106)
+    // the fold form chunks at the SAME boundaries
+    val fold = tokensOf(Corpus.bpeEncode(df, "doc_id", "text", mergesDf(table)))
+    assert(fold == expected)
+    // a custom cap changes the boundaries consistently in both forms
+    val nat100 = tokensOf(Corpus.bpeEncode(df, "doc_id", "text",
+      mergesDf(table), foldLimit = 0, maxWordLen = 100))
+    val fold100 = tokensOf(Corpus.bpeEncode(df, "doc_id", "text",
+      mergesDf(table), maxWordLen = 100))
+    val exp100 = df.collect().map(r => r.getLong(0) ->
+      r.getString(1).toLowerCase.split(' ').filter(_.nonEmpty)
+        .flatMap(w => encodeRef(w, table, cap = 100)).toSeq).toMap
+    assert(nat100 == exp100 && fold100 == exp100)
   }
 
   test("TOKENIZE runs a production-size merge table through the statement surface") {
