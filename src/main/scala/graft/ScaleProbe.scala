@@ -82,6 +82,22 @@ object ScaleProbe {
       .select(col("doc_id"), col("n_tokens"))
   }
 
+  /** The 100k-BMP duplicate farm of PLANS 46 (1,000 distinct gradient
+    * patterns × 100 copies, brightness-variant mix), synthesized in the
+    * executors — shared by the rewrite and the r7 farm-safe pair probes. */
+  private def farmMedia(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.range(100000).select(col("id").as("media_id"))
+      .as[Long].mapPartitions { ids =>
+        ids.map { id =>
+          val p = (id % 1000).toInt
+          val shift = ((id / 1000) % 4).toInt * 15
+          (id, operators.Multimodal.syntheticBmpGray(27, 24)((x, y) =>
+            ((x * (p % 13 + 2) + y * (17 - p % 7) + p) % 170) + 20 + shift))
+        }
+      }.toDF("media_id", "payload")
+  }
+
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
     val rep = args.drop(1).headOption.map(_.toInt).getOrElse(20)
@@ -392,18 +408,26 @@ object ScaleProbe {
         // nodes before any join. Images are synthesized IN the executors
         // (mapPartitions over the id range) — payload bytes never leave
         // their partition until the final (tiny) survivor semi join.
-        import spark.implicits._
-        val media = spark.range(100000).select(col("id").as("media_id"))
-          .as[Long].mapPartitions { ids =>
-            ids.map { id =>
-              val p = (id % 1000).toInt
-              val shift = ((id / 1000) % 4).toInt * 15
-              (id, operators.Multimodal.syntheticBmpGray(27, 24)((x, y) =>
-                ((x * (p % 13 + 2) + y * (17 - p % 7) + p) % 170) + 20 + shift))
-            }
-          }.toDF("media_id", "payload")
-        operators.Multimodal.dedupMediaCorpus(media, "image", maxHamming = 3)
+        operators.Multimodal.dedupMediaCorpus(farmMedia(spark), "image",
+            maxHamming = 3)
           .select("media_id")
+      },
+      time("media_pairs_farm_reps") {
+        // the r7 farm-safe PAIR form at the same 100k-BMP duplicate-farm
+        // scale as media_dedup_rewrite_farm: expand='reps' output is
+        // LINEAR (hash-level pairs + one multiplicity row per farm group)
+        // — the pre-r7 pair form would have enumerated ~5M member pairs
+        // through the banding self-join no matter what
+        operators.Multimodal.imageDedupPairs(farmMedia(spark),
+          maxHamming = 3, expand = "reps")
+      },
+      time("media_pairs_farm_members") {
+        // full member expansion on the same farm (groups of ~100 pass the
+        // default 10k cap): the output IS ~5M+ pairs — the point is that
+        // the BANDING graph stayed at ≤1,000 nodes and the quadratic work
+        // is confined to the final per-group expansion joins
+        operators.Multimodal.imageDedupPairs(farmMedia(spark),
+          maxHamming = 3, expand = "members")
       },
       time("linear_score_1e5") {
         // fastText-shaped classifier inference with a tokenizer-scale

@@ -54,5 +54,8 @@ object SparkEntry {
     "p55_bm25", "p62_pack_materialize",
     // r6: the fastText-shaped classifier gate (broadcast weights join)
     "p65_linear_score",
+    // r7: perceptual media dedup gets a tracked number (18k real BMP
+    // decodes through the farm-collapsing rewrite)
+    "p68_media_farm_rewrite",
     "s01_events_tumbling", "s03_events_session")
 }

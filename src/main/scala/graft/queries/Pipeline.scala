@@ -619,6 +619,42 @@ object Pipeline {
         .orderBy("media_a", "media_b")
     },
 
+    // Bench-scale perceptual media dedup (r6 verdict #4: the media family
+    // needs a TRACKED per-round number, not just probe entries): 18,000
+    // uncompressed BMPs — p66's six proven-far-apart gradient patterns ×
+    // 3,000 hash-invariant variants each (byte copies, brightness shifts,
+    // 2× upscales), synthesized IN the executors so fixture cost stays off
+    // the driver — through the full dedupMediaCorpus rewrite. Every
+    // variant of a pattern hashes identically (spec-proved invariances)
+    // and the six pattern hashes never pair (p66's oracle pins that), so
+    // the survivor set is exactly the min id per pattern — a structural
+    // DuckDB oracle with no image code on the oracle side. What the timer
+    // measures is dominated by real per-row dHash decode work (18k BMP
+    // pixel walks) plus the farm-collapse machinery: a regression in the
+    // hash expressions or the rewrite plan shows up here round over round.
+    Q("p68_media_farm_rewrite", Some("""
+      SELECT CAST(unnest(range(0, 6)) * 100000 AS BIGINT) AS media_id
+      ORDER BY media_id""")) { (s, d) =>
+      import s.implicits._
+      val media = s.range(18000).select(col("id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { i =>
+            val p = (i % 6).toInt
+            val v = (i / 6).toInt
+            def pat(x: Int, y: Int): Int =
+              ((x * (2 * p + 3) + y * (17 - 2 * p) + (x * y) % (p + 2)) % 160) + 20
+            val shift = (v % 4) * 20
+            val img =
+              if (v % 2 == 1)
+                Multimodal.syntheticBmpGray(54, 48)((x, y) => pat(x / 2, y / 2) + shift)
+              else Multimodal.syntheticBmpGray(27, 24)((x, y) => pat(x, y) + shift)
+            ((p * 100000 + v).toLong, img)
+          }
+        }.toDF("media_id", "payload")
+      Multimodal.dedupMediaCorpus(media, "image", maxHamming = 3)
+        .select("media_id").orderBy("media_id")
+    },
+
     // Gopher-style hard quality gates: word-count window, mean word length,
     // distinct-token (repetition) ratio, symbol ratio — the standard
     // pre-training document filter, every signal oracle-reproducible.

@@ -428,4 +428,86 @@ class MultimodalSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("hashpartitioning(payload"))
   }
+
+  test("farm-safe member pairs equal the brute-force hash oracle (identical + near groups)") {
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    // identical-hash groups of mixed sizes (1..4) AND near-hash variants:
+    // perturbing one pooling cell's brightness flips 1-2 gradient bits, so
+    // the CROSS-hash expansion path is exercised, not just within-group
+    def pat(p: Int)(x: Int, y: Int): Int =
+      ((x * (2 * p + 3) + y * (19 - 2 * p)) % 150) + 30
+    def bump(p: Int, cell: Int)(x: Int, y: Int): Int = {
+      // brighten one 3x3-pixel pooling cell of the 9x8 grid (27x24 image)
+      val inCell = (x / 3 == cell % 9) && (y / 3 == cell / 9 % 8)
+      math.min(255, pat(p)(x, y) + (if (inCell) 90 else 0))
+    }
+    val media = (for (p <- 0 until 4; v <- 0 to p) yield {
+      ((p * 10 + v).toLong, makeBmp(27, 24)(pat(p)))           // groups 1..4
+    }).++(for (p <- 0 until 4; c <- 1 to 2) yield {
+      ((p * 10 + 5 + c).toLong, makeBmp(27, 24)(bump(p, c * 3))) // near vars
+    }).toDF("media_id", "payload")
+    // brute-force oracle over the ACTUAL hashes (the pre-r7 semantics)
+    val hs = Multimodal.imageDHash(media).select("media_id", "dhash")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val expected = (for {
+      (a, ha) <- hs; (b, hb) <- hs
+      if a < b && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b, java.lang.Long.bitCount(ha ^ hb))).toSet
+    // sanity: the fixture really exercises both paths
+    assert(expected.exists(_._3 == 0) && expected.exists(_._3 > 0),
+      s"fixture degenerate: $expected")
+    val got = Multimodal.imageDedupPairs(media, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected)
+  }
+
+  test("expand='reps' emits linear representative pairs with multiplicities") {
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    def pat(p: Int)(x: Int, y: Int): Int =
+      ((x * (2 * p + 3) + y * (19 - 2 * p)) % 150) + 30
+    // group A: 3 identical; group B: 1 member, hash NEAR group A is not
+    // guaranteed — so instead plant a second identical group far away and
+    // assert the self rows + any cross rows against the hash oracle
+    val media = (Seq(1L, 2L, 3L).map(id => id -> makeBmp(27, 24)(pat(0))) ++
+      Seq(11L, 12L).map(id => id -> makeBmp(27, 24)(pat(2))) ++
+      Seq(21L -> makeBmp(27, 24)(pat(3))))
+      .toDF("media_id", "payload")
+    val reps = Multimodal.imageDedupPairs(media, expand = "reps")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val hs = media.select("media_id").collect() // just to keep media forced
+    // identical groups surface as (rep, rep, 0, n, n) self rows
+    assert(reps.contains((1L, 1L, 0, 3L, 3L)))
+    assert(reps.contains((11L, 11L, 0, 2L, 2L)))
+    // singleton group emits nothing unless near another hash
+    assert(!reps.exists(t => t._1 == 21L && t._2 == 21L))
+    // every row is hash-level: no member id other than a group min appears
+    assert(reps.forall(t => Set(1L, 11L, 21L).contains(t._1) &&
+      Set(1L, 11L, 21L).contains(t._2)))
+  }
+
+  test("member expansion refuses an identical-hash group larger than maxGroup") {
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    def pat(x: Int, y: Int): Int = ((x * 5 + y * 11) % 150) + 30
+    val farm = (1L to 30L).map(id => id -> makeBmp(27, 24)(pat))
+      .toDF("media_id", "payload")
+    val e = intercept[Exception] {
+      Multimodal.imageDedupPairs(farm, maxGroup = 10).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("expand='reps'")),
+      s"unexpected error: ${msgs(e)}")
+    // same farm through expand='reps': linear output, no error
+    val reps = Multimodal.imageDedupPairs(farm, expand = "reps")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(reps == Set((1L, 1L, 30L)))
+    // and raising the cap restores the full C(30,2) member set
+    val full = Multimodal.imageDedupPairs(farm, maxGroup = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full.size == 435)
+  }
 }
