@@ -1082,7 +1082,74 @@ object CatalystExprs {
     * (positive height) and top-down (negative height) row orders; row
     * order doesn't change the hash definition because pooling indexes by
     * image coordinates, not file order. */
-  case class BmpDHash(child: Expression)
+  /** dHash of an already-decoded grayscale image — the EXACT pooling and
+    * gradient arithmetic of [[BmpDHash]]'s fused built-in path, factored
+    * out so registered custom decoders ([[graft.operators.MediaCodecs]])
+    * hash identically to the built-in: the same pixels through a BMP
+    * payload and through a custom-format decoder MUST produce the same
+    * 64 bits (spec-pinned), or cross-format near-dup detection breaks. */
+  private[graft] def dHashOfGrayImage(
+      img: graft.operators.MediaCodecs.GrayImage): Any = {
+    val w = img.width
+    val h = img.height
+    if (w < 9 || h < 8 || img.gray == null || img.gray.length < w * h)
+      return null
+    val pool = Array.ofDim[Long](8, 9)
+    val cnt = Array.ofDim[Long](8, 9)
+    var y = 0
+    while (y < h) {
+      val pr = (y * 8) / h
+      var x = 0
+      while (x < w) {
+        val pc = (x * 9) / w
+        pool(pr)(pc) += img.gray(y * w + x) & 0xFF
+        cnt(pr)(pc) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        val left = pool(r)(c).toDouble / cnt(r)(c)
+        val right = pool(r)(c + 1).toDouble / cnt(r)(c + 1)
+        if (right > left) hash |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    java.lang.Long.valueOf(hash)
+  }
+
+  /** Envelope-gradient hash of already-decoded per-frame |amplitude| —
+    * [[WavEnvelopeHash]]'s pooling/gradient math for custom audio
+    * decoders; same cross-format equality contract as
+    * [[dHashOfGrayImage]]. */
+  private[graft] def envelopeHashOfAbs(abs: Array[Double]): Any = {
+    if (abs == null || abs.length < 65) return null
+    val nFrames = abs.length
+    val pool = new Array[Double](65)
+    val cnt = new Array[Long](65)
+    var f = 0
+    while (f < nFrames) {
+      val w = ((f.toLong * 65) / nFrames).toInt
+      pool(w) += abs(f)
+      cnt(w) += 1
+      f += 1
+    }
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      if (pool(i + 1) / cnt(i + 1) > pool(i) / cnt(i)) hash |= 1L << i
+      i += 1
+    }
+    java.lang.Long.valueOf(hash)
+  }
+
+  case class BmpDHash(child: Expression,
+      extraDecoders: Seq[graft.operators.MediaCodecs.ImageDecoder] = Nil)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = LongType
     override def nullable: Boolean = true
@@ -1093,29 +1160,43 @@ object CatalystExprs {
     private def i16(b: Array[Byte], o: Int): Int =
       (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
 
+    /** Registered-decoder fallback for payloads the built-in rejects:
+      * first decoder returning Some wins; its pixels go through the SAME
+      * [[dHashOfGrayImage]] math as the fused built-in. */
+    private def extraEval(b: Array[Byte]): Any = {
+      var i = 0
+      while (i < extraDecoders.length) {
+        val d = extraDecoders(i).decode(b)
+        if (d.isDefined) return dHashOfGrayImage(d.get)
+        i += 1
+      }
+      null
+    }
+
     override def nullSafeEval(input: Any): Any = {
       val b = input.asInstanceOf[Array[Byte]]
-      if (b == null || b.length < 54 || b(0) != 'B' || b(1) != 'M') return null
+      if (b == null) return null
+      if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return extraEval(b)
       val dataOff = i32(b, 10)
       val hdrSize = i32(b, 14)
-      if (hdrSize < 40) return null // BITMAPCOREHEADER not supported
+      if (hdrSize < 40) return extraEval(b) // BITMAPCOREHEADER not supported
       val w = i32(b, 18)
       val hRaw = i32(b, 22)
       val topDown = hRaw < 0
       val h = math.abs(hRaw)
       val bpp = i16(b, 28)
       val compression = i32(b, 30)
-      if (compression != 0 || (bpp != 24 && bpp != 32)) return null
+      if (compression != 0 || (bpp != 24 && bpp != 32)) return extraEval(b)
       // bounds: a crafted header can carry a negative data offset or a
       // width whose stride overflows Int — everything here must reject,
       // never index out of bounds (the payload column is untrusted bytes).
       // 2^20 px per side is far beyond any sane bitmap and keeps all the
       // arithmetic below inside Int range.
-      if (w < 9 || h < 8 || w > (1 << 20) || h > (1 << 20)) return null
-      if (dataOff < 54 || dataOff > b.length) return null
+      if (w < 9 || h < 8 || w > (1 << 20) || h > (1 << 20)) return extraEval(b)
+      if (dataOff < 54 || dataOff > b.length) return extraEval(b)
       val bytesPerPx = bpp / 8
       val strideL = ((bytesPerPx.toLong * w + 3) / 4) * 4
-      if (dataOff.toLong + strideL * h > b.length) return null
+      if (dataOff.toLong + strideL * h > b.length) return extraEval(b)
       val stride = strideL.toInt
 
       // grayscale average-pool to 9 (cols) × 8 (rows), image coordinates:
@@ -1160,8 +1241,12 @@ object CatalystExprs {
       copy(child = c)
   }
 
+  /** dHash column over the built-in BMP decoder PLUS whatever image
+    * decoders are registered in [[graft.operators.MediaCodecs]] at
+    * plan-construction time (snapshot semantics — see MediaCodecs doc). */
   def bmpDHash(payload: Column): Column =
-    GraftBridge.column(BmpDHash(GraftBridge.expression(payload)))
+    GraftBridge.column(BmpDHash(GraftBridge.expression(payload),
+      graft.operators.MediaCodecs.imageDecoders))
 
   /** Perceptual audio hash (64-bit envelope-gradient) of a PCM RIFF/WAVE
     * payload — the audio twin of [[BmpDHash]], and like it REAL signal
@@ -1177,7 +1262,8 @@ object CatalystExprs {
     *
     * NULL unless: RIFF/WAVE container, fmt chunk with audioFormat=1 (PCM),
     * 8- or 16-bit samples, and at least 65 sample frames. */
-  case class WavEnvelopeHash(child: Expression)
+  case class WavEnvelopeHash(child: Expression,
+      extraDecoders: Seq[graft.operators.MediaCodecs.AudioDecoder] = Nil)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = LongType
     override def nullable: Boolean = true
@@ -1188,11 +1274,24 @@ object CatalystExprs {
     private def i16(b: Array[Byte], o: Int): Int =
       (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
 
+    /** Registered-decoder fallback — same contract as BmpDHash's. */
+    private def extraEval(b: Array[Byte]): Any = {
+      var i = 0
+      while (i < extraDecoders.length) {
+        val d = extraDecoders(i).decode(b)
+        if (d.isDefined) return envelopeHashOfAbs(d.get.absAmplitude)
+        i += 1
+      }
+      null
+    }
+
     override def nullSafeEval(input: Any): Any = {
       val b = input.asInstanceOf[Array[Byte]]
-      if (b == null || b.length < 44) return null
+      if (b == null) return null
+      if (b.length < 44) return extraEval(b)
       if (b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
-        b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return null
+        b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E')
+        return extraEval(b)
       // walk chunks for fmt + data — Long cursor + Long comparison, the
       // same crafted-chunk-size hardening as AudioInfo's walker (an Int
       // `pos + 8 + len` wraps negative for len near 2^31 and the guard
@@ -1205,21 +1304,21 @@ object CatalystExprs {
         val pp = pos.toInt
         val id = new String(b, pp, 4, "US-ASCII")
         val len = i32(b, pp + 4)
-        if (len < 0 || pos + 8 + len.toLong > b.length) return null
+        if (len < 0 || pos + 8 + len.toLong > b.length) return extraEval(b)
         if (id == "fmt " && len >= 16) fmtOff = pp + 8
         else if (id == "data") { dataOff = pp + 8; dataLen = len }
         pos += 8L + len + (len & 1) // chunks are word-aligned
       }
-      if (fmtOff < 0 || dataOff < 0) return null
+      if (fmtOff < 0 || dataOff < 0) return extraEval(b)
       val audioFormat = i16(b, fmtOff)
       val channels = i16(b, fmtOff + 2)
       val bits = i16(b, fmtOff + 14)
       if (audioFormat != 1 || channels < 1 ||
-        (bits != 8 && bits != 16)) return null
+        (bits != 8 && bits != 16)) return extraEval(b)
       val bytesPerSample = bits / 8
       val frameBytes = bytesPerSample * channels
       val nFrames = dataLen / frameBytes
-      if (nFrames < 65) return null
+      if (nFrames < 65) return extraEval(b)
 
       // mono-mixed |amplitude|, pooled into 65 equal windows
       val pool = new Array[Double](65)
@@ -1255,6 +1354,10 @@ object CatalystExprs {
       copy(child = c)
   }
 
+  /** Envelope-hash column over the built-in PCM-WAV decoder PLUS whatever
+    * audio decoders are registered in [[graft.operators.MediaCodecs]] at
+    * plan-construction time (snapshot semantics). */
   def wavEnvelopeHash(payload: Column): Column =
-    GraftBridge.column(WavEnvelopeHash(GraftBridge.expression(payload)))
+    GraftBridge.column(WavEnvelopeHash(GraftBridge.expression(payload),
+      graft.operators.MediaCodecs.audioDecoders))
 }

@@ -10,7 +10,14 @@ import org.apache.spark.sql.types._
   * The real codec work (JPEG decode, resampling, frame extraction) needs
   * native libraries that are NOT in this container — those steps are
   * STUBBED with a deterministic fake (see [[fakeDecode]]) and clearly
-  * marked. What IS real and tested is the Spark-side shape of the pipeline:
+  * marked. The stub is a SEAM, not a hard-coded dead end (r7): register
+  * real codecs in [[MediaCodecs]] and [[decodeFeatures]], [[imageDHash]],
+  * [[audioEnvelopeHash]] (and everything above them: the dedup pair
+  * forms, [[dedupMediaCorpus]], `DEDUP image|audio`, the SQL hash
+  * functions) dispatch through them automatically — the production swap
+  * is configuration, not a code edit. The zero-dependency BMP/PCM
+  * built-ins always run first. What IS real and tested either way is the
+  * Spark-side shape of the pipeline:
   *  - the schema contract (binary payload + metadata struct),
   *  - batched partition-wise processing via `mapPartitions` (the Scala
   *    analogue of `mapInPandas`: one iterator per partition, amortized
@@ -73,7 +80,11 @@ object Multimodal {
 
   /** Partition-wise "decode + feature extract": the mapInPandas-shaped
     * stage. One decoder ("codec") per partition, rows processed in order,
-    * output schema fixed. */
+    * output schema fixed. Decoders registered in [[MediaCodecs]] are
+    * consulted FIRST (in registration order, snapshot at plan build);
+    * payloads nothing recognizes fall back to the clearly-marked
+    * [[fakeDecode]] stub — so a production deploy turns this stage real
+    * by registering codecs, not by editing this file. */
   def decodeFeatures(media: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
@@ -83,12 +94,18 @@ object Multimodal {
       StructField("pixel_format", StringType, nullable = false),
       StructField("byte_checksum", LongType, nullable = false)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val decoders = MediaCodecs.imageDecoders // snapshot, shipped to executors
     media.select("media_id", "payload").mapPartitions { rows =>
       // per-partition setup happens HERE (real codecs are expensive to init)
       rows.map { r =>
         val id = r.getLong(0)
         val payload = r.getAs[Array[Byte]](1)
-        val (w, h, fmt) = fakeDecode(payload)
+        val (w, h, fmt) =
+          if (payload == null) fakeDecode(payload)
+          else decoders.iterator
+            .flatMap(d => d.decode(payload).map(g => (g.width, g.height, d.format)))
+            .nextOption()
+            .getOrElse(fakeDecode(payload))
         var crc = 0L
         if (payload != null) { var i = 0; while (i < payload.length) { crc = (crc * 131) + (payload(i) & 0xFF); i += 1 } }
         Row(id, if (payload == null) 0L else payload.length.toLong, w, h, fmt, crc)

@@ -2,7 +2,44 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.Multimodal
+import graft.operators.{MediaCodecs, Multimodal}
+
+/** Custom image format for the decoder-seam spec: "GRAW" + w(le16) +
+  * h(le16) + row-major gray bytes. Top-level class so Spark serializes it
+  * without dragging the spec instance along. */
+class GrawTestDecoder extends MediaCodecs.ImageDecoder {
+  def format = "graw"
+  def decode(b: Array[Byte]): Option[MediaCodecs.GrayImage] = {
+    if (b == null || b.length < 8 ||
+      b(0) != 'G' || b(1) != 'R' || b(2) != 'A' || b(3) != 'W') None
+    else {
+      val w = (b(4) & 0xFF) | ((b(5) & 0xFF) << 8)
+      val h = (b(6) & 0xFF) | ((b(7) & 0xFF) << 8)
+      if (w <= 0 || h <= 0 || b.length < 8 + w * h) None
+      else Some(MediaCodecs.GrayImage(w, h,
+        Array.tabulate(w * h)(i => b(8 + i) & 0xFF)))
+    }
+  }
+}
+
+/** Custom audio format for the decoder-seam spec: "PRAW" + n(le32) +
+  * 16-bit LE samples. */
+class PrawTestDecoder extends MediaCodecs.AudioDecoder {
+  def format = "praw"
+  def decode(b: Array[Byte]): Option[MediaCodecs.MonoEnvelope] = {
+    if (b == null || b.length < 8 ||
+      b(0) != 'P' || b(1) != 'R' || b(2) != 'A' || b(3) != 'W') None
+    else {
+      val n = (b(4) & 0xFF) | ((b(5) & 0xFF) << 8) |
+        ((b(6) & 0xFF) << 16) | ((b(7) & 0xFF) << 24)
+      if (n <= 0 || b.length < 8 + n * 2) None
+      else Some(MediaCodecs.MonoEnvelope(Array.tabulate(n) { i =>
+        val v = ((b(8 + 2 * i) & 0xFF) | ((b(9 + 2 * i) & 0xFF) << 8)).toShort
+        math.abs(v.toInt).toDouble
+      }))
+    }
+  }
+}
 
 class MultimodalSpec extends AnyFunSuite {
 
@@ -509,5 +546,79 @@ class MultimodalSpec extends AnyFunSuite {
     val full = Multimodal.imageDedupPairs(farm, maxGroup = 30)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(full.size == 435)
+  }
+
+  test("decoder registry: custom formats flow through hashing, dedup, DEDUP, decodeFeatures") {
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    def pat(x: Int, y: Int): Int = ((x * 7 + y * 5 + (x * y) % 3) % 160) + 30
+    val (w, h) = (27, 24)
+    val bmp = makeBmp(w, h)(pat)
+    val graw = Array[Byte]('G', 'R', 'A', 'W',
+      (w & 0xFF).toByte, (w >> 8).toByte, (h & 0xFF).toByte, (h >> 8).toByte) ++
+      (for (y <- 0 until h; x <- 0 until w) yield (pat(x, y) & 0xFF).toByte)
+    def env(f: Int): Int = (((f / 8) * 3 + (f / 16) * 5) % 11) * 1024 + 1024
+    val wav = Multimodal.syntheticWavPcm(520)(env)
+    val praw = Array[Byte]('P', 'R', 'A', 'W', (520 & 0xFF).toByte,
+      (520 >> 8).toByte, 0, 0) ++
+      (0 until 520).flatMap(f =>
+        Seq((env(f) & 0xFF).toByte, (env(f) >> 8).toByte))
+
+    // unregistered: the custom formats hash NULL (builtins reject them)
+    val before = Seq((1L, bmp), (2L, graw)).toDF("media_id", "payload")
+    assert(Multimodal.imageDHash(before).filter(col("dhash").isNotNull)
+      .count() == 1)
+
+    MediaCodecs.registerImage(new GrawTestDecoder)
+    MediaCodecs.registerAudio(new PrawTestDecoder)
+    try {
+      // SAME pixels through BMP and the custom decoder → IDENTICAL hash
+      // (the shared pooling math contract), so cross-format near-dup
+      // detection pairs them — build plans AFTER registration (snapshot)
+      val media = Seq((1L, bmp), (2L, graw)).toDF("media_id", "payload")
+      val hs = Multimodal.imageDHash(media).select("media_id", "dhash")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(hs(1L) == hs(2L))
+      val pairs = Multimodal.imageDedupPairs(media)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(pairs == Set((1L, 2L, 0)))
+      // audio twin
+      val clips = Seq((1L, wav), (2L, praw)).toDF("media_id", "payload")
+      val ah = Multimodal.audioEnvelopeHash(clips).select("media_id", "ahash")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(ah(1L) == ah(2L))
+      assert(Multimodal.audioDedupPairs(clips)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        Set((1L, 2L)))
+      // the STATEMENT surface picks the registry up with no extra wiring
+      val ctx = new Context(spark0)
+      ctx.createTable("seam_media", media)
+      val viaSql = ctx.sql(
+        """SELECT * FROM DEDUP(METHOD image,
+          |SELECT media_id, payload FROM seam_media)""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaSql == Set((1L, 2L)))
+      val rewritten = ctx.sql(
+        """SELECT * FROM DEDUP(METHOD image WITH (action = 'rewrite'),
+          |SELECT media_id, payload FROM seam_media)""".stripMargin)
+        .select("media_id").collect().map(_.getLong(0)).toSet
+      assert(rewritten == Set(1L)) // min-id survivor across formats
+      ctx.sql("DROP TABLE IF EXISTS seam_media")
+      // decodeFeatures: registry decode wins (real dims + format), the
+      // fake stub stays the fallback for unrecognized payloads
+      val feats = Multimodal.decodeFeatures(media)
+        .select("media_id", "width", "height", "pixel_format")
+        .collect().map(r => r.getLong(0) ->
+          (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+      assert(feats(2L) == ((w, h, "graw")))
+      assert(feats(1L)._3 == "fake-rgb") // BMP is not a registered decoder
+    } finally {
+      MediaCodecs.unregisterImage("graw")
+      MediaCodecs.unregisterAudio("praw")
+    }
+    // after unregistration, new plans are back to builtin-only
+    val after = Seq((2L, graw)).toDF("media_id", "payload")
+    assert(Multimodal.imageDHash(after).filter(col("dhash").isNotNull)
+      .count() == 0)
   }
 }
