@@ -225,5 +225,125 @@ class StatementDifferentialSpec extends AnyFunSuite {
       assert(got == expected)
       assert(got.values.exists(_._2) && got.values.exists(!_._2)) // both sides hit
     }
+
+    test(s"statement diff (seed=$seed): DEDUP image pairs+rewrite match the pure-Scala dHash model") {
+      // seeded gradient patterns × hash-invariant variant mixes (byte
+      // copy, +20/+40 brightness, 2× upscale) + junk rows. The model
+      // computes dHash INDEPENDENTLY from the pattern functions (9×8
+      // integer pooling + gradient bits — no byte parsing, no operator
+      // code), so agreement tests decoder+hash+banding end to end, and
+      // the variant mixing asserts the invariances ON the statement
+      // surface: a brightness/upscale variant must never change the set.
+      val rnd = new java.util.Random(seed * 31 + 5)
+      val pats = (0 until 8).map { _ =>
+        val (a, b2, c) = (2 + rnd.nextInt(9), 2 + rnd.nextInt(13), 2 + rnd.nextInt(4))
+        (x: Int, y: Int) => ((x * a + y * b2 + (x * y) % c) % 160) + 20
+      }
+      def modelHash(f: (Int, Int) => Int): Long = {
+        val pool = Array.ofDim[Long](8, 9)
+        val cnt = Array.ofDim[Long](8, 9)
+        for (y <- 0 until 24; x <- 0 until 27) {
+          pool((y * 8) / 24)((x * 9) / 27) += f(x, y); cnt((y * 8) / 24)((x * 9) / 27) += 1
+        }
+        (for (r <- 0 until 8; c <- 0 until 8
+          if pool(r)(c + 1).toDouble / cnt(r)(c + 1) > pool(r)(c).toDouble / cnt(r)(c))
+          yield 1L << (r * 8 + c)).foldLeft(0L)(_ | _)
+      }
+      val members = for (p <- pats.indices; v <- 0 until 2 + rnd.nextInt(3))
+        yield ((p * 100 + v).toLong, p, v % 4)
+      val media = members.map { case (id, p, kind) =>
+        val img = kind match {
+          case 0 | 1 => graft.operators.Multimodal.syntheticBmpGray(27, 24)(
+            (x, y) => pats(p)(x, y) + kind * 20)
+          case 2 => graft.operators.Multimodal.syntheticBmpGray(27, 24)(
+            (x, y) => pats(p)(x, y) + 40)
+          case _ => graft.operators.Multimodal.syntheticBmpGray(54, 48)(
+            (x, y) => pats(p)(x / 2, y / 2))
+        }
+        (id, img)
+      } ++ Seq((9001L, "not an image".getBytes), (9002L, Array[Byte]('B', 'M', 3)))
+      val hs = members.map { case (id, p, _) => id -> modelHash(pats(p)) }.toMap
+      val expPairs = (for {
+        (a, ha) <- hs.toSeq; (b, hb) <- hs.toSeq
+        if a < b && java.lang.Long.bitCount(ha ^ hb) <= 3
+      } yield (a, b)).toSet
+      // survivors: min id per connected component of the ≤3-Hamming graph
+      // (identical hashes are 0-distance edges) + unreadable pass-through
+      val parent = scala.collection.mutable.Map(hs.keys.map(k => k -> k).toSeq: _*)
+      def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      expPairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+      val expSurv = hs.keys.groupBy(find).values.map(_.min).toSet ++ Set(9001L, 9002L)
+      val ctx = ctxWith("sd_media_img_docs", Seq((1L, "x"))) // ctx helper needs a table
+      ctx.createTable("sd_media_img", media.toDF("media_id", "payload"))
+      val gotPairs = ctx.sql(
+        """SELECT * FROM DEDUP(METHOD image,
+          |SELECT media_id, payload FROM sd_media_img)""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(gotPairs == expPairs)
+      assert(expPairs.nonEmpty) // variant mixing really produced clusters
+      val gotSurv = ctx.sql(
+        """SELECT * FROM DEDUP(METHOD image WITH (action = 'rewrite'),
+          |SELECT media_id, payload FROM sd_media_img)""".stripMargin)
+        .select("media_id").collect().map(_.getLong(0)).toSet
+      assert(gotSurv == expSurv)
+      ctx.sql("DROP TABLE IF EXISTS sd_media_img")
+      ctx.sql("DROP TABLE IF EXISTS sd_media_img_docs")
+    }
+
+    test(s"statement diff (seed=$seed): DEDUP audio pairs+rewrite match the pure-Scala envelope model") {
+      // seeded stepped envelopes × invariant variant mixes (byte copy, 2×
+      // volume, stereo, 2× resample) + junk rows; model pools |sample|
+      // into 65 windows straight from the envelope function.
+      val rnd = new java.util.Random(seed * 17 + 3)
+      val envs = (0 until 6).map { _ =>
+        val (a, b2) = (1 + rnd.nextInt(5), 1 + rnd.nextInt(7))
+        (f: Int) => (((f / 8) * a + (f / 16) * b2) % 11) * 1024 + 1024
+      }
+      def modelHash(env: Int => Int): Long = {
+        val pool = new Array[Double](65)
+        val cnt = new Array[Long](65)
+        for (f <- 0 until 520) {
+          val w = ((f.toLong * 65) / 520).toInt
+          pool(w) += math.abs(env(f)); cnt(w) += 1
+        }
+        (0 until 64).filter(i => pool(i + 1) / cnt(i + 1) > pool(i) / cnt(i))
+          .foldLeft(0L)((h, i) => h | (1L << i))
+      }
+      val members = for (p <- envs.indices; v <- 0 until 2 + rnd.nextInt(3))
+        yield ((p * 100 + v).toLong, p, v % 4)
+      val media = members.map { case (id, p, kind) =>
+        val wav = kind match {
+          case 0 => graft.operators.Multimodal.syntheticWavPcm(520)(envs(p))
+          case 1 => graft.operators.Multimodal.syntheticWavPcm(520)(f => envs(p)(f) * 2)
+          case 2 => graft.operators.Multimodal.syntheticWavPcm(520, channels = 2)(envs(p))
+          case _ => graft.operators.Multimodal.syntheticWavPcm(1040)(f => envs(p)(f / 2))
+        }
+        (id, wav)
+      } ++ Seq((9001L, "RIFFnope".getBytes))
+      val hs = members.map { case (id, p, _) => id -> modelHash(envs(p)) }.toMap
+      val expPairs = (for {
+        (a, ha) <- hs.toSeq; (b, hb) <- hs.toSeq
+        if a < b && java.lang.Long.bitCount(ha ^ hb) <= 3
+      } yield (a, b)).toSet
+      val parent = scala.collection.mutable.Map(hs.keys.map(k => k -> k).toSeq: _*)
+      def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      expPairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+      val expSurv = hs.keys.groupBy(find).values.map(_.min).toSet + 9001L
+      val ctx = ctxWith("sd_media_wav_docs", Seq((1L, "x")))
+      ctx.createTable("sd_media_wav", media.toDF("media_id", "payload"))
+      val gotPairs = ctx.sql(
+        """SELECT * FROM DEDUP(METHOD audio,
+          |SELECT media_id, payload FROM sd_media_wav)""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(gotPairs == expPairs)
+      assert(expPairs.nonEmpty)
+      val gotSurv = ctx.sql(
+        """SELECT * FROM DEDUP(METHOD audio WITH (action = 'rewrite'),
+          |SELECT media_id, payload FROM sd_media_wav)""".stripMargin)
+        .select("media_id").collect().map(_.getLong(0)).toSet
+      assert(gotSurv == expSurv)
+      ctx.sql("DROP TABLE IF EXISTS sd_media_wav")
+      ctx.sql("DROP TABLE IF EXISTS sd_media_wav_docs")
+    }
   }
 }
