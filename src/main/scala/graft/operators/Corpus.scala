@@ -300,19 +300,32 @@ object Corpus {
       sep: String = "\n", minDocs: Int = 3,
       hotStrategy: String = "broadcast"): DataFrame = {
     require(minDocs >= 2, "minDocs must be at least 2")
-    require(hotStrategy == "broadcast" || hotStrategy == "join",
-      s"hotStrategy must be broadcast or join: $hotStrategy")
+    require(hotStrategy == "broadcast" || hotStrategy == "join" ||
+      hotStrategy == "auto",
+      s"hotStrategy must be broadcast, join or auto: $hotStrategy")
     val qsep = java.util.regex.Pattern.quote(sep)
     val ls = split(col(textCol), qsep)
     // distinct per doc BEFORE exploding: one row per (doc, line), so the
     // per-hash count is the distinct-document frequency without a
     // count(DISTINCT) (same explode_outer guard as decontaminate)
-    val hotHashes = df
+    val hotHashes0 = df
       .select(explode_outer(array_distinct(split(col(textCol), qsep))).as("ln"))
       .select(xxhash64(col("ln")).as("lh"))
       .groupBy("lh").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDocs)
-    if (hotStrategy == "broadcast") {
+    // 'auto' (r7): pick the side of the MEASURED crossover (PLANS 43/45 —
+    // the broadcast form's array_contains probe is linear in hot-set size
+    // per line, the join's hash probe O(1); join wins past ~10³ hot
+    // entries at real corpus sizes). Costs one count action AT PLAN
+    // CONSTRUCTION (so EXPLAIN over DEDUP global_lines hot_strategy=
+    // 'auto' runs the counting aggregation); the counted hot table is
+    // OpCache'd so the chosen branch reuses it instead of recomputing.
+    val (strategy, hotHashes) =
+      if (hotStrategy == "auto") {
+        val cached = OpCache.cached(hotHashes0)
+        (if (cached.count() <= 1000) "broadcast" else "join", cached)
+      } else (hotStrategy, hotHashes0)
+    if (strategy == "broadcast") {
       val hot = hotHashes
         .agg(collect_list(col("lh")).as("_hot")) // exactly one row, maybe empty list
       df.crossJoin(broadcast(hot))
@@ -381,8 +394,11 @@ object Corpus {
       .filter(col("p") =!= "").distinct()
     val lt = lower(col(textCol))
     if (compilePhrases) {
+      // limit alone guards the size (r6 ADVICE: the old orderBy was pure
+      // overhead — ordering never affects the compiled automaton, and it
+      // made plan construction run a SORTED job on every call)
       val phrases = norm.filter(col("p").contains(" "))
-        .orderBy("p").limit(65537).collect().map(_.getString(0))
+        .limit(65537).collect().map(_.getString(0))
       require(phrases.length <= 65536,
         "blocklist has more than 65536 multi-word phrases — not a curated " +
           "list; pass compilePhrases=false (SCORE blocklist: compile='false') " +
@@ -436,14 +452,25 @@ object Corpus {
       df: DataFrame, vocab: DataFrame, idCol: String,
       textCol: String, wordCol: String,
       vocabStrategy: String = "inrow"): DataFrame = {
-    require(vocabStrategy == "inrow" || vocabStrategy == "join",
-      s"vocabStrategy must be inrow or join: $vocabStrategy")
-    val norm = vocab
+    require(vocabStrategy == "inrow" || vocabStrategy == "join" ||
+      vocabStrategy == "auto",
+      s"vocabStrategy must be inrow, join or auto: $vocabStrategy")
+    val norm0 = vocab
       .select(lower(trim(col(wordCol))).as("w"))
       .filter(col("w") =!= "").distinct()
+    // 'auto' (r7): one count on the (vocab-sized, cheap) normalized list
+    // against the measured crossover — PLANS 43: in-row grows linearly in
+    // vocab size (3.4 s at 100 → 322.7 s at 10⁵), the join form is flat
+    // ~3-4 s, crossover ≈ 100 entries. The count runs at plan
+    // construction; the counted list is OpCache'd for the chosen branch.
+    val (strategy, norm) =
+      if (vocabStrategy == "auto") {
+        val cached = OpCache.cached(norm0)
+        (if (cached.count() <= 100) "inrow" else "join", cached)
+      } else (vocabStrategy, norm0)
     val rate = round(col("n_oov").cast("double") /
       greatest(col("n_tokens"), lit(1L)).cast("double"), 6)
-    if (vocabStrategy == "inrow") {
+    if (strategy == "inrow") {
       val hot = norm.agg(sort_array(collect_set(col("w"))).as("_v"))
       df.crossJoin(broadcast(hot))
         .select(col(idCol), col("_v"),
@@ -461,11 +488,25 @@ object Corpus {
       // grouping — post-explode, a NULL text and an empty text are
       // indistinguishable (both yield one null-token row), and the in-row
       // form NULL-propagates on NULL text (review-found r6)
-      df.select(col(idCol), size(toks).cast("bigint").as("n_tokens"),
+      // _rid: a per-ROW surrogate captured before the explode, so the
+      // regroup restores exactly one output row per input row even when
+      // idCol carries duplicates — without it the groupBy would merge
+      // duplicate ids into one summed row while the in-row strategy emits
+      // one row each, breaking the strategies-indistinguishable contract
+      // (r6 ADVICE). The wider group key changes nothing at scale: the
+      // regroup still rides partial aggregation over co-located rows.
+      // the surrogate is assigned in its OWN projection BELOW the explode
+      // (in one select, ExtractGenerator would hoist it above the
+      // Generate and stamp each token row; CollapseProject never merges a
+      // nondeterministic projection, so this stays per-input-row)
+      df.select(col(idCol), col(textCol),
+          monotonically_increasing_id().as("_rid"))
+        .select(col(idCol), col("_rid"),
+          size(toks).cast("bigint").as("n_tokens"),
           explode_outer(toks).as("_t"))
         .join(broadcast(norm.select(col("w").as("_t"), lit(1).as("_in"))),
           Seq("_t"), "left")
-        .groupBy(col(idCol), col("n_tokens"))
+        .groupBy(col("_rid"), col(idCol), col("n_tokens"))
         .agg(sum(when(col("_t").isNotNull && col("_in").isNull, 1L).otherwise(0L))
           .cast("bigint").as("_oov"))
         .select(col(idCol), col("n_tokens"),
@@ -909,9 +950,15 @@ object Corpus {
     val denom =
       if (average) greatest(col("n_tokens"), lit(1L)).cast("double")
       else lit(1.0)
-    df.select(col(idCol), explode_outer(toks).as("_t"))
+    // _rid: per-row surrogate captured in its own projection BELOW the
+    // explode — one output row per input row even on duplicate ids (r6
+    // ADVICE; same fix and same ExtractGenerator caveat as oovRate's
+    // join strategy)
+    df.select(col(idCol), col(textCol),
+        monotonically_increasing_id().as("_rid"))
+      .select(col(idCol), col("_rid"), explode_outer(toks).as("_t"))
       .join(broadcast(w), Seq("_t"), "left")
-      .groupBy(col(idCol))
+      .groupBy(col("_rid"), col(idCol))
       .agg(count(col("_t")).cast("bigint").as("n_tokens"),
         count(col("_w")).cast("bigint").as("n_hits"),
         sum(coalesce(col("_w"), lit(0.0))).as("_raw"))

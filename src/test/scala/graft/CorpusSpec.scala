@@ -536,6 +536,79 @@ class CorpusSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("hot_strategy='auto' picks the measured winner on both sides of the crossover") {
+    // ≤10³ hot entries (PLANS 45's threshold) → the broadcast form (its
+    // signature: the single-row hot-array cross join); above → the join
+    // form. Output must equal the explicitly-chosen strategy either way.
+    val small = Seq((1L, "HOT\na"), (2L, "HOT\nb"), (3L, "HOT\nc"))
+      .toDF("doc_id", "text")
+    val autoSmall = Corpus.removeGlobalRepeatedLines(small, "doc_id", "text",
+      minDocs = 2, hotStrategy = "auto")
+    assert(autoSmall.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+    assert(autoSmall.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Corpus.removeGlobalRepeatedLines(small, "doc_id", "text",
+        minDocs = 2, hotStrategy = "broadcast")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+    // 1,500 hot lines: two docs sharing every line → hot set > 10³
+    val allLines = (0 until 1500).map(i => s"line $i").mkString("\n")
+    val big = Seq((1L, allLines), (2L, allLines)).toDF("doc_id", "text")
+    val autoBig = Corpus.removeGlobalRepeatedLines(big, "doc_id", "text",
+      minDocs = 2, hotStrategy = "auto")
+    assert(!autoBig.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+    assert(autoBig.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Corpus.removeGlobalRepeatedLines(big, "doc_id", "text",
+        minDocs = 2, hotStrategy = "join")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+  }
+
+  test("vocabStrategy='auto' picks the measured winner on both sides of the crossover") {
+    val docs = Seq((1L, "the cat w77"), (2L, "zz qq")).toDF("doc_id", "text")
+    // ≤100 vocab entries (PLANS 43's crossover) → in-row (single-row
+    // broadcast array cross join); above → the broadcast HASH join
+    val smallVocab = Seq("the", "cat").toDF("w")
+    val autoSmall = Corpus.oovRate(docs, smallVocab, "doc_id", "text", "w",
+      vocabStrategy = "auto")
+    assert(autoSmall.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+    val bigVocab = (0 until 200).map(i => s"w$i").toDF("w")
+    val autoBig = Corpus.oovRate(docs, bigVocab, "doc_id", "text", "w",
+      vocabStrategy = "auto")
+    val planBig = autoBig.queryExecution.executedPlan.toString
+    assert(!planBig.contains("BroadcastNestedLoopJoin") &&
+      planBig.contains("BroadcastHashJoin"))
+    // outputs equal the explicit strategies on both sides
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows(autoSmall) ==
+      rows(Corpus.oovRate(docs, smallVocab, "doc_id", "text", "w")))
+    assert(rows(autoBig) ==
+      rows(Corpus.oovRate(docs, bigVocab, "doc_id", "text", "w",
+        vocabStrategy = "join")))
+  }
+
+  test("oovRate join strategy and linearScore emit one row per input ROW on duplicate ids") {
+    // r6 ADVICE: the join strategies used to group by idCol alone,
+    // collapsing duplicate-id rows into one summed row while the in-row
+    // strategy emitted one row each. The per-row surrogate restores
+    // row-per-row semantics for BOTH.
+    val vocab = Seq("the", "cat").toDF("w")
+    val dup = Seq((1L, "the cat"), (1L, "zz qq ww"), (2L, "the"))
+      .toDF("doc_id", "text")
+    def sortedRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2, t._3)).toSeq
+    val inrow = sortedRows(Corpus.oovRate(dup, vocab, "doc_id", "text", "w"))
+    val join = sortedRows(Corpus.oovRate(dup, vocab, "doc_id", "text", "w",
+      vocabStrategy = "join"))
+    assert(inrow.length == 3 && inrow == join)
+    val weights = Seq(("the", 1.0), ("cat", 2.0)).toDF("term", "weight")
+    val scored = Corpus.linearScore(dup, weights, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(t => (t._1, t._2))
+    assert(scored.toSeq == Seq((1L, 2L), (1L, 3L), (2L, 1L)))
+  }
+
   test("dsirLogWeights ranks target-like docs above off-distribution docs") {
     val target = Seq(
       (100L, "the cat sat on the mat and the cat slept"),
