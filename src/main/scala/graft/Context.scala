@@ -637,7 +637,7 @@ class Context(val spark: SparkSession) {
         // perceptual-hash family (real BMP/PCM decoders, codec formats
         // hash NULL and drop out); action='rewrite' collapses duplicate
         // farms hash-first and returns the cleaned media frame
-        case k @ ("image" | "audio") =>
+        case k @ ("image" | "audio" | "video") =>
           if (opts.get("action").map(_.trim.toLowerCase).contains("rewrite"))
             graft.operators.Multimodal.dedupMediaCorpus(df, kind = k,
               maxHamming = i("max_hamming", 3))
@@ -646,18 +646,19 @@ class Context(val spark: SparkSession) {
           // representative+multiplicity product, and member expansion
           // refuses identical-hash groups larger than max_group (default
           // 10k) instead of silently going quadratic on a duplicate farm
-          else if (k == "image") graft.operators.Multimodal.imageDedupPairs(
-            df, maxHamming = i("max_hamming", 3),
-            expand = opts.getOrElse("expand", "members"),
-            maxGroup = i("max_group", 10000))
-          else graft.operators.Multimodal.audioDedupPairs(
-            df, maxHamming = i("max_hamming", 3),
-            expand = opts.getOrElse("expand", "members"),
-            maxGroup = i("max_group", 10000))
+          else {
+            val pairs = k match {
+              case "image" => graft.operators.Multimodal.imageDedupPairs _
+              case "audio" => graft.operators.Multimodal.audioDedupPairs _
+              case _ => graft.operators.Multimodal.videoDedupPairs _
+            }
+            pairs(df, i("max_hamming", 3),
+              opts.getOrElse("expand", "members"), i("max_group", 10000))
+          }
         case other => throw new IllegalArgumentException(
           s"Unknown DEDUP method: $other (exact|minhash|ngram|simhash|" +
             "substring|embedding|incremental|chunks|boilerplate|lines|" +
-            "global_lines|image|audio)")
+            "global_lines|image|audio|video)")
       }
 
     // SELECT * FROM SIMSEARCH(TABLE corpus, METHOD m, K n [WITH (...)],

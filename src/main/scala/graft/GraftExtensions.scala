@@ -202,6 +202,11 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => colFn(exprs, 1) { cols =>
         graft.functions.CatalystExprs.wavEnvelopeHash(cols.head) }),
 
+    (new FunctionIdentifier("avi_dhash"),
+      new ExpressionInfo("graft.functions.CatalystExprs", "avi_dhash"),
+      (exprs: Seq[Expression]) => colFn(exprs, 1) { cols =>
+        graft.functions.CatalystExprs.aviDHash(cols.head) }),
+
     (new FunctionIdentifier("url_domain"),
       new ExpressionInfo("graft.functions.TextAnalysis", "url_domain"),
       (exprs: Seq[Expression]) => colFn(exprs, 1) { cols =>

@@ -429,6 +429,26 @@ object ScaleProbe {
         operators.Multimodal.imageDedupPairs(farmMedia(spark),
           maxHamming = 3, expand = "members")
       },
+      time("media_video_farm_rewrite") {
+        // the r7 video member of the triad at duplicate-farm scale: 20k
+        // real uncompressed AVIs (500 clips × 40 copies, 10 frames each,
+        // ~20 KB/clip synthesized in-executor) through the same
+        // hash-first farm collapse — frame decoding is ~10× the pixel
+        // work of the image probe per row, the graph still ≤500 nodes
+        import spark.implicits._
+        val media = spark.range(20000).select(col("id").as("media_id"))
+          .as[Long].mapPartitions { ids =>
+            ids.map { id =>
+              val p = (id % 500).toInt
+              val shift = ((id / 500) % 4).toInt * 15
+              (id, operators.Multimodal.syntheticAviGray(27, 24, 10)(
+                (f, x, y) => ((x * (p % 13 + 2) + y * (17 - p % 7) +
+                  f * (p % 5 + 1) + p) % 170) + 20 + shift))
+            }
+          }.toDF("media_id", "payload")
+        operators.Multimodal.dedupMediaCorpus(media, "video", maxHamming = 3)
+          .select("media_id")
+      },
       time("linear_score_1e5") {
         // fastText-shaped classifier inference with a tokenizer-scale
         // (10⁵-term) weights table: same broadcast-hash-join shape as

@@ -1360,4 +1360,186 @@ object CatalystExprs {
   def wavEnvelopeHash(payload: Column): Column =
     GraftBridge.column(WavEnvelopeHash(GraftBridge.expression(payload),
       graft.operators.MediaCodecs.audioDecoders))
+
+  /** Perceptual VIDEO hash (64-bit temporal-majority dHash) of an
+    * UNCOMPRESSED AVI payload — the video member of the perceptual-hash
+    * triad ([[BmpDHash]] images, [[WavEnvelopeHash]] audio), and like
+    * them REAL signal work with no codec: an uncompressed AVI is raw
+    * bottom-up BGR DIB frames ('00db' chunks) behind RIFF/LIST headers,
+    * so pure byte parsing reaches every pixel of every frame.
+    *
+    * Per frame, the standard 9×8 dHash bits are computed exactly as
+    * [[BmpDHash]] does; the video hash sets bit j iff a strict MAJORITY
+    * of frames set bit j. That makes the hash exactly invariant to
+    *  - per-frame brightness/contrast shifts and spatial upscaling (the
+    *    frame dHash invariances carry over),
+    *  - frame ORDER (majority is a bag vote),
+    *  - uniform temporal resampling (duplicating every frame k× scales
+    *    every bit count by k), which is how re-encoded/re-timed copies
+    *    of a clip land at Hamming 0 (`Multimodal.videoDedupPairs`).
+    *
+    * Untrusted-byte discipline matches the r6-hardened parsers: Long
+    * cursors, stop on overdeclared chunk sizes, dimension bounds, and a
+    * frame chunk is only consumed when its size is exactly the stride×h
+    * the declared dimensions imply. NULL unless: RIFF/AVI container, an
+    * 'avih' header (inside LIST hdrl) declaring 9≤w≤2^20, 8≤h≤2^20,
+    * BEFORE the movi frames, and at least one well-sized '00db' frame.
+    * Payloads the built-in rejects go to registered
+    * [[graft.operators.MediaCodecs.VideoDecoder]]s (same seam as the
+    * image/audio hashes), whose frames vote through the same math. */
+  case class AviTemporalDHash(child: Expression,
+      extraDecoders: Seq[graft.operators.MediaCodecs.VideoDecoder] = Nil)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+
+    private def i32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+        ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+    private def tag(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, "US-ASCII")
+
+    private def majority(ones: Array[Int], n: Int): Any = {
+      if (n <= 0) return null
+      var hash = 0L
+      var j = 0
+      while (j < 64) {
+        if (ones(j) * 2 > n) hash |= 1L << j
+        j += 1
+      }
+      java.lang.Long.valueOf(hash)
+    }
+
+    private def extraEval(b: Array[Byte]): Any = {
+      var i = 0
+      while (i < extraDecoders.length) {
+        val d = extraDecoders(i).decode(b)
+        if (d.isDefined) {
+          val ones = new Array[Int](64)
+          var n = 0
+          d.get.frames.foreach { img =>
+            dHashOfGrayImage(img) match {
+              case h: java.lang.Long =>
+                var j = 0
+                while (j < 64) {
+                  if ((h.longValue() >>> j & 1L) == 1L) ones(j) += 1
+                  j += 1
+                }
+                n += 1
+              case _ => // frame too small — skip, like a malformed chunk
+            }
+          }
+          return majority(ones, n)
+        }
+        i += 1
+      }
+      null
+    }
+
+    /** dHash bits of one raw bottom-up BGR24 DIB frame at `off`. */
+    private def frameHash(b: Array[Byte], off: Int, w: Int, h: Int,
+        stride: Int): Long = {
+      val pool = Array.ofDim[Long](8, 9)
+      val cnt = Array.ofDim[Long](8, 9)
+      var y = 0
+      while (y < h) {
+        val rowOff = off + (h - 1 - y) * stride
+        val pr = (y * 8) / h
+        var x = 0
+        while (x < w) {
+          val o = rowOff + x * 3
+          val blue = b(o) & 0xFF
+          val green = b(o + 1) & 0xFF
+          val red = b(o + 2) & 0xFF
+          val gray = (red * 299 + green * 587 + blue * 114) / 1000
+          val pc = (x * 9) / w
+          pool(pr)(pc) += gray
+          cnt(pr)(pc) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var hash = 0L
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 8) {
+          val left = pool(r)(c).toDouble / cnt(r)(c)
+          val right = pool(r)(c + 1).toDouble / cnt(r)(c + 1)
+          if (right > left) hash |= 1L << (r * 8 + c)
+          c += 1
+        }
+        r += 1
+      }
+      hash
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val b = input.asInstanceOf[Array[Byte]]
+      if (b == null) return null
+      if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "AVI ")
+        return extraEval(b)
+      var w = -1
+      var h = -1
+      var stride = 0
+      val ones = new Array[Int](64)
+      var nFrames = 0
+      var pos = 12L
+      var bad = false
+      while (!bad && pos + 8 <= b.length) {
+        val pp = pos.toInt
+        val id = tag(b, pp)
+        val sz = i32(b, pp + 4)
+        if (sz < 0 || pos + 8 + sz.toLong > b.length) bad = true
+        else {
+          if (id == "LIST" && sz >= 4) {
+            val listType = tag(b, pp + 8)
+            val end = pos + 8 + sz
+            if (listType == "hdrl" || listType == "movi") {
+              var ip = pos + 12L
+              while (!bad && ip + 8 <= end) {
+                val ipp = ip.toInt
+                val cid = tag(b, ipp)
+                val csz = i32(b, ipp + 4)
+                if (csz < 0 || ip + 8 + csz.toLong > end) bad = true
+                else {
+                  if (cid == "avih" && csz >= 40 && w < 0) {
+                    val aw = i32(b, ipp + 8 + 32)
+                    val ah = i32(b, ipp + 8 + 36)
+                    if (aw >= 9 && ah >= 8 &&
+                      aw <= (1 << 20) && ah <= (1 << 20)) {
+                      w = aw
+                      h = ah
+                      stride = ((3 * w + 3) / 4) * 4
+                    }
+                  } else if (cid == "00db" && w > 0 &&
+                    csz.toLong == stride.toLong * h) {
+                    val fh = frameHash(b, ipp + 8, w, h, stride)
+                    var j = 0
+                    while (j < 64) {
+                      if ((fh >>> j & 1L) == 1L) ones(j) += 1
+                      j += 1
+                    }
+                    nFrames += 1
+                  }
+                  ip += 8L + csz + (csz & 1)
+                }
+              }
+            }
+          }
+          pos += 8L + sz + (sz & 1)
+        }
+      }
+      if (nFrames == 0) extraEval(b) else majority(ones, nFrames)
+    }
+    override def prettyName: String = "avi_dhash"
+    override protected def withNewChildInternal(c: Expression): AviTemporalDHash =
+      copy(child = c)
+  }
+
+  /** Temporal-majority dHash column over the built-in uncompressed-AVI
+    * decoder PLUS registered video decoders (snapshot semantics). */
+  def aviDHash(payload: Column): Column =
+    GraftBridge.column(AviTemporalDHash(GraftBridge.expression(payload),
+      graft.operators.MediaCodecs.videoDecoders))
 }

@@ -56,8 +56,20 @@ object MediaCodecs {
     def decode(payload: Array[Byte]): Option[MonoEnvelope]
   }
 
+  /** Decoded video reduced to its grayscale frames (sampled or full —
+    * the temporal-majority hash is frame-order- and duplication-
+    * invariant, so decoders may subsample evenly without changing it). */
+  final case class VideoFrames(frames: Array[GrayImage])
+
+  /** Video payload → grayscale frames; None = not this format. */
+  trait VideoDecoder extends Serializable {
+    def format: String
+    def decode(payload: Array[Byte]): Option[VideoFrames]
+  }
+
   @volatile private var images: Seq[ImageDecoder] = Nil
   @volatile private var audios: Seq[AudioDecoder] = Nil
+  @volatile private var videos: Seq[VideoDecoder] = Nil
 
   /** Register (or replace, by format key) an image decoder. */
   def registerImage(d: ImageDecoder): Unit = synchronized {
@@ -69,6 +81,11 @@ object MediaCodecs {
     audios = audios.filterNot(_.format == d.format) :+ d
   }
 
+  /** Register (or replace, by format key) a video decoder. */
+  def registerVideo(d: VideoDecoder): Unit = synchronized {
+    videos = videos.filterNot(_.format == d.format) :+ d
+  }
+
   def unregisterImage(format: String): Unit = synchronized {
     images = images.filterNot(_.format == format)
   }
@@ -77,9 +94,16 @@ object MediaCodecs {
     audios = audios.filterNot(_.format == format)
   }
 
+  def unregisterVideo(format: String): Unit = synchronized {
+    videos = videos.filterNot(_.format == format)
+  }
+
   /** Snapshot of registered image decoders (registration order). */
   def imageDecoders: Seq[ImageDecoder] = images
 
   /** Snapshot of registered audio decoders (registration order). */
   def audioDecoders: Seq[AudioDecoder] = audios
+
+  /** Snapshot of registered video decoders (registration order). */
+  def videoDecoders: Seq[VideoDecoder] = videos
 }

@@ -261,6 +261,27 @@ object Multimodal {
         .select(col("media_id"), col("ahash").as("_h")),
       maxHamming, expand, maxGroup)
 
+  /** REAL video perceptual hashing (see CatalystExprs.AviTemporalDHash):
+    * 64-bit temporal-majority dHash over the decoded frames of
+    * uncompressed-AVI payloads — per-frame dHash bits voted across
+    * frames, so the key is invariant to brightness, spatial upscale,
+    * frame order, and uniform temporal resampling. Completes the
+    * image/audio/video triad; NULL for codec-needing payloads (register
+    * a [[MediaCodecs.VideoDecoder]]). Pure projection. */
+  def videoTemporalHash(media: DataFrame): DataFrame =
+    media.withColumn("vhash",
+      graft.functions.CatalystExprs.aviDHash(col("payload")))
+
+  /** Video near-duplicate pairs by temporal-majority-hash Hamming
+    * distance — [[farmSafePairs]] over [[videoTemporalHash]] signatures;
+    * same expand/maxGroup contract as [[imageDedupPairs]]. */
+  def videoDedupPairs(media: DataFrame, maxHamming: Int = 3,
+      expand: String = "members", maxGroup: Int = 10000): DataFrame =
+    farmSafePairs(
+      videoTemporalHash(media).filter(col("vhash").isNotNull)
+        .select(col("media_id"), col("vhash").as("_h")),
+      maxHamming, expand, maxGroup)
+
   /** The media dedup REWRITE — keep one representative per visual/audio
     * near-dup cluster and return the cleaned media frame (the
     * `Corpus.dedupCorpus` analogue for payload tables).
@@ -295,8 +316,9 @@ object Multimodal {
     val hashed = kind match {
       case "image" => imageDHash(media).withColumnRenamed("dhash", "_h")
       case "audio" => audioEnvelopeHash(media).withColumnRenamed("ahash", "_h")
+      case "video" => videoTemporalHash(media).withColumnRenamed("vhash", "_h")
       case other => throw new IllegalArgumentException(
-        s"dedupMediaCorpus kind must be image or audio: $other")
+        s"dedupMediaCorpus kind must be image, audio or video: $other")
     }
     val sigs = hashed.select(col("media_id"), col("_h"))
       .filter(col("_h").isNotNull)
@@ -370,6 +392,37 @@ object Multimodal {
     "BM".getBytes ++ le32(54 + data.length) ++ le32(0) ++ le32(54) ++
       le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++ le32(0) ++
       le32(data.length) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++ data
+  }
+
+  /** Deterministic synthetic uncompressed AVI — fixture generator for the
+    * video-dedup driver query and probes: real RIFF/LIST/avih/'00db'
+    * bytes the REAL decoder parses, raw bottom-up BGR24 frames, no codec
+    * involved. `px(f, x, y)` returns gray 0..255 for frame f with (0,0)
+    * the top-left corner. */
+  def syntheticAviGray(w: Int, h: Int, nFrames: Int)(
+      px: (Int, Int, Int) => Int): Array[Byte] = {
+    def le32(v: Int) = Array[Byte](
+      v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val stride = ((3 * w + 3) / 4) * 4
+    val avih = new Array[Byte](56)
+    le32(w).copyToArray(avih, 32)
+    le32(h).copyToArray(avih, 36)
+    le32(nFrames).copyToArray(avih, 16) // dwTotalFrames (informational)
+    val hdrl = "LIST".getBytes ++ le32(4 + 8 + 56) ++ "hdrl".getBytes ++
+      "avih".getBytes ++ le32(56) ++ avih
+    val frames = (0 until nFrames).toArray.flatMap { f =>
+      val data = new Array[Byte](stride * h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = px(f, x, y) & 0xFF
+        val o = (h - 1 - y) * stride + x * 3
+        data(o) = g.toByte; data(o + 1) = g.toByte; data(o + 2) = g.toByte
+      }
+      "00db".getBytes ++ le32(data.length) ++ data
+    }
+    val movi = "LIST".getBytes ++ le32(4 + frames.length) ++
+      "movi".getBytes ++ frames
+    val body = "AVI ".getBytes ++ hdrl ++ movi
+    "RIFF".getBytes ++ le32(body.length) ++ body
   }
 
   /** Deterministic "resize" stub: truncate payload to maxBytes — stands in

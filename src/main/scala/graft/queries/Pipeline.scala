@@ -619,6 +619,41 @@ object Pipeline {
         .orderBy("media_a", "media_b")
     },
 
+    // The video member of the perceptual-dedup triad (r7): 60 synthetic
+    // uncompressed AVIs — 5 distinct clips × 12 variants (byte copies,
+    // global brightness shifts, 2× spatial upscales, 2× temporal
+    // resamples) — hashed with the real frame-decoding temporal-majority
+    // dHash and paired by Hamming banding, against the planted-cluster
+    // structural oracle (the hash is spec-proved exactly invariant under
+    // every variant transform, so the pair list must be precisely every
+    // within-clip combination at Hamming 0).
+    Q("p69_video_temporal_dedup", Some("""
+      WITH p AS (SELECT unnest(range(0, 5)) AS p),
+      v AS (SELECT unnest(range(0, 12)) AS v),
+      ids AS (SELECT p.p * 100 + v.v AS id, p.p AS pat FROM p, v)
+      SELECT CAST(a.id AS BIGINT) AS media_a, CAST(b.id AS BIGINT) AS media_b,
+             CAST(0 AS INT) AS hamming
+      FROM ids a JOIN ids b ON a.pat = b.pat AND a.id < b.id
+      ORDER BY media_a, media_b""")) { (s, d) =>
+      import s.implicits._
+      def pat(p: Int)(f: Int, x: Int, y: Int): Int =
+        ((x * (2 * p + 3) + y * (17 - 2 * p) + f * (p + 2) + (x * y) % (p + 2)) % 160) + 20
+      val media = (for (p <- 0 until 5; v <- 0 until 12) yield {
+        val shift = (v % 3) * 20
+        val clip = (v / 3) % 4 match {
+          case 0 | 1 => Multimodal.syntheticAviGray(27, 24, 10)(
+            (f, x, y) => pat(p)(f, x, y) + shift)
+          case 2 => Multimodal.syntheticAviGray(54, 48, 10)(
+            (f, x, y) => pat(p)(f, x / 2, y / 2) + shift)
+          case _ => Multimodal.syntheticAviGray(27, 24, 20)(
+            (f, x, y) => pat(p)(f / 2, x, y) + shift)
+        }
+        ((p * 100 + v).toLong, clip)
+      }).toDF("media_id", "payload")
+      Multimodal.videoDedupPairs(media, maxHamming = 3)
+        .orderBy("media_a", "media_b")
+    },
+
     // Bench-scale perceptual media dedup (r6 verdict #4: the media family
     // needs a TRACKED per-round number, not just probe entries): 18,000
     // uncompressed BMPs — p66's six proven-far-apart gradient patterns ×

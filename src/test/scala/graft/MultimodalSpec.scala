@@ -339,6 +339,8 @@ class MultimodalSpec extends AnyFunSuite {
     val rnd = new java.util.Random(20260814L)
     val validBmp = makeBmp(18, 16)((x, y) => (x * 7 + y * 3) % 200)
     val validWav = Multimodal.syntheticWavPcm(520)(f => ((f / 8) % 9) * 1024)
+    val validAvi = Multimodal.syntheticAviGray(12, 10, 4)(
+      (f, x, y) => (x * 7 + y * 3 + f * 11) % 200)
     def mutate(base: Array[Byte]): Array[Byte] = {
       val c = base.clone()
       (0 until 1 + rnd.nextInt(6)).foreach { _ =>
@@ -367,14 +369,16 @@ class MultimodalSpec extends AnyFunSuite {
     }
     val payloads: Seq[Array[Byte]] =
       Seq(hugeChunk(0x7FFFFFF8L), hugeChunk(0xFFFFFFF0L), hugeChunk(0x7FFFFFFFL)) ++
-      (1 to 120).map(_ => mutate(if (rnd.nextBoolean()) validBmp else validWav)) ++
+      (1 to 120).map(_ => mutate(rnd.nextInt(3) match {
+        case 0 => validBmp; case 1 => validWav; case _ => validAvi })) ++
       (1 to 60).map(_ => crafted()) ++
       (1 to 60).map(_ => { // pure noise and truncations
         val n = rnd.nextInt(200)
         val a = new Array[Byte](n); rnd.nextBytes(a); a
       }) ++
       (1 to 40).map { _ =>
-        val src = if (rnd.nextBoolean()) validBmp else validWav
+        val src = rnd.nextInt(3) match {
+          case 0 => validBmp; case 1 => validWav; case _ => validAvi }
         src.take(rnd.nextInt(src.length))
       }
     val df = payloads.zipWithIndex.map { case (p, i) => (i.toLong, p) }
@@ -383,6 +387,7 @@ class MultimodalSpec extends AnyFunSuite {
     val out = df.select(
         graft.functions.CatalystExprs.bmpDHash($"payload"),
         graft.functions.CatalystExprs.wavEnvelopeHash($"payload"),
+        graft.functions.CatalystExprs.aviDHash($"payload"),
         graft.functions.CatalystExprs.imageDimensions($"payload"),
         graft.functions.CatalystExprs.audioInfo($"payload"),
         graft.functions.CatalystExprs.videoInfo($"payload"))
@@ -620,5 +625,92 @@ class MultimodalSpec extends AnyFunSuite {
     val after = Seq((2L, graw)).toDF("media_id", "payload")
     assert(Multimodal.imageDHash(after).filter(col("dhash").isNotNull)
       .count() == 0)
+  }
+
+  test("aviDHash: real AVI frames, temporal-majority invariances, junk null") {
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    def px(f: Int, x: Int, y: Int): Int =
+      ((x * (2 + f % 3) + y * (5 + f % 2) + f * 7) % 160) + 20
+    val base = Multimodal.syntheticAviGray(27, 24, 12)(px)
+    val out = Seq(
+      1L -> base,
+      2L -> Multimodal.syntheticAviGray(27, 24, 12)(px),               // copy
+      3L -> Multimodal.syntheticAviGray(27, 24, 12)(                   // +30 brightness
+        (f, x, y) => px(f, x, y) + 30),
+      4L -> Multimodal.syntheticAviGray(54, 48, 12)(                   // 2x upscale
+        (f, x, y) => px(f, x / 2, y / 2)),
+      5L -> Multimodal.syntheticAviGray(27, 24, 24)(                   // 2x temporal
+        (f, x, y) => px(f / 2, x, y)),
+      6L -> Multimodal.syntheticAviGray(27, 24, 12)(                   // frame reverse
+        (f, x, y) => px(11 - f, x, y)),
+      7L -> Multimodal.syntheticAviGray(27, 24, 12)(                   // distinct clip
+        (f, x, y) => ((x * 11 + (y / 3) * (13 + f % 4) + (x * y) % 7) % 160) + 20),
+      8L -> "RIFFAVI junk".getBytes,                                   // junk
+      9L -> Multimodal.syntheticWavPcm(520)(f => (f % 9) * 1024))      // a WAV
+      .toDF("media_id", "payload")
+      .select($"media_id",
+        graft.functions.CatalystExprs.aviDHash($"payload").as("h"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val h1 = out(1L).get
+    assert(out(2L).contains(h1) && out(3L).contains(h1))
+    assert(out(4L).contains(h1) && out(5L).contains(h1) && out(6L).contains(h1))
+    assert(java.lang.Long.bitCount(out(7L).get ^ h1) > 10) // distinct is far
+    assert(out(8L).isEmpty && out(9L).isEmpty)
+    // SQL function surface
+    GraftFunctions.register(spark0)
+    Seq(Tuple1(base)).toDF("p").createOrReplaceTempView("avi_t")
+    assert(spark0.sql("SELECT avi_dhash(p) FROM avi_t").head().getLong(0) == h1)
+  }
+
+  test("videoDedupPairs + DEDUP video + rewrite: planted clip clusters") {
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    def pat(p: Int)(f: Int, x: Int, y: Int): Int =
+      ((x * (2 * p + 3) + y * (17 - 2 * p) + f * (p + 2)) % 160) + 20
+    // 4 distinct clips x 4 invariant variants (copy, brightness, 2x
+    // upscale, 2x temporal resample)
+    val media = (for (p <- 0 until 4; v <- 0 until 4) yield {
+      val id = (p * 10 + v).toLong
+      val clip = v match {
+        case 0 | 1 => Multimodal.syntheticAviGray(27, 24, 10)(pat(p))
+        case 2 => Multimodal.syntheticAviGray(27, 24, 10)(
+          (f, x, y) => pat(p)(f, x, y) + 40)
+        case _ => Multimodal.syntheticAviGray(27, 24, 20)(
+          (f, x, y) => pat(p)(f / 2, x, y))
+      }
+      (id, clip)
+    }).toDF("media_id", "payload")
+    // brute-force hash oracle (the same style as the farm-safe image spec)
+    val hs = Multimodal.videoTemporalHash(media).select("media_id", "vhash")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val expected = (for {
+      (a, ha) <- hs; (b, hb) <- hs
+      if a < b && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    // sanity: every within-pattern pair is present (invariances held)
+    val planted = (for (p <- 0 until 4; a <- 0 until 4; b <- a + 1 until 4)
+      yield ((p * 10 + a).toLong, (p * 10 + b).toLong)).toSet
+    assert(planted.subsetOf(expected))
+    val got = Multimodal.videoDedupPairs(media, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+    // statement surface + rewrite
+    val ctx = new Context(spark0)
+    ctx.createTable("vid_media", media)
+    val viaSql = ctx.sql(
+      """SELECT * FROM DEDUP(METHOD video,
+        |SELECT media_id, payload FROM vid_media)""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaSql == got)
+    val surv = ctx.sql(
+      """SELECT * FROM DEDUP(METHOD video WITH (action = 'rewrite'),
+        |SELECT media_id, payload FROM vid_media)""".stripMargin)
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    val directSurv = Multimodal.dedupMediaCorpus(media, "video")
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(surv == directSurv && surv.subsetOf(Set(0L, 10L, 20L, 30L)))
+    ctx.sql("DROP TABLE IF EXISTS vid_media")
   }
 }

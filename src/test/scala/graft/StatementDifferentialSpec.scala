@@ -345,5 +345,82 @@ class StatementDifferentialSpec extends AnyFunSuite {
       ctx.sql("DROP TABLE IF EXISTS sd_media_wav")
       ctx.sql("DROP TABLE IF EXISTS sd_media_wav_docs")
     }
+
+    test(s"statement diff (seed=$seed): DEDUP video pairs+rewrite match the pure-Scala temporal model") {
+      // seeded per-frame gradient clips × invariant variant mixes (byte
+      // copy, brightness, 2× upscale, 2× temporal resample, frame
+      // reversal) + junk rows; the model computes each frame's 9×8 dHash
+      // from the pattern function and takes the strict per-bit majority.
+      val rnd = new java.util.Random(seed * 13 + 7)
+      val pats = (0 until 5).map { _ =>
+        val (a, b2, c) = (2 + rnd.nextInt(9), 2 + rnd.nextInt(13), 1 + rnd.nextInt(5))
+        (f: Int, x: Int, y: Int) => ((x * a + y * b2 + f * c + (x * y) % (c + 1)) % 160) + 20
+      }
+      def frameHash(f: (Int, Int) => Int): Long = {
+        val pool = Array.ofDim[Long](8, 9)
+        val cnt = Array.ofDim[Long](8, 9)
+        for (y <- 0 until 24; x <- 0 until 27) {
+          pool((y * 8) / 24)((x * 9) / 27) += f(x, y); cnt((y * 8) / 24)((x * 9) / 27) += 1
+        }
+        (for (r <- 0 until 8; c <- 0 until 8
+          if pool(r)(c + 1).toDouble / cnt(r)(c + 1) > pool(r)(c).toDouble / cnt(r)(c))
+          yield 1L << (r * 8 + c)).foldLeft(0L)(_ | _)
+      }
+      def modelHash(clip: Int => (Int, Int) => Int, nFrames: Int): Long = {
+        val ones = new Array[Int](64)
+        (0 until nFrames).foreach { f =>
+          val h = frameHash(clip(f))
+          (0 until 64).foreach(j => if ((h >>> j & 1L) == 1L) ones(j) += 1)
+        }
+        (0 until 64).filter(j => ones(j) * 2 > nFrames)
+          .foldLeft(0L)((h, j) => h | (1L << j))
+      }
+      val members = for (p <- pats.indices; v <- 0 until 2 + rnd.nextInt(3))
+        yield ((p * 100 + v).toLong, p, v % 5)
+      val media = members.map { case (id, p, kind) =>
+        val clip = kind match {
+          case 0 => graft.operators.Multimodal.syntheticAviGray(27, 24, 10)(pats(p))
+          case 1 => graft.operators.Multimodal.syntheticAviGray(27, 24, 10)(
+            (f, x, y) => pats(p)(f, x, y) + 30)
+          case 2 => graft.operators.Multimodal.syntheticAviGray(54, 48, 10)(
+            (f, x, y) => pats(p)(f, x / 2, y / 2))
+          case 3 => graft.operators.Multimodal.syntheticAviGray(27, 24, 20)(
+            (f, x, y) => pats(p)(f / 2, x, y))
+          case _ => graft.operators.Multimodal.syntheticAviGray(27, 24, 10)(
+            (f, x, y) => pats(p)(9 - f, x, y))
+        }
+        (id, clip)
+      } ++ Seq((9001L, "RIFFAVI nope".getBytes))
+      // model: every variant of clip p carries the 10-frame base hash
+      // (brightness shifts every frame's cells equally; upscale pools
+      // identically; 2× resample doubles every bit count; reversal is a
+      // bag permutation — all exactly invariant)
+      val hs = members.map { case (id, p, _) =>
+        id -> modelHash(f => (x, y) => pats(p)(f, x, y), 10)
+      }.toMap
+      val expPairs = (for {
+        (a, ha) <- hs.toSeq; (b, hb) <- hs.toSeq
+        if a < b && java.lang.Long.bitCount(ha ^ hb) <= 3
+      } yield (a, b)).toSet
+      val parent = scala.collection.mutable.Map(hs.keys.map(k => k -> k).toSeq: _*)
+      def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      expPairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+      val expSurv = hs.keys.groupBy(find).values.map(_.min).toSet + 9001L
+      val ctx = ctxWith("sd_media_avi_docs", Seq((1L, "x")))
+      ctx.createTable("sd_media_avi", media.toDF("media_id", "payload"))
+      val gotPairs = ctx.sql(
+        """SELECT * FROM DEDUP(METHOD video,
+          |SELECT media_id, payload FROM sd_media_avi)""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(gotPairs == expPairs)
+      assert(expPairs.nonEmpty)
+      val gotSurv = ctx.sql(
+        """SELECT * FROM DEDUP(METHOD video WITH (action = 'rewrite'),
+          |SELECT media_id, payload FROM sd_media_avi)""".stripMargin)
+        .select("media_id").collect().map(_.getLong(0)).toSet
+      assert(gotSurv == expSurv)
+      ctx.sql("DROP TABLE IF EXISTS sd_media_avi")
+      ctx.sql("DROP TABLE IF EXISTS sd_media_avi_docs")
+    }
   }
 }
