@@ -654,6 +654,42 @@ object Pipeline {
         .orderBy("media_a", "media_b")
     },
 
+    // The media INGEST gate (r7) — the batch twin of
+    // MediaStreams.ingestGate (stateless, so the registered query runs
+    // the EXACT code the stream runs; streaming==batch equality is
+    // spec-pinned in DocStreamingSpec): a 6-image nightly corpus index,
+    // then an arriving set with one planted exact perceptual duplicate
+    // (brightness copy → identical dHash, must DROP), one planted banded
+    // near-candidate (single pooling cell bumped → 1-2 bits, must FLAG),
+    // one fresh pattern and one unreadable payload (must pass
+    // unflagged). All payload bytes are deterministic, so the oracle is
+    // the planted VALUES list.
+    Q("p70_media_ingest_gate", Some("""
+      SELECT * FROM (VALUES (CAST(101 AS BIGINT), true),
+        (CAST(102 AS BIGINT), false), (CAST(103 AS BIGINT), false))
+        AS t(media_id, near_candidate)
+      ORDER BY media_id""")) { (s, d) =>
+      import s.implicits._
+      def pat(p: Int)(x: Int, y: Int): Int =
+        ((x * (2 * p + 3) + y * (19 - 2 * p)) % 150) + 30
+      val corpus = (for (p <- 0 until 3; v <- 0 until 2) yield
+        ((p * 10 + v).toLong, Multimodal.syntheticBmpGray(27, 24)(
+          (x, y) => pat(p)(x, y) + v * 20))).toDF("media_id", "payload")
+      val index = graft.streaming.MediaStreams.mediaHashIndex(corpus, "image")
+      def bump(p: Int)(x: Int, y: Int): Int = {
+        val inCell = (x / 3 == 4) && (y / 3 == 0)
+        math.min(255, pat(p)(x, y) + (if (inCell) 90 else 0))
+      }
+      val arriving = Seq(
+        (100L, Multimodal.syntheticBmpGray(27, 24)((x, y) => pat(0)(x, y) + 40)),
+        (101L, Multimodal.syntheticBmpGray(27, 24)(bump(1))),
+        (102L, Multimodal.syntheticBmpGray(27, 24)(
+          (x, y) => ((x * 13 + (y / 2) * 7 + (x * y) % 5) % 150) + 30)),
+        (103L, "not media".getBytes)).toDF("media_id", "payload")
+      graft.streaming.MediaStreams.ingestGate(arriving, index, "image")
+        .select("media_id", "near_candidate").orderBy("media_id")
+    },
+
     // Bench-scale perceptual media dedup (r6 verdict #4: the media family
     // needs a TRACKED per-round number, not just probe entries): 18,000
     // uncompressed BMPs — p66's six proven-far-apart gradient patterns ×

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Streaming ingest stages for MEDIA payloads — the perceptual-dedup
+  * triad (image dHash / audio envelope / video temporal-majority, see
+  * `operators.Multimodal`) running under Structured Streaming with ZERO
+  * state, mirroring `DocStreams`' text stages:
+  *
+  *  - perceptual hashing is a pure per-row projection (the same native
+  *    expressions as the batch queries — unified semantics, and payloads
+  *    the decoders reject hash NULL and pass through);
+  *  - the already-ingested corpus enters as ONE broadcast index row
+  *    (hash set + banded chunk-key set), so membership is an in-row
+  *    array probe, not a join with streaming state.
+  *
+  * Ingest semantics (the honest streaming split of near-dup detection):
+  * arriving EXACT perceptual duplicates — identical 64-bit hash, the
+  * re-uploaded-screenshot/re-encoded-clip farm shape — are DROPPED
+  * in-stream; rows sharing any 16-bit hash chunk with a corpus hash are
+  * only FLAGGED (`near_candidate`) for the nightly batch pass
+  * (`Multimodal.imageDedupPairs`/`dedupMediaCorpus`) to verify, because a
+  * chunk collision is a candidate, not a confirmed near-dup, and dropping
+  * on it would delete unique data. Within-stream duplicates are
+  * deliberately NOT deduped here — that needs unbounded keyed state; the
+  * nightly batch rewrite owns it (same contract as
+  * `DocStreams.dedupChunksStream`).
+  */
+object MediaStreams {
+
+  val mediaStreamSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("payload", BinaryType)))
+
+  def readStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(mediaStreamSchema).parquet(dir)
+
+  private def hashOf(kind: String) = kind match {
+    case "image" => graft.functions.CatalystExprs.bmpDHash _
+    case "audio" => graft.functions.CatalystExprs.wavEnvelopeHash _
+    case "video" => graft.functions.CatalystExprs.aviDHash _
+    case other => throw new IllegalArgumentException(
+      s"media kind must be image, audio or video: $other")
+  }
+
+  /** The 4-chunk pigeonhole keys of one 64-bit hash: chunk·2¹⁶ + the
+    * hash's 16-bit chunk value (the batch pair forms' banding). */
+  private def chunkKeys(h: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array((0 until 4).map(c =>
+      lit(c.toLong * 65536L) +
+        shiftright(h, 16 * c).bitwiseAND(lit(0xFFFFL))): _*)
+
+  /** Index side: ONE row carrying the ingested corpus's distinct
+    * perceptual-hash set plus its banded chunk-key set (chunk·2¹⁶ + the
+    * hash's 16-bit chunk value — the same 4-chunk pigeonhole banding as
+    * the batch pair forms, so a flagged candidate is exactly a row the
+    * batch banding would have bucketed). Static, computed once from the
+    * nightly corpus, broadcast into every microbatch. At corpus scale the
+    * exact-hash set is 8 B per DISTINCT perceptual hash — duplicate farms
+    * collapse — and the chunk-key set is 4× that; a 10⁸-distinct-hash
+    * corpus is ~4 GB of index, the regime where the set swaps for a Bloom
+    * pair exactly like [[DocStreams.buildChunkBloom]]. */
+  def mediaHashIndex(corpus: DataFrame, kind: String): DataFrame = {
+    val h = hashOf(kind)(col("payload"))
+    corpus.select(h.as("_h")).filter(col("_h").isNotNull).distinct()
+      .select(col("_h"), chunkKeys(col("_h")).as("_ck"))
+      .agg(collect_set(col("_h")).as("_hs"),
+        array_distinct(flatten(collect_list(col("_ck")))).as("_ck"))
+  }
+
+  /** The ingest gate — stateless, so the SAME code runs on a stream or a
+    * batch frame (spec-pinned equal): hash each arriving payload, DROP
+    * exact perceptual duplicates of the corpus, FLAG banded
+    * near-candidates, pass unreadable payloads through un-flagged.
+    * Emits (media_id, payload, phash, near_candidate). */
+  def ingestGate(media: DataFrame, index: DataFrame, kind: String): DataFrame = {
+    val h = hashOf(kind)(col("payload"))
+    media
+      .withColumn("phash", h)
+      .crossJoin(broadcast(index)) // ONE row: hash set + chunk-key set
+      .withColumn("_mychunks",
+        when(col("phash").isNotNull, chunkKeys(col("phash"))))
+      .filter(col("phash").isNull || !array_contains(col("_hs"), col("phash")))
+      .select(col("media_id"), col("payload"), col("phash"),
+        (col("phash").isNotNull &&
+          arrays_overlap(col("_mychunks"), col("_ck"))).as("near_candidate"))
+  }
+}

@@ -241,4 +241,65 @@ class DocStreamingSpec extends AnyFunSuite {
     // state bounded by group-key cardinality, not stream length
     assert(stateMax <= batch.size)
   }
+
+  test("streaming media ingest gate: exact perceptual dups drop, candidates flag, equals batch twin") {
+    import graft.operators.Multimodal
+    import graft.streaming.MediaStreams
+    val s0 = spark
+    import s0.implicits._
+    def pat(p: Int)(x: Int, y: Int): Int =
+      ((x * (2 * p + 3) + y * (19 - 2 * p)) % 150) + 30
+    // nightly corpus: 3 patterns (brightness variants collapse to 3
+    // distinct hashes in the index)
+    val corpus = (for (p <- 0 until 3; v <- 0 until 2) yield
+      ((p * 10 + v).toLong, Multimodal.syntheticBmpGray(27, 24)(
+        (x, y) => pat(p)(x, y) + v * 20))).toDF("media_id", "payload")
+    val index = MediaStreams.mediaHashIndex(corpus, "image")
+    // arriving batch: an exact perceptual dup (brightness copy of p0), a
+    // near variant (one pooling cell bumped → 1-2 bits off p1), a clip
+    // with a fresh pattern, and an unreadable payload
+    def bump(p: Int)(x: Int, y: Int): Int = {
+      val inCell = (x / 3 == 4) && (y / 3 == 0)
+      math.min(255, pat(p)(x, y) + (if (inCell) 90 else 0))
+    }
+    val arriving = Seq(
+      (100L, Multimodal.syntheticBmpGray(27, 24)((x, y) => pat(0)(x, y) + 40)),
+      (101L, Multimodal.syntheticBmpGray(27, 24)(bump(1))),
+      (102L, Multimodal.syntheticBmpGray(27, 24)(
+        (x, y) => ((x * 13 + (y / 2) * 7 + (x * y) % 5) % 150) + 30)),
+      (103L, "not media".getBytes))
+    val dir = java.nio.file.Files.createTempDirectory("graft_media_stream")
+    arriving.toDF("media_id", "payload").coalesce(1)
+      .write.mode("overwrite").parquet(dir.toString)
+    val streamed = drain(MediaStreams.ingestGate(
+        MediaStreams.readStream(spark, dir.toString), index, "image"),
+      "media_gate_stream")
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(2)) None else Some(r.getLong(2))), r.getBoolean(3)))
+      .toMap
+    val batch = MediaStreams.ingestGate(
+        arriving.toDF("media_id", "payload"), index, "image")
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(2)) None else Some(r.getLong(2))), r.getBoolean(3)))
+      .toMap
+    assert(streamed == batch)
+    // expectations from the actual hashes (brute-force oracle)
+    val corpusHs = Multimodal.imageDHash(corpus).select("dhash")
+      .collect().map(_.getLong(0)).toSet
+    def chunks(h: Long) = (0 until 4).map(c => (c, (h >>> (16 * c)) & 0xFFFFL)).toSet
+    val corpusChunks = corpusHs.flatMap(chunks)
+    val arrHs = Multimodal.imageDHash(arriving.toDF("media_id", "payload"))
+      .select("media_id", "dhash").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(arrHs(100L).exists(corpusHs.contains)) // really an exact dup
+    assert(!streamed.contains(100L))              // ... and it was dropped
+    assert(arrHs(101L).exists(h => !corpusHs.contains(h) &&
+      chunks(h).intersect(corpusChunks).nonEmpty)) // really a banded candidate
+    assert(streamed(101L)._2)                      // ... and it was flagged
+    assert(streamed.contains(102L))                // fresh pattern kept
+    assert(streamed(103L) == ((None, false)))      // unreadable: kept, unflagged
+    // zero streaming state: the gate is a pure projection + broadcast probe
+    assert(streamed.size == 3)
+  }
 }
