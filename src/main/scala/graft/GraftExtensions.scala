@@ -207,6 +207,15 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => colFn(exprs, 1) { cols =>
         graft.functions.CatalystExprs.aviDHash(cols.head) }),
 
+    (new FunctionIdentifier("avi_sample_frames"),
+      new ExpressionInfo("graft.functions.CatalystExprs", "avi_sample_frames"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.nonEmpty && exprs.size <= 2,
+          s"expected 1-2 argument(s), got ${exprs.size}")
+        graft.functions.CatalystExprs.AviSampleFrames(exprs.head,
+          if (exprs.size > 1) intArg(exprs(1), "every_k") else 1)
+      }),
+
     (new FunctionIdentifier("url_domain"),
       new ExpressionInfo("graft.functions.TextAnalysis", "url_domain"),
       (exprs: Seq[Expression]) => colFn(exprs, 1) { cols =>

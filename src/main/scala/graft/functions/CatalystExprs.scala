@@ -1542,4 +1542,104 @@ object CatalystExprs {
   def aviDHash(payload: Column): Column =
     GraftBridge.column(AviTemporalDHash(GraftBridge.expression(payload),
       graft.operators.MediaCodecs.videoDecoders))
+
+  /** FRAME SAMPLING of an uncompressed AVI — the "frame-sample" stage of
+    * a multimodal pipeline, REAL byte work: every `everyK`-th '00db' DIB
+    * frame is re-wrapped as a standalone 24-bit BMP payload (a DIB frame
+    * IS a BMP's pixel array — same bottom-up rows, same 4-byte stride —
+    * so wrapping is a 54-byte header prepend, no pixel copy semantics
+    * change). Sampled frames are therefore first-class IMAGE payloads:
+    * they feed `bmp_dhash`, `imageDedupPairs`, `DEDUP image`, thumbnail
+    * export — the video→image composition, end to end on real bytes.
+    *
+    * Returns array<binary> (empty for a valid AVI whose frames are all
+    * malformed, NULL for non-AVI payloads); explode it for one row per
+    * frame (`Multimodal.videoFrameSample`). Same untrusted-byte
+    * discipline and header handling as [[AviTemporalDHash]]. */
+  case class AviSampleFrames(child: Expression, everyK: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(everyK >= 1, s"everyK must be >= 1, got $everyK")
+    override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+    override def nullable: Boolean = true
+
+    private def i32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+        ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+    private def tag(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, "US-ASCII")
+    private def le32(v: Int) = Array[Byte](
+      v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    private def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+
+    private def wrapBmp(b: Array[Byte], off: Int, n: Int,
+        w: Int, h: Int): Array[Byte] = {
+      val header = "BM".getBytes ++ le32(54 + n) ++ le32(0) ++ le32(54) ++
+        le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++ le32(0) ++
+        le32(n) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+      val out = new Array[Byte](54 + n)
+      header.copyToArray(out, 0)
+      System.arraycopy(b, off, out, 54, n)
+      out
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val b = input.asInstanceOf[Array[Byte]]
+      if (b == null || b.length < 12 || tag(b, 0) != "RIFF" ||
+        tag(b, 8) != "AVI ") return null
+      var w = -1
+      var h = -1
+      var stride = 0
+      var frameIdx = 0
+      val out = scala.collection.mutable.ArrayBuffer[Any]()
+      var pos = 12L
+      var bad = false
+      while (!bad && pos + 8 <= b.length) {
+        val pp = pos.toInt
+        val id = tag(b, pp)
+        val sz = i32(b, pp + 4)
+        if (sz < 0 || pos + 8 + sz.toLong > b.length) bad = true
+        else {
+          if (id == "LIST" && sz >= 4) {
+            val listType = tag(b, pp + 8)
+            val end = pos + 8 + sz
+            if (listType == "hdrl" || listType == "movi") {
+              var ip = pos + 12L
+              while (!bad && ip + 8 <= end) {
+                val ipp = ip.toInt
+                val cid = tag(b, ipp)
+                val csz = i32(b, ipp + 4)
+                if (csz < 0 || ip + 8 + csz.toLong > end) bad = true
+                else {
+                  if (cid == "avih" && csz >= 40 && w < 0) {
+                    val aw = i32(b, ipp + 8 + 32)
+                    val ah = i32(b, ipp + 8 + 36)
+                    if (aw >= 1 && ah >= 1 &&
+                      aw <= (1 << 20) && ah <= (1 << 20)) {
+                      w = aw
+                      h = ah
+                      stride = ((3 * w + 3) / 4) * 4
+                    }
+                  } else if (cid == "00db" && w > 0 &&
+                    csz.toLong == stride.toLong * h) {
+                    if (frameIdx % everyK == 0)
+                      out += wrapBmp(b, ipp + 8, csz, w, h)
+                    frameIdx += 1
+                  }
+                  ip += 8L + csz + (csz & 1)
+                }
+              }
+            }
+          }
+          pos += 8L + sz + (sz & 1)
+        }
+      }
+      new GenericArrayData(out.toArray)
+    }
+    override def prettyName: String = "avi_sample_frames"
+    override protected def withNewChildInternal(c: Expression): AviSampleFrames =
+      copy(child = c)
+  }
+
+  def aviSampleFrames(payload: Column, everyK: Int): Column =
+    GraftBridge.column(AviSampleFrames(GraftBridge.expression(payload), everyK))
 }

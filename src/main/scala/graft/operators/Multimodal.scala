@@ -394,6 +394,24 @@ object Multimodal {
       le32(data.length) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++ data
   }
 
+  /** FRAME SAMPLING — the video→image stage (see
+    * CatalystExprs.AviSampleFrames): every `everyK`-th decoded AVI frame
+    * re-wrapped as a standalone 24-bit BMP payload, one output row per
+    * sampled frame with its frame index. Sampled frames are first-class
+    * image payloads (they feed [[imageDHash]], [[imageDedupPairs]],
+    * `DEDUP image`), so "dedup the video corpus against the image corpus
+    * at frame level" is a composition, not a new operator. Pure
+    * projection + explode: payload bytes never shuffle, frames are
+    * emitted from the partition that read the video. */
+  def videoFrameSample(media: DataFrame, everyK: Int = 1): DataFrame =
+    media.select(col("media_id"),
+        posexplode(graft.functions.CatalystExprs.aviSampleFrames(
+          col("payload"), everyK)).as(Seq("frame_idx", "frame")))
+      // position i in the sampled array is original frame index i·everyK
+      .select(col("media_id"),
+        (col("frame_idx") * lit(everyK)).cast("int").as("frame_idx"),
+        col("frame").as("payload"))
+
   /** Deterministic synthetic uncompressed AVI — fixture generator for the
     * video-dedup driver query and probes: real RIFF/LIST/avih/'00db'
     * bytes the REAL decoder parses, raw bottom-up BGR24 frames, no codec

@@ -654,6 +654,41 @@ object Pipeline {
         .orderBy("media_a", "media_b")
     },
 
+    // The video→image COMPOSITION (r7): frame-sample three clips (every
+    // 2nd of 10 frames), re-key the sampled frames as image rows, union
+    // with one still image per clip, and run the IMAGE near-dup pass
+    // over the mix. Each clip's frames vary only by a uniform brightness
+    // ramp (dHash-invariant), so every sampled frame and the clip's
+    // still share one hash — the planted truth is every within-clip pair
+    // of {5 frames + 1 still} at Hamming 0, DuckDB-expressible with no
+    // media code on the oracle side. This is the "frame-sample" stage of
+    // the multimodal brief as a REAL byte-level operator: sampled frames
+    // are byte-exact BMPs (spec-pinned), not synthetic stand-ins.
+    Q("p71_video_frame_image_dedup", Some("""
+      WITH p AS (SELECT unnest(range(0, 3)) AS p),
+      m AS (SELECT unnest([0, 2, 4, 6, 8, 999]) AS m),
+      ids AS (SELECT p.p * 1000 + m.m AS id, p.p AS pat FROM p, m)
+      SELECT CAST(a.id AS BIGINT) AS media_a, CAST(b.id AS BIGINT) AS media_b,
+             CAST(0 AS INT) AS hamming
+      FROM ids a JOIN ids b ON a.pat = b.pat AND a.id < b.id
+      ORDER BY media_a, media_b""")) { (s, d) =>
+      import s.implicits._
+      def pat(p: Int)(x: Int, y: Int): Int =
+        ((x * (2 * p + 3) + y * (17 - 2 * p) + (x * y) % (p + 2)) % 160) + 20
+      val videos = (0 until 3).map { p =>
+        (p.toLong, Multimodal.syntheticAviGray(27, 24, 10)(
+          (f, x, y) => pat(p)(x, y) + f * 5)) // brightness ramp only
+      }.toDF("media_id", "payload")
+      val frames = Multimodal.videoFrameSample(videos, everyK = 2)
+        .select((col("media_id") * 1000 + col("frame_idx")).as("media_id"),
+          col("payload"))
+      val stills = (0 until 3).map { p =>
+        (p * 1000 + 999L, Multimodal.syntheticBmpGray(27, 24)(pat(p)))
+      }.toDF("media_id", "payload")
+      Multimodal.imageDedupPairs(frames.unionByName(stills), maxHamming = 3)
+        .orderBy("media_a", "media_b")
+    },
+
     // The media INGEST gate (r7) — the batch twin of
     // MediaStreams.ingestGate (stateless, so the registered query runs
     // the EXACT code the stream runs; streaming==batch equality is

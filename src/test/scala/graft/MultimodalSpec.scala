@@ -664,6 +664,48 @@ class MultimodalSpec extends AnyFunSuite {
     assert(spark0.sql("SELECT avi_dhash(p) FROM avi_t").head().getLong(0) == h1)
   }
 
+  test("videoFrameSample: sampled frames are byte-exact BMPs, composable with image dedup") {
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    def px(f: Int)(x: Int, y: Int): Int =
+      ((x * (3 + f % 4) + y * (7 - f % 3) + f * 9) % 160) + 20
+    val avi = Multimodal.syntheticAviGray(27, 24, 10)((f, x, y) => px(f)(x, y))
+    val sampled = Multimodal.videoFrameSample(
+        Seq((1L, avi), (2L, "junk".getBytes)).toDF("media_id", "payload"),
+        everyK = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getAs[Array[Byte]](2)))
+    // junk contributes no rows; every 3rd original frame index sampled
+    assert(sampled.map(t => (t._1, t._2)).toSeq == Seq(
+      (1L, 0), (1L, 3), (1L, 6), (1L, 9)))
+    // each sampled frame is BYTE-IDENTICAL to the standalone BMP of that
+    // frame (a DIB frame IS a BMP pixel array; the wrap is just a header)
+    sampled.foreach { case (_, f, bytes) =>
+      assert(java.util.Arrays.equals(bytes,
+        Multimodal.syntheticBmpGray(27, 24)(px(f))), s"frame $f differs")
+    }
+    // composition: sampled frames are first-class image payloads — the
+    // frame's dHash equals the still image's, so DEDUP image pairs them
+    val frames = Multimodal.videoFrameSample(
+        Seq((1L, avi)).toDF("media_id", "payload"), everyK = 9)
+      .select((col("media_id") * 100 + col("frame_idx")).as("media_id"),
+        col("payload"))
+    val still = Seq((777L, Multimodal.syntheticBmpGray(27, 24)(px(0))))
+      .toDF("media_id", "payload")
+    val pairs = Multimodal.imageDedupPairs(frames.unionByName(still))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.contains((100L, 777L, 0))) // frame 0 ↔ still, hamming 0
+    // SQL function surface (optional every_k arg)
+    GraftFunctions.register(spark0)
+    Seq((1L, avi)).toDF("media_id", "payload")
+      .createOrReplaceTempView("avi_fs_t")
+    assert(spark0.sql(
+      "SELECT size(avi_sample_frames(payload, 5)) FROM avi_fs_t")
+      .head().getInt(0) == 2)
+    assert(spark0.sql(
+      "SELECT size(avi_sample_frames(payload)) FROM avi_fs_t")
+      .head().getInt(0) == 10)
+  }
+
   test("videoDedupPairs + DEDUP video + rewrite: planted clip clusters") {
     val spark0 = TestSpark.spark
     import spark0.implicits._
