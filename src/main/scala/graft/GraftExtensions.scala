@@ -207,6 +207,11 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => colFn(exprs, 1) { cols =>
         graft.functions.CatalystExprs.aviDHash(cols.head) }),
 
+    (new FunctionIdentifier("bmp_grid_embedding"),
+      new ExpressionInfo("graft.functions.CatalystExprs", "bmp_grid_embedding"),
+      (exprs: Seq[Expression]) => colFn(exprs, 1) { cols =>
+        graft.functions.CatalystExprs.bmpGridEmbedding(cols.head) }),
+
     (new FunctionIdentifier("avi_sample_frames"),
       new ExpressionInfo("graft.functions.CatalystExprs", "avi_sample_frames"),
       (exprs: Seq[Expression]) => {

@@ -1082,6 +1082,80 @@ object CatalystExprs {
     * (positive height) and top-down (negative height) row orders; row
     * order doesn't change the hash definition because pooling indexes by
     * image coordinates, not file order. */
+  /** 8×9 average-pooled grayscale cells (row-major, r·9+c) of an
+    * already-decoded image, or null if the image is smaller than the
+    * grid — the shared first stage of [[dHashOfGrayImage]] (gradient
+    * bits) and the grid EMBEDDING (mean-centered, L2-normalized). */
+  private[graft] def grayPoolCells(
+      img: graft.operators.MediaCodecs.GrayImage): Array[Double] = {
+    val w = img.width
+    val h = img.height
+    if (w < 9 || h < 8 || img.gray == null || img.gray.length < w * h)
+      return null
+    val pool = new Array[Long](72)
+    val cnt = new Array[Long](72)
+    var y = 0
+    while (y < h) {
+      val pr = (y * 8) / h
+      var x = 0
+      while (x < w) {
+        val i = pr * 9 + (x * 9) / w
+        pool(i) += img.gray(y * w + x) & 0xFF
+        cnt(i) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val cells = new Array[Double](72)
+    var i = 0
+    while (i < 72) { cells(i) = pool(i).toDouble / cnt(i); i += 1 }
+    cells
+  }
+
+  /** Gradient bits of pooled cells — [[BmpDHash]]'s exact comparison. */
+  private[graft] def dHashOfCells(cells: Array[Double]): Any = {
+    if (cells == null) return null
+    var hash = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (cells(r * 9 + c + 1) > cells(r * 9 + c)) hash |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    java.lang.Long.valueOf(hash)
+  }
+
+  /** Mean-centered, L2-normalized cells as a float vector — the image
+    * GRID EMBEDDING ([[BmpGridEmbedding]]): centering cancels brightness
+    * shifts exactly, normalization cancels contrast scaling, and the
+    * pooling cancels resolution, so invariant copies embed identically
+    * and cosine similarity ranks visual likeness. Null for a perfectly
+    * uniform image (no direction to normalize). */
+  private[graft] def gridEmbeddingOfCells(cells: Array[Double]): Any = {
+    if (cells == null) return null
+    var mean = 0.0
+    var i = 0
+    while (i < 72) { mean += cells(i); i += 1 }
+    mean /= 72.0
+    var ss = 0.0
+    i = 0
+    val centered = new Array[Double](72)
+    while (i < 72) {
+      centered(i) = cells(i) - mean
+      ss += centered(i) * centered(i)
+      i += 1
+    }
+    if (ss == 0.0) return null
+    val inv = 1.0 / math.sqrt(ss)
+    val out = new Array[Any](72)
+    i = 0
+    while (i < 72) { out(i) = (centered(i) * inv).toFloat; i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** dHash of an already-decoded grayscale image — the EXACT pooling and
     * gradient arithmetic of [[BmpDHash]]'s fused built-in path, factored
     * out so registered custom decoders ([[graft.operators.MediaCodecs]])
@@ -1089,39 +1163,8 @@ object CatalystExprs {
     * payload and through a custom-format decoder MUST produce the same
     * 64 bits (spec-pinned), or cross-format near-dup detection breaks. */
   private[graft] def dHashOfGrayImage(
-      img: graft.operators.MediaCodecs.GrayImage): Any = {
-    val w = img.width
-    val h = img.height
-    if (w < 9 || h < 8 || img.gray == null || img.gray.length < w * h)
-      return null
-    val pool = Array.ofDim[Long](8, 9)
-    val cnt = Array.ofDim[Long](8, 9)
-    var y = 0
-    while (y < h) {
-      val pr = (y * 8) / h
-      var x = 0
-      while (x < w) {
-        val pc = (x * 9) / w
-        pool(pr)(pc) += img.gray(y * w + x) & 0xFF
-        cnt(pr)(pc) += 1
-        x += 1
-      }
-      y += 1
-    }
-    var hash = 0L
-    var r = 0
-    while (r < 8) {
-      var c = 0
-      while (c < 8) {
-        val left = pool(r)(c).toDouble / cnt(r)(c)
-        val right = pool(r)(c + 1).toDouble / cnt(r)(c + 1)
-        if (right > left) hash |= 1L << (r * 8 + c)
-        c += 1
-      }
-      r += 1
-    }
-    java.lang.Long.valueOf(hash)
-  }
+      img: graft.operators.MediaCodecs.GrayImage): Any =
+    dHashOfCells(grayPoolCells(img))
 
   /** Envelope-gradient hash of already-decoded per-frame |amplitude| —
     * [[WavEnvelopeHash]]'s pooling/gradient math for custom audio
@@ -1148,17 +1191,72 @@ object CatalystExprs {
     java.lang.Long.valueOf(hash)
   }
 
+  /** Parse + 8×9 average-pool an uncompressed 24/32-bit BMP payload to
+    * grayscale cells (the shared first stage of [[BmpDHash]] and
+    * [[BmpGridEmbedding]]); null for anything the built-in decoder
+    * rejects. Bounds discipline: a crafted header can carry a negative
+    * data offset or a width whose stride overflows Int — everything here
+    * must reject, never index out of bounds (the payload column is
+    * untrusted bytes). 2^20 px per side is far beyond any sane bitmap
+    * and keeps all the arithmetic inside Int range. Handles bottom-up
+    * and top-down row orders; pooling indexes by image coordinates, so
+    * row order never changes the cells. */
+  private[graft] def bmpPoolCells(b: Array[Byte]): Array[Double] = {
+    def i32(o: Int): Int =
+      (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+        ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+    def i16(o: Int): Int = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+    if (b == null || b.length < 54 || b(0) != 'B' || b(1) != 'M') return null
+    val dataOff = i32(10)
+    val hdrSize = i32(14)
+    if (hdrSize < 40) return null // BITMAPCOREHEADER not supported
+    val w = i32(18)
+    val hRaw = i32(22)
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
+    val bpp = i16(28)
+    val compression = i32(30)
+    if (compression != 0 || (bpp != 24 && bpp != 32)) return null
+    if (w < 9 || h < 8 || w > (1 << 20) || h > (1 << 20)) return null
+    if (dataOff < 54 || dataOff > b.length) return null
+    val bytesPerPx = bpp / 8
+    val strideL = ((bytesPerPx.toLong * w + 3) / 4) * 4
+    if (dataOff.toLong + strideL * h > b.length) return null
+    val stride = strideL.toInt
+    // grayscale average-pool to 9 (cols) × 8 (rows), image coordinates:
+    // row 0 = top of the image regardless of file row order
+    val pool = new Array[Long](72)
+    val cnt = new Array[Long](72)
+    var y = 0
+    while (y < h) {
+      val fileRow = if (topDown) y else h - 1 - y
+      val rowOff = dataOff + fileRow * stride
+      val pr = (y * 8) / h
+      var x = 0
+      while (x < w) {
+        val o = rowOff + x * bytesPerPx
+        val blue = b(o) & 0xFF
+        val green = b(o + 1) & 0xFF
+        val red = b(o + 2) & 0xFF
+        val gray = (red * 299 + green * 587 + blue * 114) / 1000
+        val i = pr * 9 + (x * 9) / w
+        pool(i) += gray
+        cnt(i) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val cells = new Array[Double](72)
+    var i = 0
+    while (i < 72) { cells(i) = pool(i).toDouble / cnt(i); i += 1 }
+    cells
+  }
+
   case class BmpDHash(child: Expression,
       extraDecoders: Seq[graft.operators.MediaCodecs.ImageDecoder] = Nil)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = LongType
     override def nullable: Boolean = true
-
-    private def i32(b: Array[Byte], o: Int): Int =
-      (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
-        ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
-    private def i16(b: Array[Byte], o: Int): Int =
-      (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
 
     /** Registered-decoder fallback for payloads the built-in rejects:
       * first decoder returning Some wins; its pixels go through the SAME
@@ -1176,70 +1274,56 @@ object CatalystExprs {
     override def nullSafeEval(input: Any): Any = {
       val b = input.asInstanceOf[Array[Byte]]
       if (b == null) return null
-      if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return extraEval(b)
-      val dataOff = i32(b, 10)
-      val hdrSize = i32(b, 14)
-      if (hdrSize < 40) return extraEval(b) // BITMAPCOREHEADER not supported
-      val w = i32(b, 18)
-      val hRaw = i32(b, 22)
-      val topDown = hRaw < 0
-      val h = math.abs(hRaw)
-      val bpp = i16(b, 28)
-      val compression = i32(b, 30)
-      if (compression != 0 || (bpp != 24 && bpp != 32)) return extraEval(b)
-      // bounds: a crafted header can carry a negative data offset or a
-      // width whose stride overflows Int — everything here must reject,
-      // never index out of bounds (the payload column is untrusted bytes).
-      // 2^20 px per side is far beyond any sane bitmap and keeps all the
-      // arithmetic below inside Int range.
-      if (w < 9 || h < 8 || w > (1 << 20) || h > (1 << 20)) return extraEval(b)
-      if (dataOff < 54 || dataOff > b.length) return extraEval(b)
-      val bytesPerPx = bpp / 8
-      val strideL = ((bytesPerPx.toLong * w + 3) / 4) * 4
-      if (dataOff.toLong + strideL * h > b.length) return extraEval(b)
-      val stride = strideL.toInt
-
-      // grayscale average-pool to 9 (cols) × 8 (rows), image coordinates:
-      // row 0 = top of the image regardless of file row order
-      val pool = Array.ofDim[Long](8, 9)
-      val cnt = Array.ofDim[Long](8, 9)
-      var y = 0
-      while (y < h) {
-        val fileRow = if (topDown) y else h - 1 - y
-        val rowOff = dataOff + fileRow * stride
-        val pr = (y * 8) / h
-        var x = 0
-        while (x < w) {
-          val o = rowOff + x * bytesPerPx
-          val blue = b(o) & 0xFF
-          val green = b(o + 1) & 0xFF
-          val red = b(o + 2) & 0xFF
-          val gray = (red * 299 + green * 587 + blue * 114) / 1000
-          val pc = (x * 9) / w
-          pool(pr)(pc) += gray
-          cnt(pr)(pc) += 1
-          x += 1
-        }
-        y += 1
-      }
-      var hash = 0L
-      var r = 0
-      while (r < 8) {
-        var c = 0
-        while (c < 8) {
-          val left = pool(r)(c).toDouble / cnt(r)(c)
-          val right = pool(r)(c + 1).toDouble / cnt(r)(c + 1)
-          if (right > left) hash |= 1L << (r * 8 + c)
-          c += 1
-        }
-        r += 1
-      }
-      java.lang.Long.valueOf(hash)
+      val cells = bmpPoolCells(b)
+      if (cells == null) extraEval(b) else dHashOfCells(cells)
     }
     override def prettyName: String = "bmp_dhash"
     override protected def withNewChildInternal(c: Expression): BmpDHash =
       copy(child = c)
   }
+
+  /** Image GRID EMBEDDING — the 72-dim mean-centered L2-normalized
+    * pooled-grayscale vector of an image payload (built-in BMP decoder
+    * first, then registered decoders, like [[BmpDHash]]). Where the
+    * dHash quantizes the grid to 64 gradient BITS (a dedup key), this
+    * keeps the grid as a real vector: brightness/contrast/resolution
+    * cancel exactly (centering kills the additive term, normalization
+    * the multiplicative one, pooling the resolution), and cosine
+    * similarity ranks visual likeness by gradient structure — so image
+    * payloads flow into the ENTIRE embedding stack (bruteForceTopK, SRP
+    * LSH, IVF/PQ ANN, SIMSEARCH, embedding dedup) with no new operator.
+    * NULL for undecodable payloads and perfectly uniform images. */
+  case class BmpGridEmbedding(child: Expression,
+      extraDecoders: Seq[graft.operators.MediaCodecs.ImageDecoder] = Nil)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+    override def nullable: Boolean = true
+
+    private def extraEval(b: Array[Byte]): Any = {
+      var i = 0
+      while (i < extraDecoders.length) {
+        val d = extraDecoders(i).decode(b)
+        if (d.isDefined)
+          return gridEmbeddingOfCells(grayPoolCells(d.get))
+        i += 1
+      }
+      null
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val b = input.asInstanceOf[Array[Byte]]
+      if (b == null) return null
+      val cells = bmpPoolCells(b)
+      if (cells == null) extraEval(b) else gridEmbeddingOfCells(cells)
+    }
+    override def prettyName: String = "bmp_grid_embedding"
+    override protected def withNewChildInternal(c: Expression): BmpGridEmbedding =
+      copy(child = c)
+  }
+
+  def bmpGridEmbedding(payload: Column): Column =
+    GraftBridge.column(BmpGridEmbedding(GraftBridge.expression(payload),
+      graft.operators.MediaCodecs.imageDecoders))
 
   /** dHash column over the built-in BMP decoder PLUS whatever image
     * decoders are registered in [[graft.operators.MediaCodecs]] at

@@ -394,6 +394,17 @@ object Multimodal {
       le32(data.length) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++ data
   }
 
+  /** Image GRID EMBEDDING (see CatalystExprs.BmpGridEmbedding): a 72-dim
+    * brightness/contrast/resolution-invariant float vector per image
+    * payload, bridging media into the embedding stack — the output
+    * column feeds `Similarity.bruteForceTopK`/LSH/IVF/PQ, `SIMSEARCH`,
+    * and embedding dedup unchanged ("find images like this one" is a
+    * composition, not a new operator). NULL embedding for undecodable
+    * payloads. Pure projection. */
+  def imageEmbedding(media: DataFrame): DataFrame =
+    media.withColumn("embedding",
+      graft.functions.CatalystExprs.bmpGridEmbedding(col("payload")))
+
   /** FRAME SAMPLING — the video→image stage (see
     * CatalystExprs.AviSampleFrames): every `everyK`-th decoded AVI frame
     * re-wrapped as a standalone 24-bit BMP payload, one output row per

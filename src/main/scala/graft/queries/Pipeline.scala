@@ -689,6 +689,51 @@ object Pipeline {
         .orderBy("media_a", "media_b")
     },
 
+    // Image SIMILARITY SEARCH through the EXISTING embedding stack (r7):
+    // decode image payloads to 72-dim grid embeddings (brightness/
+    // contrast/resolution-invariant — centering, normalization and
+    // pooling cancel those transforms EXACTLY, so a pattern's variants
+    // embed identically) and run the stock brute-force cosine top-k.
+    // Corpus: 3 patterns × 4 invariant variants; queries: one fresh
+    // still per pattern. Planted truth: each query's top-4 is exactly
+    // its pattern's variants at sim 1.0, id-ascending — "find images
+    // like this one" as a composition of imageEmbedding + the ANN
+    // stack, zero new search code.
+    Q("p72_image_simsearch", Some("""
+      WITH p AS (SELECT unnest(range(0, 3)) AS p),
+      v AS (SELECT unnest(range(0, 4)) AS v)
+      SELECT CAST(900 + p.p AS BIGINT) AS qid,
+             CAST(p.p * 10 + v.v AS BIGINT) AS nid,
+             CAST(1.0 AS DOUBLE) AS sim,
+             CAST(v.v + 1 AS INT) AS rnk
+      FROM p, v
+      ORDER BY qid, rnk""")) { (s, d) =>
+      import s.implicits._
+      def pat(p: Int)(x: Int, y: Int): Int =
+        ((x * (2 * p + 3) + y * (17 - 2 * p) + (x * y) % (p + 2)) % 160) + 20
+      val corpus = Multimodal.imageEmbedding(
+        (for (p <- 0 until 3; v <- 0 until 4) yield {
+          val img = v match {
+            case 0 => Multimodal.syntheticBmpGray(27, 24)(pat(p))
+            case 1 => Multimodal.syntheticBmpGray(27, 24)(
+              (x, y) => pat(p)(x, y) + 35) // brightness
+            case 2 => Multimodal.syntheticBmpGray(54, 48)(
+              (x, y) => pat(p)(x / 2, y / 2)) // resolution
+            case _ => Multimodal.syntheticBmpGray(27, 24)(
+              (x, y) => pat(p)(x, y) + 15)
+          }
+          ((p * 10 + v).toLong, img)
+        }).toDF("media_id", "payload"))
+        .select(col("media_id").as("vec_id"), col("embedding"))
+      val queries = Multimodal.imageEmbedding(
+        (0 until 3).map(p =>
+          ((900 + p).toLong, Multimodal.syntheticBmpGray(27, 24)(pat(p))))
+          .toDF("media_id", "payload"))
+        .select(col("media_id").as("vec_id"), col("embedding"))
+      Similarity.bruteForceTopK(corpus, queries, k = 4)
+        .orderBy("qid", "rnk")
+    },
+
     // The media INGEST gate (r7) — the batch twin of
     // MediaStreams.ingestGate (stateless, so the registered query runs
     // the EXACT code the stream runs; streaming==batch equality is

@@ -388,6 +388,7 @@ class MultimodalSpec extends AnyFunSuite {
         graft.functions.CatalystExprs.bmpDHash($"payload"),
         graft.functions.CatalystExprs.wavEnvelopeHash($"payload"),
         graft.functions.CatalystExprs.aviDHash($"payload"),
+        graft.functions.CatalystExprs.aviSampleFrames($"payload", 2),
         graft.functions.CatalystExprs.imageDimensions($"payload"),
         graft.functions.CatalystExprs.audioInfo($"payload"),
         graft.functions.CatalystExprs.videoInfo($"payload"))
@@ -704,6 +705,46 @@ class MultimodalSpec extends AnyFunSuite {
     assert(spark0.sql(
       "SELECT size(avi_sample_frames(payload)) FROM avi_fs_t")
       .head().getInt(0) == 10)
+  }
+
+  test("imageEmbedding: exact invariances, ANN composability, uniform/junk null") {
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    def pat(x: Int, y: Int): Int = ((x * 7 + y * 5 + (x * y) % 3) % 150) + 30
+    val media = Seq(
+      1L -> Multimodal.syntheticBmpGray(27, 24)(pat),
+      2L -> Multimodal.syntheticBmpGray(27, 24)((x, y) => pat(x, y) + 40),  // brightness
+      3L -> Multimodal.syntheticBmpGray(54, 48)((x, y) => pat(x / 2, y / 2)), // resolution
+      4L -> Multimodal.syntheticBmpGray(27, 24)((x, y) => 120),             // uniform
+      5L -> "junk".getBytes,                                                 // unreadable
+      6L -> Multimodal.syntheticBmpGray(27, 24)((x, y) => (x * 13 + (y / 2) * 11) % 150)
+    ).toDF("media_id", "payload")
+    val es = Multimodal.imageEmbedding(media).select("media_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getSeq[Float](1).toVector))).toMap
+    // brightness/resolution variants embed EXACTLY identically
+    assert(es(1L).isDefined && es(1L) == es(2L) && es(1L) == es(3L))
+    // unit norm
+    val n2 = es(1L).get.map(v => v.toDouble * v).sum
+    assert(math.abs(n2 - 1.0) < 1e-6)
+    // uniform image and junk have no embedding
+    assert(es(4L).isEmpty && es(5L).isEmpty)
+    // a different pattern points elsewhere
+    assert(es(6L).isDefined && es(6L) != es(1L))
+    // ANN composability: the stock brute top-k ranks the variants first
+    val corpus = Multimodal.imageEmbedding(media)
+      .filter(col("embedding").isNotNull)
+      .select(col("media_id").as("vec_id"), col("embedding"))
+    val topk = graft.operators.Similarity.bruteForceTopK(
+        corpus, corpus.filter(col("vec_id") === 1L), k = 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(topk.map(_._1).toSeq == Seq(2L, 3L) && topk.forall(_._2 == 1.0))
+    // SQL function surface
+    GraftFunctions.register(spark0)
+    media.createOrReplaceTempView("emb_t")
+    assert(spark0.sql(
+      "SELECT size(bmp_grid_embedding(payload)) FROM emb_t WHERE media_id = 1")
+      .head().getInt(0) == 72)
   }
 
   test("videoDedupPairs + DEDUP video + rewrite: planted clip clusters") {
