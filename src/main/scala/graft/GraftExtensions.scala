@@ -207,6 +207,11 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => colFn(exprs, 1) { cols =>
         graft.functions.CatalystExprs.aviDHash(cols.head) }),
 
+    (new FunctionIdentifier("wav_envelope_embedding"),
+      new ExpressionInfo("graft.functions.CatalystExprs", "wav_envelope_embedding"),
+      (exprs: Seq[Expression]) => colFn(exprs, 1) { cols =>
+        graft.functions.CatalystExprs.wavEnvelopeEmbedding(cols.head) }),
+
     (new FunctionIdentifier("bmp_grid_embedding"),
       new ExpressionInfo("graft.functions.CatalystExprs", "bmp_grid_embedding"),
       (exprs: Seq[Expression]) => colFn(exprs, 1) { cols =>

@@ -1325,6 +1325,81 @@ object CatalystExprs {
     GraftBridge.column(BmpGridEmbedding(GraftBridge.expression(payload),
       graft.operators.MediaCodecs.imageDecoders))
 
+  /** Mean-centered L2-normalized envelope windows as a float vector —
+    * the audio twin of [[gridEmbeddingOfCells]]: volume scaling is a
+    * multiplicative factor on every window (normalization cancels it
+    * exactly), DC offset an additive one (centering), so invariant
+    * re-encodes embed identically and cosine ranks loudness-shape
+    * likeness. Null when fewer than 65 frames or a perfectly flat
+    * envelope. */
+  private[graft] def envelopeEmbeddingOfAbs(abs: Array[Double]): Any = {
+    if (abs == null || abs.length < 65) return null
+    val nFrames = abs.length
+    val pool = new Array[Double](65)
+    val cnt = new Array[Long](65)
+    var f = 0
+    while (f < nFrames) {
+      val w = ((f.toLong * 65) / nFrames).toInt
+      pool(w) += abs(f)
+      cnt(w) += 1
+      f += 1
+    }
+    var mean = 0.0
+    var i = 0
+    val cells = new Array[Double](65)
+    while (i < 65) { cells(i) = pool(i) / cnt(i); mean += cells(i); i += 1 }
+    mean /= 65.0
+    var ss = 0.0
+    i = 0
+    while (i < 65) {
+      cells(i) -= mean
+      ss += cells(i) * cells(i)
+      i += 1
+    }
+    if (ss == 0.0) return null
+    val inv = 1.0 / math.sqrt(ss)
+    val out = new Array[Any](65)
+    i = 0
+    while (i < 65) { out(i) = (cells(i) * inv).toFloat; i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Audio ENVELOPE EMBEDDING — the 65-dim volume-invariant loudness
+    * vector of a PCM-WAV payload (built-in decoder first, then
+    * registered audio decoders), the audio twin of [[BmpGridEmbedding]]:
+    * where [[WavEnvelopeHash]] quantizes the envelope to 64 gradient
+    * bits, this keeps it as a real vector for the embedding stack. */
+  case class WavEnvelopeEmbedding(child: Expression,
+      extraDecoders: Seq[graft.operators.MediaCodecs.AudioDecoder] = Nil)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+    override def nullable: Boolean = true
+
+    private def extraEval(b: Array[Byte]): Any = {
+      var i = 0
+      while (i < extraDecoders.length) {
+        val d = extraDecoders(i).decode(b)
+        if (d.isDefined) return envelopeEmbeddingOfAbs(d.get.absAmplitude)
+        i += 1
+      }
+      null
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val b = input.asInstanceOf[Array[Byte]]
+      if (b == null) return null
+      val abs = wavAbsFrames(b)
+      if (abs == null) extraEval(b) else envelopeEmbeddingOfAbs(abs)
+    }
+    override def prettyName: String = "wav_envelope_embedding"
+    override protected def withNewChildInternal(c: Expression): WavEnvelopeEmbedding =
+      copy(child = c)
+  }
+
+  def wavEnvelopeEmbedding(payload: Column): Column =
+    GraftBridge.column(WavEnvelopeEmbedding(GraftBridge.expression(payload),
+      graft.operators.MediaCodecs.audioDecoders))
+
   /** dHash column over the built-in BMP decoder PLUS whatever image
     * decoders are registered in [[graft.operators.MediaCodecs]] at
     * plan-construction time (snapshot semantics — see MediaCodecs doc). */
@@ -1346,17 +1421,70 @@ object CatalystExprs {
     *
     * NULL unless: RIFF/WAVE container, fmt chunk with audioFormat=1 (PCM),
     * 8- or 16-bit samples, and at least 65 sample frames. */
+  /** Parse a PCM RIFF/WAVE payload to per-frame mono-mixed |amplitude|
+    * on the 16-bit scale — the shared first stage of [[WavEnvelopeHash]]
+    * and [[WavEnvelopeEmbedding]]; null for anything the built-in
+    * decoder rejects (no RIFF/WAVE, non-PCM, odd bit depths, < 65
+    * frames). Chunk walk uses Long cursors + Long comparisons, the same
+    * crafted-chunk-size hardening as AudioInfo's walker (an Int
+    * `pos + 8 + len` wraps negative for len near 2^31 and the guard
+    * passes; review-found r6). */
+  private[graft] def wavAbsFrames(b: Array[Byte]): Array[Double] = {
+    def i32(o: Int): Int =
+      (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+        ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+    def i16(o: Int): Int = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+    if (b == null || b.length < 44) return null
+    if (b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+      b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return null
+    var pos = 12L
+    var fmtOff = -1
+    var dataOff = -1
+    var dataLen = 0
+    while (pos + 8 <= b.length && (fmtOff < 0 || dataOff < 0)) {
+      val pp = pos.toInt
+      val id = new String(b, pp, 4, "US-ASCII")
+      val len = i32(pp + 4)
+      if (len < 0 || pos + 8 + len.toLong > b.length) return null
+      if (id == "fmt " && len >= 16) fmtOff = pp + 8
+      else if (id == "data") { dataOff = pp + 8; dataLen = len }
+      pos += 8L + len + (len & 1) // chunks are word-aligned
+    }
+    if (fmtOff < 0 || dataOff < 0) return null
+    val audioFormat = i16(fmtOff)
+    val channels = i16(fmtOff + 2)
+    val bits = i16(fmtOff + 14)
+    if (audioFormat != 1 || channels < 1 ||
+      (bits != 8 && bits != 16)) return null
+    val bytesPerSample = bits / 8
+    val frameBytes = bytesPerSample * channels
+    val nFrames = dataLen / frameBytes
+    if (nFrames < 65) return null
+    val abs = new Array[Double](nFrames)
+    var f = 0
+    while (f < nFrames) {
+      val base = dataOff + f * frameBytes
+      var acc = 0L
+      var c = 0
+      while (c < channels) {
+        val o = base + c * bytesPerSample
+        val v =
+          if (bits == 16) i16(o).toShort.toInt
+          else ((b(o) & 0xFF) - 128) << 8 // center and scale 8-bit to 16
+        acc += math.abs(v)
+        c += 1
+      }
+      abs(f) = acc.toDouble / channels
+      f += 1
+    }
+    abs
+  }
+
   case class WavEnvelopeHash(child: Expression,
       extraDecoders: Seq[graft.operators.MediaCodecs.AudioDecoder] = Nil)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = LongType
     override def nullable: Boolean = true
-
-    private def i32(b: Array[Byte], o: Int): Int =
-      (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
-        ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
-    private def i16(b: Array[Byte], o: Int): Int =
-      (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
 
     /** Registered-decoder fallback — same contract as BmpDHash's. */
     private def extraEval(b: Array[Byte]): Any = {
@@ -1372,66 +1500,8 @@ object CatalystExprs {
     override def nullSafeEval(input: Any): Any = {
       val b = input.asInstanceOf[Array[Byte]]
       if (b == null) return null
-      if (b.length < 44) return extraEval(b)
-      if (b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
-        b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E')
-        return extraEval(b)
-      // walk chunks for fmt + data — Long cursor + Long comparison, the
-      // same crafted-chunk-size hardening as AudioInfo's walker (an Int
-      // `pos + 8 + len` wraps negative for len near 2^31 and the guard
-      // passes; review-found r6)
-      var pos = 12L
-      var fmtOff = -1
-      var dataOff = -1
-      var dataLen = 0
-      while (pos + 8 <= b.length && (fmtOff < 0 || dataOff < 0)) {
-        val pp = pos.toInt
-        val id = new String(b, pp, 4, "US-ASCII")
-        val len = i32(b, pp + 4)
-        if (len < 0 || pos + 8 + len.toLong > b.length) return extraEval(b)
-        if (id == "fmt " && len >= 16) fmtOff = pp + 8
-        else if (id == "data") { dataOff = pp + 8; dataLen = len }
-        pos += 8L + len + (len & 1) // chunks are word-aligned
-      }
-      if (fmtOff < 0 || dataOff < 0) return extraEval(b)
-      val audioFormat = i16(b, fmtOff)
-      val channels = i16(b, fmtOff + 2)
-      val bits = i16(b, fmtOff + 14)
-      if (audioFormat != 1 || channels < 1 ||
-        (bits != 8 && bits != 16)) return extraEval(b)
-      val bytesPerSample = bits / 8
-      val frameBytes = bytesPerSample * channels
-      val nFrames = dataLen / frameBytes
-      if (nFrames < 65) return extraEval(b)
-
-      // mono-mixed |amplitude|, pooled into 65 equal windows
-      val pool = new Array[Double](65)
-      val cnt = new Array[Long](65)
-      var f = 0
-      while (f < nFrames) {
-        val base = dataOff + f * frameBytes
-        var acc = 0L
-        var c = 0
-        while (c < channels) {
-          val o = base + c * bytesPerSample
-          val v =
-            if (bits == 16) i16(b, o).toShort.toInt
-            else ((b(o) & 0xFF) - 128) << 8 // center and scale 8-bit to 16
-          acc += math.abs(v)
-          c += 1
-        }
-        val w = ((f.toLong * 65) / nFrames).toInt
-        pool(w) += acc.toDouble / channels
-        cnt(w) += 1
-        f += 1
-      }
-      var hash = 0L
-      var i = 0
-      while (i < 64) {
-        if (pool(i + 1) / cnt(i + 1) > pool(i) / cnt(i)) hash |= 1L << i
-        i += 1
-      }
-      java.lang.Long.valueOf(hash)
+      val abs = wavAbsFrames(b)
+      if (abs == null) extraEval(b) else envelopeHashOfAbs(abs)
     }
     override def prettyName: String = "wav_envelope_hash"
     override protected def withNewChildInternal(c: Expression): WavEnvelopeHash =

@@ -405,6 +405,14 @@ object Multimodal {
     media.withColumn("embedding",
       graft.functions.CatalystExprs.bmpGridEmbedding(col("payload")))
 
+  /** Audio ENVELOPE EMBEDDING (see CatalystExprs.WavEnvelopeEmbedding):
+    * a 65-dim volume-invariant loudness-shape vector per audio payload —
+    * the audio twin of [[imageEmbedding]], feeding the same embedding
+    * stack. NULL for undecodable payloads. Pure projection. */
+  def audioEmbedding(media: DataFrame): DataFrame =
+    media.withColumn("embedding",
+      graft.functions.CatalystExprs.wavEnvelopeEmbedding(col("payload")))
+
   /** FRAME SAMPLING — the video→image stage (see
     * CatalystExprs.AviSampleFrames): every `everyK`-th decoded AVI frame
     * re-wrapped as a standalone 24-bit BMP payload, one output row per

@@ -734,6 +734,44 @@ object Pipeline {
         .orderBy("qid", "rnk")
     },
 
+    // The audio twin of p72 (r7): envelope embeddings (65-dim,
+    // volume-invariant — normalization cancels the scale factor
+    // exactly) through the stock brute-force cosine top-k. Corpus: 3
+    // envelope shapes × 4 invariant variants (copy, 2× volume, stereo,
+    // 2× resample); queries: one fresh clip per shape. Planted truth:
+    // top-4 per query = its shape's variants at sim 1.0, id-ascending.
+    Q("p73_audio_simsearch", Some("""
+      WITH p AS (SELECT unnest(range(0, 3)) AS p),
+      v AS (SELECT unnest(range(0, 4)) AS v)
+      SELECT CAST(900 + p.p AS BIGINT) AS qid,
+             CAST(p.p * 10 + v.v AS BIGINT) AS nid,
+             CAST(1.0 AS DOUBLE) AS sim,
+             CAST(v.v + 1 AS INT) AS rnk
+      FROM p, v
+      ORDER BY qid, rnk""")) { (s, d) =>
+      import s.implicits._
+      def env(p: Int)(f: Int): Int =
+        (((f / 8) * (p + 2) + (f / 16) * (7 - p)) % 11) * 1024 + 1024
+      val corpus = Multimodal.audioEmbedding(
+        (for (p <- 0 until 3; v <- 0 until 4) yield {
+          val wav = v match {
+            case 0 => Multimodal.syntheticWavPcm(520)(env(p))
+            case 1 => Multimodal.syntheticWavPcm(520)(f => env(p)(f) * 2)
+            case 2 => Multimodal.syntheticWavPcm(520, channels = 2)(env(p))
+            case _ => Multimodal.syntheticWavPcm(1040)(f => env(p)(f / 2))
+          }
+          ((p * 10 + v).toLong, wav)
+        }).toDF("media_id", "payload"))
+        .select(col("media_id").as("vec_id"), col("embedding"))
+      val queries = Multimodal.audioEmbedding(
+        (0 until 3).map(p =>
+          ((900 + p).toLong, Multimodal.syntheticWavPcm(520)(env(p))))
+          .toDF("media_id", "payload"))
+        .select(col("media_id").as("vec_id"), col("embedding"))
+      Similarity.bruteForceTopK(corpus, queries, k = 4)
+        .orderBy("qid", "rnk")
+    },
+
     // The media INGEST gate (r7) — the batch twin of
     // MediaStreams.ingestGate (stateless, so the registered query runs
     // the EXACT code the stream runs; streaming==batch equality is

@@ -747,6 +747,35 @@ class MultimodalSpec extends AnyFunSuite {
       .head().getInt(0) == 72)
   }
 
+  test("audioEmbedding: volume/stereo/resample invariance, flat/junk null") {
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    def env(f: Int): Int = (((f / 8) * 3 + (f / 16) * 5) % 11) * 1024 + 1024
+    val clips = Seq(
+      1L -> Multimodal.syntheticWavPcm(520)(env),
+      2L -> Multimodal.syntheticWavPcm(520)(f => env(f) * 2),     // 2x volume
+      3L -> Multimodal.syntheticWavPcm(520, channels = 2)(env),   // stereo
+      4L -> Multimodal.syntheticWavPcm(1040)(f => env(f / 2)),    // 2x resample
+      5L -> Multimodal.syntheticWavPcm(520)(_ => 4096),           // flat
+      6L -> "junk".getBytes
+    ).toDF("media_id", "payload")
+    val es = Multimodal.audioEmbedding(clips).select("media_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getSeq[Float](1).toVector))).toMap
+    assert(es(1L).isDefined && es(1L) == es(2L))
+    assert(es(1L) == es(3L) && es(1L) == es(4L))
+    assert(es(1L).get.length == 65)
+    assert(es(5L).isEmpty && es(6L).isEmpty)
+    val n2 = es(1L).get.map(v => v.toDouble * v).sum
+    assert(math.abs(n2 - 1.0) < 1e-6)
+    // SQL surface
+    GraftFunctions.register(spark0)
+    clips.createOrReplaceTempView("aemb_t")
+    assert(spark0.sql(
+      "SELECT size(wav_envelope_embedding(payload)) FROM aemb_t WHERE media_id = 1")
+      .head().getInt(0) == 65)
+  }
+
   test("videoDedupPairs + DEDUP video + rewrite: planted clip clusters") {
     val spark0 = TestSpark.spark
     import spark0.implicits._
