@@ -1,0 +1,2 @@
+CREATE OR REPLACE VIEW media_docs AS
+SELECT doc_id AS media_id, CAST(text AS BINARY) AS payload FROM documents

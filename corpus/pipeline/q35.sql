@@ -1,0 +1,2 @@
+SELECT * FROM DEDUP(METHOD image WITH (expand = 'reps'),
+SELECT media_id, payload FROM media_docs)

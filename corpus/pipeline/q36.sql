@@ -1,0 +1,2 @@
+SELECT * FROM DEDUP(METHOD video WITH (action = 'rewrite'),
+SELECT media_id, payload FROM media_docs)

@@ -138,8 +138,15 @@ object Bench {
       val vs = steadyRuns.flatMap(_.get(n))
       if (vs.isEmpty) None else Some(n -> vs.min)
     }.toMap
+    // "inverted" needs a materiality floor: a steady min a few tens of ms
+    // over cold on a sub-second query is timer/JIT jitter, not a steal
+    // window (a 0.714 vs 0.755 s non-event burned 6 retry slots in
+    // validation), while the real pathology this guard exists for is
+    // 2-6× (PLANS 18/27/42). 10% AND 0.2 s over cold keeps the retries
+    // aimed at the latter.
     def inverted(n: String): Boolean =
-      steadyM.get(n).exists(v => coldMap.get(n).exists(v > _))
+      steadyM.get(n).exists(v => coldMap.get(n).exists(c =>
+        v > c * 1.1 && v > c + 0.2))
     var steadyRetries = 0
     var pass = 0
     while (pass < 3 && names.exists(inverted)) {

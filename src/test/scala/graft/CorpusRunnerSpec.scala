@@ -37,13 +37,13 @@ class CorpusRunnerSpec extends AnyFunSuite {
       val results = CorpusRunner.run(ctx, "corpus/pipeline")
       // ordered build: views (q1-q2) feed DECONTAMINATE/STRATIFY/SCORE,
       // the CTAS embedding table (q9) feeds the index (q10) and its probe
-      assert(results.size == 33)
+      assert(results.size == 36)
       val failed = results.filterNot(_.ok)
       assert(failed.isEmpty,
         s"pipeline corpus failures: ${failed.map(r => r.query -> r.error).mkString("; ")}")
     } finally {
       Seq("doc_emb", "bench_split", "mix_quotas", "bpe_merges", "dsir_target",
-        "badwords", "clf_weights")
+        "badwords", "clf_weights", "media_docs")
         .foreach(t => ctx.sql(s"DROP TABLE IF EXISTS $t"))
       Seq("pipeline_ivf_cells", "pipeline_ivf_centroids", "pipeline_pq_cells",
         "pipeline_pq_centroids", "pipeline_pq_pq_codes", "pipeline_pq_pq_codebooks")
