@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout through RAW (no sbt "[info] " line prefix):
+// the driver machine-parses graft.Bench's one-line JSON from stdout, and a
+// logger-decorated line is not valid JSON (every BENCH_r*.json through r7
+// recorded parsed=null because of the prefix).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

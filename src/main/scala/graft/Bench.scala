@@ -13,12 +13,21 @@ package graft
   *    is the same config with a cluster-sized partition count — AQE
   *    coalesces either way);
   *  - contention telemetry (r7): a fixed sentinel query timed before every
-  *    cold headliner is published in the JSON (sentinel_median /
-  *    sentinel_max / per-query sentinels) so the host's episodic CPU-steal
-  *    windows are flagged mechanically; cold runs whose sentinel was
-  *    inflated are re-timed once (cold_retried), and steady minima that
-  *    invert above their own cold time are retried up to 3× — both folded
-  *    as minima so a steal window cannot distort the published record.
+  *    cold headliner; sentinel_median / sentinel_max are published so the
+  *    host's episodic CPU-steal windows are flagged mechanically. Cold runs
+  *    whose sentinel was inflated are re-timed once; steady minima that
+  *    invert above their own cold time are retried up to 3× and folded as
+  *    minima so a steal window cannot distort the published record.
+  *  - retried-cold transparency (r8, ADVICE closure): a retried cold time
+  *    reuses the session's codegen cache, so it omits the per-plan compile
+  *    component and is not strictly comparable to untouched cold times.
+  *    The `queries` map still carries the effective min (the honest
+  *    headline), and `cold_first` carries the ORIGINAL first-run time for
+  *    exactly the retried queries — each retry is flagged per query with
+  *    both numbers recoverable, instead of only a cold_retried name list.
+  *  - the JSON line is kept compact (the per-query sentinels map moved to
+  *    stderr in r8): the driver stores only the last ~2000 chars of stdout,
+  *    and the line must fit in that window to be machine-parsed.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -101,10 +110,13 @@ object Bench {
     }
     val coldContended = names.filter(n => sentinels.get(n).exists(s =>
       s > 2.5 * sMedian && s > sMedian + 0.15))
-    val coldRetried = scala.collection.mutable.LinkedHashSet[String]()
+    // per-query retry record (ADVICE r7): key = retried query, value = its
+    // ORIGINAL first-run cold time; the queries map carries the effective
+    // min. Presence in cold_first IS the per-query "this was retried" flag.
+    val coldFirst = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results2 = results.map { case (n, v) =>
       if (coldContended.contains(n)) {
-        coldRetried += n
+        coldFirst(n) = v
         n -> timeOnce(n).map(math.min(v, _)).getOrElse(v)
       } else n -> v
     }
@@ -158,16 +170,35 @@ object Bench {
       pass += 1
     }
     val steady = names.flatMap(n => steadyM.get(n).map(n -> _))
+    // per-query values at 10 ms resolution: the host's timer noise is an
+    // order of magnitude above that, and the two-decimal form keeps the
+    // whole line comfortably inside the driver's ~2000-char tail window
+    // (33 cold + 33 steady entries at %.3f measured 1841 chars — parseable
+    // but with no headroom for cold_first retry entries)
     def jsonMap(rs: Seq[(String, Double)]) =
-      rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
     val total = results2.map(_._2).sum
     val steadyTotal = steady.map(_._2).sum
     // failed queries are EXCLUDED from totals and listed explicitly — a
     // silently failed query must not deflate the total into a fake speedup
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val coldRetriedJson = coldRetried.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sMax = if (sentinels.isEmpty) 0.0 else sentinels.values.max
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(results2)},"steady_total":$steadyTotal%.3f,"queries_steady":${jsonMap(steady)},"failed":$failedJson,"sentinel_median":$sMedian%.3f,"sentinel_max":$sMax%.3f,"sentinels":${jsonMap(sentinels.toSeq)},"cold_retried":$coldRetriedJson,"steady_retries":$steadyRetries,"sf":"$sfDir"}""")
+    // full per-query sentinel record → stderr (post-hoc forensics); the
+    // stdout JSON line must stay under the driver's ~2000-char tail window.
+    System.err.println(s"[bench] sentinels=${jsonMap(sentinels.toSeq)}")
+    def mkLine(coldFirstJson: String) = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(results2)},"steady_total":$steadyTotal%.3f,"queries_steady":${jsonMap(steady)},"failed":$failedJson,"sentinel_median":$sMedian%.3f,"sentinel_max":$sMax%.3f,"cold_first":$coldFirstJson,"steady_retries":$steadyRetries,"sf":"$sfDir"}"""
+    var line = mkLine(jsonMap(coldFirst.toSeq))
+    if (line.length > 1900) {
+      // overflow fallback: a large cold-retry batch (many cold_first
+      // entries) must not push the line past the tail window and unparse
+      // the WHOLE record — demote the per-query map to stderr and publish
+      // only the retry count inline (still a per-run retry signal).
+      System.err.println(s"[bench] cold_first=${jsonMap(coldFirst.toSeq)}")
+      line = mkLine(s"""{"n_retried":${coldFirst.size}}""")
+    }
+    if (line.length > 1900) System.err.println(
+      s"[bench] WARNING: JSON line ${line.length} chars — may overflow the driver's 2000-char tail")
+    println(line)
     spark.stop()
   }
 }

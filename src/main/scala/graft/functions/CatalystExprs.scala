@@ -990,6 +990,18 @@ object CatalystExprs {
       // pre-tokenizer cap: encode maxWordLen-sized chunks independently
       if (all.length <= maxWordLen) encodeSyms(all, out)
       else {
+        // one-time (per JVM) disclosure that the cap actually FIRED: for
+        // this word the token stream differs from unbounded canonical BPE
+        // (and from pre-r7 graft output) at the chunk boundaries. Logged
+        // once, executor-side, only when real data trips it — a corpus
+        // with no megawords never sees the notice.
+        if (BpeEncodeMerges.chunkWarned.compareAndSet(false, true))
+          org.slf4j.LoggerFactory.getLogger(classOf[BpeEncodeMerges]).warn(
+            s"bpe_encode: a word longer than max_word=$maxWordLen code " +
+            "points was split into fixed-size chunks before merging " +
+            "(pre-tokenizer cap); its tokens differ from unbounded BPE at " +
+            "the chunk boundaries. Raise max_word= to move the boundary. " +
+            "This notice prints once per JVM.")
         var from = 0
         while (from < all.length) {
           val until = math.min(from + maxWordLen, all.length)
@@ -1056,6 +1068,14 @@ object CatalystExprs {
     override def prettyName: String = "bpe_encode_merges"
     override protected def withNewChildInternal(c: Expression): BpeEncodeMerges =
       copy(child = c)
+  }
+
+  object BpeEncodeMerges {
+    /** Latch for the one-time word-chunking disclosure (see encodeWord).
+      * Deliberately JVM-global, not per-expression: the point is one
+      * actionable notice in the log, not one per query. */
+    private[graft] val chunkWarned =
+      new java.util.concurrent.atomic.AtomicBoolean(false)
   }
 
   def bpeEncodeMerges(text: Column, merges: Seq[(String, String)],
@@ -1201,28 +1221,42 @@ object CatalystExprs {
     * and keeps all the arithmetic inside Int range. Handles bottom-up
     * and top-down row orders; pooling indexes by image coordinates, so
     * row order never changes the cells. */
-  private[graft] def bmpPoolCells(b: Array[Byte]): Array[Double] = {
+  /** Validated header of an uncompressed 24/32-bit BMP the built-in
+    * decoder accepts: (width, height, bytesPerPx, dataOff, stride,
+    * topDown). Factored out of [[bmpPoolCells]] (r8) so the decode stage
+    * (`Multimodal.decodeFeatures`) can run the built-in BEFORE registered
+    * decoders with an acceptance set equal to the hash expressions' BY
+    * CONSTRUCTION — same bounds discipline, same rejects — instead of a
+    * second parser that could drift. */
+  private[graft] def bmpAcceptHeader(
+      b: Array[Byte]): Option[(Int, Int, Int, Int, Int, Boolean)] = {
     def i32(o: Int): Int =
       (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
         ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
     def i16(o: Int): Int = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
-    if (b == null || b.length < 54 || b(0) != 'B' || b(1) != 'M') return null
+    if (b == null || b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
     val dataOff = i32(10)
     val hdrSize = i32(14)
-    if (hdrSize < 40) return null // BITMAPCOREHEADER not supported
+    if (hdrSize < 40) return None // BITMAPCOREHEADER not supported
     val w = i32(18)
     val hRaw = i32(22)
     val topDown = hRaw < 0
     val h = math.abs(hRaw)
     val bpp = i16(28)
     val compression = i32(30)
-    if (compression != 0 || (bpp != 24 && bpp != 32)) return null
-    if (w < 9 || h < 8 || w > (1 << 20) || h > (1 << 20)) return null
-    if (dataOff < 54 || dataOff > b.length) return null
+    if (compression != 0 || (bpp != 24 && bpp != 32)) return None
+    if (w < 9 || h < 8 || w > (1 << 20) || h > (1 << 20)) return None
+    if (dataOff < 54 || dataOff > b.length) return None
     val bytesPerPx = bpp / 8
     val strideL = ((bytesPerPx.toLong * w + 3) / 4) * 4
-    if (dataOff.toLong + strideL * h > b.length) return null
-    val stride = strideL.toInt
+    if (dataOff.toLong + strideL * h > b.length) return None
+    Some((w, h, bytesPerPx, dataOff, strideL.toInt, topDown))
+  }
+
+  private[graft] def bmpPoolCells(b: Array[Byte]): Array[Double] = {
+    val hdr = bmpAcceptHeader(b)
+    if (hdr.isEmpty) return null
+    val (w, h, bytesPerPx, dataOff, stride, topDown) = hdr.get
     // grayscale average-pool to 9 (cols) × 8 (rows), image coordinates:
     // row 0 = top of the image regardless of file row order
     val pool = new Array[Long](72)

@@ -1331,6 +1331,17 @@ object Corpus {
     * base64 blob, unsegmented CJK — makes the native node's O(len²) pass
     * a single-task straggler (~10¹⁰ pair probes for a 100 KB blob). With
     * the cap the per-document cost is O(len × maxWordLen) — linear.
+    *
+    * OUTPUT CHANGE (r7): because chunks encode independently, tokens for a
+    * >cap word differ from unbounded canonical BPE (and from pre-cap graft
+    * output) at the fixed chunk boundaries — fixed-size chunking is a
+    * deliberate simplification of GPT-2-style regex pre-tokenization,
+    * which bounds words at character-class changes instead. Natural-
+    * language corpora are unaffected (no real word approaches 1024 code
+    * points); only megaword blobs (which unbounded BPE cannot process at
+    * scale anyway) see different tokens. The native node logs a one-time
+    * warning the first time a word is actually chunked; raise max_word=
+    * to move the boundary.
     */
   def bpeEncode(df: DataFrame, idCol: String, textCol: String,
       merges: DataFrame, maxMerges: Int = Int.MaxValue,

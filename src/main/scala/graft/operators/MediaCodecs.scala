@@ -20,9 +20,14 @@ package graft.operators
   * BMP, PCM WAV — real byte-level decoders, see
   * `CatalystExprs.BmpDHash`/`WavEnvelopeHash`) always run FIRST and are
   * not overridable; registered decoders are consulted in registration
-  * order only for payloads the built-ins reject. `Multimodal.fakeDecode`
-  * remains the clearly-marked deterministic fallback of the decode stage
-  * for payloads nothing recognizes.
+  * order only for payloads the built-ins reject. This precedence holds
+  * uniformly: the hash expressions AND `Multimodal.decodeFeatures` (r8 —
+  * the decode stage used to consult registered decoders first, so a
+  * decoder accepting BMP bytes won there but lost in `bmp_dhash`; both
+  * now share the built-in's acceptance test,
+  * `CatalystExprs.bmpAcceptHeader`). `Multimodal.fakeDecode` remains the
+  * clearly-marked deterministic fallback of the decode stage for
+  * payloads nothing recognizes.
   *
   * Decoders must be Serializable: they are captured into the hash
   * expressions at PLAN-construction time and shipped to executors, so a

@@ -80,11 +80,17 @@ object Multimodal {
 
   /** Partition-wise "decode + feature extract": the mapInPandas-shaped
     * stage. One decoder ("codec") per partition, rows processed in order,
-    * output schema fixed. Decoders registered in [[MediaCodecs]] are
-    * consulted FIRST (in registration order, snapshot at plan build);
-    * payloads nothing recognizes fall back to the clearly-marked
-    * [[fakeDecode]] stub — so a production deploy turns this stage real
-    * by registering codecs, not by editing this file. */
+    * output schema fixed. Decoder precedence matches the hash
+    * expressions' exactly (r8, ADVICE closure — this stage used to consult
+    * registered decoders first, so a registered decoder accepting BMP
+    * bytes won here but lost in bmp_dhash): the zero-dependency BUILT-IN
+    * runs first, with the same acceptance set as `BmpDHash` by
+    * construction ([[graft.functions.CatalystExprs.bmpAcceptHeader]] —
+    * uncompressed 24/32-bit BMP, bounds-checked); then decoders
+    * registered in [[MediaCodecs]] in registration order (snapshot at
+    * plan build); payloads nothing recognizes fall back to the
+    * clearly-marked [[fakeDecode]] stub — a production deploy turns this
+    * stage real by registering codecs, not by editing this file. */
   def decodeFeatures(media: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
@@ -102,10 +108,15 @@ object Multimodal {
         val payload = r.getAs[Array[Byte]](1)
         val (w, h, fmt) =
           if (payload == null) fakeDecode(payload)
-          else decoders.iterator
-            .flatMap(d => d.decode(payload).map(g => (g.width, g.height, d.format)))
-            .nextOption()
-            .getOrElse(fakeDecode(payload))
+          else graft.functions.CatalystExprs.bmpAcceptHeader(payload) match {
+            // built-in FIRST — same precedence and acceptance set as the
+            // hash expressions (MediaCodecs doc contract)
+            case Some((bw, bh, _, _, _, _)) => (bw, bh, "bmp")
+            case None => decoders.iterator
+              .flatMap(d => d.decode(payload).map(g => (g.width, g.height, d.format)))
+              .nextOption()
+              .getOrElse(fakeDecode(payload))
+          }
         var crc = 0L
         if (payload != null) { var i = 0; while (i < payload.length) { crc = (crc * 131) + (payload(i) & 0xFF); i += 1 } }
         Row(id, if (payload == null) 0L else payload.length.toLong, w, h, fmt, crc)

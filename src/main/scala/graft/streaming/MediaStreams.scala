@@ -60,8 +60,9 @@ object MediaStreams {
     * nightly corpus, broadcast into every microbatch. At corpus scale the
     * exact-hash set is 8 B per DISTINCT perceptual hash — duplicate farms
     * collapse — and the chunk-key set is 4× that; a 10⁸-distinct-hash
-    * corpus is ~4 GB of index, the regime where the set swaps for a Bloom
-    * pair exactly like [[DocStreams.buildChunkBloom]]. */
+    * corpus is ~4 GB of index, the regime where this form swaps for the
+    * Bloom pair ([[mediaHashBloomIndex]] + [[ingestGateBloom]] — ~15× less
+    * memory at 0.1% fpp, same gate shape). */
   def mediaHashIndex(corpus: DataFrame, kind: String): DataFrame = {
     val h = hashOf(kind)(col("payload"))
     corpus.select(h.as("_h")).filter(col("_h").isNotNull).distinct()
@@ -86,5 +87,64 @@ object MediaStreams {
       .select(col("media_id"), col("payload"), col("phash"),
         (col("phash").isNotNull &&
           arrays_overlap(col("_mychunks"), col("_ck"))).as("near_candidate"))
+  }
+
+  /** Bloom-pair index (r8, ADVICE closure — [[mediaHashIndex]]'s ~4 GB
+    * cliff at 10⁸ distinct hashes had no documented escape): the corpus's
+    * distinct perceptual hashes and their banded chunk keys as TWO Bloom
+    * filters built distributed via the public
+    * `DataFrameStatFunctions.bloomFilter` (per-partition filters merged on
+    * the driver, the exact [[DocStreams.buildChunkBloom]] recipe) and
+    * serialized to bytes. ~1.8 bytes per key at 0.1% fpp vs 8 B exact —
+    * a 10⁸-distinct-hash corpus is ~(180 MB hash + 720 MB chunk) of Bloom
+    * where the exact index is ~4 GB of broadcast row. Raw 64-bit values
+    * go straight in (`putLong`/`mightContainLong` both sides — no
+    * re-hashing mismatch possible). */
+  def mediaHashBloomIndex(corpus: DataFrame, kind: String,
+      expectedItems: Long, fpp: Double): (Array[Byte], Array[Byte]) = {
+    val h = hashOf(kind)(col("payload"))
+    // one hashing pass over payloads; the distinct set is small enough to
+    // cache through the two bloomFilter jobs (8 B per distinct hash)
+    val hashes = corpus.select(h.as("_h")).filter(col("_h").isNotNull)
+      .distinct().cache()
+    try {
+      val hashBf = hashes.stat.bloomFilter("_h", expectedItems, fpp)
+      val chunkBf = hashes.select(explode(chunkKeys(col("_h"))).as("_ck"))
+        .stat.bloomFilter("_ck", expectedItems * 4, fpp)
+      def bytes(bf: org.apache.spark.util.sketch.BloomFilter): Array[Byte] = {
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        bos.toByteArray
+      }
+      (bytes(hashBf), bytes(chunkBf))
+    } finally hashes.unpersist()
+  }
+
+  /** [[ingestGate]] against the Bloom pair instead of the exact index:
+    * membership is Spark's native `BloomFilterMightContain` (the
+    * serialized filter rides as a foldable literal, deserialized once per
+    * task), and the stream stays stateless. Error directions, disclosed:
+    * a HASH-bloom false positive DROPS a unique item (rate = fpp — size
+    * the filter accordingly); a CHUNK-bloom false positive only FLAGS a
+    * candidate the nightly batch pass then clears — harmless. Neither
+    * filter can leak an actual duplicate through. SIZE CEILING: the plan
+    * Literal is serialized into every task binary, so this form is for
+    * filters up to a few tens of MB (≲10⁸ hashes); beyond that ship the
+    * bytes once per executor via a broadcast variable, the
+    * [[DocStreams.dedupChunksStreamBloomBroadcast]] pattern. */
+  def ingestGateBloom(media: DataFrame, hashBloom: Array[Byte],
+      chunkBloom: Array[Byte], kind: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    def mightContain(bloom: Array[Byte], v: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.GraftBridge.column(BloomFilterMightContain(
+        Literal(bloom, BinaryType),
+        org.apache.spark.sql.GraftBridge.expression(v)))
+    val h = hashOf(kind)(col("payload"))
+    media
+      .withColumn("phash", h)
+      .filter(col("phash").isNull || !mightContain(hashBloom, col("phash")))
+      .select(col("media_id"), col("payload"), col("phash"),
+        (col("phash").isNotNull && exists(chunkKeys(col("phash")),
+          k => mightContain(chunkBloom, k))).as("near_candidate"))
   }
 }

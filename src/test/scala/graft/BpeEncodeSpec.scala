@@ -235,11 +235,16 @@ class BpeEncodeSpec extends AnyFunSuite {
     val table = Seq(("a", "b"), ("ab", "ab"), ("abab", "abab"))
     val df = Seq((1L, mega), (2L, s"normal words and $mega too"))
       .toDF("doc_id", "text")
+    // r8 ADVICE: chunking a real word must trip the one-time disclosure
+    // latch (local[n] shares the JVM, so the latch is observable here)
+    graft.functions.CatalystExprs.BpeEncodeMerges.chunkWarned.set(false)
     val t0 = System.nanoTime()
     val native = tokensOf(Corpus.bpeEncode(df, "doc_id", "text",
       mergesDf(table), foldLimit = 0))
     val secs = (System.nanoTime() - t0) / 1e9
     assert(secs < 30.0, f"capped megaword encode took $secs%.1f s")
+    assert(graft.functions.CatalystExprs.BpeEncodeMerges.chunkWarned.get,
+      "chunking a >cap word did not trip the one-time warning latch")
     val expected = df.collect().map(r => r.getLong(0) ->
       r.getString(1).toLowerCase.split(' ').filter(_.nonEmpty)
         .flatMap(w => encodeRef(w, table)).toSeq).toMap

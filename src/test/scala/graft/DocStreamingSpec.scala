@@ -301,5 +301,25 @@ class DocStreamingSpec extends AnyFunSuite {
     assert(streamed(103L) == ((None, false)))      // unreadable: kept, unflagged
     // zero streaming state: the gate is a pure projection + broadcast probe
     assert(streamed.size == 3)
+
+    // Bloom-pair twin (r8): at a generous fpp the Bloom gate must agree
+    // with the exact gate on every row — same drops, same flags, same
+    // unreadable passthrough — streamed AND batch
+    val (hashBloom, chunkBloom) =
+      MediaStreams.mediaHashBloomIndex(corpus, "image", 1000L, 1e-6)
+    val streamedBloom = drain(MediaStreams.ingestGateBloom(
+        MediaStreams.readStream(spark, dir.toString), hashBloom, chunkBloom,
+        "image"),
+      "media_gate_bloom_stream")
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(2)) None else Some(r.getLong(2))), r.getBoolean(3)))
+      .toMap
+    val batchBloom = MediaStreams.ingestGateBloom(
+        arriving.toDF("media_id", "payload"), hashBloom, chunkBloom, "image")
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(2)) None else Some(r.getLong(2))), r.getBoolean(3)))
+      .toMap
+    assert(streamedBloom == batch)
+    assert(batchBloom == batch)
   }
 }

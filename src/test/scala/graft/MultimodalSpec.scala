@@ -610,14 +610,14 @@ class MultimodalSpec extends AnyFunSuite {
         .select("media_id").collect().map(_.getLong(0)).toSet
       assert(rewritten == Set(1L)) // min-id survivor across formats
       ctx.sql("DROP TABLE IF EXISTS seam_media")
-      // decodeFeatures: registry decode wins (real dims + format), the
-      // fake stub stays the fallback for unrecognized payloads
+      // decodeFeatures: BUILT-IN first (same precedence as the hash
+      // expressions — r8 ADVICE closure), then registry, then fake stub
       val feats = Multimodal.decodeFeatures(media)
         .select("media_id", "width", "height", "pixel_format")
         .collect().map(r => r.getLong(0) ->
           (r.getInt(1), r.getInt(2), r.getString(3))).toMap
       assert(feats(2L) == ((w, h, "graw")))
-      assert(feats(1L)._3 == "fake-rgb") // BMP is not a registered decoder
+      assert(feats(1L) == ((w, h, "bmp"))) // built-in BMP decode, not fake
     } finally {
       MediaCodecs.unregisterImage("graw")
       MediaCodecs.unregisterAudio("praw")
@@ -626,6 +626,39 @@ class MultimodalSpec extends AnyFunSuite {
     val after = Seq((2L, graw)).toDF("media_id", "payload")
     assert(Multimodal.imageDHash(after).filter(col("dhash").isNotNull)
       .count() == 0)
+  }
+
+  test("decoder precedence: a registered decoder accepting BMP bytes cannot shadow the built-in anywhere") {
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    val bmp = makeBmp(27, 24)((x, y) => ((x * 7 + y * 5) % 160) + 30)
+    // a greedy decoder that claims EVERY payload with bogus dimensions —
+    // the doc contract says built-ins are not overridable, so this must
+    // lose to the built-in BMP parse in the hash AND in decodeFeatures
+    val greedy = new MediaCodecs.ImageDecoder {
+      def format = "greedy"
+      def decode(payload: Array[Byte]) = Some(
+        MediaCodecs.GrayImage(9, 8, Array.fill(72)(128)))
+    }
+    val builtinHash = Multimodal.imageDHash(
+        Seq((1L, bmp)).toDF("media_id", "payload"))
+      .select("dhash").collect().head.getLong(0)
+    MediaCodecs.registerImage(greedy)
+    try {
+      val media = Seq((1L, bmp)).toDF("media_id", "payload")
+      val hashed = Multimodal.imageDHash(media)
+        .select("dhash").collect().head.getLong(0)
+      assert(hashed == builtinHash, "greedy decoder shadowed bmp_dhash")
+      val feat = Multimodal.decodeFeatures(media)
+        .select("width", "height", "pixel_format").collect().head
+      assert((feat.getInt(0), feat.getInt(1), feat.getString(2)) ==
+        ((27, 24, "bmp")), "greedy decoder shadowed decodeFeatures")
+      // and the greedy decoder still catches what the built-in rejects
+      val junk = Seq((2L, Array[Byte](1, 2, 3))).toDF("media_id", "payload")
+      val jf = Multimodal.decodeFeatures(junk)
+        .select("pixel_format").collect().head.getString(0)
+      assert(jf == "greedy")
+    } finally MediaCodecs.unregisterImage("greedy")
   }
 
   test("aviDHash: real AVI frames, temporal-majority invariances, junk null") {
