@@ -369,7 +369,7 @@ class Context(val spark: SparkSession) {
       ExtensionParser.parse(rest) match {
         case _: DedupTable | _: SimSearch | _: PredictModel | _: Decontaminate |
              _: Stratify | _: Chunk | _: Pack | _: Score | _: Sample |
-             _: Tokenize | _: Summarize =>
+             _: Tokenize | _: Summarize | _: Extract =>
           val plan = exec(rest).queryExecution.explainString(
             org.apache.spark.sql.execution.ExplainMode.fromString(
               Option(mode).map(_.trim.toLowerCase).getOrElse("formatted")))
@@ -922,7 +922,10 @@ class Context(val spark: SparkSession) {
         foldLimit = opts.get("fold_limit").map(_.trim.toInt).getOrElse(96),
         // pre-tokenizer word-length cap (code points): bounds the O(len²)
         // per-word merge cost so a space-free megaword (minified JS,
-        // base64) cannot stall a task — chunks encode independently
+        // base64) cannot stall a task — chunks encode independently.
+        // NOTE: tokens for a >max_word word differ from unbounded BPE at
+        // the chunk boundaries (one-time runtime warning when tripped);
+        // see Corpus.bpeEncode's OUTPUT CHANGE doc.
         maxWordLen = opts.get("max_word").map(_.trim.toInt).getOrElse(1024))
 
     // SELECT * FROM SUMMARIZE(BY col [WITH (...)], <select>) — per-group
@@ -934,6 +937,24 @@ class Context(val spark: SparkSession) {
         sql(select), groupCol = by,
         textCol = opts.getOrElse("text", "text"),
         approxQuantiles = opts.get("approx").exists(_.trim.toBoolean))
+
+    // SELECT * FROM EXTRACT(METHOD html [WITH (...)], <select>) — the
+    // WET-generation step: visible text (+ title, + links='true' hrefs)
+    // out of a raw HTML column, native expressions, pure projection
+    // (graft.functions.HtmlText). html= names the markup column (default
+    // 'html'); all other inner columns pass through.
+    case Extract(method, opts, select) =>
+      require(method == "html", s"Unknown EXTRACT method: $method (html)")
+      val htmlCol = opts.getOrElse("html", "html")
+      val df = sql(select)
+      val passthrough = df.columns.filterNot(_ == htmlCol).map(col).toSeq
+      val extracted = Seq(
+        graft.functions.HtmlText.htmlTitle(col(htmlCol)).as("title"),
+        graft.functions.HtmlText.htmlExtractText(col(htmlCol)).as("text")) ++
+        (if (opts.get("links").exists(_.trim.toBoolean))
+          Seq(graft.functions.HtmlText.htmlLinks(col(htmlCol)).as("links"))
+        else Nil)
+      df.select(passthrough ++ extracted: _*)
 
     case DescribeModel(name) =>
       val m = schemas(currentSchema).models.getOrElse(name.toLowerCase,

@@ -80,6 +80,10 @@ object ExtensionParser {
     * (no reference analogue; parity-plus). */
   final case class Summarize(by: String, options: Map[String, String],
       select: String) extends Statement
+  /** Extract text/title/links from a raw-markup column — the
+    * WET-generation step (no reference analogue; parity-plus). */
+  final case class Extract(method: String, options: Map[String, String],
+      select: String) extends Statement
   final case class DescribeModel(name: String) extends Statement
   final case class DropModel(name: String, ifExists: Boolean) extends Statement
   final case class ExportModel(name: String, options: Map[String, String]) extends Statement
@@ -207,6 +211,9 @@ object ExtensionParser {
   // SELECT * FROM SUMMARIZE(BY col [WITH (...)], <select>)
   private val summarizeStmt =
     re(s"SELECT${ws}\\*${ws}FROM${ws}SUMMARIZE\\s*\\(\\s*BY${ws}$ident(?:${ws}WITH${ws}\\($kwSpan\\))?\\s*,(.*)\\)")
+  // SELECT * FROM EXTRACT(METHOD html [WITH (...)], <select>)
+  private val extractStmt =
+    re(s"SELECT${ws}\\*${ws}FROM${ws}EXTRACT\\s*\\(\\s*METHOD${ws}$ident(?:${ws}WITH${ws}\\($kwSpan\\))?\\s*,(.*)\\)")
   private val describeModel = re(s"DESCRIBE${ws}MODEL${ws}$ident")
   private val dropModel = re(s"DROP${ws}MODEL${ws}(IF${ws}EXISTS${ws})?$ident")
   private val exportModel =
@@ -259,6 +266,9 @@ object ExtensionParser {
         Option(kwargs).map(parseKwargs).getOrElse(Map()), select.trim)
     case summarizeStmt(by, kwargs, select) =>
       Summarize(by,
+        Option(kwargs).map(parseKwargs).getOrElse(Map()), select.trim)
+    case extractStmt(method, kwargs, select) =>
+      Extract(method.toLowerCase,
         Option(kwargs).map(parseKwargs).getOrElse(Map()), select.trim)
     case describeModel(name) => DescribeModel(name)
     case dropModel(ifEx, name) => DropModel(name, ifEx != null)

@@ -192,6 +192,50 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => colFn(exprs, 1) { cols =>
         graft.functions.TextAnalysis.canonicalUrl(cols.head) }),
 
+    (new FunctionIdentifier("html_extract"),
+      new ExpressionInfo("graft.functions.HtmlText", "html_extract"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 1, s"expected (html), got ${exprs.size} arguments")
+        graft.functions.HtmlText.HtmlExtractText(exprs.head)
+      }),
+
+    (new FunctionIdentifier("html_title"),
+      new ExpressionInfo("graft.functions.HtmlText", "html_title"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 1, s"expected (html), got ${exprs.size} arguments")
+        graft.functions.HtmlText.HtmlTitle(exprs.head)
+      }),
+
+    (new FunctionIdentifier("html_links"),
+      new ExpressionInfo("graft.functions.HtmlText", "html_links"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 1, s"expected (html), got ${exprs.size} arguments")
+        graft.functions.HtmlText.HtmlLinks(exprs.head)
+      }),
+
+    (new FunctionIdentifier("http_body"),
+      new ExpressionInfo("graft.functions.HttpMessage", "http_body"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 1, s"expected (content), got ${exprs.size} arguments")
+        graft.functions.HttpMessage.HttpBody(exprs.head)
+      }),
+
+    (new FunctionIdentifier("http_header"),
+      new ExpressionInfo("graft.functions.HttpMessage", "http_header"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 2,
+          s"expected (content, 'Header-Name'), got ${exprs.size} arguments")
+        graft.functions.HttpMessage.HttpHeader(exprs.head,
+          stringArg(exprs(1), "header name"))
+      }),
+
+    (new FunctionIdentifier("http_status"),
+      new ExpressionInfo("graft.functions.HttpMessage", "http_status"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 1, s"expected (content), got ${exprs.size} arguments")
+        graft.functions.HttpMessage.HttpStatus(exprs.head)
+      }),
+
     (new FunctionIdentifier("bmp_dhash"),
       new ExpressionInfo("graft.functions.CatalystExprs", "bmp_dhash"),
       (exprs: Seq[Expression]) => colFn(exprs, 1) { cols =>

@@ -57,5 +57,8 @@ object SparkEntry {
     // r7: perceptual media dedup gets a tracked number (18k real BMP
     // decodes through the farm-collapsing rewrite)
     "p68_media_farm_rewrite",
+    // r8: HTML text extraction (the WET step) — ~2.4 KB of markup built
+    // and walked per doc, title + text + links in one projection
+    "p74_html_extract",
     "s01_events_tumbling", "s03_events_session")
 }

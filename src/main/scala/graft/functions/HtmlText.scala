@@ -1,0 +1,312 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** HTML → text extraction — the WET-generation step of a Common-Crawl-
+  * shaped ingest (raw WARC responses are HTML; every text stage in this
+  * engine — dedup, quality, LM scoring, tokenization — consumes the
+  * extracted text). The reference engine has no HTML stage; this is part
+  * of the training-data-pipeline surface the engine adds on top of parity.
+  *
+  * Three native expressions over a single-pass, allocation-light tag
+  * walk (CodegenFallback: the surrounding projection codegens; each node
+  * is one fused per-row loop, O(len), no regex backtracking — a regex
+  * formulation would be quadratic on pathological attribute soup, which
+  * raw web HTML reliably contains):
+  *
+  *  - [[HtmlExtractText]]: the visible text. `<script>`/`<style>` bodies
+  *    and `<!-- comments -->` are dropped whole; block-level tags
+  *    (p, div, li, h1-h6, tr, table, br, …) become line breaks; inline
+  *    tags vanish (`a<b>b</b>` → "ab" — HTML rendering semantics);
+  *    entities decode (named + `&#NNN;` + `&#xHH;`, astral-safe);
+  *    whitespace collapses (runs → one space, block boundaries → one
+  *    newline, no leading/trailing). Not handled, by design: CDATA
+  *    sections (an XHTML-ism — dropped like a tag), conditional
+  *    comments, and JS-rendered content (needs a browser, not a parser).
+  *  - [[HtmlTitle]]: the `<title>` content (entity-decoded,
+  *    whitespace-collapsed), NULL when absent/empty.
+  *  - [[HtmlLinks]]: `href` values of `<a>`/`<area>` tags in document
+  *    order (entity-decoded — hrefs carry `&amp;` in the wild), the
+  *    input to the URL battery (`canonical_url`, `url_domain`) and
+  *    link-graph builds.
+  *
+  * Untrusted-input discipline (same rule as the media parsers): every
+  * scan is index-bounded, unterminated constructs (open tag, comment,
+  * script, entity, quote) terminate at end-of-input instead of looping,
+  * and a stray `<` or `&` that opens nothing valid is literal text.
+  * Scale shape: all three are pure per-row projections — no shuffle, no
+  * UDF, embarrassingly parallel over any corpus size.
+  */
+object HtmlText {
+
+  /** Tags that end a text line when rendered — open OR close emits one
+    * line break (collapsed). `br` and `hr` are void but break lines too. */
+  private val blockTags: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    Seq("p", "div", "br", "hr", "li", "ul", "ol", "dl", "dt", "dd",
+      "h1", "h2", "h3", "h4", "h5", "h6", "tr", "table", "thead", "tbody",
+      "tfoot", "caption", "section", "article", "aside", "header", "footer",
+      "nav", "main", "blockquote", "pre", "figure", "figcaption", "form",
+      "fieldset", "address", "title", "option", "textarea").foreach(s.add)
+    s
+  }
+
+  private val namedEntities: java.util.HashMap[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    m.put("amp", "&"); m.put("lt", "<"); m.put("gt", ">")
+    m.put("quot", "\""); m.put("apos", "'"); m.put("nbsp", " ")
+    m.put("copy", "©"); m.put("reg", "®"); m.put("trade", "™")
+    m.put("mdash", "—"); m.put("ndash", "–"); m.put("hellip", "…")
+    m.put("lsquo", "‘"); m.put("rsquo", "’")
+    m.put("ldquo", "“"); m.put("rdquo", "”")
+    m
+  }
+
+  /** Decode the entity starting at `i` (which points at '&').
+    * Returns (decoded, nextIndex); a malformed entity decodes to literal
+    * "&" advancing one char — never consumes past the text it matched. */
+  private def decodeEntity(html: String, i: Int): (String, Int) = {
+    val n = html.length
+    val semi = {
+      var j = i + 1
+      val cap = math.min(n, i + 12) // longest supported entity + margin
+      while (j < cap && html.charAt(j) != ';') j += 1
+      if (j < cap && j < n && html.charAt(j) == ';') j else -1
+    }
+    if (semi < 0 || semi == i + 1) return ("&", i + 1)
+    val body = html.substring(i + 1, semi)
+    if (body.charAt(0) == '#') {
+      val num = body.substring(1)
+      val cp =
+        try {
+          if (num.nonEmpty && (num.charAt(0) == 'x' || num.charAt(0) == 'X'))
+            Integer.parseInt(num.substring(1), 16)
+          else Integer.parseInt(num)
+        } catch { case _: NumberFormatException => -1 }
+      if (cp >= 0 && cp <= 0x10FFFF && Character.isValidCodePoint(cp) &&
+          !(cp >= 0xD800 && cp <= 0xDFFF))
+        (new String(Character.toChars(cp)), semi + 1)
+      else ("&", i + 1)
+    } else {
+      val rep = namedEntities.get(body)
+      if (rep != null) (rep, semi + 1) else ("&", i + 1)
+    }
+  }
+
+  /** Index just past the end of the tag opening at `i` (points at '<',
+    * already known to start a tag), honoring quoted attribute values —
+    * `<a title="x > y">` ends at the real '>', not the quoted one. */
+  private def tagEnd(html: String, from: Int): Int = {
+    val n = html.length
+    var k = from
+    var quote: Char = 0
+    while (k < n && (quote != 0 || html.charAt(k) != '>')) {
+      val c = html.charAt(k)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '"' || c == '\'') quote = c
+      k += 1
+    }
+    if (k < n) k + 1 else n
+  }
+
+  private def indexOfIgnoreCase(html: String, needle: String, from: Int): Int = {
+    val n = html.length
+    val m = needle.length
+    var i = math.max(from, 0)
+    while (i + m <= n) {
+      if (html.regionMatches(true, i, needle, 0, m)) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** One step of the shared tag walk from `i` (pointing at '<'): returns
+    * (isTag, tagNameLowerOrNull, closing, nameStart, nextIndex). For
+    * comments/doctype/CDATA the name is null. Not-a-tag (`a < b`) returns
+    * isTag=false with nextIndex = i + 1. */
+  private def parseTag(html: String, i: Int): (Boolean, String, Boolean, Int, Int) = {
+    val n = html.length
+    if (html.regionMatches(i, "<!--", 0, 4)) {
+      val e = html.indexOf("-->", i + 4)
+      return (true, null, false, i, if (e < 0) n else e + 3)
+    }
+    var j = i + 1
+    if (j < n && html.charAt(j) == '!') // doctype / CDATA: drop like a tag
+      return (true, null, false, i, tagEnd(html, j))
+    var closing = false
+    if (j < n && html.charAt(j) == '/') { closing = true; j += 1 }
+    val ns = j
+    while (j < n && (Character.isLetterOrDigit(html.charAt(j)))) j += 1
+    if (j == ns) return (false, null, false, i, i + 1) // literal '<'
+    val name = html.substring(ns, j).toLowerCase(java.util.Locale.ROOT)
+    (true, name, closing, j, tagEnd(html, j))
+  }
+
+  /** The extraction walk (see object doc). */
+  private[graft] def extractText(html: String): String = {
+    val n = html.length
+    val sb = new java.lang.StringBuilder(math.min(n, 1 << 16))
+    var pendingNewline = false
+    var pendingSpace = false
+    def emit(s: String): Unit = {
+      var k = 0
+      while (k < s.length) {
+        val c = s.charAt(k)
+        if (c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '\u00A0' /* nbsp */)
+          pendingSpace = true
+        else {
+          if (pendingNewline) { if (sb.length > 0) sb.append('\n') }
+          else if (pendingSpace && sb.length > 0 &&
+            sb.charAt(sb.length - 1) != '\n') sb.append(' ')
+          pendingNewline = false
+          pendingSpace = false
+          sb.append(c)
+        }
+        k += 1
+      }
+    }
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        val (isTag, name, closing, _, next) = parseTag(html, i)
+        if (!isTag) { emit("<"); i = next }
+        else if (name == null) i = next // comment / doctype / CDATA
+        else if (!closing && (name == "script" || name == "style")) {
+          val close = indexOfIgnoreCase(html, "</" + name, next)
+          if (close < 0) i = n
+          else i = tagEnd(html, close + 2 + name.length)
+        } else {
+          if (blockTags.contains(name)) pendingNewline = true
+          i = next
+        }
+      } else if (c == '&') {
+        val (rep, next) = decodeEntity(html, i)
+        emit(rep)
+        i = next
+      } else {
+        emit(String.valueOf(c))
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
+  /** The `<title>` walk: first non-empty title content, or null. */
+  private[graft] def extractTitle(html: String): String = {
+    val open = indexOfIgnoreCase(html, "<title", 0)
+    if (open < 0) return null
+    val contentStart = tagEnd(html, open + 6)
+    val close = indexOfIgnoreCase(html, "</title", contentStart)
+    val raw = html.substring(contentStart, if (close < 0) html.length else close)
+    // entity-decode + whitespace-collapse via the main walk (no tags
+    // inside a title render as text, matching browser behavior)
+    val t = extractText(raw).replace('\n', ' ').trim
+    if (t.isEmpty) null else t
+  }
+
+  /** The link walk: href values of a/area tags, document order. */
+  private[graft] def extractLinks(html: String): Array[String] = {
+    val n = html.length
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < n) {
+      if (html.charAt(i) == '<') {
+        val (isTag, name, closing, nameEnd, next) = parseTag(html, i)
+        if (isTag && !closing && (name == "a" || name == "area")) {
+          // scan attributes inside [nameEnd, next) for href=
+          var k = nameEnd
+          var found: String = null
+          while (found == null && k < next - 1) {
+            if (html.regionMatches(true, k, "href", 0, 4) &&
+                (k == nameEnd || !Character.isLetterOrDigit(html.charAt(k - 1)))) {
+              var v = k + 4
+              while (v < next && Character.isWhitespace(html.charAt(v))) v += 1
+              if (v < next && html.charAt(v) == '=') {
+                v += 1
+                while (v < next && Character.isWhitespace(html.charAt(v))) v += 1
+                if (v < next) {
+                  val q = html.charAt(v)
+                  val (vs, ve) =
+                    if (q == '"' || q == '\'') {
+                      val e = html.indexOf(q, v + 1)
+                      (v + 1, if (e < 0 || e >= next) next - 1 else e)
+                    } else {
+                      var e = v
+                      while (e < next - 1 && !Character.isWhitespace(html.charAt(e)) &&
+                        html.charAt(e) != '>') e += 1
+                      (v, e)
+                    }
+                  // entity-decode the raw attribute value
+                  val raw = html.substring(vs, math.max(vs, ve))
+                  val dec = new java.lang.StringBuilder(raw.length)
+                  var p = 0
+                  while (p < raw.length) {
+                    if (raw.charAt(p) == '&') {
+                      val (rep, np) = decodeEntity(raw, p)
+                      dec.append(rep); p = np
+                    } else { dec.append(raw.charAt(p)); p += 1 }
+                  }
+                  val v2 = dec.toString.trim
+                  if (v2.nonEmpty) found = v2
+                }
+              }
+            }
+            k += 1
+          }
+          if (found != null) out += found
+        }
+        i = next
+      } else i += 1
+    }
+    out.toArray
+  }
+
+  case class HtmlExtractText(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(input: Any): Any =
+      UTF8String.fromString(extractText(input.asInstanceOf[UTF8String].toString))
+    override def prettyName: String = "html_extract"
+    override protected def withNewChildInternal(c: Expression): HtmlExtractText =
+      copy(child = c)
+  }
+
+  case class HtmlTitle(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any = {
+      val t = extractTitle(input.asInstanceOf[UTF8String].toString)
+      if (t == null) null else UTF8String.fromString(t)
+    }
+    override def prettyName: String = "html_title"
+    override protected def withNewChildInternal(c: Expression): HtmlTitle =
+      copy(child = c)
+  }
+
+  case class HtmlLinks(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      new GenericArrayData(extractLinks(
+        input.asInstanceOf[UTF8String].toString)
+        .map(UTF8String.fromString(_).asInstanceOf[Any]))
+    override def prettyName: String = "html_links"
+    override protected def withNewChildInternal(c: Expression): HtmlLinks =
+      copy(child = c)
+  }
+
+  def htmlExtractText(html: Column): Column =
+    GraftBridge.column(HtmlExtractText(GraftBridge.expression(html)))
+  def htmlTitle(html: Column): Column =
+    GraftBridge.column(HtmlTitle(GraftBridge.expression(html)))
+  def htmlLinks(html: Column): Column =
+    GraftBridge.column(HtmlLinks(GraftBridge.expression(html)))
+}

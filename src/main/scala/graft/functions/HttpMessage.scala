@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** HTTP-message splitting for WARC `response` records (the content block
+  * of a Common-Crawl response record is a full HTTP message: status line
+  * + headers + body). The WET composition is
+  * `html_extract(CAST(http_body(content) AS STRING))` over a
+  * `format("warc")` scan — three native expressions, one projection, no
+  * UDF.
+  *
+  * All three work on the raw BYTES: the header block is ASCII by spec
+  * (decoded ISO-8859-1, never lossy), the body may be arbitrary binary
+  * and is sliced, not decoded. The header/body boundary is the first
+  * CRLFCRLF (LFLF tolerated — real crawls contain both). NULL for
+  * payloads with no boundary (not an HTTP message) — a scan can filter
+  * on it. Bounds discipline: single forward scans, no allocation beyond
+  * the returned slice.
+  */
+object HttpMessage {
+
+  /** Index of the first byte AFTER the blank line, or -1. */
+  private[graft] def bodyStart(b: Array[Byte]): Int = {
+    var i = 0
+    while (i < b.length) {
+      if (b(i) == '\n') {
+        if (i + 2 < b.length && b(i + 1) == '\r' && b(i + 2) == '\n') return i + 3
+        if (i + 1 < b.length && b(i + 1) == '\n') return i + 2
+        if (i + 2 == b.length && b(i + 1) == '\r') return b.length // empty body
+        if (i + 1 == b.length) return b.length
+      }
+      i += 1
+    }
+    -1
+  }
+
+  private[graft] def headerBlock(b: Array[Byte]): String = {
+    val bs = bodyStart(b)
+    if (bs < 0) null
+    else new String(b, 0, bs, java.nio.charset.StandardCharsets.ISO_8859_1)
+  }
+
+  private[graft] def body(b: Array[Byte]): Array[Byte] = {
+    val bs = bodyStart(b)
+    if (bs < 0) null
+    else java.util.Arrays.copyOfRange(b, bs, b.length)
+  }
+
+  private[graft] def header(b: Array[Byte], name: String): String = {
+    val block = headerBlock(b)
+    if (block == null) return null
+    val needle = name.toLowerCase(java.util.Locale.ROOT)
+    block.split("\r?\n").iterator.drop(1) // skip the status/request line
+      .map { line =>
+        val c = line.indexOf(':')
+        if (c <= 0) null
+        else (line.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT),
+          line.substring(c + 1).trim)
+      }
+      .collectFirst { case (k, v) if k == needle => v }
+      .orNull
+  }
+
+  private[graft] def status(b: Array[Byte]): Any = {
+    val block = headerBlock(b)
+    if (block == null) return null
+    val line = block.takeWhile(c => c != '\r' && c != '\n')
+    // "HTTP/1.1 200 OK"
+    val parts = line.split(" ")
+    if (parts.length < 2 || !parts(0).startsWith("HTTP/")) null
+    else try Integer.valueOf(parts(1).toInt)
+    catch { case _: NumberFormatException => null }
+  }
+
+  case class HttpBody(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any =
+      body(input.asInstanceOf[Array[Byte]])
+    override def prettyName: String = "http_body"
+    override protected def withNewChildInternal(c: Expression): HttpBody =
+      copy(child = c)
+  }
+
+  case class HttpHeader(child: Expression, name: String)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any = {
+      val v = header(input.asInstanceOf[Array[Byte]], name)
+      if (v == null) null else UTF8String.fromString(v)
+    }
+    override def prettyName: String = "http_header"
+    override protected def withNewChildInternal(c: Expression): HttpHeader =
+      copy(child = c)
+  }
+
+  case class HttpStatus(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any =
+      status(input.asInstanceOf[Array[Byte]])
+    override def prettyName: String = "http_status"
+    override protected def withNewChildInternal(c: Expression): HttpStatus =
+      copy(child = c)
+  }
+
+  def httpBody(content: Column): Column =
+    GraftBridge.column(HttpBody(GraftBridge.expression(content)))
+  def httpHeader(content: Column, name: String): Column =
+    GraftBridge.column(HttpHeader(GraftBridge.expression(content), name))
+  def httpStatus(content: Column): Column =
+    GraftBridge.column(HttpStatus(GraftBridge.expression(content)))
+}

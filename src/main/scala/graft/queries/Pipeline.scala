@@ -1362,5 +1362,142 @@ object Pipeline {
         .select("user_id", "session_start", "n_events", "total")
         .orderBy("user_id", "session_start")
     },
+
+    // ---- HTML → text extraction (r8): the WET-generation step of a
+    // Common-Crawl-shaped ingest. PLANTED oracle (the media-fixture
+    // recipe): the HTML is BUILT from documents.text by a deterministic
+    // wrapping both engines express — title + h1 headers, one <p> per
+    // word, a per-doc <a href> with an &amp; entity, a script block full
+    // of <,>,&& soup, and a comment — so the expected extraction is
+    // exactly reconstructible in DuckDB with string functions, no HTML
+    // code on the oracle side. Extraction itself is a pure projection
+    // (native expressions, no UDF, no shuffle). ----
+    Q("p74_html_extract", Some("""
+      SELECT doc_id,
+             'Doc ' || doc_id AS title,
+             'Doc ' || doc_id || chr(10) || 'Doc ' || doc_id || chr(10) ||
+               replace(text, ' ', chr(10)) || chr(10) || 'next' AS text,
+             'http://ex.com/' || doc_id || '?a=1&b=2' AS link0
+      FROM documents ORDER BY doc_id""")) { (s, d) =>
+      val html = expr(
+        """concat('<html><head><title>Doc ', doc_id,
+          |'</title><script>if (a&&b<c) { junk("</p>"); }</script></head>',
+          |'<body><h1>Doc ', doc_id, '</h1><p>',
+          |replace(text, ' ', '</p><p>'),
+          |'</p><a href="http://ex.com/', doc_id,
+          |'?a=1&amp;b=2">next</a><!-- hidden --></body></html>')"""
+          .stripMargin.replace("\n", " "))
+      t(s, d, "documents")
+        .select(col("doc_id"), html.as("html"))
+        .select(col("doc_id"),
+          graft.functions.HtmlText.htmlTitle(col("html")).as("title"),
+          graft.functions.HtmlText.htmlExtractText(col("html")).as("text"),
+          element_at(graft.functions.HtmlText.htmlLinks(col("html")), 1)
+            .as("link0"))
+        .orderBy("doc_id")
+    },
+
+    // The same extraction through the EXTRACT statement surface (title +
+    // text + links='true' array) — the server/CLI path, hash-gated like
+    // the other *c statement twins.
+    Q("p74c_html_extract_sql", Some("""
+      SELECT doc_id,
+             'Doc ' || doc_id AS title,
+             'Doc ' || doc_id || chr(10) || 'Doc ' || doc_id || chr(10) ||
+               replace(text, ' ', chr(10)) || chr(10) || 'next' AS text,
+             'http://ex.com/' || doc_id || '?a=1&b=2' AS links
+      FROM documents ORDER BY doc_id""")) { (s, d) =>
+      val ctx = new graft.Context(s)
+      ctx.createTableFromPath("documents", s"$d/documents.parquet")
+      ctx.sql(
+        """SELECT * FROM EXTRACT(METHOD html WITH (links = 'true'),
+          |SELECT doc_id,
+          |  concat('<html><head><title>Doc ', doc_id,
+          |    '</title><script>if (a&&b<c) { junk("</p>"); }</script></head>',
+          |    '<body><h1>Doc ', doc_id, '</h1><p>',
+          |    replace(text, ' ', '</p><p>'),
+          |    '</p><a href="http://ex.com/', doc_id,
+          |    '?a=1&amp;b=2">next</a><!-- hidden --></body></html>') AS html
+          |FROM documents)""".stripMargin)
+        // oracle-gated outputs avoid array columns (the compare sorts rows
+        // by every column; arrays aren't sortable keys) — join the hrefs
+        .withColumn("links", concat_ws("|", col("links")))
+        .orderBy("doc_id")
+    },
+
+    // ---- WARC source (r8): the Common-Crawl container as a native
+    // DataSourceV2 (`format("warc")`, one partition per file, pruned
+    // reads). PLANTED round-trip oracle: the archive is BUILT from the
+    // documents table by the DISTRIBUTED writer (executor-side Hadoop FS,
+    // one gzip-member stream per partition), read back through the
+    // DataSource, and every record field reconstructed in DuckDB with
+    // string functions — write → read → parse, all oracle-gated. ----
+    Q("p75_warc_scan", Some("""
+      SELECT '<urn:uuid:doc-' || doc_id || '>' AS record_id,
+             'http://crawl.test/doc/' || doc_id AS target_uri,
+             'response' AS warc_type,
+             TIMESTAMP '2026-01-02 03:04:05' AS warc_date,
+             'application/http; msgtype=response' AS content_type,
+             CAST(strlen('HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+               'Content-Type: text/html' || chr(13) || chr(10) || chr(13) || chr(10) ||
+               '<html><body><p>' || replace(text, ' ', '</p><p>') ||
+               '</p></body></html>') AS BIGINT) AS content_length,
+             'HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+               'Content-Type: text/html' || chr(13) || chr(10) || chr(13) || chr(10) ||
+               '<html><body><p>' || replace(text, ' ', '</p><p>') ||
+               '</p></body></html>' AS content
+      FROM documents ORDER BY target_uri""")) { (s, d) =>
+      val dir = warcFixture(s, d, "scan")
+      s.read.format("warc").load(dir)
+        .select(col("record_id"), col("target_uri"), col("warc_type"),
+          col("warc_date"), col("content_type"), col("content_length"),
+          col("content").cast("string").as("content"))
+        .orderBy("target_uri")
+    },
+
+    // The WET pipeline end-to-end over the same archive: WARC scan →
+    // http_status filter → http_body → html_extract — four native pieces
+    // in ONE projection + filter, no UDF; oracle = the planted text.
+    Q("p76_warc_wet", Some("""
+      SELECT doc_id, replace(text, ' ', chr(10)) AS text
+      FROM documents ORDER BY doc_id""")) { (s, d) =>
+      val dir = warcFixture(s, d, "wet")
+      s.read.format("warc").load(dir)
+        .filter(graft.functions.HttpMessage.httpStatus(col("content")) === 200)
+        .select(
+          element_at(split(col("target_uri"), "/"), -1).cast("bigint")
+            .as("doc_id"),
+          graft.functions.HtmlText.htmlExtractText(
+            graft.functions.HttpMessage.httpBody(col("content")).cast("string"))
+            .as("text"))
+        .orderBy("doc_id")
+    },
   )
+
+  /** Build (idempotent overwrite) the planted WARC fixture for `d`: the
+    * documents table wrapped as HTTP responses carrying HTML bodies,
+    * written DISTRIBUTED by [[graft.sources.Warc.write]] as 4 gzip
+    * files. Deterministic content; the p75/p76 oracles reconstruct it. */
+  private def warcFixture(s: org.apache.spark.sql.SparkSession, d: String,
+      tag: String): String = {
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_warc_" + tag + "_" +
+        java.lang.Integer.toHexString(d.hashCode)).toString
+    val docs = t(s, d, "documents")
+    val content = concat(
+      lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html><body><p>"),
+      expr("replace(text, ' ', '</p><p>')"),
+      lit("</p></body></html>")).cast("binary")
+    graft.sources.Warc.write(
+      docs.select(
+        lit("response").as("warc_type"),
+        concat(lit("<urn:uuid:doc-"), col("doc_id"), lit(">")).as("record_id"),
+        concat(lit("http://crawl.test/doc/"), col("doc_id")).as("target_uri"),
+        to_timestamp(lit("2026-01-02 03:04:05")).as("warc_date"),
+        lit("application/http; msgtype=response").as("content_type"),
+        content.as("content"))
+        .repartition(4, col("record_id")),
+      dir, gzip = true)
+    dir
+  }
 }

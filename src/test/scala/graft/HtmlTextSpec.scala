@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.HtmlText
+
+/** HTML → text extraction (functions.HtmlText): the tag walk, entity
+  * decoding, whitespace collapse, script/style/comment dropping, and the
+  * untrusted-input bounds discipline, plus the SQL functions and the
+  * EXTRACT statement surface. */
+class HtmlTextSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ext(html: String): String = HtmlText.extractText(html)
+  private def title(html: String): Option[String] = Option(HtmlText.extractTitle(html))
+  private def links(html: String): Seq[String] = HtmlText.extractLinks(html).toSeq
+
+  test("basic extraction: tags vanish, blocks break lines, inline glues") {
+    assert(ext("<html><body><p>hello world</p></body></html>") == "hello world")
+    assert(ext("<p>one</p><p>two</p>") == "one\ntwo")
+    assert(ext("a<b>b</b>c") == "abc")
+    assert(ext("first<br>second") == "first\nsecond")
+    assert(ext("<h1>Title</h1><div>body text</div>") == "Title\nbody text")
+    assert(ext("<ul><li>a</li><li>b</li></ul>") == "a\nb")
+    assert(ext("") == "")
+    assert(ext("plain text, no markup") == "plain text, no markup")
+  }
+
+  test("script, style, comments, doctype dropped whole") {
+    assert(ext("<script>var a = 1 && b < 2; if (x>y) {}</script>kept") == "kept")
+    assert(ext("<style>p > a { color: red }</style>kept") == "kept")
+    assert(ext("a<!-- hidden <p>not text</p> -->b") == "ab")
+    assert(ext("<!DOCTYPE html><p>x</p>") == "x")
+    assert(ext("<SCRIPT TYPE=\"text/javascript\">junk()</SCRIPT>ok") == "ok")
+    // unterminated script/comment: drop to end, never loop
+    assert(ext("before<script>never closed") == "before")
+    assert(ext("before<!-- never closed") == "before")
+  }
+
+  test("entities: named, decimal, hex, astral, malformed-literal") {
+    assert(ext("a &amp; b") == "a & b")
+    assert(ext("1 &lt; 2 &gt; 0") == "1 < 2 > 0")
+    assert(ext("&quot;q&quot; &apos;a&apos;") == "\"q\" 'a'")
+    assert(ext("x&nbsp;y") == "x y")          // nbsp collapses like space
+    assert(ext("&#65;&#66;&#x43;") == "ABC")
+    assert(ext("&#128169;") == new String(Character.toChars(0x1F4A9)))
+    assert(ext("AT&T") == "AT&T")             // bare ampersand is literal
+    assert(ext("a &unknown; b") == "a &unknown; b")
+    assert(ext("a &#xD800; b") == "a &#xD800; b") // surrogate cp rejected
+    assert(ext("trailing &") == "trailing &")
+  }
+
+  test("whitespace collapses: runs, block boundaries, edges") {
+    assert(ext("  <p>  a   b  </p>  <p> c </p> ") == "a b\nc")
+    assert(ext("<p></p><p></p><p>x</p><p></p>") == "x")
+    assert(ext("a\n\t b") == "a b")
+    assert(ext("<div><div><p>deep</p></div></div>solo") == "deep\nsolo")
+  }
+
+  test("literal '<' in text and quoted '>' in attributes") {
+    assert(ext("a < b and c > d") == "a < b and c > d")
+    assert(ext("<a title=\"x > y\">link text</a>") == "link text")
+    assert(ext("<a title='p > q'>t</a>") == "t")
+    // unterminated tag: drops to end (bounded), text before survives
+    assert(ext("before<a href=\"x") == "before")
+  }
+
+  test("title: first non-empty, entity-decoded, collapsed; null absent") {
+    assert(title("<html><head><title>My &amp; Page</title></head></html>")
+      == Some("My & Page"))
+    assert(title("<TITLE>  spaced   out  </TITLE>") == Some("spaced out"))
+    assert(title("<p>no title here</p>") == None)
+    assert(title("<title></title>") == None)
+    assert(title("<title>unterminated to end") == Some("unterminated to end"))
+  }
+
+  test("links: href values of a/area in order, entity-decoded, quoted or bare") {
+    val html =
+      """<a href="http://x.com/a?b=1&amp;c=2">one</a>
+        |<area href='/rel/path'>
+        |<a class="z" href=bare-url>two</a>
+        |<a name="no-href">three</a>
+        |<link href="/style.css">""".stripMargin
+    assert(links(html) ==
+      Seq("http://x.com/a?b=1&c=2", "/rel/path", "bare-url"))
+    assert(links("<p>none</p>") == Seq())
+  }
+
+  test("SQL functions html_extract / html_title / html_links registered") {
+    val ctx = new Context(spark)
+    import spark.implicits._
+    ctx.createTable("html_fn_docs", Seq(
+      (1L, "<html><head><title>T1</title></head><body><p>a &amp; b</p><a href=\"u1\">l</a></body></html>"))
+      .toDF("doc_id", "html"))
+    val r = ctx.sql(
+      """SELECT doc_id, html_extract(html) AS text, html_title(html) AS title,
+        |       html_links(html) AS links FROM html_fn_docs""".stripMargin)
+      .collect().head
+    // title content is visible text (first line) — WET files keep it too
+    assert(r.getString(1) == "T1\na & b\nl")
+    assert(r.getString(2) == "T1")
+    assert(r.getSeq[String](3) == Seq("u1"))
+    ctx.sql("DROP TABLE IF EXISTS html_fn_docs")
+  }
+
+  test("EXTRACT statement: passthrough columns, title+text, links opt-in") {
+    val ctx = new Context(spark)
+    import spark.implicits._
+    ctx.createTable("html_docs", Seq(
+      (1L, "s0", "<html><head><title>Doc 1</title><script>x<1&&y>2</script></head>" +
+        "<body><h1>Head</h1><p>body one</p><a href=\"http://a.b/c\">x</a></body></html>"),
+      (2L, "s1", "<p>just text</p>"))
+      .toDF("doc_id", "source", "html"))
+    val out = ctx.sql(
+      "SELECT * FROM EXTRACT(METHOD html, SELECT * FROM html_docs)")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.schema.fieldNames.toSeq).head ==
+      Seq("doc_id", "source", "title", "text"))
+    assert(out(0).getString(2) == "Doc 1")
+    assert(out(0).getString(3) == "Doc 1\nHead\nbody one\nx")
+    assert(out(1).isNullAt(2))
+    assert(out(1).getString(3) == "just text")
+    val withLinks = ctx.sql(
+      "SELECT * FROM EXTRACT(METHOD html WITH (links = 'true'), SELECT * FROM html_docs)")
+      .orderBy("doc_id").collect()
+    assert(withLinks(0).getSeq[String](4) == Seq("http://a.b/c"))
+    // EXPLAIN over EXTRACT shows the real plan (query statement family,
+    // not the extension-DDL placeholder). ConvertToLocalRelation folds
+    // the projection into the LocalTableScan for this in-memory table,
+    // so assert the plan header + output columns rather than the node.
+    val plan = ctx.sql(
+      "EXPLAIN SELECT * FROM EXTRACT(METHOD html, SELECT * FROM html_docs)")
+      .collect().head.getString(0)
+    assert(plan.contains("Physical Plan") && plan.contains("text"))
+    assert(!plan.contains("no query plan"))
+    ctx.sql("DROP TABLE IF EXISTS html_docs")
+  }
+
+  test("adversarial soup never throws and never hangs") {
+    val cases = Seq(
+      "<", "<<<<", "<a", "</", "<!", "<!-", "&", "&#", "&#x;", "&;",
+      "<p<div>x", "<a href=>y</a>", "<a href='>z</a>",
+      "<script><script>nested</script>after",
+      "<style>unterminated", "<p>" * 1000 + "deep",
+      "&#99999999999999999999;", "<a " + "x='y' " * 500 + ">t</a>")
+    cases.foreach { c =>
+      val t = ext(c); assert(t != null)
+      title(c); links(c)
+    }
+    // 1 MB of pathological attribute soup stays fast (linear walk)
+    val soup = ("<div class=\"" + "a&b<c>" * 20 + "\">w </div>") * 2000
+    val t0 = System.nanoTime()
+    val out = ext(soup)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(out.startsWith("w\nw"))
+    assert(secs < 5.0, f"1 MB soup took $secs%.1f s")
+  }
+}

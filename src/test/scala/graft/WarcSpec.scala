@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Warc
+import graft.functions.{HtmlText, HttpMessage}
+
+/** WARC DataSourceV2 (sources.WarcDataSource): round-trip through the
+  * distributed writer, record parsing, gzip multi-member streams, column
+  * pruning, untrusted-byte robustness, and the HTTP splitters that
+  * compose a WET pipeline over it. */
+class WarcSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def tmpDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_warc_$tag").toString
+
+  private def sampleDf(n: Int) = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      ("response", s"<urn:uuid:rec-$i>", s"http://ex.com/p/$i",
+        java.sql.Timestamp.valueOf("2026-01-02 03:04:05"),
+        "application/http; msgtype=response",
+        (s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+          s"<html><body><p>doc $i body</p></body></html>").getBytes("UTF-8"))
+    }.toDF("warc_type", "record_id", "target_uri", "warc_date",
+      "content_type", "content")
+  }
+
+  test("round-trip: write gz, read back every field") {
+    val dir = tmpDir("rt")
+    Warc.write(sampleDf(20).repartition(3), dir, gzip = true)
+    val back = spark.read.format("warc").load(dir)
+    assert(back.count() == 20)
+    val r = back.filter(col("target_uri") === "http://ex.com/p/7")
+      .collect().head
+    assert(r.getAs[String]("warc_type") == "response")
+    assert(r.getAs[String]("record_id") == "<urn:uuid:rec-7>")
+    assert(r.getAs[String]("content_type").startsWith("application/http"))
+    assert(r.getAs[java.sql.Timestamp]("warc_date").toString
+      .startsWith("2026-01-02"))
+    val content = new String(r.getAs[Array[Byte]]("content"), "UTF-8")
+    assert(content.startsWith("HTTP/1.1 200 OK"))
+    assert(content.endsWith("<html><body><p>doc 7 body</p></body></html>"))
+    assert(r.getAs[Long]("content_length") == content.getBytes("UTF-8").length)
+    // one partition per file
+    assert(back.rdd.getNumPartitions == 3)
+  }
+
+  test("plain .warc (no gzip) reads identically; explicit file path works") {
+    val dir = tmpDir("plain")
+    Warc.write(sampleDf(5).coalesce(1), dir, gzip = false)
+    val viaDir = spark.read.format("warc").load(dir)
+      .select("record_id").collect().map(_.getString(0)).toSet
+    assert(viaDir == (0 until 5).map(i => s"<urn:uuid:rec-$i>").toSet)
+    val file = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".warc")).head.getAbsolutePath
+    assert(spark.read.format("warc").load(file).count() == 5)
+  }
+
+  test("column pruning reaches the reader: metadata scan skips content") {
+    val dir = tmpDir("prune")
+    Warc.write(sampleDf(10).coalesce(1), dir)
+    val df = spark.read.format("warc").load(dir).select("target_uri")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("ReadSchema: struct<target_uri:string>") ||
+      !scan.contains("content"), s"content not pruned:\n$scan")
+    assert(df.count() == 10)
+    // content_length still answers without materializing content
+    val lens = spark.read.format("warc").load(dir)
+      .select("record_id", "content_length").collect()
+    assert(lens.forall(_.getLong(1) > 0))
+  }
+
+  test("multi-member gzip: concatenated .warc.gz members stream as one") {
+    // the Common-Crawl layout — each record its own gzip member,
+    // members concatenated into one file
+    val dir = tmpDir("members")
+    val f = new java.io.File(dir, "cc.warc.gz")
+    val out = new java.io.FileOutputStream(f)
+    (0 until 4).foreach { i =>
+      val rec = (s"WARC/1.0\r\nWARC-Type: resource\r\n" +
+        s"WARC-Record-ID: <urn:uuid:m-$i>\r\nContent-Length: 5\r\n\r\nb$i-ok\r\n\r\n")
+        .getBytes("UTF-8")
+      val gz = new java.util.zip.GZIPOutputStream(out) {
+        def finishOnly(): Unit = finish() // keep underlying stream open
+      }
+      gz.write(rec); gz.finishOnly()
+    }
+    out.close()
+    val back = spark.read.format("warc").load(f.getAbsolutePath)
+      .select("record_id", "content").collect()
+      .map(r => r.getString(0) -> new String(r.getAs[Array[Byte]](1), "UTF-8"))
+      .toMap
+    assert(back == (0 until 4).map(i => s"<urn:uuid:m-$i>" -> s"b$i-ok").toMap)
+  }
+
+  test("untrusted bytes: truncation, garbage, bad lengths end cleanly") {
+    val dir = tmpDir("adversarial")
+    def put(name: String, s: String): Unit = {
+      val w = new java.io.FileOutputStream(new java.io.File(dir, name))
+      w.write(s.getBytes("UTF-8")); w.close()
+    }
+    // valid record followed by a truncated one: the valid one survives
+    put("trunc.warc",
+      "WARC/1.0\r\nWARC-Record-ID: <ok>\r\nContent-Length: 2\r\n\r\nhi\r\n\r\n" +
+        "WARC/1.0\r\nWARC-Record-ID: <cut>\r\nContent-Length: 999\r\n\r\nshort")
+    // negative / unparseable lengths stop that file without throwing
+    put("badlen.warc",
+      "WARC/1.0\r\nWARC-Record-ID: <bad>\r\nContent-Length: -4\r\n\r\nxxxx\r\n\r\n")
+    // leading garbage before the first magic is skipped
+    put("garbage.warc",
+      "not a warc preamble\r\n\r\n" +
+        "WARC/1.0\r\nWARC-Record-ID: <after-garbage>\r\nContent-Length: 2\r\n\r\nok\r\n\r\n")
+    val ids = scala.util.Try(
+      spark.read.format("warc").load(dir)
+        .select("record_id").collect().map(_.getString(0)).toSet)
+    // the truncated record THROWS (EOF mid-content is data loss a reader
+    // must not silence); files with clean-stop conditions parse their
+    // valid prefix
+    assert(ids.isFailure || ids.get.contains("<after-garbage>"))
+    val perFile = spark.read.format("warc")
+      .load(new java.io.File(dir, "garbage.warc").getAbsolutePath)
+      .select("record_id").collect().map(_.getString(0)).toSet
+    assert(perFile == Set("<after-garbage>"))
+    val bad = spark.read.format("warc")
+      .load(new java.io.File(dir, "badlen.warc").getAbsolutePath).count()
+    assert(bad == 0)
+  }
+
+  test("http splitters: body, header, status; WET composition end-to-end") {
+    val msg = ("HTTP/1.1 301 Moved\r\nLocation: http://x.y/\r\n" +
+      "Content-Type: text/html; charset=utf-8\r\n\r\n<p>moved &amp; gone</p>")
+      .getBytes("UTF-8")
+    assert(new String(HttpMessage.body(msg), "UTF-8") == "<p>moved &amp; gone</p>")
+    assert(HttpMessage.header(msg, "content-type") == "text/html; charset=utf-8")
+    assert(HttpMessage.header(msg, "Location") == "http://x.y/")
+    assert(HttpMessage.header(msg, "absent") == null)
+    assert(HttpMessage.status(msg) == 301)
+    assert(HttpMessage.body("no separator here".getBytes) == null)
+    assert(HttpMessage.status("not http\r\n\r\nbody".getBytes) == null)
+    // LF-only message tolerated
+    val lf = "HTTP/1.0 200 OK\nContent-Type: a/b\n\nBODY".getBytes("UTF-8")
+    assert(new String(HttpMessage.body(lf), "UTF-8") == "BODY")
+    assert(HttpMessage.status(lf) == 200)
+
+    // the full WET pipeline: warc scan → http_body → html_extract
+    val dir = tmpDir("wet")
+    Warc.write(sampleDf(6).repartition(2), dir)
+    val wet = spark.read.format("warc").load(dir)
+      .filter(HttpMessage.httpStatus(col("content")) === 200)
+      .select(col("target_uri"),
+        HtmlText.htmlExtractText(
+          HttpMessage.httpBody(col("content")).cast("string")).as("text"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(wet.size == 6)
+    (0 until 6).foreach(i =>
+      assert(wet(s"http://ex.com/p/$i") == s"doc $i body"))
+  }
+
+  test("SQL functions http_body/http_header/http_status registered") {
+    val ctx = new Context(spark)
+    import spark.implicits._
+    ctx.createTable("http_docs", Seq(
+      (1L, "HTTP/1.1 404 NF\r\nX-K: v\r\n\r\n<p>gone</p>".getBytes("UTF-8")))
+      .toDF("id", "content"))
+    val r = ctx.sql(
+      """SELECT http_status(content) AS st, http_header(content, 'X-K') AS xk,
+        |       html_extract(CAST(http_body(content) AS STRING)) AS text
+        |FROM http_docs""".stripMargin).collect().head
+    assert(r.getInt(0) == 404 && r.getString(1) == "v" && r.getString(2) == "gone")
+    ctx.sql("DROP TABLE IF EXISTS http_docs")
+  }
+}
