@@ -369,7 +369,7 @@ class Context(val spark: SparkSession) {
       ExtensionParser.parse(rest) match {
         case _: DedupTable | _: SimSearch | _: PredictModel | _: Decontaminate |
              _: Stratify | _: Chunk | _: Pack | _: Score | _: Sample |
-             _: Tokenize | _: Summarize | _: Extract =>
+             _: Tokenize | _: Summarize | _: Extract | _: Train =>
           val plan = exec(rest).queryExecution.explainString(
             org.apache.spark.sql.execution.ExplainMode.fromString(
               Option(mode).map(_.trim.toLowerCase).getOrElse("formatted")))
@@ -955,6 +955,29 @@ class Context(val spark: SparkSession) {
           Seq(graft.functions.HtmlText.htmlLinks(col(htmlCol)).as("links"))
         else Nil)
       df.select(passthrough ++ extracted: _*)
+
+    // SELECT * FROM TRAIN(METHOD linear [WITH (...)], <select>) — fit the
+    // SCORE METHOD linear quality gate on the inner query's labeled docs
+    // (label= names a 0/1 column). Returns the (term, weight) table PLUS
+    // one (term='', weight=bias) row: SCORE linear filters empty terms
+    // out of a weights table, so the output feeds it directly; read the
+    // '' row for the bias= option. Training runs AT STATEMENT TIME
+    // (iters= full passes; the EXPLAIN doc note on compile-side actions
+    // applies doubly here).
+    case Train(method, opts, select) =>
+      require(method == "linear", s"Unknown TRAIN method: $method (linear)")
+      val m = graft.operators.Corpus.linearTrain(
+        sql(select),
+        textCol = opts.getOrElse("text", "text"),
+        labelCol = opts.getOrElse("label", "label"),
+        iters = opts.get("iters").map(_.trim.toInt).getOrElse(10),
+        lr = opts.get("lr").map(_.trim.toDouble).getOrElse(1.0),
+        fitBias = opts.get("fit_bias").forall(_.trim.toBoolean),
+        average = opts.get("average").forall(_.trim.toBoolean),
+        broadcastWeights =
+          opts.get("broadcast").forall(_.trim.toBoolean))
+      import spark.implicits._
+      m.weights.unionAll(Seq(("", m.bias)).toDF("term", "weight"))
 
     case DescribeModel(name) =>
       val m = schemas(currentSchema).models.getOrElse(name.toLowerCase,

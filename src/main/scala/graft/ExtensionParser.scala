@@ -84,6 +84,11 @@ object ExtensionParser {
     * WET-generation step (no reference analogue; parity-plus). */
   final case class Extract(method: String, options: Map[String, String],
       select: String) extends Statement
+  /** Train a linear text classifier on the inner query's labeled docs —
+    * the other half of SCORE METHOD linear (no reference analogue;
+    * parity-plus). */
+  final case class Train(method: String, options: Map[String, String],
+      select: String) extends Statement
   final case class DescribeModel(name: String) extends Statement
   final case class DropModel(name: String, ifExists: Boolean) extends Statement
   final case class ExportModel(name: String, options: Map[String, String]) extends Statement
@@ -214,6 +219,9 @@ object ExtensionParser {
   // SELECT * FROM EXTRACT(METHOD html [WITH (...)], <select>)
   private val extractStmt =
     re(s"SELECT${ws}\\*${ws}FROM${ws}EXTRACT\\s*\\(\\s*METHOD${ws}$ident(?:${ws}WITH${ws}\\($kwSpan\\))?\\s*,(.*)\\)")
+  // SELECT * FROM TRAIN(METHOD linear [WITH (...)], <select>)
+  private val trainStmt =
+    re(s"SELECT${ws}\\*${ws}FROM${ws}TRAIN\\s*\\(\\s*METHOD${ws}$ident(?:${ws}WITH${ws}\\($kwSpan\\))?\\s*,(.*)\\)")
   private val describeModel = re(s"DESCRIBE${ws}MODEL${ws}$ident")
   private val dropModel = re(s"DROP${ws}MODEL${ws}(IF${ws}EXISTS${ws})?$ident")
   private val exportModel =
@@ -269,6 +277,9 @@ object ExtensionParser {
         Option(kwargs).map(parseKwargs).getOrElse(Map()), select.trim)
     case extractStmt(method, kwargs, select) =>
       Extract(method.toLowerCase,
+        Option(kwargs).map(parseKwargs).getOrElse(Map()), select.trim)
+    case trainStmt(method, kwargs, select) =>
+      Train(method.toLowerCase,
         Option(kwargs).map(parseKwargs).getOrElse(Map()), select.trim)
     case describeModel(name) => DescribeModel(name)
     case dropModel(ifEx, name) => DropModel(name, ifEx != null)

@@ -969,6 +969,124 @@ object Corpus {
       .withColumn("kept", col("prob") >= threshold)
   }
 
+  /** Trained linear model: (term, weight) rows + intercept + per-iteration
+    * mean log-loss (strictly decreasing on any sane run — spec-asserted). */
+  final case class LinearModel(weights: DataFrame, bias: Double,
+      losses: Seq[Double])
+
+  /** Linear text-classifier TRAINING — the other half of [[linearScore]]'s
+    * quality gate, completing the CCNet/FineWeb-Edu loop IN the engine:
+    * label a seed set (rules, an LLM, a reference corpus), `linearTrain`
+    * on it, `linearScore` the full corpus with the result. Plain batch
+    * gradient descent on logistic loss over exactly [[linearScore]]'s
+    * functional form —
+    *   logit_d = bias + Σ_t tf_d(t)·w(t) / n_d   (mean pooling)
+    *   e_d     = σ(logit_d) − y_d
+    *   w(t)   −= lr/N · Σ_d e_d · tf_d(t)/n_d ;  bias −= lr/N · Σ_d e_d
+    * — deterministic (zero init, fixed iteration count, no RNG; float
+    * sums are associativity-noisy at ~1e-13 relative, inside every
+    * oracle tolerance). Training the EXACT inference form matters: a
+    * model fit on different pooling silently miscalibrates the gate.
+    *
+    * Scale shape: the token explode + per-(doc,term) counts materialize
+    * ONCE (cached — they are the training set, reread every iteration);
+    * each iteration is (a) a broadcast-hash join of the term rows
+    * against the vocabulary-sized weights (the [[linearScore]] bound:
+    * 10⁴-10⁶ rows — beyond broadcast, pass `broadcastWeights = false`
+    * for a shuffle join), (b) a per-doc partial-agg regroup for logits,
+    * (c) a per-term regroup for gradients, (d) ONE O(1)-row driver
+    * collect (Σe, loss) for the bias step and the loss record. Weights
+    * persist round-over-round with the previous round unpersisted —
+    * bounded lineage, bounded storage, the connected-components loop
+    * discipline. Documents never shuffle; nothing document-sized ever
+    * reaches the driver. Iteration count is the caller's budget knob
+    * (each iteration is a full pass — batch GD, not SGD: deterministic
+    * and shuffle-friendly where per-row updates are neither).
+    */
+  def linearTrain(
+      df: DataFrame, textCol: String, labelCol: String,
+      iters: Int = 10, lr: Double = 1.0, fitBias: Boolean = true,
+      average: Boolean = true,
+      broadcastWeights: Boolean = true): LinearModel = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = filter(split(lower(col(textCol)), " "), t => t =!= "")
+    // _rid is NONDETERMINISTIC, and docs + terms below must agree on it —
+    // base is persisted so both read the SAME materialized ids instead of
+    // two independent evaluations (its own projection below the explode,
+    // per the ExtractGenerator hoist caveat on linearScore/oovRate)
+    val base = df.select(
+        monotonically_increasing_id().as("_rid"),
+        col(labelCol).cast("double").as("_y"), col(textCol))
+      .select(col("_rid"), col("_y"), toks.as("_toks"))
+      .select(col("_rid"), col("_y"),
+        greatest(size(col("_toks")), lit(1)).cast("double").as("_n"),
+        col("_toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docs = base.select("_rid", "_y", "_n")
+    // per-(doc, term) feature value x = tf/n — the training set, read
+    // every iteration, so it is the one thing worth caching
+    // feature value x = tf/n (mean pooling, linearScore's average=true
+    // default) or raw tf (sum pooling, average=false) — train the SAME
+    // pooling the gate will score with
+    val xCol = if (average) col("_tf") / col("_n") else col("_tf")
+    val terms = base
+      .select(col("_rid"), col("_n"), explode(col("_toks")).as("_t"))
+      .groupBy("_rid", "_n", "_t").agg(count(lit(1)).cast("double").as("_tf"))
+      .select(col("_rid"), col("_t"), xCol.as("_x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = docs.count().toDouble
+    require(nDocs > 0, "linearTrain: empty training set")
+
+    var weights: DataFrame = Seq.empty[(String, Double)].toDF("_t", "_w")
+    var bias = 0.0
+    val losses = scala.collection.mutable.ArrayBuffer[Double]()
+    var iter = 0
+    while (iter < iters) {
+      val w = if (broadcastWeights) broadcast(weights) else weights
+      val logits = terms.join(w, Seq("_t"), "left")
+        .groupBy("_rid")
+        .agg(sum(col("_x") * coalesce(col("_w"), lit(0.0))).as("_dot"))
+      val errs = docs.join(logits, Seq("_rid"), "left")
+        .select(col("_rid"), col("_y"),
+          (lit(bias) + coalesce(col("_dot"), lit(0.0))).as("_logit"))
+        .select(col("_rid"),
+          (lit(1.0) / (lit(1.0) + exp(-col("_logit"))) - col("_y")).as("_e"),
+          // numerically-stable log-loss: ln(1+e^−|z|) + max(∓z·y…, 0)
+          (log(lit(1.0) + exp(-abs(col("_logit")))) +
+            greatest(when(col("_y") > 0.5, -col("_logit"))
+              .otherwise(col("_logit")), lit(0.0))).as("_l"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // the iteration's ONLY driver row: bias gradient + mean loss
+      val agg = errs.agg(sum(col("_e")), avg(col("_l"))).collect().head
+      val sumE = agg.getDouble(0)
+      losses += agg.getDouble(1)
+      if (fitBias) bias -= lr * sumE / nDocs
+      val grads = terms.join(errs.select("_rid", "_e"), Seq("_rid"))
+        .groupBy("_t").agg(sum(col("_x") * col("_e")).as("_g"))
+      // eager localCheckpoint (the engine's loop discipline — CC, BPE):
+      // each round references the previous weights TWICE (logits + the
+      // update join), so an un-truncated logical plan DOUBLES per round —
+      // persist alone bounds recomputation but left analysis/EXPLAIN cost
+      // growing 2^iters (found the hard way: iteration 8 spent minutes
+      // inside AQE's plan-string rendering)
+      val next = weights.join(grads, Seq("_t"), "full")
+        .select(col("_t"),
+          (coalesce(col("_w"), lit(0.0)) -
+            lit(lr / nDocs) * coalesce(col("_g"), lit(0.0))).as("_w"))
+        .localCheckpoint()
+      errs.unpersist()
+      weights = next
+      iter += 1
+    }
+    base.unpersist()
+    terms.unpersist()
+    LinearModel(
+      weights.select(col("_t").as("term"), col("_w").as("weight")),
+      bias, losses.toSeq)
+  }
+
   /** Per-group corpus profile — the dataset card's summary table (doc
     * count, char/token volume, length distribution, mean heuristic
     * quality) in ONE aggregate. All signals are computed in-row first, so

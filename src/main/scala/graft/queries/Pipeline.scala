@@ -1455,6 +1455,115 @@ object Pipeline {
         .orderBy("target_uri")
     },
 
+    // ---- Linear classifier TRAINING (r8): batch GD on logistic loss
+    // over exactly linearScore's functional form, completing the
+    // CCNet/FineWeb-Edu loop (label a seed set → TRAIN → SCORE the
+    // corpus). The oracle REPLAYS the algorithm: two full gradient
+    // iterations from the zero model, expressed in DuckDB CTEs — term
+    // features, e₀ = ½−y, w₁, logits through w₁, e₁, w₂ and both bias
+    // steps — so the distributed trainer is held to the exact math, not
+    // just an outcome. Deterministic: zero init, fixed iteration count,
+    // no RNG (float-sum association noise ~1e-13, inside tolerance). ----
+    Q("p77_linear_train", Some("""
+      WITH d AS (
+        SELECT doc_id,
+               CASE WHEN contains(text, 'fast') THEN 1.0 ELSE 0.0 END AS y,
+               CAST(greatest(len(string_split(lower(text), ' ')), 1) AS DOUBLE) AS n,
+               string_split(lower(text), ' ') AS ws
+        FROM documents),
+      terms AS (
+        SELECT doc_id, t, CAST(count(*) AS DOUBLE) / any_value(n) AS x
+        FROM (SELECT doc_id, n, unnest(ws) AS t FROM d)
+        GROUP BY doc_id, t),
+      nd AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM d),
+      e0 AS (SELECT doc_id, 0.5 - y AS e FROM d),
+      b1 AS (SELECT -0.8 * sum(e) / (SELECT c FROM nd) AS b FROM e0),
+      w1 AS (
+        SELECT t.t AS term, -0.8 * sum(t.x * e.e) / (SELECT c FROM nd) AS w
+        FROM terms t JOIN e0 e USING (doc_id) GROUP BY t.t),
+      z1 AS (
+        SELECT d.doc_id, d.y,
+               (SELECT b FROM b1) + coalesce(sum(t.x * w1.w), 0) AS z
+        FROM d
+        LEFT JOIN terms t USING (doc_id)
+        LEFT JOIN w1 ON t.t = w1.term
+        GROUP BY d.doc_id, d.y),
+      e1 AS (SELECT doc_id, 1.0 / (1.0 + exp(-z)) - y AS e FROM z1),
+      g1 AS (
+        SELECT t.t AS term, sum(t.x * e.e) AS g
+        FROM terms t JOIN e1 e USING (doc_id) GROUP BY t.t),
+      w2 AS (
+        SELECT w1.term AS term,
+               w1.w - 0.8 * coalesce(g1.g, 0) / (SELECT c FROM nd) AS w
+        FROM w1 LEFT JOIN g1 USING (term)),
+      b2 AS (SELECT (SELECT b FROM b1) - 0.8 * sum(e) / (SELECT c FROM nd) AS b
+             FROM e1)
+      SELECT term, round(w, 6) AS weight FROM w2
+      UNION ALL
+      SELECT '' AS term, round((SELECT b FROM b2), 6) AS weight
+      ORDER BY term""")) { (s, d) =>
+      import s.implicits._
+      val docs = t(s, d, "documents")
+        .withColumn("y", col("text").contains("fast").cast("int"))
+      val m = graft.operators.Corpus.linearTrain(docs, "text", "y",
+        iters = 2, lr = 0.8)
+      m.weights
+        .unionAll(Seq(("", m.bias)).toDF("term", "weight"))
+        .select(col("term"), round(col("weight"), 6).as("weight"))
+        .orderBy("term")
+    },
+
+    // The same training through the TRAIN statement surface (the bias
+    // rides as the term='' row, which SCORE METHOD linear ignores — the
+    // output table feeds the gate directly).
+    Q("p77c_linear_train_sql", Some("""
+      WITH d AS (
+        SELECT doc_id,
+               CASE WHEN contains(text, 'fast') THEN 1.0 ELSE 0.0 END AS y,
+               CAST(greatest(len(string_split(lower(text), ' ')), 1) AS DOUBLE) AS n,
+               string_split(lower(text), ' ') AS ws
+        FROM documents),
+      terms AS (
+        SELECT doc_id, t, CAST(count(*) AS DOUBLE) / any_value(n) AS x
+        FROM (SELECT doc_id, n, unnest(ws) AS t FROM d)
+        GROUP BY doc_id, t),
+      nd AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM d),
+      e0 AS (SELECT doc_id, 0.5 - y AS e FROM d),
+      b1 AS (SELECT -0.8 * sum(e) / (SELECT c FROM nd) AS b FROM e0),
+      w1 AS (
+        SELECT t.t AS term, -0.8 * sum(t.x * e.e) / (SELECT c FROM nd) AS w
+        FROM terms t JOIN e0 e USING (doc_id) GROUP BY t.t),
+      z1 AS (
+        SELECT d.doc_id, d.y,
+               (SELECT b FROM b1) + coalesce(sum(t.x * w1.w), 0) AS z
+        FROM d
+        LEFT JOIN terms t USING (doc_id)
+        LEFT JOIN w1 ON t.t = w1.term
+        GROUP BY d.doc_id, d.y),
+      e1 AS (SELECT doc_id, 1.0 / (1.0 + exp(-z)) - y AS e FROM z1),
+      g1 AS (
+        SELECT t.t AS term, sum(t.x * e.e) AS g
+        FROM terms t JOIN e1 e USING (doc_id) GROUP BY t.t),
+      w2 AS (
+        SELECT w1.term AS term,
+               w1.w - 0.8 * coalesce(g1.g, 0) / (SELECT c FROM nd) AS w
+        FROM w1 LEFT JOIN g1 USING (term)),
+      b2 AS (SELECT (SELECT b FROM b1) - 0.8 * sum(e) / (SELECT c FROM nd) AS b
+             FROM e1)
+      SELECT term, round(w, 6) AS weight FROM w2
+      UNION ALL
+      SELECT '' AS term, round((SELECT b FROM b2), 6) AS weight
+      ORDER BY term""")) { (s, d) =>
+      val ctx = new graft.Context(s)
+      ctx.createTableFromPath("documents", s"$d/documents.parquet")
+      ctx.sql(
+        """SELECT * FROM TRAIN(METHOD linear WITH (label = 'y', iters = '2', lr = '0.8'),
+          |SELECT doc_id, text, CAST(contains(text, 'fast') AS INT) AS y
+          |FROM documents)""".stripMargin)
+        .select(col("term"), round(col("weight"), 6).as("weight"))
+        .orderBy("term")
+    },
+
     // The WET pipeline end-to-end over the same archive: WARC scan →
     // http_status filter → http_body → html_extract — four native pieces
     // in ONE projection + filter, no UDF; oracle = the planted text.

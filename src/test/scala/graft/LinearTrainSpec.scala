@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Corpus
+
+/** Linear classifier TRAINING (Corpus.linearTrain): exact agreement with
+  * an independent pure-Scala batch-GD reference, monotone loss on
+  * separable data, and train→score closing the loop to planted labels. */
+class LinearTrainSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import org.apache.spark.sql.DataFrame
+
+  /** Pure-Scala reference: batch GD on logistic loss over the mean-pooled
+    * bag-of-words form, identical update order to the operator. */
+  private def referenceTrain(docs: Seq[(String, Double)], iters: Int,
+      lr: Double): (Map[String, Double], Double) = {
+    val toks = docs.map { case (text, y) =>
+      (text.toLowerCase.split(" ").filter(_.nonEmpty), y)
+    }
+    val n = docs.size.toDouble
+    var w = Map[String, Double]().withDefaultValue(0.0)
+    var bias = 0.0
+    (1 to iters).foreach { _ =>
+      val errs = toks.map { case (ts, y) =>
+        val nd = math.max(ts.length, 1).toDouble
+        val logit = bias + ts.map(w).sum / nd
+        (ts, nd, 1.0 / (1.0 + math.exp(-logit)) - y)
+      }
+      bias -= lr * errs.map(_._3).sum / n
+      val grad = scala.collection.mutable.Map[String, Double]().withDefaultValue(0.0)
+      errs.foreach { case (ts, nd, e) =>
+        ts.foreach(t => grad(t) += e / nd)
+      }
+      w = (w.keySet ++ grad.keySet).map(t => t -> (w(t) - lr * grad(t) / n))
+        .toMap.withDefaultValue(0.0)
+    }
+    (w, bias)
+  }
+
+  private def trainDf(docs: Seq[(String, Double)]): DataFrame = {
+    val s0 = spark
+    import s0.implicits._
+    docs.zipWithIndex.map { case ((t, y), i) => (i.toLong, t, y) }
+      .toDF("doc_id", "text", "y")
+  }
+
+  private val tiny = Seq(
+    ("fast query engine scan", 1.0),
+    ("fast fast join", 1.0),
+    ("slow table slow scan", 0.0),
+    ("slow row store", 0.0),
+    ("fast vector slow mix", 1.0),
+    ("", 0.0)) // token-less doc: logit = bias, never crashes
+
+  test("two GD iterations match the pure-Scala reference exactly") {
+    val m = Corpus.linearTrain(trainDf(tiny), "text", "y",
+      iters = 2, lr = 0.7)
+    val (refW, refB) = referenceTrain(tiny, iters = 2, lr = 0.7)
+    val got = m.weights.collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == refW.keySet.filter(refW(_) != 0.0) ||
+      got.keySet == refW.keySet)
+    got.foreach { case (t, v) =>
+      assert(math.abs(v - refW(t)) < 1e-12, s"weight[$t]: $v vs ${refW(t)}")
+    }
+    assert(math.abs(m.bias - refB) < 1e-12, s"bias: ${m.bias} vs $refB")
+    assert(m.losses.size == 2)
+    // first-iteration loss is exactly ln 2 (all-zero model, p = 0.5)
+    assert(math.abs(m.losses.head - math.log(2.0)) < 1e-12)
+  }
+
+  test("loss decreases monotonically on separable data; fitBias=false holds bias at 0") {
+    val m = Corpus.linearTrain(trainDf(tiny.filter(_._1.nonEmpty)),
+      "text", "y", iters = 8, lr = 2.0)
+    m.losses.sliding(2).foreach { case Seq(a, b) =>
+      assert(b < a, s"loss rose: ${m.losses}")
+    }
+    val nb = Corpus.linearTrain(trainDf(tiny), "text", "y",
+      iters = 3, lr = 1.0, fitBias = false)
+    assert(nb.bias == 0.0)
+  }
+
+  test("train -> linearScore closes the loop: strong-margin labels recovered exactly") {
+    val s0 = spark
+    import s0.implicits._
+    // a strong-margin planted problem: the marker word decides the label
+    // and fillers are class-balanced, so sum pooling separates with a
+    // weight-scaled margin and batch GD drives training error to zero in
+    // a bounded iteration budget
+    val docs = (0 until 60).map { i =>
+      val filler = Seq("alpha beta", "beta gamma", "gamma alpha")(i % 3)
+      if (i % 2 == 0) (i.toLong, s"marker $filler marker", 1)
+      else (i.toLong, s"$filler plain", 0)
+    }.toDF("doc_id", "text", "y")
+    val m = Corpus.linearTrain(docs, "text", "y",
+      iters = 40, lr = 1.0, average = false)
+    assert(m.losses.last < m.losses.head / 4)
+    val scored = Corpus.linearScore(docs, m.weights, "doc_id", "text",
+      bias = m.bias, average = false)
+    val wrong = scored.join(docs.select(col("doc_id"), col("y")), "doc_id")
+      .filter(col("kept").cast("int") =!= col("y")).count()
+    assert(wrong == 0, s"$wrong/60 strong-margin docs misclassified")
+  }
+
+  test("realistic-corpus problem: loss decreases and accuracy beats the base rate") {
+    // label 1 iff the marker occurs ≥ 3 times over the documents table —
+    // linearly separable in the count feature but weakly conditioned
+    // (every common word appears in most docs), so bounded-budget batch
+    // GD is held to a calibration bar, not exact recovery: loss strictly
+    // improves and accuracy clears both class base rates by a margin.
+    val s0 = spark
+    import s0.implicits._
+    val docs = Tables.t(spark, TestSpark.sf, "documents")
+      .withColumn("y",
+        (size(filter(split(col("text"), " "), t => t === "fast")) >= 3)
+          .cast("int"))
+    val m = Corpus.linearTrain(docs, "text", "y",
+      iters = 40, lr = 0.05, average = false)
+    assert(m.losses.last < m.losses.head * 0.7, s"losses: ${m.losses}")
+    val scored = Corpus.linearScore(docs, m.weights, "doc_id", "text",
+      bias = m.bias, average = false)
+    val joined = scored.join(docs.select(col("doc_id"), col("y")), "doc_id")
+    val total = joined.count().toDouble
+    val correct = joined.filter(col("kept").cast("int") === col("y")).count()
+    val pos = joined.filter(col("y") === 1).count().toDouble
+    val baseRate = math.max(pos, total - pos) / total
+    assert(correct / total > baseRate + 0.05,
+      f"accuracy ${correct / total}%.3f vs base rate $baseRate%.3f")
+    // the marker word carries the dominant weight — the model learned
+    // the planted feature, not a length proxy
+    val topTerm = m.weights.orderBy(desc("weight")).limit(1)
+      .collect().head.getString(0)
+    assert(topTerm == "fast", s"dominant term: $topTerm")
+  }
+
+  test("shuffle-join weight path equals the broadcast path") {
+    val a = Corpus.linearTrain(trainDf(tiny), "text", "y",
+      iters = 3, lr = 1.0)
+    val b = Corpus.linearTrain(trainDf(tiny), "text", "y",
+      iters = 3, lr = 1.0, broadcastWeights = false)
+    val wa = a.weights.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val wb = b.weights.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(wa.keySet == wb.keySet)
+    wa.foreach { case (t, v) => assert(math.abs(v - wb(t)) < 1e-12) }
+    assert(math.abs(a.bias - b.bias) < 1e-12)
+  }
+}
