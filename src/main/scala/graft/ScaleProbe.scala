@@ -486,7 +486,73 @@ object ScaleProbe {
           docs.withColumn("q",
             graft.functions.TextAnalysis.qualityScore(col("text"))),
           "source", "q")
+      },
+      time("html_extract") {
+        // r8: the WET step at clone scale — ~2.4 KB of markup per doc
+        // (title + script soup + one <p> per word + a link + comment),
+        // title + text + links in ONE projection; pure per-row walk, the
+        // probe measures the markup build AND the three extractions
+        val html = expr(
+          """concat('<html><head><title>Doc ', doc_id,
+            |'</title><script>if (a&&b<c) { junk("</p>"); }</script></head>',
+            |'<body><h1>Doc ', doc_id, '</h1><p>',
+            |replace(text, ' ', '</p><p>'),
+            |'</p><a href="http://ex.com/', doc_id,
+            |'?a=1&amp;b=2">next</a><!-- hidden --></body></html>')"""
+            .stripMargin.replace("\n", " "))
+        docs.select(col("doc_id"), html.as("html"))
+          .select(col("doc_id"),
+            graft.functions.HtmlText.htmlTitle(col("html")).as("title"),
+            graft.functions.HtmlText.htmlExtractText(col("html")).as("text"),
+            graft.functions.HtmlText.htmlLinks(col("html")).as("links"))
+      },
+      time("linear_train_5it") {
+        // r8: five full GD passes at clone scale — per-iteration cost is
+        // the real number (broadcast weights join + two partial-agg
+        // regroups + one O(1) driver row); the clone corpus multiplies
+        // doc rows REP× while the vocabulary stays fixed
+        operators.Corpus.linearTrain(
+          docs.withColumn("y", col("text").contains("fast").cast("int")),
+          "text", "y", iters = 5, lr = 0.8).weights
       }).flatten ++ {
+      // r8 WARC probes (not in the `time` Seq: the write probe returns no
+      // DataFrame). Write the clone corpus as HTTP-response records, then
+      // scan twice — metadata-only (content SKIPPED via pruning) vs full
+      // content — the difference is the pruning win a 100 TB crawl scan
+      // lives on.
+      if (!wanted("warc")) Seq.empty
+      else {
+        val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_warc_probe_$rep").toString
+        val content = concat(
+          lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html><body><p>"),
+          expr("replace(text, ' ', '</p><p>')"),
+          lit("</p></body></html>")).cast("binary")
+        val recs = docs.select(
+          lit("response").as("warc_type"),
+          concat(lit("<urn:uuid:doc-"), col("doc_id"), lit(">")).as("record_id"),
+          concat(lit("http://crawl.test/doc/"), col("doc_id")).as("target_uri"),
+          to_timestamp(lit("2026-01-02 03:04:05")).as("warc_date"),
+          lit("application/http; msgtype=response").as("content_type"),
+          content.as("content"))
+        val t0 = System.nanoTime()
+        graft.sources.Warc.write(recs.repartition(32), dir, gzip = true)
+        val wSecs = (System.nanoTime() - t0) / 1e9
+        val scanMeta = time("warc_scan_meta") {
+          spark.read.format("warc").load(dir)
+            .select("target_uri", "content_length")
+        }
+        val scanFull = time("warc_scan_full_wet") {
+          spark.read.format("warc").load(dir)
+            .select(col("target_uri"),
+              graft.functions.HtmlText.htmlExtractText(
+                graft.functions.HttpMessage.httpBody(col("content"))
+                  .cast("string")).as("text"))
+        }
+        (Seq(Some(("warc_write_gz", wSecs, nDocs))) ++
+          Seq(scanMeta, scanFull)).flatten
+      }
+    } ++ {
       // semantic dedup at clone scale: replicate the embeddings table the
       // same way (every vector rep exact copies), assign clusters with the
       // IVF KMeans quantizer, then dedup within cells — the full SemDeDup

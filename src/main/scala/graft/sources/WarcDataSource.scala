@@ -101,10 +101,23 @@ object Warc {
         buf
       }
 
+      // On a gzip stream, InflaterInputStream.skip() decompresses through
+      // an internal 512-BYTE buffer — measurably slower than just reading
+      // 64 KB chunks into a reusable scratch (the probe caught the
+      // metadata-only scan running SLOWER than the full-content scan).
+      // Plain streams keep real skip(): BufferedInputStream delegates to
+      // the FS stream's seek, which is O(1).
+      private val gzScratch: Array[Byte] =
+        if (in.isInstanceOf[java.util.zip.GZIPInputStream]) new Array[Byte](1 << 16)
+        else null
+
       private def skipFully(n: Long): Unit = {
         var left = n
         while (left > 0) {
-          val r = in.skip(left)
+          val r =
+            if (gzScratch != null)
+              in.read(gzScratch, 0, math.min(left, gzScratch.length.toLong).toInt)
+            else in.skip(left)
           if (r > 0) left -= r
           else if (in.read() >= 0) left -= 1 // skip() can return 0 mid-stream
           else throw new java.io.EOFException(
