@@ -1,0 +1,9 @@
+SELECT * FROM EXTRACT(METHOD html WITH (links = 'true'),
+SELECT doc_id,
+  concat('<html><head><title>Doc ', doc_id,
+    '</title><script>if (a&&b<c) { junk("</p>"); }</script></head>',
+    '<body><h1>Doc ', doc_id, '</h1><p>',
+    replace(text, ' ', '</p><p>'),
+    '</p><a href="http://ex.com/', doc_id,
+    '?a=1&amp;b=2">next</a><!-- hidden --></body></html>') AS html
+FROM documents)

@@ -1,0 +1,3 @@
+SELECT * FROM TRAIN(METHOD linear WITH (label = 'y', iters = '2', lr = '0.8'),
+SELECT doc_id, text, CAST(contains(text, 'fast') AS INT) AS y
+FROM documents)
