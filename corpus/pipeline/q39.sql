@@ -1,0 +1,9 @@
+SELECT * FROM PAGERANK(WITH (src = 'page', dst = 'href', iters = '3'),
+SELECT concat('http://crawl.test/doc/', doc_id) AS page,
+  explode(html_links(concat(
+    '<html><body><a href="http://crawl.test/doc/',
+    (doc_id * 7 + 3) % (SELECT count(*) FROM documents),
+    '">one</a><a href="http://crawl.test/doc/',
+    (doc_id * 13 + 11) % (SELECT count(*) FROM documents),
+    '">two</a></body></html>'))) AS href
+FROM documents)

@@ -369,7 +369,8 @@ class Context(val spark: SparkSession) {
       ExtensionParser.parse(rest) match {
         case _: DedupTable | _: SimSearch | _: PredictModel | _: Decontaminate |
              _: Stratify | _: Chunk | _: Pack | _: Score | _: Sample |
-             _: Tokenize | _: Summarize | _: Extract | _: Train =>
+             _: Tokenize | _: Summarize | _: Extract | _: Train |
+             _: PageRankStmt =>
           val plan = exec(rest).queryExecution.explainString(
             org.apache.spark.sql.execution.ExplainMode.fromString(
               Option(mode).map(_.trim.toLowerCase).getOrElse("formatted")))
@@ -978,6 +979,20 @@ class Context(val spark: SparkSession) {
           opts.get("broadcast").forall(_.trim.toBoolean))
       import spark.implicits._
       m.weights.unionAll(Seq(("", m.bias)).toDF("term", "weight"))
+
+    // SELECT * FROM PAGERANK([WITH (...),] <select>) — damped PageRank
+    // with dangling-mass redistribution over the inner query's (src, dst)
+    // edge list; src=/dst= name the columns, iters=/damping= tune the
+    // run. Feeds from html_links: pages → explode(links) → edges →
+    // ranks. Iterative (iters full passes at statement time — the
+    // EXPLAIN compile-side-action note applies).
+    case PageRankStmt(opts, select) =>
+      graft.operators.Corpus.pageRank(
+        sql(select),
+        srcCol = opts.getOrElse("src", "src"),
+        dstCol = opts.getOrElse("dst", "dst"),
+        iters = opts.get("iters").map(_.trim.toInt).getOrElse(10),
+        damping = opts.get("damping").map(_.trim.toDouble).getOrElse(0.85))
 
     case DescribeModel(name) =>
       val m = schemas(currentSchema).models.getOrElse(name.toLowerCase,

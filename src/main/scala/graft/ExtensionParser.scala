@@ -89,6 +89,10 @@ object ExtensionParser {
     * parity-plus). */
   final case class Train(method: String, options: Map[String, String],
       select: String) extends Statement
+  /** PageRank over the inner query's edge list — the link-graph quality
+    * prior (no reference analogue; parity-plus). */
+  final case class PageRankStmt(options: Map[String, String],
+      select: String) extends Statement
   final case class DescribeModel(name: String) extends Statement
   final case class DropModel(name: String, ifExists: Boolean) extends Statement
   final case class ExportModel(name: String, options: Map[String, String]) extends Statement
@@ -222,6 +226,9 @@ object ExtensionParser {
   // SELECT * FROM TRAIN(METHOD linear [WITH (...)], <select>)
   private val trainStmt =
     re(s"SELECT${ws}\\*${ws}FROM${ws}TRAIN\\s*\\(\\s*METHOD${ws}$ident(?:${ws}WITH${ws}\\($kwSpan\\))?\\s*,(.*)\\)")
+  // SELECT * FROM PAGERANK([WITH (...),] <select>)
+  private val pageRankStmt =
+    re(s"SELECT${ws}\\*${ws}FROM${ws}PAGERANK\\s*\\(\\s*(?:WITH${ws}\\($kwSpan\\)\\s*,)?(.*)\\)")
   private val describeModel = re(s"DESCRIBE${ws}MODEL${ws}$ident")
   private val dropModel = re(s"DROP${ws}MODEL${ws}(IF${ws}EXISTS${ws})?$ident")
   private val exportModel =
@@ -280,6 +287,9 @@ object ExtensionParser {
         Option(kwargs).map(parseKwargs).getOrElse(Map()), select.trim)
     case trainStmt(method, kwargs, select) =>
       Train(method.toLowerCase,
+        Option(kwargs).map(parseKwargs).getOrElse(Map()), select.trim)
+    case pageRankStmt(kwargs, select) =>
+      PageRankStmt(
         Option(kwargs).map(parseKwargs).getOrElse(Map()), select.trim)
     case describeModel(name) => DescribeModel(name)
     case dropModel(ifEx, name) => DropModel(name, ifEx != null)

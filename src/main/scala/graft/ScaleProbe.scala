@@ -506,6 +506,18 @@ object ScaleProbe {
             graft.functions.HtmlText.htmlExtractText(col("html")).as("text"),
             graft.functions.HtmlText.htmlLinks(col("html")).as("links"))
       },
+      time("pagerank_5it") {
+        // r8: five damped iterations over the 2-out-degree formula graph
+        // at clone scale (nDocs nodes, 2·nDocs edges) — per-iteration
+        // cost is one edge⋈rank join + per-destination regroup + one
+        // O(1) driver row (dangling mass)
+        val n = lit(nDocs)
+        val e = docs.select(col("doc_id").as("src"),
+            ((col("doc_id") * 7 + 3) % n).as("dst"))
+          .union(docs.select(col("doc_id").as("src"),
+            ((col("doc_id") * 13 + 11) % n).as("dst")))
+        operators.Corpus.pageRank(e, "src", "dst", iters = 5)
+      },
       time("linear_train_5it") {
         // r8: five full GD passes at clone scale — per-iteration cost is
         // the real number (broadcast weights join + two partial-agg

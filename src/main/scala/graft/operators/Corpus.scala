@@ -1615,4 +1615,72 @@ object Corpus {
     edges.unpersist()
     labels.select(col("node"), col("label").as("cluster"))
   }
+
+  /** PageRank over a directed edge list — the link-graph quality prior a
+    * crawl-scale pipeline ranks URLs with (Page et al. 1999; Common-Crawl
+    * publishes exactly this as its host/domain rank artifact). Standard
+    * damped formulation with dangling-mass redistribution:
+    *   r₀(v)   = 1/N
+    *   rₖ₊₁(v) = (1−d)/N + d·( Σ_{u→v} rₖ(u)/out(u)  +  Dₖ/N )
+    * where Dₖ = Σ rₖ(u) over nodes with no out-edges. Multi-edges count
+    * multiply (u→v twice contributes 2·r/out) — the natural reading of
+    * an edge LIST, and what repeated links on a page mean. Node ids are
+    * compared as strings (URLs are the expected key; numeric ids cast).
+    *
+    * Feeds from [[graft.functions.HtmlText.htmlLinks]] output: pages →
+    * explode(links) → edges → ranks; join ranks back to docs as a
+    * quality column. Σ rank = 1 every iteration (spec-pinned invariant).
+    *
+    * Scale shape (the [[linearTrain]] / [[connectedComponents]] loop
+    * discipline): edges + nodes + out-degrees persist ONCE; each
+    * iteration is one edge⋈rank hash join, one per-destination
+    * partial-agg regroup, one left join back to the node list, and ONE
+    * O(1)-row driver collect (the dangling mass — computed as a
+    * left-anti aggregate, no node list ever collected); rank lineage is
+    * truncated per round with an eager localCheckpoint. Driver holds
+    * two doubles; everything else stays distributed. At crawl scale the
+    * edge join dominates — edges are pre-shuffled once by source via
+    * the persisted frame, and the contribution regroup rides partial
+    * aggregation (~1 row per destination per partition). */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 10, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(damping > 0 && damping < 1, s"damping in (0,1), got $damping")
+    val e = edges
+      .select(col(srcCol).cast("string").as("_s"),
+        col(dstCol).cast("string").as("_d"))
+      .filter(col("_s").isNotNull && col("_d").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("_s").as("_v"))
+      .union(e.select(col("_d").as("_v"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val outDeg = e.groupBy("_s").agg(count(lit(1)).cast("double").as("_deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count().toDouble
+    require(n > 0, "pageRank: empty graph")
+    var ranks = nodes.select(col("_v"), lit(1.0 / n).as("_r")).localCheckpoint()
+    var iter = 0
+    while (iter < iters) {
+      val contrib = e
+        .join(ranks.withColumnRenamed("_v", "_s"), Seq("_s"))
+        .join(outDeg, Seq("_s"))
+        .select(col("_d").as("_v"), (col("_r") / col("_deg")).as("_c"))
+        .groupBy("_v").agg(sum(col("_c")).as("_in"))
+      // dangling mass: total rank sitting on nodes with no out-edges —
+      // the iteration's ONLY driver row
+      val dangling = Option(
+        ranks.join(outDeg.withColumnRenamed("_s", "_v"), Seq("_v"),
+            "left_anti")
+          .agg(sum(col("_r"))).collect().head.get(0))
+        .map(_.asInstanceOf[Double]).getOrElse(0.0)
+      val base = (1.0 - damping) / n + damping * dangling / n
+      ranks = nodes.join(contrib, Seq("_v"), "left")
+        .select(col("_v"),
+          (lit(base) + lit(damping) * coalesce(col("_in"), lit(0.0))).as("_r"))
+        .localCheckpoint()
+      iter += 1
+    }
+    e.unpersist(); nodes.unpersist(); outDeg.unpersist()
+    ranks.select(col("_v").as("node"), col("_r").as("rank"))
+  }
 }

@@ -1564,6 +1564,109 @@ object Pipeline {
         .orderBy("term")
     },
 
+    // ---- PageRank (r8): the link-graph quality prior, full circle
+    // through the HTML stage — each doc's page links to two formula-
+    // planted neighbors, the edges come out of html_links (not out of
+    // the formula!), and the oracle rebuilds the SAME edges by formula
+    // then replays TWO damped PageRank iterations in DuckDB CTEs
+    // (contributions, per-node regroup, the (1−d)/N base; the planted
+    // graph is dangling-free — dangling redistribution is spec-gated on
+    // hand graphs). ----
+    Q("p78_pagerank", Some("""
+      WITH e AS (
+        SELECT 'http://crawl.test/doc/' || doc_id AS s,
+               'http://crawl.test/doc/' ||
+                 ((doc_id * 7 + 3) % (SELECT count(*) FROM documents)) AS d
+        FROM documents
+        UNION ALL
+        SELECT 'http://crawl.test/doc/' || doc_id,
+               'http://crawl.test/doc/' ||
+                 ((doc_id * 13 + 11) % (SELECT count(*) FROM documents))
+        FROM documents),
+      nodes AS (SELECT DISTINCT v
+                FROM (SELECT s AS v FROM e UNION ALL SELECT d AS v FROM e)),
+      nc AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+      deg AS (SELECT s, CAST(count(*) AS DOUBLE) AS dg FROM e GROUP BY s),
+      r0 AS (SELECT v, 1.0 / (SELECT n FROM nc) AS r FROM nodes),
+      c1 AS (SELECT e.d AS v, sum(r0.r / deg.dg) AS cin
+             FROM e JOIN r0 ON e.s = r0.v JOIN deg ON e.s = deg.s
+             GROUP BY e.d),
+      r1 AS (SELECT nodes.v,
+                    0.15 / (SELECT n FROM nc) + 0.85 * coalesce(c1.cin, 0) AS r
+             FROM nodes LEFT JOIN c1 ON nodes.v = c1.v),
+      c2 AS (SELECT e.d AS v, sum(r1.r / deg.dg) AS cin
+             FROM e JOIN r1 ON e.s = r1.v JOIN deg ON e.s = deg.s
+             GROUP BY e.d),
+      r2 AS (SELECT nodes.v,
+                    0.15 / (SELECT n FROM nc) + 0.85 * coalesce(c2.cin, 0) AS r
+             FROM nodes LEFT JOIN c2 ON nodes.v = c2.v)
+      SELECT v AS node, round(r, 9) AS rank FROM r2 ORDER BY node""")) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val nSub = org.apache.spark.sql.GraftBridge.column(
+        org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+          docs.select(count(lit(1)).as("n")).queryExecution.analyzed))
+      val l1 = concat(lit("http://crawl.test/doc/"),
+        (col("doc_id") * 7 + 3) % nSub)
+      val l2 = concat(lit("http://crawl.test/doc/"),
+        (col("doc_id") * 13 + 11) % nSub)
+      val html = concat(lit("<html><body><p>see also</p><a href=\""), l1,
+        lit("\">one</a> and <a href=\""), l2,
+        lit("\">two</a></body></html>"))
+      val edges = docs.select(
+        concat(lit("http://crawl.test/doc/"), col("doc_id")).as("page"),
+        explode(graft.functions.HtmlText.htmlLinks(html)).as("href"))
+      graft.operators.Corpus.pageRank(edges, "page", "href", iters = 2)
+        .select(col("node"), round(col("rank"), 9).as("rank"))
+        .orderBy("node")
+    },
+
+    // The same ranks through the PAGERANK statement surface (src=/dst=
+    // name the edge columns), held to the identical replay oracle.
+    Q("p78c_pagerank_sql", Some("""
+      WITH e AS (
+        SELECT 'http://crawl.test/doc/' || doc_id AS s,
+               'http://crawl.test/doc/' ||
+                 ((doc_id * 7 + 3) % (SELECT count(*) FROM documents)) AS d
+        FROM documents
+        UNION ALL
+        SELECT 'http://crawl.test/doc/' || doc_id,
+               'http://crawl.test/doc/' ||
+                 ((doc_id * 13 + 11) % (SELECT count(*) FROM documents))
+        FROM documents),
+      nodes AS (SELECT DISTINCT v
+                FROM (SELECT s AS v FROM e UNION ALL SELECT d AS v FROM e)),
+      nc AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+      deg AS (SELECT s, CAST(count(*) AS DOUBLE) AS dg FROM e GROUP BY s),
+      r0 AS (SELECT v, 1.0 / (SELECT n FROM nc) AS r FROM nodes),
+      c1 AS (SELECT e.d AS v, sum(r0.r / deg.dg) AS cin
+             FROM e JOIN r0 ON e.s = r0.v JOIN deg ON e.s = deg.s
+             GROUP BY e.d),
+      r1 AS (SELECT nodes.v,
+                    0.15 / (SELECT n FROM nc) + 0.85 * coalesce(c1.cin, 0) AS r
+             FROM nodes LEFT JOIN c1 ON nodes.v = c1.v),
+      c2 AS (SELECT e.d AS v, sum(r1.r / deg.dg) AS cin
+             FROM e JOIN r1 ON e.s = r1.v JOIN deg ON e.s = deg.s
+             GROUP BY e.d),
+      r2 AS (SELECT nodes.v,
+                    0.15 / (SELECT n FROM nc) + 0.85 * coalesce(c2.cin, 0) AS r
+             FROM nodes LEFT JOIN c2 ON nodes.v = c2.v)
+      SELECT v AS node, round(r, 9) AS rank FROM r2 ORDER BY node""")) { (s, d) =>
+      val ctx = new graft.Context(s)
+      ctx.createTableFromPath("documents", s"$d/documents.parquet")
+      ctx.sql(
+        """SELECT * FROM PAGERANK(WITH (src = 'page', dst = 'href', iters = '2'),
+          |SELECT concat('http://crawl.test/doc/', doc_id) AS page,
+          |  explode(html_links(concat(
+          |    '<html><body><a href="http://crawl.test/doc/',
+          |    (doc_id * 7 + 3) % (SELECT count(*) FROM documents),
+          |    '">one</a><a href="http://crawl.test/doc/',
+          |    (doc_id * 13 + 11) % (SELECT count(*) FROM documents),
+          |    '">two</a></body></html>'))) AS href
+          |FROM documents)""".stripMargin)
+        .select(col("node"), round(col("rank"), 9).as("rank"))
+        .orderBy("node")
+    },
+
     // The WET pipeline end-to-end over the same archive: WARC scan →
     // http_status filter → http_body → html_extract — four native pieces
     // in ONE projection + filter, no UDF; oracle = the planted text.

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Corpus
+
+/** PageRank (Corpus.pageRank): exact agreement with a pure-Scala
+  * reference (incl. dangling-mass redistribution and multi-edges),
+  * fixed-point and mass-conservation invariants, statement surface. */
+class PageRankSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Pure-Scala reference of the exact formulation in the operator doc. */
+  private def referenceRank(edges: Seq[(String, String)], iters: Int,
+      d: Double = 0.85): Map[String, Double] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size.toDouble
+    val out = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toDouble }
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    (1 to iters).foreach { _ =>
+      val dangling = nodes.filterNot(out.contains).map(r).sum
+      val base = (1.0 - d) / n + d * dangling / n
+      val in = scala.collection.mutable.Map[String, Double]().withDefaultValue(0.0)
+      edges.foreach { case (s, t) => in(t) += r(s) / out(s) }
+      r = nodes.map(v => v -> (base + d * in(v))).toMap
+    }
+    r
+  }
+
+  private def rankMap(edges: Seq[(String, String)], iters: Int): Map[String, Double] = {
+    val s0 = spark
+    import s0.implicits._
+    Corpus.pageRank(edges.toDF("src", "dst"), "src", "dst", iters = iters)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+  }
+
+  test("ring graph is the uniform fixed point at every iteration") {
+    val ring = Seq("a" -> "b", "b" -> "c", "c" -> "a")
+    Seq(1, 3, 7).foreach { it =>
+      val got = rankMap(ring, it)
+      got.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-12))
+    }
+  }
+
+  test("dangling node + multi-edge graph matches the reference exactly") {
+    // d has no out-edges (dangling); a→b appears TWICE (multi-edge: a
+    // sends 2/3 of its rank to b, 1/3 to c)
+    val g = Seq("a" -> "b", "a" -> "b", "a" -> "c",
+      "b" -> "c", "c" -> "d", "b" -> "d")
+    (1 to 6).foreach { it =>
+      val got = rankMap(g, it)
+      val ref = referenceRank(g, it)
+      assert(got.keySet == ref.keySet)
+      got.foreach { case (v, r) =>
+        assert(math.abs(r - ref(v)) < 1e-12, s"iter $it node $v: $r vs ${ref(v)}")
+      }
+      // mass conservation: dangling redistribution keeps Σrank = 1
+      assert(math.abs(got.values.sum - 1.0) < 1e-9, s"mass at iter $it")
+    }
+  }
+
+  test("PAGERANK statement surface matches the operator") {
+    val s0 = spark
+    import s0.implicits._
+    val ctx = new Context(spark)
+    ctx.createTable("pr_edges",
+      Seq(("x", "y"), ("y", "z"), ("z", "x"), ("x", "z")).toDF("s", "t"))
+    val viaSql = ctx.sql(
+      """SELECT * FROM PAGERANK(WITH (src = 's', dst = 't', iters = '4'),
+        |SELECT s, t FROM pr_edges)""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val direct = referenceRank(Seq("x" -> "y", "y" -> "z", "z" -> "x", "x" -> "z"), 4)
+    assert(viaSql.keySet == direct.keySet)
+    viaSql.foreach { case (v, r) => assert(math.abs(r - direct(v)) < 1e-12) }
+    // default iters/damping parse path (no WITH clause)
+    val def0 = ctx.sql(
+      "SELECT * FROM PAGERANK(SELECT s AS src, t AS dst FROM pr_edges)")
+    assert(def0.count() == 3)
+    ctx.sql("DROP TABLE IF EXISTS pr_edges")
+  }
+}
