@@ -142,6 +142,7 @@ class Context(val spark: SparkSession) {
       if (p.endsWith(".csv")) "csv"
       else if (p.endsWith(".json")) "json"
       else if (p.endsWith(".orc")) "orc"
+      else if (p.endsWith(".warc") || p.endsWith(".warc.gz")) "warc"
       else "parquet"
     } else format
     val reader = spark.read.options(options)
@@ -150,6 +151,7 @@ class Context(val spark: SparkSession) {
         .option("inferSchema", "true").csv(path)
       case "json" => reader.json(path)
       case "orc" => reader.orc(path)
+      case "warc" => reader.format("warc").load(path) // sources.WarcDataSource
       case _ => reader.parquet(path)
     }
     schemas(currentSchema).filepaths(norm(name)) = path
@@ -1032,16 +1034,33 @@ class Context(val spark: SparkSession) {
         case Some(ks) => sharded.sortWithinPartitions(ks.map(col): _*)
         case None => sharded
       }
-      // destructive-write guard (round-5 ADVICE): the location is an
-      // arbitrary user-supplied path, so clobbering must be opt-in —
-      // default errorifexists, require an explicit mode='overwrite'
-      var w = sorted.write
-        .format(opts.getOrElse("format", "parquet"))
-        .mode(opts.getOrElse("mode", "errorifexists"))
-      opts.get("max_records_per_file").foreach(n =>
-        w = w.option("maxRecordsPerFile", n.trim.toLong))
-      cols("partition_by").foreach(ks => w = w.partitionBy(ks: _*))
-      w.save(location)
+      opts.getOrElse("format", "parquet") match {
+        // WARC sink (r8): one .warc[.gz] member-stream file per shard via
+        // the distributed writer — the archival/interchange export of a
+        // media or crawl corpus (expects the writer's record columns:
+        // warc_type, record_id, target_uri, warc_date, content_type,
+        // content). Same destructive-write guard as the generic path.
+        case "warc" =>
+          val fs = new org.apache.hadoop.fs.Path(location).getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(new org.apache.hadoop.fs.Path(location)) &&
+              !opts.get("mode").map(_.trim).contains("overwrite"))
+            throw new IllegalArgumentException(
+              s"EXPORT TABLE: $location exists; pass mode='overwrite' to replace")
+          graft.sources.Warc.write(sorted, location,
+            gzip = opts.get("gzip").forall(_.trim.toBoolean))
+        case fmt =>
+          // destructive-write guard (round-5 ADVICE): the location is an
+          // arbitrary user-supplied path, so clobbering must be opt-in —
+          // default errorifexists, require an explicit mode='overwrite'
+          var w = sorted.write
+            .format(fmt)
+            .mode(opts.getOrElse("mode", "errorifexists"))
+          opts.get("max_records_per_file").foreach(n =>
+            w = w.option("maxRecordsPerFile", n.trim.toLong))
+          cols("partition_by").foreach(ks => w = w.partitionBy(ks: _*))
+          w.save(location)
+      }
       emptyResult
 
     case ExportModel(name, opts) =>

@@ -59,6 +59,25 @@ class PageRankSpec extends AnyFunSuite {
     }
   }
 
+  test("seeded random-graph differential family matches the reference") {
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n = 8 + rnd.nextInt(8)
+      // ~2n random edges incl. self-loops, duplicates, and (by omission)
+      // dangling nodes — the shapes a real link graph contains
+      val edges = (0 until 2 * n).map { _ =>
+        (s"n${rnd.nextInt(n)}", s"n${rnd.nextInt(n)}")
+      }
+      val got = rankMap(edges, 4)
+      val ref = referenceRank(edges, 4)
+      assert(got.keySet == ref.keySet, s"seed $seed node sets differ")
+      got.foreach { case (v, r) =>
+        assert(math.abs(r - ref(v)) < 1e-12, s"seed $seed node $v: $r vs ${ref(v)}")
+      }
+      assert(math.abs(got.values.sum - 1.0) < 1e-9, s"seed $seed mass")
+    }
+  }
+
   test("PAGERANK statement surface matches the operator") {
     val s0 = spark
     import s0.implicits._

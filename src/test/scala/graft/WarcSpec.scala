@@ -158,6 +158,30 @@ class WarcSpec extends AnyFunSuite {
       assert(wet(s"http://ex.com/p/$i") == s"doc $i body"))
   }
 
+  test("statement-surface crawl loop: EXPORT warc -> CREATE TABLE format='warc' -> EXTRACT") {
+    val ctx = new Context(spark)
+    ctx.createTable("crawl_records", sampleDf(8))
+    val dir = tmpDir("stmt") + "/archive"
+    ctx.sql(s"EXPORT TABLE crawl_records WITH (location = '$dir', format = 'warc', shards = '2')")
+    // destructive re-export requires the explicit overwrite opt-in
+    val e = intercept[IllegalArgumentException](ctx.sql(
+      s"EXPORT TABLE crawl_records WITH (location = '$dir', format = 'warc')"))
+    assert(e.getMessage.contains("overwrite"))
+    ctx.sql(s"EXPORT TABLE crawl_records WITH (location = '$dir', format = 'warc', mode = 'overwrite')")
+    // read the archive back as a registered table and run the WET step
+    // over it — the whole crawl loop on the statement surface
+    ctx.sql(s"CREATE TABLE crawl WITH (location = '$dir', format = 'warc')")
+    val wet = ctx.sql(
+      """SELECT * FROM EXTRACT(METHOD html,
+        |SELECT target_uri, CAST(http_body(content) AS STRING) AS html
+        |FROM crawl WHERE http_status(content) = 200)""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(wet.size == 8)
+    (0 until 8).foreach(i => assert(wet(s"http://ex.com/p/$i") == s"doc $i body"))
+    ctx.sql("DROP TABLE IF EXISTS crawl")
+    ctx.sql("DROP TABLE IF EXISTS crawl_records")
+  }
+
   test("SQL functions http_body/http_header/http_status registered") {
     val ctx = new Context(spark)
     import spark.implicits._
