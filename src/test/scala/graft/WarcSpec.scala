@@ -182,6 +182,60 @@ class WarcSpec extends AnyFunSuite {
     ctx.sql("DROP TABLE IF EXISTS crawl_records")
   }
 
+  test("streaming ingest tails a crawl drop dir: exactly-once per file, WET rows equal batch") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val watch = tmpDir("tail")
+    def dropFile(ids: Range, name: String): Unit = {
+      // the crawl-drop convention: write elsewhere, rename in atomically
+      val staging = tmpDir("staging")
+      val df = {
+        import spark.implicits._
+        ids.map { i =>
+          ("response", s"<urn:uuid:rec-$i>", s"http://ex.com/p/$i",
+            java.sql.Timestamp.valueOf("2026-01-02 03:04:05"),
+            "application/http; msgtype=response",
+            (s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+              s"<html><body><p>doc $i body</p></body></html>").getBytes("UTF-8"))
+        }.toDF("warc_type", "record_id", "target_uri", "warc_date",
+          "content_type", "content")
+      }
+      Warc.write(df.coalesce(1), staging, gzip = true)
+      val src = new java.io.File(staging).listFiles()
+        .filter(_.getName.endsWith(".warc.gz")).head
+      Files.move(Paths.get(src.getAbsolutePath), Paths.get(watch, name),
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+    dropFile(0 until 5, "crawl-0001.warc.gz")
+    val stream = spark.readStream.format("warc").load(watch)
+      .select(col("target_uri"),
+        graft.functions.HtmlText.htmlExtractText(
+          graft.functions.HttpMessage.httpBody(col("content"))
+            .cast("string")).as("text"))
+    val q = stream.writeStream.format("memory").queryName("warc_tail")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("warc_tail").count() == 5)
+      dropFile(5 until 9, "crawl-0002.warc.gz")
+      q.processAllAvailable()
+      val rows = spark.table("warc_tail").collect()
+        .map(r => r.getString(0) -> r.getString(1))
+      // exactly once: the first file is NOT re-read when the second lands
+      assert(rows.length == 9)
+      assert(rows.toMap == (0 until 9)
+        .map(i => s"http://ex.com/p/$i" -> s"doc $i body").toMap)
+    } finally q.stop()
+    // streaming rows equal the batch read of the same directory
+    val batch = spark.read.format("warc").load(watch)
+      .select(col("target_uri"),
+        graft.functions.HtmlText.htmlExtractText(
+          graft.functions.HttpMessage.httpBody(col("content"))
+            .cast("string")).as("text"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(batch == (0 until 9)
+      .map(i => s"http://ex.com/p/$i" -> s"doc $i body").toMap)
+  }
+
   test("SQL functions http_body/http_header/http_status registered") {
     val ctx = new Context(spark)
     import spark.implicits._
