@@ -136,6 +136,84 @@ class HtmlTextSpec extends AnyFunSuite {
     ctx.sql("DROP TABLE IF EXISTS html_docs")
   }
 
+  test("seeded random-DOM family: expected text comes from the generator, never a parser") {
+    // property family in the planted-fixture style: build a random DOM
+    // tree, remember the visible words and block boundaries AT
+    // GENERATION TIME, serialize with random attribute junk / entities /
+    // comments / script blocks, and hold extractText to the planted
+    // rendering — two implementations never meet, so shared-bug
+    // blindness is impossible.
+    sealed trait Node
+    case class Elem(tag: String, kids: Seq[Node]) extends Node
+    case class Text(words: Seq[String]) extends Node
+    val blocks = Seq("p", "div", "li", "h2", "section", "blockquote")
+    val inlines = Seq("b", "i", "span", "em", "code")
+    val vocab = Seq("alpha", "beta", "r&d", "x<y", "q\"z", "plain", "word")
+
+    def gen(rnd: scala.util.Random, depth: Int): Node =
+      if (depth >= 3 || rnd.nextInt(3) == 0)
+        Text(Seq.fill(1 + rnd.nextInt(3))(vocab(rnd.nextInt(vocab.size))))
+      else {
+        val tag = if (rnd.nextBoolean()) blocks(rnd.nextInt(blocks.size))
+          else inlines(rnd.nextInt(inlines.size))
+        Elem(tag, Seq.fill(1 + rnd.nextInt(3))(gen(rnd, depth + 1)))
+      }
+
+    def escape(w: String): String = w
+      .replace("&", "&amp;").replace("<", "&lt;").replace("\"", "&quot;")
+
+    def serialize(n: Node, rnd: scala.util.Random): String = n match {
+      case Text(ws) =>
+        // leaf text always whitespace-padded (so the planted model is
+        // "words joined by single spaces"), with random extra whitespace
+        ws.map(escape).mkString(
+          if (rnd.nextBoolean()) " " else "  \t ", " ", " ")
+      case Elem(tag, kids) =>
+        val attrs = rnd.nextInt(3) match {
+          case 0 => ""
+          case 1 => s""" class="c${rnd.nextInt(9)}""""
+          case _ => s""" title="a > b ${rnd.nextInt(9)}" data-x='1'"""
+        }
+        val noise = rnd.nextInt(4) match {
+          case 0 => "<!-- planted comment <p>junk</p> -->"
+          case 1 => s"<script>if (x<${rnd.nextInt(9)} && y>0) junk();</script>"
+          case _ => ""
+        }
+        s"<$tag$attrs>$noise${kids.map(serialize(_, rnd)).mkString}</$tag>"
+    }
+
+    // the planted rendering: in-order words; block open/close = newline
+    def render(n: Node): Seq[String] = n match { // tokens: words + "\n"
+      case Text(ws) => ws
+      case Elem(tag, kids) =>
+        val inner = kids.flatMap(render)
+        if (blocks.contains(tag)) ("\n" +: inner) :+ "\n" else inner
+    }
+    def expected(n: Node): String = {
+      val toks = render(n)
+      val sb = new StringBuilder
+      var pendingNl = false
+      toks.foreach {
+        case "\n" => pendingNl = true
+        case w =>
+          if (pendingNl && sb.nonEmpty) sb.append('\n')
+          else if (sb.nonEmpty && sb.last != '\n') sb.append(' ')
+          pendingNl = false
+          sb.append(w)
+      }
+      sb.result()
+    }
+
+    (1 to 25).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val tree = Elem("div", Seq.fill(2 + rnd.nextInt(3))(gen(rnd, 0)))
+      val html = serialize(tree, new scala.util.Random(seed + 1000))
+      val got = ext(html)
+      assert(got == expected(tree),
+        s"seed $seed:\nhtml=$html\ngot=$got\nexpected=${expected(tree)}")
+    }
+  }
+
   test("adversarial soup never throws and never hangs") {
     val cases = Seq(
       "<", "<<<<", "<a", "</", "<!", "<!-", "&", "&#", "&#x;", "&;",
