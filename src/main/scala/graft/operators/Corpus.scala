@@ -1002,6 +1002,13 @@ object Corpus {
     * reaches the driver. Iteration count is the caller's budget knob
     * (each iteration is a full pass — batch GD, not SGD: deterministic
     * and shuffle-friendly where per-row updates are neither).
+    *
+    * Storage lifecycle: the returned weights frame is backed by the last
+    * round's localCheckpoint blocks (vocabulary-sized); they free via
+    * the ContextCleaner when the frame is garbage-collected — drop the
+    * reference (or materialize into a table) when done in a long-lived
+    * session. Intermediate rounds' blocks free the same way as their
+    * references drop inside the loop.
     */
   def linearTrain(
       df: DataFrame, textCol: String, labelCol: String,
@@ -1641,7 +1648,11 @@ object Corpus {
     * two doubles; everything else stays distributed. At crawl scale the
     * edge join dominates — edges are pre-shuffled once by source via
     * the persisted frame, and the contribution regroup rides partial
-    * aggregation (~1 row per destination per partition). */
+    * aggregation (~1 row per destination per partition). The returned
+    * ranks ride the final round's localCheckpoint blocks (node-sized —
+    * at crawl scale that is the URL universe): they free via the
+    * ContextCleaner when the frame is dropped, so materialize into a
+    * table and release the reference in a long-lived session. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 10, damping: Double = 0.85): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
