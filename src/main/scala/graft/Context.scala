@@ -978,7 +978,9 @@ class Context(val spark: SparkSession) {
         fitBias = opts.get("fit_bias").forall(_.trim.toBoolean),
         average = opts.get("average").forall(_.trim.toBoolean),
         broadcastWeights =
-          opts.get("broadcast").forall(_.trim.toBoolean))
+          opts.get("broadcast").forall(_.trim.toBoolean),
+        minLossDelta =
+          opts.get("min_loss_delta").map(_.trim.toDouble).getOrElse(0.0))
       import spark.implicits._
       m.weights.unionAll(Seq(("", m.bias)).toDF("term", "weight"))
 
@@ -994,7 +996,8 @@ class Context(val spark: SparkSession) {
         srcCol = opts.getOrElse("src", "src"),
         dstCol = opts.getOrElse("dst", "dst"),
         iters = opts.get("iters").map(_.trim.toInt).getOrElse(10),
-        damping = opts.get("damping").map(_.trim.toDouble).getOrElse(0.85))
+        damping = opts.get("damping").map(_.trim.toDouble).getOrElse(0.85),
+        tol = opts.get("tol").map(_.trim.toDouble).getOrElse(0.0))
 
     case DescribeModel(name) =>
       val m = schemas(currentSchema).models.getOrElse(name.toLowerCase,

@@ -60,5 +60,8 @@ object SparkEntry {
     // r8: HTML text extraction (the WET step) — ~2.4 KB of markup built
     // and walked per doc, title + text + links in one projection
     "p74_html_extract",
+    // r8: the iterative link-graph family — two damped PageRank rounds
+    // over an html_links-derived edge list (edge joins + localCheckpoint)
+    "p78_pagerank",
     "s01_events_tumbling", "s03_events_session")
 }

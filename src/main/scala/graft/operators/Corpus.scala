@@ -1002,6 +1002,10 @@ object Corpus {
     * reaches the driver. Iteration count is the caller's budget knob
     * (each iteration is a full pass — batch GD, not SGD: deterministic
     * and shuffle-friendly where per-row updates are neither).
+    * `minLossDelta > 0` adds plateau early-stop: training ends once the
+    * between-round mean-log-loss improvement falls below the threshold
+    * (free — the loss row is collected every round anyway); `iters`
+    * stays the hard budget.
     *
     * Storage lifecycle: the returned weights frame is backed by the last
     * round's localCheckpoint blocks (vocabulary-sized); they free via
@@ -1014,8 +1018,10 @@ object Corpus {
       df: DataFrame, textCol: String, labelCol: String,
       iters: Int = 10, lr: Double = 1.0, fitBias: Boolean = true,
       average: Boolean = true,
-      broadcastWeights: Boolean = true): LinearModel = {
+      broadcastWeights: Boolean = true,
+      minLossDelta: Double = 0.0): LinearModel = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(minLossDelta >= 0, s"minLossDelta must be >= 0, got $minLossDelta")
     val spark = df.sparkSession
     import spark.implicits._
     val toks = filter(split(lower(col(textCol)), " "), t => t =!= "")
@@ -1086,6 +1092,13 @@ object Corpus {
       errs.unpersist()
       weights = next
       iter += 1
+      // plateau early-stop (minLossDelta > 0): the loss series is already
+      // collected per round — once the between-round improvement drops
+      // below the threshold, the remaining budget buys nothing. iters
+      // stays the hard cap; a loss RISE (divergent lr) also stops.
+      if (minLossDelta > 0 && losses.size >= 2 &&
+          losses(losses.size - 2) - losses.last < minLossDelta)
+        iter = iters
     }
     base.unpersist()
     terms.unpersist()
@@ -1633,6 +1646,10 @@ object Corpus {
     * multiply (u→v twice contributes 2·r/out) — the natural reading of
     * an edge LIST, and what repeated links on a page mean. Node ids are
     * compared as strings (URLs are the expected key; numeric ids cast).
+    * `tol > 0` adds convergence early-stop: the loop ends once the L1
+    * rank delta between rounds drops below tol (one extra join +
+    * O(1)-row collect per round; `iters` remains the hard budget —
+    * fixed-point graphs like a pure ring stop after round one).
     *
     * Feeds from [[graft.functions.HtmlText.htmlLinks]] output: pages →
     * explode(links) → edges → ranks; join ranks back to docs as a
@@ -1654,9 +1671,10 @@ object Corpus {
     * ContextCleaner when the frame is dropped, so materialize into a
     * table and release the reference in a long-lived session. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int = 10, damping: Double = 0.85): DataFrame = {
+      iters: Int = 10, damping: Double = 0.85, tol: Double = 0.0): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(damping > 0 && damping < 1, s"damping in (0,1), got $damping")
+    require(tol >= 0, s"tol must be >= 0, got $tol")
     val e = edges
       .select(col(srcCol).cast("string").as("_s"),
         col(dstCol).cast("string").as("_d"))
@@ -1685,11 +1703,20 @@ object Corpus {
           .agg(sum(col("_r"))).collect().head.get(0))
         .map(_.asInstanceOf[Double]).getOrElse(0.0)
       val base = (1.0 - damping) / n + damping * dangling / n
-      ranks = nodes.join(contrib, Seq("_v"), "left")
+      val next = nodes.join(contrib, Seq("_v"), "left")
         .select(col("_v"),
           (lit(base) + lit(damping) * coalesce(col("_in"), lit(0.0))).as("_r"))
         .localCheckpoint()
       iter += 1
+      // convergence early-stop (tol > 0): L1 delta vs the previous round
+      // — one extra hash join + O(1)-row collect per round, deterministic
+      // (iters stays the hard budget either way)
+      if (tol > 0 && iter < iters) {
+        val delta = next.join(ranks.withColumnRenamed("_r", "_rp"), Seq("_v"))
+          .agg(sum(abs(col("_r") - col("_rp")))).collect().head.getDouble(0)
+        if (delta < tol) iter = iters
+      }
+      ranks = next
     }
     e.unpersist(); nodes.unpersist(); outDeg.unpersist()
     ranks.select(col("_v").as("node"), col("_r").as("rank"))

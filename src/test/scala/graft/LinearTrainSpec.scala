@@ -134,6 +134,22 @@ class LinearTrainSpec extends AnyFunSuite {
     assert(topTerm == "fast", s"dominant term: $topTerm")
   }
 
+  test("minLossDelta plateau early-stop bounds the loss series") {
+    // strong-margin set converges fast: with a plateau threshold the
+    // recorded loss series must stop well short of the 100-round budget,
+    // and every consecutive improvement before the stop must exceed the
+    // threshold (the stop fires at the FIRST sub-threshold step)
+    val m = Corpus.linearTrain(trainDf(tiny.filter(_._1.nonEmpty)),
+      "text", "y", iters = 100, lr = 2.0, minLossDelta = 1e-3)
+    assert(m.losses.size < 100, s"no early stop: ${m.losses.size} rounds")
+    m.losses.sliding(2).toSeq.dropRight(1).foreach { case Seq(a, b) =>
+      assert(a - b >= 1e-3, s"stop did not fire at first plateau: ${m.losses}")
+    }
+    // threshold 0 (default) runs the full budget
+    val full = Corpus.linearTrain(trainDf(tiny), "text", "y", iters = 4)
+    assert(full.losses.size == 4)
+  }
+
   test("shuffle-join weight path equals the broadcast path") {
     val a = Corpus.linearTrain(trainDf(tiny), "text", "y",
       iters = 3, lr = 1.0)

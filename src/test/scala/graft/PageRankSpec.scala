@@ -78,6 +78,31 @@ class PageRankSpec extends AnyFunSuite {
     }
   }
 
+  test("tol early-stop: a fixed-point graph stops after one round, result unchanged") {
+    val s0 = spark
+    import s0.implicits._
+    val ring = Seq("a" -> "b", "b" -> "c", "c" -> "a").toDF("src", "dst")
+    // the ring is AT the fixed point — with tol set, round 2's L1 delta
+    // is 0 and the loop must exit early; ranks equal the budget run
+    val t0 = System.nanoTime()
+    val early = Corpus.pageRank(ring, "src", "dst", iters = 200, tol = 1e-12)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val earlySecs = (System.nanoTime() - t0) / 1e9
+    early.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-12))
+    // 200 full rounds take minutes of job launches; early stop is seconds
+    assert(earlySecs < 30.0, f"early stop did not fire: $earlySecs%.1f s")
+    // and on a non-trivial graph, tol-stopped ranks match the
+    // full-budget run once both are past convergence
+    val g = Seq("a" -> "b", "a" -> "c", "b" -> "c", "c" -> "a")
+    val s1 = g.toDF("src", "dst")
+    val tolRun = Corpus.pageRank(s1, "src", "dst", iters = 100, tol = 1e-10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val ref = referenceRank(g, 60)
+    tolRun.foreach { case (v, r) =>
+      assert(math.abs(r - ref(v)) < 1e-8, s"node $v: $r vs ${ref(v)}")
+    }
+  }
+
   test("PAGERANK statement surface matches the operator") {
     val s0 = spark
     import s0.implicits._
