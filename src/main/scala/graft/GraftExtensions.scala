@@ -236,6 +236,13 @@ object GraftFunctions {
         graft.functions.HttpMessage.HttpStatus(exprs.head)
       }),
 
+    (new FunctionIdentifier("http_text"),
+      new ExpressionInfo("graft.functions.HttpMessage", "http_text"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 1, s"expected (content), got ${exprs.size} arguments")
+        graft.functions.HttpMessage.HttpText(exprs.head)
+      }),
+
     (new FunctionIdentifier("bmp_dhash"),
       new ExpressionInfo("graft.functions.CatalystExprs", "bmp_dhash"),
       (exprs: Seq[Expression]) => colFn(exprs, 1) { cols =>

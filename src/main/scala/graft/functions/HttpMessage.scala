@@ -10,11 +10,13 @@ import org.apache.spark.unsafe.types.UTF8String
 /** HTTP-message splitting for WARC `response` records (the content block
   * of a Common-Crawl response record is a full HTTP message: status line
   * + headers + body). The WET composition is
-  * `html_extract(CAST(http_body(content) AS STRING))` over a
-  * `format("warc")` scan — three native expressions, one projection, no
-  * UDF.
+  * `html_extract(http_text(content))` over a `format("warc")` scan —
+  * native expressions, one projection, no UDF. `http_text` is the
+  * charset-AWARE decode (header charset → meta sniff → UTF-8, malformed
+  * bytes replaced); `CAST(http_body(x) AS STRING)` is its charset-blind
+  * shortcut, correct only for known-UTF-8 corpora.
   *
-  * All three work on the raw BYTES: the header block is ASCII by spec
+  * All of these work on the raw BYTES: the header block is ASCII by spec
   * (decoded ISO-8859-1, never lossy), the body may be arbitrary binary
   * and is sliced, not decoded. The header/body boundary is the first
   * CRLFCRLF (LFLF tolerated — real crawls contain both). NULL for
@@ -77,6 +79,61 @@ object HttpMessage {
     catch { case _: NumberFormatException => null }
   }
 
+  /** Charset of the message body, resolved the WET-generation way:
+    * 1. `charset=` parameter of the Content-Type header;
+    * 2. else an ASCII `<meta charset=...>` / http-equiv content sniff in
+    *    the body's first 1024 bytes (the in-document declaration most
+    *    real pages carry);
+    * 3. else UTF-8.
+    * Unknown/unsupported names fall back to UTF-8. */
+  private[graft] def charsetOf(b: Array[Byte]): java.nio.charset.Charset = {
+    def resolve(name: String): java.nio.charset.Charset =
+      try {
+        val t = name.trim.stripPrefix("\"").stripSuffix("\"")
+          .stripPrefix("'").stripSuffix("'").trim
+        if (t.nonEmpty && java.nio.charset.Charset.isSupported(t))
+          java.nio.charset.Charset.forName(t)
+        else null
+      } catch { case _: Exception => null }
+    def param(s: String): String = {
+      val i = s.toLowerCase(java.util.Locale.ROOT).indexOf("charset=")
+      if (i < 0) null
+      else {
+        val from = i + 8
+        var to = from
+        while (to < s.length && s.charAt(to) != ';' && s.charAt(to) != ' ' &&
+          s.charAt(to) != '>' && s.charAt(to) != '/') to += 1
+        s.substring(from, to)
+      }
+    }
+    val fromHeader = Option(header(b, "content-type")).map(param).orNull
+    val h = if (fromHeader == null) null else resolve(fromHeader)
+    if (h != null) return h
+    val bs = bodyStart(b)
+    if (bs >= 0) {
+      val end = math.min(b.length, bs + 1024)
+      val head = new String(b, bs, end - bs,
+        java.nio.charset.StandardCharsets.ISO_8859_1) // ASCII-safe peek
+      val fromMeta = param(head)
+      val m = if (fromMeta == null) null else resolve(fromMeta)
+      if (m != null) return m
+    }
+    java.nio.charset.StandardCharsets.UTF_8
+  }
+
+  /** Body decoded to text with the resolved charset (malformed bytes →
+    * U+FFFD replacement, never an exception — crawl bytes lie about
+    * their encodings routinely). Null when there is no header/body
+    * boundary. The charset-BLIND alternative (`CAST(http_body(x) AS
+    * STRING)`) silently mojibakes every non-UTF-8 page — a large slice
+    * of any real crawl. */
+  private[graft] def text(b: Array[Byte]): String = {
+    val bs = bodyStart(b)
+    if (bs < 0) null
+    // String's decoding constructor REPLACES malformed/unmappable input
+    else new String(b, bs, b.length - bs, charsetOf(b))
+  }
+
   case class HttpBody(child: Expression)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = BinaryType
@@ -112,8 +169,23 @@ object HttpMessage {
       copy(child = c)
   }
 
+  case class HttpText(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any = {
+      val t = text(input.asInstanceOf[Array[Byte]])
+      if (t == null) null else UTF8String.fromString(t)
+    }
+    override def prettyName: String = "http_text"
+    override protected def withNewChildInternal(c: Expression): HttpText =
+      copy(child = c)
+  }
+
   def httpBody(content: Column): Column =
     GraftBridge.column(HttpBody(GraftBridge.expression(content)))
+  def httpText(content: Column): Column =
+    GraftBridge.column(HttpText(GraftBridge.expression(content)))
   def httpHeader(content: Column, name: String): Column =
     GraftBridge.column(HttpHeader(GraftBridge.expression(content), name))
   def httpStatus(content: Column): Column =

@@ -1684,22 +1684,55 @@ object Pipeline {
             .as("text"))
         .orderBy("doc_id")
     },
+
+    // Charset-aware WET (r8): a PLANTED LATIN-1 crawl — the HTTP message
+    // declares charset=ISO-8859-1 and the body is encode()d latin-1, so
+    // the é/ï bytes are NOT valid UTF-8 and a charset-blind cast would
+    // mojibake them. http_text resolves the header charset and decodes;
+    // the oracle holds the recovered text to the UTF-8 truth DuckDB
+    // reconstructs directly. The query-side encode + read-side decode
+    // only cancel if BOTH charset paths are right.
+    Q("p79_warc_wet_charset", Some("""
+      SELECT doc_id,
+             replace(text, ' ', chr(10)) || chr(10) || 'café naïve' AS text
+      FROM documents ORDER BY doc_id""")) { (s, d) =>
+      val latinContent = concat(
+        lit(("HTTP/1.1 200 OK\r\n" +
+          "Content-Type: text/html; charset=ISO-8859-1\r\n\r\n")
+          .getBytes("ISO-8859-1")),
+        expr("encode(concat('<html><body><p>', " +
+          "replace(text, ' ', '</p><p>'), " +
+          "'</p><p>café naïve</p></body></html>'), 'ISO-8859-1')"))
+      val dir = warcFixture(s, d, "wetl1", Some(latinContent))
+      s.read.format("warc").load(dir)
+        .filter(graft.functions.HttpMessage.httpStatus(col("content")) === 200)
+        .select(
+          element_at(split(col("target_uri"), "/"), -1).cast("bigint")
+            .as("doc_id"),
+          graft.functions.HtmlText.htmlExtractText(
+            graft.functions.HttpMessage.httpText(col("content")))
+            .as("text"))
+        .orderBy("doc_id")
+    },
   )
 
   /** Build (idempotent overwrite) the planted WARC fixture for `d`: the
     * documents table wrapped as HTTP responses carrying HTML bodies,
     * written DISTRIBUTED by [[graft.sources.Warc.write]] as 4 gzip
-    * files. Deterministic content; the p75/p76 oracles reconstruct it. */
+    * files. Deterministic content; the p75/p76/p79 oracles reconstruct
+    * it. `contentOverride` swaps the default UTF-8 message for a
+    * variant (p79 plants a latin-1 crawl). */
   private def warcFixture(s: org.apache.spark.sql.SparkSession, d: String,
-      tag: String): String = {
+      tag: String,
+      contentOverride: Option[org.apache.spark.sql.Column] = None): String = {
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_warc_" + tag + "_" +
         java.lang.Integer.toHexString(d.hashCode)).toString
     val docs = t(s, d, "documents")
-    val content = concat(
+    val content = contentOverride.getOrElse(concat(
       lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html><body><p>"),
       expr("replace(text, ' ', '</p><p>')"),
-      lit("</p></body></html>")).cast("binary")
+      lit("</p></body></html>")).cast("binary"))
     graft.sources.Warc.write(
       docs.select(
         lit("response").as("warc_type"),

@@ -236,6 +236,38 @@ class WarcSpec extends AnyFunSuite {
       .map(i => s"http://ex.com/p/$i" -> s"doc $i body").toMap)
   }
 
+  test("http_text decodes with the declared charset: header, meta sniff, fallbacks") {
+    def msg(headers: String, body: Array[Byte]): Array[Byte] =
+      (s"HTTP/1.1 200 OK\r\n$headers\r\n\r\n").getBytes("ISO-8859-1") ++ body
+    // header charset wins: latin-1 bytes decode correctly (a UTF-8-blind
+    // cast would mojibake the é)
+    val latin = msg("Content-Type: text/html; charset=ISO-8859-1",
+      "<p>café au lait</p>".getBytes("ISO-8859-1"))
+    assert(HttpMessage.text(latin) == "<p>café au lait</p>")
+    // ... and the charset-blind cast really does corrupt it (the reason
+    // http_text exists)
+    assert(new String(HttpMessage.body(latin), "UTF-8") != "<p>café au lait</p>")
+    // meta sniff when the header has no charset
+    val meta = msg("Content-Type: text/html",
+      "<html><head><meta charset=\"windows-1252\"></head><p>naïve</p></html>"
+        .getBytes("windows-1252"))
+    assert(HttpMessage.text(meta).contains("naïve"))
+    // bogus charset name → UTF-8 fallback, never a throw
+    val bogus = msg("Content-Type: text/html; charset=no-such-cs",
+      "plain ascii".getBytes("UTF-8"))
+    assert(HttpMessage.text(bogus) == "plain ascii")
+    // malformed bytes under the declared charset → U+FFFD, not a crash
+    val broken = msg("Content-Type: text/html; charset=UTF-8",
+      Array[Byte]('o', 'k', ' ', 0xFF.toByte, 0xFE.toByte))
+    assert(HttpMessage.text(broken).startsWith("ok "))
+    // no header/body boundary → null (same contract as http_body)
+    assert(HttpMessage.text("not an http message".getBytes) == null)
+    // gbk round-trip — the big non-latin crawl slice
+    val gbk = msg("Content-Type: text/html; charset=GBK",
+      "<p>中文页</p>".getBytes("GBK"))
+    assert(HttpMessage.text(gbk) == "<p>中文页</p>")
+  }
+
   test("SQL functions http_body/http_header/http_status registered") {
     val ctx = new Context(spark)
     import spark.implicits._
