@@ -945,15 +945,25 @@ class Context(val spark: SparkSession) {
     // WET-generation step: visible text (+ title, + links='true' hrefs)
     // out of a raw HTML column, native expressions, pure projection
     // (graft.functions.HtmlText). html= names the markup column (default
-    // 'html'); all other inner columns pass through.
+    // 'html'); all other inner columns pass through. main='true' swaps
+    // the full visible text for MAIN-CONTENT extraction (link-density
+    // block filtering, the readability/jusText heuristic; tune with
+    // min_chars= / max_link_frac=).
     case Extract(method, opts, select) =>
       require(method == "html", s"Unknown EXTRACT method: $method (html)")
       val htmlCol = opts.getOrElse("html", "html")
       val df = sql(select)
       val passthrough = df.columns.filterNot(_ == htmlCol).map(col).toSeq
+      val textCol =
+        if (opts.get("main").exists(_.trim.toBoolean))
+          graft.functions.HtmlText.htmlMainText(col(htmlCol),
+            minChars = opts.get("min_chars").map(_.trim.toInt).getOrElse(15),
+            maxLinkFrac =
+              opts.get("max_link_frac").map(_.trim.toDouble).getOrElse(0.5))
+        else graft.functions.HtmlText.htmlExtractText(col(htmlCol))
       val extracted = Seq(
         graft.functions.HtmlText.htmlTitle(col(htmlCol)).as("title"),
-        graft.functions.HtmlText.htmlExtractText(col(htmlCol)).as("text")) ++
+        textCol.as("text")) ++
         (if (opts.get("links").exists(_.trim.toBoolean))
           Seq(graft.functions.HtmlText.htmlLinks(col(htmlCol)).as("links"))
         else Nil)

@@ -29,6 +29,14 @@ object GraftFunctions {
     case other => throw new IllegalArgumentException(
       s"$what must be a string literal, got $other")
   }
+  private def doubleArg(e: Expression, what: String): Double = e match {
+    case Literal(v: Double, _) => v
+    case Literal(v: java.math.BigDecimal, _) => v.doubleValue()
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+    case Literal(v: Int, _) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$what must be a numeric literal, got $other")
+  }
 
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (new FunctionIdentifier("minhash_signature"),
@@ -211,6 +219,16 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => {
         require(exprs.size == 1, s"expected (html), got ${exprs.size} arguments")
         graft.functions.HtmlText.HtmlLinks(exprs.head)
+      }),
+
+    (new FunctionIdentifier("html_main_text"),
+      new ExpressionInfo("graft.functions.HtmlText", "html_main_text"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.nonEmpty && exprs.size <= 3,
+          s"expected (html [, min_chars, max_link_frac]), got ${exprs.size}")
+        graft.functions.HtmlText.HtmlMainText(exprs.head,
+          if (exprs.size > 1) intArg(exprs(1), "min_chars") else 15,
+          if (exprs.size > 2) doubleArg(exprs(2), "max_link_frac") else 0.5)
       }),
 
     (new FunctionIdentifier("http_body"),

@@ -198,6 +198,93 @@ object HtmlText {
     sb.toString
   }
 
+  /** MAIN-CONTENT walk (the readability/jusText-family heuristic, block
+    * link-density form): segment visible text into blocks at block-tag
+    * boundaries, measure each block's LINK DENSITY (fraction of visible
+    * characters rendered inside `<a>` spans) and length, and keep only
+    * blocks with density ≤ maxLinkFrac and ≥ minChars characters.
+    * Navigation bars, footers, tag clouds, and related-links boxes are
+    * overwhelmingly link text (density → 1) while prose paragraphs are
+    * not — the single strongest cheap signal separating main content
+    * from chrome. Same whitespace/entity/script semantics as
+    * [[extractText]] within each block; kept blocks join with '\n'.
+    * Anchor state is BLOCK-LOCAL: the open-anchor depth resets at every
+    * block boundary, so one unclosed `<a>` (ubiquitous in crawl HTML)
+    * cannot mark the whole rest of the document as link text; the cost
+    * is undercounting `<a><div>…</div></a>` link-wrapped card grids,
+    * whose inner blocks score as prose. */
+  private[graft] def extractMainText(html: String, minChars: Int,
+      maxLinkFrac: Double): String = {
+    val n = html.length
+    val out = new java.lang.StringBuilder(math.min(n, 1 << 16))
+    val block = new java.lang.StringBuilder(256)
+    var linkChars = 0
+    var anchorDepth = 0
+    var pendingSpace = false
+    def flushBlock(): Unit = {
+      val len = block.length
+      if (len > 0) {
+        val frac = linkChars.toDouble / len
+        if (len >= minChars && frac <= maxLinkFrac) {
+          if (out.length > 0) out.append('\n')
+          out.append(block)
+        }
+      }
+      block.setLength(0)
+      linkChars = 0
+      anchorDepth = 0 // block-local anchor state (see doc)
+      pendingSpace = false
+    }
+    def emit(s: String): Unit = {
+      var k = 0
+      while (k < s.length) {
+        val c = s.charAt(k)
+        if (c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '\u00A0' /* nbsp */)
+          pendingSpace = true
+        else {
+          if (pendingSpace && block.length > 0) {
+            block.append(' ')
+            if (anchorDepth > 0) linkChars += 1
+          }
+          pendingSpace = false
+          block.append(c)
+          if (anchorDepth > 0) linkChars += 1
+        }
+        k += 1
+      }
+    }
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        val (isTag, name, closing, _, next) = parseTag(html, i)
+        if (!isTag) { emit("<"); i = next }
+        else if (name == null) i = next
+        else if (!closing && (name == "script" || name == "style")) {
+          val close = indexOfIgnoreCase(html, "</" + name, next)
+          if (close < 0) i = n
+          else i = tagEnd(html, close + 2 + name.length)
+        } else {
+          if (name == "a") {
+            if (closing) anchorDepth = math.max(0, anchorDepth - 1)
+            else anchorDepth += 1
+          }
+          if (blockTags.contains(name)) flushBlock()
+          i = next
+        }
+      } else if (c == '&') {
+        val (rep, next) = decodeEntity(html, i)
+        emit(rep)
+        i = next
+      } else {
+        emit(String.valueOf(c))
+        i += 1
+      }
+    }
+    flushBlock()
+    out.toString
+  }
+
   /** The `<title>` walk: first non-empty title content, or null. */
   private[graft] def extractTitle(html: String): String = {
     val open = indexOfIgnoreCase(html, "<title", 0)
@@ -291,6 +378,21 @@ object HtmlText {
       copy(child = c)
   }
 
+  case class HtmlMainText(child: Expression, minChars: Int = 15,
+      maxLinkFrac: Double = 0.5)
+      extends UnaryExpression with CodegenFallback {
+    require(minChars >= 0, s"minChars must be >= 0, got $minChars")
+    require(maxLinkFrac >= 0 && maxLinkFrac <= 1,
+      s"maxLinkFrac in [0,1], got $maxLinkFrac")
+    override def dataType: DataType = StringType
+    override def nullSafeEval(input: Any): Any =
+      UTF8String.fromString(extractMainText(
+        input.asInstanceOf[UTF8String].toString, minChars, maxLinkFrac))
+    override def prettyName: String = "html_main_text"
+    override protected def withNewChildInternal(c: Expression): HtmlMainText =
+      copy(child = c)
+  }
+
   case class HtmlLinks(child: Expression)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -309,4 +411,8 @@ object HtmlText {
     GraftBridge.column(HtmlTitle(GraftBridge.expression(html)))
   def htmlLinks(html: Column): Column =
     GraftBridge.column(HtmlLinks(GraftBridge.expression(html)))
+  def htmlMainText(html: Column, minChars: Int = 15,
+      maxLinkFrac: Double = 0.5): Column =
+    GraftBridge.column(HtmlMainText(GraftBridge.expression(html), minChars,
+      maxLinkFrac))
 }

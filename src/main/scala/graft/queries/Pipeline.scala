@@ -1564,6 +1564,53 @@ object Pipeline {
         .orderBy("term")
     },
 
+    // ---- Main-content extraction (r8): the readability/jusText-family
+    // link-density block filter — the difference between WET soup and
+    // clean training text. PLANTED oracle: the page wraps documents.text
+    // in one <p> per word between an all-link nav, an all-link footer
+    // (density ~1 → dropped), and one mixed prose+inline-link block
+    // under the threshold (kept, link text included); the expected
+    // output is reconstructible in DuckDB with string functions. ----
+    Q("p80_html_main_content", Some("""
+      SELECT doc_id,
+             replace(text, ' ', chr(10)) || chr(10) || 'see ref now ok' AS text
+      FROM documents ORDER BY doc_id""")) { (s, d) =>
+      val html = expr(
+        """concat('<html><body><div><a href="/h">Home</a> <a href="/a">About</a></div><p>',
+          |replace(text, ' ', '</p><p>'),
+          |'</p><p>see <a href="/r">ref</a> now ok</p>',
+          |'<footer><a href="/t">Terms</a> <a href="/p">Privacy</a></footer></body></html>')"""
+          .stripMargin.replace("\n", " "))
+      t(s, d, "documents")
+        .select(col("doc_id"), html.as("html"))
+        .select(col("doc_id"),
+          graft.functions.HtmlText.htmlMainText(col("html"), minChars = 1)
+            .as("text"))
+        .orderBy("doc_id")
+    },
+
+    // The same filter through EXTRACT WITH (main='true') — and the same
+    // oracle, so the statement surface is held to identical semantics.
+    Q("p80c_html_main_content_sql", Some("""
+      SELECT doc_id,
+             'Doc ' || doc_id AS title,
+             'Doc ' || doc_id || chr(10) ||
+               replace(text, ' ', chr(10)) || chr(10) || 'see ref now ok' AS text
+      FROM documents ORDER BY doc_id""")) { (s, d) =>
+      val ctx = new graft.Context(s)
+      ctx.createTableFromPath("documents", s"$d/documents.parquet")
+      ctx.sql(
+        """SELECT * FROM EXTRACT(METHOD html WITH (main = 'true', min_chars = '1'),
+          |SELECT doc_id,
+          |  concat('<html><head><title>Doc ', doc_id,
+          |    '</title></head><body><div><a href="/h">Home</a> <a href="/a">About</a></div><p>',
+          |    replace(text, ' ', '</p><p>'),
+          |    '</p><p>see <a href="/r">ref</a> now ok</p>',
+          |    '<footer><a href="/t">Terms</a> <a href="/p">Privacy</a></footer></body></html>') AS html
+          |FROM documents)""".stripMargin)
+        .orderBy("doc_id")
+    },
+
     // ---- PageRank (r8): the link-graph quality prior, full circle
     // through the HTML stage — each doc's page links to two formula-
     // planted neighbors, the edges come out of html_links (not out of

@@ -136,6 +136,55 @@ class HtmlTextSpec extends AnyFunSuite {
     ctx.sql("DROP TABLE IF EXISTS html_docs")
   }
 
+  test("main-content extraction: link-dense chrome drops, prose survives") {
+    def main(html: String, minChars: Int = 15, maxLinkFrac: Double = 0.5) =
+      HtmlText.extractMainText(html, minChars, maxLinkFrac)
+    val page =
+      """<html><body>
+        |<div><a href="/">Home</a> <a href="/about">About</a> <a href="/faq">FAQ</a></div>
+        |<p>This paragraph is real prose with enough characters to keep.</p>
+        |<p>See the <a href="/ref">reference page</a> for more details here.</p>
+        |<div><a href="/t1">tag one</a> <a href="/t2">tag two</a> <a href="/t3">tag three</a></div>
+        |<p>Short.</p>
+        |<footer><a href="/tos">Terms</a> | <a href="/privacy">Privacy</a></footer>
+        |</body></html>""".stripMargin
+    val got = main(page)
+    // nav / tag cloud / footer (link density ~1) and the sub-minChars
+    // block are gone; both prose paragraphs survive, including the one
+    // with an inline link under the density threshold
+    assert(got ==
+      "This paragraph is real prose with enough characters to keep.\n" +
+        "See the reference page for more details here.")
+    // threshold knobs: density 0 keeps only linkless blocks; minChars 1
+    // readmits the short paragraph
+    assert(!main(page, maxLinkFrac = 0.0).contains("reference page"))
+    assert(main(page, minChars = 1).contains("Short."))
+    // a page with no chrome extracts like extractText modulo block joins
+    assert(main("<p>only body text here, long enough</p>") ==
+      "only body text here, long enough")
+    // anchors never leak counts across blocks (unclosed <a> before a
+    // block boundary)
+    assert(main("<p>plain prose long enough to keep <a>x</p><p>also plain prose kept here</p>")
+      .contains("also plain prose kept here"))
+  }
+
+  test("EXTRACT WITH main='true' uses main-content extraction") {
+    val ctx = new Context(spark)
+    import spark.implicits._
+    ctx.createTable("html_main_docs", Seq(
+      (1L, "<div><a>n1</a> <a>n2</a> <a>n3</a></div><p>the kept prose body of this page</p>"))
+      .toDF("doc_id", "html"))
+    val viaStmt = ctx.sql(
+      "SELECT * FROM EXTRACT(METHOD html WITH (main = 'true'), SELECT * FROM html_main_docs)")
+      .collect().head.getString(2)
+    assert(viaStmt == "the kept prose body of this page")
+    val viaFn = ctx.sql(
+      "SELECT html_main_text(html, 1, 0.5) AS t FROM html_main_docs")
+      .collect().head.getString(0)
+    assert(viaFn == "the kept prose body of this page")
+    ctx.sql("DROP TABLE IF EXISTS html_main_docs")
+  }
+
   test("seeded random-DOM family: expected text comes from the generator, never a parser") {
     // property family in the planted-fixture style: build a random DOM
     // tree, remember the visible words and block boundaries AT
