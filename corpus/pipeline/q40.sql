@@ -1,0 +1,6 @@
+SELECT * FROM EXTRACT(METHOD html WITH (main = 'true', min_chars = '1'),
+SELECT doc_id,
+  concat('<html><body><div><a href="/h">Home</a> <a href="/a">About</a></div><p>',
+    replace(text, ' ', '</p><p>'),
+    '</p><footer><a href="/t">Terms</a></footer></body></html>') AS html
+FROM documents)
