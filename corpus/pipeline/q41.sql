@@ -1,0 +1,5 @@
+SELECT * FROM EXTRACT(METHOD markdown,
+SELECT doc_id,
+  concat('# Doc ', doc_id, chr(10), chr(10), '- ',
+    replace(text, ' ', concat(chr(10), '- '))) AS md
+FROM documents)

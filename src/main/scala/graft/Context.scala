@@ -949,25 +949,40 @@ class Context(val spark: SparkSession) {
     // the full visible text for MAIN-CONTENT extraction (link-density
     // block filtering, the readability/jusText heuristic; tune with
     // min_chars= / max_link_frac=).
-    case Extract(method, opts, select) =>
-      require(method == "html", s"Unknown EXTRACT method: $method (html)")
-      val htmlCol = opts.getOrElse("html", "html")
-      val df = sql(select)
-      val passthrough = df.columns.filterNot(_ == htmlCol).map(col).toSeq
-      val textCol =
-        if (opts.get("main").exists(_.trim.toBoolean))
-          graft.functions.HtmlText.htmlMainText(col(htmlCol),
-            minChars = opts.get("min_chars").map(_.trim.toInt).getOrElse(15),
-            maxLinkFrac =
-              opts.get("max_link_frac").map(_.trim.toDouble).getOrElse(0.5))
-        else graft.functions.HtmlText.htmlExtractText(col(htmlCol))
-      val extracted = Seq(
-        graft.functions.HtmlText.htmlTitle(col(htmlCol)).as("title"),
-        textCol.as("text")) ++
-        (if (opts.get("links").exists(_.trim.toBoolean))
-          Seq(graft.functions.HtmlText.htmlLinks(col(htmlCol)).as("links"))
-        else Nil)
-      df.select(passthrough ++ extracted: _*)
+    case Extract(method, opts, select) => method match {
+      case "html" =>
+        val htmlCol = opts.getOrElse("html", "html")
+        val df = sql(select)
+        val passthrough = df.columns.filterNot(_ == htmlCol).map(col).toSeq
+        val textCol =
+          if (opts.get("main").exists(_.trim.toBoolean))
+            graft.functions.HtmlText.htmlMainText(col(htmlCol),
+              minChars = opts.get("min_chars").map(_.trim.toInt).getOrElse(15),
+              maxLinkFrac =
+                opts.get("max_link_frac").map(_.trim.toDouble).getOrElse(0.5))
+          else graft.functions.HtmlText.htmlExtractText(col(htmlCol))
+        val extracted = Seq(
+          graft.functions.HtmlText.htmlTitle(col(htmlCol)).as("title"),
+          textCol.as("text")) ++
+          (if (opts.get("links").exists(_.trim.toBoolean))
+            Seq(graft.functions.HtmlText.htmlLinks(col(htmlCol)).as("links"))
+          else Nil)
+        df.select(passthrough ++ extracted: _*)
+      // EXTRACT(METHOD markdown WITH (md=, keep_code=), <sql>) — the
+      // GitHub/README/forum slice; same (passthrough, title, text) shape
+      // as METHOD html (title = first ATX heading)
+      case "markdown" =>
+        val mdCol = opts.getOrElse("md", "md")
+        val df = sql(select)
+        val passthrough = df.columns.filterNot(_ == mdCol).map(col).toSeq
+        df.select(passthrough ++ Seq(
+          graft.functions.MarkdownText.markdownTitle(col(mdCol)).as("title"),
+          graft.functions.MarkdownText.markdownExtractText(col(mdCol),
+            keepCode = opts.get("keep_code").exists(_.trim.toBoolean))
+            .as("text")): _*)
+      case other => throw new IllegalArgumentException(
+        s"Unknown EXTRACT method: $other (html|markdown)")
+    }
 
     // SELECT * FROM TRAIN(METHOD linear [WITH (...)], <select>) — fit the
     // SCORE METHOD linear quality gate on the inner query's labeled docs

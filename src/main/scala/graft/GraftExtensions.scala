@@ -231,6 +231,26 @@ object GraftFunctions {
           if (exprs.size > 2) doubleArg(exprs(2), "max_link_frac") else 0.5)
       }),
 
+    (new FunctionIdentifier("markdown_extract"),
+      new ExpressionInfo("graft.functions.MarkdownText", "markdown_extract"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.nonEmpty && exprs.size <= 2,
+          s"expected (md [, keep_code]), got ${exprs.size}")
+        graft.functions.MarkdownText.MarkdownExtractText(exprs.head,
+          keepCode = exprs.size > 1 && (exprs(1) match {
+            case Literal(b: Boolean, _) => b
+            case other => throw new IllegalArgumentException(
+              s"keep_code must be a boolean literal, got $other")
+          }))
+      }),
+
+    (new FunctionIdentifier("markdown_title"),
+      new ExpressionInfo("graft.functions.MarkdownText", "markdown_title"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 1, s"expected (md), got ${exprs.size} arguments")
+        graft.functions.MarkdownText.MarkdownTitle(exprs.head)
+      }),
+
     (new FunctionIdentifier("http_body"),
       new ExpressionInfo("graft.functions.HttpMessage", "http_body"),
       (exprs: Seq[Expression]) => {

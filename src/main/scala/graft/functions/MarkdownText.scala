@@ -1,0 +1,207 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Markdown → text extraction — the GitHub/README/forum slice of a
+  * training corpus (the second-largest markup family after HTML). A
+  * deliberately SIMPLE line-based dialect, documented precisely so the
+  * semantics are honest rather than secretly partial:
+  *
+  *  - fenced code blocks (``` / ~~~) drop whole (keepCode=true keeps
+  *    their content verbatim, fences always dropped) — code is noise to
+  *    a prose-quality pipeline and a separate corpus to a code one;
+  *  - per line, OUTSIDE fences: blockquote markers (repeated `> `),
+  *    ATX heading hashes (`#{1,6} `), list markers (`- * +` or
+  *    `1.`/`1)` + space), and setext/thematic-break lines (`---`,
+  *    `===`, `***` alone) are removed/dropped;
+  *  - inline: images `![alt](url)` → alt, links `[text](url)` /
+  *    `[text][ref]` → text, inline code `` `x` `` → x, `**`/`__`
+  *    emphasis pairs and single `*` removed. Single `_` is KEPT —
+  *    removing it would mangle snake_case identifiers, which the
+  *    target corpora are full of (the one deliberate divergence from
+  *    CommonMark emphasis);
+  *  - `\*`-style escapes unescape; blank lines collapse; output lines
+  *    join with '\n', no leading/trailing blanks.
+  *
+  * Single pass per line, no regex backtracking, index-bounded on
+  * adversarial input (unterminated constructs emit literally). Pure
+  * per-row projection — the [[HtmlText]] scale shape.
+  */
+object MarkdownText {
+
+  private def isThematic(t: String): Boolean = {
+    if (t.length < 3) return false
+    val c = t.charAt(0)
+    (c == '-' || c == '*' || c == '=' || c == '_') && t.forall(_ == c)
+  }
+
+  /** Strip block-level markers; null = drop the whole line. */
+  private def blockStrip(line0: String): String = {
+    var line = line0.trim
+    // blockquote nesting: "> > text"
+    while (line.startsWith(">")) line = line.substring(1).trim
+    if (line.isEmpty) return ""
+    if (isThematic(line)) return null
+    // ATX heading
+    if (line.charAt(0) == '#') {
+      var h = 0
+      while (h < line.length && line.charAt(h) == '#') h += 1
+      if (h <= 6 && h < line.length && line.charAt(h) == ' ')
+        return line.substring(h + 1).trim
+      if (h <= 6 && h == line.length) return "" // bare "##"
+    }
+    // list markers
+    val c = line.charAt(0)
+    if ((c == '-' || c == '*' || c == '+') && line.length > 1 &&
+        line.charAt(1) == ' ')
+      return line.substring(2).trim
+    var d = 0
+    while (d < line.length && Character.isDigit(line.charAt(d))) d += 1
+    if (d > 0 && d < line.length - 1 &&
+        (line.charAt(d) == '.' || line.charAt(d) == ')') &&
+        line.charAt(d + 1) == ' ')
+      return line.substring(d + 2).trim
+    line
+  }
+
+  /** Inline transforms on one block-stripped line. */
+  private def inlineStrip(line: String): String = {
+    val sb = new java.lang.StringBuilder(line.length)
+    var i = 0
+    val n = line.length
+    while (i < n) {
+      val c = line.charAt(i)
+      if (c == '\\' && i + 1 < n) { // escape: emit next char literally
+        sb.append(line.charAt(i + 1)); i += 2
+      } else if (c == '`') { // inline code: content kept, ticks dropped
+        val close = line.indexOf('`', i + 1)
+        if (close < 0) { sb.append(line.substring(i + 1)); i = n }
+        else { sb.append(line, i + 1, close); i = close + 1 }
+      } else if (c == '!' && i + 1 < n && line.charAt(i + 1) == '[') {
+        // image: ![alt](url) → alt
+        val (txt, next) = bracketed(line, i + 1)
+        if (txt == null) { sb.append(c); i += 1 }
+        else { sb.append(txt); i = next }
+      } else if (c == '[') { // link: [text](url) / [text][ref] → text
+        val (txt, next) = bracketed(line, i)
+        if (txt == null) { sb.append(c); i += 1 }
+        else { sb.append(txt); i = next }
+      } else if (c == '*') {
+        i += 1
+        if (i < n && line.charAt(i) == '*') i += 1 // '**' drops as one
+      } else if (c == '_' && i + 1 < n && line.charAt(i + 1) == '_') {
+        i += 2 // '__' pair marker drops; single '_' KEPT (snake_case)
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Parse `[text](url)` / `[text][ref]` / bare `[text]` starting at the
+    * '[' — returns (text, indexAfterConstruct), or (null, _) if there is
+    * no closing bracket on the line. */
+  private def bracketed(line: String, open: Int): (String, Int) = {
+    val close = line.indexOf(']', open + 1)
+    if (close < 0) return (null, open)
+    val txt = line.substring(open + 1, close)
+    var i = close + 1
+    if (i < line.length && (line.charAt(i) == '(' || line.charAt(i) == '[')) {
+      val end = line.charAt(i) match {
+        case '(' => line.indexOf(')', i + 1)
+        case _ => line.indexOf(']', i + 1)
+      }
+      if (end >= 0) i = end + 1
+    }
+    (txt, i)
+  }
+
+  private[graft] def extractText(md: String, keepCode: Boolean): String = {
+    val out = new java.lang.StringBuilder(math.min(md.length, 1 << 16))
+    var inFence = false
+    var fenceChar = ' '
+    md.split("\n", -1).foreach { raw =>
+      val t = raw.trim
+      val isFenceLine = (t.startsWith("```") || t.startsWith("~~~")) &&
+        (!inFence || t.charAt(0) == fenceChar)
+      if (isFenceLine) {
+        if (!inFence) fenceChar = t.charAt(0)
+        inFence = !inFence
+      } else if (inFence) {
+        if (keepCode && t.nonEmpty) {
+          if (out.length > 0) out.append('\n')
+          out.append(raw.replaceAll("\\s+$", ""))
+        }
+      } else {
+        val b = blockStrip(raw)
+        if (b != null && b.nonEmpty) {
+          val s = inlineStrip(b).replaceAll("\\s{2,}", " ").trim
+          if (s.nonEmpty) {
+            if (out.length > 0) out.append('\n')
+            out.append(s)
+          }
+        }
+      }
+    }
+    out.toString
+  }
+
+  /** First ATX heading's text (any level, entity/inline-stripped), or
+    * null — the markdown analogue of [[HtmlText.extractTitle]]. Fenced
+    * code is skipped (a `# comment` inside a fence is not a heading). */
+  private[graft] def extractTitle(md: String): String = {
+    var inFence = false
+    var fenceChar = ' '
+    md.split("\n", -1).foreach { raw =>
+      val t = raw.trim
+      val isFenceLine = (t.startsWith("```") || t.startsWith("~~~")) &&
+        (!inFence || t.charAt(0) == fenceChar)
+      if (isFenceLine) {
+        if (!inFence) fenceChar = t.charAt(0)
+        inFence = !inFence
+      } else if (!inFence && t.nonEmpty && t.charAt(0) == '#') {
+        var h = 0
+        while (h < t.length && t.charAt(h) == '#') h += 1
+        if (h <= 6 && h < t.length && t.charAt(h) == ' ') {
+          val s = inlineStrip(t.substring(h + 1).trim)
+            .replaceAll("\\s{2,}", " ").trim
+          if (s.nonEmpty) return s
+        }
+      }
+    }
+    null
+  }
+
+  case class MarkdownTitle(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any = {
+      val t = extractTitle(input.asInstanceOf[UTF8String].toString)
+      if (t == null) null else UTF8String.fromString(t)
+    }
+    override def prettyName: String = "markdown_title"
+    override protected def withNewChildInternal(c: Expression): MarkdownTitle =
+      copy(child = c)
+  }
+
+  def markdownTitle(md: Column): Column =
+    GraftBridge.column(MarkdownTitle(GraftBridge.expression(md)))
+
+  case class MarkdownExtractText(child: Expression, keepCode: Boolean = false)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(input: Any): Any =
+      UTF8String.fromString(extractText(
+        input.asInstanceOf[UTF8String].toString, keepCode))
+    override def prettyName: String = "markdown_extract"
+    override protected def withNewChildInternal(c: Expression): MarkdownExtractText =
+      copy(child = c)
+  }
+
+  def markdownExtractText(md: Column, keepCode: Boolean = false): Column =
+    GraftBridge.column(MarkdownExtractText(GraftBridge.expression(md), keepCode))
+}

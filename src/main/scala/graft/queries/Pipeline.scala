@@ -1611,6 +1611,50 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // ---- Markdown extraction (r8): the GitHub/README/forum slice.
+    // PLANTED oracle, same recipe as the HTML family: the markdown is
+    // BUILT from documents.text (heading, one list item per word, a
+    // dropped code fence, an inline link) so DuckDB reconstructs the
+    // expected text/title with string functions. ----
+    Q("p81_markdown_extract", Some("""
+      SELECT doc_id,
+             'Doc ' || doc_id AS title,
+             'Doc ' || doc_id || chr(10) || replace(text, ' ', chr(10)) ||
+               chr(10) || 'see ref end' AS text
+      FROM documents ORDER BY doc_id""")) { (s, d) =>
+      val md = concat(
+        lit("# Doc "), col("doc_id"), lit("\n\n- "),
+        expr("replace(text, ' ', concat(chr(10), '- '))"),
+        lit("\n```\nval dropped = code()\n```\nsee [ref](http://r.s/) end"))
+      t(s, d, "documents")
+        .select(col("doc_id"), md.as("md"))
+        .select(col("doc_id"),
+          graft.functions.MarkdownText.markdownTitle(col("md")).as("title"),
+          graft.functions.MarkdownText.markdownExtractText(col("md"))
+            .as("text"))
+        .orderBy("doc_id")
+    },
+
+    // The statement twin: EXTRACT(METHOD markdown) — same oracle.
+    Q("p81c_markdown_extract_sql", Some("""
+      SELECT doc_id,
+             'Doc ' || doc_id AS title,
+             'Doc ' || doc_id || chr(10) || replace(text, ' ', chr(10)) ||
+               chr(10) || 'see ref end' AS text
+      FROM documents ORDER BY doc_id""")) { (s, d) =>
+      val ctx = new graft.Context(s)
+      ctx.createTableFromPath("documents", s"$d/documents.parquet")
+      ctx.sql(
+        """SELECT * FROM EXTRACT(METHOD markdown,
+          |SELECT doc_id,
+          |  concat('# Doc ', doc_id, chr(10), chr(10), '- ',
+          |    replace(text, ' ', concat(chr(10), '- ')),
+          |    chr(10), '```', chr(10), 'val dropped = code()', chr(10), '```',
+          |    chr(10), 'see [ref](http://r.s/) end') AS md
+          |FROM documents)""".stripMargin)
+        .orderBy("doc_id")
+    },
+
     // ---- PageRank (r8): the link-graph quality prior, full circle
     // through the HTML stage — each doc's page links to two formula-
     // planted neighbors, the edges come out of html_links (not out of

@@ -1,0 +1,105 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.MarkdownText
+
+/** Markdown → text extraction (functions.MarkdownText): the documented
+  * line-based dialect, fence handling, inline transforms, the statement
+  * surface, and adversarial input. */
+class MarkdownTextSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ext(md: String, keepCode: Boolean = false): String =
+    MarkdownText.extractText(md, keepCode)
+  private def title(md: String): Option[String] =
+    Option(MarkdownText.extractTitle(md))
+
+  test("block markers: headings, lists, blockquotes, rules, blank collapse") {
+    val md =
+      """# The Title
+        |
+        |Some prose here.
+        |
+        |- item one
+        |* item two
+        |+ item three
+        |12. numbered item
+        |
+        |> quoted line
+        |> > nested quote
+        |
+        |---
+        |Final line.""".stripMargin
+    assert(ext(md) ==
+      "The Title\nSome prose here.\nitem one\nitem two\nitem three\n" +
+        "numbered item\nquoted line\nnested quote\nFinal line.")
+    assert(title(md) == Some("The Title"))
+    assert(title("no headings at all") == None)
+    // heading requires the space: hashtags stay literal
+    assert(ext("#nospace stays") == "#nospace stays")
+    // thematic breaks of every flavor drop
+    Seq("---", "***", "===", "____").foreach(r => assert(ext(s"a\n$r\nb") == "a\nb"))
+  }
+
+  test("inline: links, images, code, emphasis; single underscore kept") {
+    assert(ext("see [the docs](http://x.y/d) for more") == "see the docs for more")
+    assert(ext("ref style [text][1] works") == "ref style text works")
+    assert(ext("logo: ![alt text](img.png) end") == "logo: alt text end")
+    assert(ext("run `make all` now") == "run make all now")
+    assert(ext("**bold** and *em* and __also__") == "bold and em and also")
+    assert(ext("snake_case_name survives") == "snake_case_name survives")
+    assert(ext("escaped \\*star\\* stays") == "escaped *star* stays")
+    // unterminated constructs emit literally / to end of line, no hang
+    assert(ext("broken [link(no close") == "broken [link(no close")
+    assert(ext("tick `unclosed rest") == "tick unclosed rest")
+  }
+
+  test("fences: code drops by default, keep_code keeps content, fence chars match") {
+    val md =
+      """intro line
+        |```scala
+        |val x = 1 // # not a heading
+        |```
+        |outro line
+        |~~~
+        |more code
+        |~~~""".stripMargin
+    assert(ext(md) == "intro line\noutro line")
+    assert(ext(md, keepCode = true) ==
+      "intro line\nval x = 1 // # not a heading\noutro line\nmore code")
+    // a ``` fence is not closed by ~~~ (and vice versa)
+    assert(ext("```\ncode\n~~~\nstill code\n```\nafter") == "after")
+    // unterminated fence drops to end, bounded
+    assert(ext("before\n```\nnever closed") == "before")
+    // headings inside fences are not titles
+    assert(title("```\n# fake\n```\n## real") == Some("real"))
+  }
+
+  test("EXTRACT METHOD markdown and SQL functions") {
+    val ctx = new Context(spark)
+    import spark.implicits._
+    ctx.createTable("md_docs", Seq(
+      (1L, "src9", "# Doc One\n\nprose with [a link](u) here.\n```\ncode\n```\n- bullet"))
+      .toDF("doc_id", "source", "md"))
+    val out = ctx.sql(
+      "SELECT * FROM EXTRACT(METHOD markdown, SELECT * FROM md_docs)")
+      .collect().head
+    assert(out.schema.fieldNames.toSeq == Seq("doc_id", "source", "title", "text"))
+    assert(out.getString(2) == "Doc One")
+    assert(out.getString(3) == "Doc One\nprose with a link here.\nbullet")
+    val fn = ctx.sql(
+      """SELECT markdown_extract(md) AS t, markdown_extract(md, true) AS tc,
+        |       markdown_title(md) AS ti FROM md_docs""".stripMargin)
+      .collect().head
+    assert(fn.getString(0) == "Doc One\nprose with a link here.\nbullet")
+    assert(fn.getString(1).contains("code"))
+    assert(fn.getString(2) == "Doc One")
+    ctx.sql("DROP TABLE IF EXISTS md_docs")
+  }
+
+  test("adversarial input never throws") {
+    Seq("", "\n\n\n", "```", "``````", "[", "![", "`", "\\", "> > > >",
+      "#######", "[a](" + "x" * 10000, "*" * 5000, ("- a\n" * 5000))
+      .foreach { s => ext(s); ext(s, keepCode = true); title(s) }
+  }
+}
