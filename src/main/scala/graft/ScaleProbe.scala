@@ -506,6 +506,30 @@ object ScaleProbe {
             graft.functions.HtmlText.htmlExtractText(col("html")).as("text"),
             graft.functions.HtmlText.htmlLinks(col("html")).as("links"))
       },
+      time("html_main_text") {
+        // r8: the link-density block filter over the same built markup as
+        // html_extract plus nav/footer chrome — measures the per-block
+        // accounting on top of the walk
+        val html = expr(
+          """concat('<html><body><div><a href="/h">Home</a> <a href="/a">About</a></div><p>',
+            |replace(text, ' ', '</p><p>'),
+            |'</p><footer><a href="/t">Terms</a> <a href="/p">Privacy</a></footer></body></html>')"""
+            .stripMargin.replace("\n", " "))
+        docs.select(col("doc_id"),
+          graft.functions.HtmlText.htmlMainText(html, minChars = 1).as("text"))
+      },
+      time("markdown_extract") {
+        // r8: the markdown line dialect — heading + one list item per
+        // word + a dropped fence + an inline link per doc
+        val md = expr(
+          """concat('# Doc ', doc_id, chr(10), chr(10), '- ',
+            |replace(text, ' ', concat(chr(10), '- ')),
+            |chr(10), '```', chr(10), 'val dropped = code()', chr(10), '```',
+            |chr(10), 'see [ref](http://r.s/) end')"""
+            .stripMargin.replace("\n", " "))
+        docs.select(col("doc_id"),
+          graft.functions.MarkdownText.markdownExtractText(md).as("text"))
+      },
       time("pagerank_5it") {
         // r8: five damped iterations over the 2-out-degree formula graph
         // at clone scale (nDocs nodes, 2·nDocs edges) — per-iteration

@@ -57,7 +57,7 @@ object Warc {
     StructField("content", BinaryType, nullable = true)))
 
   /** One parsed record (reader-internal). */
-  private[sources] final case class Rec(
+  private[graft] final case class Rec(
       offset: Long, headers: Map[String, String], content: Array[Byte])
 
   private[sources] val MaxHeaderLine = 64 * 1024
@@ -65,7 +65,7 @@ object Warc {
 
   /** Streaming record iterator over a DECOMPRESSED WARC byte stream.
     * `wantContent=false` skips content blocks instead of reading them. */
-  private[sources] def records(
+  private[graft] def records(
       in: java.io.InputStream, wantContent: Boolean): Iterator[Rec] =
     new Iterator[Rec] {
       private var offset = 0L

@@ -236,6 +236,55 @@ class WarcSpec extends AnyFunSuite {
       .map(i => s"http://ex.com/p/$i" -> s"doc $i body").toMap)
   }
 
+  test("mutation fuzz: 300 corrupted archives never hang and fail only by EOF") {
+    // the media-parser fuzz discipline applied to the record parser:
+    // take a valid two-record archive, corrupt it under seeded random
+    // byte flips / truncations / splices, and require every outcome to
+    // be either a clean parse (possibly fewer records) or EOFException /
+    // IOException — never an index error, negative-size allocation, or
+    // hang. Runs the iterator directly (no Spark jobs) so 300 cases are
+    // cheap.
+    val base = ("WARC/1.0\r\nWARC-Type: resource\r\n" +
+      "WARC-Record-ID: <urn:uuid:f-1>\r\nContent-Length: 11\r\n\r\nhello world\r\n\r\n" +
+      "WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://f.z/\r\n" +
+      "Content-Length: 7\r\n\r\npayload\r\n\r\n").getBytes("UTF-8")
+    (1 to 300).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val bytes = rnd.nextInt(4) match {
+        case 0 => // byte flips
+          val b = base.clone()
+          (0 until 1 + rnd.nextInt(8)).foreach { _ =>
+            b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+          }
+          b
+        case 1 => base.take(rnd.nextInt(base.length)) // truncation
+        case 2 => // splice two fragments
+          base.take(rnd.nextInt(base.length)) ++
+            base.drop(rnd.nextInt(base.length))
+        case _ => // random garbage injected at a random position
+          val at = rnd.nextInt(base.length)
+          val junk = Array.fill(1 + rnd.nextInt(40))(rnd.nextInt(256).toByte)
+          base.take(at) ++ junk ++ base.drop(at)
+      }
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      try {
+        val it = Warc.records(new java.io.ByteArrayInputStream(bytes),
+          wantContent = true)
+        var n = 0
+        while (it.hasNext && n < 100) {
+          val r = it.next()
+          assert(r.content == null || r.content.length >= 0)
+          n += 1
+          assert(System.nanoTime() < deadline, s"seed $seed: parse hang")
+        }
+        assert(n < 100, s"seed $seed: runaway record stream")
+      } catch {
+        case _: java.io.IOException => // EOF / truncation: the allowed failure
+        case e: Throwable => fail(s"seed $seed: unexpected ${e.getClass}: ${e.getMessage}")
+      }
+    }
+  }
+
   test("http_text decodes with the declared charset: header, meta sniff, fallbacks") {
     def msg(headers: String, body: Array[Byte]): Array[Byte] =
       (s"HTTP/1.1 200 OK\r\n$headers\r\n\r\n").getBytes("ISO-8859-1") ++ body
