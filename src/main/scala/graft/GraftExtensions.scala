@@ -244,6 +244,22 @@ object GraftFunctions {
           }))
       }),
 
+    (new FunctionIdentifier("robots_allowed"),
+      new ExpressionInfo("graft.functions.CrawlPolicy", "robots_allowed"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size >= 2 && exprs.size <= 3,
+          s"expected (robots_txt, path [, 'agent']), got ${exprs.size}")
+        graft.functions.CrawlPolicy.RobotsAllowed(exprs(0), exprs(1),
+          if (exprs.size > 2) stringArg(exprs(2), "agent") else "*")
+      }),
+
+    (new FunctionIdentifier("sitemap_urls"),
+      new ExpressionInfo("graft.functions.CrawlPolicy", "sitemap_urls"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 1, s"expected (xml), got ${exprs.size} arguments")
+        graft.functions.CrawlPolicy.SitemapUrls(exprs.head)
+      }),
+
     (new FunctionIdentifier("markdown_title"),
       new ExpressionInfo("graft.functions.MarkdownText", "markdown_title"),
       (exprs: Seq[Expression]) => {

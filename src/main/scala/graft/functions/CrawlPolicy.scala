@@ -1,0 +1,198 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Crawl-policy evaluation — the fetch-gating half of the crawl
+  * front-end (what decides which URLs enter the archive the WARC stages
+  * then process):
+  *
+  *  - [[RobotsAllowed]]: RFC 9309 robots.txt evaluation. Group selection
+  *    (exact product token beats `*`; consecutive User-agent lines share
+  *    a group), longest-match rule precedence with Allow winning ties,
+  *    `*` wildcards and `$` end anchors in patterns, comments stripped,
+  *    unknown directives ignored, no matching group or empty pattern →
+  *    allowed. The per-(robots, path) evaluation is a pure projection —
+  *    a corpus-scale recrawl joins its URL table to a per-host robots
+  *    table and filters in one pass.
+  *  - [[SitemapUrls]]: `<loc>` contents of a sitemap/sitemap-index XML
+  *    in document order, entity-decoded — the seed-URL extraction that
+  *    pairs with [[HtmlText.HtmlLinks]] for discovered links.
+  *
+  * Untrusted-input discipline as everywhere: single bounded passes,
+  * malformed lines ignored, wildcard matching is iterative two-pointer
+  * (no regex, no backtracking blowup).
+  */
+object CrawlPolicy {
+
+  /** RFC 9309 path-pattern match: literal chars, `*` = any run, a
+    * trailing `$` anchors the end. Iterative two-pointer with single
+    * backtrack star — O(path·pattern) worst case, no recursion. */
+  private[graft] def patternMatches(pattern0: String, path: String): Boolean = {
+    val anchored = pattern0.nonEmpty && pattern0.charAt(pattern0.length - 1) == '$'
+    val pattern = if (anchored) pattern0.substring(0, pattern0.length - 1) else pattern0
+    if (pattern.isEmpty) return !anchored || path.isEmpty
+    var p = 0 // pattern cursor
+    var s = 0 // path cursor
+    var starP = -1
+    var starS = -1
+    while (s < path.length) {
+      if (p < pattern.length &&
+          (pattern.charAt(p) == path.charAt(s))) { p += 1; s += 1 }
+      else if (p < pattern.length && pattern.charAt(p) == '*') {
+        starP = p; starS = s; p += 1
+      } else if (starP >= 0) { starS += 1; s = starS; p = starP + 1 }
+      else return false
+      // a fully-consumed, unanchored pattern is a prefix match — done
+      if (p == pattern.length && !anchored) return true
+    }
+    // path consumed: remaining pattern must be all '*'
+    while (p < pattern.length && pattern.charAt(p) == '*') p += 1
+    p == pattern.length // anchored: pattern must also end exactly here
+  }
+
+  private final case class Rule(allow: Boolean, pattern: String)
+
+  /** Parse robots.txt into (agents → rules) groups and evaluate. */
+  private[graft] def allowed(robots: String, path: String, agent: String): Boolean = {
+    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
+    // groups: consecutive User-agent lines open a group; rule lines bind
+    // to the open group; a User-agent line AFTER rules starts a new one
+    var groups = List.empty[(List[String], List[Rule])] // reverse order
+    var curAgents = List.empty[String]
+    var curRules = List.empty[Rule]
+    var inAgents = false
+    def flush(): Unit = {
+      if (curAgents.nonEmpty) groups = (curAgents, curRules.reverse) :: groups
+      curAgents = Nil; curRules = Nil
+    }
+    robots.split("\n", -1).foreach { raw =>
+      val noComment = {
+        val h = raw.indexOf('#')
+        if (h < 0) raw else raw.substring(0, h)
+      }
+      val colon = noComment.indexOf(':')
+      if (colon > 0) {
+        val key = noComment.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT)
+        val value = noComment.substring(colon + 1).trim
+        key match {
+          case "user-agent" =>
+            if (!inAgents) { flush(); inAgents = true }
+            curAgents = value.toLowerCase(java.util.Locale.ROOT) :: curAgents
+          case "allow" =>
+            inAgents = false
+            if (curAgents.nonEmpty) curRules = Rule(allow = true, value) :: curRules
+          case "disallow" =>
+            inAgents = false
+            if (curAgents.nonEmpty) curRules = Rule(allow = false, value) :: curRules
+          case _ => inAgents = false // crawl-delay / sitemap / unknown: ignored
+        }
+      }
+    }
+    flush()
+    // group selection: exact product-token match beats '*'; among exact
+    // matches the longest agent token wins (RFC 9309 §2.2.1)
+    val all = groups.reverse
+    val exact = all.filter(_._1.exists(a => a != "*" && agentLc.contains(a)))
+    val chosen =
+      if (exact.nonEmpty)
+        Seq(exact.maxBy(_._1.filter(a => a != "*" && agentLc.contains(a))
+          .map(_.length).max))
+      else all.filter(_._1.contains("*"))
+    if (chosen.isEmpty) return true
+    // longest-match precedence over the chosen group(s); Allow wins
+    // ties; "Disallow:" with an EMPTY pattern means allow-all (matches
+    // nothing — the default covers it)
+    var bestLen = -1
+    var bestAllow = true
+    chosen.flatMap(_._2).foreach { r =>
+      if (r.pattern.nonEmpty && patternMatches(r.pattern, path)) {
+        if (r.pattern.length > bestLen) {
+          bestLen = r.pattern.length; bestAllow = r.allow
+        } else if (r.pattern.length == bestLen && r.allow) bestAllow = true
+      }
+    }
+    bestAllow
+  }
+
+  /** `<loc>` contents in document order, entity-decoded. */
+  private[graft] def sitemapUrls(xml: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    val n = xml.length
+    while (i < n) {
+      val open = xml.indexOf('<', i)
+      if (open < 0 || open + 4 >= n) i = n
+      else if (xml.regionMatches(true, open, "<loc", 0, 4) &&
+          (xml.charAt(open + 4) == '>' || Character.isWhitespace(xml.charAt(open + 4)))) {
+        val gt = xml.indexOf('>', open)
+        if (gt < 0) i = n
+        else {
+          val close = {
+            var k = gt + 1
+            var found = -1
+            while (found < 0 && k < n) {
+              val c = xml.indexOf('<', k)
+              if (c < 0) k = n
+              else if (xml.regionMatches(true, c, "</loc", 0, 5)) found = c
+              else k = c + 1
+            }
+            found
+          }
+          if (close < 0) i = n
+          else {
+            val raw = xml.substring(gt + 1, close).trim
+            // entity-decode (&amp; in URLs is mandatory XML escaping)
+            val sb = new java.lang.StringBuilder(raw.length)
+            var p = 0
+            while (p < raw.length) {
+              if (raw.charAt(p) == '&') {
+                val (rep, np) = HtmlText.decodeEntityAt(raw, p)
+                sb.append(rep); p = np
+              } else { sb.append(raw.charAt(p)); p += 1 }
+            }
+            if (sb.length > 0) out += sb.toString
+            i = close + 5
+          }
+        }
+      } else i = open + 1
+    }
+    out.toArray
+  }
+
+  case class RobotsAllowed(left: Expression, right: Expression,
+      agent: String = "*")
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BooleanType
+    override def nullSafeEval(robots: Any, path: Any): Any =
+      java.lang.Boolean.valueOf(allowed(
+        robots.asInstanceOf[UTF8String].toString,
+        path.asInstanceOf[UTF8String].toString, agent))
+    override def prettyName: String = "robots_allowed"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): RobotsAllowed =
+      copy(left = l, right = r)
+  }
+
+  case class SitemapUrls(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      new GenericArrayData(sitemapUrls(
+        input.asInstanceOf[UTF8String].toString)
+        .map(UTF8String.fromString(_).asInstanceOf[Any]))
+    override def prettyName: String = "sitemap_urls"
+    override protected def withNewChildInternal(c: Expression): SitemapUrls =
+      copy(child = c)
+  }
+
+  def robotsAllowed(robots: Column, path: Column, agent: String = "*"): Column =
+    GraftBridge.column(RobotsAllowed(GraftBridge.expression(robots),
+      GraftBridge.expression(path), agent))
+  def sitemapUrlsCol(xml: Column): Column =
+    GraftBridge.column(SitemapUrls(GraftBridge.expression(xml)))
+}

@@ -71,6 +71,9 @@ object HtmlText {
   /** Decode the entity starting at `i` (which points at '&').
     * Returns (decoded, nextIndex); a malformed entity decodes to literal
     * "&" advancing one char — never consumes past the text it matched. */
+  private[graft] def decodeEntityAt(html: String, i: Int): (String, Int) =
+    decodeEntity(html, i)
+
   private def decodeEntity(html: String, i: Int): (String, Int) = {
     val n = html.length
     val semi = {

@@ -1611,6 +1611,57 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // ---- Crawl policy (r8): fetch gating. PLANTED oracle — each doc's
+    // URL path takes one of four shapes by formula, the robots.txt is a
+    // fixed literal whose RFC 9309 outcome per shape is known by
+    // construction (prefix disallow, longer allow override, *-wildcard
+    // + $-anchor), and DuckDB labels the shapes directly. ----
+    Q("p82_robots_gate", Some("""
+      SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 0 THEN '/public/doc' || doc_id
+               WHEN 1 THEN '/private/doc' || doc_id
+               WHEN 2 THEN '/private/ok/doc' || doc_id
+               ELSE '/files/doc' || doc_id || '.tmp' END AS path,
+             (doc_id % 4 = 0 OR doc_id % 4 = 2) AS allowed
+      FROM documents ORDER BY doc_id""")) { (s, d) =>
+      val robots = "User-agent: *\nDisallow: /private/\n" +
+        "Allow: /private/ok/\nDisallow: /*.tmp$\n"
+      val path = expr(
+        """CASE CAST(doc_id % 4 AS INT)
+          |  WHEN 0 THEN concat('/public/doc', doc_id)
+          |  WHEN 1 THEN concat('/private/doc', doc_id)
+          |  WHEN 2 THEN concat('/private/ok/doc', doc_id)
+          |  ELSE concat('/files/doc', doc_id, '.tmp') END"""
+          .stripMargin.replace("\n", " "))
+      t(s, d, "documents")
+        .select(col("doc_id"), path.as("path"))
+        .withColumn("allowed",
+          graft.functions.CrawlPolicy.robotsAllowed(lit(robots), col("path")))
+        .orderBy("doc_id")
+    },
+
+    // Sitemap seed extraction over planted XML (entity-escaped URLs —
+    // the &amp; must decode exactly once).
+    Q("p83_sitemap_urls", Some("""
+      SELECT doc_id,
+             CAST(2 AS INT) AS n_urls,
+             'http://s.t/doc/' || doc_id || '?a=1&b=2' AS url0
+      FROM documents ORDER BY doc_id""")) { (s, d) =>
+      val xml = concat(
+        lit("<?xml version=\"1.0\"?><urlset><url><loc>http://s.t/doc/"),
+        col("doc_id"),
+        lit("?a=1&amp;b=2</loc></url><url><loc>http://s.t/alt/"),
+        col("doc_id"), lit("</loc></url></urlset>"))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.functions.CrawlPolicy.sitemapUrlsCol(xml).as("_u"))
+        .select(col("doc_id"),
+          size(col("_u")).as("n_urls"),
+          element_at(col("_u"), 1).as("url0"))
+        .orderBy("doc_id")
+    },
+
     // ---- Markdown extraction (r8): the GitHub/README/forum slice.
     // PLANTED oracle, same recipe as the HTML family: the markdown is
     // BUILT from documents.text (heading, one list item per word, a

@@ -1,0 +1,105 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.CrawlPolicy
+
+/** Crawl-policy evaluation (functions.CrawlPolicy): RFC 9309 robots.txt
+  * semantics — group selection, longest-match precedence, wildcards and
+  * anchors — plus sitemap <loc> extraction and the SQL surface. */
+class CrawlPolicySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ok(robots: String, path: String, agent: String = "*"): Boolean =
+    CrawlPolicy.allowed(robots, path, agent)
+
+  private val basic =
+    """# comments are stripped
+      |User-agent: *
+      |Disallow: /private/
+      |Allow: /private/ok/
+      |Disallow: /*.tmp$
+      |""".stripMargin
+
+  test("longest-match precedence, wildcards, anchors (RFC 9309 §2.2.2)") {
+    assert(ok(basic, "/public/page"))
+    assert(!ok(basic, "/private/secret"))
+    assert(ok(basic, "/private/ok/fine"))        // longer Allow beats Disallow
+    assert(!ok(basic, "/files/x.tmp"))           // * wildcard + $ anchor
+    assert(ok(basic, "/files/x.tmp.bak"))        // anchor really anchors
+    assert(ok(basic, "/privateer"))              // /private/ is not a prefix
+    assert(ok("", "/anything"))                  // empty robots: allow
+    assert(ok("User-agent: *\nDisallow:", "/x")) // empty Disallow: allow-all
+    assert(!ok("User-agent: *\nDisallow: /", "/x")) // root disallow
+    // Allow wins an exact-length tie
+    assert(ok("User-agent: *\nDisallow: /a/\nAllow: /a/", "/a/x"))
+  }
+
+  test("group selection: exact product token beats *, shared UA lines") {
+    val robots =
+      """User-agent: googlebot
+        |User-agent: graftbot
+        |Disallow: /for-named-bots/
+        |
+        |User-agent: *
+        |Disallow: /for-everyone/
+        |""".stripMargin
+    // the named group applies ONLY its own rules (not the * group's)
+    assert(!ok(robots, "/for-named-bots/x", agent = "graftbot"))
+    assert(ok(robots, "/for-everyone/x", agent = "graftbot"))
+    // anonymous crawlers get the * group
+    assert(ok(robots, "/for-named-bots/x"))
+    assert(!ok(robots, "/for-everyone/x"))
+    // agent matching is substring-of-product-token, case-insensitive
+    assert(!ok(robots, "/for-named-bots/x", agent = "GraftBot/2.1"))
+    // no group at all matches an agent when only named groups exist
+    assert(ok("User-agent: otherbot\nDisallow: /", "/x", agent = "graftbot"))
+  }
+
+  test("pattern matcher: star backtracking, bounded on adversarial input") {
+    import CrawlPolicy.patternMatches
+    assert(patternMatches("/a*b*c", "/a-x-b-y-c-z"))
+    assert(!patternMatches("/a*b$", "/a-x-b-y"))
+    assert(patternMatches("/a*b$", "/a-x-b"))
+    assert(patternMatches("/*", "/anything/at/all"))
+    assert(patternMatches("/", "/"))
+    // pathological star runs stay fast (two-pointer, no regex)
+    val t0 = System.nanoTime()
+    assert(!patternMatches("/" + "a*" * 50 + "z$", "/" + "a" * 2000))
+    assert((System.nanoTime() - t0) / 1e9 < 2.0)
+  }
+
+  test("sitemap <loc> extraction: order, entities, malformed tolerance") {
+    val xml =
+      """<?xml version="1.0"?>
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |<url><loc>http://ex.com/a?x=1&amp;y=2</loc><lastmod>2026</lastmod></url>
+        |<url><LOC> http://ex.com/b </LOC></url>
+        |<url><loc></loc></url>
+        |<url><loc>http://ex.com/c""".stripMargin
+    assert(CrawlPolicy.sitemapUrls(xml).toSeq ==
+      Seq("http://ex.com/a?x=1&y=2", "http://ex.com/b"))
+    assert(CrawlPolicy.sitemapUrls("no xml here").isEmpty)
+    assert(CrawlPolicy.sitemapUrls("<loc").isEmpty)
+  }
+
+  test("SQL functions robots_allowed / sitemap_urls registered") {
+    val ctx = new Context(spark)
+    import spark.implicits._
+    ctx.createTable("crawl_urls", Seq(
+      (1L, "/public/a"), (2L, "/private/b"), (3L, "/private/ok/c"))
+      .toDF("id", "path"))
+    val robots = basic.replace("\n", "\\n")
+    val got = ctx.sql(
+      s"""SELECT id, robots_allowed('$robots', path) AS a,
+         |       robots_allowed('$robots', path, 'anybot') AS ab
+         |FROM crawl_urls ORDER BY id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
+    assert(got.toSeq == Seq((1L, true, true), (2L, false, false),
+      (3L, true, true)))
+    val urls = ctx.sql(
+      "SELECT sitemap_urls('<urlset><url><loc>u1</loc></url><url><loc>u2</loc></url></urlset>') AS u")
+      .collect().head.getSeq[String](0)
+    assert(urls == Seq("u1", "u2"))
+    ctx.sql("DROP TABLE IF EXISTS crawl_urls")
+  }
+}
