@@ -96,14 +96,21 @@ object CrawlPolicy {
     }
     flush()
     // group selection: exact product-token match beats '*'; among exact
-    // matches the longest agent token wins (RFC 9309 §2.2.1)
+    // matches the longest agent token wins (RFC 9309 §2.2.1) — and the
+    // RFC requires MERGING rules from every group that matches at that
+    // length (two separate `User-agent: foobot` groups are one logical
+    // group; picking a single maxBy winner would silently drop the
+    // second group's Disallow lines)
     val all = groups.reverse
-    val exact = all.filter(_._1.exists(a => a != "*" && agentLc.contains(a)))
+    def bestLenOf(g: (List[String], List[Rule])): Int =
+      g._1.filter(a => a != "*" && agentLc.contains(a))
+        .map(_.length).foldLeft(-1)(math.max)
+    val exact = all.filter(bestLenOf(_) >= 0)
     val chosen =
-      if (exact.nonEmpty)
-        Seq(exact.maxBy(_._1.filter(a => a != "*" && agentLc.contains(a))
-          .map(_.length).max))
-      else all.filter(_._1.contains("*"))
+      if (exact.nonEmpty) {
+        val m = exact.map(bestLenOf).max
+        exact.filter(bestLenOf(_) == m)
+      } else all.filter(_._1.contains("*"))
     if (chosen.isEmpty) return true
     // longest-match precedence over the chosen group(s); Allow wins
     // ties; "Disallow:" with an EMPTY pattern means allow-all (matches

@@ -72,8 +72,10 @@ object HttpMessage {
     val block = headerBlock(b)
     if (block == null) return null
     val line = block.takeWhile(c => c != '\r' && c != '\n')
-    // "HTTP/1.1 200 OK"
-    val parts = line.split(" ")
+    // "HTTP/1.1 200 OK" — split on any whitespace RUN: real crawl data
+    // contains status lines with multiple spaces between version and
+    // code, which split(" ") turns into an empty parts(1)
+    val parts = line.trim.split("\\s+")
     if (parts.length < 2 || !parts(0).startsWith("HTTP/")) null
     else try Integer.valueOf(parts(1).toInt)
     catch { case _: NumberFormatException => null }

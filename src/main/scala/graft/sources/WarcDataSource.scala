@@ -192,6 +192,40 @@ object Warc {
     else new java.io.BufferedInputStream(raw, 1 << 16)
   }
 
+  /** WARC-Date header text for an epoch-micros instant — rendered in
+    * UTC regardless of the session timezone (a `date_format` projection
+    * would render in `spark.sql.session.timeZone` while the 'Z' suffix
+    * claims UTC, shifting every timestamp by the tz offset on read-back;
+    * WARC-Date is defined as a UTC instant). Second precision, ISO 8601. */
+  private val warcDateFmt = java.time.format.DateTimeFormatter
+    .ofPattern("uuuu-MM-dd'T'HH:mm:ss'Z'")
+    .withZone(java.time.ZoneOffset.UTC)
+  private[graft] def formatDate(epochMicros: Long): String =
+    warcDateFmt.format(java.time.Instant.ofEpochSecond(
+      Math.floorDiv(epochMicros, 1000000L),
+      Math.floorMod(epochMicros, 1000000L) * 1000L))
+
+  /** Header values are untrusted row data: a CR/LF (or any other control
+    * char) embedded in a value would inject extra header lines or a
+    * premature blank line and desynchronize record framing for
+    * everything after it — the same discipline the read side applies to
+    * archive bytes, applied to the write side. */
+  private[sources] def sanitizeHeaderValue(s: String): String = {
+    var i = 0
+    while (i < s.length && !Character.isISOControl(s.charAt(i))) i += 1
+    if (i == s.length) s
+    else {
+      val sb = new java.lang.StringBuilder(s.length)
+      sb.append(s, 0, i)
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (!Character.isISOControl(c)) sb.append(c)
+        i += 1
+      }
+      sb.toString
+    }
+  }
+
   /** Distributed WARC WRITER — the fixture/export half: one
     * `part-NNNNN.warc[.gz]` per partition of `df`, records in partition
     * order. Expects columns (warc_type, record_id, target_uri, warc_date
@@ -206,7 +240,8 @@ object Warc {
       "CAST(warc_type AS STRING) AS warc_type",
       "CAST(record_id AS STRING) AS record_id",
       "CAST(target_uri AS STRING) AS target_uri",
-      "date_format(warc_date, \"yyyy-MM-dd'T'HH:mm:ss'Z'\") AS warc_date",
+      // epoch micros, formatted executor-side in UTC (see formatDate)
+      "unix_micros(CAST(warc_date AS TIMESTAMP)) AS warc_date_us",
       "CAST(content_type AS STRING) AS content_type",
       "CAST(content AS BINARY) AS content")
     val confSer = new org.apache.spark.util.SerializableConfiguration(
@@ -224,20 +259,26 @@ object Warc {
         rows.foreach { r =>
           val content = Option(r.getAs[Array[Byte]]("content"))
             .getOrElse(Array.emptyByteArray)
-          val id = Option(r.getAs[String]("record_id")).getOrElse(
-            "<urn:uuid:" + UUID.nameUUIDFromBytes(content) + ">")
+          val id = Option(r.getAs[String]("record_id"))
+            .map(sanitizeHeaderValue).getOrElse(
+              "<urn:uuid:" + UUID.nameUUIDFromBytes(content) + ">")
           val sb = new java.lang.StringBuilder(256)
           sb.append("WARC/1.0\r\n")
           sb.append("WARC-Type: ")
-            .append(Option(r.getAs[String]("warc_type")).getOrElse("resource"))
+            .append(Option(r.getAs[String]("warc_type"))
+              .map(sanitizeHeaderValue).getOrElse("resource"))
             .append("\r\n")
           sb.append("WARC-Record-ID: ").append(id).append("\r\n")
           Option(r.getAs[String]("target_uri")).foreach(u =>
-            sb.append("WARC-Target-URI: ").append(u).append("\r\n"))
-          Option(r.getAs[String]("warc_date")).foreach(d =>
-            sb.append("WARC-Date: ").append(d).append("\r\n"))
+            sb.append("WARC-Target-URI: ").append(sanitizeHeaderValue(u))
+              .append("\r\n"))
+          if (!r.isNullAt(r.fieldIndex("warc_date_us")))
+            sb.append("WARC-Date: ")
+              .append(formatDate(r.getAs[Long]("warc_date_us")))
+              .append("\r\n")
           Option(r.getAs[String]("content_type")).foreach(ct =>
-            sb.append("Content-Type: ").append(ct).append("\r\n"))
+            sb.append("Content-Type: ").append(sanitizeHeaderValue(ct))
+              .append("\r\n"))
           sb.append("Content-Length: ").append(content.length).append("\r\n\r\n")
           out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           out.write(content)
@@ -268,14 +309,13 @@ class WarcTable(properties: java.util.Map[String, String])
       TableCapability.MICRO_BATCH_READ)
 
   /** load(path) passes "path"; load(p1, p2, …) passes "paths" as a JSON
-    * string array (Spark's DataFrameReader convention for TableProvider). */
+    * string array (Spark's DataFrameReader convention for TableProvider).
+    * Decoded with a real JSON parser — a hand-rolled split on ',' would
+    * silently shred any path containing a comma into bogus paths. */
   private[sources] def paths: Seq[String] = {
     val opts = properties.asScala
     opts.get("paths") match {
-      case Some(js) =>
-        // minimal JSON string-array decode (values are plain paths)
-        js.trim.stripPrefix("[").stripSuffix("]").split(",")
-          .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq
+      case Some(js) => WarcOffset.parseStringArray(js)
       case None => opts.get("path").toSeq
     }
   }
@@ -361,19 +401,31 @@ class WarcMicroBatchStream(paths: Seq[String], required: StructType)
 case class WarcOffset(files: Seq[String])
     extends org.apache.spark.sql.connector.read.streaming.Offset {
   override def json(): String =
-    files.sorted.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
-      .mkString("[", ",", "]")
+    WarcOffset.mapper.writeValueAsString(files.sorted.toArray)
 }
 
 object WarcOffset {
-  /** Minimal JSON string-array decode (inverse of [[WarcOffset.json]]). */
-  private[sources] def parse(json: String): Seq[String] = {
-    val t = json.trim.stripPrefix("[").stripSuffix("]").trim
-    if (t.isEmpty) Seq.empty
-    else t.split("\",\\s*\"").toSeq
-      .map(_.stripPrefix("\"").stripSuffix("\"")
-        .replace("\\\"", "\"").replace("\\\\", "\\"))
+  /** Real JSON round-trip (Jackson ships with Spark) — checkpoint
+    * offsets and multi-path reader options must survive paths containing
+    * commas, quotes, or '","' substrings, which a hand-rolled
+    * split-decode silently corrupts (mis-planned files on restart). */
+  private[sources] val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private[sources] def parseStringArray(json: String): Seq[String] = {
+    val node = mapper.readTree(json)
+    if (node == null || !node.isArray) Seq.empty
+    else {
+      val out = Seq.newBuilder[String]
+      val it = node.elements()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.isTextual && e.asText().nonEmpty) out += e.asText()
+      }
+      out.result()
+    }
   }
+
+  private[graft] def parse(json: String): Seq[String] = parseStringArray(json)
 }
 
 case class WarcInputPartition(file: String) extends InputPartition

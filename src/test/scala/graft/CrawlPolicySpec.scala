@@ -102,4 +102,59 @@ class CrawlPolicySpec extends AnyFunSuite {
     assert(urls == Seq("u1", "u2"))
     ctx.sql("DROP TABLE IF EXISTS crawl_urls")
   }
+
+  test("RFC 9309 merges rules from ALL groups matching the same agent") {
+    // two separate `User-agent: foobot` groups — the second one's
+    // Disallow must not be silently dropped
+    val split =
+      """User-agent: foobot
+        |Disallow: /a
+        |
+        |User-agent: otherbot
+        |Disallow: /
+        |
+        |User-agent: foobot
+        |Disallow: /private
+        |""".stripMargin
+    assert(!CrawlPolicy.allowed(split, "/a/x", "foobot"))
+    assert(!CrawlPolicy.allowed(split, "/private/doc", "foobot"))
+    assert(CrawlPolicy.allowed(split, "/public", "foobot"))
+    // equal-length DIFFERENT tokens that both match the product token
+    // merge too (maximal match length ties)
+    val ties =
+      """User-agent: foo
+        |Disallow: /f
+        |
+        |User-agent: bar
+        |Disallow: /b
+        |
+        |User-agent: baz
+        |Disallow: /z
+        |""".stripMargin
+    // agent "foo-bar/1.0" contains both 3-char tokens foo and bar
+    assert(!CrawlPolicy.allowed(ties, "/f/1", "foo-bar/1.0"))
+    assert(!CrawlPolicy.allowed(ties, "/b/1", "foo-bar/1.0"))
+    assert(CrawlPolicy.allowed(ties, "/z/1", "foo-bar/1.0")) // baz doesn't match
+    // a LONGER exact match still beats shorter ones (no merge across lengths)
+    val lengths =
+      """User-agent: foobot-news
+        |Disallow: /news-only
+        |
+        |User-agent: foobot
+        |Disallow: /general
+        |""".stripMargin
+    assert(!CrawlPolicy.allowed(lengths, "/news-only/a", "foobot-news/2.1"))
+    assert(CrawlPolicy.allowed(lengths, "/general/a", "foobot-news/2.1"))
+    // multiple `User-agent: *` groups merge as well
+    val stars =
+      """User-agent: *
+        |Disallow: /one
+        |
+        |User-agent: *
+        |Disallow: /two
+        |""".stripMargin
+    assert(!CrawlPolicy.allowed(stars, "/one/a", "anybot"))
+    assert(!CrawlPolicy.allowed(stars, "/two/a", "anybot"))
+    assert(CrawlPolicy.allowed(stars, "/three", "anybot"))
+  }
 }

@@ -330,4 +330,96 @@ class WarcSpec extends AnyFunSuite {
     assert(r.getInt(0) == 404 && r.getString(1) == "v" && r.getString(2) == "gone")
     ctx.sql("DROP TABLE IF EXISTS http_docs")
   }
+
+  test("http_status tolerates multi-space and padded status lines") {
+    def msg(statusLine: String): Array[Byte] =
+      (statusLine + "\r\nContent-Type: text/plain\r\n\r\nbody").getBytes("UTF-8")
+    assert(HttpMessage.status(msg("HTTP/1.1  200 OK")) == 200) // double space
+    assert(HttpMessage.status(msg("HTTP/1.1\t301 Moved")) == 301) // tab
+    assert(HttpMessage.status(msg("HTTP/1.1   404   Not Found")) == 404)
+    assert(HttpMessage.status(msg("HTTP/1.1 200 OK")) == 200) // unchanged
+    assert(HttpMessage.status(msg("HTTP/1.1")) == null) // no code at all
+    assert(HttpMessage.status(msg("ICY 200 OK")) == null) // non-HTTP intact
+  }
+
+  test("WARC-Date is UTC regardless of session timezone (round-trip exact)") {
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      import spark.implicits._
+      val instant = java.time.Instant.parse("2026-01-02T03:04:05Z")
+      val df = Seq(("response", "<urn:uuid:tz-0>", "http://ex.com/tz",
+        java.sql.Timestamp.from(instant), "text/plain", "tzbody".getBytes("UTF-8")))
+        .toDF("warc_type", "record_id", "target_uri", "warc_date",
+          "content_type", "content")
+      val dir = tmpDir("tz")
+      Warc.write(df.coalesce(1), dir, gzip = false)
+      // the raw header must carry the UTC instant, not the session-local
+      // wall clock with a lying 'Z' suffix (22:04:05 under New York)
+      val f = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".warc")).head
+      val raw = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      assert(raw.contains("WARC-Date: 2026-01-02T03:04:05Z"),
+        raw.linesIterator.filter(_.startsWith("WARC-Date")).mkString)
+      // and the reader recovers the exact instant
+      val back = spark.read.format("warc").load(dir)
+        .select("warc_date").collect().head.getAs[java.sql.Timestamp](0)
+      assert(back.toInstant == instant)
+      // pre-epoch instants format correctly too (floorDiv/floorMod)
+      assert(Warc.formatDate(-1L) == "1969-12-31T23:59:59Z")
+      assert(Warc.formatDate(0L) == "1970-01-01T00:00:00Z")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
+  test("writer sanitizes header values: CR/LF injection cannot desync framing") {
+    import spark.implicits._
+    val evilUri = "http://ex.com/a\r\nWARC-Type: injected"
+    val evilCt = "text/plain\r\n\r\nsmuggled-body"
+    val df = Seq(
+      ("response", "<urn:uuid:evil-0>", evilUri,
+        java.sql.Timestamp.from(java.time.Instant.parse("2026-01-02T03:04:05Z")),
+        evilCt, "body-0".getBytes("UTF-8")),
+      ("response", "<urn:uuid:ok-1>", "http://ex.com/b",
+        java.sql.Timestamp.from(java.time.Instant.parse("2026-01-02T03:04:06Z")),
+        "text/plain", "body-1".getBytes("UTF-8")))
+      .toDF("warc_type", "record_id", "target_uri", "warc_date",
+        "content_type", "content")
+    val dir = tmpDir("inject")
+    Warc.write(df.coalesce(1), dir, gzip = false)
+    val back = spark.read.format("warc").load(dir)
+    // BOTH records survive — the record after the hostile one still parses
+    assert(back.count() == 2)
+    val rows = back.collect().map(r =>
+      r.getAs[String]("record_id") -> r).toMap
+    // control chars stripped, remaining text intact
+    assert(rows("<urn:uuid:evil-0>").getAs[String]("target_uri") ==
+      "http://ex.com/aWARC-Type: injected")
+    assert(rows("<urn:uuid:evil-0>").getAs[String]("content_type") ==
+      "text/plainsmuggled-body")
+    assert(rows("<urn:uuid:evil-0>").getAs[String]("warc_type") == "response")
+    assert(new String(rows("<urn:uuid:ok-1>").getAs[Array[Byte]]("content"),
+      "UTF-8") == "body-1")
+  }
+
+  test("multi-path load survives commas/quotes in paths; offset JSON round-trips") {
+    import spark.implicits._
+    val base = tmpDir("comma")
+    val d1 = new java.io.File(base, "crawl,part=a")
+    val d2 = new java.io.File(base, "plain")
+    d1.mkdirs(); d2.mkdirs()
+    Warc.write(sampleDf(3).coalesce(1), d1.getAbsolutePath, gzip = false)
+    Warc.write(sampleDf(2).coalesce(1), d2.getAbsolutePath, gzip = false)
+    // load(p1, p2) ships a JSON "paths" array; a comma inside a path must
+    // not be split into bogus paths
+    val both = spark.read.format("warc")
+      .load(d1.getAbsolutePath, d2.getAbsolutePath)
+    assert(both.count() == 5)
+    // streaming-offset JSON round-trip on hostile paths (the '","'
+    // mis-split case called out in review)
+    val nasty = Seq("""/a/b,c/f.warc""", """/x/has"quote.warc""",
+      """/y/back\slash.warc""", """/z/tricky","comma.warc""")
+    val rt = graft.sources.WarcOffset.parse(
+      graft.sources.WarcOffset(nasty).json())
+    assert(rt.toSet == nasty.toSet)
+  }
 }
