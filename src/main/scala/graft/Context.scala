@@ -906,6 +906,52 @@ class Context(val spark: SparkSession) {
           s"Unknown SAMPLE method: $other (weighted|rate)")
       }
 
+    // SELECT * FROM SCRUB(METHOD pii [WITH (...)], <select>) — typed PII
+    // detection/redaction over the inner query's text column (pure
+    // projection). Options: text= (default 'text'), types= (csv of
+    // email|ipv6|ipv4|ssn|aws_key|github_token|phone|cc, default all),
+    // engine='native' (single-pass combined pattern, Luhn-validated cc;
+    // the production form) | 'regex' (chained regexp_replace, the
+    // oracle-portable form — cc is pattern-only there), luhn= (native
+    // only, default true), action='redact' (replace the text column) |
+    // 'flag' (append n_<type> count columns + pii_total) | 'drop' (keep
+    // rows with pii_total <= max_hits, default 0).
+    case Scrub(method, opts, select) =>
+      if (method != "pii") throw new IllegalArgumentException(
+        s"Unknown SCRUB method: $method (pii)")
+      val df = sql(select)
+      val textCol = opts.getOrElse("text", "text")
+      val types = opts.get("types")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(graft.functions.Pii.defaultTypes)
+      val luhn = opts.get("luhn").forall(_.trim.toBoolean)
+      val scrubbed = opts.getOrElse("engine", "native").trim.toLowerCase match {
+        case "native" => graft.functions.Pii.scrubAll(col(textCol), types, luhn)
+        case "regex" => graft.functions.Pii.scrub(col(textCol), types)
+        case other => throw new IllegalArgumentException(
+          s"Unknown SCRUB engine: $other (native|regex)")
+      }
+      opts.getOrElse("action", "redact").trim.toLowerCase match {
+        case "redact" => df.withColumn(textCol, scrubbed)
+        case "flag" | "drop" =>
+          val cnt = graft.functions.Pii.counts(col(textCol), types)
+          val flagged = df.withColumn("_pii", cnt)
+            .select((df.columns.map(col).toSeq :+ col("_pii.*")): _*)
+          val total = graft.functions.Pii.ordered(types)
+            .map(d => col(s"n_${d.name}"))
+            .reduce(_ + _).as("pii_total")
+          val withTotal = flagged.withColumn("pii_total", total)
+          if (opts.getOrElse("action", "redact").trim.toLowerCase == "flag")
+            withTotal
+          else {
+            val maxHits = opts.get("max_hits").map(_.trim.toLong).getOrElse(0L)
+            withTotal.filter(col("pii_total") <= maxHits)
+              .select(df.columns.map(col).toSeq: _*)
+          }
+        case other => throw new IllegalArgumentException(
+          s"Unknown SCRUB action: $other (redact|flag|drop)")
+      }
+
     // SELECT * FROM TOKENIZE(TABLE merges [WITH (...)], <select>) —
     // BPE-encode the inner query's documents with a registered merge table
     // (any (round, lhs, rhs) frame, e.g. a persisted bpeLearnMerges

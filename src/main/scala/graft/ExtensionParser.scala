@@ -72,6 +72,11 @@ object ExtensionParser {
     * (no reference analogue; parity-plus). */
   final case class Sample(method: String, options: Map[String, String],
       select: String) extends Statement
+  /** PII-scrub the inner query's documents: typed detection/redaction
+    * (emails, phones, IPs, ID shapes, leaked keys) with redact/flag/drop
+    * actions (no reference analogue; parity-plus). */
+  final case class Scrub(method: String, options: Map[String, String],
+      select: String) extends Statement
   /** BPE-encode the inner query's documents with a registered merge table
     * (no reference analogue; parity-plus). */
   final case class Tokenize(table: String, options: Map[String, String],
@@ -214,6 +219,9 @@ object ExtensionParser {
   // SELECT * FROM SAMPLE(METHOD weighted|rate [WITH (...)], <select>)
   private val sampleStmt =
     re(s"SELECT${ws}\\*${ws}FROM${ws}SAMPLE\\s*\\(\\s*METHOD${ws}$ident(?:${ws}WITH${ws}\\($kwSpan\\))?\\s*,(.*)\\)")
+  // SELECT * FROM SCRUB(METHOD pii [WITH (...)], <select>)
+  private val scrubStmt =
+    re(s"SELECT${ws}\\*${ws}FROM${ws}SCRUB\\s*\\(\\s*METHOD${ws}$ident(?:${ws}WITH${ws}\\($kwSpan\\))?\\s*,(.*)\\)")
   // SELECT * FROM TOKENIZE(TABLE merges [WITH (...)], <select>)
   private val tokenizeStmt =
     re(s"SELECT${ws}\\*${ws}FROM${ws}TOKENIZE\\s*\\(\\s*TABLE${ws}$ident(?:${ws}WITH${ws}\\($kwSpan\\))?\\s*,(.*)\\)")
@@ -275,6 +283,9 @@ object ExtensionParser {
         Option(kwargs).map(parseKwargs).getOrElse(Map()), select.trim)
     case sampleStmt(method, kwargs, select) =>
       Sample(method.toLowerCase,
+        Option(kwargs).map(parseKwargs).getOrElse(Map()), select.trim)
+    case scrubStmt(method, kwargs, select) =>
+      Scrub(method.toLowerCase,
         Option(kwargs).map(parseKwargs).getOrElse(Map()), select.trim)
     case tokenizeStmt(table, kwargs, select) =>
       Tokenize(table,

@@ -87,6 +87,44 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => colFn(exprs, 1) { cols =>
         graft.functions.TextAnalysis.redactPii(cols.head) }),
 
+    // pii_scrub(text[, 'type,type,...'[, luhn]]) — the native single-pass
+    // typed scrub (Luhn-validated credit cards by default); types/luhn
+    // must be literals (they shape the expression)
+    (new FunctionIdentifier("pii_scrub"),
+      new ExpressionInfo("graft.functions.Pii", "pii_scrub"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.nonEmpty && exprs.size <= 3,
+          s"expected (text[, 'types'[, luhn]]), got ${exprs.length} arguments")
+        val types =
+          if (exprs.size >= 2)
+            stringArg(exprs(1), "types").split(",").map(_.trim)
+              .filter(_.nonEmpty).toSeq
+          else graft.functions.Pii.defaultTypes
+        val luhn = if (exprs.size == 3) exprs(2) match {
+          case Literal(b: Boolean, _) => b
+          case other => throw new IllegalArgumentException(
+            s"luhn must be a boolean literal, got $other")
+        } else true
+        colFn(exprs.take(1), 1) { cols =>
+          graft.functions.Pii.scrubAll(cols.head, types, luhn) }
+      }),
+
+    // pii_counts(text[, 'type,type,...']) — progressive per-type counts
+    // (struct of n_<type> BIGINTs in canonical scrub order)
+    (new FunctionIdentifier("pii_counts"),
+      new ExpressionInfo("graft.functions.Pii", "pii_counts"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.nonEmpty && exprs.size <= 2,
+          s"expected (text[, 'types']), got ${exprs.length} arguments")
+        val types =
+          if (exprs.size == 2)
+            stringArg(exprs(1), "types").split(",").map(_.trim)
+              .filter(_.nonEmpty).toSeq
+          else graft.functions.Pii.defaultTypes
+        colFn(exprs.take(1), 1) { cols =>
+          graft.functions.Pii.counts(cols.head, types) }
+      }),
+
     (new FunctionIdentifier("image_dimensions"),
       new ExpressionInfo(classOf[CatalystExprs.ImageDimensions].getName, "image_dimensions"),
       (exprs: Seq[Expression]) => CatalystExprs.ImageDimensions(exprs.head)),

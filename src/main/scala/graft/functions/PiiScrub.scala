@@ -1,0 +1,208 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** PII detection/redaction — the scrubbing stage every public-web
+  * training pipeline runs between extraction and training (emails,
+  * phone numbers, IP addresses, government-ID shapes, leaked API keys).
+  * Reference has no analogue; parity-plus, same family as the text
+  * battery in [[TextAnalysis]] (whose `redact_pii` is the 2-type
+  * ancestor of this battery).
+  *
+  * Two execution forms, one semantic battery:
+  *
+  *  - **Regex-chain form** ([[Pii.scrub]]): one `regexp_replace` per
+  *    enabled type, applied in the canonical order below. Whole-stage
+  *    codegen'd, and — because every pattern stays inside the
+  *    Java∩RE2 regex subset (no lookaround, no backreferences) — an
+  *    external engine can replay it exactly; the DuckDB oracle does.
+  *  - **Native single-pass form** ([[PiiScrubAll]]): all enabled
+  *    patterns compiled into ONE alternation, one scan per document,
+  *    one output build — and the pass can run validation no regex can:
+  *    credit-card candidates are Luhn-checked, so a 16-digit order
+  *    number survives while a real PAN is redacted. This is the
+  *    production form (a 7-pass chain re-reads every document 7×).
+  *
+  * Canonical order is a semantic contract, not an implementation
+  * detail: emails are redacted before IPs so a domain embedding a
+  * dotted quad (`u@10.0.0.1.example.com`) stays ONE `[EMAIL]`, IPs
+  * before phones so dotted octets are never eaten as phone groups,
+  * SSNs before phones so `078-05-1120` keeps its `[SSN]` tag, cards
+  * before phones so a 16-digit PAN is not split into phone groups.
+  * Counting ([[Pii.counts]]) applies the same order progressively —
+  * each type counts on text already scrubbed of the types before it,
+  * so one substring is never double-counted.
+  *
+  * Scale: every surface here is a pure per-row projection — no
+  * shuffle, no state; at 100 TB the scrub rides whatever scan
+  * partitioning the corpus already has.
+  *
+  * Known false-positive/negative classes (documented, inherent to
+  * pattern-PII): bare `555-0100`-style local numbers are not matched
+  * (phone requires 3-4/3-4 groups or an international/paren prefix);
+  * page-range strings like `123-4567` DO match the phone shape;
+  * compressed (`::`) IPv6 literals are not matched (the hex-group
+  * class would swallow clock times like `12:30:45`).
+  *
+  * Chain↔native divergence, disclosed: the chain applies each type's
+  * GLOBAL pass before the next type sees the text, while the native
+  * pass is leftmost-first across the union of patterns. On text where
+  * two distinct PII items are directly adjacent (a card right after a
+  * phone with only a space between), the chain can let an
+  * earlier-order pattern absorb digits across the item boundary where
+  * the native scan starts the earlier-positioned item first. Equality
+  * holds whenever PII items are separated by any non-PII token
+  * (spec-pinned on seeded corpora).
+  */
+object Pii {
+
+  /** One detector: type name, Java∩RE2 pattern, placeholder. */
+  final case class Detector(name: String, regex: String, placeholder: String)
+
+  /** The canonical battery, in scrub order. */
+  val detectors: Seq[Detector] = Seq(
+    Detector("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+      "[EMAIL]"),
+    // uncompressed 8-group IPv6 only: allowing '::' compression would
+    // need {0,4} hex groups, and an all-digit hex class then swallows
+    // clock times ("12:30:45")
+    Detector("ipv6", "\\b(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}\\b",
+      "[IP6]"),
+    Detector("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+      "[IP]"),
+    Detector("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "[SSN]"),
+    Detector("aws_key", "\\bAKIA[0-9A-Z]{16}\\b", "[KEY]"),
+    Detector("github_token", "\\bghp_[A-Za-z0-9]{36}\\b", "[KEY]"),
+    // 13-19 digits with optional single space/dash separators — MUST
+    // run before phone (a 16-digit card is also three phone-shaped
+    // groups; card-first keeps `4539 1488 0343 6467` one [CC] instead
+    // of [PHONE] + orphan digits). In the regex-chain form this is
+    // PATTERN-ONLY (any matching digit run is redacted); the native
+    // form Luhn-validates candidates by default, and a Luhn-REJECTED
+    // candidate keeps its span verbatim (it is not re-offered to the
+    // phone detector — conservative, deterministic).
+    Detector("cc", "\\b(?:\\d[ -]?){12,18}\\d\\b", "[CC]"),
+    // +country-prefixed (optional area parens), paren-prefixed, or bare
+    // 3-4/3-4(/2-4) separated groups — each alternative anchored by a
+    // prefix or by group shape so bare "12 34" pairs never match
+    Detector("phone",
+      "\\+\\d{1,3}[ .-](?:\\(\\d{2,4}\\)[ .-]?)?(?:\\d{1,4}[ .-]){1,4}\\d{2,4}\\b" +
+        "|\\(\\d{2,4}\\)[ .-]?(?:\\d{1,4}[ .-]){1,4}\\d{2,4}\\b" +
+        "|\\b\\d{3,4}[ .-]\\d{3,4}(?:[ .-]\\d{2,4})?\\b", "[PHONE]"))
+
+  val defaultTypes: Seq[String] = detectors.map(_.name)
+
+  private val byName: Map[String, Detector] =
+    detectors.map(d => d.name -> d).toMap
+
+  /** Enabled detectors in canonical order, whatever order `types` came
+    * in; unknown names fail fast. */
+  private[graft] def ordered(types: Seq[String]): Seq[Detector] = {
+    val unknown = types.filterNot(byName.contains)
+    require(unknown.isEmpty,
+      s"unknown PII type(s): ${unknown.mkString(",")} " +
+        s"(supported: ${defaultTypes.mkString(",")})")
+    val want = types.toSet
+    detectors.filter(d => want(d.name))
+  }
+
+  /** Regex-chain scrub (oracle-portable; cc here is pattern-only). */
+  def scrub(text: Column, types: Seq[String] = defaultTypes): Column =
+    ordered(types).foldLeft(text)((c, d) =>
+      regexp_replace(c, d.regex, d.placeholder))
+
+  /** Per-type counts as a struct, progressive in canonical order (each
+    * type counts on text scrubbed of the types BEFORE it — no
+    * double-counting of one substring). */
+  def counts(text: Column, types: Seq[String] = defaultTypes): Column = {
+    val ds = ordered(types)
+    var running = text
+    val fields = ds.map { d =>
+      val n = size(regexp_extract_all(running, lit(d.regex), lit(0)))
+        .cast("bigint").as(s"n_${d.name}")
+      running = regexp_replace(running, d.regex, d.placeholder)
+      n
+    }
+    struct(fields: _*)
+  }
+
+  /** Luhn checksum over the digits of a candidate (separators already
+    * stripped by the caller). */
+  private[graft] def luhnValid(digits: Array[Int]): Boolean = {
+    if (digits.length < 13 || digits.length > 19) return false
+    var sum = 0
+    var double = false
+    var i = digits.length - 1
+    while (i >= 0) {
+      var d = digits(i)
+      if (double) { d *= 2; if (d > 9) d -= 9 }
+      sum += d
+      double = !double
+      i -= 1
+    }
+    sum % 10 == 0
+  }
+
+  /** Pure-Scala single-pass scrub (the native expression's kernel;
+    * exposed for the differential specs). */
+  private[graft] def scrubAllJvm(text: String, types: Seq[String],
+      luhn: Boolean): String = {
+    val ds = ordered(types)
+    val m = combinedPattern(ds).matcher(text)
+    if (!m.find()) return text
+    val sb = new java.lang.StringBuilder(text.length)
+    var last = 0
+    do {
+      sb.append(text, last, m.start)
+      val d = ds.find(d => m.group(groupName(d)) != null).get
+      val hit = m.group()
+      if (d.name == "cc" && luhn) {
+        val digits = hit.iterator.filter(_.isDigit).map(_ - '0').toArray
+        if (luhnValid(digits)) sb.append(d.placeholder) else sb.append(hit)
+      } else sb.append(d.placeholder)
+      last = m.end
+    } while (m.find())
+    sb.append(text, last, text.length)
+    sb.toString
+  }
+
+  // one compiled alternation per enabled-type set (tiny cache; the set
+  // is a query-time constant, so one entry per distinct SCRUB config)
+  private val patternCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
+  // Java named groups allow only [A-Za-z0-9] — strip the underscores
+  private def groupName(d: Detector): String = "g" + d.name.replace("_", "")
+  private def combinedPattern(ds: Seq[Detector]): java.util.regex.Pattern =
+    patternCache.computeIfAbsent(ds.map(_.name).mkString(","), _ =>
+      java.util.regex.Pattern.compile(
+        ds.map(d => s"(?<${groupName(d)}>${d.regex})").mkString("|")))
+
+  /** Native single-pass PII scrub: one combined pattern, one scan, one
+    * output build per document — versus one full re-read of the text per
+    * type in the chain form — plus Luhn validation on credit-card
+    * candidates (`luhn=true`), which regex replacement cannot express.
+    * Same canonical priority as the chain (alternation order = scrub
+    * order at equal match starts); equality to the chain on
+    * separator-structured text is spec-pinned with `luhn=false`. */
+  case class PiiScrubAll(child: Expression, types: Seq[String],
+      luhn: Boolean) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(input: Any): Any =
+      UTF8String.fromString(
+        scrubAllJvm(input.asInstanceOf[UTF8String].toString, types, luhn))
+    override def prettyName: String = "pii_scrub"
+    override protected def withNewChildInternal(c: Expression): PiiScrubAll =
+      copy(child = c)
+  }
+
+  /** Production scrub column (native single pass; Luhn on by default). */
+  def scrubAll(text: Column, types: Seq[String] = defaultTypes,
+      luhn: Boolean = true): Column =
+    GraftBridge.column(PiiScrubAll(GraftBridge.expression(text), types, luhn))
+}

@@ -356,6 +356,17 @@ object DocStreams {
     graft.operators.Corpus.corpusStats(docStream, groupCol, textCol,
       approxQuantiles = true)
 
+  /** Stream-side PII scrub — the real-time twin of the SCRUB statement's
+    * redact action (same native single-pass expression, asserted equal
+    * in DocStreamingSpec). A pure stateless projection: append mode, no
+    * watermark, no state store — the scrub rides the micro-batch at
+    * scan cost, exactly as the batch form rides the corpus scan. */
+  def scrubPiiStream(docStream: DataFrame, textCol: String = "text",
+      types: Seq[String] = graft.functions.Pii.defaultTypes,
+      luhn: Boolean = true): DataFrame =
+    docStream.withColumn(textCol,
+      graft.functions.Pii.scrubAll(col(textCol), types, luhn))
+
   /** Static linear-classifier weights → ONE broadcastable row
     * (map<term, weight>; duplicate terms sum, exactly as the batch
     * `Corpus.linearScore` merges them) for [[scoreStreamLinear]]. Models
