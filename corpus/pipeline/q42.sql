@@ -1,0 +1,6 @@
+SELECT * FROM SCRUB(METHOD pii,
+SELECT doc_id, concat(text, ' reach me at u', doc_id, '@example.com',
+  CASE WHEN doc_id % 3 = 0 THEN ' card 4539 1488 0343 6467'
+       WHEN doc_id % 3 = 1 THEN ' order 1234 5678 9012 3456'
+       ELSE ' iban GB82WEST12345698765432' END) AS text
+FROM documents)

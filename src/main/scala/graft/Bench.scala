@@ -28,6 +28,12 @@ package graft
   *  - the JSON line is kept compact (the per-query sentinels map moved to
   *    stderr in r8): the driver stores only the last ~2000 chars of stdout,
   *    and the line must fit in that window to be machine-parsed.
+  *  - steady-retry transparency (r10, ADVICE closure): `steady_retried`
+  *    carries PER-QUERY steady retry counts (replacing the r7 global
+  *    counter) and `steady_inverted` names any query whose published
+  *    steady minimum is STILL above its cold time after the retries —
+  *    so a surviving inversion is flagged, with its retry evidence, in
+  *    the published record itself.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -159,26 +165,46 @@ object Bench {
     def inverted(n: String): Boolean =
       steadyM.get(n).exists(v => coldMap.get(n).exists(c =>
         v > c * 1.1 && v > c + 0.2))
-    var steadyRetries = 0
+    // per-query retry record (r10, ADVICE: an inversion that SURVIVES
+    // retries must carry its own evidence in the published json): the
+    // map below counts steady retries per query, and steady_inverted
+    // names any query still steady>cold at publish time — a reader can
+    // see "retried 3×, still inverted" without post-hoc forensics.
+    val steadyRetriedPer =
+      scala.collection.mutable.LinkedHashMap[String, Int]()
     var pass = 0
     while (pass < 3 && names.exists(inverted)) {
       spark.catalog.clearCache() // retries do full work too
       names.filter(inverted).foreach { n =>
-        steadyRetries += 1
+        steadyRetriedPer(n) = steadyRetriedPer.getOrElse(n, 0) + 1
         timeOnce(n).foreach(t => steadyM += n -> math.min(steadyM(n), t))
       }
       pass += 1
     }
+    val stillInverted = names.filter(inverted)
     val steady = names.flatMap(n => steadyM.get(n).map(n -> _))
     // per-query values at 10 ms resolution: the host's timer noise is an
-    // order of magnitude above that, and the two-decimal form keeps the
+    // order of magnitude above that, and the two-decimal/trimmed form +
+    // the steady ARRAY (keys carried once, by the cold map) keeps the
     // whole line comfortably inside the driver's ~2000-char tail window
-    // (33 cold + 33 steady entries at %.3f measured 1841 chars — parseable
-    // but with no headroom for cold_first retry entries)
+    // (36 queries measured ~1330 chars incl. populated retry maps; the
+    // r9 keyed-steady form hit 1930 and had to demote its retry maps)
+    // trailing zeros add nothing at 10 ms resolution and the line budget
+    // is real: "0.50" → "0.5", "2.00" → "2"
+    def num(v: Double): String =
+      f"$v%.2f".reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
     def jsonMap(rs: Seq[(String, Double)]) =
-      rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
+      rs.map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
     val total = results2.map(_._2).sum
     val steadyTotal = steady.map(_._2).sum
+    // steady values as an ARRAY aligned to the `queries` map's key order
+    // (r10): the keyed steady map duplicated every query name — ~600
+    // chars of the ~1900-char line budget spent on keys the cold map
+    // already carries. `steady_vals[i]` is the steady minimum of the
+    // i-th `queries` key; null = that query failed its steady runs.
+    val steadyValsJson = results2.map { case (n, _) =>
+      steadyM.get(n).map(v => num(v)).getOrElse("null")
+    }.mkString("[", ",", "]")
     // failed queries are EXCLUDED from totals and listed explicitly — a
     // silently failed query must not deflate the total into a fake speedup
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -186,15 +212,29 @@ object Bench {
     // full per-query sentinel record → stderr (post-hoc forensics); the
     // stdout JSON line must stay under the driver's ~2000-char tail window.
     System.err.println(s"[bench] sentinels=${jsonMap(sentinels.toSeq)}")
-    def mkLine(coldFirstJson: String) = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(results2)},"steady_total":$steadyTotal%.3f,"queries_steady":${jsonMap(steady)},"failed":$failedJson,"sentinel_median":$sMedian%.3f,"sentinel_max":$sMax%.3f,"cold_first":$coldFirstJson,"steady_retries":$steadyRetries,"sf":"$sfDir"}"""
-    var line = mkLine(jsonMap(coldFirst.toSeq))
-    if (line.length > 1900) {
-      // overflow fallback: a large cold-retry batch (many cold_first
-      // entries) must not push the line past the tail window and unparse
-      // the WHOLE record — demote the per-query map to stderr and publish
-      // only the retry count inline (still a per-run retry signal).
+    def jsonIntMap(rs: Seq[(String, Int)]) =
+      rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val invertedJson =
+      stillInverted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // the sf dir basename is enough to identify the scale; the full path
+    // only spends line budget
+    val sfName = new java.io.File(sfDir).getName
+    def mkLine(coldFirstJson: String, steadyRetriedJson: String) = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(results2)},"steady_total":$steadyTotal%.3f,"steady_vals":$steadyValsJson,"failed":$failedJson,"sentinel_median":$sMedian%.3f,"sentinel_max":$sMax%.3f,"cold_first":$coldFirstJson,"steady_retried":$steadyRetriedJson,"steady_inverted":$invertedJson,"sf":"$sfName"}"""
+    var line = mkLine(jsonMap(coldFirst.toSeq), jsonIntMap(steadyRetriedPer.toSeq))
+    if (line.length > 1900 &&
+        (coldFirst.nonEmpty || steadyRetriedPer.nonEmpty)) {
+      // overflow fallback: a large retry batch (many cold_first /
+      // steady_retried entries) must not push the line past the tail
+      // window and unparse the WHOLE record — demote the per-query maps
+      // to stderr and publish only the counts inline (still a per-run
+      // retry signal; steady_inverted stays inline — it is the anomaly
+      // flag and is almost always empty). Empty maps are already
+      // minimal; demoting them would only lengthen the line.
       System.err.println(s"[bench] cold_first=${jsonMap(coldFirst.toSeq)}")
-      line = mkLine(s"""{"n_retried":${coldFirst.size}}""")
+      System.err.println(
+        s"[bench] steady_retried=${jsonIntMap(steadyRetriedPer.toSeq)}")
+      line = mkLine(s"""{"n_retried":${coldFirst.size}}""",
+        s"""{"n_retried":${steadyRetriedPer.size}}""")
     }
     if (line.length > 1900) System.err.println(
       s"[bench] WARNING: JSON line ${line.length} chars — may overflow the driver's 2000-char tail")

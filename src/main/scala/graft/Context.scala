@@ -909,13 +909,21 @@ class Context(val spark: SparkSession) {
     // SELECT * FROM SCRUB(METHOD pii [WITH (...)], <select>) — typed PII
     // detection/redaction over the inner query's text column (pure
     // projection). Options: text= (default 'text'), types= (csv of
-    // email|ipv6|ipv4|ssn|aws_key|github_token|phone|cc, default all),
-    // engine='native' (single-pass combined pattern, Luhn-validated cc;
-    // the production form) | 'regex' (chained regexp_replace, the
-    // oracle-portable form — cc is pattern-only there), luhn= (native
-    // only, default true), action='redact' (replace the text column) |
-    // 'flag' (append n_<type> count columns + pii_total) | 'drop' (keep
-    // rows with pii_total <= max_hits, default 0).
+    // email|ipv6|ipv6c|ipv4|ssn|aws_key|github_token|iban|phone|cc,
+    // default all), engine='native' (single-pass combined pattern,
+    // checksum-validated cc/iban; the production form) | 'regex'
+    // (chained regexp_replace, the oracle-portable form — cc/iban are
+    // pattern-only there), luhn= (native only, default true; gates BOTH
+    // checksums — Luhn for cc, mod-97 for iban), action='redact'
+    // (replace the text column) | 'flag' (append n_<type> count columns
+    // + pii_total) | 'drop' (keep rows with pii_total <= max_hits,
+    // default 0). flag/drop counts follow the SAME engine as redaction
+    // (r10): native counts are one scan and checksum-gated, so within
+    // one statement a Luhn-invalid order number neither redacts NOR
+    // drops; engine='regex' counts are the progressive pattern-only
+    // chain the DuckDB oracle replays. NULL text carries zero PII: all
+    // counts coalesce to 0, so a NULL-text row is kept by 'drop' and
+    // flagged 0 by 'flag'.
     case Scrub(method, opts, select) =>
       if (method != "pii") throw new IllegalArgumentException(
         s"Unknown SCRUB method: $method (pii)")
@@ -925,7 +933,8 @@ class Context(val spark: SparkSession) {
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(graft.functions.Pii.defaultTypes)
       val luhn = opts.get("luhn").forall(_.trim.toBoolean)
-      val scrubbed = opts.getOrElse("engine", "native").trim.toLowerCase match {
+      val engine = opts.getOrElse("engine", "native").trim.toLowerCase
+      val scrubbed = engine match {
         case "native" => graft.functions.Pii.scrubAll(col(textCol), types, luhn)
         case "regex" => graft.functions.Pii.scrub(col(textCol), types)
         case other => throw new IllegalArgumentException(
@@ -934,12 +943,26 @@ class Context(val spark: SparkSession) {
       opts.getOrElse("action", "redact").trim.toLowerCase match {
         case "redact" => df.withColumn(textCol, scrubbed)
         case "flag" | "drop" =>
-          val cnt = graft.functions.Pii.counts(col(textCol), types)
+          val countNames =
+            graft.functions.Pii.ordered(types).map(d => s"n_${d.name}")
+          // fail fast on shadowing: silently duplicating an inner
+          // query's n_<type>/pii_total column would produce ambiguous
+          // references or wrong totals downstream
+          val clash = df.columns.toSet
+            .intersect(countNames.toSet ++ Set("pii_total", "_pii"))
+          if (clash.nonEmpty) throw new IllegalArgumentException(
+            s"SCRUB action='flag'/'drop' would shadow existing column(s) " +
+              s"${clash.toSeq.sorted.mkString(", ")} — rename them in the " +
+              "inner query")
+          val cnt = engine match {
+            case "native" =>
+              graft.functions.Pii.countsAll(col(textCol), types, luhn)
+            case _ => graft.functions.Pii.counts(col(textCol), types)
+          }
           val flagged = df.withColumn("_pii", cnt)
-            .select((df.columns.map(col).toSeq :+ col("_pii.*")): _*)
-          val total = graft.functions.Pii.ordered(types)
-            .map(d => col(s"n_${d.name}"))
-            .reduce(_ + _).as("pii_total")
+            .select((df.columns.map(col).toSeq ++ countNames.map(n =>
+              coalesce(col(s"_pii.$n"), lit(0L)).as(n))): _*)
+          val total = countNames.map(col).reduce(_ + _).as("pii_total")
           val withTotal = flagged.withColumn("pii_total", total)
           if (opts.getOrElse("action", "redact").trim.toLowerCase == "flag")
             withTotal

@@ -110,7 +110,8 @@ object GraftFunctions {
       }),
 
     // pii_counts(text[, 'type,type,...']) — progressive per-type counts
-    // (struct of n_<type> BIGINTs in canonical scrub order)
+    // via the regex CHAIN (pattern-only, oracle-portable; struct of
+    // n_<type> BIGINTs in canonical scrub order)
     (new FunctionIdentifier("pii_counts"),
       new ExpressionInfo("graft.functions.Pii", "pii_counts"),
       (exprs: Seq[Expression]) => {
@@ -123,6 +124,28 @@ object GraftFunctions {
           else graft.functions.Pii.defaultTypes
         colFn(exprs.take(1), 1) { cols =>
           graft.functions.Pii.counts(cols.head, types) }
+      }),
+
+    // pii_counts_native(text[, 'type,type,...'[, luhn]]) — r10: the
+    // single-pass NATIVE counting twin (one combined-pattern scan,
+    // checksum-gated cc/iban; same n_<type> struct shape as pii_counts)
+    (new FunctionIdentifier("pii_counts_native"),
+      new ExpressionInfo("graft.functions.Pii", "pii_counts_native"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.nonEmpty && exprs.size <= 3,
+          s"expected (text[, 'types'[, luhn]]), got ${exprs.length} arguments")
+        val types =
+          if (exprs.size >= 2)
+            stringArg(exprs(1), "types").split(",").map(_.trim)
+              .filter(_.nonEmpty).toSeq
+          else graft.functions.Pii.defaultTypes
+        val luhn = if (exprs.size == 3) exprs(2) match {
+          case Literal(b: Boolean, _) => b
+          case other => throw new IllegalArgumentException(
+            s"luhn must be a boolean literal, got $other")
+        } else true
+        colFn(exprs.take(1), 1) { cols =>
+          graft.functions.Pii.countsAll(cols.head, types, luhn) }
       }),
 
     (new FunctionIdentifier("image_dimensions"),

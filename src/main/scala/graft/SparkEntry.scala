@@ -63,5 +63,11 @@ object SparkEntry {
     // r8: the iterative link-graph family — two damped PageRank rounds
     // over an html_links-derived edge list (edge joins + localCheckpoint)
     "p78_pagerank",
+    // r10: the PII family gets tracked numbers — the native single-pass
+    // combined-pattern redaction (10 detectors + Luhn/mod-97) and the
+    // native counts behind SCRUB flag/drop (the 100 TB filter path),
+    // both over the planted corpus; the native-vs-chain ratios live in
+    // ScaleProbe/PLANS 62 (the chain form is the oracle twin)
+    "p85_pii_native", "p86_pii_counts_native",
     "s01_events_tumbling", "s03_events_session")
 }

@@ -100,7 +100,13 @@ object CrawlPolicy {
     // RFC requires MERGING rules from every group that matches at that
     // length (two separate `User-agent: foobot` groups are one logical
     // group; picking a single maxBy winner would silently drop the
-    // second group's Disallow lines)
+    // second group's Disallow lines). Deliberate conservative tie-break
+    // beyond the RFC: when groups for DIFFERENT product tokens tie at
+    // the max matched length (e.g. 'foo' and 'bar' both substrings of
+    // the agent string), their rules are merged too, where the RFC only
+    // mandates merging same-token groups — the deviation can only add
+    // Disallows (skip fetches), never fetch what a most-specific-single-
+    // token evaluator would skip; pinned in CrawlPolicySpec.
     val all = groups.reverse
     def bestLenOf(g: (List[String], List[Rule])): Int =
       g._1.filter(a => a != "*" && agentLc.contains(a))

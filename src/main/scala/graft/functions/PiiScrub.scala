@@ -22,12 +22,21 @@ import org.apache.spark.unsafe.types.UTF8String
   *    codegen'd, and — because every pattern stays inside the
   *    Java∩RE2 regex subset (no lookaround, no backreferences) — an
   *    external engine can replay it exactly; the DuckDB oracle does.
-  *  - **Native single-pass form** ([[PiiScrubAll]]): all enabled
-  *    patterns compiled into ONE alternation, one scan per document,
-  *    one output build — and the pass can run validation no regex can:
-  *    credit-card candidates are Luhn-checked, so a 16-digit order
-  *    number survives while a real PAN is redacted. This is the
-  *    production form (a 7-pass chain re-reads every document 7×).
+  *  - **Native single-pass form** ([[PiiScrubAll]] / [[PiiCountsAll]]):
+  *    all enabled patterns compiled into ONE alternation, one scan per
+  *    document, one output build — and the pass can run validation no
+  *    regex can: credit-card candidates are Luhn-checked and IBAN
+  *    candidates mod-97-checked, so a 16-digit order number survives
+  *    while a real PAN is redacted. This is the production form for its
+  *    SEMANTICS (the checksums), not a redaction speedup: measured at
+  *    20× clone scale (PLANS 62), native REDACTION is ~1.3× slower than
+  *    the chain (the alternation tries every pattern at each position —
+  *    the same total match work as 10 codegen'd passes — while paying
+  *    CodegenFallback boxing), but native COUNTING is ~2.1× faster than
+  *    the chain's progressive count (which pays an extract-all AND a
+  *    replace per type plus 10 intermediate string rebuilds), so
+  *    `SCRUB action='flag'|'drop'` — the 100 TB filter path — runs on
+  *    the native counts.
   *
   * Canonical order is a semantic contract, not an implementation
   * detail: emails are redacted before IPs so a domain embedding a
@@ -47,8 +56,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * pattern-PII): bare `555-0100`-style local numbers are not matched
   * (phone requires 3-4/3-4 groups or an international/paren prefix);
   * page-range strings like `123-4567` DO match the phone shape;
-  * compressed (`::`) IPv6 literals are not matched (the hex-group
-  * class would swallow clock times like `12:30:45`).
+  * compressed (`::`) IPv6 is matched only when BOTH sides of the `::`
+  * are non-empty AND some group carries a hex letter (the guard that
+  * keeps clock times `12:30:45`, all-digit pairs `12::30`, and
+  * `std::vector`-style scope operators out) — so `::1`, `fe80::`, and
+  * all-digit compressed addresses are known false negatives, and a
+  * pure-hex-word C++ scope pair (`dead::beef` — itself valid IPv6
+  * notation) is the residual false-positive class; IBAN detection is
+  * uppercase-shape only (`XX00` + 11-30 alphanumerics), pattern-only
+  * in the chain form, mod-97-validated in the native form (exactly
+  * the Luhn split: an invalid-checksum IBAN survives natively).
   *
   * Chain↔native divergence, disclosed: the chain applies each type's
   * GLOBAL pass before the next type sees the text, while the native
@@ -69,16 +86,39 @@ object Pii {
   val detectors: Seq[Detector] = Seq(
     Detector("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
       "[EMAIL]"),
-    // uncompressed 8-group IPv6 only: allowing '::' compression would
-    // need {0,4} hex groups, and an all-digit hex class then swallows
-    // clock times ("12:30:45")
+    // uncompressed 8-group IPv6: the unguarded full form ('::'
+    // compression handled by ipv6c below, with a letter guard — an
+    // unguarded {0,4}-group class would swallow clock times)
     Detector("ipv6", "\\b(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}\\b",
       "[IP6]"),
+    // compressed ('::') IPv6 — r10. Guards, per the scaladoc: both
+    // sides of the '::' must be non-empty (no lookaround in Java∩RE2,
+    // so a leading/trailing-'::' form cannot be boundary-anchored) and
+    // at least one group must carry a hex LETTER (L below), which keeps
+    // clock times, all-digit pairs ("12::30") and non-hex scope
+    // operators ("std::vector") out. Quantifiers are bounded {0,5} so
+    // Java-side backtracking on adversarial colon-hex runs stays
+    // constant per position (RE2 oracle-side is linear regardless).
+    Detector("ipv6c", {
+      val g = "[0-9A-Fa-f]{1,4}"
+      val l = "(?:[A-Fa-f][0-9A-Fa-f]{0,3}|[0-9][A-Fa-f][0-9A-Fa-f]{0,2}" +
+        "|[0-9]{2}[A-Fa-f][0-9A-Fa-f]?|[0-9]{3}[A-Fa-f])"
+      s"\\b(?:$g:){0,5}$l(?::$g){0,5}::$g(?::$g){0,5}\\b" +
+        s"|\\b$g(?::$g){0,5}::(?:$g:){0,5}$l(?::$g){0,5}\\b"
+    }, "[IP6]"),
     Detector("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
       "[IP]"),
     Detector("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "[SSN]"),
     Detector("aws_key", "\\bAKIA[0-9A-Z]{16}\\b", "[KEY]"),
     Detector("github_token", "\\bghp_[A-Za-z0-9]{36}\\b", "[KEY]"),
+    // IBAN (r10): uppercase country + 2 check digits + 11-30 uppercase
+    // alphanumerics (official 15-34 length band). Pattern-only in the
+    // chain form; the native form mod-97-validates the candidate (see
+    // ibanValid) exactly as cc is Luhn-validated. Runs before cc so a
+    // digit-tailed IBAN is never re-offered as a card, and it cannot
+    // collide with aws_key ("AKIA..." has letters at the check-digit
+    // positions) or github_token (lowercase prefix).
+    Detector("iban", "\\b[A-Z]{2}\\d{2}[A-Z0-9]{11,30}\\b", "[IBAN]"),
     // 13-19 digits with optional single space/dash separators — MUST
     // run before phone (a 16-digit card is also three phone-shaped
     // groups; card-first keeps `4539 1488 0343 6467` one [CC] instead
@@ -149,8 +189,43 @@ object Pii {
     sum % 10 == 0
   }
 
+  /** IBAN mod-97 (ISO 7064) over the rearranged candidate: move the
+    * country+check head to the tail, map A-Z → 10-35, and the resulting
+    * big number mod 97 must be 1. Computed streaming (digit → ×10,
+    * letter → ×100) so no bignum is ever built. */
+  private[graft] def ibanValid(iban: String): Boolean = {
+    if (iban.length < 15 || iban.length > 34) return false
+    var m = 0
+    var i = 0
+    val n = iban.length
+    while (i < n) {
+      // rearranged order: positions 4..n-1 then 0..3
+      val c = iban.charAt(if (i < n - 4) i + 4 else i - (n - 4))
+      if (c >= '0' && c <= '9') m = (m * 10 + (c - '0')) % 97
+      else if (c >= 'A' && c <= 'Z') m = (m * 100 + (c - 'A' + 10)) % 97
+      else return false
+      i += 1
+    }
+    m == 1
+  }
+
+  /** Checksum gate for one candidate hit: Luhn for cards, mod-97 for
+    * IBANs, pass-through for every pattern-sufficient type. `validate`
+    * is the SCRUB `luhn` option (named for its first checksum; it
+    * gates both). */
+  private def checksumOk(d: Detector, hit: String, validate: Boolean): Boolean =
+    if (!validate) true
+    else d.name match {
+      case "cc" =>
+        luhnValid(hit.iterator.filter(_.isDigit).map(_ - '0').toArray)
+      case "iban" => ibanValid(hit)
+      case _ => true
+    }
+
   /** Pure-Scala single-pass scrub (the native expression's kernel;
-    * exposed for the differential specs). */
+    * exposed for the differential specs). A checksum-REJECTED candidate
+    * keeps its span verbatim and is not re-offered to later detectors
+    * (conservative, deterministic). */
   private[graft] def scrubAllJvm(text: String, types: Seq[String],
       luhn: Boolean): String = {
     val ds = ordered(types)
@@ -162,14 +237,30 @@ object Pii {
       sb.append(text, last, m.start)
       val d = ds.find(d => m.group(groupName(d)) != null).get
       val hit = m.group()
-      if (d.name == "cc" && luhn) {
-        val digits = hit.iterator.filter(_.isDigit).map(_ - '0').toArray
-        if (luhnValid(digits)) sb.append(d.placeholder) else sb.append(hit)
-      } else sb.append(d.placeholder)
+      if (checksumOk(d, hit, luhn)) sb.append(d.placeholder)
+      else sb.append(hit)
       last = m.end
     } while (m.find())
     sb.append(text, last, text.length)
     sb.toString
+  }
+
+  /** Pure-Scala single-pass per-type COUNTS (the native counting
+    * kernel; exposed for the differential specs): same combined
+    * alternation, same leftmost-first priority, same checksum gates as
+    * [[scrubAllJvm]] — a checksum-rejected candidate counts ZERO (and,
+    * like the scrub, its span is not re-offered to later detectors).
+    * Returns counts aligned to `ordered(types)`. */
+  private[graft] def countsAllJvm(text: String, types: Seq[String],
+      luhn: Boolean): Array[Long] = {
+    val ds = ordered(types)
+    val out = new Array[Long](ds.length)
+    val m = combinedPattern(ds).matcher(text)
+    while (m.find()) {
+      val i = ds.indexWhere(d => m.group(groupName(d)) != null)
+      if (checksumOk(ds(i), m.group(), luhn)) out(i) += 1
+    }
+    out
   }
 
   // one compiled alternation per enabled-type set (tiny cache; the set
@@ -205,4 +296,35 @@ object Pii {
   def scrubAll(text: Column, types: Seq[String] = defaultTypes,
       luhn: Boolean = true): Column =
     GraftBridge.column(PiiScrubAll(GraftBridge.expression(text), types, luhn))
+
+  /** Native single-pass per-type COUNTS (r10): the counting twin of
+    * [[PiiScrubAll]] — one combined-pattern scan per document instead
+    * of the chain's one full regex pass per type, and the counts carry
+    * the checksum gates (Luhn, mod-97) that pattern counting cannot:
+    * under `SCRUB action='drop'`, a Luhn-invalid order number no longer
+    * drops the row the native redactor would have left intact. Returns
+    * a struct of `n_<type>` BIGINTs in canonical order, exactly the
+    * chain [[Pii.counts]] shape, so the two engines are
+    * column-compatible behind one statement surface. */
+  case class PiiCountsAll(child: Expression, types: Seq[String],
+      luhn: Boolean) extends UnaryExpression with CodegenFallback {
+    private val ds = ordered(types)
+    override def dataType: DataType =
+      StructType(ds.map(d => StructField(s"n_${d.name}", LongType)))
+    override def nullSafeEval(input: Any): Any = {
+      val counts = countsAllJvm(
+        input.asInstanceOf[UTF8String].toString, types, luhn)
+      org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+        counts.toIndexedSeq)
+    }
+    override def prettyName: String = "pii_counts"
+    override protected def withNewChildInternal(c: Expression): PiiCountsAll =
+      copy(child = c)
+  }
+
+  /** Production counts column (native single pass; checksums on by
+    * default — `luhn` gates both Luhn and mod-97, see [[PiiCountsAll]]). */
+  def countsAll(text: Column, types: Seq[String] = defaultTypes,
+      luhn: Boolean = true): Column =
+    GraftBridge.column(PiiCountsAll(GraftBridge.expression(text), types, luhn))
 }

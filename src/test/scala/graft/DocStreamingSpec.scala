@@ -76,6 +76,39 @@ class DocStreamingSpec extends AnyFunSuite {
     assert(batch.values.exists(_._5) && batch.values.exists(!_._5))
   }
 
+  test("streaming PII scrub equals the batch scrub, stateless (r10)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // MemoryStream so the fixture can PLANT PII (the raw documents table
+    // may be detector-sterile, which would make equality vacuous)
+    val pii = Vector("a.b@example.com", "203.0.113.9", "+1 (555) 123-4567",
+      "4539 1488 0343 6467", "1234 5678 9012 3456", // Luhn-valid, -invalid
+      "GB82WEST12345698765432", "DE00370400440532013000", // mod-97 split
+      "fe80::1", "no pii here")
+    val docs = Tables.t(spark, TestSpark.sf, "documents")
+      .select("doc_id", "text").limit(200).collect()
+      .map(r => (r.getLong(0),
+        s"${r.getString(1)} ${pii((r.getLong(0) % pii.length).toInt)} end"))
+      .toSeq
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    ms.addData(docs)
+    // append mode, no watermark: draining proves the scrub is a stateless
+    // projection (a streaming aggregation would refuse to start)
+    val streamed = drain(
+      DocStreams.scrubPiiStream(ms.toDF().toDF("doc_id", "text")), "pii_stream")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val batch = docs.toDF("doc_id", "text")
+      .withColumn("text", graft.functions.Pii.scrubAll(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamed == batch)
+    // the stream really redacted (and really checksum-gated)
+    assert(streamed.values.exists(_.contains("[EMAIL]")))
+    assert(streamed.values.exists(_.contains("[CC]")))
+    assert(streamed.values.exists(_.contains("1234 5678 9012 3456")))
+    assert(streamed.values.exists(_.contains("[IBAN]")))
+    assert(streamed.values.exists(_.contains("DE00370400440532013000")))
+  }
+
   test("streaming chunk dedup against a static index: indexed chunks dropped, stateless") {
     import spark.implicits._
     val docs = Tables.t(spark, TestSpark.sf, "documents")
