@@ -909,7 +909,8 @@ class Context(val spark: SparkSession) {
     // SELECT * FROM SCRUB(METHOD pii [WITH (...)], <select>) — typed PII
     // detection/redaction over the inner query's text column (pure
     // projection). Options: text= (default 'text'), types= (csv of
-    // email|ipv6|ipv6c|ipv4|ssn|aws_key|github_token|iban|phone|cc,
+    // email|ipv6|ipv6c|ipv4|ssn|aws_key|github_token|private_key|
+    // slack_token|google_api_key|stripe_key|jwt|iban|phone|cc,
     // default all), engine='native' (single-pass combined pattern,
     // checksum-validated cc/iban; the production form) | 'regex'
     // (chained regexp_replace, the oracle-portable form — cc/iban are

@@ -29,12 +29,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *    candidates mod-97-checked, so a 16-digit order number survives
   *    while a real PAN is redacted. This is the production form for its
   *    SEMANTICS (the checksums), not a redaction speedup: measured at
-  *    20× clone scale (PLANS 62), native REDACTION is ~1.3× slower than
+  *    20× clone scale (PLANS 62), native REDACTION is ~1.4× slower than
   *    the chain (the alternation tries every pattern at each position —
-  *    the same total match work as 10 codegen'd passes — while paying
-  *    CodegenFallback boxing), but native COUNTING is ~2.1× faster than
+  *    the same total match work as 15 codegen'd passes — while paying
+  *    CodegenFallback boxing), but native COUNTING is ~2.4× faster than
   *    the chain's progressive count (which pays an extract-all AND a
-  *    replace per type plus 10 intermediate string rebuilds), so
+  *    replace per type plus 15 intermediate string rebuilds), so
   *    `SCRUB action='flag'|'drop'` — the 100 TB filter path — runs on
   *    the native counts.
   *
@@ -111,6 +111,30 @@ object Pii {
     Detector("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "[SSN]"),
     Detector("aws_key", "\\bAKIA[0-9A-Z]{16}\\b", "[KEY]"),
     Detector("github_token", "\\bghp_[A-Za-z0-9]{36}\\b", "[KEY]"),
+    // ---- secret-scanning battery extension (r10): the shapes every
+    // production leak scanner ships. Patterns whose alphabet includes
+    // '-'/'_' end on an alphanumeric so the trailing \b stays sound
+    // (\b after '-' would invert the boundary test). ----
+    // PEM private-key headers (RSA/EC/DSA/OPENSSH/PGP...) — the literal
+    // that matters; the base64 body is useless without it
+    Detector("private_key",
+      "-----BEGIN (?:[A-Z]+ )?PRIVATE KEY(?: BLOCK)?-----", "[KEY]"),
+    // Slack bot/app/personal/refresh tokens: xox[baprs]- + 11-49 of
+    // [A-Za-z0-9-], last char alphanumeric
+    Detector("slack_token",
+      "\\bxox[baprs]-[A-Za-z0-9-]{10,48}[A-Za-z0-9]\\b", "[KEY]"),
+    // Google API keys: AIza + exactly 35 of [0-9A-Za-z_-], last char
+    // alphanumeric (cannot collide with aws_key's AKIA prefix)
+    Detector("google_api_key",
+      "\\bAIza[0-9A-Za-z_-]{34}[0-9A-Za-z]\\b", "[KEY]"),
+    // Stripe LIVE secret/restricted keys (sk_live_/rk_live_; test keys
+    // are deliberately NOT matched — they are not secrets)
+    Detector("stripe_key", "\\b[sr]k_live_[A-Za-z0-9]{16,64}\\b", "[KEY]"),
+    // JWT: three base64url segments, header always starts eyJ ('{"' in
+    // base64); segments >=10 chars, last char word-class for the \b
+    Detector("jwt",
+      "\\beyJ[A-Za-z0-9_-]{7,}\\.[A-Za-z0-9_-]{10,}\\.[A-Za-z0-9_-]{9,}[A-Za-z0-9_]\\b",
+      "[KEY]"),
     // IBAN (r10): uppercase country + 2 check digits + 11-30 uppercase
     // alphanumerics (official 15-34 length band). Pattern-only in the
     // chain form; the native form mod-97-validates the candidate (see
