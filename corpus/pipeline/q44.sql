@@ -1,0 +1,4 @@
+CREATE OR REPLACE VIEW tok_quotas AS
+SELECT source,
+       CASE WHEN source IN ('src0','src1','src2') THEN 600 ELSE 200 END AS quota
+FROM (SELECT DISTINCT source FROM documents)

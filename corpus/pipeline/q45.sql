@@ -1,0 +1,3 @@
+SELECT * FROM STRATIFY(TABLE tok_quotas WITH (unit = 'tokens', epochs = 'true'),
+SELECT doc_id, source, CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens
+FROM documents)

@@ -1,0 +1,2 @@
+CREATE OR REPLACE VIEW seen_corpus AS
+SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0

@@ -1,0 +1,2 @@
+SELECT * FROM DEDUP(METHOD exact_incremental WITH (corpus = 'seen_corpus'),
+SELECT doc_id, source, text FROM documents WHERE doc_id % 5 = 0)

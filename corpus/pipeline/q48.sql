@@ -1,0 +1,2 @@
+CREATE OR REPLACE VIEW bench_emb AS
+SELECT vec_id, embedding FROM doc_emb WHERE vec_id % 20 = 7

@@ -1,0 +1,2 @@
+SELECT * FROM DECONTAMINATE(TABLE bench_emb WITH (method = 'embedding', threshold = '0.9'),
+SELECT vec_id, embedding FROM doc_emb WHERE vec_id % 20 <> 7)

@@ -592,6 +592,28 @@ class Context(val spark: SparkSession) {
           maxBucket = i("max_bucket", 1000))
         case "simhash" => TextDedup.simhashDedupPairs(df, id, text,
           maxHamming = i("max_hamming", 3))
+        case "exact_incremental" =>
+          // the Bloom-gated exact ingest gate: survivors of the new batch
+          // (the inner query) against a seen corpus — bloom-miss rows
+          // never shuffle; bloom-hit rows are exact-confirmed. corpus=
+          // builds the filter per run (one-shot jobs); index= reads a
+          // persisted CREATE DEDUP INDEX kind='exact' artifact instead
+          // (run-many production: zero corpus passes per increment)
+          (opts.get("corpus"), opts.get("index")) match {
+            case (Some(tbl), None) =>
+              TextDedup.exactDedupIncrementalBloom(df, lookupTable(tbl),
+                id, text,
+                expectedItems = opts.get("expected_items").map(_.trim.toLong)
+                  .getOrElse(-1L),
+                fpp = f("fpp", 0.001))
+            case (None, Some(prefix)) =>
+              TextDedup.exactDedupIncrementalIndexed(spark, df, id, text,
+                prefix)
+            case _ => throw new IllegalArgumentException(
+              "DEDUP method exact_incremental requires exactly one of " +
+                "corpus= (a registered table) or index= (a CREATE DEDUP " +
+                "INDEX kind='exact' prefix)")
+          }
         case "incremental" => opts.get("corpus") match {
           // direct form: the corpus is a registered table, signatures are
           // recomputed for it (one-shot jobs); the index= form reads the
@@ -740,8 +762,13 @@ class Context(val spark: SparkSession) {
           case "shingles" => TextDedup.saveShingleStore(src, id, text,
             table = name, nBuckets = i("n_buckets", 8),
             shingleSize = i("shingle_size", 3))
+          case "exact" => TextDedup.saveExactDedupIndex(src, text,
+            prefix = name, nBuckets = i("n_buckets", 8),
+            expectedItems = opts.get("expected_items").map(_.trim.toLong)
+              .getOrElse(-1L),
+            fpp = opts.get("fpp").map(_.trim.toDouble).getOrElse(0.001))
           case other => throw new IllegalArgumentException(
-            s"Unknown DEDUP INDEX kind: $other (minhash|shingles)")
+            s"Unknown DEDUP INDEX kind: $other (minhash|shingles|exact)")
         }
         case "simsearch" =>
           val vid = opts.getOrElse("id", "vec_id")
@@ -769,26 +796,62 @@ class Context(val spark: SparkSession) {
     // documents. threshold= additionally emits a `contaminated` boolean so
     // a server session can CTAS the clean split in one statement.
     case Decontaminate(table, opts, select) =>
-      val annotated = graft.operators.Corpus.decontaminate(
-        sql(select), lookupTable(table),
-        idCol = opts.getOrElse("id", "doc_id"),
-        textCol = opts.getOrElse("text", "text"),
-        n = opts.get("n").map(_.trim.toInt).getOrElse(3))
-      opts.get("threshold").map(_.trim.toDouble) match {
-        case Some(thr) =>
-          annotated.withColumn("contaminated", col("ratio") >= thr)
-        case None => annotated
+      opts.getOrElse("method", "ngram").trim.toLowerCase match {
+        case "ngram" =>
+          val annotated = graft.operators.Corpus.decontaminate(
+            sql(select), lookupTable(table),
+            idCol = opts.getOrElse("id", "doc_id"),
+            textCol = opts.getOrElse("text", "text"),
+            n = opts.get("n").map(_.trim.toInt).getOrElse(3))
+          opts.get("threshold").map(_.trim.toDouble) match {
+            case Some(thr) =>
+              annotated.withColumn("contaminated", col("ratio") >= thr)
+            case None => annotated
+          }
+        // method='embedding': max-cosine against the (small, broadcast)
+        // benchmark vector set — the paraphrase-level gate; threshold
+        // defaults high (a near-duplicate, not mere topical similarity)
+        case "embedding" =>
+          graft.operators.Similarity.semanticDecontaminate(
+            sql(select), lookupTable(table),
+            idCol = opts.getOrElse("id", "vec_id"),
+            vecCol = opts.getOrElse("vec", "embedding"),
+            threshold = opts.get("threshold").map(_.trim.toDouble)
+              .getOrElse(0.9))
+        case other => throw new IllegalArgumentException(
+          s"Unknown DECONTAMINATE method: $other (ngram|embedding)")
       }
 
     // SELECT * FROM STRATIFY(TABLE quotas [WITH (...)], <select>) —
     // deterministic quota sampling; the quota table has (strata, quota)
-    // rows and is broadcast against the inner query.
+    // rows and is broadcast against the inner query. unit='docs' (default)
+    // takes `quota` documents per stratum; unit='tokens' fills each
+    // stratum's TOKEN budget in the same hash order (tokens= names the
+    // per-row token-count column), and epochs=true adds whole-stratum
+    // upsampling passes when a quota exceeds the stratum's total tokens.
     case Stratify(table, opts, select) =>
-      graft.operators.Corpus.stratifiedQuota(
-        sql(select),
-        strataCol = opts.getOrElse("strata", "source"),
-        idCol = opts.getOrElse("id", "doc_id"),
-        quotas = lookupTable(table))
+      val strata = opts.getOrElse("strata", "source")
+      val id = opts.getOrElse("id", "doc_id")
+      opts.getOrElse("unit", "docs").trim.toLowerCase match {
+        case "docs" =>
+          graft.operators.Corpus.stratifiedQuota(
+            sql(select), strataCol = strata, idCol = id,
+            quotas = lookupTable(table))
+        case "tokens" =>
+          val tokens = opts.getOrElse("tokens", "n_tokens")
+          if (opts.get("epochs").exists(_.trim.toBoolean))
+            graft.operators.Corpus.tokenBudgetEpochs(
+              sql(select), strataCol = strata, idCol = id,
+              tokensCol = tokens, quotas = lookupTable(table),
+              maxEpochs = opts.get("max_epochs").map(_.trim.toInt)
+                .getOrElse(100))
+          else
+            graft.operators.Corpus.tokenBudgetSelect(
+              sql(select), strataCol = strata, idCol = id,
+              tokensCol = tokens, quotas = lookupTable(table))
+        case other => throw new IllegalArgumentException(
+          s"Unknown STRATIFY unit: $other (docs|tokens)")
+      }
 
     // SELECT * FROM CHUNK(SIZE n [STRIDE m] [WITH (...)], <select>) —
     // overlapping token windows; STRIDE defaults to SIZE (non-overlapping).

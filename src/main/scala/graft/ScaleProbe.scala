@@ -109,6 +109,11 @@ object ScaleProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // fresh warehouse per run (the Verify.scala rationale): the probe's
+      // persisted-index timings saveAsTable, and a stale warehouse dir
+      // from a prior JVM would fail with LOCATION_ALREADY_EXISTS
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-probe-wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -605,6 +610,68 @@ object ScaleProbe {
           expr("repeat('a:', 10000)"))
         docs.limit(2000).select(col("doc_id"),
           graft.functions.Pii.scrubAll(payload).as("scrubbed"))
+      },
+      time("bloom_incr_gate") {
+        // r10: the Bloom-gated exact ingest gate vs the full anti-join it
+        // replaces. The increment is 10% of the clone corpus, of which
+        // half are verbatim corpus copies (bloom hits → confirm join) and
+        // half are genuinely new (bloom misses → pure projection). The
+        // timing INCLUDES the corpus count + distributed bloom build —
+        // production amortizes both across increments via catalog stats
+        // and a persisted filter, so this is the worst case for the gate.
+        val fresh = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+          .select((col("doc_id") + 900000000L).as("doc_id"),
+            when(pmod(col("doc_id"), lit(20)) === 0, col("text"))
+              .otherwise(concat(col("text"), lit(" fresh "), col("doc_id")))
+              .as("text"))
+        operators.TextDedup.exactDedupIncrementalBloom(
+          fresh, docs, "doc_id", "text")
+      },
+      {
+        // the run-many production shape: the filter is a persisted nightly
+        // artifact, built OUTSIDE the timed region (before time()'s t0),
+        // so an increment pays only the map-side probe + the
+        // candidate-only confirm join
+        val prebuiltBytes =
+          if (!wanted("bloom_incr_gate_prebuilt")) None
+          else Some(operators.TextDedup.buildContentBloom(docs, "text"))
+        time("bloom_incr_gate_prebuilt") {
+          val fresh = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+            .select((col("doc_id") + 900000000L).as("doc_id"),
+              when(pmod(col("doc_id"), lit(20)) === 0, col("text"))
+                .otherwise(concat(col("text"), lit(" fresh "), col("doc_id")))
+                .as("text"))
+          operators.TextDedup.exactDedupIncrementalBloom(
+            fresh, docs, "doc_id", "text", prebuilt = prebuiltBytes)
+        }
+      },
+      {
+        // the persisted-index shape: bloom sidecar + bucketed digest
+        // table built outside the timed region (the nightly artifact) —
+        // the increment pays the probe plus a candidate-only anti-join
+        // against in-place digest buckets; corpus text is never read
+        if (wanted("bloom_incr_gate_indexed"))
+          operators.TextDedup.saveExactDedupIndex(docs, "text",
+            prefix = "probe_exact_idx")
+        time("bloom_incr_gate_indexed") {
+          val fresh = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+            .select((col("doc_id") + 900000000L).as("doc_id"),
+              when(pmod(col("doc_id"), lit(20)) === 0, col("text"))
+                .otherwise(concat(col("text"), lit(" fresh "), col("doc_id")))
+                .as("text"))
+          operators.TextDedup.exactDedupIncrementalIndexed(
+            spark, fresh, "doc_id", "text", "probe_exact_idx")
+        }
+      },
+      time("bloom_incr_full_join") {
+        // the ungated baseline: every increment row shuffles into the
+        // anti-join against the full corpus digest set
+        val fresh = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+          .select((col("doc_id") + 900000000L).as("doc_id"),
+            when(pmod(col("doc_id"), lit(20)) === 0, col("text"))
+              .otherwise(concat(col("text"), lit(" fresh "), col("doc_id")))
+              .as("text"))
+        fresh.join(docs.select("text").distinct(), Seq("text"), "left_anti")
       }).flatten ++ {
       // r8 WARC probes (not in the `time` Seq: the write probe returns no
       // DataFrame). Write the clone corpus as HTTP-response records, then

@@ -69,5 +69,9 @@ object SparkEntry {
     // both over the planted corpus; the native-vs-chain ratios live in
     // ScaleProbe/PLANS 62 (the chain form is the oracle twin)
     "p85_pii_native", "p86_pii_counts_native",
+    // r10: the Bloom-gated exact ingest gate (corpus= form: bloom build +
+    // probe + confirm join in one query — the one-shot cycle; the
+    // persisted-index form's amortized numbers live in ScaleProbe/PLANS 63)
+    "p87_dedup_incr_bloom",
     "s01_events_tumbling", "s03_events_session")
 }

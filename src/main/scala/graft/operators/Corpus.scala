@@ -735,6 +735,93 @@ object Corpus {
         round(col("weight") * budget, 0).cast("bigint"))
   }
 
+  /** Token-budget mixture selection — the step that turns the per-domain
+    * quotas of [[mixtureWeights]] into an actual training set when budgets
+    * are denominated in TOKENS, not documents (the unit every pretraining
+    * run plans in). Documents are taken per stratum in deterministic
+    * multiplicative-hash order (the same cross-engine hash as
+    * [[stratifiedQuota]] — no RNG, reproducible in any SQL engine) while
+    * the running token total stays under the stratum's quota: a document
+    * is kept iff the tokens BEFORE it are < quota, so every stratum with a
+    * positive quota contributes at least one document and the final
+    * document may overshoot by less than its own length — the standard
+    * fill-until-budget rule, chosen over `cum <= quota` because it never
+    * starves a stratum whose first document alone exceeds the budget.
+    * `quotas` must have columns (strataCol, quota). Appends `cum_tokens`
+    * (the running total INCLUDING the row).
+    *
+    * Scale shape: one shuffle keyed by stratum for the cumulative-sum
+    * window; the quota table is tiny and broadcast. The window never goes
+    * global, and only (hash, tokens) drive the ordering — text stays in
+    * place. A stratum too large to window-sort admits the same hash
+    * pre-filter documented on [[stratifiedQuota]] (discard the bulk by
+    * hash range before ranking, using quota/avg_tokens as the count
+    * estimate).
+    */
+  def tokenBudgetSelect(
+      df: DataFrame, strataCol: String, idCol: String, tokensCol: String,
+      quotas: DataFrame): DataFrame = {
+    val h = pmod(col(idCol).cast("long") * lit(2654435761L), lit(1000000007L))
+    val w = Window.partitionBy(col(strataCol)).orderBy(col("_h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_h", h)
+      .withColumn("cum_tokens", sum(col(tokensCol).cast("long")).over(w))
+      .join(broadcast(quotas), Seq(strataCol))
+      .filter(col("cum_tokens") - col(tokensCol).cast("long") < col("quota"))
+      .drop("_h", "quota")
+  }
+
+  /** [[tokenBudgetSelect]] with EPOCH upsampling — the full mixing
+    * semantics: when a stratum's token quota exceeds its total token
+    * count, the whole stratum repeats ⌊quota/total⌋ times (epochs 1..k,
+    * capped at `maxEpochs` — the cap is part of the contract, mirrored by
+    * oracles, because a mis-set quota against a near-empty stratum must
+    * not explode the plan), then a partial epoch k+1 fills the remainder
+    * under the [[tokenBudgetSelect]] rule. This is how small high-quality
+    * domains (encyclopedias, books) are upsampled over multiple passes
+    * while a web crawl contributes a single partial pass. Emits the input
+    * plus `epoch` (1-based).
+    *
+    * Scale shape: the totals aggregate is map-side combinable; the
+    * quota/total plan table is a few rows and broadcast twice (full-epoch
+    * replication and the partial window). Replication is a per-row
+    * `explode(sequence(1, n_full))` — n_full is bounded by `maxEpochs`,
+    * so the expansion factor is a known constant, never data-driven
+    * unbounded. The partial epoch reuses the one per-stratum window.
+    */
+  def tokenBudgetEpochs(
+      df: DataFrame, strataCol: String, idCol: String, tokensCol: String,
+      quotas: DataFrame, maxEpochs: Int = 100): DataFrame = {
+    require(maxEpochs >= 1, "maxEpochs must be at least 1")
+    val totals = df.groupBy(col(strataCol))
+      .agg(sum(col(tokensCol).cast("long")).as("_total"))
+    // integral division (DIV) keeps the plan exact past 2^53 where a
+    // floor(double) would round; quotas and totals are token counts. A
+    // zero-token stratum (degenerate, but a guard beats a null DIV that
+    // least() would silently resolve to the cap) takes zero full epochs.
+    val plan = quotas.join(totals, Seq(strataCol))
+      .withColumn("_full",
+        least(when(col("_total") > 0L,
+          expr("CAST(quota AS BIGINT) DIV _total")).otherwise(lit(0L)),
+          lit(maxEpochs.toLong)))
+      .withColumn("_rem",
+        col("quota").cast("long") - col("_full") * col("_total"))
+      .select(col(strataCol), col("_full"), col("_rem"))
+    val withPlan = df.join(broadcast(plan), Seq(strataCol))
+    val outCols = df.columns.map(col).toSeq
+    val fullEpochs = withPlan.filter(col("_full") >= 1L)
+      .select(outCols :+
+        explode(sequence(lit(1L), col("_full"))).as("epoch"): _*)
+    val h = pmod(col(idCol).cast("long") * lit(2654435761L), lit(1000000007L))
+    val w = Window.partitionBy(col(strataCol)).orderBy(col("_h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val partial = withPlan.withColumn("_h", h)
+      .withColumn("_cum", sum(col(tokensCol).cast("long")).over(w))
+      .filter(col("_cum") - col(tokensCol).cast("long") < col("_rem"))
+      .select(outCols :+ (col("_full") + 1L).as("epoch"): _*)
+    fullEpochs.unionByName(partial)
+  }
+
   /** Per-domain quality calibration — the CCNet head/middle/tail split:
     * a document's quality is judged against its OWN domain's distribution
     * (a median doc from an encyclopedia source and a median doc from a web

@@ -66,6 +66,50 @@ object Similarity {
       .select(col("qid"), col("nid"), round(col("sim"), 6).as("sim"), col("rnk"))
   }
 
+  /** Semantic (embedding) decontamination — the cross-corpus contamination
+    * gate that catches what the n-gram gate ([[graft.operators.Corpus
+    * .decontaminate]]) structurally cannot: a paraphrased or re-worded
+    * benchmark item shares almost no word n-grams with its source but
+    * sits next to it in embedding space. Every training vector is scored
+    * by its MAX cosine similarity to ANY benchmark vector; `threshold`
+    * flags the contaminated rows (computed on the UNROUNDED max, the
+    * engine-portable convention). Returns (id, max_sim rounded 6dp,
+    * contaminated).
+    *
+    * Scale shape: the benchmark side is SMALL by construction (eval sets
+    * are thousands of vectors, the corpus is billions), so it collapses
+    * to ONE row — an array of (vector, norm) structs — broadcast to every
+    * train partition exactly like the blocklist/hot-line/vocab gates:
+    * one corpus scan, zero shuffle, a free one-row nested loop, and per
+    * row one fused-dot-product fold over the m bench vectors (O(m·d)
+    * flops — ~10⁶ per row at m=10⁴/d=64, the same order as the PII scan
+    * on a 10 KB document). Benchmarks too large for one broadcast row
+    * take the SRP-LSH route instead ([[cosineDedupPairsBanded]] with the
+    * bench as one side) — kept separate because it trades exactness for
+    * scale. The max over the bench fold is order-independent (IEEE max),
+    * so collect_list's nondeterministic gather order cannot change the
+    * result.
+    */
+  def semanticDecontaminate(
+      train: DataFrame, bench: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val b = bench
+      .select(asDouble(col(vecCol)).as("bv"))
+      .withColumn("bn", norm(col("bv")))
+      .filter(col("bn") > 0)
+      .agg(collect_list(struct(col("bv"), col("bn"))).as("_bench"))
+    train
+      .select(col(idCol), asDouble(col(vecCol)).as("_tv"))
+      .withColumn("_tn", norm(col("_tv")))
+      .crossJoin(broadcast(b))
+      .withColumn("_max",
+        when(col("_tn") > 0, aggregate(col("_bench"), lit(-1.0d),
+          (acc, s) => greatest(acc,
+            dot(col("_tv"), s.getField("bv")) / (col("_tn") * s.getField("bn"))))))
+      .select(col(idCol), round(col("_max"), 6).as("max_sim"),
+        coalesce(col("_max") >= threshold, lit(false)).as("contaminated"))
+  }
+
   /** Sign-bit bucket id from `nBits` random hyperplanes. Fused single-node
     * expression (graft.functions.CatalystExprs.SrpBucketHash): one pass over
     * the vector with nBits primitive accumulators, bit-identical to the

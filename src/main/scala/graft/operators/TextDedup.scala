@@ -157,6 +157,135 @@ object TextDedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
 
+  /** Exact incremental dedup through a Bloom prefilter — the 100 TB
+    * ingest-gate shape: screen a NEW batch against a seen corpus of
+    * billions of documents without joining the whole batch against it.
+    * A Bloom filter over the corpus's xxhash64 content hashes is built
+    * distributed (`DataFrameStatFunctions.bloomFilter`, per-partition
+    * sketches merged once) and probed map-side with Spark's native
+    * `BloomFilterMightContain` — the same expression AQE's runtime join
+    * filters use — so bloom-miss rows (the overwhelming majority of a
+    * real increment) pass through as a pure projection with ZERO shuffle.
+    * Only bloom-HIT rows (true duplicates + the fpp sliver of false
+    * positives) enter an exact anti-join on the text itself, which
+    * removes the false positives — the result is EXACTLY the set of new
+    * documents whose text does not appear in the corpus, bit-identical to
+    * a full anti-join, at a fraction of its shuffle. NULL-text rows
+    * always survive (SQL equality never matches NULL), mirroring the
+    * NOT EXISTS oracle.
+    *
+    * Sizing: bits ≈ -n·ln(fpp)/ln²2 — 10⁹ seen docs at fpp 0.1% is
+    * ~1.7 GB, shipped once per executor as a plan literal (for filters
+    * past a few hundred MB, carry it as a broadcast the way
+    * `DocStreams.dedupChunksStreamBloomBroadcast` does). `expectedItems`
+    * defaults to a count of the corpus (one cheap map-side-combinable
+    * job); production passes it from catalog stats to skip that job.
+    */
+  def exactDedupIncrementalBloom(
+      newDocs: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
+      expectedItems: Long = -1L, fpp: Double = 0.001,
+      prebuilt: Option[Array[Byte]] = None): DataFrame = {
+    require(fpp > 0 && fpp < 1, "fpp must be in (0,1)")
+    val bytes = prebuilt.getOrElse(
+      buildContentBloom(corpus, textCol, expectedItems, fpp))
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.types.BinaryType
+    val mightContain = org.apache.spark.sql.GraftBridge.column(
+      BloomFilterMightContain(Literal(bytes, BinaryType),
+        org.apache.spark.sql.GraftBridge.expression(xxhash64(col(textCol)))))
+    val outCols = newDocs.columns.map(col).toSeq
+    val flagged = parallelized(newDocs).withColumn("_maybe",
+      when(col(textCol).isNull, lit(false)).otherwise(mightContain))
+    val misses = flagged.filter(!col("_maybe")).select(outCols: _*)
+    // exact confirmation joins the TEXT (not its 64-bit hash): a hash
+    // collision here would silently drop a non-duplicate; the candidate
+    // set is increment-sized × fpp-ish, so shipping its text is cheap
+    val confirmed = flagged.filter(col("_maybe"))
+      .join(corpus.select(col(textCol)).filter(col(textCol).isNotNull)
+        .distinct(), Seq(textCol), "left_anti")
+      .select(outCols: _*)
+    misses.unionByName(confirmed)
+  }
+
+  /** The corpus-side artifact of [[exactDedupIncrementalBloom]], built
+    * separately so the run-many production pattern (one nightly corpus
+    * snapshot, many increments) builds the filter ONCE and passes it as
+    * `prebuilt` — the per-increment cost is then a pure map-side probe
+    * plus the candidate-only confirm join, with zero corpus passes.
+    * `expectedItems` < 0 triggers a count of the corpus first. */
+  def buildContentBloom(
+      corpus: DataFrame, textCol: String,
+      expectedItems: Long = -1L, fpp: Double = 0.001): Array[Byte] = {
+    val corpusHashes = corpus.filter(col(textCol).isNotNull)
+      .select(xxhash64(col(textCol)).as("_ch"))
+    val n = if (expectedItems > 0) expectedItems
+            else math.max(corpusHashes.count(), 1L)
+    val bf = corpusHashes.stat.bloomFilter("_ch", n, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** Persist the full exact-dedup index of a corpus snapshot under one
+    * prefix — the build-once/screen-many artifact completing
+    * [[exactDedupIncrementalBloom]] for production: `{prefix}_digests`
+    * (xxh, content_md5) bucketed AND sorted by xxh so the increment's
+    * confirm join co-locates against it with NO corpus-side shuffle and
+    * no corpus text ever read again, and `{prefix}_bloom` (a one-row
+    * binary table carrying the serialized filter — it rides the catalog
+    * like any other artifact, no external file management). Exactness is
+    * by content digest (md5), the same convention [[exactDedup]] groups
+    * by. Build once per snapshot; screen every increment with
+    * [[exactDedupIncrementalIndexed]]. */
+  def saveExactDedupIndex(
+      df: DataFrame, textCol: String, prefix: String, nBuckets: Int = 8,
+      expectedItems: Long = -1L, fpp: Double = 0.001): Unit = {
+    df.filter(col(textCol).isNotNull)
+      .select(xxhash64(col(textCol)).as("xxh"),
+        md5(col(textCol)).as("content_md5"))
+      .distinct()
+      .write.format("parquet").mode("overwrite")
+      .bucketBy(nBuckets, "xxh").sortBy("xxh")
+      .saveAsTable(s"${prefix}_digests")
+    val bytes = buildContentBloom(df, textCol, expectedItems, fpp)
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq(Tuple1(bytes)).toDF("bloom")
+      .write.format("parquet").mode("overwrite")
+      .saveAsTable(s"${prefix}_bloom")
+  }
+
+  /** [[exactDedupIncrementalBloom]] against a PERSISTED index
+    * ([[saveExactDedupIndex]]) — the run-many ingest gate: the filter is
+    * one bounded driver read (its byte image, not corpus data), bloom-miss
+    * rows pass as a pure projection, and the few bloom-hit candidates
+    * anti-join the bucketed digest table in place — only the increment
+    * shuffles, the snapshot corpus contributes nothing but its
+    * already-bucketed digests. Per-increment cost is therefore independent
+    * of corpus size. Duplicate = equal content digest (md5, the
+    * [[exactDedup]] convention). */
+  def exactDedupIncrementalIndexed(
+      spark: org.apache.spark.sql.SparkSession, newDocs: DataFrame,
+      idCol: String, textCol: String, prefix: String): DataFrame = {
+    val bytes = spark.table(s"${prefix}_bloom").head().getAs[Array[Byte]](0)
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.types.BinaryType
+    val mightContain = org.apache.spark.sql.GraftBridge.column(
+      BloomFilterMightContain(Literal(bytes, BinaryType),
+        org.apache.spark.sql.GraftBridge.expression(xxhash64(col(textCol)))))
+    val outCols = newDocs.columns.map(col).toSeq
+    val flagged = parallelized(newDocs).withColumn("_maybe",
+      when(col(textCol).isNull, lit(false)).otherwise(mightContain))
+    val misses = flagged.filter(!col("_maybe")).select(outCols: _*)
+    val confirmed = flagged.filter(col("_maybe"))
+      .withColumn("xxh", xxhash64(col(textCol)))
+      .withColumn("content_md5", md5(col(textCol)))
+      .join(spark.table(s"${prefix}_digests"),
+        Seq("xxh", "content_md5"), "left_anti")
+      .select(outCols: _*)
+    misses.unionByName(confirmed)
+  }
+
   /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
     *
     * @param numHashes signature length k (= bands * rowsPerBand)

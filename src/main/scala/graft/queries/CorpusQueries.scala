@@ -1808,5 +1808,302 @@ object CorpusQueries {
           |SELECT source, text FROM documents)""".stripMargin)
         .orderBy("source")
     },
+
+    // Bloom-gated exact incremental dedup (r10) — the 100 TB ingest gate:
+    // a new batch (doc_id % 5 == 0, plus PLANTED copies of corpus rows
+    // shifted +100000 so the confirm join has true duplicates to remove —
+    // the synthetic documents table has no natural exact dupes) screened
+    // against the seen corpus (doc_id % 5 != 0). Bloom-miss rows pass as a
+    // pure projection; bloom-hit rows are exact-confirmed on the text, so
+    // the result is bit-identical to the oracle's NOT EXISTS anti-join.
+    Q("p87_dedup_incr_bloom", Some("""
+      WITH corpus AS (SELECT text FROM documents WHERE doc_id % 5 <> 0),
+      newbatch AS (
+        SELECT doc_id, source, text FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, source, text FROM documents
+        WHERE doc_id % 7 = 3)
+      SELECT n.doc_id, n.source, md5(n.text) AS content_hash
+      FROM newbatch n
+      WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = n.text)
+      ORDER BY n.doc_id""")) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      val newBatch = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("source"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 7 === 3)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("source"),
+            col("text")))
+      TextDedup.exactDedupIncrementalBloom(newBatch, corpus, "doc_id", "text")
+        .select(col("doc_id"), col("source"), md5(col("text")).as("content_hash"))
+        .orderBy("doc_id")
+    },
+
+    // The SAME ingest gate driven off the PERSISTED exact-dedup index
+    // (saveExactDedupIndex → bloom sidecar + bucketed digest table) — the
+    // run-many production shape where an increment never touches corpus
+    // text: held to p87's oracle, so the indexed path must produce
+    // bit-identical survivors. Index build is part of the query
+    // (idempotent overwrite), like p02b/p30b.
+    Q("p87b_dedup_incr_bloom_indexed", Some("""
+      WITH corpus AS (SELECT text FROM documents WHERE doc_id % 5 <> 0),
+      newbatch AS (
+        SELECT doc_id, source, text FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, source, text FROM documents
+        WHERE doc_id % 7 = 3)
+      SELECT n.doc_id, n.source, md5(n.text) AS content_hash
+      FROM newbatch n
+      WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = n.text)
+      ORDER BY n.doc_id""")) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      TextDedup.saveExactDedupIndex(corpus, "text", prefix = "exact_idx")
+      val newBatch = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("source"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 7 === 3)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("source"),
+            col("text")))
+      TextDedup.exactDedupIncrementalIndexed(s, newBatch, "doc_id", "text",
+          prefix = "exact_idx")
+        .select(col("doc_id"), col("source"), md5(col("text")).as("content_hash"))
+        .orderBy("doc_id")
+    },
+
+    // The SAME ingest gate through the statement surface (DEDUP METHOD
+    // exact_incremental WITH corpus=) — held to p87's oracle, so the
+    // statement wiring is hash-gated like every other pXXc twin.
+    Q("p87c_dedup_incr_bloom_sql", Some("""
+      WITH corpus AS (SELECT text FROM documents WHERE doc_id % 5 <> 0),
+      newbatch AS (
+        SELECT doc_id, source, text FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, source, text FROM documents
+        WHERE doc_id % 7 = 3)
+      SELECT n.doc_id, n.source, md5(n.text) AS content_hash
+      FROM newbatch n
+      WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = n.text)
+      ORDER BY n.doc_id""")) { (s, d) =>
+      val ctx = new graft.Context(s)
+      ctx.createTableFromPath("documents", s"$d/documents.parquet")
+      ctx.sql("""CREATE OR REPLACE VIEW seen_corpus AS
+        |SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0""".stripMargin)
+      ctx.sql(
+        """SELECT * FROM DEDUP(METHOD exact_incremental WITH (corpus = 'seen_corpus'),
+          |SELECT doc_id, source, text FROM documents WHERE doc_id % 5 = 0
+          |UNION ALL
+          |SELECT doc_id + 100000 AS doc_id, source, text FROM documents
+          |WHERE doc_id % 7 = 3)""".stripMargin)
+        .select(col("doc_id"), col("source"), md5(col("text")).as("content_hash"))
+        .orderBy("doc_id")
+    },
+
+    // Token-budget mixture selection (r10) — quotas denominated in TOKENS
+    // (the unit pretraining runs plan in): documents fill each source's
+    // budget in deterministic multiplicative-hash order; a doc is kept iff
+    // the tokens BEFORE it are under quota (the fill-until-budget rule).
+    Q("p88_token_budget", Some("""
+      WITH d AS (SELECT doc_id, source,
+                        len(string_split(text, ' ')) AS n_tokens
+                 FROM documents),
+      ranked AS (
+        SELECT doc_id, source, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY source
+                 ORDER BY (doc_id * 2654435761) % 1000000007, doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum
+        FROM d)
+      SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(cum AS BIGINT) AS cum_tokens
+      FROM ranked
+      WHERE cum - n_tokens <
+            CASE WHEN source IN ('src0','src1','src2') THEN 600 ELSE 200 END
+      ORDER BY doc_id""")) { (s, d) =>
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
+      val quotas = docs.select("source").distinct()
+        .withColumn("quota",
+          when(col("source").isin("src0", "src1", "src2"), 600).otherwise(200))
+      Corpus.tokenBudgetSelect(docs, "source", "doc_id", "n_tokens", quotas)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("cum_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // The SAME token-budget selection through STRATIFY unit='tokens' —
+    // the quota table is a plain SQL view; held to p88's oracle.
+    Q("p88c_token_budget_sql", Some("""
+      WITH d AS (SELECT doc_id, source,
+                        len(string_split(text, ' ')) AS n_tokens
+                 FROM documents),
+      ranked AS (
+        SELECT doc_id, source, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY source
+                 ORDER BY (doc_id * 2654435761) % 1000000007, doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum
+        FROM d)
+      SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(cum AS BIGINT) AS cum_tokens
+      FROM ranked
+      WHERE cum - n_tokens <
+            CASE WHEN source IN ('src0','src1','src2') THEN 600 ELSE 200 END
+      ORDER BY doc_id""")) { (s, d) =>
+      val ctx = new graft.Context(s)
+      ctx.createTableFromPath("documents", s"$d/documents.parquet")
+      ctx.sql("""CREATE OR REPLACE VIEW tok_quotas AS
+        |SELECT source,
+        |       CASE WHEN source IN ('src0','src1','src2') THEN 600
+        |            ELSE 200 END AS quota
+        |FROM (SELECT DISTINCT source FROM documents)""".stripMargin)
+      ctx.sql(
+        """SELECT * FROM STRATIFY(TABLE tok_quotas WITH (unit = 'tokens'),
+          |SELECT doc_id, source,
+          |       CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens
+          |FROM documents)""".stripMargin)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("cum_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // Token-budget mixing WITH epoch upsampling (r10): src0's quota
+    // (5000 tokens vs ~1400 total) repeats the whole stratum ⌊q/total⌋
+    // times, then a partial epoch fills the remainder; other sources get a
+    // partial first epoch only. The ⌊q/total⌋ factor is capped at 100 in
+    // BOTH engines — the cap is part of the contract.
+    Q("p89_token_epochs", Some("""
+      WITH d AS (SELECT doc_id, source,
+                        len(string_split(text, ' ')) AS n_tokens
+                 FROM documents),
+      tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS total
+              FROM d GROUP BY 1),
+      q AS (SELECT source,
+                   CASE WHEN source = 'src0' THEN 5000 ELSE 400 END AS quota
+            FROM (SELECT DISTINCT source FROM d)),
+      plan AS (SELECT q.source,
+                      least(CAST(quota AS BIGINT) // total, 100) AS nfull,
+                      CAST(quota AS BIGINT)
+                        - least(CAST(quota AS BIGINT) // total, 100) * total AS rem
+               FROM q JOIN tot ON q.source = tot.source),
+      full_e AS (SELECT d.doc_id, d.source, d.n_tokens,
+                        unnest(range(1, CAST(nfull AS BIGINT) + 1)) AS epoch
+                 FROM d JOIN plan ON d.source = plan.source
+                 WHERE nfull >= 1),
+      ranked AS (SELECT d.doc_id, d.source, d.n_tokens, plan.nfull, plan.rem,
+                        sum(d.n_tokens) OVER (PARTITION BY d.source
+                          ORDER BY (d.doc_id * 2654435761) % 1000000007, d.doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+                 FROM d JOIN plan ON d.source = plan.source),
+      part_e AS (SELECT doc_id, source, n_tokens, nfull + 1 AS epoch
+                 FROM ranked WHERE cum - n_tokens < rem)
+      SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(epoch AS BIGINT) AS epoch
+      FROM (SELECT * FROM full_e UNION ALL SELECT * FROM part_e)
+      ORDER BY source, epoch, doc_id""")) { (s, d) =>
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
+      val quotas = docs.select("source").distinct()
+        .withColumn("quota",
+          when(col("source") === "src0", 5000).otherwise(400))
+      Corpus.tokenBudgetEpochs(docs, "source", "doc_id", "n_tokens", quotas)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("epoch").cast("bigint").as("epoch"))
+        .orderBy("source", "epoch", "doc_id")
+    },
+
+    // Semantic (embedding) decontamination (r10): every train vector's MAX
+    // cosine similarity to any benchmark vector (vec_id % 10 == 7 is the
+    // benchmark slice) — the paraphrase-level contamination gate the
+    // n-gram gate (p22) cannot catch. The bench side collapses to one
+    // broadcast row of (vector, norm) structs; the oracle replays the
+    // exhaustive cross join, so the fold-based gate must score every pair.
+    Q("p90_semantic_decon", Some("""
+      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+                 FROM embeddings),
+      t AS (SELECT * FROM v WHERE vec_id % 10 <> 7),
+      b AS (SELECT * FROM v WHERE vec_id % 10 = 7),
+      m AS (SELECT t.vec_id, max(list_dot_product(t.e, b.e) / (t.nrm * b.nrm)) AS ms
+            FROM t CROSS JOIN b GROUP BY 1)
+      SELECT vec_id, round(ms, 6) AS max_sim, ms >= 0.35 AS contaminated
+      FROM m ORDER BY vec_id""")) { (s, d) =>
+      val v = t(s, d, "embeddings")
+      Similarity.semanticDecontaminate(
+          v.filter(col("vec_id") % 10 =!= 7),
+          v.filter(col("vec_id") % 10 === 7),
+          "vec_id", "embedding", threshold = 0.35)
+        .orderBy("vec_id")
+    },
+
+    // The SAME gate through the statement surface (DECONTAMINATE
+    // method='embedding') — held to p90's oracle.
+    Q("p90c_semantic_decon_sql", Some("""
+      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+                 FROM embeddings),
+      t AS (SELECT * FROM v WHERE vec_id % 10 <> 7),
+      b AS (SELECT * FROM v WHERE vec_id % 10 = 7),
+      m AS (SELECT t.vec_id, max(list_dot_product(t.e, b.e) / (t.nrm * b.nrm)) AS ms
+            FROM t CROSS JOIN b GROUP BY 1)
+      SELECT vec_id, round(ms, 6) AS max_sim, ms >= 0.35 AS contaminated
+      FROM m ORDER BY vec_id""")) { (s, d) =>
+      val ctx = new graft.Context(s)
+      ctx.createTableFromPath("embeddings", s"$d/embeddings.parquet")
+      ctx.sql("""CREATE OR REPLACE VIEW bench_emb AS
+        |SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 7""".stripMargin)
+      ctx.sql(
+        """SELECT * FROM DECONTAMINATE(TABLE bench_emb
+          |  WITH (method = 'embedding', threshold = '0.35'),
+          |SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 7)""".stripMargin)
+        .orderBy("vec_id")
+    },
+
+    // Epoch upsampling through the statement surface (STRATIFY
+    // unit='tokens' epochs=true) — held to p89's oracle.
+    Q("p89c_token_epochs_sql", Some("""
+      WITH d AS (SELECT doc_id, source,
+                        len(string_split(text, ' ')) AS n_tokens
+                 FROM documents),
+      tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS total
+              FROM d GROUP BY 1),
+      q AS (SELECT source,
+                   CASE WHEN source = 'src0' THEN 5000 ELSE 400 END AS quota
+            FROM (SELECT DISTINCT source FROM d)),
+      plan AS (SELECT q.source,
+                      least(CAST(quota AS BIGINT) // total, 100) AS nfull,
+                      CAST(quota AS BIGINT)
+                        - least(CAST(quota AS BIGINT) // total, 100) * total AS rem
+               FROM q JOIN tot ON q.source = tot.source),
+      full_e AS (SELECT d.doc_id, d.source, d.n_tokens,
+                        unnest(range(1, CAST(nfull AS BIGINT) + 1)) AS epoch
+                 FROM d JOIN plan ON d.source = plan.source
+                 WHERE nfull >= 1),
+      ranked AS (SELECT d.doc_id, d.source, d.n_tokens, plan.nfull, plan.rem,
+                        sum(d.n_tokens) OVER (PARTITION BY d.source
+                          ORDER BY (d.doc_id * 2654435761) % 1000000007, d.doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+                 FROM d JOIN plan ON d.source = plan.source),
+      part_e AS (SELECT doc_id, source, n_tokens, nfull + 1 AS epoch
+                 FROM ranked WHERE cum - n_tokens < rem)
+      SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(epoch AS BIGINT) AS epoch
+      FROM (SELECT * FROM full_e UNION ALL SELECT * FROM part_e)
+      ORDER BY source, epoch, doc_id""")) { (s, d) =>
+      val ctx = new graft.Context(s)
+      ctx.createTableFromPath("documents", s"$d/documents.parquet")
+      ctx.sql("""CREATE OR REPLACE VIEW epoch_quotas AS
+        |SELECT source,
+        |       CASE WHEN source = 'src0' THEN 5000 ELSE 400 END AS quota
+        |FROM (SELECT DISTINCT source FROM documents)""".stripMargin)
+      ctx.sql(
+        """SELECT * FROM STRATIFY(TABLE epoch_quotas
+          |  WITH (unit = 'tokens', epochs = 'true'),
+          |SELECT doc_id, source,
+          |       CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens
+          |FROM documents)""".stripMargin)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("epoch").cast("bigint").as("epoch"))
+        .orderBy("source", "epoch", "doc_id")
+    },
   )
 }

@@ -175,6 +175,84 @@ class CorpusSpec extends AnyFunSuite {
       b.select("doc_id").collect().map(_.getLong(0)).sorted))
   }
 
+  test("tokenBudgetSelect fills until budget: prefix-before < quota, overshoot < own length") {
+    val docs = Seq(
+      (1L, "a", 10L), (2L, "a", 10L), (3L, "a", 10L), (4L, "a", 10L),
+      (5L, "b", 50L), (6L, "b", 5L)
+    ).toDF("doc_id", "source", "n_tokens")
+    val quotas = Seq(("a", 25L), ("b", 1L)).toDF("source", "quota")
+    val got = Corpus.tokenBudgetSelect(docs, "source", "doc_id", "n_tokens", quotas)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cum_tokens")))
+      .sortBy(_._1)
+    // stratum a: hash order over {1,2,3,4}; cum 10,20,30 → 3 docs kept
+    // (third doc's prefix 20 < 25, overshoots to 30); stratum b: quota 1
+    // still admits its first-hash doc — a positive quota never starves
+    val aDocs = got.filter(_._2 <= 30).count(g => Seq(1L, 2L, 3L, 4L).contains(g._1))
+    assert(aDocs == 3)
+    assert(got.count(g => Seq(5L, 6L).contains(g._1)) == 1)
+    // independent model: same hash order, same rule
+    val hashed = Seq(1L, 2L, 3L, 4L)
+      .sortBy(id => (id * 2654435761L % 1000000007L, id))
+    val model = hashed.scanLeft(0L)((acc, _) => acc + 10L).zip(hashed)
+      .takeWhile(_._1 < 25L).map(_._2).toSet
+    assert(got.map(_._1).filter(_ <= 4L).toSet == model)
+  }
+
+  test("tokenBudgetEpochs: full passes + partial remainder, maxEpochs caps the expansion") {
+    val docs = Seq(
+      (1L, "a", 10L), (2L, "a", 10L),  // total 20
+      (3L, "b", 10L)                   // total 10
+    ).toDF("doc_id", "source", "n_tokens")
+    // a: quota 50 → 2 full epochs + rem 10 → one partial doc in epoch 3;
+    // b: quota 5 → partial epoch 1 only (first doc kept, overshoots)
+    val quotas = Seq(("a", 50L), ("b", 5L)).toDF("source", "quota")
+    val got = Corpus.tokenBudgetEpochs(docs, "source", "doc_id", "n_tokens", quotas)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("epoch")))
+    val byDoc = got.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    // both a-docs appear in epochs 1 and 2; exactly one also in epoch 3
+    assert(byDoc(1L).take(2) == Seq(1L, 2L) && byDoc(2L).take(2) == Seq(1L, 2L))
+    assert(got.count(_._2 == 3L) == 1)
+    assert(byDoc(3L) == Seq(1L))
+    // cap: quota 10_000× total, maxEpochs=3 → epochs 1..3 plus the
+    // remainder pass (rem > total ⇒ the partial is a full 4th pass)
+    val capped = Corpus.tokenBudgetEpochs(docs.filter($"source" === "a"),
+        "source", "doc_id", "n_tokens",
+        Seq(("a", 200000L)).toDF("source", "quota"), maxEpochs = 3)
+      .collect().map(r => r.getAs[Long]("epoch"))
+    assert(capped.max == 4L && capped.count(_ == 4L) == 2)
+  }
+
+  test("STRATIFY unit='tokens' statement equals the operator (and epochs twin)") {
+    val docs = Tables.t(spark, TestSpark.sf, "documents")
+      .select($"doc_id", $"source",
+        size(split($"text", " ")).cast("long").as("n_tokens"))
+    val quotas = docs.select("source").distinct()
+      .withColumn("quota", when($"source" === "src0", 900L).otherwise(300L))
+    val ctx = new Context(spark)
+    ctx.createTable("tb_docs", docs)
+    ctx.createTable("tb_quotas", quotas)
+    val gotSel = ctx.sql(
+        """SELECT * FROM STRATIFY(TABLE tb_quotas WITH (unit = 'tokens'),
+          |SELECT * FROM tb_docs)""".stripMargin)
+      .select("doc_id", "cum_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val wantSel = Corpus.tokenBudgetSelect(docs, "source", "doc_id", "n_tokens", quotas)
+      .select("doc_id", "cum_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(gotSel.sameElements(wantSel))
+    val gotEp = ctx.sql(
+        """SELECT * FROM STRATIFY(TABLE tb_quotas
+          |  WITH (unit = 'tokens', epochs = 'true', max_epochs = '5'),
+          |SELECT * FROM tb_docs)""".stripMargin)
+      .select("doc_id", "epoch").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val wantEp = Corpus.tokenBudgetEpochs(docs, "source", "doc_id", "n_tokens",
+        quotas, maxEpochs = 5)
+      .select("doc_id", "epoch").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(gotEp.sameElements(wantEp))
+  }
+
   test("packSequences: offsets stay in [0, capacity) and bins are contiguous per group") {
     val docs = Seq(
       (1L, "g1", 100L), (2L, "g1", 100L), (3L, "g1", 100L), (4L, "g1", 30L),

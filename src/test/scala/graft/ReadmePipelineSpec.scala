@@ -17,8 +17,8 @@ class ReadmePipelineSpec extends AnyFunSuite {
       ctx.sql(s"CREATE TABLE docs WITH (location = '${TestSpark.sf}/documents.parquet')")
       ctx.sql("CREATE OR REPLACE VIEW badwords AS SELECT * FROM VALUES ('nosuchword') AS t(phrase)")
       ctx.sql("CREATE OR REPLACE VIEW bench AS SELECT doc_id, text FROM docs WHERE doc_id % 20 = 7")
-      ctx.sql("CREATE OR REPLACE VIEW quotas AS " +
-        "SELECT source, 10 AS quota FROM (SELECT DISTINCT source FROM docs)")
+      ctx.sql("CREATE OR REPLACE VIEW token_quotas AS " +
+        "SELECT source, 1500 AS quota FROM (SELECT DISTINCT source FROM docs)")
       ctx.sql("""CREATE OR REPLACE TABLE flags AS
         SELECT * FROM SCORE(METHOD blocklist WITH (table = 'badwords'),
         SELECT doc_id, text FROM docs)""")
@@ -32,8 +32,9 @@ class ReadmePipelineSpec extends AnyFunSuite {
         SELECT * FROM DECONTAMINATE(TABLE bench WITH (threshold = 0.2),
         SELECT doc_id, text FROM deduped)""")
       ctx.sql("""CREATE OR REPLACE TABLE mixed AS
-        SELECT * FROM STRATIFY(TABLE quotas,
-        SELECT d.doc_id, d.source, d.text FROM deduped d
+        SELECT * FROM STRATIFY(TABLE token_quotas WITH (unit = 'tokens', epochs = 'true'),
+        SELECT d.doc_id, d.source, d.text, token_count(d.text) AS n_tokens
+        FROM deduped d
         JOIN train t ON t.doc_id = d.doc_id WHERE NOT t.contaminated)""")
       ctx.sql("""CREATE OR REPLACE TABLE packed AS
         SELECT * FROM PACK(CAPACITY 2048 WITH (materialize = 'true'),
@@ -47,12 +48,30 @@ class ReadmePipelineSpec extends AnyFunSuite {
         Seq("source", "bin", "n_docs", "n_tokens", "seq_text"))
       // the pipeline actually narrowed the corpus at each gated stage
       val nDocs = ctx.sql("SELECT count(*) AS c FROM docs").head().getLong(0)
-      val nMixed = ctx.sql("SELECT count(*) AS c FROM mixed").head().getLong(0)
+      val nMixed = ctx.sql(
+        "SELECT count(DISTINCT doc_id) AS c FROM mixed").head().getLong(0)
       assert(nMixed > 0 && nMixed < nDocs)
+      // the nightly ingest gate: persist the exact index of tonight's
+      // corpus, screen a fresh batch against it (half copies, half new)
+      ctx.sql("CREATE DEDUP INDEX corpus_idx ON deduped WITH (kind = 'exact')")
+      ctx.sql("""CREATE OR REPLACE VIEW fresh_batch AS
+        SELECT doc_id + 500000 AS doc_id, source,
+               CASE WHEN doc_id % 2 = 0 THEN text
+                    ELSE concat(text, ' fresh suffix') END AS text
+        FROM deduped""")
+      ctx.sql("""CREATE OR REPLACE TABLE fresh_unique AS
+        SELECT * FROM DEDUP(METHOD exact_incremental WITH (index = 'corpus_idx'),
+        SELECT doc_id, source, text FROM fresh_batch)""")
+      val nFresh = ctx.sql("SELECT count(*) AS c FROM fresh_batch").head().getLong(0)
+      val nUnique = ctx.sql("SELECT count(*) AS c FROM fresh_unique").head().getLong(0)
+      assert(nUnique > 0 && nUnique < nFresh) // copies screened out, new kept
     } finally {
       Seq("flags", "clean", "deduped", "train", "mixed", "packed",
-        "badwords", "bench", "quotas", "docs")
+        "badwords", "bench", "token_quotas", "docs", "fresh_batch",
+        "fresh_unique")
         .foreach(t => ctx.sql(s"DROP TABLE IF EXISTS $t"))
+      Seq("corpus_idx_digests", "corpus_idx_bloom")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
       graft.operators.OpCache.release(spark)
     }
   }

@@ -212,6 +212,43 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.toSet == Set((1L, 2L)))
   }
 
+  test("semanticDecontaminate: max-cosine vs every bench vector, threshold on unrounded value") {
+    val train = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),   // exact copy of a bench vector
+      (2L, Seq(0.9f, 0.1f, 0.0f)),   // near a bench vector
+      (3L, Seq(0.0f, 0.0f, 1.0f)),   // orthogonal to both bench vectors
+      (4L, Seq(0.0f, 0.0f, 0.0f))    // zero vector: undefined sim → not flagged
+    ).toDF("vec_id", "embedding")
+    val bench = Seq(
+      (100L, Seq(1.0f, 0.0f, 0.0f)),
+      (101L, Seq(0.0f, 1.0f, 0.0f)),
+      (102L, Seq(0.0f, 0.0f, 0.0f))  // zero bench vector is dropped, not NaN fuel
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDecontaminate(train, bench,
+        "vec_id", "embedding", threshold = 0.9)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)).map(_.asInstanceOf[Double]), r.getBoolean(2)))).toMap
+    assert(out(1L)._1.contains(1.0) && out(1L)._2)
+    // doc 2: max over BOTH bench vectors must pick the x-axis one
+    val d2 = out(2L)._1.get
+    assert(math.abs(d2 - 0.9 / math.sqrt(0.82)) < 1e-6)
+    assert(out(2L)._2 == (0.9 / math.sqrt(0.82) >= 0.9)) // 0.9939 → flagged
+    assert(out(3L)._1.contains(0.0) && !out(3L)._2)
+    assert(out(4L)._1.isEmpty && !out(4L)._2)
+    // model check on real data: equals the exhaustive crossJoin max
+    val v = Tables.t(spark, TestSpark.sf, "embeddings")
+    val tr = v.filter($"vec_id" % 10 =!= 7); val be = v.filter($"vec_id" % 10 === 7)
+    val got = Similarity.semanticDecontaminate(tr, be, "vec_id", "embedding", 0.35)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = tr.select($"vec_id", Similarity.asDouble($"embedding").as("te")).as("a")
+      .crossJoin(be.select(Similarity.asDouble($"embedding").as("be")))
+      .select($"vec_id", (Similarity.dot($"te", $"be") /
+        (Similarity.norm($"te") * Similarity.norm($"be"))).as("s"))
+      .groupBy("vec_id").agg(round(max($"s"), 6).as("ms"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == want)
+  }
+
   test("semanticDedup keeps exactly one representative per tight cluster") {
     // 4 tight clusters of 10 near-identical vectors: within a cluster every
     // pair is ~cosine 1, across clusters ~0 → exactly one survivor (the

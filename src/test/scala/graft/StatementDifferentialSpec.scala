@@ -443,6 +443,86 @@ class StatementDifferentialSpec extends AnyFunSuite {
       }
     }
 
+    test(s"statement diff (seed=$seed): STRATIFY unit='tokens' matches the cumsum model (select + epochs)") {
+      val rnd = new java.util.Random(seed * 29 + 1)
+      // (id, stratum, n_tokens) rows; quotas vary by seed
+      val rows = (1 to 150).map(i =>
+        (i.toLong, s"st${rnd.nextInt(5)}", (1 + rnd.nextInt(40)).toLong))
+      val strata = rows.map(_._2).distinct.sorted
+      val quotas = strata.zipWithIndex.map { case (s2, k) =>
+        (s2, (30 + 70 * ((seed + k) % 4)).toLong) // 30..240 tokens
+      }
+      val ctx = new Context(spark)
+      ctx.createTable("sd_tok_docs",
+        rows.toDF("doc_id", "source", "n_tokens"))
+      ctx.createTable("sd_tok_quotas", quotas.toDF("source", "quota"))
+      // independent model: multiplicative-hash order, prefix-before < quota
+      def hashOrder(ids: Seq[(Long, Long)]): Seq[(Long, Long)] =
+        ids.sortBy { case (id, _) => (id * 2654435761L % 1000000007L, id) }
+      val byStratum = rows.groupBy(_._2)
+      val expSelect = byStratum.flatMap { case (s2, rs) =>
+        val q = quotas.toMap.apply(s2)
+        val ordered = hashOrder(rs.map(r => (r._1, r._3)))
+        val prefixes = ordered.scanLeft(0L)(_ + _._2)
+        ordered.zip(prefixes).filter(_._2 < q).map(_._1._1)
+      }.toSet
+      val gotSelect = ctx.sql(
+        """SELECT * FROM STRATIFY(TABLE sd_tok_quotas WITH (unit = 'tokens'),
+          |SELECT doc_id, source, n_tokens FROM sd_tok_docs)""".stripMargin)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(gotSelect == expSelect)
+      // epochs: ⌊q/total⌋ full passes (capped), remainder pass by the rule
+      val cap = 3L
+      val expEpochs = byStratum.flatMap { case (s2, rs) =>
+        val q = quotas.toMap.apply(s2)
+        val total = rs.map(_._3).sum
+        val nFull = math.min(q / total, cap)
+        val rem = q - nFull * total
+        val ordered = hashOrder(rs.map(r => (r._1, r._3)))
+        val prefixes = ordered.scanLeft(0L)(_ + _._2)
+        val full = rs.flatMap(r => (1L to nFull).map(e => (r._1, e)))
+        val partial = ordered.zip(prefixes).filter(_._2 < rem)
+          .map(p => (p._1._1, nFull + 1L))
+        full ++ partial
+      }.groupMapReduce(identity)(_ => 1)(_ + _)
+      val gotEpochs = ctx.sql(
+        s"""SELECT * FROM STRATIFY(TABLE sd_tok_quotas
+           |WITH (unit = 'tokens', epochs = 'true', max_epochs = '$cap'),
+           |SELECT doc_id, source, n_tokens FROM sd_tok_docs)""".stripMargin)
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("epoch")))
+        .groupMapReduce(identity)(_ => 1)(_ + _)
+      assert(gotEpochs == expEpochs)
+    }
+
+    test(s"statement diff (seed=$seed): DEDUP exact_incremental matches the set-membership model") {
+      val rnd = new java.util.Random(seed * 37 + 2)
+      val corpus = randDocs(seed, 80)
+      // fresh batch: half brand-new docs, half verbatim copies of corpus rows
+      val fresh = (1 to 60).map { i =>
+        if (rnd.nextBoolean() && corpus.nonEmpty) {
+          val (_, t) = corpus(rnd.nextInt(corpus.length))
+          (5000L + i, t)
+        } else (5000L + i, s"fresh-$seed-$i " +
+          (0 until 4).map(_ => wordPool(rnd.nextInt(wordPool.length))).mkString(" "))
+      }
+      val seen = corpus.map(_._2).toSet
+      val expected = fresh.filterNot(f => seen(f._2)).map(_._1).toSet
+      val ctx = new Context(spark)
+      ctx.createTable("sd_inc_corpus", corpus.toDF("doc_id", "text"))
+      ctx.createTable("sd_inc_fresh", fresh.toDF("doc_id", "text"))
+      // run at default fpp AND with a deliberately saturated filter
+      // (expected_items=1): the exact confirm join must absorb the
+      // false-positive flood without changing the answer
+      for (items <- Seq("", ", expected_items = '1'")) {
+        val got = ctx.sql(
+          s"""SELECT * FROM DEDUP(METHOD exact_incremental
+             |WITH (corpus = 'sd_inc_corpus'$items),
+             |SELECT doc_id, text FROM sd_inc_fresh)""".stripMargin)
+          .collect().map(_.getAs[Long]("doc_id")).toSet
+        assert(got == expected, s"items=$items")
+      }
+    }
+
     test(s"statement diff (seed=$seed): DEDUP image pairs+rewrite match the pure-Scala dHash model") {
       // seeded gradient patterns × hash-invariant variant mixes (byte
       // copy, +20/+40 brightness, 2× upscale) + junk rows. The model
