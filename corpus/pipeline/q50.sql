@@ -1,0 +1,2 @@
+SELECT * FROM DECONTAMINATE(TABLE bench_split WITH (action = 'report'),
+SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 7)

@@ -797,6 +797,16 @@ class Context(val spark: SparkSession) {
     // a server session can CTAS the clean split in one statement.
     case Decontaminate(table, opts, select) =>
       opts.getOrElse("method", "ngram").trim.toLowerCase match {
+        // action='report' flips the direction: one row per BENCHMARK doc
+        // with its leakage into the inner query's corpus (the eval-owner
+        // audit); default annotates the corpus (the corpus-owner gate)
+        case "ngram" if opts.get("action").map(_.trim.toLowerCase)
+            .contains("report") =>
+          graft.operators.Corpus.decontaminateReport(
+            sql(select), lookupTable(table),
+            idCol = opts.getOrElse("id", "doc_id"),
+            textCol = opts.getOrElse("text", "text"),
+            n = opts.get("n").map(_.trim.toInt).getOrElse(3))
         case "ngram" =>
           val annotated = graft.operators.Corpus.decontaminate(
             sql(select), lookupTable(table),

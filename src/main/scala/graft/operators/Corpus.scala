@@ -39,25 +39,8 @@ object Corpus {
   def decontaminate(
       train: DataFrame, bench: DataFrame,
       idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    // Short docs are dropped on the RAW text column; the explode is the
-    // _outer variant because plain explode makes the optimizer infer a
-    // size(grams) > 0 filter that predicate-pushdown re-inlines — gram
-    // construction would then run a second time inside the scan filter
-    // (the derived-array pushdown pitfall; grams are never empty after the
-    // raw-text filter, so _outer is semantically identical here).
-    // Grams are hashed by COMBINING per-token hashes (the MinHash-pipeline
-    // trick): no gram strings are ever built — measured 6× on the sf0.1
-    // bench vs concat_ws'd shingle strings. Token hashes are materialized
-    // as an attribute first (the shingle expr references them n times).
-    def gramHashes(df: DataFrame) =
-      df.filter(size(split(lower(col(textCol)), " ")) >= n)
-        .select(col(idCol).as("_id"),
-          transform(split(lower(col(textCol)), " "), tk => xxhash64(tk)).as("_th"))
-        .select(col("_id"),
-          explode_outer(TextDedup.shingleHashesFromTokenHashes(col("_th"), n)).as("gh"))
-
-    val benchSet = gramHashes(bench).select("gh").distinct()
-    val tg = gramHashes(train)
+    val benchSet = wordGramHashes(bench, idCol, textCol, n).select("gh").distinct()
+    val tg = wordGramHashes(train, idCol, textCol, n)
     // left join against the broadcast benchmark set; count each train gram
     // at most once (grams are pre-distinct per doc via wordShingles)
     tg.join(broadcast(benchSet.withColumn("_hit", lit(1))), Seq("gh"), "left")
@@ -66,6 +49,58 @@ object Corpus {
         sum(coalesce(col("_hit"), lit(0))).cast("bigint").as("n_hits"))
       .withColumn("ratio",
         col("n_hits").cast("double") / greatest(col("n_grams"), lit(1L)).cast("double"))
+  }
+
+  /** Per-doc distinct word-n-gram hashes as (_id, gh) rows — the shared
+    * front of [[decontaminate]] / [[decontaminateReport]].
+    *
+    * Short docs are dropped on the RAW text column; the explode is the
+    * _outer variant because plain explode makes the optimizer infer a
+    * size(grams) > 0 filter that predicate-pushdown re-inlines — gram
+    * construction would then run a second time inside the scan filter
+    * (the derived-array pushdown pitfall; grams are never empty after the
+    * raw-text filter, so _outer is semantically identical here).
+    * Grams are hashed by COMBINING per-token hashes (the MinHash-pipeline
+    * trick): no gram strings are ever built — measured 6× on the sf0.1
+    * bench vs concat_ws'd shingle strings. Token hashes are materialized
+    * as an attribute first (the shingle expr references them n times). */
+  private def wordGramHashes(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.filter(size(split(lower(col(textCol)), " ")) >= n)
+      .select(col(idCol).as("_id"),
+        transform(split(lower(col(textCol)), " "), tk => xxhash64(tk)).as("_th"))
+      .select(col("_id"),
+        explode_outer(TextDedup.shingleHashesFromTokenHashes(col("_th"), n)).as("gh"))
+
+  /** Per-BENCHMARK-item leakage report — [[decontaminate]] pointed the
+    * other way: for every benchmark/eval document, the fraction of ITS
+    * n-grams that appear anywhere in the training corpus. This is the
+    * audit an eval owner runs ("which of my items are compromised, and
+    * how badly") where decontaminate is the gate a corpus owner runs.
+    * Returns one row per bench doc: (id, n_grams, n_leaked, ratio).
+    *
+    * Scale shape — the corpus side never shuffles: the bench gram-hash
+    * set (small by construction) is broadcast against one corpus scan as
+    * a LEFT SEMI join, and what comes back is the set of bench grams the
+    * corpus HIT — bounded by the bench gram count, not the corpus — which
+    * is distinct'd (one small shuffle) and broadcast back onto the
+    * per-bench-doc grams. A 100 TB corpus costs exactly one pass, the
+    * same as decontaminate.
+    */
+  def decontaminateReport(
+      train: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val bg = wordGramHashes(bench, idCol, textCol, n)
+    val benchSet = bg.select("gh").distinct()
+    val hit = wordGramHashes(train, idCol, textCol, n).select("gh")
+      .join(broadcast(benchSet), Seq("gh"), "left_semi")
+      .distinct()
+    bg.join(broadcast(hit.withColumn("_hit", lit(1))), Seq("gh"), "left")
+      .groupBy(col("_id").as(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("_hit"), lit(0))).cast("bigint").as("n_leaked"))
+      .withColumn("ratio",
+        col("n_leaked").cast("double") / greatest(col("n_grams"), lit(1L)).cast("double"))
   }
 
   /** Deterministic stratified quota sampling — the dataset-mixing primitive:

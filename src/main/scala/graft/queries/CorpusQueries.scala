@@ -2011,6 +2011,67 @@ object CorpusQueries {
         .orderBy("source", "epoch", "doc_id")
     },
 
+    // Per-benchmark-item leakage report (r10) — decontaminate pointed the
+    // other way: for every benchmark doc (doc_id % 20 == 7), the fraction
+    // of ITS 3-grams found anywhere in the train split. The corpus side
+    // contributes one broadcast-gated scan; the oracle replays the full
+    // join, so the hit-set round trip must lose nothing.
+    Q("p91_decon_report", Some("""
+      WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct([array_to_string(words[i:i+2], ' ')
+                for i in range(1, len(words) - 1)]) AS grams
+        FROM w WHERE len(words) >= 3),
+      tr AS (SELECT DISTINCT unnest(grams) AS g FROM sh WHERE doc_id % 20 <> 7),
+      bg AS (SELECT doc_id, unnest(grams) AS g FROM sh WHERE doc_id % 20 = 7),
+      hits AS (
+        SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked
+        FROM bg LEFT JOIN tr ON bg.g = tr.g
+        GROUP BY bg.doc_id)
+      SELECT doc_id, n_grams, n_leaked,
+             round(CAST(n_leaked AS DOUBLE) / greatest(n_grams, 1), 6) AS ratio
+      FROM hits ORDER BY doc_id""")) { (s, d) =>
+      val docs = t(s, d, "documents")
+      Corpus.decontaminateReport(
+          docs.filter(pmod(col("doc_id"), lit(20)) =!= 7),
+          docs.filter(pmod(col("doc_id"), lit(20)) === 7),
+          "doc_id", "text", n = 3)
+        .select(col("doc_id"), col("n_grams").cast("bigint").as("n_grams"),
+          col("n_leaked"), round(col("ratio"), 6).as("ratio"))
+        .orderBy("doc_id")
+    },
+
+    // The SAME report through the statement surface (DECONTAMINATE
+    // action='report') — held to p91's oracle.
+    Q("p91c_decon_report_sql", Some("""
+      WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct([array_to_string(words[i:i+2], ' ')
+                for i in range(1, len(words) - 1)]) AS grams
+        FROM w WHERE len(words) >= 3),
+      tr AS (SELECT DISTINCT unnest(grams) AS g FROM sh WHERE doc_id % 20 <> 7),
+      bg AS (SELECT doc_id, unnest(grams) AS g FROM sh WHERE doc_id % 20 = 7),
+      hits AS (
+        SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked
+        FROM bg LEFT JOIN tr ON bg.g = tr.g
+        GROUP BY bg.doc_id)
+      SELECT doc_id, n_grams, n_leaked,
+             round(CAST(n_leaked AS DOUBLE) / greatest(n_grams, 1), 6) AS ratio
+      FROM hits ORDER BY doc_id""")) { (s, d) =>
+      val ctx = new graft.Context(s)
+      ctx.createTableFromPath("documents", s"$d/documents.parquet")
+      ctx.sql("CREATE OR REPLACE VIEW bench_docs AS " +
+        "SELECT doc_id, text FROM documents WHERE doc_id % 20 = 7")
+      ctx.sql(
+        """SELECT * FROM DECONTAMINATE(TABLE bench_docs WITH (action = 'report'),
+          |SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 7)""".stripMargin)
+        .select(col("doc_id"), col("n_grams").cast("bigint").as("n_grams"),
+          col("n_leaked"), round(col("ratio"), 6).as("ratio"))
+        .orderBy("doc_id")
+    },
+
     // Semantic (embedding) decontamination (r10): every train vector's MAX
     // cosine similarity to any benchmark vector (vec_id % 10 == 7 is the
     // benchmark slice) — the paraphrase-level contamination gate the

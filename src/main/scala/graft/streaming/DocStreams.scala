@@ -367,6 +367,33 @@ object DocStreams {
     docStream.withColumn(textCol,
       graft.functions.Pii.scrubAll(col(textCol), types, luhn))
 
+  /** Streaming DOCUMENT-level exact-dedup gate against a static corpus
+    * Bloom filter (`TextDedup.buildContentBloom` — the same artifact
+    * CREATE DEDUP INDEX kind='exact' persists as `{prefix}_bloom`): an
+    * arriving document whose whole-text hash probes positive is dropped;
+    * misses pass through untouched. The streaming half of
+    * `TextDedup.exactDedupIncrementalBloom` — with the one semantic
+    * difference the batch form's confirm join removes: a false positive
+    * here DROPS a non-duplicate document at rate fpp (no corpus to
+    * anti-join mid-stream). That is the safe direction for an ingest
+    * gate, the rate is the operator's explicit knob, and the periodic
+    * batch pass (which IS exact) reconciles. NULL-text rows always pass,
+    * matching the batch form's SQL-equality semantics. Stateless per-row
+    * filter — append mode, zero streaming state; the filter rides as a
+    * plan literal (the `dedupChunksStreamBloom` size ceiling applies —
+    * broadcast-carrier form available on request via the same LazyBloom
+    * pattern).
+    */
+  def dedupDocsStreamBloom(docStream: DataFrame, bloom: Array[Byte],
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.types.BinaryType
+    val mightContain = org.apache.spark.sql.GraftBridge.column(
+      BloomFilterMightContain(Literal(bloom, BinaryType),
+        org.apache.spark.sql.GraftBridge.expression(xxhash64(col(textCol)))))
+    docStream.filter(col(textCol).isNull || !mightContain)
+  }
+
   /** Static linear-classifier weights → ONE broadcastable row
     * (map<term, weight>; duplicate terms sum, exactly as the batch
     * `Corpus.linearScore` merges them) for [[scoreStreamLinear]]. Models

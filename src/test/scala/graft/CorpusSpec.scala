@@ -22,6 +22,25 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(3L)._2 > 0L && out(3L)._2 < out(3L)._1)
   }
 
+  test("decontaminateReport: per-bench-item leakage — full copy 1.0, disjoint 0.0, partial in between") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five six")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (10L, "alpha beta gamma delta epsilon"),  // verbatim in train → 1.0
+      (11L, "zz yy xx ww vv"),                  // disjoint → 0.0
+      (12L, "alpha beta gamma nine ten")        // 1 of 3 grams leaked
+    ).toDF("doc_id", "text")
+    val out = Corpus.decontaminateReport(train, bench, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(10L) == ((3L, 3L, 1.0)))
+    assert(out(11L) == ((3L, 0L, 0.0)))
+    assert(out(12L)._1 == 3L && out(12L)._2 == 1L)
+    assert(math.abs(out(12L)._3 - 1.0 / 3) < 1e-9)
+  }
+
   test("decontaminate never shuffles the training text and broadcasts the benchmark") {
     val docs = Tables.t(spark, TestSpark.sf, "documents")
     val plan = Corpus.decontaminate(

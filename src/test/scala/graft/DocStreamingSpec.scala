@@ -109,6 +109,34 @@ class DocStreamingSpec extends AnyFunSuite {
     assert(streamed.values.exists(_.contains("DE00370400440532013000")))
   }
 
+  test("streaming doc-level bloom gate: dups drop, fresh pass, NULL passes, stateless (r10)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = (1 to 300)
+      .map(i => (i.toLong, s"stream corpus doc $i body words")).toDF("doc_id", "text")
+    val bloom = graft.operators.TextDedup.buildContentBloom(corpus, "text")
+    val fresh = (1 to 60).map { i =>
+      (1000L + i,
+        if (i % 2 == 0) s"stream corpus doc $i body words" // dup of corpus
+        else s"never seen doc $i")
+    } :+ ((2000L, null.asInstanceOf[String]))
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    ms.addData(fresh: _*)
+    val streamed = drain(
+      DocStreams.dedupDocsStreamBloom(ms.toDF().toDF("doc_id", "text"), bloom),
+      "doc_bloom_stream")
+      .collect().map(_.getLong(0)).sorted
+    // equals the batch gate (at default fpp over 300 items no false
+    // positive fires on this fixture, so the stream ALSO equals the
+    // exact anti-join — asserted via the batch operator)
+    val want = graft.operators.TextDedup.exactDedupIncrementalBloom(
+        fresh.toDF("doc_id", "text"), corpus, "doc_id", "text")
+      .collect().map(_.getLong(0)).sorted
+    assert(streamed.sameElements(want))
+    assert(streamed.contains(2000L))              // NULL text passed
+    assert(!streamed.exists(id => id > 1000L && id <= 1060L && id % 2 == 0))
+  }
+
   test("streaming chunk dedup against a static index: indexed chunks dropped, stateless") {
     import spark.implicits._
     val docs = Tables.t(spark, TestSpark.sf, "documents")
