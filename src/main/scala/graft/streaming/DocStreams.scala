@@ -394,6 +394,65 @@ object DocStreams {
     docStream.filter(col(textCol).isNull || !mightContain)
   }
 
+  /** Streaming NEAR-duplicate detection against a persisted MinHash index
+    * (`TextDedup.saveMinhashIndex` — the nightly `{prefix}_bands` /
+    * `{prefix}_shingles` artifact): every arriving document emits one
+    * (doc_id, dup_of, jaccard) row per corpus near-duplicate, computed
+    * with the SAME signature/banding/verification as the batch
+    * `minhashDedupIncrementalIndexed`, so streaming pairs equal the batch
+    * pairs row-for-row (asserted in DocStreamingSpec). The output is the
+    * PAIR stream — not a filtered doc stream — because "is this doc a
+    * dup" is an aggregation over its candidates, and aggregating an
+    * unbounded stream needs state; pairs need none: two stream-static
+    * INNER joins (banded rows → `{prefix}_bands`; verification →
+    * `{prefix}_shingles`) are stateless per-microbatch, append mode. The
+    * consumer drops/queues docs seen in the pair stream and the periodic
+    * batch pass reconciles, the same division of labor as every other
+    * ingest gate here.
+    *
+    * Delivery is AT-LEAST-ONCE per pair: a pair that collides in k LSH
+    * bands is emitted up to k times (bounded by `bands`), because the
+    * batch form's `.distinct()` would be a stateful streaming dedup with
+    * unbounded state — exactly what this file's operators refuse to
+    * carry. Consumers dedup per microbatch (foreachBatch `.distinct()`)
+    * or idempotently; the spec asserts SET equality to the batch pairs.
+    * The maxBucket skew cap is likewise a WINDOW over the static side in
+    * the batch form; here the band table is read as-is (cap boilerplate
+    * bands at index build time — the band table is the nightly artifact,
+    * so the cap belongs there anyway).
+    */
+  def minhashPairsStream(
+      docStream: DataFrame, spark: org.apache.spark.sql.SparkSession,
+      prefix: String, idCol: String = "doc_id", textCol: String = "text",
+      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val sh = docStream
+      .filter(size(split(lower(col(textCol)), " ")) >= shingleSize)
+      .select(col(idCol).as("doc_id"),
+        transform(split(lower(col(textCol)), " "), tk => xxhash64(tk)).as("_th"))
+      .select(col("doc_id"),
+        sort_array(graft.operators.TextDedup.shingleHashesFromTokenHashes(
+          col("_th"), shingleSize)).as("sh_a"))
+    val banded = sh.select(col("doc_id"), col("sh_a"),
+      posexplode(graft.functions.CatalystExprs.minhashBandHashes(
+        col("sh_a"), numHashes, bands)).as(Seq("band", "bh")))
+    val oldBanded = spark.table(s"${prefix}_bands")
+      .select(col("doc_id").as("dup_of"), col("band"), col("bh"))
+    val cand = banded.join(oldBanded, Seq("band", "bh"))
+      .select("doc_id", "sh_a", "dup_of")
+    val sb = spark.table(s"${prefix}_shingles")
+      .select(col("doc_id").as("dup_of"), col("shingles").as("sh_b"))
+    cand.join(sb, "dup_of")
+      .select(col("doc_id"), col("dup_of"),
+        graft.functions.CatalystExprs.sortedIntersectCount(col("sh_a"), col("sh_b"))
+          .cast("double").as("_i"),
+        (size(col("sh_a")) + size(col("sh_b"))).cast("double").as("_s"))
+      .withColumn("j_raw", col("_i") / (col("_s") - col("_i")))
+      .filter(col("j_raw") >= threshold)
+      .select(col("doc_id"), col("dup_of"), round(col("j_raw"), 4).as("jaccard"))
+  }
+
   /** Static linear-classifier weights → ONE broadcastable row
     * (map<term, weight>; duplicate terms sum, exactly as the batch
     * `Corpus.linearScore` merges them) for [[scoreStreamLinear]]. Models

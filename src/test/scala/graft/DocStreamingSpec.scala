@@ -137,6 +137,41 @@ class DocStreamingSpec extends AnyFunSuite {
     assert(!streamed.exists(id => id > 1000L && id <= 1060L && id % 2 == 0))
   }
 
+  test("streaming minhash pairs against the persisted index equal batch pairs as a set (r10)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Tables.t(spark, TestSpark.sf, "documents")
+      .filter(col("doc_id") % 3 =!= 0).select("doc_id", "text")
+    try {
+      graft.operators.TextDedup.saveMinhashIndex(
+        corpus, "doc_id", "text", prefix = "mh_stream_idx")
+      // the increment: verbatim copies of indexed corpus docs (ids
+      // shifted — guaranteed jaccard-1.0 pairs) plus the disjoint
+      // %3==0 docs as negatives
+      val fresh = (corpus.filter(col("doc_id") % 5 === 1)
+          .select((col("doc_id") + 50000L).as("doc_id"), col("text"))
+        .unionByName(Tables.t(spark, TestSpark.sf, "documents")
+          .filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 90000L).as("doc_id"), col("text"))))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      ms.addData(fresh: _*)
+      val streamed = drain(
+        DocStreams.minhashPairsStream(ms.toDF().toDF("doc_id", "text"),
+          spark, "mh_stream_idx"), "mh_pairs_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val batch = graft.operators.TextDedup.minhashDedupIncrementalIndexed(
+          spark, fresh.toDF("doc_id", "text"), "doc_id", "text",
+          prefix = "mh_stream_idx", maxBucket = Int.MaxValue)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty) // the fixture really produced near-dups
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS mh_stream_idx_bands")
+      spark.sql("DROP TABLE IF EXISTS mh_stream_idx_shingles")
+    }
+  }
+
   test("streaming chunk dedup against a static index: indexed chunks dropped, stateless") {
     import spark.implicits._
     val docs = Tables.t(spark, TestSpark.sf, "documents")
