@@ -494,6 +494,86 @@ class StatementDifferentialSpec extends AnyFunSuite {
       assert(gotEpochs == expEpochs)
     }
 
+    test(s"statement diff (seed=$seed): DECONTAMINATE both directions match the string-gram model") {
+      val rnd = new java.util.Random(seed * 41 + 3)
+      // word docs only (no newlines) so the gram model is unambiguous
+      val mkDoc = (id: Long) => (id,
+        (0 until 3 + rnd.nextInt(10))
+          .map(_ => wordPool(rnd.nextInt(wordPool.length))).mkString(" "))
+      val train = (1L to 80L).map(mkDoc)
+      val bench = (101L to 120L).map(mkDoc)
+      // independent model: grams as STRINGS (the operator combines xxhash64
+      // token hashes and never builds gram strings — agreement is evidence
+      // the hashed form computes the same distinct-gram semantics)
+      def grams(t: String): Set[String] = {
+        val w = t.toLowerCase.split(" ", -1)
+        if (w.length < 3) Set.empty
+        else w.sliding(3).map(_.mkString(" ")).toSet
+      }
+      val benchGrams = bench.flatMap(d => grams(d._2)).toSet
+      val trainGrams = train.flatMap(d => grams(d._2)).toSet
+      val ctx = new Context(spark)
+      ctx.createTable("sd_dc_train", train.toDF("doc_id", "text"))
+      ctx.createTable("sd_dc_bench", bench.toDF("doc_id", "text"))
+      // forward gate: per-train-doc hit counts against the bench gram set
+      val expFwd = train.filter(d => grams(d._2).nonEmpty).map { case (id, t) =>
+        val g = grams(t)
+        id -> ((g.size.toLong, g.count(benchGrams).toLong))
+      }.toMap
+      val gotFwd = ctx.sql(
+        """SELECT * FROM DECONTAMINATE(TABLE sd_dc_bench,
+          |SELECT doc_id, text FROM sd_dc_train)""".stripMargin)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(gotFwd == expFwd)
+      // report direction: per-BENCH-doc leakage into the train corpus
+      val expRep = bench.filter(d => grams(d._2).nonEmpty).map { case (id, t) =>
+        val g = grams(t)
+        id -> ((g.size.toLong, g.count(trainGrams).toLong))
+      }.toMap
+      val gotRep = ctx.sql(
+        """SELECT * FROM DECONTAMINATE(TABLE sd_dc_bench WITH (action = 'report'),
+          |SELECT doc_id, text FROM sd_dc_train)""".stripMargin)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(gotRep == expRep)
+    }
+
+    test(s"statement diff (seed=$seed): DECONTAMINATE embedding matches the max-cosine model") {
+      val rnd = new java.util.Random(seed * 43 + 5)
+      def vec(): Seq[Float] = Seq.fill(8)((rnd.nextDouble() * 2 - 1).toFloat)
+      val train = (1L to 60L).map(i => (i, vec()))
+      val bench = (201L to 215L).map(i => (i, vec()))
+      val ctx = new Context(spark)
+      ctx.createTable("sd_se_train", train.toDF("vec_id", "embedding"))
+      ctx.createTable("sd_se_bench", bench.toDF("vec_id", "embedding"))
+      // independent model: plain double math, same float→double promotion
+      // and ascending-dimension fold as the fused expression
+      def cos(a: Seq[Float], b: Seq[Float]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          d += a(i).toDouble * b(i).toDouble
+          na += a(i).toDouble * a(i).toDouble
+          nb += b(i).toDouble * b(i).toDouble
+          i += 1
+        }
+        d / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val thr = 0.5 + 0.1 * (seed % 3)
+      val exp = train.map { case (id, v) =>
+        val ms = bench.map(b => cos(v, b._2)).max
+        id -> ((math.rint(ms * 1e6) / 1e6, ms >= thr))
+      }.toMap
+      val got = ctx.sql(
+        s"""SELECT * FROM DECONTAMINATE(TABLE sd_se_bench
+           |WITH (method = 'embedding', threshold = '$thr'),
+           |SELECT vec_id, embedding FROM sd_se_train)""".stripMargin)
+        .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+      assert(got.keySet == exp.keySet)
+      got.foreach { case (id, (sim, flag)) =>
+        assert(math.abs(sim - exp(id)._1) < 1e-9, s"id=$id")
+        assert(flag == exp(id)._2, s"id=$id")
+      }
+    }
+
     test(s"statement diff (seed=$seed): DEDUP exact_incremental matches the set-membership model") {
       val rnd = new java.util.Random(seed * 37 + 2)
       val corpus = randDocs(seed, 80)
