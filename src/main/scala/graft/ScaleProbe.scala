@@ -175,6 +175,29 @@ object ScaleProbe {
           docs.filter(pmod(col("doc_id"), lit(20)) === 7),
           "doc_id", "text", n = 3)
       },
+      time("decontaminate_report") {
+        // r10: the reverse direction at the same clone pressure — the
+        // corpus contributes one broadcast-gated scan and a hit set
+        // bounded by the BENCH gram count; must track the forward gate's
+        // cost, not the corpus size
+        operators.Corpus.decontaminateReport(
+          docs.filter(pmod(col("doc_id"), lit(20)) =!= 7),
+          docs.filter(pmod(col("doc_id"), lit(20)) === 7),
+          "doc_id", "text", n = 3)
+      },
+      time("semantic_decon") {
+        // r10: max-cosine against a 5k-vector bench set over the full
+        // clone corpus as 64-dim hashed embeddings — ~100k × 5k × 64
+        // = 3.2e10 multiply-adds through the fused-dot fold; the probe
+        // pins the flops/row cost of the one-row broadcast plan shape
+        val emb = docs.select(col("doc_id").as("vec_id"),
+          graft.functions.TextAnalysis.hashEmbedding(col("text"), 64)
+            .as("embedding"))
+        operators.Similarity.semanticDecontaminate(
+          emb.filter(pmod(col("vec_id"), lit(20)) =!= 7),
+          emb.filter(pmod(col("vec_id"), lit(20)) === 7),
+          "vec_id", "embedding", threshold = 0.9)
+      },
       time("minhash_dedup") {
         operators.TextDedup.minhashDedupPairs(docs, "doc_id", "text",
           shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5,

@@ -227,6 +227,127 @@ object CatalystExprs {
       copy(left = l, right = r)
   }
 
+  /** Fused max-cosine-against-a-set — the hot loop of semantic
+    * decontamination: given a double vector and an array of
+    * (bv: array<double>, bn: double) structs (the broadcast bench set),
+    * returns max over the set of dot(v, bv) / (norm(v) · bn) in ONE
+    * primitive loop per row. The compositional form — an `aggregate`
+    * lambda folding `greatest(acc, DotProduct(...)/(tn·bn))` over the
+    * struct array — pays per-bench-vector lambda-variable binding and
+    * boxing, which dominated the probe at bench-set size 5k (PLANS 64);
+    * this expression is the same arithmetic in the same ascending fold
+    * order (bit-identical results, asserted in SimilaritySpec), minus
+    * the overhead.
+    *
+    * Semantics mirror the compositional form exactly: zero-norm or null
+    * vector → null (never flagged); empty bench set → -1.0 (the fold
+    * seed); a bench entry whose vector length mismatches or contains
+    * nulls is skipped (the HOF's dot yields null and `greatest` ignores
+    * null operands).
+    */
+  case class MaxCosineAgainst(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      val vecOk = left.dataType match {
+        case ArrayType(DoubleType, _) => true
+        case _ => false
+      }
+      val setOk = right.dataType match {
+        case ArrayType(StructType(fields), _) if fields.length == 2 =>
+          fields(0).dataType.isInstanceOf[ArrayType] &&
+            fields(1).dataType == DoubleType
+        case _ => false
+      }
+      if (vecOk && setOk)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"max_cosine_against expects (array<double>, array<struct<array<double>,double>>), " +
+          s"got ${left.dataType.sql} and ${right.dataType.sql}")
+    }
+
+    /** Decode the struct array once into primitive arrays — per-element
+      * ArrayData accessors dominated the first fused form's profile.
+      * Entries with null/invalid vectors are dropped here, preserving the
+      * HOF skip semantics. */
+    private def decode(set: ArrayData): (Array[Array[Double]], Array[Double]) = {
+      val m = set.numElements()
+      val vs = new Array[Array[Double]](m)
+      val ns = new Array[Double](m)
+      var cnt = 0
+      var j = 0
+      while (j < m) {
+        if (!set.isNullAt(j)) {
+          val row = set.getStruct(j, 2)
+          if (!row.isNullAt(0) && !row.isNullAt(1)) {
+            val bv = row.getArray(0)
+            val n = bv.numElements()
+            val a = new Array[Double](n)
+            var k = 0
+            var valid = true
+            while (valid && k < n) {
+              if (bv.isNullAt(k)) valid = false
+              else { a(k) = bv.getDouble(k); k += 1 }
+            }
+            if (valid) { vs(cnt) = a; ns(cnt) = row.getDouble(1); cnt += 1 }
+          }
+        }
+        j += 1
+      }
+      (java.util.Arrays.copyOf(vs, cnt), java.util.Arrays.copyOf(ns, cnt))
+    }
+
+    // a FOLDABLE set (the semanticDecontaminate literal path) decodes once
+    // per expression instance — i.e. once per task — instead of per row
+    @transient private lazy val folded: (Array[Array[Double]], Array[Double]) =
+      if (right.foldable) {
+        val v = right.eval(null)
+        if (v == null) null else decode(v.asInstanceOf[ArrayData])
+      } else null
+
+    override def nullSafeEval(v: Any, set: Any): Any = {
+      val x = v.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      val xs = new Array[Double](n)
+      var na = 0.0
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i)) return null
+        val xv = x.getDouble(i)
+        xs(i) = xv
+        na += xv * xv
+        i += 1
+      }
+      val tn = math.sqrt(na)
+      if (!(tn > 0.0)) return null
+      val (bvs, bns) =
+        if (folded != null) folded else decode(set.asInstanceOf[ArrayData])
+      var best = -1.0
+      var j = 0
+      while (j < bvs.length) {
+        val bv = bvs(j)
+        if (bv.length == n) {
+          var d = 0.0
+          var k = 0
+          while (k < n) { d += xs(k) * bv(k); k += 1 }
+          val sim = d / (tn * bns(j))
+          if (sim > best) best = sim
+        }
+        j += 1
+      }
+      java.lang.Double.valueOf(best)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): MaxCosineAgainst =
+      copy(left = l, right = r)
+  }
+
+  def maxCosineAgainst(vec: Column, benchSet: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(MaxCosineAgainst(
+      org.apache.spark.sql.GraftBridge.expression(vec),
+      org.apache.spark.sql.GraftBridge.expression(benchSet)))
+
   /** Deterministic hyperplane component for sign-random-projection LSH:
     * a splitmix-style hash of (plane, dimension index) mapped to [-1, 1).
     * Shared by the fused [[SrpBucketHash]] and any compositional form so

@@ -77,35 +77,55 @@ object Similarity {
     * contaminated).
     *
     * Scale shape: the benchmark side is SMALL by construction (eval sets
-    * are thousands of vectors, the corpus is billions), so it collapses
-    * to ONE row — an array of (vector, norm) structs — broadcast to every
-    * train partition exactly like the blocklist/hot-line/vocab gates:
-    * one corpus scan, zero shuffle, a free one-row nested loop, and per
-    * row one fused-dot-product fold over the m bench vectors (O(m·d)
-    * flops — ~10⁶ per row at m=10⁴/d=64, the same order as the PII scan
-    * on a 10 KB document). Benchmarks too large for one broadcast row
-    * take the SRP-LSH route instead ([[cosineDedupPairsBanded]] with the
-    * bench as one side) — kept separate because it trades exactness for
-    * scale. The max over the bench fold is order-independent (IEEE max),
-    * so collect_list's nondeterministic gather order cannot change the
-    * result.
+    * are thousands of vectors, the corpus is billions), so it compiles
+    * INTO the plan as one foldable literal — the blocklist-gate pattern:
+    * the whole operator is a pure projection (zero shuffle, zero joins,
+    * one corpus scan), and the fused [[graft.functions.CatalystExprs
+    * .MaxCosineAgainst]] loop decodes the set to primitive arrays once
+    * per task, then pays O(m·d) double multiply-adds per row (~10⁶ at
+    * m=10⁴/d=64, the same order as the PII scan on a 10 KB document;
+    * measured 40.1 → 15.5 → 4.6 s across the HOF → fused → literal forms
+    * at m=5k over 100k docs, PLANS 64). `maxBenchVectors` caps the
+    * literal (eval sets beyond it are not "small" — take the SRP-LSH
+    * route, [[cosineDedupPairsBanded]] with the bench as one side,
+    * trading exactness for scale). The max over the bench fold is
+    * order-independent (IEEE max), so the driver-side gather order
+    * cannot change the result.
     */
   def semanticDecontaminate(
       train: DataFrame, bench: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
-    val b = bench
-      .select(asDouble(col(vecCol)).as("bv"))
-      .withColumn("bn", norm(col("bv")))
-      .filter(col("bn") > 0)
-      .agg(collect_list(struct(col("bv"), col("bn"))).as("_bench"))
+      threshold: Double, maxBenchVectors: Int = 65536): DataFrame = {
+    // driver-side norm uses the same ascending double fold as [[norm]] —
+    // bit-identical, asserted against the compositional form in the spec
+    val vecs = bench.select(asDouble(col(vecCol)).as("bv"))
+      .limit(maxBenchVectors + 1).collect()
+      .flatMap { r =>
+        Option(r.getSeq[Double](0)).map { s =>
+          val a = s.toArray
+          var na = 0.0; var i = 0
+          while (i < a.length) { na += a(i) * a(i); i += 1 }
+          org.apache.spark.sql.Row(a.toSeq, math.sqrt(na))
+        }
+      }
+      .filter(_.getDouble(1) > 0)
+    require(vecs.length <= maxBenchVectors,
+      s"benchmark has more than $maxBenchVectors vectors — not an eval " +
+        "set; use the banded SRP-LSH route (cosineDedupPairsBanded) for " +
+        "corpus-sized sides")
+    val setType = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("bv",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)),
+        org.apache.spark.sql.types.StructField("bn",
+          org.apache.spark.sql.types.DoubleType))))
+    val benchLit = org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        vecs.toSeq, setType))
     train
       .select(col(idCol), asDouble(col(vecCol)).as("_tv"))
-      .withColumn("_tn", norm(col("_tv")))
-      .crossJoin(broadcast(b))
       .withColumn("_max",
-        when(col("_tn") > 0, aggregate(col("_bench"), lit(-1.0d),
-          (acc, s) => greatest(acc,
-            dot(col("_tv"), s.getField("bv")) / (col("_tn") * s.getField("bn"))))))
+        graft.functions.CatalystExprs.maxCosineAgainst(col("_tv"), benchLit))
       .select(col(idCol), round(col("_max"), 6).as("max_sim"),
         coalesce(col("_max") >= threshold, lit(false)).as("contaminated"))
   }

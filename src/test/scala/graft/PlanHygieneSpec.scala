@@ -41,8 +41,6 @@ class PlanHygieneSpec extends AnyFunSuite {
     "p52c_dsir_weights_sql",   // same plan via the SCORE statement
     "p52d_dsir_weights_xx",    // same totals broadcast, xxhash64 bucket hash
     "p70_media_ingest_gate",   // single-row broadcast of the media hash index
-    "p90_semantic_decon",      // single-row broadcast of the bench vector set
-    "p90c_semantic_decon_sql", // same plan via the DECONTAMINATE statement
     "p72_image_simsearch",     // 3-row query side broadcast-looped (as p06)
     "p73_audio_simsearch",     // same shape, audio envelope embeddings
     "q14_agg_global", "q67_tpch_q6", "q71_tpch_q14", "q75_tpch_q19",

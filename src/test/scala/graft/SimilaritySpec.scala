@@ -247,6 +247,22 @@ class SimilaritySpec extends AnyFunSuite {
       .groupBy("vec_id").agg(round(max($"s"), 6).as("ms"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(got == want)
+    // the fused MaxCosineAgainst loop is BIT-identical (no rounding) to
+    // the compositional aggregate/greatest fold it replaced
+    val benchRow = be.select(Similarity.asDouble($"embedding").as("bv"))
+      .withColumn("bn", Similarity.norm($"bv"))
+      .agg(collect_list(struct($"bv", $"bn")).as("_bench"))
+    val both = tr.select($"vec_id", Similarity.asDouble($"embedding").as("_tv"))
+      .withColumn("_tn", Similarity.norm($"_tv"))
+      .crossJoin(broadcast(benchRow))
+      .select($"vec_id",
+        graft.functions.CatalystExprs.maxCosineAgainst($"_tv", $"_bench").as("fused"),
+        when($"_tn" > 0, aggregate($"_bench", lit(-1.0d),
+          (acc, s) => greatest(acc, Similarity.dot($"_tv", s.getField("bv")) /
+            ($"_tn" * s.getField("bn"))))).as("hof"))
+      .collect()
+    both.foreach(r => assert(r.getDouble(1) == r.getDouble(2),
+      s"vec_id=${r.getLong(0)}: fused=${r.getDouble(1)} hof=${r.getDouble(2)}"))
   }
 
   test("semanticDedup keeps exactly one representative per tight cluster") {
