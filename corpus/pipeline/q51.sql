@@ -1,0 +1,3 @@
+SELECT * FROM CHUNK(SIZE 3 WITH (unit = 'sentences'),
+SELECT doc_id, replace(replace(text, ' a ', '. '), ' the ', '! ') AS text
+FROM documents)

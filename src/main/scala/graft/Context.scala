@@ -865,12 +865,25 @@ class Context(val spark: SparkSession) {
 
     // SELECT * FROM CHUNK(SIZE n [STRIDE m] [WITH (...)], <select>) —
     // overlapping token windows; STRIDE defaults to SIZE (non-overlapping).
+    // unit='sentences' windows whole sentences instead of tokens (the
+    // deterministic regex segmenter — see TextAnalysis.sentenceSplit).
     case Chunk(size, stride, opts, select) =>
-      graft.operators.Corpus.chunkDocuments(
-        sql(select),
-        idCol = opts.getOrElse("id", "doc_id"),
-        textCol = opts.getOrElse("text", "text"),
-        size = size, stride = stride.getOrElse(size))
+      opts.getOrElse("unit", "tokens").trim.toLowerCase match {
+        case "tokens" =>
+          graft.operators.Corpus.chunkDocuments(
+            sql(select),
+            idCol = opts.getOrElse("id", "doc_id"),
+            textCol = opts.getOrElse("text", "text"),
+            size = size, stride = stride.getOrElse(size))
+        case "sentences" =>
+          graft.operators.Corpus.chunkBySentences(
+            sql(select),
+            idCol = opts.getOrElse("id", "doc_id"),
+            textCol = opts.getOrElse("text", "text"),
+            size = size, stride = stride.getOrElse(size))
+        case other => throw new IllegalArgumentException(
+          s"Unknown CHUNK unit: $other (tokens|sentences)")
+      }
 
     // SELECT * FROM PACK(CAPACITY n [WITH (...)], <select>) — token-budget
     // bin assignment per packing group (window per group, never global).

@@ -242,6 +242,13 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => colFn(exprs, 1) { cols =>
         graft.functions.TextAnalysis.cleanText(cols.head) }),
 
+    // sentence_split(text) — deterministic regex sentence segmentation
+    // (NOT Spark's locale-dependent `sentences` builtin; see TextAnalysis)
+    (new FunctionIdentifier("sentence_split"),
+      new ExpressionInfo("graft.functions.TextAnalysis", "sentence_split"),
+      (exprs: Seq[Expression]) => colFn(exprs, 1) { cols =>
+        graft.functions.TextAnalysis.sentenceSplit(cols.head) }),
+
     // blocklist_hits(text, 'phrase,phrase,...') — the literal-list C4
     // badwords gate; the list must be a literal (it compiles into the
     // expression; table-driven lists go through SCORE METHOD blocklist)

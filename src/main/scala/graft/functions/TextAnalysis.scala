@@ -294,6 +294,29 @@ object TextAnalysis {
   def normalizeText(text: Column, form: String = "NFC"): Column =
     CatalystExprs.normalizeUnicode(text, form)
 
+  /** Deterministic sentence segmentation — the regex heuristic every
+    * corpus pipeline runs before sentence-level dedup/packing: a sentence
+    * is a maximal non-terminal run plus its terminal punctuation
+    * ([.!?]+ with optional closing quotes/brackets and trailing
+    * whitespace), or the unterminated tail. Matched with ONE
+    * alternation inside the Java∩RE2 subset (no lookaround — RE2 has
+    * none), so DuckDB's regexp_extract_all replays it bit-for-bit and
+    * the oracle can check it. Pieces are trimmed and empties dropped.
+    *
+    * Known heuristic classes, pinned in TextAnalysisSpec: abbreviations
+    * ("e.g. x") and decimal points inside numbers split — the standard
+    * tradeoff of punctuation-rule segmenters; a locale-aware splitter
+    * (Spark's builtin `sentences`) is NOT used because its ICU behavior
+    * is engine- and locale-dependent, which breaks the cross-engine
+    * determinism contract every operator here keeps. */
+  val SentencePattern = "[^.!?]+[.!?]+['\")\\]]*\\s*|[^.!?]+$"
+
+  def sentenceSplit(text: Column): Column =
+    filter(
+      transform(regexp_extract_all(text, lit(SentencePattern), lit(0)),
+        s => trim(s)),
+      s => s =!= "")
+
   /** Standard corpus text cleanup, order-sensitive: (1) strip NON-WHITESPACE
     * control and format characters (C0/C1 minus \t\n\v\f\r, zero-width
     * joiners, BiDi marks — the classic web-scrape debris; whitespace

@@ -233,6 +233,35 @@ object Corpus {
         org.apache.spark.sql.functions.size(col("_chunk")).cast("bigint").as("n_tokens"))
   }
 
+  /** [[chunkDocuments]] at SENTENCE granularity — windows of up to `size`
+    * sentences with `stride` overlap control, the unit retrieval/packing
+    * pipelines prefer when token windows would cut mid-thought. Sentence
+    * boundaries come from [[graft.functions.TextAnalysis.sentenceSplit]]
+    * (one cross-engine regex, oracle-checkable); chunk text re-joins the
+    * trimmed sentences with single spaces. Emits (id, chunk_id,
+    * chunk_text, n_sentences); a sentence-less document yields one empty
+    * chunk, mirroring chunkDocuments. Pure projection + explode — no
+    * shuffle, rides the corpus scan at any scale.
+    */
+  def chunkBySentences(
+      df: DataFrame, idCol: String, textCol: String,
+      size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0, "size and stride must be positive")
+    val sents = graft.functions.TextAnalysis.sentenceSplit(col(textCol))
+    val nSents = org.apache.spark.sql.functions.size(col("_sents"))
+    df.select(col(idCol), sents.as("_sents"))
+      .select(col(idCol), col("_sents"),
+        explode(sequence(lit(0), greatest(nSents - 1, lit(0)), lit(stride)))
+          .as("_start"))
+      .select(col(idCol),
+        (col("_start") / stride).cast("bigint").as("chunk_id"),
+        slice(col("_sents"), col("_start") + 1, lit(size)).as("_chunk"))
+      .select(col(idCol), col("chunk_id"),
+        concat_ws(" ", col("_chunk")).as("chunk_text"),
+        org.apache.spark.sql.functions.size(col("_chunk")).cast("bigint")
+          .as("n_sentences"))
+  }
+
   /** Chunk-level exact dedup with document REWRITE — the C4/Dolma duplicate-
     * passage removal step: split every document into non-overlapping
     * `size`-token chunks, keep only the globally FIRST occurrence of each

@@ -2011,6 +2011,57 @@ object CorpusQueries {
         .orderBy("source", "epoch", "doc_id")
     },
 
+    // Sentence-granularity chunking (r10): windows of 3 sentences over
+    // punctuation planted into the synthetic prose (the documents table
+    // carries none) — replace is leftmost-non-overlapping in BOTH
+    // engines, and the sentence regex is one RE2-subset alternation that
+    // DuckDB's regexp_extract_all replays bit-for-bit.
+    Q("p92_sentence_chunks", Some("""
+      WITH d AS (SELECT doc_id,
+                        replace(replace(text, ' a ', '. '), ' the ', '! ') AS text
+                 FROM documents),
+      s AS (SELECT doc_id, list_filter(list_transform(
+              regexp_extract_all(text, '[^.!?]+[.!?]+[''")\]]*\s*|[^.!?]+$'),
+              x -> trim(x)), x -> x <> '') AS sents FROM d),
+      e AS (SELECT doc_id, sents,
+                   unnest(range(0, greatest(len(sents), 1), 3)) AS st FROM s)
+      SELECT doc_id, CAST(st // 3 AS BIGINT) AS chunk_id,
+             array_to_string(sents[st+1 : st+3], ' ') AS chunk_text,
+             CAST(greatest(least(3, len(sents) - st), 0) AS BIGINT) AS n_sentences
+      FROM e ORDER BY doc_id, chunk_id""")) { (s, d) =>
+      val planted = t(s, d, "documents").select(col("doc_id"),
+        expr("replace(replace(text, ' a ', '. '), ' the ', '! ')").as("text"))
+      Corpus.chunkBySentences(planted, "doc_id", "text", size = 3, stride = 3)
+        .orderBy("doc_id", "chunk_id")
+    },
+
+    // The SAME sentence chunking through the statement surface (CHUNK
+    // unit='sentences') — held to p92's oracle; the inner select also
+    // exercises the sentence_split SQL function's registration by
+    // computing the planted text through plain ctx.sql.
+    Q("p92c_sentence_chunks_sql", Some("""
+      WITH d AS (SELECT doc_id,
+                        replace(replace(text, ' a ', '. '), ' the ', '! ') AS text
+                 FROM documents),
+      s AS (SELECT doc_id, list_filter(list_transform(
+              regexp_extract_all(text, '[^.!?]+[.!?]+[''")\]]*\s*|[^.!?]+$'),
+              x -> trim(x)), x -> x <> '') AS sents FROM d),
+      e AS (SELECT doc_id, sents,
+                   unnest(range(0, greatest(len(sents), 1), 3)) AS st FROM s)
+      SELECT doc_id, CAST(st // 3 AS BIGINT) AS chunk_id,
+             array_to_string(sents[st+1 : st+3], ' ') AS chunk_text,
+             CAST(greatest(least(3, len(sents) - st), 0) AS BIGINT) AS n_sentences
+      FROM e ORDER BY doc_id, chunk_id""")) { (s, d) =>
+      val ctx = new graft.Context(s)
+      ctx.createTableFromPath("documents", s"$d/documents.parquet")
+      ctx.sql(
+        """SELECT * FROM CHUNK(SIZE 3 WITH (unit = 'sentences'),
+          |SELECT doc_id,
+          |       replace(replace(text, ' a ', '. '), ' the ', '! ') AS text
+          |FROM documents)""".stripMargin)
+        .orderBy("doc_id", "chunk_id")
+    },
+
     // Per-benchmark-item leakage report (r10) — decontaminate pointed the
     // other way: for every benchmark doc (doc_id % 20 == 7), the fraction
     // of ITS 3-grams found anywhere in the train split. The corpus side

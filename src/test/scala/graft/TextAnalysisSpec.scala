@@ -20,6 +20,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out.sameElements(Array("en", "de", "fr", "es", "zh", "unknown")))
   }
 
+  test("sentenceSplit: terminals, closing quotes, unterminated tail, known heuristic splits") {
+    def split(t: String): Seq[String] =
+      Seq(t).toDF("t").select(TextAnalysis.sentenceSplit($"t").as("s"))
+        .head().getSeq[String](0)
+    assert(split("One sentence. Two! Three?") ==
+      Seq("One sentence.", "Two!", "Three?"))
+    assert(split("He said \"stop.\" Then left") ==
+      Seq("He said \"stop.\"", "Then left"))       // closing quote stays attached
+    assert(split("no terminal punctuation at all") ==
+      Seq("no terminal punctuation at all"))        // unterminated tail kept
+    assert(split("Multi!!! Bang?! Done.") == Seq("Multi!!!", "Bang?!", "Done."))
+    assert(split("") == Seq.empty)
+    // pinned heuristic classes (the documented tradeoff): abbreviations
+    // and decimal numbers split at the period
+    assert(split("See e.g. the spec") == Seq("See e.", "g.", "the spec"))
+    assert(split("pi is 3.14 exactly") == Seq("pi is 3.", "14 exactly"))
+  }
+
   test("token counts: whitespace vs BPE-ish") {
     val r = Seq("Hello, world! x2").toDF("text")
       .select(TextAnalysis.tokenCount($"text"), TextAnalysis.bpeTokenCount($"text"))
