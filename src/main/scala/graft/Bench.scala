@@ -182,7 +182,11 @@ object Bench {
       pass += 1
     }
     val stillInverted = names.filter(inverted)
-    val steady = names.flatMap(n => steadyM.get(n).map(n -> _))
+    // aligned to results2 (the cold-succeeded queries): a query that
+    // failed cold but produced steady runs must not contribute to
+    // steady_total when steady_vals — results2-aligned — has no slot for
+    // it; every total contributor stays visible in the published record
+    val steady = results2.map(_._1).flatMap(n => steadyM.get(n).map(n -> _))
     // per-query values at 10 ms resolution: the host's timer noise is an
     // order of magnitude above that, and the two-decimal/trimmed form +
     // the steady ARRAY (keys carried once, by the cold map) keeps the

@@ -796,12 +796,18 @@ class Context(val spark: SparkSession) {
     // documents. threshold= additionally emits a `contaminated` boolean so
     // a server session can CTAS the clean split in one statement.
     case Decontaminate(table, opts, select) =>
+      // action='report' flips the direction: one row per BENCHMARK doc
+      // with its leakage into the inner query's corpus (the eval-owner
+      // audit); 'gate' (default) annotates the corpus (the corpus-owner
+      // gate). Validated eagerly — a typo'd action must fail loudly, and
+      // method='embedding' has no report form (flip the table and the
+      // inner query instead: cosine is symmetric).
+      val action = opts.getOrElse("action", "gate").trim.toLowerCase
+      if (action != "gate" && action != "report")
+        throw new IllegalArgumentException(
+          s"Unknown DECONTAMINATE action: $action (gate|report)")
       opts.getOrElse("method", "ngram").trim.toLowerCase match {
-        // action='report' flips the direction: one row per BENCHMARK doc
-        // with its leakage into the inner query's corpus (the eval-owner
-        // audit); default annotates the corpus (the corpus-owner gate)
-        case "ngram" if opts.get("action").map(_.trim.toLowerCase)
-            .contains("report") =>
+        case "ngram" if action == "report" =>
           graft.operators.Corpus.decontaminateReport(
             sql(select), lookupTable(table),
             idCol = opts.getOrElse("id", "doc_id"),
@@ -818,6 +824,11 @@ class Context(val spark: SparkSession) {
               annotated.withColumn("contaminated", col("ratio") >= thr)
             case None => annotated
           }
+        case "embedding" if action == "report" =>
+          throw new IllegalArgumentException(
+            "DECONTAMINATE method='embedding' has no action='report' — " +
+              "cosine is symmetric; swap the TABLE and the inner query " +
+              "to audit the benchmark side")
         // method='embedding': max-cosine against the (small, broadcast)
         // benchmark vector set — the paraphrase-level gate; threshold
         // defaults high (a near-duplicate, not mere topical similarity)

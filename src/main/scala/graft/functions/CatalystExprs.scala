@@ -257,8 +257,13 @@ object CatalystExprs {
       }
       val setOk = right.dataType match {
         case ArrayType(StructType(fields), _) if fields.length == 2 =>
-          fields(0).dataType.isInstanceOf[ArrayType] &&
-            fields(1).dataType == DoubleType
+          // the vector field must be array<DOUBLE> exactly: decode() reads
+          // elements with getDouble, which on a float-backed array would
+          // read 8 bytes per 4-byte slot — garbage, not a cast
+          (fields(0).dataType match {
+            case ArrayType(DoubleType, _) => true
+            case _ => false
+          }) && fields(1).dataType == DoubleType
         case _ => false
       }
       if (vecOk && setOk)

@@ -60,9 +60,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * are non-empty AND some group carries a hex letter (the guard that
   * keeps clock times `12:30:45`, all-digit pairs `12::30`, and
   * `std::vector`-style scope operators out) — so `::1`, `fe80::`, and
-  * all-digit compressed addresses are known false negatives, and a
-  * pure-hex-word C++ scope pair (`dead::beef` — itself valid IPv6
-  * notation) is the residual false-positive class; IBAN detection is
+  * all-digit compressed addresses are known false negatives, and the
+  * residual false-positive classes are (a) a pure-hex-word C++ scope
+  * pair (`dead::beef` — itself valid IPv6 notation) and (b) over-long
+  * colon-hex runs: the `{0,5}` quantifiers bound each SIDE of the `::`
+  * but not their SUM, so a hex run with up to ~12 visible groups around
+  * a `::` matches even though valid compressed IPv6 caps at 7 — RE2
+  * cannot express the cross-side sum constraint without an alternation
+  * blow-up, and such runs (colon-separated hash dumps) are redacted,
+  * the safe direction for a scrubber; IBAN detection is
   * uppercase-shape only (`XX00` + 11-30 alphanumerics), pattern-only
   * in the chain form, mod-97-validated in the native form (exactly
   * the Luhn split: an invalid-checksum IBAN survives natively).

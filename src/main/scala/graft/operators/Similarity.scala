@@ -97,8 +97,17 @@ object Similarity {
       threshold: Double, maxBenchVectors: Int = 65536): DataFrame = {
     // driver-side norm uses the same ascending double fold as [[norm]] —
     // bit-identical, asserted against the compositional form in the spec
-    val vecs = bench.select(asDouble(col(vecCol)).as("bv"))
+    val collected = bench.select(asDouble(col(vecCol)).as("bv"))
       .limit(maxBenchVectors + 1).collect()
+    // guard on the RAW collected count, BEFORE null/zero-norm vectors are
+    // dropped — otherwise a corpus-sized bench side with one droppable
+    // row would silently truncate to an arbitrary slice instead of
+    // failing, the exact wrong-result this require exists to prevent
+    require(collected.length <= maxBenchVectors,
+      s"benchmark has more than $maxBenchVectors vectors — not an eval " +
+        "set; use the banded SRP-LSH route (cosineDedupPairsBanded) for " +
+        "corpus-sized sides")
+    val vecs = collected
       .flatMap { r =>
         Option(r.getSeq[Double](0)).map { s =>
           val a = s.toArray
@@ -108,10 +117,6 @@ object Similarity {
         }
       }
       .filter(_.getDouble(1) > 0)
-    require(vecs.length <= maxBenchVectors,
-      s"benchmark has more than $maxBenchVectors vectors — not an eval " +
-        "set; use the banded SRP-LSH route (cosineDedupPairsBanded) for " +
-        "corpus-sized sides")
     val setType = org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("bv",

@@ -186,6 +186,7 @@ object TextDedup {
       expectedItems: Long = -1L, fpp: Double = 0.001,
       prebuilt: Option[Array[Byte]] = None): DataFrame = {
     require(fpp > 0 && fpp < 1, "fpp must be in (0,1)")
+    requireNoClash(newDocs, Set("_maybe"), "exactDedupIncrementalBloom")
     val bytes = prebuilt.getOrElse(
       buildContentBloom(corpus, textCol, expectedItems, fpp))
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
@@ -199,12 +200,25 @@ object TextDedup {
     val misses = flagged.filter(!col("_maybe")).select(outCols: _*)
     // exact confirmation joins the TEXT (not its 64-bit hash): a hash
     // collision here would silently drop a non-duplicate; the candidate
-    // set is increment-sized × fpp-ish, so shipping its text is cheap
+    // set is increment-sized × fpp-ish, so shipping its text is cheap.
+    // No .distinct() on the corpus side — left_anti ignores right-side
+    // duplicates, and the distinct would be a corpus-wide aggregate,
+    // exactly the cost the Bloom gate exists to avoid
     val confirmed = flagged.filter(col("_maybe"))
-      .join(corpus.select(col(textCol)).filter(col(textCol).isNotNull)
-        .distinct(), Seq(textCol), "left_anti")
+      .join(corpus.select(col(textCol)).filter(col(textCol).isNotNull),
+        Seq(textCol), "left_anti")
       .select(outCols: _*)
     misses.unionByName(confirmed)
+  }
+
+  /** Fail fast when an input frame already carries a column name this
+    * operator generates internally — silently overwriting it would emit
+    * computed values in place of user data on SOME output rows only. */
+  private def requireNoClash(df: DataFrame, names: Set[String], op: String): Unit = {
+    val clash = df.columns.toSet.intersect(names)
+    require(clash.isEmpty,
+      s"$op would shadow existing column(s) ${clash.toSeq.sorted.mkString(", ")}" +
+        " — rename them in the input")
   }
 
   /** The corpus-side artifact of [[exactDedupIncrementalBloom]], built
@@ -267,6 +281,8 @@ object TextDedup {
   def exactDedupIncrementalIndexed(
       spark: org.apache.spark.sql.SparkSession, newDocs: DataFrame,
       idCol: String, textCol: String, prefix: String): DataFrame = {
+    requireNoClash(newDocs, Set("_maybe", "xxh", "content_md5"),
+      "exactDedupIncrementalIndexed")
     val bytes = spark.table(s"${prefix}_bloom").head().getAs[Array[Byte]](0)
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.types.BinaryType

@@ -43,6 +43,24 @@ class CorpusSqlSpec extends AnyFunSuite {
     ctx.sql("DROP TABLE bench_split")
   }
 
+  test("DECONTAMINATE rejects unknown actions and the embedding+report combination (review pin)") {
+    ctx.sql("CREATE OR REPLACE VIEW bench_split AS " +
+      "SELECT doc_id, text FROM documents WHERE doc_id % 20 = 7")
+    try {
+      // a typo'd action must fail loudly, not fall through to the gate
+      intercept[IllegalArgumentException] {
+        ctx.sql("""SELECT * FROM DECONTAMINATE(TABLE bench_split WITH (action = 'reports'),
+          |SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 7)""".stripMargin)
+      }
+      // embedding has no report form (cosine is symmetric — swap sides)
+      intercept[IllegalArgumentException] {
+        ctx.sql("""SELECT * FROM DECONTAMINATE(TABLE bench_split
+          |  WITH (method = 'embedding', action = 'report'),
+          |SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 7)""".stripMargin)
+      }
+    } finally ctx.sql("DROP TABLE bench_split")
+  }
+
   test("STRATIFY(TABLE quotas) equals the Scala API and honors per-stratum quotas") {
     ctx.sql("""CREATE OR REPLACE VIEW q_spec AS
       |SELECT source, CASE WHEN source = 'src0' THEN 3 ELSE 2 END AS quota

@@ -396,6 +396,17 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental dedup fails fast on generated-column clashes (review pin)") {
+    val clash = bloomFresh.withColumn("_maybe", lit(true))
+    intercept[IllegalArgumentException] {
+      TextDedup.exactDedupIncrementalBloom(clash, bloomCorpus, "doc_id", "text")
+    }
+    val clash2 = bloomFresh.withColumn("xxh", lit(1L))
+    intercept[IllegalArgumentException] {
+      TextDedup.exactDedupIncrementalIndexed(spark, clash2, "doc_id", "text", "nope")
+    }
+  }
+
   test("DEDUP METHOD exact_incremental statement equals the operator") {
     val ctx = new Context(spark)
     ctx.createTable("bloom_corpus", bloomCorpus)

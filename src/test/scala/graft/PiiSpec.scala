@@ -50,6 +50,11 @@ class PiiSpec extends AnyFunSuite {
     // non-hex letters never match (C++ scope operators)
     assert(jvm("call std::vector now") == "call std::vector now")
     assert(jvm("t 1::2::3 s") == "t 1::2::3 s")
+    // documented residual FP (review pin): the per-side {0,5} quantifiers
+    // don't bound the SUM of groups across '::', so an over-long hex run
+    // (impossible as IPv6 — valid compressed forms cap at 7 visible
+    // groups) still redacts; the safe direction for a scrubber
+    assert(jvm("h 1:2:3:4:5:a:6::7:8:9 t") == "h [IP6] t")
   }
 
   test("secret battery (r10): PEM/Slack/Google/Stripe/JWT hit, near-misses stay") {
