@@ -1,0 +1,5 @@
+SELECT * FROM DEDUP(METHOD global_sentences WITH (min_docs = 3),
+SELECT doc_id,
+  concat(replace(replace(text, ' a ', '. '), ' the ', '! '),
+    CASE WHEN doc_id % 2 = 0 THEN ' All rights reserved.' ELSE '' END) AS text
+FROM documents)

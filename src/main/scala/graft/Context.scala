@@ -649,6 +649,12 @@ class Context(val spark: SparkSession) {
           // broadcast; 'auto' counts the hot set once and picks the side
           // of the measured ~10³-entry crossover (PLANS 45)
           hotStrategy = opts.getOrElse("hot_strategy", "broadcast"))
+        // the same corpus-wide boilerplate rule over the deterministic
+        // sentence segmenter (extractor output that flattened newlines)
+        case "global_sentences" =>
+          graft.operators.Corpus.removeGlobalRepeatedSentences(
+            df, id, text, minDocs = i("min_docs", 3),
+            hotStrategy = opts.getOrElse("hot_strategy", "broadcast"))
         case "embedding" => Similarity.cosineDedupPairsBanded(df,
           threshold = f("threshold", 0.9),
           dim = opts.get("dim").map(_.trim.toInt).getOrElse(

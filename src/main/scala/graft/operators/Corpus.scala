@@ -363,17 +363,51 @@ object Corpus {
       df: DataFrame, idCol: String, textCol: String,
       sep: String = "\n", minDocs: Int = 3,
       hotStrategy: String = "broadcast"): DataFrame = {
+    val qsep = java.util.regex.Pattern.quote(sep)
+    removeGlobalRepeatedUnits(df, idCol, textCol,
+      units = split(col(textCol), qsep), joiner = sep,
+      minDocs = minDocs, hotStrategy = hotStrategy)
+      .withColumnRenamed("n_units", "n_lines")
+  }
+
+  /** [[removeGlobalRepeatedLines]] at SENTENCE granularity (r10) — the
+    * same corpus-wide boilerplate rule over the deterministic regex
+    * segmenter ([[graft.functions.TextAnalysis.sentenceSplit]]): any
+    * sentence occurring in at least `minDocs` distinct documents
+    * ("All rights reserved.", cookie banners flattened into prose by an
+    * extractor that dropped the newlines) is removed from every document,
+    * order preserved, survivors re-joined with single spaces. Same scale
+    * shape and hotStrategy contract as the line form (shared machinery).
+    * Returns (id, clean_text, n_sentences, n_removed).
+    */
+  def removeGlobalRepeatedSentences(
+      df: DataFrame, idCol: String, textCol: String,
+      minDocs: Int = 3, hotStrategy: String = "broadcast"): DataFrame =
+    removeGlobalRepeatedUnits(df, idCol, textCol,
+      units = graft.functions.TextAnalysis.sentenceSplit(col(textCol)),
+      joiner = " ", minDocs = minDocs, hotStrategy = hotStrategy)
+      .withColumnRenamed("n_units", "n_sentences")
+
+  /** Unit-generic body of the two public forms above: `units` is the
+    * array-of-strings expression over the text column (a separator split
+    * for lines, the regex segmenter for sentences); everything downstream
+    * — the distinct-doc frequency count over xxhash64 digests, the
+    * broadcast/join/auto hot-set strategies, the order-preserving rewrite
+    * — is unit-agnostic. Emits (id, clean_text, n_units, n_removed). */
+  private def removeGlobalRepeatedUnits(
+      df: DataFrame, idCol: String, textCol: String,
+      units: Column, joiner: String, minDocs: Int,
+      hotStrategy: String): DataFrame = {
     require(minDocs >= 2, "minDocs must be at least 2")
     require(hotStrategy == "broadcast" || hotStrategy == "join" ||
       hotStrategy == "auto",
       s"hotStrategy must be broadcast, join or auto: $hotStrategy")
-    val qsep = java.util.regex.Pattern.quote(sep)
-    val ls = split(col(textCol), qsep)
+    val ls = units
     // distinct per doc BEFORE exploding: one row per (doc, line), so the
     // per-hash count is the distinct-document frequency without a
     // count(DISTINCT) (same explode_outer guard as decontaminate)
     val hotHashes0 = df
-      .select(explode_outer(array_distinct(split(col(textCol), qsep))).as("ln"))
+      .select(explode_outer(array_distinct(units)).as("ln"))
       .select(xxhash64(col("ln")).as("lh"))
       .groupBy("lh").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDocs)
@@ -395,24 +429,24 @@ object Corpus {
       df.crossJoin(broadcast(hot))
         .select(col(idCol), col("_hot"),
           filter(ls, l => !array_contains(col("_hot"), xxhash64(l))).as("_kept"),
-          size(ls).cast("bigint").as("n_lines"))
+          size(ls).cast("bigint").as("n_units"))
         .select(col(idCol),
-          concat_ws(sep, col("_kept")).as("clean_text"),
-          col("n_lines"),
-          (col("n_lines") - size(col("_kept"))).cast("bigint").as("n_removed"))
+          concat_ws(joiner, col("_kept")).as("clean_text"),
+          col("n_units"),
+          (col("n_units") - size(col("_kept"))).cast("bigint").as("n_removed"))
     } else {
       val lines = df.select(col(idCol),
-          posexplode(split(col(textCol), qsep)).as(Seq("p", "ln")))
+          posexplode(units).as(Seq("p", "ln")))
         .withColumn("lh", xxhash64(col("ln")))
       val perDoc = lines
         .join(hotHashes.select(col("lh"), lit(1).as("_hot")), Seq("lh"), "left")
         .groupBy(col(idCol))
         .agg(
-          concat_ws(sep, transform(
+          concat_ws(joiner, transform(
             array_sort(collect_list(
               when(col("_hot").isNull, struct(col("p"), col("ln"))))),
             x => x.getField("ln"))).as("clean_text"),
-          count(lit(1)).cast("bigint").as("n_lines"),
+          count(lit(1)).cast("bigint").as("n_units"),
           sum(when(col("_hot").isNotNull, 1L).otherwise(0L))
             .cast("bigint").as("n_removed"))
       // LEFT join back from the source so NULL-text documents survive with
@@ -422,7 +456,7 @@ object Corpus {
       df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
         .select(col(idCol),
           coalesce(col("clean_text"), lit("")).as("clean_text"),
-          col("n_lines"), col("n_removed"))
+          col("n_units"), col("n_removed"))
     }
   }
 

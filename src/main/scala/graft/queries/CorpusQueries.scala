@@ -2062,6 +2062,84 @@ object CorpusQueries {
         .orderBy("doc_id", "chunk_id")
     },
 
+    // Global repeated-SENTENCE removal (r10): boilerplate sentences
+    // planted into half / a third of the corpus ("All rights reserved.",
+    // "Subscribe now!") are hot (>= 3 distinct docs) and removed from
+    // every document; organic sentences are unique and survive in order.
+    Q("p93_global_sentence_dedup", Some("""
+      WITH d AS (SELECT doc_id,
+             concat(replace(replace(text, ' a ', '. '), ' the ', '! '),
+                    CASE WHEN doc_id % 2 = 0 THEN ' All rights reserved.' ELSE '' END,
+                    CASE WHEN doc_id % 3 = 0 THEN ' Subscribe now!' ELSE '' END) AS text
+           FROM documents),
+      s AS (SELECT doc_id, list_filter(list_transform(
+              regexp_extract_all(text, '[^.!?]+[.!?]+[''")\]]*\s*|[^.!?]+$'),
+              x -> trim(x)), x -> x <> '') AS sents FROM d),
+      e AS (SELECT doc_id, unnest(sents) AS sent,
+                   unnest(range(1, len(sents) + 1)) AS p FROM s),
+      hot AS (SELECT sent FROM (SELECT DISTINCT doc_id, sent FROM e)
+              GROUP BY sent HAVING count(*) >= 3),
+      kept AS (SELECT e.doc_id, e.p, e.sent FROM e
+               LEFT JOIN hot ON e.sent = hot.sent WHERE hot.sent IS NULL),
+      agg AS (SELECT doc_id, string_agg(sent, ' ' ORDER BY p) AS clean_text,
+                     CAST(count(*) AS BIGINT) AS n_kept
+              FROM kept GROUP BY doc_id)
+      SELECT s.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+             CAST(len(s.sents) AS BIGINT) AS n_sentences,
+             CAST(len(s.sents) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed
+      FROM s LEFT JOIN agg ON s.doc_id = agg.doc_id
+      ORDER BY s.doc_id""")) { (s, d) =>
+      val planted = t(s, d, "documents").select(col("doc_id"),
+        concat(
+          expr("replace(replace(text, ' a ', '. '), ' the ', '! ')"),
+          when(col("doc_id") % 2 === 0, lit(" All rights reserved."))
+            .otherwise(lit("")),
+          when(col("doc_id") % 3 === 0, lit(" Subscribe now!"))
+            .otherwise(lit(""))).as("text"))
+      Corpus.removeGlobalRepeatedSentences(planted, "doc_id", "text",
+          minDocs = 3)
+        .orderBy("doc_id")
+    },
+
+    // The SAME sentence-boilerplate removal through the statement surface
+    // (DEDUP global_sentences) on the JOIN hot strategy — both rewrite
+    // shapes held to one oracle, the p51/p51c recipe.
+    Q("p93c_global_sentence_dedup_sql", Some("""
+      WITH d AS (SELECT doc_id,
+             concat(replace(replace(text, ' a ', '. '), ' the ', '! '),
+                    CASE WHEN doc_id % 2 = 0 THEN ' All rights reserved.' ELSE '' END,
+                    CASE WHEN doc_id % 3 = 0 THEN ' Subscribe now!' ELSE '' END) AS text
+           FROM documents),
+      s AS (SELECT doc_id, list_filter(list_transform(
+              regexp_extract_all(text, '[^.!?]+[.!?]+[''")\]]*\s*|[^.!?]+$'),
+              x -> trim(x)), x -> x <> '') AS sents FROM d),
+      e AS (SELECT doc_id, unnest(sents) AS sent,
+                   unnest(range(1, len(sents) + 1)) AS p FROM s),
+      hot AS (SELECT sent FROM (SELECT DISTINCT doc_id, sent FROM e)
+              GROUP BY sent HAVING count(*) >= 3),
+      kept AS (SELECT e.doc_id, e.p, e.sent FROM e
+               LEFT JOIN hot ON e.sent = hot.sent WHERE hot.sent IS NULL),
+      agg AS (SELECT doc_id, string_agg(sent, ' ' ORDER BY p) AS clean_text,
+                     CAST(count(*) AS BIGINT) AS n_kept
+              FROM kept GROUP BY doc_id)
+      SELECT s.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+             CAST(len(s.sents) AS BIGINT) AS n_sentences,
+             CAST(len(s.sents) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed
+      FROM s LEFT JOIN agg ON s.doc_id = agg.doc_id
+      ORDER BY s.doc_id""")) { (s, d) =>
+      val ctx = new graft.Context(s)
+      ctx.createTableFromPath("documents", s"$d/documents.parquet")
+      ctx.sql(
+        """SELECT * FROM DEDUP(METHOD global_sentences
+          |  WITH (min_docs = 3, hot_strategy = 'join'),
+          |SELECT doc_id,
+          |  concat(replace(replace(text, ' a ', '. '), ' the ', '! '),
+          |    CASE WHEN doc_id % 2 = 0 THEN ' All rights reserved.' ELSE '' END,
+          |    CASE WHEN doc_id % 3 = 0 THEN ' Subscribe now!' ELSE '' END) AS text
+          |FROM documents)""".stripMargin)
+        .orderBy("doc_id")
+    },
+
     // Per-benchmark-item leakage report (r10) — decontaminate pointed the
     // other way: for every benchmark doc (doc_id % 20 == 7), the fraction
     // of ITS 3-grams found anywhere in the train split. The corpus side
