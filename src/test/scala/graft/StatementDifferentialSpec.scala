@@ -574,6 +574,77 @@ class StatementDifferentialSpec extends AnyFunSuite {
       }
     }
 
+    test(s"statement diff (seed=$seed): DEDUP global_sentences matches the char-scan model (both strategies)") {
+      val rnd = new java.util.Random(seed * 47 + 11)
+      // sentence-bearing docs: each doc mixes pool sentences (so cross-doc
+      // frequencies vary) with unique word sentences; varied terminals,
+      // closing quotes, an occasional unterminated tail
+      val sentPool = Vector("All rights reserved.", "Subscribe now!",
+        "Share this page?", "He said \"stop.\"", "Read more below.")
+      val docs = (1 to 60).map { i =>
+        val parts = (0 until 2 + rnd.nextInt(5)).map { _ =>
+          if (rnd.nextInt(3) == 0) sentPool(rnd.nextInt(sentPool.length))
+          else (0 until 2 + rnd.nextInt(4))
+            .map(_ => wordPool(rnd.nextInt(wordPool.length))).mkString(" ") +
+            (rnd.nextInt(4) match {
+              case 0 => "." case 1 => "!" case 2 => "?" case _ => ""
+            })
+        }
+        (i.toLong, parts.mkString(" "))
+      }
+      // independent model of the documented segmenter: a CHAR SCAN (no
+      // regex) — accumulate until a [.!?]+ run, absorb closing
+      // quotes/brackets and trailing whitespace, trim, drop empties
+      def splitSents(t: String): Vector[String] = {
+        val out = Vector.newBuilder[String]
+        val sb = new StringBuilder
+        var i = 0
+        while (i < t.length) {
+          val c = t.charAt(i)
+          sb.append(c)
+          if (c == '.' || c == '!' || c == '?') {
+            // absorb the full terminal run, then closers, then whitespace
+            while (i + 1 < t.length && "!?.".indexOf(t.charAt(i + 1)) >= 0) {
+              i += 1; sb.append(t.charAt(i))
+            }
+            while (i + 1 < t.length && "'\")]".indexOf(t.charAt(i + 1)) >= 0) {
+              i += 1; sb.append(t.charAt(i))
+            }
+            while (i + 1 < t.length && t.charAt(i + 1).isWhitespace) {
+              i += 1; sb.append(t.charAt(i))
+            }
+            val s = sb.result().trim
+            if (s.nonEmpty) out += s
+            sb.clear()
+          }
+          i += 1
+        }
+        val tail = sb.result().trim
+        if (tail.nonEmpty) out += tail
+        out.result()
+      }
+      val perDoc = docs.map { case (id, t) => id -> splitSents(t) }
+      val freq = perDoc.flatMap(_._2.distinct)
+        .groupMapReduce(identity)(_ => 1)(_ + _)
+      val hot = freq.filter(_._2 >= 3).keySet
+      val expected = perDoc.map { case (id, ss) =>
+        val kept = ss.filterNot(hot)
+        id -> ((kept.mkString(" "), ss.length.toLong,
+          (ss.length - kept.length).toLong))
+      }.toMap
+      val ctx = ctxWith("sd_sent_docs", docs)
+      for (strategy <- Seq("broadcast", "join")) {
+        val got = ctx.sql(
+          s"""SELECT * FROM DEDUP(METHOD global_sentences
+             |WITH (min_docs = 3, hot_strategy = '$strategy'),
+             |SELECT doc_id, text FROM sd_sent_docs)""".stripMargin)
+          .collect()
+          .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+          .toMap
+        assert(got == expected, s"strategy=$strategy")
+      }
+    }
+
     test(s"statement diff (seed=$seed): DEDUP exact_incremental matches the set-membership model") {
       val rnd = new java.util.Random(seed * 37 + 2)
       val corpus = randDocs(seed, 80)
