@@ -1,0 +1,2 @@
+CREATE OR REPLACE VIEW seen_vectors AS
+SELECT vec_id, embedding FROM doc_emb WHERE vec_id % 4 <> 0

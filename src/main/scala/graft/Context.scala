@@ -655,6 +655,22 @@ class Context(val spark: SparkSession) {
           graft.operators.Corpus.removeGlobalRepeatedSentences(
             df, id, text, minDocs = i("min_docs", 3),
             hotStrategy = opts.getOrElse("hot_strategy", "broadcast"))
+        // daily-increment embedding near-dup: new vectors (the inner
+        // query) against a seen corpus table; planes='portable' swaps in
+        // the md5/integer-quantized hashing (the oracle-reproducible twin)
+        case "embedding_incremental" =>
+          val tbl = opts.getOrElse("corpus", throw new IllegalArgumentException(
+            "DEDUP method embedding_incremental requires corpus= (a registered table)"))
+          val fn =
+            if (opts.get("planes").map(_.trim.toLowerCase).contains("portable"))
+              Similarity.cosineDedupIncrementalPortable _
+            else Similarity.cosineDedupIncremental _
+          fn(df, lookupTable(tbl), f("threshold", 0.9),
+            opts.get("dim").map(_.trim.toInt).getOrElse(
+              throw new IllegalArgumentException(
+                "DEDUP method embedding_incremental requires dim=")),
+            i("tables", 8), i("bits_per_table", 8), i("max_bucket", 1000),
+            opts.getOrElse("id", "vec_id"), opts.getOrElse("vec", "embedding"))
         case "embedding" => Similarity.cosineDedupPairsBanded(df,
           threshold = f("threshold", 0.9),
           dim = opts.get("dim").map(_.trim.toInt).getOrElse(

@@ -397,6 +397,80 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("sim_raw"), 6).as("sim"))
   }
 
+  /** Incremental embedding near-dup — find near-duplicates of NEW vectors
+    * against an EXISTING corpus, the daily-increment pattern completing
+    * the family (exact and MinHash both have incremental forms):
+    * candidates come from joining the increment's (table, bucket) SRP
+    * rows against the corpus's banded rows, so old×old pairs are never
+    * generated, the corpus is never re-verified, and only the increment
+    * shuffles fully (the corpus side is capped per (table, bucket) by
+    * `maxBucket` — boilerplate buckets can't explode a task). Production
+    * fused-SRP planes (xxhash64-seeded — not DuckDB-reproducible, so the
+    * driver records rows-only); [[cosineDedupIncrementalPortable]] is the
+    * hash-gated twin, and equality of this form to the full banded pass
+    * restricted to cross pairs is spec-asserted (same planes → same
+    * candidates). Returns (vec_id, dup_of, sim).
+    */
+  def cosineDedupIncremental(
+      newDf: DataFrame, corpus: DataFrame, threshold: Double, dim: Int,
+      tables: Int = 8, bitsPerTable: Int = 8, maxBucket: Int = 1000,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def prep(df: DataFrame) = OpCache.cached(
+      df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
+        .withColumn("nrm", norm(col("vec"))))
+    def banded(v: DataFrame, idName: String) =
+      v.select(col("id").as(idName), explode(array((0 until tables).map { t =>
+          struct(lit(t.toLong).as("tbl"),
+            lshBucketAt(col("vec"), dim, bitsPerTable, t * bitsPerTable)
+              .as("bucket"))
+        }: _*)).as("tb"))
+        .select(col(idName), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    incrementalCosineTail(prep(newDf), prep(corpus), banded, threshold, maxBucket)
+  }
+
+  /** [[cosineDedupIncremental]] with the portable md5 planes and
+    * integer-quantized projections — every stage reproducible in DuckDB
+    * (the p05c recipe), so the INCREMENTAL banding algorithm is
+    * oracle-gated bit-for-bit (p94). */
+  def cosineDedupIncrementalPortable(
+      newDf: DataFrame, corpus: DataFrame, threshold: Double, dim: Int,
+      tables: Int = 8, bitsPerTable: Int = 8, maxBucket: Int = 1000,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val planes = portableSignPlanes(tables * bitsPerTable, dim)
+    def prep(df: DataFrame) = OpCache.cached(
+      df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
+        .withColumn("nrm", norm(col("vec")))
+        .withColumn("codes", quantized(col("vec"))))
+    def banded(v: DataFrame, idName: String) =
+      v.select(col("id").as(idName), explode(array((0 until tables).map { t =>
+          struct(lit(t.toLong).as("tbl"),
+            portableBucket(col("codes"), planes, t * bitsPerTable, bitsPerTable)
+              .as("bucket"))
+        }: _*)).as("tb"))
+        .select(col(idName), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    incrementalCosineTail(prep(newDf), prep(corpus), banded, threshold, maxBucket)
+  }
+
+  /** Shared tail of the two incremental forms: corpus-side skew cap →
+    * cross-only candidate join → exact-cosine verification. */
+  private def incrementalCosineTail(
+      vNew: DataFrame, vOld: DataFrame,
+      bandedOf: (DataFrame, String) => DataFrame,
+      threshold: Double, maxBucket: Int): DataFrame = {
+    val oldB = bandedOf(vOld, "dup_of")
+      .withColumn("_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("tbl", "bucket")))
+      .filter(col("_n") <= maxBucket).drop("_n")
+    val cand = bandedOf(vNew, "vec_id").join(oldB, Seq("tbl", "bucket"))
+      .select("vec_id", "dup_of").distinct()
+    val va = vNew.select(col("id").as("vec_id"), col("vec").as("va"), col("nrm").as("na"))
+    val vb = vOld.select(col("id").as("dup_of"), col("vec").as("vb"), col("nrm").as("nb"))
+    cand.join(va, "vec_id").join(vb, "dup_of")
+      .withColumn("sim_raw", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("sim_raw") >= threshold)
+      .select(col("vec_id"), col("dup_of"), round(col("sim_raw"), 6).as("sim"))
+  }
+
   /** Random-projection dimensionality reduction (sign-matrix
     * Johnson–Lindenstrauss): out[j] = Σᵢ w[j][i]·q(v)[i] / (1000·√outDim)
     * over the integer-quantized components q(v) = floor(v·1000) and the

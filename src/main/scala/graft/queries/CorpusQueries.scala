@@ -2011,6 +2011,109 @@ object CorpusQueries {
         .orderBy("source", "epoch", "doc_id")
     },
 
+    // Incremental embedding near-dup (r10) — the daily-increment form
+    // completing the family (exact p87 and minhash p30 already have one):
+    // new vectors (vec_id % 4 == 0) against the seen corpus, candidates
+    // from the portable-SRP (table, bucket) join with the corpus-side
+    // skew cap, exact-cosine verified. The oracle replays banding,
+    // capping and verification bit-for-bit (the p05c recipe, restricted
+    // to cross pairs).
+    Q("p94_dedup_embedding_incr", Some("""
+      WITH v AS (
+        SELECT vec_id AS id, embedding::DOUBLE[] AS vec,
+               list_transform(embedding::DOUBLE[], x -> CAST(floor(x*1000) AS BIGINT)) AS c
+        FROM embeddings),
+      w AS (SELECT p, i,
+              CASE WHEN CAST(('0x' || substr(md5(p || '_' || i), 2, 15)) AS BIGINT) & 1 = 0
+                   THEN 1 ELSE -1 END AS wt
+            FROM (SELECT unnest(range(0, 128)) AS p) CROSS JOIN
+                 (SELECT unnest(range(0, 64)) AS i)),
+      bits AS (SELECT id, p,
+                 CASE WHEN sum(c[i + 1] * wt) >= 0 THEN 1 ELSE 0 END AS bit
+               FROM v CROSS JOIN w GROUP BY id, p),
+      buckets AS (SELECT id, p // 8 AS tbl,
+                    CAST(sum(bit * (1 << (p % 8))) AS BIGINT) AS bucket
+                  FROM bits GROUP BY id, p // 8),
+      newb AS (SELECT * FROM buckets WHERE id % 4 = 0),
+      oldb AS (SELECT * FROM buckets WHERE id % 4 <> 0),
+      bsz AS (SELECT tbl, bucket, count(*) AS n FROM oldb GROUP BY tbl, bucket),
+      cand AS (SELECT DISTINCT a.id AS vec_id, b.id AS dup_of
+               FROM newb a
+               JOIN oldb b ON a.tbl = b.tbl AND a.bucket = b.bucket
+               JOIN bsz s ON s.tbl = a.tbl AND s.bucket = a.bucket
+               WHERE s.n <= 1000)
+      SELECT vec_id, dup_of, round(sim_raw, 6) AS sim FROM (
+        SELECT cd.vec_id, cd.dup_of,
+               list_dot_product(a.vec, b.vec) /
+               (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))) AS sim_raw
+        FROM cand cd JOIN v a ON a.id = cd.vec_id JOIN v b ON b.id = cd.dup_of)
+      WHERE sim_raw >= 0.4
+      ORDER BY vec_id, dup_of""")) { (s, d) =>
+      val v = t(s, d, "embeddings")
+      Similarity.cosineDedupIncrementalPortable(
+          v.filter(col("vec_id") % 4 === 0), v.filter(col("vec_id") % 4 =!= 0),
+          threshold = 0.4, dim = 64, tables = 16, bitsPerTable = 8)
+        .orderBy("vec_id", "dup_of")
+    },
+
+    // The production fused-SRP form of the same increment (xxhash64-seeded
+    // planes — not expressible in DuckDB, rows-only by nature; the
+    // algorithm is hash-gated through the p94 portable twin, and equality
+    // to the full banded pass restricted to cross pairs is spec-asserted
+    // in SimilaritySpec).
+    Q("p94b_dedup_embedding_incr_native", None) { (s, d) =>
+      val v = t(s, d, "embeddings")
+      Similarity.cosineDedupIncremental(
+          v.filter(col("vec_id") % 4 === 0), v.filter(col("vec_id") % 4 =!= 0),
+          threshold = 0.4, dim = 64, tables = 16, bitsPerTable = 8)
+        .orderBy("vec_id", "dup_of")
+    },
+
+    // The SAME portable increment through the statement surface (DEDUP
+    // embedding_incremental planes='portable') — held to p94's oracle.
+    Q("p94c_dedup_embedding_incr_sql", Some("""
+      WITH v AS (
+        SELECT vec_id AS id, embedding::DOUBLE[] AS vec,
+               list_transform(embedding::DOUBLE[], x -> CAST(floor(x*1000) AS BIGINT)) AS c
+        FROM embeddings),
+      w AS (SELECT p, i,
+              CASE WHEN CAST(('0x' || substr(md5(p || '_' || i), 2, 15)) AS BIGINT) & 1 = 0
+                   THEN 1 ELSE -1 END AS wt
+            FROM (SELECT unnest(range(0, 128)) AS p) CROSS JOIN
+                 (SELECT unnest(range(0, 64)) AS i)),
+      bits AS (SELECT id, p,
+                 CASE WHEN sum(c[i + 1] * wt) >= 0 THEN 1 ELSE 0 END AS bit
+               FROM v CROSS JOIN w GROUP BY id, p),
+      buckets AS (SELECT id, p // 8 AS tbl,
+                    CAST(sum(bit * (1 << (p % 8))) AS BIGINT) AS bucket
+                  FROM bits GROUP BY id, p // 8),
+      newb AS (SELECT * FROM buckets WHERE id % 4 = 0),
+      oldb AS (SELECT * FROM buckets WHERE id % 4 <> 0),
+      bsz AS (SELECT tbl, bucket, count(*) AS n FROM oldb GROUP BY tbl, bucket),
+      cand AS (SELECT DISTINCT a.id AS vec_id, b.id AS dup_of
+               FROM newb a
+               JOIN oldb b ON a.tbl = b.tbl AND a.bucket = b.bucket
+               JOIN bsz s ON s.tbl = a.tbl AND s.bucket = a.bucket
+               WHERE s.n <= 1000)
+      SELECT vec_id, dup_of, round(sim_raw, 6) AS sim FROM (
+        SELECT cd.vec_id, cd.dup_of,
+               list_dot_product(a.vec, b.vec) /
+               (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))) AS sim_raw
+        FROM cand cd JOIN v a ON a.id = cd.vec_id JOIN v b ON b.id = cd.dup_of)
+      WHERE sim_raw >= 0.4
+      ORDER BY vec_id, dup_of""")) { (s, d) =>
+      val ctx = new graft.Context(s)
+      ctx.createTableFromPath("embeddings", s"$d/embeddings.parquet")
+      ctx.sql("""CREATE OR REPLACE VIEW seen_vectors AS
+        |SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 <> 0""".stripMargin)
+      ctx.sql(
+        """SELECT * FROM DEDUP(METHOD embedding_incremental
+          |  WITH (corpus = 'seen_vectors', dim = 64, tables = 16,
+          |        threshold = 0.4, planes = 'portable'),
+          |SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0)""".stripMargin)
+        .orderBy("vec_id", "dup_of")
+    },
+
     // Sentence-granularity chunking (r10): windows of 3 sentences over
     // punctuation planted into the synthetic prose (the documents table
     // carries none) — replace is leftmost-non-overlapping in BOTH

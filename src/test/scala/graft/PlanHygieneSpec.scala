@@ -33,6 +33,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     "p22_decontaminate",       // single-row broadcast of the bench gram set
     "p51_global_line_dedup",   // single-row broadcast of the hot-line array
     "p51c_global_line_dedup_sql", // same plan via the DEDUP statement
+    "p93_global_sentence_dedup", // same hot-set broadcast, sentence units
+                                 // (p93c runs the join strategy — no loop)
     "p53_blocklist",           // single-row broadcast of the blocklist arrays
     "p53c_blocklist_sql",      // same plan via the SCORE statement
     "p59_oov_rate",            // single-row broadcast of the vocab array

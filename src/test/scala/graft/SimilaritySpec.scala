@@ -265,6 +265,38 @@ class SimilaritySpec extends AnyFunSuite {
       s"vec_id=${r.getLong(0)}: fused=${r.getDouble(1)} hof=${r.getDouble(2)}"))
   }
 
+  test("cosineDedupIncremental equals the full banded pass restricted to cross pairs (both plane families)") {
+    val v = Tables.t(spark, TestSpark.sf, "embeddings")
+    val fresh = v.filter($"vec_id" % 4 === 0)
+    val corpus = v.filter($"vec_id" % 4 =!= 0)
+    // same planes → same buckets → same candidates; with the skew cap
+    // wide open the full pass over the union, restricted to (new, old)
+    // pairs, must equal the incremental join exactly (both directions of
+    // the unordered full-pass pair map onto (vec_id=new, dup_of=old))
+    def crossOf(full: org.apache.spark.sql.DataFrame) = full.collect()
+      .flatMap { r =>
+        val (a, b, s2) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+        Seq((a, b, s2), (b, a, s2))
+      }
+      .collect { case (n, o, s2) if n % 4 == 0 && o % 4 != 0 => (n, o, s2) }
+      .toSet
+    val fullNative = Similarity.cosineDedupPairsBanded(v, threshold = 0.4,
+      dim = 64, tables = 16, bitsPerTable = 8, maxBucket = Int.MaxValue)
+    val incNative = Similarity.cosineDedupIncremental(fresh, corpus,
+        threshold = 0.4, dim = 64, tables = 16, bitsPerTable = 8,
+        maxBucket = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(incNative == crossOf(fullNative) && incNative.nonEmpty)
+    val fullPortable = Similarity.cosineDedupPairsBandedPortable(v,
+      threshold = 0.4, dim = 64, tables = 16, bitsPerTable = 8,
+      maxBucket = Int.MaxValue)
+    val incPortable = Similarity.cosineDedupIncrementalPortable(fresh, corpus,
+        threshold = 0.4, dim = 64, tables = 16, bitsPerTable = 8,
+        maxBucket = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(incPortable == crossOf(fullPortable))
+  }
+
   test("semanticDedup keeps exactly one representative per tight cluster") {
     // 4 tight clusters of 10 near-identical vectors: within a cluster every
     // pair is ~cosine 1, across clusters ~0 → exactly one survivor (the
