@@ -76,7 +76,12 @@ class OperatorSpec extends AnyFunSuite {
       // p52d: the xxhash64 production bucket hash has no DuckDB
       // counterpart; pinned to the oracle-gated md5 twin by the buckets=1
       // bit-equality + plan-shape specs in CorpusSpec
-      "p52d_dsir_weights_xx")
+      "p52d_dsir_weights_xx",
+      // p94b: production fused-SRP planes (xxhash64-seeded) have no DuckDB
+      // counterpart; the incremental algorithm is oracle-gated through the
+      // p94 portable twin, and this form's equality to its own full banded
+      // pass restricted to cross pairs is asserted in SimilaritySpec
+      "p94b_dedup_embedding_incr_native")
     assert(rowsOnly == expected)
   }
 }
