@@ -1,0 +1,1 @@
+CREATE DEDUP INDEX emb_idx ON seen_vectors WITH (kind = 'srp', dim = 64)

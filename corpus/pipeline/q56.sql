@@ -1,0 +1,3 @@
+SELECT * FROM DEDUP(METHOD embedding_incremental
+  WITH (index = 'emb_idx', dim = 64, threshold = 0.9),
+SELECT vec_id, embedding FROM doc_emb WHERE vec_id % 4 = 0)

@@ -656,21 +656,36 @@ class Context(val spark: SparkSession) {
             df, id, text, minDocs = i("min_docs", 3),
             hotStrategy = opts.getOrElse("hot_strategy", "broadcast"))
         // daily-increment embedding near-dup: new vectors (the inner
-        // query) against a seen corpus table; planes='portable' swaps in
-        // the md5/integer-quantized hashing (the oracle-reproducible twin)
+        // query) against a seen corpus — corpus= recomputes the corpus
+        // banding per run (one-shot jobs); index= reads a persisted
+        // CREATE DEDUP INDEX kind='srp' artifact (run-many production).
+        // planes='portable' swaps in the md5/integer-quantized hashing
+        // (the oracle-reproducible twin); it must match the index build.
         case "embedding_incremental" =>
-          val tbl = opts.getOrElse("corpus", throw new IllegalArgumentException(
-            "DEDUP method embedding_incremental requires corpus= (a registered table)"))
-          val fn =
-            if (opts.get("planes").map(_.trim.toLowerCase).contains("portable"))
-              Similarity.cosineDedupIncrementalPortable _
-            else Similarity.cosineDedupIncremental _
-          fn(df, lookupTable(tbl), f("threshold", 0.9),
-            opts.get("dim").map(_.trim.toInt).getOrElse(
-              throw new IllegalArgumentException(
-                "DEDUP method embedding_incremental requires dim=")),
-            i("tables", 8), i("bits_per_table", 8), i("max_bucket", 1000),
-            opts.getOrElse("id", "vec_id"), opts.getOrElse("vec", "embedding"))
+          val portable =
+            opts.get("planes").map(_.trim.toLowerCase).contains("portable")
+          val dim = opts.get("dim").map(_.trim.toInt).getOrElse(
+            throw new IllegalArgumentException(
+              "DEDUP method embedding_incremental requires dim="))
+          (opts.get("corpus"), opts.get("index")) match {
+            case (Some(tbl), None) =>
+              val fn =
+                if (portable) Similarity.cosineDedupIncrementalPortable _
+                else Similarity.cosineDedupIncremental _
+              fn(df, lookupTable(tbl), f("threshold", 0.9), dim,
+                i("tables", 8), i("bits_per_table", 8), i("max_bucket", 1000),
+                opts.getOrElse("id", "vec_id"), opts.getOrElse("vec", "embedding"))
+            case (None, Some(prefix)) =>
+              Similarity.cosineDedupIncrementalIndexed(spark, df, prefix,
+                f("threshold", 0.9), dim,
+                i("tables", 8), i("bits_per_table", 8), i("max_bucket", 1000),
+                opts.getOrElse("id", "vec_id"), opts.getOrElse("vec", "embedding"),
+                portable)
+            case _ => throw new IllegalArgumentException(
+              "DEDUP method embedding_incremental requires exactly one of " +
+                "corpus= (a registered table) or index= (a CREATE DEDUP " +
+                "INDEX kind='srp' prefix)")
+          }
         case "embedding" => Similarity.cosineDedupPairsBanded(df,
           threshold = f("threshold", 0.9),
           dim = opts.get("dim").map(_.trim.toInt).getOrElse(
@@ -789,8 +804,19 @@ class Context(val spark: SparkSession) {
             expectedItems = opts.get("expected_items").map(_.trim.toLong)
               .getOrElse(-1L),
             fpp = opts.get("fpp").map(_.trim.toDouble).getOrElse(0.001))
+          case "srp" => Similarity.saveSrpIndex(src,
+            idCol = opts.getOrElse("id", "vec_id"),
+            vecCol = opts.getOrElse("vec", "embedding"),
+            prefix = name,
+            dim = opts.get("dim").map(_.trim.toInt).getOrElse(
+              throw new IllegalArgumentException(
+                "DEDUP INDEX kind='srp' requires dim=")),
+            tables = i("tables", 8), bitsPerTable = i("bits_per_table", 8),
+            nBuckets = i("n_buckets", 8),
+            portable = opts.get("planes").map(_.trim.toLowerCase)
+              .contains("portable"))
           case other => throw new IllegalArgumentException(
-            s"Unknown DEDUP INDEX kind: $other (minhash|shingles|exact)")
+            s"Unknown DEDUP INDEX kind: $other (minhash|shingles|exact|srp)")
         }
         case "simsearch" =>
           val vid = opts.getOrElse("id", "vec_id")

@@ -451,6 +451,114 @@ object Similarity {
     incrementalCosineTail(prep(newDf), prep(corpus), banded, threshold, maxBucket)
   }
 
+  /** Persist the full banded-SRP embedding dedup index of a corpus
+    * snapshot under one prefix — the build-once/screen-many artifact
+    * completing [[cosineDedupIncremental]] for production (the
+    * saveMinhashIndex pattern): `{prefix}_srp_buckets` (id, tbl, bucket)
+    * bucketed AND sorted by (tbl, bucket) so the increment's candidate
+    * join co-locates with no corpus-side shuffle, and `{prefix}_srp_vecs`
+    * (id, vec, nrm) bucketed by id so verification reads corpus vectors
+    * in place. `portable=true` builds with the md5/integer-quantized
+    * planes (the oracle-reproducible family) — the reader must be called
+    * with the same flag, exactly as tables/bitsPerTable must match. */
+  def saveSrpIndex(
+      df: DataFrame, idCol: String, vecCol: String, prefix: String,
+      dim: Int, tables: Int = 8, bitsPerTable: Int = 8, nBuckets: Int = 8,
+      portable: Boolean = false): Unit = {
+    val planes =
+      if (portable) portableSignPlanes(tables * bitsPerTable, dim) else null
+    val v = OpCache.cached {
+      val base = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
+        .withColumn("nrm", norm(col("vec")))
+      if (portable) base.withColumn("codes", quantized(col("vec"))) else base
+    }
+    v.select(col("id"), col("vec"), col("nrm"))
+      .write.format("parquet").mode("overwrite")
+      .bucketBy(nBuckets, "id").sortBy("id")
+      .saveAsTable(s"${prefix}_srp_vecs")
+    val banded = v.select(col("id"), explode(array((0 until tables).map { t =>
+        struct(lit(t.toLong).as("tbl"),
+          (if (portable)
+            portableBucket(col("codes"), planes, t * bitsPerTable, bitsPerTable)
+          else
+            lshBucketAt(col("vec"), dim, bitsPerTable, t * bitsPerTable))
+            .as("bucket"))
+      }: _*)).as("tb"))
+      .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    banded.write.format("parquet").mode("overwrite")
+      .bucketBy(nBuckets, "tbl", "bucket").sortBy("tbl", "bucket")
+      .saveAsTable(s"${prefix}_srp_buckets")
+  }
+
+  /** [[cosineDedupIncremental]] against a PERSISTED index
+    * ([[saveSrpIndex]]) — the run-many production shape: the corpus
+    * contributes its banded rows and vectors straight from their buckets
+    * (no corpus-side Exchange for the candidate join), only the increment
+    * shuffles, and corpus vectors are never re-hashed. `portable` and the
+    * band geometry must match the build. Returns (vec_id, dup_of, sim). */
+  def cosineDedupIncrementalIndexed(
+      spark: org.apache.spark.sql.SparkSession, newDf: DataFrame,
+      prefix: String, threshold: Double, dim: Int,
+      tables: Int = 8, bitsPerTable: Int = 8, maxBucket: Int = 1000,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      portable: Boolean = false): DataFrame = {
+    val planes =
+      if (portable) portableSignPlanes(tables * bitsPerTable, dim) else null
+    val vNew = OpCache.cached {
+      val base = newDf.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
+        .withColumn("nrm", norm(col("vec")))
+      if (portable) base.withColumn("codes", quantized(col("vec"))) else base
+    }
+    val newB = vNew.select(col("id").as("vec_id"),
+        explode(array((0 until tables).map { t =>
+          struct(lit(t.toLong).as("tbl"),
+            (if (portable)
+              portableBucket(col("codes"), planes, t * bitsPerTable, bitsPerTable)
+            else
+              lshBucketAt(col("vec"), dim, bitsPerTable, t * bitsPerTable))
+              .as("bucket"))
+        }: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val oldB = spark.table(s"${prefix}_srp_buckets")
+      .select(col("id").as("dup_of"), col("tbl"), col("bucket"))
+      .withColumn("_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("tbl", "bucket")))
+      .filter(col("_n") <= maxBucket).drop("_n")
+    val cand = newB.join(oldB, Seq("tbl", "bucket"))
+      .select("vec_id", "dup_of").distinct()
+    val va = vNew.select(col("id").as("vec_id"), col("vec").as("va"), col("nrm").as("na"))
+    val vb = spark.table(s"${prefix}_srp_vecs")
+      .select(col("id").as("dup_of"), col("vec").as("vb"), col("nrm").as("nb"))
+    cand.join(va, "vec_id").join(vb, "dup_of")
+      .withColumn("sim_raw", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("sim_raw") >= threshold)
+      .select(col("vec_id"), col("dup_of"), round(col("sim_raw"), 6).as("sim"))
+  }
+
+  /** Explode a frame's rows into one row per (tbl, bucket) SRP band,
+    * KEEPING every input column — the streaming gates need the vector and
+    * its norm to ride alongside the band key into the stream-static join.
+    * Same banding expressions as the batch forms in this file. */
+  private[graft] def bandedColumns(
+      df: DataFrame, vecCol: String, dim: Int, tables: Int,
+      bitsPerTable: Int, portable: Boolean): DataFrame = {
+    val planes =
+      if (portable) portableSignPlanes(tables * bitsPerTable, dim) else null
+    val withCodes =
+      if (portable) df.withColumn("_codes", quantized(col(vecCol))) else df
+    val keep = df.columns.map(col).toSeq
+    withCodes.select((keep :+ explode(array((0 until tables).map { t =>
+        struct(lit(t.toLong).as("tbl"),
+          (if (portable)
+            portableBucket(col("_codes"), planes, t * bitsPerTable, bitsPerTable)
+          else
+            lshBucketAt(col(vecCol), dim, bitsPerTable, t * bitsPerTable))
+            .as("bucket"))
+      }: _*)).as("_tb")): _*)
+      .select((keep :+ col("_tb.tbl").as("tbl") :+
+        col("_tb.bucket").as("bucket")): _*)
+  }
+
   /** Shared tail of the two incremental forms: corpus-side skew cap →
     * cross-only candidate join → exact-cosine verification. */
   private def incrementalCosineTail(

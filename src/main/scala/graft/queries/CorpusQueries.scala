@@ -2069,6 +2069,54 @@ object CorpusQueries {
         .orderBy("vec_id", "dup_of")
     },
 
+    // The SAME increment driven off the PERSISTED SRP index
+    // (saveSrpIndex → bucketed band + vector tables) — the run-many
+    // production shape where the corpus is never re-hashed: held to
+    // p94's oracle, so the indexed path must produce bit-identical
+    // pairs. Index build is part of the query (idempotent overwrite),
+    // the p02b/p30b/p87b pattern.
+    Q("p94d_dedup_embedding_incr_indexed", Some("""
+      WITH v AS (
+        SELECT vec_id AS id, embedding::DOUBLE[] AS vec,
+               list_transform(embedding::DOUBLE[], x -> CAST(floor(x*1000) AS BIGINT)) AS c
+        FROM embeddings),
+      w AS (SELECT p, i,
+              CASE WHEN CAST(('0x' || substr(md5(p || '_' || i), 2, 15)) AS BIGINT) & 1 = 0
+                   THEN 1 ELSE -1 END AS wt
+            FROM (SELECT unnest(range(0, 128)) AS p) CROSS JOIN
+                 (SELECT unnest(range(0, 64)) AS i)),
+      bits AS (SELECT id, p,
+                 CASE WHEN sum(c[i + 1] * wt) >= 0 THEN 1 ELSE 0 END AS bit
+               FROM v CROSS JOIN w GROUP BY id, p),
+      buckets AS (SELECT id, p // 8 AS tbl,
+                    CAST(sum(bit * (1 << (p % 8))) AS BIGINT) AS bucket
+                  FROM bits GROUP BY id, p // 8),
+      newb AS (SELECT * FROM buckets WHERE id % 4 = 0),
+      oldb AS (SELECT * FROM buckets WHERE id % 4 <> 0),
+      bsz AS (SELECT tbl, bucket, count(*) AS n FROM oldb GROUP BY tbl, bucket),
+      cand AS (SELECT DISTINCT a.id AS vec_id, b.id AS dup_of
+               FROM newb a
+               JOIN oldb b ON a.tbl = b.tbl AND a.bucket = b.bucket
+               JOIN bsz s ON s.tbl = a.tbl AND s.bucket = a.bucket
+               WHERE s.n <= 1000)
+      SELECT vec_id, dup_of, round(sim_raw, 6) AS sim FROM (
+        SELECT cd.vec_id, cd.dup_of,
+               list_dot_product(a.vec, b.vec) /
+               (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))) AS sim_raw
+        FROM cand cd JOIN v a ON a.id = cd.vec_id JOIN v b ON b.id = cd.dup_of)
+      WHERE sim_raw >= 0.4
+      ORDER BY vec_id, dup_of""")) { (s, d) =>
+      val v = t(s, d, "embeddings")
+      Similarity.saveSrpIndex(v.filter(col("vec_id") % 4 =!= 0),
+        "vec_id", "embedding", prefix = "srp_idx", dim = 64,
+        tables = 16, bitsPerTable = 8, portable = true)
+      Similarity.cosineDedupIncrementalIndexed(s,
+          v.filter(col("vec_id") % 4 === 0), prefix = "srp_idx",
+          threshold = 0.4, dim = 64, tables = 16, bitsPerTable = 8,
+          portable = true)
+        .orderBy("vec_id", "dup_of")
+    },
+
     // The SAME portable increment through the statement surface (DEDUP
     // embedding_incremental planes='portable') — held to p94's oracle.
     Q("p94c_dedup_embedding_incr_sql", Some("""

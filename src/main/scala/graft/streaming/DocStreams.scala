@@ -421,6 +421,44 @@ object DocStreams {
     * bands at index build time — the band table is the nightly artifact,
     * so the cap belongs there anyway).
     */
+  /** Streaming EMBEDDING near-duplicate detection against a persisted SRP
+    * index (`Similarity.saveSrpIndex` — the `{prefix}_srp_buckets` /
+    * `{prefix}_srp_vecs` nightly artifact): every arriving vector emits
+    * one (vec_id, dup_of, sim) row per corpus near-duplicate, computed
+    * with the SAME banding/verification as the batch
+    * `cosineDedupIncrementalIndexed` (set equality asserted in
+    * DocStreamingSpec). Same contract as [[minhashPairsStream]]: a PAIR
+    * stream through two stateless stream-static inner joins (no per-doc
+    * is-dup aggregation — that needs state), AT-LEAST-ONCE delivery
+    * bounded by `tables` collisions per pair (batch `.distinct()` would
+    * be unbounded streaming state), skew-cap the band table at index
+    * build time. `portable` and the band geometry must match the build.
+    */
+  def embeddingPairsStream(
+      vecStream: DataFrame, spark: org.apache.spark.sql.SparkSession,
+      prefix: String, threshold: Double, dim: Int,
+      tables: Int = 8, bitsPerTable: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      portable: Boolean = false): DataFrame = {
+    import graft.operators.Similarity
+    val v = vecStream.select(col(idCol).as("vec_id"),
+      Similarity.asDouble(col(vecCol)).as("_vec"))
+      .withColumn("_nrm", Similarity.norm(col("_vec")))
+    val withBuckets = Similarity.bandedColumns(
+      v, "_vec", dim, tables, bitsPerTable, portable)
+    val oldB = spark.table(s"${prefix}_srp_buckets")
+      .select(col("id").as("dup_of"), col("tbl"), col("bucket"))
+    val cand = withBuckets.join(oldB, Seq("tbl", "bucket"))
+      .select(col("vec_id"), col("_vec"), col("_nrm"), col("dup_of"))
+    val vb = spark.table(s"${prefix}_srp_vecs")
+      .select(col("id").as("dup_of"), col("vec").as("_vb"), col("nrm").as("_nb"))
+    cand.join(vb, "dup_of")
+      .withColumn("_sim",
+        Similarity.dot(col("_vec"), col("_vb")) / (col("_nrm") * col("_nb")))
+      .filter(col("_sim") >= threshold)
+      .select(col("vec_id"), col("dup_of"), round(col("_sim"), 6).as("sim"))
+  }
+
   def minhashPairsStream(
       docStream: DataFrame, spark: org.apache.spark.sql.SparkSession,
       prefix: String, idCol: String = "doc_id", textCol: String = "text",

@@ -37,7 +37,7 @@ class CorpusRunnerSpec extends AnyFunSuite {
       val results = CorpusRunner.run(ctx, "corpus/pipeline")
       // ordered build: views (q1-q2) feed DECONTAMINATE/STRATIFY/SCORE,
       // the CTAS embedding table (q9) feeds the index (q10) and its probe
-      assert(results.size == 54) // r8: + EXTRACT html (q37, main q40, markdown q41), TRAIN linear (q38), PAGERANK (q39); r10: + SCRUB pii redact (q42) / flag (q43), STRATIFY tokens+epochs (q44-q45), DEDUP exact_incremental (q46-q47), DECONTAMINATE embedding (q48-q49) / report (q50), CHUNK sentences (q51), DEDUP global_sentences (q52), DEDUP embedding_incremental (q53-q54)
+      assert(results.size == 56) // r8: + EXTRACT html (q37, main q40, markdown q41), TRAIN linear (q38), PAGERANK (q39); r10: + SCRUB pii redact (q42) / flag (q43), STRATIFY tokens+epochs (q44-q45), DEDUP exact_incremental (q46-q47), DECONTAMINATE embedding (q48-q49) / report (q50), CHUNK sentences (q51), DEDUP global_sentences (q52), DEDUP embedding_incremental (q53-q54) + srp index form (q55-q56)
       val failed = results.filterNot(_.ok)
       assert(failed.isEmpty,
         s"pipeline corpus failures: ${failed.map(r => r.query -> r.error).mkString("; ")}")
@@ -47,7 +47,8 @@ class CorpusRunnerSpec extends AnyFunSuite {
         "bench_emb", "seen_vectors")
         .foreach(t => ctx.sql(s"DROP TABLE IF EXISTS $t"))
       Seq("pipeline_ivf_cells", "pipeline_ivf_centroids", "pipeline_pq_cells",
-        "pipeline_pq_centroids", "pipeline_pq_pq_codes", "pipeline_pq_pq_codebooks")
+        "pipeline_pq_centroids", "pipeline_pq_pq_codes", "pipeline_pq_pq_codebooks",
+        "emb_idx_srp_buckets", "emb_idx_srp_vecs")
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }

@@ -172,6 +172,41 @@ class DocStreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming embedding pairs against the persisted SRP index equal batch pairs as a set (r10)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val v = Tables.t(spark, TestSpark.sf, "embeddings")
+    val corpus = v.filter(col("vec_id") % 4 =!= 0).select("vec_id", "embedding")
+    try {
+      graft.operators.Similarity.saveSrpIndex(corpus, "vec_id", "embedding",
+        prefix = "emb_stream_idx", dim = 64, tables = 16, bitsPerTable = 8)
+      // increment: verbatim copies of indexed vectors (ids shifted —
+      // guaranteed sim-1.0 pairs) plus the disjoint %4==0 originals
+      val fresh = (corpus.filter(col("vec_id") % 5 === 1)
+          .select((col("vec_id") + 50000L).as("vec_id"), col("embedding"))
+        .unionByName(v.filter(col("vec_id") % 4 === 0)
+          .select((col("vec_id") + 90000L).as("vec_id"), col("embedding"))))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+      ms.addData(fresh: _*)
+      val streamed = drain(
+        DocStreams.embeddingPairsStream(ms.toDF().toDF("vec_id", "embedding"),
+          spark, "emb_stream_idx", threshold = 0.4, dim = 64,
+          tables = 16, bitsPerTable = 8), "emb_pairs_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val batch = graft.operators.Similarity.cosineDedupIncrementalIndexed(
+          spark, fresh.toDF("vec_id", "embedding"), "emb_stream_idx",
+          threshold = 0.4, dim = 64, tables = 16, bitsPerTable = 8,
+          maxBucket = Int.MaxValue)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS emb_stream_idx_srp_buckets")
+      spark.sql("DROP TABLE IF EXISTS emb_stream_idx_srp_vecs")
+    }
+  }
+
   test("streaming chunk dedup against a static index: indexed chunks dropped, stateless") {
     import spark.implicits._
     val docs = Tables.t(spark, TestSpark.sf, "documents")

@@ -297,6 +297,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(incPortable == crossOf(fullPortable))
   }
 
+  test("indexed embedding increment equals the direct form (native planes; statement index= path too)") {
+    val v = Tables.t(spark, TestSpark.sf, "embeddings")
+    val fresh = v.filter($"vec_id" % 4 === 0)
+    val corpus = v.filter($"vec_id" % 4 =!= 0)
+    try {
+      Similarity.saveSrpIndex(corpus, "vec_id", "embedding",
+        prefix = "srp_spec_idx", dim = 64, tables = 16, bitsPerTable = 8)
+      val got = Similarity.cosineDedupIncrementalIndexed(spark, fresh,
+          "srp_spec_idx", threshold = 0.4, dim = 64, tables = 16,
+          bitsPerTable = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = Similarity.cosineDedupIncremental(fresh, corpus,
+          threshold = 0.4, dim = 64, tables = 16, bitsPerTable = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == want && got.nonEmpty)
+      val ctx = new Context(spark)
+      ctx.createTable("srp_fresh", fresh)
+      val gotStmt = ctx.sql(
+          """SELECT * FROM DEDUP(METHOD embedding_incremental
+            |  WITH (index = 'srp_spec_idx', dim = 64, tables = 16,
+            |        threshold = 0.4),
+            |SELECT vec_id, embedding FROM srp_fresh)""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(gotStmt == want)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS srp_spec_idx_srp_buckets")
+      spark.sql("DROP TABLE IF EXISTS srp_spec_idx_srp_vecs")
+    }
+  }
+
   test("semanticDedup keeps exactly one representative per tight cluster") {
     // 4 tight clusters of 10 near-identical vectors: within a cluster every
     // pair is ~cosine 1, across clusters ~0 → exactly one survivor (the
