@@ -686,6 +686,38 @@ object ScaleProbe {
             spark, fresh, "doc_id", "text", "probe_exact_idx")
         }
       },
+      {
+        // r10: the embedding-increment family at clone pressure — 95k
+        // 64-dim hashed embeddings in the persisted SRP index, a 10k
+        // increment screened against it (index build outside the timed
+        // region, the nightly artifact; same recipe as the bloom probes)
+        val embAll = docs.select(col("doc_id").as("vec_id"),
+          graft.functions.TextAnalysis.hashEmbedding(col("text"), 64)
+            .as("embedding"))
+        if (wanted("embedding_incr_indexed"))
+          operators.Similarity.saveSrpIndex(
+            embAll.filter(pmod(col("vec_id"), lit(10)) =!= 0),
+            "vec_id", "embedding", prefix = "probe_srp_idx", dim = 64)
+        time("embedding_incr_indexed") {
+          operators.Similarity.cosineDedupIncrementalIndexed(spark,
+            embAll.filter(pmod(col("vec_id"), lit(10)) === 0)
+              .select((col("vec_id") + 900000000L).as("vec_id"),
+                col("embedding")),
+            "probe_srp_idx", threshold = 0.9, dim = 64)
+        }
+      },
+      time("embedding_incr_direct") {
+        // the one-shot form: corpus banding recomputed in-run
+        val embAll = docs.select(col("doc_id").as("vec_id"),
+          graft.functions.TextAnalysis.hashEmbedding(col("text"), 64)
+            .as("embedding"))
+        operators.Similarity.cosineDedupIncremental(
+          embAll.filter(pmod(col("vec_id"), lit(10)) === 0)
+            .select((col("vec_id") + 900000000L).as("vec_id"),
+              col("embedding")),
+          embAll.filter(pmod(col("vec_id"), lit(10)) =!= 0),
+          threshold = 0.9, dim = 64)
+      },
       time("bloom_incr_full_join") {
         // the ungated baseline: every increment row shuffles into the
         // anti-join against the full corpus digest set
