@@ -791,33 +791,58 @@ class Context(val spark: SparkSession) {
       val text = opts.getOrElse("text", "text")
       import graft.operators.{Similarity, TextDedup}
       kind match {
-        case "dedup" => opts.getOrElse("kind", "minhash") match {
-          case "minhash" => TextDedup.saveMinhashIndex(src, id, text,
-            prefix = name, nBuckets = i("n_buckets", 8),
-            shingleSize = i("shingle_size", 3),
-            numHashes = i("num_hashes", 64), bands = i("bands", 16))
-          case "shingles" => TextDedup.saveShingleStore(src, id, text,
-            table = name, nBuckets = i("n_buckets", 8),
-            shingleSize = i("shingle_size", 3))
-          case "exact" => TextDedup.saveExactDedupIndex(src, text,
-            prefix = name, nBuckets = i("n_buckets", 8),
-            expectedItems = opts.get("expected_items").map(_.trim.toLong)
-              .getOrElse(-1L),
-            fpp = opts.get("fpp").map(_.trim.toDouble).getOrElse(0.001))
-          case "srp" => Similarity.saveSrpIndex(src,
-            idCol = opts.getOrElse("id", "vec_id"),
-            vecCol = opts.getOrElse("vec", "embedding"),
-            prefix = name,
-            dim = opts.get("dim").map(_.trim.toInt).getOrElse(
-              throw new IllegalArgumentException(
-                "DEDUP INDEX kind='srp' requires dim=")),
-            tables = i("tables", 8), bitsPerTable = i("bits_per_table", 8),
-            nBuckets = i("n_buckets", 8),
-            portable = opts.get("planes").map(_.trim.toLowerCase)
-              .contains("portable"))
-          case other => throw new IllegalArgumentException(
-            s"Unknown DEDUP INDEX kind: $other (minhash|shingles|exact|srp)")
-        }
+        case "dedup" =>
+          // every dedup index also persists a one-row-per-key `{name}_meta`
+          // table recording its kind + build geometry, so ALTER DEDUP INDEX
+          // ... APPEND can never be called with mismatched parameters (a
+          // silent mismatch would corrupt the band tables)
+          val dkind = opts.getOrElse("kind", "minhash")
+          dkind match {
+            case "minhash" =>
+              TextDedup.saveMinhashIndex(src, id, text,
+                prefix = name, nBuckets = i("n_buckets", 8),
+                shingleSize = i("shingle_size", 3),
+                numHashes = i("num_hashes", 64), bands = i("bands", 16))
+              saveIndexMeta(name, Map("kind" -> "minhash", "id" -> id,
+                "text" -> text,
+                "shingle_size" -> i("shingle_size", 3).toString,
+                "num_hashes" -> i("num_hashes", 64).toString,
+                "bands" -> i("bands", 16).toString))
+            case "shingles" =>
+              TextDedup.saveShingleStore(src, id, text,
+                table = name, nBuckets = i("n_buckets", 8),
+                shingleSize = i("shingle_size", 3))
+              saveIndexMeta(name, Map("kind" -> "shingles", "id" -> id,
+                "text" -> text,
+                "shingle_size" -> i("shingle_size", 3).toString))
+            case "exact" =>
+              TextDedup.saveExactDedupIndex(src, text,
+                prefix = name, nBuckets = i("n_buckets", 8),
+                expectedItems = opts.get("expected_items").map(_.trim.toLong)
+                  .getOrElse(-1L),
+                fpp = opts.get("fpp").map(_.trim.toDouble).getOrElse(0.001))
+              saveIndexMeta(name, Map("kind" -> "exact", "text" -> text))
+            case "srp" =>
+              val dim = opts.get("dim").map(_.trim.toInt).getOrElse(
+                throw new IllegalArgumentException(
+                  "DEDUP INDEX kind='srp' requires dim="))
+              val portable = opts.get("planes").map(_.trim.toLowerCase)
+                .contains("portable")
+              Similarity.saveSrpIndex(src,
+                idCol = opts.getOrElse("id", "vec_id"),
+                vecCol = opts.getOrElse("vec", "embedding"),
+                prefix = name, dim = dim,
+                tables = i("tables", 8), bitsPerTable = i("bits_per_table", 8),
+                nBuckets = i("n_buckets", 8), portable = portable)
+              saveIndexMeta(name, Map("kind" -> "srp",
+                "id" -> opts.getOrElse("id", "vec_id"),
+                "vec" -> opts.getOrElse("vec", "embedding"),
+                "dim" -> dim.toString, "tables" -> i("tables", 8).toString,
+                "bits_per_table" -> i("bits_per_table", 8).toString,
+                "portable" -> portable.toString))
+            case other => throw new IllegalArgumentException(
+              s"Unknown DEDUP INDEX kind: $other (minhash|shingles|exact|srp)")
+          }
         case "simsearch" =>
           val vid = opts.getOrElse("id", "vec_id")
           val vvec = opts.getOrElse("vec", "embedding")
@@ -835,6 +860,39 @@ class Context(val spark: SparkSession) {
               idCol = vid, vecCol = vvec)
             Similarity.savePqIndex(pq, name, nBuckets = i("n_buckets", 8))
           }
+      }
+      emptyResult
+
+    // ALTER DEDUP INDEX name APPEND [WITH (...)] AS <select> — fold a
+    // screened batch (typically the survivors the matching DEDUP ...
+    // index= statement just passed) into the persisted index, so the NEXT
+    // increment sees this one's content: the ingest loop's missing half.
+    // Kind and geometry come from the index's own `{name}_meta` table
+    // (written at CREATE time) — appends cannot mismatch the build.
+    case AlterIndexAppend(name, opts, select) =>
+      val df = sql(select)
+      val meta = readIndexMeta(name)
+      def mi(k: String, d: Int) = meta.get(k).map(_.toInt).getOrElse(d)
+      import graft.operators.{Similarity, TextDedup}
+      meta.getOrElse("kind", throw new IllegalArgumentException(
+        s"dedup index '$name' has no recorded kind — corrupt ${name}_meta")) match {
+        case "exact" => TextDedup.appendExactDedupIndex(spark, df,
+          meta.getOrElse("text", "text"), prefix = name)
+        case "minhash" => TextDedup.appendMinhashIndex(spark, df,
+          meta.getOrElse("id", "doc_id"), meta.getOrElse("text", "text"),
+          prefix = name, shingleSize = mi("shingle_size", 3),
+          numHashes = mi("num_hashes", 64), bands = mi("bands", 16))
+        case "shingles" => TextDedup.appendShingleStore(spark, df,
+          meta.getOrElse("id", "doc_id"), meta.getOrElse("text", "text"),
+          table = name, shingleSize = mi("shingle_size", 3))
+        case "srp" => Similarity.appendSrpIndex(spark, df,
+          meta.getOrElse("id", "vec_id"), meta.getOrElse("vec", "embedding"),
+          prefix = name,
+          dim = meta("dim").toInt, tables = mi("tables", 8),
+          bitsPerTable = mi("bits_per_table", 8),
+          portable = meta.get("portable").contains("true"))
+        case other => throw new IllegalArgumentException(
+          s"dedup index '$name' has kind '$other' — no append path")
       }
       emptyResult
 
@@ -1369,6 +1427,26 @@ class Context(val spark: SparkSession) {
       throw new IllegalArgumentException(s"Table not found: $name"))
 
   private def emptyResult: DataFrame = spark.emptyDataFrame
+
+  /** Persist a dedup index's kind + build geometry as `{name}_meta`
+    * (key/value strings) — read back by ALTER DEDUP INDEX ... APPEND so
+    * appends always use the exact build parameters. */
+  private def saveIndexMeta(name: String, meta: Map[String, String]): Unit = {
+    import spark.implicits._
+    meta.toSeq.toDF("key", "value")
+      .write.format("parquet").mode("overwrite")
+      .saveAsTable(s"${name}_meta")
+  }
+
+  private def readIndexMeta(name: String): Map[String, String] = {
+    if (!spark.catalog.tableExists(s"${name}_meta"))
+      throw new IllegalArgumentException(
+        s"dedup index '$name' has no ${name}_meta table — build it with " +
+          "CREATE DEDUP INDEX (indexes built before append support need a " +
+          "one-time rebuild)")
+    spark.table(s"${name}_meta").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+  }
 
   private def toDf(rows: Seq[Tuple1[String]], colName: String): DataFrame = {
     import spark.implicits._

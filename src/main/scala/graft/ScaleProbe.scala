@@ -801,6 +801,48 @@ object ScaleProbe {
       emb.unpersist()
       r.flatten
       }
+    } ++ {
+      // r11: appendable-index probes (not in the `time` Seq: appends
+      // return Unit) — folding a screened increment into a persisted
+      // index must cost increment-sized work, not the corpus-sized
+      // rebuild it replaces. Exact family: bloom OR-merge + digest
+      // anti-join/append; SRP family: two bucketed anti-join/appends.
+      if (!wanted("index_append")) Seq.empty
+      else {
+        val inc = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+          .select((col("doc_id") + 900000000L).as("doc_id"),
+            concat(col("text"), lit(" appended "), col("doc_id")).as("text"))
+        operators.TextDedup.saveExactDedupIndex(docs, "text",
+          prefix = "probe_apx_idx")
+        val t0 = System.nanoTime()
+        operators.TextDedup.appendExactDedupIndex(spark, inc, "text",
+          "probe_apx_idx")
+        val exApp = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        operators.TextDedup.saveExactDedupIndex(
+          docs.select(col("doc_id"), col("text")).unionByName(inc), "text",
+          prefix = "probe_apx_idx2")
+        val exReb = (System.nanoTime() - t1) / 1e9
+        val embAll = docs.select(col("doc_id").as("vec_id"),
+          graft.functions.TextAnalysis.hashEmbedding(col("text"), 64)
+            .as("embedding"))
+        val incV = embAll.filter(pmod(col("vec_id"), lit(10)) === 0)
+          .select((col("vec_id") + 900000000L).as("vec_id"), col("embedding"))
+        operators.Similarity.saveSrpIndex(embAll, "vec_id", "embedding",
+          prefix = "probe_apx_srp", dim = 64)
+        val t2 = System.nanoTime()
+        operators.Similarity.appendSrpIndex(spark, incV, "vec_id",
+          "embedding", "probe_apx_srp", dim = 64)
+        val srpApp = (System.nanoTime() - t2) / 1e9
+        val t3 = System.nanoTime()
+        operators.Similarity.saveSrpIndex(embAll.unionByName(incV), "vec_id",
+          "embedding", prefix = "probe_apx_srp2", dim = 64)
+        val srpReb = (System.nanoTime() - t3) / 1e9
+        Seq(("index_append_exact", exApp, nDocs / 10),
+          ("index_rebuild_exact", exReb, nDocs + nDocs / 10),
+          ("index_append_srp", srpApp, nDocs / 10),
+          ("index_rebuild_srp", srpReb, nDocs + nDocs / 10))
+      }
     }
 
     val fields = results.map { case (n, s, r) =>

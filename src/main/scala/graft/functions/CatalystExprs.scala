@@ -296,7 +296,12 @@ object CatalystExprs {
               if (bv.isNullAt(k)) valid = false
               else { a(k) = bv.getDouble(k); k += 1 }
             }
-            if (valid) { vs(cnt) = a; ns(cnt) = row.getDouble(1); cnt += 1 }
+            // bn <= 0 (zero-norm; also NaN) entries are dropped — via the
+            // direct API such an entry would yield sim = d/0 = ±Infinity
+            // and could flag every row (semanticDecontaminate filters them
+            // driver-side; the expression must be safe for ANY caller)
+            val bn = row.getDouble(1)
+            if (valid && bn > 0.0) { vs(cnt) = a; ns(cnt) = bn; cnt += 1 }
           }
         }
         j += 1
@@ -352,6 +357,76 @@ object CatalystExprs {
     org.apache.spark.sql.GraftBridge.column(MaxCosineAgainst(
       org.apache.spark.sql.GraftBridge.expression(vec),
       org.apache.spark.sql.GraftBridge.expression(benchSet)))
+
+  /** [[MaxCosineAgainst]] with the bench set carried as a BROADCAST
+    * variable instead of a plan literal — the same fused primitive loop
+    * over the same pre-decoded (vectors, norms) arrays, bit-identical
+    * results (spec-asserted), but the payload ships once per EXECUTOR
+    * through the torrent broadcast instead of riding inside every task
+    * binary of every stage. This is the semanticDecontaminate route for
+    * bench sides past the literal byte cap (~megabytes): a 65k × 768-dim
+    * set is ~400 MB — serialized into each task binary it is a plan bomb;
+    * as a broadcast it is one block per executor. The broadcast reference
+    * itself serializes as an id; `.value` resolves from the block manager
+    * on first use per executor. Zero-norm/null-element entries must be
+    * filtered by the CALLER (semanticDecontaminate does) — the arrays
+    * here are already the decoded clean form. */
+  case class MaxCosineAgainstBroadcast(child: Expression,
+      bench: org.apache.spark.broadcast.Broadcast[
+        (Array[Array[Double]], Array[Double])])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(DoubleType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"max_cosine_against_bc expects array<double>, got ${other.sql}")
+      }
+
+    override def nullSafeEval(v: Any): Any = {
+      val x = v.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      val xs = new Array[Double](n)
+      var na = 0.0
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i)) return null
+        val xv = x.getDouble(i)
+        xs(i) = xv
+        na += xv * xv
+        i += 1
+      }
+      val tn = math.sqrt(na)
+      if (!(tn > 0.0)) return null
+      val (bvs, bns) = bench.value
+      var best = -1.0
+      var j = 0
+      while (j < bvs.length) {
+        val bv = bvs(j)
+        if (bv.length == n) {
+          var d = 0.0
+          var k = 0
+          while (k < n) { d += xs(k) * bv(k); k += 1 }
+          val sim = d / (tn * bns(j))
+          if (sim > best) best = sim
+        }
+        j += 1
+      }
+      java.lang.Double.valueOf(best)
+    }
+    override protected def withNewChildInternal(c: Expression): MaxCosineAgainstBroadcast =
+      copy(child = c)
+  }
+
+  def maxCosineAgainstBroadcast(vec: Column,
+      bench: org.apache.spark.broadcast.Broadcast[
+        (Array[Array[Double]], Array[Double])]): Column =
+    org.apache.spark.sql.GraftBridge.column(MaxCosineAgainstBroadcast(
+      org.apache.spark.sql.GraftBridge.expression(vec), bench))
 
   /** Deterministic hyperplane component for sign-random-projection LSH:
     * a splitmix-style hash of (plane, dimension index) mapped to [-1, 1).

@@ -27,16 +27,20 @@ import org.apache.spark.unsafe.types.UTF8String
   *    document, one output build — and the pass can run validation no
   *    regex can: credit-card candidates are Luhn-checked and IBAN
   *    candidates mod-97-checked, so a 16-digit order number survives
-  *    while a real PAN is redacted. This is the production form for its
-  *    SEMANTICS (the checksums), not a redaction speedup: measured at
-  *    20× clone scale (PLANS 62), native REDACTION is ~1.4× slower than
-  *    the chain (the alternation tries every pattern at each position —
-  *    the same total match work as 15 codegen'd passes — while paying
-  *    CodegenFallback boxing), but native COUNTING is ~2.4× faster than
-  *    the chain's progressive count (which pays an extract-all AND a
-  *    replace per type plus 15 intermediate string rebuilds), so
-  *    `SCRUB action='flag'|'drop'` — the 100 TB filter path — runs on
-  *    the native counts.
+  *    while a real PAN is redacted. The scan is first-char DISPATCHED
+  *    (r11): one per-char bitmask load rules out all detectors at a
+  *    non-trigger position, leading-\b detectors gate on the prev char,
+  *    and email additionally on an '@' remaining ahead — so the regex
+  *    engine only runs at genuine candidate positions (the r10 combined
+  *    alternation retried every pattern at every position, measured
+  *    1.4× slower than the chain; the dispatch form matches the chain
+  *    on redaction — ~1.1 s vs ~1.2 s at 20× clone scale — and runs
+  *    COUNTING ~4.5× faster than the chain's progressive count, which
+  *    pays an extract-all AND a replace per type plus 15 intermediate
+  *    string rebuilds), so `SCRUB action='flag'|'drop'` — the 100 TB
+  *    filter path — runs on the native counts. Dispatch ≡ alternation
+  *    is fuzz-pinned (PiiSpec), the alternation kernels kept as the
+  *    semantic reference.
   *
   * Canonical order is a semantic contract, not an implementation
   * detail: emails are redacted before IPs so a domain embedding a
@@ -252,11 +256,219 @@ object Pii {
       case _ => true
     }
 
+  // ---- first-char dispatch (r11) ---------------------------------------
+  //
+  // The combined alternation retries EVERY pattern at every position; at
+  // 15 detectors that retry loop WAS the cost of the native pass (PLANS
+  // 62 measured redaction 1.4× slower than the chain). But each detector
+  // can only START a match at a narrow char class — and most also demand
+  // a preceding non-word char (their leading \b) — so one table lookup
+  // per position rules all of them out almost everywhere, and the regex
+  // engine runs only at genuine trigger positions (the blocklist gate's
+  // anchor-dispatch trick, adapted to regex detectors). Semantics are
+  // IDENTICAL to the alternation's contract: positions left-to-right,
+  // detectors in canonical order at each position, first match wins,
+  // span consumed. Triggers are SUPERSETS of each pattern's true
+  // first-char condition; bit-equality to the alternation kernels is
+  // fuzz-pinned in PiiSpec, and any future detector without a trigger
+  // entry falls back to attempt-always (safe, just unaccelerated).
+
+  private def isWordCh(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '_'
+  private def isLocalCh(c: Char): Boolean = // the email local-part class
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '.' || c == '_' || c == '%' ||
+      c == '+' || c == '-'
+  private def isHexCh(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+
+  private def triggerKind(name: String): Int = name match {
+    case "email" => 0
+    case "ipv6" | "ipv6c" => 1
+    case "ipv4" | "ssn" | "cc" => 2
+    case "aws_key" | "google_api_key" => 3
+    case "github_token" => 4
+    case "private_key" => 5
+    case "slack_token" => 6
+    case "stripe_key" => 7
+    case "jwt" => 8
+    case "iban" => 9
+    case "phone" => 10
+    case _ => -1 // unknown detector: attempt at every position (safe)
+  }
+
+  /** Pure FIRST-CHAR class of detector-kind `kind` (no context) — folded
+    * into the per-char bitmask table below. */
+  private def charTrigger(kind: Int, c: Char): Boolean = kind match {
+    case 0 => isLocalCh(c)
+    case 1 => isHexCh(c)
+    case 2 => c >= '0' && c <= '9'
+    case 3 => c == 'A'
+    case 4 => c == 'g'
+    case 5 => c == '-'
+    case 6 => c == 'x'
+    case 7 => c == 's' || c == 'r'
+    case 8 => c == 'e'
+    case 9 => c >= 'A' && c <= 'Z'
+    case 10 => c == '+' || c == '(' || (c >= '0' && c <= '9')
+    case _ => true
+  }
+
+  /** PREV-CHAR gate of detector-kind `kind` at a char-triggered position.
+    * `resume` is where scanning (re)started after the last consumed span
+    * — the one position where email's run-start shortcut must not apply
+    * (the alternation CAN match mid-run immediately after a consumed
+    * span; everywhere else, an email match starting mid-run implies one
+    * starting at the run head, which was already attempted). Leading-\b
+    * detectors gate on prev-non-word — exactly the boundary the regex
+    * itself would test first. */
+  private def prevOk(kind: Int, c: Char, text: String, i: Int,
+      resume: Int): Boolean = {
+    @inline def prevNonWord = i == 0 || !isWordCh(text.charAt(i - 1))
+    kind match {
+      case 0 => i == resume || !isLocalCh(text.charAt(i - 1))
+      case 1 | 2 | 3 | 4 | 6 | 7 | 8 | 9 => prevNonWord
+      case 10 => c == '+' || c == '(' || prevNonWord
+      case _ => true
+    }
+  }
+
+  // per-detector compiled patterns (static battery → tiny cache)
+  private val singleCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
+  private def singlePattern(d: Detector): java.util.regex.Pattern =
+    singleCache.computeIfAbsent(d.name,
+      _ => java.util.regex.Pattern.compile(d.regex))
+
+  /** The shared dispatch scan: `onHit(detectorIdx, matcher)` per match,
+    * leftmost-first with canonical-order priority at equal starts, span
+    * consumed — the alternation contract, at trigger-position cost.
+    * Transparent bounds keep \b evaluated against the FULL text. */
+  /** Reusable per-thread scan state: k matchers + the per-char bitmask
+    * table are built ONCE per (thread, type-set) and reset per document —
+    * per-row allocation was a measurable slice of the scan at corpus
+    * volume. Matcher flags (transparent bounds) survive reset(). */
+  private final class DispatchScanner(ds: IndexedSeq[Detector]) {
+    private val k = ds.length
+    require(k <= 32, "dispatch bitmask carries at most 32 detectors")
+    private val kinds = Array.tabulate(k)(i => triggerKind(ds(i).name))
+    private val anyMask = // kind -1 detectors: no char class, always tried
+      kinds.zipWithIndex.collect { case (kk, i) if kk < 0 => 1 << i }
+        .foldLeft(0)(_ | _)
+    private val ms = Array.tabulate(k) { i =>
+      val m = singlePattern(ds(i)).matcher("")
+      m.useTransparentBounds(true)
+      m
+    }
+    // per-char detector bitmask: ONE array load rules out all k detectors
+    // at a non-trigger position (every first-char class is ASCII; bit
+    // order = canonical order, walked via lowest-set-bit)
+    private val maskTable = Array.tabulate(128) { cc =>
+      (0 until k).foldLeft(anyMask) { (m, di) =>
+        if (charTrigger(kinds(di), cc.toChar)) m | (1 << di) else m
+      }
+    }
+
+    // email is the one broad trigger class (any local-part char, i.e.
+    // almost every letter) — but a match must REACH an '@', so positions
+    // with no '@' ahead can skip it without an attempt
+    private val emailBit =
+      ds.indexWhere(_.name == "email") match { case -1 => 0; case i => 1 << i }
+
+    def scan(text: String,
+        onHit: (Int, java.util.regex.Matcher) => Unit): Unit = {
+      val n = text.length
+      var d0 = 0
+      while (d0 < k) { ms(d0).reset(text); d0 += 1 }
+      var nextAt = if (emailBit != 0) text.indexOf('@') else -1
+      var i = 0
+      var resume = 0
+      while (i < n) {
+        val c = text.charAt(i)
+        var mask = if (c < 128) maskTable(c) else anyMask
+        if ((mask & emailBit) != 0) {
+          if (nextAt >= 0 && nextAt < i) nextAt = text.indexOf('@', i)
+          if (nextAt < 0) mask &= ~emailBit
+        }
+        var hit = -1
+        while (hit < 0 && mask != 0) {
+          val di = java.lang.Integer.numberOfTrailingZeros(mask)
+          mask &= mask - 1
+          if (prevOk(kinds(di), c, text, i, resume)) {
+            val m = ms(di)
+            m.region(i, n)
+            if (m.lookingAt()) hit = di
+          }
+        }
+        if (hit >= 0) {
+          onHit(hit, ms(hit))
+          i = ms(hit).end()
+          resume = i
+        } else i += 1
+      }
+    }
+  }
+
+  // matchers are stateful → one scanner per (thread, type-set)
+  private val scannerCache =
+    new ThreadLocal[java.util.HashMap[String, DispatchScanner]] {
+      override def initialValue(): java.util.HashMap[String, DispatchScanner] =
+        new java.util.HashMap()
+    }
+
+  private def scanDispatch(text: String, ds: IndexedSeq[Detector],
+      onHit: (Int, java.util.regex.Matcher) => Unit): Unit = {
+    val key = ds.map(_.name).mkString(",")
+    var sc = scannerCache.get().get(key)
+    if (sc == null) {
+      sc = new DispatchScanner(ds)
+      scannerCache.get().put(key, sc)
+    }
+    sc.scan(text, onHit)
+  }
+
   /** Pure-Scala single-pass scrub (the native expression's kernel;
     * exposed for the differential specs). A checksum-REJECTED candidate
     * keeps its span verbatim and is not re-offered to later detectors
-    * (conservative, deterministic). */
+    * (conservative, deterministic). Dispatch-accelerated (r11);
+    * bit-equal to [[scrubAllJvmAlternation]] by fuzz spec. */
   private[graft] def scrubAllJvm(text: String, types: Seq[String],
+      luhn: Boolean): String = {
+    val ds = ordered(types).toIndexedSeq
+    var sb: java.lang.StringBuilder = null
+    var last = 0
+    scanDispatch(text, ds, (di, m) => {
+      if (sb == null) sb = new java.lang.StringBuilder(text.length)
+      sb.append(text, last, m.start)
+      val hit = m.group()
+      if (checksumOk(ds(di), hit, luhn)) sb.append(ds(di).placeholder)
+      else sb.append(hit)
+      last = m.end
+    })
+    if (sb == null) text
+    else { sb.append(text, last, text.length); sb.toString }
+  }
+
+  /** Pure-Scala single-pass per-type COUNTS (the native counting
+    * kernel; exposed for the differential specs): same dispatch scan,
+    * same leftmost-first priority, same checksum gates as
+    * [[scrubAllJvm]] — a checksum-rejected candidate counts ZERO (and,
+    * like the scrub, its span is not re-offered to later detectors).
+    * Returns counts aligned to `ordered(types)`. */
+  private[graft] def countsAllJvm(text: String, types: Seq[String],
+      luhn: Boolean): Array[Long] = {
+    val ds = ordered(types).toIndexedSeq
+    val out = new Array[Long](ds.length)
+    scanDispatch(text, ds, (di, m) => {
+      if (checksumOk(ds(di), m.group(), luhn)) out(di) += 1
+    })
+    out
+  }
+
+  /** The pre-r11 combined-alternation scrub kernel — kept as the
+    * semantic reference the dispatch form is fuzz-pinned against. */
+  private[graft] def scrubAllJvmAlternation(text: String, types: Seq[String],
       luhn: Boolean): String = {
     val ds = ordered(types)
     val m = combinedPattern(ds).matcher(text)
@@ -275,13 +487,9 @@ object Pii {
     sb.toString
   }
 
-  /** Pure-Scala single-pass per-type COUNTS (the native counting
-    * kernel; exposed for the differential specs): same combined
-    * alternation, same leftmost-first priority, same checksum gates as
-    * [[scrubAllJvm]] — a checksum-rejected candidate counts ZERO (and,
-    * like the scrub, its span is not re-offered to later detectors).
-    * Returns counts aligned to `ordered(types)`. */
-  private[graft] def countsAllJvm(text: String, types: Seq[String],
+  /** The pre-r11 combined-alternation counts kernel (semantic reference
+    * for the fuzz pin). */
+  private[graft] def countsAllJvmAlternation(text: String, types: Seq[String],
       luhn: Boolean): Array[Long] = {
     val ds = ordered(types)
     val out = new Array[Long](ds.length)

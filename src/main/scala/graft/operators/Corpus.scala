@@ -856,9 +856,22 @@ object Corpus {
     * hash range before ranking, using quota/avg_tokens as the count
     * estimate).
     */
+  /** Fail fast when an input frame already carries a column name this
+    * operator generates internally (the TextDedup.requireNoClash rule) —
+    * silently overwriting it via withColumn would emit computed values in
+    * place of user data. */
+  private def requireNoClash(df: DataFrame, names: Set[String],
+      op: String): Unit = {
+    val clash = df.columns.toSet.intersect(names)
+    require(clash.isEmpty,
+      s"$op would shadow existing column(s) ${clash.toSeq.sorted.mkString(", ")}" +
+        " — rename them in the input")
+  }
+
   def tokenBudgetSelect(
       df: DataFrame, strataCol: String, idCol: String, tokensCol: String,
       quotas: DataFrame): DataFrame = {
+    requireNoClash(df, Set("_h", "cum_tokens", "quota"), "tokenBudgetSelect")
     val h = pmod(col(idCol).cast("long") * lit(2654435761L), lit(1000000007L))
     val w = Window.partitionBy(col(strataCol)).orderBy(col("_h"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -891,6 +904,9 @@ object Corpus {
       df: DataFrame, strataCol: String, idCol: String, tokensCol: String,
       quotas: DataFrame, maxEpochs: Int = 100): DataFrame = {
     require(maxEpochs >= 1, "maxEpochs must be at least 1")
+    requireNoClash(df,
+      Set("_h", "_cum", "_full", "_rem", "_total", "epoch", "quota"),
+      "tokenBudgetEpochs")
     val totals = df.groupBy(col(strataCol))
       .agg(sum(col(tokensCol).cast("long")).as("_total"))
     // integral division (DIV) keeps the plan exact past 2^53 where a

@@ -94,7 +94,8 @@ object Similarity {
     */
   def semanticDecontaminate(
       train: DataFrame, bench: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, maxBenchVectors: Int = 65536): DataFrame = {
+      threshold: Double, maxBenchVectors: Int = 65536,
+      literalMaxBytes: Long = 8L << 20): DataFrame = {
     // driver-side norm uses the same ascending double fold as [[norm]] —
     // bit-identical, asserted against the compositional form in the spec
     val collected = bench.select(asDouble(col(vecCol)).as("bv"))
@@ -107,30 +108,54 @@ object Similarity {
       s"benchmark has more than $maxBenchVectors vectors — not an eval " +
         "set; use the banded SRP-LSH route (cosineDedupPairsBanded) for " +
         "corpus-sized sides")
-    val vecs = collected
+    // null-ELEMENT-safe gather (a dirty bench row is skipped, mirroring
+    // the expression's decode() semantics, instead of NPE-ing the driver)
+    val gathered: Array[(Array[Double], Double)] = collected
       .flatMap { r =>
-        Option(r.getSeq[Double](0)).map { s =>
-          val a = s.toArray
-          var na = 0.0; var i = 0
-          while (i < a.length) { na += a(i) * a(i); i += 1 }
-          org.apache.spark.sql.Row(a.toSeq, math.sqrt(na))
+        Option(r.getSeq[java.lang.Double](0)).flatMap { s =>
+          if (s.contains(null)) None
+          else {
+            val a = new Array[Double](s.length)
+            var na = 0.0; var i = 0
+            while (i < a.length) {
+              a(i) = s(i).doubleValue(); na += a(i) * a(i); i += 1
+            }
+            Some((a, math.sqrt(na)))
+          }
         }
       }
-      .filter(_.getDouble(1) > 0)
-    val setType = org.apache.spark.sql.types.ArrayType(
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("bv",
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.DoubleType)),
-        org.apache.spark.sql.types.StructField("bn",
-          org.apache.spark.sql.types.DoubleType))))
-    val benchLit = org.apache.spark.sql.GraftBridge.column(
-      org.apache.spark.sql.catalyst.expressions.Literal.create(
-        vecs.toSeq, setType))
+      .filter(_._2 > 0)
+    val payloadBytes = gathered.iterator.map(_._1.length.toLong * 8 + 8).sum
+    val maxExpr =
+      if (payloadBytes <= literalMaxBytes) {
+        // small set: compile INTO the plan as a foldable literal (decoded
+        // once per task, zero per-row overhead — the measured-fastest form
+        // at eval-set sizes, PLANS 64)
+        val setType = org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("bv",
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.DoubleType)),
+            org.apache.spark.sql.types.StructField("bn",
+              org.apache.spark.sql.types.DoubleType))))
+        val benchLit = org.apache.spark.sql.GraftBridge.column(
+          org.apache.spark.sql.catalyst.expressions.Literal.create(
+            gathered.map { case (a, n) =>
+              org.apache.spark.sql.Row(a.toSeq, n) }.toSeq, setType))
+        graft.functions.CatalystExprs.maxCosineAgainst(col("_tv"), benchLit)
+      } else {
+        // large-but-still-an-eval-set: a plan literal would ride inside
+        // EVERY task binary of every stage (~400 MB at the 65k × 768-dim
+        // cap — a plan bomb); carry it as one torrent broadcast per
+        // executor instead, through the same fused loop (bit-identical,
+        // spec-asserted)
+        val bc = train.sparkSession.sparkContext.broadcast(
+          (gathered.map(_._1), gathered.map(_._2)))
+        graft.functions.CatalystExprs.maxCosineAgainstBroadcast(col("_tv"), bc)
+      }
     train
       .select(col(idCol), asDouble(col(vecCol)).as("_tv"))
-      .withColumn("_max",
-        graft.functions.CatalystExprs.maxCosineAgainst(col("_tv"), benchLit))
+      .withColumn("_max", maxExpr)
       .select(col(idCol), round(col("_max"), 6).as("max_sim"),
         coalesce(col("_max") >= threshold, lit(false)).as("contaminated"))
   }
@@ -460,11 +485,17 @@ object Similarity {
     * (id, vec, nrm) bucketed by id so verification reads corpus vectors
     * in place. `portable=true` builds with the md5/integer-quantized
     * planes (the oracle-reproducible family) — the reader must be called
-    * with the same flag, exactly as tables/bitsPerTable must match. */
+    * with the same flag, exactly as tables/bitsPerTable must match.
+    * `maxBucket` (default: keep everything) drops oversized (tbl, bucket)
+    * groups AT BUILD TIME — the skew cap consumers that read the band
+    * table as-is (the streaming pair gate) rely on, since a stream join
+    * cannot window the static side per microbatch; batch readers apply
+    * their own runtime cap on top, so a capped build only ever shrinks
+    * their candidate set the same way their own cap would. */
   def saveSrpIndex(
       df: DataFrame, idCol: String, vecCol: String, prefix: String,
       dim: Int, tables: Int = 8, bitsPerTable: Int = 8, nBuckets: Int = 8,
-      portable: Boolean = false): Unit = {
+      portable: Boolean = false, maxBucket: Int = Int.MaxValue): Unit = {
     val planes =
       if (portable) portableSignPlanes(tables * bitsPerTable, dim) else null
     val v = OpCache.cached {
@@ -485,8 +516,65 @@ object Similarity {
             .as("bucket"))
       }: _*)).as("tb"))
       .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    banded.write.format("parquet").mode("overwrite")
+    val capped =
+      if (maxBucket == Int.MaxValue) banded
+      else banded.withColumn("_n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("tbl", "bucket")))
+        .filter(col("_n") <= maxBucket).drop("_n")
+    capped.write.format("parquet").mode("overwrite")
       .bucketBy(nBuckets, "tbl", "bucket").sortBy("tbl", "bucket")
+      .saveAsTable(s"${prefix}_srp_buckets")
+  }
+
+  /** Fold a screened batch's vectors (typically the survivors of
+    * [[cosineDedupIncrementalIndexed]]) INTO a persisted SRP index — the
+    * same between-increment leak closure as
+    * `TextDedup.appendExactDedupIndex`, for the embedding granularity:
+    * after the append, the NEXT increment's candidates include this
+    * batch's vectors without re-hashing or re-shuffling the corpus.
+    *
+    * Increment-sized by construction: the new vectors anti-join the
+    * id-bucketed vector table in place (re-append of an already-indexed
+    * id is a no-op — idempotent ingest retries), then append into BOTH
+    * tables under the build's own bucket layout (read from the catalog).
+    * `dim`/`tables`/`bitsPerTable`/`portable` must match the build,
+    * exactly as the indexed reader's must. */
+  def appendSrpIndex(
+      spark: org.apache.spark.sql.SparkSession, newDf: DataFrame,
+      idCol: String, vecCol: String, prefix: String, dim: Int,
+      tables: Int = 8, bitsPerTable: Int = 8,
+      portable: Boolean = false): Unit = {
+    val planes =
+      if (portable) portableSignPlanes(tables * bitsPerTable, dim) else null
+    val base = newDf.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
+      .withColumn("nrm", norm(col("vec")))
+    val withCodes =
+      if (portable) base.withColumn("codes", quantized(col("vec"))) else base
+    // eager localCheckpoint: both writes must see the same rows — a lazily
+    // recomputed anti-join would run against the already-appended vector
+    // table and drop the batch from the band table
+    val fresh = withCodes
+      .join(spark.table(s"${prefix}_srp_vecs").select("id"), Seq("id"),
+        "left_anti")
+      .localCheckpoint()
+    fresh.select(col("id"), col("vec"), col("nrm"))
+      .write.format("parquet").mode("append")
+      .bucketBy(TextDedup.bucketCount(spark, s"${prefix}_srp_vecs"), "id")
+      .sortBy("id")
+      .saveAsTable(s"${prefix}_srp_vecs")
+    fresh.select(col("id"), explode(array((0 until tables).map { t =>
+        struct(lit(t.toLong).as("tbl"),
+          (if (portable)
+            portableBucket(col("codes"), planes, t * bitsPerTable, bitsPerTable)
+          else
+            lshBucketAt(col("vec"), dim, bitsPerTable, t * bitsPerTable))
+            .as("bucket"))
+      }: _*)).as("tb"))
+      .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      .write.format("parquet").mode("append")
+      .bucketBy(TextDedup.bucketCount(spark, s"${prefix}_srp_buckets"),
+        "tbl", "bucket")
+      .sortBy("tbl", "bucket")
       .saveAsTable(s"${prefix}_srp_buckets")
   }
 

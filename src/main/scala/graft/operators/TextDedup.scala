@@ -247,13 +247,19 @@ object TextDedup {
     * confirm join co-locates against it with NO corpus-side shuffle and
     * no corpus text ever read again, and `{prefix}_bloom` (a one-row
     * binary table carrying the serialized filter — it rides the catalog
-    * like any other artifact, no external file management). Exactness is
-    * by content digest (md5), the same convention [[exactDedup]] groups
-    * by. Build once per snapshot; screen every increment with
-    * [[exactDedupIncrementalIndexed]]. */
+    * like any other artifact, no external file management). The bloom row
+    * also records its build geometry (expected_items, num_bits, fpp):
+    * [[appendExactDedupIndex]] must build each increment's filter with
+    * the SAME (n, bits) pair or `mergeInPlace` would reject it (the hash
+    * count k is derived from that pair). Exactness is by content digest
+    * (md5), the same convention [[exactDedup]] groups by. Build once per
+    * snapshot; screen every increment with
+    * [[exactDedupIncrementalIndexed]]; fold each screened batch's
+    * survivors back in with [[appendExactDedupIndex]]. */
   def saveExactDedupIndex(
       df: DataFrame, textCol: String, prefix: String, nBuckets: Int = 8,
       expectedItems: Long = -1L, fpp: Double = 0.001): Unit = {
+    require(fpp > 0 && fpp < 1, "fpp must be in (0,1)")
     df.filter(col(textCol).isNotNull)
       .select(xxhash64(col(textCol)).as("xxh"),
         md5(col(textCol)).as("content_md5"))
@@ -261,12 +267,96 @@ object TextDedup {
       .write.format("parquet").mode("overwrite")
       .bucketBy(nBuckets, "xxh").sortBy("xxh")
       .saveAsTable(s"${prefix}_digests")
-    val bytes = buildContentBloom(df, textCol, expectedItems, fpp)
-    val spark = df.sparkSession
+    val hashes = df.filter(col(textCol).isNotNull)
+      .select(xxhash64(col(textCol)).as("_ch"))
+    val n = if (expectedItems > 0) expectedItems
+            else math.max(hashes.count(), 1L)
+    // create(n, fpp) is exactly create(n, optimalNumOfBits(n, fpp)) —
+    // building through the explicit-bits overload is bit-identical to the
+    // previous fpp form, and recording (n, bits) makes appends mergeable
+    val numBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(n, fpp)
+    val bf = hashes.stat.bloomFilter("_ch", n, numBits)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    writeBloomRow(df.sparkSession, prefix, bos.toByteArray, n, numBits, fpp)
+  }
+
+  private def writeBloomRow(
+      spark: org.apache.spark.sql.SparkSession, prefix: String,
+      bytes: Array[Byte], expectedItems: Long, numBits: Long,
+      fpp: Double): Unit = {
     import spark.implicits._
-    Seq(Tuple1(bytes)).toDF("bloom")
+    Seq((bytes, expectedItems, numBits, fpp))
+      .toDF("bloom", "expected_items", "num_bits", "fpp")
       .write.format("parquet").mode("overwrite")
       .saveAsTable(s"${prefix}_bloom")
+  }
+
+  /** Number of buckets of a persisted bucketed catalog table — the
+    * appenders read it from the catalog so an append can never mismatch
+    * the build's physical layout. */
+  private[operators] def bucketCount(
+      spark: org.apache.spark.sql.SparkSession, table: String): Int =
+    spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(table))
+      .bucketSpec.map(_.numBuckets)
+      .getOrElse(throw new IllegalArgumentException(
+        s"table $table is not bucketed — not a dedup-index artifact"))
+
+  /** Fold a screened batch (typically the SURVIVORS
+    * [[exactDedupIncrementalIndexed]] just passed) INTO a persisted
+    * exact-dedup index, so the NEXT increment sees this one's content —
+    * closing the between-increment duplicate leak of a static index
+    * without the corpus-sized rebuild the index exists to avoid.
+    *
+    * Per-append cost is increment-sized by construction: fresh digests
+    * anti-join the bucketed digest table IN PLACE (the corpus side never
+    * shuffles; only the increment's thin (xxh, md5) rows move) and append
+    * into the same bucket layout; the bloom sidecar is OR-merged
+    * driver-side from an increment-built filter with the build's recorded
+    * (expected_items, num_bits) geometry — same derived hash count, so
+    * `mergeInPlace` is a pure bit-OR. No corpus pass anywhere.
+    *
+    * The filter's false-positive rate degrades gracefully as cumulative
+    * inserts exceed the build's expected_items (bits saturate); false
+    * positives only cost confirm-join work, never correctness. Rebuild
+    * the index when appended volume approaches the original corpus size.
+    * The anti-join also makes re-appending an already-indexed batch a
+    * no-op (idempotent ingest retries). */
+  def appendExactDedupIndex(
+      spark: org.apache.spark.sql.SparkSession, newDocs: DataFrame,
+      textCol: String, prefix: String): Unit = {
+    val metaRow = spark.table(s"${prefix}_bloom").head()
+    require(metaRow.schema.fieldNames.contains("expected_items"),
+      s"index '$prefix' was built before append support recorded bloom " +
+        "geometry — rebuild it with CREATE DEDUP INDEX / saveExactDedupIndex")
+    val bytes = metaRow.getAs[Array[Byte]]("bloom")
+    val n = metaRow.getAs[Long]("expected_items")
+    val numBits = metaRow.getAs[Long]("num_bits")
+    val fpp = metaRow.getAs[Double]("fpp")
+    // localCheckpoint (eager) pins the anti-join result BEFORE the digest
+    // table is appended to: both consumers below must see the same rows,
+    // and a lazily recomputed plan would re-run the anti-join against the
+    // already-appended table and silently skip the bloom merge
+    val fresh = newDocs.filter(col(textCol).isNotNull)
+      .select(xxhash64(col(textCol)).as("xxh"),
+        md5(col(textCol)).as("content_md5"))
+      .distinct()
+      .join(spark.table(s"${prefix}_digests"), Seq("xxh", "content_md5"),
+        "left_anti")
+      .localCheckpoint()
+    // nothing genuinely new (an idempotent retry, or an all-dup batch):
+    // stat.bloomFilter on zero rows yields no sketch to merge — done
+    if (fresh.isEmpty) return
+    val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+    bf.mergeInPlace(fresh.stat.bloomFilter("xxh", n, numBits))
+    fresh.write.format("parquet").mode("append")
+      .bucketBy(bucketCount(spark, s"${prefix}_digests"), "xxh").sortBy("xxh")
+      .saveAsTable(s"${prefix}_digests")
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    writeBloomRow(spark, prefix, bos.toByteArray, n, numBits, fpp)
   }
 
   /** [[exactDedupIncrementalBloom]] against a PERSISTED index
@@ -472,6 +562,59 @@ object TextDedup {
       .bucketBy(nBuckets, "band", "bh").sortBy("band", "bh")
       .saveAsTable(s"${prefix}_bands")
   }
+
+  /** Fold a screened batch's docs (typically the survivors of
+    * [[minhashDedupIncrementalIndexed]]) INTO a persisted MinHash index —
+    * the same between-increment leak closure as
+    * [[appendExactDedupIndex]], for the near-dup granularity: after the
+    * append, the NEXT increment's candidates include this batch's docs
+    * without re-shingling or re-banding the corpus.
+    *
+    * Increment-sized by construction: the new docs' shingle rows
+    * anti-join the doc_id-bucketed shingle table in place (re-append of
+    * an already-indexed id is a no-op — idempotent ingest retries), then
+    * append into BOTH tables under the build's own bucket layout (read
+    * from the catalog). `shingleSize`/`numHashes`/`bands` must match the
+    * build, exactly as the indexed reader's must. */
+  def appendMinhashIndex(
+      spark: org.apache.spark.sql.SparkSession, newDocs: DataFrame,
+      idCol: String, textCol: String, prefix: String,
+      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16): Unit = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    // eager localCheckpoint: both writes below must see the same rows, and
+    // the second write's lazily recomputed anti-join would run against the
+    // already-appended shingle table and drop the batch from the band table
+    val fresh = sortedWordShingles(parallelized(newDocs), idCol, textCol,
+        shingleSize)
+      .join(spark.table(s"${prefix}_shingles").select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    fresh.write.format("parquet").mode("append")
+      .bucketBy(bucketCount(spark, s"${prefix}_shingles"), "doc_id")
+      .sortBy("doc_id")
+      .saveAsTable(s"${prefix}_shingles")
+    fresh.select(col("doc_id"),
+        posexplode(graft.functions.CatalystExprs.minhashBandHashes(
+          col("shingles"), numHashes, bands)).as(Seq("band", "bh")))
+      .write.format("parquet").mode("append")
+      .bucketBy(bucketCount(spark, s"${prefix}_bands"), "band", "bh")
+      .sortBy("band", "bh")
+      .saveAsTable(s"${prefix}_bands")
+  }
+
+  /** Append new docs' shingle rows to a persisted [[saveShingleStore]]
+    * table (same anti-join idempotence and catalog-read bucket layout as
+    * [[appendMinhashIndex]] — a shingle store is that index's verify half
+    * without the band table). */
+  def appendShingleStore(
+      spark: org.apache.spark.sql.SparkSession, newDocs: DataFrame,
+      idCol: String, textCol: String, table: String,
+      shingleSize: Int = 3): Unit =
+    sortedWordShingles(parallelized(newDocs), idCol, textCol, shingleSize)
+      .join(spark.table(table).select("doc_id"), Seq("doc_id"), "left_anti")
+      .write.format("parquet").mode("append")
+      .bucketBy(bucketCount(spark, table), "doc_id").sortBy("doc_id")
+      .saveAsTable(table)
 
   /** [[minhashDedupIncremental]] against a PERSISTED index
     * ([[saveMinhashIndex]]) instead of re-preparing the corpus per run —

@@ -2446,5 +2446,236 @@ object CorpusQueries {
           col("epoch").cast("bigint").as("epoch"))
         .orderBy("source", "epoch", "doc_id")
     },
+
+    // Appendable exact-dedup index (r11): the two-increment ingest cycle.
+    // Build the index on the corpus, screen increment A, fold A's
+    // survivors back in (appendExactDedupIndex — increment-sized: bloom
+    // OR-merge + digest anti-join/append, zero corpus passes), then screen
+    // increment B, which contains dups of the corpus, dups of A's
+    // SURVIVORS (the between-increment leak a static index misses), and
+    // genuinely new rows. Oracle = B anti-joined against corpus ∪
+    // survivors(A), both stages exact NOT EXISTS — the engine's appended
+    // index must be bit-identical to that ground truth.
+    Q("p95_dedup_index_append", Some("""
+      WITH corpus AS (SELECT text FROM documents WHERE doc_id % 5 <> 0),
+      inca AS (
+        SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 150000 AS doc_id, text FROM documents
+        WHERE doc_id % 7 = 3 AND doc_id % 5 <> 0),
+      surva AS (SELECT text FROM inca a
+                WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = a.text)),
+      incb AS (
+        SELECT doc_id + 200000 AS doc_id, source, text FROM documents
+        WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 250000 AS doc_id, source, text FROM documents
+        WHERE doc_id % 7 = 3 AND doc_id % 5 <> 0
+        UNION ALL
+        SELECT doc_id + 300000 AS doc_id, source, text || ' r11-fresh' AS text
+        FROM documents WHERE doc_id % 13 = 2)
+      SELECT b.doc_id, b.source, md5(b.text) AS content_hash
+      FROM incb b
+      WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = b.text)
+        AND NOT EXISTS (SELECT 1 FROM surva s WHERE s.text = b.text)
+      ORDER BY b.doc_id""")) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      TextDedup.saveExactDedupIndex(corpus, "text", prefix = "p95_idx")
+      val incA = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("source"), col("text"))
+        .unionByName(
+          docs.filter(col("doc_id") % 7 === 3 && col("doc_id") % 5 =!= 0)
+            .select((col("doc_id") + 150000L).as("doc_id"), col("source"),
+              col("text")))
+      // localCheckpoint pins the survivor set BEFORE the append — a lazy
+      // plan would re-screen against the appended index and go empty
+      val survA = TextDedup.exactDedupIncrementalIndexed(
+        s, incA, "doc_id", "text", "p95_idx").localCheckpoint()
+      TextDedup.appendExactDedupIndex(s, survA, "text", "p95_idx")
+      val incB = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"), col("source"), col("text"))
+        .unionByName(
+          docs.filter(col("doc_id") % 7 === 3 && col("doc_id") % 5 =!= 0)
+            .select((col("doc_id") + 250000L).as("doc_id"), col("source"),
+              col("text")))
+        .unionByName(docs.filter(col("doc_id") % 13 === 2)
+          .select((col("doc_id") + 300000L).as("doc_id"), col("source"),
+            concat(col("text"), lit(" r11-fresh")).as("text")))
+      TextDedup.exactDedupIncrementalIndexed(s, incB, "doc_id", "text",
+          "p95_idx")
+        .select(col("doc_id"), col("source"), md5(col("text")).as("content_hash"))
+        .orderBy("doc_id")
+    },
+
+    // The SAME two-increment cycle through the statement surface: CREATE
+    // DEDUP INDEX → DEDUP index= (CTAS the survivors) → ALTER DEDUP INDEX
+    // APPEND (kind + geometry dispatched from the index's own persisted
+    // meta table) → DEDUP index= again. Held to p95's oracle.
+    Q("p95c_dedup_index_append_sql", Some("""
+      WITH corpus AS (SELECT text FROM documents WHERE doc_id % 5 <> 0),
+      inca AS (
+        SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 150000 AS doc_id, text FROM documents
+        WHERE doc_id % 7 = 3 AND doc_id % 5 <> 0),
+      surva AS (SELECT text FROM inca a
+                WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = a.text)),
+      incb AS (
+        SELECT doc_id + 200000 AS doc_id, source, text FROM documents
+        WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 250000 AS doc_id, source, text FROM documents
+        WHERE doc_id % 7 = 3 AND doc_id % 5 <> 0
+        UNION ALL
+        SELECT doc_id + 300000 AS doc_id, source, text || ' r11-fresh' AS text
+        FROM documents WHERE doc_id % 13 = 2)
+      SELECT b.doc_id, b.source, md5(b.text) AS content_hash
+      FROM incb b
+      WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = b.text)
+        AND NOT EXISTS (SELECT 1 FROM surva s WHERE s.text = b.text)
+      ORDER BY b.doc_id""")) { (s, d) =>
+      val ctx = new graft.Context(s)
+      ctx.createTableFromPath("documents", s"$d/documents.parquet")
+      ctx.sql("""CREATE OR REPLACE VIEW p95c_corpus AS
+        |SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0""".stripMargin)
+      ctx.sql("CREATE DEDUP INDEX p95c_idx ON p95c_corpus WITH (kind = 'exact')")
+      ctx.sql("""CREATE OR REPLACE TABLE p95c_surv_a AS
+        |SELECT * FROM DEDUP(METHOD exact_incremental WITH (index = 'p95c_idx'),
+        |SELECT doc_id + 100000 AS doc_id, source, text FROM documents
+        |WHERE doc_id % 5 = 0
+        |UNION ALL
+        |SELECT doc_id + 150000 AS doc_id, source, text FROM documents
+        |WHERE doc_id % 7 = 3 AND doc_id % 5 <> 0)""".stripMargin)
+      ctx.sql("ALTER DEDUP INDEX p95c_idx APPEND AS SELECT * FROM p95c_surv_a")
+      ctx.sql(
+        """SELECT * FROM DEDUP(METHOD exact_incremental WITH (index = 'p95c_idx'),
+          |SELECT doc_id + 200000 AS doc_id, source, text FROM documents
+          |WHERE doc_id % 5 = 0
+          |UNION ALL
+          |SELECT doc_id + 250000 AS doc_id, source, text FROM documents
+          |WHERE doc_id % 7 = 3 AND doc_id % 5 <> 0
+          |UNION ALL
+          |SELECT doc_id + 300000 AS doc_id, source, text || ' r11-fresh' AS text
+          |FROM documents WHERE doc_id % 13 = 2)""".stripMargin)
+        .select(col("doc_id"), col("source"), md5(col("text")).as("content_hash"))
+        .orderBy("doc_id")
+    },
+
+    // Appendable MinHash index (r11): the same two-increment cycle at the
+    // near-dup granularity. Screen increment A against the corpus index,
+    // append A's non-duplicate survivors (appendMinhashIndex — shingle +
+    // band rows of the increment only, anti-joined and appended into the
+    // build's own bucket layout), then screen increment B: its pairs must
+    // include near-dups OF A'S SURVIVORS. Oracle = exhaustive cross-split
+    // Jaccard (the p30 convention) with survivors(A) derived the same
+    // exhaustive way.
+    Q("p96_minhash_index_append", Some("""
+      WITH sh AS (
+        SELECT doc_id, list_distinct([array_to_string(words[i:i+2], ' ')
+                for i in range(1, len(words) - 1)]) AS shingles
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents)
+        WHERE len(words) >= 3),
+      cor AS (SELECT * FROM sh WHERE doc_id % 10 >= 4),
+      a AS (SELECT * FROM sh WHERE doc_id % 10 < 2),
+      b AS (SELECT * FROM sh WHERE doc_id % 10 IN (2, 3)),
+      surva AS (SELECT * FROM a WHERE NOT EXISTS (
+        SELECT 1 FROM cor c
+        WHERE CAST(len(list_intersect(a.shingles, c.shingles)) AS DOUBLE) /
+              (len(a.shingles) + len(c.shingles) - len(list_intersect(a.shingles, c.shingles))) >= 0.5)),
+      seen AS (SELECT * FROM cor UNION ALL SELECT * FROM surva)
+      SELECT b.doc_id AS doc_id, s.doc_id AS dup_of,
+             round(CAST(len(list_intersect(b.shingles, s.shingles)) AS DOUBLE) /
+                   (len(b.shingles) + len(s.shingles) - len(list_intersect(b.shingles, s.shingles))), 4) AS jaccard
+      FROM b JOIN seen s
+        ON CAST(len(list_intersect(b.shingles, s.shingles)) AS DOUBLE) /
+           (len(b.shingles) + len(s.shingles) - len(list_intersect(b.shingles, s.shingles))) >= 0.5
+      ORDER BY doc_id, dup_of""")) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val corpus = docs.filter(pmod(col("doc_id"), lit(10)) >= 4)
+      val incA = docs.filter(pmod(col("doc_id"), lit(10)) < 2)
+      val incB = docs.filter(pmod(col("doc_id"), lit(10)).isin(2, 3))
+      TextDedup.saveMinhashIndex(corpus, "doc_id", "text", prefix = "p96_idx")
+      val pairsA = TextDedup.minhashDedupIncrementalIndexed(s, incA,
+        "doc_id", "text", prefix = "p96_idx", threshold = 0.5)
+      val survA = incA.join(pairsA.select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti").localCheckpoint()
+      TextDedup.appendMinhashIndex(s, survA, "doc_id", "text",
+        prefix = "p96_idx")
+      TextDedup.minhashDedupIncrementalIndexed(s, incB, "doc_id", "text",
+          prefix = "p96_idx", threshold = 0.5)
+        .orderBy("doc_id", "dup_of")
+    },
+
+    // Appendable SRP (embedding) index (r11): the two-increment cycle at
+    // the embedding granularity, on the portable plane family so EVERY
+    // stage — both bandings, both bucket-size caps, both cosine verifies,
+    // the survivor derivation — is reproduced bit-for-bit by the oracle
+    // (the p94 recipe, twice).
+    Q("p97_srp_index_append", Some("""
+      WITH v AS (
+        SELECT vec_id AS id, embedding::DOUBLE[] AS vec,
+               list_transform(embedding::DOUBLE[], x -> CAST(floor(x*1000) AS BIGINT)) AS c
+        FROM embeddings),
+      w AS (SELECT p, i,
+              CASE WHEN CAST(('0x' || substr(md5(p || '_' || i), 2, 15)) AS BIGINT) & 1 = 0
+                   THEN 1 ELSE -1 END AS wt
+            FROM (SELECT unnest(range(0, 128)) AS p) CROSS JOIN
+                 (SELECT unnest(range(0, 64)) AS i)),
+      bits AS (SELECT id, p,
+                 CASE WHEN sum(c[i + 1] * wt) >= 0 THEN 1 ELSE 0 END AS bit
+               FROM v CROSS JOIN w GROUP BY id, p),
+      buckets AS (SELECT id, p // 8 AS tbl,
+                    CAST(sum(bit * (1 << (p % 8))) AS BIGINT) AS bucket
+                  FROM bits GROUP BY id, p // 8),
+      cor AS (SELECT * FROM buckets WHERE id % 4 IN (2, 3)),
+      ab AS (SELECT * FROM buckets WHERE id % 4 = 0),
+      bb AS (SELECT * FROM buckets WHERE id % 4 = 1),
+      bsz1 AS (SELECT tbl, bucket, count(*) AS n FROM cor GROUP BY tbl, bucket),
+      canda AS (SELECT DISTINCT a.id AS vec_id, c2.id AS dup_of
+                FROM ab a JOIN cor c2 ON a.tbl = c2.tbl AND a.bucket = c2.bucket
+                JOIN bsz1 s1 ON s1.tbl = a.tbl AND s1.bucket = a.bucket
+                WHERE s1.n <= 1000),
+      dupa AS (SELECT DISTINCT cd.vec_id AS id FROM canda cd
+               JOIN v x ON x.id = cd.vec_id JOIN v y ON y.id = cd.dup_of
+               WHERE list_dot_product(x.vec, y.vec) /
+                     (sqrt(list_dot_product(x.vec, x.vec)) *
+                      sqrt(list_dot_product(y.vec, y.vec))) >= 0.4),
+      surva AS (SELECT * FROM ab
+                WHERE id NOT IN (SELECT id FROM dupa)),
+      seen AS (SELECT * FROM cor UNION ALL SELECT * FROM surva),
+      bsz2 AS (SELECT tbl, bucket, count(*) AS n FROM seen GROUP BY tbl, bucket),
+      candb AS (SELECT DISTINCT b2.id AS vec_id, s2.id AS dup_of
+                FROM bb b2 JOIN seen s2 ON b2.tbl = s2.tbl AND b2.bucket = s2.bucket
+                JOIN bsz2 z ON z.tbl = b2.tbl AND z.bucket = b2.bucket
+                WHERE z.n <= 1000)
+      SELECT vec_id, dup_of, round(sim_raw, 6) AS sim FROM (
+        SELECT cd.vec_id, cd.dup_of,
+               list_dot_product(x.vec, y.vec) /
+               (sqrt(list_dot_product(x.vec, x.vec)) *
+                sqrt(list_dot_product(y.vec, y.vec))) AS sim_raw
+        FROM candb cd JOIN v x ON x.id = cd.vec_id JOIN v y ON y.id = cd.dup_of)
+      WHERE sim_raw >= 0.4
+      ORDER BY vec_id, dup_of""")) { (s, d) =>
+      val v = t(s, d, "embeddings")
+      val corpus = v.filter(col("vec_id") % 4 >= 2)
+      val incA = v.filter(col("vec_id") % 4 === 0)
+      val incB = v.filter(col("vec_id") % 4 === 1)
+      Similarity.saveSrpIndex(corpus, "vec_id", "embedding",
+        prefix = "p97_idx", dim = 64, tables = 16, bitsPerTable = 8,
+        portable = true)
+      val pairsA = Similarity.cosineDedupIncrementalIndexed(s, incA,
+        prefix = "p97_idx", threshold = 0.4, dim = 64, tables = 16,
+        bitsPerTable = 8, portable = true)
+      val survA = incA.join(pairsA.select(col("vec_id")).distinct(),
+        Seq("vec_id"), "left_anti").localCheckpoint()
+      Similarity.appendSrpIndex(s, survA, "vec_id", "embedding",
+        prefix = "p97_idx", dim = 64, tables = 16, bitsPerTable = 8,
+        portable = true)
+      Similarity.cosineDedupIncrementalIndexed(s, incB, prefix = "p97_idx",
+          threshold = 0.4, dim = 64, tables = 16, bitsPerTable = 8,
+          portable = true)
+        .orderBy("vec_id", "dup_of")
+    },
   )
 }

@@ -394,6 +394,68 @@ object DocStreams {
     docStream.filter(col(textCol).isNull || !mightContain)
   }
 
+  /** Streaming EMBEDDING near-duplicate detection against a persisted SRP
+    * index (`Similarity.saveSrpIndex` — the `{prefix}_srp_buckets` /
+    * `{prefix}_srp_vecs` nightly artifact): every arriving vector emits
+    * one (vec_id, dup_of, sim) row per corpus near-duplicate, computed
+    * with the SAME banding/verification as the batch
+    * `cosineDedupIncrementalIndexed` (set equality asserted in
+    * DocStreamingSpec). Same contract as [[minhashPairsStream]]: a PAIR
+    * stream through two stateless stream-static inner joins (no per-doc
+    * is-dup aggregation — that needs state), AT-LEAST-ONCE delivery
+    * bounded by `tables` collisions per pair (batch `.distinct()` would
+    * be unbounded streaming state), skew-cap the band table at index
+    * build time. `portable` and the band geometry must match the build.
+    */
+  def embeddingPairsStream(
+      vecStream: DataFrame, spark: org.apache.spark.sql.SparkSession,
+      prefix: String, threshold: Double, dim: Int,
+      tables: Int = 8, bitsPerTable: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      portable: Boolean = false,
+      eventTimeCol: Option[String] = None): DataFrame = {
+    import graft.operators.Similarity
+    // eventTimeCol rides through untouched so [[exactlyOncePairs]] can
+    // watermark the pair stream downstream
+    val carry = eventTimeCol.map(col).toSeq
+    val v = vecStream.select(Seq(col(idCol).as("vec_id"),
+        Similarity.asDouble(col(vecCol)).as("_vec")) ++ carry: _*)
+      .withColumn("_nrm", Similarity.norm(col("_vec")))
+    val withBuckets = Similarity.bandedColumns(
+      v, "_vec", dim, tables, bitsPerTable, portable)
+    val oldB = spark.table(s"${prefix}_srp_buckets")
+      .select(col("id").as("dup_of"), col("tbl"), col("bucket"))
+    val cand = withBuckets.join(oldB, Seq("tbl", "bucket"))
+      .select(Seq(col("vec_id"), col("_vec"), col("_nrm"),
+        col("dup_of")) ++ carry: _*)
+    val vb = spark.table(s"${prefix}_srp_vecs")
+      .select(col("id").as("dup_of"), col("vec").as("_vb"), col("nrm").as("_nb"))
+    cand.join(vb, "dup_of")
+      .withColumn("_sim",
+        Similarity.dot(col("_vec"), col("_vb")) / (col("_nrm") * col("_nb")))
+      .filter(col("_sim") >= threshold)
+      .select(Seq(col("vec_id"), col("dup_of"),
+        round(col("_sim"), 6).as("sim")) ++ carry: _*)
+  }
+
+  /** Exactly-once upgrade for the pair streams (r11 — the documented
+    * opt-in): drop duplicate (id, dup_of) emissions — a pair colliding
+    * in k LSH bands is emitted up to k times by the at-least-once forms
+    * — under an event-time watermark, so the dedup state is BOUNDED by
+    * the watermark horizon instead of growing with the stream (the
+    * reason the base forms refuse to carry it). Build the pair stream
+    * with `eventTimeCol = Some(ts)` so the input's event time rides
+    * through, then wrap it here; all k band collisions of one pair come
+    * from ONE input row, i.e. one event time, so any positive `delay`
+    * horizon covers them. Output drops the event-time column (it exists
+    * for the watermark); within-horizon re-sends of the same pair are
+    * suppressed too — the exactly-once contract. */
+  def exactlyOncePairs(pairs: DataFrame, eventTimeCol: String,
+      delay: String, idCol: String = "doc_id"): DataFrame =
+    pairs.withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark(idCol, "dup_of")
+      .drop(eventTimeCol)
+
   /** Streaming NEAR-duplicate detection against a persisted MinHash index
     * (`TextDedup.saveMinhashIndex` — the nightly `{prefix}_bands` /
     * `{prefix}_shingles` artifact): every arriving document emits one
@@ -415,80 +477,50 @@ object DocStreams {
     * batch form's `.distinct()` would be a stateful streaming dedup with
     * unbounded state — exactly what this file's operators refuse to
     * carry. Consumers dedup per microbatch (foreachBatch `.distinct()`)
-    * or idempotently; the spec asserts SET equality to the batch pairs.
-    * The maxBucket skew cap is likewise a WINDOW over the static side in
-    * the batch form; here the band table is read as-is (cap boilerplate
-    * bands at index build time — the band table is the nightly artifact,
-    * so the cap belongs there anyway).
+    * or idempotently — or opt into [[exactlyOncePairs]], the bounded
+    * watermark-state upgrade; the spec asserts SET equality to the batch
+    * pairs. The maxBucket skew cap is likewise a WINDOW over the static
+    * side in the batch form; here the band table is read as-is (cap
+    * boilerplate bands at index build time — `saveMinhashIndex` writes
+    * the nightly artifact, so the cap belongs there anyway).
     */
-  /** Streaming EMBEDDING near-duplicate detection against a persisted SRP
-    * index (`Similarity.saveSrpIndex` — the `{prefix}_srp_buckets` /
-    * `{prefix}_srp_vecs` nightly artifact): every arriving vector emits
-    * one (vec_id, dup_of, sim) row per corpus near-duplicate, computed
-    * with the SAME banding/verification as the batch
-    * `cosineDedupIncrementalIndexed` (set equality asserted in
-    * DocStreamingSpec). Same contract as [[minhashPairsStream]]: a PAIR
-    * stream through two stateless stream-static inner joins (no per-doc
-    * is-dup aggregation — that needs state), AT-LEAST-ONCE delivery
-    * bounded by `tables` collisions per pair (batch `.distinct()` would
-    * be unbounded streaming state), skew-cap the band table at index
-    * build time. `portable` and the band geometry must match the build.
-    */
-  def embeddingPairsStream(
-      vecStream: DataFrame, spark: org.apache.spark.sql.SparkSession,
-      prefix: String, threshold: Double, dim: Int,
-      tables: Int = 8, bitsPerTable: Int = 8,
-      idCol: String = "vec_id", vecCol: String = "embedding",
-      portable: Boolean = false): DataFrame = {
-    import graft.operators.Similarity
-    val v = vecStream.select(col(idCol).as("vec_id"),
-      Similarity.asDouble(col(vecCol)).as("_vec"))
-      .withColumn("_nrm", Similarity.norm(col("_vec")))
-    val withBuckets = Similarity.bandedColumns(
-      v, "_vec", dim, tables, bitsPerTable, portable)
-    val oldB = spark.table(s"${prefix}_srp_buckets")
-      .select(col("id").as("dup_of"), col("tbl"), col("bucket"))
-    val cand = withBuckets.join(oldB, Seq("tbl", "bucket"))
-      .select(col("vec_id"), col("_vec"), col("_nrm"), col("dup_of"))
-    val vb = spark.table(s"${prefix}_srp_vecs")
-      .select(col("id").as("dup_of"), col("vec").as("_vb"), col("nrm").as("_nb"))
-    cand.join(vb, "dup_of")
-      .withColumn("_sim",
-        Similarity.dot(col("_vec"), col("_vb")) / (col("_nrm") * col("_nb")))
-      .filter(col("_sim") >= threshold)
-      .select(col("vec_id"), col("dup_of"), round(col("_sim"), 6).as("sim"))
-  }
-
   def minhashPairsStream(
       docStream: DataFrame, spark: org.apache.spark.sql.SparkSession,
       prefix: String, idCol: String = "doc_id", textCol: String = "text",
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      eventTimeCol: Option[String] = None): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
+    // eventTimeCol rides through untouched so [[exactlyOncePairs]] can
+    // watermark the pair stream downstream
+    val carry = eventTimeCol.map(col).toSeq
     val sh = docStream
       .filter(size(split(lower(col(textCol)), " ")) >= shingleSize)
-      .select(col(idCol).as("doc_id"),
-        transform(split(lower(col(textCol)), " "), tk => xxhash64(tk)).as("_th"))
-      .select(col("doc_id"),
+      .select(Seq(col(idCol).as("doc_id"),
+        transform(split(lower(col(textCol)), " "), tk => xxhash64(tk))
+          .as("_th")) ++ carry: _*)
+      .select(Seq(col("doc_id"),
         sort_array(graft.operators.TextDedup.shingleHashesFromTokenHashes(
-          col("_th"), shingleSize)).as("sh_a"))
-    val banded = sh.select(col("doc_id"), col("sh_a"),
+          col("_th"), shingleSize)).as("sh_a")) ++ carry: _*)
+    val banded = sh.select((Seq(col("doc_id"), col("sh_a")) ++ carry) :+
       posexplode(graft.functions.CatalystExprs.minhashBandHashes(
-        col("sh_a"), numHashes, bands)).as(Seq("band", "bh")))
+        col("sh_a"), numHashes, bands)).as(Seq("band", "bh")): _*)
     val oldBanded = spark.table(s"${prefix}_bands")
       .select(col("doc_id").as("dup_of"), col("band"), col("bh"))
     val cand = banded.join(oldBanded, Seq("band", "bh"))
-      .select("doc_id", "sh_a", "dup_of")
+      .select(Seq(col("doc_id"), col("sh_a"), col("dup_of")) ++ carry: _*)
     val sb = spark.table(s"${prefix}_shingles")
       .select(col("doc_id").as("dup_of"), col("shingles").as("sh_b"))
     cand.join(sb, "dup_of")
-      .select(col("doc_id"), col("dup_of"),
+      .select(Seq(col("doc_id"), col("dup_of"),
         graft.functions.CatalystExprs.sortedIntersectCount(col("sh_a"), col("sh_b"))
           .cast("double").as("_i"),
-        (size(col("sh_a")) + size(col("sh_b"))).cast("double").as("_s"))
+        (size(col("sh_a")) + size(col("sh_b"))).cast("double").as("_s")) ++
+        carry: _*)
       .withColumn("j_raw", col("_i") / (col("_s") - col("_i")))
       .filter(col("j_raw") >= threshold)
-      .select(col("doc_id"), col("dup_of"), round(col("j_raw"), 4).as("jaccard"))
+      .select(Seq(col("doc_id"), col("dup_of"),
+        round(col("j_raw"), 4).as("jaccard")) ++ carry: _*)
   }
 
   /** Static linear-classifier weights → ONE broadcastable row

@@ -241,6 +241,23 @@ class CorpusSpec extends AnyFunSuite {
     assert(capped.max == 4L && capped.count(_ == 4L) == 2)
   }
 
+  test("token-budget operators fail fast on generated-column clashes (r11 review pin)") {
+    val docs = Seq((1L, "a", 10L)).toDF("doc_id", "source", "n_tokens")
+    val quotas = Seq(("a", 25L)).toDF("source", "quota")
+    intercept[IllegalArgumentException] {
+      Corpus.tokenBudgetSelect(docs.withColumn("cum_tokens", lit(0L)),
+        "source", "doc_id", "n_tokens", quotas)
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.tokenBudgetSelect(docs.withColumn("_h", lit(0L)),
+        "source", "doc_id", "n_tokens", quotas)
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.tokenBudgetEpochs(docs.withColumn("epoch", lit(1L)),
+        "source", "doc_id", "n_tokens", quotas)
+    }
+  }
+
   test("STRATIFY unit='tokens' statement equals the operator (and epochs twin)") {
     val docs = Tables.t(spark, TestSpark.sf, "documents")
       .select($"doc_id", $"source",

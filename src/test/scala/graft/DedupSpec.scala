@@ -422,6 +422,126 @@ class DedupSpec extends AnyFunSuite {
     assert(got.sameElements(want))
   }
 
+  // ---- appendable indexes (r11): successive increments see each other ----
+
+  test("appendExactDedupIndex closes the between-increment dup leak and equals a rebuild") {
+    val incA = (1 to 60).map(i => (2000L + i,
+      if (i % 4 == 0) s"corpus document number $i with steady words" // dup of corpus
+      else s"increment-a fresh document $i payload")).toDF("doc_id", "text")
+    // incB: dups of corpus, dups of incA's SURVIVORS (the leak case), fresh
+    val incB = (1 to 60).map(i => (3000L + i,
+      if (i % 3 == 0) s"increment-a fresh document ${i + 1} payload" // dup of A survivor (i+1 % 4 != 0 when i%3==0 → mostly)
+      else if (i % 3 == 1) s"corpus document number $i with steady words"
+      else s"increment-b brand new document $i payload")).toDF("doc_id", "text")
+    try {
+      TextDedup.saveExactDedupIndex(bloomCorpus, "text", prefix = "apx_idx")
+      // localCheckpoint: a lazy survA plan would re-screen against the
+      // index AFTER the append below and evaluate to empty
+      val survA = TextDedup.exactDedupIncrementalIndexed(
+        spark, incA, "doc_id", "text", "apx_idx").localCheckpoint()
+      // the LEAK: before the append, screening B misses dups-of-A
+      val leaked = TextDedup.exactDedupIncrementalIndexed(
+          spark, incB, "doc_id", "text", "apx_idx")
+        .collect().map(_.getLong(0)).toSet
+      TextDedup.appendExactDedupIndex(spark, survA, "text", "apx_idx")
+      val got = TextDedup.exactDedupIncrementalIndexed(
+          spark, incB, "doc_id", "text", "apx_idx")
+        .collect().map(_.getLong(0)).sorted
+      // ground truth: B anti-join (corpus ∪ survivorsA) on text
+      val seen = bloomCorpus.select("text")
+        .unionByName(survA.select("text")).distinct()
+      val want = incB.join(seen, Seq("text"), "left_anti")
+        .collect().map(_.getAs[Long]("doc_id")).sorted
+      assert(got.sameElements(want))
+      assert(leaked.size > got.length,
+        "expected the unappended index to leak dups of increment A")
+      // from-scratch rebuild over corpus+survivorsA must agree bit-for-bit
+      TextDedup.saveExactDedupIndex(
+        bloomCorpus.select("doc_id", "text")
+          .unionByName(survA.select("doc_id", "text")),
+        "text", prefix = "apx_idx2")
+      val rebuilt = TextDedup.exactDedupIncrementalIndexed(
+          spark, incB, "doc_id", "text", "apx_idx2")
+        .collect().map(_.getLong(0)).sorted
+      assert(got.sameElements(rebuilt))
+      // idempotent retries: re-appending the same batch changes nothing
+      val nDigests = spark.table("apx_idx_digests").count()
+      TextDedup.appendExactDedupIndex(spark, survA, "text", "apx_idx")
+      assert(spark.table("apx_idx_digests").count() == nDigests)
+    } finally {
+      Seq("apx_idx_digests", "apx_idx_bloom", "apx_idx2_digests",
+        "apx_idx2_bloom").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  test("appendMinhashIndex: second increment sees the first's survivors (equals rebuild)") {
+    val corpus = Tables.t(spark, TestSpark.sf, "documents")
+    val old = corpus.filter($"doc_id" % 10 >= 4)
+    val incA = corpus.filter($"doc_id" % 10 < 2)
+    val incB = corpus.filter($"doc_id" % 10 >= 2 && $"doc_id" % 10 < 4)
+    try {
+      TextDedup.saveMinhashIndex(old, "doc_id", "text", "amh_idx", nBuckets = 4)
+      // collect the dup ids EAGERLY: a lazy survA plan would re-read the
+      // index tables after the append below and shrink itself
+      val dupIdsA = TextDedup.minhashDedupIncrementalIndexed(
+          spark, incA, "doc_id", "text", "amh_idx")
+        .select(col("doc_id")).distinct().collect().map(_.getLong(0)).toSeq
+      val survA =
+        if (dupIdsA.isEmpty) incA
+        else incA.join(dupIdsA.toDF("doc_id"), Seq("doc_id"), "left_anti")
+      TextDedup.appendMinhashIndex(spark, survA, "doc_id", "text", "amh_idx")
+      val got = TextDedup.minhashDedupIncrementalIndexed(
+          spark, incB, "doc_id", "text", "amh_idx")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // from-scratch index over corpus ∪ survivorsA must agree
+      TextDedup.saveMinhashIndex(old.unionByName(survA), "doc_id", "text",
+        "amh_idx2", nBuckets = 4)
+      val rebuilt = TextDedup.minhashDedupIncrementalIndexed(
+          spark, incB, "doc_id", "text", "amh_idx2")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == rebuilt && got.nonEmpty)
+      // and B's pairs against A's survivors exist (the leak is closed):
+      val idsA = survA.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got.exists(p => idsA.contains(p._2)),
+        "expected at least one B-to-survivorA pair after the append")
+    } finally {
+      Seq("amh_idx_bands", "amh_idx_shingles", "amh_idx2_bands",
+        "amh_idx2_shingles").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  test("ALTER DEDUP INDEX APPEND statement drives the exact append (meta-dispatched)") {
+    val ctx = new Context(spark)
+    ctx.createTable("alt_corpus", bloomCorpus)
+    val incA = (1 to 30).map(i => (2000L + i, s"alter-inc-a doc $i payload"))
+      .toDF("doc_id", "text")
+    ctx.createTable("alt_inc_a", incA)
+    val incB = (1 to 30).map(i => (3000L + i,
+      if (i % 2 == 0) s"alter-inc-a doc $i payload" // dup of A
+      else s"alter-inc-b doc $i payload")).toDF("doc_id", "text")
+    ctx.createTable("alt_inc_b", incB)
+    try {
+      ctx.sql("CREATE DEDUP INDEX alt_idx ON alt_corpus WITH (kind = 'exact')")
+      ctx.sql("""CREATE OR REPLACE TABLE alt_surv_a AS
+        |SELECT * FROM DEDUP(METHOD exact_incremental WITH (index = 'alt_idx'),
+        |SELECT doc_id, text FROM alt_inc_a)""".stripMargin)
+      ctx.sql("ALTER DEDUP INDEX alt_idx APPEND AS SELECT * FROM alt_surv_a")
+      val got = ctx.sql(
+          """SELECT * FROM DEDUP(METHOD exact_incremental WITH (index = 'alt_idx'),
+            |SELECT doc_id, text FROM alt_inc_b)""".stripMargin)
+        .collect().map(_.getAs[Long]("doc_id")).sorted
+      assert(got.sameElements((1 to 30).filter(_ % 2 == 1).map(3000L + _)))
+      // appending to an index with no meta table fails loudly
+      val err = intercept[IllegalArgumentException] {
+        ctx.sql("ALTER DEDUP INDEX no_such_idx APPEND AS SELECT * FROM alt_surv_a")
+      }
+      assert(err.getMessage.contains("no_such_idx_meta"))
+    } finally {
+      Seq("alt_idx_digests", "alt_idx_bloom", "alt_idx_meta", "alt_surv_a")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("minhash LSH recall matches exhaustive jaccard at sf0.001") {
     val d = Tables.t(spark, TestSpark.sf, "documents")
     val lsh = TextDedup.minhashDedupPairs(d, "doc_id", "text", threshold = 0.5)

@@ -207,6 +207,42 @@ class DocStreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("exactlyOncePairs: watermarked dedup collapses multi-band emissions (r11)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq((1L, text)).toDF("doc_id", "text")
+    try {
+      graft.operators.TextDedup.saveMinhashIndex(
+        corpus, "doc_id", "text", prefix = "eo_idx", nBuckets = 2)
+      val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+      def freshStream() = {
+        val ms = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String, java.sql.Timestamp)]
+        ms.addData((100L, text, ts))
+        ms.toDF().toDF("doc_id", "text", "ts")
+      }
+      // at-least-once base form: a verbatim copy collides in ALL 16
+      // bands → 16 emissions of the one true pair
+      val raw = drain(DocStreams.minhashPairsStream(freshStream(), spark,
+        "eo_idx", eventTimeCol = Some("ts")), "eo_raw_stream").collect()
+      assert(raw.length == 16 && raw.forall(r =>
+        r.getLong(0) == 100L && r.getLong(1) == 1L && r.getDouble(2) == 1.0))
+      // the exactly-once opt-in: one row, bounded state (the watermark
+      // horizon), event-time column consumed by the wrapper
+      val once = drain(DocStreams.exactlyOncePairs(
+          DocStreams.minhashPairsStream(freshStream(), spark, "eo_idx",
+            eventTimeCol = Some("ts")), "ts", "10 minutes"),
+        "eo_once_stream").collect()
+      assert(once.length == 1)
+      assert(once.head.getLong(0) == 100L && once.head.getLong(1) == 1L)
+      assert(!once.head.schema.fieldNames.contains("ts"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS eo_idx_bands")
+      spark.sql("DROP TABLE IF EXISTS eo_idx_shingles")
+    }
+  }
+
   test("streaming chunk dedup against a static index: indexed chunks dropped, stateless") {
     import spark.implicits._
     val docs = Tables.t(spark, TestSpark.sf, "documents")

@@ -265,6 +265,60 @@ class SimilaritySpec extends AnyFunSuite {
       s"vec_id=${r.getLong(0)}: fused=${r.getDouble(1)} hof=${r.getDouble(2)}"))
   }
 
+  test("semanticDecontaminate routes big bench sides through a broadcast, bit-identical to the literal") {
+    // d=768, m=3000 → payload ~18 MB, past the 8 MB literal cap: the
+    // broadcast path must engage (no multi-hundred-MB task binaries) and
+    // produce the exact rows of the literal path (cap raised to force it)
+    val d = 768
+    val train = (1 to 50).map { i =>
+      val r = new scala.util.Random(i)
+      (i.toLong, Seq.fill(d)(r.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val bench = (1 to 3000).map { i =>
+      val r = new scala.util.Random(if (i <= 10) i else 100000 + i)
+      (10000L + i, Seq.fill(d)(r.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding").repartition(8)
+    val viaBc = Similarity.semanticDecontaminate(train, bench,
+      "vec_id", "embedding", threshold = 0.9)
+    assert(viaBc.queryExecution.analyzed.toString
+        .toLowerCase.contains("maxcosineagainstbroadcast"),
+      "expected the broadcast route past the literal byte cap")
+    val viaLit = Similarity.semanticDecontaminate(train, bench,
+      "vec_id", "embedding", threshold = 0.9,
+      literalMaxBytes = Long.MaxValue)
+    assert(!viaLit.queryExecution.analyzed.toString
+      .toLowerCase.contains("maxcosineagainstbroadcast"))
+    val a = viaBc.collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
+    val b = viaLit.collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
+    assert(a == b && a.size == 50)
+    // the first 10 train rows share seeds with bench rows → exact copies
+    // must flag at max_sim 1.0 through the broadcast route
+    (1 to 10).foreach(i => assert(a.contains((i.toLong, 1.0, true))))
+  }
+
+  test("MaxCosineAgainst via the direct API skips zero-norm and null-element bench entries") {
+    // a zero-norm entry (bn = 0) must not produce ±Infinity sims (the
+    // decode() guard), and a null-element vector entry is skipped
+    val out = Seq((1L, Seq(1.0, 0.0)))
+      .toDF("id", "v")
+      .select($"id", graft.functions.CatalystExprs.maxCosineAgainst($"v",
+        expr("""array(named_struct('bv', array(0.0d, 0.0d), 'bn', 0.0d),
+               |      named_struct('bv', array(cast(null as double), 1.0d), 'bn', 1.0d),
+               |      named_struct('bv', array(0.0d, 1.0d), 'bn', 1.0d))"""
+          .stripMargin)).as("m"))
+      .head().getDouble(1)
+    assert(out == 0.0, s"zero-norm/null entries must be skipped, got $out")
+    // dirty bench ROWS (null element in the embedding) no longer NPE the
+    // driver gather — the row is skipped, the clean row still scores
+    val bench = Seq((1L, Seq[java.lang.Float](1.0f, null)),
+      (2L, Seq[java.lang.Float](0.0f, 2.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.semanticDecontaminate(
+        Seq((7L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding"),
+        bench, "vec_id", "embedding", threshold = 0.9)
+      .head()
+    assert(got.getDouble(1) == 1.0 && got.getBoolean(2))
+  }
+
   test("cosineDedupIncremental equals the full banded pass restricted to cross pairs (both plane families)") {
     val v = Tables.t(spark, TestSpark.sf, "embeddings")
     val fresh = v.filter($"vec_id" % 4 === 0)
@@ -324,6 +378,78 @@ class SimilaritySpec extends AnyFunSuite {
     } finally {
       spark.sql("DROP TABLE IF EXISTS srp_spec_idx_srp_buckets")
       spark.sql("DROP TABLE IF EXISTS srp_spec_idx_srp_vecs")
+    }
+  }
+
+  test("saveSrpIndex maxBucket: build-time cap equals the reader-side cap (r11 review pin)") {
+    // the streaming pair gate reads the band table AS-IS (a stream join
+    // cannot window the static side), so the documented skew cap must be
+    // applicable at BUILD time: screening against a maxBucket-capped
+    // build with the reader cap wide open must equal screening against
+    // an uncapped build with the same reader-side cap
+    val v = Tables.t(spark, TestSpark.sf, "embeddings")
+    val fresh = v.filter($"vec_id" % 4 === 0)
+    val corpus = v.filter($"vec_id" % 4 =!= 0)
+    val cap = 5
+    try {
+      Similarity.saveSrpIndex(corpus, "vec_id", "embedding",
+        prefix = "cap_idx", dim = 64, tables = 16, bitsPerTable = 8,
+        maxBucket = cap)
+      val maxGroup = spark.table("cap_idx_srp_buckets")
+        .groupBy("tbl", "bucket").count().agg(max("count")).head().getLong(0)
+      assert(maxGroup <= cap)
+      Similarity.saveSrpIndex(corpus, "vec_id", "embedding",
+        prefix = "nocap_idx", dim = 64, tables = 16, bitsPerTable = 8)
+      val got = Similarity.cosineDedupIncrementalIndexed(spark, fresh,
+          "cap_idx", threshold = 0.4, dim = 64, tables = 16,
+          bitsPerTable = 8, maxBucket = Int.MaxValue)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = Similarity.cosineDedupIncrementalIndexed(spark, fresh,
+          "nocap_idx", threshold = 0.4, dim = 64, tables = 16,
+          bitsPerTable = 8, maxBucket = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == want && got.nonEmpty)
+    } finally {
+      Seq("cap_idx_srp_buckets", "cap_idx_srp_vecs",
+        "nocap_idx_srp_buckets", "nocap_idx_srp_vecs")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  test("appendSrpIndex: second increment sees the first's survivors (equals rebuild, leak closed)") {
+    val v = Tables.t(spark, TestSpark.sf, "embeddings")
+    val corpus = v.filter($"vec_id" % 4 >= 2)
+    val incA = v.filter($"vec_id" % 4 === 0)
+    val incB = v.filter($"vec_id" % 4 === 1)
+    def pairs(df: org.apache.spark.sql.DataFrame, prefix: String) =
+      Similarity.cosineDedupIncrementalIndexed(spark, df, prefix,
+          threshold = 0.4, dim = 64, tables = 16, bitsPerTable = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    try {
+      Similarity.saveSrpIndex(corpus, "vec_id", "embedding",
+        prefix = "asrp_idx", dim = 64, tables = 16, bitsPerTable = 8)
+      val pairsA = pairs(incA, "asrp_idx")
+      val dupIdsA = pairsA.map(_._1).toSeq
+      val survA =
+        if (dupIdsA.isEmpty) incA
+        else incA.join(dupIdsA.toDF("vec_id").distinct(), Seq("vec_id"),
+          "left_anti")
+      val leaked = pairs(incB, "asrp_idx")
+      Similarity.appendSrpIndex(spark, survA, "vec_id", "embedding",
+        "asrp_idx", dim = 64, tables = 16, bitsPerTable = 8)
+      val got = pairs(incB, "asrp_idx")
+      // from-scratch index over corpus ∪ survivorsA agrees bit-for-bit
+      Similarity.saveSrpIndex(corpus.unionByName(survA), "vec_id", "embedding",
+        prefix = "asrp_idx2", dim = 64, tables = 16, bitsPerTable = 8)
+      assert(got == pairs(incB, "asrp_idx2") && got.nonEmpty)
+      // the leak is closed: appended survivors now produce cross pairs
+      assert(got.size > leaked.size,
+        "expected B-to-survivorA pairs to appear after the append")
+      assert(leaked.subsetOf(got))
+    } finally {
+      Seq("asrp_idx_srp_buckets", "asrp_idx_srp_vecs",
+        "asrp_idx2_srp_buckets", "asrp_idx2_srp_vecs")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
 
