@@ -1,0 +1,1 @@
+CREATE DEDUP INDEX pipeline_exact_idx ON seen_corpus WITH (kind = 'exact')

@@ -1,0 +1,3 @@
+CREATE OR REPLACE TABLE pipeline_surv_a AS
+SELECT * FROM DEDUP(METHOD exact_incremental WITH (index = 'pipeline_exact_idx'),
+SELECT doc_id + 100000 AS doc_id, source, text FROM documents WHERE doc_id % 5 = 0)

@@ -1,0 +1,1 @@
+ALTER DEDUP INDEX pipeline_exact_idx APPEND AS SELECT * FROM pipeline_surv_a

@@ -1,0 +1,2 @@
+SELECT * FROM DEDUP(METHOD exact_incremental WITH (index = 'pipeline_exact_idx'),
+SELECT doc_id + 200000 AS doc_id, source, text FROM documents WHERE doc_id % 5 = 0)

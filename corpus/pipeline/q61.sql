@@ -1,0 +1,3 @@
+CREATE OR REPLACE TABLE pipeline_uni_pieces AS
+SELECT * FROM TRAIN(METHOD unigram WITH (vocab_size = 48, max_piece = 3, seed_size = 200),
+SELECT doc_id, text FROM documents)

@@ -1,0 +1,2 @@
+SELECT * FROM TOKENIZE(TABLE pipeline_uni_pieces WITH (method = 'unigram'),
+SELECT doc_id, text FROM documents)

@@ -220,25 +220,41 @@ object Bench {
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val invertedJson =
       stillInverted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // cold-column evidence (r11, closing the r10 "cold is unguarded"
+    // verdict item): cold_contended lists every query whose pre-run
+    // sentinel exceeded 1.5× the median (plus a 50 ms floor) WITH the
+    // sentinel seconds as the datum — a wider net than the 2.5× retry
+    // rule, so a cold regression in a cross-round diff either appears
+    // here (its window was contended — discount it) or is certified to
+    // have run in a quiet window. Usually empty; the retry rule's
+    // queries are a subset.
+    val coldWindows = names.flatMap(n => sentinels.get(n)
+      .filter(s => s > 1.5 * sMedian && s > sMedian + 0.05)
+      .map(n -> _))
     // the sf dir basename is enough to identify the scale; the full path
     // only spends line budget
     val sfName = new java.io.File(sfDir).getName
-    def mkLine(coldFirstJson: String, steadyRetriedJson: String) = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(results2)},"steady_total":$steadyTotal%.3f,"steady_vals":$steadyValsJson,"failed":$failedJson,"sentinel_median":$sMedian%.3f,"sentinel_max":$sMax%.3f,"cold_first":$coldFirstJson,"steady_retried":$steadyRetriedJson,"steady_inverted":$invertedJson,"sf":"$sfName"}"""
-    var line = mkLine(jsonMap(coldFirst.toSeq), jsonIntMap(steadyRetriedPer.toSeq))
-    if (line.length > 1900 &&
-        (coldFirst.nonEmpty || steadyRetriedPer.nonEmpty)) {
+    def mkLine(coldFirstJson: String, steadyRetriedJson: String,
+        coldContendedJson: String) = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(results2)},"steady_total":$steadyTotal%.3f,"steady_vals":$steadyValsJson,"failed":$failedJson,"sentinel_median":$sMedian%.3f,"sentinel_max":$sMax%.3f,"cold_first":$coldFirstJson,"steady_retried":$steadyRetriedJson,"steady_inverted":$invertedJson,"cold_contended":$coldContendedJson,"sf":"$sfName"}"""
+    var line = mkLine(jsonMap(coldFirst.toSeq),
+      jsonIntMap(steadyRetriedPer.toSeq), jsonMap(coldWindows))
+    if (line.length > 1900 && (coldFirst.nonEmpty ||
+        steadyRetriedPer.nonEmpty || coldWindows.nonEmpty)) {
       // overflow fallback: a large retry batch (many cold_first /
-      // steady_retried entries) must not push the line past the tail
-      // window and unparse the WHOLE record — demote the per-query maps
-      // to stderr and publish only the counts inline (still a per-run
-      // retry signal; steady_inverted stays inline — it is the anomaly
-      // flag and is almost always empty). Empty maps are already
-      // minimal; demoting them would only lengthen the line.
+      // steady_retried / cold_contended entries) must not push the line
+      // past the tail window and unparse the WHOLE record — demote the
+      // per-query maps to stderr and publish only the counts inline
+      // (still a per-run retry signal; steady_inverted stays inline — it
+      // is the anomaly flag and is almost always empty). Empty maps are
+      // already minimal; demoting them would only lengthen the line.
       System.err.println(s"[bench] cold_first=${jsonMap(coldFirst.toSeq)}")
       System.err.println(
         s"[bench] steady_retried=${jsonIntMap(steadyRetriedPer.toSeq)}")
+      System.err.println(
+        s"[bench] cold_contended=${jsonMap(coldWindows)}")
       line = mkLine(s"""{"n_retried":${coldFirst.size}}""",
-        s"""{"n_retried":${steadyRetriedPer.size}}""")
+        s"""{"n_retried":${steadyRetriedPer.size}}""",
+        s"""{"n_contended":${coldContended.size}}""")
     }
     if (line.length > 1900) System.err.println(
       s"[bench] WARNING: JSON line ${line.length} chars — may overflow the driver's 2000-char tail")

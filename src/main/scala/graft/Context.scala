@@ -1185,24 +1185,39 @@ class Context(val spark: SparkSession) {
     // output); the table is tokenizer-sized and compiled into the
     // projection.
     case Tokenize(table, opts, select) =>
-      graft.operators.Corpus.bpeEncode(
-        sql(select),
-        idCol = opts.getOrElse("id", "doc_id"),
-        textCol = opts.getOrElse("text", "text"),
-        merges = lookupTable(table),
-        // max_merges is an optional acceptance guard; production-size
-        // tables (32k+ merges) compile into the single-node native
-        // expression past fold_limit, so there is no default cap
-        maxMerges = opts.get("max_merges").map(_.trim.toInt)
-          .getOrElse(Int.MaxValue),
-        foldLimit = opts.get("fold_limit").map(_.trim.toInt).getOrElse(96),
-        // pre-tokenizer word-length cap (code points): bounds the O(len²)
-        // per-word merge cost so a space-free megaword (minified JS,
-        // base64) cannot stall a task — chunks encode independently.
-        // NOTE: tokens for a >max_word word differ from unbounded BPE at
-        // the chunk boundaries (one-time runtime warning when tripped);
-        // see Corpus.bpeEncode's OUTPUT CHANGE doc.
-        maxWordLen = opts.get("max_word").map(_.trim.toInt).getOrElse(1024))
+      opts.getOrElse("method", "bpe").trim.toLowerCase match {
+        case "bpe" => graft.operators.Corpus.bpeEncode(
+          sql(select),
+          idCol = opts.getOrElse("id", "doc_id"),
+          textCol = opts.getOrElse("text", "text"),
+          merges = lookupTable(table),
+          // max_merges is an optional acceptance guard; production-size
+          // tables (32k+ merges) compile into the single-node native
+          // expression past fold_limit, so there is no default cap
+          maxMerges = opts.get("max_merges").map(_.trim.toInt)
+            .getOrElse(Int.MaxValue),
+          foldLimit = opts.get("fold_limit").map(_.trim.toInt).getOrElse(96),
+          // pre-tokenizer word-length cap (code points): bounds the O(len²)
+          // per-word merge cost so a space-free megaword (minified JS,
+          // base64) cannot stall a task — chunks encode independently.
+          // NOTE: tokens for a >max_word word differ from unbounded BPE at
+          // the chunk boundaries (one-time runtime warning when tripped);
+          // see Corpus.bpeEncode's OUTPUT CHANGE doc.
+          maxWordLen = opts.get("max_word").map(_.trim.toInt).getOrElse(1024))
+        // method='unigram': the table operand is a (piece, score) frame
+        // (unigramTrain's output or TRAIN METHOD unigram); Viterbi decode
+        // under integer scores, same max_word pre-tokenizer cap
+        case "unigram" => graft.operators.Corpus.unigramEncode(
+          sql(select),
+          idCol = opts.getOrElse("id", "doc_id"),
+          textCol = opts.getOrElse("text", "text"),
+          pieces = lookupTable(table),
+          maxWordLen = opts.get("max_word").map(_.trim.toInt).getOrElse(1024),
+          unkScore = opts.get("unk_score").map(_.trim.toLong)
+            .getOrElse(-100000000L))
+        case other => throw new IllegalArgumentException(
+          s"Unknown TOKENIZE method: $other (bpe|unigram)")
+      }
 
     // SELECT * FROM SUMMARIZE(BY col [WITH (...)], <select>) — per-group
     // corpus profile (doc count, char/token volume, length percentiles,
@@ -1265,22 +1280,35 @@ class Context(val spark: SparkSession) {
     // '' row for the bias= option. Training runs AT STATEMENT TIME
     // (iters= full passes; the EXPLAIN doc note on compile-side actions
     // applies doubly here).
-    case Train(method, opts, select) =>
-      require(method == "linear", s"Unknown TRAIN method: $method (linear)")
-      val m = graft.operators.Corpus.linearTrain(
+    case Train(method, opts, select) => method match {
+      case "linear" =>
+        val m = graft.operators.Corpus.linearTrain(
+          sql(select),
+          textCol = opts.getOrElse("text", "text"),
+          labelCol = opts.getOrElse("label", "label"),
+          iters = opts.get("iters").map(_.trim.toInt).getOrElse(10),
+          lr = opts.get("lr").map(_.trim.toDouble).getOrElse(1.0),
+          fitBias = opts.get("fit_bias").forall(_.trim.toBoolean),
+          average = opts.get("average").forall(_.trim.toBoolean),
+          broadcastWeights =
+            opts.get("broadcast").forall(_.trim.toBoolean),
+          minLossDelta =
+            opts.get("min_loss_delta").map(_.trim.toDouble).getOrElse(0.0))
+        import spark.implicits._
+        m.weights.unionAll(Seq(("", m.bias)).toDF("term", "weight"))
+      // TRAIN METHOD unigram: Viterbi-EM unigram-LM tokenizer training —
+      // returns the (piece, n_uses, score) table TOKENIZE method='unigram'
+      // consumes (CTAS it for reuse, the linear-model pattern)
+      case "unigram" => graft.operators.Corpus.unigramTrain(
         sql(select),
         textCol = opts.getOrElse("text", "text"),
-        labelCol = opts.getOrElse("label", "label"),
-        iters = opts.get("iters").map(_.trim.toInt).getOrElse(10),
-        lr = opts.get("lr").map(_.trim.toDouble).getOrElse(1.0),
-        fitBias = opts.get("fit_bias").forall(_.trim.toBoolean),
-        average = opts.get("average").forall(_.trim.toBoolean),
-        broadcastWeights =
-          opts.get("broadcast").forall(_.trim.toBoolean),
-        minLossDelta =
-          opts.get("min_loss_delta").map(_.trim.toDouble).getOrElse(0.0))
-      import spark.implicits._
-      m.weights.unionAll(Seq(("", m.bias)).toDF("term", "weight"))
+        vocabSize = opts.get("vocab_size").map(_.trim.toInt).getOrElse(64),
+        maxPieceLen = opts.get("max_piece").map(_.trim.toInt).getOrElse(4),
+        seedSize = opts.get("seed_size").map(_.trim.toInt).getOrElse(2000),
+        keepFrac = opts.get("keep_frac").map(_.trim.toDouble).getOrElse(0.8))
+      case other => throw new IllegalArgumentException(
+        s"Unknown TRAIN method: $other (linear|unigram)")
+    }
 
     // SELECT * FROM PAGERANK([WITH (...),] <select>) — damped PageRank
     // with dangling-mass redistribution over the inner query's (src, dst)

@@ -98,6 +98,15 @@ object ScaleProbe {
       }.toDF("media_id", "payload")
   }
 
+  /** The 0.5%-hit-rate increment of the r11 bloom probes: 1 in 200 rows
+    * keeps its corpus text, the rest are genuinely new. */
+  private def lowHitFresh(docs: DataFrame): DataFrame =
+    docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") + 900000000L).as("doc_id"),
+        when(pmod(col("doc_id"), lit(2000)) === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" fresh "), col("doc_id")))
+          .as("text"))
+
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
     val rep = args.drop(1).headOption.map(_.toInt).getOrElse(20)
@@ -694,10 +703,19 @@ object ScaleProbe {
         val embAll = docs.select(col("doc_id").as("vec_id"),
           graft.functions.TextAnalysis.hashEmbedding(col("text"), 64)
             .as("embedding"))
+        // nBuckets sized to the RUN's partition budget (the standard
+        // bucketed-table decision — bucket count IS the parallelism of
+        // every stage that reads the index in place): the r11 100× run
+        // measured the DEFAULT 8 buckets capping the candidate-join/
+        // verify stages at 8-way parallelism — 66 s vs 18 s direct at
+        // 450k vectors — and 64 buckets under a 256-partition run still
+        // pinning those stages at 64 slots (24 s vs 10 s); matching the
+        // partition budget restores the index's win (PLANS 70)
         if (wanted("embedding_incr_indexed"))
           operators.Similarity.saveSrpIndex(
             embAll.filter(pmod(col("vec_id"), lit(10)) =!= 0),
-            "vec_id", "embedding", prefix = "probe_srp_idx", dim = 64)
+            "vec_id", "embedding", prefix = "probe_srp_idx", dim = 64,
+            nBuckets = parts)
         time("embedding_incr_indexed") {
           operators.Similarity.cosineDedupIncrementalIndexed(spark,
             embAll.filter(pmod(col("vec_id"), lit(10)) === 0)
@@ -727,7 +745,60 @@ object ScaleProbe {
               .otherwise(concat(col("text"), lit(" fresh "), col("doc_id")))
               .as("text"))
         fresh.join(docs.select("text").distinct(), Seq("text"), "left_anti")
-      }).flatten ++ {
+      },
+      {
+        // r11 (PLANS 63's extrapolation, measured): the REALISTIC ingest
+        // mix — 0.5% of the increment duplicates the corpus (1 in 200),
+        // vs the r10 probes' worst-case 50% — against the persisted
+        // index. Bloom misses (99.5%) pass as a pure projection; the
+        // confirm join sees only the duplicate sliver + fpp.
+        if (wanted("bloom_incr_low_hit_indexed") &&
+            !spark.catalog.tableExists("probe_lowhit_idx_digests"))
+          operators.TextDedup.saveExactDedupIndex(docs, "text",
+            prefix = "probe_lowhit_idx")
+        time("bloom_incr_low_hit_indexed") {
+          operators.TextDedup.exactDedupIncrementalIndexed(
+            spark, lowHitFresh(docs), "doc_id", "text", "probe_lowhit_idx")
+        }
+      },
+      time("bloom_incr_low_hit_full_join") {
+        // the ungated baseline at the same 0.5% mix
+        lowHitFresh(docs).join(docs.select("text").distinct(), Seq("text"),
+          "left_anti")
+      },
+      ).flatten ++ {
+      // r11 (PLANS 64's production-width extrapolation, measured): the
+      // d=768 width at m=2000 bench vectors — a ~12 MB side, past the
+      // 8 MB literal byte cap, so the default runs the BROADCAST route
+      // end-to-end at real width (the r10 plan-bomb shape, fixed); the
+      // literal twin (cap raised) is the comparison the PLANS entry
+      // requires. The hashed-featurizer pass is MATERIALIZED OUTSIDE the
+      // timed region: at d=768 its O(tokens × dim) fold costs minutes
+      // and is not what these probes measure.
+      if (!wanted("semantic_decon_d768")) Seq.empty
+      else {
+        val emb768 = docs.select(col("doc_id").as("vec_id"),
+          graft.functions.TextAnalysis.hashEmbedding(col("text"), 768)
+            .as("embedding")).cache()
+        emb768.count()
+        val r = Seq(
+          time("semantic_decon_d768_bc") {
+            operators.Similarity.semanticDecontaminate(
+              emb768.filter(pmod(col("vec_id"), lit(50)) =!= 7),
+              emb768.filter(pmod(col("vec_id"), lit(50)) === 7).limit(2000),
+              "vec_id", "embedding", threshold = 0.9)
+          },
+          time("semantic_decon_d768_lit") {
+            operators.Similarity.semanticDecontaminate(
+              emb768.filter(pmod(col("vec_id"), lit(50)) =!= 7),
+              emb768.filter(pmod(col("vec_id"), lit(50)) === 7).limit(2000),
+              "vec_id", "embedding", threshold = 0.9,
+              literalMaxBytes = Long.MaxValue)
+          }).flatten
+        emb768.unpersist()
+        r
+      }
+    } ++ {
       // r8 WARC probes (not in the `time` Seq: the write probe returns no
       // DataFrame). Write the clone corpus as HTTP-response records, then
       // scan twice — metadata-only (content SKIPPED via pruning) vs full
@@ -829,14 +900,14 @@ object ScaleProbe {
         val incV = embAll.filter(pmod(col("vec_id"), lit(10)) === 0)
           .select((col("vec_id") + 900000000L).as("vec_id"), col("embedding"))
         operators.Similarity.saveSrpIndex(embAll, "vec_id", "embedding",
-          prefix = "probe_apx_srp", dim = 64)
+          prefix = "probe_apx_srp", dim = 64, nBuckets = 64)
         val t2 = System.nanoTime()
         operators.Similarity.appendSrpIndex(spark, incV, "vec_id",
           "embedding", "probe_apx_srp", dim = 64)
         val srpApp = (System.nanoTime() - t2) / 1e9
         val t3 = System.nanoTime()
         operators.Similarity.saveSrpIndex(embAll.unionByName(incV), "vec_id",
-          "embedding", prefix = "probe_apx_srp2", dim = 64)
+          "embedding", prefix = "probe_apx_srp2", dim = 64, nBuckets = 64)
         val srpReb = (System.nanoTime() - t3) / 1e9
         Seq(("index_append_exact", exApp, nDocs / 10),
           ("index_rebuild_exact", exReb, nDocs + nDocs / 10),

@@ -1284,6 +1284,156 @@ object CatalystExprs {
     GraftBridge.column(
       BpeEncodeMerges(GraftBridge.expression(text), merges, maxWordLen))
 
+  /** Unigram-LM (SentencePiece-style) tokenization of one text column —
+    * the Viterbi-decode inference rule of Kudo 2018: each word is
+    * segmented into the vocabulary pieces whose score sum is MAXIMAL.
+    * The piece table (piece → integer score, micro-log-prob scale)
+    * compiles INTO this one node exactly like [[BpeEncodeMerges]]'s
+    * merge table: constant plan size at any vocabulary size, pure
+    * per-row projection, per-word cost O(len × maxPieceLen).
+    *
+    * Deterministic by construction, so the whole decode is
+    * oracle-replayable: integer scores add exactly in any engine, and
+    * ties (equal total score) resolve to the segmentation whose piece
+    * lengths, read RIGHT to LEFT, are lexicographically largest — the
+    * global rule the local DP tie-break "longer piece wins at each
+    * position" produces (the p99 oracle enumerates segmentations and
+    * sorts by exactly that key). A character with no piece in the
+    * vocabulary becomes its own token at `unkScore` (the UNK fallback —
+    * encoding never fails); an explicit single-char piece always takes
+    * its table score instead. Duplicate piece strings keep the MAX
+    * score. Same pre-tokenizer contract as BPE: lowercase, split on
+    * single spaces, words over `maxWordLen` code points chunk first
+    * (the [[BpeEncodeMerges]] cap rationale; boundaries identical). */
+  case class UnigramEncode(child: Expression, pieces: Seq[(String, Long)],
+      maxWordLen: Int = 1024, unkScore: Long = -100000000L)
+      extends UnaryExpression with CodegenFallback {
+    require(maxWordLen >= 2, s"maxWordLen must be >= 2, got $maxWordLen")
+    require(pieces.forall(_._1.nonEmpty), "empty piece in vocabulary")
+
+    @transient private lazy val scoreMap
+        : java.util.HashMap[String, java.lang.Long] = {
+      val m = new java.util.HashMap[String, java.lang.Long]()
+      pieces.foreach { case (p, s) =>
+        val prev = m.get(p)
+        if (prev == null || s > prev.longValue()) m.put(p, s)
+      }
+      m
+    }
+    @transient private lazy val maxPieceLen: Int =
+      if (pieces.isEmpty) 1
+      else math.max(1, pieces.iterator.map(p =>
+        p._1.codePointCount(0, p._1.length)).max)
+
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+    /** Viterbi over one ≤ maxWordLen-code-point chunk. `off` holds the
+      * char offset of each code-point boundary (length n+1). */
+    private def viterbi(word: String,
+        out: scala.collection.mutable.ArrayBuffer[Any]): Unit = {
+      val n = word.codePointCount(0, word.length)
+      val off = new Array[Int](n + 1)
+      var o = 0
+      var i = 0
+      while (i < n) {
+        off(i) = o
+        o += Character.charCount(word.codePointAt(o))
+        i += 1
+      }
+      off(n) = word.length
+      val best = Array.fill(n + 1)(Long.MinValue)
+      val bpLen = new Array[Int](n + 1) // code points of the chosen piece
+      best(0) = 0L
+      i = 1
+      while (i <= n) {
+        var l = 1
+        val lMax = math.min(maxPieceLen, i)
+        while (l <= lMax) {
+          if (best(i - l) != Long.MinValue) {
+            val sub = word.substring(off(i - l), off(i))
+            val sc = scoreMap.get(sub)
+            val pieceScore: java.lang.Long =
+              if (sc != null) sc
+              else if (l == 1) java.lang.Long.valueOf(unkScore)
+              else null
+            if (pieceScore != null) {
+              val cand = best(i - l) + pieceScore.longValue()
+              // strict longer-piece preference on equal score: the local
+              // rule whose global outcome the oracle's reversed-length
+              // sort key reproduces
+              if (cand > best(i) || (cand == best(i) && l > bpLen(i))) {
+                best(i) = cand
+                bpLen(i) = l
+              }
+            }
+          }
+          l += 1
+        }
+        i += 1
+      }
+      // reconstruct right-to-left, emit in order
+      val rev = new scala.collection.mutable.ArrayBuffer[String]()
+      var p = n
+      while (p > 0) {
+        val l = bpLen(p)
+        rev += word.substring(off(p - l), off(p))
+        p -= l
+      }
+      var j = rev.length - 1
+      while (j >= 0) {
+        out += org.apache.spark.unsafe.types.UTF8String.fromString(rev(j))
+        j -= 1
+      }
+    }
+
+    private def encodeWord(word: String,
+        out: scala.collection.mutable.ArrayBuffer[Any]): Unit = {
+      val n = word.codePointCount(0, word.length)
+      if (n <= maxWordLen) viterbi(word, out)
+      else {
+        // chunk at code-point boundaries (the BPE cap contract)
+        var cp = 0
+        var o = 0
+        var start = 0
+        while (o < word.length) {
+          o += Character.charCount(word.codePointAt(o))
+          cp += 1
+          if (cp == maxWordLen || o == word.length) {
+            viterbi(word.substring(start, o), out)
+            start = o
+            cp = 0
+          }
+        }
+      }
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+        .toLowerCase.toString
+      val out = new scala.collection.mutable.ArrayBuffer[Any]()
+      var start = 0
+      var i = 0
+      val n = text.length
+      while (i <= n) {
+        if (i == n || text.charAt(i) == ' ') {
+          if (i > start) encodeWord(text.substring(start, i), out)
+          start = i + 1
+        }
+        i += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+
+    override def prettyName: String = "unigram_encode"
+    override protected def withNewChildInternal(c: Expression): UnigramEncode =
+      copy(child = c)
+  }
+
+  def unigramEncode(text: Column, pieces: Seq[(String, Long)],
+      maxWordLen: Int = 1024, unkScore: Long = -100000000L): Column =
+    GraftBridge.column(UnigramEncode(GraftBridge.expression(text), pieces,
+      maxWordLen, unkScore))
+
   /** Perceptual image hash (dHash, 64-bit) of an UNCOMPRESSED 24/32-bit
     * BMP payload — REAL pixel work, no codec library: BI_RGB bitmaps are
     * raw BGR rows behind a fixed header, so pure byte parsing reaches the

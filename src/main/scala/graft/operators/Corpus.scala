@@ -1714,6 +1714,127 @@ object Corpus {
       .withColumn("n_tokens", size(col("tokens")).cast("bigint"))
   }
 
+  /** Unigram-LM tokenizer TRAINING (SentencePiece-style, Kudo 2018) via
+    * Viterbi-EM — the hard-EM approximation of SentencePiece's soft EM,
+    * deliberately chosen because every step is deterministic and runs
+    * under this engine's driver-loop discipline (the
+    * [[bpeLearnMerges]]/[[linearTrain]] rules: corpus text scanned ONCE,
+    * each round touches only the distinct-word vocabulary with
+    * occurrence weights, driver collects are bounded by the
+    * tokenizer-sized piece table, lineage truncated by localCheckpoint).
+    *
+    * Algorithm: seed the vocabulary with every ≤ `maxPieceLen`-code-point
+    * substring of the corpus vocabulary (all single characters always
+    * kept — encoding can never fail) trimmed to the `seedSize` most
+    * frequent multi-char pieces; then iterate (E) Viterbi-segment the
+    * weighted vocab under current piece scores — one distributed
+    * encode + one map-side-combinable weighted count per round — and
+    * (M) re-estimate each piece's score as its micro-scaled log
+    * relative frequency (integer: floor(1e6·ln(count/total)),
+    * StrictMath for cross-JVM reproducibility), pruning the
+    * lowest-usage multi-char pieces by a `keepFrac` schedule until the
+    * vocabulary reaches `vocabSize`. Zero-usage pieces prune first —
+    * Kudo's prune-by-loss-contribution, with Viterbi counts standing in
+    * for expected counts. Emits (piece, n_uses, score), the table
+    * [[unigramEncode]] and `TOKENIZE method='unigram'` consume.
+    */
+  def unigramTrain(df: DataFrame, textCol: String, vocabSize: Int,
+      maxPieceLen: Int = 4, seedSize: Int = 2000,
+      keepFrac: Double = 0.8): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    require(maxPieceLen >= 1, "maxPieceLen must be >= 1")
+    require(keepFrac > 0 && keepFrac < 1, "keepFrac must be in (0,1)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df.select(explode(
+        filter(split(lower(col(textCol)), " "), t => t =!= "")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n_occ"))
+      .localCheckpoint()
+    // seed substring counts (code-point slicing, the BPE seeding rule)
+    val chars = split(col("word"), "")
+    val subsCol = flatten(transform(
+      sequence(lit(1), least(lit(maxPieceLen), size(chars))), l =>
+        transform(sequence(lit(0), size(chars) - l), i =>
+          concat_ws("", slice(chars, i + 1, l)))))
+    val pieceCounts = words.select(explode(subsCol).as("piece"), col("n_occ"))
+      .groupBy("piece").agg(sum(col("n_occ")).as("n"))
+    def isSingle(p: String): Boolean = p.codePointCount(0, p.length) == 1
+    // singles bounded by the corpus alphabet; multis trimmed IN SPARK to
+    // seedSize before the driver ever sees them
+    val seed =
+      pieceCounts.filter(size(split(col("piece"), "")) === 1)
+        .collect().map(r => (r.getString(0), r.getLong(1))) ++
+      pieceCounts.filter(size(split(col("piece"), "")) >= 2)
+        .orderBy(col("n").desc, col("piece")).limit(seedSize)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+    def scoresOf(counts: Array[(String, Long)]): Seq[(String, Long)] = {
+      val total = math.max(counts.iterator.map(_._2).sum, 1L).toDouble
+      counts.toSeq.map { case (p, c) =>
+        (p, math.floor(1e6 *
+          StrictMath.log(math.max(c, 1L).toDouble / total)).toLong)
+      }
+    }
+    var pieces: Array[(String, Long)] = seed
+    var done = false
+    while (!done) {
+      // E-step: Viterbi usage counts under current scores (distributed;
+      // singles cover every corpus char, so the UNK fallback never fires
+      // here and every emitted token IS a table piece)
+      val usage = words.select(explode(
+          graft.functions.CatalystExprs.unigramEncode(
+            col("word"), scoresOf(pieces))).as("piece"), col("n_occ"))
+        .groupBy("piece").agg(sum(col("n_occ")).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val reestimated = pieces.map { case (p, _) => (p, usage.getOrElse(p, 0L)) }
+      val (sg, mu) = reestimated.partition(p => isSingle(p._1))
+      // prune schedule: shrink multis by keepFrac per round — strictly,
+      // so the loop always terminates — never below the final target;
+      // zero-usage pieces go first (sorted last)
+      val target = math.max(vocabSize - sg.length, 0)
+      val keep =
+        if (mu.length <= target) mu.length
+        else math.max(target, math.min(mu.length - 1,
+          math.ceil(mu.length * keepFrac).toInt))
+      val kept = mu.sortBy { case (p, n) => (-n, p) }.take(keep)
+      // a single with zero Viterbi usage keeps a floor count of 1: it
+      // stays encodable (the never-fails contract) at a rock-bottom score
+      pieces = sg.map { case (p, n) => (p, math.max(n, 1L)) } ++ kept
+      done = keep <= target || mu.isEmpty
+    }
+    val scored = scoresOf(pieces)
+    pieces.toSeq.map(_._2).zip(scored)
+      .map { case (n, (p, s)) => (p, n, s) }
+      .sortBy { case (p, n, _) => (-n, p) }
+      .toDF("piece", "n_uses", "score")
+  }
+
+  /** Unigram-LM ENCODING — Viterbi-segment text under a learned piece
+    * table (the output of [[unigramTrain]], or any (piece, score) frame
+    * with integer scores): the maximum-score segmentation per word, the
+    * standard SentencePiece inference rule. Emits (id, tokens,
+    * n_tokens) — the [[bpeEncode]] contract, so everything downstream
+    * (token counting, packing, budget mixing) composes unchanged.
+    *
+    * Scale shape: the piece table is tokenizer-sized, collected once and
+    * compiled INTO one native node
+    * ([[graft.functions.CatalystExprs.UnigramEncode]]) — constant plan
+    * size at any vocabulary size, pure per-row projection, O(len ×
+    * maxPieceLen) per word, `maxWordLen` chunking bounding megawords
+    * exactly as [[bpeEncode]] does. Deterministic (integer scores,
+    * documented tie-break), so the decode is oracle-gated bit-for-bit
+    * (p99). */
+  def unigramEncode(df: DataFrame, idCol: String, textCol: String,
+      pieces: DataFrame, maxWordLen: Int = 1024,
+      unkScore: Long = -100000000L): DataFrame = {
+    val table = pieces.select(col("piece").cast("string"),
+        col("score").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    df.select(col(idCol),
+        graft.functions.CatalystExprs.unigramEncode(col(textCol), table,
+          maxWordLen, unkScore).as("tokens"))
+      .withColumn("n_tokens", size(col("tokens")).cast("bigint"))
+  }
+
   /** The dedup ACTION that follows [[connectedComponents]]: pick ONE
     * survivor per near-duplicate cluster — the best-scoring member (score
     * desc, id asc tiebreak; "keep the longest/highest-quality copy", the

@@ -72,7 +72,80 @@ object MediaCodecs {
     def decode(payload: Array[Byte]): Option[VideoFrames]
   }
 
-  @volatile private var images: Seq[ImageDecoder] = Nil
+  /** JDK-ImageIO-backed decoder (r11): JPEG/PNG/GIF via `javax.imageio`
+    * — zero new dependencies, so `DEDUP image` works on actual crawl
+    * payloads out of the box. Sniffs the magic bytes FIRST (JPEG
+    * FF D8 FF, PNG 89 'PNG', GIF 'GIF8') and declines everything else,
+    * so it can never shadow the raw-BMP built-in or a user-registered
+    * format; grayscale conversion uses the SAME integer luma as the BMP
+    * built-in ((299r + 587g + 114b)/1000), so a lossless re-encode (PNG,
+    * GIF of a grayscale image) decodes to bit-identical gray values and
+    * hashes EQUAL to its BMP twin (spec-pinned; p98's oracle leans on
+    * it). Determinism: ImageIO decode of lossless formats is exact by
+    * construction; JPEG decode is bit-stable for a given JDK — the
+    * MultimodalSpec fixture pins a decoded-hash value so a JDK swap that
+    * changed IDCT rounding would fail loudly rather than silently
+    * re-cluster. Oversize guard: > 64 MP payloads decline (a decompression
+    * bomb must not OOM an executor). */
+  final class ImageIoDecoder extends ImageDecoder {
+    def format: String = "imageio"
+    def decode(payload: Array[Byte]): Option[GrayImage] = {
+      if (payload == null || payload.length < 8) return None
+      val sniff =
+        (payload(0) == 0xFF.toByte && payload(1) == 0xD8.toByte &&
+          payload(2) == 0xFF.toByte) ||
+        (payload(0) == 0x89.toByte && payload(1) == 'P' &&
+          payload(2) == 'N' && payload(3) == 'G') ||
+        (payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F' &&
+          payload(3) == '8')
+      if (!sniff) return None
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        if (img == null) return None
+        val w = img.getWidth
+        val h = img.getHeight
+        if (w <= 0 || h <= 0 || w.toLong * h > 64000000L) return None
+        val gray = new Array[Int](w * h)
+        if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) {
+          // grayscale-coded images: read raster samples directly —
+          // getRGB would run the linear-gray→sRGB color conversion and
+          // skew the values, breaking the exact lossless round-trip
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              gray(y * w + x) = raster.getSample(x, y, 0) & 0xFF
+              x += 1
+            }
+            y += 1
+          }
+        } else {
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val r = (rgb >> 16) & 0xFF
+              val g = (rgb >> 8) & 0xFF
+              val b = rgb & 0xFF
+              gray(y * w + x) = (r * 299 + g * 587 + b * 114) / 1000
+              x += 1
+            }
+            y += 1
+          }
+        }
+        Some(GrayImage(w, h, gray))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
+  // the ImageIO decoder is PRE-registered (replace/unregister by its
+  // "imageio" format key to override) — crawl-standard formats should
+  // work without a registration step, and its magic-byte sniff keeps it
+  // disjoint from the raw-BMP built-in and from any custom format
+  @volatile private var images: Seq[ImageDecoder] = Seq(new ImageIoDecoder)
   @volatile private var audios: Seq[AudioDecoder] = Nil
   @volatile private var videos: Seq[VideoDecoder] = Nil
 

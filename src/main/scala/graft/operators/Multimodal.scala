@@ -405,6 +405,31 @@ object Multimodal {
       le32(data.length) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++ data
   }
 
+  /** Deterministic synthetic grayscale image ENCODED via JDK ImageIO
+    * (format ∈ png|gif|jpg ...) — the fixture twin of
+    * [[MediaCodecs.ImageIoDecoder]] for the p98 driver query and specs.
+    * The image is written TYPE_BYTE_GRAY, so PNG/GIF encodings are
+    * LOSSLESS for 8-bit gray and the registry decode reproduces the
+    * exact pixel values a [[syntheticBmpGray]] of the same function
+    * yields (→ identical dHash, the structural-oracle lever); JPEG is
+    * lossy and belongs in tolerance specs, not exact oracles. */
+  def syntheticImageIo(w: Int, h: Int, format: String)(
+      px: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, px(x, y) & 0xFF); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, format, bos),
+      s"no ImageIO writer for format $format")
+    bos.toByteArray
+  }
+
   /** Image GRID EMBEDDING (see CatalystExprs.BmpGridEmbedding): a 72-dim
     * brightness/contrast/resolution-invariant float vector per image
     * payload, bridging media into the embedding stack — the output

@@ -218,7 +218,11 @@ object Similarity {
     * production ANN service runs: build nightly, serve query batches from
     * the persisted tables without refitting KMeans. */
   def saveIvfIndex(idx: IvfIndex, prefix: String, nBuckets: Int = 8): Unit = {
-    idx.cells.write.format("parquet").mode("overwrite")
+    // bucket-key repartition before the bucketed write (the saveSrpIndex
+    // splinter-file rationale): one file per bucket, not per (input
+    // partition × bucket)
+    idx.cells.repartition(nBuckets, col("cell"))
+      .write.format("parquet").mode("overwrite")
       .bucketBy(nBuckets, "cell").sortBy("cell")
       .saveAsTable(s"${prefix}_cells")
     idx.centroids.write.format("parquet").mode("overwrite")
@@ -491,7 +495,15 @@ object Similarity {
     * table as-is (the streaming pair gate) rely on, since a stream join
     * cannot window the static side per microbatch; batch readers apply
     * their own runtime cap on top, so a capped build only ever shrinks
-    * their candidate set the same way their own cap would. */
+    * their candidate set the same way their own cap would.
+    *
+    * SIZE `nBuckets` TO THE CORPUS: bucketed reads skip the Exchange, so
+    * the bucket count IS the parallelism of every downstream stage that
+    * joins the index in place — the r11 100× probe measured the default
+    * 8 capping a 450k-vector increment screen at 8-way parallelism
+    * (3.6× SLOWER than the unindexed direct form) where 64 buckets
+    * restore the win (PLANS 70). Rule of thumb: corpus rows / ~100k, at
+    * least the cluster's core count. */
   def saveSrpIndex(
       df: DataFrame, idCol: String, vecCol: String, prefix: String,
       dim: Int, tables: Int = 8, bitsPerTable: Int = 8, nBuckets: Int = 8,
@@ -503,7 +515,15 @@ object Similarity {
         .withColumn("nrm", norm(col("vec")))
       if (portable) base.withColumn("codes", quantized(col("vec"))) else base
     }
+    // repartition ON THE BUCKET KEYS before every bucketed write (here
+    // and in every other index save/append in this engine): Spark's
+    // bucketed writer emits one file per (input partition × bucket), so
+    // writing from an unaligned N-partition frame produces N × nBuckets
+    // splinter files — the r11 100× battery measured a 3.6M-row band
+    // table costing 21 s to COUNT behind 65k files (PLANS 70). Aligned,
+    // each bucket is one file and reads are footer-bound no more.
     v.select(col("id"), col("vec"), col("nrm"))
+      .repartition(nBuckets, col("id"))
       .write.format("parquet").mode("overwrite")
       .bucketBy(nBuckets, "id").sortBy("id")
       .saveAsTable(s"${prefix}_srp_vecs")
@@ -521,7 +541,8 @@ object Similarity {
       else banded.withColumn("_n", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy("tbl", "bucket")))
         .filter(col("_n") <= maxBucket).drop("_n")
-    capped.write.format("parquet").mode("overwrite")
+    capped.repartition(nBuckets, col("tbl"), col("bucket"))
+      .write.format("parquet").mode("overwrite")
       .bucketBy(nBuckets, "tbl", "bucket").sortBy("tbl", "bucket")
       .saveAsTable(s"${prefix}_srp_buckets")
   }
@@ -557,9 +578,14 @@ object Similarity {
       .join(spark.table(s"${prefix}_srp_vecs").select("id"), Seq("id"),
         "left_anti")
       .localCheckpoint()
+    val nbVecs = TextDedup.bucketCount(spark, s"${prefix}_srp_vecs")
+    val nbBands = TextDedup.bucketCount(spark, s"${prefix}_srp_buckets")
+    // bucket-key repartition before the bucketed writes (the saveSrpIndex
+    // splinter-file rationale): each append adds ≤ nBuckets files
     fresh.select(col("id"), col("vec"), col("nrm"))
+      .repartition(nbVecs, col("id"))
       .write.format("parquet").mode("append")
-      .bucketBy(TextDedup.bucketCount(spark, s"${prefix}_srp_vecs"), "id")
+      .bucketBy(nbVecs, "id")
       .sortBy("id")
       .saveAsTable(s"${prefix}_srp_vecs")
     fresh.select(col("id"), explode(array((0 until tables).map { t =>
@@ -571,9 +597,9 @@ object Similarity {
             .as("bucket"))
       }: _*)).as("tb"))
       .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      .repartition(nbBands, col("tbl"), col("bucket"))
       .write.format("parquet").mode("append")
-      .bucketBy(TextDedup.bucketCount(spark, s"${prefix}_srp_buckets"),
-        "tbl", "bucket")
+      .bucketBy(nbBands, "tbl", "bucket")
       .sortBy("tbl", "bucket")
       .saveAsTable(s"${prefix}_srp_buckets")
   }
@@ -607,11 +633,23 @@ object Similarity {
               .as("bucket"))
         }: _*)).as("tb"))
       .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    val oldB = spark.table(s"${prefix}_srp_buckets")
+    // skew cap WITHOUT a window (r11): bucket sizes aggregate shuffle-free
+    // over the (tbl, bucket)-bucketed table, and only the OVERSIZED bucket
+    // list — degenerate boilerplate, tiny by construction — broadcasts
+    // into an anti-join. The previous window form sorted the whole band
+    // table AND pinned the candidate join to the bucket layout, forfeiting
+    // AQE's broadcast/skew re-planning: measured 2-9× slower than the
+    // unindexed shuffle form at 500k vectors under clone skew (PLANS 70).
+    // Identical semantics: drop every row of a bucket with > maxBucket rows.
+    val bandTable = spark.table(s"${prefix}_srp_buckets")
       .select(col("id").as("dup_of"), col("tbl"), col("bucket"))
-      .withColumn("_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("tbl", "bucket")))
-      .filter(col("_n") <= maxBucket).drop("_n")
+    val oldB =
+      if (maxBucket == Int.MaxValue) bandTable
+      else bandTable.join(
+        broadcast(spark.table(s"${prefix}_srp_buckets")
+          .groupBy("tbl", "bucket").agg(count(lit(1)).as("_n"))
+          .filter(col("_n") > maxBucket).select("tbl", "bucket")),
+        Seq("tbl", "bucket"), "left_anti")
     val cand = newB.join(oldB, Seq("tbl", "bucket"))
       .select("vec_id", "dup_of").distinct()
     val va = vNew.select(col("id").as("vec_id"), col("vec").as("va"), col("nrm").as("na"))
@@ -813,7 +851,8 @@ object Similarity {
     * serving artifact: nightly build writes cells + codes + codebooks;
     * query time touches only cell buckets and m-int code words. */
   def savePqIndex(idx: PqIndex, prefix: String, nBuckets: Int = 8): Unit = {
-    idx.codes.write.format("parquet").mode("overwrite")
+    idx.codes.repartition(nBuckets, col("nid"))
+      .write.format("parquet").mode("overwrite")
       .bucketBy(nBuckets, "nid").sortBy("nid")
       .saveAsTable(s"${prefix}_pq_codes")
     val spark = idx.codes.sparkSession

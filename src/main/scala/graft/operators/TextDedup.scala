@@ -264,6 +264,10 @@ object TextDedup {
       .select(xxhash64(col(textCol)).as("xxh"),
         md5(col(textCol)).as("content_md5"))
       .distinct()
+      // bucket-key repartition before every bucketed write in this file
+      // (the Similarity.saveSrpIndex splinter-file rationale, PLANS 70):
+      // one file per bucket, not per (input partition x bucket)
+      .repartition(nBuckets, col("xxh"))
       .write.format("parquet").mode("overwrite")
       .bucketBy(nBuckets, "xxh").sortBy("xxh")
       .saveAsTable(s"${prefix}_digests")
@@ -351,8 +355,10 @@ object TextDedup {
     val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
       new java.io.ByteArrayInputStream(bytes))
     bf.mergeInPlace(fresh.stat.bloomFilter("xxh", n, numBits))
-    fresh.write.format("parquet").mode("append")
-      .bucketBy(bucketCount(spark, s"${prefix}_digests"), "xxh").sortBy("xxh")
+    val nbDigests = bucketCount(spark, s"${prefix}_digests")
+    fresh.repartition(nbDigests, col("xxh"))
+      .write.format("parquet").mode("append")
+      .bucketBy(nbDigests, "xxh").sortBy("xxh")
       .saveAsTable(s"${prefix}_digests")
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
@@ -448,6 +454,7 @@ object TextDedup {
       df: DataFrame, idCol: String, textCol: String, table: String,
       nBuckets: Int, shingleSize: Int = 3): Unit =
     sortedWordShingles(df, idCol, textCol, shingleSize)
+      .repartition(nBuckets, col("doc_id"))
       .write.format("parquet").mode("overwrite")
       .bucketBy(nBuckets, "doc_id").sortBy("doc_id")
       .saveAsTable(table)
@@ -552,12 +559,14 @@ object TextDedup {
     // operator still counts on. OpCache reuses an existing entry and the
     // session owner releases between statements.
     val sh = OpCache.cached(sortedWordShingles(df, idCol, textCol, shingleSize))
-    sh.write.format("parquet").mode("overwrite")
+    sh.repartition(nBuckets, col("doc_id"))
+      .write.format("parquet").mode("overwrite")
       .bucketBy(nBuckets, "doc_id").sortBy("doc_id")
       .saveAsTable(s"${prefix}_shingles")
     sh.select(col("doc_id"),
         posexplode(graft.functions.CatalystExprs.minhashBandHashes(
           col("shingles"), numHashes, bands)).as(Seq("band", "bh")))
+      .repartition(nBuckets, col("band"), col("bh"))
       .write.format("parquet").mode("overwrite")
       .bucketBy(nBuckets, "band", "bh").sortBy("band", "bh")
       .saveAsTable(s"${prefix}_bands")
@@ -589,13 +598,17 @@ object TextDedup {
       .join(spark.table(s"${prefix}_shingles").select("doc_id"),
         Seq("doc_id"), "left_anti")
       .localCheckpoint()
-    fresh.write.format("parquet").mode("append")
-      .bucketBy(bucketCount(spark, s"${prefix}_shingles"), "doc_id")
+    val nbShingles = bucketCount(spark, s"${prefix}_shingles")
+    fresh.repartition(nbShingles, col("doc_id"))
+      .write.format("parquet").mode("append")
+      .bucketBy(nbShingles, "doc_id")
       .sortBy("doc_id")
       .saveAsTable(s"${prefix}_shingles")
     fresh.select(col("doc_id"),
         posexplode(graft.functions.CatalystExprs.minhashBandHashes(
           col("shingles"), numHashes, bands)).as(Seq("band", "bh")))
+      .repartition(bucketCount(spark, s"${prefix}_bands"), col("band"),
+        col("bh"))
       .write.format("parquet").mode("append")
       .bucketBy(bucketCount(spark, s"${prefix}_bands"), "band", "bh")
       .sortBy("band", "bh")
@@ -612,6 +625,7 @@ object TextDedup {
       shingleSize: Int = 3): Unit =
     sortedWordShingles(parallelized(newDocs), idCol, textCol, shingleSize)
       .join(spark.table(table).select("doc_id"), Seq("doc_id"), "left_anti")
+      .repartition(bucketCount(spark, table), col("doc_id"))
       .write.format("parquet").mode("append")
       .bucketBy(bucketCount(spark, table), "doc_id").sortBy("doc_id")
       .saveAsTable(table)
@@ -634,11 +648,20 @@ object TextDedup {
     val newBanded = shNew.select(col("doc_id"),
       posexplode(graft.functions.CatalystExprs.minhashBandHashes(
         col("shingles"), numHashes, bands)).as(Seq("band", "bh")))
-    val oldBanded = spark.table(s"${prefix}_bands")
+    // skew cap WITHOUT a window (r11, the Similarity.
+    // cosineDedupIncrementalIndexed rationale): sizes aggregate
+    // shuffle-free over the (band, bh)-bucketed table; only the tiny
+    // OVERSIZED bucket list broadcasts into an anti-join, keeping the
+    // scan sort-free and the candidate join AQE-replannable
+    val bandTable = spark.table(s"${prefix}_bands")
       .select(col("doc_id").as("dup_of"), col("band"), col("bh"))
-      .withColumn("_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
-      .filter(col("_n") <= maxBucket).drop("_n")
+    val oldBanded =
+      if (maxBucket == Int.MaxValue) bandTable
+      else bandTable.join(
+        broadcast(spark.table(s"${prefix}_bands")
+          .groupBy("band", "bh").agg(count(lit(1)).as("_n"))
+          .filter(col("_n") > maxBucket).select("band", "bh")),
+        Seq("band", "bh"), "left_anti")
     val cand = newBanded.join(oldBanded, Seq("band", "bh"))
       .select("doc_id", "dup_of").distinct()
     val sa = shNew.select(col("doc_id"), col("shingles").as("sh_a"))

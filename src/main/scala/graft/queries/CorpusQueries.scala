@@ -2677,5 +2677,166 @@ object CorpusQueries {
           portable = true)
         .orderBy("vec_id", "dup_of")
     },
+
+    // Unigram-LM (SentencePiece-style) Viterbi ENCODING (r11) under a
+    // FIXED integer-scored piece table: per word, the maximum-score
+    // segmentation, ties resolved to the lexicographically-largest
+    // reversed piece-length sequence (the local longer-piece-wins DP
+    // rule's global outcome), unknown chars falling back to single-char
+    // UNK pieces at -100000000. Integer scores add exactly in any
+    // engine, so the oracle ENUMERATES every segmentation per distinct
+    // word (recursive CTE; corpus words are ≤8 chars) and picks the
+    // argmax under the same key — the whole decode gated bit-for-bit.
+    Q("p99_unigram_encode", Some("""
+      WITH RECURSIVE
+      pcs(piece, sc) AS (VALUES
+        ('th', -4500000), ('the', -5000000), ('er', -4800000),
+        ('in', -4700000), ('an', -4600000), ('re', -4900000),
+        ('a', -3000000), ('b', -3000000), ('c', -3000000), ('d', -3000000),
+        ('e', -3000000), ('f', -3000000), ('g', -3000000), ('h', -3000000),
+        ('i', -3000000), ('j', -3000000), ('k', -3000000), ('l', -3000000),
+        ('m', -3000000), ('n', -3000000), ('o', -3000000), ('p', -3000000),
+        ('q', -3000000), ('r', -3000000), ('s', -3000000), ('t', -3000000),
+        ('u', -3000000), ('v', -3000000), ('w', -3000000), ('x', -3000000),
+        ('y', -3000000), ('z', -3000000)),
+      w AS (SELECT DISTINCT w FROM (
+              SELECT unnest(string_split(lower(text), ' ')) AS w
+              FROM documents) WHERE w <> ''),
+      wchars AS (SELECT DISTINCT substr(w.w, CAST(r.i AS INT), 1) AS c
+                 FROM w, (SELECT unnest(range(1, 64)) AS i) r
+                 WHERE r.i <= len(w.w)),
+      allp AS (SELECT piece, CAST(sc AS BIGINT) AS sc FROM pcs
+               UNION ALL
+               SELECT c, CAST(-100000000 AS BIGINT) FROM wchars
+               WHERE c NOT IN (SELECT piece FROM pcs WHERE len(piece) = 1)),
+      seg AS (
+        SELECT w AS word, 0 AS pos, CAST(0 AS BIGINT) AS score,
+               CAST([] AS VARCHAR[]) AS toks, CAST([] AS BIGINT[]) AS lens
+        FROM w
+        UNION ALL
+        SELECT s.word, s.pos + len(p.piece), s.score + p.sc,
+               list_append(s.toks, p.piece),
+               list_append(s.lens, CAST(len(p.piece) AS BIGINT))
+        FROM seg s JOIN allp p
+          ON substr(s.word, s.pos + 1, len(p.piece)) = p.piece
+        WHERE s.pos < len(s.word)),
+      best AS (SELECT word, toks, len(toks) AS ntok,
+                 row_number() OVER (PARTITION BY word
+                   ORDER BY score DESC, list_reverse(lens) DESC) AS rn
+               FROM seg WHERE pos = len(word)),
+      b1 AS (SELECT word, array_to_string(toks, ' ') AS tstr,
+                    CAST(ntok AS BIGINT) AS ntok
+             FROM best WHERE rn = 1),
+      dw0 AS (SELECT doc_id, words, unnest(range(1, len(words) + 1)) AS i
+              FROM (SELECT doc_id, string_split(lower(text), ' ') AS words
+                    FROM documents)),
+      dw AS (SELECT doc_id, i, words[CAST(i AS INT)] AS w FROM dw0
+             WHERE words[CAST(i AS INT)] <> '')
+      SELECT d.doc_id, CAST(sum(b.ntok) AS BIGINT) AS n_tokens,
+             string_agg(b.tstr, ' ' ORDER BY d.i) AS toks
+      FROM dw d JOIN b1 b ON b.word = d.w
+      GROUP BY d.doc_id
+      ORDER BY d.doc_id""")) { (s, d) =>
+      val singles = ('a' to 'z').map(c => (c.toString, -3000000L))
+      val multis = Seq(("th", -4500000L), ("the", -5000000L),
+        ("er", -4800000L), ("in", -4700000L), ("an", -4600000L),
+        ("re", -4900000L))
+      val spark = s
+      import spark.implicits._
+      val pieces = (singles ++ multis).toDF("piece", "score")
+      Corpus.unigramEncode(t(s, d, "documents"), "doc_id", "text", pieces)
+        .select(col("doc_id"), col("n_tokens"),
+          concat_ws(" ", col("tokens")).as("toks"))
+        .orderBy("doc_id")
+    },
+
+    // Unigram TRAINING → encoding composed (r11): Viterbi-EM learns the
+    // piece table (TRAIN METHOD unigram's operator), then the corpus is
+    // encoded under it. The learned scores are floor(1e6·ln(count/total))
+    // — a driver-loop EM over StrictMath doubles no single SQL query can
+    // replay — so this is rows-only BY NATURE (the p44b/p50b convention):
+    // the Viterbi decode itself is oracle-gated in p99 under a fixed
+    // table, training determinism + hand-verified vocabularies are
+    // CorpusSpec's, and the statement twins are hash-gated against this
+    // composition in the spec.
+    Q("p99b_unigram_train_encode", None) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val pieces = Corpus.unigramTrain(docs, "text", vocabSize = 48,
+        maxPieceLen = 4, seedSize = 200)
+      Corpus.unigramEncode(docs, "doc_id", "text", pieces)
+        .select(col("doc_id"), col("n_tokens"),
+          concat_ws(" ", col("tokens")).as("toks"))
+        .orderBy("doc_id")
+    },
+
+    // The SAME fixed-table Viterbi decode through the statement surface
+    // (TOKENIZE method='unigram' over a registered piece table) — held
+    // to p99's enumeration oracle.
+    Q("p99c_unigram_encode_sql", Some("""
+      WITH RECURSIVE
+      pcs(piece, sc) AS (VALUES
+        ('th', -4500000), ('the', -5000000), ('er', -4800000),
+        ('in', -4700000), ('an', -4600000), ('re', -4900000),
+        ('a', -3000000), ('b', -3000000), ('c', -3000000), ('d', -3000000),
+        ('e', -3000000), ('f', -3000000), ('g', -3000000), ('h', -3000000),
+        ('i', -3000000), ('j', -3000000), ('k', -3000000), ('l', -3000000),
+        ('m', -3000000), ('n', -3000000), ('o', -3000000), ('p', -3000000),
+        ('q', -3000000), ('r', -3000000), ('s', -3000000), ('t', -3000000),
+        ('u', -3000000), ('v', -3000000), ('w', -3000000), ('x', -3000000),
+        ('y', -3000000), ('z', -3000000)),
+      w AS (SELECT DISTINCT w FROM (
+              SELECT unnest(string_split(lower(text), ' ')) AS w
+              FROM documents) WHERE w <> ''),
+      wchars AS (SELECT DISTINCT substr(w.w, CAST(r.i AS INT), 1) AS c
+                 FROM w, (SELECT unnest(range(1, 64)) AS i) r
+                 WHERE r.i <= len(w.w)),
+      allp AS (SELECT piece, CAST(sc AS BIGINT) AS sc FROM pcs
+               UNION ALL
+               SELECT c, CAST(-100000000 AS BIGINT) FROM wchars
+               WHERE c NOT IN (SELECT piece FROM pcs WHERE len(piece) = 1)),
+      seg AS (
+        SELECT w AS word, 0 AS pos, CAST(0 AS BIGINT) AS score,
+               CAST([] AS VARCHAR[]) AS toks, CAST([] AS BIGINT[]) AS lens
+        FROM w
+        UNION ALL
+        SELECT s.word, s.pos + len(p.piece), s.score + p.sc,
+               list_append(s.toks, p.piece),
+               list_append(s.lens, CAST(len(p.piece) AS BIGINT))
+        FROM seg s JOIN allp p
+          ON substr(s.word, s.pos + 1, len(p.piece)) = p.piece
+        WHERE s.pos < len(s.word)),
+      best AS (SELECT word, toks, len(toks) AS ntok,
+                 row_number() OVER (PARTITION BY word
+                   ORDER BY score DESC, list_reverse(lens) DESC) AS rn
+               FROM seg WHERE pos = len(word)),
+      b1 AS (SELECT word, array_to_string(toks, ' ') AS tstr,
+                    CAST(ntok AS BIGINT) AS ntok
+             FROM best WHERE rn = 1),
+      dw0 AS (SELECT doc_id, words, unnest(range(1, len(words) + 1)) AS i
+              FROM (SELECT doc_id, string_split(lower(text), ' ') AS words
+                    FROM documents)),
+      dw AS (SELECT doc_id, i, words[CAST(i AS INT)] AS w FROM dw0
+             WHERE words[CAST(i AS INT)] <> '')
+      SELECT d.doc_id, CAST(sum(b.ntok) AS BIGINT) AS n_tokens,
+             string_agg(b.tstr, ' ' ORDER BY d.i) AS toks
+      FROM dw d JOIN b1 b ON b.word = d.w
+      GROUP BY d.doc_id
+      ORDER BY d.doc_id""")) { (s, d) =>
+      val ctx = new graft.Context(s)
+      ctx.createTableFromPath("documents", s"$d/documents.parquet")
+      val singles = ('a' to 'z')
+        .map(c => s"('${c}', -3000000)").mkString(", ")
+      ctx.sql(s"""CREATE OR REPLACE VIEW unigram_pieces AS
+        |SELECT * FROM (VALUES ('th', -4500000), ('the', -5000000),
+        |  ('er', -4800000), ('in', -4700000), ('an', -4600000),
+        |  ('re', -4900000), $singles) AS t(piece, score)""".stripMargin)
+      ctx.sql(
+        """SELECT * FROM TOKENIZE(TABLE unigram_pieces
+          |  WITH (method = 'unigram'),
+          |SELECT doc_id, text FROM documents)""".stripMargin)
+        .select(col("doc_id"), col("n_tokens"),
+          concat_ws(" ", col("tokens")).as("toks"))
+        .orderBy("doc_id")
+    },
   )
 }

@@ -591,6 +591,45 @@ object Pipeline {
         .orderBy("media_a", "media_b")
     },
 
+    // p66 across REAL codecs (r11): the same visual-near-dup pass over a
+    // corpus mixing raw BMP with JDK-ImageIO-encoded PNG and GIF of the
+    // same patterns — the crawl-payload formats the pre-registered
+    // ImageIoDecoder now decodes. PNG/GIF are LOSSLESS for 8-bit gray and
+    // the decoder reads grayscale rasters directly (no sRGB skew), so
+    // every codec variant of a pattern decodes to identical pixels and
+    // the planted structural oracle (all within-pattern pairs at Hamming
+    // 0) holds across codec boundaries — BMP×PNG, PNG×GIF, all of them.
+    // JPEG is lossy by design and is spec-gated with a Hamming tolerance
+    // in MultimodalSpec instead of riding an exact oracle.
+    Q("p98_image_codec_dedup", Some("""
+      WITH p AS (SELECT unnest(range(0, 4)) AS p),
+      v AS (SELECT unnest(range(0, 15)) AS v),
+      ids AS (SELECT p.p * 100 + v.v AS id, p.p AS pat FROM p, v)
+      SELECT CAST(a.id AS BIGINT) AS media_a, CAST(b.id AS BIGINT) AS media_b,
+             CAST(0 AS INT) AS hamming
+      FROM ids a JOIN ids b ON a.pat = b.pat AND a.id < b.id
+      ORDER BY media_a, media_b""")) { (s, d) =>
+      import s.implicits._
+      def pat(p: Int)(x: Int, y: Int): Int =
+        ((x * (2 * p + 3) + y * (17 - 2 * p) + (x * y) % (p + 2)) % 160) + 20
+      val media = (for (p <- 0 until 4; v <- 0 until 15) yield {
+        val shift = ((v / 3) % 4) * 15
+        def f(x: Int, y: Int) = pat(p)(x, y) + shift
+        def f2(x: Int, y: Int) = pat(p)(x / 2, y / 2) + shift
+        val bytes = (v % 3, v >= 12) match {
+          case (0, false) => Multimodal.syntheticBmpGray(27, 24)(f)
+          case (1, false) => Multimodal.syntheticImageIo(27, 24, "png")(f)
+          case (2, false) => Multimodal.syntheticImageIo(27, 24, "gif")(f)
+          case (0, true)  => Multimodal.syntheticBmpGray(54, 48)(f2)
+          case (1, true)  => Multimodal.syntheticImageIo(54, 48, "png")(f2)
+          case _          => Multimodal.syntheticImageIo(54, 48, "gif")(f2)
+        }
+        ((p * 100 + v).toLong, bytes)
+      }).toDF("media_id", "payload")
+      Multimodal.imageDedupPairs(media, maxHamming = 3)
+        .orderBy("media_a", "media_b")
+    },
+
     // The audio twin of p66: 60 synthetic PCM WAV clips — 5 distinct
     // stepped loudness envelopes × 12 exact variants (byte copies, 2×
     // volume, stereo duplication, 8-bit depth) — hashed with the real

@@ -179,6 +179,112 @@ class CorpusSpec extends AnyFunSuite {
     assert(n6 <= n3 && n3 <= chars && n6 < chars)
   }
 
+  test("unigramEncode: Viterbi max-score segmentation, tie-break, UNK fallback (r11)") {
+    val pieces = Seq(
+      ("a", -3000000L), ("b", -3000000L), ("c", -3000000L),
+      ("ab", -4000000L), ("bc", -4000000L), ("abc", -5000000L),
+      ("x", -2000000L), ("y", -2000000L), ("xy", -4000000L)
+    ).toDF("piece", "score")
+    val docs = Seq(
+      (1L, "abc"),   // abc(-5e6) beats ab+c(-7e6), a+bc(-7e6), a+b+c(-9e6)
+      (2L, "xy"),    // TIE: xy(-4e6) == x+y(-4e6) → longer piece wins
+      (3L, "qa"),    // 'q' has no piece → UNK single at -1e8, then a
+      (4L, "abc xy abc")
+    ).toDF("doc_id", "text")
+    val out = Corpus.unigramEncode(docs, "doc_id", "text", pieces)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L) == Seq("abc"))
+    assert(out(2L) == Seq("xy"))
+    assert(out(3L) == Seq("q", "a"))
+    assert(out(4L) == Seq("abc", "xy", "abc"))
+  }
+
+  test("unigramEncode equals a pure-Scala enumeration reference on real vocab (r11)") {
+    // reference: enumerate EVERY segmentation of each word, argmax by
+    // (score, reversed piece-length list) — the p99 oracle's rule,
+    // re-implemented independently in Scala and compared on the corpus
+    val table = (('a' to 'z').map(c => c.toString -> -3000000L) ++ Seq(
+      "th" -> -4500000L, "the" -> -5000000L, "er" -> -4800000L,
+      "in" -> -4700000L, "an" -> -4600000L, "re" -> -4900000L)).toMap
+    def segs(w: String): Seq[(Long, List[String])] =
+      if (w.isEmpty) Seq((0L, Nil))
+      else (1 to math.min(3, w.length)).flatMap { l =>
+        val p = w.substring(0, l)
+        val sc = table.get(p)
+          .orElse(if (l == 1) Some(-100000000L) else None)
+        sc.toSeq.flatMap(s0 =>
+          segs(w.substring(l)).map { case (s1, t) => (s0 + s1, p :: t) })
+      }
+    def bestOf(w: String): List[String] =
+      segs(w).maxBy { case (s0, t) =>
+        // reversed length list, lexicographically largest — encode as an
+        // orderable key: compare element-wise via padded vector
+        (s0, t.reverse.map(_.length.toLong).padTo(32, -1L)
+          .foldLeft(BigInt(0))((acc, l) => acc * 64 + (l + 2)))
+      }._2
+    val docs = Tables.t(spark, TestSpark.sf, "documents").limit(120)
+    val pieces = table.toSeq.toDF("piece", "score")
+    val got = Corpus.unigramEncode(docs, "doc_id", "text", pieces)
+      .join(docs, "doc_id")
+      .select($"doc_id", $"tokens", lower($"text").as("lt"))
+      .collect()
+    got.foreach { r =>
+      val want = r.getString(2).split(" ").filter(_.nonEmpty)
+        .flatMap(bestOf).toSeq
+      assert(r.getSeq[String](1) == want, s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("unigramTrain: deterministic, vocab-bounded, encodable, statement twins (r11)") {
+    val docs = Tables.t(spark, TestSpark.sf, "documents").limit(200)
+    val a = Corpus.unigramTrain(docs, "text", vocabSize = 40,
+      maxPieceLen = 3, seedSize = 100)
+    val rowsA = a.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // deterministic: a second run reproduces the table exactly
+    val rowsB = Corpus.unigramTrain(docs, "text", vocabSize = 40,
+        maxPieceLen = 3, seedSize = 100)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rowsA == rowsB)
+    // singles all kept (never-fails contract); multis pruned toward target
+    val (sg, mu) = rowsA.partition(_._1.length == 1)
+    assert(sg.nonEmpty && mu.nonEmpty)
+    assert(rowsA.size <= math.max(40, sg.size + 1))
+    // learned table encodes: roundtrip concat == text minus spaces
+    val enc = Corpus.unigramEncode(docs, "doc_id", "text", a)
+    val bad = enc.join(docs, "doc_id")
+      .where(concat_ws("", $"tokens") =!=
+        regexp_replace(lower($"text"), " ", ""))
+      .count()
+    assert(bad == 0L)
+    // multi-char pieces actually fire (it IS a subword tokenizer)
+    val chars = docs.agg(sum(length(regexp_replace(lower($"text"), " ", ""))))
+      .head().getLong(0)
+    assert(enc.agg(sum("n_tokens")).head().getLong(0) < chars)
+    // statement twins: TRAIN METHOD unigram == operator; TOKENIZE
+    // method='unigram' == unigramEncode
+    val ctx = new Context(spark)
+    ctx.createTable("uni_docs", docs)
+    val stmtTrain = ctx.sql(
+        """SELECT * FROM TRAIN(METHOD unigram
+          |  WITH (vocab_size = 40, max_piece = 3, seed_size = 100),
+          |SELECT doc_id, text FROM uni_docs)""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(stmtTrain == rowsA)
+    ctx.sql("""CREATE OR REPLACE TABLE uni_pieces AS
+      |SELECT * FROM TRAIN(METHOD unigram
+      |  WITH (vocab_size = 40, max_piece = 3, seed_size = 100),
+      |SELECT doc_id, text FROM uni_docs)""".stripMargin)
+    val stmtEnc = ctx.sql(
+        """SELECT * FROM TOKENIZE(TABLE uni_pieces WITH (method = 'unigram'),
+          |SELECT doc_id, text FROM uni_docs)""".stripMargin)
+      .select($"doc_id", concat_ws(" ", $"tokens").as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val opEnc = enc.select($"doc_id", concat_ws(" ", $"tokens").as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(stmtEnc == opEnc)
+  }
+
   test("stratifiedQuota takes exactly the quota per stratum, deterministically") {
     val docs = Tables.t(spark, TestSpark.sf, "documents")
     val quotas = docs.select("source").distinct()

@@ -281,6 +281,56 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(8L).isEmpty && out(9L).isEmpty)
   }
 
+  test("ImageIO built-in (r11): PNG/GIF hash EQUAL to the BMP twin, JPEG within tolerance, garbage stays null") {
+    def base(x: Int, y: Int): Int = (x * 9 + y * 4) % 180 + 20
+    val out = dhashOf(Seq(
+      1L -> makeBmp(18, 16)(base),
+      2L -> Multimodal.syntheticImageIo(18, 16, "png")(base),
+      3L -> Multimodal.syntheticImageIo(18, 16, "gif")(base),
+      // lossless encodes of the dHash-invariant transforms still collapse
+      4L -> Multimodal.syntheticImageIo(18, 16, "png")((x, y) => base(x, y) + 40),
+      5L -> Multimodal.syntheticImageIo(36, 32, "gif")((x, y) => base(x / 2, y / 2)),
+      6L -> Multimodal.syntheticImageIo(18, 16, "jpg")(base),  // lossy
+      // PNG magic with garbage body: ImageIO.read returns null → no hash
+      7L -> (Array[Byte](0x89.toByte, 'P', 'N', 'G') ++ "garbage".getBytes)))
+    val d1 = out(1L).get
+    // PNG and GIF are lossless for 8-bit gray and the decoder reads the
+    // grayscale raster directly — EXACT pixel round-trip, identical hash
+    assert(out(2L).contains(d1) && out(3L).contains(d1))
+    assert(out(4L).contains(d1) && out(5L).contains(d1))
+    // JPEG is lossy: must decode (Some) and land within banding reach of
+    // the lossless hash on this smooth gradient
+    assert(out(6L).isDefined)
+    assert(java.lang.Long.bitCount(out(6L).get ^ d1) <= 3,
+      s"jpeg drifted ${java.lang.Long.bitCount(out(6L).get ^ d1)} bits")
+    // decode determinism within one JDK: same bytes → same hash, and the
+    // spec pins the JPEG-vs-lossless drift band above, so a JDK whose
+    // IDCT rounding changed materially fails loudly
+    val again = dhashOf(Seq(6L -> Multimodal.syntheticImageIo(18, 16, "jpg")(base)))
+    assert(again(6L) == out(6L))
+    assert(out(7L).isEmpty)
+  }
+
+  test("DEDUP image statement pairs across codec boundaries (r11)") {
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    def base(x: Int, y: Int): Int = (x * 7 + y * 5) % 170 + 20
+    def other(x: Int, y: Int): Int = 200 - base(x, y)
+    val media = Seq(
+      1L -> Multimodal.syntheticBmpGray(18, 16)(base),
+      2L -> Multimodal.syntheticImageIo(18, 16, "png")(base),
+      3L -> Multimodal.syntheticImageIo(18, 16, "gif")(base),
+      4L -> Multimodal.syntheticBmpGray(18, 16)(other),
+      5L -> Multimodal.syntheticImageIo(18, 16, "png")(other)
+    ).toDF("media_id", "payload")
+    val ctx = new Context(spark0)
+    ctx.createTable("codec_media", media)
+    val pairs = ctx.sql(
+        "SELECT * FROM DEDUP(METHOD image, SELECT media_id, payload FROM codec_media)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)))
+  }
+
   test("wavEnvelopeHash: real PCM samples, loudness-gradient invariances, junk null") {
     val spark0 = TestSpark.spark
     import spark0.implicits._

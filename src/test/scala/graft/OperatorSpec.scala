@@ -81,7 +81,12 @@ class OperatorSpec extends AnyFunSuite {
       // counterpart; the incremental algorithm is oracle-gated through the
       // p94 portable twin, and this form's equality to its own full banded
       // pass restricted to cross pairs is asserted in SimilaritySpec
-      "p94b_dedup_embedding_incr_native")
+      "p94b_dedup_embedding_incr_native",
+      // p99b: unigram-LM training is a Viterbi-EM driver loop whose scores
+      // are floor(1e6·ln(count/total)) StrictMath doubles — not a single
+      // SQL query; the Viterbi DECODE is oracle-gated under a fixed table
+      // in p99/p99c, training determinism + hand vocab in CorpusSpec
+      "p99b_unigram_train_encode")
     assert(rowsOnly == expected)
   }
 }
