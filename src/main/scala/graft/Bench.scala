@@ -254,7 +254,7 @@ object Bench {
         s"[bench] cold_contended=${jsonMap(coldWindows)}")
       line = mkLine(s"""{"n_retried":${coldFirst.size}}""",
         s"""{"n_retried":${steadyRetriedPer.size}}""",
-        s"""{"n_contended":${coldContended.size}}""")
+        s"""{"n_contended":${coldWindows.size}}""")
     }
     if (line.length > 1900) System.err.println(
       s"[bench] WARNING: JSON line ${line.length} chars — may overflow the driver's 2000-char tail")

@@ -828,18 +828,21 @@ class Context(val spark: SparkSession) {
                   "DEDUP INDEX kind='srp' requires dim="))
               val portable = opts.get("planes").map(_.trim.toLowerCase)
                 .contains("portable")
+              val maxBucket = i("max_bucket", Int.MaxValue)
               Similarity.saveSrpIndex(src,
                 idCol = opts.getOrElse("id", "vec_id"),
                 vecCol = opts.getOrElse("vec", "embedding"),
                 prefix = name, dim = dim,
                 tables = i("tables", 8), bitsPerTable = i("bits_per_table", 8),
-                nBuckets = i("n_buckets", 8), portable = portable)
+                nBuckets = i("n_buckets", 8), portable = portable,
+                maxBucket = maxBucket)
               saveIndexMeta(name, Map("kind" -> "srp",
                 "id" -> opts.getOrElse("id", "vec_id"),
                 "vec" -> opts.getOrElse("vec", "embedding"),
                 "dim" -> dim.toString, "tables" -> i("tables", 8).toString,
                 "bits_per_table" -> i("bits_per_table", 8).toString,
-                "portable" -> portable.toString))
+                "portable" -> portable.toString,
+                "max_bucket" -> maxBucket.toString))
             case other => throw new IllegalArgumentException(
               s"Unknown DEDUP INDEX kind: $other (minhash|shingles|exact|srp)")
           }
@@ -854,12 +857,16 @@ class Context(val spark: SparkSession) {
           Similarity.saveIvfIndex(idx, name, nBuckets = i("n_buckets", 8))
           // kind='ivfpq' additionally persists the PQ codes + codebooks,
           // completing the compressed-serving artifact under one prefix
-          if (opts.get("kind").map(_.trim.toLowerCase).contains("ivfpq")) {
+          val ivfpq = opts.get("kind").map(_.trim.toLowerCase).contains("ivfpq")
+          if (ivfpq) {
             val pq = Similarity.buildPqIndex(src, dim = i("dim", 64),
               m = i("m", 8), kCodes = i("k_codes", 16),
               idCol = vid, vecCol = vvec)
             Similarity.savePqIndex(pq, name, nBuckets = i("n_buckets", 8))
           }
+          saveIndexMeta(name, Map(
+            "kind" -> (if (ivfpq) "ivfpq" else "ivf"),
+            "id" -> vid, "vec" -> vvec))
       }
       emptyResult
 
@@ -869,13 +876,31 @@ class Context(val spark: SparkSession) {
     // increment sees this one's content: the ingest loop's missing half.
     // Kind and geometry come from the index's own `{name}_meta` table
     // (written at CREATE time) — appends cannot mismatch the build.
-    case AlterIndexAppend(name, opts, select) =>
+    case AlterIndexAppend(alterKind, name, opts, select) =>
+      // every parameter comes from the index's own meta table — silently
+      // accepting (and ignoring) WITH options would let a caller believe
+      // they overrode e.g. text= while the append used the build's column
+      require(opts.isEmpty,
+        s"ALTER ${alterKind.toUpperCase} INDEX APPEND takes no options " +
+          s"(got ${opts.keys.toSeq.sorted.mkString(", ")}) — kind and " +
+          s"geometry come from the index's ${name}_meta table, recorded " +
+          "at CREATE")
       val df = sql(select)
       val meta = readIndexMeta(name)
       def mi(k: String, d: Int) = meta.get(k).map(_.toInt).getOrElse(d)
       import graft.operators.{Similarity, TextDedup}
-      meta.getOrElse("kind", throw new IllegalArgumentException(
-        s"dedup index '$name' has no recorded kind — corrupt ${name}_meta")) match {
+      val recordedKind = meta.getOrElse("kind",
+        throw new IllegalArgumentException(
+          s"index '$name' has no recorded kind — corrupt ${name}_meta"))
+      val isSimsearch = recordedKind == "ivf" || recordedKind == "ivfpq"
+      require((alterKind == "simsearch") == isSimsearch,
+        s"index '$name' is a ${if (isSimsearch) "SIMSEARCH" else "DEDUP"} " +
+          s"index (kind '$recordedKind') — use ALTER ${
+            if (isSimsearch) "SIMSEARCH" else "DEDUP"} INDEX")
+      recordedKind match {
+        case "ivf" | "ivfpq" => Similarity.appendIvfIndex(spark, df,
+          prefix = name, idCol = meta.getOrElse("id", "vec_id"),
+          vecCol = meta.getOrElse("vec", "embedding"))
         case "exact" => TextDedup.appendExactDedupIndex(spark, df,
           meta.getOrElse("text", "text"), prefix = name)
         case "minhash" => TextDedup.appendMinhashIndex(spark, df,
@@ -890,7 +915,8 @@ class Context(val spark: SparkSession) {
           prefix = name,
           dim = meta("dim").toInt, tables = mi("tables", 8),
           bitsPerTable = mi("bits_per_table", 8),
-          portable = meta.get("portable").contains("true"))
+          portable = meta.get("portable").contains("true"),
+          maxBucket = mi("max_bucket", Int.MaxValue))
         case other => throw new IllegalArgumentException(
           s"dedup index '$name' has kind '$other' — no append path")
       }

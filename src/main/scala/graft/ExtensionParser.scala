@@ -111,7 +111,7 @@ object ExtensionParser {
     * parity-plus). Kind and build params come from the index's own
     * persisted `{name}_meta` table, so an append can never mismatch the
     * build's geometry. */
-  final case class AlterIndexAppend(name: String,
+  final case class AlterIndexAppend(kind: String, name: String,
       options: Map[String, String], select: String) extends Statement
 
   private val ws = "\\s+"
@@ -208,9 +208,9 @@ object ExtensionParser {
   // CREATE DEDUP|SIMSEARCH INDEX name ON table [WITH (...)]
   private val createIndex =
     re(s"CREATE${ws}(DEDUP|SIMSEARCH)${ws}INDEX${ws}$ident${ws}ON${ws}$ident(?:${ws}WITH${ws}\\($kwSpan\\))?")
-  // ALTER DEDUP INDEX name APPEND [WITH (...)] AS <select>
+  // ALTER DEDUP|SIMSEARCH INDEX name APPEND [WITH (...)] AS <select>
   private val alterIndexAppend =
-    re(s"ALTER${ws}DEDUP${ws}INDEX${ws}$ident${ws}APPEND(?:${ws}WITH${ws}\\($kwSpan\\))?${ws}AS${ws}(.*)")
+    re(s"ALTER${ws}(DEDUP|SIMSEARCH)${ws}INDEX${ws}$ident${ws}APPEND(?:${ws}WITH${ws}\\($kwSpan\\))?${ws}AS${ws}(.*)")
   // SELECT * FROM DECONTAMINATE(TABLE bench [WITH (...)], <train select>)
   private val decontaminate =
     re(s"SELECT${ws}\\*${ws}FROM${ws}DECONTAMINATE\\s*\\(\\s*TABLE${ws}$ident(?:${ws}WITH${ws}\\($kwSpan\\))?\\s*,(.*)\\)")
@@ -276,8 +276,8 @@ object ExtensionParser {
     case createIndex(kind, name, table, kwargs) =>
       CreateIndex(kind.toLowerCase, name, table,
         Option(kwargs).map(parseKwargs).getOrElse(Map()))
-    case alterIndexAppend(name, kwargs, select) =>
-      AlterIndexAppend(name,
+    case alterIndexAppend(kind, name, kwargs, select) =>
+      AlterIndexAppend(kind.toLowerCase, name,
         Option(kwargs).map(parseKwargs).getOrElse(Map()), select.trim)
     case decontaminate(table, kwargs, select) =>
       Decontaminate(table,

@@ -73,5 +73,9 @@ object SparkEntry {
     // probe + confirm join in one query — the one-shot cycle; the
     // persisted-index form's amortized numbers live in ScaleProbe/PLANS 63)
     "p87_dedup_incr_bloom",
+    // r11: cross-codec perceptual dedup (real ImageIO PNG/GIF decodes
+    // through the banded pair pass) and the unigram-LM Viterbi encode
+    // (pure-projection native node over the corpus)
+    "p98_image_codec_dedup", "p99_unigram_encode",
     "s01_events_tumbling", "s03_events_session")
 }

@@ -100,8 +100,22 @@ object MediaCodecs {
           payload(3) == '8')
       if (!sniff) return None
       try {
-        val img = javax.imageio.ImageIO.read(
+        // bomb guard BEFORE decoding: read dimensions from the container
+        // header via the ImageReader — ImageIO.read would allocate the
+        // full raster first, so a few-KB PNG declaring 50000×50000 would
+        // OOM the executor before any post-decode size check ran
+        val iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(payload))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) { iis.close(); return None }
+        val reader = readers.next()
+        val img = try {
+          reader.setInput(iis)
+          val hw = reader.getWidth(0)
+          val hh = reader.getHeight(0)
+          if (hw <= 0 || hh <= 0 || hw.toLong * hh > 64000000L) null
+          else reader.read(0)
+        } finally { reader.dispose(); iis.close() }
         if (img == null) return None
         val w = img.getWidth
         val h = img.getHeight

@@ -237,6 +237,74 @@ object Similarity {
     IvfIndex(spark.table(s"${prefix}_cells"),
       spark.table(s"${prefix}_centroids"))
 
+  /** Fold NEW vectors into a persisted IVF(-PQ) index — the ANN half of
+    * the r11 appendable-index family (exact/minhash/SRP get
+    * `append*DedupIndex`; this completes SIMSEARCH): new vectors are
+    * assigned to their nearest EXISTING centroid (argmin squared
+    * Euclidean, lowest cell on ties — the KMeans predict rule; no refit,
+    * the point of an append) and appended into the cell-bucketed table;
+    * when the prefix also carries PQ tables (`CREATE SIMSEARCH INDEX ...
+    * kind='ivfpq'`), the vectors are additionally encoded with the
+    * EXISTING codebooks (nearest sub-centroid per subspace) and appended
+    * to the code table. Centroid drift is the documented append
+    * tradeoff: cells grow without re-centering, exactly like every IVF
+    * serving system's add() — rebuild on the nightly cadence.
+    *
+    * Increment-sized: centroids/codebooks are tiny driver-side tables;
+    * each target table gets its OWN idempotence anti-join (a crashed
+    * append resumes per table — no duplicate rows can reach the ranking
+    * joins, where a duplicate would corrupt top-k rather than merely
+    * duplicate a candidate), and writes repartition on the bucket key. */
+  def appendIvfIndex(
+      spark: org.apache.spark.sql.SparkSession, newDf: DataFrame,
+      prefix: String, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val centDf = spark.table(s"${prefix}_centroids")
+    val q = newDf.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nvec"))
+      .withColumn("nnorm", norm(col("nvec")))
+    val qDist = q.crossJoin(broadcast(centDf))
+      .withColumn("dist",
+        aggregate(zip_with(col("nvec"), col("centroid"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, v) => acc + v))
+    val wCell = org.apache.spark.sql.expressions.Window
+      .partitionBy("nid").orderBy(col("dist"), col("cell"))
+    val assigned = qDist.withColumn("_r", row_number().over(wCell))
+      .filter(col("_r") === 1)
+      .select(col("nid"), col("nvec"), col("cell"), col("nnorm"))
+    val nbCells = TextDedup.bucketCount(spark, s"${prefix}_cells")
+    assigned
+      .join(spark.table(s"${prefix}_cells").select("nid"), Seq("nid"),
+        "left_anti")
+      .repartition(nbCells, col("cell"))
+      .write.format("parquet").mode("append")
+      .bucketBy(nbCells, "cell").sortBy("cell")
+      .saveAsTable(s"${prefix}_cells")
+    if (spark.catalog.tableExists(s"${prefix}_pq_codes")) {
+      val pq = loadPqIndex(spark, prefix)
+      val m = pq.codebooks.length
+      val sd = pq.subDim
+      val cb = typedLit(pq.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+      // nearest sub-centroid per subspace under the EXISTING codebooks —
+      // the same ADC geometry ivfPqTopK scores with
+      val codes = array((0 until m).map { mm =>
+        val sub = slice(col("nvec"), mm * sd + 1, sd)
+        val dists = transform(
+          sequence(lit(0), lit(pq.codebooks(mm).length - 1)), kk =>
+            aggregate(zip_with(sub, element_at(element_at(cb, mm + 1), kk + 1),
+              (a, b) => (a - b) * (a - b)), lit(0.0), (acc, v) => acc + v))
+        array_position(dists, array_min(dists)).cast("int") - 1
+      }: _*)
+      val nbCodes = TextDedup.bucketCount(spark, s"${prefix}_pq_codes")
+      q.select(col("nid"), codes.as("codes"))
+        .join(spark.table(s"${prefix}_pq_codes").select("nid"), Seq("nid"),
+          "left_anti")
+        .repartition(nbCodes, col("nid"))
+        .write.format("parquet").mode("append")
+        .bucketBy(nbCodes, "nid").sortBy("nid")
+        .saveAsTable(s"${prefix}_pq_codes")
+    }
+  }
+
   /** One KMeans fit + one corpus assignment pass → a reusable [[IvfIndex]].
     * At 100 TB this is the standard offline index-build job; probing then
     * touches ~nProbe/nCells of the data per query batch. */
@@ -564,44 +632,55 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, newDf: DataFrame,
       idCol: String, vecCol: String, prefix: String, dim: Int,
       tables: Int = 8, bitsPerTable: Int = 8,
-      portable: Boolean = false): Unit = {
-    val planes =
-      if (portable) portableSignPlanes(tables * bitsPerTable, dim) else null
+      portable: Boolean = false, maxBucket: Int = Int.MaxValue): Unit = {
     val base = newDf.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
       .withColumn("nrm", norm(col("vec")))
-    val withCodes =
-      if (portable) base.withColumn("codes", quantized(col("vec"))) else base
     // eager localCheckpoint: both writes must see the same rows — a lazily
     // recomputed anti-join would run against the already-appended vector
     // table and drop the batch from the band table
-    val fresh = withCodes
+    val fresh = base
       .join(spark.table(s"${prefix}_srp_vecs").select("id"), Seq("id"),
         "left_anti")
       .localCheckpoint()
     val nbVecs = TextDedup.bucketCount(spark, s"${prefix}_srp_vecs")
     val nbBands = TextDedup.bucketCount(spark, s"${prefix}_srp_buckets")
-    // bucket-key repartition before the bucketed writes (the saveSrpIndex
-    // splinter-file rationale): each append adds ≤ nBuckets files
+    // the SAME banding helper the streaming gate uses — one geometry
+    // implementation, never a drifting inline copy
+    val banded = bandedColumns(fresh, "vec", dim, tables, bitsPerTable,
+        portable)
+      .select(col("id"), col("tbl"), col("bucket"))
+    // honor a build-time skew cap ACROSS appends: fresh rows do not enter
+    // buckets already at/over maxBucket (one cheap shuffle-free sizes
+    // aggregate + a broadcast of the tiny at-cap list), so repeated
+    // clone-skewed appends cannot quietly re-inflate the buckets the
+    // streaming consumers rely on being bounded. A bucket can overshoot
+    // by at most one increment's contribution — the same bounded-residue
+    // contract as the readers' runtime cap
+    val bandedCapped =
+      if (maxBucket == Int.MaxValue) banded
+      else banded.join(
+        broadcast(spark.table(s"${prefix}_srp_buckets")
+          .groupBy("tbl", "bucket").agg(count(lit(1)).as("_n"))
+          .filter(col("_n") >= maxBucket).select("tbl", "bucket")),
+        Seq("tbl", "bucket"), "left_anti")
+    // bands FIRST, vectors second — the fail-safe order given that the
+    // retry's idempotence anti-join keys on the VECTOR table (the
+    // appendMinhashIndex rationale: a crash between the writes leaves
+    // duplicate-candidate band rows a retry re-appends, which the
+    // readers' distinct / at-least-once contracts absorb; the reverse
+    // order would leave vectors whose band rows are never backfilled)
+    bandedCapped
+      .repartition(nbBands, col("tbl"), col("bucket"))
+      .write.format("parquet").mode("append")
+      .bucketBy(nbBands, "tbl", "bucket")
+      .sortBy("tbl", "bucket")
+      .saveAsTable(s"${prefix}_srp_buckets")
     fresh.select(col("id"), col("vec"), col("nrm"))
       .repartition(nbVecs, col("id"))
       .write.format("parquet").mode("append")
       .bucketBy(nbVecs, "id")
       .sortBy("id")
       .saveAsTable(s"${prefix}_srp_vecs")
-    fresh.select(col("id"), explode(array((0 until tables).map { t =>
-        struct(lit(t.toLong).as("tbl"),
-          (if (portable)
-            portableBucket(col("codes"), planes, t * bitsPerTable, bitsPerTable)
-          else
-            lshBucketAt(col("vec"), dim, bitsPerTable, t * bitsPerTable))
-            .as("bucket"))
-      }: _*)).as("tb"))
-      .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-      .repartition(nbBands, col("tbl"), col("bucket"))
-      .write.format("parquet").mode("append")
-      .bucketBy(nbBands, "tbl", "bucket")
-      .sortBy("tbl", "bucket")
-      .saveAsTable(s"${prefix}_srp_buckets")
   }
 
   /** [[cosineDedupIncremental]] against a PERSISTED index

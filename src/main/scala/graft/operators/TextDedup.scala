@@ -355,14 +355,22 @@ object TextDedup {
     val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
       new java.io.ByteArrayInputStream(bytes))
     bf.mergeInPlace(fresh.stat.bloomFilter("xxh", n, numBits))
+    // bloom row FIRST, digests second — the fail-safe order: a crash
+    // between the two leaves bloom-hit/digest-missing rows (they survive
+    // the confirm join until repaired), and because the retry's anti-join
+    // keys on the DIGEST table, `fresh` is non-empty again and the retry
+    // re-merges the bloom (an idempotent OR) and backfills the digests.
+    // The reverse order would leave digest-present/bloom-missing rows:
+    // bloom MISSES bypass the digest table entirely, and the retry would
+    // see nothing to do — a permanent duplicate leak
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    writeBloomRow(spark, prefix, bos.toByteArray, n, numBits, fpp)
     val nbDigests = bucketCount(spark, s"${prefix}_digests")
     fresh.repartition(nbDigests, col("xxh"))
       .write.format("parquet").mode("append")
       .bucketBy(nbDigests, "xxh").sortBy("xxh")
       .saveAsTable(s"${prefix}_digests")
-    val bos = new java.io.ByteArrayOutputStream()
-    bf.writeTo(bos)
-    writeBloomRow(spark, prefix, bos.toByteArray, n, numBits, fpp)
   }
 
   /** [[exactDedupIncrementalBloom]] against a PERSISTED index
@@ -598,21 +606,30 @@ object TextDedup {
       .join(spark.table(s"${prefix}_shingles").select("doc_id"),
         Seq("doc_id"), "left_anti")
       .localCheckpoint()
+    // bands FIRST, shingles second — the fail-safe order given that the
+    // retry's idempotence anti-join keys on the SHINGLE table: a crash
+    // between the writes leaves band rows without shingles, and the
+    // retry (fresh still non-empty) re-appends both — the duplicated
+    // band rows only duplicate candidates, which the readers' distinct /
+    // at-least-once contracts absorb. The reverse order would leave
+    // shingle rows the retry skips, so those docs' band rows would never
+    // be backfilled — they would permanently stop surfacing as dup_of
+    // candidates (a silent leak, not a duplicate)
+    val nbBands = bucketCount(spark, s"${prefix}_bands")
+    fresh.select(col("doc_id"),
+        posexplode(graft.functions.CatalystExprs.minhashBandHashes(
+          col("shingles"), numHashes, bands)).as(Seq("band", "bh")))
+      .repartition(nbBands, col("band"), col("bh"))
+      .write.format("parquet").mode("append")
+      .bucketBy(nbBands, "band", "bh")
+      .sortBy("band", "bh")
+      .saveAsTable(s"${prefix}_bands")
     val nbShingles = bucketCount(spark, s"${prefix}_shingles")
     fresh.repartition(nbShingles, col("doc_id"))
       .write.format("parquet").mode("append")
       .bucketBy(nbShingles, "doc_id")
       .sortBy("doc_id")
       .saveAsTable(s"${prefix}_shingles")
-    fresh.select(col("doc_id"),
-        posexplode(graft.functions.CatalystExprs.minhashBandHashes(
-          col("shingles"), numHashes, bands)).as(Seq("band", "bh")))
-      .repartition(bucketCount(spark, s"${prefix}_bands"), col("band"),
-        col("bh"))
-      .write.format("parquet").mode("append")
-      .bucketBy(bucketCount(spark, s"${prefix}_bands"), "band", "bh")
-      .sortBy("band", "bh")
-      .saveAsTable(s"${prefix}_bands")
   }
 
   /** Append new docs' shingle rows to a persisted [[saveShingleStore]]

@@ -283,6 +283,42 @@ object Pipeline {
         .orderBy("qid", "rnk")
     },
 
+    // Appendable IVF index (r11): fold NEW vectors into a persisted
+    // SIMSEARCH index without refitting — nearest-existing-centroid
+    // assignment + a cell-bucketed append (Similarity.appendIvfIndex).
+    // Probed at FULL fan-out (nProbe = nCells) the answer is
+    // KMeans-INDEPENDENT — every cell is scored, so the result must
+    // equal exhaustive cosine top-k over corpus ∪ appended increment:
+    // the append's correctness is oracle-gated without the oracle ever
+    // seeing a centroid. (Partial-probe recall and the assignment rule
+    // itself are SimilaritySpec's.)
+    Q("p100_simsearch_index_append", Some("""
+      WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      u AS (SELECT vec_id, e FROM v0 WHERE vec_id % 3 <> 0
+            UNION ALL
+            SELECT vec_id + 800000 AS vec_id, e FROM v0 WHERE vec_id % 3 = 0),
+      q AS (SELECT vec_id AS qid, e AS qe FROM v0 WHERE vec_id % 20 = 3)
+      SELECT qid, nid, round(sim, 6) AS sim, rnk FROM (
+        SELECT qid, u.vec_id AS nid,
+               list_dot_product(qe, u.e) /
+               (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(u.e, u.e))) AS sim,
+               row_number() OVER (PARTITION BY qid ORDER BY
+                 list_dot_product(qe, u.e) /
+                 (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(u.e, u.e))) DESC, u.vec_id) AS rnk
+        FROM q JOIN u ON qid <> u.vec_id)
+      WHERE rnk <= 3 ORDER BY qid, rnk""")) { (s, d) =>
+      val v = t(s, d, "embeddings")
+      val corpus = v.filter(col("vec_id") % 3 =!= 0)
+      val inc = v.filter(col("vec_id") % 3 === 0)
+        .select((col("vec_id") + 800000L).as("vec_id"), col("embedding"))
+      Similarity.saveIvfIndex(
+        Similarity.buildIvfIndex(corpus, nCells = 8), "p100_idx", nBuckets = 4)
+      Similarity.appendIvfIndex(s, inc, "p100_idx")
+      Similarity.probeIvf(Similarity.loadIvfIndex(s, "p100_idx"),
+          v.filter(col("vec_id") % 20 === 3), k = 3, nProbe = 8)
+        .orderBy("qid", "rnk")
+    },
+
     // Brute-force top-k once more through the SIMSEARCH statement surface
     // (Context.sql) — the server/CLI path, held to p06's exhaustive oracle
     // so the statement wiring is hash-gated like p02c.

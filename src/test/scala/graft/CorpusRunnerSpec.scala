@@ -48,7 +48,8 @@ class CorpusRunnerSpec extends AnyFunSuite {
         .foreach(t => ctx.sql(s"DROP TABLE IF EXISTS $t"))
       Seq("pipeline_ivf_cells", "pipeline_ivf_centroids", "pipeline_pq_cells",
         "pipeline_pq_centroids", "pipeline_pq_pq_codes", "pipeline_pq_pq_codebooks",
-        "emb_idx_srp_buckets", "emb_idx_srp_vecs",
+        "pipeline_ivf_meta", "pipeline_pq_meta",
+        "emb_idx_srp_buckets", "emb_idx_srp_vecs", "emb_idx_meta",
         "pipeline_exact_idx_digests", "pipeline_exact_idx_bloom",
         "pipeline_exact_idx_meta")
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))

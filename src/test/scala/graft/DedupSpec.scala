@@ -474,6 +474,43 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("appendExactDedupIndex repairs a bloom-written/digests-missing crash state (r11 review pin)") {
+    // simulate a crash between the append's two writes: the bloom row
+    // already carries the increment's hashes but the digest append never
+    // ran. The retry must see the rows as fresh (the anti-join keys on
+    // DIGESTS) and backfill — afterwards screening drops increment dups.
+    val inc = (1 to 30).map(i => (5000L + i, s"repair-probe doc $i payload"))
+      .toDF("doc_id", "text")
+    try {
+      TextDedup.saveExactDedupIndex(bloomCorpus, "text", prefix = "rep_idx")
+      // hand-build the crash state: merge the increment into the bloom row
+      // exactly as the append's first write does, touching no digests
+      val meta = spark.table("rep_idx_bloom").head()
+      val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(meta.getAs[Array[Byte]]("bloom")))
+      bf.mergeInPlace(inc.select(xxhash64(col("text")).as("h"))
+        .stat.bloomFilter("h", meta.getAs[Long]("expected_items"),
+          meta.getAs[Long]("num_bits")))
+      val bos = new java.io.ByteArrayOutputStream(); bf.writeTo(bos)
+      Seq((bos.toByteArray, meta.getAs[Long]("expected_items"),
+          meta.getAs[Long]("num_bits"), meta.getAs[Double]("fpp")))
+        .toDF("bloom", "expected_items", "num_bits", "fpp")
+        .write.format("parquet").mode("overwrite")
+        .saveAsTable("rep_idx_bloom")
+      // crash state: a dup of the increment LEAKS (bloom hit, digest miss)
+      val dupBatch = inc.select((col("doc_id") + 1000L).as("doc_id"), col("text"))
+      assert(TextDedup.exactDedupIncrementalIndexed(
+        spark, dupBatch, "doc_id", "text", "rep_idx").count() == 30)
+      // the retry: fresh is non-empty against the digest table → repairs
+      TextDedup.appendExactDedupIndex(spark, inc, "text", "rep_idx")
+      assert(TextDedup.exactDedupIncrementalIndexed(
+        spark, dupBatch, "doc_id", "text", "rep_idx").count() == 0)
+    } finally {
+      Seq("rep_idx_digests", "rep_idx_bloom")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("appendMinhashIndex: second increment sees the first's survivors (equals rebuild)") {
     val corpus = Tables.t(spark, TestSpark.sf, "documents")
     val old = corpus.filter($"doc_id" % 10 >= 4)
@@ -536,6 +573,14 @@ class DedupSpec extends AnyFunSuite {
         ctx.sql("ALTER DEDUP INDEX no_such_idx APPEND AS SELECT * FROM alt_surv_a")
       }
       assert(err.getMessage.contains("no_such_idx_meta"))
+      // WITH options are rejected, not silently ignored (r11 review pin):
+      // geometry comes from the meta table, and an accepted-but-unused
+      // text= override would index the wrong column without a whisper
+      val err2 = intercept[IllegalArgumentException] {
+        ctx.sql("""ALTER DEDUP INDEX alt_idx APPEND WITH (text = 'body')
+          |AS SELECT * FROM alt_surv_a""".stripMargin)
+      }
+      assert(err2.getMessage.contains("takes no options"))
     } finally {
       Seq("alt_idx_digests", "alt_idx_bloom", "alt_idx_meta", "alt_surv_a")
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))

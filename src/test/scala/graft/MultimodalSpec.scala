@@ -311,6 +311,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(7L).isEmpty)
   }
 
+  test("ImageIO decoder declines decompression bombs BEFORE decoding (r11 review pin)") {
+    // a few-hundred-byte PNG whose IHDR declares 50000×50000: the guard
+    // must reject it from the HEADER (ImageIO.read would allocate the
+    // ~10 GB raster first and OOM the executor)
+    val png = graft.operators.Multimodal.syntheticImageIo(10, 10, "png")(
+      (x, y) => (x * 9 + y * 4) % 200)
+    val bomb = png.clone()
+    def putBE(off: Int, v: Int): Unit = {
+      bomb(off) = (v >> 24).toByte; bomb(off + 1) = (v >> 16).toByte
+      bomb(off + 2) = (v >> 8).toByte; bomb(off + 3) = v.toByte
+    }
+    putBE(16, 50000) // IHDR width
+    putBE(20, 50000) // IHDR height
+    val dec = new graft.operators.MediaCodecs.ImageIoDecoder()
+    assert(dec.decode(bomb).isEmpty)
+    // sane payloads still decode through the header-checked path
+    val ok = dec.decode(png)
+    assert(ok.exists(g => g.width == 10 && g.height == 10))
+  }
+
   test("DEDUP image statement pairs across codec boundaries (r11)") {
     val spark0 = TestSpark.spark
     import spark0.implicits._

@@ -25,6 +25,9 @@ class PlanHygieneSpec extends AnyFunSuite {
     "p07b_sim_ivf",            // query × broadcast nCells-row centroid table
     "p47_pq_ann",              // flat PQ scan: 10-row query side broadcast-looped
     "p47b_ivfpq_ann",          // query × broadcast centroid table (as p07b)
+    "p100_simsearch_index_append", // probeIvf: query × broadcast centroid
+                                   // table + full-probe candidate loop
+                                   // (the p07b shape over the appended index)
     "q26_empty_select",        // one-row VALUES scan
     "q27_values",              // VALUES scan
     "q72_tpch_q15",            // single-row max joined by value (one-row loop)

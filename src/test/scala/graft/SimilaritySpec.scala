@@ -381,6 +381,81 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("appendIvfIndex: centroid assignment, PQ encode, idempotence, statement twin (r11)") {
+    val v = Tables.t(spark, TestSpark.sf, "embeddings")
+    val corpus = v.filter($"vec_id" % 3 =!= 0)
+    val inc = v.filter($"vec_id" % 3 === 0)
+      .select(($"vec_id" + 800000L).as("vec_id"), $"embedding")
+    try {
+      Similarity.saveIvfIndex(
+        Similarity.buildIvfIndex(corpus, nCells = 8), "aivf_idx", nBuckets = 4)
+      Similarity.savePqIndex(
+        Similarity.buildPqIndex(corpus, dim = 64, m = 8, kCodes = 8),
+        "aivf_idx", nBuckets = 4)
+      Similarity.appendIvfIndex(spark, inc, "aivf_idx")
+      // assignment equals an independent argmin over collected centroids
+      val cents = spark.table("aivf_idx_centroids").collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      val gotCells = spark.table("aivf_idx_cells")
+        .filter($"nid" >= 800000L)
+        .select("nid", "cell").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val incVecs = inc.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      assert(incVecs.nonEmpty && gotCells.size == incVecs.length)
+      incVecs.foreach { case (id, vec) =>
+        val best = cents.toSeq.map { case (c, ct) =>
+          (c, vec.zip(ct).map { case (a, b) => (a - b) * (a - b) }.sum)
+        }.minBy { case (c, d) => (d, c) }._1
+        assert(gotCells(id) == best, s"vec $id assigned ${gotCells(id)} != $best")
+      }
+      // PQ codes appended under the EXISTING codebooks; equality to an
+      // independent per-subspace argmin
+      val pq = Similarity.loadPqIndex(spark, "aivf_idx")
+      val gotCodes = pq.codes.filter($"nid" >= 800000L).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      assert(gotCodes.size == incVecs.length)
+      incVecs.take(20).foreach { case (id, vec) =>
+        val want = (0 until 8).map { mm =>
+          val sub = vec.slice(mm * pq.subDim, (mm + 1) * pq.subDim)
+          pq.codebooks(mm).zipWithIndex.map { case (c, k) =>
+            (k, sub.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum)
+          }.minBy { case (k, d) => (d, k) }._1
+        }
+        assert(gotCodes(id) == want, s"vec $id codes ${gotCodes(id)} != $want")
+      }
+      // probing an appended vector's exact copy at full fan-out: sim 1.0
+      val probe = inc.limit(1)
+        .select(($"vec_id" + 5000000L).as("vec_id"), $"embedding")
+      val top = Similarity.probeIvf(Similarity.loadIvfIndex(spark, "aivf_idx"),
+        probe, k = 1, nProbe = 8).head()
+      assert(top.getDouble(2) == 1.0)
+      // idempotent retries
+      val n = spark.table("aivf_idx_cells").count()
+      val nc = spark.table("aivf_idx_pq_codes").count()
+      Similarity.appendIvfIndex(spark, inc, "aivf_idx")
+      assert(spark.table("aivf_idx_cells").count() == n)
+      assert(spark.table("aivf_idx_pq_codes").count() == nc)
+      // statement twin + kind guard
+      val ctx = new Context(spark)
+      ctx.createTable("aivf_corpus", corpus)
+      ctx.createTable("aivf_inc", inc)
+      ctx.sql("CREATE SIMSEARCH INDEX aivf2 ON aivf_corpus WITH (n_cells = 8, n_buckets = 4)")
+      ctx.sql("ALTER SIMSEARCH INDEX aivf2 APPEND AS SELECT * FROM aivf_inc")
+      assert(spark.table("aivf2_cells").filter($"nid" >= 800000L).count() ==
+        incVecs.length)
+      val err = intercept[IllegalArgumentException] {
+        ctx.sql("ALTER DEDUP INDEX aivf2 APPEND AS SELECT * FROM aivf_inc")
+      }
+      assert(err.getMessage.contains("SIMSEARCH"))
+    } finally {
+      Seq("aivf_idx_cells", "aivf_idx_centroids", "aivf_idx_pq_codes",
+        "aivf_idx_pq_codebooks", "aivf_idx_meta", "aivf2_cells",
+        "aivf2_centroids", "aivf2_meta")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("saveSrpIndex maxBucket: build-time cap equals the reader-side cap (r11 review pin)") {
     // the streaming pair gate reads the band table AS-IS (a stream join
     // cannot window the static side), so the documented skew cap must be
@@ -412,6 +487,42 @@ class SimilaritySpec extends AnyFunSuite {
     } finally {
       Seq("cap_idx_srp_buckets", "cap_idx_srp_vecs",
         "nocap_idx_srp_buckets", "nocap_idx_srp_vecs")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  test("appendSrpIndex honors the build-time maxBucket cap across appends (r11 review pin)") {
+    // a capped build must stay capped under clone-skewed appends: fresh
+    // band rows do not enter buckets already at/over the cap, so the
+    // streaming gate's read-as-is contract survives repeated ingest
+    val v = Tables.t(spark, TestSpark.sf, "embeddings")
+    val corpus = v.filter($"vec_id" % 2 === 0)
+    val cap = 3
+    try {
+      Similarity.saveSrpIndex(corpus, "vec_id", "embedding",
+        prefix = "capapp_idx", dim = 64, tables = 16, bitsPerTable = 8,
+        maxBucket = cap)
+      val before = spark.table("capapp_idx_srp_buckets")
+        .groupBy("tbl", "bucket").count()
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(before.values.max <= cap)
+      // clone-skewed increment: exact copies of corpus vectors land in
+      // the SAME buckets — at-cap buckets must receive nothing
+      val inc = corpus.select(($"vec_id" + 700000L).as("vec_id"), $"embedding")
+      Similarity.appendSrpIndex(spark, inc, "vec_id", "embedding",
+        "capapp_idx", dim = 64, tables = 16, bitsPerTable = 8,
+        maxBucket = cap)
+      val after = spark.table("capapp_idx_srp_buckets")
+        .groupBy("tbl", "bucket").count()
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      before.foreach { case (k, n) =>
+        if (n >= cap) assert(after(k) == n,
+          s"at-cap bucket $k grew from $n to ${after(k)}")
+      }
+      // and the appended vectors DID land somewhere (under-cap buckets)
+      assert(after.values.sum > before.values.sum)
+    } finally {
+      Seq("capapp_idx_srp_buckets", "capapp_idx_srp_vecs")
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
