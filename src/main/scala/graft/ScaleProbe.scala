@@ -799,6 +799,25 @@ object ScaleProbe {
         r
       }
     } ++ {
+      // r11: unigram tokenizer at clone pressure — training is a driver
+      // loop over the DISTINCT-word vocab (clone-invariant by design:
+      // 100× replication adds occurrences, not words, so the loop cost
+      // must not scale with clones), encoding a pure projection whose
+      // per-doc cost is O(len × maxPieceLen)
+      if (!wanted("unigram")) Seq.empty
+      else {
+        val t0 = System.nanoTime()
+        val pieces = operators.Corpus.unigramTrain(docs, "text",
+          vocabSize = 64, maxPieceLen = 4, seedSize = 500)
+        val nPieces = pieces.count()
+        val trainSecs = (System.nanoTime() - t0) / 1e9
+        Seq(("unigram_train", trainSecs, nPieces)) ++
+          time("unigram_encode") {
+            operators.Corpus.unigramEncode(docs, "doc_id", "text", pieces)
+              .select(col("doc_id"), col("n_tokens"))
+          }.toSeq
+      }
+    } ++ {
       // r8 WARC probes (not in the `time` Seq: the write probe returns no
       // DataFrame). Write the clone corpus as HTTP-response records, then
       // scan twice — metadata-only (content SKIPPED via pruning) vs full

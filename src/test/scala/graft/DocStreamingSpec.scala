@@ -356,6 +356,35 @@ class DocStreamingSpec extends AnyFunSuite {
     ctx.dropTable("docs_stream")
   }
 
+  test("TOKENIZE method='unigram' runs unchanged on a streaming table and equals batch (r11)") {
+    // the Viterbi decode is a stateless per-row projection (one native
+    // node), so the SAME statement a batch user types works on a
+    // registered streaming table — the CHUNK-statement unification,
+    // extended to the second tokenizer family
+    import spark.implicits._
+    val ctx = new Context(spark)
+    val pieces = (('a' to 'z').map(c => (c.toString, -3000000L)) ++ Seq(
+      ("th", -4500000L), ("er", -4800000L), ("in", -4700000L)))
+      .toDF("piece", "score")
+    ctx.createTable("uni_pieces_s", pieces)
+    ctx.createTable("docs_stream_u", DocStreams.readStream(spark, docsDir))
+    val out = ctx.sql(
+      """SELECT * FROM TOKENIZE(TABLE uni_pieces_s WITH (method = 'unigram'),
+        |SELECT doc_id, text FROM docs_stream_u)""".stripMargin)
+    assert(out.isStreaming)
+    val streamed = drain(
+        out.select($"doc_id", concat_ws(" ", $"tokens").as("t"), $"n_tokens"),
+        "unigram_stmt_stream")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batch = Corpus.unigramEncode(
+        Tables.t(spark, TestSpark.sf, "documents"), "doc_id", "text", pieces)
+      .select($"doc_id", concat_ws(" ", $"tokens").as("t"), $"n_tokens")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    ctx.dropTable("docs_stream_u")
+    ctx.dropTable("uni_pieces_s")
+  }
+
   test("within-stream duplicate chunks dropped, state bounded by the watermark") {
     import org.apache.spark.sql.types._
     import spark.implicits._

@@ -65,12 +65,21 @@ class ReadmePipelineSpec extends AnyFunSuite {
       val nFresh = ctx.sql("SELECT count(*) AS c FROM fresh_batch").head().getLong(0)
       val nUnique = ctx.sql("SELECT count(*) AS c FROM fresh_unique").head().getLong(0)
       assert(nUnique > 0 && nUnique < nFresh) // copies screened out, new kept
+      // fold the survivors back in (the README's ALTER line, r11): a
+      // second batch duplicating them is now fully screened out —
+      // tomorrow's increment sees today's
+      ctx.sql("ALTER DEDUP INDEX corpus_idx APPEND AS SELECT * FROM fresh_unique")
+      ctx.sql("""CREATE OR REPLACE TABLE second_batch AS
+        SELECT * FROM DEDUP(METHOD exact_incremental WITH (index = 'corpus_idx'),
+        SELECT doc_id + 900000 AS doc_id, source, text FROM fresh_unique)""")
+      assert(ctx.sql("SELECT count(*) AS c FROM second_batch")
+        .head().getLong(0) == 0)
     } finally {
       Seq("flags", "clean", "deduped", "train", "mixed", "packed",
         "badwords", "bench", "token_quotas", "docs", "fresh_batch",
-        "fresh_unique")
+        "fresh_unique", "second_batch")
         .foreach(t => ctx.sql(s"DROP TABLE IF EXISTS $t"))
-      Seq("corpus_idx_digests", "corpus_idx_bloom")
+      Seq("corpus_idx_digests", "corpus_idx_bloom", "corpus_idx_meta")
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
       graft.operators.OpCache.release(spark)
     }
