@@ -922,6 +922,36 @@ class Context(val spark: SparkSession) {
       }
       emptyResult
 
+    // DROP DEDUP|SIMSEARCH INDEX [IF EXISTS] name — the lifecycle closer:
+    // every catalog table the CREATE wrote (bucketed data tables, the
+    // bloom sidecar, the meta record) goes in one statement, instead of
+    // callers hand-enumerating per-kind suffixes.
+    case DropIndex(dropKind, name, ifExists) =>
+      val meta =
+        if (spark.catalog.tableExists(s"${name}_meta")) readIndexMeta(name)
+        else Map.empty[String, String]
+      val isSim = meta.get("kind").exists(k => k == "ivf" || k == "ivfpq")
+      if (meta.nonEmpty)
+        require((dropKind == "simsearch") == isSim,
+          s"index '$name' is a ${if (isSim) "SIMSEARCH" else "DEDUP"} " +
+            s"index (kind '${meta("kind")}') — use DROP ${
+              if (isSim) "SIMSEARCH" else "DEDUP"} INDEX")
+      val suffixes =
+        if (dropKind == "dedup")
+          Seq("_digests", "_bloom", "_shingles", "_bands",
+            "_srp_vecs", "_srp_buckets")
+        else Seq("_cells", "_centroids", "_pq_codes", "_pq_codebooks")
+      // kind='shingles' stores are the BARE table name; only meta can say
+      // so — never drop a bare name blindly (it could be any user table)
+      val bare = if (meta.get("kind").contains("shingles")) Seq(name) else Nil
+      val targets = suffixes.map(name + _) ++ bare :+ s"${name}_meta"
+      val existing = targets.filter(spark.catalog.tableExists)
+      require(existing.nonEmpty || ifExists,
+        s"no such ${dropKind.toUpperCase} index: $name (use IF EXISTS to " +
+          "make this a no-op)")
+      existing.foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+      emptyResult
+
     // SELECT * FROM DECONTAMINATE(TABLE bench [WITH (...)], <train select>)
     // — benchmark-contamination annotation as a statement: the registered
     // benchmark table's n-gram set is broadcast against the inner query's

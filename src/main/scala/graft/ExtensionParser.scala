@@ -113,6 +113,11 @@ object ExtensionParser {
     * build's geometry. */
   final case class AlterIndexAppend(kind: String, name: String,
       options: Map[String, String], select: String) extends Statement
+  /** Drop every catalog table of a persisted dedup/ANN index under one
+    * statement — the lifecycle closer of CREATE ... INDEX / ALTER ...
+    * APPEND (no reference analogue; parity-plus). */
+  final case class DropIndex(kind: String, name: String,
+      ifExists: Boolean) extends Statement
 
   private val ws = "\\s+"
   private def kw(s: String) = s.split(" ").mkString(ws)
@@ -211,6 +216,9 @@ object ExtensionParser {
   // ALTER DEDUP|SIMSEARCH INDEX name APPEND [WITH (...)] AS <select>
   private val alterIndexAppend =
     re(s"ALTER${ws}(DEDUP|SIMSEARCH)${ws}INDEX${ws}$ident${ws}APPEND(?:${ws}WITH${ws}\\($kwSpan\\))?${ws}AS${ws}(.*)")
+  // DROP DEDUP|SIMSEARCH INDEX [IF EXISTS] name
+  private val dropIndex =
+    re(s"DROP${ws}(DEDUP|SIMSEARCH)${ws}INDEX${ws}(IF${ws}EXISTS${ws})?$ident")
   // SELECT * FROM DECONTAMINATE(TABLE bench [WITH (...)], <train select>)
   private val decontaminate =
     re(s"SELECT${ws}\\*${ws}FROM${ws}DECONTAMINATE\\s*\\(\\s*TABLE${ws}$ident(?:${ws}WITH${ws}\\($kwSpan\\))?\\s*,(.*)\\)")
@@ -279,6 +287,8 @@ object ExtensionParser {
     case alterIndexAppend(kind, name, kwargs, select) =>
       AlterIndexAppend(kind.toLowerCase, name,
         Option(kwargs).map(parseKwargs).getOrElse(Map()), select.trim)
+    case dropIndex(kind, ifExists, name) =>
+      DropIndex(kind.toLowerCase, name, ifExists != null)
     case decontaminate(table, kwargs, select) =>
       Decontaminate(table,
         Option(kwargs).map(parseKwargs).getOrElse(Map()), select.trim)

@@ -587,6 +587,34 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("DROP DEDUP|SIMSEARCH INDEX removes every index table in one statement (r11)") {
+    val ctx = new Context(spark)
+    ctx.createTable("di_corpus", bloomCorpus)
+    ctx.sql("CREATE DEDUP INDEX di_idx ON di_corpus WITH (kind = 'exact')")
+    assert(spark.catalog.tableExists("di_idx_digests") &&
+      spark.catalog.tableExists("di_idx_bloom") &&
+      spark.catalog.tableExists("di_idx_meta"))
+    // kind guard: an exact index is not a SIMSEARCH index
+    val err = intercept[IllegalArgumentException] {
+      ctx.sql("DROP SIMSEARCH INDEX di_idx")
+    }
+    assert(err.getMessage.contains("DEDUP"))
+    ctx.sql("DROP DEDUP INDEX di_idx")
+    assert(!spark.catalog.tableExists("di_idx_digests") &&
+      !spark.catalog.tableExists("di_idx_bloom") &&
+      !spark.catalog.tableExists("di_idx_meta"))
+    // missing index: loud without IF EXISTS, silent with it
+    intercept[IllegalArgumentException] { ctx.sql("DROP DEDUP INDEX di_idx") }
+    ctx.sql("DROP DEDUP INDEX IF EXISTS di_idx")
+    // shingles stores live at the BARE name — only droppable through the
+    // meta record, so an unrelated same-named table can never be hit
+    ctx.sql("CREATE DEDUP INDEX di_store ON di_corpus WITH (kind = 'shingles')")
+    assert(spark.catalog.tableExists("di_store"))
+    ctx.sql("DROP DEDUP INDEX di_store")
+    assert(!spark.catalog.tableExists("di_store") &&
+      !spark.catalog.tableExists("di_store_meta"))
+  }
+
   test("minhash LSH recall matches exhaustive jaccard at sf0.001") {
     val d = Tables.t(spark, TestSpark.sf, "documents")
     val lsh = TextDedup.minhashDedupPairs(d, "doc_id", "text", threshold = 0.5)
