@@ -926,7 +926,7 @@ class Context(val spark: SparkSession) {
     // every catalog table the CREATE wrote (bucketed data tables, the
     // bloom sidecar, the meta record) goes in one statement, instead of
     // callers hand-enumerating per-kind suffixes.
-    case DropIndex(dropKind, name, ifExists) =>
+    case DropIndex(dropKind, name, ifExists, opts) =>
       val meta =
         if (spark.catalog.tableExists(s"${name}_meta")) readIndexMeta(name)
         else Map.empty[String, String]
@@ -936,11 +936,38 @@ class Context(val spark: SparkSession) {
           s"index '$name' is a ${if (isSim) "SIMSEARCH" else "DEDUP"} " +
             s"index (kind '${meta("kind")}') — use DROP ${
               if (isSim) "SIMSEARCH" else "DEDUP"} INDEX")
-      val suffixes =
-        if (dropKind == "dedup")
-          Seq("_digests", "_bloom", "_shingles", "_bands",
-            "_srp_vecs", "_srp_buckets")
-        else Seq("_cells", "_centroids", "_pq_codes", "_pq_codebooks")
+      // suffix list scoped to the RECORDED kind when meta exists (r11
+      // ADVICE: the blanket family sweep took an unrelated user table
+      // named `foo_bands` down with an exact index `foo`); the blanket
+      // per-family list survives only for meta-less legacy indexes, and
+      // only behind an explicit force='true' (r11 verdict: without meta
+      // the statement cannot DISTINGUISH index artifacts from coincident
+      // user tables, so it must not guess)
+      val kindSuffixes = Map(
+        "exact" -> Seq("_digests", "_bloom"),
+        "minhash" -> Seq("_shingles", "_bands"),
+        "shingles" -> Seq.empty[String],
+        "srp" -> Seq("_srp_vecs", "_srp_buckets"),
+        "ivf" -> Seq("_cells", "_centroids"),
+        "ivfpq" -> Seq("_cells", "_centroids", "_pq_codes", "_pq_codebooks"))
+      val suffixes = meta.get("kind") match {
+        case Some(k) => kindSuffixes.getOrElse(k,
+          throw new IllegalArgumentException(
+            s"index '$name' has unknown kind '$k' — corrupt ${name}_meta"))
+        case None =>
+          val force = opts.get("force").exists(_.trim.toLowerCase == "true")
+          if (!force && !ifExists) throw new IllegalArgumentException(
+            s"no ${name}_meta table: '$name' is not a known " +
+              s"${dropKind.toUpperCase} index. A pre-meta legacy index " +
+              "can be swept by suffix with DROP ... INDEX ... WITH " +
+              "(force='true') — refused by default because suffix-" +
+              "matching user tables would be dropped too")
+          if (!force) Nil
+          else if (dropKind == "dedup")
+            Seq("_digests", "_bloom", "_shingles", "_bands",
+              "_srp_vecs", "_srp_buckets")
+          else Seq("_cells", "_centroids", "_pq_codes", "_pq_codebooks")
+      }
       // kind='shingles' stores are the BARE table name; only meta can say
       // so — never drop a bare name blindly (it could be any user table)
       val bare = if (meta.get("kind").contains("shingles")) Seq(name) else Nil

@@ -115,9 +115,13 @@ object ExtensionParser {
       options: Map[String, String], select: String) extends Statement
   /** Drop every catalog table of a persisted dedup/ANN index under one
     * statement — the lifecycle closer of CREATE ... INDEX / ALTER ...
-    * APPEND (no reference analogue; parity-plus). */
+    * APPEND (no reference analogue; parity-plus). Options: force='true'
+    * opts into dropping suffix-matching tables for a META-LESS (pre-meta
+    * legacy) index — without it the statement refuses, because a bare
+    * suffix sweep could take an unrelated user table named e.g.
+    * `foo_bloom` down with index `foo`. */
   final case class DropIndex(kind: String, name: String,
-      ifExists: Boolean) extends Statement
+      ifExists: Boolean, options: Map[String, String]) extends Statement
 
   private val ws = "\\s+"
   private def kw(s: String) = s.split(" ").mkString(ws)
@@ -216,9 +220,9 @@ object ExtensionParser {
   // ALTER DEDUP|SIMSEARCH INDEX name APPEND [WITH (...)] AS <select>
   private val alterIndexAppend =
     re(s"ALTER${ws}(DEDUP|SIMSEARCH)${ws}INDEX${ws}$ident${ws}APPEND(?:${ws}WITH${ws}\\($kwSpan\\))?${ws}AS${ws}(.*)")
-  // DROP DEDUP|SIMSEARCH INDEX [IF EXISTS] name
+  // DROP DEDUP|SIMSEARCH INDEX [IF EXISTS] name [WITH (force='true')]
   private val dropIndex =
-    re(s"DROP${ws}(DEDUP|SIMSEARCH)${ws}INDEX${ws}(IF${ws}EXISTS${ws})?$ident")
+    re(s"DROP${ws}(DEDUP|SIMSEARCH)${ws}INDEX${ws}(IF${ws}EXISTS${ws})?$ident(?:${ws}WITH${ws}\\($kwSpan\\))?")
   // SELECT * FROM DECONTAMINATE(TABLE bench [WITH (...)], <train select>)
   private val decontaminate =
     re(s"SELECT${ws}\\*${ws}FROM${ws}DECONTAMINATE\\s*\\(\\s*TABLE${ws}$ident(?:${ws}WITH${ws}\\($kwSpan\\))?\\s*,(.*)\\)")
@@ -287,8 +291,9 @@ object ExtensionParser {
     case alterIndexAppend(kind, name, kwargs, select) =>
       AlterIndexAppend(kind.toLowerCase, name,
         Option(kwargs).map(parseKwargs).getOrElse(Map()), select.trim)
-    case dropIndex(kind, ifExists, name) =>
-      DropIndex(kind.toLowerCase, name, ifExists != null)
+    case dropIndex(kind, ifExists, name, kwargs) =>
+      DropIndex(kind.toLowerCase, name, ifExists != null,
+        Option(kwargs).map(parseKwargs).getOrElse(Map()))
     case decontaminate(table, kwargs, select) =>
       Decontaminate(table,
         Option(kwargs).map(parseKwargs).getOrElse(Map()), select.trim)

@@ -428,6 +428,54 @@ object CatalystExprs {
     org.apache.spark.sql.GraftBridge.column(MaxCosineAgainstBroadcast(
       org.apache.spark.sql.GraftBridge.expression(vec), bench))
 
+  /** Serializable carrier shipping a Bloom filter's byte image once per
+    * executor via broadcast; the filter deserializes lazily, at most once
+    * per executor JVM (lazy val — a probe must not re-read a GB-sized
+    * image per row or task). The deserialized filter hangs off the
+    * broadcast's own block, so unpersisting the broadcast after the
+    * consuming statement releases it — no global registry pinning filters
+    * for the life of the executor. Shared by every bloom-probe site that
+    * outgrows the plan-literal route ([[BloomMightContainBroadcast]]). */
+  final class LazyBloomCarrier(bytes: Array[Byte]) extends Serializable {
+    @transient lazy val filter: org.apache.spark.util.sketch.BloomFilter =
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bytes))
+  }
+
+  /** The broadcast twin of Spark's `BloomFilterMightContain(Literal, h)`:
+    * probes an xxhash64 long against a [[LazyBloomCarrier]]-wrapped filter
+    * resolved from the executor's block manager. Same might-contain
+    * semantics bit for bit (spec-asserted) — the two routes differ ONLY in
+    * how the filter bytes travel: a plan literal rides inside EVERY task
+    * binary of every stage (fine at MBs, a task-serialization bomb at the
+    * 10⁹-doc ~1.7 GB regime), a broadcast ships once per executor.
+    * `TextDedup.bloomProbe` auto-dispatches on the byte size. */
+  case class BloomMightContainBroadcast(child: Expression,
+      bloom: org.apache.spark.broadcast.Broadcast[LazyBloomCarrier])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BooleanType
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case LongType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"bloom_might_contain_bc expects bigint (an xxhash64), got ${other.sql}")
+      }
+
+    override def nullSafeEval(h: Any): Any =
+      java.lang.Boolean.valueOf(
+        bloom.value.filter.mightContainLong(h.asInstanceOf[Long]))
+    override protected def withNewChildInternal(c: Expression): BloomMightContainBroadcast =
+      copy(child = c)
+  }
+
+  def bloomMightContainBroadcast(hash: Column,
+      bloom: org.apache.spark.broadcast.Broadcast[LazyBloomCarrier]): Column =
+    org.apache.spark.sql.GraftBridge.column(BloomMightContainBroadcast(
+      org.apache.spark.sql.GraftBridge.expression(hash), bloom))
+
   /** Deterministic hyperplane component for sign-random-projection LSH:
     * a splitmix-style hash of (plane, dimension index) mapped to [-1, 1).
     * Shared by the fused [[SrpBucketHash]] and any compositional form so

@@ -85,7 +85,14 @@ object MediaCodecs {
     * construction; JPEG decode is bit-stable for a given JDK — the
     * MultimodalSpec fixture pins a decoded-hash value so a JDK swap that
     * changed IDCT rounding would fail loudly rather than silently
-    * re-cluster. Oversize guard: > 64 MP payloads decline (a decompression
+    * re-cluster. DEPLOYMENT REQUIREMENT (r11 ADVICE): that stability is
+    * per-JVM — a cluster mixing JDK builds across executors can IDCT the
+    * SAME JPEG payload to different gray values per task, making dedup
+    * clusters nondeterministic run to run. Run a homogeneous-JDK fleet
+    * (the normal container-image deployment), or `unregisterImage
+    * ("imageio")` and re-register a decoder sniffing only the lossless
+    * magics (PNG/GIF decode is exact on any JDK) when the fleet cannot
+    * be pinned. Oversize guard: > 64 MP payloads decline (a decompression
     * bomb must not OOM an executor). */
   final class ImageIoDecoder extends ImageDecoder {
     def format: String = "imageio"

@@ -21,6 +21,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object OpCache {
   private val reg = new java.util.concurrent.ConcurrentHashMap[
     SparkSession, java.util.Queue[DataFrame]]()
+  private val bcReg = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, java.util.Queue[org.apache.spark.broadcast.Broadcast[_]]]()
+
+  /** Register an operator-created Broadcast for [[release]] — the same
+    * per-statement reclamation discipline as cached frames, for the
+    * broadcast-routed expressions (semanticDecontaminate's bench set,
+    * the oversized bloom probes): a long-lived server session issuing
+    * repeated statements must not accumulate one executor-resident block
+    * per statement until ContextCleaner-after-GC gets around to it.
+    *
+    * Release UNPERSISTS (never destroys): unpersist drops the executor
+    * copies, and a still-live plan that probes the broadcast again simply
+    * re-fetches from the driver on its next action — the same
+    * always-safe-to-release contract as the frame registry. */
+  def trackBroadcast[T](spark: SparkSession,
+      bc: org.apache.spark.broadcast.Broadcast[T]): org.apache.spark.broadcast.Broadcast[T] = {
+    bcReg.computeIfAbsent(spark,
+      _ => new java.util.concurrent.ConcurrentLinkedQueue[
+        org.apache.spark.broadcast.Broadcast[_]]())
+      .add(bc)
+    bc
+  }
 
   /** Cache `df` and remember it for [[release]]. Returns the cached frame.
     *
@@ -40,21 +62,32 @@ object OpCache {
     }
   }
 
-  /** Unpersist every operator-cached frame registered for `spark`. */
+  /** Unpersist every operator-cached frame and operator-tracked broadcast
+    * registered for `spark`. */
   def release(spark: SparkSession): Unit = {
     val q = reg.remove(spark)
     if (q != null) q.forEach { df => df.unpersist(blocking = false); () }
+    val b = bcReg.remove(spark)
+    if (b != null) b.forEach { bc => bc.unpersist(blocking = false); () }
   }
 
   /** [[release]] with synchronous block removal — diagnostics (BenchProbe). */
   def releaseBlocking(spark: SparkSession): Unit = {
     val q = reg.remove(spark)
     if (q != null) q.forEach { df => df.unpersist(blocking = true); () }
+    val b = bcReg.remove(spark)
+    if (b != null) b.forEach { bc => bc.unpersist(blocking = true); () }
   }
 
   /** Number of registered (not yet released) frames — diagnostics/tests. */
   def registered(spark: SparkSession): Int = {
     val q = reg.get(spark)
+    if (q == null) 0 else q.size
+  }
+
+  /** Number of tracked (not yet released) broadcasts — diagnostics/tests. */
+  def trackedBroadcasts(spark: SparkSession): Int = {
+    val q = bcReg.get(spark)
     if (q == null) 0 else q.size
   }
 

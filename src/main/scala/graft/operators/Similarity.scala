@@ -148,9 +148,12 @@ object Similarity {
         // EVERY task binary of every stage (~400 MB at the 65k × 768-dim
         // cap — a plan bomb); carry it as one torrent broadcast per
         // executor instead, through the same fused loop (bit-identical,
-        // spec-asserted)
-        val bc = train.sparkSession.sparkContext.broadcast(
-          (gathered.map(_._1), gathered.map(_._2)))
+        // spec-asserted). OpCache-tracked so a long-lived server session
+        // reclaims the executor blocks between statements instead of
+        // waiting on ContextCleaner-after-GC (r11 ADVICE)
+        val bc = OpCache.trackBroadcast(train.sparkSession,
+          train.sparkSession.sparkContext.broadcast(
+            (gathered.map(_._1), gathered.map(_._2))))
         graft.functions.CatalystExprs.maxCosineAgainstBroadcast(col("_tv"), bc)
       }
     train
@@ -260,8 +263,20 @@ object Similarity {
       prefix: String, idCol: String = "vec_id",
       vecCol: String = "embedding"): Unit = {
     val centDf = spark.table(s"${prefix}_centroids")
+    // the index's own dimension, from one centroid row — a wrong-dim
+    // vector must FAIL here, not get a cell: zip_with over mismatched
+    // lengths yields null distances, which sort FIRST ascending, so
+    // without the guard a wrong-dim vector would land in an arbitrary
+    // cell (the build path's KMeans fit errors on the same input —
+    // r11 ADVICE)
+    val idxDim = centDf.select(size(col("centroid"))).head().getInt(0)
     val q = newDf.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nvec"))
       .withColumn("nnorm", norm(col("nvec")))
+      .withColumn("nvec",
+        when(size(col("nvec")) === idxDim, col("nvec")).otherwise(
+          raise_error(concat(lit(s"appendIvfIndex: index '$prefix' holds "
+            + s"$idxDim-dim vectors; got dim "), size(col("nvec")),
+            lit(" for id "), col("nid").cast("string")))))
     val qDist = q.crossJoin(broadcast(centDf))
       .withColumn("dist",
         aggregate(zip_with(col("nvec"), col("centroid"), (a, b) => (a - b) * (a - b)),

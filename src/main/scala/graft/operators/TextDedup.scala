@@ -175,25 +175,24 @@ object TextDedup {
     * NOT EXISTS oracle.
     *
     * Sizing: bits ≈ -n·ln(fpp)/ln²2 — 10⁹ seen docs at fpp 0.1% is
-    * ~1.7 GB, shipped once per executor as a plan literal (for filters
-    * past a few hundred MB, carry it as a broadcast the way
-    * `DocStreams.dedupChunksStreamBloomBroadcast` does). `expectedItems`
-    * defaults to a count of the corpus (one cheap map-side-combinable
-    * job); production passes it from catalog stats to skip that job.
+    * ~1.7 GB; [[bloomProbe]] auto-routes the filter as a plan literal
+    * only up to `literalMaxBytes` (default 8 MB) and as a once-per-
+    * executor broadcast above it, so corpus-scale filters never ride in
+    * task binaries. `expectedItems` defaults to a count of the corpus
+    * (one cheap map-side-combinable job); production passes it from
+    * catalog stats to skip that job.
     */
   def exactDedupIncrementalBloom(
       newDocs: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
       expectedItems: Long = -1L, fpp: Double = 0.001,
-      prebuilt: Option[Array[Byte]] = None): DataFrame = {
+      prebuilt: Option[Array[Byte]] = None,
+      literalMaxBytes: Long = BloomLiteralMaxBytes): DataFrame = {
     require(fpp > 0 && fpp < 1, "fpp must be in (0,1)")
     requireNoClash(newDocs, Set("_maybe"), "exactDedupIncrementalBloom")
     val bytes = prebuilt.getOrElse(
       buildContentBloom(corpus, textCol, expectedItems, fpp))
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.types.BinaryType
-    val mightContain = org.apache.spark.sql.GraftBridge.column(
-      BloomFilterMightContain(Literal(bytes, BinaryType),
-        org.apache.spark.sql.GraftBridge.expression(xxhash64(col(textCol)))))
+    val mightContain = bloomProbe(newDocs.sparkSession, bytes,
+      xxhash64(col(textCol)), literalMaxBytes)
     val outCols = newDocs.columns.map(col).toSeq
     val flagged = parallelized(newDocs).withColumn("_maybe",
       when(col(textCol).isNull, lit(false)).otherwise(mightContain))
@@ -210,6 +209,38 @@ object TextDedup {
       .select(outCols: _*)
     misses.unionByName(confirmed)
   }
+
+  /** Plan-literal ceiling for Bloom probe bytes: filters at or under this
+    * ride as a foldable `Literal` (decoded once per task, zero per-row
+    * indirection — the fastest form at MB sizes); above it they ship once
+    * per executor as a broadcast. 8 MB matches the semanticDecontaminate
+    * dispatch (PLANS 69/70): task binaries replicate per STAGE×TASK, so a
+    * multi-GB literal is a serialization bomb long before it is a memory
+    * problem. */
+  private[graft] val BloomLiteralMaxBytes: Long = 8L << 20
+
+  /** Bloom-probe column over an xxhash64 hash with automatic
+    * literal/broadcast dispatch on the filter's byte size — the shared
+    * probe of [[exactDedupIncrementalBloom]], [[exactDedupIncrementalIndexed]]
+    * and `DocStreams.dedupDocsStreamBloom`. Both routes evaluate Spark's
+    * own might-contain bit for bit (the broadcast route through
+    * [[graft.functions.CatalystExprs.BloomMightContainBroadcast]] —
+    * equality spec-asserted); the broadcast is registered with [[OpCache]]
+    * so a long-lived session reclaims executor blocks between statements. */
+  private[graft] def bloomProbe(
+      spark: org.apache.spark.sql.SparkSession, bytes: Array[Byte],
+      hash: Column, literalMaxBytes: Long = BloomLiteralMaxBytes): Column =
+    if (bytes.length <= literalMaxBytes) {
+      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+      import org.apache.spark.sql.types.BinaryType
+      org.apache.spark.sql.GraftBridge.column(
+        BloomFilterMightContain(Literal(bytes, BinaryType),
+          org.apache.spark.sql.GraftBridge.expression(hash)))
+    } else {
+      val bc = OpCache.trackBroadcast(spark, spark.sparkContext.broadcast(
+        new graft.functions.CatalystExprs.LazyBloomCarrier(bytes)))
+      graft.functions.CatalystExprs.bloomMightContainBroadcast(hash, bc)
+    }
 
   /** Fail fast when an input frame already carries a column name this
     * operator generates internally — silently overwriting it would emit
@@ -384,15 +415,13 @@ object TextDedup {
     * [[exactDedup]] convention). */
   def exactDedupIncrementalIndexed(
       spark: org.apache.spark.sql.SparkSession, newDocs: DataFrame,
-      idCol: String, textCol: String, prefix: String): DataFrame = {
+      idCol: String, textCol: String, prefix: String,
+      literalMaxBytes: Long = BloomLiteralMaxBytes): DataFrame = {
     requireNoClash(newDocs, Set("_maybe", "xxh", "content_md5"),
       "exactDedupIncrementalIndexed")
     val bytes = spark.table(s"${prefix}_bloom").head().getAs[Array[Byte]](0)
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.types.BinaryType
-    val mightContain = org.apache.spark.sql.GraftBridge.column(
-      BloomFilterMightContain(Literal(bytes, BinaryType),
-        org.apache.spark.sql.GraftBridge.expression(xxhash64(col(textCol)))))
+    val mightContain = bloomProbe(spark, bytes, xxhash64(col(textCol)),
+      literalMaxBytes)
     val outCols = newDocs.columns.map(col).toSeq
     val flagged = parallelized(newDocs).withColumn("_maybe",
       when(col(textCol).isNull, lit(false)).otherwise(mightContain))

@@ -379,18 +379,16 @@ object DocStreams {
     * gate, the rate is the operator's explicit knob, and the periodic
     * batch pass (which IS exact) reconciles. NULL-text rows always pass,
     * matching the batch form's SQL-equality semantics. Stateless per-row
-    * filter — append mode, zero streaming state; the filter rides as a
-    * plan literal (the `dedupChunksStreamBloom` size ceiling applies —
-    * broadcast-carrier form available on request via the same LazyBloom
-    * pattern).
+    * filter — append mode, zero streaming state; the filter auto-routes
+    * through `TextDedup.bloomProbe` (plan literal ≤ 8 MB, once-per-
+    * executor broadcast above — a corpus-scale 1.7 GB filter never rides
+    * in micro-batch task binaries), identical drops either way.
     */
   def dedupDocsStreamBloom(docStream: DataFrame, bloom: Array[Byte],
-      textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.types.BinaryType
-    val mightContain = org.apache.spark.sql.GraftBridge.column(
-      BloomFilterMightContain(Literal(bloom, BinaryType),
-        org.apache.spark.sql.GraftBridge.expression(xxhash64(col(textCol)))))
+      textCol: String = "text",
+      literalMaxBytes: Long = graft.operators.TextDedup.BloomLiteralMaxBytes): DataFrame = {
+    val mightContain = graft.operators.TextDedup.bloomProbe(
+      docStream.sparkSession, bloom, xxhash64(col(textCol)), literalMaxBytes)
     docStream.filter(col(textCol).isNull || !mightContain)
   }
 
@@ -449,12 +447,20 @@ object DocStreams {
     * from ONE input row, i.e. one event time, so any positive `delay`
     * horizon covers them. Output drops the event-time column (it exists
     * for the watermark); within-horizon re-sends of the same pair are
-    * suppressed too — the exactly-once contract. */
+    * suppressed too — the exactly-once contract.
+    *
+    * `idCol` defaults to the pair frame's FIRST column — both pair
+    * streams emit their id first ([[minhashPairsStream]] `doc_id`,
+    * [[embeddingPairsStream]] `vec_id`), so the default works for either
+    * without the caller naming it (a fixed "doc_id" default failed at
+    * analysis time for the SRP path — r11 ADVICE). */
   def exactlyOncePairs(pairs: DataFrame, eventTimeCol: String,
-      delay: String, idCol: String = "doc_id"): DataFrame =
+      delay: String, idCol: String = ""): DataFrame = {
+    val id = if (idCol.nonEmpty) idCol else pairs.columns.head
     pairs.withWatermark(eventTimeCol, delay)
-      .dropDuplicatesWithinWatermark(idCol, "dup_of")
+      .dropDuplicatesWithinWatermark(id, "dup_of")
       .drop(eventTimeCol)
+  }
 
   /** Streaming NEAR-duplicate detection against a persisted MinHash index
     * (`TextDedup.saveMinhashIndex` — the nightly `{prefix}_bands` /

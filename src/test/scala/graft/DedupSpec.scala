@@ -396,6 +396,57 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  // ---- bloom probe literal/broadcast auto-dispatch (r12) ----
+
+  test("bloomProbe literal and broadcast routes agree bit-for-bit per row") {
+    val bytes = TextDedup.buildContentBloom(bloomCorpus, "text")
+    // same filter BYTES down both routes: any per-row disagreement would
+    // be a decode/probe bug, not filter noise
+    val probed = bloomFresh.select(
+        TextDedup.bloomProbe(spark, bytes, xxhash64(col("text")),
+          literalMaxBytes = Long.MaxValue).as("lit"),
+        TextDedup.bloomProbe(spark, bytes, xxhash64(col("text")),
+          literalMaxBytes = 0L).as("bc"))
+      .collect()
+    assert(probed.length == 120)
+    assert(probed.forall(r => r.getBoolean(0) == r.getBoolean(1)))
+    graft.operators.OpCache.release(spark)
+  }
+
+  test("oversized-filter dispatch: broadcast route yields identical survivors and is OpCache-tracked") {
+    graft.operators.OpCache.release(spark)
+    val gotBc = TextDedup.exactDedupIncrementalBloom(
+        bloomFresh, bloomCorpus, "doc_id", "text", literalMaxBytes = 0L)
+      .collect().map(_.getLong(0)).sorted
+    // the probe broadcast is registered for per-statement release (a
+    // long-lived server session must not accumulate executor blocks)
+    assert(graft.operators.OpCache.trackedBroadcasts(spark) >= 1)
+    val gotLit = TextDedup.exactDedupIncrementalBloom(
+        bloomFresh, bloomCorpus, "doc_id", "text")
+      .collect().map(_.getLong(0)).sorted
+    assert(gotBc.sameElements(gotLit))
+    graft.operators.OpCache.release(spark)
+    assert(graft.operators.OpCache.trackedBroadcasts(spark) == 0)
+  }
+
+  test("indexed exact incremental over the broadcast route equals the literal route") {
+    try {
+      TextDedup.saveExactDedupIndex(bloomCorpus, "text", prefix = "exbc_idx")
+      val gotBc = TextDedup.exactDedupIncrementalIndexed(
+          spark, bloomFresh, "doc_id", "text", "exbc_idx",
+          literalMaxBytes = 0L)
+        .collect().map(_.getLong(0)).sorted
+      val gotLit = TextDedup.exactDedupIncrementalIndexed(
+          spark, bloomFresh, "doc_id", "text", "exbc_idx")
+        .collect().map(_.getLong(0)).sorted
+      assert(gotBc.sameElements(gotLit) && gotBc.nonEmpty)
+    } finally {
+      graft.operators.OpCache.release(spark)
+      spark.sql("DROP TABLE IF EXISTS exbc_idx_digests")
+      spark.sql("DROP TABLE IF EXISTS exbc_idx_bloom")
+    }
+  }
+
   test("incremental dedup fails fast on generated-column clashes (review pin)") {
     val clash = bloomFresh.withColumn("_maybe", lit(true))
     intercept[IllegalArgumentException] {
@@ -613,6 +664,39 @@ class DedupSpec extends AnyFunSuite {
     ctx.sql("DROP DEDUP INDEX di_store")
     assert(!spark.catalog.tableExists("di_store") &&
       !spark.catalog.tableExists("di_store_meta"))
+  }
+
+  test("DROP INDEX suffix sweep is kind-scoped and meta-less drops require force (r12)") {
+    val ctx = new Context(spark)
+    ctx.createTable("dg_corpus", bloomCorpus)
+    try {
+      // a user table that COINCIDENTALLY matches another kind's suffix
+      // must survive dropping an exact index of the same prefix (r11
+      // ADVICE: the blanket family sweep took foo_bands down with foo)
+      bloomCorpus.write.mode("overwrite").saveAsTable("dg_idx_bands")
+      ctx.sql("CREATE DEDUP INDEX dg_idx ON dg_corpus WITH (kind = 'exact')")
+      ctx.sql("DROP DEDUP INDEX dg_idx")
+      assert(spark.catalog.tableExists("dg_idx_bands"),
+        "kind-scoped drop must not sweep another kind's suffix")
+      assert(!spark.catalog.tableExists("dg_idx_digests") &&
+        !spark.catalog.tableExists("dg_idx_bloom") &&
+        !spark.catalog.tableExists("dg_idx_meta"))
+      // meta-less prefix (a user table named like an index artifact):
+      // refused without force, even though suffix tables exist
+      bloomCorpus.write.mode("overwrite").saveAsTable("dg_user_bloom")
+      val err = intercept[IllegalArgumentException] {
+        ctx.sql("DROP DEDUP INDEX dg_user")
+      }
+      assert(err.getMessage.contains("force"))
+      assert(spark.catalog.tableExists("dg_user_bloom"),
+        "meta-less drop must not touch suffix tables without force")
+      // the explicit legacy escape hatch sweeps the family suffixes
+      ctx.sql("DROP DEDUP INDEX dg_user WITH (force = 'true')")
+      assert(!spark.catalog.tableExists("dg_user_bloom"))
+    } finally {
+      Seq("dg_idx_bands", "dg_user_bloom")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
   }
 
   test("minhash LSH recall matches exhaustive jaccard at sf0.001") {

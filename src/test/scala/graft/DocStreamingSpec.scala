@@ -137,6 +137,33 @@ class DocStreamingSpec extends AnyFunSuite {
     assert(!streamed.exists(id => id > 1000L && id <= 1060L && id % 2 == 0))
   }
 
+  test("streaming bloom gate broadcast route (oversized filter) drops identically (r12)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = (1 to 300)
+      .map(i => (i.toLong, s"stream corpus doc $i body words")).toDF("doc_id", "text")
+    val bloom = graft.operators.TextDedup.buildContentBloom(corpus, "text")
+    val fresh = (1 to 60).map { i =>
+      (1000L + i,
+        if (i % 2 == 0) s"stream corpus doc $i body words"
+        else s"never seen doc $i")
+    } :+ ((2000L, null.asInstanceOf[String]))
+    def run(maxBytes: Long, qn: String): Array[Long] = {
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      ms.addData(fresh: _*)
+      drain(DocStreams.dedupDocsStreamBloom(ms.toDF().toDF("doc_id", "text"),
+          bloom, literalMaxBytes = maxBytes), qn)
+        .collect().map(_.getLong(0)).sorted
+    }
+    // literalMaxBytes=0 forces the once-per-executor broadcast route; the
+    // drops must be bit-identical to the plan-literal route (same filter
+    // bytes, same xxhash64 probe)
+    val gotBc = run(0L, "doc_bloom_stream_bc")
+    val gotLit = run(Long.MaxValue, "doc_bloom_stream_lit")
+    assert(gotBc.sameElements(gotLit) && gotBc.contains(2000L))
+    graft.operators.OpCache.release(spark)
+  }
+
   test("streaming minhash pairs against the persisted index equal batch pairs as a set (r10)") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -237,6 +264,17 @@ class DocStreamingSpec extends AnyFunSuite {
       assert(once.length == 1)
       assert(once.head.getLong(0) == 100L && once.head.getLong(1) == 1L)
       assert(!once.head.schema.fieldNames.contains("ts"))
+      // default idCol resolves from the pair frame's FIRST column, so the
+      // SRP pair stream's vec_id works without naming it (r11 ADVICE: a
+      // fixed "doc_id" default failed analysis on the embedding path)
+      val vecMs = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Double, java.sql.Timestamp)]
+      vecMs.addData((7L, 1L, 0.99, ts), (7L, 1L, 0.99, ts), (8L, 1L, 0.95, ts))
+      val vecOnce = drain(DocStreams.exactlyOncePairs(
+          vecMs.toDF().toDF("vec_id", "dup_of", "sim", "ts"), "ts", "10 minutes"),
+        "eo_vec_stream").collect()
+      assert(vecOnce.length == 2 &&
+        vecOnce.map(_.getLong(0)).sorted.sameElements(Array(7L, 8L)))
     } finally {
       spark.sql("DROP TABLE IF EXISTS eo_idx_bands")
       spark.sql("DROP TABLE IF EXISTS eo_idx_shingles")

@@ -448,6 +448,18 @@ class SimilaritySpec extends AnyFunSuite {
         ctx.sql("ALTER DEDUP INDEX aivf2 APPEND AS SELECT * FROM aivf_inc")
       }
       assert(err.getMessage.contains("SIMSEARCH"))
+      // dimension-mismatched vectors FAIL the append instead of landing
+      // in an arbitrary cell (r11 ADVICE: zip_with over mismatched
+      // lengths yields null distances, which sort first ascending)
+      val badDim = inc.limit(1)
+        .select(($"vec_id" + 9000000L).as("vec_id"),
+          slice($"embedding", 1, 7).as("embedding"))
+      val dimErr = intercept[Exception] {
+        Similarity.appendIvfIndex(spark, badDim, "aivf_idx")
+      }
+      assert(dimErr.getMessage != null &&
+        dimErr.getMessage.contains("dim"))
+      assert(spark.table("aivf_idx_cells").filter($"nid" >= 9000000L).count() == 0)
     } finally {
       Seq("aivf_idx_cells", "aivf_idx_centroids", "aivf_idx_pq_codes",
         "aivf_idx_pq_codebooks", "aivf_idx_meta", "aivf2_cells",
