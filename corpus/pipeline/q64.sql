@@ -1,0 +1,1 @@
+DROP DEDUP INDEX pipeline_exact_idx

@@ -122,6 +122,11 @@ object ExtensionParser {
     * `foo_bloom` down with index `foo`. */
   final case class DropIndex(kind: String, name: String,
       ifExists: Boolean, options: Map[String, String]) extends Statement
+  /** One (metric, value) row per index-health datum — bloom fill/est-fpp,
+    * appended volume, bucket/cell histograms — so the appendable-index
+    * families' rebuild-on-degrade cadence is a measurable threshold
+    * check (no reference analogue; parity-plus). */
+  final case class DescribeIndex(kind: String, name: String) extends Statement
 
   private val ws = "\\s+"
   private def kw(s: String) = s.split(" ").mkString(ws)
@@ -223,6 +228,9 @@ object ExtensionParser {
   // DROP DEDUP|SIMSEARCH INDEX [IF EXISTS] name [WITH (force='true')]
   private val dropIndex =
     re(s"DROP${ws}(DEDUP|SIMSEARCH)${ws}INDEX${ws}(IF${ws}EXISTS${ws})?$ident(?:${ws}WITH${ws}\\($kwSpan\\))?")
+  // DESCRIBE DEDUP|SIMSEARCH INDEX name
+  private val describeIndex =
+    re(s"DESCRIBE${ws}(DEDUP|SIMSEARCH)${ws}INDEX${ws}$ident")
   // SELECT * FROM DECONTAMINATE(TABLE bench [WITH (...)], <train select>)
   private val decontaminate =
     re(s"SELECT${ws}\\*${ws}FROM${ws}DECONTAMINATE\\s*\\(\\s*TABLE${ws}$ident(?:${ws}WITH${ws}\\($kwSpan\\))?\\s*,(.*)\\)")
@@ -294,6 +302,8 @@ object ExtensionParser {
     case dropIndex(kind, ifExists, name, kwargs) =>
       DropIndex(kind.toLowerCase, name, ifExists != null,
         Option(kwargs).map(parseKwargs).getOrElse(Map()))
+    case describeIndex(kind, name) =>
+      DescribeIndex(kind.toLowerCase, name)
     case decontaminate(table, kwargs, select) =>
       Decontaminate(table,
         Option(kwargs).map(parseKwargs).getOrElse(Map()), select.trim)

@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** DESCRIBE DEDUP|SIMSEARCH INDEX — the index-health surface (r12,
+  * closing the r11 "ops teams rebuild blind" verdict item).
+  *
+  * Every appendable-index family documents a rebuild-on-degrade cadence
+  * (bloom bits saturate past `expected_items`; IVF centroids drift as
+  * cells grow un-recentered; LSH buckets inflate past the skew cap) but
+  * r11 shipped nothing that MEASURES the degradation. This statement
+  * returns one (metric, value) row per health datum so the nightly
+  * rebuild decision is a threshold check, not a guess:
+  *
+  *  - volume: `rows_at_build` (recorded in `{name}_meta` at CREATE),
+  *    `rows_now` (a count of the index's primary table — index-sized,
+  *    never corpus-sized), `rows_appended` and `appended_frac` — the
+  *    documented "rebuild when appended volume approaches the original
+  *    corpus size" rule, as a number.
+  *  - exact: bloom geometry + `bloom_fill_ratio` (set bits / total bits,
+  *    parsed straight from the serialized image — no filter
+  *    deserialization) and `bloom_est_fpp` = fill^k, the standard
+  *    occupancy estimate (Broder & Mitzenmacher 2003; at build-target
+  *    load factor it reproduces the requested fpp, and it keeps rising
+  *    as appends saturate the bits — THE rebuild signal for this kind).
+  *  - minhash/srp: band/bucket histogram — bucket count, max/mean
+  *    size, the top-5 sizes, and `buckets_over_cap` vs the recorded
+  *    `max_bucket` (srp) — bucket inflation is the LSH families'
+  *    degradation mode (more candidates per probe, not wrong answers).
+  *  - ivf/ivfpq: cell histogram + `cell_skew` (max/mean). Appends
+  *    assign to FROZEN centroids, so drift shows up as skew growth and
+  *    `appended_frac`; the measured recall cost of that drift lives in
+  *    PLANS (ScaleProbe ivf-drift), cited from the appendIvfIndex
+  *    scaladoc.
+  *
+  * Scale shape: every metric is one aggregate over an INDEX artifact
+  * (thin hash/id tables), with only scalar rows collected; the corpus
+  * itself is never touched. Output values are strings so one schema
+  * carries counts, ratios and name lists (the SHOW ... convention).
+  */
+object IndexHealth {
+
+  /** The table whose row count tracks an index's content volume. */
+  private[graft] def primaryTable(kind: String, name: String): String =
+    kind match {
+      case "exact" => s"${name}_digests"
+      case "minhash" => s"${name}_shingles"
+      case "shingles" => name
+      case "srp" => s"${name}_srp_vecs"
+      case "ivf" | "ivfpq" => s"${name}_cells"
+      case other => throw new IllegalArgumentException(
+        s"unknown index kind '$other'")
+    }
+
+  /** (numHashFunctions, numBits, setBits) parsed directly from a
+    * serialized Spark `BloomFilterImpl` image — the layout
+    * `BloomFilter.writeTo` emits: int version, int numHashFunctions,
+    * [int seed — V2 only], int numWords, numWords longs (verified
+    * against Spark 4.1's writer: header ints (2, k, 0, words) and
+    * numWords·64 == bitSize()). Version-checked so a format change
+    * fails loudly. Parsing the bytes avoids deserializing a
+    * potentially-GB filter just to count its bits: one streaming pass,
+    * `Long.bitCount` per word. */
+  private[graft] def bloomStats(bytes: Array[Byte]): (Int, Long, Long) = {
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val version = in.readInt()
+    require(version == 1 || version == 2,
+      s"unrecognized bloom serialization version $version — parser " +
+        "matches Spark BloomFilterImpl V1/V2")
+    val k = in.readInt()
+    if (version == 2) in.readInt() // V2 records the hash seed
+    val words = in.readInt()
+    var set = 0L
+    var i = 0
+    while (i < words) { set += java.lang.Long.bitCount(in.readLong()); i += 1 }
+    (k, words.toLong * 64L, set)
+  }
+
+  private def fmt(d: Double): String =
+    if (d == 0.0) "0"
+    else if (d >= 0.001) f"$d%.6f".reverse.dropWhile(_ == '0').reverse
+      .stripSuffix(".")
+    else f"$d%.3e" // tiny fpps stay readable instead of rounding to 0
+
+  /** Top-k bucket-size histogram + skew scalars over a (bucket-key →
+    * member) table: one groupBy-count (map-side combinable) and one
+    * scalar aggregate; only k+3 numbers reach the driver. */
+  private def bucketMetrics(df: DataFrame, keyCols: Seq[String],
+      label: String, overCap: Option[Long]): Seq[(String, String)] = {
+    val sizes = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
+    val agg = sizes.agg(count(lit(1)).as("nb"), max(col("n")).as("mx"),
+      avg(col("n")).as("mean")).head()
+    if (agg.isNullAt(1)) return Seq(s"${label}_count" -> "0")
+    val nb = agg.getLong(0); val mx = agg.getLong(1); val mean = agg.getDouble(2)
+    val top = sizes.orderBy(col("n").desc).limit(5)
+      .collect().map(_.getAs[Long]("n"))
+    val base = Seq(
+      s"${label}_count" -> nb.toString,
+      s"${label}_max_size" -> mx.toString,
+      s"${label}_mean_size" -> fmt(mean),
+      s"${label}_skew" -> fmt(mx / math.max(mean, 1e-12)),
+      s"${label}_top5_sizes" -> top.mkString(","))
+    base ++ overCap.map { cap =>
+      s"${label}s_over_cap" ->
+        sizes.filter(col("n") > cap).count().toString
+    }
+  }
+
+  /** All health rows for index `name` with meta `meta` (must contain
+    * `kind`). Returned as (metric, value) pairs, volume first. */
+  def describe(spark: SparkSession, name: String,
+      meta: Map[String, String]): Seq[(String, String)] = {
+    val kind = meta.getOrElse("kind", throw new IllegalArgumentException(
+      s"index '$name' has no recorded kind — corrupt ${name}_meta"))
+    val primary = primaryTable(kind, name)
+    val rowsNow = spark.table(primary).count()
+    val atBuild = meta.get("rows_at_build").map(_.toLong)
+    val volume = Seq("kind" -> kind, "primary_table" -> primary,
+        "rows_now" -> rowsNow.toString) ++
+      (atBuild match {
+        case Some(b) =>
+          val app = rowsNow - b
+          Seq("rows_at_build" -> b.toString,
+            "rows_appended" -> app.toString,
+            "appended_frac" -> fmt(app.toDouble / math.max(b, 1L)))
+        case None =>
+          // pre-r12 index: CREATE did not record the build volume
+          Seq("rows_at_build" -> "unknown (rebuilt index records it)")
+      })
+    val kindRows = kind match {
+      case "exact" =>
+        val row = spark.table(s"${name}_bloom").head()
+        val bytes = row.getAs[Array[Byte]]("bloom")
+        val (k, bits, set) = bloomStats(bytes)
+        val fill = set.toDouble / math.max(bits, 1L)
+        val expected = row.getAs[Long]("expected_items")
+        val fppBuild = row.getAs[Double]("fpp")
+        val estFpp = math.pow(fill, k)
+        Seq(
+          "bloom_expected_items" -> expected.toString,
+          "bloom_num_bits" -> bits.toString,
+          "bloom_num_hash_functions" -> k.toString,
+          "bloom_fpp_at_build" -> fmt(fppBuild),
+          "bloom_fill_ratio" -> fmt(fill),
+          "bloom_est_fpp" -> fmt(estFpp),
+          // the documented cadence as a boolean: false positives cost
+          // confirm-join work (never correctness), so the trip point is
+          // an order of magnitude over the build target
+          "rebuild_recommended" -> (estFpp > 10 * fppBuild).toString)
+      case "minhash" =>
+        bucketMetrics(spark.table(s"${name}_bands"),
+          Seq("band", "bh"), "band_bucket", overCap = None)
+      case "shingles" => Nil // volume metrics say it all for a bare store
+      case "srp" =>
+        bucketMetrics(spark.table(s"${name}_srp_buckets"),
+          Seq("tbl", "bucket"), "bucket",
+          overCap = meta.get("max_bucket").map(_.toLong)
+            .filter(_ < Int.MaxValue))
+      case "ivf" | "ivfpq" =>
+        bucketMetrics(spark.table(s"${name}_cells"),
+          Seq("cell"), "cell", overCap = None) ++
+          Seq("pq_tables_present" ->
+            spark.catalog.tableExists(s"${name}_pq_codes").toString)
+      case other => throw new IllegalArgumentException(
+        s"unknown index kind '$other'")
+    }
+    volume ++ kindRows
+  }
+}

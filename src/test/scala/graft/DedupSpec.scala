@@ -699,6 +699,75 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("DESCRIBE DEDUP|SIMSEARCH INDEX: health metrics move with appends (r12)") {
+    val ctx = new Context(spark)
+    ctx.createTable("dh_corpus", bloomCorpus)
+    try {
+      ctx.sql("CREATE DEDUP INDEX dh_idx ON dh_corpus WITH (kind = 'exact')")
+      def metrics(): Map[String, String] =
+        ctx.sql("DESCRIBE DEDUP INDEX dh_idx")
+          .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val m0 = metrics()
+      assert(m0("kind") == "exact")
+      assert(m0("rows_at_build").toLong == 400L)
+      assert(m0("rows_now").toLong == 400L)
+      assert(m0("rows_appended").toLong == 0L)
+      val fill0 = m0("bloom_fill_ratio").toDouble
+      assert(fill0 > 0.0 && fill0 < 1.0)
+      // est fpp at build load ≈ the requested fpp (the occupancy formula
+      // reproduces the design point); default fpp 0.001
+      val est0 = m0("bloom_est_fpp").toDouble
+      assert(est0 > 0.0 && est0 < 0.01)
+      assert(m0("rebuild_recommended") == "false")
+      // append a genuinely-new increment: volume + fill must move
+      ctx.createTable("dh_inc", (1 to 300)
+        .map(i => (5000L + i, s"append increment doc $i payload"))
+        .toDF("doc_id", "text"))
+      ctx.sql("ALTER DEDUP INDEX dh_idx APPEND AS SELECT * FROM dh_inc")
+      val m1 = metrics()
+      assert(m1("rows_now").toLong == 700L)
+      assert(m1("rows_appended").toLong == 300L)
+      assert(math.abs(m1("appended_frac").toDouble - 0.75) < 1e-9)
+      assert(m1("bloom_fill_ratio").toDouble > fill0)
+      assert(m1("bloom_est_fpp").toDouble > est0)
+      // kind guard mirrors DROP/ALTER
+      val err = intercept[IllegalArgumentException] {
+        ctx.sql("DESCRIBE SIMSEARCH INDEX dh_idx")
+      }
+      assert(err.getMessage.contains("DEDUP"))
+      // bloomStats parses the exact serialized geometry
+      val bytes = spark.table("dh_idx_bloom").head().getAs[Array[Byte]]("bloom")
+      val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bytes))
+      val (k, bits, set) = graft.operators.IndexHealth.bloomStats(bytes)
+      assert(bits == bf.bitSize() && k > 0 && set > 0 && set < bits)
+      // minhash histogram shape
+      ctx.sql("""CREATE DEDUP INDEX dh_mh ON dh_corpus
+        |WITH (kind = 'minhash', n_buckets = 4)""".stripMargin)
+      val mh = ctx.sql("DESCRIBE DEDUP INDEX dh_mh")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(mh("band_bucket_count").toLong > 0)
+      assert(mh("band_bucket_max_size").toLong >= 1)
+      assert(mh("band_bucket_top5_sizes").split(",").nonEmpty)
+      // ivf cell skew + volume through the SIMSEARCH side
+      ctx.createTable("dh_vecs", Tables.t(spark, TestSpark.sf, "embeddings"))
+      ctx.sql("""CREATE SIMSEARCH INDEX dh_ivf ON dh_vecs
+        |WITH (n_cells = 4, n_buckets = 2)""".stripMargin)
+      val iv = ctx.sql("DESCRIBE SIMSEARCH INDEX dh_ivf")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(iv("kind") == "ivf" && iv("cell_count").toLong == 4)
+      assert(iv("cell_skew").toDouble >= 1.0)
+      assert(iv("pq_tables_present") == "false")
+      assert(iv("rows_appended").toLong == 0L)
+    } finally {
+      graft.operators.OpCache.release(spark)
+      Seq("dh_idx_digests", "dh_idx_bloom", "dh_idx_meta",
+        "dh_mh_bands", "dh_mh_shingles", "dh_mh_meta",
+        "dh_ivf_cells", "dh_ivf_centroids", "dh_ivf_meta")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("minhash LSH recall matches exhaustive jaccard at sf0.001") {
     val d = Tables.t(spark, TestSpark.sf, "documents")
     val lsh = TextDedup.minhashDedupPairs(d, "doc_id", "text", threshold = 0.5)
