@@ -1,0 +1,2 @@
+CREATE OR REPLACE TABLE pipeline_uni_vocab AS
+SELECT * FROM VOCAB(TABLE pipeline_uni_pieces)

@@ -1,0 +1,3 @@
+SELECT * FROM PACK(CAPACITY 256 WITH (materialize = 'true', ids = 'token_ids', group = 'grp'),
+SELECT i.doc_id, i.token_ids, d.source AS grp
+FROM pipeline_tok_ids i JOIN documents d ON i.doc_id = d.doc_id)

@@ -1,0 +1,2 @@
+SELECT * FROM DETOKENIZE(TABLE pipeline_uni_vocab,
+SELECT doc_id, token_ids FROM pipeline_tok_ids)

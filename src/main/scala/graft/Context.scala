@@ -371,8 +371,8 @@ class Context(val spark: SparkSession) {
       ExtensionParser.parse(rest) match {
         case _: DedupTable | _: SimSearch | _: PredictModel | _: Decontaminate |
              _: Stratify | _: Chunk | _: Pack | _: Score | _: Sample |
-             _: Tokenize | _: Summarize | _: Extract | _: Train |
-             _: PageRankStmt =>
+             _: Tokenize | _: Vocab | _: Detokenize | _: Summarize |
+             _: Extract | _: Train | _: PageRankStmt =>
           val plan = exec(rest).queryExecution.explainString(
             org.apache.spark.sql.execution.ExplainMode.fromString(
               Option(mode).map(_.trim.toLowerCase).getOrElse("formatted")))
@@ -1108,7 +1108,15 @@ class Context(val spark: SparkSession) {
       val packId = opts.getOrElse("id", "doc_id")
       val packTokens = opts.getOrElse("tokens", "n_tokens")
       val packGroup = opts.getOrElse("group", "source")
-      if (opts.get("materialize").exists(_.trim.toBoolean))
+      // materialize='true' + ids='<array<int> col>' → the int32 shard
+      // (Corpus.materializePackedIds, eos_id separators); with text= (the
+      // default) the string debugging surface.
+      if (opts.get("materialize").exists(_.trim.toBoolean) &&
+          opts.contains("ids"))
+        graft.operators.Corpus.materializePackedIds(
+          sql(select), packId, opts("ids").trim, packGroup, capacity,
+          eosId = opts.get("eos_id").map(_.trim.toInt).getOrElse(0))
+      else if (opts.get("materialize").exists(_.trim.toBoolean))
         graft.operators.Corpus.materializePacked(
           sql(select), packId, opts.getOrElse("text", "text"), packTokens,
           packGroup, capacity, eos = opts.getOrElse("eos", " <eos> "))
@@ -1282,8 +1290,15 @@ class Context(val spark: SparkSession) {
     // (any (round, lhs, rhs) frame, e.g. a persisted bpeLearnMerges
     // output); the table is tokenizer-sized and compiled into the
     // projection.
+    // emit='ids' re-maps the encoded pieces to int32 ids in the same
+    // statement (Corpus.encodeIds): vocab='<table>' names a registered
+    // (piece, id) frame (a CTAS'd VOCAB result — REQUIRED for stable ids
+    // across corpora); method='unigram' may omit it, deriving
+    // tokenVocab(pieces) from the statement's own piece table (complete
+    // coverage whenever the corpus chars are in the trained singles).
     case Tokenize(table, opts, select) =>
-      opts.getOrElse("method", "bpe").trim.toLowerCase match {
+      val tokIdCol = opts.getOrElse("id", "doc_id")
+      val encoded = opts.getOrElse("method", "bpe").trim.toLowerCase match {
         case "bpe" => graft.operators.Corpus.bpeEncode(
           sql(select),
           idCol = opts.getOrElse("id", "doc_id"),
@@ -1316,6 +1331,39 @@ class Context(val spark: SparkSession) {
         case other => throw new IllegalArgumentException(
           s"Unknown TOKENIZE method: $other (bpe|unigram)")
       }
+      if (opts.get("emit").exists(_.trim.equalsIgnoreCase("ids"))) {
+        val vocab = opts.get("vocab").map(v => lookupTable(v.trim)).getOrElse {
+          if (opts.getOrElse("method", "bpe").trim.toLowerCase == "unigram")
+            graft.operators.Corpus.tokenVocab(lookupTable(table),
+              unkPiece = opts.getOrElse("unk", "<unk>"))
+          else throw new IllegalArgumentException(
+            "TOKENIZE emit='ids' with method='bpe' requires vocab= (a " +
+              "registered (piece, id) table — BPE's token set is chars + " +
+              "merges, not the merge table itself; CTAS a VOCAB result)")
+        }
+        graft.operators.Corpus.encodeIds(encoded, tokIdCol, "tokens", vocab,
+          unkId = opts.get("unk_id").map(_.trim.toInt).getOrElse(0))
+      } else encoded
+
+    // SELECT * FROM VOCAB(TABLE pieces [WITH (...)]) — the deterministic
+    // (piece → id) map (Corpus.tokenVocab: id 0 = unk, 1..V in binary
+    // piece order); CTAS it once and reuse via TOKENIZE vocab= /
+    // DETOKENIZE so ids stay stable as the corpus grows.
+    case Vocab(table, opts) =>
+      graft.operators.Corpus.tokenVocab(lookupTable(table),
+        pieceCol = opts.getOrElse("piece", "piece"),
+        unkPiece = opts.getOrElse("unk", "<unk>"))
+
+    // SELECT * FROM DETOKENIZE(TABLE vocab [WITH (...)], <select>) — ids
+    // back to pieces under a registered (piece, id) vocabulary; the
+    // TOKENIZE emit='ids' inverse (unknown ids decode to the unk piece).
+    case Detokenize(table, opts, select) =>
+      graft.operators.Corpus.decodeIds(
+        sql(select),
+        idCol = opts.getOrElse("id", "doc_id"),
+        idsCol = opts.getOrElse("ids", "token_ids"),
+        vocab = lookupTable(table),
+        unkPiece = opts.getOrElse("unk", "<unk>"))
 
     // SELECT * FROM SUMMARIZE(BY col [WITH (...)], <select>) — per-group
     // corpus profile (doc count, char/token volume, length percentiles,

@@ -83,6 +83,16 @@ object ExtensionParser {
       select: String) extends Statement
   /** Per-group corpus profile of the inner query's documents
     * (no reference analogue; parity-plus). */
+  /** SELECT * FROM VOCAB(TABLE pieces [WITH (...)]) — deterministic
+    * (piece → id) vocabulary from a registered piece table
+    * (Corpus.tokenVocab); CTAS it once, reuse across encodes. */
+  final case class Vocab(table: String,
+      options: Map[String, String]) extends Statement
+  /** SELECT * FROM DETOKENIZE(TABLE vocab [WITH (...)], <select>) —
+    * token-ID decode under a (piece, id) vocabulary (Corpus.decodeIds),
+    * the TOKENIZE emit='ids' inverse. */
+  final case class Detokenize(table: String, options: Map[String, String],
+      select: String) extends Statement
   final case class Summarize(by: String, options: Map[String, String],
       select: String) extends Statement
   /** Extract text/title/links from a raw-markup column — the
@@ -255,6 +265,12 @@ object ExtensionParser {
   // SELECT * FROM TOKENIZE(TABLE merges [WITH (...)], <select>)
   private val tokenizeStmt =
     re(s"SELECT${ws}\\*${ws}FROM${ws}TOKENIZE\\s*\\(\\s*TABLE${ws}$ident(?:${ws}WITH${ws}\\($kwSpan\\))?\\s*,(.*)\\)")
+  // SELECT * FROM VOCAB(TABLE pieces [WITH (...)])
+  private val vocabStmt =
+    re(s"SELECT${ws}\\*${ws}FROM${ws}VOCAB\\s*\\(\\s*TABLE${ws}$ident(?:${ws}WITH${ws}\\($kwSpan\\))?\\s*\\)")
+  // SELECT * FROM DETOKENIZE(TABLE vocab [WITH (...)], <select>)
+  private val detokenizeStmt =
+    re(s"SELECT${ws}\\*${ws}FROM${ws}DETOKENIZE\\s*\\(\\s*TABLE${ws}$ident(?:${ws}WITH${ws}\\($kwSpan\\))?\\s*,(.*)\\)")
   // SELECT * FROM SUMMARIZE(BY col [WITH (...)], <select>)
   private val summarizeStmt =
     re(s"SELECT${ws}\\*${ws}FROM${ws}SUMMARIZE\\s*\\(\\s*BY${ws}$ident(?:${ws}WITH${ws}\\($kwSpan\\))?\\s*,(.*)\\)")
@@ -327,6 +343,11 @@ object ExtensionParser {
         Option(kwargs).map(parseKwargs).getOrElse(Map()), select.trim)
     case tokenizeStmt(table, kwargs, select) =>
       Tokenize(table,
+        Option(kwargs).map(parseKwargs).getOrElse(Map()), select.trim)
+    case vocabStmt(table, kwargs) =>
+      Vocab(table, Option(kwargs).map(parseKwargs).getOrElse(Map()))
+    case detokenizeStmt(table, kwargs, select) =>
+      Detokenize(table,
         Option(kwargs).map(parseKwargs).getOrElse(Map()), select.trim)
     case summarizeStmt(by, kwargs, select) =>
       Summarize(by,

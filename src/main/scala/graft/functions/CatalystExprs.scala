@@ -1482,6 +1482,58 @@ object CatalystExprs {
     GraftBridge.column(UnigramEncode(GraftBridge.expression(text), pieces,
       maxWordLen, unkScore))
 
+  /** Token-piece → token-ID mapping under a compiled vocabulary — the
+    * last projection between a tokenized corpus and an int32 training
+    * shard. The (piece → id) table is TOKENIZER-sized and compiles INTO
+    * this one node (the [[BpeEncodeMerges]]/[[UnigramEncode]] contract:
+    * constant plan size at any vocabulary, O(1) HashMap probe per token,
+    * pure per-row projection — no shuffle, no join against the corpus).
+    * A token absent from the vocabulary maps to `unkId` — the standard
+    * OOV rule; encoding never fails. Duplicate piece strings keep the
+    * SMALLEST id (ids from [[graft.operators.Corpus.tokenVocab]] are
+    * distinct by construction; the min rule just makes hand-built tables
+    * deterministic too). NULL array elements also map to `unkId`. */
+  case class TokenIds(child: Expression, vocab: Seq[(String, Int)],
+      unkId: Int = 0)
+      extends UnaryExpression with CodegenFallback {
+
+    @transient private lazy val idMap
+        : java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer] = {
+      val m = new java.util.HashMap[
+        org.apache.spark.unsafe.types.UTF8String, Integer](vocab.length * 2)
+      vocab.foreach { case (p, id) =>
+        val k = org.apache.spark.unsafe.types.UTF8String.fromString(p)
+        val prev = m.get(k)
+        if (prev == null || id < prev.intValue()) m.put(k, id)
+      }
+      m
+    }
+
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val out = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        val t = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+        val id = if (t == null) null else idMap.get(t)
+        out(i) = if (id == null) unkId else id.intValue()
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override def prettyName: String = "token_ids"
+    override protected def withNewChildInternal(c: Expression): TokenIds =
+      copy(child = c)
+  }
+
+  def tokenIds(tokens: Column, vocab: Seq[(String, Int)],
+      unkId: Int = 0): Column =
+    GraftBridge.column(TokenIds(GraftBridge.expression(tokens), vocab, unkId))
+
   /** Perceptual image hash (dHash, 64-bit) of an UNCOMPRESSED 24/32-bit
     * BMP payload — REAL pixel work, no codec library: BI_RGB bitmaps are
     * raw BGR rows behind a fixed header, so pure byte parsing reaches the

@@ -1835,6 +1835,123 @@ object Corpus {
       .withColumn("n_tokens", size(col("tokens")).cast("bigint"))
   }
 
+  /** Deterministic (piece → id) VOCABULARY from any piece table — the
+    * persisted artifact that turns [[bpeEncode]]/[[unigramEncode]]'s
+    * string pieces into the int32 ids a training shard actually stores.
+    * Ids are assigned by Spark's BINARY string order (UTF8String byte
+    * comparison — identical to DuckDB's default binary collation, so the
+    * map is oracle-replayable as `row_number() OVER (ORDER BY piece)`):
+    * id 0 is reserved for `unkPiece` (the OOV token [[encodeIds]] falls
+    * back to), distinct pieces get 1..V in ascending byte order.
+    *
+    * Scale shape: one distinct + ordered collect of a TOKENIZER-sized
+    * table (the [[bpeEncode]] driver-collect discipline — kilobytes to a
+    * few MB), ids assigned on the driver so no global window ever touches
+    * an executor; the result is a driver-local frame the caller persists
+    * once (CTAS) and every encode/decode joins against by COMPILING it
+    * into one expression, never by shuffling the corpus. */
+  def tokenVocab(pieces: DataFrame, pieceCol: String = "piece",
+      unkPiece: String = "<unk>"): DataFrame = {
+    require(unkPiece.nonEmpty, "unkPiece must be non-empty")
+    val spark = pieces.sparkSession
+    import spark.implicits._
+    // orderBy in Spark = UTF8String byte order; collect preserves it
+    val ps = pieces.select(col(pieceCol).cast("string").as("piece"))
+      .where(col("piece").isNotNull && col("piece") =!= unkPiece)
+      .distinct().orderBy("piece")
+      .collect().map(_.getString(0))
+    ((unkPiece, 0) +: ps.zipWithIndex.map { case (p, i) => (p, i + 1) }.toSeq)
+      .toDF("piece", "id")
+  }
+
+  /** Token-ID ENCODING — map a tokenized corpus's `array<string>` pieces
+    * to `array<int>` ids under a [[tokenVocab]] table (or any (piece, id)
+    * frame): the step between TOKENIZE and an int32 training shard.
+    * Emits (id, token_ids, n_tokens) — the [[bpeEncode]] contract shape,
+    * so counting/packing/budget mixing compose unchanged over ids.
+    * Out-of-vocabulary pieces map to `unkId` (default 0, [[tokenVocab]]'s
+    * reserved UNK) — encoding never fails. Every OTHER input column
+    * (group/shard keys, scores) passes through unchanged — downstream
+    * packing must never re-join the corpus to recover them; a stale
+    * `n_tokens` is replaced (the map is 1:1, the count is identical).
+    *
+    * Scale shape: the vocab is tokenizer-sized, collected once and
+    * compiled into ONE native node
+    * ([[graft.functions.CatalystExprs.TokenIds]] — O(1) hash probe per
+    * token); pure per-row projection, no shuffle, no corpus-side join. */
+  def encodeIds(df: DataFrame, idCol: String, tokensCol: String,
+      vocab: DataFrame, unkId: Int = 0): DataFrame = {
+    require(df.columns.contains(idCol), s"encodeIds: no column '$idCol'")
+    val table = vocab.select(col("piece").cast("string"),
+        col("id").cast("int"))
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    val kept = df.columns
+      .filter(c => c != tokensCol && c != "n_tokens").map(col _)
+    df.select(kept :+
+        graft.functions.CatalystExprs.tokenIds(col(tokensCol), table, unkId)
+          .as("token_ids"): _*)
+      .withColumn("n_tokens", size(col("token_ids")).cast("bigint"))
+  }
+
+  /** Token-ID DECODING — the [[encodeIds]] inverse: map `array<int>` ids
+    * back to their vocabulary pieces (ids with no vocab row — including
+    * the reserved 0 when the table omits it — decode to `unkPiece`);
+    * all other input columns pass through, `idsCol` is replaced by
+    * `tokens` (the [[encodeIds]] passthrough contract).
+    * decode(encode(tokens)) == tokens whenever every token is in-vocab,
+    * and concatenating the decoded pieces of a [[unigramEncode]]d /
+    * [[bpeEncode]]d document reproduces its lowercased, space-stripped
+    * text exactly (both tokenizers partition each word) — the round-trip
+    * invariant the oracle gates.
+    *
+    * Scale shape: the id space is dense ([[tokenVocab]] assigns 0..V), so
+    * the reverse map is an ARRAY literal indexed by id — one plan literal
+    * of tokenizer size, O(1) `get()` per token inside whole-stage codegen;
+    * no native node needed, no shuffle, no join. */
+  def decodeIds(df: DataFrame, idCol: String, idsCol: String,
+      vocab: DataFrame, unkPiece: String = "<unk>"): DataFrame = {
+    val rows = vocab.select(col("id").cast("int"), col("piece").cast("string"))
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    require(rows.nonEmpty, "decodeIds: empty vocabulary")
+    val maxId = rows.iterator.map(_._1).max
+    require(rows.forall(_._1 >= 0) && maxId < 4194304,
+      s"decodeIds expects dense non-negative ids (tokenVocab's contract); " +
+        s"got max id $maxId")
+    val arr = new Array[String](maxId + 1)
+    rows.foreach { case (i, p) => arr(i) = p }
+    require(df.columns.contains(idCol), s"decodeIds: no column '$idCol'")
+    val kept = df.columns.filter(_ != idsCol).map(col _)
+    df.select(kept :+
+      transform(col(idsCol), i =>
+        coalesce(get(typedLit(arr.toSeq), i), lit(unkPiece))).as("tokens"): _*)
+  }
+
+  /** [[materializePacked]] over TOKEN IDS — concatenate each bin's
+    * documents (offset order) into one `array<int>` training sequence
+    * with `eosId` separating consecutive documents: the actual int32
+    * shard a trainer memory-maps, where the string form is a debugging
+    * surface. Emits (group, bin, n_docs, n_tokens, seq_ids, n_ids);
+    * n_ids = n_tokens + (n_docs − 1) separators. Same packing window,
+    * same one-group-shuffle scale shape, same in-row offset sort (no
+    * second window), same straddle bound as [[materializePacked]]. */
+  def materializePackedIds(
+      df: DataFrame, idCol: String, idsCol: String, groupCol: String,
+      capacity: Long, eosId: Int = 0): DataFrame = {
+    val withN = df.withColumn("_nt", size(col(idsCol)).cast("long"))
+    val packed = packSequences(withN, idCol, "_nt", groupCol, capacity)
+    packed.groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum(col("_nt")).cast("bigint").as("n_tokens"),
+        collect_list(struct(col("bin_offset"), col(idCol).as("_id"),
+          col(idsCol).as("_ids"))).as("_parts"))
+      .withColumn("seq_ids",
+        flatten(transform(array_sort(col("_parts")), (p, i) =>
+          when(i === 0, p("_ids"))
+            .otherwise(concat(array(lit(eosId)), p("_ids"))))))
+      .withColumn("n_ids", size(col("seq_ids")).cast("bigint"))
+      .drop("_parts")
+  }
+
   /** The dedup ACTION that follows [[connectedComponents]]: pick ONE
     * survivor per near-duplicate cluster — the best-scoring member (score
     * desc, id asc tiebreak; "keep the longest/highest-quality copy", the

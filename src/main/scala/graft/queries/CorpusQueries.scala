@@ -2838,5 +2838,135 @@ object CorpusQueries {
           concat_ws(" ", col("tokens")).as("toks"))
         .orderBy("doc_id")
     },
+
+    // Token-ID ENCODING (r12): tokenVocab assigns ids by BINARY piece
+    // order (0 = <unk>, 1..V ascending), so the whole (piece → id) map
+    // is replayable in any engine as row_number() OVER (ORDER BY piece)
+    // — here over the corpus's own whitespace vocabulary, every id of
+    // every document gated exactly. encodeIds is the native O(1)-probe
+    // projection (CatalystExprs.TokenIds); unigram-piece upstream is
+    // gated end-to-end by p102's round trip.
+    Q("p101_token_ids", Some("""
+      WITH w AS (SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
+           FROM documents),
+      v AS (SELECT wd AS piece,
+              CAST(row_number() OVER (ORDER BY wd) AS INT) AS id
+            FROM (SELECT DISTINCT unnest(words) AS wd FROM w)),
+      dw AS (SELECT doc_id, unnest(words) AS wd,
+               unnest(range(1, len(words) + 1)) AS i FROM w)
+      SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             string_agg(CAST(v.id AS VARCHAR), ' ' ORDER BY d.i) AS ids
+      FROM dw d JOIN v ON v.piece = d.wd
+      GROUP BY d.doc_id ORDER BY d.doc_id""")) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val toks = docs.select(col("doc_id"),
+        filter(split(lower(col("text")), " "), x => x =!= "").as("tokens"))
+      val vocab = Corpus.tokenVocab(
+        toks.select(explode(col("tokens")).as("piece")))
+      Corpus.encodeIds(toks, "doc_id", "tokens", vocab)
+        .select(col("doc_id"), col("n_tokens"),
+          concat_ws(" ", col("token_ids")).as("ids"))
+        .orderBy("doc_id")
+    },
+
+    // The full training-artifact round trip (r12): unigram-encode under
+    // a train-complete piece table (fixed multis + every corpus char) →
+    // token ids (encodeIds) → decode (decodeIds) → concatenate. Both
+    // tokenizers PARTITION each word, so the detokenized corpus must
+    // equal the lowercased, space-stripped original bit-for-bit — an
+    // oracle that is independent of which segmentation won, gating
+    // encode → vocab → ids → decode end-to-end with one line of SQL.
+    Q("p102_detok_roundtrip", Some("""
+      SELECT doc_id, replace(lower(text), ' ', '') AS detok
+      FROM documents ORDER BY doc_id""")) { (s, d) =>
+      val spark = s
+      import spark.implicits._
+      val docs = t(s, d, "documents")
+      val corpusChars = docs.select(
+          explode(split(lower(col("text")), "")).as("piece"))
+        .where(col("piece") =!= " " && col("piece") =!= "")
+        .distinct()
+      val multis = Seq(("th", -4500000L), ("the", -5000000L),
+        ("er", -4800000L), ("in", -4700000L), ("an", -4600000L),
+        ("re", -4900000L)).toDF("piece", "score")
+      val pieces = multis.unionByName(
+        corpusChars.select(col("piece"), lit(-3000000L).as("score")))
+      val vocab = Corpus.tokenVocab(pieces)
+      val enc = Corpus.unigramEncode(docs, "doc_id", "text", pieces)
+      val ids = Corpus.encodeIds(enc, "doc_id", "tokens", vocab)
+      Corpus.decodeIds(ids, "doc_id", "token_ids", vocab)
+        .select(col("doc_id"), concat_ws("", col("tokens")).as("detok"))
+        .orderBy("doc_id")
+    },
+
+    // The SAME round trip through the statement surface — CTAS'd VOCAB,
+    // TOKENIZE emit='ids' vocab=, DETOKENIZE — held to p102's oracle so
+    // the id statements' wiring is hash-gated (the p02c precedent).
+    Q("p102c_detok_roundtrip_sql", Some("""
+      SELECT doc_id, replace(lower(text), ' ', '') AS detok
+      FROM documents ORDER BY doc_id""")) { (s, d) =>
+      val ctx = new graft.Context(s)
+      ctx.createTableFromPath("documents", s"$d/documents.parquet")
+      ctx.sql("""CREATE OR REPLACE VIEW rt_pieces AS
+        |SELECT piece, score FROM (VALUES ('th', -4500000),
+        |  ('the', -5000000), ('er', -4800000), ('in', -4700000),
+        |  ('an', -4600000), ('re', -4900000)) AS t(piece, score)
+        |UNION ALL
+        |SELECT DISTINCT ch AS piece, -3000000 AS score FROM (
+        |  SELECT explode(split(lower(text), '')) AS ch FROM documents)
+        |WHERE ch <> ' ' AND ch <> ''""".stripMargin)
+      ctx.sql("CREATE OR REPLACE TABLE rt_vocab AS " +
+        "SELECT * FROM VOCAB(TABLE rt_pieces)")
+      ctx.sql("""CREATE OR REPLACE TABLE rt_ids AS
+        |SELECT * FROM TOKENIZE(TABLE rt_pieces
+        |  WITH (method = 'unigram', emit = 'ids', vocab = 'rt_vocab'),
+        |SELECT doc_id, text FROM documents)""".stripMargin)
+      ctx.sql("""SELECT * FROM DETOKENIZE(TABLE rt_vocab,
+        |SELECT doc_id, token_ids FROM rt_ids)""".stripMargin)
+        .select(col("doc_id"), concat_ws("", col("tokens")).as("detok"))
+        .orderBy("doc_id")
+    },
+
+    // PACK materialize over TOKEN IDS (r12): the int32 training shard —
+    // per (source, bin), documents' id arrays concatenated in offset
+    // order with eos_id=0 separators. Binning replays p62's cum-sum
+    // window and the id values replay p101's vocabulary, so bins,
+    // counts, and every id in every sequence are oracle-gated.
+    Q("p103_pack_ids", Some("""
+      WITH w AS (SELECT doc_id, source,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
+           FROM documents),
+      v AS (SELECT wd AS piece,
+              CAST(row_number() OVER (ORDER BY wd) AS INT) AS id
+            FROM (SELECT DISTINCT unnest(words) AS wd FROM w)),
+      dw AS (SELECT doc_id, unnest(words) AS wd,
+               unnest(range(1, len(words) + 1)) AS i FROM w),
+      idstr AS (SELECT d.doc_id,
+                  string_agg(CAST(v.id AS VARCHAR), ' ' ORDER BY d.i) AS ids
+                FROM dw d JOIN v ON v.piece = d.wd GROUP BY d.doc_id),
+      tok AS (SELECT w.doc_id, w.source,
+                CAST(len(w.words) AS BIGINT) AS nt, i.ids
+              FROM w JOIN idstr i ON w.doc_id = i.doc_id),
+      c AS (SELECT *, sum(nt) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum FROM tok),
+      b AS (SELECT *, CAST(floor((cum - nt) / 256.0) AS BIGINT) AS bin,
+              (cum - nt) % 256 AS off FROM c)
+      SELECT source, bin, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(nt) AS BIGINT) AS n_tokens,
+             CAST(sum(nt) + count(*) - 1 AS BIGINT) AS n_ids,
+             string_agg(ids, ' 0 ' ORDER BY off, doc_id) AS ids
+      FROM b GROUP BY source, bin ORDER BY source, bin""")) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val toks = docs.select(col("doc_id"), col("source"),
+        filter(split(lower(col("text")), " "), x => x =!= "").as("tokens"))
+      val vocab = Corpus.tokenVocab(
+        toks.select(explode(col("tokens")).as("piece")))
+      val ids = Corpus.encodeIds(toks, "doc_id", "tokens", vocab)
+      Corpus.materializePackedIds(ids, "doc_id", "token_ids", "source", 256L)
+        .select(col("source"), col("bin"), col("n_docs"), col("n_tokens"),
+          col("n_ids"), concat_ws(" ", col("seq_ids")).as("ids"))
+        .orderBy("source", "bin")
+    },
   )
 }

@@ -1073,4 +1073,103 @@ class CorpusSpec extends AnyFunSuite {
     // exact t-digest regime at 3 rows: the approx percentile is a real value
     assert(Set(5.0, 11.0).contains(approx("s1")))
   }
+
+  test("tokenVocab: unk at 0, binary piece order, dedup, unk collision dropped (r12)") {
+    val pieces = Seq("b", "a", "ab", "b", "<unk>").toDF("piece")
+    val v = Corpus.tokenVocab(pieces)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    // "<unk>" from the input must NOT shadow the reserved row
+    assert(v == Map("<unk>" -> 0, "a" -> 1, "ab" -> 2, "b" -> 3))
+    // binary (byte) order, not locale order: 'Z' (0x5a) sorts before 'a'
+    val v2 = Corpus.tokenVocab(Seq("a", "Z").toDF("piece"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(v2("Z") == 1 && v2("a") == 2)
+  }
+
+  test("encodeIds: OOV→unkId, int32 output, passthrough columns, n_tokens replaced (r12)") {
+    val vocab = Corpus.tokenVocab(Seq("lo", "w").toDF("piece"))
+    val df = Seq((7L, "s1", Seq("lo", "w", "zzz"), 999L))
+      .toDF("doc_id", "source", "tokens", "n_tokens")
+    val out = Corpus.encodeIds(df, "doc_id", "tokens", vocab)
+    // element type is INT (the training-shard dtype), not long/string
+    assert(out.schema("token_ids").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType, containsNull = false))
+    val row = out.head()
+    assert(row.getAs[String]("source") == "s1") // passthrough
+    assert(row.getSeq[Int](row.fieldIndex("token_ids")) == Seq(1, 2, 0)) // zzz → unk 0
+    assert(row.getAs[Long]("n_tokens") == 3L) // stale 999 replaced
+  }
+
+  test("decodeIds inverts encodeIds; unknown id → unk piece (r12)") {
+    val vocab = Corpus.tokenVocab(Seq("th", "e", "c", "a", "t").toDF("piece"))
+    val docs = Seq((1L, "the cat"), (2L, "a t e")).toDF("doc_id", "text")
+    val enc = Corpus.unigramEncode(docs, "doc_id", "text",
+      vocab.where($"id" > 0).select($"piece", lit(-1000000L).as("score")))
+    val ids = Corpus.encodeIds(enc, "doc_id", "tokens", vocab)
+    val back = Corpus.decodeIds(ids, "doc_id", "token_ids", vocab)
+      .join(enc.select($"doc_id", $"tokens".as("orig")), "doc_id")
+      .where($"tokens" =!= $"orig").count()
+    assert(back == 0L) // exact token round trip when everything is in-vocab
+    // an id past the vocab and the reserved 0 both decode to the unk piece
+    val stray = Seq((9L, Seq(1, 0, 42))).toDF("doc_id", "token_ids")
+    val decRow = Corpus.decodeIds(stray, "doc_id", "token_ids", vocab).head()
+    val dec = decRow.getSeq[String](decRow.fieldIndex("tokens"))
+    assert(dec == Seq("a", "<unk>", "<unk>"))
+  }
+
+  test("materializePackedIds: int32 shard, eos separators, offset order, empty docs (r12)") {
+    // capacity 4: doc 1 (3 ids) fills bin 0 to offset 3; doc 2 (0 ids)
+    // lands at offset 3 of bin 0; doc 3 (2 ids) starts at offset 3 and
+    // straddles into bin 0's overhang — all one group, one bin.
+    val df = Seq(
+      (1L, "g", Seq(5, 6, 7)), (2L, "g", Seq.empty[Int]),
+      (3L, "g", Seq(8, 9)), (4L, "h", Seq(1))
+    ).toDF("doc_id", "grp", "ids")
+    val out = Corpus.materializePackedIds(df, "doc_id", "ids", "grp", 4L)
+    assert(out.schema("seq_ids").dataType.asInstanceOf[
+      org.apache.spark.sql.types.ArrayType].elementType ==
+      org.apache.spark.sql.types.IntegerType)
+    val g = out.where($"grp" === "g").head()
+    // eos 0 BETWEEN docs (none trailing); the empty doc contributes only
+    // its separator — [5,6,7] ++ [0] ++ [] ++ [0] ++ [8,9]
+    assert(g.getSeq[Int](g.fieldIndex("seq_ids")) == Seq(5, 6, 7, 0, 0, 8, 9))
+    assert(g.getAs[Long]("n_docs") == 3L && g.getAs[Long]("n_tokens") == 5L
+      && g.getAs[Long]("n_ids") == 7L)
+    val h = out.where($"grp" === "h").head()
+    assert(h.getSeq[Int](h.fieldIndex("seq_ids")) == Seq(1) &&
+      h.getAs[Long]("n_ids") == 1L)
+  }
+
+  test("TOKENIZE emit='ids' statement: unigram derives vocab, bpe requires vocab= (r12)") {
+    val ctx = new graft.Context(spark)
+    ctx.createTable("tok_docs",
+      Seq((1L, "aa ab")).toDF("doc_id", "text"), persist = false)
+    ctx.createTable("tok_pieces",
+      Seq(("a", -3000000L), ("b", -3000000L), ("aa", -4000000L),
+        ("ab", -4000000L)).toDF("piece", "score"), persist = false)
+    val ids = ctx.sql("""SELECT * FROM TOKENIZE(TABLE tok_pieces
+      |  WITH (method = 'unigram', emit = 'ids'),
+      |SELECT doc_id, text FROM tok_docs)""".stripMargin).head()
+    // tokenVocab(tok_pieces): <unk>=0, a=1, aa=2, ab=3, b=4
+    assert(ids.getSeq[Int](ids.fieldIndex("token_ids")) == Seq(2, 3))
+    // BPE's token set is chars+merges, not the merge table — explicit
+    // vocab= required, and the error says how to build one
+    ctx.createTable("tok_merges",
+      Seq((1L, "a", "b")).toDF("round", "lhs", "rhs"), persist = false)
+    val err = intercept[IllegalArgumentException] {
+      ctx.sql("""SELECT * FROM TOKENIZE(TABLE tok_merges
+        |  WITH (method = 'bpe', emit = 'ids'),
+        |SELECT doc_id, text FROM tok_docs)""".stripMargin)
+    }
+    assert(err.getMessage.contains("vocab="))
+    // and WITH vocab= the BPE id path works end to end
+    ctx.createTable("tok_bpe_vocab", Corpus.tokenVocab(
+      Seq("a", "ab", "b").toDF("piece")), persist = false)
+    val bpeIds = ctx.sql("""SELECT * FROM TOKENIZE(TABLE tok_merges
+      |  WITH (method = 'bpe', emit = 'ids', vocab = 'tok_bpe_vocab'),
+      |SELECT doc_id, text FROM tok_docs)""".stripMargin).head()
+    // "aa ab" under merge (a,b): [a, a, ab] → ids [1, 1, 2]
+    assert(bpeIds.getSeq[Int](bpeIds.fieldIndex("token_ids")) == Seq(1, 1, 2))
+  }
 }

@@ -85,6 +85,19 @@ class ExtensionParserSpec extends AnyFunSuite {
     assert(tt == "my_merges" && tOpts == Map("max_merges" -> "32"))
     assert(tSel == "SELECT doc_id, text FROM docs")
 
+    val Vocab(vt, vOpts) = parse(
+      "SELECT * FROM VOCAB(TABLE uni_pieces WITH (unk = '<pad>'))"): @unchecked
+    assert(vt == "uni_pieces" && vOpts == Map("unk" -> "<pad>"))
+    val Vocab(vt2, vOpts2) =
+      parse("SELECT * FROM VOCAB(TABLE uni_pieces)"): @unchecked
+    assert(vt2 == "uni_pieces" && vOpts2.isEmpty)
+
+    val Detokenize(dt, dOpts, dSel) = parse(
+      """SELECT * FROM DETOKENIZE(TABLE my_vocab WITH (ids = 'seq_ids'),
+        |SELECT doc_id, seq_ids FROM shards)""".stripMargin): @unchecked
+    assert(dt == "my_vocab" && dOpts == Map("ids" -> "seq_ids"))
+    assert(dSel == "SELECT doc_id, seq_ids FROM shards")
+
     val Summarize(by, suOpts, suSel) = parse(
       """SELECT * FROM SUMMARIZE(BY source WITH (approx = 'true'),
         |SELECT source, text FROM docs)""".stripMargin): @unchecked
