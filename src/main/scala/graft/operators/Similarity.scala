@@ -251,7 +251,13 @@ object Similarity {
     * EXISTING codebooks (nearest sub-centroid per subspace) and appended
     * to the code table. Centroid drift is the documented append
     * tradeoff: cells grow without re-centering, exactly like every IVF
-    * serving system's add() — rebuild on the nightly cadence.
+    * serving system's add() — rebuild on the nightly cadence. MEASURED
+    * (ScaleProbe ivf_append_drift, PLANS 77): at appends of 10/50/100%
+    * of the base corpus, recall@10 of the appended index tracks a full
+    * rebuild within ±0.04 at every probed fan-out (nProbe 1/2/4) —
+    * fan-out, not drift, governs recall at ≤2× growth, so the rebuild
+    * cadence can key off DESCRIBE's appended_frac rather than fear of
+    * recall collapse.
     *
     * Increment-sized: centroids/codebooks are tiny driver-side tables;
     * each target table gets its OWN idempotence anti-join (a crashed
@@ -317,7 +323,9 @@ object Similarity {
         .write.format("parquet").mode("append")
         .bucketBy(nbCodes, "nid").sortBy("nid")
         .saveAsTable(s"${prefix}_pq_codes")
+      TextDedup.refreshAppended(spark, s"${prefix}_pq_codes")
     }
+    TextDedup.refreshAppended(spark, s"${prefix}_cells")
   }
 
   /** One KMeans fit + one corpus assignment pass → a reusable [[IvfIndex]].
@@ -696,6 +704,8 @@ object Similarity {
       .bucketBy(nbVecs, "id")
       .sortBy("id")
       .saveAsTable(s"${prefix}_srp_vecs")
+    TextDedup.refreshAppended(spark,
+      s"${prefix}_srp_buckets", s"${prefix}_srp_vecs")
   }
 
   /** [[cosineDedupIncremental]] against a PERSISTED index

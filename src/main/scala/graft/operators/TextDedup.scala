@@ -327,6 +327,20 @@ object TextDedup {
       .saveAsTable(s"${prefix}_bloom")
   }
 
+  /** Invalidate the CALLER session's cached relations for the tables an
+    * append just (re)wrote. The write side of an append runs on the input
+    * DataFrame's OWN session — under Structured Streaming's foreachBatch
+    * that is the micro-batch's CLONED session, whose write-path cache
+    * invalidation touches only its own relation cache — so the caller's
+    * handle (the session every subsequent screen reads through) must be
+    * refreshed explicitly or the next screen plans against the pre-append
+    * file listing and the appended rows are silently invisible (r12: the
+    * streaming ingest-loop spec surfaced exactly this as a duplicate
+    * leak). Cheap: metadata-only, no data touched. */
+  private[operators] def refreshAppended(
+      spark: org.apache.spark.sql.SparkSession, tables: String*): Unit =
+    tables.foreach(t => spark.catalog.refreshTable(t))
+
   /** Number of buckets of a persisted bucketed catalog table — the
     * appenders read it from the catalog so an append can never mismatch
     * the build's physical layout. */
@@ -402,6 +416,7 @@ object TextDedup {
       .write.format("parquet").mode("append")
       .bucketBy(nbDigests, "xxh").sortBy("xxh")
       .saveAsTable(s"${prefix}_digests")
+    refreshAppended(spark, s"${prefix}_bloom", s"${prefix}_digests")
   }
 
   /** [[exactDedupIncrementalBloom]] against a PERSISTED index
@@ -659,6 +674,7 @@ object TextDedup {
       .bucketBy(nbShingles, "doc_id")
       .sortBy("doc_id")
       .saveAsTable(s"${prefix}_shingles")
+    refreshAppended(spark, s"${prefix}_bands", s"${prefix}_shingles")
   }
 
   /** Append new docs' shingle rows to a persisted [[saveShingleStore]]
@@ -668,13 +684,15 @@ object TextDedup {
   def appendShingleStore(
       spark: org.apache.spark.sql.SparkSession, newDocs: DataFrame,
       idCol: String, textCol: String, table: String,
-      shingleSize: Int = 3): Unit =
+      shingleSize: Int = 3): Unit = {
     sortedWordShingles(parallelized(newDocs), idCol, textCol, shingleSize)
       .join(spark.table(table).select("doc_id"), Seq("doc_id"), "left_anti")
       .repartition(bucketCount(spark, table), col("doc_id"))
       .write.format("parquet").mode("append")
       .bucketBy(bucketCount(spark, table), "doc_id").sortBy("doc_id")
       .saveAsTable(table)
+    refreshAppended(spark, table)
+  }
 
   /** [[minhashDedupIncremental]] against a PERSISTED index
     * ([[saveMinhashIndex]]) instead of re-preparing the corpus per run —

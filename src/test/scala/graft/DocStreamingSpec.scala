@@ -423,6 +423,37 @@ class DocStreamingSpec extends AnyFunSuite {
     ctx.dropTable("uni_pieces_s")
   }
 
+  test("TOKENIZE emit='ids' runs unchanged on a streaming table and equals batch (r12)") {
+    // id encoding is the same stateless projection shape (vocab compiled
+    // into one native node at plan time), so the int32-shard statement a
+    // batch user types works on a registered streaming table too
+    import spark.implicits._
+    val ctx = new Context(spark)
+    val pieces = (('a' to 'z').map(c => (c.toString, -3000000L)) ++ Seq(
+      ("th", -4500000L), ("er", -4800000L), ("in", -4700000L)))
+      .toDF("piece", "score")
+    ctx.createTable("uni_pieces_i", pieces)
+    ctx.createTable("docs_stream_i", DocStreams.readStream(spark, docsDir))
+    val out = ctx.sql(
+      """SELECT * FROM TOKENIZE(TABLE uni_pieces_i
+        |  WITH (method = 'unigram', emit = 'ids'),
+        |SELECT doc_id, text FROM docs_stream_i)""".stripMargin)
+    assert(out.isStreaming)
+    val streamed = drain(
+        out.select($"doc_id", concat_ws(" ", $"token_ids").as("t"), $"n_tokens"),
+        "ids_stmt_stream")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val docs = Tables.t(spark, TestSpark.sf, "documents")
+    val batch = Corpus.encodeIds(
+        Corpus.unigramEncode(docs, "doc_id", "text", pieces),
+        "doc_id", "tokens", Corpus.tokenVocab(pieces))
+      .select($"doc_id", concat_ws(" ", $"token_ids").as("t"), $"n_tokens")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    ctx.dropTable("docs_stream_i")
+    ctx.dropTable("uni_pieces_i")
+  }
+
   test("within-stream duplicate chunks dropped, state bounded by the watermark") {
     import org.apache.spark.sql.types._
     import spark.implicits._
@@ -555,5 +586,63 @@ class DocStreamingSpec extends AnyFunSuite {
       .toMap
     assert(streamedBloom == batch)
     assert(batchBloom == batch)
+  }
+
+  test("streaming ingest loop: foreachBatch screen → append; batch N+1 sees batch N's survivors; leak bound = one micro-batch (r12)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.TextDedup
+    val prefix = "stream_loop_idx"
+    val corpus = (1 to 50).map(i => (i.toLong, s"seed doc $i"))
+      .toDF("doc_id", "text")
+    TextDedup.saveExactDedupIndex(corpus, "text", prefix)
+    val out = scala.collection.mutable.ArrayBuffer[Long]()
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // THE live ingest recipe (README "closing the loop", now stream-
+        // cadenced): screen the micro-batch against the index, PIN the
+        // survivors (localCheckpoint) BEFORE appending — the screen's
+        // plan reads the same tables the append mutates, so a lazy
+        // survivor frame re-evaluated after the append would anti-join
+        // against its own batch's digests and emit nothing — then fold
+        // the pinned survivors back in and emit them downstream.
+        val fresh = TextDedup.exactDedupIncrementalIndexed(
+          spark, batch.toDF(), "doc_id", "text", prefix).localCheckpoint()
+        TextDedup.appendExactDedupIndex(spark, fresh, "text", prefix)
+        out ++= fresh.collect().map(_.getLong(0))
+        ()
+      }
+      .start()
+    try {
+      // batch 1: one seed dup (dropped), two fresh (pass + appended)
+      ms.addData((101L, "fresh alpha"), (102L, "seed doc 7"),
+        (103L, "fresh beta"))
+      q.processAllAvailable()
+      // batch 2: a dup OF BATCH 1'S SURVIVOR drops — the append closed
+      // the window; a seed dup still drops; one fresh passes
+      ms.addData((201L, "fresh alpha"), (202L, "fresh gamma"),
+        (203L, "seed doc 9"))
+      q.processAllAvailable()
+      // batch 3: the documented LEAK BOUND — two copies of the same NEW
+      // text inside ONE micro-batch both pass (the screen checks the
+      // index, not the batch against itself; the leak window is exactly
+      // one micro-batch / trigger interval)...
+      ms.addData((301L, "fresh delta"), (302L, "fresh delta"))
+      q.processAllAvailable()
+      // ...but the APPEND records the digest once, so batch 4's copy
+      // drops — the leak never outlives the batch that carried it
+      ms.addData((401L, "fresh delta"), (402L, "fresh epsilon"))
+      q.processAllAvailable()
+      assert(out.toSet ==
+        Set(101L, 103L, 202L, 301L, 302L, 402L))
+      // and the index absorbed every survivor exactly once
+      val digests = spark.table(s"${prefix}_digests").count()
+      assert(digests == 50L + 5L) // 50 seeds + alpha/beta/gamma/delta/epsilon
+    } finally {
+      q.stop()
+      Seq(s"${prefix}_digests", s"${prefix}_bloom")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
   }
 }
