@@ -28,6 +28,14 @@ package graft
   *  - the JSON line is kept compact (the per-query sentinels map moved to
   *    stderr in r8): the driver stores only the last ~2000 chars of stdout,
   *    and the line must fit in that window to be machine-parsed.
+  *  - steady-window evidence (r12, verdict closure): a sentinel is timed
+  *    before every steady run as well; each query's published steady min
+  *    carries the sentinel of the window that produced it (stderr map),
+  *    `steady_sentinel_median` publishes the steady phase's noise floor
+  *    (cross-round drift on untouched code divides out against it), and
+  *    `steady_contended` flags published minima whose own window sentinel
+  *    exceeded 1.5× that median (+50 ms floor) — the cold_contended rule,
+  *    mirrored.
   *  - steady-retry transparency (r10, ADVICE closure): `steady_retried`
   *    carries PER-QUERY steady retry counts (replacing the r7 global
   *    counter) and `steady_inverted` names any query whose published
@@ -136,9 +144,21 @@ object Bench {
     // steady vs 0.87 s re-timed); the per-query minimum over independent
     // passes is robust to one noisy window while still doing full data work
     // every pass (cache cleared before each).
-    val steadyRuns = (1 to 2).map { _ =>
+    // steady-window contention evidence (r12, closing the r11 "steady has
+    // no per-query evidence trail" verdict item): a sentinel timed before
+    // every steady run too, and the sentinel OF THE WINDOW THAT PRODUCED
+    // THE PUBLISHED MIN kept per query — so a cross-round steady drift on
+    // untouched code (r11's p74/p06 1.4-1.9× ghosts) carries its own
+    // datum instead of needing post-hoc forensics. Sentinel cost (~0.1 s
+    // quiet) is outside every timed window.
+    val steadySentinels = scala.collection.mutable.ArrayBuffer[Double]()
+    val steadyRuns: Seq[Map[String, (Double, Double)]] = (1 to 2).map { _ =>
       spark.catalog.clearCache()
-      names.flatMap(n => timeOnce(n).map(n -> _)).toMap
+      names.flatMap { n =>
+        val s = sentinelOnce()
+        steadySentinels += s
+        timeOnce(n).map(t => n -> ((t, s)))
+      }.toMap
     }
     // Anomaly guard (r5, hardened r7): a steady min ABOVE the query's own
     // cold time is physically backwards (steady runs skip one-time codegen
@@ -152,9 +172,17 @@ object Bench {
     // retried up to 3 times each, stopping as soon as the inversion
     // clears, every retry folded into the min.
     val coldMap = results2.toMap
+    // per query: (published steady min, sentinel of the window that
+    // produced it) — the sentinel is the published min's own evidence
+    val steadySentAtMin =
+      scala.collection.mutable.LinkedHashMap[String, Double]()
     var steadyM = names.flatMap { n =>
       val vs = steadyRuns.flatMap(_.get(n))
-      if (vs.isEmpty) None else Some(n -> vs.min)
+      if (vs.isEmpty) None else {
+        val (t, s) = vs.minBy(_._1)
+        steadySentAtMin(n) = s
+        Some(n -> t)
+      }
     }.toMap
     // "inverted" needs a materiality floor: a steady min a few tens of ms
     // over cold on a sub-second query is timer/JIT jitter, not a steal
@@ -177,7 +205,11 @@ object Bench {
       spark.catalog.clearCache() // retries do full work too
       names.filter(inverted).foreach { n =>
         steadyRetriedPer(n) = steadyRetriedPer.getOrElse(n, 0) + 1
-        timeOnce(n).foreach(t => steadyM += n -> math.min(steadyM(n), t))
+        val s = sentinelOnce()
+        steadySentinels += s
+        timeOnce(n).foreach { t =>
+          if (t < steadyM(n)) { steadyM += n -> t; steadySentAtMin(n) = s }
+        }
       }
       pass += 1
     }
@@ -231,15 +263,33 @@ object Bench {
     val coldWindows = names.flatMap(n => sentinels.get(n)
       .filter(s => s > 1.5 * sMedian && s > sMedian + 0.05)
       .map(n -> _))
+    // steady-column mirror of cold_contended (r12): the published steady
+    // min's OWN window sentinel, flagged by the same 1.5×+50 ms rule
+    // against the steady phase's sentinel median. steady_sentinel_median
+    // is always published — a cross-round steady drift divides out the
+    // ambient noise floor (r11's uniform 1.37× would have been read
+    // straight off the two medians).
+    val ssMedian = {
+      val v = steadySentinels.toSeq.sorted
+      if (v.isEmpty) 0.0 else v(v.length / 2)
+    }
+    val steadyWindows = results2.map(_._1).flatMap(n =>
+      steadySentAtMin.get(n)
+        .filter(s => s > 1.5 * ssMedian && s > ssMedian + 0.05)
+        .map(n -> _))
+    System.err.println(
+      s"[bench] steady_sentinels_at_min=${jsonMap(steadySentAtMin.toSeq)}")
     // the sf dir basename is enough to identify the scale; the full path
     // only spends line budget
     val sfName = new java.io.File(sfDir).getName
     def mkLine(coldFirstJson: String, steadyRetriedJson: String,
-        coldContendedJson: String) = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(results2)},"steady_total":$steadyTotal%.3f,"steady_vals":$steadyValsJson,"failed":$failedJson,"sentinel_median":$sMedian%.3f,"sentinel_max":$sMax%.3f,"cold_first":$coldFirstJson,"steady_retried":$steadyRetriedJson,"steady_inverted":$invertedJson,"cold_contended":$coldContendedJson,"sf":"$sfName"}"""
+        coldContendedJson: String, steadyContendedJson: String) = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(results2)},"steady_total":$steadyTotal%.3f,"steady_vals":$steadyValsJson,"failed":$failedJson,"sentinel_median":$sMedian%.3f,"sentinel_max":$sMax%.3f,"steady_sentinel_median":$ssMedian%.3f,"cold_first":$coldFirstJson,"steady_retried":$steadyRetriedJson,"steady_inverted":$invertedJson,"cold_contended":$coldContendedJson,"steady_contended":$steadyContendedJson,"sf":"$sfName"}"""
     var line = mkLine(jsonMap(coldFirst.toSeq),
-      jsonIntMap(steadyRetriedPer.toSeq), jsonMap(coldWindows))
+      jsonIntMap(steadyRetriedPer.toSeq), jsonMap(coldWindows),
+      jsonMap(steadyWindows))
     if (line.length > 1900 && (coldFirst.nonEmpty ||
-        steadyRetriedPer.nonEmpty || coldWindows.nonEmpty)) {
+        steadyRetriedPer.nonEmpty || coldWindows.nonEmpty ||
+        steadyWindows.nonEmpty)) {
       // overflow fallback: a large retry batch (many cold_first /
       // steady_retried / cold_contended entries) must not push the line
       // past the tail window and unparse the WHOLE record — demote the
@@ -252,9 +302,12 @@ object Bench {
         s"[bench] steady_retried=${jsonIntMap(steadyRetriedPer.toSeq)}")
       System.err.println(
         s"[bench] cold_contended=${jsonMap(coldWindows)}")
+      System.err.println(
+        s"[bench] steady_contended=${jsonMap(steadyWindows)}")
       line = mkLine(s"""{"n_retried":${coldFirst.size}}""",
         s"""{"n_retried":${steadyRetriedPer.size}}""",
-        s"""{"n_contended":${coldWindows.size}}""")
+        s"""{"n_contended":${coldWindows.size}}""",
+        s"""{"n_contended":${steadyWindows.size}}""")
     }
     if (line.length > 1900) System.err.println(
       s"[bench] WARNING: JSON line ${line.length} chars — may overflow the driver's 2000-char tail")

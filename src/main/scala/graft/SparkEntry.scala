@@ -77,5 +77,9 @@ object SparkEntry {
     // through the banded pair pass) and the unigram-LM Viterbi encode
     // (pure-projection native node over the corpus)
     "p98_image_codec_dedup", "p99_unigram_encode",
+    // r12: the int32 training shard — whitespace ids via the compiled
+    // vocab (TokenIds native node) through the packing window into
+    // eos-separated array<int> sequences
+    "p103_pack_ids",
     "s01_events_tumbling", "s03_events_session")
 }
