@@ -933,6 +933,74 @@ object ScaleProbe {
           ("index_append_srp", srpApp, nDocs / 10),
           ("index_rebuild_srp", srpReb, nDocs + nDocs / 10))
       }
+    } ++ {
+      // r12: IVF append DRIFT probe — backs appendIvfIndex's "rebuild on
+      // the nightly cadence" scaladoc with a measured number. Appends
+      // assign new vectors to their nearest EXISTING centroid (no refit),
+      // so as the appended volume grows the frozen cell geometry drifts
+      // away from the true density and low-fan-out probes lose recall;
+      // the probe measures recall@10 (vs exhaustive cosine ground truth)
+      // of an appended index at increment = 10%/50%/100% of the base
+      // corpus AGAINST a full rebuild over the same rows, same nProbe.
+      // REAL vectors, deliberately NOT the clone corpus: identical copies
+      // land in identical cells and would mask drift entirely.
+      if (!wanted("ivf_append_drift")) Seq.empty
+      else {
+        import operators.Similarity
+        val emb0 = Tables.t(spark, sf, "embeddings")
+          .select("vec_id", "embedding").cache()
+        emb0.count()
+        val base = emb0.filter(pmod(col("vec_id"), lit(2)) === 0).cache()
+        val nBase = base.count()
+        val queries = base.filter(pmod(col("vec_id"), lit(20)) === 0)
+          .limit(100).cache()
+        queries.count()
+        val k = 10
+        val nProbes = Seq(1, 2, 4) // low fan-outs — the regime drift hurts
+        def recallOf(got: DataFrame, truth: Map[Long, Set[Long]]): Double = {
+          val g = got.select("qid", "nid").collect()
+            .groupBy(_.getLong(0))
+            .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+          val per = truth.toSeq.map { case (q, t) =>
+            if (t.isEmpty) 1.0
+            else g.getOrElse(q, Set.empty[Long]).intersect(t).size.toDouble /
+              t.size
+          }
+          per.sum / math.max(per.size, 1)
+        }
+        val entries = Seq(10, 50, 100).map { pct =>
+          val inc = emb0.filter(pmod(col("vec_id"), lit(2)) === 1)
+            .limit((nBase * pct / 100).toInt).cache()
+          val all = base.unionByName(inc).cache()
+          all.count()
+          val truth = Similarity.bruteForceTopK(all, queries, k)
+            .select("qid", "nid").collect()
+            .groupBy(_.getLong(0))
+            .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+          val prefix = s"probe_ivf_drift_$pct"
+          val idx = Similarity.buildIvfIndex(base, nCells = 16)
+          Similarity.saveIvfIndex(idx, prefix)
+          val t0 = System.nanoTime()
+          Similarity.appendIvfIndex(spark, inc, prefix)
+          val appSecs = (System.nanoTime() - t0) / 1e9
+          val appended = Similarity.loadIvfIndex(spark, prefix)
+          val rebuilt = Similarity.buildIvfIndex(all, nCells = 16)
+          val byProbe = nProbes.map { np =>
+            val rApp = recallOf(
+              Similarity.probeIvf(appended, queries, k, np), truth)
+            val rReb = recallOf(
+              Similarity.probeIvf(rebuilt, queries, k, np), truth)
+            f""""p$np":{"appended":$rApp%.3f,"rebuilt":$rReb%.3f}"""
+          }
+          operators.OpCache.release(spark)
+          inc.unpersist(); all.unpersist()
+          f"""{"pct":$pct,"append_sec":$appSecs%.1f,${byProbe.mkString(",")}}"""
+        }
+        println(s"""{"metric":"ivf_append_drift","k":$k,""" +
+          s""""n_base":$nBase,"entries":[${entries.mkString(",")}]}""")
+        emb0.unpersist(); base.unpersist(); queries.unpersist()
+        Seq.empty[(String, Double, Long)]
+      }
     }
 
     val fields = results.map { case (n, s, r) =>

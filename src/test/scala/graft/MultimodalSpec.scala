@@ -41,6 +41,51 @@ class PrawTestDecoder extends MediaCodecs.AudioDecoder {
   }
 }
 
+/** Production-format seam validation (r12): a fake MP3 decoder whose
+  * CONTAINER handling is real — ID3v2 tag skip (syncsafe size) or a bare
+  * MPEG frame sync — and whose frame decode is a deterministic stand-in
+  * (one envelope frame per audio byte; the JDK ships no MP3 codec). A
+  * production deploy swaps ONLY the body of decode for a JLayer/JNI call
+  * and registers it the same way — the dispatch, tag invariance, and
+  * statement plumbing this spec pins are exactly what the real codec
+  * inherits. */
+class FakeMp3Decoder extends MediaCodecs.AudioDecoder {
+  def format = "mp3"
+  private def frames(a: Array[Byte]): Option[MediaCodecs.MonoEnvelope] =
+    if (a.length < 64) None
+    else Some(MediaCodecs.MonoEnvelope(a.map(b => ((b & 0xFF) * 128).toDouble)))
+  def decode(b: Array[Byte]): Option[MediaCodecs.MonoEnvelope] = {
+    if (b == null || b.length < 10) None
+    else if (b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      // ID3v2: 3 magic + 2 version + 1 flags + 4 SYNCSAFE size, then the
+      // tag itself — a decoder must skip it or two copies of the same
+      // audio with different tags would "sound" different
+      val tagSize = ((b(6) & 0x7F) << 21) | ((b(7) & 0x7F) << 14) |
+        ((b(8) & 0x7F) << 7) | (b(9) & 0x7F)
+      if (b.length <= 10 + tagSize) None else frames(b.drop(10 + tagSize))
+    } else if ((b(0) & 0xFF) == 0xFF && (b(1) & 0xE0) == 0xE0) frames(b)
+    else None
+  }
+}
+
+/** Fake H.264: real Annex-B sniffing (00 00 00 01 start code + SPS NAL
+  * type 7), deterministic frame decode (w, h, n, then raw gray bytes
+  * frame-major). Same production-swap contract as [[FakeMp3Decoder]]. */
+class FakeH264Decoder extends MediaCodecs.VideoDecoder {
+  def format = "h264"
+  def decode(b: Array[Byte]): Option[MediaCodecs.VideoFrames] = {
+    if (b == null || b.length < 11 || b(0) != 0 || b(1) != 0 || b(2) != 0 ||
+      b(3) != 1 || (b(4) & 0x1F) != 7) return None
+    val w = ((b(5) & 0xFF) << 8) | (b(6) & 0xFF)
+    val h = ((b(7) & 0xFF) << 8) | (b(8) & 0xFF)
+    val n = ((b(9) & 0xFF) << 8) | (b(10) & 0xFF)
+    if (w <= 0 || h <= 0 || n <= 0 || b.length < 11 + w * h * n) None
+    else Some(MediaCodecs.VideoFrames(Array.tabulate(n)(f =>
+      MediaCodecs.GrayImage(w, h,
+        Array.tabulate(w * h)(i => b(11 + f * w * h + i) & 0xFF)))))
+  }
+}
+
 class MultimodalSpec extends AnyFunSuite {
 
   test("imageDimensions parses real PNG/GIF/BMP/JPEG container headers") {
@@ -729,6 +774,79 @@ class MultimodalSpec extends AnyFunSuite {
         .select("pixel_format").collect().head.getString(0)
       assert(jf == "greedy")
     } finally MediaCodecs.unregisterImage("greedy")
+  }
+
+  test("production-codec seam (r12): fake MP3/H.264 decoders — real container sniff, stub frames — dispatch through DEDUP audio|video") {
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    // audio: one envelope, three containers — WAV (built-in), MP3 with
+    // tag A, MP3 with a DIFFERENT-size tag B; env multiples of 128 so the
+    // byte-coded fake frames reproduce the WAV amplitudes exactly
+    def env(f: Int): Int = (((f / 8) * 3 + (f / 16) * 5) % 11) * 1024 + 1024
+    val nA = 520
+    val audioBytes = Array.tabulate(nA)(f => (env(f) / 128).toByte)
+    def syncsafe(n: Int) = Array[Byte](((n >> 21) & 0x7F).toByte,
+      ((n >> 14) & 0x7F).toByte, ((n >> 7) & 0x7F).toByte, (n & 0x7F).toByte)
+    def mp3(tag: Array[Byte]): Array[Byte] =
+      "ID3".getBytes ++ Array[Byte](4, 0, 0) ++ syncsafe(tag.length) ++
+        tag ++ audioBytes
+    val wav = Multimodal.syntheticWavPcm(nA)(env)
+    val mp3a = mp3("TPE1 artist alpha".getBytes)
+    val mp3b = mp3("COMM a much longer comment frame, different size".getBytes)
+    val bareSync = Array(0xFF.toByte, 0xFB.toByte) ++ audioBytes
+    // video: one clip, two containers — uncompressed AVI (built-in) and
+    // the fake-H.264 Annex-B payload carrying the same gray frames
+    def px(f: Int, x: Int, y: Int): Int =
+      ((x * (2 + f % 3) + y * (5 + f % 2) + f * 7) % 160) + 20
+    val (vw, vh, vn) = (27, 24, 12)
+    val avi = Multimodal.syntheticAviGray(vw, vh, vn)(px)
+    val h264 = Array[Byte](0, 0, 0, 1, 0x67,
+        ((vw >> 8) & 0xFF).toByte, (vw & 0xFF).toByte,
+        ((vh >> 8) & 0xFF).toByte, (vh & 0xFF).toByte,
+        ((vn >> 8) & 0xFF).toByte, (vn & 0xFF).toByte) ++
+      (for (f <- 0 until vn; y <- 0 until vh; x <- 0 until vw)
+        yield (px(f, x, y) & 0xFF).toByte)
+    // unregistered: both production formats hash NULL (built-ins decline)
+    val pre = Seq((1L, mp3a), (2L, h264)).toDF("media_id", "payload")
+    assert(Multimodal.audioEnvelopeHash(pre)
+      .filter(col("ahash").isNotNull).count() == 0)
+    assert(Multimodal.videoTemporalHash(pre)
+      .filter(col("vhash").isNotNull).count() == 0)
+    MediaCodecs.registerAudio(new FakeMp3Decoder)
+    MediaCodecs.registerVideo(new FakeH264Decoder)
+    try {
+      val clips = Seq((1L, wav), (2L, mp3a), (3L, mp3b), (4L, bareSync))
+        .toDF("media_id", "payload")
+      val ah = Multimodal.audioEnvelopeHash(clips).select("media_id", "ahash")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // tag skip verified BY the hash: same audio under different-size
+      // tags — and under the built-in WAV container — is one voice
+      assert(ah(2L) == ah(1L) && ah(3L) == ah(1L))
+      assert(ah(4L) != 0L) // bare MPEG sync sniffs too
+      val vids = Seq((10L, avi), (11L, h264)).toDF("media_id", "payload")
+      val vh2 = Multimodal.videoTemporalHash(vids).select("media_id", "vhash")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(vh2(10L) == vh2(11L)) // same frames across codec boundary
+      // the STATEMENT surface dispatches both registries with no wiring
+      val ctx = new Context(spark0)
+      ctx.createTable("seam_mp3", clips.filter($"media_id" <= 3))
+      ctx.createTable("seam_h264", vids)
+      val audioPairs = ctx.sql(
+        """SELECT * FROM DEDUP(METHOD audio,
+          |SELECT media_id, payload FROM seam_mp3)""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(audioPairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+      val videoSurvivors = ctx.sql(
+        """SELECT * FROM DEDUP(METHOD video WITH (action = 'rewrite'),
+          |SELECT media_id, payload FROM seam_h264)""".stripMargin)
+        .select("media_id").collect().map(_.getLong(0)).toSet
+      assert(videoSurvivors == Set(10L)) // min-id survivor across codecs
+      ctx.sql("DROP TABLE IF EXISTS seam_mp3")
+      ctx.sql("DROP TABLE IF EXISTS seam_h264")
+    } finally {
+      MediaCodecs.unregisterAudio("mp3")
+      MediaCodecs.unregisterVideo("h264")
+    }
   }
 
   test("aviDHash: real AVI frames, temporal-majority invariances, junk null") {
