@@ -1,3 +1,3 @@
 CREATE OR REPLACE TABLE pipeline_tok_ids AS
 SELECT * FROM TOKENIZE(TABLE pipeline_uni_pieces WITH (method = 'unigram', emit = 'ids', vocab = 'pipeline_uni_vocab'),
-SELECT doc_id, text FROM documents)
+SELECT doc_id, source, text FROM documents)

@@ -1,3 +1,2 @@
-SELECT * FROM PACK(CAPACITY 256 WITH (materialize = 'true', ids = 'token_ids', group = 'grp'),
-SELECT i.doc_id, i.token_ids, d.source AS grp
-FROM pipeline_tok_ids i JOIN documents d ON i.doc_id = d.doc_id)
+SELECT * FROM PACK(CAPACITY 256 WITH (materialize = 'true', ids = 'token_ids', group = 'source'),
+SELECT doc_id, source, token_ids FROM pipeline_tok_ids)

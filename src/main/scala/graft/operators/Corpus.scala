@@ -1633,7 +1633,10 @@ object Corpus {
     * [[bpeLearnMerges]], or any (round, lhs, rhs) frame) to tokenize text:
     * each word starts as characters and every merge is applied in learned
     * order (rank order — exactly the standard BPE inference rule). Emits
-    * (id, tokens, n_tokens). Completes the tokenizer story:
+    * (…passthrough columns, tokens, n_tokens) — every input column except
+    * the consumed text survives (the [[encodeIds]] rule, r12), so
+    * group/shard keys ride into packing with no corpus re-join.
+    * Completes the tokenizer story:
     * learn ([[bpeLearnMerges]]) → encode (this) → count/pack downstream.
     *
     * Scale shape: the merge table is TOKENIZER-sized (kilobytes to a few
@@ -1710,7 +1713,13 @@ object Corpus {
         graft.functions.CatalystExprs.bpeEncodeMerges(
           col(textCol), table.toSeq, maxWordLen)
       }
-    df.select(col(idCol), toks.as("tokens"))
+    // passthrough contract (r12, the encodeIds rule): every input column
+    // except the consumed text survives — group/shard keys ride along so
+    // downstream packing never re-joins the corpus; a stale n_tokens is
+    // replaced
+    val kept = df.columns
+      .filter(c => c != textCol && c != "n_tokens").map(col _)
+    df.select(kept :+ toks.as("tokens"): _*)
       .withColumn("n_tokens", size(col("tokens")).cast("bigint"))
   }
 
@@ -1811,8 +1820,8 @@ object Corpus {
   /** Unigram-LM ENCODING — Viterbi-segment text under a learned piece
     * table (the output of [[unigramTrain]], or any (piece, score) frame
     * with integer scores): the maximum-score segmentation per word, the
-    * standard SentencePiece inference rule. Emits (id, tokens,
-    * n_tokens) — the [[bpeEncode]] contract, so everything downstream
+    * standard SentencePiece inference rule. Emits (…passthrough
+    * columns, tokens, n_tokens) — the [[bpeEncode]] contract, so everything downstream
     * (token counting, packing, budget mixing) composes unchanged.
     *
     * Scale shape: the piece table is tokenizer-sized, collected once and
@@ -1829,9 +1838,12 @@ object Corpus {
     val table = pieces.select(col("piece").cast("string"),
         col("score").cast("long"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    df.select(col(idCol),
+    // same passthrough contract as [[bpeEncode]]/[[encodeIds]]
+    val kept = df.columns
+      .filter(c => c != textCol && c != "n_tokens").map(col _)
+    df.select(kept :+
         graft.functions.CatalystExprs.unigramEncode(col(textCol), table,
-          maxWordLen, unkScore).as("tokens"))
+          maxWordLen, unkScore).as("tokens"): _*)
       .withColumn("n_tokens", size(col("tokens")).cast("bigint"))
   }
 

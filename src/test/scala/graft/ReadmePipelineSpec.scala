@@ -51,6 +51,32 @@ class ReadmePipelineSpec extends AnyFunSuite {
       val nMixed = ctx.sql(
         "SELECT count(DISTINCT doc_id) AS c FROM mixed").head().getLong(0)
       assert(nMixed > 0 && nMixed < nDocs)
+      // the int32 shard tail (r12): tokenizer -> frozen vocab -> id
+      // encode (group keys pass through TOKENIZE — no re-join) -> packed
+      // eos-separated sequences -> exported shards, read back and checked
+      ctx.sql("""CREATE OR REPLACE TABLE pieces AS
+        SELECT * FROM TRAIN(METHOD unigram WITH (vocab_size = 64, seed_size = 200),
+        SELECT doc_id, text FROM mixed)""")
+      ctx.sql("CREATE OR REPLACE TABLE vocab AS SELECT * FROM VOCAB(TABLE pieces)")
+      ctx.sql("""CREATE OR REPLACE TABLE shard_ids AS
+        SELECT * FROM PACK(CAPACITY 2048 WITH (materialize = 'true',
+                                               ids = 'token_ids', group = 'source'),
+        SELECT * FROM TOKENIZE(TABLE pieces
+          WITH (method = 'unigram', emit = 'ids', vocab = 'vocab'),
+        SELECT doc_id, source, text FROM mixed))""")
+      ctx.sql(s"""EXPORT TABLE shard_ids WITH (location = '$out/shards_ids',
+        shards = 4, shard_by = 'bin', sort_by = 'bin')""")
+      val idShards = spark.read.parquet(s"$out/shards_ids")
+      assert(idShards.count() ==
+        ctx.sql("SELECT count(*) AS c FROM shard_ids").head().getLong(0))
+      // the artifact is genuinely int32 sequences, eos-separated
+      assert(idShards.schema("seq_ids").dataType.asInstanceOf[
+        org.apache.spark.sql.types.ArrayType].elementType ==
+        org.apache.spark.sql.types.IntegerType)
+      val tot = idShards.selectExpr("sum(n_tokens) t", "sum(n_ids) i",
+        "sum(n_docs) d").head()
+      assert(tot.getLong(1) == tot.getLong(0) + tot.getLong(2) -
+        idShards.count()) // n_ids = n_tokens + (n_docs - 1) per bin
       // the nightly ingest gate: persist the exact index of tonight's
       // corpus, screen a fresh batch against it (half copies, half new)
       ctx.sql("CREATE DEDUP INDEX corpus_idx ON deduped WITH (kind = 'exact')")
@@ -77,7 +103,7 @@ class ReadmePipelineSpec extends AnyFunSuite {
     } finally {
       Seq("flags", "clean", "deduped", "train", "mixed", "packed",
         "badwords", "bench", "token_quotas", "docs", "fresh_batch",
-        "fresh_unique", "second_batch")
+        "fresh_unique", "second_batch", "pieces", "vocab", "shard_ids")
         .foreach(t => ctx.sql(s"DROP TABLE IF EXISTS $t"))
       Seq("corpus_idx_digests", "corpus_idx_bloom", "corpus_idx_meta")
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
