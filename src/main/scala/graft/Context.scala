@@ -1111,19 +1111,25 @@ class Context(val spark: SparkSession) {
       // materialize='true' + ids='<array<int> col>' → the int32 shard
       // (Corpus.materializePackedIds, eos_id separators); with text= (the
       // default) the string debugging surface.
+      // sub_shards= restores packing parallelism when the group count is
+      // small (five sources = five window tasks otherwise): deterministic
+      // per-id sub-shards, bin identity (group, shard, bin)
+      val packShards = opts.get("sub_shards").map(_.trim.toInt).getOrElse(1)
       if (opts.get("materialize").exists(_.trim.toBoolean) &&
           opts.contains("ids"))
         graft.operators.Corpus.materializePackedIds(
           sql(select), packId, opts("ids").trim, packGroup, capacity,
-          eosId = opts.get("eos_id").map(_.trim.toInt).getOrElse(0))
+          eosId = opts.get("eos_id").map(_.trim.toInt).getOrElse(0),
+          subShards = packShards)
       else if (opts.get("materialize").exists(_.trim.toBoolean))
         graft.operators.Corpus.materializePacked(
           sql(select), packId, opts.getOrElse("text", "text"), packTokens,
-          packGroup, capacity, eos = opts.getOrElse("eos", " <eos> "))
+          packGroup, capacity, eos = opts.getOrElse("eos", " <eos> "),
+          subShards = packShards)
       else
         graft.operators.Corpus.packSequences(
           sql(select), idCol = packId, tokensCol = packTokens,
-          groupCol = packGroup, capacity = capacity)
+          groupCol = packGroup, capacity = capacity, subShards = packShards)
 
     // SELECT * FROM SCORE(METHOD m [WITH (...)], <select>) — document
     // scoring: corpus-LM perplexity (self-scored unigram/bigram MLE, or

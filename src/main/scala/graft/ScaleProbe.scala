@@ -934,6 +934,37 @@ object ScaleProbe {
           ("index_rebuild_srp", srpReb, nDocs + nDocs / 10))
       }
     } ++ {
+      // r12: packing parallelism — the pack window partitions by the
+      // GROUP key, and the clone corpus has a handful of sources, so the
+      // flat pack runs on that many window tasks regardless of cluster
+      // size; sub_shards routes each doc to a deterministic (group,
+      // shard) window instead — same int32-shard output class (bin
+      // identity gains the shard key), parallelism = groups × subShards.
+      if (!wanted("pack_ids")) Seq.empty
+      else {
+        // ONE packing group — the worst case the sub-shard key exists
+        // for: the flat pack is a single window task holding the entire
+        // corpus slice (at 100 TB, one task sorting one source's
+        // terabytes), the sharded pack spreads the same rows over
+        // groups × subShards independent windows
+        val packIds = docs.select(col("doc_id"), lit("all").as("grp"),
+          transform(filter(split(lower(col("text")), " "), t => t =!= ""),
+            t => pmod(xxhash64(t), lit(65536)).cast("int")).as("token_ids"))
+          .cache()
+        packIds.count()
+        val r = Seq(
+          time("pack_ids_flat") {
+            operators.Corpus.materializePackedIds(packIds, "doc_id",
+              "token_ids", "grp", 2048L)
+          },
+          time("pack_ids_subshards") {
+            operators.Corpus.materializePackedIds(packIds, "doc_id",
+              "token_ids", "grp", 2048L, subShards = 32)
+          }).flatten
+        packIds.unpersist()
+        r
+      }
+    } ++ {
       // r12: IVF append DRIFT probe — backs appendIvfIndex's "rebuild on
       // the nightly cadence" scaladoc with a measured number. Appends
       // assign new vectors to their nearest EXISTING centroid (no refit),

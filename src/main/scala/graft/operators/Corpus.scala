@@ -166,15 +166,35 @@ object Corpus {
     *
     * The window partitions by `groupCol` (shard/source), NEVER globally:
     * per-group packing is one shuffle and is how a 1000-executor run keeps
-    * every partition independent.
-    */
+    * every partition independent. BUT the parallelism of that shuffle is
+    * the GROUP COUNT — a corpus with five sources packs on five tasks no
+    * matter how many executors exist. `subShards` > 1 restores the
+    * parallelism: each document is routed to a deterministic sub-shard
+    * (xxhash64 of its id, mod `subShards` — stable across runs and
+    * engines) and packing runs independently per (group, shard), emitted
+    * in an explicit `shard` column so bin identity stays (group, shard,
+    * bin). Training sequences are equally valid — packing order inside a
+    * shard is still deterministic by id, and a trainer consumes bins in
+    * any order anyway. Size subShards ≈ cluster parallelism / group
+    * count; 1 (the default) keeps today's exact output and schema.
+    * MEASURED crossover (ScaleProbe pack_ids, PLANS 78): below ~0.5M
+    * rows per group the flat single-task window is FASTER (6.2 s vs
+    * 10.7 s at 500k — the sharded form pays finer aggregation); at 2M
+    * rows the flat task is spill-bound and sharding wins 4× (7.9 s vs
+    * 31.4 s), growing with volume — activate past ~1M rows/group. */
   def packSequences(
       df: DataFrame, idCol: String, tokensCol: String, groupCol: String,
-      capacity: Long): DataFrame = {
+      capacity: Long, subShards: Int = 1): DataFrame = {
     require(capacity > 0, "capacity must be positive")
-    val w = Window.partitionBy(col(groupCol))
+    require(subShards >= 1, "subShards must be >= 1")
+    val (base, parts) =
+      if (subShards == 1) (df, Seq(col(groupCol)))
+      else (df.withColumn("shard",
+        pmod(xxhash64(col(idCol).cast("string")), lit(subShards))),
+        Seq(col(groupCol), col("shard")))
+    val w = Window.partitionBy(parts: _*)
       .orderBy(col(idCol)).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("_cum", sum(col(tokensCol).cast("long")).over(w))
+    base.withColumn("_cum", sum(col(tokensCol).cast("long")).over(w))
       .withColumn("_before", col("_cum") - col(tokensCol).cast("long"))
       .withColumn("bin", floor(col("_before") / capacity))
       .withColumn("bin_offset", pmod(col("_before"), lit(capacity)))
@@ -205,9 +225,13 @@ object Corpus {
     * upstream ([[chunkDocuments]] with size=capacity) before packing. */
   def materializePacked(
       df: DataFrame, idCol: String, textCol: String, tokensCol: String,
-      groupCol: String, capacity: Long, eos: String = " <eos> "): DataFrame = {
-    val packed = packSequences(df, idCol, tokensCol, groupCol, capacity)
-    packed.groupBy(col(groupCol), col("bin"))
+      groupCol: String, capacity: Long, eos: String = " <eos> ",
+      subShards: Int = 1): DataFrame = {
+    val packed = packSequences(df, idCol, tokensCol, groupCol, capacity,
+      subShards)
+    val keys = if (subShards == 1) Seq(col(groupCol), col("bin"))
+               else Seq(col(groupCol), col("shard"), col("bin"))
+    packed.groupBy(keys: _*)
       .agg(count(lit(1)).cast("bigint").as("n_docs"),
         sum(col(tokensCol).cast("long")).cast("bigint").as("n_tokens"),
         collect_list(struct(col("bin_offset"), col(idCol).as("_id"),
@@ -1948,10 +1972,13 @@ object Corpus {
     * second window), same straddle bound as [[materializePacked]]. */
   def materializePackedIds(
       df: DataFrame, idCol: String, idsCol: String, groupCol: String,
-      capacity: Long, eosId: Int = 0): DataFrame = {
+      capacity: Long, eosId: Int = 0, subShards: Int = 1): DataFrame = {
     val withN = df.withColumn("_nt", size(col(idsCol)).cast("long"))
-    val packed = packSequences(withN, idCol, "_nt", groupCol, capacity)
-    packed.groupBy(col(groupCol), col("bin"))
+    val packed = packSequences(withN, idCol, "_nt", groupCol, capacity,
+      subShards)
+    val keys = if (subShards == 1) Seq(col(groupCol), col("bin"))
+               else Seq(col(groupCol), col("shard"), col("bin"))
+    packed.groupBy(keys: _*)
       .agg(count(lit(1)).cast("bigint").as("n_docs"),
         sum(col("_nt")).cast("bigint").as("n_tokens"),
         collect_list(struct(col("bin_offset"), col(idCol).as("_id"),

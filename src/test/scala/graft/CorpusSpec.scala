@@ -1074,6 +1074,45 @@ class CorpusSpec extends AnyFunSuite {
     assert(Set(5.0, 11.0).contains(approx("s1")))
   }
 
+  test("packSequences sub-shards: each (group, shard) slice equals the unsharded pack of exactly its rows (r12)") {
+    // five sources on a 1000-executor cluster = five window tasks; the
+    // sub-shard key restores parallelism without changing semantics —
+    // packing within a shard is the SAME deterministic cum-sum, pinned
+    // here by slice equivalence against the unsharded operator
+    val docs = (1 to 60).map(i =>
+      (i.toLong, if (i % 2 == 0) "a" else "b", (i % 5 + 1).toLong))
+      .toDF("doc_id", "grp", "nt")
+    val sharded = Corpus.packSequences(docs, "doc_id", "nt", "grp", 7L,
+      subShards = 4)
+    assert(sharded.columns.contains("shard"))
+    val shards = sharded.select("shard").distinct()
+      .collect().map(_.getLong(0))
+    assert(shards.length > 1) // the hash actually spreads
+    shards.foreach { s =>
+      val slice = sharded.filter($"shard" === s)
+        .select("doc_id", "grp", "nt", "bin", "bin_offset")
+        .collect().toSet
+      val expect = Corpus.packSequences(
+          docs.filter(pmod(xxhash64($"doc_id".cast("string")), lit(4)) === s),
+          "doc_id", "nt", "grp", 7L)
+        .select("doc_id", "grp", "nt", "bin", "bin_offset")
+        .collect().toSet
+      assert(slice == expect)
+    }
+    // materialize keys bins by (group, shard, bin); nothing lost or merged
+    val ids = docs.withColumn("ids",
+      transform(sequence(lit(1), $"nt"), i => i.cast("int")))
+    val mat = Corpus.materializePackedIds(ids, "doc_id", "ids", "grp", 7L,
+      subShards = 4)
+    assert(mat.columns.take(3).toSeq == Seq("grp", "shard", "bin"))
+    assert(mat.agg(sum("n_docs")).head().getLong(0) == 60L)
+    assert(mat.agg(sum("n_tokens")).head().getLong(0) ==
+      docs.agg(sum("nt")).head().getLong(0))
+    // default subShards=1 keeps today's exact schema (no shard column)
+    assert(!Corpus.packSequences(docs, "doc_id", "nt", "grp", 7L)
+      .columns.contains("shard"))
+  }
+
   test("tokenVocab: unk at 0, binary piece order, dedup, unk collision dropped (r12)") {
     val pieces = Seq("b", "a", "ab", "b", "<unk>").toDF("piece")
     val v = Corpus.tokenVocab(pieces)
