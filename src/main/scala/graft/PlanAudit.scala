@@ -1,26 +1,33 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+/** Plan-audit utility (not part of the driver contract): print the
+  * EXECUTED physical plan of named coverage queries so the "iterate on
+  * the plan, not just the first one that passed" discipline is one
+  * command instead of an ad-hoc console session.
+  *
+  * Usage: runMain graft.PlanAudit <query[,query...]> [sfDir] [maxLines]
+  */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions","8")
-      .config("spark.sql.adaptive.enabled","true")
-      .config("spark.sql.legacy.parquet.nanosAsLong","true")
+    require(args.nonEmpty, "usage: PlanAudit <query[,query...]> [sfDir] [maxLines]")
+    val names = args(0).split(",").map(_.trim).filter(_.nonEmpty)
+    val sf = args.drop(1).headOption.getOrElse("/root/testdata/sf0.001")
+    val maxLines = args.drop(2).headOption.map(_.toInt).getOrElse(60)
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[8]"))
+      .appName("graft-plan-audit")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-wh").toString)
-      .config("spark.ui.enabled","false").getOrCreate()
+        java.nio.file.Files.createTempDirectory("graft-audit-wh").toString)
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val sf = "/root/testdata/sf0.01"
-    val names = if (args.nonEmpty) args.toSeq else Seq(
-      "q01_tpch_q1","q02_scan_pushdown","q54_star_join","q22_sort_topk",
-      "p06_sim_topk","p04b_dedup_ngram_banded","p05b_dedup_embedding_lsh",
-      "p22_decontaminate","p24_seq_packing","p25_embedding_quantize",
-      "p38_chunk_dedup","p42_boilerplate_removal",
-      "p02b_dedup_minhash_store","p30b_dedup_incremental_indexed")
-    for (name <- names) {
-      println(s"===== $name =====")
-      val df = SparkEntry.queries(name)(spark, sf)
-      println(df.queryExecution.executedPlan.toString.take(4000))
+    names.foreach { n =>
+      val df = SparkEntry.queries(n)(spark, sf)
+      println(s"===== $n =====")
+      println(df.queryExecution.executedPlan.toString
+        .linesIterator.take(maxLines).mkString("\n"))
+      println()
     }
     spark.stop()
   }

@@ -1891,11 +1891,20 @@ object Corpus {
     require(unkPiece.nonEmpty, "unkPiece must be non-empty")
     val spark = pieces.sparkSession
     import spark.implicits._
+    // the driver-collect discipline needs a hard bound: a vocabulary is
+    // TOKENIZER-sized by contract (the decodeIds dense-array cap), and a
+    // caller who points this at raw corpus words at scale must fail
+    // loudly, not OOM the driver. limit(cap+1) bounds the collect itself;
     // orderBy in Spark = UTF8String byte order; collect preserves it
+    val cap = 4194303
     val ps = pieces.select(col(pieceCol).cast("string").as("piece"))
       .where(col("piece").isNotNull && col("piece") =!= unkPiece)
-      .distinct().orderBy("piece")
+      .distinct().orderBy("piece").limit(cap + 1)
       .collect().map(_.getString(0))
+    require(ps.length <= cap,
+      s"tokenVocab: more than $cap distinct pieces — a vocabulary must " +
+        "be tokenizer-sized (train a tokenizer with TRAIN METHOD " +
+        "unigram / bpeLearnMerges, or hash features instead)")
     ((unkPiece, 0) +: ps.zipWithIndex.map { case (p, i) => (p, i + 1) }.toSeq)
       .toDF("piece", "id")
   }
