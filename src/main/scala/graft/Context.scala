@@ -956,17 +956,28 @@ class Context(val spark: SparkSession) {
             s"index '$name' has unknown kind '$k' — corrupt ${name}_meta"))
         case None =>
           val force = opts.get("force").exists(_.trim.toLowerCase == "true")
-          if (!force && !ifExists) throw new IllegalArgumentException(
-            s"no ${name}_meta table: '$name' is not a known " +
-              s"${dropKind.toUpperCase} index. A pre-meta legacy index " +
-              "can be swept by suffix with DROP ... INDEX ... WITH " +
-              "(force='true') — refused by default because suffix-" +
-              "matching user tables would be dropped too")
-          if (!force) Nil
-          else if (dropKind == "dedup")
-            Seq("_digests", "_bloom", "_shingles", "_bands",
-              "_srp_vecs", "_srp_buckets")
-          else Seq("_cells", "_centroids", "_pq_codes", "_pq_codebooks")
+          val legacy =
+            if (dropKind == "dedup")
+              Seq("_digests", "_bloom", "_shingles", "_bands",
+                "_srp_vecs", "_srp_buckets")
+            else Seq("_cells", "_centroids", "_pq_codes", "_pq_codebooks")
+          // IF EXISTS suppresses only the nothing-there case; when legacy
+          // suffix tables DO exist the statement must not report success
+          // while sweeping nothing (r12 review: a nightly `DROP ... IF
+          // EXISTS` cleanup would leave every artifact behind, silently)
+          val legacyPresent =
+            legacy.exists(sfx => spark.catalog.tableExists(name + sfx))
+          if (!force && (legacyPresent || !ifExists))
+            throw new IllegalArgumentException(
+              s"no ${name}_meta table: '$name' is not a known " +
+                s"${dropKind.toUpperCase} index" +
+                (if (legacyPresent) s", but suffix tables of a pre-meta " +
+                  "legacy index exist" else "") +
+                ". A pre-meta legacy index " +
+                "can be swept by suffix with DROP ... INDEX ... WITH " +
+                "(force='true') — refused by default because suffix-" +
+                "matching user tables would be dropped too")
+          if (!force) Nil else legacy
       }
       // kind='shingles' stores are the BARE table name; only meta can say
       // so — never drop a bare name blindly (it could be any user table)

@@ -187,6 +187,9 @@ object Corpus {
       capacity: Long, subShards: Int = 1): DataFrame = {
     require(capacity > 0, "capacity must be positive")
     require(subShards >= 1, "subShards must be >= 1")
+    // the sub-shard key is a NEW output column — a corpus frame carrying
+    // its own 'shard' must not have it silently overwritten (r12 review)
+    if (subShards > 1) requireNoClash(df, Set("shard"), "packSequences")
     val (base, parts) =
       if (subShards == 1) (df, Seq(col(groupCol)))
       else (df.withColumn("shard",
@@ -1740,7 +1743,9 @@ object Corpus {
     // passthrough contract (r12, the encodeIds rule): every input column
     // except the consumed text survives — group/shard keys ride along so
     // downstream packing never re-joins the corpus; a stale n_tokens is
-    // replaced
+    // replaced, but an unrelated 'tokens' column must fail fast, not
+    // silently become ambiguous (r12 review)
+    if (textCol != "tokens") requireNoClash(df, Set("tokens"), "bpeEncode")
     val kept = df.columns
       .filter(c => c != textCol && c != "n_tokens").map(col _)
     df.select(kept :+ toks.as("tokens"): _*)
@@ -1863,6 +1868,8 @@ object Corpus {
         col("score").cast("long"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     // same passthrough contract as [[bpeEncode]]/[[encodeIds]]
+    if (textCol != "tokens")
+      requireNoClash(df, Set("tokens"), "unigramEncode")
     val kept = df.columns
       .filter(c => c != textCol && c != "n_tokens").map(col _)
     df.select(kept :+
@@ -1927,6 +1934,8 @@ object Corpus {
   def encodeIds(df: DataFrame, idCol: String, tokensCol: String,
       vocab: DataFrame, unkId: Int = 0): DataFrame = {
     require(df.columns.contains(idCol), s"encodeIds: no column '$idCol'")
+    if (tokensCol != "token_ids")
+      requireNoClash(df, Set("token_ids"), "encodeIds")
     val table = vocab.select(col("piece").cast("string"),
         col("id").cast("int"))
       .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
@@ -1965,6 +1974,7 @@ object Corpus {
     val arr = new Array[String](maxId + 1)
     rows.foreach { case (i, p) => arr(i) = p }
     require(df.columns.contains(idCol), s"decodeIds: no column '$idCol'")
+    if (idsCol != "tokens") requireNoClash(df, Set("tokens"), "decodeIds")
     val kept = df.columns.filter(_ != idsCol).map(col _)
     df.select(kept :+
       transform(col(idsCol), i =>
@@ -1982,7 +1992,14 @@ object Corpus {
   def materializePackedIds(
       df: DataFrame, idCol: String, idsCol: String, groupCol: String,
       capacity: Long, eosId: Int = 0, subShards: Int = 1): DataFrame = {
-    val withN = df.withColumn("_nt", size(col(idsCol)).cast("long"))
+    requireNoClash(df, Set("_ids", "_nt"), "materializePackedIds")
+    // a NULL id array (a null-text doc through TOKENIZE emit='ids')
+    // packs as a zero-token document — size(null) would otherwise poison
+    // its whole bin (null cum-sum → null bin → null seq_ids) (r12 review)
+    val withN = df
+      .withColumn("_ids",
+        coalesce(col(idsCol), array().cast(df.schema(idsCol).dataType)))
+      .withColumn("_nt", size(col("_ids")).cast("long"))
     val packed = packSequences(withN, idCol, "_nt", groupCol, capacity,
       subShards)
     val keys = if (subShards == 1) Seq(col(groupCol), col("bin"))
@@ -1991,7 +2008,7 @@ object Corpus {
       .agg(count(lit(1)).cast("bigint").as("n_docs"),
         sum(col("_nt")).cast("bigint").as("n_tokens"),
         collect_list(struct(col("bin_offset"), col(idCol).as("_id"),
-          col(idsCol).as("_ids"))).as("_parts"))
+          col("_ids"))).as("_parts"))
       .withColumn("seq_ids",
         flatten(transform(array_sort(col("_parts")), (p, i) =>
           when(i === 0, p("_ids"))

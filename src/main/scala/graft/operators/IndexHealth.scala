@@ -85,27 +85,35 @@ object IndexHealth {
     else f"$d%.3e" // tiny fpps stay readable instead of rounding to 0
 
   /** Top-k bucket-size histogram + skew scalars over a (bucket-key →
-    * member) table: one groupBy-count (map-side combinable) and one
-    * scalar aggregate; only k+3 numbers reach the driver. */
+    * member) table: ONE pass over the index table (the groupBy-count,
+    * map-side combinable, cached), then one scalar-aggregate job and one
+    * top-5 job over the already-small (key → n) frame — without the
+    * cache, every downstream job re-ran the full table scan (r12 review:
+    * DESCRIBE on a multi-GB band table cost 3× its own scan). Only k+3
+    * numbers reach the driver. */
   private def bucketMetrics(df: DataFrame, keyCols: Seq[String],
       label: String, overCap: Option[Long]): Seq[(String, String)] = {
     val sizes = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
-    val agg = sizes.agg(count(lit(1)).as("nb"), max(col("n")).as("mx"),
-      avg(col("n")).as("mean")).head()
-    if (agg.isNullAt(1)) return Seq(s"${label}_count" -> "0")
-    val nb = agg.getLong(0); val mx = agg.getLong(1); val mean = agg.getDouble(2)
-    val top = sizes.orderBy(col("n").desc).limit(5)
-      .collect().map(_.getAs[Long]("n"))
-    val base = Seq(
-      s"${label}_count" -> nb.toString,
-      s"${label}_max_size" -> mx.toString,
-      s"${label}_mean_size" -> fmt(mean),
-      s"${label}_skew" -> fmt(mx / math.max(mean, 1e-12)),
-      s"${label}_top5_sizes" -> top.mkString(","))
-    base ++ overCap.map { cap =>
-      s"${label}s_over_cap" ->
-        sizes.filter(col("n") > cap).count().toString
-    }
+      .persist()
+    try {
+      // over-cap folded into the one scalar aggregate — not its own job
+      val capAgg = overCap.map(cap =>
+        sum(when(col("n") > cap, 1L).otherwise(0L)).as("oc")).toSeq
+      val aggCols = Seq(max(col("n")).as("mx"),
+        avg(col("n")).as("mean")) ++ capAgg
+      val agg = sizes.agg(count(lit(1)).as("nb"), aggCols: _*).head()
+      if (agg.isNullAt(1)) return Seq(s"${label}_count" -> "0")
+      val nb = agg.getLong(0); val mx = agg.getLong(1); val mean = agg.getDouble(2)
+      val top = sizes.orderBy(col("n").desc).limit(5)
+        .collect().map(_.getAs[Long]("n"))
+      val base = Seq(
+        s"${label}_count" -> nb.toString,
+        s"${label}_max_size" -> mx.toString,
+        s"${label}_mean_size" -> fmt(mean),
+        s"${label}_skew" -> fmt(mx / math.max(mean, 1e-12)),
+        s"${label}_top5_sizes" -> top.mkString(","))
+      base ++ overCap.map(_ => s"${label}s_over_cap" -> agg.getLong(3).toString)
+    } finally { sizes.unpersist(); () }
   }
 
   /** All health rows for index `name` with meta `meta` (must contain

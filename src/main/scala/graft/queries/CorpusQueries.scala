@@ -2854,11 +2854,16 @@ object CorpusQueries {
               CAST(row_number() OVER (ORDER BY wd) AS INT) AS id
             FROM (SELECT DISTINCT unnest(words) AS wd FROM w)),
       dw AS (SELECT doc_id, unnest(words) AS wd,
-               unnest(range(1, len(words) + 1)) AS i FROM w)
-      SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-             string_agg(CAST(v.id AS VARCHAR), ' ' ORDER BY d.i) AS ids
-      FROM dw d JOIN v ON v.piece = d.wd
-      GROUP BY d.doc_id ORDER BY d.doc_id""")) { (s, d) =>
+               unnest(range(1, len(words) + 1)) AS i FROM w),
+      agg AS (SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                string_agg(CAST(v.id AS VARCHAR), ' ' ORDER BY d.i) AS ids
+              FROM dw d JOIN v ON v.piece = d.wd GROUP BY d.doc_id)
+      -- LEFT join back to the doc list: a zero-token document still emits
+      -- its (n_tokens=0, ids='') row, exactly as the Spark projection does
+      SELECT w.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+             coalesce(a.ids, '') AS ids
+      FROM w LEFT JOIN agg a ON w.doc_id = a.doc_id
+      ORDER BY w.doc_id""")) { (s, d) =>
       val docs = t(s, d, "documents")
       val toks = docs.select(col("doc_id"),
         filter(split(lower(col("text")), " "), x => x =!= "").as("tokens"))
@@ -2878,7 +2883,7 @@ object CorpusQueries {
     // oracle that is independent of which segmentation won, gating
     // encode → vocab → ids → decode end-to-end with one line of SQL.
     Q("p102_detok_roundtrip", Some("""
-      SELECT doc_id, replace(lower(text), ' ', '') AS detok
+      SELECT doc_id, coalesce(replace(lower(text), ' ', ''), '') AS detok
       FROM documents ORDER BY doc_id""")) { (s, d) =>
       val spark = s
       import spark.implicits._
@@ -2904,7 +2909,7 @@ object CorpusQueries {
     // TOKENIZE emit='ids' vocab=, DETOKENIZE — held to p102's oracle so
     // the id statements' wiring is hash-gated (the p02c precedent).
     Q("p102c_detok_roundtrip_sql", Some("""
-      SELECT doc_id, replace(lower(text), ' ', '') AS detok
+      SELECT doc_id, coalesce(replace(lower(text), ' ', ''), '') AS detok
       FROM documents ORDER BY doc_id""")) { (s, d) =>
       val ctx = new graft.Context(s)
       ctx.createTableFromPath("documents", s"$d/documents.parquet")
@@ -2945,9 +2950,13 @@ object CorpusQueries {
       idstr AS (SELECT d.doc_id,
                   string_agg(CAST(v.id AS VARCHAR), ' ' ORDER BY d.i) AS ids
                 FROM dw d JOIN v ON v.piece = d.wd GROUP BY d.doc_id),
+      -- LEFT join: a zero-token doc still occupies its packing slot (the
+      -- Spark side counts it in n_docs and emits only its eos separator);
+      -- the trim/space-collapse below folds its empty contribution out of
+      -- the separator-joined id string exactly as flatten does
       tok AS (SELECT w.doc_id, w.source,
-                CAST(len(w.words) AS BIGINT) AS nt, i.ids
-              FROM w JOIN idstr i ON w.doc_id = i.doc_id),
+                CAST(len(w.words) AS BIGINT) AS nt, coalesce(i.ids, '') AS ids
+              FROM w LEFT JOIN idstr i ON w.doc_id = i.doc_id),
       c AS (SELECT *, sum(nt) OVER (PARTITION BY source ORDER BY doc_id
                        ROWS UNBOUNDED PRECEDING) AS cum FROM tok),
       b AS (SELECT *, CAST(floor((cum - nt) / 256.0) AS BIGINT) AS bin,
@@ -2955,7 +2964,8 @@ object CorpusQueries {
       SELECT source, bin, CAST(count(*) AS BIGINT) AS n_docs,
              CAST(sum(nt) AS BIGINT) AS n_tokens,
              CAST(sum(nt) + count(*) - 1 AS BIGINT) AS n_ids,
-             string_agg(ids, ' 0 ' ORDER BY off, doc_id) AS ids
+             trim(regexp_replace(
+               string_agg(ids, ' 0 ' ORDER BY off, doc_id), ' +', ' ', 'g')) AS ids
       FROM b GROUP BY source, bin ORDER BY source, bin""")) { (s, d) =>
       val docs = t(s, d, "documents")
       val toks = docs.select(col("doc_id"), col("source"),

@@ -162,19 +162,6 @@ object DocStreams {
           .cast("bigint").as("n_dropped"))
   }
 
-  /** Serializable carrier shipping the Bloom filter's byte image once per
-    * executor via broadcast; the filter deserializes lazily, at most once
-    * per executor JVM (lazy val — the probe UDF must not re-read a
-    * GB-sized image per row or task). The deserialized filter hangs off
-    * the broadcast's own block, so destroying or GC-ing the broadcast
-    * after stream shutdown releases it — no global registry pinning
-    * filters for the life of the executor. */
-  private final class LazyBloom(bytes: Array[Byte]) extends Serializable {
-    @transient lazy val filter: org.apache.spark.util.sketch.BloomFilter =
-      org.apache.spark.util.sketch.BloomFilter.readFrom(
-        new java.io.ByteArrayInputStream(bytes))
-  }
-
   /** [[dedupChunksStreamBloom]] for CORPUS-SCALE filters (the ~1.7 GB /
     * 10⁹-chunk regime): the serialized filter is distributed ONCE per
     * executor as a broadcast variable instead of riding in every task's
@@ -186,7 +173,14 @@ object DocStreams {
     * state. */
   def dedupChunksStreamBloomBroadcast(docStream: DataFrame, bloom: Array[Byte],
       idCol: String, textCol: String, size: Int): DataFrame = {
-    val bcast = docStream.sparkSession.sparkContext.broadcast(new LazyBloom(bloom))
+    // the SHARED lazy carrier (one implementation across every broadcast
+    // bloom-probe site — r12 review folded this file's private twin into
+    // it), OpCache-tracked so a long-lived session reclaims the executor
+    // block on the per-statement release instead of waiting for GC
+    val bcast = graft.operators.OpCache.trackBroadcast(
+      docStream.sparkSession,
+      docStream.sparkSession.sparkContext.broadcast(
+        new graft.functions.CatalystExprs.LazyBloomCarrier(bloom)))
     val keep = udf { (chunks: Seq[String]) =>
       val bf = bcast.value.filter
       chunks.filterNot { c =>
@@ -449,14 +443,24 @@ object DocStreams {
     * for the watermark); within-horizon re-sends of the same pair are
     * suppressed too — the exactly-once contract.
     *
-    * `idCol` defaults to the pair frame's FIRST column — both pair
-    * streams emit their id first ([[minhashPairsStream]] `doc_id`,
-    * [[embeddingPairsStream]] `vec_id`), so the default works for either
-    * without the caller naming it (a fixed "doc_id" default failed at
-    * analysis time for the SRP path — r11 ADVICE). */
+    * `idCol` defaults by NAME, not position: whichever of
+    * `doc_id`/`vec_id`/`media_id` the pair frame carries (the three ids
+    * this engine's pair streams emit). A fixed "doc_id" default failed at
+    * analysis time for the SRP path (r11 ADVICE), and the brief
+    * first-column fallback that replaced it would silently dedup on the
+    * wrong key for a reordered frame (r12 review) — an unrecognized
+    * frame must name its id explicitly instead. */
   def exactlyOncePairs(pairs: DataFrame, eventTimeCol: String,
       delay: String, idCol: String = ""): DataFrame = {
-    val id = if (idCol.nonEmpty) idCol else pairs.columns.head
+    require(pairs.columns.contains("dup_of"),
+      "exactlyOncePairs expects a (id, dup_of, ...) pair frame")
+    val id =
+      if (idCol.nonEmpty) idCol
+      else Seq("doc_id", "vec_id", "media_id")
+        .find(pairs.columns.contains)
+        .getOrElse(throw new IllegalArgumentException(
+          "exactlyOncePairs: pair frame carries none of doc_id/vec_id/" +
+            "media_id — pass idCol= explicitly"))
     pairs.withWatermark(eventTimeCol, delay)
       .dropDuplicatesWithinWatermark(id, "dup_of")
       .drop(eventTimeCol)

@@ -1111,6 +1111,13 @@ class CorpusSpec extends AnyFunSuite {
     // default subShards=1 keeps today's exact schema (no shard column)
     assert(!Corpus.packSequences(docs, "doc_id", "nt", "grp", 7L)
       .columns.contains("shard"))
+    // a corpus frame carrying its OWN 'shard' column must fail fast, not
+    // have it silently overwritten by the hash key (r12 review pin)
+    val err = intercept[IllegalArgumentException] {
+      Corpus.packSequences(docs.withColumn("shard", lit(9)),
+        "doc_id", "nt", "grp", 7L, subShards = 4)
+    }
+    assert(err.getMessage.contains("shard"))
   }
 
   test("tokenVocab: unk at 0, binary piece order, dedup, unk collision dropped (r12)") {
@@ -1138,6 +1145,20 @@ class CorpusSpec extends AnyFunSuite {
     assert(row.getAs[String]("source") == "s1") // passthrough
     assert(row.getSeq[Int](row.fieldIndex("token_ids")) == Seq(1, 2, 0)) // zzz → unk 0
     assert(row.getAs[Long]("n_tokens") == 3L) // stale 999 replaced
+    // an unrelated column already named like the output fails fast
+    // instead of becoming an ambiguous reference (r12 review pin)
+    val clash = df.withColumn("token_ids", lit(1))
+    val err = intercept[IllegalArgumentException] {
+      Corpus.encodeIds(clash, "doc_id", "tokens", vocab)
+    }
+    assert(err.getMessage.contains("token_ids"))
+    val err2 = intercept[IllegalArgumentException] {
+      Corpus.unigramEncode(
+        Seq((1L, "x", Seq("y"))).toDF("doc_id", "text", "tokens"),
+        "doc_id", "text",
+        Seq(("x", -1L)).toDF("piece", "score"))
+    }
+    assert(err2.getMessage.contains("tokens"))
   }
 
   test("decodeIds inverts encodeIds; unknown id → unk piece (r12)") {
@@ -1162,9 +1183,12 @@ class CorpusSpec extends AnyFunSuite {
     // lands at offset 3 of bin 0; doc 3 (2 ids) starts at offset 3 and
     // straddles into bin 0's overhang — all one group, one bin.
     val df = Seq(
-      (1L, "g", Seq(5, 6, 7)), (2L, "g", Seq.empty[Int]),
+      (1L, "g", Seq(5, 6, 7)), (2L, "g", null.asInstanceOf[Seq[Int]]),
       (3L, "g", Seq(8, 9)), (4L, "h", Seq(1))
     ).toDF("doc_id", "grp", "ids")
+    // doc 2's ids are NULL (a null-text doc through TOKENIZE emit='ids'):
+    // it must pack as a zero-token doc, not poison bin/seq_ids with null
+    // sizes (r12 review pin)
     val out = Corpus.materializePackedIds(df, "doc_id", "ids", "grp", 4L)
     assert(out.schema("seq_ids").dataType.asInstanceOf[
       org.apache.spark.sql.types.ArrayType].elementType ==

@@ -693,8 +693,19 @@ class DedupSpec extends AnyFunSuite {
       // the explicit legacy escape hatch sweeps the family suffixes
       ctx.sql("DROP DEDUP INDEX dg_user WITH (force = 'true')")
       assert(!spark.catalog.tableExists("dg_user_bloom"))
+      // IF EXISTS must not make a legacy-present drop a silent success: a
+      // nightly `DROP ... IF EXISTS` cleanup would report done while
+      // leaving every artifact table behind (r12 review)
+      bloomCorpus.write.mode("overwrite").saveAsTable("dg_user2_digests")
+      val err2 = intercept[IllegalArgumentException] {
+        ctx.sql("DROP DEDUP INDEX IF EXISTS dg_user2")
+      }
+      assert(err2.getMessage.contains("force"))
+      assert(spark.catalog.tableExists("dg_user2_digests"))
+      // ...while a truly-absent name stays a silent no-op under IF EXISTS
+      ctx.sql("DROP DEDUP INDEX IF EXISTS dg_nothing_here")
     } finally {
-      Seq("dg_idx_bands", "dg_user_bloom")
+      Seq("dg_idx_bands", "dg_user_bloom", "dg_user2_digests")
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
