@@ -785,89 +785,67 @@ class Context(val spark: SparkSession) {
     // by DEDUP(METHOD incremental WITH (index=...)) / SIMSEARCH(...
     // METHOD ivf_index WITH (index=...)).
     case CreateIndex(kind, name, table, opts) =>
-      val src = lookupTable(table)
-      def i(k0: String, d: Int) = opts.get(k0).map(_.trim.toInt).getOrElse(d)
-      val id = opts.getOrElse("id", "doc_id")
-      val text = opts.getOrElse("text", "text")
-      import graft.operators.{Similarity, TextDedup}
-      kind match {
-        case "dedup" =>
-          // every dedup index also persists a one-row-per-key `{name}_meta`
-          // table recording its kind + build geometry, so ALTER DEDUP INDEX
-          // ... APPEND can never be called with mismatched parameters (a
-          // silent mismatch would corrupt the band tables)
-          val dkind = opts.getOrElse("kind", "minhash")
-          dkind match {
-            case "minhash" =>
-              TextDedup.saveMinhashIndex(src, id, text,
-                prefix = name, nBuckets = i("n_buckets", 8),
-                shingleSize = i("shingle_size", 3),
-                numHashes = i("num_hashes", 64), bands = i("bands", 16))
-              saveIndexMeta(name, Map("kind" -> "minhash", "id" -> id,
-                "text" -> text,
-                "shingle_size" -> i("shingle_size", 3).toString,
-                "num_hashes" -> i("num_hashes", 64).toString,
-                "bands" -> i("bands", 16).toString))
-            case "shingles" =>
-              TextDedup.saveShingleStore(src, id, text,
-                table = name, nBuckets = i("n_buckets", 8),
-                shingleSize = i("shingle_size", 3))
-              saveIndexMeta(name, Map("kind" -> "shingles", "id" -> id,
-                "text" -> text,
-                "shingle_size" -> i("shingle_size", 3).toString))
-            case "exact" =>
-              TextDedup.saveExactDedupIndex(src, text,
-                prefix = name, nBuckets = i("n_buckets", 8),
-                expectedItems = opts.get("expected_items").map(_.trim.toLong)
-                  .getOrElse(-1L),
-                fpp = opts.get("fpp").map(_.trim.toDouble).getOrElse(0.001))
-              saveIndexMeta(name, Map("kind" -> "exact", "text" -> text))
-            case "srp" =>
-              val dim = opts.get("dim").map(_.trim.toInt).getOrElse(
-                throw new IllegalArgumentException(
-                  "DEDUP INDEX kind='srp' requires dim="))
-              val portable = opts.get("planes").map(_.trim.toLowerCase)
-                .contains("portable")
-              val maxBucket = i("max_bucket", Int.MaxValue)
-              Similarity.saveSrpIndex(src,
-                idCol = opts.getOrElse("id", "vec_id"),
-                vecCol = opts.getOrElse("vec", "embedding"),
-                prefix = name, dim = dim,
-                tables = i("tables", 8), bitsPerTable = i("bits_per_table", 8),
-                nBuckets = i("n_buckets", 8), portable = portable,
-                maxBucket = maxBucket)
-              saveIndexMeta(name, Map("kind" -> "srp",
-                "id" -> opts.getOrElse("id", "vec_id"),
-                "vec" -> opts.getOrElse("vec", "embedding"),
-                "dim" -> dim.toString, "tables" -> i("tables", 8).toString,
-                "bits_per_table" -> i("bits_per_table", 8).toString,
-                "portable" -> portable.toString,
-                "max_bucket" -> maxBucket.toString))
-            case other => throw new IllegalArgumentException(
-              s"Unknown DEDUP INDEX kind: $other (minhash|shingles|exact|srp)")
-          }
-        case "simsearch" =>
-          val vid = opts.getOrElse("id", "vec_id")
-          val vvec = opts.getOrElse("vec", "embedding")
-          val idx = Similarity.buildIvfIndex(src,
-            nCells = i("n_cells", 16), idCol = vid, vecCol = vvec)
-          // no local unpersist: the cells frame is OpCache-owned (a prior
-          // SIMSEARCH ivf query in this session may share the exact plan —
-          // one owner, released between statements / clearOperatorCache)
-          Similarity.saveIvfIndex(idx, name, nBuckets = i("n_buckets", 8))
-          // kind='ivfpq' additionally persists the PQ codes + codebooks,
-          // completing the compressed-serving artifact under one prefix
-          val ivfpq = opts.get("kind").map(_.trim.toLowerCase).contains("ivfpq")
-          if (ivfpq) {
-            val pq = Similarity.buildPqIndex(src, dim = i("dim", 64),
-              m = i("m", 8), kCodes = i("k_codes", 16),
-              idCol = vid, vecCol = vvec)
-            Similarity.savePqIndex(pq, name, nBuckets = i("n_buckets", 8))
-          }
-          saveIndexMeta(name, Map(
-            "kind" -> (if (ivfpq) "ivfpq" else "ivf"),
-            "id" -> vid, "vec" -> vvec))
+      buildIndex(kind, name, lookupTable(table), opts, Some(table))
+      emptyResult
+
+    // ALTER DEDUP|SIMSEARCH INDEX name REBUILD [AS <select>] — re-run the
+    // CREATE from the index's own recorded geometry: kind and every WITH
+    // option replay from `{name}_meta` (recorded verbatim at CREATE as
+    // opt_* keys), so a rebuild can never silently change the build.
+    // Source rows come from AS <select> when given, else from the source
+    // table recorded at CREATE. Closes the lifecycle loop DESCRIBE's
+    // `rebuild_recommended` points at; meta is re-recorded with a fresh
+    // rows_at_build, so appended_frac resets to 0.
+    case AlterIndexRebuild(alterKind, name, selectOpt) =>
+      val meta = readIndexMeta(name)
+      val recordedKind = meta.getOrElse("kind",
+        throw new IllegalArgumentException(
+          s"index '$name' has no recorded kind — corrupt ${name}_meta"))
+      val isSimIdx = recordedKind == "ivf" || recordedKind == "ivfpq"
+      require((alterKind == "simsearch") == isSimIdx,
+        s"index '$name' is a ${if (isSimIdx) "SIMSEARCH" else "DEDUP"} " +
+          s"index (kind '$recordedKind') — use ALTER ${
+            if (isSimIdx) "SIMSEARCH" else "DEDUP"} INDEX")
+      // pre-r13 meta records append geometry but not the verbatim CREATE
+      // options — rebuilding under DEFAULTS could silently change e.g.
+      // n_buckets or fpp, the exact corruption REBUILD exists to prevent
+      require(meta.contains("meta_version"),
+        s"index '$name' predates REBUILD metadata (its meta has no " +
+          "recorded CREATE options) — re-CREATE it once; subsequent " +
+          "REBUILDs replay geometry from meta")
+      val createOpts = meta.collect {
+        case (k, v) if k.startsWith("opt_") => k.stripPrefix("opt_") -> v }
+      val src = selectOpt match {
+        case Some(sel) => sql(sel)
+        case None => meta.get("source_table").map(lookupTable).getOrElse(
+          throw new IllegalArgumentException(
+            s"index '$name' has no recorded source table — supply " +
+              "ALTER ... INDEX ... REBUILD AS <select>"))
       }
+      // with AS <select>, the recorded source table no longer describes
+      // the index's contents — drop it (the NEXT rebuild then needs AS)
+      buildIndex(if (isSimIdx) "simsearch" else "dedup", name, src,
+        createOpts,
+        if (selectOpt.isDefined) None else meta.get("source_table"))
+      emptyResult
+
+    // ALTER VOCAB name APPEND [WITH (piece=...)] AS <select> — extend a
+    // registered (piece, id) vocabulary IN PLACE: new pieces take ids
+    // V+1.. (binary order within the increment), existing ids NEVER move,
+    // so every int32 shard encoded under the old vocabulary stays valid
+    // (Corpus.extendVocab — the append form of VOCAB).
+    case AlterVocabAppend(name, opts, select) =>
+      val unknownOpts = opts.keySet -- Set("piece")
+      require(unknownOpts.isEmpty,
+        s"ALTER VOCAB APPEND: unknown option(s) ${
+          unknownOpts.toSeq.sorted.mkString(", ")} (supported: piece=)")
+      val vocab = lookupTable(name)
+      require(vocab.columns.contains("piece") && vocab.columns.contains("id"),
+        s"table '$name' is not a vocabulary — expected (piece, id) " +
+          "columns (a CTAS'd VOCAB result)")
+      val extended = graft.operators.Corpus.extendVocab(vocab, sql(select),
+        pieceCol = opts.getOrElse("piece", "piece"))
+      createTable(name, extended, persist = true)
       emptyResult
 
     // ALTER DEDUP INDEX name APPEND [WITH (...)] AS <select> — fold a
@@ -1119,27 +1097,56 @@ class Context(val spark: SparkSession) {
       val packId = opts.getOrElse("id", "doc_id")
       val packTokens = opts.getOrElse("tokens", "n_tokens")
       val packGroup = opts.getOrElse("group", "source")
+      val packMat = opts.get("materialize").exists(_.trim.toBoolean)
+      // ids= only has meaning on the materialized int32 path (r12 ADVICE:
+      // silently falling through to the count-column form would hand the
+      // caller a string-era pack instead of the shard, with no hint why)
+      require(!opts.contains("ids") || packMat,
+        "PACK: ids= requires materialize='true' — ids= selects the " +
+          "materialized int32-shard path (Corpus.materializePackedIds); " +
+          "without materialize the statement only assigns bins")
+      val packDf = sql(select)
       // materialize='true' + ids='<array<int> col>' → the int32 shard
       // (Corpus.materializePackedIds, eos_id separators); with text= (the
       // default) the string debugging surface.
       // sub_shards= restores packing parallelism when the group count is
       // small (five sources = five window tasks otherwise): deterministic
-      // per-id sub-shards, bin identity (group, shard, bin)
-      val packShards = opts.get("sub_shards").map(_.trim.toInt).getOrElse(1)
-      if (opts.get("materialize").exists(_.trim.toBoolean) &&
-          opts.contains("ids"))
+      // per-id sub-shards, bin identity (group, shard, bin).
+      // sub_shards='auto' (r13) picks the count from the measured ~1M
+      // rows/group crossover (PLANS 78) via one count-per-group pre-pass.
+      // Opt-in ONLY: auto adds the `shard` column whenever any group
+      // exceeds the crossover, so under auto the output schema depends on
+      // the data — a caller needing a fixed schema passes a number.
+      // auto_rows_per_shard= overrides the crossover (the measured value
+      // is for ~n_tokens-width rows; wide passthrough rows may want less).
+      val packShards = opts.get("sub_shards").map(_.trim.toLowerCase) match {
+        case Some("auto") =>
+          val maxRows = {
+            val r = packDf.groupBy(col(packGroup)).count()
+              .agg(max("count")).head()
+            if (r.isNullAt(0)) 0L else r.getLong(0)
+          }
+          val crossover = opts.get("auto_rows_per_shard")
+            .map(_.trim.toLong).getOrElse(1000000L)
+          require(crossover > 0, "PACK: auto_rows_per_shard must be > 0")
+          math.max(1L, math.min(32L,
+            (maxRows + crossover - 1) / crossover)).toInt
+        case Some(n) => n.toInt
+        case None => 1
+      }
+      if (packMat && opts.contains("ids"))
         graft.operators.Corpus.materializePackedIds(
-          sql(select), packId, opts("ids").trim, packGroup, capacity,
+          packDf, packId, opts("ids").trim, packGroup, capacity,
           eosId = opts.get("eos_id").map(_.trim.toInt).getOrElse(0),
           subShards = packShards)
-      else if (opts.get("materialize").exists(_.trim.toBoolean))
+      else if (packMat)
         graft.operators.Corpus.materializePacked(
-          sql(select), packId, opts.getOrElse("text", "text"), packTokens,
+          packDf, packId, opts.getOrElse("text", "text"), packTokens,
           packGroup, capacity, eos = opts.getOrElse("eos", " <eos> "),
           subShards = packShards)
       else
         graft.operators.Corpus.packSequences(
-          sql(select), idCol = packId, tokensCol = packTokens,
+          packDf, idCol = packId, tokensCol = packTokens,
           groupCol = packGroup, capacity = capacity, subShards = packShards)
 
     // SELECT * FROM SCORE(METHOD m [WITH (...)], <select>) — document
@@ -1541,6 +1548,20 @@ class Context(val spark: SparkSession) {
               s"EXPORT TABLE: $location exists; pass mode='overwrite' to replace")
           graft.sources.Warc.write(sorted, location,
             gzip = opts.get("gzip").forall(_.trim.toBoolean))
+        // raw int32 token-shard sink (r13): one flat little-endian .bin +
+        // (offset, length) .idx sidecar per shard — the file a trainer
+        // memory-maps (sources.TokBin; ids= names the array<int> column,
+        // default seq_ids = the PACK materialize ids= output shape).
+        // Same destructive-write guard as the WARC path.
+        case "tokbin" =>
+          val fs = new org.apache.hadoop.fs.Path(location).getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(new org.apache.hadoop.fs.Path(location)) &&
+              !opts.get("mode").map(_.trim).contains("overwrite"))
+            throw new IllegalArgumentException(
+              s"EXPORT TABLE: $location exists; pass mode='overwrite' to replace")
+          graft.sources.TokBin.write(sorted, location,
+            idsCol = opts.getOrElse("ids", "seq_ids"))
         case fmt =>
           // destructive-write guard (round-5 ADVICE): the location is an
           // arbitrary user-supplied path, so clobbering must be opt-in —
@@ -1618,6 +1639,106 @@ class Context(val spark: SparkSession) {
       throw new IllegalArgumentException(s"Table not found: $name"))
 
   private def emptyResult: DataFrame = spark.emptyDataFrame
+
+
+  /** The shared body of CREATE ... INDEX and ALTER ... INDEX REBUILD:
+    * build (or rebuild, via mode-overwrite saves) every artifact table of
+    * a dedup/ANN index and re-record `{name}_meta`. On top of the
+    * per-kind append geometry, meta records the verbatim CREATE options
+    * (`opt_*` keys), the source table when the statement named one, and
+    * `meta_version` — the data REBUILD replays so it can never silently
+    * change the build's geometry (r13). */
+  private def buildIndex(kind: String, name: String, src: DataFrame,
+      opts: Map[String, String], sourceTable: Option[String]): Unit = {
+    def i(k0: String, d: Int) = opts.get(k0).map(_.trim.toInt).getOrElse(d)
+    val rebuildMeta: Map[String, String] =
+      opts.map { case (k, v) => s"opt_$k" -> v } ++
+        sourceTable.map("source_table" -> _) + ("meta_version" -> "2")
+    def record(m: Map[String, String]): Unit =
+      saveIndexMeta(name, m ++ rebuildMeta)
+
+      val id = opts.getOrElse("id", "doc_id")
+      val text = opts.getOrElse("text", "text")
+      import graft.operators.{Similarity, TextDedup}
+      kind match {
+        case "dedup" =>
+          // every dedup index also persists a one-row-per-key `{name}_meta`
+          // table recording its kind + build geometry, so ALTER DEDUP INDEX
+          // ... APPEND can never be called with mismatched parameters (a
+          // silent mismatch would corrupt the band tables)
+          val dkind = opts.getOrElse("kind", "minhash")
+          dkind match {
+            case "minhash" =>
+              TextDedup.saveMinhashIndex(src, id, text,
+                prefix = name, nBuckets = i("n_buckets", 8),
+                shingleSize = i("shingle_size", 3),
+                numHashes = i("num_hashes", 64), bands = i("bands", 16))
+              record(Map("kind" -> "minhash", "id" -> id,
+                "text" -> text,
+                "shingle_size" -> i("shingle_size", 3).toString,
+                "num_hashes" -> i("num_hashes", 64).toString,
+                "bands" -> i("bands", 16).toString))
+            case "shingles" =>
+              TextDedup.saveShingleStore(src, id, text,
+                table = name, nBuckets = i("n_buckets", 8),
+                shingleSize = i("shingle_size", 3))
+              record(Map("kind" -> "shingles", "id" -> id,
+                "text" -> text,
+                "shingle_size" -> i("shingle_size", 3).toString))
+            case "exact" =>
+              TextDedup.saveExactDedupIndex(src, text,
+                prefix = name, nBuckets = i("n_buckets", 8),
+                expectedItems = opts.get("expected_items").map(_.trim.toLong)
+                  .getOrElse(-1L),
+                fpp = opts.get("fpp").map(_.trim.toDouble).getOrElse(0.001))
+              record(Map("kind" -> "exact", "text" -> text))
+            case "srp" =>
+              val dim = opts.get("dim").map(_.trim.toInt).getOrElse(
+                throw new IllegalArgumentException(
+                  "DEDUP INDEX kind='srp' requires dim="))
+              val portable = opts.get("planes").map(_.trim.toLowerCase)
+                .contains("portable")
+              val maxBucket = i("max_bucket", Int.MaxValue)
+              Similarity.saveSrpIndex(src,
+                idCol = opts.getOrElse("id", "vec_id"),
+                vecCol = opts.getOrElse("vec", "embedding"),
+                prefix = name, dim = dim,
+                tables = i("tables", 8), bitsPerTable = i("bits_per_table", 8),
+                nBuckets = i("n_buckets", 8), portable = portable,
+                maxBucket = maxBucket)
+              record(Map("kind" -> "srp",
+                "id" -> opts.getOrElse("id", "vec_id"),
+                "vec" -> opts.getOrElse("vec", "embedding"),
+                "dim" -> dim.toString, "tables" -> i("tables", 8).toString,
+                "bits_per_table" -> i("bits_per_table", 8).toString,
+                "portable" -> portable.toString,
+                "max_bucket" -> maxBucket.toString))
+            case other => throw new IllegalArgumentException(
+              s"Unknown DEDUP INDEX kind: $other (minhash|shingles|exact|srp)")
+          }
+        case "simsearch" =>
+          val vid = opts.getOrElse("id", "vec_id")
+          val vvec = opts.getOrElse("vec", "embedding")
+          val idx = Similarity.buildIvfIndex(src,
+            nCells = i("n_cells", 16), idCol = vid, vecCol = vvec)
+          // no local unpersist: the cells frame is OpCache-owned (a prior
+          // SIMSEARCH ivf query in this session may share the exact plan —
+          // one owner, released between statements / clearOperatorCache)
+          Similarity.saveIvfIndex(idx, name, nBuckets = i("n_buckets", 8))
+          // kind='ivfpq' additionally persists the PQ codes + codebooks,
+          // completing the compressed-serving artifact under one prefix
+          val ivfpq = opts.get("kind").map(_.trim.toLowerCase).contains("ivfpq")
+          if (ivfpq) {
+            val pq = Similarity.buildPqIndex(src, dim = i("dim", 64),
+              m = i("m", 8), kCodes = i("k_codes", 16),
+              idCol = vid, vecCol = vvec)
+            Similarity.savePqIndex(pq, name, nBuckets = i("n_buckets", 8))
+          }
+          record(Map(
+            "kind" -> (if (ivfpq) "ivfpq" else "ivf"),
+            "id" -> vid, "vec" -> vvec))
+      }
+  }
 
   /** Persist a dedup index's kind + build geometry as `{name}_meta`
     * (key/value strings) — read back by ALTER DEDUP INDEX ... APPEND so

@@ -137,6 +137,19 @@ object ExtensionParser {
     * families' rebuild-on-degrade cadence is a measurable threshold
     * check (no reference analogue; parity-plus). */
   final case class DescribeIndex(kind: String, name: String) extends Statement
+  /** Re-run an index's CREATE from its own recorded geometry — the
+    * lifecycle closer DESCRIBE's `rebuild_recommended` points at (r12
+    * verdict: "DESCRIBE says rebuild; nothing rebuilds"). Source rows come
+    * from the AS <select> when given, else from the source table recorded
+    * at CREATE; kind and every WITH option replay from `{name}_meta`, so
+    * a rebuild can never silently change the build's geometry. */
+  final case class AlterIndexRebuild(kind: String, name: String,
+      select: Option[String]) extends Statement
+  /** Extend a persisted (piece, id) vocabulary in place: new pieces take
+    * ids V+1.. (binary order within the increment), existing ids NEVER
+    * move — so int32 shards survive corpus growth (Corpus.extendVocab). */
+  final case class AlterVocabAppend(name: String,
+      options: Map[String, String], select: String) extends Statement
 
   private val ws = "\\s+"
   private def kw(s: String) = s.split(" ").mkString(ws)
@@ -235,6 +248,12 @@ object ExtensionParser {
   // ALTER DEDUP|SIMSEARCH INDEX name APPEND [WITH (...)] AS <select>
   private val alterIndexAppend =
     re(s"ALTER${ws}(DEDUP|SIMSEARCH)${ws}INDEX${ws}$ident${ws}APPEND(?:${ws}WITH${ws}\\($kwSpan\\))?${ws}AS${ws}(.*)")
+  // ALTER DEDUP|SIMSEARCH INDEX name REBUILD [AS <select>]
+  private val alterIndexRebuild =
+    re(s"ALTER${ws}(DEDUP|SIMSEARCH)${ws}INDEX${ws}$ident${ws}REBUILD(?:${ws}AS${ws}(.*))?")
+  // ALTER VOCAB name APPEND [WITH (...)] AS <select>
+  private val alterVocabAppend =
+    re(s"ALTER${ws}VOCAB${ws}$ident${ws}APPEND(?:${ws}WITH${ws}\\($kwSpan\\))?${ws}AS${ws}(.*)")
   // DROP DEDUP|SIMSEARCH INDEX [IF EXISTS] name [WITH (force='true')]
   private val dropIndex =
     re(s"DROP${ws}(DEDUP|SIMSEARCH)${ws}INDEX${ws}(IF${ws}EXISTS${ws})?$ident(?:${ws}WITH${ws}\\($kwSpan\\))?")
@@ -314,6 +333,12 @@ object ExtensionParser {
         Option(kwargs).map(parseKwargs).getOrElse(Map()))
     case alterIndexAppend(kind, name, kwargs, select) =>
       AlterIndexAppend(kind.toLowerCase, name,
+        Option(kwargs).map(parseKwargs).getOrElse(Map()), select.trim)
+    case alterIndexRebuild(kind, name, select) =>
+      AlterIndexRebuild(kind.toLowerCase, name,
+        Option(select).map(_.trim).filter(_.nonEmpty))
+    case alterVocabAppend(name, kwargs, select) =>
+      AlterVocabAppend(name,
         Option(kwargs).map(parseKwargs).getOrElse(Map()), select.trim)
     case dropIndex(kind, ifExists, name, kwargs) =>
       DropIndex(kind.toLowerCase, name, ifExists != null,

@@ -1534,6 +1534,123 @@ object CatalystExprs {
       unkId: Int = 0): Column =
     GraftBridge.column(TokenIds(GraftBridge.expression(tokens), vocab, unkId))
 
+  /** Serializable carrier shipping an OVERSIZED (piece → id) vocabulary
+    * once per executor via broadcast — the [[LazyBloomCarrier]] pattern
+    * for the token-ID family. The probe HashMap builds lazily, at most
+    * once per executor JVM, and hangs off the broadcast's own block so
+    * unpersisting the broadcast releases it. Duplicate piece strings keep
+    * the SMALLEST id — the exact [[TokenIds]] tie-break, so the two
+    * routes are bit-equal on any input (spec-asserted). */
+  final class VocabCarrier(pieces: Array[String], ids: Array[Int])
+      extends Serializable {
+    @transient lazy val idMap
+        : java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer] = {
+      val m = new java.util.HashMap[
+        org.apache.spark.unsafe.types.UTF8String, Integer](pieces.length * 2)
+      var i = 0
+      while (i < pieces.length) {
+        val k = org.apache.spark.unsafe.types.UTF8String.fromString(pieces(i))
+        val prev = m.get(k)
+        if (prev == null || ids(i) < prev.intValue()) m.put(k, ids(i))
+        i += 1
+      }
+      m
+    }
+  }
+
+  /** The broadcast twin of [[TokenIds]]: same OOV/null/tie-break
+    * semantics bit for bit — the two routes differ ONLY in how the
+    * vocabulary travels (plan literal inside EVERY task binary vs one
+    * broadcast block per executor). `Corpus.encodeIds` auto-dispatches on
+    * the collected table's byte size, the `TextDedup.bloomProbe` rule. */
+  case class TokenIdsBroadcast(child: Expression,
+      vocab: org.apache.spark.broadcast.Broadcast[VocabCarrier],
+      unkId: Int = 0)
+      extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+    override def nullSafeEval(input: Any): Any = {
+      val idMap = vocab.value.idMap
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val out = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        val t = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+        val id = if (t == null) null else idMap.get(t)
+        out(i) = if (id == null) unkId else id.intValue()
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override def prettyName: String = "token_ids_bc"
+    override protected def withNewChildInternal(c: Expression): TokenIdsBroadcast =
+      copy(child = c)
+  }
+
+  def tokenIdsBroadcast(tokens: Column,
+      vocab: org.apache.spark.broadcast.Broadcast[VocabCarrier],
+      unkId: Int = 0): Column =
+    GraftBridge.column(TokenIdsBroadcast(GraftBridge.expression(tokens),
+      vocab, unkId))
+
+  /** Serializable carrier for an OVERSIZED dense id → piece decode table
+    * (ids index the array; null slots are vocabulary gaps). UTF8
+    * conversion happens lazily once per executor, not per row. */
+  final class DecodeCarrier(pieces: Array[String]) extends Serializable {
+    @transient lazy val utf8: Array[org.apache.spark.unsafe.types.UTF8String] =
+      pieces.map(p =>
+        if (p == null) null
+        else org.apache.spark.unsafe.types.UTF8String.fromString(p))
+  }
+
+  /** The broadcast twin of `Corpus.decodeIds`' dense-array plan literal:
+    * element-wise id → piece lookup with the literal route's exact
+    * fallback rule — a null element, a negative/past-end id, or a
+    * vocabulary gap all decode to `unkPiece` (the literal form's
+    * `coalesce(get(arr, i), unk)` semantics, spec-asserted bit-equal). */
+  case class DecodeIdsBroadcast(child: Expression,
+      vocab: org.apache.spark.broadcast.Broadcast[DecodeCarrier],
+      unkPiece: String)
+      extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+    @transient private lazy val unk =
+      org.apache.spark.unsafe.types.UTF8String.fromString(unkPiece)
+
+    override def nullSafeEval(input: Any): Any = {
+      val table = vocab.value.utf8
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val out = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        val p =
+          if (arr.isNullAt(i)) null
+          else {
+            val id = arr.getInt(i)
+            if (id < 0 || id >= table.length) null else table(id)
+          }
+        out(i) = if (p == null) unk else p
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override def prettyName: String = "decode_ids_bc"
+    override protected def withNewChildInternal(c: Expression): DecodeIdsBroadcast =
+      copy(child = c)
+  }
+
+  def decodeIdsBroadcast(ids: Column,
+      vocab: org.apache.spark.broadcast.Broadcast[DecodeCarrier],
+      unkPiece: String): Column =
+    GraftBridge.column(DecodeIdsBroadcast(GraftBridge.expression(ids),
+      vocab, unkPiece))
+
   /** Perceptual image hash (dHash, 64-bit) of an UNCOMPRESSED 24/32-bit
     * BMP payload — REAL pixel work, no codec library: BI_RGB bitmaps are
     * raw BGR rows behind a fixed header, so pure byte parsing reaches the

@@ -1892,7 +1892,20 @@ object Corpus {
     * few MB), ids assigned on the driver so no global window ever touches
     * an executor; the result is a driver-local frame the caller persists
     * once (CTAS) and every encode/decode joins against by COMPILING it
-    * into one expression, never by shuffling the corpus. */
+    * into one expression, never by shuffling the corpus.
+    *
+    * ORACLE CAVEAT (r13, ADVICE): the literal `unkPiece` string is
+    * EXCLUDED from the 1..V assignment (it already holds id 0), so a
+    * piece table that literally contains `<unk>` as a piece shifts every
+    * id after it relative to a plain `row_number() OVER (ORDER BY piece)`
+    * replay — an exact replay must mirror the exclusion
+    * (`WHERE piece <> '<unk>'`). The driver oracles (p101/p103/p104)
+    * derive pieces from whitespace words / trained piece tables where the
+    * literal unk marker cannot occur, so their plain replay is exact.
+    *
+    * Corpus growth: do NOT rebuild — rebuild renumbers and invalidates
+    * every existing int32 shard. [[extendVocab]] (ALTER VOCAB ... APPEND)
+    * assigns NEW pieces ids V+1.. and never moves an existing id. */
   def tokenVocab(pieces: DataFrame, pieceCol: String = "piece",
       unkPiece: String = "<unk>"): DataFrame = {
     require(unkPiece.nonEmpty, "unkPiece must be non-empty")
@@ -1916,6 +1929,50 @@ object Corpus {
       .toDF("piece", "id")
   }
 
+  /** APPEND-extend a [[tokenVocab]] vocabulary without moving ANY
+    * existing id — the append form of the one persisted artifact every
+    * int32 training shard depends on (r12 verdict #1). New pieces (those
+    * in `pieces` but not in `vocab`) take ids V+1.. in ascending binary
+    * order within the increment, where V is the current max id; existing
+    * (piece, id) rows pass through UNTOUCHED, so every shard encoded
+    * under the old vocabulary stays valid and decodes identically under
+    * the extended one. The assignment rule stays oracle-replayable as a
+    * two-level `row_number()`: the base vocab's order, then
+    * `V + row_number() OVER (ORDER BY piece)` over the new pieces
+    * (p104's DuckDB oracle gates every id of both levels).
+    *
+    * Idempotent: extending with already-known pieces is a no-op for
+    * them. Scale shape: two tokenizer-sized driver collects (the
+    * [[tokenVocab]] discipline, same hard cap on the TOTAL id space so
+    * [[decodeIds]]' dense-array contract survives any append chain). */
+  def extendVocab(vocab: DataFrame, pieces: DataFrame,
+      pieceCol: String = "piece"): DataFrame = {
+    val spark = vocab.sparkSession
+    import spark.implicits._
+    val existing = vocab
+      .select(col("piece").cast("string"), col("id").cast("int"))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    require(existing.nonEmpty, "extendVocab: empty vocabulary")
+    require(existing.forall(_._2 >= 0),
+      "extendVocab: negative ids — not a tokenVocab-shaped vocabulary")
+    val maxId = existing.iterator.map(_._2).max
+    val known = existing.iterator.map(_._1).toSet
+    val cap = 4194303
+    // limit bounds the driver collect itself (the tokenVocab rule); the
+    // id-space check below is against the DENSE cap decodeIds relies on
+    val fresh = pieces.select(col(pieceCol).cast("string").as("piece"))
+      .where(col("piece").isNotNull)
+      .distinct().orderBy("piece").limit(cap + 1)
+      .collect().map(_.getString(0))
+      .filterNot(known)
+    require(maxId.toLong + fresh.length <= cap,
+      s"extendVocab: extension would push the max id past $cap — the " +
+        "id space must stay tokenizer-sized (dense decode contract)")
+    (existing.toSeq ++
+        fresh.zipWithIndex.map { case (p, i) => (p, maxId + 1 + i) })
+      .toDF("piece", "id")
+  }
+
   /** Token-ID ENCODING — map a tokenized corpus's `array<string>` pieces
     * to `array<int>` ids under a [[tokenVocab]] table (or any (piece, id)
     * frame): the step between TOKENIZE and an int32 training shard.
@@ -1930,22 +1987,53 @@ object Corpus {
     * Scale shape: the vocab is tokenizer-sized, collected once and
     * compiled into ONE native node
     * ([[graft.functions.CatalystExprs.TokenIds]] — O(1) hash probe per
-    * token); pure per-row projection, no shuffle, no corpus-side join. */
+    * token); pure per-row projection, no shuffle, no corpus-side join.
+    * Vocabularies whose collected bytes exceed `literalMaxBytes` (8 MB,
+    * the `TextDedup.bloomProbe` ceiling — task binaries replicate per
+    * STAGE×TASK, so a plan literal two orders past "a few MB" is a
+    * serialization bomb) ship instead as ONE broadcast block per executor
+    * ([[graft.functions.CatalystExprs.TokenIdsBroadcast]], bit-equal to
+    * the literal route, OpCache-tracked for reclamation). Because this is
+    * a pure projection it runs UNCHANGED on a streaming frame (the
+    * TOKENIZE emit='ids' streaming twin — spec-gated stream==batch); PACK
+    *, a window over the whole group, stays batch-side. */
   def encodeIds(df: DataFrame, idCol: String, tokensCol: String,
-      vocab: DataFrame, unkId: Int = 0): DataFrame = {
+      vocab: DataFrame, unkId: Int = 0,
+      literalMaxBytes: Long = VocabLiteralMaxBytes): DataFrame = {
     require(df.columns.contains(idCol), s"encodeIds: no column '$idCol'")
     if (tokensCol != "token_ids")
       requireNoClash(df, Set("token_ids"), "encodeIds")
     val table = vocab.select(col("piece").cast("string"),
         col("id").cast("int"))
       .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    val bytes = table.iterator.map { case (p, _) =>
+      (if (p == null) 0 else utf8Bytes(p)) + 4L }.sum
+    val encCol =
+      if (bytes <= literalMaxBytes)
+        graft.functions.CatalystExprs.tokenIds(col(tokensCol), table, unkId)
+      else {
+        val spark = df.sparkSession
+        val bc = OpCache.trackBroadcast(spark, spark.sparkContext.broadcast(
+          new graft.functions.CatalystExprs.VocabCarrier(
+            table.map(_._1).toArray, table.map(_._2).toArray)))
+        graft.functions.CatalystExprs.tokenIdsBroadcast(col(tokensCol), bc,
+          unkId)
+      }
     val kept = df.columns
       .filter(c => c != tokensCol && c != "n_tokens").map(col _)
-    df.select(kept :+
-        graft.functions.CatalystExprs.tokenIds(col(tokensCol), table, unkId)
-          .as("token_ids"): _*)
+    df.select(kept :+ encCol.as("token_ids"): _*)
       .withColumn("n_tokens", size(col("token_ids")).cast("bigint"))
   }
+
+  /** Plan-literal ceiling for the token-ID family's compiled tables —
+    * the `TextDedup.BloomLiteralMaxBytes` rule applied to vocabularies
+    * (r12 verdict: a 4.19M-piece vocab rode in EVERY task binary as
+    * 40-100 MB of plan literal). Real tokenizer vocabs (32k-256k pieces)
+    * stay comfortably under it and keep the faster literal route. */
+  private[graft] val VocabLiteralMaxBytes: Long = 8L << 20
+
+  private def utf8Bytes(s: String): Long =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong
 
   /** Token-ID DECODING — the [[encodeIds]] inverse: map `array<int>` ids
     * back to their vocabulary pieces (ids with no vocab row — including
@@ -1961,9 +2049,17 @@ object Corpus {
     * Scale shape: the id space is dense ([[tokenVocab]] assigns 0..V), so
     * the reverse map is an ARRAY literal indexed by id — one plan literal
     * of tokenizer size, O(1) `get()` per token inside whole-stage codegen;
-    * no native node needed, no shuffle, no join. */
+    * no native node needed, no shuffle, no join. Tables past the 8 MB
+    * [[VocabLiteralMaxBytes]] ceiling ship as one broadcast block per
+    * executor instead
+    * ([[graft.functions.CatalystExprs.DecodeIdsBroadcast]], bit-equal —
+    * the [[encodeIds]] dispatch rule). A hand-built table mapping the
+    * SAME id to several pieces resolves deterministically to the
+    * binary-smallest piece (mirroring TokenIds' smallest-id rule;
+    * tokenVocab tables are duplicate-free by construction). */
   def decodeIds(df: DataFrame, idCol: String, idsCol: String,
-      vocab: DataFrame, unkPiece: String = "<unk>"): DataFrame = {
+      vocab: DataFrame, unkPiece: String = "<unk>",
+      literalMaxBytes: Long = VocabLiteralMaxBytes): DataFrame = {
     val rows = vocab.select(col("id").cast("int"), col("piece").cast("string"))
       .collect().map(r => (r.getInt(0), r.getString(1)))
     require(rows.nonEmpty, "decodeIds: empty vocabulary")
@@ -1972,13 +2068,32 @@ object Corpus {
       s"decodeIds expects dense non-negative ids (tokenVocab's contract); " +
         s"got max id $maxId")
     val arr = new Array[String](maxId + 1)
-    rows.foreach { case (i, p) => arr(i) = p }
+    rows.foreach { case (i, p) =>
+      // deterministic duplicate-id rule (r12 ADVICE): binary-smallest
+      // piece wins — UTF8String.binaryCompare is the engine's own byte
+      // order, the same rule tokenVocab sorts by
+      if (p != null && (arr(i) == null ||
+          org.apache.spark.unsafe.types.UTF8String.fromString(p).binaryCompare(
+            org.apache.spark.unsafe.types.UTF8String.fromString(arr(i))) < 0))
+        arr(i) = p
+    }
     require(df.columns.contains(idCol), s"decodeIds: no column '$idCol'")
     if (idsCol != "tokens") requireNoClash(df, Set("tokens"), "decodeIds")
     val kept = df.columns.filter(_ != idsCol).map(col _)
-    df.select(kept :+
-      transform(col(idsCol), i =>
-        coalesce(get(typedLit(arr.toSeq), i), lit(unkPiece))).as("tokens"): _*)
+    val bytes = arr.iterator.map(p =>
+      (if (p == null) 0L else utf8Bytes(p)) + 8L).sum
+    val decCol =
+      if (bytes <= literalMaxBytes)
+        transform(col(idsCol), i =>
+          coalesce(get(typedLit(arr.toSeq), i), lit(unkPiece)))
+      else {
+        val spark = df.sparkSession
+        val bc = OpCache.trackBroadcast(spark, spark.sparkContext.broadcast(
+          new graft.functions.CatalystExprs.DecodeCarrier(arr)))
+        graft.functions.CatalystExprs.decodeIdsBroadcast(col(idsCol), bc,
+          unkPiece)
+      }
+    df.select(kept :+ decCol.as("tokens"): _*)
   }
 
   /** [[materializePacked]] over TOKEN IDS — concatenate each bin's

@@ -2978,5 +2978,43 @@ object CorpusQueries {
           col("n_ids"), concat_ws(" ", col("seq_ids")).as("ids"))
         .orderBy("source", "bin")
     },
+
+    // APPENDABLE VOCABULARY (r13): extendVocab assigns NEW pieces ids
+    // V+1.. (binary order within the increment) and never moves an
+    // existing id — so int32 shards survive corpus growth. The rule is
+    // replayable as a TWO-LEVEL row_number(): the base corpus's plain
+    // tokenVocab order (p101's oracle), then max(id) + row_number() over
+    // the genuinely-new pieces. Every (piece, id) of both levels is
+    // hash-gated — old-id stability AND new-id assignment in one oracle.
+    // (The corpus cannot contain the literal '<unk>' piece — see
+    // tokenVocab's oracle caveat — so the plain replay is exact.)
+    Q("p104_vocab_extend", Some("""
+      WITH wall AS (SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
+           FROM documents),
+      w1 AS (SELECT DISTINCT unnest(words) AS wd FROM wall
+             WHERE doc_id % 2 = 0),
+      v1 AS (SELECT wd AS piece,
+               CAST(row_number() OVER (ORDER BY wd) AS INT) AS id FROM w1),
+      w2 AS (SELECT DISTINCT unnest(words) AS wd FROM wall),
+      newp AS (SELECT wd FROM w2
+               WHERE wd NOT IN (SELECT piece FROM v1)),
+      v2 AS (SELECT wd AS piece,
+               CAST((SELECT max(id) FROM v1)
+                 + row_number() OVER (ORDER BY wd) AS INT) AS id FROM newp)
+      SELECT piece, id FROM (
+        SELECT '<unk>' AS piece, CAST(0 AS INT) AS id
+        UNION ALL SELECT piece, id FROM v1
+        UNION ALL SELECT piece, id FROM v2)
+      ORDER BY id""")) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val words = docs.select(col("doc_id"),
+        filter(split(lower(col("text")), " "), x => x =!= "").as("words"))
+      val basePieces = words.filter(col("doc_id") % 2 === 0)
+        .select(explode(col("words")).as("piece"))
+      val allPieces = words.select(explode(col("words")).as("piece"))
+      val base = Corpus.tokenVocab(basePieces)
+      Corpus.extendVocab(base, allPieces).orderBy("id")
+    },
   )
 }

@@ -1,0 +1,123 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{ArrayType, IntegerType}
+
+/** Raw int32 TOKEN-SHARD sink — the flat little-endian binary a trainer
+  * actually memory-maps, where parquet is the analytical surface (r12
+  * verdict #2: "trainers memory-map flat token files, not parquet").
+  *
+  * Layout per input partition (the `Warc.write` distributed-writer
+  * pattern — executor-side Hadoop FS streams, no driver collect, any
+  * partition count):
+  *
+  *  - `part-NNNNN.bin` — every sequence's int32 tokens, little-endian,
+  *    concatenated in partition-row order; a trainer memory-maps this
+  *    file directly as an int32 array.
+  *  - `part-NNNNN.idx` — one (offset, length) int64-LE pair per sequence,
+  *    in the same order: `offset` is the sequence's first token's INDEX
+  *    (not byte) within the .bin file, `length` its token count —
+  *    `bin[offset*4 .. (offset+length)*4)` are the sequence's bytes. The
+  *    sidecar makes sequence boundaries O(1) without scanning .bin, and
+  *    `.idx` file size / 16 is the partition's sequence count.
+  *
+  * A NULL ids array writes as a zero-length sequence (an (offset, 0)
+  * idx entry, no .bin bytes) — the [[graft.operators.Corpus]] packing
+  * convention for empty documents. NULL ELEMENTS refuse loudly: silently
+  * writing a placeholder would corrupt the training stream.
+  *
+  * Determinism: pair `EXPORT TABLE ... (format='tokbin')` with shard_by=
+  * + sort_by= (the generic export path applies both BEFORE this writer)
+  * and the byte layout is identical run to run. Round-trip (write →
+  * re-read → byte-exact `seq_ids`) is spec-gated (TokBinSpec). */
+object TokBin {
+
+  def write(df: DataFrame, dir: String, idsCol: String = "seq_ids"): Unit = {
+    require(df.columns.contains(idsCol),
+      s"tokbin export: no column '$idsCol' (pass ids= to name the " +
+        "array<int> sequence column)")
+    val ok = df.schema(idsCol).dataType match {
+      case ArrayType(IntegerType, _) => true
+      case _ => false
+    }
+    require(ok,
+      s"tokbin export: column '$idsCol' must be array<int> (the " +
+        s"materialized-shard seq_ids shape); got ${df.schema(idsCol).dataType.sql}")
+    val proj = df.select(col(idsCol).as("ids"))
+    val confSer = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    proj.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val binPath = new Path(dir, f"part-$pid%05d.bin")
+      val idxPath = new Path(dir, f"part-$pid%05d.idx")
+      val fs = binPath.getFileSystem(confSer.value)
+      val bin = new java.io.BufferedOutputStream(fs.create(binPath, true), 1 << 16)
+      val idx = new java.io.BufferedOutputStream(fs.create(idxPath, true), 1 << 16)
+      // one reusable LE scratch buffer per stream; tokens stream through
+      // it in bounded chunks — a giant sequence never materializes twice
+      val tokBuf = java.nio.ByteBuffer.allocate(4 << 10)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val idxBuf = java.nio.ByteBuffer.allocate(16)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      try {
+        var offset = 0L
+        rows.foreach { r =>
+          val ids =
+            if (r.isNullAt(0)) Seq.empty[Any]
+            else r.getSeq[Any](0)
+          var n = 0
+          val it = ids.iterator
+          while (it.hasNext) {
+            it.next() match {
+              case i: java.lang.Integer =>
+                if (!tokBuf.hasRemaining) {
+                  bin.write(tokBuf.array(), 0, tokBuf.position()); tokBuf.clear()
+                }
+                tokBuf.putInt(i.intValue()); n += 1
+              case _ => throw new IllegalArgumentException(
+                "tokbin export: NULL token id in a sequence — a shard " +
+                  "cannot carry holes; coalesce or filter upstream")
+            }
+          }
+          if (tokBuf.position() > 0) {
+            bin.write(tokBuf.array(), 0, tokBuf.position()); tokBuf.clear()
+          }
+          idxBuf.clear(); idxBuf.putLong(offset); idxBuf.putLong(n.toLong)
+          idx.write(idxBuf.array(), 0, 16)
+          offset += n
+        }
+      } finally { bin.close(); idx.close() }
+    }
+  }
+
+  /** Re-read one partition's (bin, idx) pair into its sequences — the
+    * round-trip half the spec gates; also the reference consumer recipe
+    * (README): mmap .bin as int32 LE, slice by the .idx pairs. */
+  def readPart(fs: org.apache.hadoop.fs.FileSystem, binPath: Path,
+      idxPath: Path): Seq[Array[Int]] = {
+    def readAll(p: Path): Array[Byte] = {
+      val in = fs.open(p)
+      try {
+        val len = fs.getFileStatus(p).getLen.toInt
+        val buf = new Array[Byte](len)
+        in.readFully(0, buf)
+        buf
+      } finally in.close()
+    }
+    val bin = java.nio.ByteBuffer.wrap(readAll(binPath))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).asIntBuffer()
+    val idx = java.nio.ByteBuffer.wrap(readAll(idxPath))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).asLongBuffer()
+    val out = Seq.newBuilder[Array[Int]]
+    while (idx.hasRemaining) {
+      val offset = idx.get(); val n = idx.get()
+      val seq = new Array[Int](n.toInt)
+      var i = 0
+      while (i < n) { seq(i) = bin.get((offset + i).toInt); i += 1 }
+      out += seq
+    }
+    out.result()
+  }
+}

@@ -1178,6 +1178,88 @@ class CorpusSpec extends AnyFunSuite {
     assert(dec == Seq("a", "<unk>", "<unk>"))
   }
 
+  test("extendVocab: existing ids NEVER move, new pieces take V+1.. in binary order (r13)") {
+    val base = Corpus.tokenVocab(Seq("b", "d").toDF("piece"))
+    // <unk>=0, b=1, d=2; extension brings a/c/e (d already known, dups fold)
+    val ext = Corpus.extendVocab(base,
+      Seq("a", "d", "c", "e", "a").toDF("piece"))
+    val m = ext.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(m == Map("<unk>" -> 0, "b" -> 1, "d" -> 2,
+      "a" -> 3, "c" -> 4, "e" -> 5))
+    // idempotent: re-extending with known pieces changes nothing
+    val again = Corpus.extendVocab(ext, Seq("c", "b", "<unk>").toDF("piece"))
+    assert(again.collect().map(r => r.getString(0) -> r.getInt(1)).toMap == m)
+    // OLD-SHARD VALIDITY: encode under the extended vocab equals encode
+    // under the original for docs whose pieces are all in the original —
+    // and decode of an OLD shard's ids under the extended vocab matches
+    val docs = Seq((1L, Seq("b", "d", "b", "zz"))).toDF("doc_id", "tokens")
+    def idsOf(v: org.apache.spark.sql.DataFrame): Seq[Int] = {
+      val r = Corpus.encodeIds(docs, "doc_id", "tokens", v).head()
+      r.getSeq[Int](r.fieldIndex("token_ids"))
+    }
+    assert(idsOf(base) == idsOf(ext) && idsOf(base) == Seq(1, 2, 1, 0))
+    val oldShard = Seq((1L, Seq(1, 2, 1))).toDF("doc_id", "token_ids")
+    val decR = Corpus.decodeIds(oldShard, "doc_id", "token_ids", ext).head()
+    assert(decR.getSeq[String](decR.fieldIndex("tokens")) == Seq("b", "d", "b"))
+    // guard rails: empty base refuses; an extension that would blow the
+    // dense id cap refuses (simulated with a near-cap hand vocab)
+    intercept[IllegalArgumentException] {
+      Corpus.extendVocab(Seq.empty[(String, Int)].toDF("piece", "id"),
+        Seq("x").toDF("piece"))
+    }
+    val nearCap = Seq(("<unk>", 0), ("zz", 4194303)).toDF("piece", "id")
+    val err = intercept[IllegalArgumentException] {
+      Corpus.extendVocab(nearCap, Seq("new_piece").toDF("piece"))
+    }
+    assert(err.getMessage.contains("id space"))
+  }
+
+  test("encodeIds/decodeIds: oversized tables auto-ship as broadcast, bit-equal to the literal route (r13)") {
+    val vocab = Corpus.tokenVocab(Seq("lo", "w", "zz").toDF("piece"))
+    val docs = spark.range(1, 4).select($"id".as("doc_id"),
+      array(lit("lo"), lit("zz"), lit("oov"),
+        lit(null).cast("string"), lit("w")).as("tokens"))
+    val lit0 = Corpus.encodeIds(docs, "doc_id", "tokens", vocab)
+    val bc0 = Corpus.encodeIds(docs, "doc_id", "tokens", vocab,
+      literalMaxBytes = 0L)
+    def encRows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[Int](r.fieldIndex("token_ids")),
+          r.getAs[Long]("n_tokens"))).toSeq
+    assert(encRows(lit0) == encRows(bc0) && encRows(lit0).nonEmpty)
+    assert(encRows(lit0).head._2 == Seq(1, 3, 0, 0, 2))
+    // decode: null element, negative id, past-end id, and a GAP id in a
+    // hand-built table all fall back to unk on BOTH routes
+    val gappy = Seq(("x", 1), ("y", 3)).toDF("piece", "id")
+    val ids = spark.range(1, 3).select($"id".as("doc_id"),
+      array(lit(1), lit(null).cast("int"), lit(3), lit(99), lit(-1),
+        lit(0), lit(2)).as("token_ids"))
+    def decRows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[String](r.fieldIndex("tokens"))))
+        .toSeq
+    val litD = Corpus.decodeIds(ids, "doc_id", "token_ids", gappy)
+    val bcD = Corpus.decodeIds(ids, "doc_id", "token_ids", gappy,
+      literalMaxBytes = 0L)
+    assert(decRows(litD) == decRows(bcD))
+    assert(decRows(litD).head._2 ==
+      Seq("x", "<unk>", "y", "<unk>", "<unk>", "<unk>", "<unk>"))
+    graft.operators.OpCache.release(spark)
+  }
+
+  test("decodeIds: duplicate ids resolve to the binary-smallest piece, deterministically (r13)") {
+    // hand-built table mapping one id to several pieces: binary byte
+    // order picks 'Apple' (0x41 < 0x61 'apple' < 0x7a 'zebra') — the
+    // mirror of TokenIds' smallest-id rule, regardless of row order
+    val dup = Seq(("zebra", 1), ("apple", 1), ("Apple", 1)).toDF("piece", "id")
+    val ids = Seq((1L, Seq(1))).toDF("doc_id", "token_ids")
+    val r = Corpus.decodeIds(ids, "doc_id", "token_ids", dup).head()
+    assert(r.getSeq[String](r.fieldIndex("tokens")) == Seq("Apple"))
+    val dup2 = Seq(("Apple", 1), ("zebra", 1), ("apple", 1)).toDF("piece", "id")
+    val r2 = Corpus.decodeIds(ids, "doc_id", "token_ids", dup2).head()
+    assert(r2.getSeq[String](r2.fieldIndex("tokens")) == Seq("Apple"))
+  }
+
   test("materializePackedIds: int32 shard, eos separators, offset order, empty docs (r12)") {
     // capacity 4: doc 1 (3 ids) fills bin 0 to offset 3; doc 2 (0 ids)
     // lands at offset 3 of bin 0; doc 3 (2 ids) starts at offset 3 and

@@ -305,6 +305,86 @@ class CorpusSqlSpec extends AnyFunSuite {
     assert(viaSql == direct && viaSql.nonEmpty)
   }
 
+  test("PACK ids= without materialize refuses loudly; sub_shards='auto' picks from group size (r13)") {
+    val inner = "SELECT doc_id, source, " +
+      "CAST(size(split(lower(text), ' ')) AS BIGINT) AS n_tokens FROM documents"
+    // ids= silently ignored was the r12 ADVICE hazard: fail instead
+    val err = intercept[IllegalArgumentException] {
+      ctx.sql(s"SELECT * FROM PACK(CAPACITY 256 WITH (ids = 'token_ids'), $inner)")
+    }
+    assert(err.getMessage.contains("materialize"))
+    // auto below the crossover == flat (no shard column, identical bins)
+    val autoSmall = ctx.sql(
+      s"SELECT * FROM PACK(CAPACITY 256 WITH (sub_shards = 'auto'), $inner)")
+    assert(!autoSmall.columns.contains("shard"))
+    val flat = ctx.sql(s"SELECT * FROM PACK(CAPACITY 256, $inner)")
+    def bins(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "bin", "bin_offset").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(bins(autoSmall) == bins(flat) && bins(flat).nonEmpty)
+    // auto above the crossover (forced low via auto_rows_per_shard) ==
+    // the explicit sharded form with the computed count
+    val maxGroup = docs.groupBy("source").count()
+      .agg(max("count")).head().getLong(0)
+    val want = math.max(1L, math.min(32L, (maxGroup + 9) / 10)).toInt
+    assert(want > 1, "fixture must exceed the forced crossover")
+    val autoSharded = ctx.sql(s"""SELECT * FROM PACK(CAPACITY 256
+      |WITH (sub_shards = 'auto', auto_rows_per_shard = 10), $inner)""".stripMargin)
+    assert(autoSharded.columns.contains("shard"))
+    val explicit = ctx.sql(
+      s"SELECT * FROM PACK(CAPACITY 256 WITH (sub_shards = $want), $inner)")
+    def sbins(df: org.apache.spark.sql.DataFrame) =
+      df.selectExpr("doc_id", "CAST(shard AS BIGINT) AS shard", "bin",
+          "bin_offset").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    assert(sbins(autoSharded) == sbins(explicit) && sbins(explicit).nonEmpty)
+  }
+
+  test("ALTER VOCAB APPEND extends in place: old ids stable, new ids appended, statements compose (r13)") {
+    // base vocab from half the corpus, CTAS'd; extend with the full corpus
+    ctx.sql("""CREATE OR REPLACE VIEW av_half_pieces AS
+      |SELECT explode(filter(split(lower(text), ' '), x -> x <> '')) AS piece
+      |FROM documents WHERE doc_id % 2 = 0""".stripMargin)
+    // the extension: the full corpus plus pieces guaranteed absent from
+    // the base (the sf0.001 word pool is small enough that half the docs
+    // can cover all of it)
+    ctx.sql("""CREATE OR REPLACE VIEW av_all_pieces AS
+      |SELECT explode(filter(split(lower(text), ' '), x -> x <> '')) AS piece
+      |FROM documents
+      |UNION ALL SELECT * FROM VALUES ('zzz_r13_new_b'), ('zzz_r13_new_a')
+      |AS t(piece)""".stripMargin)
+    ctx.sql("CREATE OR REPLACE TABLE av_vocab AS " +
+      "SELECT * FROM VOCAB(TABLE av_half_pieces)")
+    val before = ctx.sql("SELECT * FROM av_vocab")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    ctx.sql("ALTER VOCAB av_vocab APPEND AS SELECT piece FROM av_all_pieces")
+    val after = ctx.sql("SELECT * FROM av_vocab")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    // every pre-extension id is untouched; something genuinely new landed
+    assert(before.forall { case (p, id) => after(p) == id })
+    assert(after.size > before.size)
+    // new ids are exactly V+1..V+n (dense, no holes)
+    assert(after.values.toSeq.sorted == (0 until after.size).toSeq)
+    // matches the Scala API bit for bit
+    val direct = Corpus.extendVocab(
+      Corpus.tokenVocab(ctx.sql("SELECT * FROM av_half_pieces")),
+      ctx.sql("SELECT * FROM av_all_pieces"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(after == direct)
+    // guards: unknown option; not-a-vocab table
+    val e1 = intercept[IllegalArgumentException] {
+      ctx.sql("ALTER VOCAB av_vocab APPEND WITH (bogus = '1') " +
+        "AS SELECT piece FROM av_all_pieces")
+    }
+    assert(e1.getMessage.contains("bogus"))
+    val e2 = intercept[IllegalArgumentException] {
+      ctx.sql("ALTER VOCAB documents APPEND AS SELECT piece FROM av_all_pieces")
+    }
+    assert(e2.getMessage.contains("not a vocabulary"))
+    ctx.sql("DROP TABLE av_vocab")
+  }
+
   test("SCORE bm25/blocklist equal the Scala APIs and honor their kwargs") {
     val viaSql = ctx.sql(
       """SELECT * FROM SCORE(METHOD bm25 WITH (terms = 'hash,join', k1 = 2.0, b = 0.5),

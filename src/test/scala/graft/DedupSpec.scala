@@ -638,6 +638,116 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("ALTER DEDUP INDEX REBUILD replays recorded geometry; DESCRIBE trip point clears (r13)") {
+    val ctx = new Context(spark)
+    ctx.createTable("rb_corpus", bloomCorpus) // 400 rows
+    try {
+      ctx.sql("CREATE DEDUP INDEX rb_idx ON rb_corpus WITH (kind = 'exact')")
+      def metrics(): Map[String, String] =
+        ctx.sql("DESCRIBE DEDUP INDEX rb_idx")
+          .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(metrics()("rebuild_recommended") == "false")
+      // saturate: append 2x the build volume (expected_items was counted
+      // at 400) → est fpp blows an order of magnitude past the target
+      ctx.createTable("rb_inc", (1 to 800)
+        .map(i => (9000L + i, s"rebuild pressure doc $i payload"))
+        .toDF("doc_id", "text"))
+      ctx.sql("ALTER DEDUP INDEX rb_idx APPEND AS SELECT * FROM rb_inc")
+      val m1 = metrics()
+      assert(m1("rebuild_recommended") == "true")
+      // plain REBUILD (no AS): source rows come from the table recorded
+      // at CREATE — the appended increment is NOT part of that table, so
+      // the rebuilt index is the source snapshot again
+      ctx.sql("ALTER DEDUP INDEX rb_idx REBUILD")
+      val m2 = metrics()
+      assert(m2("rows_now").toLong == 400L &&
+        m2("rows_at_build").toLong == 400L &&
+        m2("rows_appended").toLong == 0L &&
+        m2("rebuild_recommended") == "false")
+      // REBUILD AS <select>: rebuild over the full corpus — the bloom is
+      // re-sized by the recount (expected_items was defaulted, so the
+      // recorded option replays as "count the new source"), fill returns
+      // to the design point, meta re-records rows_at_build
+      ctx.sql("ALTER DEDUP INDEX rb_idx APPEND AS SELECT * FROM rb_inc")
+      assert(metrics()("rebuild_recommended") == "true")
+      ctx.sql("""CREATE OR REPLACE VIEW rb_all AS
+        |SELECT * FROM rb_corpus UNION ALL SELECT * FROM rb_inc""".stripMargin)
+      ctx.sql("ALTER DEDUP INDEX rb_idx REBUILD AS SELECT * FROM rb_all")
+      val m3 = metrics()
+      assert(m3("rows_at_build").toLong == 1200L &&
+        m3("rows_appended").toLong == 0L &&
+        m3("rebuild_recommended") == "false")
+      assert(m3("bloom_est_fpp").toDouble < m1("bloom_est_fpp").toDouble)
+      // the rebuilt index still screens: dups of BOTH increments drop,
+      // fresh docs pass
+      ctx.createTable("rb_probe", Seq(
+        (1L, "corpus document number 7 with steady words"), // dup of base
+        (2L, "rebuild pressure doc 13 payload"),            // dup of inc
+        (3L, "a genuinely fresh probe document")).toDF("doc_id", "text"))
+      val passed = ctx.sql(
+          """SELECT * FROM DEDUP(METHOD exact_incremental WITH (index = 'rb_idx'),
+            |SELECT doc_id, text FROM rb_probe)""".stripMargin)
+        .collect().map(_.getLong(0)).toSet
+      assert(passed == Set(3L))
+      // after REBUILD AS, the recorded source table no longer describes
+      // the contents — it was dropped from meta, so plain REBUILD refuses
+      val e1 = intercept[IllegalArgumentException] {
+        ctx.sql("ALTER DEDUP INDEX rb_idx REBUILD")
+      }
+      assert(e1.getMessage.contains("no recorded source table"))
+      // kind guard mirrors APPEND/DROP/DESCRIBE
+      val e2 = intercept[IllegalArgumentException] {
+        ctx.sql("ALTER SIMSEARCH INDEX rb_idx REBUILD")
+      }
+      assert(e2.getMessage.contains("DEDUP"))
+      // pre-r13 meta (no recorded CREATE options) refuses: rebuilding
+      // under DEFAULTS could silently change the build's geometry
+      import spark.implicits._
+      spark.table("rb_idx_meta")
+        .where($"key" =!= "meta_version" && !$"key".startsWith("opt_"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+        .toDF("key", "value")
+        .write.format("parquet").mode("overwrite").saveAsTable("rb_idx_meta")
+      val e3 = intercept[IllegalArgumentException] {
+        ctx.sql("ALTER DEDUP INDEX rb_idx REBUILD AS SELECT * FROM rb_all")
+      }
+      assert(e3.getMessage.contains("predates REBUILD"))
+    } finally {
+      Seq("rb_idx_digests", "rb_idx_bloom", "rb_idx_meta")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      spark.sql("DROP VIEW IF EXISTS rb_all")
+    }
+  }
+
+  test("REBUILD replays non-default CREATE options verbatim (minhash geometry preserved) (r13)") {
+    val ctx = new Context(spark)
+    ctx.createTable("rbm_corpus", bloomCorpus)
+    try {
+      ctx.sql("""CREATE DEDUP INDEX rbm_idx ON rbm_corpus
+        |WITH (kind = 'minhash', num_hashes = 32, bands = 8,
+        |n_buckets = 4)""".stripMargin)
+      def bandCount(): Long =
+        spark.table("rbm_idx_bands").select("band").distinct().count()
+      assert(bandCount() == 8L)
+      ctx.sql("ALTER DEDUP INDEX rbm_idx REBUILD")
+      assert(bandCount() == 8L, "rebuild must replay bands=8, not default 16")
+      val meta = spark.table("rbm_idx_meta").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(meta("opt_bands") == "8" && meta("opt_num_hashes") == "32" &&
+        meta("bands") == "8" && meta("source_table") == "rbm_corpus")
+      // and an APPEND after the rebuild still dispatches on the same
+      // geometry (the meta contract REBUILD must not break)
+      ctx.createTable("rbm_inc",
+        Seq((7000L, "a fresh minhash increment document payload"))
+          .toDF("doc_id", "text"))
+      ctx.sql("ALTER DEDUP INDEX rbm_idx APPEND AS SELECT * FROM rbm_inc")
+      assert(bandCount() == 8L)
+    } finally {
+      Seq("rbm_idx_bands", "rbm_idx_shingles", "rbm_idx_meta")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("DROP DEDUP|SIMSEARCH INDEX removes every index table in one statement (r11)") {
     val ctx = new Context(spark)
     ctx.createTable("di_corpus", bloomCorpus)

@@ -109,6 +109,28 @@ class ExtensionParserSpec extends AnyFunSuite {
         |sort_by = 'doc_id', max_records_per_file = 1000)""".stripMargin): @unchecked
     assert(et == "shards" && etOpts("location") == "/tmp/out" &&
       etOpts("shards") == "8")
+
+    // r13: the index REBUILD + vocab APPEND lifecycle statements
+    val AlterIndexRebuild(rk, rn, rSel) = parse(
+      "ALTER DEDUP INDEX my_idx REBUILD AS SELECT doc_id, text FROM corpus"): @unchecked
+    assert(rk == "dedup" && rn == "my_idx" &&
+      rSel.contains("SELECT doc_id, text FROM corpus"))
+    val AlterIndexRebuild(rk2, rn2, rSel2) = parse(
+      "ALTER SIMSEARCH INDEX vec_idx REBUILD"): @unchecked
+    assert(rk2 == "simsearch" && rn2 == "vec_idx" && rSel2.isEmpty)
+    // REBUILD must not shadow APPEND (both are ALTER ... INDEX forms)
+    val AlterIndexAppend(ak, an, _, aSel) = parse(
+      "ALTER DEDUP INDEX my_idx APPEND AS SELECT * FROM survivors"): @unchecked
+    assert(ak == "dedup" && an == "my_idx" && aSel == "SELECT * FROM survivors")
+
+    val AlterVocabAppend(vn, vaOpts, vaSel) = parse(
+      """ALTER VOCAB my_vocab APPEND WITH (piece = 'wd')
+        |AS SELECT wd FROM new_pieces""".stripMargin): @unchecked
+    assert(vn == "my_vocab" && vaOpts == Map("piece" -> "wd"))
+    assert(vaSel == "SELECT wd FROM new_pieces")
+    val AlterVocabAppend(vn2, vaOpts2, _) = parse(
+      "ALTER VOCAB v2 APPEND AS SELECT piece FROM p"): @unchecked
+    assert(vn2 == "v2" && vaOpts2.isEmpty)
   }
 
   test("standard SQL with WITH clauses still falls through") {

@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.TokBin
+
+/** The raw int32 shard sink (r13): write → re-read must recover every
+  * sequence byte-exactly, the .idx sidecar must describe the .bin layout,
+  * and the statement surface must guard destructive writes. */
+class TokBinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmpDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_tokbin_$tag").toString +
+      "/out"
+
+  private def fs(dir: String) =
+    new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+
+  private def partFiles(dir: String): Seq[String] = {
+    val f = fs(dir)
+    f.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).filter(_.endsWith(".bin"))
+      .map(_.stripSuffix(".bin")).sorted.toSeq
+  }
+
+  private def readAllSeqs(dir: String): Seq[Seq[Int]] = {
+    val f = fs(dir)
+    partFiles(dir).flatMap { p =>
+      TokBin.readPart(f,
+        new org.apache.hadoop.fs.Path(dir, p + ".bin"),
+        new org.apache.hadoop.fs.Path(dir, p + ".idx"))
+        .map(_.toSeq)
+    }
+  }
+
+  test("tokbin write → re-read recovers every sequence byte-exactly; LE int32 layout pinned") {
+    val df = Seq(
+      Seq(1, 2, 3),
+      Seq.empty[Int],                        // empty sequence: idx-only
+      Seq(65536, -1, Int.MaxValue, Int.MinValue),
+      Seq(0)).toDF("seq_ids")
+    val dir = tmpDir("rt")
+    TokBin.write(df.coalesce(1), dir)
+    val got = readAllSeqs(dir)
+    assert(got == Seq(Seq(1, 2, 3), Seq.empty[Int],
+      Seq(65536, -1, Int.MaxValue, Int.MinValue), Seq(0)))
+    // byte-level pin: the .bin is flat little-endian int32 (what a
+    // trainer memory-maps) and the .idx is (offset, length) int64-LE
+    // pairs in token units — not bytes
+    val f = fs(dir)
+    val binP = new org.apache.hadoop.fs.Path(dir, partFiles(dir).head + ".bin")
+    val idxP = new org.apache.hadoop.fs.Path(dir, partFiles(dir).head + ".idx")
+    val binLen = f.getFileStatus(binP).getLen
+    val idxLen = f.getFileStatus(idxP).getLen
+    assert(binLen == 8L * 4 && idxLen == 4L * 16) // 8 tokens, 4 sequences
+    val in = f.open(binP)
+    val head = new Array[Byte](8); in.readFully(0, head); in.close()
+    assert(head.toSeq == Seq[Byte](1, 0, 0, 0, 2, 0, 0, 0)) // LE 1, 2
+    val inI = f.open(idxP)
+    val ih = new Array[Byte](32); inI.readFully(0, ih); inI.close()
+    val ib = java.nio.ByteBuffer.wrap(ih)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(ib.getLong == 0L && ib.getLong == 3L) // seq 0: offset 0, len 3
+    assert(ib.getLong == 3L && ib.getLong == 0L) // seq 1 (empty): offset 3
+  }
+
+  test("tokbin multi-partition: one (bin, idx) pair per shard, all sequences recovered; null array → empty") {
+    val df = Seq(
+      ("a", 0L, Seq(10, 11)), ("a", 1L, Seq(12)),
+      ("b", 0L, Seq(20, 21, 22)), ("b", 1L, Seq(23)))
+      .toDF("grp", "bin", "seq_ids")
+      .withColumn("seq_ids",
+        when($"bin" === 1L && $"grp" === "b", lit(null)
+          .cast("array<int>")).otherwise($"seq_ids"))
+    val dir = tmpDir("mp")
+    TokBin.write(df.repartition(2, $"grp").sortWithinPartitions("grp", "bin"),
+      dir)
+    assert(partFiles(dir).size == 2)
+    val got = readAllSeqs(dir)
+    assert(got.size == 4)
+    assert(got.map(_.toList).sortBy(_.mkString(",")).toSet ==
+      Set(List(10, 11), List(12), List(20, 21, 22), List()))
+  }
+
+  test("tokbin guards: wrong column type, missing column, null element all refuse loudly") {
+    val notInts = Seq(Seq("a", "b")).toDF("seq_ids")
+    val e1 = intercept[IllegalArgumentException] {
+      TokBin.write(notInts, tmpDir("g1"))
+    }
+    assert(e1.getMessage.contains("array<int>"))
+    val e2 = intercept[IllegalArgumentException] {
+      TokBin.write(Seq(Seq(1)).toDF("other"), tmpDir("g2"))
+    }
+    assert(e2.getMessage.contains("no column"))
+    val holed = spark.range(1)
+      .select(array(lit(1), lit(null).cast("int")).as("seq_ids"))
+    val e3 = intercept[org.apache.spark.SparkException] {
+      TokBin.write(holed, tmpDir("g3"))
+    }
+    assert(e3.getMessage.contains("holes") ||
+      Option(e3.getCause).exists(_.getMessage.contains("holes")))
+  }
+
+  test("EXPORT TABLE format='tokbin' statement: shard_by layout, overwrite guard, round trip (r13)") {
+    val ctx = new Context(spark)
+    val docs = Tables.t(spark, TestSpark.sf, "documents")
+      .select($"doc_id", $"source",
+        filter(split(lower($"text"), " "), x => x =!= "").as("tokens"))
+    val vocab = graft.operators.Corpus.tokenVocab(
+      docs.select(explode($"tokens").as("piece")))
+    val ids = graft.operators.Corpus.encodeIds(docs, "doc_id", "tokens", vocab)
+    val packed = graft.operators.Corpus.materializePackedIds(
+      ids, "doc_id", "token_ids", "source", 256L)
+    ctx.createTable("tb_shard", packed)
+    val dir = tmpDir("stmt")
+    ctx.sql(s"""EXPORT TABLE tb_shard WITH (location = '$dir',
+      |format = 'tokbin', shards = 2, shard_by = 'source',
+      |sort_by = 'source,bin')""".stripMargin)
+    val got = readAllSeqs(dir).map(_.toList)
+    val want = packed.select($"seq_ids").collect()
+      .map(_.getSeq[Int](0).toList).toSeq
+    assert(got.sortBy(_.mkString(",")) == want.sortBy(_.mkString(",")) &&
+      got.nonEmpty)
+    // destructive-write guard: the location is arbitrary user space
+    val err = intercept[IllegalArgumentException] {
+      ctx.sql(s"EXPORT TABLE tb_shard WITH (location = '$dir', format = 'tokbin')")
+    }
+    assert(err.getMessage.contains("overwrite"))
+    ctx.sql(s"""EXPORT TABLE tb_shard WITH (location = '$dir',
+      |format = 'tokbin', mode = 'overwrite')""".stripMargin)
+    ctx.dropTable("tb_shard")
+  }
+}
