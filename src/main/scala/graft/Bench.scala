@@ -172,6 +172,13 @@ object Bench {
     // retried up to 3 times each, stopping as soon as the inversion
     // clears, every retry folded into the min.
     val coldMap = results2.toMap
+    // snapshot BEFORE the retry loop (r13, ADVICE): retries fire
+    // disproportionately during contended periods, so folding retry
+    // sentinels into the steady median would inflate it and weaken the
+    // 1.5× steady_contended flag for the regular-pass minima. The median
+    // is computed over the two regular steady passes only; retry
+    // sentinels still ride along per-query as the at-min datum.
+    val regularSteadySentinels = steadySentinels.toSeq
     // per query: (published steady min, sentinel of the window that
     // produced it) — the sentinel is the published min's own evidence
     val steadySentAtMin =
@@ -206,7 +213,6 @@ object Bench {
       names.filter(inverted).foreach { n =>
         steadyRetriedPer(n) = steadyRetriedPer.getOrElse(n, 0) + 1
         val s = sentinelOnce()
-        steadySentinels += s
         timeOnce(n).foreach { t =>
           if (t < steadyM(n)) { steadyM += n -> t; steadySentAtMin(n) = s }
         }
@@ -270,7 +276,7 @@ object Bench {
     // ambient noise floor (r11's uniform 1.37× would have been read
     // straight off the two medians).
     val ssMedian = {
-      val v = steadySentinels.toSeq.sorted
+      val v = regularSteadySentinels.sorted
       if (v.isEmpty) 0.0 else v(v.length / 2)
     }
     val steadyWindows = results2.map(_._1).flatMap(n =>

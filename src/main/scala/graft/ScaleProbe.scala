@@ -385,6 +385,29 @@ object ScaleProbe {
           allHot, "doc_id", "text", sep = " | ", minDocs = 2,
           hotStrategy = "join")
       },
+      // p52 drift probe (r13, verdict #5): BENCH saw steady drift on the
+      // UNTOUCHED md5 DSIR path two rounds running (5.33 → 6.50 steady)
+      // with healthy window sentinels. Time p52's exact geometry (md5,
+      // buckets=4096) TWICE in-process at fixed clone pressure, plus the
+      // xxhash64 production twin as the ratio anchor: if run2 tracks
+      // run1, the path is stable and the bench drift is machine-shape;
+      // if run2 drifts inside one JVM, the suspect is digest/codegen
+      // cost shifts (JIT recompile), not data volume. Verdict → PLANS.
+      time("dsir_md5_run1") {
+        operators.Corpus.dsirLogWeights(
+          docs, docs.filter(col("lang") === "en"), "doc_id", "text",
+          buckets = 4096, hash = "md5")
+      },
+      time("dsir_md5_run2") {
+        operators.Corpus.dsirLogWeights(
+          docs, docs.filter(col("lang") === "en"), "doc_id", "text",
+          buckets = 4096, hash = "md5")
+      },
+      time("dsir_md5_xx_anchor") {
+        operators.Corpus.dsirLogWeights(
+          docs, docs.filter(col("lang") === "en"), "doc_id", "text",
+          buckets = 4096, hash = "xxhash64")
+      },
       time("dsir_weights") {
         // DSIR importance weights at clone scale: gram volume inflates
         // REP× but both LM tables stay <= buckets rows (map-side combine),
@@ -983,8 +1006,13 @@ object ScaleProbe {
         emb0.count()
         val base = emb0.filter(pmod(col("vec_id"), lit(2)) === 0).cache()
         val nBase = base.count()
+        // orderBy before limit (r13, ADVICE): a bare limit() over an
+        // unordered frame is plan-dependent, so the sampled row set could
+        // shift across runs — TakeOrdered over the unique vec_id makes
+        // the query set and each increment deterministic, keeping the
+        // probe re-runnable against any embedding table
         val queries = base.filter(pmod(col("vec_id"), lit(20)) === 0)
-          .limit(100).cache()
+          .orderBy("vec_id").limit(100).cache()
         queries.count()
         val k = 10
         val nProbes = Seq(1, 2, 4) // low fan-outs — the regime drift hurts
@@ -1001,7 +1029,7 @@ object ScaleProbe {
         }
         val entries = Seq(10, 50, 100).map { pct =>
           val inc = emb0.filter(pmod(col("vec_id"), lit(2)) === 1)
-            .limit((nBase * pct / 100).toInt).cache()
+            .orderBy("vec_id").limit((nBase * pct / 100).toInt).cache()
           val all = base.unionByName(inc).cache()
           all.count()
           val truth = Similarity.bruteForceTopK(all, queries, k)
@@ -1024,6 +1052,10 @@ object ScaleProbe {
             f""""p$np":{"appended":$rApp%.3f,"rebuilt":$rReb%.3f}"""
           }
           operators.OpCache.release(spark)
+          // the probe must not leave catalog artifacts behind (r13,
+          // ADVICE): each pct iteration drops its own index tables
+          spark.sql(s"DROP TABLE IF EXISTS ${prefix}_cells")
+          spark.sql(s"DROP TABLE IF EXISTS ${prefix}_centroids")
           inc.unpersist(); all.unpersist()
           f"""{"pct":$pct,"append_sec":$appSecs%.1f,${byProbe.mkString(",")}}"""
         }

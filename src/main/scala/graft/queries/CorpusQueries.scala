@@ -3016,5 +3016,61 @@ object CorpusQueries {
       val base = Corpus.tokenVocab(basePieces)
       Corpus.extendVocab(base, allPieces).orderBy("id")
     },
+
+    // TOKBIN ROUND TRIP (r13): the raw int32 shard EXPORTed by TokBin is
+    // re-read DISTRIBUTED through the `tokbin` DataSourceV2 and every
+    // token id of every sequence is hash-gated against p103's DuckDB
+    // replay — so the .bin/.idx byte layout itself (not just the
+    // in-engine arrays) is oracle-certified. The fixture packs into ONE
+    // shard file (coalesce(1) + sortWithinPartitions) so `seq` — the
+    // sequence's position within its file — is globally deterministic;
+    // multi-shard reads and idx-only column pruning are spec-gated
+    // (TokBinSpec), where file-set equality rather than a global order
+    // is the right contract.
+    Q("p105_tokbin_roundtrip", Some("""
+      WITH w AS (SELECT doc_id, source,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
+           FROM documents),
+      v AS (SELECT wd AS piece,
+              CAST(row_number() OVER (ORDER BY wd) AS INT) AS id
+            FROM (SELECT DISTINCT unnest(words) AS wd FROM w)),
+      dw AS (SELECT doc_id, unnest(words) AS wd,
+               unnest(range(1, len(words) + 1)) AS i FROM w),
+      idstr AS (SELECT d.doc_id,
+                  string_agg(CAST(v.id AS VARCHAR), ' ' ORDER BY d.i) AS ids
+                FROM dw d JOIN v ON v.piece = d.wd GROUP BY d.doc_id),
+      tok AS (SELECT w.doc_id, w.source,
+                CAST(len(w.words) AS BIGINT) AS nt, coalesce(i.ids, '') AS ids
+              FROM w LEFT JOIN idstr i ON w.doc_id = i.doc_id),
+      c AS (SELECT *, sum(nt) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum FROM tok),
+      b AS (SELECT *, CAST(floor((cum - nt) / 256.0) AS BIGINT) AS bin,
+              (cum - nt) % 256 AS off FROM c),
+      g AS (SELECT source, bin,
+              CAST(sum(nt) + count(*) - 1 AS BIGINT) AS n_tokens,
+              trim(regexp_replace(
+                string_agg(ids, ' 0 ' ORDER BY off, doc_id), ' +', ' ', 'g')) AS ids
+            FROM b GROUP BY source, bin)
+      SELECT CAST(row_number() OVER (ORDER BY source, bin) - 1 AS BIGINT) AS seq,
+             n_tokens, ids
+      FROM g ORDER BY seq""")) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val toks = docs.select(col("doc_id"), col("source"),
+        filter(split(lower(col("text")), " "), x => x =!= "").as("tokens"))
+      val vocab = Corpus.tokenVocab(
+        toks.select(explode(col("tokens")).as("piece")))
+      val ids = Corpus.encodeIds(toks, "doc_id", "tokens", vocab)
+      val packed = Corpus
+        .materializePackedIds(ids, "doc_id", "token_ids", "source", 256L)
+        .coalesce(1).sortWithinPartitions("source", "bin")
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_tokbin_rt_" +
+          java.lang.Integer.toHexString(d.hashCode)).toString
+      graft.sources.TokBin.write(packed, dir, "seq_ids")
+      s.read.format("tokbin").load(dir)
+        .select(col("seq"), col("n_tokens"),
+          concat_ws(" ", col("seq_ids")).as("ids"))
+        .orderBy("seq")
+    },
   )
 }

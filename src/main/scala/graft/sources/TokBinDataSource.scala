@@ -1,0 +1,222 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Token shards ([[TokBin]]'s flat int32 `.bin` + `(offset, length)`
+  * `.idx` layout) as a first-class Spark DataSourceV2 — the READ half of
+  * the training-artifact lifecycle (r13): after `EXPORT TABLE ... WITH
+  * (format='tokbin')`, `spark.read.format("tokbin").load(dir)` re-opens
+  * the shards DISTRIBUTED (one InputPartition per `.bin`/`.idx` pair, the
+  * WARC one-partition-per-file pattern) for post-export auditing — token
+  * counts, id histograms, boundary checks, decode spot-reads — without a
+  * trainer or a driver-side loop.
+  *
+  * Schema: `(file string, seq bigint, n_tokens bigint, seq_ids array<int>)`
+  * — `seq` is the sequence's 0-based position within its file (write
+  * order), `n_tokens` its token count, `seq_ids` the tokens.
+  *
+  * Column pruning is REAL I/O pruning here, not cosmetic: the `.idx`
+  * sidecar fully determines `file`/`seq`/`n_tokens`, so an audit query
+  * that never touches `seq_ids` (shard-size histograms, sequence counts,
+  * capacity validation) reads 16 bytes per sequence and NEVER OPENS the
+  * `.bin` — at 100 TB of shards that is the difference between an
+  * audit that scans ~0.1% of the bytes and one that scans all of them.
+  * `seq_ids` reads stream the `.bin` sequentially (the writer lays
+  * sequences out contiguously; a non-contiguous index — hand-edited or
+  * truncated — is followed via seek rather than trusted blindly).
+  */
+object TokBinRead {
+  val schema: StructType = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("seq", LongType, nullable = false),
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("seq_ids", ArrayType(IntegerType, containsNull = false),
+      nullable = false)))
+
+  /** `.bin` shard files under each path (dir, glob, or file), sorted —
+    * each must have its `.idx` sidecar beside it (checked at read). */
+  private[sources] def listFiles(paths: Seq[String],
+      conf: Configuration): Seq[String] =
+    paths.flatMap { p =>
+      val path = new Path(p)
+      val fs = path.getFileSystem(conf)
+      val matched = Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Seq())
+      matched.flatMap { st =>
+        if (st.isDirectory)
+          fs.listStatus(st.getPath).toSeq
+            .filter(s => s.isFile && s.getPath.getName.endsWith(".bin"))
+            .map(_.getPath)
+        else Seq(st.getPath)
+      }
+    }.map(_.toString).sorted
+}
+
+/** `format("tokbin")` entry point (registered via META-INF/services). */
+class TokBinDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "tokbin"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    TokBinRead.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new TokBinTable(properties)
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+class TokBinTable(properties: java.util.Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String = "tokbin:" + paths.mkString(",")
+  override def schema(): StructType = TokBinRead.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  private[sources] def paths: Seq[String] = {
+    val opts = properties.asScala
+    opts.get("paths") match {
+      case Some(js) => WarcOffset.parseStringArray(js)
+      case None => opts.get("path").toSeq
+    }
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new TokBinScanBuilder(paths)
+}
+
+class TokBinScanBuilder(paths: Seq[String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = TokBinRead.schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new TokBinScan(paths, required)
+}
+
+class TokBinScan(paths: Seq[String], required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"TokBinScan[${paths.mkString(",")}] ReadSchema: ${required.simpleString}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
+    // one partition per shard file — shard count mirrors the write-side
+    // partition count, which on a real pipeline is the export's
+    // shard_by= fan-out (hundreds to thousands of files at 100 TB)
+    TokBinRead.listFiles(paths, conf)
+      .map(f => TokBinInputPartition(f): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val confSer = new org.apache.spark.util.SerializableConfiguration(
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+    new TokBinReaderFactory(required, confSer)
+  }
+}
+
+case class TokBinInputPartition(file: String) extends InputPartition
+
+class TokBinReaderFactory(required: StructType,
+    conf: org.apache.spark.util.SerializableConfiguration)
+    extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[TokBinInputPartition].file
+    new TokBinPartitionReader(file, required, conf.value)
+  }
+}
+
+class TokBinPartitionReader(file: String, required: StructType,
+    conf: Configuration) extends PartitionReader[InternalRow] {
+  private val wantIds = required.fieldNames.contains("seq_ids")
+  private val binPath = new Path(file)
+  private val idxPath = new Path(
+    file.stripSuffix(".bin") + ".idx")
+  private val fs = binPath.getFileSystem(conf)
+  require(fs.exists(idxPath),
+    s"tokbin: shard $file has no .idx sidecar — not a TokBin shard dir")
+  private val idxIn = new java.io.DataInputStream(
+    new java.io.BufferedInputStream(fs.open(idxPath), 1 << 16))
+  // .bin opens ONLY when seq_ids is in the read schema — idx-only audits
+  // (counts, size histograms) never touch the token bytes
+  private val binIn = if (wantIds) fs.open(binPath) else null
+  private var binBuf =
+    if (wantIds) new java.io.BufferedInputStream(binIn, 1 << 16) else null
+  private val fileUtf8 = UTF8String.fromString(file)
+  private val entry = new Array[Byte](16)
+  private var seqNo = -1L
+  private var curOffset = 0L
+  private var curLen = 0L
+  private var binPos = 0L // token index the sequential .bin cursor is at
+
+  override def next(): Boolean = {
+    val n = try {
+      idxIn.readFully(entry); true
+    } catch { case _: java.io.EOFException => false }
+    if (!n) return false
+    val bb = java.nio.ByteBuffer.wrap(entry)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    curOffset = bb.getLong()
+    curLen = bb.getLong()
+    seqNo += 1
+    true
+  }
+
+  override def get(): InternalRow = {
+    val vals = required.fields.map { f =>
+      f.name match {
+        case "file" => fileUtf8
+        case "seq" => java.lang.Long.valueOf(seqNo)
+        case "n_tokens" => java.lang.Long.valueOf(curLen)
+        case "seq_ids" =>
+          require(curLen <= Int.MaxValue / 4,
+            s"tokbin: sequence $seqNo in $file declares $curLen tokens — " +
+              "corrupt .idx (a packed sequence is capacity-bounded)")
+          val n = curLen.toInt
+          if (curOffset != binPos) {
+            // writer layout is contiguous; honor a non-contiguous index
+            // (truncated/hand-sliced) via an explicit seek, never by
+            // silently reading the wrong tokens. The old buffered wrapper
+            // holds pre-seek readahead — replace it, don't reuse it.
+            binIn.seek(curOffset * 4L)
+            binBuf = new java.io.BufferedInputStream(binIn, 1 << 16)
+            binPos = curOffset
+          }
+          val bytes = new Array[Byte](n * 4)
+          var read = 0
+          while (read < bytes.length) {
+            val k = binBuf.read(bytes, read, bytes.length - read)
+            require(k >= 0,
+              s"tokbin: $file truncated at token ${binPos + read / 4} " +
+                s"(sequence $seqNo wants $n tokens)")
+            read += k
+          }
+          binPos = curOffset + n
+          val ints = new Array[Int](n)
+          java.nio.ByteBuffer.wrap(bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            .asIntBuffer().get(ints)
+          new GenericArrayData(ints)
+        case other => throw new IllegalArgumentException(
+          s"unknown tokbin column: $other")
+      }
+    }
+    InternalRow.fromSeq(vals.toSeq)
+  }
+
+  override def close(): Unit = {
+    idxIn.close()
+    if (binBuf != null) binBuf.close()
+  }
+}

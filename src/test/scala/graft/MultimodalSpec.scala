@@ -376,6 +376,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ok.exists(g => g.width == 10 && g.height == 10))
   }
 
+  test("setImageIoJpeg(false) declines JPEG, keeps lossless PNG/GIF exact (r13)") {
+    import graft.operators.MediaCodecs
+    def base(x: Int, y: Int): Int = (x * 9 + y * 4) % 180 + 20
+    val png = Multimodal.syntheticImageIo(18, 16, "png")(base)
+    val gif = Multimodal.syntheticImageIo(18, 16, "gif")(base)
+    val jpg = Multimodal.syntheticImageIo(18, 16, "jpg")(base)
+    try {
+      MediaCodecs.setImageIoJpeg(false)
+      val out = dhashOf(Seq(1L -> png, 2L -> gif, 3L -> jpg))
+      // lossless formats keep the exact round-trip; JPEG is declined
+      // entirely (no hash) instead of risking per-JDK IDCT drift
+      assert(out(1L).isDefined && out(1L) == out(2L))
+      assert(out(3L).isEmpty)
+      // idempotent: flipping back restores JPEG decode
+      MediaCodecs.setImageIoJpeg(true)
+      val out2 = dhashOf(Seq(3L -> jpg))
+      assert(out2(3L).isDefined)
+    } finally MediaCodecs.setImageIoJpeg(true)
+  }
+
   test("DEDUP image statement pairs across codec boundaries (r11)") {
     val spark0 = TestSpark.spark
     import spark0.implicits._

@@ -104,6 +104,85 @@ class TokBinSpec extends AnyFunSuite {
       Option(e3.getCause).exists(_.getMessage.contains("holes")))
   }
 
+  test("tokbin DSv2 read: distributed re-read equals the written set; schema pinned (r13)") {
+    val df = Seq(
+      ("a", Seq(10, 11)), ("a", Seq(12)), ("a", Seq.empty[Int]),
+      ("b", Seq(20, 21, 22)), ("b", Seq(23)))
+      .toDF("grp", "seq_ids")
+    val dir = tmpDir("dsv2")
+    TokBin.write(df.repartition(2, $"grp").sortWithinPartitions("grp"), dir)
+    val back = spark.read.format("tokbin").load(dir)
+    assert(back.schema.fieldNames.toSeq ==
+      Seq("file", "seq", "n_tokens", "seq_ids"))
+    val rows = back.collect()
+    assert(rows.length == 5)
+    // one partition per shard file — read parallelism mirrors the export
+    assert(back.rdd.getNumPartitions == 2)
+    val got = rows.map(_.getSeq[Int](3).toList).toSeq
+    assert(got.sortBy(_.mkString(",")) ==
+      Seq(List(), List(10, 11), List(12), List(20, 21, 22), List(23))
+        .sortBy(_.mkString(",")))
+    // n_tokens is the ids length; seq is 0-based and dense per file
+    assert(rows.forall(r => r.getLong(2) == r.getSeq[Int](3).length.toLong))
+    val byFile = rows.groupBy(_.getString(0))
+    assert(byFile.values.forall(rs =>
+      rs.map(_.getLong(1)).sorted.toSeq == (0L until rs.length).toSeq))
+  }
+
+  test("tokbin DSv2 idx-only pruning: audits never open the .bin (proven by deleting it)") {
+    val df = Seq(Seq(1, 2, 3), Seq(4), Seq(5, 6)).toDF("seq_ids")
+    val dir = tmpDir("prune")
+    TokBin.write(df.coalesce(1), dir)
+    val audit = spark.read.format("tokbin").load(dir)
+      .select("seq", "n_tokens")
+    // the pruned schema must reach the scan — and the proof that it is
+    // I/O pruning, not cosmetics: delete every .bin and the audit still
+    // answers from the 16-byte-per-sequence .idx sidecar alone
+    assert(audit.queryExecution.executedPlan.toString.contains("seq_ids")
+      == false)
+    val f = fs(dir)
+    partFiles(dir).foreach { p =>
+      f.delete(new org.apache.hadoop.fs.Path(dir, p + ".bin"), false)
+    }
+    val got = audit.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.toSeq == Seq((0L, 3L), (1L, 1L), (2L, 2L)))
+  }
+
+  test("tokbin DSv2 honors a non-contiguous .idx via seek and detects truncation") {
+    val df = Seq(Seq(1, 2, 3), Seq(4), Seq(5, 6)).toDF("seq_ids")
+    val dir = tmpDir("seek")
+    TokBin.write(df.coalesce(1), dir)
+    val f = fs(dir)
+    val part = partFiles(dir).head
+    val idxP = new org.apache.hadoop.fs.Path(dir, part + ".idx")
+    // rewrite the .idx with the sequences in REVERSE order — offsets now
+    // jump backwards, forcing the reader's seek path on every row
+    val bb = java.nio.ByteBuffer.allocate(48)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putLong(4L).putLong(2L)  // [5, 6]
+    bb.putLong(3L).putLong(1L)  // [4]
+    bb.putLong(0L).putLong(3L)  // [1, 2, 3]
+    val out = f.create(idxP, true)
+    out.write(bb.array()); out.close()
+    val got = spark.read.format("tokbin").load(dir)
+      .orderBy("seq").collect().map(_.getSeq[Int](3).toList).toSeq
+    assert(got == Seq(List(5, 6), List(4), List(1, 2, 3)))
+    // truncation: an .idx entry pointing past the .bin must refuse, not
+    // silently return short sequences
+    val bb2 = java.nio.ByteBuffer.allocate(16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb2.putLong(4L).putLong(9L) // 9 tokens from offset 4: past EOF
+    val out2 = f.create(idxP, true)
+    out2.write(bb2.array()); out2.close()
+    val err = intercept[org.apache.spark.SparkException] {
+      spark.read.format("tokbin").load(dir).select("seq_ids").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(err).exists(_.contains("truncated")))
+  }
+
   test("EXPORT TABLE format='tokbin' statement: shard_by layout, overwrite guard, round trip (r13)") {
     val ctx = new Context(spark)
     val docs = Tables.t(spark, TestSpark.sf, "documents")
