@@ -152,6 +152,9 @@ class Context(val spark: SparkSession) {
       case "json" => reader.json(path)
       case "orc" => reader.orc(path)
       case "warc" => reader.format("warc").load(path) // sources.WarcDataSource
+      // exported int32 token shards, re-registered for SQL-side audits
+      // (counts/size histograms prune to the .idx sidecar — TokBinSpec)
+      case "tokbin" => reader.format("tokbin").load(path)
       case _ => reader.parquet(path)
     }
     schemas(currentSchema).filepaths(norm(name)) = path

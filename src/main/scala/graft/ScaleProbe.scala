@@ -988,6 +988,40 @@ object ScaleProbe {
         r
       }
     } ++ {
+      // r13: tokbin sink throughput at clone scale — the raw int32
+      // export must track the parquet export (same rows, executor-side
+      // streams either way), proving the trainer-artifact sink adds no
+      // scale hazard over the analytical one. Sharded pack first so both
+      // sinks see identical multi-partition input.
+      if (!wanted("tokbin_export")) Seq.empty
+      else {
+        val packIds = docs.select(col("doc_id"), lit("all").as("grp"),
+          transform(filter(split(lower(col("text")), " "), t => t =!= ""),
+            t => pmod(xxhash64(t), lit(65536)).cast("int")).as("token_ids"))
+        val shard = operators.Corpus.materializePackedIds(packIds, "doc_id",
+          "token_ids", "grp", 2048L, subShards = 32).cache()
+        val nSeqs = shard.count()
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_probe_tokbin").toString
+        def timed(name: String)(f: => Unit): (String, Double, Long) = {
+          val t0 = System.nanoTime()
+          f
+          ((name, (System.nanoTime() - t0) / 1e9, nSeqs))
+        }
+        val r = Seq(
+          timed("tokbin_export") {
+            sources.TokBin.write(shard, s"$base/bin")
+          },
+          timed("tokbin_export_parquet_anchor") {
+            shard.write.mode("overwrite").parquet(s"$base/pq")
+          })
+        shard.unpersist()
+        val bp = new org.apache.hadoop.fs.Path(base)
+        bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(bp, true)
+        r
+      }
+    } ++ {
       // r12: IVF append DRIFT probe — backs appendIvfIndex's "rebuild on
       // the nightly cadence" scaladoc with a measured number. Appends
       // assign new vectors to their nearest EXISTING centroid (no refit),

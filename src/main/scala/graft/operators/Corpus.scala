@@ -1960,11 +1960,18 @@ object Corpus {
     val cap = 4194303
     // limit bounds the driver collect itself (the tokenVocab rule); the
     // id-space check below is against the DENSE cap decodeIds relies on
-    val fresh = pieces.select(col(pieceCol).cast("string").as("piece"))
+    val collected = pieces.select(col(pieceCol).cast("string").as("piece"))
       .where(col("piece").isNotNull)
       .distinct().orderBy("piece").limit(cap + 1)
       .collect().map(_.getString(0))
-      .filterNot(known)
+    // a full limit(cap+1) result means the increment's distinct count
+    // exceeded the collect bound — pieces sorting past it were DROPPED,
+    // and silently extending with a truncated increment would freeze
+    // wrong ids forever (tokenVocab's loud-failure rule; r13 review)
+    require(collected.length <= cap,
+      s"extendVocab: more than $cap distinct pieces in the increment — " +
+        "a vocabulary extension must be tokenizer-sized")
+    val fresh = collected.filterNot(known)
     require(maxId.toLong + fresh.length <= cap,
       s"extendVocab: extension would push the max id past $cap — the " +
         "id space must stay tokenizer-sized (dense decode contract)")

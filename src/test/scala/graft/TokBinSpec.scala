@@ -183,6 +183,19 @@ class TokBinSpec extends AnyFunSuite {
     assert(msgs(err).exists(_.contains("truncated")))
   }
 
+  test("CREATE TABLE format='tokbin' registers exported shards for SQL-side audits (r13)") {
+    val df = Seq(Seq(7, 8), Seq(9)).toDF("seq_ids")
+    val dir = tmpDir("ctx")
+    TokBin.write(df.coalesce(1), dir)
+    val ctx = new Context(spark)
+    ctx.createTableFromPath("shard_audit", dir, format = "tokbin")
+    val got = ctx.sql(
+      "SELECT count(*) AS n, sum(n_tokens) AS toks FROM shard_audit")
+      .head()
+    assert(got.getLong(0) == 2L && got.getLong(1) == 3L)
+    ctx.dropTable("shard_audit")
+  }
+
   test("EXPORT TABLE format='tokbin' statement: shard_by layout, overwrite guard, round trip (r13)") {
     val ctx = new Context(spark)
     val docs = Tables.t(spark, TestSpark.sf, "documents")
