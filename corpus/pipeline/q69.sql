@@ -1,0 +1,2 @@
+ALTER VOCAB pipeline_uni_vocab APPEND AS
+SELECT explode(split(lower(text), ' ')) AS piece FROM documents

@@ -1,0 +1,3 @@
+CREATE OR REPLACE TABLE pipeline_shard AS
+SELECT * FROM PACK(CAPACITY 256 WITH (materialize = 'true', ids = 'token_ids', group = 'source'),
+SELECT doc_id, source, token_ids FROM pipeline_tok_ids)

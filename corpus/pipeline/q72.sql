@@ -1,0 +1,1 @@
+CREATE OR REPLACE TABLE pipeline_shard_audit WITH (location = '/tmp/graft_pipeline_tokbin', format = 'tokbin')

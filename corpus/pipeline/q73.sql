@@ -1,0 +1,1 @@
+SELECT count(*) AS n_seqs, sum(n_tokens) AS n_tokens FROM pipeline_shard_audit
