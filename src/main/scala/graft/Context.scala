@@ -986,6 +986,52 @@ class Context(val spark: SparkSession) {
       toDf2(graft.operators.IndexHealth.describe(spark, name, meta),
         "metric", "value")
 
+    // DESCRIBE VOCAB name — health surface for the shard-critical
+    // artifact (the DESCRIBE ... INDEX analogue, r13): ONE aggregate over
+    // the tokenizer-sized table, scalars only to the driver. Reports the
+    // decodeIds dense-id contract (dense='true' ⇔ ids are exactly 0..V,
+    // no duplicates), the compiled byte size under encodeIds' own sizing
+    // rule, which dispatch route encode/decode will take (plan literal
+    // vs per-executor broadcast at the 8 MB ceiling), and the id
+    // headroom left before the hard cap an APPEND chain can consume.
+    case DescribeVocab(name) =>
+      val vocab = lookupTable(name)
+      require(vocab.columns.contains("piece") && vocab.columns.contains("id"),
+        s"table '$name' is not a vocabulary — expected (piece, id) " +
+          "columns (a CTAS'd VOCAB result)")
+      val r = vocab.select(
+        count(lit(1)).as("rows"),
+        countDistinct(col("piece")).as("dp"),
+        countDistinct(col("id")).as("di"),
+        min(col("id").cast("int")).as("min_id"),
+        max(col("id").cast("int")).as("max_id"),
+        sum(octet_length(col("piece").cast("string")).cast("long") + lit(4L))
+          .as("bytes"),
+        max(when(col("id") === 0, col("piece").cast("string"))).as("unk"))
+        .head()
+      val rows = r.getLong(0)
+      require(rows > 0, s"vocabulary '$name' is empty")
+      val (dp, di) = (r.getLong(1), r.getLong(2))
+      val (minId, maxId) = (r.getInt(3), r.getInt(4))
+      val bytes = r.getLong(5)
+      val dense = di == rows && dp == rows && minId == 0 &&
+        maxId.toLong == rows - 1
+      toDf2(Seq(
+        "pieces" -> rows.toString,
+        "max_id" -> maxId.toString,
+        "unk_piece" -> Option(r.getString(6)).getOrElse(""),
+        // decodeIds' dense-array contract: false names the violation
+        "dense" -> dense.toString,
+        "duplicate_pieces" -> (rows - dp).toString,
+        "duplicate_ids" -> (rows - di).toString,
+        "bytes" -> bytes.toString,
+        "dispatch_route" -> (if (bytes <=
+            graft.operators.Corpus.VocabLiteralMaxBytes) "literal"
+          else "broadcast"),
+        "id_headroom" ->
+          (graft.operators.Corpus.VocabIdCap - maxId).toString),
+        "metric", "value")
+
     // SELECT * FROM DECONTAMINATE(TABLE bench [WITH (...)], <train select>)
     // — benchmark-contamination annotation as a statement: the registered
     // benchmark table's n-gram set is broadcast against the inner query's

@@ -150,6 +150,11 @@ object ExtensionParser {
     * move — so int32 shards survive corpus growth (Corpus.extendVocab). */
   final case class AlterVocabAppend(name: String,
       options: Map[String, String], select: String) extends Statement
+  /** Vocabulary health surface (the DESCRIBE ... INDEX analogue for the
+    * shard-critical artifact): piece count, id density (the decodeIds
+    * dense-array contract), duplicate detection, byte size, and which
+    * dispatch route (plan literal vs broadcast) encode/decode will take. */
+  final case class DescribeVocab(name: String) extends Statement
 
   private val ws = "\\s+"
   private def kw(s: String) = s.split(" ").mkString(ws)
@@ -260,6 +265,9 @@ object ExtensionParser {
   // DESCRIBE DEDUP|SIMSEARCH INDEX name
   private val describeIndex =
     re(s"DESCRIBE${ws}(DEDUP|SIMSEARCH)${ws}INDEX${ws}$ident")
+  // DESCRIBE VOCAB name
+  private val describeVocab =
+    re(s"DESCRIBE${ws}VOCAB${ws}$ident")
   // SELECT * FROM DECONTAMINATE(TABLE bench [WITH (...)], <train select>)
   private val decontaminate =
     re(s"SELECT${ws}\\*${ws}FROM${ws}DECONTAMINATE\\s*\\(\\s*TABLE${ws}$ident(?:${ws}WITH${ws}\\($kwSpan\\))?\\s*,(.*)\\)")
@@ -345,6 +353,8 @@ object ExtensionParser {
         Option(kwargs).map(parseKwargs).getOrElse(Map()))
     case describeIndex(kind, name) =>
       DescribeIndex(kind.toLowerCase, name)
+    case describeVocab(name) =>
+      DescribeVocab(name)
     case decontaminate(table, kwargs, select) =>
       Decontaminate(table,
         Option(kwargs).map(parseKwargs).getOrElse(Map()), select.trim)

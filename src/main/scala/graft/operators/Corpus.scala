@@ -1916,7 +1916,7 @@ object Corpus {
     // caller who points this at raw corpus words at scale must fail
     // loudly, not OOM the driver. limit(cap+1) bounds the collect itself;
     // orderBy in Spark = UTF8String byte order; collect preserves it
-    val cap = 4194303
+    val cap = VocabIdCap
     val ps = pieces.select(col(pieceCol).cast("string").as("piece"))
       .where(col("piece").isNotNull && col("piece") =!= unkPiece)
       .distinct().orderBy("piece").limit(cap + 1)
@@ -1957,7 +1957,7 @@ object Corpus {
       "extendVocab: negative ids — not a tokenVocab-shaped vocabulary")
     val maxId = existing.iterator.map(_._2).max
     val known = existing.iterator.map(_._1).toSet
-    val cap = 4194303
+    val cap = VocabIdCap
     // limit bounds the driver collect itself (the tokenVocab rule); the
     // id-space check below is against the DENSE cap decodeIds relies on
     val collected = pieces.select(col(pieceCol).cast("string").as("piece"))
@@ -2039,6 +2039,10 @@ object Corpus {
     * stay comfortably under it and keep the faster literal route. */
   private[graft] val VocabLiteralMaxBytes: Long = 8L << 20
 
+  /** Hard ceiling of the dense id space (tokenVocab/extendVocab/decodeIds
+    * share it): a vocabulary is tokenizer-sized by contract. */
+  private[graft] val VocabIdCap: Int = 4194303
+
   private def utf8Bytes(s: String): Long =
     s.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong
 
@@ -2071,7 +2075,7 @@ object Corpus {
       .collect().map(r => (r.getInt(0), r.getString(1)))
     require(rows.nonEmpty, "decodeIds: empty vocabulary")
     val maxId = rows.iterator.map(_._1).max
-    require(rows.forall(_._1 >= 0) && maxId < 4194304,
+    require(rows.forall(_._1 >= 0) && maxId <= VocabIdCap,
       s"decodeIds expects dense non-negative ids (tokenVocab's contract); " +
         s"got max id $maxId")
     val arr = new Array[String](maxId + 1)

@@ -385,6 +385,38 @@ class CorpusSqlSpec extends AnyFunSuite {
     ctx.sql("DROP TABLE av_vocab")
   }
 
+  test("DESCRIBE VOCAB: dense contract, byte size, dispatch route, id headroom (r13)") {
+    ctx.sql("""CREATE OR REPLACE VIEW dv_pieces AS
+      |SELECT explode(filter(split(lower(text), ' '), x -> x <> '')) AS piece
+      |FROM documents""".stripMargin)
+    ctx.sql("CREATE OR REPLACE TABLE dv_vocab AS " +
+      "SELECT * FROM VOCAB(TABLE dv_pieces)")
+    val m = ctx.sql("DESCRIBE VOCAB dv_vocab")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val n = ctx.sql("SELECT count(*) FROM dv_vocab").head().getLong(0)
+    assert(m("pieces") == n.toString && m("max_id") == (n - 1).toString)
+    assert(m("unk_piece") == "<unk>" && m("dense") == "true")
+    assert(m("duplicate_pieces") == "0" && m("duplicate_ids") == "0")
+    // byte size is encodeIds' own sizing rule (utf8 bytes + 4/row) and a
+    // tokenizer-sized vocab rides the literal route
+    val bytes = ctx.sql(
+      "SELECT sum(octet_length(piece) + 4) FROM dv_vocab").head().getLong(0)
+    assert(m("bytes") == bytes.toString && m("dispatch_route") == "literal")
+    assert(m("id_headroom") == (4194303 - (n - 1)).toString)
+    // a hand-built table violating the dense contract says so
+    ctx.sql("CREATE OR REPLACE VIEW dv_bad AS SELECT * FROM VALUES " +
+      "('<unk>', 0), ('a', 2), ('b', 2) AS t(piece, id)")
+    val bad = ctx.sql("DESCRIBE VOCAB dv_bad")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(bad("dense") == "false" && bad("duplicate_ids") == "1")
+    // not-a-vocab refuses with the ALTER VOCAB message
+    val err = intercept[IllegalArgumentException] {
+      ctx.sql("DESCRIBE VOCAB documents")
+    }
+    assert(err.getMessage.contains("not a vocabulary"))
+    ctx.sql("DROP TABLE dv_vocab")
+  }
+
   test("SCORE bm25/blocklist equal the Scala APIs and honor their kwargs") {
     val viaSql = ctx.sql(
       """SELECT * FROM SCORE(METHOD bm25 WITH (terms = 'hash,join', k1 = 2.0, b = 0.5),

@@ -131,6 +131,8 @@ class ExtensionParserSpec extends AnyFunSuite {
     val AlterVocabAppend(vn2, vaOpts2, _) = parse(
       "ALTER VOCAB v2 APPEND AS SELECT piece FROM p"): @unchecked
     assert(vn2 == "v2" && vaOpts2.isEmpty)
+    val DescribeVocab(dv) = parse("DESCRIBE VOCAB my_vocab"): @unchecked
+    assert(dv == "my_vocab")
   }
 
   test("standard SQL with WITH clauses still falls through") {
