@@ -889,6 +889,50 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("ALTER SIMSEARCH INDEX REBUILD replays ivf geometry; appended volume folds in, full probe == brute (r13)") {
+    import org.apache.spark.sql.functions.pmod
+    val ctx = new Context(spark)
+    val emb = Tables.t(spark, TestSpark.sf, "embeddings")
+    ctx.createTable("rbv_vecs", emb.filter(pmod(col("vec_id"), lit(2)) === 0))
+    ctx.createTable("rbv_inc", emb.filter(pmod(col("vec_id"), lit(2)) === 1))
+    try {
+      ctx.sql("""CREATE SIMSEARCH INDEX rbv_idx ON rbv_vecs
+        |WITH (n_cells = 4, n_buckets = 2)""".stripMargin)
+      def metrics(): Map[String, String] =
+        ctx.sql("DESCRIBE SIMSEARCH INDEX rbv_idx")
+          .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(metrics()("rows_appended").toLong == 0L)
+      ctx.sql("ALTER SIMSEARCH INDEX rbv_idx APPEND AS SELECT * FROM rbv_inc")
+      assert(metrics()("rows_appended").toLong > 0L)
+      // REBUILD AS the full set: geometry replays from meta (cell_count
+      // stays 4 — nearest-existing-centroid appends became a real refit),
+      // rows_at_build re-records, appended_frac resets
+      ctx.sql("""CREATE OR REPLACE VIEW rbv_all AS
+        |SELECT * FROM rbv_vecs UNION ALL SELECT * FROM rbv_inc""".stripMargin)
+      ctx.sql("ALTER SIMSEARCH INDEX rbv_idx REBUILD AS SELECT * FROM rbv_all")
+      val m2 = metrics()
+      assert(m2("cell_count").toLong == 4L &&
+        m2("rows_appended").toLong == 0L &&
+        m2("rows_at_build").toLong == emb.count())
+      // the rebuilt index SERVES every row: full-fan-out probe == brute
+      // force over base+increment (the KMeans-independent equality)
+      val viaIdx = ctx.sql(
+        """SELECT * FROM SIMSEARCH(TABLE rbv_all, METHOD ivf_index, K 3
+          |WITH (index = 'rbv_idx', n_probe = 4),
+          |SELECT vec_id, embedding FROM rbv_all WHERE vec_id < 5)""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+      val brute = graft.operators.Similarity.bruteForceTopK(
+          emb, emb.filter(col("vec_id") < 5), k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+      assert(viaIdx == brute && viaIdx.nonEmpty)
+    } finally {
+      graft.operators.OpCache.release(spark)
+      Seq("rbv_idx_cells", "rbv_idx_centroids", "rbv_idx_meta")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      spark.sql("DROP VIEW IF EXISTS rbv_all")
+    }
+  }
+
   test("minhash LSH recall matches exhaustive jaccard at sf0.001") {
     val d = Tables.t(spark, TestSpark.sf, "documents")
     val lsh = TextDedup.minhashDedupPairs(d, "doc_id", "text", threshold = 0.5)
