@@ -1588,29 +1588,33 @@ class Context(val spark: SparkSession) {
         // media or crawl corpus (expects the writer's record columns:
         // warc_type, record_id, target_uri, warc_date, content_type,
         // content). Same destructive-write guard as the generic path.
-        case "warc" =>
-          val fs = new org.apache.hadoop.fs.Path(location).getFileSystem(
-            spark.sparkContext.hadoopConfiguration)
-          if (fs.exists(new org.apache.hadoop.fs.Path(location)) &&
-              !opts.get("mode").map(_.trim).contains("overwrite"))
-            throw new IllegalArgumentException(
-              s"EXPORT TABLE: $location exists; pass mode='overwrite' to replace")
-          graft.sources.Warc.write(sorted, location,
-            gzip = opts.get("gzip").forall(_.trim.toBoolean))
-        // raw int32 token-shard sink (r13): one flat little-endian .bin +
-        // (offset, length) .idx sidecar per shard — the file a trainer
-        // memory-maps (sources.TokBin; ids= names the array<int> column,
-        // default seq_ids = the PACK materialize ids= output shape).
-        // Same destructive-write guard as the WARC path.
-        case "tokbin" =>
-          val fs = new org.apache.hadoop.fs.Path(location).getFileSystem(
-            spark.sparkContext.hadoopConfiguration)
-          if (fs.exists(new org.apache.hadoop.fs.Path(location)) &&
-              !opts.get("mode").map(_.trim).contains("overwrite"))
-            throw new IllegalArgumentException(
-              s"EXPORT TABLE: $location exists; pass mode='overwrite' to replace")
-          graft.sources.TokBin.write(sorted, location,
-            idsCol = opts.getOrElse("ids", "seq_ids"))
+        // the custom distributed writers (WARC members, raw int32 token
+        // shards) write one part file per partition by NAME — so
+        // mode='overwrite' must DELETE the location first: a previous
+        // export with MORE shards would otherwise leave stale part files
+        // behind that the readers (format('warc'|'tokbin')) silently fold
+        // into the new dataset (r13 review). Spark's own file sinks
+        // truncate the directory on overwrite for exactly this reason.
+        case fmt @ ("warc" | "tokbin") =>
+          val p = new org.apache.hadoop.fs.Path(location)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) {
+            if (!opts.get("mode").map(_.trim).contains("overwrite"))
+              throw new IllegalArgumentException(
+                s"EXPORT TABLE: $location exists; pass mode='overwrite' to replace")
+            fs.delete(p, true)
+          }
+          if (fmt == "warc")
+            graft.sources.Warc.write(sorted, location,
+              gzip = opts.get("gzip").forall(_.trim.toBoolean))
+          else
+            // raw int32 token-shard sink (r13): one flat little-endian
+            // .bin + (offset, length) .idx sidecar per shard — the file a
+            // trainer memory-maps (sources.TokBin; ids= names the
+            // array<int> column, default seq_ids = the PACK materialize
+            // ids= output shape)
+            graft.sources.TokBin.write(sorted, location,
+              idsCol = opts.getOrElse("ids", "seq_ids"))
         case fmt =>
           // destructive-write guard (round-5 ADVICE): the location is an
           // arbitrary user-supplied path, so clobbering must be opt-in —

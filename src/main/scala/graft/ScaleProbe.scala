@@ -988,6 +988,45 @@ object ScaleProbe {
         r
       }
     } ++ {
+      // r13 (r12 verdict #2's done-criterion): the token-ID dispatch at a
+      // genuinely OVERSIZED vocabulary — ~700k synthetic pieces (~11 MB
+      // collected, past the 8 MB plan-literal ceiling), so auto-dispatch
+      // takes the broadcast route; the literal route is then FORCED on
+      // the same vocab for the cost comparison. The broadcast route must
+      // not lose per-row throughput — it trades a per-task 11 MB binary
+      // for a once-per-executor block, the bloomProbe economics.
+      if (!wanted("vocab_dispatch")) Seq.empty
+      else {
+        import spark.implicits._
+        val synth = (0 until 600000).map { i =>
+          var x = (i * 2654435761L + 977L) & 0x7fffffffL
+          val sb = new StringBuilder("q")
+          (0 until 11).foreach { _ =>
+            sb.append(('a' + (x % 26)).toChar)
+            x = (x * 6364136223846793005L + 1442695040888963407L) &
+              0x7fffffffL
+          }
+          sb.result()
+        }
+        val vocabBig = operators.Corpus.tokenVocab(
+          (oovVocab100k(spark) ++ synth).distinct.toDF("piece"))
+        val toks = docs.select(col("doc_id"),
+          filter(split(lower(col("text")), " "), t => t =!= "").as("tokens"))
+          .cache()
+        toks.count()
+        val r = Seq(
+          time("vocab_dispatch_broadcast") { // auto route: > 8 MB
+            operators.Corpus.encodeIds(toks, "doc_id", "tokens", vocabBig)
+          },
+          time("vocab_dispatch_literal_forced") {
+            operators.Corpus.encodeIds(toks, "doc_id", "tokens", vocabBig,
+              literalMaxBytes = Long.MaxValue)
+          }).flatten
+        operators.OpCache.release(spark)
+        toks.unpersist()
+        r
+      }
+    } ++ {
       // r13: tokbin sink throughput at clone scale — the raw int32
       // export must track the parquet export (same rows, executor-side
       // streams either way), proving the trainer-artifact sink adds no

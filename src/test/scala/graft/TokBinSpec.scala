@@ -225,4 +225,24 @@ class TokBinSpec extends AnyFunSuite {
       |format = 'tokbin', mode = 'overwrite')""".stripMargin)
     ctx.dropTable("tb_shard")
   }
+
+  test("EXPORT overwrite truncates the location: no stale shards from a wider previous export (r13 review)") {
+    val ctx = new Context(spark)
+    ctx.createTable("tb_wide",
+      Seq(Seq(1), Seq(2), Seq(3), Seq(4)).toDF("seq_ids"))
+    val dir = tmpDir("trunc")
+    ctx.sql(s"""EXPORT TABLE tb_wide WITH (location = '$dir',
+      |format = 'tokbin', shards = 4)""".stripMargin)
+    assert(partFiles(dir).size == 4)
+    // re-export NARROWER with overwrite: a name-based writer would leave
+    // part-00001..3 behind and the reader would fold them in
+    ctx.createTable("tb_narrow", Seq(Seq(9, 9)).toDF("seq_ids"))
+    ctx.sql(s"""EXPORT TABLE tb_narrow WITH (location = '$dir',
+      |format = 'tokbin', shards = 1, mode = 'overwrite')""".stripMargin)
+    assert(partFiles(dir).size == 1)
+    val got = spark.read.format("tokbin").load(dir)
+      .collect().map(_.getSeq[Int](3).toList).toSeq
+    assert(got == Seq(List(9, 9)))
+    ctx.dropTable("tb_wide"); ctx.dropTable("tb_narrow")
+  }
 }
