@@ -1183,20 +1183,51 @@ class Context(val spark: SparkSession) {
         case Some(n) => n.toInt
         case None => 1
       }
+      // order= selects the within-group PACK ORDER (r13): 'id' (default,
+      // raw corpus order), 'shuffle' (seeded deterministic md5 shuffle —
+      // seed= re-deals it), or 'column' (curriculum: order_col= asc, or
+      // desc with order_desc='true'; id always tie-breaks). A pure
+      // projection key inside the same single window — no extra shuffle.
+      val packOrder: Option[org.apache.spark.sql.Column] =
+        opts.get("order").map(_.trim.toLowerCase) match {
+          case None | Some("id") =>
+            require(!opts.contains("seed") && !opts.contains("order_col") &&
+                !opts.contains("order_desc"),
+              "PACK: seed=/order_col=/order_desc= require order='shuffle' " +
+                "or order='column' — with the default id order they would " +
+                "be silently ignored")
+            None
+          case Some("shuffle") =>
+            require(!opts.contains("order_col") && !opts.contains("order_desc"),
+              "PACK: order_col=/order_desc= belong to order='column'")
+            Some(graft.operators.Corpus.shuffleKey(
+              packId, opts.getOrElse("seed", "pack|")))
+          case Some("column") =>
+            require(!opts.contains("seed"),
+              "PACK: seed= belongs to order='shuffle'")
+            val oc = opts.getOrElse("order_col", throw new
+              IllegalArgumentException(
+                "PACK: order='column' requires order_col=<column>"))
+            Some(if (opts.get("order_desc").exists(_.trim.toBoolean))
+              col(oc.trim).desc else col(oc.trim))
+          case Some(other) => throw new IllegalArgumentException(
+            s"Unknown PACK order: $other (id|shuffle|column)")
+        }
       if (packMat && opts.contains("ids"))
         graft.operators.Corpus.materializePackedIds(
           packDf, packId, opts("ids").trim, packGroup, capacity,
           eosId = opts.get("eos_id").map(_.trim.toInt).getOrElse(0),
-          subShards = packShards)
+          subShards = packShards, orderKey = packOrder)
       else if (packMat)
         graft.operators.Corpus.materializePacked(
           packDf, packId, opts.getOrElse("text", "text"), packTokens,
           packGroup, capacity, eos = opts.getOrElse("eos", " <eos> "),
-          subShards = packShards)
+          subShards = packShards, orderKey = packOrder)
       else
         graft.operators.Corpus.packSequences(
           packDf, idCol = packId, tokensCol = packTokens,
-          groupCol = packGroup, capacity = capacity, subShards = packShards)
+          groupCol = packGroup, capacity = capacity, subShards = packShards,
+          orderKey = packOrder)
 
     // SELECT * FROM SCORE(METHOD m [WITH (...)], <select>) — document
     // scoring: corpus-LM perplexity (self-scored unigram/bigram MLE, or

@@ -181,10 +181,21 @@ object Corpus {
     * rows per group the flat single-task window is FASTER (6.2 s vs
     * 10.7 s at 500k — the sharded form pays finer aggregation); at 2M
     * rows the flat task is spill-bound and sharding wins 4× (7.9 s vs
-    * 31.4 s), growing with volume — activate past ~1M rows/group. */
+    * 31.4 s), growing with volume — activate past ~1M rows/group.
+    *
+    * PACK ORDER (r13): `orderKey` replaces raw corpus-id order as the
+    * within-group packing order — trainers never want sequences in crawl
+    * order. [[shuffleKey]] gives the seeded deterministic shuffle
+    * (documents from one site/dump stop landing in consecutive
+    * sequences); a score column (asc/desc) gives curriculum order.
+    * `idCol` always tie-breaks, so any key — even a constant — stays
+    * deterministic. The key is a pure projection evaluated inside the
+    * SAME single per-group window sort: no extra shuffle, no extra pass,
+    * identical scale shape at any order. */
   def packSequences(
       df: DataFrame, idCol: String, tokensCol: String, groupCol: String,
-      capacity: Long, subShards: Int = 1): DataFrame = {
+      capacity: Long, subShards: Int = 1,
+      orderKey: Option[Column] = None): DataFrame = {
     require(capacity > 0, "capacity must be positive")
     require(subShards >= 1, "subShards must be >= 1")
     // the sub-shard key is a NEW output column — a corpus frame carrying
@@ -196,13 +207,24 @@ object Corpus {
         pmod(xxhash64(col(idCol).cast("string")), lit(subShards))),
         Seq(col(groupCol), col("shard")))
     val w = Window.partitionBy(parts: _*)
-      .orderBy(col(idCol)).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      .orderBy(orderKey.toSeq :+ col(idCol): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     base.withColumn("_cum", sum(col(tokensCol).cast("long")).over(w))
       .withColumn("_before", col("_cum") - col(tokensCol).cast("long"))
       .withColumn("bin", floor(col("_before") / capacity))
       .withColumn("bin_offset", pmod(col("_before"), lit(capacity)))
       .drop("_cum", "_before")
   }
+
+  /** Seeded deterministic SHUFFLE key for [[packSequences]]' `orderKey` —
+    * `md5(seed || id)`, the [[sampleDeterministic]] rule: no RNG state,
+    * restartable mid-job, identical on every engine (DuckDB's `md5` emits
+    * the same lowercase hex), so a shuffled pack is oracle-replayable as
+    * `ORDER BY md5(seed || CAST(id AS VARCHAR)), id`. Changing the seed
+    * re-deals the whole training order; a pure per-row projection, so the
+    * pack's scale shape is unchanged. */
+  def shuffleKey(idCol: String, seed: String = "pack|"): Column =
+    md5(concat(lit(seed), col(idCol).cast("string")))
 
   /** Document chunking: split each document into overlapping token windows
     * of `size` tokens every `stride` tokens (stride < size ⇒ overlap) —
@@ -225,13 +247,19 @@ object Corpus {
     * [[packSequences]] assigns a document to the bin of its START offset,
     * so a straddling (or over-capacity) document extends its bin by up to
     * its own length — trainers that need a hard cap split such documents
-    * upstream ([[chunkDocuments]] with size=capacity) before packing. */
+    * upstream ([[chunkDocuments]] with size=capacity) before packing.
+    *
+    * With a custom `orderKey`, in-bin order is still exact: offsets are
+    * strictly increasing along the pack order, so the in-row offset sort
+    * reproduces it. The one tie possible — zero-token documents sharing
+    * an offset — falls back to id order in-row (they contribute only a
+    * separator, so sequence CONTENT is unaffected for id packs). */
   def materializePacked(
       df: DataFrame, idCol: String, textCol: String, tokensCol: String,
       groupCol: String, capacity: Long, eos: String = " <eos> ",
-      subShards: Int = 1): DataFrame = {
+      subShards: Int = 1, orderKey: Option[Column] = None): DataFrame = {
     val packed = packSequences(df, idCol, tokensCol, groupCol, capacity,
-      subShards)
+      subShards, orderKey)
     val keys = if (subShards == 1) Seq(col(groupCol), col("bin"))
                else Seq(col(groupCol), col("shard"), col("bin"))
     packed.groupBy(keys: _*)
@@ -2117,7 +2145,8 @@ object Corpus {
     * second window), same straddle bound as [[materializePacked]]. */
   def materializePackedIds(
       df: DataFrame, idCol: String, idsCol: String, groupCol: String,
-      capacity: Long, eosId: Int = 0, subShards: Int = 1): DataFrame = {
+      capacity: Long, eosId: Int = 0, subShards: Int = 1,
+      orderKey: Option[Column] = None): DataFrame = {
     requireNoClash(df, Set("_ids", "_nt"), "materializePackedIds")
     // a NULL id array (a null-text doc through TOKENIZE emit='ids')
     // packs as a zero-token document — size(null) would otherwise poison
@@ -2127,7 +2156,7 @@ object Corpus {
         coalesce(col(idsCol), array().cast(df.schema(idsCol).dataType)))
       .withColumn("_nt", size(col("_ids")).cast("long"))
     val packed = packSequences(withN, idCol, "_nt", groupCol, capacity,
-      subShards)
+      subShards, orderKey)
     val keys = if (subShards == 1) Seq(col(groupCol), col("bin"))
                else Seq(col(groupCol), col("shard"), col("bin"))
     packed.groupBy(keys: _*)

@@ -3072,5 +3072,61 @@ object CorpusQueries {
           concat_ws(" ", col("seq_ids")).as("ids"))
         .orderBy("seq")
     },
+
+    // SHUFFLED PACK ORDER (r13): trainers never pack in raw corpus order —
+    // consecutive crawl ids are correlated (same site, same dump), so the
+    // pack order is a seeded deterministic shuffle: md5(seed || id), the
+    // sampleDeterministic rule, replayed exactly by DuckDB's md5. Every
+    // document's (bin, bin_offset) under the shuffled order is hash-gated;
+    // changing the seed re-deals the order, re-running does not.
+    Q("p106_pack_shuffled", Some("""
+      WITH tok AS (SELECT doc_id, source,
+             CAST(len(string_split(lower(text),' ')) AS BIGINT) AS nt
+           FROM documents),
+      w AS (SELECT doc_id, source, nt,
+              sum(nt) OVER (PARTITION BY source
+                            ORDER BY md5('p106|' || CAST(doc_id AS VARCHAR)),
+                                     doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+            FROM tok)
+      SELECT doc_id, source, nt,
+        CAST(floor((cum - nt) / 256.0) AS BIGINT) AS bin,
+        CAST((cum - nt) % 256 AS BIGINT) AS bin_offset
+      FROM w ORDER BY doc_id""")) { (s, d) =>
+      import graft.functions.TextAnalysis
+      val docs = t(s, d, "documents").select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).as("nt"))
+      Corpus.packSequences(docs, "doc_id", "nt", "source", 256L,
+          orderKey = Some(Corpus.shuffleKey("doc_id", "p106|")))
+        .orderBy("doc_id")
+    },
+
+    // CURRICULUM PACK ORDER (r13): order='column' — here longest-first
+    // (nt desc, id tie-break) through the MATERIALIZED pack, so the
+    // oracle also certifies that the in-row offset sort reproduces a
+    // non-id order end-to-end in the final sequence text.
+    Q("p107_pack_curriculum", Some("""
+      WITH tok AS (SELECT doc_id, source, text,
+             CAST(len(string_split(lower(text),' ')) AS BIGINT) AS nt
+           FROM documents),
+      w AS (SELECT doc_id, source, text, nt,
+              sum(nt) OVER (PARTITION BY source ORDER BY nt DESC, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+            FROM tok),
+      b AS (SELECT doc_id, source, text, nt,
+              CAST(floor((cum - nt) / 256.0) AS BIGINT) AS bin,
+              (cum - nt) % 256 AS off
+            FROM w)
+      SELECT source, bin, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(nt) AS BIGINT) AS n_tokens,
+             string_agg(text, ' <eos> ' ORDER BY off, doc_id) AS seq_text
+      FROM b GROUP BY source, bin ORDER BY source, bin""")) { (s, d) =>
+      import graft.functions.TextAnalysis
+      val docs = t(s, d, "documents").select(col("doc_id"), col("source"),
+        col("text"), TextAnalysis.tokenCount(col("text")).as("nt"))
+      Corpus.materializePacked(docs, "doc_id", "text", "nt", "source", 256L,
+          orderKey = Some(col("nt").desc))
+        .orderBy("source", "bin")
+    },
   )
 }

@@ -412,6 +412,49 @@ class CorpusSpec extends AnyFunSuite {
       (10L, 0L, 0L), (11L, 1L, 44L)))
   }
 
+  test("packSequences orderKey: shuffle re-deals order per seed, preserves pack invariants") {
+    val docs = (1L to 40L).map(i => (i, if (i <= 20) "g1" else "g2", 10L + i % 7))
+      .toDF("doc_id", "grp", "n_tokens")
+    def packed(ok: Option[org.apache.spark.sql.Column]) =
+      Corpus.packSequences(docs, "doc_id", "n_tokens", "grp", 64L, orderKey = ok)
+        .select("doc_id", "grp", "n_tokens", "bin", "bin_offset").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .sortBy(_._1)
+    val idOrder = packed(None)
+    val shufA = packed(Some(Corpus.shuffleKey("doc_id", "sA|")))
+    val shufA2 = packed(Some(Corpus.shuffleKey("doc_id", "sA|")))
+    val shufB = packed(Some(Corpus.shuffleKey("doc_id", "sB|")))
+    // deterministic: same seed → identical assignment; different seed or
+    // id order → a different deal (40 docs: collision odds negligible)
+    assert(shufA.sameElements(shufA2))
+    assert(!shufA.sameElements(shufB) && !shufA.sameElements(idOrder))
+    // pack invariants hold under ANY order: offsets in [0, capacity),
+    // per-group totals unchanged, per-(group,bin) start-offsets unique
+    for (s <- Seq(shufA, shufB)) {
+      assert(s.forall(r => r._5 >= 0 && r._5 < 64L))
+      assert(s.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap ==
+        idOrder.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap)
+      assert(s.groupMap(r => (r._2, r._4))(_._5).values.forall(o => o.distinct.size == o.size))
+    }
+  }
+
+  test("materializePackedIds orderKey: sequence content follows the custom order") {
+    // curriculum order: longest-first (n desc, id tie-break) within one group
+    val rows = Seq(
+      (1L, "g", Seq(1, 2)),          // 2 tokens
+      (2L, "g", Seq(3, 4, 5, 6)),    // 4 tokens
+      (3L, "g", Seq(7, 8, 9, 10)),   // 4 tokens (ties with doc 2 → id order)
+      (4L, "g", Seq(11)))            // 1 token
+      .toDF("doc_id", "grp", "ids")
+    val out = Corpus.materializePackedIds(rows, "doc_id", "ids", "grp", 100L,
+        eosId = 0, orderKey = Some(size(col("ids")).desc))
+      .select("bin", "seq_ids").collect()
+    assert(out.length == 1)
+    // order: doc2 (4), doc3 (4, id tie), doc1 (2), doc4 (1)
+    assert(out(0).getSeq[Int](1) ==
+      Seq(3, 4, 5, 6, 0, 7, 8, 9, 10, 0, 1, 2, 0, 11))
+  }
+
   test("connectedComponents labels a chain, a pair, and leaves singleton edges alone") {
     // chain 5-4-3-2-1 (worst case for propagation), separate pair 10-11
     val pairs = Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L), (10L, 11L))

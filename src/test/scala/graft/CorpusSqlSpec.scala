@@ -305,6 +305,34 @@ class CorpusSqlSpec extends AnyFunSuite {
     assert(viaSql == direct && viaSql.nonEmpty)
   }
 
+  test("PACK order='shuffle'/'column' equal the Scala API; bad combos refuse (r13)") {
+    val inner = "SELECT doc_id, source, " +
+      "CAST(size(split(lower(text), ' ')) AS BIGINT) AS n_tokens FROM documents"
+    val tokens = docs.select(col("doc_id"), col("source"),
+      size(split(lower(col("text")), " ")).cast("long").as("n_tokens"))
+    def bins(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "bin", "bin_offset").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val shufSql = ctx.sql(s"""SELECT * FROM PACK(CAPACITY 256
+      |WITH (order = 'shuffle', seed = 's1|'), $inner)""".stripMargin)
+    val shufDirect = Corpus.packSequences(tokens, "doc_id", "n_tokens",
+      "source", 256L, orderKey = Some(Corpus.shuffleKey("doc_id", "s1|")))
+    assert(bins(shufSql) == bins(shufDirect) && bins(shufSql).nonEmpty)
+    val curSql = ctx.sql(s"""SELECT * FROM PACK(CAPACITY 256
+      |WITH (order = 'column', order_col = 'n_tokens', order_desc = 'true'),
+      |$inner)""".stripMargin)
+    val curDirect = Corpus.packSequences(tokens, "doc_id", "n_tokens",
+      "source", 256L, orderKey = Some(col("n_tokens").desc))
+    assert(bins(curSql) == bins(curDirect) && bins(curSql) != bins(shufSql))
+    // option misuse refuses loudly instead of silently ignoring
+    for (bad <- Seq(
+        s"PACK(CAPACITY 256 WITH (seed = 'x'), $inner)",
+        s"PACK(CAPACITY 256 WITH (order = 'shuffle', order_col = 'n'), $inner)",
+        s"PACK(CAPACITY 256 WITH (order = 'column'), $inner)",
+        s"PACK(CAPACITY 256 WITH (order = 'random'), $inner)"))
+      intercept[IllegalArgumentException] { ctx.sql(s"SELECT * FROM $bad") }
+  }
+
   test("PACK ids= without materialize refuses loudly; sub_shards='auto' picks from group size (r13)") {
     val inner = "SELECT doc_id, source, " +
       "CAST(size(split(lower(text), ' ')) AS BIGINT) AS n_tokens FROM documents"
