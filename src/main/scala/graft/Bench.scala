@@ -172,13 +172,6 @@ object Bench {
     // retried up to 3 times each, stopping as soon as the inversion
     // clears, every retry folded into the min.
     val coldMap = results2.toMap
-    // snapshot BEFORE the retry loop (r13, ADVICE): retries fire
-    // disproportionately during contended periods, so folding retry
-    // sentinels into the steady median would inflate it and weaken the
-    // 1.5× steady_contended flag for the regular-pass minima. The median
-    // is computed over the two regular steady passes only; retry
-    // sentinels still ride along per-query as the at-min datum.
-    val regularSteadySentinels = steadySentinels.toSeq
     // per query: (published steady min, sentinel of the window that
     // produced it) — the sentinel is the published min's own evidence
     val steadySentAtMin =
@@ -212,6 +205,11 @@ object Bench {
       spark.catalog.clearCache() // retries do full work too
       names.filter(inverted).foreach { n =>
         steadyRetriedPer(n) = steadyRetriedPer.getOrElse(n, 0) + 1
+        // deliberately NOT appended to steadySentinels (r13, ADVICE):
+        // retries fire disproportionately during contended periods, so
+        // folding their sentinels into the steady median would inflate it
+        // and weaken the 1.5× steady_contended flag for the regular-pass
+        // minima; the retry sentinel rides along per-query only
         val s = sentinelOnce()
         timeOnce(n).foreach { t =>
           if (t < steadyM(n)) { steadyM += n -> t; steadySentAtMin(n) = s }
@@ -275,8 +273,10 @@ object Bench {
     // is always published — a cross-round steady drift divides out the
     // ambient noise floor (r11's uniform 1.37× would have been read
     // straight off the two medians).
+    // median over the two REGULAR steady passes only — the retry loop
+    // above never appends to steadySentinels (see its comment)
     val ssMedian = {
-      val v = regularSteadySentinels.sorted
+      val v = steadySentinels.toSeq.sorted
       if (v.isEmpty) 0.0 else v(v.length / 2)
     }
     val steadyWindows = results2.map(_._1).flatMap(n =>

@@ -1013,7 +1013,22 @@ class Context(val spark: SparkSession) {
       require(rows > 0, s"vocabulary '$name' is empty")
       val (dp, di) = (r.getLong(1), r.getLong(2))
       val (minId, maxId) = (r.getInt(3), r.getInt(4))
-      val bytes = r.getLong(5)
+      val encBytes = r.getLong(5)
+      // decodeIds sizes DIFFERENTLY from encodeIds (dense maxId+1 array,
+      // +8 bytes/slot, duplicate ids collapsed to the binary-smallest
+      // piece — Spark's min on strings), so near the ceiling the two can
+      // take different routes; report both rather than one route
+      // mislabeled as "the" route (r13 review). One extra aggregate over
+      // a tokenizer-sized table.
+      val decPieceBytes = vocab
+        .groupBy(col("id").cast("int").as("_i"))
+        .agg(min(col("piece").cast("string")).as("_p"))
+        .agg(coalesce(sum(octet_length(col("_p")).cast("long")), lit(0L)))
+        .head().getLong(0)
+      val decBytes = decPieceBytes + 8L * (maxId.toLong + 1L)
+      def route(b: Long) =
+        if (b <= graft.operators.Corpus.VocabLiteralMaxBytes) "literal"
+        else "broadcast"
       val dense = di == rows && dp == rows && minId == 0 &&
         maxId.toLong == rows - 1
       toDf2(Seq(
@@ -1024,10 +1039,10 @@ class Context(val spark: SparkSession) {
         "dense" -> dense.toString,
         "duplicate_pieces" -> (rows - dp).toString,
         "duplicate_ids" -> (rows - di).toString,
-        "bytes" -> bytes.toString,
-        "dispatch_route" -> (if (bytes <=
-            graft.operators.Corpus.VocabLiteralMaxBytes) "literal"
-          else "broadcast"),
+        "encode_bytes" -> encBytes.toString,
+        "encode_route" -> route(encBytes),
+        "decode_bytes" -> decBytes.toString,
+        "decode_route" -> route(decBytes),
         "id_headroom" ->
           (graft.operators.Corpus.VocabIdCap - maxId).toString),
         "metric", "value")
@@ -1627,6 +1642,37 @@ class Context(val spark: SparkSession) {
         // into the new dataset (r13 review). Spark's own file sinks
         // truncate the directory on overwrite for exactly this reason.
         case fmt @ ("warc" | "tokbin") =>
+          // the custom writers ignore the generic path's per-file options —
+          // refuse them loudly rather than silently producing unbounded /
+          // un-partitioned shards (r13 review)
+          for (k <- Seq("partition_by", "max_records_per_file") if opts.contains(k))
+            throw new IllegalArgumentException(
+              s"EXPORT TABLE format='$fmt': $k= is not supported by the " +
+                s"$fmt shard writer (use shards=/shard_by=/sort_by=)")
+          // cheap schema validation BEFORE the destructive delete below —
+          // a typo'd ids= or a missing WARC record column must not cost
+          // the previous export (r13 review)
+          if (fmt == "tokbin") {
+            val idsC = opts.getOrElse("ids", "seq_ids")
+            require(df.columns.contains(idsC),
+              s"EXPORT TABLE format='tokbin': no column '$idsC' (pass " +
+                "ids= to name the array<int> sequence column)")
+            val idsOk = df.schema(idsC).dataType match {
+              case org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.IntegerType, _) => true
+              case _ => false
+            }
+            require(idsOk,
+              s"EXPORT TABLE format='tokbin': column '$idsC' must be " +
+                s"array<int>; got ${df.schema(idsC).dataType.sql}")
+          } else {
+            val missing = Seq("warc_type", "record_id", "target_uri",
+              "warc_date", "content_type", "content")
+              .filterNot(df.columns.contains)
+            require(missing.isEmpty,
+              s"EXPORT TABLE format='warc': missing record column(s) " +
+                s"${missing.mkString(", ")}")
+          }
           val p = new org.apache.hadoop.fs.Path(location)
           val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
           if (fs.exists(p)) {

@@ -47,10 +47,13 @@ package graft.operators
   *    TwelveMonkeys plugin jars (`com.twelvemonkeys.imageio:
   *    imageio-tiff|imageio-webp|imageio-jpeg`, Maven Central) on the
   *    classpath — `javax.imageio` discovers reader SPIs automatically,
-  *    so the existing [[ImageIoDecoder]] picks the formats up once its
-  *    magic sniff is widened: register a subclass (format key
-  *    "imageio") that also accepts the TIFF (`II*\0`/`MM\0*`) and WebP
-  *    (`RIFF....WEBP`) magics. Same per-fleet determinism rule as JPEG:
+  *    so the adapter is a thin [[ImageDecoder]] implementation (its own
+  *    format key, e.g. "imageio_tiff") that sniffs the TIFF
+  *    (`II*\0`/`MM\0*`) and WebP (`RIFF....WEBP`) magics and forwards
+  *    the payload to `ImageIO.read` + the [[ImageIoDecoder]] luma rule.
+  *    ([[ImageIoDecoder]] itself is final and keyed "imageio" so
+  *    [[setImageIoJpeg]] can swap exactly it — don't subclass it, stand
+  *    beside it.) Same per-fleet determinism rule as JPEG:
   *    lossless formats are exact anywhere, lossy ones per-JDK+plugin
   *    version.
   *  - Audio MP3/OGG/FLAC: JavaZoom SPI jars (`javazoom:mp3spi`,

@@ -88,7 +88,10 @@ object TokBin {
           idx.write(idxBuf.array(), 0, 16)
           offset += n
         }
-      } finally { bin.close(); idx.close() }
+        // close idx even when bin.close()'s buffered flush throws (disk
+        // full): otherwise the sidecar stream leaks and, on filesystems
+        // that publish data at close, ends up empty/partial (r13 review)
+      } finally { try bin.close() finally idx.close() }
     }
   }
 
@@ -100,8 +103,16 @@ object TokBin {
     def readAll(p: Path): Array[Byte] = {
       val in = fs.open(p)
       try {
-        val len = fs.getFileStatus(p).getLen.toInt
-        val buf = new Array[Byte](len)
+        // a JVM byte array caps at ~2 GiB — this whole-file helper is the
+        // round-trip/recipe reader; shards past the cap must fail LOUDLY
+        // (getLen.toInt used to wrap negative) and go through the
+        // streaming DSv2 source instead (r13 review)
+        val len = fs.getFileStatus(p).getLen
+        require(len <= Int.MaxValue - 8,
+          s"TokBin.readPart: $p is $len bytes — past the single-array " +
+            "cap; read shards this size distributed via " +
+            "spark.read.format(\"tokbin\")")
+        val buf = new Array[Byte](len.toInt)
         in.readFully(0, buf)
         buf
       } finally in.close()

@@ -170,6 +170,14 @@ class TokBinPartitionReader(file: String, required: StructType,
     curOffset = bb.getLong()
     curLen = bb.getLong()
     seqNo += 1
+    // validate HERE, not only on the seq_ids path: a corrupt entry must
+    // fail loudly even for idx-only audits (negative n_tokens), and a
+    // negative offset/length would otherwise surface as an opaque seek
+    // EOF or NegativeArraySizeException deep in get() (r13 review)
+    require(curOffset >= 0 && curLen >= 0 && curLen <= Int.MaxValue / 4,
+      s"tokbin: sequence $seqNo in $file declares (offset=$curOffset, " +
+        s"len=$curLen) — corrupt .idx (a packed sequence is " +
+        "non-negative and capacity-bounded)")
     true
   }
 
@@ -180,10 +188,7 @@ class TokBinPartitionReader(file: String, required: StructType,
         case "seq" => java.lang.Long.valueOf(seqNo)
         case "n_tokens" => java.lang.Long.valueOf(curLen)
         case "seq_ids" =>
-          require(curLen <= Int.MaxValue / 4,
-            s"tokbin: sequence $seqNo in $file declares $curLen tokens — " +
-              "corrupt .idx (a packed sequence is capacity-bounded)")
-          val n = curLen.toInt
+          val n = curLen.toInt // bounds validated in next()
           if (curOffset != binPos) {
             // writer layout is contiguous; honor a non-contiguous index
             // (truncated/hand-sliced) via an explicit seek, never by

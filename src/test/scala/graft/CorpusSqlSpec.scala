@@ -425,11 +425,15 @@ class CorpusSqlSpec extends AnyFunSuite {
     assert(m("pieces") == n.toString && m("max_id") == (n - 1).toString)
     assert(m("unk_piece") == "<unk>" && m("dense") == "true")
     assert(m("duplicate_pieces") == "0" && m("duplicate_ids") == "0")
-    // byte size is encodeIds' own sizing rule (utf8 bytes + 4/row) and a
-    // tokenizer-sized vocab rides the literal route
-    val bytes = ctx.sql(
+    // byte sizes are the operators' OWN sizing rules — encodeIds (utf8
+    // bytes + 4/row) and decodeIds (dense maxId+1 array, utf8 + 8/slot) —
+    // and a tokenizer-sized vocab rides the literal route on both
+    val encBytes = ctx.sql(
       "SELECT sum(octet_length(piece) + 4) FROM dv_vocab").head().getLong(0)
-    assert(m("bytes") == bytes.toString && m("dispatch_route") == "literal")
+    val decBytes = ctx.sql(
+      "SELECT sum(octet_length(piece)) FROM dv_vocab").head().getLong(0) + 8 * n
+    assert(m("encode_bytes") == encBytes.toString && m("encode_route") == "literal")
+    assert(m("decode_bytes") == decBytes.toString && m("decode_route") == "literal")
     assert(m("id_headroom") == (4194303 - (n - 1)).toString)
     // a hand-built table violating the dense contract says so
     ctx.sql("CREATE OR REPLACE VIEW dv_bad AS SELECT * FROM VALUES " +

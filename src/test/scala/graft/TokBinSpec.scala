@@ -183,6 +183,66 @@ class TokBinSpec extends AnyFunSuite {
     assert(msgs(err).exists(_.contains("truncated")))
   }
 
+  test("corrupt .idx (negative offset/length) refuses loudly, even on idx-only audits (r13 review)") {
+    val df = Seq(Seq(1, 2, 3)).toDF("seq_ids")
+    val dir = tmpDir("neg")
+    TokBin.write(df.coalesce(1), dir)
+    val f = fs(dir)
+    val idxP = new org.apache.hadoop.fs.Path(dir, partFiles(dir).head + ".idx")
+    // a bit-flipped length decodes negative: must be the loud corrupt-.idx
+    // message, not NegativeArraySizeException — and it must fire even on
+    // an idx-only projection that never opens the .bin (n_tokens would
+    // otherwise silently go negative)
+    val bb = java.nio.ByteBuffer.allocate(16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putLong(0L).putLong(-1L)
+    val out = f.create(idxP, true)
+    out.write(bb.array()); out.close()
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val err = intercept[org.apache.spark.SparkException] {
+      spark.read.format("tokbin").load(dir).select("n_tokens").collect()
+    }
+    assert(msgs(err).exists(_.contains("corrupt .idx")))
+    // negative offset likewise
+    val bb2 = java.nio.ByteBuffer.allocate(16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb2.putLong(-4L).putLong(2L)
+    val out2 = f.create(idxP, true)
+    out2.write(bb2.array()); out2.close()
+    val err2 = intercept[org.apache.spark.SparkException] {
+      spark.read.format("tokbin").load(dir).select("seq_ids").collect()
+    }
+    assert(msgs(err2).exists(_.contains("corrupt .idx")))
+  }
+
+  test("EXPORT validates BEFORE the overwrite delete; unsupported options refuse (r13 review)") {
+    val ctx = new Context(spark)
+    ctx.createTable("tb_keep", Seq(Seq(5)).toDF("seq_ids"))
+    val dir = tmpDir("guard")
+    ctx.sql(s"EXPORT TABLE tb_keep WITH (location = '$dir', format = 'tokbin')")
+    assert(partFiles(dir).size == 1)
+    // a typo'd ids= under mode='overwrite' must NOT destroy the previous
+    // artifact: validation runs before the destructive delete
+    val err = intercept[IllegalArgumentException] {
+      ctx.sql(s"""EXPORT TABLE tb_keep WITH (location = '$dir',
+        |format = 'tokbin', mode = 'overwrite', ids = 'nope')""".stripMargin)
+    }
+    assert(err.getMessage.contains("nope"))
+    assert(readAllSeqs(dir) == Seq(Seq(5)), "previous export must survive")
+    // generic-path options the shard writers silently ignored now refuse
+    for (opt <- Seq("max_records_per_file = 10", "partition_by = 'x'")) {
+      val e = intercept[IllegalArgumentException] {
+        ctx.sql(s"""EXPORT TABLE tb_keep WITH (location = '$dir',
+          |format = 'tokbin', mode = 'overwrite', $opt)""".stripMargin)
+      }
+      assert(e.getMessage.contains("not supported"))
+    }
+    assert(readAllSeqs(dir) == Seq(Seq(5)))
+    ctx.dropTable("tb_keep")
+  }
+
   test("CREATE TABLE format='tokbin' registers exported shards for SQL-side audits (r13)") {
     val df = Seq(Seq(7, 8), Seq(9)).toDF("seq_ids")
     val dir = tmpDir("ctx")

@@ -168,6 +168,13 @@ class WarcSpec extends AnyFunSuite {
       s"EXPORT TABLE crawl_records WITH (location = '$dir', format = 'warc')"))
     assert(e.getMessage.contains("overwrite"))
     ctx.sql(s"EXPORT TABLE crawl_records WITH (location = '$dir', format = 'warc', mode = 'overwrite')")
+    // a record-column-less frame under mode='overwrite' must refuse
+    // BEFORE the destructive delete — the archive survives (r13 review)
+    ctx.createTable("crawl_bad", sampleDf(2).drop("content"))
+    val e2 = intercept[IllegalArgumentException](ctx.sql(
+      s"EXPORT TABLE crawl_bad WITH (location = '$dir', format = 'warc', mode = 'overwrite')"))
+    assert(e2.getMessage.contains("content"))
+    ctx.sql("DROP TABLE IF EXISTS crawl_bad")
     // read the archive back as a registered table and run the WET step
     // over it — the whole crawl loop on the statement surface
     ctx.sql(s"CREATE TABLE crawl WITH (location = '$dir', format = 'warc')")
