@@ -1,0 +1,2 @@
+SELECT * FROM PACK(CAPACITY 256 WITH (materialize = 'true', ids = 'token_ids', group = 'source', order = 'shuffle', seed = 'train-run1|'),
+SELECT doc_id, source, token_ids FROM pipeline_tok_ids)

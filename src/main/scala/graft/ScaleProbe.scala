@@ -983,6 +983,20 @@ object ScaleProbe {
           time("pack_ids_subshards") {
             operators.Corpus.materializePackedIds(packIds, "doc_id",
               "token_ids", "grp", 2048L, subShards = 32)
+          },
+          // r13: the seeded trainer-order shuffle must not change the
+          // pack's scale shape — same single window, the md5 key is a
+          // pure projection in its sort; measure it against the id-order
+          // anchors above on the same rows
+          time("pack_ids_shuffled") {
+            operators.Corpus.materializePackedIds(packIds, "doc_id",
+              "token_ids", "grp", 2048L,
+              orderKey = Some(operators.Corpus.shuffleKey("doc_id", "sp|")))
+          },
+          time("pack_ids_shuffled_subshards") {
+            operators.Corpus.materializePackedIds(packIds, "doc_id",
+              "token_ids", "grp", 2048L, subShards = 32,
+              orderKey = Some(operators.Corpus.shuffleKey("doc_id", "sp|")))
           }).flatten
         packIds.unpersist()
         r

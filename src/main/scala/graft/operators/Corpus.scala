@@ -191,7 +191,17 @@ object Corpus {
     * `idCol` always tie-breaks, so any key — even a constant — stays
     * deterministic. The key is a pure projection evaluated inside the
     * SAME single per-group window sort: no extra shuffle, no extra pass,
-    * identical scale shape at any order. */
+    * identical scale shape at any order.
+    *
+    * `idCol` must be ROW-UNIQUE within a group: duplicate ids tie the
+    * window's total order and the tied rows' (bin, bin_offset) become
+    * partition-order-dependent — nondeterministic across runs. The one
+    * pipeline that naturally duplicates ids is an EPOCH-upsampled corpus
+    * ([[tokenBudgetEpochs]] emits each doc once per epoch): pack it by a
+    * composite id (`concat(doc_id, '#', epoch)`), which also gives each
+    * epoch's copy an independent shuffle position under [[shuffleKey]] —
+    * exactly what a multi-epoch training order wants (oracle-gated end
+    * to end, p108). */
   def packSequences(
       df: DataFrame, idCol: String, tokensCol: String, groupCol: String,
       capacity: Long, subShards: Int = 1,

@@ -3128,5 +3128,65 @@ object CorpusQueries {
           orderKey = Some(col("nt").desc))
         .orderBy("source", "bin")
     },
+
+    // EPOCH-UPSAMPLED SHUFFLED PACK (r13): the full multi-epoch training
+    // order — tokenBudgetEpochs duplicates each doc once per epoch, so
+    // the pack id must be the COMPOSITE (doc_id # epoch) to keep the
+    // window's total order unique (packSequences' row-unique contract),
+    // and the seeded shuffle then deals each epoch's copy independently.
+    // STRATIFY epochs → PACK had no end-to-end gate before this; the
+    // epoch plan replays p89's oracle, the pack replays p106's.
+    Q("p108_pack_epochs_shuffled", Some("""
+      WITH d AS (SELECT doc_id, source,
+                        len(string_split(text, ' ')) AS n_tokens
+                 FROM documents),
+      tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS total
+              FROM d GROUP BY 1),
+      q AS (SELECT source,
+                   CASE WHEN source = 'src0' THEN 5000 ELSE 400 END AS quota
+            FROM (SELECT DISTINCT source FROM d)),
+      plan AS (SELECT q.source,
+                      least(CAST(quota AS BIGINT) // total, 100) AS nfull,
+                      CAST(quota AS BIGINT)
+                        - least(CAST(quota AS BIGINT) // total, 100) * total AS rem
+               FROM q JOIN tot ON q.source = tot.source),
+      full_e AS (SELECT d.doc_id, d.source, d.n_tokens,
+                        unnest(range(1, CAST(nfull AS BIGINT) + 1)) AS epoch
+                 FROM d JOIN plan ON d.source = plan.source
+                 WHERE nfull >= 1),
+      ranked AS (SELECT d.doc_id, d.source, d.n_tokens, plan.nfull, plan.rem,
+                        sum(d.n_tokens) OVER (PARTITION BY d.source
+                          ORDER BY (d.doc_id * 2654435761) % 1000000007, d.doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+                 FROM d JOIN plan ON d.source = plan.source),
+      part_e AS (SELECT doc_id, source, n_tokens, nfull + 1 AS epoch
+                 FROM ranked WHERE cum - n_tokens < rem),
+      u AS (SELECT CAST(doc_id AS VARCHAR) || '#' || CAST(epoch AS VARCHAR)
+                     AS pack_id,
+                   source, n_tokens, CAST(epoch AS BIGINT) AS epoch
+            FROM (SELECT * FROM full_e UNION ALL SELECT * FROM part_e)),
+      w AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source
+              ORDER BY md5('p108|' || pack_id), pack_id
+              ROWS UNBOUNDED PRECEDING) AS cum FROM u)
+      SELECT pack_id, source, CAST(n_tokens AS BIGINT) AS n_tokens, epoch,
+        CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS bin,
+        CAST((cum - n_tokens) % 256 AS BIGINT) AS bin_offset
+      FROM w ORDER BY pack_id""")) { (s, d) =>
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
+      val quotas = docs.select("source").distinct()
+        .withColumn("quota",
+          when(col("source") === "src0", 5000).otherwise(400))
+      val ep = Corpus
+        .tokenBudgetEpochs(docs, "source", "doc_id", "n_tokens", quotas)
+        .withColumn("pack_id", concat(col("doc_id").cast("string"),
+          lit("#"), col("epoch").cast("string")))
+        .select(col("pack_id"), col("source"), col("n_tokens"),
+          col("epoch").cast("bigint").as("epoch"))
+      Corpus.packSequences(ep, "pack_id", "n_tokens", "source", 256L,
+          orderKey = Some(Corpus.shuffleKey("pack_id", "p108|")))
+        .orderBy("pack_id")
+    },
   )
 }
