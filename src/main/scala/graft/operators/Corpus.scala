@@ -2149,15 +2149,32 @@ object Corpus {
     * documents (offset order) into one `array<int>` training sequence
     * with `eosId` separating consecutive documents: the actual int32
     * shard a trainer memory-maps, where the string form is a debugging
-    * surface. Emits (group, bin, n_docs, n_tokens, seq_ids, n_ids);
-    * n_ids = n_tokens + (n_docs − 1) separators. Same packing window,
-    * same one-group-shuffle scale shape, same in-row offset sort (no
-    * second window), same straddle bound as [[materializePacked]]. */
+    * surface. Emits (group, bin, n_docs, n_tokens, seq_ids, n_ids,
+    * doc_ids, doc_lens); n_ids = n_tokens + (n_docs − 1) separators.
+    *
+    * `doc_ids`/`doc_lens` are the per-sequence DOCUMENT BOUNDARIES in
+    * pack order — document k starts at `Σ_{j<k}(doc_lens[j] + 1)` within
+    * `seq_ids` — the metadata a trainer needs to reset attention masks
+    * at document boundaries (intra-sequence cross-document attention is
+    * the standard thing packing breaks) and to trace any training
+    * sequence back to its source documents. Both come straight from the
+    * one collected struct — no extra shuffle, no second window.
+    *
+    * Same packing window, same one-group-shuffle scale shape, same
+    * in-row offset sort (no second window), same straddle bound as
+    * [[materializePacked]]. */
   def materializePackedIds(
       df: DataFrame, idCol: String, idsCol: String, groupCol: String,
       capacity: Long, eosId: Int = 0, subShards: Int = 1,
       orderKey: Option[Column] = None): DataFrame = {
     requireNoClash(df, Set("_ids", "_nt"), "materializePackedIds")
+    // the group key survives into the output row — a key named like a
+    // generated column would be silently overwritten (the packSequences
+    // 'shard' rule, applied to this aggregate's output surface)
+    require(!Set("n_docs", "n_tokens", "seq_ids", "n_ids", "doc_ids",
+        "doc_lens", "bin").contains(groupCol),
+      s"materializePackedIds: groupCol '$groupCol' collides with a " +
+        "generated output column")
     // a NULL id array (a null-text doc through TOKENIZE emit='ids')
     // packs as a zero-token document — size(null) would otherwise poison
     // its whole bin (null cum-sum → null bin → null seq_ids) (r12 review)
@@ -2174,12 +2191,16 @@ object Corpus {
         sum(col("_nt")).cast("bigint").as("n_tokens"),
         collect_list(struct(col("bin_offset"), col(idCol).as("_id"),
           col("_ids"))).as("_parts"))
+      .withColumn("_sorted", array_sort(col("_parts")))
       .withColumn("seq_ids",
-        flatten(transform(array_sort(col("_parts")), (p, i) =>
+        flatten(transform(col("_sorted"), (p, i) =>
           when(i === 0, p("_ids"))
             .otherwise(concat(array(lit(eosId)), p("_ids"))))))
       .withColumn("n_ids", size(col("seq_ids")).cast("bigint"))
-      .drop("_parts")
+      .withColumn("doc_ids", transform(col("_sorted"), p => p("_id")))
+      .withColumn("doc_lens",
+        transform(col("_sorted"), p => size(p("_ids")).cast("long")))
+      .drop("_parts", "_sorted")
   }
 
   /** The dedup ACTION that follows [[connectedComponents]]: pick ONE

@@ -3188,5 +3188,37 @@ object CorpusQueries {
           orderKey = Some(Corpus.shuffleKey("pack_id", "p108|")))
         .orderBy("pack_id")
     },
+
+    // DOCUMENT BOUNDARIES IN PACKED SEQUENCES (r13): the int32 pack also
+    // emits doc_ids/doc_lens in pack order — what a trainer needs to
+    // reset attention masks at document boundaries (doc k starts at
+    // Σ_{j<k}(len_j + 1) inside seq_ids) and to trace a sequence back to
+    // its sources. Every boundary list of every sequence is hash-gated;
+    // token values are irrelevant to boundaries, so the fixture packs
+    // constant-id arrays and the oracle replays only lengths/ids.
+    Q("p109_pack_boundaries", Some("""
+      WITH tok AS (SELECT doc_id, source,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+               x -> x <> '')) AS BIGINT) AS nt
+           FROM documents),
+      c AS (SELECT *, sum(nt) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum FROM tok),
+      b AS (SELECT *, CAST(floor((cum - nt) / 256.0) AS BIGINT) AS bin,
+              (cum - nt) % 256 AS off FROM c)
+      SELECT source, bin, CAST(count(*) AS BIGINT) AS n_docs,
+             string_agg(CAST(doc_id AS VARCHAR), ' ' ORDER BY off, doc_id)
+               AS doc_ids,
+             string_agg(CAST(nt AS VARCHAR), ' ' ORDER BY off, doc_id)
+               AS doc_lens
+      FROM b GROUP BY source, bin ORDER BY source, bin""")) { (s, d) =>
+      val docs = t(s, d, "documents").select(col("doc_id"), col("source"),
+        transform(filter(split(lower(col("text")), " "), x => x =!= ""),
+          _ => lit(1)).as("token_ids"))
+      Corpus.materializePackedIds(docs, "doc_id", "token_ids", "source", 256L)
+        .select(col("source"), col("bin"), col("n_docs"),
+          concat_ws(" ", col("doc_ids")).as("doc_ids"),
+          concat_ws(" ", col("doc_lens")).as("doc_lens"))
+        .orderBy("source", "bin")
+    },
   )
 }

@@ -448,11 +448,15 @@ class CorpusSpec extends AnyFunSuite {
       .toDF("doc_id", "grp", "ids")
     val out = Corpus.materializePackedIds(rows, "doc_id", "ids", "grp", 100L,
         eosId = 0, orderKey = Some(size(col("ids")).desc))
-      .select("bin", "seq_ids").collect()
+      .select("bin", "seq_ids", "doc_ids", "doc_lens").collect()
     assert(out.length == 1)
     // order: doc2 (4), doc3 (4, id tie), doc1 (2), doc4 (1)
     assert(out(0).getSeq[Int](1) ==
       Seq(3, 4, 5, 6, 0, 7, 8, 9, 10, 0, 1, 2, 0, 11))
+    // boundary metadata follows the same pack order: doc k starts at
+    // sum(lens[..k) + k) inside seq_ids (attention-reset offsets)
+    assert(out(0).getSeq[Long](2) == Seq(2L, 3L, 1L, 4L))
+    assert(out(0).getSeq[Long](3) == Seq(4L, 4L, 2L, 1L))
   }
 
   test("connectedComponents labels a chain, a pair, and leaves singleton edges alone") {
