@@ -1,2 +1,3 @@
 EXPORT TABLE pipeline_shard WITH (location = '/tmp/graft_pipeline_tokbin',
-format = 'tokbin', mode = 'overwrite', shards = 4, shard_by = 'source', sort_by = 'source,bin')
+format = 'tokbin', mode = 'overwrite', shards = 4, shard_by = 'source', sort_by = 'source,bin',
+doc_lens = 'doc_lens')

@@ -1,1 +1,3 @@
-SELECT count(*) AS n_seqs, sum(n_tokens) AS n_tokens FROM pipeline_shard_audit
+SELECT count(*) AS n_seqs, sum(n_tokens) AS n_tokens,
+       sum(size(doc_lens)) AS n_docs
+FROM pipeline_shard_audit

@@ -1665,6 +1665,12 @@ class Context(val spark: SparkSession) {
             require(idsOk,
               s"EXPORT TABLE format='tokbin': column '$idsC' must be " +
                 s"array<int>; got ${df.schema(idsC).dataType.sql}")
+            opts.get("doc_lens").foreach { c =>
+              require(df.columns.contains(c.trim),
+                s"EXPORT TABLE format='tokbin': no column '${c.trim}' " +
+                  "(doc_lens= names the per-document length array — " +
+                  "PACK ids='...' emits it as doc_lens)")
+            }
           } else {
             val missing = Seq("warc_type", "record_id", "target_uri",
               "warc_date", "content_type", "content")
@@ -1689,9 +1695,11 @@ class Context(val spark: SparkSession) {
             // .bin + (offset, length) .idx sidecar per shard — the file a
             // trainer memory-maps (sources.TokBin; ids= names the
             // array<int> column, default seq_ids = the PACK materialize
-            // ids= output shape)
+            // ids= output shape; doc_lens= additionally writes the .doc
+            // boundary sidecar for attention-mask resets)
             graft.sources.TokBin.write(sorted, location,
-              idsCol = opts.getOrElse("ids", "seq_ids"))
+              idsCol = opts.getOrElse("ids", "seq_ids"),
+              docLensCol = opts.get("doc_lens").map(_.trim))
         case fmt =>
           // destructive-write guard (round-5 ADVICE): the location is an
           // arbitrary user-supplied path, so clobbering must be opt-in —

@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.types.{ArrayType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType}
 
 /** Raw int32 TOKEN-SHARD sink — the flat little-endian binary a trainer
   * actually memory-maps, where parquet is the analytical surface (r12
@@ -22,6 +22,15 @@ import org.apache.spark.sql.types.{ArrayType, IntegerType}
   *    `bin[offset*4 .. (offset+length)*4)` are the sequence's bytes. The
   *    sidecar makes sequence boundaries O(1) without scanning .bin, and
   *    `.idx` file size / 16 is the partition's sequence count.
+  *  - `part-NNNNN.doc` (optional, `docLensCol`) — per sequence, int32-LE
+  *    `n_docs` followed by `n_docs` int32-LE document token lengths in
+  *    pack order: the DOCUMENT boundaries inside each sequence (document
+  *    k starts at `Σ_{j<k}(len_j + 1)` — the +1 is the eos separator),
+  *    which a trainer needs to reset attention masks at document joints.
+  *    Boundaries are NOT derivable from `.bin` by scanning for `eos_id`:
+  *    id 0 doubles as the UNK token inside documents. The writer
+  *    enforces `Σ lens + (n_docs − 1) == length` per sequence, so a
+  *    mismatched column fails loudly instead of shipping wrong masks.
   *
   * A NULL ids array writes as a zero-length sequence (an (offset, 0)
   * idx entry, no .bin bytes) — the [[graft.operators.Corpus]] packing
@@ -34,7 +43,8 @@ import org.apache.spark.sql.types.{ArrayType, IntegerType}
   * re-read → byte-exact `seq_ids`) is spec-gated (TokBinSpec). */
 object TokBin {
 
-  def write(df: DataFrame, dir: String, idsCol: String = "seq_ids"): Unit = {
+  def write(df: DataFrame, dir: String, idsCol: String = "seq_ids",
+      docLensCol: Option[String] = None): Unit = {
     require(df.columns.contains(idsCol),
       s"tokbin export: no column '$idsCol' (pass ids= to name the " +
         "array<int> sequence column)")
@@ -45,9 +55,27 @@ object TokBin {
     require(ok,
       s"tokbin export: column '$idsCol' must be array<int> (the " +
         s"materialized-shard seq_ids shape); got ${df.schema(idsCol).dataType.sql}")
-    val proj = df.select(col(idsCol).as("ids"))
+    docLensCol.foreach { c =>
+      require(df.columns.contains(c),
+        s"tokbin export: no column '$c' (doc_lens= names the array " +
+          "of per-document token lengths — materializePackedIds' " +
+          "doc_lens output)")
+      val lensOk = df.schema(c).dataType match {
+        case ArrayType(IntegerType | LongType, _) => true
+        case _ => false
+      }
+      require(lensOk,
+        s"tokbin export: column '$c' must be array<int|bigint>; got " +
+          df.schema(c).dataType.sql)
+    }
+    val proj = docLensCol match {
+      case Some(c) => df.select(col(idsCol).as("ids"),
+        col(c).cast("array<long>").as("lens"))
+      case None => df.select(col(idsCol).as("ids"))
+    }
     val confSer = new org.apache.spark.util.SerializableConfiguration(
       df.sparkSession.sparkContext.hadoopConfiguration)
+    val wantDoc = docLensCol.isDefined
     proj.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       val binPath = new Path(dir, f"part-$pid%05d.bin")
@@ -55,6 +83,9 @@ object TokBin {
       val fs = binPath.getFileSystem(confSer.value)
       val bin = new java.io.BufferedOutputStream(fs.create(binPath, true), 1 << 16)
       val idx = new java.io.BufferedOutputStream(fs.create(idxPath, true), 1 << 16)
+      val doc = if (wantDoc) new java.io.BufferedOutputStream(
+        fs.create(new Path(dir, f"part-$pid%05d.doc"), true), 1 << 16)
+        else null
       // one reusable LE scratch buffer per stream; tokens stream through
       // it in bounded chunks — a giant sequence never materializes twice
       val tokBuf = java.nio.ByteBuffer.allocate(4 << 10)
@@ -86,12 +117,44 @@ object TokBin {
           }
           idxBuf.clear(); idxBuf.putLong(offset); idxBuf.putLong(n.toLong)
           idx.write(idxBuf.array(), 0, 16)
+          if (wantDoc) {
+            require(!r.isNullAt(1),
+              "tokbin export: NULL doc_lens for a sequence — every " +
+                "packed sequence carries at least one document")
+            val lens = r.getSeq[Any](1).map {
+              case l: java.lang.Long => l.longValue()
+              case _ => throw new IllegalArgumentException(
+                "tokbin export: NULL element in doc_lens")
+            }
+            require(lens.nonEmpty, "tokbin export: empty doc_lens")
+            var sum = 0L
+            val db = java.nio.ByteBuffer.allocate(4 * (lens.length + 1))
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            db.putInt(lens.length)
+            lens.foreach { l =>
+              require(l >= 0 && l <= Int.MaxValue / 4,
+                s"tokbin export: doc length $l out of range")
+              sum += l; db.putInt(l.toInt)
+            }
+            // the pack contract: tokens + one eos between consecutive
+            // docs — a mismatched doc_lens column must fail loudly here,
+            // not ship wrong attention masks to a trainer
+            require(sum + lens.length - 1 == n.toLong,
+              s"tokbin export: doc_lens sums to $sum over ${lens.length} " +
+                s"docs (${sum + lens.length - 1} ids with separators) but " +
+                s"the sequence has $n ids")
+            doc.write(db.array(), 0, db.position())
+          }
           offset += n
         }
-        // close idx even when bin.close()'s buffered flush throws (disk
-        // full): otherwise the sidecar stream leaks and, on filesystems
-        // that publish data at close, ends up empty/partial (r13 review)
-      } finally { try bin.close() finally idx.close() }
+        // close every stream even when an earlier close's buffered flush
+        // throws (disk full): otherwise a sidecar stream leaks and, on
+        // filesystems that publish data at close, ends up empty/partial
+        // (r13 review)
+      } finally {
+        try bin.close()
+        finally { try idx.close() finally { if (doc != null) doc.close() } }
+      }
     }
   }
 

@@ -43,7 +43,14 @@ object TokBinRead {
     StructField("seq", LongType, nullable = false),
     StructField("n_tokens", LongType, nullable = false),
     StructField("seq_ids", ArrayType(IntegerType, containsNull = false),
-      nullable = false)))
+      nullable = false),
+    // document boundaries from the optional `.doc` sidecar (write with
+    // docLensCol / EXPORT doc_lens=): per-document token lengths in pack
+    // order, NULL when the shard was exported without the sidecar. Same
+    // pruning rule as seq_ids: only a projection naming doc_lens opens
+    // the .doc file.
+    StructField("doc_lens", ArrayType(LongType, containsNull = false),
+      nullable = true)))
 
   /** `.bin` shard files under each path (dir, glob, or file), sorted —
     * each must have its `.idx` sidecar beside it (checked at read). */
@@ -140,14 +147,23 @@ class TokBinReaderFactory(required: StructType,
 class TokBinPartitionReader(file: String, required: StructType,
     conf: Configuration) extends PartitionReader[InternalRow] {
   private val wantIds = required.fieldNames.contains("seq_ids")
+  private val wantDoc = required.fieldNames.contains("doc_lens")
   private val binPath = new Path(file)
   private val idxPath = new Path(
     file.stripSuffix(".bin") + ".idx")
+  private val docPath = new Path(
+    file.stripSuffix(".bin") + ".doc")
   private val fs = binPath.getFileSystem(conf)
   require(fs.exists(idxPath),
     s"tokbin: shard $file has no .idx sidecar — not a TokBin shard dir")
   private val idxIn = new java.io.DataInputStream(
     new java.io.BufferedInputStream(fs.open(idxPath), 1 << 16))
+  // .doc opens ONLY when doc_lens is in the read schema AND the shard
+  // was exported with boundaries; absent sidecar → NULL column
+  private val docIn =
+    if (wantDoc && fs.exists(docPath)) new java.io.DataInputStream(
+      new java.io.BufferedInputStream(fs.open(docPath), 1 << 16))
+    else null
   // .bin opens ONLY when seq_ids is in the read schema — idx-only audits
   // (counts, size histograms) never touch the token bytes
   private val binIn = if (wantIds) fs.open(binPath) else null
@@ -158,6 +174,7 @@ class TokBinPartitionReader(file: String, required: StructType,
   private var seqNo = -1L
   private var curOffset = 0L
   private var curLen = 0L
+  private var curLens: Array[Long] = null
   private var binPos = 0L // token index the sequential .bin cursor is at
 
   override def next(): Boolean = {
@@ -178,7 +195,37 @@ class TokBinPartitionReader(file: String, required: StructType,
       s"tokbin: sequence $seqNo in $file declares (offset=$curOffset, " +
         s"len=$curLen) — corrupt .idx (a packed sequence is " +
         "non-negative and capacity-bounded)")
+    // .doc is consumed in lock-step with .idx (variable-length records,
+    // so exactly once per sequence, here rather than in get())
+    if (docIn != null) {
+      val nd = try readIntLE() catch {
+        case _: java.io.EOFException => throw new IllegalArgumentException(
+          s"tokbin: $file .doc sidecar shorter than .idx (sequence $seqNo)")
+      }
+      require(nd >= 1 && nd.toLong <= curLen + 1,
+        s"tokbin: sequence $seqNo in $file declares $nd documents — " +
+          "corrupt .doc")
+      val arr = new Array[Long](nd)
+      var s = 0L
+      var i = 0
+      while (i < nd) {
+        val l = readIntLE()
+        require(l >= 0, s"tokbin: negative doc length in $file — corrupt .doc")
+        arr(i) = l.toLong; s += l; i += 1
+      }
+      require(s + nd - 1 == curLen,
+        s"tokbin: sequence $seqNo in $file: doc_lens sum to $s over $nd " +
+          s"docs but the sequence has $curLen ids — corrupt .doc")
+      curLens = arr
+    }
     true
+  }
+
+  private val leBuf = new Array[Byte](4)
+  private def readIntLE(): Int = {
+    docIn.readFully(leBuf)
+    java.nio.ByteBuffer.wrap(leBuf)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt()
   }
 
   override def get(): InternalRow = {
@@ -213,6 +260,8 @@ class TokBinPartitionReader(file: String, required: StructType,
             .order(java.nio.ByteOrder.LITTLE_ENDIAN)
             .asIntBuffer().get(ints)
           new GenericArrayData(ints)
+        case "doc_lens" =>
+          if (docIn == null) null else new GenericArrayData(curLens)
         case other => throw new IllegalArgumentException(
           s"unknown tokbin column: $other")
       }
@@ -221,7 +270,10 @@ class TokBinPartitionReader(file: String, required: StructType,
   }
 
   override def close(): Unit = {
-    idxIn.close()
-    if (binBuf != null) binBuf.close()
+    try idxIn.close()
+    finally {
+      try { if (binBuf != null) binBuf.close() }
+      finally { if (docIn != null) docIn.close() }
+    }
   }
 }

@@ -37,7 +37,8 @@ class ReadmePipelineSpec extends AnyFunSuite {
         FROM deduped d
         JOIN train t ON t.doc_id = d.doc_id WHERE NOT t.contaminated)""")
       ctx.sql("""CREATE OR REPLACE TABLE packed AS
-        SELECT * FROM PACK(CAPACITY 2048 WITH (materialize = 'true'),
+        SELECT * FROM PACK(CAPACITY 2048 WITH (materialize = 'true',
+                                               order = 'shuffle', seed = 'run1|'),
         SELECT doc_id, source, text, token_count(text) AS n_tokens FROM mixed)""")
       ctx.sql(s"""EXPORT TABLE packed WITH (location = '$out/shards', shards = 4,
         shard_by = 'bin', sort_by = 'bin', max_records_per_file = 100000)""")
@@ -65,18 +66,24 @@ class ReadmePipelineSpec extends AnyFunSuite {
           WITH (method = 'unigram', emit = 'ids', vocab = 'vocab'),
         SELECT doc_id, source, text FROM mixed))""")
       ctx.sql(s"""EXPORT TABLE shard_ids WITH (location = '$out/shards_ids',
-        shards = 4, shard_by = 'bin', sort_by = 'bin')""")
-      val idShards = spark.read.parquet(s"$out/shards_ids")
+        shards = 4, shard_by = 'bin', sort_by = 'bin', format = 'tokbin',
+        doc_lens = 'doc_lens')""")
+      val idShards = spark.read.format("tokbin").load(s"$out/shards_ids")
       assert(idShards.count() ==
         ctx.sql("SELECT count(*) AS c FROM shard_ids").head().getLong(0))
       // the artifact is genuinely int32 sequences, eos-separated
       assert(idShards.schema("seq_ids").dataType.asInstanceOf[
         org.apache.spark.sql.types.ArrayType].elementType ==
         org.apache.spark.sql.types.IntegerType)
-      val tot = idShards.selectExpr("sum(n_tokens) t", "sum(n_ids) i",
-        "sum(n_docs) d").head()
-      assert(tot.getLong(1) == tot.getLong(0) + tot.getLong(2) -
-        idShards.count()) // n_ids = n_tokens + (n_docs - 1) per bin
+      // .bin/.idx/.doc round trip: the reader's n_tokens is the full id
+      // count (tokens + separators) and every sequence's boundaries obey
+      // sum(doc_lens) + n_docs - 1 == n
+      val tot = idShards.selectExpr("sum(n_tokens) i",
+        "sum(aggregate(doc_lens, 0L, (a, x) -> a + x) + size(doc_lens) - 1) b")
+        .head()
+      assert(tot.getLong(0) ==
+        ctx.sql("SELECT sum(n_ids) AS i FROM shard_ids").head().getLong(0))
+      assert(tot.getLong(1) == tot.getLong(0))
       // the nightly ingest gate: persist the exact index of tonight's
       // corpus, screen a fresh batch against it (half copies, half new)
       ctx.sql("CREATE DEDUP INDEX corpus_idx ON deduped WITH (kind = 'exact')")

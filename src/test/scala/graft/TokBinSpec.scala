@@ -113,7 +113,9 @@ class TokBinSpec extends AnyFunSuite {
     TokBin.write(df.repartition(2, $"grp").sortWithinPartitions("grp"), dir)
     val back = spark.read.format("tokbin").load(dir)
     assert(back.schema.fieldNames.toSeq ==
-      Seq("file", "seq", "n_tokens", "seq_ids"))
+      Seq("file", "seq", "n_tokens", "seq_ids", "doc_lens"))
+    // exported without the .doc sidecar → boundaries column is NULL
+    assert(back.select("doc_lens").collect().forall(_.isNullAt(0)))
     val rows = back.collect()
     assert(rows.length == 5)
     // one partition per shard file — read parallelism mirrors the export
@@ -181,6 +183,65 @@ class TokBinSpec extends AnyFunSuite {
       if (t == null) Seq.empty
       else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(err).exists(_.contains("truncated")))
+  }
+
+  test(".doc boundary sidecar: round trip, invariant guard, corrupt detection (r13)") {
+    // pack real docs so doc_lens comes from the operator, not hand data
+    val docs = Tables.t(spark, TestSpark.sf, "documents")
+      .select($"doc_id", $"source",
+        transform(filter(split(lower($"text"), " "), x => x =!= ""),
+          _ => lit(1)).as("token_ids"))
+    val packed = graft.operators.Corpus.materializePackedIds(
+      docs, "doc_id", "token_ids", "source", 256L)
+    val ctx = new Context(spark)
+    ctx.createTable("tb_bnd", packed)
+    val dir = tmpDir("doc")
+    ctx.sql(s"""EXPORT TABLE tb_bnd WITH (location = '$dir',
+      |format = 'tokbin', shards = 2, doc_lens = 'doc_lens')""".stripMargin)
+    // boundaries survive the byte layout: multiset of (n_tokens, lens)
+    val got = spark.read.format("tokbin").load(dir)
+      .select($"n_tokens", $"doc_lens").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toSeq
+    val want = packed.select($"n_ids", $"doc_lens").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toSeq
+    def key(x: (Long, List[Long])) = x._1 + "|" + x._2.mkString(",")
+    assert(got.sortBy(key) == want.sortBy(key) && got.nonEmpty)
+    // derived invariant on every sequence: sum(lens) + n_docs - 1 == n
+    assert(got.forall { case (n, lens) => lens.sum + lens.length - 1 == n })
+    // a projection without doc_lens still answers after deleting .doc
+    val f = fs(dir)
+    partFiles(dir).foreach { p =>
+      f.delete(new org.apache.hadoop.fs.Path(dir, p + ".doc"), false)
+    }
+    assert(spark.read.format("tokbin").load(dir)
+      .agg(sum("n_tokens")).head().getLong(0) ==
+      want.map(_._1).sum)
+    // writer invariant guard: a mismatched lens column refuses loudly
+    val err = intercept[Exception] {
+      TokBin.write(Seq((Seq(1, 2, 3), Seq(9L)))
+        .toDF("seq_ids", "doc_lens").coalesce(1),
+        tmpDir("bad"), docLensCol = Some("doc_lens"))
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(err).exists(_.contains("doc_lens sums")))
+    // corrupt .doc (declared docs cannot fit the sequence) refuses
+    val dir2 = tmpDir("doccor")
+    TokBin.write(Seq((Seq(1, 2, 3), Seq(1L, 1L)))
+      .toDF("seq_ids", "doc_lens").coalesce(1),
+      dir2, docLensCol = Some("doc_lens"))
+    val docP = new org.apache.hadoop.fs.Path(
+      dir2, partFiles(dir2).head + ".doc")
+    val bb = java.nio.ByteBuffer.allocate(12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(2).putInt(3).putInt(3) // sums to 7 ids, sequence has 3
+    val o = fs(dir2).create(docP, true); o.write(bb.array()); o.close()
+    val err2 = intercept[org.apache.spark.SparkException] {
+      spark.read.format("tokbin").load(dir2).select("doc_lens").collect()
+    }
+    assert(msgs(err2).exists(_.contains("corrupt .doc")))
+    ctx.dropTable("tb_bnd")
   }
 
   test("corrupt .idx (negative offset/length) refuses loudly, even on idx-only audits (r13 review)") {
