@@ -1670,6 +1670,15 @@ class Context(val spark: SparkSession) {
                 s"EXPORT TABLE format='tokbin': no column '${c.trim}' " +
                   "(doc_lens= names the per-document length array — " +
                   "PACK ids='...' emits it as doc_lens)")
+              val lensOk = df.schema(c.trim).dataType match {
+                case org.apache.spark.sql.types.ArrayType(
+                  org.apache.spark.sql.types.IntegerType |
+                  org.apache.spark.sql.types.LongType, _) => true
+                case _ => false
+              }
+              require(lensOk,
+                s"EXPORT TABLE format='tokbin': column '${c.trim}' must " +
+                  s"be array<int|bigint>; got ${df.schema(c.trim).dataType.sql}")
             }
           } else {
             val missing = Seq("warc_type", "record_id", "target_uri",

@@ -211,6 +211,11 @@ object Corpus {
     // the sub-shard key is a NEW output column — a corpus frame carrying
     // its own 'shard' must not have it silently overwritten (r12 review)
     if (subShards > 1) requireNoClash(df, Set("shard"), "packSequences")
+    // likewise bin/bin_offset: the generated assignment columns would
+    // silently replace same-named input columns (incl. an id/group col
+    // named 'bin', which would then group/collect the GENERATED values —
+    // r13 review)
+    requireNoClash(df, Set("bin", "bin_offset"), "packSequences")
     val (base, parts) =
       if (subShards == 1) (df, Seq(col(groupCol)))
       else (df.withColumn("shard",

@@ -181,7 +181,16 @@ class TokBinPartitionReader(file: String, required: StructType,
     val n = try {
       idxIn.readFully(entry); true
     } catch { case _: java.io.EOFException => false }
-    if (!n) return false
+    if (!n) {
+      // .idx exhausted: the .doc sidecar must be exactly exhausted too —
+      // trailing unconsumed boundary records mean a stale/corrupt sidecar
+      // (the mirror of the shorter-than-.idx refusal below; r13 review)
+      if (docIn != null && docIn.read() != -1)
+        throw new IllegalArgumentException(
+          s"tokbin: $file .doc sidecar longer than .idx — stale or " +
+            "corrupt boundary records")
+      return false
+    }
     val bb = java.nio.ByteBuffer.wrap(entry)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     curOffset = bb.getLong()
@@ -198,25 +207,31 @@ class TokBinPartitionReader(file: String, required: StructType,
     // .doc is consumed in lock-step with .idx (variable-length records,
     // so exactly once per sequence, here rather than in get())
     if (docIn != null) {
-      val nd = try readIntLE() catch {
+      // EOF anywhere inside the record — the count or any length — is
+      // the same truncation; label it rather than leaking a bare
+      // EOFException from mid-record (r13 review)
+      try {
+        val nd = readIntLE()
+        require(nd >= 1 && nd.toLong <= curLen + 1,
+          s"tokbin: sequence $seqNo in $file declares $nd documents — " +
+            "corrupt .doc")
+        val arr = new Array[Long](nd)
+        var s = 0L
+        var i = 0
+        while (i < nd) {
+          val l = readIntLE()
+          require(l >= 0,
+            s"tokbin: negative doc length in $file — corrupt .doc")
+          arr(i) = l.toLong; s += l; i += 1
+        }
+        require(s + nd - 1 == curLen,
+          s"tokbin: sequence $seqNo in $file: doc_lens sum to $s over $nd " +
+            s"docs but the sequence has $curLen ids — corrupt .doc")
+        curLens = arr
+      } catch {
         case _: java.io.EOFException => throw new IllegalArgumentException(
           s"tokbin: $file .doc sidecar shorter than .idx (sequence $seqNo)")
       }
-      require(nd >= 1 && nd.toLong <= curLen + 1,
-        s"tokbin: sequence $seqNo in $file declares $nd documents — " +
-          "corrupt .doc")
-      val arr = new Array[Long](nd)
-      var s = 0L
-      var i = 0
-      while (i < nd) {
-        val l = readIntLE()
-        require(l >= 0, s"tokbin: negative doc length in $file — corrupt .doc")
-        arr(i) = l.toLong; s += l; i += 1
-      }
-      require(s + nd - 1 == curLen,
-        s"tokbin: sequence $seqNo in $file: doc_lens sum to $s over $nd " +
-          s"docs but the sequence has $curLen ids — corrupt .doc")
-      curLens = arr
     }
     true
   }

@@ -412,6 +412,19 @@ class CorpusSpec extends AnyFunSuite {
       (10L, 0L, 0L), (11L, 1L, 44L)))
   }
 
+  test("packSequences refuses inputs carrying bin/bin_offset (silent overwrite; r13 review)") {
+    val docs = Seq((1L, "g", 5L, 0L)).toDF("doc_id", "grp", "n_tokens", "bin")
+    val e = intercept[IllegalArgumentException] {
+      Corpus.packSequences(docs, "doc_id", "n_tokens", "grp", 64L)
+    }
+    assert(e.getMessage.contains("bin"))
+    // and via the worst shape: a GROUP column named like a generated one
+    val docs2 = Seq((1L, 0L, 5L)).toDF("doc_id", "bin_offset", "n_tokens")
+    intercept[IllegalArgumentException] {
+      Corpus.packSequences(docs2, "doc_id", "n_tokens", "bin_offset", 64L)
+    }
+  }
+
   test("packSequences orderKey: shuffle re-deals order per seed, preserves pack invariants") {
     val docs = (1L to 40L).map(i => (i, if (i <= 20) "g1" else "g2", 10L + i % 7))
       .toDF("doc_id", "grp", "n_tokens")

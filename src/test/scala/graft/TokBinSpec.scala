@@ -241,6 +241,34 @@ class TokBinSpec extends AnyFunSuite {
       spark.read.format("tokbin").load(dir2).select("doc_lens").collect()
     }
     assert(msgs(err2).exists(_.contains("corrupt .doc")))
+    // truncated MID-record (count present, a length missing): the labeled
+    // shorter-than-.idx error, not a bare EOFException (r13 review)
+    val bbT = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bbT.putInt(2).putInt(1)
+    val oT = fs(dir2).create(docP, true); oT.write(bbT.array()); oT.close()
+    val errT = intercept[org.apache.spark.SparkException] {
+      spark.read.format("tokbin").load(dir2).select("doc_lens").collect()
+    }
+    assert(msgs(errT).exists(_.contains("shorter than .idx")))
+    // a .doc LONGER than .idx (stale trailing records) refuses too
+    val bbL = java.nio.ByteBuffer.allocate(16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bbL.putInt(2).putInt(1).putInt(1).putInt(7) // valid record + junk
+    val oL = fs(dir2).create(docP, true); oL.write(bbL.array()); oL.close()
+    val errL = intercept[org.apache.spark.SparkException] {
+      spark.read.format("tokbin").load(dir2).select("doc_lens").collect()
+    }
+    assert(msgs(errL).exists(_.contains("longer than .idx")))
+    // wrong-TYPED doc_lens= under mode='overwrite' must not cost the
+    // previous export (the ids= pre-delete rule, r13 review)
+    val errTy = intercept[IllegalArgumentException] {
+      ctx.sql(s"""EXPORT TABLE tb_bnd WITH (location = '$dir',
+        |format = 'tokbin', mode = 'overwrite',
+        |doc_lens = 'source')""".stripMargin)
+    }
+    assert(errTy.getMessage.contains("array<int|bigint>"))
+    assert(partFiles(dir).nonEmpty, "previous export must survive")
     ctx.dropTable("tb_bnd")
   }
 
