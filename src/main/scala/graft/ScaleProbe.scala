@@ -1065,6 +1065,13 @@ object ScaleProbe {
           timed("tokbin_export") {
             sources.TokBin.write(shard, s"$base/bin")
           },
+          // r13: the .doc boundary sidecar rides the same executor-side
+          // stream — its per-sequence cost (n_docs ints + the sum-
+          // invariant check) must stay invisible next to the token bytes
+          timed("tokbin_export_with_doc") {
+            sources.TokBin.write(shard, s"$base/bind",
+              docLensCol = Some("doc_lens"))
+          },
           timed("tokbin_export_parquet_anchor") {
             shard.write.mode("overwrite").parquet(s"$base/pq")
           })

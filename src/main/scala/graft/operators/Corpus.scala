@@ -268,7 +268,11 @@ object Corpus {
     * strictly increasing along the pack order, so the in-row offset sort
     * reproduces it. The one tie possible — zero-token documents sharing
     * an offset — falls back to id order in-row (they contribute only a
-    * separator, so sequence CONTENT is unaffected for id packs). */
+    * separator, so sequence CONTENT is unaffected for id packs).
+    *
+    * Boundary metadata (doc_ids/doc_lens) lives on
+    * [[materializePackedIds]] — the trainer artifact; this string form
+    * is the human debugging surface and keeps its lean schema. */
   def materializePacked(
       df: DataFrame, idCol: String, textCol: String, tokensCol: String,
       groupCol: String, capacity: Long, eos: String = " <eos> ",
