@@ -3220,5 +3220,46 @@ object CorpusQueries {
           concat_ws(" ", col("doc_lens")).as("doc_lens"))
         .orderBy("source", "bin")
     },
+
+    // .DOC SIDECAR ROUND TRIP (r13): the p105 pattern for the boundary
+    // file — export WITH the sidecar, re-read DISTRIBUTED through the
+    // tokbin source, and hash-gate every sequence's boundary list
+    // against the DuckDB replay, so the on-disk .doc byte layout itself
+    // is oracle-certified (one shard → globally deterministic seq).
+    Q("p110_tokbin_doc_roundtrip", Some("""
+      WITH tok AS (SELECT doc_id, source,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+               x -> x <> '')) AS BIGINT) AS nt
+           FROM documents),
+      c AS (SELECT *, sum(nt) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum FROM tok),
+      b AS (SELECT *, CAST(floor((cum - nt) / 256.0) AS BIGINT) AS bin,
+              (cum - nt) % 256 AS off FROM c),
+      g AS (SELECT source, bin,
+              CAST(sum(nt) + count(*) - 1 AS BIGINT) AS n_tokens,
+              string_agg(CAST(nt AS VARCHAR), ' ' ORDER BY off, doc_id)
+                AS doc_lens
+            FROM b GROUP BY source, bin)
+      SELECT CAST(row_number() OVER (ORDER BY source, bin) - 1 AS BIGINT)
+               AS seq,
+             n_tokens, doc_lens
+      FROM g ORDER BY seq""")) { (s, d) =>
+      val docs = t(s, d, "documents").select(col("doc_id"), col("source"),
+        transform(filter(split(lower(col("text")), " "), x => x =!= ""),
+          _ => lit(1)).as("token_ids"))
+      val packed = Corpus
+        .materializePackedIds(docs, "doc_id", "token_ids", "source", 256L)
+        .coalesce(1).sortWithinPartitions("source", "bin")
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_tokbin_doc_rt_" +
+          java.lang.Integer.toHexString(d.hashCode)).toString
+      graft.sources.TokBin.write(packed, dir, "seq_ids",
+        docLensCol = Some("doc_lens"))
+      s.read.format("tokbin").load(dir)
+        .select(col("seq"), col("n_tokens"),
+          concat_ws(" ",
+            transform(col("doc_lens"), l => l.cast("string"))).as("doc_lens"))
+        .orderBy("seq")
+    },
   )
 }
