@@ -451,6 +451,34 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("pack-order differential: shuffled pack equals a pure-Scala reference (5 seeds)") {
+    // an INDEPENDENT implementation — java MessageDigest, Scala sort,
+    // hand cum-sum — so agreement is evidence about the documented
+    // md5(seed||id) order semantics, not the Spark expressions
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (1 to 200).map { i =>
+        (i.toLong * 7 + seed, s"g${rnd.nextInt(3)}", 1L + rnd.nextInt(50))
+      }
+      val df = rows.toDF("doc_id", "grp", "n_tokens")
+      val got = Corpus.packSequences(df, "doc_id", "n_tokens", "grp", 128L,
+          orderKey = Some(Corpus.shuffleKey("doc_id", s"d$seed|")))
+        .select("doc_id", "bin", "bin_offset").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val want = rows.groupBy(_._2).flatMap { case (_, g) =>
+        var cum = 0L
+        g.sortBy(r => (md5hex(s"d$seed|" + r._1), r._1)).map { r =>
+          val before = cum; cum += r._3
+          r._1 -> ((before / 128L, before % 128L))
+        }
+      }.toMap
+      assert(got == want, s"seed $seed diverged from the reference")
+    }
+  }
+
   test("materializePackedIds orderKey: sequence content follows the custom order") {
     // curriculum order: longest-first (n desc, id tie-break) within one group
     val rows = Seq(
