@@ -588,6 +588,68 @@ class DocStreamingSpec extends AnyFunSuite {
     assert(batchBloom == batch)
   }
 
+  test("streaming shard production: foreachBatch encode → pack → tokbin export; shards re-read equal batch (r13)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the continuous-pretraining tail: a FROZEN vocab (ids stable across
+    // batches — the extendVocab story), each micro-batch encoded (pure
+    // projection, streams as-is), packed and exported as its own
+    // append-only tokbin shard dir (bin identity = (batch, group, bin) —
+    // a trainer mounts the growing directory). PACK is a window, so it
+    // runs per micro-batch inside foreachBatch, never across batches.
+    def toks(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("source"),
+        filter(split(lower(col("text")), " "), x => x =!= "").as("tokens"))
+    val seed = (1 to 30).map(i => (i.toLong, s"s${i % 2}",
+      s"seed words number $i repeated token stream"))
+      .toDF("doc_id", "source", "text")
+    val vocab = Corpus.tokenVocab(
+      toks(seed).select(explode(col("tokens")).as("piece"))).localCheckpoint()
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_stream_shards").toString
+    def shardOf(df: org.apache.spark.sql.DataFrame) =
+      Corpus.materializePackedIds(
+        Corpus.encodeIds(toks(df), "doc_id", "tokens", vocab),
+        "doc_id", "token_ids", "source", 16L)
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
+    val q = ms.toDF().toDF("doc_id", "source", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        graft.sources.TokBin.write(
+          shardOf(batch.toDF()).coalesce(1)
+            .sortWithinPartitions("source", "bin"),
+          s"$base/batch=$bid", "seq_ids", docLensCol = Some("doc_lens"))
+        ()
+      }
+      .start()
+    val b1 = Seq((101L, "s0", "alpha beta gamma delta"),
+      (102L, "s1", "epsilon zeta"), (103L, "s0", "eta theta iota"))
+    val b2 = Seq((201L, "s1", "unknown words arrive here"),
+      (202L, "s0", "alpha beta unknown"))
+    try {
+      ms.addData(b1: _*); q.processAllAvailable()
+      ms.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // the exported shard set == the same per-batch packs computed in
+    // batch code, byte layout included (ids + boundaries re-read
+    // distributed through the tokbin source across ALL batch dirs)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), r.getString(2))
+    val got = spark.read.format("tokbin").load(s"$base/*")
+      .select(col("n_tokens"),
+        concat_ws(" ", col("seq_ids")).as("ids"),
+        concat_ws(" ",
+          transform(col("doc_lens"), l => l.cast("string"))).as("lens"))
+      .collect().map(key).toSeq.sorted
+    val want = Seq(b1, b2).flatMap { rows =>
+      shardOf(rows.toDF("doc_id", "source", "text"))
+        .select(col("n_ids"), concat_ws(" ", col("seq_ids")).as("ids"),
+          concat_ws(" ",
+            transform(col("doc_lens"), l => l.cast("string"))).as("lens"))
+        .collect().map(key).toSeq
+    }.sorted
+    assert(got == want && got.nonEmpty)
+  }
+
   test("streaming ingest loop: foreachBatch screen → append; batch N+1 sees batch N's survivors; leak bound = one micro-batch (r12)") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
