@@ -81,5 +81,9 @@ object SparkEntry {
     // vocab (TokenIds native node) through the packing window into
     // eos-separated array<int> sequences
     "p103_pack_ids",
+    // r13: the seeded trainer-order shuffle — the same single packing
+    // window with the md5 key inline in its sort; tracked beside the
+    // id-order p103 so any order-key cost shows up as their delta
+    "p106_pack_shuffled",
     "s01_events_tumbling", "s03_events_session")
 }
