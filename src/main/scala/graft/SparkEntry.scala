@@ -81,9 +81,12 @@ object SparkEntry {
     // vocab (TokenIds native node) through the packing window into
     // eos-separated array<int> sequences
     "p103_pack_ids",
-    // r13: the seeded trainer-order shuffle — the same single packing
-    // window with the md5 key inline in its sort; tracked beside the
-    // id-order p103 so any order-key cost shows up as their delta
+    // r13: the seeded trainer-order shuffle's bin-assignment window (md5
+    // key inline in the one window sort). NOT an A/B against p103 — that
+    // query additionally pays vocab/encode/materialize; the controlled
+    // order-key on/off comparison is ScaleProbe pack_ids (PLANS 87),
+    // which measured the key at no cost. This series just tracks the
+    // new query shape round over round.
     "p106_pack_shuffled",
     "s01_events_tumbling", "s03_events_session")
 }
