@@ -140,8 +140,9 @@ class Context(val spark: SparkSession) {
     val fmt = if (format == "auto") {
       val p = path.toLowerCase
       if (p.endsWith(".csv")) "csv"
-      else if (p.endsWith(".json")) "json"
+      else if (p.endsWith(".json") || p.endsWith(".jsonl")) "json"
       else if (p.endsWith(".orc")) "orc"
+      else if (p.endsWith(".txt")) "text"
       else if (p.endsWith(".warc") || p.endsWith(".warc.gz")) "warc"
       else "parquet"
     } else format
@@ -151,11 +152,19 @@ class Context(val spark: SparkSession) {
         .option("inferSchema", "true").csv(path)
       case "json" => reader.json(path)
       case "orc" => reader.orc(path)
+      // raw one-document-per-line corpora (the wikitext/.txt intake):
+      // one `value` string column; wholetext='true' reads one row per
+      // FILE instead (Spark's own option, passed through)
+      case "text" => reader.text(path)
       case "warc" => reader.format("warc").load(path) // sources.WarcDataSource
       // exported int32 token shards, re-registered for SQL-side audits
       // (counts/size histograms prune to the .idx sidecar — TokBinSpec)
       case "tokbin" => reader.format("tokbin").load(path)
-      case _ => reader.parquet(path)
+      case "parquet" => reader.parquet(path)
+      // any other key dispatches to the DataSource registry by name (the
+      // reference's format-key rule) — an unknown format now fails with
+      // Spark's own lookup error instead of silently reading parquet
+      case other => reader.format(other).load(path)
     }
     schemas(currentSchema).filepaths(norm(name)) = path
     createTable(name, df, persist)

@@ -213,6 +213,29 @@ class ContextSpec extends AnyFunSuite {
     ctx.sql("DROP TABLE csv_t"); ctx.sql("DROP TABLE json_t")
   }
 
+  test("text source: one doc per line, .txt auto-sniff, wholetext, unknown formats refuse (r13)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_txt").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/corpus.txt"),
+      "first document line\nsecond document line\nthird one\n")
+    // raw-corpus intake: one `value` row per line, auto-sniffed from .txt
+    val ctx2 = new Context(spark)
+    ctx2.createTableFromPath("raw_docs", s"$dir/corpus.txt")
+    assert(ctx2.sql("SELECT count(*) AS n FROM raw_docs").head().getLong(0) == 3)
+    assert(ctx2.sql(
+      "SELECT sum(token_count(value)) AS t FROM raw_docs").head().getLong(0) == 8)
+    // wholetext: one row per FILE (Spark's own option, passed through)
+    ctx2.createTableFromPath("raw_whole", s"$dir/corpus.txt",
+      format = "text", options = Map("wholetext" -> "true"))
+    assert(ctx2.sql("SELECT count(*) AS n FROM raw_whole").head().getLong(0) == 1)
+    // an unknown format key fails with Spark's lookup error, not a
+    // silent parquet read (r13: the old `case _` defaulted to parquet)
+    intercept[Exception] {
+      ctx2.createTableFromPath("bad_t", s"$dir/corpus.txt", format = "nosuchfmt")
+    }
+    ctx2.sql("DROP TABLE raw_docs"); ctx2.sql("DROP TABLE raw_whole")
+  }
+
   test("parquet sink + re-register (CREATE TABLE AS ... to_parquet shape)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
     ctx.sql("SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY 1")
