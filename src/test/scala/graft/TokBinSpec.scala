@@ -185,6 +185,22 @@ class TokBinSpec extends AnyFunSuite {
     assert(msgs(err).exists(_.contains("truncated")))
   }
 
+  test("round-trip fuzz: 5 seeds of random sequences (incl. empty, negative, extreme ids) survive byte-exactly") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val data = (1 to 100).map { _ =>
+        Seq.fill(rnd.nextInt(30))(rnd.nextInt()) // full int32 range
+      } :+ Seq(Int.MinValue, -1, 0, 1, Int.MaxValue) :+ Seq.empty[Int]
+      val dir = tmpDir(s"fuzz$seed")
+      TokBin.write(data.toDF("seq_ids").coalesce(1), dir)
+      // driver-side recipe reader AND the distributed source agree
+      assert(readAllSeqs(dir) == data.map(_.toSeq))
+      val viaSource = spark.read.format("tokbin").load(dir)
+        .orderBy("seq").collect().map(_.getSeq[Int](3).toList).toSeq
+      assert(viaSource == data.map(_.toList))
+    }
+  }
+
   test(".doc boundary sidecar: round trip, invariant guard, corrupt detection (r13)") {
     // pack real docs so doc_lens comes from the operator, not hand data
     val docs = Tables.t(spark, TestSpark.sf, "documents")
