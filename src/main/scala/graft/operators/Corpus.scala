@@ -205,7 +205,8 @@ object Corpus {
   def packSequences(
       df: DataFrame, idCol: String, tokensCol: String, groupCol: String,
       capacity: Long, subShards: Int = 1,
-      orderKey: Option[Column] = None): DataFrame = {
+      orderKey: Option[Column] = None,
+      emitPos: Boolean = false): DataFrame = {
     require(capacity > 0, "capacity must be positive")
     require(subShards >= 1, "subShards must be >= 1")
     // the sub-shard key is a NEW output column — a corpus frame carrying
@@ -216,6 +217,7 @@ object Corpus {
     // named 'bin', which would then group/collect the GENERATED values —
     // r13 review)
     requireNoClash(df, Set("bin", "bin_offset"), "packSequences")
+    if (emitPos) requireNoClash(df, Set("_pack_pos"), "packSequences")
     val (base, parts) =
       if (subShards == 1) (df, Seq(col(groupCol)))
       else (df.withColumn("shard",
@@ -224,7 +226,18 @@ object Corpus {
     val w = Window.partitionBy(parts: _*)
       .orderBy(orderKey.toSeq :+ col(idCol): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    base.withColumn("_cum", sum(col(tokensCol).cast("long")).over(w))
+    val cum = base.withColumn("_cum", sum(col(tokensCol).cast("long")).over(w))
+    // _pack_pos: the row's 1-based position in the pack order — same
+    // partition + order, so it rides the SAME WindowExec (no extra sort
+    // or exchange). The materialize forms use it to break in-row offset
+    // ties (zero-token docs share a bin_offset) by true pack order, which
+    // id order cannot reproduce under a custom orderKey (r13 ADVICE).
+    val posed = if (emitPos)
+      cum.withColumn("_pack_pos",
+        row_number().over(Window.partitionBy(parts: _*)
+          .orderBy(orderKey.toSeq :+ col(idCol): _*)).cast("long"))
+      else cum
+    posed
       .withColumn("_before", col("_cum") - col(tokensCol).cast("long"))
       .withColumn("bin", floor(col("_before") / capacity))
       .withColumn("bin_offset", pmod(col("_before"), lit(capacity)))
@@ -264,11 +277,11 @@ object Corpus {
     * its own length — trainers that need a hard cap split such documents
     * upstream ([[chunkDocuments]] with size=capacity) before packing.
     *
-    * With a custom `orderKey`, in-bin order is still exact: offsets are
-    * strictly increasing along the pack order, so the in-row offset sort
-    * reproduces it. The one tie possible — zero-token documents sharing
-    * an offset — falls back to id order in-row (they contribute only a
-    * separator, so sequence CONTENT is unaffected for id packs).
+    * With a custom `orderKey`, in-bin order is exact AT ANY INPUT: the
+    * in-row sort key is (bin_offset, pack position), where the position
+    * is the packing window's own row_number — so even zero-token
+    * documents (which share their bin_offset with the next doc) land in
+    * true pack order, under id, shuffle, or curriculum packing alike.
     *
     * Boundary metadata (doc_ids/doc_lens) lives on
     * [[materializePackedIds]] — the trainer artifact; this string form
@@ -278,13 +291,17 @@ object Corpus {
       groupCol: String, capacity: Long, eos: String = " <eos> ",
       subShards: Int = 1, orderKey: Option[Column] = None): DataFrame = {
     val packed = packSequences(df, idCol, tokensCol, groupCol, capacity,
-      subShards, orderKey)
+      subShards, orderKey, emitPos = true)
     val keys = if (subShards == 1) Seq(col(groupCol), col("bin"))
                else Seq(col(groupCol), col("shard"), col("bin"))
+    // in-row sort is (bin_offset, _pack_pos): offsets tie only for
+    // zero-token docs, and _pack_pos breaks the tie by TRUE pack order —
+    // an id tie-break would invert the pair under shuffle/curriculum
+    // order and misplace the separator (r13 ADVICE)
     packed.groupBy(keys: _*)
       .agg(count(lit(1)).cast("bigint").as("n_docs"),
         sum(col(tokensCol).cast("long")).cast("bigint").as("n_tokens"),
-        collect_list(struct(col("bin_offset"), col(idCol).as("_id"),
+        collect_list(struct(col("bin_offset"), col("_pack_pos"),
           col(textCol).as("_t"))).as("_parts"))
       .withColumn("seq_text",
         array_join(transform(array_sort(col("_parts")), p => p("_t")), eos))
@@ -2192,14 +2209,18 @@ object Corpus {
         coalesce(col(idsCol), array().cast(df.schema(idsCol).dataType)))
       .withColumn("_nt", size(col("_ids")).cast("long"))
     val packed = packSequences(withN, idCol, "_nt", groupCol, capacity,
-      subShards, orderKey)
+      subShards, orderKey, emitPos = true)
     val keys = if (subShards == 1) Seq(col(groupCol), col("bin"))
                else Seq(col(groupCol), col("shard"), col("bin"))
+    // struct sorts by (bin_offset, _pack_pos): zero-token docs share a
+    // bin_offset and must order by TRUE pack order, not id — with a
+    // custom orderKey an id tie-break can shift the eos separator and
+    // misorder doc_ids/doc_lens shipped to trainers (r13 ADVICE)
     packed.groupBy(keys: _*)
       .agg(count(lit(1)).cast("bigint").as("n_docs"),
         sum(col("_nt")).cast("bigint").as("n_tokens"),
-        collect_list(struct(col("bin_offset"), col(idCol).as("_id"),
-          col("_ids"))).as("_parts"))
+        collect_list(struct(col("bin_offset"), col("_pack_pos"),
+          col(idCol).as("_id"), col("_ids"))).as("_parts"))
       .withColumn("_sorted", array_sort(col("_parts")))
       .withColumn("seq_ids",
         flatten(transform(col("_sorted"), (p, i) =>

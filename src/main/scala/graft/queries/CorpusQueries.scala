@@ -3063,8 +3063,11 @@ object CorpusQueries {
       val packed = Corpus
         .materializePackedIds(ids, "doc_id", "token_ids", "source", 256L)
         .coalesce(1).sortWithinPartitions("source", "bin")
+      // per-session unique (applicationId): two concurrent sessions on one
+      // machine (verify racing bench) must not overwrite each other's
+      // round-trip shards mid-read (r13 ADVICE)
       val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft_tokbin_rt_" +
+        "graft_tokbin_rt_" + s.sparkContext.applicationId + "_" +
           java.lang.Integer.toHexString(d.hashCode)).toString
       graft.sources.TokBin.write(packed, dir, "seq_ids")
       s.read.format("tokbin").load(dir)
@@ -3251,7 +3254,7 @@ object CorpusQueries {
         .materializePackedIds(docs, "doc_id", "token_ids", "source", 256L)
         .coalesce(1).sortWithinPartitions("source", "bin")
       val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft_tokbin_doc_rt_" +
+        "graft_tokbin_doc_rt_" + s.sparkContext.applicationId + "_" +
           java.lang.Integer.toHexString(d.hashCode)).toString
       graft.sources.TokBin.write(packed, dir, "seq_ids",
         docLensCol = Some("doc_lens"))

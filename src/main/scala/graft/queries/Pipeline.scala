@@ -2247,7 +2247,7 @@ object Pipeline {
       tag: String,
       contentOverride: Option[org.apache.spark.sql.Column] = None): String = {
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_warc_" + tag + "_" +
+      "graft_warc_" + tag + "_" + s.sparkContext.applicationId + "_" +
         java.lang.Integer.toHexString(d.hashCode)).toString
     val docs = t(s, d, "documents")
     val content = contentOverride.getOrElse(concat(

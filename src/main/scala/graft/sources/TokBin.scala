@@ -127,6 +127,13 @@ object TokBin {
                 "tokbin export: NULL element in doc_lens")
             }
             require(lens.nonEmpty, "tokbin export: empty doc_lens")
+            // 4*(n_docs+1) must not overflow Int in the allocate below —
+            // bound n_docs loudly instead of surfacing an unlabeled
+            // NegativeArraySizeException on a ~536M-document sequence
+            // (r13 ADVICE; a sequence that large is upstream error)
+            require(lens.length <= (Int.MaxValue - 4) / 4,
+              s"tokbin export: ${lens.length} documents in one sequence — " +
+                "past the .doc record cap; split the pack upstream")
             var sum = 0L
             val db = java.nio.ByteBuffer.allocate(4 * (lens.length + 1))
               .order(java.nio.ByteOrder.LITTLE_ENDIAN)

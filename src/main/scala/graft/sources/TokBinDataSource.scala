@@ -199,11 +199,15 @@ class TokBinPartitionReader(file: String, required: StructType,
     // validate HERE, not only on the seq_ids path: a corrupt entry must
     // fail loudly even for idx-only audits (negative n_tokens), and a
     // negative offset/length would otherwise surface as an opaque seek
-    // EOF or NegativeArraySizeException deep in get() (r13 review)
-    require(curOffset >= 0 && curLen >= 0 && curLen <= Int.MaxValue / 4,
+    // EOF or NegativeArraySizeException deep in get(). The single-array
+    // capacity cap (Int.MaxValue/4) deliberately does NOT apply here: the
+    // writer streams token bytes in bounded chunks and can legitimately
+    // emit a straddling over-capacity sequence, which must stay auditable
+    // idx-only — the cap is enforced on the seq_ids materialization path
+    // in get(), where it is genuinely required (r13 ADVICE)
+    require(curOffset >= 0 && curLen >= 0,
       s"tokbin: sequence $seqNo in $file declares (offset=$curOffset, " +
-        s"len=$curLen) — corrupt .idx (a packed sequence is " +
-        "non-negative and capacity-bounded)")
+        s"len=$curLen) — corrupt .idx (a packed sequence is non-negative)")
     // .doc is consumed in lock-step with .idx (variable-length records,
     // so exactly once per sequence, here rather than in get())
     if (docIn != null) {
@@ -250,7 +254,14 @@ class TokBinPartitionReader(file: String, required: StructType,
         case "seq" => java.lang.Long.valueOf(seqNo)
         case "n_tokens" => java.lang.Long.valueOf(curLen)
         case "seq_ids" =>
-          val n = curLen.toInt // bounds validated in next()
+          // materializing a sequence as one JVM int array caps at
+          // Int.MaxValue/4 elements — only THIS projection needs the
+          // bound (idx-only audits of giant sequences stay readable)
+          require(curLen <= Int.MaxValue / 4,
+            s"tokbin: sequence $seqNo in $file has $curLen tokens — past " +
+              "the single-array seq_ids cap; audit it idx-only " +
+              "(file/seq/n_tokens) or split upstream")
+          val n = curLen.toInt
           if (curOffset != binPos) {
             // writer layout is contiguous; honor a non-contiguous index
             // (truncated/hand-sliced) via an explicit seek, never by

@@ -500,6 +500,34 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(0).getSeq[Long](3) == Seq(4L, 4L, 2L, 1L))
   }
 
+  test("pack tie-break: zero-token doc keeps its custom-order slot (r13 ADVICE)") {
+    // curriculum order score asc: doc5 (2 tokens), doc9 (EMPTY), doc2 (3
+    // tokens). The empty doc shares its bin_offset with doc2; an id
+    // tie-break would sort doc2 first and shift the eos separator — the
+    // in-row sort must follow TRUE pack order via the window's position.
+    val rows = Seq(
+      (5L, "g", Seq(1, 2), 1),
+      (9L, "g", Seq.empty[Int], 2),
+      (2L, "g", Seq(3, 4, 5), 3))
+      .toDF("doc_id", "grp", "ids", "score")
+    val out = Corpus.materializePackedIds(rows, "doc_id", "ids", "grp", 100L,
+        eosId = 0, orderKey = Some(col("score")))
+      .select("seq_ids", "doc_ids", "doc_lens").collect()
+    assert(out.length == 1)
+    assert(out(0).getSeq[Int](0) == Seq(1, 2, 0, 0, 3, 4, 5))
+    assert(out(0).getSeq[Long](1) == Seq(5L, 9L, 2L))
+    assert(out(0).getSeq[Long](2) == Seq(2L, 0L, 3L))
+    // the string form shares the fix: the empty doc's separator slot
+    // must sit between its neighbors, not drift to the end
+    val txt = Seq(
+      (5L, "g", "ab", 2L, 1), (9L, "g", "", 0L, 2), (2L, "g", "cde", 3L, 3))
+      .toDF("doc_id", "grp", "text", "n_tokens", "score")
+    val mt = Corpus.materializePacked(txt, "doc_id", "text", "n_tokens",
+        "grp", 100L, eos = "|", orderKey = Some(col("score")))
+      .select("seq_text").collect()
+    assert(mt.map(_.getString(0)).toSeq == Seq("ab||cde"))
+  }
+
   test("connectedComponents labels a chain, a pair, and leaves singleton edges alone") {
     // chain 5-4-3-2-1 (worst case for propagation), separate pair 10-11
     val pairs = Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L), (10L, 11L))
