@@ -1699,25 +1699,69 @@ class Context(val spark: SparkSession) {
           }
           val p = new org.apache.hadoop.fs.Path(location)
           val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          // raw int32 token-shard sink (r13): one flat little-endian
+          // .bin + (offset, length) .idx sidecar per shard — the file a
+          // trainer memory-maps (sources.TokBin; ids= names the
+          // array<int> column, default seq_ids = the PACK materialize
+          // ids= output shape; doc_lens= additionally writes the .doc
+          // boundary sidecar for attention-mask resets)
+          def runWrite(target: String): Unit =
+            if (fmt == "warc")
+              graft.sources.Warc.write(sorted, target,
+                gzip = opts.get("gzip").forall(_.trim.toBoolean))
+            else
+              graft.sources.TokBin.write(sorted, target,
+                idsCol = opts.getOrElse("ids", "seq_ids"),
+                docLensCol = opts.get("doc_lens").map(_.trim))
           if (fs.exists(p)) {
             if (!opts.get("mode").map(_.trim).contains("overwrite"))
               throw new IllegalArgumentException(
                 s"EXPORT TABLE: $location exists; pass mode='overwrite' to replace")
-            fs.delete(p, true)
-          }
-          if (fmt == "warc")
-            graft.sources.Warc.write(sorted, location,
-              gzip = opts.get("gzip").forall(_.trim.toBoolean))
-          else
-            // raw int32 token-shard sink (r13): one flat little-endian
-            // .bin + (offset, length) .idx sidecar per shard — the file a
-            // trainer memory-maps (sources.TokBin; ids= names the
-            // array<int> column, default seq_ids = the PACK materialize
-            // ids= output shape; doc_lens= additionally writes the .doc
-            // boundary sidecar for attention-mask resets)
-            graft.sources.TokBin.write(sorted, location,
-              idsCol = opts.getOrElse("ids", "seq_ids"),
-              docLensCol = opts.get("doc_lens").map(_.trim))
+            // STAGED overwrite (r13 verdict #2): the old path deleted the
+            // location BEFORE launching the write, so any data-level
+            // failure mid-job (NULL token element, doc_lens mismatch,
+            // executor loss past retries) left the previous — possibly
+            // 100 TB — artifact destroyed and the new one partial. Write
+            // into a hidden staging dir under the location (invisible to
+            // the warc/tokbin listers, which match file suffixes only)
+            // and swap ONLY after the job succeeds: delete old part
+            // files first, then rename the staged files up. A crash
+            // mid-swap leaves the new data intact in .staging-* (never a
+            // silent old/new mix — deletes complete before any rename);
+            // a fresh overwrite sweeps stale staging dirs from earlier
+            // crashes.
+            if (fs.getFileStatus(p).isFile)
+              throw new IllegalArgumentException(
+                s"EXPORT TABLE: $location is a file, not a shard " +
+                  "directory — refusing to overwrite it with shards")
+            fs.listStatus(p).foreach { st =>
+              if (st.isDirectory && st.getPath.getName.startsWith(".staging-"))
+                fs.delete(st.getPath, true)
+            }
+            val staging = new org.apache.hadoop.fs.Path(p,
+              ".staging-" + java.util.UUID.randomUUID().toString)
+            try runWrite(staging.toString)
+            catch {
+              case e: Throwable =>
+                // the failed partial stays out of readers' sight either
+                // way (hidden dir); drop it so a crash loop can't pile
+                // up staging garbage. The OLD artifact is untouched.
+                try fs.delete(staging, true) catch { case _: Throwable => () }
+                throw e
+            }
+            fs.listStatus(p).foreach { st =>
+              if (st.getPath.getName != staging.getName)
+                fs.delete(st.getPath, true)
+            }
+            fs.listStatus(staging).foreach { st =>
+              if (!fs.rename(st.getPath,
+                  new org.apache.hadoop.fs.Path(p, st.getPath.getName)))
+                throw new java.io.IOException(
+                  s"EXPORT TABLE: failed to move staged ${st.getPath} " +
+                    s"into $location — new artifact left in $staging")
+            }
+            fs.delete(staging, true)
+          } else runWrite(location)
         case fmt =>
           // destructive-write guard (round-5 ADVICE): the location is an
           // arbitrary user-supplied path, so clobbering must be opt-in —

@@ -1,0 +1,98 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Two-phase TASK COMMIT for the custom distributed shard writers
+  * ([[TokBin]], [[Warc]]) — the durability layer a 1000-executor fleet
+  * needs that `local[32]` never exercises (r13 verdict #1).
+  *
+  * The hazard: the writers emit FINAL part names keyed by partition id
+  * straight from tasks. A retried task truncate-rewrites the same path
+  * (tolerable — partition content is deterministic), but a SPECULATIVE
+  * duplicate attempt, or a zombie first attempt racing its replacement
+  * after an executor stall, writes the SAME file CONCURRENTLY and can
+  * interleave bytes silently; a multi-file shard (`.bin`/`.idx`/`.doc`)
+  * can also end up with sidecars from different attempts. At 100 TB job
+  * lengths retries are a certainty and speculation is commonly on.
+  *
+  * The protocol (the standard two-phase pattern, cf. Hadoop's
+  * FileOutputCommitter v2 semantics, done per-shard because these
+  * writers own their file layout):
+  *
+  *  1. every attempt writes to attempt-unique hidden temp names —
+  *     `.part-NNNNN.<ext>.<stageId>-<taskAttemptId>.inprogress` — so
+  *     concurrent attempts NEVER share a file descriptor or path;
+  *  2. on success the attempt renames its temps onto the final names
+  *     (rename is atomic on HDFS-likes). Both attempts of one partition
+  *     produce byte-identical files (deterministic partition contents),
+  *     so whichever commit lands last — or any interleaving of whole-
+  *     file renames — yields a valid shard set;
+  *  3. rename ORDER puts the discovery file LAST (`.idx` and `.doc`
+  *     before `.bin` for TokBin — readers list `.bin` and then demand
+  *     the sidecars), so a concurrent lister never sees a shard whose
+  *     sidecars haven't landed;
+  *  4. on failure the attempt deletes its own temps and rethrows; the
+  *     driver sweeps any `.inprogress` stragglers (attempts killed
+  *     mid-write without running their catch block) after the job
+  *     succeeds.
+  *
+  * Readers are safe against in-flight temps by construction: both
+  * listers filter on final suffixes (`.bin`, `.warc[.gz]`), which
+  * `.inprogress` names never match.
+  */
+object ShardCommit {
+
+  /** Attempt-unique tag: stage + task attempt id under a live
+    * TaskContext (globally unique within the application — attempt ids
+    * never repeat across retries OR speculative duplicates); a random
+    * UUID when called outside a task (tests, single-process tools). */
+  def attemptTag(): String = {
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null) s"${tc.stageId()}-${tc.taskAttemptId()}"
+    else java.util.UUID.randomUUID().toString
+  }
+
+  private[sources] def tempName(finalName: String, tag: String): String =
+    s".$finalName.$tag.inprogress"
+
+  /** Run `writeFn` against attempt-unique temp paths for `finalNames`
+    * (in order), then commit by renaming each temp onto its final name —
+    * LAST name in the list first is NOT the rule; the caller orders
+    * `finalNames` so the reader-discovery file comes last. Cleans up the
+    * temps and rethrows on any failure. */
+  def writeCommitted(fs: FileSystem, dir: String, finalNames: Seq[String],
+      tag: String)(writeFn: Seq[Path] => Unit): Unit = {
+    val temps = finalNames.map(n => new Path(dir, tempName(n, tag)))
+    try {
+      writeFn(temps)
+      finalNames.zip(temps).foreach { case (name, tmp) =>
+        val dst = new Path(dir, name)
+        // last committed attempt wins; both are byte-identical. HDFS
+        // rename refuses an existing destination, so clear it first —
+        // if a concurrent identical commit re-creates dst inside the
+        // window, our rename fails and we discard our (equal) temp.
+        if (fs.exists(dst)) fs.delete(dst, false)
+        if (!fs.rename(tmp, dst)) fs.delete(tmp, false)
+      }
+    } catch {
+      case e: Throwable =>
+        temps.foreach { t =>
+          try fs.delete(t, false) catch { case _: Throwable => () }
+        }
+        throw e
+    }
+  }
+
+  /** Driver-side, after the job succeeds: remove `.inprogress` temps
+    * left by attempts that died without cleanup (executor loss skips the
+    * task's catch block). Safe by then — every partition has a committed
+    * winner and no attempt is still running. */
+  def sweepInProgress(fs: FileSystem, dir: String): Unit = {
+    val p = new Path(dir)
+    if (!fs.exists(p)) return
+    fs.listStatus(p).foreach { st =>
+      if (st.isFile && st.getPath.getName.endsWith(".inprogress"))
+        try fs.delete(st.getPath, false) catch { case _: Throwable => () }
+    }
+  }
+}

@@ -40,7 +40,13 @@ import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType}
   * Determinism: pair `EXPORT TABLE ... (format='tokbin')` with shard_by=
   * + sort_by= (the generic export path applies both BEFORE this writer)
   * and the byte layout is identical run to run. Round-trip (write →
-  * re-read → byte-exact `seq_ids`) is spec-gated (TokBinSpec). */
+  * re-read → byte-exact `seq_ids`) is spec-gated (TokBinSpec).
+  *
+  * Durability: every task writes through the [[ShardCommit]] two-phase
+  * protocol (attempt-unique temps, rename on commit, sidecars before the
+  * discovery `.bin`) — task retries, speculative duplicates, and zombie
+  * attempts can no longer interleave bytes in a final shard (r13
+  * verdict #1). */
 object TokBin {
 
   def write(df: DataFrame, dir: String, idsCol: String = "seq_ids",
@@ -77,14 +83,42 @@ object TokBin {
       df.sparkSession.sparkContext.hadoopConfiguration)
     val wantDoc = docLensCol.isDefined
     proj.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      val binPath = new Path(dir, f"part-$pid%05d.bin")
-      val idxPath = new Path(dir, f"part-$pid%05d.idx")
-      val fs = binPath.getFileSystem(confSer.value)
-      val bin = new java.io.BufferedOutputStream(fs.create(binPath, true), 1 << 16)
-      val idx = new java.io.BufferedOutputStream(fs.create(idxPath, true), 1 << 16)
+      writeShardPartition(rows, dir,
+        org.apache.spark.TaskContext.getPartitionId(),
+        ShardCommit.attemptTag(), confSer.value, wantDoc)
+    }
+    // attempts killed without running their catch block (executor loss)
+    // leave .inprogress temps — sweep them now that every partition has
+    // a committed winner (readers never see them either way)
+    ShardCommit.sweepInProgress(
+      new Path(dir).getFileSystem(confSer.value), dir)
+  }
+
+  /** One partition's shard write under the [[ShardCommit]] two-phase
+    * protocol — factored from the task closure so a spec can run TWO
+    * attempts of the same partition against one directory (the
+    * speculative-duplicate / zombie-attempt race) and assert the
+    * committed shard set stays byte-valid with no temp leakage.
+    *
+    * Commit order is (.idx, .doc, .bin): readers discover shards by the
+    * `.bin` name and then REQUIRE the sidecars, so the discovery file
+    * must land last. */
+  private[graft] def writeShardPartition(
+      rows: Iterator[org.apache.spark.sql.Row], dir: String, pid: Int,
+      tag: String, conf: org.apache.hadoop.conf.Configuration,
+      wantDoc: Boolean): Unit = {
+    val fs = new Path(dir).getFileSystem(conf)
+    val finalNames =
+      (if (wantDoc) Seq(f"part-$pid%05d.idx", f"part-$pid%05d.doc",
+        f"part-$pid%05d.bin")
+       else Seq(f"part-$pid%05d.idx", f"part-$pid%05d.bin"))
+    ShardCommit.writeCommitted(fs, dir, finalNames, tag) { temps =>
+      val idxTmp = temps.head
+      val binTmp = temps.last
+      val bin = new java.io.BufferedOutputStream(fs.create(binTmp, true), 1 << 16)
+      val idx = new java.io.BufferedOutputStream(fs.create(idxTmp, true), 1 << 16)
       val doc = if (wantDoc) new java.io.BufferedOutputStream(
-        fs.create(new Path(dir, f"part-$pid%05d.doc"), true), 1 << 16)
+        fs.create(temps(1), true), 1 << 16)
         else null
       // one reusable LE scratch buffer per stream; tokens stream through
       // it in bounded chunks — a giant sequence never materializes twice

@@ -248,10 +248,26 @@ object Warc {
       df.sparkSession.sparkContext.hadoopConfiguration)
     val ext = if (gzip) ".warc.gz" else ".warc"
     proj.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      val path = new Path(dir, f"part-$pid%05d$ext")
-      val fs = path.getFileSystem(confSer.value)
-      val rawOut = fs.create(path, true)
+      writeWarcPartition(rows, dir,
+        org.apache.spark.TaskContext.getPartitionId(),
+        ShardCommit.attemptTag(), confSer.value, gzip)
+    }
+    ShardCommit.sweepInProgress(
+      new Path(dir).getFileSystem(confSer.value), dir)
+  }
+
+  /** One partition's member file under the [[ShardCommit]] two-phase
+    * protocol (attempt-unique temp, rename on commit) — factored from
+    * the task closure so a spec can replay the speculative-duplicate
+    * race. Single file, so commit order is trivial. */
+  private[graft] def writeWarcPartition(
+      rows: Iterator[org.apache.spark.sql.Row], dir: String, pid: Int,
+      tag: String, conf: org.apache.hadoop.conf.Configuration,
+      gzip: Boolean): Unit = {
+    val ext = if (gzip) ".warc.gz" else ".warc"
+    val fs = new Path(dir).getFileSystem(conf)
+    ShardCommit.writeCommitted(fs, dir, Seq(f"part-$pid%05d$ext"), tag) { temps =>
+      val rawOut = fs.create(temps.head, true)
       val out: java.io.OutputStream =
         if (gzip) new java.util.zip.GZIPOutputStream(rawOut, 1 << 16)
         else new java.io.BufferedOutputStream(rawOut, 1 << 16)

@@ -429,4 +429,36 @@ class WarcSpec extends AnyFunSuite {
       graft.sources.WarcOffset(nasty).json())
     assert(rt.toSet == nasty.toSet)
   }
+
+  test("speculative duplicate attempt: two attempts of one partition commit a valid member file, no temp leakage (r14)") {
+    val dir = tmpDir("spec")
+    val conf = spark.sparkContext.hadoopConfiguration
+    // writeWarcPartition consumes the write()-projected row shape
+    val rows = sampleDf(3).selectExpr(
+      "CAST(warc_type AS STRING) AS warc_type",
+      "CAST(record_id AS STRING) AS record_id",
+      "CAST(target_uri AS STRING) AS target_uri",
+      "unix_micros(CAST(warc_date AS TIMESTAMP)) AS warc_date_us",
+      "CAST(content_type AS STRING) AS content_type",
+      "CAST(content AS BINARY) AS content").coalesce(1).collect()
+    // the zombie-first-attempt race against one directory: each attempt
+    // writes its own temp; whole-file renames commit atomically
+    Warc.writeWarcPartition(rows.iterator, dir, 0, "9-501", conf, gzip = false)
+    Warc.writeWarcPartition(rows.iterator, dir, 0, "9-502", conf, gzip = false)
+    val f = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val names = f.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).sorted.toSeq
+    assert(names == Seq("part-00000.warc"))
+    assert(spark.read.format("warc").load(dir).count() == 3)
+    // a failed attempt cleans its temp and leaves the committed file alone
+    val poison = rows.iterator ++ Iterator.continually[org.apache.spark.sql.Row](
+      throw new RuntimeException("mid-write executor failure")).take(1)
+    intercept[RuntimeException] {
+      Warc.writeWarcPartition(poison, dir, 0, "9-503", conf, gzip = false)
+    }
+    val after = f.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).sorted.toSeq
+    assert(after == Seq("part-00000.warc"))
+    assert(spark.read.format("warc").load(dir).count() == 3)
+  }
 }
