@@ -1056,6 +1056,95 @@ class Context(val spark: SparkSession) {
           (graft.operators.Corpus.VocabIdCap - maxId).toString),
         "metric", "value")
 
+    // DESCRIBE SHARDS '<dir>' — health surface for an exported tokbin
+    // tree (the check an operator runs BEFORE pointing a training job at
+    // the artifact): shard/sequence/token counts, per-shard size spread
+    // and skew, boundary-sidecar coverage, and — only with vocab= — the
+    // id range vs the vocabulary's headroom. Everything except the
+    // vocab check runs off the .idx sidecars alone (16 bytes/sequence;
+    // the read source's REAL I/O pruning), so auditing a 100 TB tree
+    // touches ~0.1% of its bytes; vocab= is the explicit opt-in for the
+    // token-byte scan it genuinely needs. Globs work ('dir/batch=*' for
+    // the streaming producer's forest).
+    case DescribeShards(location, opts) =>
+      for (k <- opts.keys if k != "vocab")
+        throw new IllegalArgumentException(
+          s"DESCRIBE SHARDS: unknown option '$k' (only vocab=)")
+      val conf = spark.sparkContext.hadoopConfiguration
+      val files = graft.sources.TokBinRead.listFiles(Seq(location), conf)
+      require(files.nonEmpty,
+        s"DESCRIBE SHARDS: no .bin shards under $location — not a tokbin " +
+          "artifact (or an empty/unswept directory)")
+      // sidecar coverage is a metadata check, not a data read: one
+      // exists() per shard (O(shards) driver-side RPCs — the listing
+      // above already cost the same)
+      val withDoc = files.count { f =>
+        val p = new org.apache.hadoop.fs.Path(f.stripSuffix(".bin") + ".doc")
+        p.getFileSystem(conf).exists(p)
+      }
+      val scan = spark.read.format("tokbin").load(location)
+      // idx-only projection (file, n_tokens): per-shard partials combine
+      // map-side; the final stats row is O(shards) small
+      val perShard = scan.groupBy(col("file")).agg(
+        count(lit(1)).as("_seqs"),
+        sum(col("n_tokens")).as("_toks"),
+        sum(when(col("n_tokens") === 0, 1L).otherwise(0L)).as("_empty"),
+        max(col("n_tokens")).as("_maxseq"))
+      val r = perShard.agg(
+        count(lit(1)),
+        sum(col("_seqs")), sum(col("_toks")), sum(col("_empty")),
+        min(col("_toks")), max(col("_toks")),
+        max(col("_maxseq"))).head()
+      val nShards = r.getLong(0)
+      val nSeqs = r.getLong(1)
+      val nToks = if (r.isNullAt(2)) 0L else r.getLong(2)
+      val nEmpty = r.getLong(3)
+      val minShard = if (r.isNullAt(4)) 0L else r.getLong(4)
+      val maxShard = if (r.isNullAt(5)) 0L else r.getLong(5)
+      val maxSeq = if (r.isNullAt(6)) 0L else r.getLong(6)
+      val avgShard = nToks.toDouble / nShards
+      val base = Seq(
+        "shards" -> nShards.toString,
+        "sequences" -> nSeqs.toString,
+        "tokens" -> nToks.toString,
+        "empty_sequences" -> nEmpty.toString,
+        "max_seq_tokens" -> maxSeq.toString,
+        "min_shard_tokens" -> minShard.toString,
+        "max_shard_tokens" -> maxShard.toString,
+        "avg_shard_tokens" -> (math.round(avgShard * 100.0) / 100.0).toString,
+        // skew = max/avg: the straggler ratio a trainer's data loader
+        // (and any distributed re-read) inherits from the layout
+        "shard_skew" -> (if (nToks == 0L) "1.0"
+          else (math.round(maxShard / avgShard * 100.0) / 100.0).toString),
+        "doc_sidecar_shards" -> withDoc.toString,
+        "doc_sidecar_coverage" ->
+          (if (withDoc == files.size) "full"
+           else if (withDoc == 0) "none" else "partial"))
+      val vocabPart = opts.get("vocab").map { vname =>
+        val vocab = lookupTable(vname.trim)
+        require(vocab.columns.contains("piece") && vocab.columns.contains("id"),
+          s"table '${vname.trim}' is not a vocabulary — expected " +
+            "(piece, id) columns")
+        val vMax = vocab.agg(max(col("id").cast("long"))).head().getLong(0)
+        // the one stat that genuinely needs token bytes: per-row
+        // array_min/array_max, then a global min/max — no explode, the
+        // scan streams each .bin once
+        val ids = scan.agg(
+          min(array_min(col("seq_ids"))).cast("long"),
+          max(array_max(col("seq_ids"))).cast("long")).head()
+        val idMin = if (ids.isNullAt(0)) 0L else ids.getLong(0)
+        val idMax = if (ids.isNullAt(1)) 0L else ids.getLong(1)
+        Seq(
+          "min_token_id" -> idMin.toString,
+          "max_token_id" -> idMax.toString,
+          "vocab_max_id" -> vMax.toString,
+          "id_headroom" -> (vMax - idMax).toString,
+          // any id outside [0, vocab_max] would index past the trainer's
+          // embedding table — the check that matters
+          "ids_in_vocab" -> (idMin >= 0L && idMax <= vMax).toString)
+      }.getOrElse(Seq.empty)
+      toDf2(base ++ vocabPart, "metric", "value")
+
     // SELECT * FROM DECONTAMINATE(TABLE bench [WITH (...)], <train select>)
     // — benchmark-contamination annotation as a statement: the registered
     // benchmark table's n-gram set is broadcast against the inner query's

@@ -155,6 +155,8 @@ object ExtensionParser {
     * dense-array contract), duplicate detection, byte size, and which
     * dispatch route (plan literal vs broadcast) encode/decode will take. */
   final case class DescribeVocab(name: String) extends Statement
+  final case class DescribeShards(location: String,
+      opts: Map[String, String]) extends Statement
 
   private val ws = "\\s+"
   private def kw(s: String) = s.split(" ").mkString(ws)
@@ -268,6 +270,9 @@ object ExtensionParser {
   // DESCRIBE VOCAB name
   private val describeVocab =
     re(s"DESCRIBE${ws}VOCAB${ws}$ident")
+  // DESCRIBE SHARDS '<dir-or-glob>' [WITH (vocab='name')]
+  private val describeShards =
+    re(s"DESCRIBE${ws}SHARDS${ws}'([^']+)'(?:${ws}WITH${ws}\\($kwSpan\\))?")
   // SELECT * FROM DECONTAMINATE(TABLE bench [WITH (...)], <train select>)
   private val decontaminate =
     re(s"SELECT${ws}\\*${ws}FROM${ws}DECONTAMINATE\\s*\\(\\s*TABLE${ws}$ident(?:${ws}WITH${ws}\\($kwSpan\\))?\\s*,(.*)\\)")
@@ -355,6 +360,9 @@ object ExtensionParser {
       DescribeIndex(kind.toLowerCase, name)
     case describeVocab(name) =>
       DescribeVocab(name)
+    case describeShards(location, kwargs) =>
+      DescribeShards(location,
+        Option(kwargs).map(parseKwargs).getOrElse(Map()))
     case decontaminate(table, kwargs, select) =>
       Decontaminate(table,
         Option(kwargs).map(parseKwargs).getOrElse(Map()), select.trim)

@@ -3264,5 +3264,55 @@ object CorpusQueries {
             transform(col("doc_lens"), l => l.cast("string"))).as("doc_lens"))
         .orderBy("seq")
     },
+
+    // DESCRIBE SHARDS (r14): the pre-training artifact health audit —
+    // shard/sequence/token counts, empty sequences, boundary-sidecar
+    // coverage — oracle-gated end to end: pack → tokbin export (single
+    // deterministic shard) → DESCRIBE SHARDS → every INTEGER metric
+    // replayed from the DuckDB pack. The audit runs idx-only (never
+    // opens .bin — spec-proven by deletion in TokBinSpec); the float
+    // metrics (avg/skew) are formatting-sensitive and spec-gated there
+    // too, so this oracle filters to the integer/enum rows.
+    Q("p111_describe_shards", Some("""
+      WITH tok AS (SELECT doc_id, source,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+               x -> x <> '')) AS BIGINT) AS nt
+           FROM documents),
+      c AS (SELECT *, sum(nt) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum FROM tok),
+      b AS (SELECT *, CAST(floor((cum - nt) / 256.0) AS BIGINT) AS bin,
+              (cum - nt) % 256 AS off FROM c),
+      g AS (SELECT source, bin,
+              CAST(sum(nt) + count(*) - 1 AS BIGINT) AS n_tokens
+            FROM b GROUP BY source, bin)
+      SELECT metric, value FROM (
+        SELECT 'shards' AS metric, '1' AS value
+        UNION ALL SELECT 'sequences', CAST(count(*) AS VARCHAR) FROM g
+        UNION ALL SELECT 'tokens', CAST(CAST(sum(n_tokens) AS BIGINT) AS VARCHAR) FROM g
+        UNION ALL SELECT 'empty_sequences',
+          CAST(CAST(sum(CASE WHEN n_tokens = 0 THEN 1 ELSE 0 END) AS BIGINT) AS VARCHAR) FROM g
+        UNION ALL SELECT 'max_seq_tokens', CAST(max(n_tokens) AS VARCHAR) FROM g
+        UNION ALL SELECT 'min_shard_tokens',
+          CAST(CAST(sum(n_tokens) AS BIGINT) AS VARCHAR) FROM g
+        UNION ALL SELECT 'max_shard_tokens',
+          CAST(CAST(sum(n_tokens) AS BIGINT) AS VARCHAR) FROM g
+        UNION ALL SELECT 'doc_sidecar_shards', '1'
+        UNION ALL SELECT 'doc_sidecar_coverage', 'full')
+      ORDER BY metric""")) { (s, d) =>
+      val docs = t(s, d, "documents").select(col("doc_id"), col("source"),
+        transform(filter(split(lower(col("text")), " "), x => x =!= ""),
+          _ => lit(1)).as("token_ids"))
+      val packed = Corpus
+        .materializePackedIds(docs, "doc_id", "token_ids", "source", 256L)
+        .coalesce(1).sortWithinPartitions("source", "bin")
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_tokbin_desc_" + s.sparkContext.applicationId + "_" +
+          java.lang.Integer.toHexString(d.hashCode)).toString
+      graft.sources.TokBin.write(packed, dir, "seq_ids",
+        docLensCol = Some("doc_lens"))
+      new graft.Context(s).sql(s"DESCRIBE SHARDS '$dir'")
+        .filter(!col("metric").isin("avg_shard_tokens", "shard_skew"))
+        .orderBy("metric")
+    },
   )
 }

@@ -411,6 +411,85 @@ class TokBinSpec extends AnyFunSuite {
     ctx.dropTable("tb_wide"); ctx.dropTable("tb_narrow")
   }
 
+  test("streaming tokbin tail: exactly-once per shard, stream == batch over a growing batch=N forest (r14)") {
+    val watch = tmpDir("tail")
+    fs(watch).mkdirs(new org.apache.hadoop.fs.Path(watch))
+    def drop(batch: Int, seqs: Seq[Seq[Int]]): Unit =
+      TokBin.write(seqs.toDF("seq_ids").coalesce(1), s"$watch/batch=$batch")
+    drop(0, Seq(Seq(1, 2), Seq(3)))
+    val stream = spark.readStream.format("tokbin").load(s"$watch/batch=*")
+      .select(col("file"), col("seq"), col("n_tokens"),
+        concat_ws(",", col("seq_ids")).as("ids"))
+    val q = stream.writeStream.format("memory").queryName("tok_tail")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("tok_tail").count() == 2)
+      drop(1, Seq(Seq(4, 5, 6), Seq.empty[Int], Seq(7)))
+      q.processAllAvailable()
+      val rows = spark.table("tok_tail").collect()
+      // exactly once: batch 0's shard is NOT re-read when batch 1 lands
+      assert(rows.length == 5)
+      assert(rows.map(_.getAs[String]("ids")).sorted.toSeq ==
+        Seq("", "1,2", "3", "4,5,6", "7"))
+    } finally q.stop()
+    // streaming rows equal the batch read of the same forest
+    val batch = spark.read.format("tokbin").load(s"$watch/batch=*")
+      .select(concat_ws(",", col("seq_ids")).as("ids"))
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(batch == Seq("", "1,2", "3", "4,5,6", "7"))
+  }
+
+  test("DESCRIBE SHARDS: health stats off .idx alone (proven by deleting .bin); vocab= opt-in id check (r14)") {
+    val ctx = new Context(spark)
+    val dir = tmpDir("desc")
+    // two shards with known layout: (1,2,3 | empty) and (4,5 | 6)
+    TokBin.writeShardPartition(
+      rowsOf(Seq(Seq(1, 2, 3), Seq.empty[Int])), dir, 0, "d-1",
+      spark.sparkContext.hadoopConfiguration, wantDoc = false)
+    TokBin.writeShardPartition(
+      rowsOf(Seq(Seq(4, 5), Seq(6))), dir, 1, "d-2",
+      spark.sparkContext.hadoopConfiguration, wantDoc = false)
+    def describe(extra: String = "") =
+      ctx.sql(s"DESCRIBE SHARDS '$dir'$extra").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    val m = describe()
+    assert(m("shards") == "2" && m("sequences") == "4" && m("tokens") == "6")
+    assert(m("empty_sequences") == "1" && m("max_seq_tokens") == "3")
+    assert(m("min_shard_tokens") == "3" && m("max_shard_tokens") == "3")
+    assert(m("shard_skew") == "1.0")
+    assert(m("doc_sidecar_coverage") == "none")
+    assert(!m.contains("max_token_id"), "vocab stats must be opt-in")
+    // vocab= opt-in: id range vs headroom
+    ctx.createTable("ds_vocab",
+      (0 to 10).map(i => (s"p$i", i)).toDF("piece", "id"))
+    val mv = describe(" WITH (vocab = 'ds_vocab')")
+    assert(mv("min_token_id") == "1" && mv("max_token_id") == "6")
+    assert(mv("vocab_max_id") == "10" && mv("id_headroom") == "4")
+    assert(mv("ids_in_vocab") == "true")
+    // idx-only is REAL: delete every .bin — the no-vocab describe still
+    // answers, the vocab= one (which needs token bytes) fails
+    partFiles(dir).foreach { p =>
+      fs(dir).delete(new org.apache.hadoop.fs.Path(dir, p + ".bin"), false)
+    }
+    // listing keys on .bin — recreate empty markers so the shards list,
+    // but leave the token bytes GONE (idx drives everything)
+    Seq("part-00000", "part-00001").foreach { p =>
+      fs(dir).create(new org.apache.hadoop.fs.Path(dir, p + ".bin"), true).close()
+    }
+    val m2 = describe()
+    assert(m2("tokens") == "6" && m2("sequences") == "4")
+    intercept[Exception] { describe(" WITH (vocab = 'ds_vocab')") }
+    // guards: unknown option, missing artifact
+    intercept[IllegalArgumentException] {
+      ctx.sql(s"DESCRIBE SHARDS '$dir' WITH (bogus = '1')")
+    }
+    intercept[IllegalArgumentException] {
+      ctx.sql(s"DESCRIBE SHARDS '${tmpDir("descempty")}'")
+    }
+    ctx.dropTable("ds_vocab")
+  }
+
   // --- task-commit durability (r14: r13 verdict #1/#2) ---
 
   private def rowsOf(seqs: Seq[Seq[Int]]): Iterator[org.apache.spark.sql.Row] =
