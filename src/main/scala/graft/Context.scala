@@ -1145,6 +1145,35 @@ class Context(val spark: SparkSession) {
       }.getOrElse(Seq.empty)
       toDf2(base ++ vocabPart, "metric", "value")
 
+    // COMPACT SHARDS '<in>' INTO '<out>' — merge a micro-batch shard
+    // forest into few large trainer-mountable files (TokBin.compact:
+    // idx-only sizing pre-pass, coalesce — no shuffle — unless
+    // balance='true', boundaries carried, uniform-coverage enforced).
+    // The output goes through the staged-overwrite swap, so a mid-job
+    // failure never costs an existing artifact at the destination.
+    case CompactShards(in, out, opts) =>
+      for (k <- opts.keys
+           if !Set("target_tokens_per_shard", "balance", "mode").contains(k))
+        throw new IllegalArgumentException(
+          s"COMPACT SHARDS: unknown option '$k' " +
+            "(target_tokens_per_shard=, balance=, mode=)")
+      val target = opts.getOrElse("target_tokens_per_shard",
+        throw new IllegalArgumentException(
+          "COMPACT SHARDS requires target_tokens_per_shard=")).trim.toLong
+      val balance = opts.get("balance").exists(_.trim.toBoolean)
+      var result: (Long, Long, Long, Long) = null
+      stagedShardWrite(out, "COMPACT SHARDS",
+        overwrite = opts.get("mode").map(_.trim).contains("overwrite")) {
+        target0 =>
+          result = graft.sources.TokBin.compact(spark, Seq(in), target0,
+            target, balance)
+      }
+      toDf2(Seq(
+        "shards_before" -> result._1.toString,
+        "sequences" -> result._2.toString,
+        "tokens" -> result._3.toString,
+        "shards_after" -> result._4.toString), "metric", "value")
+
     // SELECT * FROM DECONTAMINATE(TABLE bench [WITH (...)], <train select>)
     // — benchmark-contamination annotation as a statement: the registered
     // benchmark table's n-gram set is broadcast against the inner query's
@@ -1802,55 +1831,9 @@ class Context(val spark: SparkSession) {
               graft.sources.TokBin.write(sorted, target,
                 idsCol = opts.getOrElse("ids", "seq_ids"),
                 docLensCol = opts.get("doc_lens").map(_.trim))
-          if (fs.exists(p)) {
-            if (!opts.get("mode").map(_.trim).contains("overwrite"))
-              throw new IllegalArgumentException(
-                s"EXPORT TABLE: $location exists; pass mode='overwrite' to replace")
-            // STAGED overwrite (r13 verdict #2): the old path deleted the
-            // location BEFORE launching the write, so any data-level
-            // failure mid-job (NULL token element, doc_lens mismatch,
-            // executor loss past retries) left the previous — possibly
-            // 100 TB — artifact destroyed and the new one partial. Write
-            // into a hidden staging dir under the location (invisible to
-            // the warc/tokbin listers, which match file suffixes only)
-            // and swap ONLY after the job succeeds: delete old part
-            // files first, then rename the staged files up. A crash
-            // mid-swap leaves the new data intact in .staging-* (never a
-            // silent old/new mix — deletes complete before any rename);
-            // a fresh overwrite sweeps stale staging dirs from earlier
-            // crashes.
-            if (fs.getFileStatus(p).isFile)
-              throw new IllegalArgumentException(
-                s"EXPORT TABLE: $location is a file, not a shard " +
-                  "directory — refusing to overwrite it with shards")
-            fs.listStatus(p).foreach { st =>
-              if (st.isDirectory && st.getPath.getName.startsWith(".staging-"))
-                fs.delete(st.getPath, true)
-            }
-            val staging = new org.apache.hadoop.fs.Path(p,
-              ".staging-" + java.util.UUID.randomUUID().toString)
-            try runWrite(staging.toString)
-            catch {
-              case e: Throwable =>
-                // the failed partial stays out of readers' sight either
-                // way (hidden dir); drop it so a crash loop can't pile
-                // up staging garbage. The OLD artifact is untouched.
-                try fs.delete(staging, true) catch { case _: Throwable => () }
-                throw e
-            }
-            fs.listStatus(p).foreach { st =>
-              if (st.getPath.getName != staging.getName)
-                fs.delete(st.getPath, true)
-            }
-            fs.listStatus(staging).foreach { st =>
-              if (!fs.rename(st.getPath,
-                  new org.apache.hadoop.fs.Path(p, st.getPath.getName)))
-                throw new java.io.IOException(
-                  s"EXPORT TABLE: failed to move staged ${st.getPath} " +
-                    s"into $location — new artifact left in $staging")
-            }
-            fs.delete(staging, true)
-          } else runWrite(location)
+          stagedShardWrite(location, "EXPORT TABLE",
+            overwrite = opts.get("mode").map(_.trim).contains("overwrite"))(
+            runWrite)
         case fmt =>
           // destructive-write guard (round-5 ADVICE): the location is an
           // arbitrary user-supplied path, so clobbering must be opt-in —
@@ -1888,6 +1871,61 @@ class Context(val spark: SparkSession) {
   }
 
   /** EXPLAIN helper mirroring Context.explain. */
+  /** CRASH-SAFE write of a custom-format shard artifact (warc/tokbin) to
+    * `location` (r13 verdict #2). Fresh location → direct write. Existing
+    * location + overwrite: the old path deleted the location BEFORE
+    * launching the write, so any data-level failure mid-job (NULL token
+    * element, doc_lens mismatch, executor loss past retries) left the
+    * previous — possibly 100 TB — artifact destroyed and the new one
+    * partial. Instead: write into a hidden `.staging-<uuid>` dir under
+    * the location (invisible to the warc/tokbin listers, which match
+    * file suffixes only) and swap ONLY after the job succeeds — delete
+    * old part files first, then rename the staged files up. A crash
+    * mid-swap leaves the new data intact in `.staging-*` (never a silent
+    * old/new mix — deletes complete before any rename); a fresh
+    * overwrite sweeps stale staging dirs from earlier crashes. Composes
+    * with [[graft.sources.ShardCommit]]'s task-level two-phase commits. */
+  private def stagedShardWrite(location: String, what: String,
+      overwrite: Boolean)(runWrite: String => Unit): Unit = {
+    val p = new org.apache.hadoop.fs.Path(location)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) { runWrite(location); return }
+    if (!overwrite)
+      throw new IllegalArgumentException(
+        s"$what: $location exists; pass mode='overwrite' to replace")
+    if (fs.getFileStatus(p).isFile)
+      throw new IllegalArgumentException(
+        s"$what: $location is a file, not a shard directory — " +
+          "refusing to overwrite it with shards")
+    fs.listStatus(p).foreach { st =>
+      if (st.isDirectory && st.getPath.getName.startsWith(".staging-"))
+        fs.delete(st.getPath, true)
+    }
+    val staging = new org.apache.hadoop.fs.Path(p,
+      ".staging-" + java.util.UUID.randomUUID().toString)
+    try runWrite(staging.toString)
+    catch {
+      case e: Throwable =>
+        // the failed partial stays out of readers' sight either way
+        // (hidden dir); drop it so a crash loop can't pile up staging
+        // garbage. The OLD artifact is untouched.
+        try fs.delete(staging, true) catch { case _: Throwable => () }
+        throw e
+    }
+    fs.listStatus(p).foreach { st =>
+      if (st.getPath.getName != staging.getName)
+        fs.delete(st.getPath, true)
+    }
+    fs.listStatus(staging).foreach { st =>
+      if (!fs.rename(st.getPath,
+          new org.apache.hadoop.fs.Path(p, st.getPath.getName)))
+        throw new java.io.IOException(
+          s"$what: failed to move staged ${st.getPath} into $location — " +
+            s"new artifact left in $staging")
+    }
+    fs.delete(staging, true)
+  }
+
   def explainString(query: String): String =
     sql(query).queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))

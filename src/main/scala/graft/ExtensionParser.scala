@@ -157,6 +157,8 @@ object ExtensionParser {
   final case class DescribeVocab(name: String) extends Statement
   final case class DescribeShards(location: String,
       opts: Map[String, String]) extends Statement
+  final case class CompactShards(in: String, out: String,
+      opts: Map[String, String]) extends Statement
 
   private val ws = "\\s+"
   private def kw(s: String) = s.split(" ").mkString(ws)
@@ -273,6 +275,9 @@ object ExtensionParser {
   // DESCRIBE SHARDS '<dir-or-glob>' [WITH (vocab='name')]
   private val describeShards =
     re(s"DESCRIBE${ws}SHARDS${ws}'([^']+)'(?:${ws}WITH${ws}\\($kwSpan\\))?")
+  // COMPACT SHARDS '<in-dir-or-glob>' INTO '<out-dir>' WITH (target_tokens_per_shard=N, ...)
+  private val compactShards =
+    re(s"COMPACT${ws}SHARDS${ws}'([^']+)'${ws}INTO${ws}'([^']+)'(?:${ws}WITH${ws}\\($kwSpan\\))?")
   // SELECT * FROM DECONTAMINATE(TABLE bench [WITH (...)], <train select>)
   private val decontaminate =
     re(s"SELECT${ws}\\*${ws}FROM${ws}DECONTAMINATE\\s*\\(\\s*TABLE${ws}$ident(?:${ws}WITH${ws}\\($kwSpan\\))?\\s*,(.*)\\)")
@@ -362,6 +367,9 @@ object ExtensionParser {
       DescribeVocab(name)
     case describeShards(location, kwargs) =>
       DescribeShards(location,
+        Option(kwargs).map(parseKwargs).getOrElse(Map()))
+    case compactShards(in, out, kwargs) =>
+      CompactShards(in, out,
         Option(kwargs).map(parseKwargs).getOrElse(Map()))
     case decontaminate(table, kwargs, select) =>
       Decontaminate(table,

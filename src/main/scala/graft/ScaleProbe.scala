@@ -408,6 +408,22 @@ object ScaleProbe {
           docs, docs.filter(col("lang") === "en"), "doc_id", "text",
           buckets = 4096, hash = "xxhash64")
       },
+      // p02 drift probe (r14, verdict wrong #3): BENCH r13 saw p02
+      // steady at 3.33 s vs 1.28 (r12) / 1.00 (r10 record) on UNTOUCHED
+      // code with healthy sentinels. The PLANS-83 playbook verbatim:
+      // time p02's EXACT geometry (raw sf docs, shingle=3, 64 hashes,
+      // 16 bands, t=0.5 — the bench input, not the clone corpus) twice
+      // in-process, across two probe JVMs. run2 ≈ run1 in both JVMs →
+      // machine-shape; run2 drifting inside one JVM → JIT/codegen
+      // suspect on the signature/banding path. Verdict → PLANS.
+      time("minhash_steady_run1") {
+        operators.TextDedup.minhashDedupPairs(docs0, "doc_id", "text",
+          shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      },
+      time("minhash_steady_run2") {
+        operators.TextDedup.minhashDedupPairs(docs0, "doc_id", "text",
+          shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      },
       time("dsir_weights") {
         // DSIR importance weights at clone scale: gram volume inflates
         // REP× but both LM tables stay <= buckets rows (map-side combine),
@@ -1080,6 +1096,37 @@ object ScaleProbe {
         bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
           .delete(bp, true)
         r
+      }
+    } ++ {
+      // r14: shard COMPACTION wall-clock — the N-small → M-big merge a
+      // day of streaming production needs. 128 small shards (the
+      // micro-batch dropping shape) compact to ~8; cost must track the
+      // tokbin_export throughput above (one read + one write of the
+      // same bytes, no shuffle — coalesce merges whole partitions), so
+      // compaction is I/O-bound re-slicing, not a new scale hazard.
+      if (!wanted("tokbin_compact")) Seq.empty
+      else {
+        val packIds = docs.select(col("doc_id"), lit("all").as("grp"),
+          transform(filter(split(lower(col("text")), " "), t => t =!= ""),
+            t => pmod(xxhash64(t), lit(65536)).cast("int")).as("token_ids"))
+        val shard = operators.Corpus.materializePackedIds(packIds, "doc_id",
+          "token_ids", "grp", 2048L, subShards = 32)
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_probe_compact").toString
+        sources.TokBin.write(shard.repartition(128), s"$base/forest")
+        val totalToks = spark.read.format("tokbin").load(s"$base/forest")
+          .agg(sum(col("n_tokens"))).head().getLong(0)
+        val t0 = System.nanoTime()
+        val (before, seqs, toks, after) = sources.TokBin.compact(spark,
+          Seq(s"$base/forest"), s"$base/compacted",
+          targetTokensPerShard = math.max(1L, totalToks / 8))
+        val secs = (System.nanoTime() - t0) / 1e9
+        val bp = new org.apache.hadoop.fs.Path(base)
+        bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(bp, true)
+        require(toks == totalToks && before == 128L,
+          s"compact probe invariant: $before shards, $toks vs $totalToks tokens")
+        Seq((s"tokbin_compact_128_to_$after", secs, seqs))
       }
     } ++ {
       // r12: IVF append DRIFT probe — backs appendIvfIndex's "rebuild on

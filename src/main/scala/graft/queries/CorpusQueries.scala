@@ -3314,5 +3314,69 @@ object CorpusQueries {
         .filter(!col("metric").isin("avg_shard_tokens", "shard_skew"))
         .orderBy("metric")
     },
+
+    // COMPACT SHARDS (r14): the shard-forest merge a continuous producer
+    // needs (thousands of micro-batch files → few trainer-mountable
+    // shards), oracle-gated END TO END: pack → multi-shard tokbin export
+    // → COMPACT into one shard → distributed re-read → every sequence's
+    // ids AND doc boundaries hash-matched against the DuckDB pack
+    // replay. seq/file are deliberately absent from the output (merge
+    // order is an implementation detail); content identity is the
+    // contract, so the result orders by the content itself.
+    Q("p112_compact_shards", Some("""
+      WITH w AS (SELECT doc_id, source,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
+           FROM documents),
+      v AS (SELECT wd AS piece,
+              CAST(row_number() OVER (ORDER BY wd) AS INT) AS id
+            FROM (SELECT DISTINCT unnest(words) AS wd FROM w)),
+      dw AS (SELECT doc_id, unnest(words) AS wd,
+               unnest(range(1, len(words) + 1)) AS i FROM w),
+      idstr AS (SELECT d.doc_id,
+                  string_agg(CAST(v.id AS VARCHAR), ' ' ORDER BY d.i) AS ids
+                FROM dw d JOIN v ON v.piece = d.wd GROUP BY d.doc_id),
+      tok AS (SELECT w.doc_id, w.source,
+                CAST(len(w.words) AS BIGINT) AS nt, coalesce(i.ids, '') AS ids
+              FROM w LEFT JOIN idstr i ON w.doc_id = i.doc_id),
+      c AS (SELECT *, sum(nt) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum FROM tok),
+      b AS (SELECT *, CAST(floor((cum - nt) / 256.0) AS BIGINT) AS bin,
+              (cum - nt) % 256 AS off FROM c),
+      g AS (SELECT source, bin,
+              CAST(sum(nt) + count(*) - 1 AS BIGINT) AS n_tokens,
+              trim(regexp_replace(
+                string_agg(ids, ' 0 ' ORDER BY off, doc_id), ' +', ' ', 'g')) AS ids,
+              string_agg(CAST(nt AS VARCHAR), ' ' ORDER BY off, doc_id)
+                AS doc_lens
+            FROM b GROUP BY source, bin)
+      SELECT n_tokens, ids, doc_lens
+      FROM g ORDER BY ids, doc_lens, n_tokens""")) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val toks = docs.select(col("doc_id"), col("source"),
+        filter(split(lower(col("text")), " "), x => x =!= "").as("tokens"))
+      val vocab = Corpus.tokenVocab(
+        toks.select(explode(col("tokens")).as("piece")))
+      val ids = Corpus.encodeIds(toks, "doc_id", "tokens", vocab)
+      val packed = Corpus
+        .materializePackedIds(ids, "doc_id", "token_ids", "source", 256L)
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_tokbin_cmp_" + s.sparkContext.applicationId + "_" +
+          java.lang.Integer.toHexString(d.hashCode)).toString
+      // a 4-shard "forest" (hash-sharded by source — the export fan-out
+      // shape), then COMPACT merges it to ONE shard
+      graft.sources.TokBin.write(
+        packed.repartition(4, col("source"))
+          .sortWithinPartitions("source", "bin"),
+        s"$base/in", "seq_ids", docLensCol = Some("doc_lens"))
+      new graft.Context(s).sql(s"""COMPACT SHARDS '$base/in' INTO
+        |'$base/out' WITH (target_tokens_per_shard = '100000000',
+        |mode = 'overwrite')""".stripMargin)
+      s.read.format("tokbin").load(s"$base/out")
+        .select(col("n_tokens"),
+          concat_ws(" ", col("seq_ids")).as("ids"),
+          concat_ws(" ",
+            transform(col("doc_lens"), l => l.cast("string"))).as("doc_lens"))
+        .orderBy("ids", "doc_lens", "n_tokens")
+    },
   )
 }

@@ -490,6 +490,65 @@ class TokBinSpec extends AnyFunSuite {
     ctx.dropTable("ds_vocab")
   }
 
+  test("COMPACT SHARDS: a batch=N forest merges to few shards, sequences and boundaries byte-identical (r14)") {
+    val ctx = new Context(spark)
+    val watch = tmpDir("compact")
+    fs(watch).mkdirs(new org.apache.hadoop.fs.Path(watch))
+    // 4 micro-batches, 2 sequences each, with .doc sidecars; each
+    // sequence: 2 docs of (b+1) tokens + 1 eos = 2b+3 ids
+    def seqsOf(b: Int) = (0 until 2).map { i =>
+      val d = (1 to b + 1).map(_ + 10 * i + 100 * b)
+      (d ++ Seq(0) ++ d, Seq(d.length.toLong, d.length.toLong))
+    }
+    (0 until 4).foreach { b =>
+      TokBin.write(seqsOf(b).toDF("seq_ids", "doc_lens").coalesce(1),
+        s"$watch/batch=$b", docLensCol = Some("doc_lens"))
+    }
+    def contents(path: String): Set[(List[Int], List[Long])] =
+      spark.read.format("tokbin").load(path)
+        .select("seq_ids", "doc_lens").collect()
+        .map(r => (r.getSeq[Int](0).toList, r.getSeq[Long](1).toList)).toSet
+    val before = contents(s"$watch/batch=*")
+    assert(before.size == 8)
+    // total tokens = sum over b of 2*(2b+3) = 2*(3+5+7+9) = 48; target 24
+    // → 2 shards
+    val out = tmpDir("compacted")
+    val m = ctx.sql(s"""COMPACT SHARDS '$watch/batch=*' INTO '$out'
+      |WITH (target_tokens_per_shard = '24')""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m("shards_before") == "4" && m("shards_after") == "2")
+    assert(m("sequences") == "8" && m("tokens") == "48")
+    assert(contents(out) == before, "sequence set and boundaries must survive")
+    assert(!listAll(out).exists(n =>
+      n.endsWith(".inprogress") || n.startsWith(".staging-")))
+    // IN-PLACE forest compaction: the staged swap makes it safe — the
+    // read completes into .staging-* before any input is deleted
+    val m2 = ctx.sql(s"""COMPACT SHARDS '$watch/batch=*' INTO '$watch'
+      |WITH (target_tokens_per_shard = '48', mode = 'overwrite')""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m2("shards_after") == "1")
+    assert(contents(watch) == before)
+    assert(!listAll(watch).exists(_.startsWith("batch=")),
+      "in-place compaction replaces the forest")
+    // guards: mixed .doc coverage refuses; overlapping direct-API
+    // output refuses; target required
+    val mixed = tmpDir("mixed")
+    TokBin.write(Seq(Seq(1, 2)).toDF("seq_ids").coalesce(1), s"$mixed/a")
+    TokBin.write(Seq((Seq(3, 0, 4), Seq(1L, 1L))).toDF("seq_ids", "doc_lens")
+      .coalesce(1), s"$mixed/b", docLensCol = Some("doc_lens"))
+    val e1 = intercept[IllegalArgumentException] {
+      TokBin.compact(spark, Seq(s"$mixed/*"), tmpDir("mixedout"), 100L)
+    }
+    assert(e1.getMessage.contains("mixed coverage"))
+    val e2 = intercept[IllegalArgumentException] {
+      TokBin.compact(spark, Seq(s"$mixed/a"), s"$mixed/a", 100L)
+    }
+    assert(e2.getMessage.contains("overlaps"))
+    intercept[IllegalArgumentException] {
+      ctx.sql(s"COMPACT SHARDS '$watch' INTO '${tmpDir("noTarget")}'")
+    }
+  }
+
   // --- task-commit durability (r14: r13 verdict #1/#2) ---
 
   private def rowsOf(seqs: Seq[Seq[Int]]): Iterator[org.apache.spark.sql.Row] =
