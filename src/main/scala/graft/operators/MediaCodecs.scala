@@ -207,12 +207,77 @@ object MediaCodecs {
     }
   }
 
+  /** REAL COMPANDED-AUDIO CODEC (r14, the audio half of "real codecs
+    * beyond raw formats"): ITU-T G.711 — µ-law (WAV format tag 7) and
+    * A-law (tag 6), the telephony/callcenter-corpus encodings RIFF/WAVE
+    * containers actually carry. Pure integer expansion from the public
+    * spec (the CCITT reference segment/quantization layout), so decode
+    * is BIT-EXACT on every JVM — unlike JPEG there is no heterogeneous-
+    * fleet hazard, and the decoder pre-registers safely. Sniffs the fmt
+    * tag, so it never shadows the PCM built-in (tag 1) or a custom
+    * format; expanded samples are on the same 16-bit linear scale as the
+    * PCM path, so a µ-law re-encode of a clip envelope-hashes NEAR its
+    * PCM original (the perceptual-dedup contract, spec-pinned). */
+  final class G711WavDecoder extends AudioDecoder {
+    def format: String = "g711-wav"
+    def decode(payload: Array[Byte]): Option[MonoEnvelope] = {
+      val b = payload
+      def i32(o: Int): Int =
+        (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+          ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+      def i16(o: Int): Int = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+      if (b == null || b.length < 44) return None
+      if (b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+        b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
+      // Long-cursor chunk walk — the wavAbsFrames hardening (a crafted
+      // chunk size near 2^31 must not wrap an Int bound check)
+      var pos = 12L
+      var fmtOff = -1
+      var dataOff = -1
+      var dataLen = 0
+      while (pos + 8 <= b.length && (fmtOff < 0 || dataOff < 0)) {
+        val pp = pos.toInt
+        val id = new String(b, pp, 4, "US-ASCII")
+        val len = i32(pp + 4)
+        if (len < 0 || pos + 8 + len.toLong > b.length) return None
+        if (id == "fmt " && len >= 16) fmtOff = pp + 8
+        else if (id == "data") { dataOff = pp + 8; dataLen = len }
+        pos += 8L + len + (len & 1)
+      }
+      if (fmtOff < 0 || dataOff < 0) return None
+      val tag = i16(fmtOff)
+      val channels = i16(fmtOff + 2)
+      val bits = i16(fmtOff + 14)
+      // G.711 is 8 bits/sample by definition; anything else is corrupt
+      if ((tag != 6 && tag != 7) || channels < 1 || bits != 8) return None
+      val table = if (tag == 7) G711.UlawTable else G711.AlawTable
+      val nFrames = dataLen / channels
+      if (nFrames < 65) return None // the envelope hash's minimum
+      val abs = new Array[Double](nFrames)
+      var f = 0
+      while (f < nFrames) {
+        val base = dataOff + f * channels
+        var acc = 0L
+        var c = 0
+        while (c < channels) {
+          acc += math.abs(table(b(base + c) & 0xFF))
+          c += 1
+        }
+        abs(f) = acc.toDouble / channels
+        f += 1
+      }
+      Some(MonoEnvelope(abs))
+    }
+  }
+
   // the ImageIO decoder is PRE-registered (replace/unregister by its
   // "imageio" format key to override) — crawl-standard formats should
   // work without a registration step, and its magic-byte sniff keeps it
-  // disjoint from the raw-BMP built-in and from any custom format
+  // disjoint from the raw-BMP built-in and from any custom format.
+  // G.711 likewise (key "g711-wav"): pure deterministic integer math,
+  // no fleet caveat to gate behind a flag.
   @volatile private var images: Seq[ImageDecoder] = Seq(new ImageIoDecoder)
-  @volatile private var audios: Seq[AudioDecoder] = Nil
+  @volatile private var audios: Seq[AudioDecoder] = Seq(new G711WavDecoder)
   @volatile private var videos: Seq[VideoDecoder] = Nil
 
   /** Register (or replace, by format key) an image decoder. */
@@ -263,4 +328,74 @@ object MediaCodecs {
 
   /** Snapshot of registered video decoders (registration order). */
   def videoDecoders: Seq[VideoDecoder] = videos
+}
+
+/** ITU-T G.711 companding math — the PUBLIC-SPEC expansion formulas
+  * (CCITT reference layout: sign bit, 3-bit segment, 4-bit quantization
+  * step; µ-law stores the code complemented, A-law XORs 0x55), as 256-
+  * entry decode tables plus nearest-code encoders for fixtures and
+  * re-encode pipelines. Spot values pinned in MultimodalSpec against the
+  * published tables: µ-law 0x00 → −32124, 0x80 → +32124, 0xFF → 0;
+  * A-law 0x55 → −8, 0xD5 → +8. */
+object G711 {
+  /** code → 16-bit linear, µ-law. */
+  val UlawTable: Array[Int] = Array.tabulate(256) { code =>
+    val u = (~code) & 0xFF
+    var t = ((u & 0x0F) << 3) + 0x84
+    t <<= (u & 0x70) >> 4
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** code → 16-bit linear, A-law. */
+  val AlawTable: Array[Int] = Array.tabulate(256) { code =>
+    val a = code ^ 0x55
+    var t = (a & 0x0F) << 4
+    val seg = (a & 0x70) >> 4
+    if (seg == 0) t += 8
+    else { t += 0x108; if (seg > 1) t <<= seg - 1 }
+    if ((a & 0x80) != 0) t else -t
+  }
+
+  private def nearest(table: Array[Int], linear: Int): Byte = {
+    var best = 0
+    var bestD = Long.MaxValue
+    var c = 0
+    while (c < 256) {
+      val d = math.abs(table(c).toLong - linear)
+      // strict < keeps the scan deterministic: the lowest code wins ties
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best.toByte
+  }
+
+  /** 16-bit linear → nearest µ-law code (optimal w.r.t. [[UlawTable]] —
+    * fixture/re-encode utility; production encode is the same table). */
+  def linearToUlaw(linear: Int): Byte = nearest(UlawTable, linear)
+
+  /** 16-bit linear → nearest A-law code. */
+  def linearToAlaw(linear: Int): Byte = nearest(AlawTable, linear)
+
+  /** Deterministic synthetic G.711 WAV — real RIFF/WAVE bytes with fmt
+    * tag 7 (µ-law) or 6 (A-law), one byte per sample: the fixture the
+    * codec spec and a compand-re-encode dedup pipeline parse. `sample(i)`
+    * is 16-bit linear, companded here through the nearest-code encoder. */
+  def syntheticWavG711(nFrames: Int, law: String, channels: Int = 1,
+      sampleRate: Int = 8000)(sample: Int => Int): Array[Byte] = {
+    require(law == "ulaw" || law == "alaw", s"law must be ulaw|alaw: $law")
+    val tag = if (law == "ulaw") 7 else 6
+    val enc: Int => Byte =
+      if (law == "ulaw") linearToUlaw else linearToAlaw
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](
+      v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val data = new Array[Byte](nFrames * channels)
+    for (f <- 0 until nFrames; c <- 0 until channels)
+      data(f * channels + c) = enc(sample(f))
+    val byteRate = sampleRate * channels
+    "RIFF".getBytes ++ le32(36 + data.length) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(tag) ++ le16(channels) ++
+      le32(sampleRate) ++ le32(byteRate) ++ le16(channels) ++ le16(8) ++
+      "data".getBytes ++ le32(data.length) ++ data
+  }
 }

@@ -694,6 +694,46 @@ object Pipeline {
         .orderBy("media_a", "media_b")
     },
 
+    // G.711 COMPANDED AUDIO dedup (r14): the telephony encodings a call
+    // corpus actually carries, through the REAL pre-registered codec
+    // (MediaCodecs.G711WavDecoder — public CCITT expansion tables). Each
+    // planted cluster is one waveform whose sample values are drawn FROM
+    // the law's own decode table, so PCM-16, mono/stereo µ-law (even
+    // patterns) or A-law (odd), and byte copies all decode to the SAME
+    // envelope — the cross-format pair list is exactly every within-
+    // cluster combination at Hamming 0, a structural oracle with no
+    // engine hash replayed in DuckDB (the p67 pattern).
+    Q("p113_audio_g711_dedup", Some("""
+      WITH p AS (SELECT unnest(range(0, 4)) AS p),
+      v AS (SELECT unnest(range(0, 6)) AS v),
+      ids AS (SELECT p.p * 100 + v.v AS id, p.p AS pat FROM p, v)
+      SELECT CAST(a.id AS BIGINT) AS media_a, CAST(b.id AS BIGINT) AS media_b,
+             CAST(0 AS INT) AS hamming
+      FROM ids a JOIN ids b ON a.pat = b.pat AND a.id < b.id
+      ORDER BY media_a, media_b""")) { (s, d) =>
+      import s.implicits._
+      import graft.operators.G711
+      def clipFor(p: Int, v: Int): Array[Byte] = {
+        val law = if (p % 2 == 0) "ulaw" else "alaw"
+        val table = if (p % 2 == 0) G711.UlawTable else G711.AlawTable
+        // positive-side codes (0x80..) so |decoded| == decoded == env(f)
+        def env(f: Int): Int = {
+          val k = ((f / 8) * (p + 2) + (f / 16) * (7 - p)) % 11
+          table(0x80 + k * 4 + (p % 4))
+        }
+        v match {
+          case 0 | 5 => Multimodal.syntheticWavPcm(520)(env)
+          case 1 => Multimodal.syntheticWavPcm(520, channels = 2)(env)
+          case 2 | 4 => G711.syntheticWavG711(520, law)(env)
+          case _ => G711.syntheticWavG711(520, law, channels = 2)(env)
+        }
+      }
+      val media = (for (p <- 0 until 4; v <- 0 until 6)
+        yield ((p * 100 + v).toLong, clipFor(p, v))).toDF("media_id", "payload")
+      Multimodal.audioDedupPairs(media, maxHamming = 3)
+        .orderBy("media_a", "media_b")
+    },
+
     // The video member of the perceptual-dedup triad (r7): 60 synthetic
     // uncompressed AVIs — 5 distinct clips × 12 variants (byte copies,
     // global brightness shifts, 2× spatial upscales, 2× temporal

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{MediaCodecs, Multimodal}
+import graft.operators.{G711, MediaCodecs, Multimodal}
 
 /** Custom image format for the decoder-seam spec: "GRAW" + w(le16) +
   * h(le16) + row-major gray bytes. Top-level class so Spark serializes it
@@ -761,6 +761,52 @@ class MultimodalSpec extends AnyFunSuite {
     val after = Seq((2L, graw)).toDF("media_id", "payload")
     assert(Multimodal.imageDHash(after).filter(col("dhash").isNotNull)
       .count() == 0)
+  }
+
+  test("G.711 codec: public-table spot values, compand round-trip is a near-dup of the PCM original (r14)") {
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    // decode-table spot values from the published CCITT tables
+    assert(G711.UlawTable(0x00) == -32124)
+    assert(G711.UlawTable(0x80) == 32124)
+    assert(G711.UlawTable(0xFF) == 0)
+    assert(G711.AlawTable(0x55) == -8)
+    assert(G711.AlawTable(0xD5) == 8)
+    // encoders invert the tables exactly on representable values
+    assert(G711.UlawTable(
+      G711.linearToUlaw(-32124) & 0xFF) == -32124)
+    assert(G711.AlawTable(
+      G711.linearToAlaw(8) & 0xFF) == 8)
+    // the same waveform as PCM and as its µ-law re-encode: companding
+    // noise (≤ ~3%) must not move the envelope hash beyond a couple of
+    // gradient-tie bits — the perceptual-dedup contract for telephony
+    // re-encodes. A-law likewise; a different waveform stays far.
+    def env(f: Int): Int = (((f / 8) * 3 + (f / 16) * 5) % 11) * 1024 + 1024
+    val pcm = Multimodal.syntheticWavPcm(520)(env)
+    val ul = G711.syntheticWavG711(520, "ulaw")(env)
+    val al = G711.syntheticWavG711(520, "alaw")(env)
+    val other = G711.syntheticWavG711(520, "ulaw")(f =>
+      (((f / 8) * 7 + 3) % 13) * 800 + 512)
+    val clips = Seq((1L, pcm), (2L, ul), (3L, al), (4L, other))
+      .toDF("media_id", "payload")
+    val hs = Multimodal.audioEnvelopeHash(clips).select("media_id", "ahash")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hs(1L), hs(2L)) <= 4, s"ulaw drifted ${ham(hs(1L), hs(2L))}")
+    assert(ham(hs(1L), hs(3L)) <= 4, s"alaw drifted ${ham(hs(1L), hs(3L))}")
+    assert(ham(hs(1L), hs(4L)) > 10, "distinct waveforms must stay far")
+    // registry lifecycle: pre-registered by key, unregister turns µ-law
+    // payloads dark for NEW plans, re-register restores
+    assert(MediaCodecs.audioDecoders.exists(_.format == "g711-wav"))
+    MediaCodecs.unregisterAudio("g711-wav")
+    try {
+      val dark = Seq((2L, ul)).toDF("media_id", "payload")
+      assert(Multimodal.audioEnvelopeHash(dark)
+        .filter(col("ahash").isNotNull).count() == 0)
+    } finally MediaCodecs.registerAudio(new MediaCodecs.G711WavDecoder)
+    val back = Seq((2L, ul)).toDF("media_id", "payload")
+    assert(Multimodal.audioEnvelopeHash(back)
+      .filter(col("ahash").isNotNull).count() == 1)
   }
 
   test("decoder precedence: a registered decoder accepting BMP bytes cannot shadow the built-in anywhere") {
