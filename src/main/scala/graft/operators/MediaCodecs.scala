@@ -270,15 +270,83 @@ object MediaCodecs {
     }
   }
 
+  /** REAL COMPRESSED VIDEO CODEC (r14, the video half of "real codecs
+    * beyond raw formats"): Motion-JPEG AVI — `00dc`/`01dc` frame chunks
+    * each carrying a standalone JPEG, the format webcams and capture
+    * rigs actually emit — decoded with ZERO new dependencies by routing
+    * every frame through the same [[ImageIoDecoder]] math the image path
+    * uses (shared integer luma, shared 64 MP bomb guard per frame).
+    * Sniffs RIFF/AVI plus the per-frame JPEG magic, so it never shadows
+    * the uncompressed-AVI built-in (which consumes only exact-stride
+    * `00db` DIB frames). JPEG's per-JDK determinism caveat applies
+    * verbatim — on a mixed-JDK fleet, `unregisterVideo("mjpeg-avi")` is
+    * the video analogue of [[setImageIoJpeg]]`(false)`. Frame budget:
+    * at most `maxFrames` frames decode (the temporal-majority hash is
+    * subsample-invariant, so a truncated read of a pathological payload
+    * stays meaningful rather than OOMing an executor). */
+  final class MjpegAviDecoder(val maxFrames: Int = 4096) extends VideoDecoder {
+    def format: String = "mjpeg-avi"
+    private val imageIo = new ImageIoDecoder(jpeg = true)
+    def decode(payload: Array[Byte]): Option[VideoFrames] = {
+      val b = payload
+      if (b == null || b.length < 12) return None
+      def tag(o: Int) = new String(b, o, 4, "US-ASCII")
+      def i32(o: Int): Int =
+        (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+          ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+      if (tag(0) != "RIFF" || tag(8) != "AVI ") return None
+      val frames = Array.newBuilder[GrayImage]
+      var n = 0
+      var pos = 12L
+      var bad = false
+      // the r6-hardened walk: Long cursors, stop on overdeclared sizes
+      while (!bad && pos + 8 <= b.length && n < maxFrames) {
+        val pp = pos.toInt
+        val id = tag(pp)
+        val sz = i32(pp + 4)
+        if (sz < 0 || pos + 8 + sz.toLong > b.length) bad = true
+        else {
+          if (id == "LIST" && sz >= 4 && tag(pp + 8) == "movi") {
+            val end = pos + 8 + sz
+            var ip = pos + 12L
+            while (!bad && ip + 8 <= end && n < maxFrames) {
+              val ipp = ip.toInt
+              val cid = tag(ipp)
+              val csz = i32(ipp + 4)
+              if (csz < 0 || ip + 8 + csz.toLong > end) bad = true
+              else {
+                // any stream's compressed-video chunk whose payload IS a
+                // JPEG (FF D8 FF) — MJPG's defining shape
+                if (cid.length == 4 && cid.endsWith("dc") && csz >= 3 &&
+                  (b(ipp + 8) & 0xFF) == 0xFF &&
+                  (b(ipp + 9) & 0xFF) == 0xD8 &&
+                  (b(ipp + 10) & 0xFF) == 0xFF) {
+                  val fb = java.util.Arrays.copyOfRange(b, ipp + 8,
+                    ipp + 8 + csz)
+                  imageIo.decode(fb).foreach { g => frames += g; n += 1 }
+                }
+                ip += 8L + csz + (csz & 1)
+              }
+            }
+          }
+          pos += 8L + sz + (sz & 1)
+        }
+      }
+      val fr = frames.result()
+      if (fr.isEmpty) None else Some(VideoFrames(fr))
+    }
+  }
+
   // the ImageIO decoder is PRE-registered (replace/unregister by its
   // "imageio" format key to override) — crawl-standard formats should
   // work without a registration step, and its magic-byte sniff keeps it
   // disjoint from the raw-BMP built-in and from any custom format.
-  // G.711 likewise (key "g711-wav"): pure deterministic integer math,
-  // no fleet caveat to gate behind a flag.
+  // G.711 likewise (key "g711-wav": pure deterministic integer math, no
+  // fleet caveat) and MJPEG-AVI (key "mjpeg-avi": the JPEG per-JDK rule,
+  // same default posture as the pre-registered JPEG image decode).
   @volatile private var images: Seq[ImageDecoder] = Seq(new ImageIoDecoder)
   @volatile private var audios: Seq[AudioDecoder] = Seq(new G711WavDecoder)
-  @volatile private var videos: Seq[VideoDecoder] = Nil
+  @volatile private var videos: Seq[VideoDecoder] = Seq(new MjpegAviDecoder)
 
   /** Register (or replace, by format key) an image decoder. */
   def registerImage(d: ImageDecoder): Unit = synchronized {

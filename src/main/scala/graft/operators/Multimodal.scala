@@ -498,6 +498,47 @@ object Multimodal {
     "RIFF".getBytes ++ le32(body.length) ++ body
   }
 
+  /** Synthetic MOTION-JPEG AVI — real RIFF/AVI bytes whose `00dc` frame
+    * chunks each carry an ImageIO-encoded JPEG of the gray frame: the
+    * fixture [[MediaCodecs.MjpegAviDecoder]] parses. `dupEach` writes
+    * each frame k× (temporal resampling — the hash-invariant variant);
+    * `reverse` emits frames in reverse order (the majority vote is
+    * order-invariant). Deterministic per JDK (JPEG encode), exactly the
+    * codec's own determinism envelope. */
+  def syntheticAviMjpeg(w: Int, h: Int, nFrames: Int, dupEach: Int = 1,
+      reverse: Boolean = false)(px: (Int, Int, Int) => Int): Array[Byte] = {
+    def le32(v: Int) = Array[Byte](
+      v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def jpegOf(f: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = px(f, x, y) & 0xFF
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", baos)
+      baos.toByteArray
+    }
+    val avih = new Array[Byte](56)
+    le32(w).copyToArray(avih, 32)
+    le32(h).copyToArray(avih, 36)
+    le32(nFrames * dupEach).copyToArray(avih, 16)
+    val hdrl = "LIST".getBytes ++ le32(4 + 8 + 56) ++ "hdrl".getBytes ++
+      "avih".getBytes ++ le32(56) ++ avih
+    val order = if (reverse) (nFrames - 1) to 0 by -1 else 0 until nFrames
+    val frames = order.toArray.flatMap { f =>
+      val j = jpegOf(f)
+      val pad = if (j.length % 2 == 1) Array[Byte](0) else Array.empty[Byte]
+      Array.fill(dupEach)(
+        "00dc".getBytes ++ le32(j.length) ++ j ++ pad).flatten
+    }
+    val movi = "LIST".getBytes ++ le32(4 + frames.length) ++
+      "movi".getBytes ++ frames
+    val body = "AVI ".getBytes ++ hdrl ++ movi
+    "RIFF".getBytes ++ le32(body.length) ++ body
+  }
+
   /** Deterministic "resize" stub: truncate payload to maxBytes — stands in
     * for a real thumbnail/resample stage; shape and laziness are what
     * matter for the pipeline. */

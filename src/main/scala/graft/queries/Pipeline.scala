@@ -734,6 +734,36 @@ object Pipeline {
         .orderBy("media_a", "media_b")
     },
 
+    // MOTION-JPEG video dedup (r14): the compressed-video twin of p69,
+    // through the REAL pre-registered MJPEG codec (frames decoded by the
+    // same ImageIO JPEG path as the image battery). Variants per planted
+    // cluster — byte copy, 3× temporal duplication, reversed frame order
+    // — are EXACTLY hash-invariant regardless of what the JDK's JPEG
+    // IDCT produces (same decoded frames, same majority vote), so the
+    // structural within-cluster/Hamming-0 oracle is JDK-independent.
+    Q("p114_video_mjpeg_dedup", Some("""
+      WITH p AS (SELECT unnest(range(0, 4)) AS p),
+      v AS (SELECT unnest(range(0, 4)) AS v),
+      ids AS (SELECT p.p * 100 + v.v AS id, p.p AS pat FROM p, v)
+      SELECT CAST(a.id AS BIGINT) AS media_a, CAST(b.id AS BIGINT) AS media_b,
+             CAST(0 AS INT) AS hamming
+      FROM ids a JOIN ids b ON a.pat = b.pat AND a.id < b.id
+      ORDER BY media_a, media_b""")) { (s, d) =>
+      import s.implicits._
+      def pat(p: Int)(f: Int, x: Int, y: Int): Int =
+        ((x * (13 + 2 * p) + y * (7 + p) + (f % 3) * 40) % 200) + 28
+      def clip(p: Int, v: Int): Array[Byte] = v match {
+        case 0 | 1 => Multimodal.syntheticAviMjpeg(64, 48, 9)(pat(p))
+        case 2 => Multimodal.syntheticAviMjpeg(64, 48, 9, dupEach = 3)(pat(p))
+        case _ => Multimodal.syntheticAviMjpeg(64, 48, 9,
+          reverse = true)(pat(p))
+      }
+      val media = (for (p <- 0 until 4; v <- 0 until 4)
+        yield ((p * 100 + v).toLong, clip(p, v))).toDF("media_id", "payload")
+      Multimodal.videoDedupPairs(media, maxHamming = 3)
+        .orderBy("media_a", "media_b")
+    },
+
     // The video member of the perceptual-dedup triad (r7): 60 synthetic
     // uncompressed AVIs — 5 distinct clips × 12 variants (byte copies,
     // global brightness shifts, 2× spatial upscales, 2× temporal

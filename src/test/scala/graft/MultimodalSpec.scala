@@ -809,6 +809,43 @@ class MultimodalSpec extends AnyFunSuite {
       .filter(col("ahash").isNotNull).count() == 1)
   }
 
+  test("MJPEG-AVI codec: order/duplication-invariant hash, near its uncompressed twin, registry lifecycle (r14)") {
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    def pat(p: Int)(f: Int, x: Int, y: Int): Int =
+      ((x * (13 + p) + y * 7 + (f % 3) * 40) % 200) + 28
+    val w = 64; val h = 48; val nf = 9
+    val mj = Multimodal.syntheticAviMjpeg(w, h, nf)(pat(0))
+    val mjCopy = mj.clone()
+    val mjDup = Multimodal.syntheticAviMjpeg(w, h, nf, dupEach = 3)(pat(0))
+    val mjRev = Multimodal.syntheticAviMjpeg(w, h, nf, reverse = true)(pat(0))
+    val mjOther = Multimodal.syntheticAviMjpeg(w, h, nf)(pat(4))
+    val dib = Multimodal.syntheticAviGray(w, h, nf)(pat(0))
+    val media = Seq((1L, mj), (2L, mjCopy), (3L, mjDup), (4L, mjRev),
+      (5L, mjOther), (6L, dib)).toDF("media_id", "payload")
+    val hs = Multimodal.videoTemporalHash(media).select("media_id", "vhash")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // exact invariances: byte copy, temporal duplication, frame order
+    assert(hs(1L) == hs(2L) && hs(1L) == hs(3L) && hs(1L) == hs(4L))
+    // JPEG is lossy but pooled 8x9 means shrug off ±2-gray noise: the
+    // compressed clip must hash NEAR its uncompressed DIB twin, and a
+    // different clip must stay far
+    assert(ham(hs(1L), hs(6L)) <= 4, s"vs DIB drifted ${ham(hs(1L), hs(6L))}")
+    assert(ham(hs(1L), hs(5L)) > 10, "distinct clips must stay far")
+    // registry lifecycle: pre-registered, dark when unregistered, back
+    assert(MediaCodecs.videoDecoders.exists(_.format == "mjpeg-avi"))
+    MediaCodecs.unregisterVideo("mjpeg-avi")
+    try {
+      val dark = Seq((1L, mj)).toDF("media_id", "payload")
+      assert(Multimodal.videoTemporalHash(dark)
+        .filter(col("vhash").isNotNull).count() == 0)
+    } finally MediaCodecs.registerVideo(new MediaCodecs.MjpegAviDecoder)
+    val back = Seq((1L, mj)).toDF("media_id", "payload")
+    assert(Multimodal.videoTemporalHash(back)
+      .filter(col("vhash").isNotNull).count() == 1)
+  }
+
   test("decoder precedence: a registered decoder accepting BMP bytes cannot shadow the built-in anywhere") {
     val spark0 = TestSpark.spark
     import spark0.implicits._
