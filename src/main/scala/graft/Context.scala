@@ -1082,26 +1082,33 @@ class Context(val spark: SparkSession) {
         val p = new org.apache.hadoop.fs.Path(f.stripSuffix(".bin") + ".doc")
         p.getFileSystem(conf).exists(p)
       }
-      val scan = spark.read.format("tokbin").load(location)
+      // pin the scan to the files listed ABOVE (not a re-listing at plan
+      // time): on a growing directory the audit is then a consistent
+      // point-in-time snapshot of one listing
+      val scan = spark.read.format("tokbin").load(files: _*)
       // idx-only projection (file, n_tokens): per-shard partials combine
-      // map-side; the final stats row is O(shards) small
+      // map-side; the collected result is one row per NON-EMPTY shard
+      // (bounded by the shard count — same order as the listing above).
+      // Shards with ZERO sequences produce no reader rows, so the
+      // file list fills them in as 0-token shards — otherwise the audit
+      // would overreport min_shard_tokens and underreport skew, the
+      // exact stragglers/holes it exists to expose (r14 review).
       val perShard = scan.groupBy(col("file")).agg(
         count(lit(1)).as("_seqs"),
         sum(col("n_tokens")).as("_toks"),
         sum(when(col("n_tokens") === 0, 1L).otherwise(0L)).as("_empty"),
         max(col("n_tokens")).as("_maxseq"))
-      val r = perShard.agg(
-        count(lit(1)),
-        sum(col("_seqs")), sum(col("_toks")), sum(col("_empty")),
-        min(col("_toks")), max(col("_toks")),
-        max(col("_maxseq"))).head()
-      val nShards = r.getLong(0)
-      val nSeqs = r.getLong(1)
-      val nToks = if (r.isNullAt(2)) 0L else r.getLong(2)
-      val nEmpty = r.getLong(3)
-      val minShard = if (r.isNullAt(4)) 0L else r.getLong(4)
-      val maxShard = if (r.isNullAt(5)) 0L else r.getLong(5)
-      val maxSeq = if (r.isNullAt(6)) 0L else r.getLong(6)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      val shardStats = files.map(f =>
+        perShard.getOrElse(f, (0L, 0L, 0L, 0L)))
+      val nShards = files.size.toLong
+      val nSeqs = shardStats.map(_._1).sum
+      val nToks = shardStats.map(_._2).sum
+      val nEmpty = shardStats.map(_._3).sum
+      val minShard = shardStats.map(_._2).min
+      val maxShard = shardStats.map(_._2).max
+      val maxSeq = shardStats.map(_._4).max
       val avgShard = nToks.toDouble / nShards
       val base = Seq(
         "shards" -> nShards.toString,
@@ -1815,8 +1822,6 @@ class Context(val spark: SparkSession) {
               s"EXPORT TABLE format='warc': missing record column(s) " +
                 s"${missing.mkString(", ")}")
           }
-          val p = new org.apache.hadoop.fs.Path(location)
-          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
           // raw int32 token-shard sink (r13): one flat little-endian
           // .bin + (offset, length) .idx sidecar per shard — the file a
           // trainer memory-maps (sources.TokBin; ids= names the
@@ -1889,17 +1894,31 @@ class Context(val spark: SparkSession) {
       overwrite: Boolean)(runWrite: String => Unit): Unit = {
     val p = new org.apache.hadoop.fs.Path(location)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) { runWrite(location); return }
-    if (!overwrite)
-      throw new IllegalArgumentException(
-        s"$what: $location exists; pass mode='overwrite' to replace")
-    if (fs.getFileStatus(p).isFile)
-      throw new IllegalArgumentException(
-        s"$what: $location is a file, not a shard directory — " +
-          "refusing to overwrite it with shards")
+    if (!fs.exists(p)) fs.mkdirs(p) // fresh locations stage too: a failed
+      // job must never leave partial FINAL shards that read as a
+      // complete artifact (r14 review)
+    else {
+      if (!overwrite)
+        throw new IllegalArgumentException(
+          s"$what: $location exists; pass mode='overwrite' to replace")
+      if (fs.getFileStatus(p).isFile)
+        throw new IllegalArgumentException(
+          s"$what: $location is a file, not a shard directory — " +
+            "refusing to overwrite it with shards")
+    }
+    // a leftover .staging-* is NOT garbage to sweep: after a crash
+    // mid-swap it can hold the ONLY copy of the artifact (the old files
+    // are already deleted — and for an in-place COMPACT, the old files
+    // were the input). Deleting it here and re-running would read an
+    // empty input and destroy the corpus (r14 review). Refuse and make
+    // the operator decide: recover (move its files up) or delete it.
     fs.listStatus(p).foreach { st =>
       if (st.isDirectory && st.getPath.getName.startsWith(".staging-"))
-        fs.delete(st.getPath, true)
+        throw new IllegalArgumentException(
+          s"$what: $location contains ${st.getPath.getName} from an " +
+            "interrupted write. If the previous run crashed mid-swap it " +
+            "holds the complete new artifact — move its files up to " +
+            "recover, or delete it to discard, then re-run")
     }
     val staging = new org.apache.hadoop.fs.Path(p,
       ".staging-" + java.util.UUID.randomUUID().toString)

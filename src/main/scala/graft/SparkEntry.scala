@@ -88,5 +88,9 @@ object SparkEntry {
     // which measured the key at no cost. This series just tracks the
     // new query shape round over round.
     "p106_pack_shuffled",
+    // r14: the artifact-lifecycle pair — compaction (4-shard export →
+    // merged shard → re-read, all through the staged/committed writers)
+    // and the idx-only health audit a training job runs before mounting
+    "p112_compact_shards", "p111_describe_shards",
     "s01_events_tumbling", "s03_events_session")
 }

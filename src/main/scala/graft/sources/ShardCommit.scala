@@ -6,35 +6,41 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * ([[TokBin]], [[Warc]]) — the durability layer a 1000-executor fleet
   * needs that `local[32]` never exercises (r13 verdict #1).
   *
-  * The hazard: the writers emit FINAL part names keyed by partition id
-  * straight from tasks. A retried task truncate-rewrites the same path
+  * The hazard: the writers emitted FINAL part names keyed by partition
+  * id straight from tasks. A retried task truncate-rewrote the same path
   * (tolerable — partition content is deterministic), but a SPECULATIVE
   * duplicate attempt, or a zombie first attempt racing its replacement
-  * after an executor stall, writes the SAME file CONCURRENTLY and can
+  * after an executor stall, wrote the SAME file CONCURRENTLY and could
   * interleave bytes silently; a multi-file shard (`.bin`/`.idx`/`.doc`)
-  * can also end up with sidecars from different attempts. At 100 TB job
+  * could also mix sidecars from different attempts. At 100 TB job
   * lengths retries are a certainty and speculation is commonly on.
   *
-  * The protocol (the standard two-phase pattern, cf. Hadoop's
-  * FileOutputCommitter v2 semantics, done per-shard because these
-  * writers own their file layout):
+  * The protocol (per-shard, because these writers own their layout):
   *
-  *  1. every attempt writes to attempt-unique hidden temp names —
+  *  1. the DRIVER pre-cleans conflicting final names before the job
+  *     launches ([[preClean]]) — overwrite semantics live where no task
+  *     is running yet, so no delete can ever race a commit;
+  *  2. every attempt writes to attempt-unique hidden temp names —
   *     `.part-NNNNN.<ext>.<stageId>-<taskAttemptId>.inprogress` — so
   *     concurrent attempts NEVER share a file descriptor or path;
-  *  2. on success the attempt renames its temps onto the final names
-  *     (rename is atomic on HDFS-likes). Both attempts of one partition
-  *     produce byte-identical files (deterministic partition contents),
-  *     so whichever commit lands last — or any interleaving of whole-
-  *     file renames — yields a valid shard set;
-  *  3. rename ORDER puts the discovery file LAST (`.idx` and `.doc`
+  *  3. on success the attempt renames its temps onto the final names.
+  *     Rename is atomic and REFUSES an existing destination on
+  *     HDFS-likes, so commits are FIRST-Wins: a task NEVER deletes a
+  *     committed final (the r14 review killed the last-wins variant —
+  *     a zombie whose temp was already swept could delete the winner's
+  *     file and then fail its own rename, silently truncating the
+  *     artifact). Both attempts of one partition produce byte-identical
+  *     files, so losing the race is benign; losing it with NO committed
+  *     destination present is corruption and throws loudly;
+  *  4. rename ORDER puts the discovery file LAST (`.idx` and `.doc`
   *     before `.bin` for TokBin — readers list `.bin` and then demand
   *     the sidecars), so a concurrent lister never sees a shard whose
   *     sidecars haven't landed;
-  *  4. on failure the attempt deletes its own temps and rethrows; the
-  *     driver sweeps any `.inprogress` stragglers (attempts killed
-  *     mid-write without running their catch block) after the job
-  *     succeeds.
+  *  5. on failure the attempt deletes its own temps and rethrows; the
+  *     driver sweeps `.inprogress` stragglers (attempts killed mid-write
+  *     without running their catch block) after the job succeeds — safe
+  *     against a zombie that commits AFTER the sweep, because first-wins
+  *     renaming never removes the committed files.
   *
   * Readers are safe against in-flight temps by construction: both
   * listers filter on final suffixes (`.bin`, `.warc[.gz]`), which
@@ -55,11 +61,30 @@ object ShardCommit {
   private[sources] def tempName(finalName: String, tag: String): String =
     s".$finalName.$tag.inprogress"
 
+  /** DRIVER-side, before the job: remove previously committed shard
+    * files matching `suffixes` (plus stale `.inprogress` temps from
+    * dead runs) so the first-wins task commits below can never be
+    * poisoned by a PREVIOUS artifact's same-named files. No task is
+    * running yet, so this delete races nothing. */
+  def preClean(fs: FileSystem, dir: String, suffixes: Seq[String]): Unit = {
+    val p = new Path(dir)
+    if (!fs.exists(p)) return
+    fs.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isFile &&
+        (n.endsWith(".inprogress") || suffixes.exists(n.endsWith)))
+        fs.delete(st.getPath, false)
+    }
+  }
+
   /** Run `writeFn` against attempt-unique temp paths for `finalNames`
-    * (in order), then commit by renaming each temp onto its final name —
-    * LAST name in the list first is NOT the rule; the caller orders
-    * `finalNames` so the reader-discovery file comes last. Cleans up the
-    * temps and rethrows on any failure. */
+    * (in order), then commit by renaming each temp onto its final name
+    * in list order (the caller puts the reader-discovery file last).
+    * First-wins: if a rename fails AND the destination exists, a
+    * concurrent identical commit won and our temp is discarded; if it
+    * fails with NO destination, that is real corruption (FS error,
+    * swept temp with no winner) and throws. Cleans up the temps and
+    * rethrows on any failure. */
   def writeCommitted(fs: FileSystem, dir: String, finalNames: Seq[String],
       tag: String)(writeFn: Seq[Path] => Unit): Unit = {
     val temps = finalNames.map(n => new Path(dir, tempName(n, tag)))
@@ -67,12 +92,13 @@ object ShardCommit {
       writeFn(temps)
       finalNames.zip(temps).foreach { case (name, tmp) =>
         val dst = new Path(dir, name)
-        // last committed attempt wins; both are byte-identical. HDFS
-        // rename refuses an existing destination, so clear it first —
-        // if a concurrent identical commit re-creates dst inside the
-        // window, our rename fails and we discard our (equal) temp.
-        if (fs.exists(dst)) fs.delete(dst, false)
-        if (!fs.rename(tmp, dst)) fs.delete(tmp, false)
+        if (!fs.rename(tmp, dst)) {
+          if (fs.exists(dst)) fs.delete(tmp, false) // identical winner
+          else throw new java.io.IOException(
+            s"ShardCommit: failed to commit $tmp -> $dst and no " +
+              "committed file exists — shard would be missing; failing " +
+              "the attempt so Spark retries it")
+        }
       }
     } catch {
       case e: Throwable =>
@@ -85,8 +111,10 @@ object ShardCommit {
 
   /** Driver-side, after the job succeeds: remove `.inprogress` temps
     * left by attempts that died without cleanup (executor loss skips the
-    * task's catch block). Safe by then — every partition has a committed
-    * winner and no attempt is still running. */
+    * task's catch block). A zombie attempt that outlives this sweep and
+    * then tries to commit either renames byte-identical content onto a
+    * missing final (harmless) or fails its rename against the existing
+    * winner (benign, first-wins) — it can no longer delete anything. */
   def sweepInProgress(fs: FileSystem, dir: String): Unit = {
     val p = new Path(dir)
     if (!fs.exists(p)) return

@@ -82,6 +82,12 @@ object TokBin {
     val confSer = new org.apache.spark.util.SerializableConfiguration(
       df.sparkSession.sparkContext.hadoopConfiguration)
     val wantDoc = docLensCol.isDefined
+    // overwrite semantics live HERE, before any task runs (no delete can
+    // race a commit): a previous export's same-named shards — and any
+    // stale temps from a dead run — are cleared driver-side, then tasks
+    // commit first-wins (ShardCommit scaladoc)
+    ShardCommit.preClean(new Path(dir).getFileSystem(confSer.value), dir,
+      Seq(".bin", ".idx", ".doc"))
     proj.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       writeShardPartition(rows, dir,
         org.apache.spark.TaskContext.getPartitionId(),
@@ -257,8 +263,16 @@ object TokBin {
       org.apache.spark.sql.functions.sum(col("n_tokens"))).head()
     val nSeqs = stats.getLong(0)
     val nToks = if (stats.isNullAt(1)) 0L else stats.getLong(1)
-    val nShards = math.max(1L,
-      (nToks + targetTokensPerShard - 1) / targetTokensPerShard).toInt
+    val nShardsL = math.max(1L,
+      (nToks + targetTokensPerShard - 1) / targetTokensPerShard)
+    // a target far below corpus size would ask for a nonsensical (or
+    // Int-wrapped) partition count — refuse with the arithmetic visible
+    // rather than surfacing coalesce's opaque error (r14 review)
+    require(nShardsL <= (1 << 24),
+      s"compact: $nToks tokens / target $targetTokensPerShard = " +
+        s"$nShardsL output shards — target_tokens_per_shard is too " +
+        "small for this corpus (a compaction produces FEWER, larger files)")
+    val nShards = nShardsL.toInt
     val data =
       if (withDoc) scan.select(col("seq_ids"), col("doc_lens"))
       else scan.select(col("seq_ids"))

@@ -153,26 +153,10 @@ class TokBinScan(paths: Seq[String], required: StructType)
   * into place LAST, after `.idx`/`.doc`, so a listed shard always has its
   * sidecars — no partially-written file can ever be claimed. */
 class TokBinMicroBatchStream(paths: Seq[String], required: StructType)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
-
-  private def conf = org.apache.spark.sql.SparkSession.active
-    .sparkContext.hadoopConfiguration
-
-  override def initialOffset(): Offset = WarcOffset(Seq.empty)
-  override def latestOffset(): Offset =
-    WarcOffset(TokBinRead.listFiles(paths, conf))
-  override def deserializeOffset(json: String): Offset =
-    WarcOffset(WarcOffset.parse(json))
-  override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
-
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val seen = start.asInstanceOf[WarcOffset].files.toSet
-    end.asInstanceOf[WarcOffset].files.filterNot(seen)
-      .map(f => TokBinInputPartition(f): InputPartition).toArray
-  }
-
+    extends FileTailMicroBatchStream {
+  protected def listNow(): Seq[String] = TokBinRead.listFiles(paths, conf)
+  protected def mkPartition(file: String): InputPartition =
+    TokBinInputPartition(file)
   override def createReaderFactory(): PartitionReaderFactory =
     new TokBinReaderFactory(required,
       new org.apache.spark.util.SerializableConfiguration(conf))

@@ -247,6 +247,10 @@ object Warc {
     val confSer = new org.apache.spark.util.SerializableConfiguration(
       df.sparkSession.sparkContext.hadoopConfiguration)
     val ext = if (gzip) ".warc.gz" else ".warc"
+    // driver-side overwrite of a previous export's members — tasks then
+    // commit first-wins, never deleting a committed file (ShardCommit)
+    ShardCommit.preClean(new Path(dir).getFileSystem(confSer.value), dir,
+      Seq(".warc", ".warc.gz"))
     proj.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       writeWarcPartition(rows, dir,
         org.apache.spark.TaskContext.getPartitionId(),
@@ -389,15 +393,35 @@ class WarcScan(paths: Seq[String], required: StructType) extends Scan with Batch
   * (Spark's FileStreamSource approach) behind the same planInputPartitions
   * diff. */
 class WarcMicroBatchStream(paths: Seq[String], required: StructType)
+    extends FileTailMicroBatchStream {
+  protected def listNow(): Seq[String] = Warc.listFiles(paths, conf)
+  protected def mkPartition(file: String): InputPartition =
+    WarcInputPartition(file)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WarcReaderFactory(required,
+      new org.apache.spark.util.SerializableConfiguration(conf))
+}
+
+/** The shared tail-a-directory micro-batch engine behind the WARC and
+  * tokbin streaming sources (r14 review: the two were line-for-line
+  * copies — offset semantics and any future fix, e.g. offset
+  * compaction, must not drift apart). Offsets carry the full sorted
+  * file list ([[WarcOffset]], trade-off disclosed at
+  * [[WarcMicroBatchStream]]); each batch plans exactly the files that
+  * appeared since the last one. */
+abstract class FileTailMicroBatchStream
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
-  private def conf = org.apache.spark.sql.SparkSession.active
-    .sparkContext.hadoopConfiguration
+  /** Current universe of files (sorted). */
+  protected def listNow(): Seq[String]
+  protected def mkPartition(file: String): InputPartition
+
+  protected final def conf: org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
 
   override def initialOffset(): Offset = WarcOffset(Seq.empty)
-  override def latestOffset(): Offset =
-    WarcOffset(Warc.listFiles(paths, conf))
+  override def latestOffset(): Offset = WarcOffset(listNow())
   override def deserializeOffset(json: String): Offset =
     WarcOffset(WarcOffset.parse(json))
   override def commit(end: Offset): Unit = ()
@@ -406,12 +430,8 @@ class WarcMicroBatchStream(paths: Seq[String], required: StructType)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val seen = start.asInstanceOf[WarcOffset].files.toSet
     end.asInstanceOf[WarcOffset].files.filterNot(seen)
-      .map(f => WarcInputPartition(f): InputPartition).toArray
+      .map(mkPartition).toArray
   }
-
-  override def createReaderFactory(): PartitionReaderFactory =
-    new WarcReaderFactory(required,
-      new org.apache.spark.util.SerializableConfiguration(conf))
 }
 
 case class WarcOffset(files: Seq[String])

@@ -549,6 +549,110 @@ class TokBinSpec extends AnyFunSuite {
     }
   }
 
+  // --- r14 review hardening ---
+
+  test("stale .staging-* refuses instead of being swept: a crashed swap may hold the only copy") {
+    val ctx = new Context(spark)
+    val dir = tmpDir("stale")
+    // simulate the crash-mid-swap recovery state: location holds ONLY a
+    // staging dir with the complete new artifact (old files deleted)
+    val staging = s"$dir/.staging-crashed"
+    TokBin.write(Seq(Seq(1, 2, 3)).toDF("seq_ids").coalesce(1), staging)
+    ctx.createTable("tb_stale", Seq(Seq(9)).toDF("seq_ids"))
+    val e = intercept[IllegalArgumentException] {
+      ctx.sql(s"""EXPORT TABLE tb_stale WITH (location = '$dir',
+        |format = 'tokbin', mode = 'overwrite')""".stripMargin)
+    }
+    assert(e.getMessage.contains("interrupted write"))
+    // the staged artifact is untouched and recoverable
+    assert(readAllSeqs(staging) == Seq(Seq(1, 2, 3)))
+    ctx.dropTable("tb_stale")
+  }
+
+  test("first-wins commit: a late duplicate attempt can never delete the winner's committed shard") {
+    val dir = tmpDir("firstwins")
+    fs(dir).mkdirs(new org.apache.hadoop.fs.Path(dir))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val seqs = Seq(Seq(1, 2), Seq(3))
+    TokBin.writeShardPartition(rowsOf(seqs), dir, 0, "9-601", conf, wantDoc = false)
+    val winnerBytes = {
+      val f = fs(dir)
+      val in = f.open(new org.apache.hadoop.fs.Path(dir, "part-00000.bin"))
+      val buf = new Array[Byte](12); in.readFully(0, buf); in.close(); buf.toSeq
+    }
+    // the zombie commits AFTER the winner: its renames fail against the
+    // existing finals, its temps are discarded, the winner's bytes stay
+    TokBin.writeShardPartition(rowsOf(seqs), dir, 0, "9-602", conf, wantDoc = false)
+    assert(listAll(dir) == Seq("part-00000.bin", "part-00000.idx"))
+    val after = {
+      val f = fs(dir)
+      val in = f.open(new org.apache.hadoop.fs.Path(dir, "part-00000.bin"))
+      val buf = new Array[Byte](12); in.readFully(0, buf); in.close(); buf.toSeq
+    }
+    assert(after == winnerBytes)
+    // and a swept temp with NO committed winner fails LOUDLY instead of
+    // silently dropping the shard: simulate by renaming the final away
+    // mid-"commit" — writeCommitted with a missing temp must throw
+    val e = intercept[java.io.IOException] {
+      graft.sources.ShardCommit.writeCommitted(fs(dir), dir,
+        Seq("part-00099.bin"), "9-603") { temps =>
+        // write nothing, then delete the temp to simulate the sweep
+        fs(dir).create(temps.head, true).close()
+        fs(dir).delete(temps.head, false)
+      }
+    }
+    // LocalFS throws FileNotFoundException from the rename itself; HDFS
+    // returns false and hits our labeled refusal — both are LOUD, which
+    // is the contract (never a silent missing shard)
+    assert(e.getMessage.contains("no committed file exists") ||
+      e.getMessage.contains("does not exist"))
+    assert(!fs(dir).exists(
+      new org.apache.hadoop.fs.Path(dir, "part-00099.bin")))
+  }
+
+  test("direct TokBin.write truncates a WIDER previous artifact (driver-side preClean)") {
+    val dir = tmpDir("preclean")
+    TokBin.write(Seq(Seq(1), Seq(2), Seq(3), Seq(4)).toDF("seq_ids")
+      .repartition(4), dir)
+    assert(partFiles(dir).size == 4)
+    TokBin.write(Seq(Seq(9, 9)).toDF("seq_ids").coalesce(1), dir)
+    assert(partFiles(dir).size == 1, "stale higher-numbered shards must go")
+    assert(readAllSeqs(dir) == Seq(Seq(9, 9)))
+  }
+
+  test("a poison EXPORT to a FRESH location leaves no partial final shards") {
+    val ctx = new Context(spark)
+    val dir = tmpDir("freshpoison")
+    ctx.createTable("tb_fp", spark.range(2).select(
+      when(col("id") === 0, array(lit(9), lit(9)))
+        .otherwise(array(lit(1), lit(null).cast("int"))).as("seq_ids")))
+    intercept[Exception] {
+      ctx.sql(s"""EXPORT TABLE tb_fp WITH (location = '$dir',
+        |format = 'tokbin', shards = 2)""".stripMargin)
+    }
+    // fresh writes stage too: a failed job must not leave final part
+    // files that read as a complete (truncated) artifact
+    assert(partFiles(dir).isEmpty,
+      s"partial finals left behind: ${listAll(dir)}")
+    ctx.dropTable("tb_fp")
+  }
+
+  test("DESCRIBE SHARDS counts zero-sequence shards (empty shard = the true min)") {
+    val ctx = new Context(spark)
+    val dir = tmpDir("emptyshard")
+    fs(dir).mkdirs(new org.apache.hadoop.fs.Path(dir))
+    val conf = spark.sparkContext.hadoopConfiguration
+    TokBin.writeShardPartition(rowsOf(Seq(Seq(1, 2, 3))), dir, 0, "e-1",
+      conf, wantDoc = false)
+    TokBin.writeShardPartition(rowsOf(Seq.empty), dir, 1, "e-2",
+      conf, wantDoc = false)
+    val m = ctx.sql(s"DESCRIBE SHARDS '$dir'").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m("shards") == "2", "the empty shard must be visible")
+    assert(m("min_shard_tokens") == "0" && m("max_shard_tokens") == "3")
+    assert(m("sequences") == "1" && m("tokens") == "3")
+  }
+
   // --- task-commit durability (r14: r13 verdict #1/#2) ---
 
   private def rowsOf(seqs: Seq[Seq[Int]]): Iterator[org.apache.spark.sql.Row] =
