@@ -1,0 +1,1 @@
+DESCRIBE SHARDS '/tmp/graft_pipeline_tokbin' WITH (vocab = 'pipeline_uni_vocab')

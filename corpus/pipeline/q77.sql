@@ -1,0 +1,2 @@
+COMPACT SHARDS '/tmp/graft_pipeline_tokbin' INTO '/tmp/graft_pipeline_tokbin_compacted'
+WITH (target_tokens_per_shard = '100000000', mode = 'overwrite')

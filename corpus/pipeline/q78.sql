@@ -1,0 +1,1 @@
+DESCRIBE SHARDS '/tmp/graft_pipeline_tokbin_compacted'

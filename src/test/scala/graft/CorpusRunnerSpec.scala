@@ -37,7 +37,7 @@ class CorpusRunnerSpec extends AnyFunSuite {
       val results = CorpusRunner.run(ctx, "corpus/pipeline")
       // ordered build: views (q1-q2) feed DECONTAMINATE/STRATIFY/SCORE,
       // the CTAS embedding table (q9) feeds the index (q10) and its probe
-      assert(results.size == 75) // r8: + EXTRACT html (q37, main q40, markdown q41), TRAIN linear (q38), PAGERANK (q39); r10: + SCRUB pii redact (q42) / flag (q43), STRATIFY tokens+epochs (q44-q45), DEDUP exact_incremental (q46-q47), DECONTAMINATE embedding (q48-q49) / report (q50), CHUNK sentences (q51), DEDUP global_sentences (q52), DEDUP embedding_incremental (q53-q54) + srp index form (q55-q56); r11: + the appendable-index cycle (q57 CREATE exact index, q58 CTAS survivors, q59 ALTER APPEND, q60 re-screen) and the unigram tokenizer (q61 TRAIN, q62 TOKENIZE); r12: + the index-health/lifecycle close (q63 DESCRIBE, q64 DROP) and the token-ID shard chain (q65 VOCAB, q66 TOKENIZE emit ids, q67 PACK ids, q68 DETOKENIZE); r13: + the shard lifecycle close (q69 ALTER VOCAB APPEND, q70 CTAS the int32 shard, q71 EXPORT tokbin, q72 re-register the exported shards, q73 sidecar-only audit (idx+doc, never the .bin), q74 DESCRIBE VOCAB) and the seeded trainer-order shuffle pack (q75 PACK ids order='shuffle')
+      assert(results.size == 78) // r8: + EXTRACT html (q37, main q40, markdown q41), TRAIN linear (q38), PAGERANK (q39); r10: + SCRUB pii redact (q42) / flag (q43), STRATIFY tokens+epochs (q44-q45), DEDUP exact_incremental (q46-q47), DECONTAMINATE embedding (q48-q49) / report (q50), CHUNK sentences (q51), DEDUP global_sentences (q52), DEDUP embedding_incremental (q53-q54) + srp index form (q55-q56); r11: + the appendable-index cycle (q57 CREATE exact index, q58 CTAS survivors, q59 ALTER APPEND, q60 re-screen) and the unigram tokenizer (q61 TRAIN, q62 TOKENIZE); r12: + the index-health/lifecycle close (q63 DESCRIBE, q64 DROP) and the token-ID shard chain (q65 VOCAB, q66 TOKENIZE emit ids, q67 PACK ids, q68 DETOKENIZE); r13: + the shard lifecycle close (q69 ALTER VOCAB APPEND, q70 CTAS the int32 shard, q71 EXPORT tokbin, q72 re-register the exported shards, q73 sidecar-only audit (idx+doc, never the .bin), q74 DESCRIBE VOCAB) and the seeded trainer-order shuffle pack (q75 PACK ids order='shuffle'); r14: + the artifact lifecycle (q76 DESCRIBE SHARDS with vocab headroom, q77 COMPACT SHARDS into a trainer-sized shard, q78 DESCRIBE the compacted artifact)
       val failed = results.filterNot(_.ok)
       assert(failed.isEmpty,
         s"pipeline corpus failures: ${failed.map(r => r.query -> r.error).mkString("; ")}")
