@@ -64,8 +64,11 @@ object ShardCommit {
   /** DRIVER-side, before the job: remove previously committed shard
     * files matching `suffixes` (plus stale `.inprogress` temps from
     * dead runs) so the first-wins task commits below can never be
-    * poisoned by a PREVIOUS artifact's same-named files. No task is
-    * running yet, so this delete races nothing. */
+    * poisoned by a PREVIOUS artifact's same-named files. No task of
+    * THIS job is running yet, so the delete races nothing — two
+    * SIMULTANEOUS write jobs targeting one directory were never a
+    * supported layout (their part names collide by design; give each
+    * producer its own directory, the `batch=N` convention). */
   def preClean(fs: FileSystem, dir: String, suffixes: Seq[String]): Unit = {
     val p = new Path(dir)
     if (!fs.exists(p)) return

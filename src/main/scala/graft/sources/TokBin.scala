@@ -138,7 +138,9 @@ object TokBin {
           val ids =
             if (r.isNullAt(0)) Seq.empty[Any]
             else r.getSeq[Any](0)
-          var n = 0
+          var n = 0L // Long: an over-capacity straddler past 2^31 tokens
+                     // must write a true length, not an Int wrap the
+                     // reader then rejects as a corrupt .idx
           val it = ids.iterator
           while (it.hasNext) {
             it.next() match {
@@ -155,7 +157,7 @@ object TokBin {
           if (tokBuf.position() > 0) {
             bin.write(tokBuf.array(), 0, tokBuf.position()); tokBuf.clear()
           }
-          idxBuf.clear(); idxBuf.putLong(offset); idxBuf.putLong(n.toLong)
+          idxBuf.clear(); idxBuf.putLong(offset); idxBuf.putLong(n)
           idx.write(idxBuf.array(), 0, 16)
           if (wantDoc) {
             require(!r.isNullAt(1),
@@ -186,7 +188,7 @@ object TokBin {
             // the pack contract: tokens + one eos between consecutive
             // docs — a mismatched doc_lens column must fail loudly here,
             // not ship wrong attention masks to a trainer
-            require(sum + lens.length - 1 == n.toLong,
+            require(sum + lens.length - 1 == n,
               s"tokbin export: doc_lens sums to $sum over ${lens.length} " +
                 s"docs (${sum + lens.length - 1} ids with separators) but " +
                 s"the sequence has $n ids")
@@ -227,6 +229,14 @@ object TokBin {
     * masks. Output goes through [[write]], so task-level two-phase
     * commits apply; the statement surface (`COMPACT SHARDS`) adds the
     * staged-overwrite swap on top.
+    *
+    * Do NOT compact a directory a `readStream.format("tokbin")` query is
+    * actively tailing: the stream's offset tracks file NAMES, so the
+    * compacted output lists as new files and the stream re-processes
+    * every sequence it already saw (and errors on the deleted inputs if
+    * a batch was mid-plan). Stop the stream, compact, restart with a
+    * fresh checkpoint — or compact into a separate directory and point
+    * NEW consumers at it.
     *
     * Returns (shardsBefore, sequences, tokens, shardsAfter). */
   def compact(spark: org.apache.spark.sql.SparkSession, in: Seq[String],

@@ -102,28 +102,113 @@ class TokBinTable(properties: java.util.Map[String, String])
 }
 
 class TokBinScanBuilder(paths: Seq[String])
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: StructType = TokBinRead.schema
+  private var fileFilters: Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new TokBinScan(paths, required)
+
+  /** FILE-level predicate pushdown — real PARTITION pruning: a filter
+    * on the `file` column removes whole shards from the plan, so a
+    * spot-read ("audit shard X", "yesterday's batch=* slice") opens one
+    * `.idx` instead of listing-then-discarding a 100 TB tree's worth of
+    * sequences. Exactness: every row of a shard carries exactly its
+    * listed path string, so file-level evaluation IS row-level
+    * evaluation for these predicates and they are claimed fully (no
+    * post-scan re-filter). Everything else stays post-scan. */
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter]):
+      Array[org.apache.spark.sql.sources.Filter] = {
+    val (pushable, rest) = filters.partition(TokBinScan.isFileFilter)
+    fileFilters = pushable
+    rest
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    fileFilters
+
+  override def build(): Scan = new TokBinScan(paths, required, fileFilters)
 }
 
-class TokBinScan(paths: Seq[String], required: StructType)
-    extends Scan with Batch {
+object TokBinScan {
+  import org.apache.spark.sql.sources._
+  private[sources] def isFileFilter(f: Filter): Boolean = f match {
+    case EqualTo("file", _: String) => true
+    case In("file", _) => true
+    case StringStartsWith("file", _) => true
+    case StringEndsWith("file", _) => true
+    case StringContains("file", _) => true
+    case _ => false
+  }
+  private[sources] def matches(file: String, f: Filter): Boolean = f match {
+    case EqualTo("file", v: String) => file == v
+    case In("file", vs) => vs.exists(v => v == file)
+    case StringStartsWith("file", p) => file.startsWith(p)
+    case StringEndsWith("file", s) => file.endsWith(s)
+    case StringContains("file", s) => file.contains(s)
+    case _ => true
+  }
+}
+
+class TokBinScan(paths: Seq[String], required: StructType,
+    fileFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"TokBinScan[${paths.mkString(",")}] ReadSchema: ${required.simpleString}"
+    s"TokBinScan[${paths.mkString(",")}] ReadSchema: ${required.simpleString}" +
+      (if (fileFilters.isEmpty) ""
+       else s" PushedFilters: ${fileFilters.mkString(", ")}")
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val conf = org.apache.spark.sql.SparkSession.active
-      .sparkContext.hadoopConfiguration
-    // one partition per shard file — shard count mirrors the write-side
-    // partition count, which on a real pipeline is the export's
-    // shard_by= fan-out (hundreds to thousands of files at 100 TB)
+  private def conf = org.apache.spark.sql.SparkSession.active
+    .sparkContext.hadoopConfiguration
+
+  private def prunedFiles: Seq[String] =
     TokBinRead.listFiles(paths, conf)
-      .map(f => TokBinInputPartition(f): InputPartition).toArray
+      .filter(f => fileFilters.forall(TokBinScan.matches(f, _)))
+
+  override def planInputPartitions(): Array[InputPartition] =
+    // one partition per (surviving) shard file — shard count mirrors the
+    // write-side partition count, which on a real pipeline is the
+    // export's shard_by= fan-out (hundreds to thousands of files at
+    // 100 TB); pushed file filters prune whole shards HERE
+    prunedFiles.map(f => TokBinInputPartition(f): InputPartition).toArray
+
+  /** EXACT statistics from metadata alone: `.idx` length / 16 is the
+    * row count, and sizeInBytes is the bytes the CURRENT projection
+    * will actually read (idx-only audits report sidecar bytes, not the
+    * token bytes they never open) — so Catalyst can broadcast a small
+    * shard-audit join instead of shuffling it. One file-status RPC per
+    * surviving shard, driver-side, only when the planner asks. */
+  override def estimateStatistics():
+      org.apache.spark.sql.connector.read.Statistics = {
+    val c = conf
+    val wantIds = required.fieldNames.contains("seq_ids")
+    val wantDoc = required.fieldNames.contains("doc_lens")
+    var rows = 0L
+    var bytes = 0L
+    prunedFiles.foreach { f =>
+      val bin = new Path(f)
+      val fs = bin.getFileSystem(c)
+      val idx = new Path(f.stripSuffix(".bin") + ".idx")
+      val idxLen = if (fs.exists(idx)) fs.getFileStatus(idx).getLen else 0L
+      rows += idxLen / 16
+      bytes += idxLen
+      if (wantIds) bytes += fs.getFileStatus(bin).getLen
+      if (wantDoc) {
+        val doc = new Path(f.stripSuffix(".bin") + ".doc")
+        if (fs.exists(doc)) bytes += fs.getFileStatus(doc).getLen
+      }
+    }
+    val (r, b) = (rows, bytes)
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(b)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(r)
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {

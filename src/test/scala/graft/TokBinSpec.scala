@@ -549,6 +549,57 @@ class TokBinSpec extends AnyFunSuite {
     }
   }
 
+  test("file pushdown prunes whole shards (proven by deleting the others) and exact stats come from metadata (r14)") {
+    val df = Seq(("a", Seq(1, 2)), ("a", Seq(3)), ("b", Seq(4, 5, 6)),
+      ("c", Seq(7))).toDF("grp", "seq_ids")
+    val dir = tmpDir("pushdown")
+    TokBin.write(df.repartition(3, $"grp").sortWithinPartitions("grp"), dir)
+    assert(partFiles(dir).size == 3)
+    val all = spark.read.format("tokbin").load(dir)
+    val target = all.select("file").distinct().orderBy("file")
+      .head().getString(0)
+    // equality on file prunes the plan to ONE partition, and the filter
+    // is claimed (visible in the scan description)
+    val one = spark.read.format("tokbin").load(dir)
+      .filter(col("file") === target)
+    assert(one.rdd.getNumPartitions == 1)
+    assert(one.queryExecution.executedPlan.toString.contains("PushedFilters"))
+    // the pruning is real I/O pruning: delete every OTHER shard's files
+    // mid-plan and the filtered read still answers
+    val f = fs(dir)
+    partFiles(dir).foreach { p =>
+      if (!target.contains(p)) {
+        f.delete(new org.apache.hadoop.fs.Path(dir, p + ".bin"), false)
+        f.delete(new org.apache.hadoop.fs.Path(dir, p + ".idx"), false)
+      }
+    }
+    val rows = spark.read.format("tokbin").load(dir)
+      .filter(col("file") === target)
+      .select(concat_ws(",", col("seq_ids"))).collect().map(_.getString(0))
+    assert(rows.nonEmpty)
+    // exact metadata statistics: numRows = idx bytes / 16, and an
+    // idx-only projection reports sidecar bytes (not token bytes)
+    val dir2 = tmpDir("stats")
+    TokBin.write(Seq(Seq(1, 2, 3), Seq(4)).toDF("seq_ids").coalesce(1), dir2)
+    val scanIdx = new graft.sources.TokBinScan(Seq(dir2),
+      org.apache.spark.sql.types.StructType(graft.sources.TokBinRead.schema
+        .filter(f2 => f2.name == "file" || f2.name == "n_tokens")))
+    val stIdx = scanIdx.estimateStatistics()
+    assert(stIdx.numRows().getAsLong == 2L)
+    assert(stIdx.sizeInBytes().getAsLong == 32L) // 2 idx entries only
+    val scanFull = new graft.sources.TokBinScan(Seq(dir2),
+      graft.sources.TokBinRead.schema)
+    assert(scanFull.estimateStatistics().sizeInBytes().getAsLong ==
+      32L + 16L) // + 4 tokens of .bin
+    // stats flow into Catalyst: the leaf's sizeInBytes is the exact
+    // artifact size, not a default guess
+    val planStats = spark.read.format("tokbin").load(dir2)
+      .select("file", "n_tokens")
+      .queryExecution.optimizedPlan.stats
+    assert(planStats.sizeInBytes.toLong <= 1024,
+      s"expected metadata-sized stats, got ${planStats.sizeInBytes}")
+  }
+
   // --- r14 review hardening ---
 
   test("stale .staging-* refuses instead of being swept: a crashed swap may hold the only copy") {
