@@ -121,7 +121,7 @@ class TokBinScanBuilder(paths: Seq[String])
   override def pushFilters(
       filters: Array[org.apache.spark.sql.sources.Filter]):
       Array[org.apache.spark.sql.sources.Filter] = {
-    val (pushable, rest) = filters.partition(TokBinScan.isFileFilter)
+    val (pushable, rest) = filters.partition(FilePruning.isFileFilter)
     fileFilters = pushable
     rest
   }
@@ -129,26 +129,6 @@ class TokBinScanBuilder(paths: Seq[String])
     fileFilters
 
   override def build(): Scan = new TokBinScan(paths, required, fileFilters)
-}
-
-object TokBinScan {
-  import org.apache.spark.sql.sources._
-  private[sources] def isFileFilter(f: Filter): Boolean = f match {
-    case EqualTo("file", _: String) => true
-    case In("file", _) => true
-    case StringStartsWith("file", _) => true
-    case StringEndsWith("file", _) => true
-    case StringContains("file", _) => true
-    case _ => false
-  }
-  private[sources] def matches(file: String, f: Filter): Boolean = f match {
-    case EqualTo("file", v: String) => file == v
-    case In("file", vs) => vs.exists(v => v == file)
-    case StringStartsWith("file", p) => file.startsWith(p)
-    case StringEndsWith("file", s) => file.endsWith(s)
-    case StringContains("file", s) => file.contains(s)
-    case _ => true
-  }
 }
 
 class TokBinScan(paths: Seq[String], required: StructType,
@@ -165,9 +145,13 @@ class TokBinScan(paths: Seq[String], required: StructType,
   private def conf = org.apache.spark.sql.SparkSession.active
     .sparkContext.hadoopConfiguration
 
-  private def prunedFiles: Seq[String] =
-    TokBinRead.listFiles(paths, conf)
-      .filter(f => fileFilters.forall(TokBinScan.matches(f, _)))
+  // ONE listing per Scan instance, shared by partition planning and
+  // statistics (the r14 review finding: a def re-listed the tree per
+  // use, and stats issued per-file RPCs the listing already answered)
+  private lazy val prunedFiles: Seq[String] =
+    FilePruning.prune(TokBinRead.listFiles(paths, conf), fileFilters)
+  private lazy val fileLengths: Map[String, Long] =
+    FilePruning.lengthsByPath(prunedFiles, conf)
 
   override def planInputPartitions(): Array[InputPartition] =
     // one partition per (surviving) shard file — shard count mirrors the
@@ -176,31 +160,31 @@ class TokBinScan(paths: Seq[String], required: StructType,
     // 100 TB); pushed file filters prune whole shards HERE
     prunedFiles.map(f => TokBinInputPartition(f): InputPartition).toArray
 
-  /** EXACT statistics from metadata alone: `.idx` length / 16 is the
-    * row count, and sizeInBytes is the bytes the CURRENT projection
-    * will actually read (idx-only audits report sidecar bytes, not the
-    * token bytes they never open) — so Catalyst can broadcast a small
-    * shard-audit join instead of shuffling it. One file-status RPC per
-    * surviving shard, driver-side, only when the planner asks. */
+  /** Statistics from metadata alone: `.idx` length / 16 is the EXACT
+    * row count; sizeInBytes estimates the MATERIALIZED relation (what
+    * Catalyst compares against the broadcast threshold, per the r14
+    * review: raw bytes-read understated an idx-only audit by the
+    * per-row path string and overhead, inviting oversized broadcasts) —
+    * data bytes the projection opens, plus per-row path + struct
+    * overhead. Erring high only makes broadcast choices conservative. */
   override def estimateStatistics():
       org.apache.spark.sql.connector.read.Statistics = {
-    val c = conf
     val wantIds = required.fieldNames.contains("seq_ids")
     val wantDoc = required.fieldNames.contains("doc_lens")
+    val wantFile = required.fieldNames.contains("file")
     var rows = 0L
     var bytes = 0L
     prunedFiles.foreach { f =>
-      val bin = new Path(f)
-      val fs = bin.getFileSystem(c)
-      val idx = new Path(f.stripSuffix(".bin") + ".idx")
-      val idxLen = if (fs.exists(idx)) fs.getFileStatus(idx).getLen else 0L
-      rows += idxLen / 16
+      val idxLen = fileLengths.getOrElse(f.stripSuffix(".bin") + ".idx", 0L)
+      val fileRows = idxLen / 16
+      rows += fileRows
       bytes += idxLen
-      if (wantIds) bytes += fs.getFileStatus(bin).getLen
-      if (wantDoc) {
-        val doc = new Path(f.stripSuffix(".bin") + ".doc")
-        if (fs.exists(doc)) bytes += fs.getFileStatus(doc).getLen
-      }
+      if (wantIds) bytes += fileLengths.getOrElse(f, 0L)
+      if (wantDoc)
+        bytes += fileLengths.getOrElse(f.stripSuffix(".bin") + ".doc", 0L)
+      // materialized-row overhead: the path string (repeated per row)
+      // when projected, plus ~24 bytes of row/field scaffolding
+      bytes += fileRows * ((if (wantFile) f.length.toLong else 0L) + 24L)
     }
     val (r, b) = (rows, bytes)
     new org.apache.spark.sql.connector.read.Statistics {

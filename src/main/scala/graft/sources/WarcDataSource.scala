@@ -361,7 +361,7 @@ class WarcScanBuilder(paths: Seq[String])
   override def pushFilters(
       filters: Array[org.apache.spark.sql.sources.Filter]):
       Array[org.apache.spark.sql.sources.Filter] = {
-    val (pushable, rest) = filters.partition(TokBinScan.isFileFilter)
+    val (pushable, rest) = filters.partition(FilePruning.isFileFilter)
     fileFilters = pushable
     rest
   }
@@ -385,9 +385,9 @@ class WarcScan(paths: Seq[String], required: StructType,
   private def conf = org.apache.spark.sql.SparkSession.active
     .sparkContext.hadoopConfiguration
 
-  private def prunedFiles: Seq[String] =
-    Warc.listFiles(paths, conf)
-      .filter(f => fileFilters.forall(TokBinScan.matches(f, _)))
+  // one listing per Scan, shared by planning and statistics (FilePruning)
+  private lazy val prunedFiles: Seq[String] =
+    FilePruning.prune(Warc.listFiles(paths, conf), fileFilters)
 
   override def planInputPartitions(): Array[InputPartition] =
     // one partition per (surviving) file — the natural WARC parallel
@@ -395,17 +395,26 @@ class WarcScan(paths: Seq[String], required: StructType,
     // files); pushed file filters prune whole archives HERE
     prunedFiles.map(f => WarcInputPartition(f): InputPartition).toArray
 
-  /** sizeInBytes from file lengths alone (record counts are not
-    * derivable without parsing — numRows stays empty): enough for
-    * Catalyst to broadcast a small crawl-slice join instead of
-    * shuffling the big side. */
+  /** sizeInBytes from file lengths alone — record counts are not
+    * derivable without parsing, so numRows stays empty. Catalyst uses
+    * this as the MATERIALIZED relation size for broadcast decisions
+    * (r14 review), so compressed archives are scaled by a conservative
+    * text-WARC decompression estimate (gzip on crawl text runs ~3-8×;
+    * erring high only blocks a risky broadcast) when the projection
+    * materializes content; metadata-only projections still count the
+    * full compressed bytes — headers are a fraction of that, so the
+    * estimate stays on the safe (high) side without a magic small
+    * constant. */
   override def estimateStatistics():
       org.apache.spark.sql.connector.read.Statistics = {
-    val c = conf
+    val lens = FilePruning.lengthsByPath(prunedFiles, conf)
+    val wantContent = required.fieldNames.contains("content")
     var bytes = 0L
     prunedFiles.foreach { f =>
-      val p = new Path(f)
-      bytes += p.getFileSystem(c).getFileStatus(p).getLen
+      val len = lens.getOrElse(f, 0L)
+      val factor =
+        if (wantContent && f.endsWith(".gz")) 5L else 1L
+      bytes += len * factor
     }
     val b = bytes
     new org.apache.spark.sql.connector.read.Statistics {

@@ -562,10 +562,15 @@ class TokBinSpec extends AnyFunSuite {
     // is claimed (visible in the scan description)
     val one = spark.read.format("tokbin").load(dir)
       .filter(col("file") === target)
-    assert(one.rdd.getNumPartitions == 1)
+      .select(concat_ws(",", col("seq_ids")).as("ids"))
+    // PIN the planned RDD FIRST (r14 second review: planning after the
+    // deletion re-lists the directory, which passes whether or not
+    // pruning works) — if pruning regressed, this pinned plan carries
+    // partitions for the soon-deleted shards and the collect below blows
+    // up on their missing files
+    val pinned = one.rdd
+    assert(pinned.getNumPartitions == 1)
     assert(one.queryExecution.executedPlan.toString.contains("PushedFilters"))
-    // the pruning is real I/O pruning: delete every OTHER shard's files
-    // mid-plan and the filtered read still answers
     val f = fs(dir)
     partFiles(dir).foreach { p =>
       if (!target.contains(p)) {
@@ -573,26 +578,28 @@ class TokBinSpec extends AnyFunSuite {
         f.delete(new org.apache.hadoop.fs.Path(dir, p + ".idx"), false)
       }
     }
-    val rows = spark.read.format("tokbin").load(dir)
-      .filter(col("file") === target)
-      .select(concat_ws(",", col("seq_ids"))).collect().map(_.getString(0))
+    val rows = pinned.collect().map(_.getString(0))
     assert(rows.nonEmpty)
-    // exact metadata statistics: numRows = idx bytes / 16, and an
-    // idx-only projection reports sidecar bytes (not token bytes)
+    // metadata statistics: numRows = idx bytes / 16 exactly; sizeInBytes
+    // estimates the MATERIALIZED relation — data bytes the projection
+    // opens plus per-row path/struct overhead (broadcast decisions
+    // compare against in-memory size, not bytes-read)
     val dir2 = tmpDir("stats")
     TokBin.write(Seq(Seq(1, 2, 3), Seq(4)).toDF("seq_ids").coalesce(1), dir2)
+    val shardPath = graft.sources.TokBinRead.listFiles(Seq(dir2),
+      spark.sparkContext.hadoopConfiguration).head
     val scanIdx = new graft.sources.TokBinScan(Seq(dir2),
       org.apache.spark.sql.types.StructType(graft.sources.TokBinRead.schema
-        .filter(f2 => f2.name == "file" || f2.name == "n_tokens")))
+        .filter(f2 => f2.name == "n_tokens")))
     val stIdx = scanIdx.estimateStatistics()
     assert(stIdx.numRows().getAsLong == 2L)
-    assert(stIdx.sizeInBytes().getAsLong == 32L) // 2 idx entries only
+    assert(stIdx.sizeInBytes().getAsLong == 32L + 2 * 24L) // idx + row overhead
     val scanFull = new graft.sources.TokBinScan(Seq(dir2),
       graft.sources.TokBinRead.schema)
     assert(scanFull.estimateStatistics().sizeInBytes().getAsLong ==
-      32L + 16L) // + 4 tokens of .bin
-    // stats flow into Catalyst: the leaf's sizeInBytes is the exact
-    // artifact size, not a default guess
+      32L + 16L + 2 * (shardPath.length + 24L)) // + .bin + path per row
+    // stats flow into Catalyst: the leaf's sizeInBytes is metadata-sized,
+    // not a default guess
     val planStats = spark.read.format("tokbin").load(dir2)
       .select("file", "n_tokens")
       .queryExecution.optimizedPlan.stats
