@@ -1067,9 +1067,12 @@ class Context(val spark: SparkSession) {
     // token-byte scan it genuinely needs. Globs work ('dir/batch=*' for
     // the streaming producer's forest).
     case DescribeShards(location, opts) =>
-      for (k <- opts.keys if k != "vocab")
+      for (k <- opts.keys if k != "vocab" && k != "files")
         throw new IllegalArgumentException(
-          s"DESCRIBE SHARDS: unknown option '$k' (only vocab=)")
+          s"DESCRIBE SHARDS: unknown option '$k' (vocab=, files=)")
+      require(!(opts.contains("files") && opts.contains("vocab")),
+        "DESCRIBE SHARDS: files='true' is the per-shard drill-down " +
+          "(one row per file); vocab= belongs to the summary form")
       val conf = spark.sparkContext.hadoopConfiguration
       val files = graft.sources.TokBinRead.listFiles(Seq(location), conf)
       require(files.nonEmpty,
@@ -1100,6 +1103,24 @@ class Context(val spark: SparkSession) {
         max(col("n_tokens")).as("_maxseq"))
         .collect().map(r => r.getString(0) ->
           ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      // files='true': the per-shard drill-down — one row per file, the
+      // detail behind the summary's spread/skew (which shard IS the
+      // straggler / the hole), still idx-only
+      if (opts.get("files").exists(_.trim.toBoolean)) {
+        import spark.implicits._
+        files.map { f =>
+          val (seqs, toks, empty, maxSeq) =
+            perShard.getOrElse(f, (0L, 0L, 0L, 0L))
+          val hasDoc = {
+            val dp = new org.apache.hadoop.fs.Path(
+              f.stripSuffix(".bin") + ".doc")
+            dp.getFileSystem(conf).exists(dp)
+          }
+          (f, seqs, toks, empty, maxSeq, hasDoc)
+        }.toDF("file", "sequences", "tokens", "empty_sequences",
+          "max_seq_tokens", "doc_sidecar")
+      } else {
+      // summary form: all aggregates off the same single idx-only pass
       val shardStats = files.map(f =>
         perShard.getOrElse(f, (0L, 0L, 0L, 0L)))
       val nShards = files.size.toLong
@@ -1151,6 +1172,7 @@ class Context(val spark: SparkSession) {
           "ids_in_vocab" -> (idMin >= 0L && idMax <= vMax).toString)
       }.getOrElse(Seq.empty)
       toDf2(base ++ vocabPart, "metric", "value")
+      }
 
     // COMPACT SHARDS '<in>' INTO '<out>' — merge a micro-batch shard
     // forest into few large trainer-mountable files (TokBin.compact:

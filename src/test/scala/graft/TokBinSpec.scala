@@ -607,6 +607,41 @@ class TokBinSpec extends AnyFunSuite {
       s"expected metadata-sized stats, got ${planStats.sizeInBytes}")
   }
 
+  test("streaming tokbin restart from checkpoint: already-claimed shards are never re-processed") {
+    val watch = tmpDir("restart")
+    val ckpt = tmpDir("restartckpt")
+    val sink = tmpDir("restartsink")
+    fs(watch).mkdirs(new org.apache.hadoop.fs.Path(watch))
+    def drop(batch: Int, seqs: Seq[Seq[Int]]): Unit =
+      TokBin.write(seqs.toDF("seq_ids").coalesce(1), s"$watch/batch=$batch")
+    // a FILE sink: the memory sink refuses checkpoint recovery, and the
+    // file sink's commit log additionally proves exactly-once END TO END
+    def start() =
+      spark.readStream.format("tokbin").load(s"$watch/batch=*")
+        .select(concat_ws(",", col("seq_ids")).as("ids"))
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    drop(0, Seq(Seq(1, 2), Seq(3)))
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      assert(spark.read.parquet(sink).count() == 2)
+    } finally q1.stop()
+    // files land while the stream is DOWN; the restarted query must
+    // process exactly them — the checkpointed offset carries batch 0
+    drop(1, Seq(Seq(7, 8, 9)))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val got = spark.read.parquet(sink).collect()
+        .map(_.getString(0)).sorted.toSeq
+      assert(got == Seq("1,2", "3", "7,8,9"),
+        s"restart must resume past claimed shards without re-reading, got $got")
+    } finally q2.stop()
+  }
+
   // --- r14 review hardening ---
 
   test("stale .staging-* refuses instead of being swept: a crashed swap may hold the only copy") {
@@ -709,6 +744,16 @@ class TokBinSpec extends AnyFunSuite {
     assert(m("shards") == "2", "the empty shard must be visible")
     assert(m("min_shard_tokens") == "0" && m("max_shard_tokens") == "3")
     assert(m("sequences") == "1" && m("tokens") == "3")
+    // files='true': the per-shard drill-down names WHICH shard is the
+    // hole — one row per file, empty shard included
+    val rows = ctx.sql(s"DESCRIBE SHARDS '$dir' WITH (files = 'true')")
+      .orderBy("file").collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getLong(2)).toSeq == Seq(3L, 0L)) // tokens per shard
+    assert(rows.forall(!_.getBoolean(5))) // no .doc sidecars here
+    intercept[IllegalArgumentException] {
+      ctx.sql(s"DESCRIBE SHARDS '$dir' WITH (files = 'true', vocab = 'x')")
+    }
   }
 
   // --- task-commit durability (r14: r13 verdict #1/#2) ---
