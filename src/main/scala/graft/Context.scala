@@ -1070,7 +1070,13 @@ class Context(val spark: SparkSession) {
       for (k <- opts.keys if k != "vocab" && k != "files")
         throw new IllegalArgumentException(
           s"DESCRIBE SHARDS: unknown option '$k' (vocab=, files=)")
-      require(!(opts.contains("files") && opts.contains("vocab")),
+      val wantFiles = opts.get("files").map(_.trim).map {
+        case "true" => true
+        case "false" => false
+        case other => throw new IllegalArgumentException(
+          s"DESCRIBE SHARDS: files= must be 'true' or 'false', got '$other'")
+      }.getOrElse(false)
+      require(!(wantFiles && opts.contains("vocab")),
         "DESCRIBE SHARDS: files='true' is the per-shard drill-down " +
           "(one row per file); vocab= belongs to the summary form")
       val conf = spark.sparkContext.hadoopConfiguration
@@ -1078,13 +1084,14 @@ class Context(val spark: SparkSession) {
       require(files.nonEmpty,
         s"DESCRIBE SHARDS: no .bin shards under $location — not a tokbin " +
           "artifact (or an empty/unswept directory)")
-      // sidecar coverage is a metadata check, not a data read: one
-      // exists() per shard (O(shards) driver-side RPCs — the listing
-      // above already cost the same)
-      val withDoc = files.count { f =>
-        val p = new org.apache.hadoop.fs.Path(f.stripSuffix(".bin") + ".doc")
-        p.getFileSystem(conf).exists(p)
-      }
+      // sidecar coverage is a metadata check, not a data read: ONE
+      // listStatus per parent directory (FilePruning — the r14 review
+      // killed the per-file exists() loop this replaces)
+      val docSet = graft.sources.FilePruning.lengthsByPath(files, conf)
+        .keySet.filter(_.endsWith(".doc"))
+      def hasDoc(f: String): Boolean =
+        docSet.contains(f.stripSuffix(".bin") + ".doc")
+      val withDoc = files.count(hasDoc)
       // pin the scan to the files listed ABOVE (not a re-listing at plan
       // time): on a growing directory the audit is then a consistent
       // point-in-time snapshot of one listing
@@ -1106,17 +1113,12 @@ class Context(val spark: SparkSession) {
       // files='true': the per-shard drill-down — one row per file, the
       // detail behind the summary's spread/skew (which shard IS the
       // straggler / the hole), still idx-only
-      if (opts.get("files").exists(_.trim.toBoolean)) {
+      if (wantFiles) {
         import spark.implicits._
         files.map { f =>
           val (seqs, toks, empty, maxSeq) =
             perShard.getOrElse(f, (0L, 0L, 0L, 0L))
-          val hasDoc = {
-            val dp = new org.apache.hadoop.fs.Path(
-              f.stripSuffix(".bin") + ".doc")
-            dp.getFileSystem(conf).exists(dp)
-          }
-          (f, seqs, toks, empty, maxSeq, hasDoc)
+          (f, seqs, toks, empty, maxSeq, hasDoc(f))
         }.toDF("file", "sequences", "tokens", "empty_sequences",
           "max_seq_tokens", "doc_sidecar")
       } else {
