@@ -1946,6 +1946,13 @@ class Context(val spark: SparkSession) {
     }
     val staging = new org.apache.hadoop.fs.Path(p,
       ".staging-" + java.util.UUID.randomUUID().toString)
+    // Create the staging dir eagerly: a successful zero-partition write
+    // (empty export) may never touch it, and the swap below would then
+    // delete every old file and crash on listStatus(staging) — destroying
+    // the old artifact with nothing to replace it (ADVICE r14). With the
+    // dir pre-created, an empty success swaps to an empty-but-valid
+    // artifact instead.
+    fs.mkdirs(staging)
     try runWrite(staging.toString)
     catch {
       case e: Throwable =>

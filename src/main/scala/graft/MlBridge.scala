@@ -201,7 +201,7 @@ object MlBridge {
     java.nio.file.Files.createDirectories(dir)
     pipeline.write.overwrite().save(dir.resolve("sparkml").toString)
     val uuid = java.util.UUID.nameUUIDFromBytes(
-      (modelClass + " " + location).getBytes("UTF-8"))
+      (modelClass + "\u0000" + location).getBytes("UTF-8"))
     val mlmodel =
       s"""artifact_path: model
          |flavors:

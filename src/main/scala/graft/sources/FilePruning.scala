@@ -16,6 +16,22 @@ import org.apache.spark.sql.sources._
   */
 object FilePruning {
 
+  /** Standard Hadoop hidden-name convention: '.'- and '_'-prefixed names
+    * are invisible to listers. Crucial for the staged writers: a Hadoop
+    * glob star DOES match dot-prefixed names, so a star-glob load over a
+    * directory with an in-flight staged EXPORT/COMPACT would otherwise
+    * descend into `.staging-<uuid>` and observe a partial artifact
+    * (ADVICE r14). */
+  def isHidden(name: String): Boolean =
+    name.startsWith(".") || name.startsWith("_")
+
+  /** True when `p` contains glob metacharacters — an exact (non-glob)
+    * path that names a hidden file is honored (recovery tooling may
+    * read a `.staging` member explicitly); only glob/directory
+    * EXPANSION skips hidden names. */
+  def isGlobPath(p: String): Boolean =
+    p.exists(c => "{}[]*?\\".indexOf(c.toInt) >= 0)
+
   def isFileFilter(f: Filter): Boolean = f match {
     case EqualTo("file", _: String) => true
     case In("file", _) => true

@@ -59,11 +59,14 @@ object TokBinRead {
     paths.flatMap { p =>
       val path = new Path(p)
       val fs = path.getFileSystem(conf)
+      val glob = FilePruning.isGlobPath(p)
       val matched = Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Seq())
+        .filterNot(st => glob && FilePruning.isHidden(st.getPath.getName))
       matched.flatMap { st =>
         if (st.isDirectory)
           fs.listStatus(st.getPath).toSeq
-            .filter(s => s.isFile && s.getPath.getName.endsWith(".bin"))
+            .filter(s => s.isFile && s.getPath.getName.endsWith(".bin") &&
+              !FilePruning.isHidden(s.getPath.getName))
             .map(_.getPath)
         else Seq(st.getPath)
       }

@@ -171,12 +171,15 @@ object Warc {
     paths.flatMap { p =>
       val path = new Path(p)
       val fs = path.getFileSystem(conf)
+      val glob = FilePruning.isGlobPath(p)
       val matched = Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Seq())
+        .filterNot(st => glob && FilePruning.isHidden(st.getPath.getName))
       matched.flatMap { st =>
         if (st.isDirectory)
           fs.listStatus(st.getPath).toSeq.filter(s => s.isFile && {
             val n = s.getPath.getName
-            n.endsWith(".warc") || n.endsWith(".warc.gz")
+            (n.endsWith(".warc") || n.endsWith(".warc.gz")) &&
+              !FilePruning.isHidden(n)
           }).map(_.getPath)
         else Seq(st.getPath)
       }
@@ -389,6 +392,12 @@ class WarcScan(paths: Seq[String], required: StructType,
   private lazy val prunedFiles: Seq[String] =
     FilePruning.prune(Warc.listFiles(paths, conf), fileFilters)
 
+  // lengths fetched once per Scan instance (mirrors TokBinScan) —
+  // repeated planner calls to estimateStatistics must not repeat
+  // driver listStatus RPCs over a large tree (ADVICE r14)
+  private lazy val fileLengths: Map[String, Long] =
+    FilePruning.lengthsByPath(prunedFiles, conf)
+
   override def planInputPartitions(): Array[InputPartition] =
     // one partition per (surviving) file — the natural WARC parallel
     // unit (gzip members are not splittable; crawls ship thousands of
@@ -407,7 +416,7 @@ class WarcScan(paths: Seq[String], required: StructType,
     * constant. */
   override def estimateStatistics():
       org.apache.spark.sql.connector.read.Statistics = {
-    val lens = FilePruning.lengthsByPath(prunedFiles, conf)
+    val lens = fileLengths
     val wantContent = required.fieldNames.contains("content")
     var bytes = 0L
     prunedFiles.foreach { f =>

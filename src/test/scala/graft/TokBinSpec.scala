@@ -858,4 +858,46 @@ class TokBinSpec extends AnyFunSuite {
     assert(!listAll(dir).exists(_.startsWith(".staging-")))
     Seq("tb_prev", "tb_poison", "tb_next").foreach(n => ctx.dropTable(n))
   }
+
+  test("staged overwrite by an EMPTY export swaps to an empty-but-valid artifact (r14 ADVICE: never delete-old-then-crash)") {
+    val ctx = new Context(spark)
+    ctx.createTable("tb_full15", Seq(Seq(1, 2), Seq(3)).toDF("seq_ids"))
+    val dir = tmpDir("emptyswap")
+    ctx.sql(s"EXPORT TABLE tb_full15 WITH (location = '$dir', format = 'tokbin')")
+    assert(readAllSeqs(dir) == Seq(Seq(1, 2), Seq(3)))
+    // an empty LocalRelation plans to a ZERO-partition RDD: runWrite
+    // succeeds without creating any file, so before the eager
+    // mkdirs(staging) fix the swap deleted every old shard and then
+    // crashed listing the absent staging dir — old artifact destroyed,
+    // nothing written
+    val empty = Seq.empty[Seq[Int]].toDF("seq_ids")
+    assert(empty.queryExecution.toRdd.getNumPartitions == 0,
+      "precondition: the repro needs a zero-partition write")
+    ctx.createTable("tb_empty15", empty)
+    ctx.sql(s"""EXPORT TABLE tb_empty15 WITH (location = '$dir',
+      |format = 'tokbin', mode = 'overwrite')""".stripMargin)
+    assert(readAllSeqs(dir) == Seq.empty,
+      "empty export must REPLACE the artifact (empty-but-valid)")
+    assert(!listAll(dir).exists(_.startsWith(".staging-")))
+    Seq("tb_full15", "tb_empty15").foreach(n => ctx.dropTable(n))
+  }
+
+  test("glob expansion skips hidden names: an in-flight .staging-* is invisible to load('dir/*'), exact paths still read it") {
+    val dir = tmpDir("glob")
+    fs(dir).mkdirs(new org.apache.hadoop.fs.Path(dir))
+    TokBin.write(Seq(Seq(1, 2)).toDF("seq_ids").coalesce(1), s"$dir/batch=1")
+    // an in-flight staged EXPORT: fully committed shards below a hidden
+    // dir — a Hadoop glob '*' DOES match dot-names, so without the
+    // hidden-name filter load(dir/*) observed the partial artifact
+    TokBin.write(Seq(Seq(9, 9, 9)).toDF("seq_ids").coalesce(1),
+      s"$dir/.staging-inflight")
+    val got = spark.read.format("tokbin").load(s"$dir/*")
+      .select("seq_ids").as[Seq[Int]].collect().toSeq
+    assert(got == Seq(Seq(1, 2)), "glob must not descend into .staging-*")
+    // recovery tooling names the hidden dir EXACTLY (no glob): honored
+    val explicit = spark.read.format("tokbin")
+      .load(s"$dir/.staging-inflight")
+      .select("seq_ids").as[Seq[Int]].collect().toSeq
+    assert(explicit == Seq(Seq(9, 9, 9)))
+  }
 }

@@ -496,4 +496,18 @@ class WarcSpec extends AnyFunSuite {
     assert(after == Seq("part-00000.warc"))
     assert(spark.read.format("warc").load(dir).count() == 3)
   }
+
+  test("glob expansion skips hidden names: an in-flight .staging-* is invisible to load('dir/*')") {
+    val root = tmpDir("glob")
+    Warc.write(sampleDf(2).coalesce(1), s"$root/crawl=1", gzip = false)
+    // committed archives below a hidden staging dir must stay invisible
+    // to glob listings until the swap (r14 ADVICE: '*' matches dot-names)
+    Warc.write(sampleDf(5).coalesce(1), s"$root/.staging-inflight",
+      gzip = false)
+    assert(spark.read.format("warc").load(s"$root/*").count() == 2,
+      "glob must not descend into .staging-*")
+    // exact (non-glob) hidden path still readable for recovery
+    assert(spark.read.format("warc")
+      .load(s"$root/.staging-inflight").count() == 5)
+  }
 }
