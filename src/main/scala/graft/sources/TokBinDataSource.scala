@@ -56,6 +56,12 @@ object TokBinRead {
     * each must have its `.idx` sidecar beside it (checked at read). */
   private[graft] def listFiles(paths: Seq[String],
       conf: Configuration): Seq[String] =
+    listFilesWithMtime(paths, conf).map(_._1)
+
+  /** Listing with modification times for the streaming tail's compacted
+    * (mtime, name) offsets (r15) — one pass, no extra RPCs. */
+  private[graft] def listFilesWithMtime(paths: Seq[String],
+      conf: Configuration): Seq[(String, Long)] =
     paths.flatMap { p =>
       val path = new Path(p)
       val fs = path.getFileSystem(conf)
@@ -67,10 +73,10 @@ object TokBinRead {
           fs.listStatus(st.getPath).toSeq
             .filter(s => s.isFile && s.getPath.getName.endsWith(".bin") &&
               !FilePruning.isHidden(s.getPath.getName))
-            .map(_.getPath)
-        else Seq(st.getPath)
+        else Seq(st)
       }
-    }.map(_.toString).sorted
+    }.map(st => (st.getPath.toString, st.getModificationTime))
+      .sortBy(_._1)
 }
 
 /** `format("tokbin")` entry point (registered via META-INF/services). */
@@ -101,10 +107,12 @@ class TokBinTable(properties: java.util.Map[String, String])
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new TokBinScanBuilder(paths)
+    new TokBinScanBuilder(paths, FileTailMicroBatchStream.parseLateness(
+      Option(options.get("lateness"))))
 }
 
-class TokBinScanBuilder(paths: Seq[String])
+class TokBinScanBuilder(paths: Seq[String],
+    latenessMs: Long = FileTailMicroBatchStream.DefaultLatenessMs)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: StructType = TokBinRead.schema
@@ -131,11 +139,13 @@ class TokBinScanBuilder(paths: Seq[String])
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
     fileFilters
 
-  override def build(): Scan = new TokBinScan(paths, required, fileFilters)
+  override def build(): Scan =
+    new TokBinScan(paths, required, fileFilters, latenessMs)
 }
 
 class TokBinScan(paths: Seq[String], required: StructType,
-    fileFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    fileFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+    latenessMs: Long = FileTailMicroBatchStream.DefaultLatenessMs)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
@@ -206,7 +216,7 @@ class TokBinScan(paths: Seq[String], required: StructType,
 
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new TokBinMicroBatchStream(paths, required)
+    new TokBinMicroBatchStream(paths, required, latenessMs)
 }
 
 /** Streaming tail of a GROWING shard directory (r13 verdict missing #3) —
@@ -219,14 +229,18 @@ class TokBinScan(paths: Seq[String], required: StructType,
   * producer grows: token counts, id histograms, boundary checks as shards
   * land, without re-reading the accumulated corpus each time.
   *
-  * The [[WarcMicroBatchStream]] pattern verbatim, including its
-  * full-file-list offset trade-off (disclosed there). Shard arrival is
-  * ATOMIC by construction: [[ShardCommit]] renames the discovery `.bin`
-  * into place LAST, after `.idx`/`.doc`, so a listed shard always has its
-  * sidecars — no partially-written file can ever be claimed. */
-class TokBinMicroBatchStream(paths: Seq[String], required: StructType)
-    extends FileTailMicroBatchStream {
-  protected def listNow(): Seq[String] = TokBinRead.listFiles(paths, conf)
+  * The [[WarcMicroBatchStream]] pattern verbatim, on the shared
+  * compacted-offset engine ([[FileTailMicroBatchStream]]: constant
+  * offset size w.r.t. history, `lateness=` backfill horizon). Shard
+  * arrival is ATOMIC by construction: [[ShardCommit]] renames the
+  * discovery `.bin` into place LAST, after `.idx`/`.doc`, so a listed
+  * shard always has its sidecars — no partially-written file can ever
+  * be claimed. */
+class TokBinMicroBatchStream(paths: Seq[String], required: StructType,
+    latenessMs: Long = FileTailMicroBatchStream.DefaultLatenessMs)
+    extends FileTailMicroBatchStream(latenessMs) {
+  protected def listNow(): Seq[(String, Long)] =
+    TokBinRead.listFilesWithMtime(paths, conf)
   protected def mkPartition(file: String): InputPartition =
     TokBinInputPartition(file)
   override def createReaderFactory(): PartitionReaderFactory =

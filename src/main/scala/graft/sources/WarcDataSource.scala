@@ -168,6 +168,14 @@ object Warc {
     * *.warc / *.warc.gz) — shared by the batch scan and the streaming
     * source so both see the same universe. */
   private[sources] def listFiles(paths: Seq[String], conf: Configuration): Seq[String] =
+    listFilesWithMtime(paths, conf).map(_._1)
+
+  /** Same listing with each file's modification time — the streaming
+    * tail's compacted offsets (r15) are keyed on (mtime, name), so the
+    * lister surfaces the mtime it already fetched instead of a second
+    * round of RPCs. */
+  private[sources] def listFilesWithMtime(paths: Seq[String],
+      conf: Configuration): Seq[(String, Long)] =
     paths.flatMap { p =>
       val path = new Path(p)
       val fs = path.getFileSystem(conf)
@@ -180,10 +188,11 @@ object Warc {
             val n = s.getPath.getName
             (n.endsWith(".warc") || n.endsWith(".warc.gz")) &&
               !FilePruning.isHidden(n)
-          }).map(_.getPath)
-        else Seq(st.getPath)
+          })
+        else Seq(st)
       }
-    }.map(_.toString).sorted
+    }.map(st => (st.getPath.toString, st.getModificationTime))
+      .sortBy(_._1)
 
   /** Open a (possibly .gz multi-member) file as a decompressed stream. */
   private[sources] def open(path: String, conf: Configuration): java.io.InputStream = {
@@ -344,10 +353,12 @@ class WarcTable(properties: java.util.Map[String, String])
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new WarcScanBuilder(paths)
+    new WarcScanBuilder(paths, FileTailMicroBatchStream.parseLateness(
+      Option(options.get("lateness"))))
 }
 
-class WarcScanBuilder(paths: Seq[String])
+class WarcScanBuilder(paths: Seq[String],
+    latenessMs: Long = FileTailMicroBatchStream.DefaultLatenessMs)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: StructType = Warc.schema
@@ -371,11 +382,13 @@ class WarcScanBuilder(paths: Seq[String])
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
     fileFilters
 
-  override def build(): Scan = new WarcScan(paths, required, fileFilters)
+  override def build(): Scan =
+    new WarcScan(paths, required, fileFilters, latenessMs)
 }
 
 class WarcScan(paths: Seq[String], required: StructType,
-    fileFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    fileFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+    latenessMs: Long = FileTailMicroBatchStream.DefaultLatenessMs)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
@@ -442,26 +455,26 @@ class WarcScan(paths: Seq[String], required: StructType,
 
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new WarcMicroBatchStream(paths, required)
+    new WarcMicroBatchStream(paths, required, latenessMs)
 }
 
 /** Streaming WARC ingest — `spark.readStream.format("warc").load(dir)`
   * tails a crawl drop directory: each micro-batch processes exactly the
   * files that appeared since the last batch, one InputPartition per new
   * file (the batch reader reused verbatim — streaming and batch rows are
-  * identical by construction). Offsets carry the full sorted file list,
-  * so restart-from-checkpoint replans pending files with no source-side
-  * state at all; files must be dropped ATOMICALLY (write elsewhere,
-  * rename in — the crawl-drop convention) since a file is claimed the
-  * moment it lists. SCALE NOTE, disclosed: the full-list offset is the
-  * simplest correct scheme and bounds at crawl size (64k files ≈ a few
-  * MB of offset JSON per batch in the checkpoint log); a production
-  * tail of an unbounded archive would swap in a compacted seen-file log
-  * (Spark's FileStreamSource approach) behind the same planInputPartitions
-  * diff. */
-class WarcMicroBatchStream(paths: Seq[String], required: StructType)
-    extends FileTailMicroBatchStream {
-  protected def listNow(): Seq[String] = Warc.listFiles(paths, conf)
+  * identical by construction). Offsets are the compacted
+  * (cutoff, window) form — see [[FileTailMicroBatchStream]]: constant
+  * size w.r.t. history, restart-from-checkpoint replans pending files
+  * with no source-side state; files must be dropped ATOMICALLY (write
+  * elsewhere, rename in — the crawl-drop convention) since a file is
+  * claimed the moment it lists, and backfills older than the
+  * `lateness=` horizon (default 1h; 'max' = keep every name) are
+  * ignored as stale. */
+class WarcMicroBatchStream(paths: Seq[String], required: StructType,
+    latenessMs: Long = FileTailMicroBatchStream.DefaultLatenessMs)
+    extends FileTailMicroBatchStream(latenessMs) {
+  protected def listNow(): Seq[(String, Long)] =
+    Warc.listFilesWithMtime(paths, conf)
   protected def mkPartition(file: String): InputPartition =
     WarcInputPartition(file)
   override def createReaderFactory(): PartitionReaderFactory =
@@ -471,40 +484,165 @@ class WarcMicroBatchStream(paths: Seq[String], required: StructType)
 
 /** The shared tail-a-directory micro-batch engine behind the WARC and
   * tokbin streaming sources (r14 review: the two were line-for-line
-  * copies — offset semantics and any future fix, e.g. offset
-  * compaction, must not drift apart). Offsets carry the full sorted
-  * file list ([[WarcOffset]], trade-off disclosed at
-  * [[WarcMicroBatchStream]]); each batch plans exactly the files that
-  * appeared since the last one. */
-abstract class FileTailMicroBatchStream
+  * copies — offset semantics must not drift apart).
+  *
+  * COMPACTED OFFSETS (r15, replacing r14's full-file-list model whose
+  * checkpoint size and per-trigger diff were O(total files ever seen) —
+  * the one designed-in scale ceiling on a continuous-pretraining tail).
+  * An offset is a monotone mtime `cutoff` plus the explicit
+  * (name, mtime) window at-or-after it ([[TailOffset]]):
+  *
+  *   seen(offset) = { f : mtime(f) < cutoff } ∪ window-names
+  *
+  * `latestOffset` advances the cutoff to (max mtime − lateness), but
+  * NEVER past a file it has not yet claimed — a cold start over an old
+  * forest keeps cutoff at the oldest unseen mtime so the first batch
+  * delivers everything, exactly like the batch read. Files age out of
+  * the explicit window (and the checkpoint) once the cutoff passes
+  * them, so offset size is bounded by the arrival volume within one
+  * lateness horizon of the NEWEST file — constant w.r.t. history, and
+  * independent of wall clock (nothing expires while no new files land).
+  *
+  * Contract (disclosed): drops must be atomic renames of immutable
+  * files (the crawl-drop convention — a claimed file is never
+  * rewritten), and a file that lands with an mtime more than
+  * `lateness` older than the newest mtime already seen is judged a
+  * stale backfill and ignored (`lateness=` reader option, default
+  * 1 hour; `lateness='max'` restores the keep-every-name model for
+  * forests fed by out-of-order backfill). planInputPartitions is pure
+  * over the two offsets — restart-from-checkpoint replans the exact
+  * pending set with no source-side state. */
+abstract class FileTailMicroBatchStream(latenessMs: Long)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
-  /** Current universe of files (sorted). */
-  protected def listNow(): Seq[String]
+  /** Current universe of (file, mtime), sorted by path. */
+  protected def listNow(): Seq[(String, Long)]
   protected def mkPartition(file: String): InputPartition
 
   protected final def conf: org.apache.hadoop.conf.Configuration =
     org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
 
-  override def initialOffset(): Offset = WarcOffset(Seq.empty)
-  override def latestOffset(): Offset = WarcOffset(listNow())
-  override def deserializeOffset(json: String): Offset =
-    WarcOffset(WarcOffset.parse(json))
+  // the last offset this instance emitted (or restored): new cutoffs
+  // must only advance past files IT already claimed. Restart resets the
+  // var; deserializeOffset re-seeds it from the checkpoint so the
+  // window does not churn back open.
+  private var prev: TailOffset = TailOffset(Long.MinValue, Seq.empty)
+
+  /** `a - b` saturating at Long.MinValue (lateness='max' ⇒ cutoff never
+    * advances ⇒ every name stays explicit — the legacy model). */
+  private def satSub(a: Long, b: Long): Long = {
+    val r = a - b
+    if (b >= 0 && r > a) Long.MinValue else r
+  }
+
+  override def initialOffset(): Offset = TailOffset(Long.MinValue, Seq.empty)
+
+  override def latestOffset(): Offset = {
+    val listed = listNow()
+    if (listed.isEmpty) return prev
+    val seenNames = prev.names
+    val unseen = listed.filter { case (n, m) =>
+      m >= prev.cutoff && !seenNames.contains(n)
+    }
+    val desired = satSub(listed.iterator.map(_._2).max, latenessMs)
+    val cut = math.max(prev.cutoff,
+      if (unseen.isEmpty) desired
+      else math.min(desired, unseen.iterator.map(_._2).min))
+    val next = TailOffset(cut, listed.filter(_._2 >= cut))
+    prev = next
+    next
+  }
+
+  override def deserializeOffset(json: String): Offset = {
+    val o = TailOffset.parse(json)
+    if (o.cutoff > prev.cutoff) prev = o
+    o
+  }
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val seen = start.asInstanceOf[WarcOffset].files.toSet
-    end.asInstanceOf[WarcOffset].files.filterNot(seen)
-      .map(mkPartition).toArray
+    val s = start.asInstanceOf[TailOffset]
+    val sNames = s.names
+    end.asInstanceOf[TailOffset].files
+      .collect { case (n, m) if m >= s.cutoff && !sNames.contains(n) => n }
+      .sorted.map(mkPartition).toArray
   }
 }
 
-case class WarcOffset(files: Seq[String])
+object FileTailMicroBatchStream {
+  val DefaultLatenessMs: Long = 3600L * 1000 // 1 hour
+
+  /** `lateness=` reader option: plain milliseconds, an s/m/h/d-suffixed
+    * duration, or 'max' (keep every name explicit forever). */
+  def parseLateness(v: Option[String]): Long = v.map(_.trim) match {
+    case None | Some("") => DefaultLatenessMs
+    case Some("max") => Long.MaxValue
+    case Some(s) =>
+      val (num, mult) = s.last match {
+        case 'd' => (s.dropRight(1), 86400000L)
+        case 'h' => (s.dropRight(1), 3600000L)
+        case 'm' => (s.dropRight(1), 60000L)
+        case 's' => (s.dropRight(1), 1000L)
+        case _ => (s, 1L)
+      }
+      val n = try num.trim.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"lateness='$s': expected milliseconds, an s/m/h/d duration, or 'max'")
+      }
+      require(n >= 0, s"lateness='$s' must be non-negative")
+      if (mult != 1L && n > Long.MaxValue / mult) Long.MaxValue else n * mult
+  }
+}
+
+/** Compacted streaming offset: files with mtime < `cutoff` are
+  * implied-seen; `files` is the explicit (name, mtime) window at-or-after
+  * it. JSON is `{"v":2,"cutoff":…,"files":[[name,mtime],…]}`; a bare
+  * JSON string array (the r14 full-list format) still parses, as an
+  * offset with nothing implied — checkpoints written by the old model
+  * restart cleanly. */
+case class TailOffset(cutoff: Long, files: Seq[(String, Long)])
     extends org.apache.spark.sql.connector.read.streaming.Offset {
-  override def json(): String =
-    WarcOffset.mapper.writeValueAsString(files.sorted.toArray)
+  def names: Set[String] = files.iterator.map(_._1).toSet
+  override def json(): String = {
+    val root = WarcOffset.mapper.createObjectNode()
+    root.put("v", 2)
+    root.put("cutoff", cutoff)
+    val arr = root.putArray("files")
+    files.sortBy(f => (f._1, f._2)).foreach { case (n, m) =>
+      val e = arr.addArray(); e.add(n); e.add(m)
+    }
+    WarcOffset.mapper.writeValueAsString(root)
+  }
+}
+
+object TailOffset {
+  private[graft] def parse(json: String): TailOffset = {
+    val node = WarcOffset.mapper.readTree(json)
+    if (node == null) TailOffset(Long.MinValue, Seq.empty)
+    else if (node.isArray) // legacy r14 full-list offset: names only,
+      // nothing implied — mtimes unknown, marked MaxValue so a legacy
+      // END offset (a restart replaying a pre-upgrade pending batch)
+      // diffs purely by name against any start cutoff
+      TailOffset(Long.MinValue,
+        WarcOffset.parseStringArray(json).map((_, Long.MaxValue)))
+    else {
+      val cut = if (node.hasNonNull("cutoff")) node.get("cutoff").asLong()
+        else Long.MinValue
+      val out = Seq.newBuilder[(String, Long)]
+      val fs = node.get("files")
+      if (fs != null && fs.isArray) {
+        val it = fs.elements()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.isArray && e.size() >= 2 && e.get(0).isTextual)
+            out += ((e.get(0).asText(), e.get(1).asLong()))
+        }
+      }
+      TailOffset(cut, out.result())
+    }
+  }
 }
 
 object WarcOffset {
@@ -527,8 +665,6 @@ object WarcOffset {
       out.result()
     }
   }
-
-  private[graft] def parse(json: String): Seq[String] = parseStringArray(json)
 }
 
 case class WarcInputPartition(file: String) extends InputPartition

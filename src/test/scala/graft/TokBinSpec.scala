@@ -882,6 +882,128 @@ class TokBinSpec extends AnyFunSuite {
     Seq("tb_full15", "tb_empty15").foreach(n => ctx.dropTable(n))
   }
 
+  test("compacted streaming offsets: constant size over 120 micro-batches, exactly-once, restart replans from JSON alone (r15)") {
+    import graft.sources.{TokBinMicroBatchStream, TailOffset}
+    val watch = tmpDir("compact_off")
+    val f = fs(watch)
+    f.mkdirs(new org.apache.hadoop.fs.Path(watch))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = 1700000000000L // fixed epoch-ms base: mtimes are SET, not
+                              // wall clock, so the spec is deterministic
+    def drop(k: Int): String = {
+      TokBin.writeShardPartition(rowsOf(Seq(Seq(k))), watch, k,
+        s"o-$k", conf, wantDoc = false)
+      val name = f"part-$k%05d.bin"
+      f.setTimes(new org.apache.hadoop.fs.Path(watch, name),
+        base + k * 10000L, -1) // 10 s apart
+      name
+    }
+    // lateness = 15 s: the explicit window can hold at most the newest
+    // ~2 files — anything older is implied by the cutoff
+    val stream = new TokBinMicroBatchStream(Seq(watch), null, 15000L)
+    var committed = stream.initialOffset().asInstanceOf[TailOffset]
+    var delivered = Vector.empty[String]
+    var maxJson = 0
+    for (k <- 1 to 120) {
+      val name = drop(k)
+      val end = stream.latestOffset().asInstanceOf[TailOffset]
+      val batch = stream.planInputPartitions(committed, end)
+        .map(_.asInstanceOf[graft.sources.TokBinInputPartition].file)
+      assert(batch.map(n => n.substring(n.lastIndexOf('/') + 1)).toSeq ==
+        Seq(name), s"batch $k must deliver exactly the new shard")
+      delivered ++= batch
+      if (k > 5) maxJson = math.max(maxJson, end.json().length)
+      committed = end
+    }
+    assert(delivered.size == 120 && delivered.distinct.size == 120,
+      "every shard delivered exactly once")
+    // CONSTANT w.r.t. history: after 120 batches the offset carries the
+    // cutoff plus ≤2 window entries — nowhere near 120 names
+    assert(committed.files.size <= 2,
+      s"window must stay bounded, got ${committed.files.size} entries")
+    assert(maxJson < 400,
+      s"offset JSON must stay constant-size, got $maxJson bytes")
+    // RESTART purely from checkpointed JSON: a fresh instance replans
+    // the pending diff with no source-side state
+    val stream2 = new TokBinMicroBatchStream(Seq(watch), null, 15000L)
+    val restored = stream2.deserializeOffset(committed.json())
+    val name121 = drop(121)
+    val end2 = stream2.latestOffset()
+    val batch2 = stream2.planInputPartitions(restored, end2)
+      .map(_.asInstanceOf[graft.sources.TokBinInputPartition].file)
+    assert(batch2.map(n => n.substring(n.lastIndexOf('/') + 1)).toSeq ==
+      Seq(name121), "restart must deliver only the shard that landed while down")
+    // LATE BACKFILL beyond the horizon: an mtime far older than the
+    // cutoff is judged a stale backfill and never planned (disclosed
+    // contract; lateness='max' below keeps such forests correct)
+    TokBin.writeShardPartition(rowsOf(Seq(Seq(999))), watch, 999,
+      "o-late", conf, wantDoc = false)
+    f.setTimes(new org.apache.hadoop.fs.Path(watch, "part-00999.bin"),
+      base, -1) // 20 min older than the newest
+    val end3 = stream2.latestOffset()
+    val batch3 = stream2.planInputPartitions(end2, end3)
+    assert(batch3.isEmpty, "beyond-horizon backfill must be ignored")
+  }
+
+  test("compacted offsets: cold start over an OLD forest (mtimes far apart) still delivers everything; lateness='max' keeps every name (r15)") {
+    import graft.sources.{TokBinMicroBatchStream, TailOffset}
+    val watch = tmpDir("cold_off")
+    val f = fs(watch)
+    f.mkdirs(new org.apache.hadoop.fs.Path(watch))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = 1600000000000L
+    for (k <- 1 to 8) { // 8 shards spread over 8 DAYS — all far beyond
+                        // the 15 s horizon of each other
+      TokBin.writeShardPartition(rowsOf(Seq(Seq(k))), watch, k,
+        s"c-$k", conf, wantDoc = false)
+      f.setTimes(new org.apache.hadoop.fs.Path(watch, f"part-$k%05d.bin"),
+        base + k * 86400000L, -1)
+    }
+    val stream = new TokBinMicroBatchStream(Seq(watch), null, 15000L)
+    val end = stream.latestOffset().asInstanceOf[TailOffset]
+    val batch = stream.planInputPartitions(stream.initialOffset(), end)
+    assert(batch.length == 8,
+      "the first batch must deliver the WHOLE pre-existing forest — the " +
+        "cutoff may only advance past files already claimed")
+    // after the first claim, the cutoff compacts the old names away
+    val after = stream.latestOffset().asInstanceOf[TailOffset]
+    assert(after.files.size <= 1, s"window must compact, got ${after.files}")
+    // lateness='max': cutoff never advances, every name stays explicit —
+    // the r14 model for forests fed by arbitrarily-late backfill
+    val streamMax = new TokBinMicroBatchStream(Seq(watch), null, Long.MaxValue)
+    val endMax = streamMax.latestOffset().asInstanceOf[TailOffset]
+    assert(endMax.cutoff < 0 && endMax.files.size == 8,
+      "lateness='max' must keep the cutoff below every real mtime")
+    // legacy r14 checkpoint (bare name array) restarts exactly-once:
+    // names are explicit-seen, only the truly-new shard plans. Built
+    // from the lister's own path strings — the exact form r14 wrote.
+    val legacyJson = "[" +
+      graft.sources.TokBinRead.listFiles(Seq(watch), conf).map(p =>
+        com.fasterxml.jackson.databind.node.JsonNodeFactory.instance
+          .textNode(p).toString).mkString(",") + "]"
+    val legacy = streamMax.deserializeOffset(legacyJson)
+    TokBin.writeShardPartition(rowsOf(Seq(Seq(9))), watch, 9,
+      "c-9", conf, wantDoc = false)
+    val end9 = streamMax.latestOffset()
+    val batch9 = streamMax.planInputPartitions(legacy, end9)
+      .map(_.asInstanceOf[graft.sources.TokBinInputPartition].file)
+    assert(batch9.length == 1 && batch9.head.endsWith("part-00009.bin"),
+      s"legacy checkpoint must resume exactly-once, got ${batch9.toSeq}")
+  }
+
+  test("lateness= option parses durations and rejects garbage (r15)") {
+    import graft.sources.FileTailMicroBatchStream.parseLateness
+    assert(parseLateness(None) == 3600000L)
+    assert(parseLateness(Some("2500")) == 2500L)
+    assert(parseLateness(Some("45s")) == 45000L)
+    assert(parseLateness(Some("10m")) == 600000L)
+    assert(parseLateness(Some("2h")) == 7200000L)
+    assert(parseLateness(Some("7d")) == 604800000L)
+    assert(parseLateness(Some("max")) == Long.MaxValue)
+    intercept[IllegalArgumentException] { parseLateness(Some("soon")) }
+    intercept[IllegalArgumentException] { parseLateness(Some("-5s")) }
+  }
+
   test("glob expansion skips hidden names: an in-flight .staging-* is invisible to load('dir/*'), exact paths still read it") {
     val dir = tmpDir("glob")
     fs(dir).mkdirs(new org.apache.hadoop.fs.Path(dir))

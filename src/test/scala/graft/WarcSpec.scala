@@ -425,9 +425,17 @@ class WarcSpec extends AnyFunSuite {
     // mis-split case called out in review)
     val nasty = Seq("""/a/b,c/f.warc""", """/x/has"quote.warc""",
       """/y/back\slash.warc""", """/z/tricky","comma.warc""")
-    val rt = graft.sources.WarcOffset.parse(
-      graft.sources.WarcOffset(nasty).json())
-    assert(rt.toSet == nasty.toSet)
+    val off = graft.sources.TailOffset(42L,
+      nasty.zipWithIndex.map { case (n, i) => (n, 100L + i) })
+    val rt = graft.sources.TailOffset.parse(off.json())
+    assert(rt.cutoff == 42L && rt.files.toSet == off.files.toSet)
+    // legacy r14 full-list checkpoints (bare JSON string array) still
+    // parse: names explicit, nothing implied-seen
+    val legacyJson = "[" + nasty.map(n =>
+      com.fasterxml.jackson.databind.node.JsonNodeFactory.instance
+        .textNode(n).toString).mkString(",") + "]"
+    val lg = graft.sources.TailOffset.parse(legacyJson)
+    assert(lg.cutoff == Long.MinValue && lg.names == nasty.toSet)
   }
 
   test("file pushdown prunes whole archives (proven by deleting the others); size stats from metadata (r14)") {
