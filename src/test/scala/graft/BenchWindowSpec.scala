@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench's noisy-window self-adjudication (r15): the published JSON
+  * must stamp `noisy_window` + `sentinel_ratio` so ambient host noise is
+  * adjudicated inside the artifact, not by PLANS archaeology. */
+class BenchWindowSpec extends AnyFunSuite {
+
+  test("quiet reference resolution: env override > recorded default > run minimum") {
+    // env wins
+    assert(BenchWindow.quietRef("sf0.1", Some("0.25"), 0.05) == 0.25)
+    // recorded quiet default for the driver's config
+    assert(BenchWindow.quietRef("sf0.1", None, 0.05) == 0.109)
+    // unknown config: the run's own minimum sample
+    assert(BenchWindow.quietRef("sf0.007", None, 0.08) == 0.08)
+    // blank env is absent, not zero
+    assert(BenchWindow.quietRef("sf0.1", Some("  "), 0.05) == 0.109)
+  }
+
+  test("adjudicate: quiet windows pass, the documented 1.2-1.6x steal pattern trips, floors guard sub-jitter") {
+    // quiet: ratio ~1, no flag
+    val (r1, n1) = BenchWindow.adjudicate(0.11, 0.109)
+    assert(!n1 && r1 > 0.9 && r1 < 1.1)
+    // the r13/r14 ambient pattern: median 0.14-0.16 vs 0.109 quiet
+    val (r2, n2) = BenchWindow.adjudicate(0.154, 0.109)
+    assert(n2 && r2 > 1.4)
+    // materiality floor: a 1.3x ratio on a 20 ms reference is timer
+    // jitter, not a steal window
+    val (_, n3) = BenchWindow.adjudicate(0.026, 0.02)
+    assert(!n3)
+    // degenerate references never divide by zero or flag
+    assert(BenchWindow.adjudicate(0.5, 0.0) == ((1.0, false)))
+    assert(BenchWindow.adjudicate(0.0, 0.1) == ((1.0, false)))
+  }
+
+  test("artificial CPU load trips the noisy flag on real timings") {
+    // a fixed CPU-bound sentinel (~40-80 ms quiet), timed the way Bench
+    // times its sentinel: median of repeated runs
+    def work(): Double = {
+      val t0 = System.nanoTime()
+      var s = 0L; var i = 0
+      while (i < 40000000) { s += i.toLong * 2654435761L; i += 1 }
+      if (s == 42L) System.err.print("") // keep the loop un-eliminable
+      (System.nanoTime() - t0) / 1e9
+    }
+    (1 to 3).foreach(_ => work()) // JIT warm-up outside both windows
+    def median(n: Int): Double = {
+      val v = (1 to n).map(_ => work()).sorted; v(n / 2)
+    }
+    val quiet = median(9)
+    // 3x CPU oversubscription = the steal pattern, artificially: every
+    // core contended, the sentinel's thread timeshared
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val threads = (1 to Runtime.getRuntime.availableProcessors * 3).map {
+      _ =>
+        val t = new Thread(() => {
+          var x = 1L
+          while (!stop.get())
+            x = x * 6364136223846793005L + 1442695040888963407L
+          if (x == 0L) System.err.print("")
+        })
+        t.setDaemon(true); t.start(); t
+    }
+    val noisy = try median(9)
+    finally { stop.set(true); threads.foreach(_.join(2000)) }
+    val (ratio, flag) = BenchWindow.adjudicate(noisy, quiet)
+    assert(flag,
+      s"3x oversubscription must trip the flag: quiet=$quiet noisy=$noisy ratio=$ratio")
+  }
+}
