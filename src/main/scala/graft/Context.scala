@@ -1087,15 +1087,28 @@ class Context(val spark: SparkSession) {
       // sidecar coverage is a metadata check, not a data read: ONE
       // listStatus per parent directory (FilePruning — the r14 review
       // killed the per-file exists() loop this replaces)
-      val docSet = graft.sources.FilePruning.lengthsByPath(files, conf)
-        .keySet.filter(_.endsWith(".doc"))
+      val lengths = graft.sources.FilePruning.lengthsByPath(files, conf)
+      val docSet = lengths.keySet.filter(_.endsWith(".doc"))
       def hasDoc(f: String): Boolean =
         docSet.contains(f.stripSuffix(".bin") + ".doc")
       val withDoc = files.count(hasDoc)
+      // integrity pre-pass (r15, r14 verdict #3) — ZERO extra I/O, pure
+      // arithmetic over the listing lengths already fetched: a shard
+      // whose .idx is absent or not a whole number of 16-byte records
+      // is excluded from the scan (the reader would refuse it mid-job)
+      // and REPORTED instead of crashing the audit
+      def preIssue(f: String): Option[String] =
+        lengths.get(f.stripSuffix(".bin") + ".idx") match {
+          case None => Some("missing_idx")
+          case Some(l) if l % 16 != 0 => Some("idx_misaligned")
+          case _ => None
+        }
+      val preIssues = files.flatMap(f => preIssue(f).map(f -> _)).toMap
+      val scanFiles = files.filterNot(preIssues.contains)
       // pin the scan to the files listed ABOVE (not a re-listing at plan
       // time): on a growing directory the audit is then a consistent
       // point-in-time snapshot of one listing
-      val scan = spark.read.format("tokbin").load(files: _*)
+      lazy val scan = spark.read.format("tokbin").load(scanFiles: _*)
       // idx-only projection (file, n_tokens): per-shard partials combine
       // map-side; the collected result is one row per NON-EMPTY shard
       // (bounded by the shard count — same order as the listing above).
@@ -1103,13 +1116,31 @@ class Context(val spark: SparkSession) {
       // file list fills them in as 0-token shards — otherwise the audit
       // would overreport min_shard_tokens and underreport skew, the
       // exact stragglers/holes it exists to expose (r14 review).
-      val perShard = scan.groupBy(col("file")).agg(
+      val perShard = if (scanFiles.isEmpty) Map.empty[String,
+        (Long, Long, Long, Long)]
+      else scan.groupBy(col("file")).agg(
         count(lit(1)).as("_seqs"),
         sum(col("n_tokens")).as("_toks"),
         sum(when(col("n_tokens") === 0, 1L).otherwise(0L)).as("_empty"),
         max(col("n_tokens")).as("_maxseq"))
         .collect().map(r => r.getString(0) ->
           ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      // integrity cross-check (r15): the .idx sidecar says the shard has
+      // N tokens, so the .bin must be exactly 4*N bytes — a truncated or
+      // padded .bin passes the idx-only audit silently (the summary
+      // never opens it) but would corrupt a training run. The listing
+      // already carries the byte size, so the check is free.
+      def issueOf(f: String): Option[String] =
+        preIssues.get(f).orElse {
+          val toks = perShard.get(f).map(_._2).getOrElse(0L)
+          lengths.get(f) match {
+            case Some(bytes) if bytes == 4L * toks => None
+            case Some(bytes) => Some(
+              s"bin_bytes_mismatch(expected=${4L * toks},actual=$bytes)")
+            case None => Some("missing_bin")
+          }
+        }
+      lazy val inconsistent = files.count(f => issueOf(f).isDefined)
       // files='true': the per-shard drill-down — one row per file, the
       // detail behind the summary's spread/skew (which shard IS the
       // straggler / the hole), still idx-only
@@ -1118,9 +1149,10 @@ class Context(val spark: SparkSession) {
         files.map { f =>
           val (seqs, toks, empty, maxSeq) =
             perShard.getOrElse(f, (0L, 0L, 0L, 0L))
-          (f, seqs, toks, empty, maxSeq, hasDoc(f))
+          (f, seqs, toks, empty, maxSeq, hasDoc(f),
+            issueOf(f).getOrElse("ok"))
         }.toDF("file", "sequences", "tokens", "empty_sequences",
-          "max_seq_tokens", "doc_sidecar")
+          "max_seq_tokens", "doc_sidecar", "integrity")
       } else {
       // summary form: all aggregates off the same single idx-only pass
       val shardStats = files.map(f =>
@@ -1149,7 +1181,12 @@ class Context(val spark: SparkSession) {
         "doc_sidecar_shards" -> withDoc.toString,
         "doc_sidecar_coverage" ->
           (if (withDoc == files.size) "full"
-           else if (withDoc == 0) "none" else "partial"))
+           else if (withDoc == 0) "none" else "partial"),
+        // free cross-check off the same listing: .idx record alignment
+        // and 4*sum(n_tokens) == .bin bytes per shard — 0 on a healthy
+        // tree; a non-zero count is the "do not mount this" signal
+        // (files='true' names the shard and the reason)
+        "inconsistent_shards" -> inconsistent.toString)
       val vocabPart = opts.get("vocab").map { vname =>
         val vocab = lookupTable(vname.trim)
         require(vocab.columns.contains("piece") && vocab.columns.contains("id"),

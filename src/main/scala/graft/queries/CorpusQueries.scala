@@ -3297,7 +3297,8 @@ object CorpusQueries {
         UNION ALL SELECT 'max_shard_tokens',
           CAST(CAST(sum(n_tokens) AS BIGINT) AS VARCHAR) FROM g
         UNION ALL SELECT 'doc_sidecar_shards', '1'
-        UNION ALL SELECT 'doc_sidecar_coverage', 'full')
+        UNION ALL SELECT 'doc_sidecar_coverage', 'full'
+        UNION ALL SELECT 'inconsistent_shards', '0')
       ORDER BY metric""")) { (s, d) =>
       val docs = t(s, d, "documents").select(col("doc_id"), col("source"),
         transform(filter(split(lower(col("text")), " "), x => x =!= ""),
