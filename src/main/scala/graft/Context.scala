@@ -1080,7 +1080,13 @@ class Context(val spark: SparkSession) {
         "DESCRIBE SHARDS: files='true' is the per-shard drill-down " +
           "(one row per file); vocab= belongs to the summary form")
       val conf = spark.sparkContext.hadoopConfiguration
-      val files = graft.sources.TokBinRead.listFiles(Seq(location), conf)
+      // the FILE SET comes from the manifest when present (the committed
+      // snapshot a trainer would mount); byte sizes for the integrity
+      // cross-check below stay REAL (lengthsByPath) — an audit must
+      // catch post-write truncation, which recorded sizes cannot (r15)
+      val files = graft.sources.ShardManifest
+        .forPaths(Seq(location), conf).map(_._1)
+        .getOrElse(graft.sources.TokBinRead.listFiles(Seq(location), conf))
       require(files.nonEmpty,
         s"DESCRIBE SHARDS: no .bin shards under $location — not a tokbin " +
           "artifact (or an empty/unswept directory)")
@@ -1999,17 +2005,27 @@ class Context(val spark: SparkSession) {
         try fs.delete(staging, true) catch { case _: Throwable => () }
         throw e
     }
-    fs.listStatus(p).foreach { st =>
-      if (st.getPath.getName != staging.getName)
-        fs.delete(st.getPath, true)
-    }
-    fs.listStatus(staging).foreach { st =>
-      if (!fs.rename(st.getPath,
-          new org.apache.hadoop.fs.Path(p, st.getPath.getName)))
-        throw new java.io.IOException(
-          s"$what: failed to move staged ${st.getPath} into $location — " +
-            s"new artifact left in $staging")
-    }
+    // swap ordering around the manifest (r15): delete the OLD manifest
+    // before any old shard (a reader racing the swap must never see a
+    // manifest naming deleted files — it falls back to listing), and
+    // rename the NEW manifest up last (it only becomes visible once
+    // every file it names is in place)
+    val manifestName = graft.sources.ShardManifest.Name
+    fs.listStatus(p).toSeq
+      .sortBy(st => if (st.getPath.getName == manifestName) 0 else 1)
+      .foreach { st =>
+        if (st.getPath.getName != staging.getName)
+          fs.delete(st.getPath, true)
+      }
+    fs.listStatus(staging).toSeq
+      .sortBy(st => if (st.getPath.getName == manifestName) 1 else 0)
+      .foreach { st =>
+        if (!fs.rename(st.getPath,
+            new org.apache.hadoop.fs.Path(p, st.getPath.getName)))
+          throw new java.io.IOException(
+            s"$what: failed to move staged ${st.getPath} into $location — " +
+              s"new artifact left in $staging")
+      }
     fs.delete(staging, true)
   }
 

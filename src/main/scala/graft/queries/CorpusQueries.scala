@@ -3379,5 +3379,67 @@ object CorpusQueries {
             transform(col("doc_lens"), l => l.cast("string"))).as("doc_lens"))
         .orderBy("ids", "doc_lens", "n_tokens")
     },
+
+    // Shard-tree manifest (r15): a completed export writes _MANIFEST.json
+    // last; DESCRIBE SHARDS (and scans/COMPACT) consume it instead of
+    // listing the directory. Oracle-gated BOTH ways against the same
+    // DuckDB pack replay: the audit is run off the manifest, then the
+    // manifest is deleted and the audit re-run off the listing — every
+    // integer metric must match the replay under both resolutions (the
+    // manifest adds zero-listing planning, never different answers).
+    Q("p115_describe_manifest", Some("""
+      WITH tok AS (SELECT doc_id, source,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+               x -> x <> '')) AS BIGINT) AS nt
+           FROM documents),
+      c AS (SELECT *, sum(nt) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum FROM tok),
+      b AS (SELECT *, CAST(floor((cum - nt) / 256.0) AS BIGINT) AS bin,
+              (cum - nt) % 256 AS off FROM c),
+      g AS (SELECT source, bin,
+              CAST(sum(nt) + count(*) - 1 AS BIGINT) AS n_tokens
+            FROM b GROUP BY source, bin),
+      m AS (
+        SELECT 'shards' AS metric, '1' AS value
+        UNION ALL SELECT 'sequences', CAST(count(*) AS VARCHAR) FROM g
+        UNION ALL SELECT 'tokens', CAST(CAST(sum(n_tokens) AS BIGINT) AS VARCHAR) FROM g
+        UNION ALL SELECT 'empty_sequences',
+          CAST(CAST(sum(CASE WHEN n_tokens = 0 THEN 1 ELSE 0 END) AS BIGINT) AS VARCHAR) FROM g
+        UNION ALL SELECT 'max_seq_tokens', CAST(max(n_tokens) AS VARCHAR) FROM g
+        UNION ALL SELECT 'min_shard_tokens',
+          CAST(CAST(sum(n_tokens) AS BIGINT) AS VARCHAR) FROM g
+        UNION ALL SELECT 'max_shard_tokens',
+          CAST(CAST(sum(n_tokens) AS BIGINT) AS VARCHAR) FROM g
+        UNION ALL SELECT 'doc_sidecar_shards', '1'
+        UNION ALL SELECT 'doc_sidecar_coverage', 'full'
+        UNION ALL SELECT 'inconsistent_shards', '0')
+      SELECT v.via, m.metric, m.value
+      FROM m CROSS JOIN (SELECT 'manifest' AS via
+                         UNION ALL SELECT 'listing') v
+      ORDER BY via, metric""")) { (s, d) =>
+      val docs = t(s, d, "documents").select(col("doc_id"), col("source"),
+        transform(filter(split(lower(col("text")), " "), x => x =!= ""),
+          _ => lit(1)).as("token_ids"))
+      val packed = Corpus
+        .materializePackedIds(docs, "doc_id", "token_ids", "source", 256L)
+        .coalesce(1).sortWithinPartitions("source", "bin")
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_tokbin_manif_" + s.sparkContext.applicationId + "_" +
+          java.lang.Integer.toHexString(d.hashCode)).toString
+      graft.sources.TokBin.write(packed, dir, "seq_ids",
+        docLensCol = Some("doc_lens"))
+      val ctx = new graft.Context(s)
+      def audit() = ctx.sql(s"DESCRIBE SHARDS '$dir'")
+        .filter(!col("metric").isin("avg_shard_tokens", "shard_skew"))
+      // DESCRIBE materializes eagerly (the result is a local relation),
+      // so the manifest can be deleted between the two calls
+      val viaManifest = audit().withColumn("via", lit("manifest"))
+      val p = new org.apache.hadoop.fs.Path(dir, "_MANIFEST.json")
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, false)
+      val viaListing = audit().withColumn("via", lit("listing"))
+      viaManifest.unionAll(viaListing)
+        .select(col("via"), col("metric"), col("value"))
+        .orderBy("via", "metric")
+    },
   )
 }

@@ -85,7 +85,10 @@ object TokBin {
     // overwrite semantics live HERE, before any task runs (no delete can
     // race a commit): a previous export's same-named shards — and any
     // stale temps from a dead run — are cleared driver-side, then tasks
-    // commit first-wins (ShardCommit scaladoc)
+    // commit first-wins (ShardCommit scaladoc). The manifest goes FIRST:
+    // a crash anywhere past this point must leave a listing-fallback
+    // tree, never a manifest naming files preClean deleted (r15).
+    ShardManifest.delete(new Path(dir).getFileSystem(confSer.value), dir)
     ShardCommit.preClean(new Path(dir).getFileSystem(confSer.value), dir,
       Seq(".bin", ".idx", ".doc"))
     proj.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
@@ -98,6 +101,9 @@ object TokBin {
     // a committed winner (readers never see them either way)
     ShardCommit.sweepInProgress(
       new Path(dir).getFileSystem(confSer.value), dir)
+    // manifest LAST, after every commit and the sweep: the snapshot of
+    // the completed artifact readers may consume instead of listing
+    ShardManifest.write(new Path(dir).getFileSystem(confSer.value), dir)
   }
 
   /** One partition's shard write under the [[ShardCommit]] two-phase
@@ -245,7 +251,11 @@ object TokBin {
     require(targetTokensPerShard > 0,
       "compact: target_tokens_per_shard must be positive")
     val conf = spark.sparkContext.hadoopConfiguration
-    val files = TokBinRead.listFiles(in, conf)
+    // a manifest'd input tree resolves without a directory listing —
+    // and the compaction consumes exactly the completed artifact the
+    // manifest snapshots (r15)
+    val files = ShardManifest.forPaths(in, conf).map(_._1)
+      .getOrElse(TokBinRead.listFiles(in, conf))
     require(files.nonEmpty,
       s"compact: no .bin shards under ${in.mkString(",")}")
     val outPath = new Path(out)

@@ -158,13 +158,21 @@ class TokBinScan(paths: Seq[String], required: StructType,
   private def conf = org.apache.spark.sql.SparkSession.active
     .sparkContext.hadoopConfiguration
 
+  // manifest fast path (r15): a completed EXPORT/COMPACT tree resolves
+  // its file set AND byte sizes from _MANIFEST.json — one GET, zero
+  // directory listings (all-or-nothing across paths; ShardManifest)
+  private lazy val manifest: Option[(Seq[String], Map[String, Long])] =
+    ShardManifest.forPaths(paths, conf)
   // ONE listing per Scan instance, shared by partition planning and
   // statistics (the r14 review finding: a def re-listed the tree per
   // use, and stats issued per-file RPCs the listing already answered)
   private lazy val prunedFiles: Seq[String] =
-    FilePruning.prune(TokBinRead.listFiles(paths, conf), fileFilters)
+    FilePruning.prune(
+      manifest.map(_._1).getOrElse(TokBinRead.listFiles(paths, conf)),
+      fileFilters)
   private lazy val fileLengths: Map[String, Long] =
-    FilePruning.lengthsByPath(prunedFiles, conf)
+    manifest.map(_._2)
+      .getOrElse(FilePruning.lengthsByPath(prunedFiles, conf))
 
   override def planInputPartitions(): Array[InputPartition] =
     // one partition per (surviving) shard file — shard count mirrors the

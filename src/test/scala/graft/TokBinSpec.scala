@@ -796,6 +796,67 @@ class TokBinSpec extends AnyFunSuite {
     assert(integ("part-00002.bin") == "idx_misaligned")
   }
 
+  test("shard-tree manifest: scans resolve without listing (point-in-time snapshot), listing fallback when absent (r15)") {
+    val ctx = new Context(spark)
+    val dir = tmpDir("manifest")
+    val conf = spark.sparkContext.hadoopConfiguration
+    TokBin.write(Seq(Seq(1, 2), Seq(3)).toDF("seq_ids").coalesce(1), dir)
+    assert(listAll(dir).contains("_MANIFEST.json"),
+      "a completed write must leave the manifest as its last file")
+    def readSeqs() = spark.read.format("tokbin").load(dir)
+      .select("seq_ids").as[Seq[Int]].collect().sortBy(_.mkString(",")).toSeq
+    def describeMap() = ctx.sql(s"DESCRIBE SHARDS '$dir'").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // DESCRIBE off the manifest == DESCRIBE off the listing
+    val viaManifest = describeMap()
+    val mPath = new org.apache.hadoop.fs.Path(dir, "_MANIFEST.json")
+    val aside = new org.apache.hadoop.fs.Path(dir + ".manifest.aside")
+    assert(fs(dir).rename(mPath, aside))
+    assert(describeMap() == viaManifest,
+      "manifest and listing views of a quiet tree must agree")
+    assert(fs(dir).rename(aside, mPath))
+    // plant a foreign shard AFTER the manifest (a concurrent appender):
+    // the manifest'd scan is a SNAPSHOT — it must not see the newcomer,
+    // which also proves the file set came from the manifest, not a list
+    TokBin.writeShardPartition(rowsOf(Seq(Seq(9, 9))), dir, 7, "m-x",
+      conf, wantDoc = false)
+    assert(readSeqs() == Seq(Seq(1, 2), Seq(3)),
+      "manifest'd scan must be a point-in-time snapshot")
+    assert(describeMap()("shards") == "1")
+    // compaction consumes the same snapshot
+    val out = tmpDir("manifest_out")
+    ctx.sql(s"""COMPACT SHARDS '$dir' INTO '$out' WITH
+      |(target_tokens_per_shard = '1000000')""".stripMargin)
+    assert(spark.read.format("tokbin").load(out)
+      .select("seq_ids").as[Seq[Int]].collect().sortBy(_.mkString(","))
+      .toSeq == Seq(Seq(1, 2), Seq(3)))
+    // delete the manifest: the same tree now resolves by LISTING and the
+    // foreign shard appears — fallback is live, not cached
+    fs(dir).delete(mPath, false)
+    assert(readSeqs() == Seq(Seq(1, 2), Seq(3), Seq(9, 9)))
+    assert(describeMap()("shards") == "2")
+  }
+
+  test("a failed write leaves NO manifest: crashed trees fall back to listing, never a manifest naming deleted files (r15)") {
+    val dir = tmpDir("manifest_crash")
+    TokBin.write(Seq(Seq(1)).toDF("seq_ids").coalesce(1), dir)
+    assert(listAll(dir).contains("_MANIFEST.json"))
+    // a direct (unstaged) re-write that dies mid-job: the old manifest
+    // must be gone BEFORE preClean deletes the old shards
+    intercept[Exception] {
+      TokBin.write(spark.range(2).select(
+        when(col("id") === 0, array(lit(5)))
+          .otherwise(array(lit(1), lit(null).cast("int"))).as("seq_ids"))
+        .coalesce(1), dir)
+    }
+    assert(!listAll(dir).contains("_MANIFEST.json"),
+      "a crashed write must not leave any manifest")
+    // and the next successful write restores one
+    TokBin.write(Seq(Seq(7)).toDF("seq_ids").coalesce(1), dir)
+    assert(listAll(dir).contains("_MANIFEST.json"))
+    assert(readAllSeqs(dir) == Seq(Seq(7)))
+  }
+
   // --- task-commit durability (r14: r13 verdict #1/#2) ---
 
   private def rowsOf(seqs: Seq[Seq[Int]]): Iterator[org.apache.spark.sql.Row] =
