@@ -1248,6 +1248,76 @@ class Context(val spark: SparkSession) {
         "tokens" -> result._3.toString,
         "shards_after" -> result._4.toString), "metric", "value")
 
+    // COMPACT ARCHIVES '<in>' INTO '<out>' — the COMPACT SHARDS recipe
+    // on the WARC record stream (r15): a crawl drop accumulates
+    // thousands of small .warc.gz members (one per micro-batch
+    // partition); a distributed re-read of that tree pays per-file open
+    // + gzip-member overhead and schedules tiny tasks. Re-slice into
+    // few large archives: size from the LISTING (no data pre-pass),
+    // ONE read → coalesce (zero shuffle; balance='true' opts into a
+    // round-robin repartition for byte balance at the cost of one
+    // shuffle) → Warc.write through the staged swap, so a mid-job
+    // failure never costs an existing artifact at the destination.
+    case CompactArchives(in, out, opts) =>
+      for (k <- opts.keys
+           if !Set("target_bytes_per_archive", "balance", "gzip",
+             "mode").contains(k))
+        throw new IllegalArgumentException(
+          s"COMPACT ARCHIVES: unknown option '$k' " +
+            "(target_bytes_per_archive=, balance=, gzip=, mode=)")
+      val targetB = opts.getOrElse("target_bytes_per_archive",
+        throw new IllegalArgumentException(
+          "COMPACT ARCHIVES requires target_bytes_per_archive=")).trim.toLong
+      require(targetB > 0,
+        "COMPACT ARCHIVES: target_bytes_per_archive must be positive")
+      val conf = spark.sparkContext.hadoopConfiguration
+      val inFiles = graft.sources.Warc.listFiles(Seq(in), conf)
+      require(inFiles.nonEmpty,
+        s"COMPACT ARCHIVES: no .warc/.warc.gz members under $in")
+      // output must not overlap the input (the tokbin-compact rule):
+      // compact into a fresh tree and flip the consumer's pointer
+      val outP = new org.apache.hadoop.fs.Path(out)
+      val outQual = outP.getFileSystem(conf).makeQualified(outP).toString
+      inFiles.foreach { f =>
+        val parent = new org.apache.hadoop.fs.Path(f).getParent
+        val parentQual =
+          parent.getFileSystem(conf).makeQualified(parent).toString
+        require(parentQual != outQual &&
+          !parentQual.startsWith(outQual + "/"),
+          s"COMPACT ARCHIVES: output $out overlaps input archive " +
+            s"directory $parent — compact into a fresh directory")
+      }
+      // archive count from listed bytes alone — compressed in ≈
+      // compressed out when gzip is preserved; the estimate only picks
+      // the file count, correctness never depends on it
+      val lens = graft.sources.FilePruning.lengthsByPath(inFiles, conf)
+      val bytesIn = inFiles.map(lens.getOrElse(_, 0L)).sum
+      val nOutL = math.max(1L, (bytesIn + targetB - 1) / targetB)
+      require(nOutL <= (1 << 24),
+        s"COMPACT ARCHIVES: $bytesIn bytes / target $targetB = $nOutL " +
+          "output archives — target_bytes_per_archive is too small " +
+          "(a compaction produces FEWER, larger files)")
+      val gzipOut = opts.get("gzip").map(_.trim.toBoolean)
+        .getOrElse(inFiles.exists(_.endsWith(".gz")))
+      val balanceA = opts.get("balance").exists(_.trim.toBoolean)
+      var archivesAfter = 0L
+      stagedShardWrite(out, "COMPACT ARCHIVES",
+        overwrite = opts.get("mode").map(_.trim).contains("overwrite")) {
+        target0 =>
+          // pin the read to the listed files: a consistent point-in-time
+          // input set even if the drop dir grows mid-compaction
+          val scan = spark.read.format("warc").load(inFiles: _*)
+          val merged = if (balanceA) scan.repartition(nOutL.toInt)
+            else scan.coalesce(nOutL.toInt)
+          graft.sources.Warc.write(merged, target0, gzip = gzipOut)
+          archivesAfter =
+            graft.sources.Warc.listFiles(Seq(target0), conf).size.toLong
+      }
+      toDf2(Seq(
+        "archives_before" -> inFiles.size.toString,
+        "bytes_before" -> bytesIn.toString,
+        "archives_after" -> archivesAfter.toString), "metric", "value")
+
     // SELECT * FROM DECONTAMINATE(TABLE bench [WITH (...)], <train select>)
     // — benchmark-contamination annotation as a statement: the registered
     // benchmark table's n-gram set is broadcast against the inner query's

@@ -159,6 +159,11 @@ object ExtensionParser {
       opts: Map[String, String]) extends Statement
   final case class CompactShards(in: String, out: String,
       opts: Map[String, String]) extends Statement
+  /** WARC-archive compaction (r15): merge a crawl's thousands of small
+    * `.warc(.gz)` members into few large archives — the COMPACT SHARDS
+    * recipe on the record-stream format. */
+  final case class CompactArchives(in: String, out: String,
+      opts: Map[String, String]) extends Statement
 
   private val ws = "\\s+"
   private def kw(s: String) = s.split(" ").mkString(ws)
@@ -278,6 +283,9 @@ object ExtensionParser {
   // COMPACT SHARDS '<in-dir-or-glob>' INTO '<out-dir>' WITH (target_tokens_per_shard=N, ...)
   private val compactShards =
     re(s"COMPACT${ws}SHARDS${ws}'([^']+)'${ws}INTO${ws}'([^']+)'(?:${ws}WITH${ws}\\($kwSpan\\))?")
+  // COMPACT ARCHIVES '<in-dir-or-glob>' INTO '<out-dir>' WITH (target_bytes_per_archive=N, ...)
+  private val compactArchives =
+    re(s"COMPACT${ws}ARCHIVES${ws}'([^']+)'${ws}INTO${ws}'([^']+)'(?:${ws}WITH${ws}\\($kwSpan\\))?")
   // SELECT * FROM DECONTAMINATE(TABLE bench [WITH (...)], <train select>)
   private val decontaminate =
     re(s"SELECT${ws}\\*${ws}FROM${ws}DECONTAMINATE\\s*\\(\\s*TABLE${ws}$ident(?:${ws}WITH${ws}\\($kwSpan\\))?\\s*,(.*)\\)")
@@ -370,6 +378,9 @@ object ExtensionParser {
         Option(kwargs).map(parseKwargs).getOrElse(Map()))
     case compactShards(in, out, kwargs) =>
       CompactShards(in, out,
+        Option(kwargs).map(parseKwargs).getOrElse(Map()))
+    case compactArchives(in, out, kwargs) =>
+      CompactArchives(in, out,
         Option(kwargs).map(parseKwargs).getOrElse(Map()))
     case decontaminate(table, kwargs, select) =>
       Decontaminate(table,

@@ -1600,6 +1600,44 @@ object Pipeline {
         .orderBy("target_uri")
     },
 
+    // COMPACT ARCHIVES (r15): the COMPACT SHARDS recipe on the WARC
+    // record stream — a 4-member gz crawl drop re-sliced into ONE large
+    // archive through the staged machinery (listing-sized, one read,
+    // coalesce = zero shuffle), then re-read: EVERY record field must
+    // round-trip export→compact→re-read against the same DuckDB
+    // reconstruction that gates the plain scan (p75).
+    Q("p116_compact_archives", Some("""
+      SELECT '<urn:uuid:doc-' || doc_id || '>' AS record_id,
+             'http://crawl.test/doc/' || doc_id AS target_uri,
+             'response' AS warc_type,
+             TIMESTAMP '2026-01-02 03:04:05' AS warc_date,
+             'application/http; msgtype=response' AS content_type,
+             CAST(strlen('HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+               'Content-Type: text/html' || chr(13) || chr(10) || chr(13) || chr(10) ||
+               '<html><body><p>' || replace(text, ' ', '</p><p>') ||
+               '</p></body></html>') AS BIGINT) AS content_length,
+             'HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+               'Content-Type: text/html' || chr(13) || chr(10) || chr(13) || chr(10) ||
+               '<html><body><p>' || replace(text, ' ', '</p><p>') ||
+               '</p></body></html>' AS content
+      FROM documents ORDER BY target_uri""")) { (s, d) =>
+      val dir = warcFixture(s, d, "cmp")
+      val out = dir + "_out"
+      val ctx = new graft.Context(s)
+      val report = ctx.sql(s"""COMPACT ARCHIVES '$dir' INTO '$out' WITH
+        |(target_bytes_per_archive = '1000000000',
+        |mode = 'overwrite')""".stripMargin).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      require(report("archives_before") == "4" &&
+        report("archives_after") == "1",
+        s"expected a 4->1 compaction, got $report")
+      s.read.format("warc").load(out)
+        .select(col("record_id"), col("target_uri"), col("warc_type"),
+          col("warc_date"), col("content_type"), col("content_length"),
+          col("content").cast("string").as("content"))
+        .orderBy("target_uri")
+    },
+
     // ---- Linear classifier TRAINING (r8): batch GD on logistic loss
     // over exactly linearScore's functional form, completing the
     // CCNet/FineWeb-Edu loop (label a seed set → TRAIN → SCORE the

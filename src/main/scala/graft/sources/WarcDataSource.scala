@@ -167,14 +167,14 @@ object Warc {
     * explicitly named file is taken as-is, directory listings keep only
     * *.warc / *.warc.gz) — shared by the batch scan and the streaming
     * source so both see the same universe. */
-  private[sources] def listFiles(paths: Seq[String], conf: Configuration): Seq[String] =
+  private[graft] def listFiles(paths: Seq[String], conf: Configuration): Seq[String] =
     listFilesWithMtime(paths, conf).map(_._1)
 
   /** Same listing with each file's modification time — the streaming
     * tail's compacted offsets (r15) are keyed on (mtime, name), so the
     * lister surfaces the mtime it already fetched instead of a second
     * round of RPCs. */
-  private[sources] def listFilesWithMtime(paths: Seq[String],
+  private[graft] def listFilesWithMtime(paths: Seq[String],
       conf: Configuration): Seq[(String, Long)] =
     paths.flatMap { p =>
       val path = new Path(p)

@@ -505,6 +505,47 @@ class WarcSpec extends AnyFunSuite {
     assert(spark.read.format("warc").load(dir).count() == 3)
   }
 
+  test("COMPACT ARCHIVES: members merge through the staged swap, gzip preserved, overlap refused, balance re-slices (r15)") {
+    val ctx = new graft.Context(spark)
+    val root = tmpDir("compact")
+    Warc.write(sampleDf(9).repartition(3), s"$root/in", gzip = true)
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def members(dir: String): Seq[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .map(_.getPath.getName).filter(_.contains(".warc")).sorted.toSeq
+    assert(members(s"$root/in").size == 3)
+    val m = ctx.sql(s"""COMPACT ARCHIVES '$root/in' INTO '$root/out'
+      |WITH (target_bytes_per_archive = '1000000000')""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m("archives_before") == "3" && m("archives_after") == "1")
+    // gzip preserved by default (inputs were .gz)
+    assert(members(s"$root/out") == Seq("part-00000.warc.gz"))
+    // every record survives the re-slice
+    assert(spark.read.format("warc").load(s"$root/out").count() == 9)
+    // record CONTENT round-trips (the full-field gate is oracle p116)
+    val ids = spark.read.format("warc").load(s"$root/out")
+      .select("record_id").collect().map(_.getString(0)).sorted.toSeq
+    assert(ids == (0 until 9).map(i => s"<urn:uuid:rec-$i>").sorted)
+    // output overlapping the input tree is refused
+    val e = intercept[IllegalArgumentException] {
+      ctx.sql(s"""COMPACT ARCHIVES '$root/in' INTO '$root/in' WITH
+        |(target_bytes_per_archive = '1000000000')""".stripMargin)
+    }
+    assert(e.getMessage.contains("overlaps"))
+    // balance='true' with a half-size target re-slices into 2 archives
+    val inBytes = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/in"))
+      .filter(_.getPath.getName.contains(".warc")).map(_.getLen).sum
+    val m2 = ctx.sql(s"""COMPACT ARCHIVES '$root/in' INTO '$root/out2'
+      |WITH (target_bytes_per_archive = '${inBytes / 2 + 1}',
+      |balance = 'true', gzip = 'false')""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m2("archives_after") == "2", s"got $m2")
+    assert(members(s"$root/out2").forall(_.endsWith(".warc")),
+      "gzip='false' must emit plain archives")
+    assert(spark.read.format("warc").load(s"$root/out2").count() == 9)
+  }
+
   test("glob expansion skips hidden names: an in-flight .staging-* is invisible to load('dir/*')") {
     val root = tmpDir("glob")
     Warc.write(sampleDf(2).coalesce(1), s"$root/crawl=1", gzip = false)
