@@ -2236,7 +2236,12 @@ class Context(val spark: SparkSession) {
           }
           record(Map(
             "kind" -> (if (ivfpq) "ivfpq" else "ivf"),
-            "id" -> vid, "vec" -> vvec))
+            "id" -> vid, "vec" -> vvec,
+            // the build-time KMeans dispersion, the anchor DESCRIBE's
+            // drift metric compares against (r15): one aggregate over
+            // the just-persisted cells table, corpus untouched
+            "mean_dist_at_build" ->
+              Similarity.meanDistToCentroid(spark, name).toString))
       }
   }
 

@@ -167,8 +167,29 @@ object IndexHealth {
           overCap = meta.get("max_bucket").map(_.toLong)
             .filter(_ < Int.MaxValue))
       case "ivf" | "ivfpq" =>
+        // append-drift metric (r15): appends assign to FROZEN centroids,
+        // so the mean vector-to-centroid distance can only grow as the
+        // corpus drifts away from the build-time clustering. One
+        // aggregate over the cells table (corpus untouched), compared
+        // against the dispersion recorded at CREATE. The trip point is a
+        // 25% inflation: the measured recall cost of append drift is
+        // gentle at ≤2× volume growth (PLANS 77 — fan-out, not drift,
+        // governs recall there), so a quarter more dispersion marks a
+        // distribution SHIFT, not mere growth — the same
+        // order-above-build philosophy as the bloom fpp trip.
+        val distNow = Similarity.meanDistToCentroid(spark, name)
+        val drift = meta.get("mean_dist_at_build").map(_.toDouble) match {
+          case Some(b) =>
+            val frac = if (b <= 0) 0.0 else (distNow - b) / b
+            Seq("mean_dist_at_build" -> fmt(b),
+              "dist_drift_frac" -> fmt(frac),
+              "rebuild_recommended" -> (frac > 0.25).toString)
+          case None =>
+            Seq("mean_dist_at_build" -> "unknown (rebuilt index records it)")
+        }
         bucketMetrics(spark.table(s"${name}_cells"),
           Seq("cell"), "cell", overCap = None) ++
+          Seq("mean_dist_to_centroid" -> fmt(distNow)) ++ drift ++
           Seq("pq_tables_present" ->
             spark.catalog.tableExists(s"${name}_pq_codes").toString)
       case other => throw new IllegalArgumentException(

@@ -232,6 +232,25 @@ object Similarity {
       .saveAsTable(s"${prefix}_centroids")
   }
 
+  /** Mean Euclidean distance of every indexed vector to its assigned
+    * centroid — ONE aggregate over the `{prefix}_cells` table joined
+    * with the tiny broadcast centroid table; the corpus is never
+    * touched. At build time this is (the root of) the KMeans objective;
+    * appends assign to FROZEN centroids, so growth in this mean IS the
+    * drift the nightly-rebuild cadence watches (r15: recorded in
+    * `{prefix}_meta` at CREATE, recomputed by DESCRIBE SIMSEARCH
+    * INDEX, the ratio trips `rebuild_recommended`). */
+  def meanDistToCentroid(spark: org.apache.spark.sql.SparkSession,
+      prefix: String): Double = {
+    val row = spark.table(s"${prefix}_cells")
+      .join(broadcast(spark.table(s"${prefix}_centroids")), Seq("cell"))
+      .select(sqrt(aggregate(
+        zip_with(col("nvec"), col("centroid"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, v) => acc + v)).as("d"))
+      .agg(avg(col("d"))).head()
+    if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+  }
+
   /** Reload a persisted [[IvfIndex]] — `probeIvf` runs against it
     * unchanged (equality with the in-memory index asserted in
     * SimilaritySpec). */

@@ -933,6 +933,52 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF append drift: mean_dist_to_centroid moves on a drifty append and rebuild_recommended trips (r15)") {
+    val ctx = new Context(spark)
+    val emb = Tables.t(spark, TestSpark.sf, "embeddings")
+    ctx.createTable("drift_vecs", emb.select("vec_id", "embedding"))
+    // a DRIFTY increment: every vector scaled + shifted far outside the
+    // build-time clusters (fresh ids so the idempotence anti-join keeps
+    // them)
+    ctx.createTable("drift_far", emb.select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"),
+        x => x * lit(37.0f) + lit(11.0f)).as("embedding")))
+    try {
+      ctx.sql("""CREATE SIMSEARCH INDEX drift_idx ON drift_vecs
+        |WITH (n_cells = 4, n_buckets = 2)""".stripMargin)
+      def metrics(): Map[String, String] =
+        ctx.sql("DESCRIBE SIMSEARCH INDEX drift_idx")
+          .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val m0 = metrics()
+      val d0 = m0("mean_dist_to_centroid").toDouble
+      assert(d0 > 0)
+      // recomputed-now equals recorded-at-build on an untouched index
+      assert(math.abs(m0("mean_dist_at_build").toDouble - d0) < 1e-9 * d0)
+      assert(math.abs(m0("dist_drift_frac").toDouble) < 1e-9)
+      assert(m0("rebuild_recommended") == "false")
+      ctx.sql("ALTER SIMSEARCH INDEX drift_idx APPEND AS SELECT * FROM drift_far")
+      val m1 = metrics()
+      assert(m1("mean_dist_to_centroid").toDouble > d0,
+        "a drifty append must inflate the mean distance")
+      assert(m1("dist_drift_frac").toDouble > 0.25, s"got $m1")
+      assert(m1("rebuild_recommended") == "true")
+      // a REBUILD re-centers: dispersion re-records, the trip clears
+      ctx.sql("""CREATE OR REPLACE VIEW drift_all AS
+        |SELECT * FROM drift_vecs UNION ALL SELECT * FROM drift_far""".stripMargin)
+      ctx.sql("ALTER SIMSEARCH INDEX drift_idx REBUILD AS SELECT * FROM drift_all")
+      val m2 = metrics()
+      assert(math.abs(m2("dist_drift_frac").toDouble) < 1e-9)
+      assert(m2("rebuild_recommended") == "false")
+    } finally {
+      graft.operators.OpCache.release(spark)
+      Seq("drift_idx_cells", "drift_idx_centroids", "drift_idx_meta")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      spark.sql("DROP VIEW IF EXISTS drift_all")
+      Seq("drift_vecs", "drift_far").foreach(t => ctx.dropTable(t))
+    }
+  }
+
   test("minhash LSH recall matches exhaustive jaccard at sf0.001") {
     val d = Tables.t(spark, TestSpark.sf, "documents")
     val lsh = TextDedup.minhashDedupPairs(d, "doc_id", "text", threshold = 0.5)
