@@ -38,8 +38,17 @@ object BenchWindow {
   val FloorSec = 0.03
 
   def quietRef(sfName: String, env: Option[String], runMin: Double): Double =
-    env.map(_.trim).filter(_.nonEmpty).map(_.toDouble)
-      .orElse(quietDefaults.get(sfName))
+    env.map(_.trim).filter(_.nonEmpty).flatMap { v =>
+      // a malformed override must not crash the bench AFTER the whole
+      // run completed (the JSON artifact would be lost) — warn and fall
+      // through to the recorded default / run minimum
+      try Some(v.toDouble) catch {
+        case _: NumberFormatException =>
+          System.err.println(s"[bench] WARNING: ignoring malformed " +
+            s"SPARK_GRAFT_QUIET_SENTINEL='$v' (expected seconds, e.g. 0.109)")
+          None
+      }
+    }.orElse(quietDefaults.get(sfName))
       .getOrElse(runMin)
 
   /** (ratio, noisy): ratio = median / ref (1.0 when ref is degenerate);

@@ -1084,10 +1084,15 @@ class Context(val spark: SparkSession) {
       // snapshot a trainer would mount); byte sizes for the integrity
       // cross-check below stay REAL (lengthsByPath) — an audit must
       // catch post-write truncation, which recorded sizes cannot (r15)
-      val files = graft.sources.ShardManifest
-        .forPaths(Seq(location), conf).map(_._1)
+      val manifested =
+        graft.sources.ShardManifest.forPaths(Seq(location), conf)
+      val files = manifested.map(_._1)
         .getOrElse(graft.sources.TokBinRead.listFiles(Seq(location), conf))
-      require(files.nonEmpty,
+      // a MANIFEST'D zero-shard tree is the empty-but-valid artifact the
+      // staged empty-overwrite commits — a real audit answer (all
+      // zeros), not an error; only a manifest-less shardless path is
+      // "not a tokbin artifact" (r15 review)
+      require(files.nonEmpty || manifested.isDefined,
         s"DESCRIBE SHARDS: no .bin shards under $location — not a tokbin " +
           "artifact (or an empty/unswept directory)")
       // sidecar coverage is a metadata check, not a data read: ONE
@@ -1167,10 +1172,11 @@ class Context(val spark: SparkSession) {
       val nSeqs = shardStats.map(_._1).sum
       val nToks = shardStats.map(_._2).sum
       val nEmpty = shardStats.map(_._3).sum
-      val minShard = shardStats.map(_._2).min
-      val maxShard = shardStats.map(_._2).max
-      val maxSeq = shardStats.map(_._4).max
-      val avgShard = nToks.toDouble / nShards
+      // the empty-but-valid manifest'd artifact: all-zero stats
+      val minShard = if (shardStats.isEmpty) 0L else shardStats.map(_._2).min
+      val maxShard = if (shardStats.isEmpty) 0L else shardStats.map(_._2).max
+      val maxSeq = if (shardStats.isEmpty) 0L else shardStats.map(_._4).max
+      val avgShard = if (nShards == 0L) 0.0 else nToks.toDouble / nShards
       val base = Seq(
         "shards" -> nShards.toString,
         "sequences" -> nSeqs.toString,
@@ -1186,8 +1192,8 @@ class Context(val spark: SparkSession) {
           else (math.round(maxShard / avgShard * 100.0) / 100.0).toString),
         "doc_sidecar_shards" -> withDoc.toString,
         "doc_sidecar_coverage" ->
-          (if (withDoc == files.size) "full"
-           else if (withDoc == 0) "none" else "partial"),
+          (if (withDoc == 0) "none"
+           else if (withDoc == files.size) "full" else "partial"),
         // free cross-check off the same listing: .idx record alignment
         // and 4*sum(n_tokens) == .bin bytes per shard — 0 on a healthy
         // tree; a non-zero count is the "do not mount this" signal
@@ -1202,9 +1208,11 @@ class Context(val spark: SparkSession) {
         // the one stat that genuinely needs token bytes: per-row
         // array_min/array_max, then a global min/max — no explode, the
         // scan streams each .bin once
-        val ids = scan.agg(
-          min(array_min(col("seq_ids"))).cast("long"),
-          max(array_max(col("seq_ids"))).cast("long")).head()
+        val ids =
+          if (scanFiles.isEmpty) org.apache.spark.sql.Row(null, null)
+          else scan.agg(
+            min(array_min(col("seq_ids"))).cast("long"),
+            max(array_max(col("seq_ids"))).cast("long")).head()
         val idMin = if (ids.isNullAt(0)) 0L else ids.getLong(0)
         val idMax = if (ids.isNullAt(1)) 0L else ids.getLong(1)
         Seq(
@@ -1235,6 +1243,25 @@ class Context(val spark: SparkSession) {
         throw new IllegalArgumentException(
           "COMPACT SHARDS requires target_tokens_per_shard=")).trim.toLong
       val balance = opts.get("balance").exists(_.trim.toBoolean)
+      // output STRICTLY inside an input shard directory is refused (r15
+      // review): the compacted copies would sit inside the tree a later
+      // glob read expands, double-counting every sequence. Equality is
+      // the supported IN-PLACE forest compaction (TokBin.compact's own
+      // guard covers input-inside-staging).
+      locally {
+        val cConf = spark.sparkContext.hadoopConfiguration
+        val oP = new org.apache.hadoop.fs.Path(out)
+        val oQual = oP.getFileSystem(cConf).makeQualified(oP).toString
+        graft.sources.TokBinRead.listFiles(Seq(in), cConf).foreach { f =>
+          val parent = new org.apache.hadoop.fs.Path(f).getParent
+          val pQual =
+            parent.getFileSystem(cConf).makeQualified(parent).toString
+          require(oQual == pQual || !oQual.startsWith(pQual + "/"),
+            s"COMPACT SHARDS: output $out is inside input shard " +
+              s"directory $parent — compact into a fresh directory " +
+              "(or the forest's own parent for in-place)")
+        }
+      }
       var result: (Long, Long, Long, Long) = null
       stagedShardWrite(out, "COMPACT SHARDS",
         overwrite = opts.get("mode").map(_.trim).contains("overwrite")) {
@@ -1282,8 +1309,13 @@ class Context(val spark: SparkSession) {
         val parent = new org.apache.hadoop.fs.Path(f).getParent
         val parentQual =
           parent.getFileSystem(conf).makeQualified(parent).toString
+        // BOTH directions (r15 review): input inside the output would be
+        // destroyed by the swap; output inside an input directory would
+        // leave compacted copies inside the crawl tree, double-counted
+        // by any later glob read
         require(parentQual != outQual &&
-          !parentQual.startsWith(outQual + "/"),
+          !parentQual.startsWith(outQual + "/") &&
+          !outQual.startsWith(parentQual + "/"),
           s"COMPACT ARCHIVES: output $out overlaps input archive " +
             s"directory $parent — compact into a fresh directory")
       }

@@ -32,6 +32,30 @@ object FilePruning {
   def isGlobPath(p: String): Boolean =
     p.exists(c => "{}[]*?\\".indexOf(c.toInt) >= 0)
 
+  /** The shared glob/directory expansion behind both sources' listers
+    * (r15 review: tokbin and WARC had drifted back into line-for-line
+    * copies): glob paths expand with hidden matches dropped, matched
+    * directories list their `keep`-suffixed non-hidden files,
+    * explicitly named files are taken as-is. Returns (path, mtime)
+    * sorted by path — mtimes feed the streaming tail's compacted
+    * offsets from the same single listing pass. */
+  def listWithMtime(paths: Seq[String], conf: Configuration)(
+      keep: String => Boolean): Seq[(String, Long)] =
+    paths.flatMap { p =>
+      val path = new Path(p)
+      val fs = path.getFileSystem(conf)
+      val glob = isGlobPath(p)
+      val matched = Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Seq())
+        .filterNot(st => glob && isHidden(st.getPath.getName))
+      matched.flatMap { st =>
+        if (st.isDirectory)
+          fs.listStatus(st.getPath).toSeq.filter(s => s.isFile &&
+            keep(s.getPath.getName) && !isHidden(s.getPath.getName))
+        else Seq(st)
+      }
+    }.map(st => (st.getPath.toString, st.getModificationTime))
+      .sortBy(_._1)
+
   def isFileFilter(f: Filter): Boolean = f match {
     case EqualTo("file", _: String) => true
     case In("file", _) => true

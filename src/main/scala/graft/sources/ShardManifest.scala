@@ -109,9 +109,9 @@ object ShardManifest {
         Some(out.result())
       }
     } catch {
-      case _: java.io.FileNotFoundException => None
+      // JacksonException extends IOException, so parse failures and
+      // absent/unreadable files all land here → listing fallback
       case _: java.io.IOException => None
-      case _: com.fasterxml.jackson.core.JacksonException => None
     }
 
   /** All-or-nothing manifest resolution for a reader's paths: Some iff

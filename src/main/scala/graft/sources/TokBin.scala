@@ -254,8 +254,8 @@ object TokBin {
     // a manifest'd input tree resolves without a directory listing —
     // and the compaction consumes exactly the completed artifact the
     // manifest snapshots (r15)
-    val files = ShardManifest.forPaths(in, conf).map(_._1)
-      .getOrElse(TokBinRead.listFiles(in, conf))
+    val resolved = ShardManifest.forPaths(in, conf)
+    val files = resolved.map(_._1).getOrElse(TokBinRead.listFiles(in, conf))
     require(files.nonEmpty,
       s"compact: no .bin shards under ${in.mkString(",")}")
     val outPath = new Path(out)
@@ -267,9 +267,13 @@ object TokBin {
         s"compact: output $out overlaps input shard directory $parent — " +
           "compact into a fresh directory and flip the trainer's pointer")
     }
-    val fsIn = new Path(files.head).getFileSystem(conf)
+    // .doc coverage off sizes already in hand — manifest entries or one
+    // listStatus per parent — never one exists() RPC per shard (the r14
+    // per-file-RPC finding, re-caught here in the r15 review)
+    val sidecarLens = resolved.map(_._2)
+      .getOrElse(FilePruning.lengthsByPath(files, conf))
     val docCount = files.count(f =>
-      fsIn.exists(new Path(f.stripSuffix(".bin") + ".doc")))
+      sidecarLens.contains(f.stripSuffix(".bin") + ".doc"))
     require(docCount == 0 || docCount == files.size,
       s"compact: $docCount of ${files.size} shards carry a .doc boundary " +
         "sidecar — mixed coverage cannot be compacted faithfully (export " +

@@ -59,24 +59,11 @@ object TokBinRead {
     listFilesWithMtime(paths, conf).map(_._1)
 
   /** Listing with modification times for the streaming tail's compacted
-    * (mtime, name) offsets (r15) — one pass, no extra RPCs. */
+    * (mtime, name) offsets (r15) — one pass, no extra RPCs; expansion
+    * semantics shared with the WARC lister ([[FilePruning.listWithMtime]]). */
   private[graft] def listFilesWithMtime(paths: Seq[String],
       conf: Configuration): Seq[(String, Long)] =
-    paths.flatMap { p =>
-      val path = new Path(p)
-      val fs = path.getFileSystem(conf)
-      val glob = FilePruning.isGlobPath(p)
-      val matched = Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Seq())
-        .filterNot(st => glob && FilePruning.isHidden(st.getPath.getName))
-      matched.flatMap { st =>
-        if (st.isDirectory)
-          fs.listStatus(st.getPath).toSeq
-            .filter(s => s.isFile && s.getPath.getName.endsWith(".bin") &&
-              !FilePruning.isHidden(s.getPath.getName))
-        else Seq(st)
-      }
-    }.map(st => (st.getPath.toString, st.getModificationTime))
-      .sortBy(_._1)
+    FilePruning.listWithMtime(paths, conf)(_.endsWith(".bin"))
 }
 
 /** `format("tokbin")` entry point (registered via META-INF/services). */

@@ -173,26 +173,12 @@ object Warc {
   /** Same listing with each file's modification time — the streaming
     * tail's compacted offsets (r15) are keyed on (mtime, name), so the
     * lister surfaces the mtime it already fetched instead of a second
-    * round of RPCs. */
+    * round of RPCs; expansion semantics shared with the tokbin lister
+    * ([[FilePruning.listWithMtime]]). */
   private[graft] def listFilesWithMtime(paths: Seq[String],
       conf: Configuration): Seq[(String, Long)] =
-    paths.flatMap { p =>
-      val path = new Path(p)
-      val fs = path.getFileSystem(conf)
-      val glob = FilePruning.isGlobPath(p)
-      val matched = Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Seq())
-        .filterNot(st => glob && FilePruning.isHidden(st.getPath.getName))
-      matched.flatMap { st =>
-        if (st.isDirectory)
-          fs.listStatus(st.getPath).toSeq.filter(s => s.isFile && {
-            val n = s.getPath.getName
-            (n.endsWith(".warc") || n.endsWith(".warc.gz")) &&
-              !FilePruning.isHidden(n)
-          })
-        else Seq(st)
-      }
-    }.map(st => (st.getPath.toString, st.getModificationTime))
-      .sortBy(_._1)
+    FilePruning.listWithMtime(paths, conf)(n =>
+      n.endsWith(".warc") || n.endsWith(".warc.gz"))
 
   /** Open a (possibly .gz multi-member) file as a decompressed stream. */
   private[sources] def open(path: String, conf: Configuration): java.io.InputStream = {

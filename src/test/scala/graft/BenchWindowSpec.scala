@@ -16,6 +16,10 @@ class BenchWindowSpec extends AnyFunSuite {
     assert(BenchWindow.quietRef("sf0.007", None, 0.08) == 0.08)
     // blank env is absent, not zero
     assert(BenchWindow.quietRef("sf0.1", Some("  "), 0.05) == 0.109)
+    // a malformed override is ignored with a warning, never a crash
+    // AFTER the whole bench run completed (r15 review)
+    assert(BenchWindow.quietRef("sf0.1", Some("0.109s"), 0.05) == 0.109)
+    assert(BenchWindow.quietRef("sf0.007", Some("fast"), 0.08) == 0.08)
   }
 
   test("adjudicate: quiet windows pass, the documented 1.2-1.6x steal pattern trips, floors guard sub-jitter") {

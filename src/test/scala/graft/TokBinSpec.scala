@@ -830,6 +830,14 @@ class TokBinSpec extends AnyFunSuite {
     assert(spark.read.format("tokbin").load(out)
       .select("seq_ids").as[Seq[Int]].collect().sortBy(_.mkString(","))
       .toSeq == Seq(Seq(1, 2), Seq(3)))
+    // output STRICTLY inside an input shard dir refused (r15 review:
+    // nested outputs double-count under glob reads); in-place equality
+    // is the supported forest compaction and stays allowed
+    val eN = intercept[IllegalArgumentException] {
+      ctx.sql(s"""COMPACT SHARDS '$dir' INTO '$dir/merged' WITH
+        |(target_tokens_per_shard = '1000')""".stripMargin)
+    }
+    assert(eN.getMessage.contains("inside input"))
     // delete the manifest: the same tree now resolves by LISTING and the
     // foreign shard appears — fallback is live, not cached
     fs(dir).delete(mPath, false)
@@ -980,6 +988,21 @@ class TokBinSpec extends AnyFunSuite {
     assert(readAllSeqs(dir) == Seq.empty,
       "empty export must REPLACE the artifact (empty-but-valid)")
     assert(!listAll(dir).exists(_.startsWith(".staging-")))
+    // the audit accepts the empty-but-valid MANIFEST'D artifact (all
+    // zeros), instead of calling the state its own writer produced
+    // "not a tokbin artifact" (r15 review)
+    val m = ctx.sql(s"DESCRIBE SHARDS '$dir'").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m("shards") == "0" && m("sequences") == "0" &&
+      m("tokens") == "0" && m("inconsistent_shards") == "0")
+    assert(m("doc_sidecar_coverage") == "none")
+    // a manifest-LESS shardless directory still errors: that is a
+    // not-an-artifact (or unswept) state, not an empty artifact
+    val bare = tmpDir("bare")
+    fs(bare).mkdirs(new org.apache.hadoop.fs.Path(bare))
+    intercept[IllegalArgumentException] {
+      ctx.sql(s"DESCRIBE SHARDS '$bare'")
+    }
     Seq("tb_full15", "tb_empty15").foreach(n => ctx.dropTable(n))
   }
 

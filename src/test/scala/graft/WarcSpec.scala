@@ -527,12 +527,19 @@ class WarcSpec extends AnyFunSuite {
     val ids = spark.read.format("warc").load(s"$root/out")
       .select("record_id").collect().map(_.getString(0)).sorted.toSeq
     assert(ids == (0 until 9).map(i => s"<urn:uuid:rec-$i>").sorted)
-    // output overlapping the input tree is refused
+    // output overlapping the input tree is refused — BOTH directions
+    // (r15 review: a nested output would sit inside the crawl tree and
+    // double-count under any later glob read)
     val e = intercept[IllegalArgumentException] {
       ctx.sql(s"""COMPACT ARCHIVES '$root/in' INTO '$root/in' WITH
         |(target_bytes_per_archive = '1000000000')""".stripMargin)
     }
     assert(e.getMessage.contains("overlaps"))
+    val e2 = intercept[IllegalArgumentException] {
+      ctx.sql(s"""COMPACT ARCHIVES '$root/in' INTO '$root/in/merged' WITH
+        |(target_bytes_per_archive = '1000000000')""".stripMargin)
+    }
+    assert(e2.getMessage.contains("overlaps"))
     // balance='true' with a half-size target re-slices into 2 archives
     val inBytes = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/in"))
       .filter(_.getPath.getName.contains(".warc")).map(_.getLen).sum
