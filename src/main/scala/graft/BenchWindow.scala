@@ -45,14 +45,20 @@ object BenchWindow {
   def quietRef(sfName: String, env: Option[String], runMin: Double): Double =
     env.map(_.trim).filter(_.nonEmpty).flatMap { v =>
       // a malformed override must not crash the bench AFTER the whole
-      // run completed (the JSON artifact would be lost) — warn and fall
+      // run completed (the JSON artifact would be lost), and parseable
+      // garbage ('NaN', 'Infinity', non-positive) must not corrupt the
+      // stamped ratio or silently disable adjudication — warn and fall
       // through to the recorded default / run minimum
-      try Some(v.toDouble) catch {
-        case _: NumberFormatException =>
-          System.err.println(s"[bench] WARNING: ignoring malformed " +
-            s"SPARK_GRAFT_QUIET_SENTINEL='$v' (expected seconds, e.g. 0.109)")
-          None
+      val parsed = try Some(v.toDouble) catch {
+        case _: NumberFormatException => None
       }
+      parsed.filter(d => java.lang.Double.isFinite(d) && d > 0)
+        .orElse {
+          System.err.println(s"[bench] WARNING: ignoring malformed " +
+            s"SPARK_GRAFT_QUIET_SENTINEL='$v' (expected positive " +
+            "seconds, e.g. 0.109)")
+          None
+        }
     }.orElse(quietDefaults.get(sfName))
       .getOrElse(runMin)
 

@@ -1204,7 +1204,11 @@ class Context(val spark: SparkSession) {
         require(vocab.columns.contains("piece") && vocab.columns.contains("id"),
           s"table '${vname.trim}' is not a vocabulary — expected " +
             "(piece, id) columns")
-        val vMax = vocab.agg(max(col("id").cast("long"))).head().getLong(0)
+        val vMaxRow = vocab.agg(max(col("id").cast("long"))).head()
+        require(!vMaxRow.isNullAt(0),
+          s"DESCRIBE SHARDS: vocabulary '${vname.trim}' is empty — no " +
+            "id headroom to check against")
+        val vMax = vMaxRow.getLong(0)
         // the one stat that genuinely needs token bytes: per-row
         // array_min/array_max, then a global min/max — no explode, the
         // scan streams each .bin once
@@ -1243,24 +1247,20 @@ class Context(val spark: SparkSession) {
         throw new IllegalArgumentException(
           "COMPACT SHARDS requires target_tokens_per_shard=")).trim.toLong
       val balance = opts.get("balance").exists(_.trim.toBoolean)
-      // output STRICTLY inside an input shard directory is refused (r15
-      // review): the compacted copies would sit inside the tree a later
-      // glob read expands, double-counting every sequence. Equality is
-      // the supported IN-PLACE forest compaction (TokBin.compact's own
-      // guard covers input-inside-staging).
+      // output-overlap guard against the FINAL location (r15 reviews):
+      // nested outputs double-count under glob reads, and out == one of
+      // SEVERAL input dirs would merge the siblings' copies next to
+      // their originals. Manifest-resolved when possible — the guard
+      // must not re-introduce the directory LIST the manifest work
+      // eliminated. TokBin.compact's own guard covers the staging
+      // target.
       locally {
         val cConf = spark.sparkContext.hadoopConfiguration
-        val oP = new org.apache.hadoop.fs.Path(out)
-        val oQual = oP.getFileSystem(cConf).makeQualified(oP).toString
-        graft.sources.TokBinRead.listFiles(Seq(in), cConf).foreach { f =>
-          val parent = new org.apache.hadoop.fs.Path(f).getParent
-          val pQual =
-            parent.getFileSystem(cConf).makeQualified(parent).toString
-          require(oQual == pQual || !oQual.startsWith(pQual + "/"),
-            s"COMPACT SHARDS: output $out is inside input shard " +
-              s"directory $parent — compact into a fresh directory " +
-              "(or the forest's own parent for in-place)")
-        }
+        val inFiles = graft.sources.ShardManifest
+          .forPaths(Seq(in), cConf).map(_._1)
+          .getOrElse(graft.sources.TokBinRead.listFiles(Seq(in), cConf))
+        graft.sources.FilePruning.requireFreshOutput(inFiles, out, cConf,
+          "COMPACT SHARDS", allowInPlace = true)
       }
       var result: (Long, Long, Long, Long) = null
       stagedShardWrite(out, "COMPACT SHARDS",
@@ -1301,24 +1301,13 @@ class Context(val spark: SparkSession) {
       val inFiles = graft.sources.Warc.listFiles(Seq(in), conf)
       require(inFiles.nonEmpty,
         s"COMPACT ARCHIVES: no .warc/.warc.gz members under $in")
-      // output must not overlap the input (the tokbin-compact rule):
-      // compact into a fresh tree and flip the consumer's pointer
-      val outP = new org.apache.hadoop.fs.Path(out)
-      val outQual = outP.getFileSystem(conf).makeQualified(outP).toString
-      inFiles.foreach { f =>
-        val parent = new org.apache.hadoop.fs.Path(f).getParent
-        val parentQual =
-          parent.getFileSystem(conf).makeQualified(parent).toString
-        // BOTH directions (r15 review): input inside the output would be
-        // destroyed by the swap; output inside an input directory would
-        // leave compacted copies inside the crawl tree, double-counted
-        // by any later glob read
-        require(parentQual != outQual &&
-          !parentQual.startsWith(outQual + "/") &&
-          !outQual.startsWith(parentQual + "/"),
-          s"COMPACT ARCHIVES: output $out overlaps input archive " +
-            s"directory $parent — compact into a fresh directory")
-      }
+      // output must not overlap the input in EITHER direction (shared
+      // guard; archives have no in-place form): input inside the output
+      // would be destroyed by the swap, output inside an input
+      // directory would leave compacted copies double-counted by any
+      // later glob read
+      graft.sources.FilePruning.requireFreshOutput(inFiles, out, conf,
+        "COMPACT ARCHIVES", allowInPlace = false)
       // archive count from listed bytes alone — compressed in ≈
       // compressed out when gzip is preserved; the estimate only picks
       // the file count, correctness never depends on it

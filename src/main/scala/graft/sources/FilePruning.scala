@@ -56,6 +56,44 @@ object FilePruning {
     }.map(st => (st.getPath.toString, st.getModificationTime))
       .sortBy(_._1)
 
+  /** Compaction output-overlap guard, shared by COMPACT SHARDS and
+    * COMPACT ARCHIVES (r15 second review: three hand-rolled variants
+    * had already diverged in direction). Always refuses an output
+    * STRICTLY inside an input directory (the compacted copies would be
+    * double-counted by any later glob read of the input tree).
+    * `allowInPlace=true` (shards) additionally permits the two
+    * supported in-place shapes — output == the SINGLE input directory,
+    * or output above the input forest — but refuses output == one of
+    * SEVERAL input directories (the swap would replace that one with
+    * the merged copy while the siblings survive beside it: every
+    * sibling sequence then reads twice). `allowInPlace=false`
+    * (archives) refuses any containment or equality in either
+    * direction. */
+  def requireFreshOutput(files: Seq[String], out: String,
+      conf: Configuration, what: String, allowInPlace: Boolean): Unit = {
+    val outP = new Path(out)
+    val outQual = outP.getFileSystem(conf).makeQualified(outP).toString
+    val parents = files.map { f =>
+      val p = new Path(f).getParent
+      p.getFileSystem(conf).makeQualified(p).toString
+    }.distinct
+    def refuse(parent: String, why: String): Nothing =
+      throw new IllegalArgumentException(
+        s"$what: output $out $why input directory $parent — compact " +
+          "into a fresh directory" +
+          (if (allowInPlace) " (or the forest's own parent for in-place)"
+           else ""))
+    parents.foreach { pq =>
+      if (outQual != pq && outQual.startsWith(pq + "/"))
+        refuse(pq, "is inside")
+      if (!allowInPlace &&
+        (pq == outQual || pq.startsWith(outQual + "/")))
+        refuse(pq, "overlaps")
+    }
+    if (allowInPlace && parents.size > 1 && parents.contains(outQual))
+      refuse(outQual, s"equals ONE of ${parents.size}")
+  }
+
   def isFileFilter(f: Filter): Boolean = f match {
     case EqualTo("file", _: String) => true
     case In("file", _) => true

@@ -267,11 +267,15 @@ object TokBin {
         s"compact: output $out overlaps input shard directory $parent — " +
           "compact into a fresh directory and flip the trainer's pointer")
     }
-    // .doc coverage off sizes already in hand — manifest entries or one
-    // listStatus per parent — never one exists() RPC per shard (the r14
-    // per-file-RPC finding, re-caught here in the r15 review)
-    val sidecarLens = resolved.map(_._2)
-      .getOrElse(FilePruning.lengthsByPath(files, conf))
+    // .doc coverage from the REAL listing — one listStatus per parent,
+    // never one exists() RPC per shard (r14 rule), and deliberately NOT
+    // the manifest's recorded doc_len entries: a sidecar present on
+    // disk but absent from the manifest (foreign writer, out-of-band
+    // regeneration) must still trip the loud mixed-coverage refusal
+    // below rather than silently compacting boundaries away (r15
+    // second review; the DESCRIBE integrity check keeps real sizes for
+    // the same reason)
+    val sidecarLens = FilePruning.lengthsByPath(files, conf)
     val docCount = files.count(f =>
       sidecarLens.contains(f.stripSuffix(".bin") + ".doc"))
     require(docCount == 0 || docCount == files.size,

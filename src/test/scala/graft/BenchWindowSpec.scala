@@ -20,6 +20,12 @@ class BenchWindowSpec extends AnyFunSuite {
     // AFTER the whole bench run completed (r15 review)
     assert(BenchWindow.quietRef("sf0.1", Some("0.109s"), 0.05) == 0.109)
     assert(BenchWindow.quietRef("sf0.007", Some("fast"), 0.08) == 0.08)
+    // parseable garbage must not corrupt the stamped ratio (NaN would
+    // unparse the JSON artifact) or silently disable adjudication
+    assert(BenchWindow.quietRef("sf0.1", Some("NaN"), 0.05) == 0.109)
+    assert(BenchWindow.quietRef("sf0.1", Some("Infinity"), 0.05) == 0.109)
+    assert(BenchWindow.quietRef("sf0.1", Some("-1"), 0.05) == 0.109)
+    assert(BenchWindow.quietRef("sf0.007", Some("0"), 0.08) == 0.08)
   }
 
   test("adjudicate: quiet windows pass, the documented 1.2-1.6x steal pattern trips, floors guard sub-jitter") {

@@ -467,6 +467,14 @@ class TokBinSpec extends AnyFunSuite {
     assert(mv("min_token_id") == "1" && mv("max_token_id") == "6")
     assert(mv("vocab_max_id") == "10" && mv("id_headroom") == "4")
     assert(mv("ids_in_vocab") == "true")
+    // an empty vocabulary errors clearly instead of NPE-ing on the
+    // null max(id) aggregate (r15 second review)
+    ctx.createTable("ds_vocab_empty",
+      Seq.empty[(String, Int)].toDF("piece", "id"))
+    val eV = intercept[IllegalArgumentException] {
+      describe(" WITH (vocab = 'ds_vocab_empty')")
+    }
+    assert(eV.getMessage.contains("empty"))
     // idx-only is REAL: delete every .bin — the no-vocab describe still
     // answers, the vocab= one (which needs token bytes) fails
     partFiles(dir).foreach { p =>
@@ -838,6 +846,24 @@ class TokBinSpec extends AnyFunSuite {
         |(target_tokens_per_shard = '1000')""".stripMargin)
     }
     assert(eN.getMessage.contains("inside input"))
+    // out == ONE of SEVERAL input dirs is the data-corruption shape the
+    // r15 second review caught: the swap would replace that batch with
+    // the merged copy while the siblings survive beside it — every
+    // sibling sequence then glob-reads twice. Refused.
+    val forest = tmpDir("forest15")
+    TokBin.write(Seq(Seq(1)).toDF("seq_ids").coalesce(1), s"$forest/batch=1")
+    TokBin.write(Seq(Seq(2)).toDF("seq_ids").coalesce(1), s"$forest/batch=2")
+    val eM = intercept[IllegalArgumentException] {
+      ctx.sql(s"""COMPACT SHARDS '$forest/batch=*' INTO '$forest/batch=1'
+        |WITH (target_tokens_per_shard = '1000', mode = 'overwrite')""".stripMargin)
+    }
+    assert(eM.getMessage.contains("equals ONE of"))
+    // out above the forest (true in-place) still works
+    ctx.sql(s"""COMPACT SHARDS '$forest/batch=*' INTO '$forest'
+      |WITH (target_tokens_per_shard = '1000', mode = 'overwrite')""".stripMargin)
+    assert(spark.read.format("tokbin").load(forest)
+      .select("seq_ids").as[Seq[Int]].collect().map(_.head).sorted.toSeq ==
+      Seq(1, 2))
     // delete the manifest: the same tree now resolves by LISTING and the
     // foreign shard appears — fallback is live, not cached
     fs(dir).delete(mPath, false)
