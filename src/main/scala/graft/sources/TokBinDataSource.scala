@@ -95,11 +95,14 @@ class TokBinTable(properties: java.util.Map[String, String])
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TokBinScanBuilder(paths, FileTailMicroBatchStream.parseLateness(
-      Option(options.get("lateness"))))
+      Option(options.get("lateness"))),
+      FileTailMicroBatchStream.parseMaxFiles(
+        Option(options.get("max_files_per_trigger"))))
 }
 
 class TokBinScanBuilder(paths: Seq[String],
-    latenessMs: Long = FileTailMicroBatchStream.DefaultLatenessMs)
+    latenessMs: Long = FileTailMicroBatchStream.DefaultLatenessMs,
+    maxFilesPerTrigger: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: StructType = TokBinRead.schema
@@ -127,12 +130,14 @@ class TokBinScanBuilder(paths: Seq[String],
     fileFilters
 
   override def build(): Scan =
-    new TokBinScan(paths, required, fileFilters, latenessMs)
+    new TokBinScan(paths, required, fileFilters, latenessMs,
+      maxFilesPerTrigger)
 }
 
 class TokBinScan(paths: Seq[String], required: StructType,
     fileFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
-    latenessMs: Long = FileTailMicroBatchStream.DefaultLatenessMs)
+    latenessMs: Long = FileTailMicroBatchStream.DefaultLatenessMs,
+    maxFilesPerTrigger: Option[Int] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
@@ -211,7 +216,8 @@ class TokBinScan(paths: Seq[String], required: StructType,
 
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new TokBinMicroBatchStream(paths, required, latenessMs)
+    new TokBinMicroBatchStream(paths, required, latenessMs,
+      maxFilesPerTrigger)
 }
 
 /** Streaming tail of a GROWING shard directory (r13 verdict missing #3) —
@@ -232,8 +238,9 @@ class TokBinScan(paths: Seq[String], required: StructType,
   * shard always has its sidecars — no partially-written file can ever
   * be claimed. */
 class TokBinMicroBatchStream(paths: Seq[String], required: StructType,
-    latenessMs: Long = FileTailMicroBatchStream.DefaultLatenessMs)
-    extends FileTailMicroBatchStream(latenessMs) {
+    latenessMs: Long = FileTailMicroBatchStream.DefaultLatenessMs,
+    maxFilesPerTrigger: Option[Int] = None)
+    extends FileTailMicroBatchStream(latenessMs, maxFilesPerTrigger) {
   protected def listNow(): Seq[(String, Long)] =
     TokBinRead.listFilesWithMtime(paths, conf)
   protected def mkPartition(file: String): InputPartition =

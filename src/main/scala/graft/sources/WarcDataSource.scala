@@ -340,11 +340,14 @@ class WarcTable(properties: java.util.Map[String, String])
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WarcScanBuilder(paths, FileTailMicroBatchStream.parseLateness(
-      Option(options.get("lateness"))))
+      Option(options.get("lateness"))),
+      FileTailMicroBatchStream.parseMaxFiles(
+        Option(options.get("max_files_per_trigger"))))
 }
 
 class WarcScanBuilder(paths: Seq[String],
-    latenessMs: Long = FileTailMicroBatchStream.DefaultLatenessMs)
+    latenessMs: Long = FileTailMicroBatchStream.DefaultLatenessMs,
+    maxFilesPerTrigger: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: StructType = Warc.schema
@@ -369,12 +372,14 @@ class WarcScanBuilder(paths: Seq[String],
     fileFilters
 
   override def build(): Scan =
-    new WarcScan(paths, required, fileFilters, latenessMs)
+    new WarcScan(paths, required, fileFilters, latenessMs,
+      maxFilesPerTrigger)
 }
 
 class WarcScan(paths: Seq[String], required: StructType,
     fileFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
-    latenessMs: Long = FileTailMicroBatchStream.DefaultLatenessMs)
+    latenessMs: Long = FileTailMicroBatchStream.DefaultLatenessMs,
+    maxFilesPerTrigger: Option[Int] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
@@ -441,7 +446,8 @@ class WarcScan(paths: Seq[String], required: StructType,
 
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new WarcMicroBatchStream(paths, required, latenessMs)
+    new WarcMicroBatchStream(paths, required, latenessMs,
+      maxFilesPerTrigger)
 }
 
 /** Streaming WARC ingest — `spark.readStream.format("warc").load(dir)`
@@ -457,8 +463,9 @@ class WarcScan(paths: Seq[String], required: StructType,
   * `lateness=` horizon (default 1h; 'max' = keep every name) are
   * ignored as stale. */
 class WarcMicroBatchStream(paths: Seq[String], required: StructType,
-    latenessMs: Long = FileTailMicroBatchStream.DefaultLatenessMs)
-    extends FileTailMicroBatchStream(latenessMs) {
+    latenessMs: Long = FileTailMicroBatchStream.DefaultLatenessMs,
+    maxFilesPerTrigger: Option[Int] = None)
+    extends FileTailMicroBatchStream(latenessMs, maxFilesPerTrigger) {
   protected def listNow(): Seq[(String, Long)] =
     Warc.listFilesWithMtime(paths, conf)
   protected def mkPartition(file: String): InputPartition =
@@ -498,9 +505,11 @@ class WarcMicroBatchStream(paths: Seq[String], required: StructType,
   * forests fed by out-of-order backfill). planInputPartitions is pure
   * over the two offsets — restart-from-checkpoint replans the exact
   * pending set with no source-side state. */
-abstract class FileTailMicroBatchStream(latenessMs: Long)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+abstract class FileTailMicroBatchStream(latenessMs: Long,
+    maxFilesPerTrigger: Option[Int] = None)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   /** Current universe of (file, mtime), sorted by path. */
   protected def listNow(): Seq[(String, Long)]
@@ -524,18 +533,58 @@ abstract class FileTailMicroBatchStream(latenessMs: Long)
 
   override def initialOffset(): Offset = TailOffset(Long.MinValue, Seq.empty)
 
-  override def latestOffset(): Offset = {
+  /** ADMISSION CONTROL (r15): `max_files_per_trigger=` bounds every
+    * micro-batch — without it, the cold start over a years-old forest
+    * (or a restart after long downtime) plans the ENTIRE backlog as
+    * one unbounded batch. Oldest-(mtime, name)-first admission keeps
+    * delivery order stable; unadmitted files stay unclaimed (the
+    * cutoff never passes them), so the backlog drains across triggers
+    * exactly-once. The offset window holds the CLAIMED files at-or-
+    * after the cutoff — with a backlog it grows with the claimed set
+    * and compacts back to the lateness horizon once the tail catches
+    * up. */
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles)
+      .getOrElse(ReadLimit.allAvailable())
+
+  private def maxFilesOf(limit: ReadLimit): Int = limit match {
+    case f: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+      f.maxFiles()
+    case c: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
+      val fs = c.getReadLimits.collect {
+        case f: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+          f.maxFiles()
+      }
+      if (fs.isEmpty) Int.MaxValue else fs.min
+    case _ => Int.MaxValue // allAvailable / row- and byte-based limits:
+      // files are the admission unit here; admit everything
+  }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    advance(maxFilesOf(limit))
+
+  override def latestOffset(): Offset = advance(Int.MaxValue)
+
+  private def advance(maxFiles: Int): TailOffset = {
     val listed = listNow()
     if (listed.isEmpty) return prev
     val seenNames = prev.names
     val unseen = listed.filter { case (n, m) =>
       m >= prev.cutoff && !seenNames.contains(n)
-    }
+    }.sortBy { case (n, m) => (m, n) } // oldest first
+    val admitted = unseen.take(maxFiles)
+    val pending = unseen.drop(maxFiles)
     val desired = satSub(listed.iterator.map(_._2).max, latenessMs)
+    // the cutoff may only pass CLAIMED files: with a pending backlog it
+    // is pinned below the oldest unadmitted mtime; admitted files ride
+    // the explicit window regardless, so they plan against the previous
+    // offset even when the cutoff moves past their mtimes
     val cut = math.max(prev.cutoff,
-      if (unseen.isEmpty) desired
-      else math.min(desired, unseen.iterator.map(_._2).min))
-    val next = TailOffset(cut, listed.filter(_._2 >= cut))
+      if (pending.isEmpty) desired
+      else math.min(desired, pending.iterator.map(_._2).min))
+    val retained = prev.files.filter(_._2 >= cut)
+    val next = TailOffset(cut,
+      (retained ++ admitted).distinct.sortBy(f => (f._1, f._2)))
     prev = next
     next
   }
@@ -559,6 +608,18 @@ abstract class FileTailMicroBatchStream(latenessMs: Long)
 
 object FileTailMicroBatchStream {
   val DefaultLatenessMs: Long = 3600L * 1000 // 1 hour
+
+  /** `max_files_per_trigger=` reader option: positive int, or absent
+    * (no admission bound). */
+  def parseMaxFiles(v: Option[String]): Option[Int] =
+    v.map(_.trim).filter(_.nonEmpty).map { s =>
+      val n = try s.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"max_files_per_trigger='$s': expected a positive integer")
+      }
+      require(n > 0, s"max_files_per_trigger='$s' must be positive")
+      n
+    }
 
   /** `lateness=` reader option: plain milliseconds, an s/m/h/d-suffixed
     * duration, or 'max' (keep every name explicit forever). */

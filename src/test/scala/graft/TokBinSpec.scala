@@ -1141,6 +1141,91 @@ class TokBinSpec extends AnyFunSuite {
       s"legacy checkpoint must resume exactly-once, got ${batch9.toSeq}")
   }
 
+  test("admission control: max_files_per_trigger drains a backlog oldest-first, exactly-once, bounded batches (r15)") {
+    import graft.sources.{TokBinMicroBatchStream, TailOffset}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val watch = tmpDir("admission")
+    val f = fs(watch)
+    f.mkdirs(new org.apache.hadoop.fs.Path(watch))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = 1700000000000L
+    for (k <- 1 to 10) {
+      TokBin.writeShardPartition(rowsOf(Seq(Seq(k))), watch, k,
+        s"a-$k", conf, wantDoc = false)
+      f.setTimes(new org.apache.hadoop.fs.Path(watch, f"part-$k%05d.bin"),
+        base + k * 10000L, -1)
+    }
+    // a 10-file COLD backlog with a 3-file admission bound: without
+    // admission control the first micro-batch plans everything at once
+    val stream = new TokBinMicroBatchStream(Seq(watch), null, 15000L, Some(3))
+    assert(stream.getDefaultReadLimit.toString.contains("3"))
+    var committed = stream.initialOffset().asInstanceOf[TailOffset]
+    var batches = Vector.empty[Seq[String]]
+    var guard = 0
+    while (guard < 10 && {
+      val end = stream.latestOffset(committed, ReadLimit.maxFiles(3))
+        .asInstanceOf[TailOffset]
+      val batch = stream.planInputPartitions(committed, end)
+        .map(_.asInstanceOf[graft.sources.TokBinInputPartition].file)
+        .map(n => n.substring(n.lastIndexOf('/') + 1)).toSeq
+      committed = end
+      if (batch.nonEmpty) batches :+= batch
+      batch.nonEmpty
+    }) guard += 1
+    assert(batches.map(_.size) == Seq(3, 3, 3, 1),
+      s"backlog must drain in bounded batches, got ${batches.map(_.size)}")
+    // oldest-(mtime)-first order, exactly once, nothing lost
+    assert(batches.flatten ==
+      (1 to 10).map(k => f"part-$k%05d.bin"),
+      s"got ${batches.flatten}")
+    // after catch-up the window compacts back to the lateness horizon
+    assert(committed.files.size <= 2,
+      s"window must compact after drain, got ${committed.files.size}")
+    // ReadLimit.allAvailable admits everything in one batch
+    TokBin.writeShardPartition(rowsOf(Seq(Seq(11))), watch, 11,
+      "a-11", conf, wantDoc = false)
+    TokBin.writeShardPartition(rowsOf(Seq(Seq(12))), watch, 12,
+      "a-12", conf, wantDoc = false)
+    for (k <- 11 to 12)
+      f.setTimes(new org.apache.hadoop.fs.Path(watch, f"part-$k%05d.bin"),
+        base + k * 10000L, -1)
+    val endAll = stream.latestOffset(committed, ReadLimit.allAvailable())
+    assert(stream.planInputPartitions(committed, endAll).length == 2)
+  }
+
+  test("admission control end-to-end: a real streaming query drains the forest in multiple bounded micro-batches (r15)") {
+    val watch = tmpDir("admit_e2e")
+    fs(watch).mkdirs(new org.apache.hadoop.fs.Path(watch))
+    for (k <- 1 to 6)
+      TokBin.write(Seq(Seq(k)).toDF("seq_ids").coalesce(1),
+        s"$watch/batch=$k")
+    val q = spark.readStream.format("tokbin")
+      .option("max_files_per_trigger", "2")
+      .load(s"$watch/batch=*")
+      .select(concat_ws(",", col("seq_ids")).as("ids"))
+      .writeStream.format("memory").queryName("admit_e2e")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("admit_e2e").collect()
+        .map(_.getString(0)).sorted.toSeq
+      assert(got == (1 to 6).map(_.toString).sorted)
+      // the 6-shard backlog drained over >= 3 bounded batches
+      val nonEmpty = q.recentProgress.count(_.numInputRows > 0)
+      assert(nonEmpty >= 3,
+        s"expected >=3 bounded micro-batches, got $nonEmpty")
+    } finally q.stop()
+  }
+
+  test("max_files_per_trigger= option validates (r15)") {
+    import graft.sources.FileTailMicroBatchStream.parseMaxFiles
+    assert(parseMaxFiles(None).isEmpty)
+    assert(parseMaxFiles(Some(" 32 ")).contains(32))
+    intercept[IllegalArgumentException] { parseMaxFiles(Some("zero")) }
+    intercept[IllegalArgumentException] { parseMaxFiles(Some("0")) }
+    intercept[IllegalArgumentException] { parseMaxFiles(Some("-4")) }
+  }
+
   test("lateness= option parses durations and rejects garbage (r15)") {
     import graft.sources.FileTailMicroBatchStream.parseLateness
     assert(parseLateness(None) == 3600000L)
