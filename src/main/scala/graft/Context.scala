@@ -1298,7 +1298,11 @@ class Context(val spark: SparkSession) {
       require(targetB > 0,
         "COMPACT ARCHIVES: target_bytes_per_archive must be positive")
       val conf = spark.sparkContext.hadoopConfiguration
-      val inFiles = graft.sources.Warc.listFiles(Seq(in), conf)
+      // manifest-resolved input when possible (r15): zero-listing, and
+      // the compaction consumes exactly the committed snapshot
+      val inFiles = graft.sources.ShardManifest
+        .forWarcPaths(Seq(in), conf).map(_._1)
+        .getOrElse(graft.sources.Warc.listFiles(Seq(in), conf))
       require(inFiles.nonEmpty,
         s"COMPACT ARCHIVES: no .warc/.warc.gz members under $in")
       // output must not overlap the input in EITHER direction (shared

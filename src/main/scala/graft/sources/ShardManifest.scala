@@ -64,18 +64,7 @@ object ShardManifest {
       n.put("idx_len", e.idxLen)
       e.docLen.foreach(n.put("doc_len", _))
     }
-    val bytes = WarcOffset.mapper.writerWithDefaultPrettyPrinter()
-      .writeValueAsBytes(root)
-    val tmp = new Path(p, s".$Name.${java.util.UUID.randomUUID()}.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(bytes) finally out.close()
-    val dst = new Path(p, Name)
-    fs.delete(dst, false)
-    if (!fs.rename(tmp, dst)) {
-      try fs.delete(tmp, false) catch { case _: Throwable => () }
-      throw new java.io.IOException(
-        s"ShardManifest: failed to commit $tmp -> $dst")
-    }
+    commitJson(fs, p, root)
   }
 
   /** Remove a directory's manifest (writers call this BEFORE preClean:
@@ -113,6 +102,94 @@ object ShardManifest {
       // absent/unreadable files all land here → listing fallback
       case _: java.io.IOException => None
     }
+
+  // ---- WARC flavor (r15): same file name, an `archives` key instead
+  // of `shards` — each flavor's reader returns None on the other's
+  // manifest, so a mixed-up tree safely falls back to listing. ----
+
+  /** Snapshot a directory's committed `.warc(.gz)` member set. */
+  def writeWarc(fs: FileSystem, dir: String): Unit = {
+    val p = new Path(dir)
+    val members = fs.listStatus(p).filter(st => st.isFile && {
+      val n = st.getPath.getName
+      n.endsWith(".warc") || n.endsWith(".warc.gz")
+    }).map(st => st.getPath.getName -> st.getLen).sortBy(_._1)
+    val root = WarcOffset.mapper.createObjectNode()
+    root.put("v", 1)
+    val arr = root.putArray("archives")
+    members.foreach { case (n, len) =>
+      val e = arr.addObject()
+      e.put("file", n)
+      e.put("len", len)
+    }
+    commitJson(fs, p, root)
+  }
+
+  /** Parse a directory's WARC manifest: (relative name, bytes). */
+  private def readWarc(fs: FileSystem, dir: Path): Option[Seq[(String, Long)]] =
+    try {
+      val in = fs.open(new Path(dir, Name))
+      val node = try WarcOffset.mapper.readTree(in) finally in.close()
+      val arch = node.get("archives")
+      if (arch == null || !arch.isArray) None
+      else {
+        val out = Seq.newBuilder[(String, Long)]
+        val it = arch.elements()
+        while (it.hasNext) {
+          val e = it.next()
+          if (!e.hasNonNull("file") || !e.hasNonNull("len")) return None
+          out += ((e.get("file").asText(), e.get("len").asLong()))
+        }
+        Some(out.result())
+      }
+    } catch {
+      case _: java.io.IOException => None
+    }
+
+  /** [[forPaths]] for the WARC flavor: absolute sorted member paths +
+    * their byte sizes, Some iff every path is a non-glob directory with
+    * a parsing archives-manifest. */
+  def forWarcPaths(paths: Seq[String],
+      conf: Configuration): Option[(Seq[String], Map[String, Long])] = {
+    if (paths.isEmpty) return None
+    val resolved = paths.map { s =>
+      if (FilePruning.isGlobPath(s)) return None
+      val p = new Path(s)
+      val fs = p.getFileSystem(conf)
+      readWarc(fs, p) match {
+        case Some(entries) => (fs.makeQualified(p), entries)
+        case None => return None
+      }
+    }
+    val files = Seq.newBuilder[String]
+    val lens = Map.newBuilder[String, Long]
+    resolved.foreach { case (dir, entries) =>
+      entries.foreach { case (n, len) =>
+        val abs = new Path(dir, n).toString
+        files += abs
+        lens += abs -> len
+      }
+    }
+    Some((files.result().sorted, lens.result()))
+  }
+
+  /** Atomic JSON commit shared by both flavors: temp + delete + rename;
+    * the gap only ever exposes the no-manifest listing fallback. */
+  private def commitJson(fs: FileSystem, p: Path,
+      root: com.fasterxml.jackson.databind.node.ObjectNode): Unit = {
+    val bytes = WarcOffset.mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsBytes(root)
+    val tmp = new Path(p, s".$Name.${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    val dst = new Path(p, Name)
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst)) {
+      try fs.delete(tmp, false) catch { case _: Throwable => () }
+      throw new java.io.IOException(
+        s"ShardManifest: failed to commit $tmp -> $dst")
+    }
+  }
 
   /** All-or-nothing manifest resolution for a reader's paths: Some iff
     * EVERY path is a non-glob directory with a parsing manifest.

@@ -246,7 +246,11 @@ object Warc {
       df.sparkSession.sparkContext.hadoopConfiguration)
     val ext = if (gzip) ".warc.gz" else ".warc"
     // driver-side overwrite of a previous export's members — tasks then
-    // commit first-wins, never deleting a committed file (ShardCommit)
+    // commit first-wins, never deleting a committed file (ShardCommit).
+    // The manifest goes first / comes back last, the TokBin.write
+    // ordering: a crashed write leaves a listing-fallback tree, never a
+    // manifest naming deleted members (r15).
+    ShardManifest.delete(new Path(dir).getFileSystem(confSer.value), dir)
     ShardCommit.preClean(new Path(dir).getFileSystem(confSer.value), dir,
       Seq(".warc", ".warc.gz"))
     proj.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
@@ -255,6 +259,8 @@ object Warc {
         ShardCommit.attemptTag(), confSer.value, gzip)
     }
     ShardCommit.sweepInProgress(
+      new Path(dir).getFileSystem(confSer.value), dir)
+    ShardManifest.writeWarc(
       new Path(dir).getFileSystem(confSer.value), dir)
   }
 
@@ -392,15 +398,23 @@ class WarcScan(paths: Seq[String], required: StructType,
   private def conf = org.apache.spark.sql.SparkSession.active
     .sparkContext.hadoopConfiguration
 
+  // manifest fast path (r15): a completed export/compaction resolves
+  // its member set AND byte sizes from _MANIFEST.json — one GET, zero
+  // directory listings (ShardManifest, all-or-nothing across paths)
+  private lazy val manifest: Option[(Seq[String], Map[String, Long])] =
+    ShardManifest.forWarcPaths(paths, conf)
   // one listing per Scan, shared by planning and statistics (FilePruning)
   private lazy val prunedFiles: Seq[String] =
-    FilePruning.prune(Warc.listFiles(paths, conf), fileFilters)
+    FilePruning.prune(
+      manifest.map(_._1).getOrElse(Warc.listFiles(paths, conf)),
+      fileFilters)
 
   // lengths fetched once per Scan instance (mirrors TokBinScan) —
   // repeated planner calls to estimateStatistics must not repeat
   // driver listStatus RPCs over a large tree (ADVICE r14)
   private lazy val fileLengths: Map[String, Long] =
-    FilePruning.lengthsByPath(prunedFiles, conf)
+    manifest.map(_._2)
+      .getOrElse(FilePruning.lengthsByPath(prunedFiles, conf))
 
   override def planInputPartitions(): Array[InputPartition] =
     // one partition per (surviving) file — the natural WARC parallel

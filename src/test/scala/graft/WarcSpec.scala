@@ -465,7 +465,8 @@ class WarcSpec extends AnyFunSuite {
     val expect = {
       val f2 = new org.apache.hadoop.fs.Path(dir2)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      f2.listStatus(new org.apache.hadoop.fs.Path(dir2)).map(_.getLen).sum
+      f2.listStatus(new org.apache.hadoop.fs.Path(dir2))
+        .filter(_.getPath.getName.contains(".warc")).map(_.getLen).sum
     }
     val planStats = spark.read.format("warc").load(dir2)
       .queryExecution.optimizedPlan.stats
@@ -551,6 +552,53 @@ class WarcSpec extends AnyFunSuite {
     assert(members(s"$root/out2").forall(_.endsWith(".warc")),
       "gzip='false' must emit plain archives")
     assert(spark.read.format("warc").load(s"$root/out2").count() == 9)
+  }
+
+  test("WARC manifest: completed exports resolve without listing (snapshot), fallback when absent, crashed writes leave none (r15)") {
+    val ctx = new graft.Context(spark)
+    val dir = tmpDir("manifest") + "/out"
+    Warc.write(sampleDf(4).coalesce(1), dir, gzip = false)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "_MANIFEST.json")))
+    // plant a foreign member AFTER the manifest: the manifest'd scan is
+    // a snapshot — proves the member set came from the manifest
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rows = sampleDf(2).selectExpr(
+      "CAST(warc_type AS STRING) AS warc_type",
+      "CAST(record_id AS STRING) AS record_id",
+      "CAST(target_uri AS STRING) AS target_uri",
+      "unix_micros(CAST(warc_date AS TIMESTAMP)) AS warc_date_us",
+      "CAST(content_type AS STRING) AS content_type",
+      "CAST(content AS BINARY) AS content").coalesce(1).collect()
+    Warc.writeWarcPartition(rows.iterator, dir, 7, "m-w", conf,
+      gzip = false)
+    assert(spark.read.format("warc").load(dir).count() == 4,
+      "manifest'd scan must be a point-in-time snapshot")
+    // COMPACT ARCHIVES consumes the same snapshot
+    val out = tmpDir("manifest_out") + "/out"
+    ctx.sql(s"""COMPACT ARCHIVES '$dir' INTO '$out' WITH
+      |(target_bytes_per_archive = '1000000000')""".stripMargin)
+    assert(spark.read.format("warc").load(out).count() == 4)
+    // ...and the compaction output is manifest'd in turn
+    assert(new org.apache.hadoop.fs.Path(out).getFileSystem(conf)
+      .exists(new org.apache.hadoop.fs.Path(out, "_MANIFEST.json")))
+    // delete the manifest: the live listing view appears
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_MANIFEST.json"), false)
+    assert(spark.read.format("warc").load(dir).count() == 6)
+    // crashed write leaves NO manifest (delete-first ordering)
+    val dir2 = tmpDir("manifest_crash") + "/out"
+    Warc.write(sampleDf(2).coalesce(1), dir2, gzip = false)
+    val f2 = new org.apache.hadoop.fs.Path(dir2).getFileSystem(conf)
+    assert(f2.exists(new org.apache.hadoop.fs.Path(dir2, "_MANIFEST.json")))
+    intercept[Exception] {
+      Warc.write(sampleDf(2).withColumn("warc_date",
+        expr("IF(record_id = '<urn:uuid:rec-1>', " +
+          "raise_error('mid-write failure'), warc_date)"))
+        .coalesce(1), dir2, gzip = false)
+    }
+    assert(!f2.exists(new org.apache.hadoop.fs.Path(dir2, "_MANIFEST.json")),
+      "a crashed write must not leave any manifest")
   }
 
   test("glob expansion skips hidden names: an in-flight .staging-* is invisible to load('dir/*')") {
