@@ -1231,6 +1231,84 @@ class Context(val spark: SparkSession) {
       toDf2(base ++ vocabPart, "metric", "value")
       }
 
+    // DESCRIBE ARCHIVES '<dir>' — crawl-tree health (r15): the DESCRIBE
+    // SHARDS analogue for the WARC container. Member count and byte
+    // spread come from the LISTING (or manifest) alone — auditing a
+    // crawl's worth of archives touches zero data bytes; records='true'
+    // opts into the record scan it genuinely needs, through the
+    // metadata-only projection (content blocks are SKIPPED, not read —
+    // the pruned reader's contract), so even the opt-in touches
+    // headers, not payloads. files='true' is the per-member drill-down.
+    case DescribeArchives(location, opts) =>
+      for (k <- opts.keys if k != "records" && k != "files")
+        throw new IllegalArgumentException(
+          s"DESCRIBE ARCHIVES: unknown option '$k' (records=, files=)")
+      def boolOpt(k: String): Boolean = opts.get(k).map(_.trim).map {
+        case "true" => true
+        case "false" => false
+        case other => throw new IllegalArgumentException(
+          s"DESCRIBE ARCHIVES: $k= must be 'true' or 'false', got '$other'")
+      }.getOrElse(false)
+      val wantFilesA = boolOpt("files")
+      val wantRecords = boolOpt("records")
+      require(!(wantFilesA && wantRecords),
+        "DESCRIBE ARCHIVES: files='true' is the per-member drill-down; " +
+          "records= belongs to the summary form")
+      val aConf = spark.sparkContext.hadoopConfiguration
+      val aManifested =
+        graft.sources.ShardManifest.forWarcPaths(Seq(location), aConf)
+      val aFiles = aManifested.map(_._1)
+        .getOrElse(graft.sources.Warc.listFiles(Seq(location), aConf))
+      require(aFiles.nonEmpty || aManifested.isDefined,
+        s"DESCRIBE ARCHIVES: no .warc/.warc.gz members under $location — " +
+          "not a WARC artifact (or an empty/unswept directory)")
+      // REAL listed sizes, the DESCRIBE SHARDS rule: an audit must see
+      // post-write truncation, which recorded manifest sizes cannot
+      val aLens = graft.sources.FilePruning.lengthsByPath(aFiles, aConf)
+      if (wantFilesA) {
+        import spark.implicits._
+        aFiles.map { f =>
+          (f, aLens.getOrElse(f, 0L), f.endsWith(".gz"))
+        }.toDF("file", "bytes", "gzip")
+      } else {
+        val bytes = aFiles.map(f => aLens.getOrElse(f, 0L))
+        val n = aFiles.size.toLong
+        val total = bytes.sum
+        val minB = if (bytes.isEmpty) 0L else bytes.min
+        val maxB = if (bytes.isEmpty) 0L else bytes.max
+        val avgB = if (n == 0L) 0.0 else total.toDouble / n
+        val base = Seq(
+          "archives" -> n.toString,
+          "bytes_total" -> total.toString,
+          "min_archive_bytes" -> minB.toString,
+          "max_archive_bytes" -> maxB.toString,
+          "avg_archive_bytes" ->
+            (math.round(avgB * 100.0) / 100.0).toString,
+          // straggler ratio a distributed re-read inherits (gzip members
+          // are unsplittable: one task per archive)
+          "archive_skew" -> (if (total == 0L) "1.0"
+            else (math.round(maxB / math.max(avgB, 1e-12) * 100.0)
+              / 100.0).toString),
+          "gzip_archives" -> aFiles.count(_.endsWith(".gz")).toString,
+          "manifest" ->
+            (if (aManifested.isDefined) "present" else "absent"))
+        val recordsPart = if (!wantRecords || aFiles.isEmpty) Seq.empty
+        else {
+          // pinned to the resolved member set; metadata projection only
+          val r = spark.read.format("warc").load(aFiles: _*)
+            .agg(count(lit(1)).cast("long"),
+              sum(col("content_length")).cast("long"),
+              sum(when(col("warc_type") === "response", 1L)
+                .otherwise(0L)).cast("long")).head()
+          Seq(
+            "records" -> r.getLong(0).toString,
+            "content_bytes" -> (if (r.isNullAt(1)) "0"
+              else r.getLong(1).toString),
+            "response_records" -> r.getLong(2).toString)
+        }
+        toDf2(base ++ recordsPart, "metric", "value")
+      }
+
     // COMPACT SHARDS '<in>' INTO '<out>' — merge a micro-batch shard
     // forest into few large trainer-mountable files (TokBin.compact:
     // idx-only sizing pre-pass, coalesce — no shuffle — unless

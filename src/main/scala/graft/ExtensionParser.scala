@@ -157,6 +157,11 @@ object ExtensionParser {
   final case class DescribeVocab(name: String) extends Statement
   final case class DescribeShards(location: String,
       opts: Map[String, String]) extends Statement
+  /** Crawl-tree health audit (r15) — the DESCRIBE SHARDS analogue for
+    * WARC archives: member/byte spread off the listing (or manifest)
+    * alone; records= opts into the metadata-projection record scan. */
+  final case class DescribeArchives(location: String,
+      opts: Map[String, String]) extends Statement
   final case class CompactShards(in: String, out: String,
       opts: Map[String, String]) extends Statement
   /** WARC-archive compaction (r15): merge a crawl's thousands of small
@@ -280,6 +285,9 @@ object ExtensionParser {
   // DESCRIBE SHARDS '<dir-or-glob>' [WITH (vocab='name')]
   private val describeShards =
     re(s"DESCRIBE${ws}SHARDS${ws}'([^']+)'(?:${ws}WITH${ws}\\($kwSpan\\))?")
+  // DESCRIBE ARCHIVES '<dir-or-glob>' [WITH (records='true' | files='true')]
+  private val describeArchives =
+    re(s"DESCRIBE${ws}ARCHIVES${ws}'([^']+)'(?:${ws}WITH${ws}\\($kwSpan\\))?")
   // COMPACT SHARDS '<in-dir-or-glob>' INTO '<out-dir>' WITH (target_tokens_per_shard=N, ...)
   private val compactShards =
     re(s"COMPACT${ws}SHARDS${ws}'([^']+)'${ws}INTO${ws}'([^']+)'(?:${ws}WITH${ws}\\($kwSpan\\))?")
@@ -375,6 +383,9 @@ object ExtensionParser {
       DescribeVocab(name)
     case describeShards(location, kwargs) =>
       DescribeShards(location,
+        Option(kwargs).map(parseKwargs).getOrElse(Map()))
+    case describeArchives(location, kwargs) =>
+      DescribeArchives(location,
         Option(kwargs).map(parseKwargs).getOrElse(Map()))
     case compactShards(in, out, kwargs) =>
       CompactShards(in, out,

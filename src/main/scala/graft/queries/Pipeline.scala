@@ -1638,6 +1638,35 @@ object Pipeline {
         .orderBy("target_uri")
     },
 
+    // DESCRIBE ARCHIVES (r15): the crawl-tree health audit — member
+    // count off the manifest/listing, record metrics through the
+    // metadata-only projection (content blocks skipped, not read).
+    // Oracle-gated on the environment-independent metrics: counts and
+    // content_bytes replay from the documents table (content_length is
+    // the HTTP message byte length the writer recorded); the
+    // gzip-dependent byte-spread metrics are spec-gated instead.
+    Q("p117_describe_archives", Some("""
+      WITH m AS (
+        SELECT 'archives' AS metric, '4' AS value
+        UNION ALL SELECT 'records', CAST(count(*) AS VARCHAR) FROM documents
+        UNION ALL SELECT 'response_records',
+          CAST(count(*) AS VARCHAR) FROM documents
+        UNION ALL SELECT 'content_bytes',
+          CAST(CAST(sum(strlen('HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+            'Content-Type: text/html' || chr(13) || chr(10) || chr(13) || chr(10) ||
+            '<html><body><p>' || replace(text, ' ', '</p><p>') ||
+            '</p></body></html>')) AS BIGINT) AS VARCHAR) FROM documents
+        UNION ALL SELECT 'gzip_archives', '4'
+        UNION ALL SELECT 'manifest', 'present')
+      SELECT metric, value FROM m ORDER BY metric""")) { (s, d) =>
+      val dir = warcFixture(s, d, "desc")
+      new graft.Context(s).sql(
+        s"DESCRIBE ARCHIVES '$dir' WITH (records = 'true')")
+        .filter(col("metric").isin("archives", "records",
+          "response_records", "content_bytes", "gzip_archives", "manifest"))
+        .orderBy("metric")
+    },
+
     // ---- Linear classifier TRAINING (r8): batch GD on logistic loss
     // over exactly linearScore's functional form, completing the
     // CCNet/FineWeb-Edu loop (label a seed set → TRAIN → SCORE the

@@ -601,6 +601,48 @@ class WarcSpec extends AnyFunSuite {
       "a crashed write must not leave any manifest")
   }
 
+  test("DESCRIBE ARCHIVES: byte spread off the listing, records= opt-in scan, files= drill-down, empty-manifest artifact (r15)") {
+    val ctx = new graft.Context(spark)
+    val dir = tmpDir("describe") + "/out"
+    Warc.write(sampleDf(6).repartition(3), dir, gzip = false)
+    def describe(extra: String = "") =
+      ctx.sql(s"DESCRIBE ARCHIVES '$dir'$extra").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    val m = describe()
+    assert(m("archives") == "3" && m("gzip_archives") == "0")
+    assert(m("manifest") == "present")
+    assert(m("bytes_total").toLong > 0 &&
+      m("max_archive_bytes").toLong >= m("min_archive_bytes").toLong)
+    assert(m("archive_skew").toDouble >= 1.0)
+    assert(!m.contains("records"), "the record scan must be opt-in")
+    val mr = describe(" WITH (records = 'true')")
+    assert(mr("records") == "6" && mr("response_records") == "6")
+    assert(mr("content_bytes").toLong > 0)
+    // files='true': one row per member with real bytes + gzip flag
+    val rows = ctx.sql(s"DESCRIBE ARCHIVES '$dir' WITH (files = 'true')")
+      .orderBy("file").collect()
+    assert(rows.length == 3)
+    assert(rows.forall(r => r.getLong(1) > 0 && !r.getBoolean(2)))
+    intercept[IllegalArgumentException] {
+      ctx.sql(s"DESCRIBE ARCHIVES '$dir' WITH (files = 'true', records = 'true')")
+    }
+    intercept[IllegalArgumentException] {
+      ctx.sql(s"DESCRIBE ARCHIVES '$dir' WITH (bogus = 'x')")
+    }
+    // an EMPTY manifest'd artifact audits as zeros; a manifest-less
+    // memberless dir errors as not-an-artifact
+    val empty = tmpDir("describe_empty") + "/out"
+    Warc.write(sampleDf(1).filter(lit(false)).coalesce(1), empty,
+      gzip = false)
+    val me = ctx.sql(s"DESCRIBE ARCHIVES '$empty'").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(me("manifest") == "present" && me("bytes_total").toLong >= 0)
+    val bare = tmpDir("describe_bare")
+    intercept[IllegalArgumentException] {
+      ctx.sql(s"DESCRIBE ARCHIVES '$bare'")
+    }
+  }
+
   test("glob expansion skips hidden names: an in-flight .staging-* is invisible to load('dir/*')") {
     val root = tmpDir("glob")
     Warc.write(sampleDf(2).coalesce(1), s"$root/crawl=1", gzip = false)
