@@ -1207,7 +1207,77 @@ object ScaleProbe {
       }
     }
 
-    val fields = results.map { case (n, s, r) =>
+    val results2 = results ++ {
+      // r15: manifest-vs-listing planning + admission-control drain at a
+      // SHARD-COUNT shape (tiny shards — the cost being probed is
+      // per-file planning/driver work, not data volume). 1024 shards is
+      // ~0.1% of a 100 TB tree's file count but enough to expose the
+      // per-file terms; on an object store every listStatus page is an
+      // RPC where the manifest is one GET.
+      if (!wanted("manifest") && !wanted("admission"))
+        Seq.empty[(String, Double, Long)]
+      else {
+        val conf = spark.sparkContext.hadoopConfiguration
+        val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_manifest_probe_$rep").toString
+        val fsP = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+        fsP.delete(new org.apache.hadoop.fs.Path(dir), true)
+        fsP.mkdirs(new org.apache.hadoop.fs.Path(dir))
+        val nShards = 1024
+        (0 until nShards).foreach { k =>
+          graft.sources.TokBin.writeShardPartition(
+            Iterator(org.apache.spark.sql.Row(Seq(k))), dir, k,
+            s"pm-$k", conf, wantDoc = false)
+        }
+        graft.sources.ShardManifest.write(fsP, dir)
+        // planning + stats cycle, the per-query driver cost on a big tree
+        def planOnce(): Long = {
+          val df = spark.read.format("tokbin").load(dir)
+            .select("file", "n_tokens")
+          df.queryExecution.optimizedPlan.stats.sizeInBytes.toLong +
+            df.rdd.getNumPartitions
+        }
+        val cycles = 20
+        planOnce() // warm codegen/session paths outside both windows
+        val tM0 = System.nanoTime()
+        (0 until cycles).foreach(_ => planOnce())
+        val tManifest = (System.nanoTime() - tM0) / 1e9
+        fsP.delete(
+          new org.apache.hadoop.fs.Path(dir, "_MANIFEST.json"), false)
+        val tL0 = System.nanoTime()
+        (0 until cycles).foreach(_ => planOnce())
+        val tListing = (System.nanoTime() - tL0) / 1e9
+        // admission drain: the 1024-file cold backlog under a 128-file
+        // bound — bounded batches, exactly-once, bounded offset JSON
+        val stream = new graft.sources.TokBinMicroBatchStream(
+          Seq(dir), null, 3600000L, Some(128))
+        var committed = stream.initialOffset()
+        var drained = 0L
+        var batches = 0L
+        var maxOffsetBytes = 0L
+        val tA0 = System.nanoTime()
+        var more = true
+        while (more) {
+          val end = stream.latestOffset(committed,
+            org.apache.spark.sql.connector.read.streaming.ReadLimit
+              .maxFiles(128))
+          val batch = stream.planInputPartitions(committed, end)
+          maxOffsetBytes = math.max(maxOffsetBytes,
+            end.asInstanceOf[graft.sources.TailOffset].json().length.toLong)
+          if (batch.isEmpty) more = false
+          else { drained += batch.length; batches += 1; committed = end }
+        }
+        val tDrain = (System.nanoTime() - tA0) / 1e9
+        require(drained == nShards, s"drain lost files: $drained")
+        Seq(
+          (s"plan20x_${nShards}sh_manifest", tManifest, nShards.toLong),
+          (s"plan20x_${nShards}sh_listing", tListing, nShards.toLong),
+          (s"admission_drain_${nShards}f_128", tDrain, batches),
+          ("admission_offset_max_bytes", tDrain, maxOffsetBytes))
+      }
+    }
+
+    val fields = results2.map { case (n, s, r) =>
       f""""$n":{"sec":$s%.1f,"rows":$r}"""
     }
     println(s"""{"metric":"scale_probe","docs":$nDocs,"rep":$rep,""" +
