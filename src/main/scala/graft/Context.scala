@@ -1292,9 +1292,17 @@ class Context(val spark: SparkSession) {
           "gzip_archives" -> aFiles.count(_.endsWith(".gz")).toString,
           "manifest" ->
             (if (aManifested.isDefined) "present" else "absent"))
-        val recordsPart = if (!wantRecords || aFiles.isEmpty) Seq.empty
+        val recordsPart = if (!wantRecords) Seq.empty
+        else if (aFiles.isEmpty)
+          // the empty-but-valid artifact audits as zeros here too — a
+          // consumer that asked for record metrics must not get missing
+          // keys (r15 third review)
+          Seq("records" -> "0", "content_bytes" -> "0",
+            "response_records" -> "0")
         else {
-          // pinned to the resolved member set; metadata projection only
+          // pinned to the resolved member set; metadata projection only.
+          // BOTH sums are NULL when the members parse to zero records
+          // (record-less drops) — guard each (r15 third review)
           val r = spark.read.format("warc").load(aFiles: _*)
             .agg(count(lit(1)).cast("long"),
               sum(col("content_length")).cast("long"),
@@ -1304,7 +1312,8 @@ class Context(val spark: SparkSession) {
             "records" -> r.getLong(0).toString,
             "content_bytes" -> (if (r.isNullAt(1)) "0"
               else r.getLong(1).toString),
-            "response_records" -> r.getLong(2).toString)
+            "response_records" -> (if (r.isNullAt(2)) "0"
+              else r.getLong(2).toString))
         }
         toDf2(base ++ recordsPart, "metric", "value")
       }

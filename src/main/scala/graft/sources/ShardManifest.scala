@@ -78,30 +78,58 @@ object ShardManifest {
   /** Parse a directory's manifest: None when absent or unreadable
     * (fall back to listing); entries when present. One GET, no LIST. */
   def read(fs: FileSystem, dir: Path): Option[Seq[Entry]] =
+    readArray(fs, dir, "shards").flatMap { nodes =>
+      val out = Seq.newBuilder[Entry]
+      nodes.foreach { e =>
+        if (!e.hasNonNull("bin") || !e.hasNonNull("bin_len") ||
+          !e.hasNonNull("idx_len")) return None
+        out += Entry(e.get("bin").asText(), e.get("bin_len").asLong(),
+          e.get("idx_len").asLong(),
+          if (e.hasNonNull("doc_len")) Some(e.get("doc_len").asLong())
+          else None)
+      }
+      Some(out.result())
+    }
+
+  /** Open the manifest and extract its `key` array — the shared parse
+    * skeleton behind both flavors (r15 third review: the two readers
+    * had re-implemented it). None when the file is absent or unreadable
+    * (JacksonException extends IOException, so parse failures land in
+    * the same listing-fallback) or the key is missing — which is also
+    * how each flavor safely rejects the OTHER flavor's manifest. */
+  private def readArray(fs: FileSystem, dir: Path, key: String):
+      Option[Seq[com.fasterxml.jackson.databind.JsonNode]] =
     try {
       val in = fs.open(new Path(dir, Name))
       val node = try WarcOffset.mapper.readTree(in) finally in.close()
-      val shards = node.get("shards")
-      if (shards == null || !shards.isArray) None
+      val arr = node.get(key)
+      if (arr == null || !arr.isArray) None
       else {
-        val out = Seq.newBuilder[Entry]
-        val it = shards.elements()
-        while (it.hasNext) {
-          val e = it.next()
-          if (!e.hasNonNull("bin") || !e.hasNonNull("bin_len") ||
-            !e.hasNonNull("idx_len")) return None
-          out += Entry(e.get("bin").asText(), e.get("bin_len").asLong(),
-            e.get("idx_len").asLong(),
-            if (e.hasNonNull("doc_len")) Some(e.get("doc_len").asLong())
-            else None)
-        }
+        val out = Seq.newBuilder[com.fasterxml.jackson.databind.JsonNode]
+        val it = arr.elements()
+        while (it.hasNext) out += it.next()
         Some(out.result())
       }
     } catch {
-      // JacksonException extends IOException, so parse failures and
-      // absent/unreadable files all land here → listing fallback
       case _: java.io.IOException => None
     }
+
+  /** All-or-nothing per-path resolution shared by both flavors: Some
+    * iff EVERY path is a non-glob directory whose manifest parses. */
+  private def resolveAll[T](paths: Seq[String], conf: Configuration)(
+      entriesOf: (FileSystem, Path) => Option[Seq[T]]):
+      Option[Seq[(Path, Seq[T])]] = {
+    if (paths.isEmpty) return None
+    Some(paths.map { s =>
+      if (FilePruning.isGlobPath(s)) return None
+      val p = new Path(s)
+      val fs = p.getFileSystem(conf)
+      entriesOf(fs, p) match {
+        case Some(entries) => (fs.makeQualified(p), entries)
+        case None => return None
+      }
+    })
+  }
 
   // ---- WARC flavor (r15): same file name, an `archives` key instead
   // of `shards` — each flavor's reader returns None on the other's
@@ -127,51 +155,32 @@ object ShardManifest {
 
   /** Parse a directory's WARC manifest: (relative name, bytes). */
   private def readWarc(fs: FileSystem, dir: Path): Option[Seq[(String, Long)]] =
-    try {
-      val in = fs.open(new Path(dir, Name))
-      val node = try WarcOffset.mapper.readTree(in) finally in.close()
-      val arch = node.get("archives")
-      if (arch == null || !arch.isArray) None
-      else {
-        val out = Seq.newBuilder[(String, Long)]
-        val it = arch.elements()
-        while (it.hasNext) {
-          val e = it.next()
-          if (!e.hasNonNull("file") || !e.hasNonNull("len")) return None
-          out += ((e.get("file").asText(), e.get("len").asLong()))
-        }
-        Some(out.result())
+    readArray(fs, dir, "archives").flatMap { nodes =>
+      val out = Seq.newBuilder[(String, Long)]
+      nodes.foreach { e =>
+        if (!e.hasNonNull("file") || !e.hasNonNull("len")) return None
+        out += ((e.get("file").asText(), e.get("len").asLong()))
       }
-    } catch {
-      case _: java.io.IOException => None
+      Some(out.result())
     }
 
   /** [[forPaths]] for the WARC flavor: absolute sorted member paths +
     * their byte sizes, Some iff every path is a non-glob directory with
     * a parsing archives-manifest. */
   def forWarcPaths(paths: Seq[String],
-      conf: Configuration): Option[(Seq[String], Map[String, Long])] = {
-    if (paths.isEmpty) return None
-    val resolved = paths.map { s =>
-      if (FilePruning.isGlobPath(s)) return None
-      val p = new Path(s)
-      val fs = p.getFileSystem(conf)
-      readWarc(fs, p) match {
-        case Some(entries) => (fs.makeQualified(p), entries)
-        case None => return None
+      conf: Configuration): Option[(Seq[String], Map[String, Long])] =
+    resolveAll(paths, conf)(readWarc).map { resolved =>
+      val files = Seq.newBuilder[String]
+      val lens = Map.newBuilder[String, Long]
+      resolved.foreach { case (dir, entries) =>
+        entries.foreach { case (n, len) =>
+          val abs = new Path(dir, n).toString
+          files += abs
+          lens += abs -> len
+        }
       }
+      (files.result().sorted, lens.result())
     }
-    val files = Seq.newBuilder[String]
-    val lens = Map.newBuilder[String, Long]
-    resolved.foreach { case (dir, entries) =>
-      entries.foreach { case (n, len) =>
-        val abs = new Path(dir, n).toString
-        files += abs
-        lens += abs -> len
-      }
-    }
-    Some((files.result().sorted, lens.result()))
-  }
 
   /** Atomic JSON commit shared by both flavors: temp + delete + rename;
     * the gap only ever exposes the no-manifest listing fallback. */
@@ -198,29 +207,20 @@ object ShardManifest {
     * paths), so partition planning AND statistics run with zero
     * directory listings. */
   def forPaths(paths: Seq[String],
-      conf: Configuration): Option[(Seq[String], Map[String, Long])] = {
-    if (paths.isEmpty) return None
-    val resolved = paths.map { s =>
-      if (FilePruning.isGlobPath(s)) return None
-      val p = new Path(s)
-      val fs = p.getFileSystem(conf)
-      read(fs, p) match {
-        case Some(entries) => (fs.makeQualified(p), entries)
-        case None => return None
+      conf: Configuration): Option[(Seq[String], Map[String, Long])] =
+    resolveAll(paths, conf)(read).map { resolved =>
+      val files = Seq.newBuilder[String]
+      val lens = Map.newBuilder[String, Long]
+      resolved.foreach { case (dir, entries) =>
+        entries.foreach { e =>
+          val bin = new Path(dir, e.bin).toString
+          files += bin
+          lens += bin -> e.binLen
+          lens += bin.stripSuffix(".bin") + ".idx" -> e.idxLen
+          e.docLen.foreach(l =>
+            lens += bin.stripSuffix(".bin") + ".doc" -> l)
+        }
       }
+      (files.result().sorted, lens.result())
     }
-    val files = Seq.newBuilder[String]
-    val lens = Map.newBuilder[String, Long]
-    resolved.foreach { case (dir, entries) =>
-      entries.foreach { e =>
-        val bin = new Path(dir, e.bin).toString
-        files += bin
-        lens += bin -> e.binLen
-        lens += bin.stripSuffix(".bin") + ".idx" -> e.idxLen
-        e.docLen.foreach(l =>
-          lens += bin.stripSuffix(".bin") + ".doc" -> l)
-      }
-    }
-    Some((files.result().sorted, lens.result()))
-  }
 }

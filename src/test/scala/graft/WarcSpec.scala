@@ -641,6 +641,22 @@ class WarcSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       ctx.sql(s"DESCRIBE ARCHIVES '$bare'")
     }
+    // record-LESS members (zero-byte drops): the opt-in scan reports
+    // zeros, never NPEs on the all-NULL aggregate (r15 third review)
+    val recless = tmpDir("describe_recless") + "/out"
+    val fR = new org.apache.hadoop.fs.Path(recless).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fR.mkdirs(new org.apache.hadoop.fs.Path(recless))
+    fR.create(new org.apache.hadoop.fs.Path(recless, "empty.warc"),
+      true).close()
+    val mz = ctx.sql(s"DESCRIBE ARCHIVES '$recless' WITH (records = 'true')")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(mz("archives") == "1" && mz("records") == "0" &&
+      mz("content_bytes") == "0" && mz("response_records") == "0")
+    // records='true' on the EMPTY manifest'd artifact reports zeros too
+    val mze = ctx.sql(s"DESCRIBE ARCHIVES '$empty' WITH (records = 'true')")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(mze("records") == "0" && mze("response_records") == "0")
   }
 
   test("glob expansion skips hidden names: an in-flight .staging-* is invisible to load('dir/*')") {
