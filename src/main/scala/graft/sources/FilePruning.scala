@@ -36,11 +36,12 @@ object FilePruning {
     * (r15 review: tokbin and WARC had drifted back into line-for-line
     * copies): glob paths expand with hidden matches dropped, matched
     * directories list their `keep`-suffixed non-hidden files,
-    * explicitly named files are taken as-is. Returns (path, mtime)
-    * sorted by path — mtimes feed the streaming tail's compacted
-    * offsets from the same single listing pass. */
+    * explicitly named files are taken as-is. Returns (path, mtime,
+    * bytes) sorted by path — mtimes feed the streaming tail's compacted
+    * offsets, byte sizes its byte-based admission control, all from the
+    * same single listing pass. */
   def listWithMtime(paths: Seq[String], conf: Configuration)(
-      keep: String => Boolean): Seq[(String, Long)] =
+      keep: String => Boolean): Seq[(String, Long, Long)] =
     paths.flatMap { p =>
       val path = new Path(p)
       val fs = path.getFileSystem(conf)
@@ -53,7 +54,7 @@ object FilePruning {
             keep(s.getPath.getName) && !isHidden(s.getPath.getName))
         else Seq(st)
       }
-    }.map(st => (st.getPath.toString, st.getModificationTime))
+    }.map(st => (st.getPath.toString, st.getModificationTime, st.getLen))
       .sortBy(_._1)
 
   /** Compaction output-overlap guard, shared by COMPACT SHARDS and

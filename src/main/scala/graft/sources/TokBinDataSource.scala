@@ -62,7 +62,7 @@ object TokBinRead {
     * (mtime, name) offsets (r15) — one pass, no extra RPCs; expansion
     * semantics shared with the WARC lister ([[FilePruning.listWithMtime]]). */
   private[graft] def listFilesWithMtime(paths: Seq[String],
-      conf: Configuration): Seq[(String, Long)] =
+      conf: Configuration): Seq[(String, Long, Long)] =
     FilePruning.listWithMtime(paths, conf)(_.endsWith(".bin"))
 }
 
@@ -97,12 +97,15 @@ class TokBinTable(properties: java.util.Map[String, String])
     new TokBinScanBuilder(paths, FileTailMicroBatchStream.parseLateness(
       Option(options.get("lateness"))),
       FileTailMicroBatchStream.parseMaxFiles(
-        Option(options.get("max_files_per_trigger"))))
+        Option(options.get("max_files_per_trigger"))),
+      FileTailMicroBatchStream.parseMaxBytes(
+        Option(options.get("max_bytes_per_trigger"))))
 }
 
 class TokBinScanBuilder(paths: Seq[String],
     latenessMs: Long = FileTailMicroBatchStream.DefaultLatenessMs,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: StructType = TokBinRead.schema
@@ -131,13 +134,14 @@ class TokBinScanBuilder(paths: Seq[String],
 
   override def build(): Scan =
     new TokBinScan(paths, required, fileFilters, latenessMs,
-      maxFilesPerTrigger)
+      maxFilesPerTrigger, maxBytesPerTrigger)
 }
 
 class TokBinScan(paths: Seq[String], required: StructType,
     fileFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
     latenessMs: Long = FileTailMicroBatchStream.DefaultLatenessMs,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
@@ -217,7 +221,7 @@ class TokBinScan(paths: Seq[String], required: StructType,
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new TokBinMicroBatchStream(paths, required, latenessMs,
-      maxFilesPerTrigger)
+      maxFilesPerTrigger, maxBytesPerTrigger)
 }
 
 /** Streaming tail of a GROWING shard directory (r13 verdict missing #3) —
@@ -239,9 +243,11 @@ class TokBinScan(paths: Seq[String], required: StructType,
   * be claimed. */
 class TokBinMicroBatchStream(paths: Seq[String], required: StructType,
     latenessMs: Long = FileTailMicroBatchStream.DefaultLatenessMs,
-    maxFilesPerTrigger: Option[Int] = None)
-    extends FileTailMicroBatchStream(latenessMs, maxFilesPerTrigger) {
-  protected def listNow(): Seq[(String, Long)] =
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
+    extends FileTailMicroBatchStream(latenessMs, maxFilesPerTrigger,
+      maxBytesPerTrigger) {
+  protected def listNow(): Seq[(String, Long, Long)] =
     TokBinRead.listFilesWithMtime(paths, conf)
   protected def mkPartition(file: String): InputPartition =
     TokBinInputPartition(file)

@@ -176,7 +176,7 @@ object Warc {
     * round of RPCs; expansion semantics shared with the tokbin lister
     * ([[FilePruning.listWithMtime]]). */
   private[graft] def listFilesWithMtime(paths: Seq[String],
-      conf: Configuration): Seq[(String, Long)] =
+      conf: Configuration): Seq[(String, Long, Long)] =
     FilePruning.listWithMtime(paths, conf)(n =>
       n.endsWith(".warc") || n.endsWith(".warc.gz"))
 
@@ -348,12 +348,15 @@ class WarcTable(properties: java.util.Map[String, String])
     new WarcScanBuilder(paths, FileTailMicroBatchStream.parseLateness(
       Option(options.get("lateness"))),
       FileTailMicroBatchStream.parseMaxFiles(
-        Option(options.get("max_files_per_trigger"))))
+        Option(options.get("max_files_per_trigger"))),
+      FileTailMicroBatchStream.parseMaxBytes(
+        Option(options.get("max_bytes_per_trigger"))))
 }
 
 class WarcScanBuilder(paths: Seq[String],
     latenessMs: Long = FileTailMicroBatchStream.DefaultLatenessMs,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: StructType = Warc.schema
@@ -379,13 +382,14 @@ class WarcScanBuilder(paths: Seq[String],
 
   override def build(): Scan =
     new WarcScan(paths, required, fileFilters, latenessMs,
-      maxFilesPerTrigger)
+      maxFilesPerTrigger, maxBytesPerTrigger)
 }
 
 class WarcScan(paths: Seq[String], required: StructType,
     fileFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
     latenessMs: Long = FileTailMicroBatchStream.DefaultLatenessMs,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
@@ -461,7 +465,7 @@ class WarcScan(paths: Seq[String], required: StructType,
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new WarcMicroBatchStream(paths, required, latenessMs,
-      maxFilesPerTrigger)
+      maxFilesPerTrigger, maxBytesPerTrigger)
 }
 
 /** Streaming WARC ingest — `spark.readStream.format("warc").load(dir)`
@@ -478,9 +482,11 @@ class WarcScan(paths: Seq[String], required: StructType,
   * ignored as stale. */
 class WarcMicroBatchStream(paths: Seq[String], required: StructType,
     latenessMs: Long = FileTailMicroBatchStream.DefaultLatenessMs,
-    maxFilesPerTrigger: Option[Int] = None)
-    extends FileTailMicroBatchStream(latenessMs, maxFilesPerTrigger) {
-  protected def listNow(): Seq[(String, Long)] =
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
+    extends FileTailMicroBatchStream(latenessMs, maxFilesPerTrigger,
+      maxBytesPerTrigger) {
+  protected def listNow(): Seq[(String, Long, Long)] =
     Warc.listFilesWithMtime(paths, conf)
   protected def mkPartition(file: String): InputPartition =
     WarcInputPartition(file)
@@ -520,13 +526,14 @@ class WarcMicroBatchStream(paths: Seq[String], required: StructType,
   * over the two offsets — restart-from-checkpoint replans the exact
   * pending set with no source-side state. */
 abstract class FileTailMicroBatchStream(latenessMs: Long,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
-  /** Current universe of (file, mtime), sorted by path. */
-  protected def listNow(): Seq[(String, Long)]
+  /** Current universe of (file, mtime, bytes), sorted by path. */
+  protected def listNow(): Seq[(String, Long, Long)]
   protected def mkPartition(file: String): InputPartition
 
   protected final def conf: org.apache.hadoop.conf.Configuration =
@@ -557,37 +564,54 @@ abstract class FileTailMicroBatchStream(latenessMs: Long,
     * after the cutoff — with a backlog it grows with the claimed set
     * and compacts back to the lateness horizon once the tail catches
     * up. */
-  override def getDefaultReadLimit: ReadLimit =
-    maxFilesPerTrigger.map(ReadLimit.maxFiles)
-      .getOrElse(ReadLimit.allAvailable())
-
-  private def maxFilesOf(limit: ReadLimit): Int = limit match {
-    case f: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
-      f.maxFiles()
-    case c: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
-      val fs = c.getReadLimits.collect {
-        case f: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
-          f.maxFiles()
-      }
-      if (fs.isEmpty) Int.MaxValue else fs.min
-    case _ => Int.MaxValue // allAvailable / row- and byte-based limits:
-      // files are the admission unit here; admit everything
+  override def getDefaultReadLimit: ReadLimit = {
+    val parts = maxFilesPerTrigger.map(ReadLimit.maxFiles).toSeq ++
+      maxBytesPerTrigger.map(ReadLimit.maxBytes).toSeq
+    parts match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
   }
 
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    advance(maxFilesOf(limit))
+  private def boundsOf(limit: ReadLimit): (Int, Long) = limit match {
+    case f: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+      (f.maxFiles(), Long.MaxValue)
+    case b: org.apache.spark.sql.connector.read.streaming.ReadMaxBytes =>
+      (Int.MaxValue, b.maxBytes())
+    case c: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
+      val parts = c.getReadLimits.map(boundsOf)
+      (parts.map(_._1).min, parts.map(_._2).min)
+    case _ => (Int.MaxValue, Long.MaxValue) // allAvailable / row limits:
+      // rows are unknowable pre-parse; admit everything
+  }
 
-  override def latestOffset(): Offset = advance(Int.MaxValue)
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val (f, b) = boundsOf(limit)
+    advance(f, b)
+  }
 
-  private def advance(maxFiles: Int): TailOffset = {
+  override def latestOffset(): Offset =
+    advance(Int.MaxValue, Long.MaxValue)
+
+  private def advance(maxFiles: Int, maxBytes: Long): TailOffset = {
     val listed = listNow()
     if (listed.isEmpty) return prev
     val seenNames = prev.names
-    val unseen = listed.filter { case (n, m) =>
+    val unseen = listed.filter { case (n, m, _) =>
       m >= prev.cutoff && !seenNames.contains(n)
-    }.sortBy { case (n, m) => (m, n) } // oldest first
-    val admitted = unseen.take(maxFiles)
-    val pending = unseen.drop(maxFiles)
+    }.sortBy { case (n, m, _) => (m, n) } // oldest first
+    // admit up to maxFiles AND maxBytes (cumulative listed size; the
+    // first file always admits so an over-budget single file cannot
+    // stall the stream)
+    var nAdm = 0
+    var bytesAdm = 0L
+    val admitted = unseen.takeWhile { case (_, _, len) =>
+      val ok = nAdm == 0 || (nAdm < maxFiles && bytesAdm + len <= maxBytes)
+      if (ok) { nAdm += 1; bytesAdm += len }
+      ok
+    }
+    val pending = unseen.drop(admitted.size)
     val desired = satSub(listed.iterator.map(_._2).max, latenessMs)
     // the cutoff may only pass CLAIMED files: with a pending backlog it
     // is pinned below the oldest unadmitted mtime; admitted files ride
@@ -598,7 +622,8 @@ abstract class FileTailMicroBatchStream(latenessMs: Long,
       else math.min(desired, pending.iterator.map(_._2).min))
     val retained = prev.files.filter(_._2 >= cut)
     val next = TailOffset(cut,
-      (retained ++ admitted).distinct.sortBy(f => (f._1, f._2)))
+      (retained ++ admitted.map(t => (t._1, t._2)))
+        .distinct.sortBy(f => (f._1, f._2)))
     prev = next
     next
   }
@@ -633,6 +658,24 @@ object FileTailMicroBatchStream {
       }
       require(n > 0, s"max_files_per_trigger='$s' must be positive")
       n
+    }
+
+  /** `max_bytes_per_trigger=` reader option: positive bytes, with an
+    * optional k/m/g suffix (binary multiples), or absent (no bound). */
+  def parseMaxBytes(v: Option[String]): Option[Long] =
+    v.map(_.trim.toLowerCase).filter(_.nonEmpty).map { s =>
+      val (num, mult) = s.last match {
+        case 'g' => (s.dropRight(1), 1L << 30)
+        case 'm' => (s.dropRight(1), 1L << 20)
+        case 'k' => (s.dropRight(1), 1L << 10)
+        case _ => (s, 1L)
+      }
+      val n = try num.trim.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"max_bytes_per_trigger='$s': expected bytes (k/m/g suffix ok)")
+      }
+      require(n > 0, s"max_bytes_per_trigger='$s' must be positive")
+      if (n > Long.MaxValue / mult) Long.MaxValue else n * mult
     }
 
   /** `lateness=` reader option: plain milliseconds, an s/m/h/d-suffixed

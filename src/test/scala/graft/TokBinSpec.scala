@@ -1217,6 +1217,55 @@ class TokBinSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("byte-based admission: max_bytes_per_trigger bounds batches by listed size; oversized file admits alone; composite honors both (r15)") {
+    import graft.sources.{TokBinMicroBatchStream, TailOffset}
+    val watch = tmpDir("admission_bytes")
+    val f = fs(watch)
+    f.mkdirs(new org.apache.hadoop.fs.Path(watch))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = 1700000000000L
+    // six 1-token shards: each .bin is exactly 4 bytes
+    for (k <- 1 to 6) {
+      TokBin.writeShardPartition(rowsOf(Seq(Seq(k))), watch, k,
+        s"b-$k", conf, wantDoc = false)
+      f.setTimes(new org.apache.hadoop.fs.Path(watch, f"part-$k%05d.bin"),
+        base + k * 1000L, -1)
+    }
+    def drain(stream: TokBinMicroBatchStream): Seq[Int] = {
+      var committed: org.apache.spark.sql.connector.read.streaming.Offset =
+        stream.initialOffset()
+      var sizes = Vector.empty[Int]
+      var more = true
+      while (more) {
+        val end = stream.latestOffset(committed, stream.getDefaultReadLimit)
+        val n = stream.planInputPartitions(committed, end).length
+        if (n == 0) more = false else { sizes :+= n; committed = end }
+      }
+      sizes
+    }
+    // a 10-byte budget admits two 4-byte shards per batch
+    val byBytes = new TokBinMicroBatchStream(Seq(watch), null,
+      3600000L, None, Some(10L))
+    assert(drain(byBytes) == Seq(2, 2, 2))
+    // composite (files=4, bytes=10): the tighter bound wins
+    val both = new TokBinMicroBatchStream(Seq(watch), null,
+      3600000L, Some(4), Some(10L))
+    assert(drain(both) == Seq(2, 2, 2))
+    // composite (files=1, bytes huge): the file bound wins
+    val byFile = new TokBinMicroBatchStream(Seq(watch), null,
+      3600000L, Some(1), Some(1L << 30))
+    assert(drain(byFile) == Seq(1, 1, 1, 1, 1, 1))
+    // an over-budget SINGLE file admits alone instead of stalling
+    TokBin.writeShardPartition(rowsOf(Seq(Seq(1, 2, 3, 4, 5, 6, 7))),
+      watch, 9, "b-9", conf, wantDoc = false) // 28-byte .bin > 10
+    f.setTimes(new org.apache.hadoop.fs.Path(watch, "part-00009.bin"),
+      base + 9000L, -1)
+    val again = new TokBinMicroBatchStream(Seq(watch), null,
+      3600000L, None, Some(10L))
+    assert(drain(again) == Seq(2, 2, 2, 1),
+      "the oversized straggler must admit alone, not stall the stream")
+  }
+
   test("max_files_per_trigger= option validates (r15)") {
     import graft.sources.FileTailMicroBatchStream.parseMaxFiles
     assert(parseMaxFiles(None).isEmpty)
@@ -1224,6 +1273,14 @@ class TokBinSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { parseMaxFiles(Some("zero")) }
     intercept[IllegalArgumentException] { parseMaxFiles(Some("0")) }
     intercept[IllegalArgumentException] { parseMaxFiles(Some("-4")) }
+    import graft.sources.FileTailMicroBatchStream.parseMaxBytes
+    assert(parseMaxBytes(None).isEmpty)
+    assert(parseMaxBytes(Some("4096")).contains(4096L))
+    assert(parseMaxBytes(Some("64k")).contains(64L << 10))
+    assert(parseMaxBytes(Some("512M")).contains(512L << 20))
+    assert(parseMaxBytes(Some("2g")).contains(2L << 30))
+    intercept[IllegalArgumentException] { parseMaxBytes(Some("lots")) }
+    intercept[IllegalArgumentException] { parseMaxBytes(Some("0")) }
   }
 
   test("lateness= option parses durations and rejects garbage (r15)") {
