@@ -554,16 +554,19 @@ abstract class FileTailMicroBatchStream(latenessMs: Long,
 
   override def initialOffset(): Offset = TailOffset(Long.MinValue, Seq.empty)
 
-  /** ADMISSION CONTROL (r15): `max_files_per_trigger=` bounds every
-    * micro-batch — without it, the cold start over a years-old forest
-    * (or a restart after long downtime) plans the ENTIRE backlog as
-    * one unbounded batch. Oldest-(mtime, name)-first admission keeps
-    * delivery order stable; unadmitted files stay unclaimed (the
-    * cutoff never passes them), so the backlog drains across triggers
-    * exactly-once. The offset window holds the CLAIMED files at-or-
-    * after the cutoff — with a backlog it grows with the claimed set
-    * and compacts back to the lateness horizon once the tail catches
-    * up. */
+  /** ADMISSION CONTROL (r15): `max_files_per_trigger=` and/or
+    * `max_bytes_per_trigger=` bound every micro-batch — without them,
+    * the cold start over a years-old forest (or a restart after long
+    * downtime) plans the ENTIRE backlog as one unbounded batch.
+    * Oldest-(mtime, name)-first admission keeps delivery order stable;
+    * a batch takes files while BOTH the file count and the cumulative
+    * listed bytes fit, except that an over-budget SINGLE file always
+    * admits alone (it can never stall the stream). Unadmitted files
+    * stay unclaimed (the cutoff never passes them), so the backlog
+    * drains across triggers exactly-once. The offset window holds the
+    * CLAIMED files at-or-after the cutoff — with a backlog it grows
+    * with the claimed set and compacts back to the lateness horizon
+    * once the tail catches up. */
   override def getDefaultReadLimit: ReadLimit = {
     val parts = maxFilesPerTrigger.map(ReadLimit.maxFiles).toSeq ++
       maxBytesPerTrigger.map(ReadLimit.maxBytes).toSeq
@@ -581,7 +584,9 @@ abstract class FileTailMicroBatchStream(latenessMs: Long,
       (Int.MaxValue, b.maxBytes())
     case c: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
       val parts = c.getReadLimits.map(boundsOf)
-      (parts.map(_._1).min, parts.map(_._2).min)
+      if (parts.isEmpty) (Int.MaxValue, Long.MaxValue) // tolerate an
+        // empty composite (the old maxFilesOf guard): admit everything
+      else (parts.map(_._1).min, parts.map(_._2).min)
     case _ => (Int.MaxValue, Long.MaxValue) // allAvailable / row limits:
       // rows are unknowable pre-parse; admit everything
   }
@@ -648,6 +653,25 @@ abstract class FileTailMicroBatchStream(latenessMs: Long,
 object FileTailMicroBatchStream {
   val DefaultLatenessMs: Long = 3600L * 1000 // 1 hour
 
+  /** The one suffixed-number scaffold behind every sizing option (r15
+    * fourth review: two hand-rolled copies had already drifted on case
+    * handling): lower-cased suffix looked up in `suffixes`, overflow
+    * clamped to Long.MaxValue, failures labeled with the option name. */
+  private def parseSuffixed(s: String, what: String, expected: String,
+      suffixes: Map[Char, Long]): Long = {
+    val last = s.last.toLower
+    val (num, mult) = suffixes.get(last) match {
+      case Some(m) => (s.dropRight(1), m)
+      case None => (s, 1L)
+    }
+    val n = try num.trim.toLong catch {
+      case _: NumberFormatException =>
+        throw new IllegalArgumentException(s"$what='$s': expected $expected")
+    }
+    require(n >= 0, s"$what='$s' must be non-negative")
+    if (mult != 1L && n > Long.MaxValue / mult) Long.MaxValue else n * mult
+  }
+
   /** `max_files_per_trigger=` reader option: positive int, or absent
     * (no admission bound). */
   def parseMaxFiles(v: Option[String]): Option[Int] =
@@ -663,41 +687,25 @@ object FileTailMicroBatchStream {
   /** `max_bytes_per_trigger=` reader option: positive bytes, with an
     * optional k/m/g suffix (binary multiples), or absent (no bound). */
   def parseMaxBytes(v: Option[String]): Option[Long] =
-    v.map(_.trim.toLowerCase).filter(_.nonEmpty).map { s =>
-      val (num, mult) = s.last match {
-        case 'g' => (s.dropRight(1), 1L << 30)
-        case 'm' => (s.dropRight(1), 1L << 20)
-        case 'k' => (s.dropRight(1), 1L << 10)
-        case _ => (s, 1L)
-      }
-      val n = try num.trim.toLong catch {
-        case _: NumberFormatException => throw new IllegalArgumentException(
-          s"max_bytes_per_trigger='$s': expected bytes (k/m/g suffix ok)")
-      }
+    v.map(_.trim).filter(_.nonEmpty).map { s =>
+      val n = parseSuffixed(s, "max_bytes_per_trigger",
+        "bytes (k/m/g suffix ok)",
+        Map('k' -> (1L << 10), 'm' -> (1L << 20), 'g' -> (1L << 30)))
       require(n > 0, s"max_bytes_per_trigger='$s' must be positive")
-      if (n > Long.MaxValue / mult) Long.MaxValue else n * mult
+      n
     }
 
   /** `lateness=` reader option: plain milliseconds, an s/m/h/d-suffixed
     * duration, or 'max' (keep every name explicit forever). */
-  def parseLateness(v: Option[String]): Long = v.map(_.trim) match {
-    case None | Some("") => DefaultLatenessMs
-    case Some("max") => Long.MaxValue
-    case Some(s) =>
-      val (num, mult) = s.last match {
-        case 'd' => (s.dropRight(1), 86400000L)
-        case 'h' => (s.dropRight(1), 3600000L)
-        case 'm' => (s.dropRight(1), 60000L)
-        case 's' => (s.dropRight(1), 1000L)
-        case _ => (s, 1L)
-      }
-      val n = try num.trim.toLong catch {
-        case _: NumberFormatException => throw new IllegalArgumentException(
-          s"lateness='$s': expected milliseconds, an s/m/h/d duration, or 'max'")
-      }
-      require(n >= 0, s"lateness='$s' must be non-negative")
-      if (mult != 1L && n > Long.MaxValue / mult) Long.MaxValue else n * mult
-  }
+  def parseLateness(v: Option[String]): Long =
+    v.map(_.trim) match {
+      case None | Some("") => DefaultLatenessMs
+      case Some(s) if s.equalsIgnoreCase("max") => Long.MaxValue
+      case Some(s) => parseSuffixed(s, "lateness",
+        "milliseconds, an s/m/h/d duration, or 'max'",
+        Map('s' -> 1000L, 'm' -> 60000L, 'h' -> 3600000L,
+          'd' -> 86400000L))
+    }
 }
 
 /** Compacted streaming offset: files with mtime < `cutoff` are

@@ -1292,6 +1292,10 @@ class TokBinSpec extends AnyFunSuite {
     assert(parseLateness(Some("2h")) == 7200000L)
     assert(parseLateness(Some("7d")) == 604800000L)
     assert(parseLateness(Some("max")) == Long.MaxValue)
+    // suffix case-insensitivity is uniform across sizing options (r15
+    // fourth review: the two parsers had drifted on it)
+    assert(parseLateness(Some("2H")) == 7200000L)
+    assert(parseLateness(Some("MAX")) == Long.MaxValue)
     intercept[IllegalArgumentException] { parseLateness(Some("soon")) }
     intercept[IllegalArgumentException] { parseLateness(Some("-5s")) }
   }
