@@ -659,6 +659,26 @@ class WarcSpec extends AnyFunSuite {
     assert(mze("records") == "0" && mze("response_records") == "0")
   }
 
+  test("admission options thread through the WARC source: max_files_per_trigger drains a drop dir in bounded batches (r15)") {
+    val watch = tmpDir("admit")
+    (1 to 3).foreach { k =>
+      Warc.write(sampleDf(2).coalesce(1), s"$watch/drop=$k", gzip = false)
+    }
+    val q = spark.readStream.format("warc")
+      .option("max_files_per_trigger", "1")
+      .load(s"$watch/drop=*")
+      .select("record_id")
+      .writeStream.format("memory").queryName("warc_admit")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("warc_admit").count() == 6)
+      val nonEmpty = q.recentProgress.count(_.numInputRows > 0)
+      assert(nonEmpty >= 3,
+        s"expected >=3 bounded micro-batches, got $nonEmpty")
+    } finally q.stop()
+  }
+
   test("glob expansion skips hidden names: an in-flight .staging-* is invisible to load('dir/*')") {
     val root = tmpDir("glob")
     Warc.write(sampleDf(2).coalesce(1), s"$root/crawl=1", gzip = false)
