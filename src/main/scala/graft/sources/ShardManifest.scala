@@ -20,10 +20,11 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *    manifest FIRST and re-write it LAST, so a mid-write tree simply
   *    has no manifest and readers fall back to the listing of
   *    committed-so-far shards — never a manifest naming missing files);
-  *  - consumption is all-or-nothing per load: every reader path must be
-  *    a non-glob directory whose manifest parses, else the whole load
-  *    falls back to listing (mixed resolution would silently combine a
-  *    snapshot with a live view);
+  *  - consumption is all-or-nothing per load: every resolved directory
+  *    (glob paths expand to their matched directories with one
+  *    globStatus — the `batch=*` forest shape) must carry a parsing
+  *    manifest, else the whole load falls back to listing (mixed
+  *    resolution would silently combine a snapshot with a live view);
   *  - the streaming tail NEVER consumes manifests: its offsets are
   *    keyed on listing mtimes, and tailing is precisely the case where
   *    the directory is expected to change under the reader;
@@ -115,17 +116,34 @@ object ShardManifest {
     }
 
   /** All-or-nothing per-path resolution shared by both flavors: Some
-    * iff EVERY path is a non-glob directory whose manifest parses. */
+    * iff EVERY resolved directory's manifest parses. A glob path (the
+    * `batch=*` forest — the COMMON production layout) expands with ONE
+    * globStatus call to its matched directories, hidden names skipped;
+    * every match must be a directory (a file-glob like `*.bin` is not
+    * manifest-resolvable) and every directory must carry a parsing
+    * manifest, else the whole load falls back to listing — so a forest
+    * with one mid-write (manifest-less) batch reads the live listing
+    * view, never a mix of snapshot and live dirs. */
   private def resolveAll[T](paths: Seq[String], conf: Configuration)(
       entriesOf: (FileSystem, Path) => Option[Seq[T]]):
       Option[Seq[(Path, Seq[T])]] = {
     if (paths.isEmpty) return None
-    Some(paths.map { s =>
-      if (FilePruning.isGlobPath(s)) return None
+    val dirs: Seq[Path] = paths.flatMap { s =>
       val p = new Path(s)
       val fs = p.getFileSystem(conf)
+      if (!FilePruning.isGlobPath(s)) Seq(fs.makeQualified(p))
+      else {
+        val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq())
+          .filterNot(st => FilePruning.isHidden(st.getPath.getName))
+        if (matched.isEmpty || !matched.forall(_.isDirectory)) return None
+        matched.map(st => fs.makeQualified(st.getPath))
+      }
+    }
+    if (dirs.isEmpty) return None
+    Some(dirs.map { p =>
+      val fs = p.getFileSystem(conf)
       entriesOf(fs, p) match {
-        case Some(entries) => (fs.makeQualified(p), entries)
+        case Some(entries) => (p, entries)
         case None => return None
       }
     })
@@ -165,8 +183,8 @@ object ShardManifest {
     }
 
   /** [[forPaths]] for the WARC flavor: absolute sorted member paths +
-    * their byte sizes, Some iff every path is a non-glob directory with
-    * a parsing archives-manifest. */
+    * their byte sizes (all-or-nothing per [[resolveAll]], globs
+    * included). */
   def forWarcPaths(paths: Seq[String],
       conf: Configuration): Option[(Seq[String], Map[String, Long])] =
     resolveAll(paths, conf)(readWarc).map { resolved =>
@@ -200,8 +218,8 @@ object ShardManifest {
     }
   }
 
-  /** All-or-nothing manifest resolution for a reader's paths: Some iff
-    * EVERY path is a non-glob directory with a parsing manifest.
+  /** All-or-nothing manifest resolution for a reader's paths (glob
+    * paths expand per [[resolveAll]]).
     * Returns the absolute sorted `.bin` paths plus the byte-size map
     * keyed like [[FilePruning.lengthsByPath]] (bin/idx/doc absolute
     * paths), so partition planning AND statistics run with zero

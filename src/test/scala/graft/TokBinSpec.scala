@@ -871,6 +871,36 @@ class TokBinSpec extends AnyFunSuite {
     assert(describeMap()("shards") == "2")
   }
 
+  test("manifests resolve GLOB forests: batch=* reads per-dir snapshots; one manifest-less dir flips the whole load to listing (r15)") {
+    val forest = tmpDir("glob_manifest")
+    val conf = spark.sparkContext.hadoopConfiguration
+    TokBin.write(Seq(Seq(1)).toDF("seq_ids").coalesce(1),
+      s"$forest/batch=1")
+    TokBin.write(Seq(Seq(2)).toDF("seq_ids").coalesce(1),
+      s"$forest/batch=2")
+    def readGlob() = spark.read.format("tokbin").load(s"$forest/batch=*")
+      .select("seq_ids").as[Seq[Int]].collect().map(_.head).sorted.toSeq
+    assert(readGlob() == Seq(1, 2))
+    // a foreign shard landing in batch=2 AFTER its manifest: the glob
+    // read is the UNION of the per-dir snapshots — proves the forest
+    // resolved from manifests (one globStatus, zero per-dir listings)
+    TokBin.writeShardPartition(rowsOf(Seq(Seq(9))), s"$forest/batch=2",
+      7, "gm-1", conf, wantDoc = false)
+    assert(readGlob() == Seq(1, 2),
+      "glob reads must union the per-dir manifest snapshots")
+    // delete ONE dir's manifest (a mid-write batch): all-or-nothing —
+    // the WHOLE load flips to the live listing view, never a mix
+    fs(forest).delete(new org.apache.hadoop.fs.Path(
+      s"$forest/batch=2", "_MANIFEST.json"), false)
+    assert(readGlob() == Seq(1, 2, 9),
+      "a manifest-less dir must flip the whole glob load to listing")
+    // a file-glob is never manifest-resolvable (falls back to listing)
+    val direct = spark.read.format("tokbin")
+      .load(s"$forest/batch=1/*.bin")
+      .select("seq_ids").as[Seq[Int]].collect().map(_.head).toSeq
+    assert(direct == Seq(1))
+  }
+
   test("a failed write leaves NO manifest: crashed trees fall back to listing, never a manifest naming deleted files (r15)") {
     val dir = tmpDir("manifest_crash")
     TokBin.write(Seq(Seq(1)).toDF("seq_ids").coalesce(1), dir)
