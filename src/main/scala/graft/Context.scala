@@ -1318,6 +1318,73 @@ class Context(val spark: SparkSession) {
         toDf2(base ++ recordsPart, "metric", "value")
       }
 
+    // RECOVER SHARDS '<dir>' — crash recovery for staged writes (r15):
+    // a JVM death mid-EXPORT/COMPACT leaves a `.staging-*` dir that the
+    // next staged write REFUSES to sweep (it may hold the only copy).
+    // action='promote' finishes the interrupted swap, but ONLY when the
+    // staging verifies complete by its own manifest (both writers
+    // commit the manifest last, so a parsing manifest whose every named
+    // file exists at the recorded size IS the completed-write witness —
+    // a crash mid-write leaves no such manifest and promote refuses);
+    // action='discard' deletes the staging and keeps the old artifact,
+    // refusing when there IS no old artifact unless force='true'.
+    case RecoverShards(location, opts) =>
+      for (k <- opts.keys if k != "action" && k != "force")
+        throw new IllegalArgumentException(
+          s"RECOVER SHARDS: unknown option '$k' (action=, force=)")
+      val action = opts.getOrElse("action",
+        throw new IllegalArgumentException(
+          "RECOVER SHARDS requires action = 'promote' or 'discard'"))
+        .trim.toLowerCase
+      require(action == "promote" || action == "discard",
+        s"RECOVER SHARDS: unknown action '$action' (promote|discard)")
+      val force = opts.get("force").exists(_.trim.toBoolean)
+      val rConf = spark.sparkContext.hadoopConfiguration
+      val rP = new org.apache.hadoop.fs.Path(location)
+      val rFs = rP.getFileSystem(rConf)
+      require(rFs.exists(rP) && rFs.getFileStatus(rP).isDirectory,
+        s"RECOVER SHARDS: $location is not a directory")
+      val entries = rFs.listStatus(rP).toSeq
+      val stagings = entries.filter(st =>
+        st.isDirectory && st.getPath.getName.startsWith(".staging-"))
+      require(stagings.nonEmpty,
+        s"RECOVER SHARDS: $location has no .staging-* dirs — nothing " +
+          "to recover")
+      val payloadSuffixes =
+        Seq(".bin", ".idx", ".doc", ".warc", ".warc.gz")
+      val committed = entries.filter(st => st.isFile &&
+        payloadSuffixes.exists(st.getPath.getName.endsWith))
+      action match {
+        case "discard" =>
+          require(committed.nonEmpty || force,
+            s"RECOVER SHARDS: $location has NO committed artifact — a " +
+              "staging dir may hold the only copy; pass force = 'true' " +
+              "to discard anyway")
+          stagings.foreach(st => rFs.delete(st.getPath, true))
+          toDf2(Seq(
+            "action" -> "discard",
+            "staging_dirs_removed" -> stagings.size.toString,
+            "committed_files_kept" -> committed.size.toString),
+            "metric", "value")
+        case "promote" =>
+          require(stagings.size == 1,
+            s"RECOVER SHARDS: $location has ${stagings.size} staging " +
+              "dirs — ambiguous; discard the stale ones first")
+          val staging = stagings.head.getPath
+          val flavor = graft.sources.ShardManifest
+            .completedFlavor(rFs, staging).getOrElse(
+              throw new IllegalArgumentException(
+                s"RECOVER SHARDS: ${staging.getName} does not verify " +
+                  "complete (no parsing manifest, or files shorter than " +
+                  "recorded) — the crashed write never finished; use " +
+                  "action = 'discard' to drop it"))
+          val moved = completeSwap(rFs, rP, staging, "RECOVER SHARDS")
+          toDf2(Seq(
+            "action" -> "promote",
+            "flavor" -> flavor,
+            "files_promoted" -> moved.toString), "metric", "value")
+      }
+
     // COMPACT SHARDS '<in>' INTO '<out>' — merge a micro-batch shard
     // forest into few large trainer-mountable files (TokBin.compact:
     // idx-only sizing pre-pass, coalesce — no shuffle — unless
@@ -2166,8 +2233,9 @@ class Context(val spark: SparkSession) {
         throw new IllegalArgumentException(
           s"$what: $location contains ${st.getPath.getName} from an " +
             "interrupted write. If the previous run crashed mid-swap it " +
-            "holds the complete new artifact — move its files up to " +
-            "recover, or delete it to discard, then re-run")
+            "holds the complete new artifact — run RECOVER SHARDS " +
+            s"'$location' WITH (action = 'promote') to finish the swap, " +
+            "or action = 'discard' to keep the old artifact, then re-run")
     }
     val staging = new org.apache.hadoop.fs.Path(p,
       ".staging-" + java.util.UUID.randomUUID().toString)
@@ -2187,11 +2255,19 @@ class Context(val spark: SparkSession) {
         try fs.delete(staging, true) catch { case _: Throwable => () }
         throw e
     }
-    // swap ordering around the manifest (r15): delete the OLD manifest
-    // before any old shard (a reader racing the swap must never see a
-    // manifest naming deleted files — it falls back to listing), and
-    // rename the NEW manifest up last (it only becomes visible once
-    // every file it names is in place)
+    completeSwap(fs, p, staging, what)
+  }
+
+  /** The swap half of the staged write, shared with RECOVER SHARDS
+    * (r15): delete the OLD manifest before any old shard (a reader
+    * racing the swap must never see a manifest naming deleted files —
+    * it falls back to listing), delete the old payload, then rename the
+    * staged files up with the NEW manifest LAST (it only becomes
+    * visible once every file it names is in place). Returns the number
+    * of files moved. */
+  private def completeSwap(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, staging: org.apache.hadoop.fs.Path,
+      what: String): Long = {
     val manifestName = graft.sources.ShardManifest.Name
     fs.listStatus(p).toSeq
       .sortBy(st => if (st.getPath.getName == manifestName) 0 else 1)
@@ -2199,16 +2275,19 @@ class Context(val spark: SparkSession) {
         if (st.getPath.getName != staging.getName)
           fs.delete(st.getPath, true)
       }
+    var moved = 0L
     fs.listStatus(staging).toSeq
       .sortBy(st => if (st.getPath.getName == manifestName) 1 else 0)
       .foreach { st =>
         if (!fs.rename(st.getPath,
             new org.apache.hadoop.fs.Path(p, st.getPath.getName)))
           throw new java.io.IOException(
-            s"$what: failed to move staged ${st.getPath} into $location — " +
+            s"$what: failed to move staged ${st.getPath} into ${p} — " +
               s"new artifact left in $staging")
+        moved += 1
       }
     fs.delete(staging, true)
+    moved
   }
 
   def explainString(query: String): String =

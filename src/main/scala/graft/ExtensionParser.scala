@@ -169,6 +169,11 @@ object ExtensionParser {
     * recipe on the record-stream format. */
   final case class CompactArchives(in: String, out: String,
       opts: Map[String, String]) extends Statement
+  /** Crash recovery for staged writes (r15): promote a complete
+    * `.staging-*` artifact (finish the interrupted swap) or discard it
+    * and keep the old artifact. */
+  final case class RecoverShards(location: String,
+      opts: Map[String, String]) extends Statement
 
   private val ws = "\\s+"
   private def kw(s: String) = s.split(" ").mkString(ws)
@@ -294,6 +299,9 @@ object ExtensionParser {
   // COMPACT ARCHIVES '<in-dir-or-glob>' INTO '<out-dir>' WITH (target_bytes_per_archive=N, ...)
   private val compactArchives =
     re(s"COMPACT${ws}ARCHIVES${ws}'([^']+)'${ws}INTO${ws}'([^']+)'(?:${ws}WITH${ws}\\($kwSpan\\))?")
+  // RECOVER SHARDS '<dir>' WITH (action='promote'|'discard' [, force='true'])
+  private val recoverShards =
+    re(s"RECOVER${ws}SHARDS${ws}'([^']+)'(?:${ws}WITH${ws}\\($kwSpan\\))?")
   // SELECT * FROM DECONTAMINATE(TABLE bench [WITH (...)], <train select>)
   private val decontaminate =
     re(s"SELECT${ws}\\*${ws}FROM${ws}DECONTAMINATE\\s*\\(\\s*TABLE${ws}$ident(?:${ws}WITH${ws}\\($kwSpan\\))?\\s*,(.*)\\)")
@@ -392,6 +400,9 @@ object ExtensionParser {
         Option(kwargs).map(parseKwargs).getOrElse(Map()))
     case compactArchives(in, out, kwargs) =>
       CompactArchives(in, out,
+        Option(kwargs).map(parseKwargs).getOrElse(Map()))
+    case recoverShards(location, kwargs) =>
+      RecoverShards(location,
         Option(kwargs).map(parseKwargs).getOrElse(Map()))
     case decontaminate(table, kwargs, select) =>
       Decontaminate(table,

@@ -149,6 +149,32 @@ object ShardManifest {
     })
   }
 
+  /** COMPLETENESS WITNESS for crash recovery (r15, RECOVER SHARDS):
+    * both writers commit the manifest LAST, so a directory whose
+    * manifest parses AND whose every named file exists with the
+    * recorded byte size is a COMPLETED write — a staging dir left by a
+    * crash mid-swap verifies; one left by a crash mid-write (no
+    * manifest yet, or files shorter than recorded) does not. Returns
+    * the flavor ("shards" | "archives") when complete. */
+  private[graft] def completedFlavor(fs: FileSystem,
+      dir: Path): Option[String] = {
+    val expect: Option[(String, Seq[(String, Long)])] =
+      read(fs, dir).map { es =>
+        ("shards", es.flatMap { e =>
+          Seq((e.bin, e.binLen),
+            (e.bin.stripSuffix(".bin") + ".idx", e.idxLen)) ++
+            e.docLen.map(l => (e.bin.stripSuffix(".bin") + ".doc", l))
+        })
+      }.orElse(readWarc(fs, dir).map(("archives", _)))
+    expect.flatMap { case (flavor, files) =>
+      val listed = fs.listStatus(dir).filter(_.isFile)
+        .map(st => st.getPath.getName -> st.getLen).toMap
+      if (files.forall { case (n, len) => listed.get(n).contains(len) })
+        Some(flavor)
+      else None
+    }
+  }
+
   // ---- WARC flavor (r15): same file name, an `archives` key instead
   // of `shards` — each flavor's reader returns None on the other's
   // manifest, so a mixed-up tree safely falls back to listing. ----

@@ -921,6 +921,71 @@ class TokBinSpec extends AnyFunSuite {
     assert(readAllSeqs(dir) == Seq(Seq(7)))
   }
 
+  test("RECOVER SHARDS: promote finishes a crashed swap via the manifest witness; discard keeps the old artifact (r15)") {
+    val ctx = new Context(spark)
+    val conf = spark.sparkContext.hadoopConfiguration
+    // crash-MID-SWAP state: location holds ONLY a complete staging dir
+    // (old files already deleted) — the state stagedShardWrite refuses
+    val dir = tmpDir("recover")
+    TokBin.write(Seq(Seq(1, 2), Seq(3)).toDF("seq_ids").coalesce(1),
+      s"$dir/.staging-crashA")
+    def metrics(sql: String) = ctx.sql(sql).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val m = metrics(s"RECOVER SHARDS '$dir' WITH (action = 'promote')")
+    assert(m("flavor") == "shards" && m("files_promoted").toLong >= 3)
+    assert(readAllSeqs(dir) == Seq(Seq(1, 2), Seq(3)))
+    assert(listAll(dir).contains("_MANIFEST.json"))
+    assert(!listAll(dir).exists(_.startsWith(".staging-")))
+    // the refusal is cleared: a staged overwrite now proceeds
+    ctx.createTable("rec_next", Seq(Seq(9)).toDF("seq_ids"))
+    ctx.sql(s"""EXPORT TABLE rec_next WITH (location = '$dir',
+      |format = 'tokbin', shards = 1, mode = 'overwrite')""".stripMargin)
+    assert(readAllSeqs(dir) == Seq(Seq(9)))
+    ctx.dropTable("rec_next")
+    // crash-MID-WRITE state: a staging with NO manifest (the writers
+    // commit it last) must NOT promote — it is a partial artifact
+    val dir2 = tmpDir("recover2")
+    fs(dir2).mkdirs(new org.apache.hadoop.fs.Path(dir2))
+    TokBin.writeShardPartition(rowsOf(Seq(Seq(7))),
+      s"$dir2/.staging-crashB", 0, "r-1", conf, wantDoc = false)
+    val eP = intercept[IllegalArgumentException] {
+      ctx.sql(s"RECOVER SHARDS '$dir2' WITH (action = 'promote')")
+    }
+    assert(eP.getMessage.contains("does not verify complete"))
+    // ...and with no committed artifact beside it, discard needs force
+    val eD = intercept[IllegalArgumentException] {
+      ctx.sql(s"RECOVER SHARDS '$dir2' WITH (action = 'discard')")
+    }
+    assert(eD.getMessage.contains("force"))
+    metrics(s"RECOVER SHARDS '$dir2' WITH (action = 'discard', force = 'true')")
+    assert(!listAll(dir2).exists(_.startsWith(".staging-")))
+    // a TRUNCATED staging (manifest present, .bin shorter than
+    // recorded) fails the completeness witness
+    val dir3 = tmpDir("recover3")
+    TokBin.write(Seq(Seq(1, 2, 3)).toDF("seq_ids").coalesce(1),
+      s"$dir3/.staging-crashC")
+    new java.io.RandomAccessFile(
+      s"$dir3/.staging-crashC/part-00000.bin", "rw").setLength(7)
+    val eT = intercept[IllegalArgumentException] {
+      ctx.sql(s"RECOVER SHARDS '$dir3' WITH (action = 'promote')")
+    }
+    assert(eT.getMessage.contains("does not verify complete"))
+    // a stale staging NEXT TO a committed artifact discards WITHOUT
+    // force, leaving the artifact untouched
+    val dir4 = tmpDir("recover4")
+    TokBin.write(Seq(Seq(5)).toDF("seq_ids").coalesce(1), dir4)
+    TokBin.writeShardPartition(rowsOf(Seq(Seq(6))),
+      s"$dir4/.staging-stale", 0, "r-2", conf, wantDoc = false)
+    val m4 = metrics(s"RECOVER SHARDS '$dir4' WITH (action = 'discard')")
+    assert(m4("staging_dirs_removed") == "1")
+    assert(readAllSeqs(dir4) == Seq(Seq(5)))
+    // no staging at all: nothing to recover
+    val eN = intercept[IllegalArgumentException] {
+      ctx.sql(s"RECOVER SHARDS '$dir4' WITH (action = 'discard')")
+    }
+    assert(eN.getMessage.contains("nothing"))
+  }
+
   // --- task-commit durability (r14: r13 verdict #1/#2) ---
 
   private def rowsOf(seqs: Seq[Seq[Int]]): Iterator[org.apache.spark.sql.Row] =

@@ -679,6 +679,20 @@ class WarcSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("RECOVER SHARDS promotes a crashed WARC swap (archives-flavor witness) (r15)") {
+    val ctx = new graft.Context(spark)
+    val dir = tmpDir("recover") + "/out"
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    Warc.write(sampleDf(3).coalesce(1), s"$dir/.staging-crashW",
+      gzip = false)
+    val m = ctx.sql(s"RECOVER SHARDS '$dir' WITH (action = 'promote')")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m("flavor") == "archives")
+    assert(spark.read.format("warc").load(dir).count() == 3)
+  }
+
   test("glob expansion skips hidden names: an in-flight .staging-* is invisible to load('dir/*')") {
     val root = tmpDir("glob")
     Warc.write(sampleDf(2).coalesce(1), s"$root/crawl=1", gzip = false)
