@@ -1329,9 +1329,10 @@ class Context(val spark: SparkSession) {
     // action='discard' deletes the staging and keeps the old artifact,
     // refusing when there IS no old artifact unless force='true'.
     case RecoverShards(location, opts) =>
-      for (k <- opts.keys if k != "action" && k != "force")
+      for (k <- opts.keys if k != "action" && k != "force" &&
+          k != "staging")
         throw new IllegalArgumentException(
-          s"RECOVER SHARDS: unknown option '$k' (action=, force=)")
+          s"RECOVER SHARDS: unknown option '$k' (action=, force=, staging=)")
       val action = opts.getOrElse("action",
         throw new IllegalArgumentException(
           "RECOVER SHARDS requires action = 'promote' or 'discard'"))
@@ -1345,44 +1346,90 @@ class Context(val spark: SparkSession) {
       require(rFs.exists(rP) && rFs.getFileStatus(rP).isDirectory,
         s"RECOVER SHARDS: $location is not a directory")
       val entries = rFs.listStatus(rP).toSeq
-      val stagings = entries.filter(st =>
+      val allStagings = entries.filter(st =>
         st.isDirectory && st.getPath.getName.startsWith(".staging-"))
-      require(stagings.nonEmpty,
+      require(allStagings.nonEmpty,
         s"RECOVER SHARDS: $location has no .staging-* dirs — nothing " +
           "to recover")
+      // staging= selects ONE dir by name when several crashes piled up
+      // (r15 fifth review: without a selector, the multi-staging promote
+      // remedy was unfollowable — discard removed ALL of them)
+      val stagings = opts.get("staging").map(_.trim) match {
+        case Some(sel) =>
+          val hit = allStagings.filter(_.getPath.getName == sel)
+          require(hit.nonEmpty, s"RECOVER SHARDS: no staging dir named " +
+            s"'$sel' (have: ${allStagings.map(_.getPath.getName).mkString(", ")})")
+          hit
+        case None => allStagings
+      }
       val payloadSuffixes =
         Seq(".bin", ".idx", ".doc", ".warc", ".warc.gz")
-      val committed = entries.filter(st => st.isFile &&
-        payloadSuffixes.exists(st.getPath.getName.endsWith))
+      import graft.sources.ShardManifest
+      // "the location holds a restorable artifact": a FLAT artifact
+      // verifying complete by its own manifest, or an intact forest
+      // (payload inside non-hidden subdirectories — the in-place
+      // COMPACT input shape). Bare top-level payload files WITHOUT a
+      // verifying manifest do NOT count: after a crash mid-delete they
+      // can be a silently truncated remnant (r15 fifth review).
+      def locationHoldsArtifact: Boolean =
+        ShardManifest.completedArtifact(rFs, rP).isDefined ||
+          entries.exists(st => st.isDirectory &&
+            !st.getPath.getName.startsWith(".") &&
+            rFs.listStatus(st.getPath).exists(c => c.isFile &&
+              payloadSuffixes.exists(c.getPath.getName.endsWith)))
       action match {
         case "discard" =>
-          require(committed.nonEmpty || force,
-            s"RECOVER SHARDS: $location has NO committed artifact — a " +
-              "staging dir may hold the only copy; pass force = 'true' " +
-              "to discard anyway")
+          val completeStagings = stagings.filter(st =>
+            ShardManifest.completedArtifact(rFs, st.getPath).isDefined)
+          require(completeStagings.isEmpty || locationHoldsArtifact ||
+            force,
+            s"RECOVER SHARDS: ${completeStagings.map(_.getPath.getName)
+              .mkString(", ")} verifies COMPLETE but $location holds no " +
+              "verifiable artifact — discarding may destroy the only " +
+              "complete copy; promote it, or pass force = 'true'")
           stagings.foreach(st => rFs.delete(st.getPath, true))
           toDf2(Seq(
             "action" -> "discard",
-            "staging_dirs_removed" -> stagings.size.toString,
-            "committed_files_kept" -> committed.size.toString),
+            "staging_dirs_removed" -> stagings.size.toString),
             "metric", "value")
         case "promote" =>
           require(stagings.size == 1,
-            s"RECOVER SHARDS: $location has ${stagings.size} staging " +
-              "dirs — ambiguous; discard the stale ones first")
+            s"RECOVER SHARDS: ${stagings.size} staging dirs — pass " +
+              "staging = '<name>' to select the one to promote " +
+              s"(have: ${stagings.map(_.getPath.getName).mkString(", ")})")
           val staging = stagings.head.getPath
-          val flavor = graft.sources.ShardManifest
-            .completedFlavor(rFs, staging).getOrElse(
+          val parentFiles = entries.filter(_.isFile)
+            .map(st => st.getPath.getName -> st.getLen).toMap
+          // the witness accepts files ALREADY promoted into the parent:
+          // a crash in the rename phase must resume, not refuse (r15
+          // fifth review)
+          ShardManifest.completedArtifact(rFs, staging,
+            alsoAccept = parentFiles) match {
+            case Some((flavor, named)) =>
+              val moved = completeSwap(rFs, rP, staging, "RECOVER SHARDS",
+                keep = named.map(_._1).toSet)
+              toDf2(Seq(
+                "action" -> "promote",
+                "flavor" -> flavor,
+                "files_promoted" -> moved.toString), "metric", "value")
+            case None
+              // crash AFTER the manifest rename but before the staging
+              // delete: the swap is already complete in the parent and
+              // the staging holds nothing named — just drop it
+              if rFs.listStatus(staging).isEmpty &&
+                ShardManifest.completedArtifact(rFs, rP).isDefined =>
+              rFs.delete(staging, true)
+              toDf2(Seq(
+                "action" -> "promote",
+                "flavor" -> "already-complete",
+                "files_promoted" -> "0"), "metric", "value")
+            case None =>
               throw new IllegalArgumentException(
                 s"RECOVER SHARDS: ${staging.getName} does not verify " +
                   "complete (no parsing manifest, or files shorter than " +
                   "recorded) — the crashed write never finished; use " +
-                  "action = 'discard' to drop it"))
-          val moved = completeSwap(rFs, rP, staging, "RECOVER SHARDS")
-          toDf2(Seq(
-            "action" -> "promote",
-            "flavor" -> flavor,
-            "files_promoted" -> moved.toString), "metric", "value")
+                  "action = 'discard' to drop it")
+          }
       }
 
     // COMPACT SHARDS '<in>' INTO '<out>' — merge a micro-batch shard
@@ -1404,15 +1451,12 @@ class Context(val spark: SparkSession) {
       // output-overlap guard against the FINAL location (r15 reviews):
       // nested outputs double-count under glob reads, and out == one of
       // SEVERAL input dirs would merge the siblings' copies next to
-      // their originals. Manifest-resolved when possible — the guard
-      // must not re-introduce the directory LIST the manifest work
-      // eliminated. TokBin.compact's own guard covers the staging
-      // target.
+      // their originals. LIVE listing, matching TokBin.compact's input
+      // resolution (destructive consumers never trust snapshots);
+      // TokBin.compact's own guard covers the staging target.
       locally {
         val cConf = spark.sparkContext.hadoopConfiguration
-        val inFiles = graft.sources.ShardManifest
-          .forPaths(Seq(in), cConf).map(_._1)
-          .getOrElse(graft.sources.TokBinRead.listFiles(Seq(in), cConf))
+        val inFiles = graft.sources.TokBinRead.listFiles(Seq(in), cConf)
         graft.sources.FilePruning.requireFreshOutput(inFiles, out, cConf,
           "COMPACT SHARDS", allowInPlace = true)
       }
@@ -1452,11 +1496,11 @@ class Context(val spark: SparkSession) {
       require(targetB > 0,
         "COMPACT ARCHIVES: target_bytes_per_archive must be positive")
       val conf = spark.sparkContext.hadoopConfiguration
-      // manifest-resolved input when possible (r15): zero-listing, and
-      // the compaction consumes exactly the committed snapshot
-      val inFiles = graft.sources.ShardManifest
-        .forWarcPaths(Seq(in), conf).map(_._1)
-        .getOrElse(graft.sources.Warc.listFiles(Seq(in), conf))
+      // inputs from the LIVE listing, never the manifest (the
+      // TokBin.compact rule, r15 fifth review): a compaction's staged
+      // overwrite may delete the input tree, and a stale snapshot would
+      // silently drop any member that landed after the manifest
+      val inFiles = graft.sources.Warc.listFiles(Seq(in), conf)
       require(inFiles.nonEmpty,
         s"COMPACT ARCHIVES: no .warc/.warc.gz members under $in")
       // output must not overlap the input in EITHER direction (shared
@@ -2263,24 +2307,33 @@ class Context(val spark: SparkSession) {
     * racing the swap must never see a manifest naming deleted files —
     * it falls back to listing), delete the old payload, then rename the
     * staged files up with the NEW manifest LAST (it only becomes
-    * visible once every file it names is in place). Returns the number
-    * of files moved. */
+    * visible once every file it names is in place).
+    *
+    * `keep` is the RESUME hook (r15 fifth review): a crash in the
+    * rename phase leaves some new files already promoted into the
+    * parent; re-running the swap must retain exactly the
+    * manifest-named files (they are the new artifact) while the fresh
+    * write path passes an empty set and sweeps everything. Renames
+    * tolerate an existing destination by replacing it — the staged
+    * copy is authoritative. Returns the number of files moved. */
   private def completeSwap(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path, staging: org.apache.hadoop.fs.Path,
-      what: String): Long = {
+      what: String, keep: Set[String] = Set.empty): Long = {
     val manifestName = graft.sources.ShardManifest.Name
     fs.listStatus(p).toSeq
       .sortBy(st => if (st.getPath.getName == manifestName) 0 else 1)
       .foreach { st =>
-        if (st.getPath.getName != staging.getName)
+        val n = st.getPath.getName
+        if (n != staging.getName && !(st.isFile && keep.contains(n)))
           fs.delete(st.getPath, true)
       }
     var moved = 0L
     fs.listStatus(staging).toSeq
       .sortBy(st => if (st.getPath.getName == manifestName) 1 else 0)
       .foreach { st =>
-        if (!fs.rename(st.getPath,
-            new org.apache.hadoop.fs.Path(p, st.getPath.getName)))
+        val dst = new org.apache.hadoop.fs.Path(p, st.getPath.getName)
+        if (fs.exists(dst)) fs.delete(dst, false)
+        if (!fs.rename(st.getPath, dst))
           throw new java.io.IOException(
             s"$what: failed to move staged ${st.getPath} into ${p} — " +
               s"new artifact left in $staging")

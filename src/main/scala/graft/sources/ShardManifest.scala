@@ -149,31 +149,71 @@ object ShardManifest {
     })
   }
 
+  /** Parse EITHER flavor's manifest in one GET: (flavor, named files
+    * with recorded sizes). None when absent/unreadable/neither key. */
+  private[graft] def readAny(fs: FileSystem,
+      dir: Path): Option[(String, Seq[(String, Long)])] = {
+    val tree = try {
+      val in = fs.open(new Path(dir, Name))
+      try Some(WarcOffset.mapper.readTree(in)) finally in.close()
+    } catch { case _: java.io.IOException => None }
+    tree.flatMap { node =>
+      def arr(key: String): Option[Seq[com.fasterxml.jackson.databind.JsonNode]] = {
+        val a = node.get(key)
+        if (a == null || !a.isArray) None
+        else {
+          val out = Seq.newBuilder[com.fasterxml.jackson.databind.JsonNode]
+          val it = a.elements()
+          while (it.hasNext) out += it.next()
+          Some(out.result())
+        }
+      }
+      arr("shards").flatMap { nodes =>
+        val out = Seq.newBuilder[(String, Long)]
+        nodes.foreach { e =>
+          if (!e.hasNonNull("bin") || !e.hasNonNull("bin_len") ||
+            !e.hasNonNull("idx_len")) return None
+          val bin = e.get("bin").asText()
+          out += ((bin, e.get("bin_len").asLong()))
+          out += ((bin.stripSuffix(".bin") + ".idx",
+            e.get("idx_len").asLong()))
+          if (e.hasNonNull("doc_len"))
+            out += ((bin.stripSuffix(".bin") + ".doc",
+              e.get("doc_len").asLong()))
+        }
+        Some(("shards", out.result()))
+      }.orElse(arr("archives").flatMap { nodes =>
+        val out = Seq.newBuilder[(String, Long)]
+        nodes.foreach { e =>
+          if (!e.hasNonNull("file") || !e.hasNonNull("len")) return None
+          out += ((e.get("file").asText(), e.get("len").asLong()))
+        }
+        Some(("archives", out.result()))
+      })
+    }
+  }
+
   /** COMPLETENESS WITNESS for crash recovery (r15, RECOVER SHARDS):
     * both writers commit the manifest LAST, so a directory whose
     * manifest parses AND whose every named file exists with the
     * recorded byte size is a COMPLETED write — a staging dir left by a
     * crash mid-swap verifies; one left by a crash mid-write (no
-    * manifest yet, or files shorter than recorded) does not. Returns
-    * the flavor ("shards" | "archives") when complete. */
-  private[graft] def completedFlavor(fs: FileSystem,
-      dir: Path): Option[String] = {
-    val expect: Option[(String, Seq[(String, Long)])] =
-      read(fs, dir).map { es =>
-        ("shards", es.flatMap { e =>
-          Seq((e.bin, e.binLen),
-            (e.bin.stripSuffix(".bin") + ".idx", e.idxLen)) ++
-            e.docLen.map(l => (e.bin.stripSuffix(".bin") + ".doc", l))
-        })
-      }.orElse(readWarc(fs, dir).map(("archives", _)))
-    expect.flatMap { case (flavor, files) =>
+    * manifest yet, or files shorter than recorded) does not.
+    * `alsoAccept` lets a named file satisfy the witness from ANOTHER
+    * location's (name → size) listing — a crash in the RENAME phase of
+    * the swap has already moved some files into the parent, and those
+    * must count as present, not refute completeness (r15 fifth
+    * review). Returns (flavor, named files) when complete. */
+  private[graft] def completedArtifact(fs: FileSystem, dir: Path,
+      alsoAccept: Map[String, Long] = Map.empty):
+      Option[(String, Seq[(String, Long)])] =
+    readAny(fs, dir).filter { case (_, files) =>
       val listed = fs.listStatus(dir).filter(_.isFile)
         .map(st => st.getPath.getName -> st.getLen).toMap
-      if (files.forall { case (n, len) => listed.get(n).contains(len) })
-        Some(flavor)
-      else None
+      files.forall { case (n, len) =>
+        listed.get(n).contains(len) || alsoAccept.get(n).contains(len)
+      }
     }
-  }
 
   // ---- WARC flavor (r15): same file name, an `archives` key instead
   // of `shards` — each flavor's reader returns None on the other's

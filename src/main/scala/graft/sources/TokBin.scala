@@ -251,11 +251,13 @@ object TokBin {
     require(targetTokensPerShard > 0,
       "compact: target_tokens_per_shard must be positive")
     val conf = spark.sparkContext.hadoopConfiguration
-    // a manifest'd input tree resolves without a directory listing —
-    // and the compaction consumes exactly the completed artifact the
-    // manifest snapshots (r15)
-    val resolved = ShardManifest.forPaths(in, conf)
-    val files = resolved.map(_._1).getOrElse(TokBinRead.listFiles(in, conf))
+    // inputs come from the LIVE LISTING, deliberately NOT the manifest
+    // (r15 fifth review): an in-place compaction DELETES the input tree
+    // after merging, so consuming a stale snapshot would silently
+    // destroy any shard that landed after the manifest was written.
+    // Scans/DESCRIBE (non-destructive) keep the manifest fast path; a
+    // destructive consumer must see the tree as it is.
+    val files = TokBinRead.listFiles(in, conf)
     require(files.nonEmpty,
       s"compact: no .bin shards under ${in.mkString(",")}")
     val outPath = new Path(out)

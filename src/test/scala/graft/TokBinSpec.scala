@@ -831,13 +831,17 @@ class TokBinSpec extends AnyFunSuite {
     assert(readSeqs() == Seq(Seq(1, 2), Seq(3)),
       "manifest'd scan must be a point-in-time snapshot")
     assert(describeMap()("shards") == "1")
-    // compaction consumes the same snapshot
+    // COMPACTION deliberately reads the LIVE listing, not the snapshot
+    // (r15 fifth review): an in-place compact deletes its input tree,
+    // so trusting a stale manifest would destroy the foreign shard —
+    // the merge must carry EVERYTHING on disk
     val out = tmpDir("manifest_out")
     ctx.sql(s"""COMPACT SHARDS '$dir' INTO '$out' WITH
       |(target_tokens_per_shard = '1000000')""".stripMargin)
     assert(spark.read.format("tokbin").load(out)
       .select("seq_ids").as[Seq[Int]].collect().sortBy(_.mkString(","))
-      .toSeq == Seq(Seq(1, 2), Seq(3)))
+      .toSeq == Seq(Seq(1, 2), Seq(3), Seq(9, 9)),
+      "a destructive consumer must see the live tree, never a snapshot")
     // output STRICTLY inside an input shard dir refused (r15 review:
     // nested outputs double-count under glob reads); in-place equality
     // is the supported forest compaction and stays allowed
@@ -952,12 +956,10 @@ class TokBinSpec extends AnyFunSuite {
       ctx.sql(s"RECOVER SHARDS '$dir2' WITH (action = 'promote')")
     }
     assert(eP.getMessage.contains("does not verify complete"))
-    // ...and with no committed artifact beside it, discard needs force
-    val eD = intercept[IllegalArgumentException] {
-      ctx.sql(s"RECOVER SHARDS '$dir2' WITH (action = 'discard')")
-    }
-    assert(eD.getMessage.contains("force"))
-    metrics(s"RECOVER SHARDS '$dir2' WITH (action = 'discard', force = 'true')")
+    // ...and discarding an INCOMPLETE staging loses nothing verifiable,
+    // so it proceeds without force (the guard protects only a COMPLETE
+    // staging that would be the sole copy — fifth-review semantics)
+    metrics(s"RECOVER SHARDS '$dir2' WITH (action = 'discard')")
     assert(!listAll(dir2).exists(_.startsWith(".staging-")))
     // a TRUNCATED staging (manifest present, .bin shorter than
     // recorded) fails the completeness witness
@@ -984,6 +986,83 @@ class TokBinSpec extends AnyFunSuite {
       ctx.sql(s"RECOVER SHARDS '$dir4' WITH (action = 'discard')")
     }
     assert(eN.getMessage.contains("nothing"))
+  }
+
+  test("RECOVER SHARDS crash windows: mid-rename resume, partial-remnant discard guard, staging= selector, already-complete (r15)") {
+    val ctx = new Context(spark)
+    val conf = spark.sparkContext.hadoopConfiguration
+    def metrics(sql: String) = ctx.sql(sql).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // CRASH IN THE RENAME PHASE: one staged file already promoted into
+    // the parent, the rest (and the manifest) still in staging — the
+    // witness must accept the promoted file and promote must RESUME,
+    // not refuse toward a data-losing discard (fifth review #1)
+    val dir = tmpDir("recover_mid")
+    val staging = s"$dir/.staging-mid"
+    TokBin.write(Seq(Seq(1), Seq(2)).toDF("seq_ids").repartition(2)
+      .sortWithinPartitions("seq_ids"), staging)
+    val f = fs(dir)
+    // simulate the partial swap: move shard 0's pair up by hand
+    Seq("part-00000.bin", "part-00000.idx").foreach { n =>
+      assert(f.rename(new org.apache.hadoop.fs.Path(staging, n),
+        new org.apache.hadoop.fs.Path(dir, n)))
+    }
+    val m = metrics(s"RECOVER SHARDS '$dir' WITH (action = 'promote')")
+    assert(m("action") == "promote")
+    assert(readAllSeqs(dir).map(_.head).sorted == Seq(1, 2),
+      "resume must finish the swap with nothing lost or duplicated")
+    assert(listAll(dir).contains("_MANIFEST.json") &&
+      !listAll(dir).exists(_.startsWith(".staging-")))
+    // PARTIAL-REMNANT GUARD (fifth review #3): bare top-level payload
+    // WITHOUT a verifying manifest does not count as a kept artifact —
+    // discarding a COMPLETE staging next to it demands force
+    val dir2 = tmpDir("recover_remnant")
+    TokBin.write(Seq(Seq(7)).toDF("seq_ids").coalesce(1),
+      s"$dir2/.staging-full")
+    f.mkdirs(new org.apache.hadoop.fs.Path(dir2))
+    TokBin.writeShardPartition(rowsOf(Seq(Seq(8))), dir2, 0, "rm-1",
+      conf, wantDoc = false) // payload, but no manifest: a remnant
+    val eR = intercept[IllegalArgumentException] {
+      ctx.sql(s"RECOVER SHARDS '$dir2' WITH (action = 'discard')")
+    }
+    assert(eR.getMessage.contains("only") && eR.getMessage.contains("force"))
+    // an intact FOREST (payload in subdirs — the in-place compact input
+    // shape) IS a kept artifact: discard proceeds without force
+    val dir3 = tmpDir("recover_forest")
+    TokBin.write(Seq(Seq(5)).toDF("seq_ids").coalesce(1),
+      s"$dir3/batch=1")
+    TokBin.write(Seq(Seq(6)).toDF("seq_ids").coalesce(1),
+      s"$dir3/.staging-cmp") // a complete unswapped compact result
+    val m3 = metrics(s"RECOVER SHARDS '$dir3' WITH (action = 'discard')")
+    assert(m3("staging_dirs_removed") == "1")
+    assert(spark.read.format("tokbin").load(s"$dir3/batch=*")
+      .count() == 1, "the forest inputs must survive the discard")
+    // STAGING SELECTOR (fifth review #4): with several stagings, the
+    // promote remedy is followable — discard ONLY the named junk one,
+    // then promote the survivor
+    val dir4 = tmpDir("recover_multi")
+    TokBin.write(Seq(Seq(3, 4)).toDF("seq_ids").coalesce(1),
+      s"$dir4/.staging-good")
+    f.mkdirs(new org.apache.hadoop.fs.Path(s"$dir4/.staging-junk"))
+    intercept[IllegalArgumentException] {
+      ctx.sql(s"RECOVER SHARDS '$dir4' WITH (action = 'promote')")
+    } // ambiguous without the selector
+    val m4 = metrics(s"RECOVER SHARDS '$dir4' WITH (action = 'discard', " +
+      "staging = '.staging-junk', force = 'true')")
+    assert(m4("staging_dirs_removed") == "1")
+    val m4b = metrics(s"RECOVER SHARDS '$dir4' WITH (action = 'promote')")
+    assert(m4b("action") == "promote")
+    assert(readAllSeqs(dir4) == Seq(Seq(3, 4)))
+    // ALREADY-COMPLETE (crash after the manifest rename, before the
+    // staging delete): an empty staging beside a verifying parent just
+    // gets dropped
+    val dir5 = tmpDir("recover_done")
+    TokBin.write(Seq(Seq(9)).toDF("seq_ids").coalesce(1), dir5)
+    f.mkdirs(new org.apache.hadoop.fs.Path(s"$dir5/.staging-empty"))
+    val m5 = metrics(s"RECOVER SHARDS '$dir5' WITH (action = 'promote')")
+    assert(m5("flavor") == "already-complete")
+    assert(readAllSeqs(dir5) == Seq(Seq(9)) &&
+      !listAll(dir5).exists(_.startsWith(".staging-")))
   }
 
   // --- task-commit durability (r14: r13 verdict #1/#2) ---

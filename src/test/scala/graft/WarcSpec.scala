@@ -575,11 +575,13 @@ class WarcSpec extends AnyFunSuite {
       gzip = false)
     assert(spark.read.format("warc").load(dir).count() == 4,
       "manifest'd scan must be a point-in-time snapshot")
-    // COMPACT ARCHIVES consumes the same snapshot
+    // COMPACT ARCHIVES reads the LIVE listing, never the snapshot (the
+    // destructive-consumer rule, r15 fifth review) — the foreign member
+    // must survive into the merge
     val out = tmpDir("manifest_out") + "/out"
     ctx.sql(s"""COMPACT ARCHIVES '$dir' INTO '$out' WITH
       |(target_bytes_per_archive = '1000000000')""".stripMargin)
-    assert(spark.read.format("warc").load(out).count() == 4)
+    assert(spark.read.format("warc").load(out).count() == 6)
     // ...and the compaction output is manifest'd in turn
     assert(new org.apache.hadoop.fs.Path(out).getFileSystem(conf)
       .exists(new org.apache.hadoop.fs.Path(out, "_MANIFEST.json")))
