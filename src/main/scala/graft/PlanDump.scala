@@ -1,0 +1,44 @@
+package graft
+
+/** Plan-dump utility (not part of the driver contract): write the
+  * `explain("formatted")` output of named coverage queries to files —
+  * the evidence format the optimization rounds commit under plans/rNN/.
+  *
+  * Usage: runMain graft.PlanDump <query[,query...]|bench> <outDir> [suffix] [sfDir]
+  *   e.g. runMain graft.PlanDump bench plans/r15 _before /root/testdata/sf0.1
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: PlanDump <query[,query...]|bench> <outDir> [suffix] [sfDir]")
+    val names =
+      if (args(0) == "bench") SparkEntry.benchQueries
+      else args(0).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val outDir = java.nio.file.Paths.get(args(1))
+    java.nio.file.Files.createDirectories(outDir)
+    val suffix = args.drop(2).headOption.getOrElse("_before")
+    val sf = args.drop(3).headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-plan-dump")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-dump-wh").toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      val df = SparkEntry.queries(n)(spark, sf)
+      // queryExecution.explainString == df.explain("formatted"), captured
+      val txt = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      java.nio.file.Files.write(outDir.resolve(s"$n$suffix.txt"),
+        txt.getBytes("UTF-8"))
+      println(s"[plandump] wrote $n$suffix.txt (${txt.length} chars)")
+    }
+    spark.stop()
+  }
+}

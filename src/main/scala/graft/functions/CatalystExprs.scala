@@ -143,6 +143,62 @@ object CatalystExprs {
     override protected def withNewChildInternal(c: Expression): CharNgramHashes = copy(child = c)
   }
 
+  /** Hashed-bigram DSIR bucket ids in ONE pass over the token array: for
+    * each adjacent token pair, md5 over the UTF-8 bytes of "tokA tokB",
+    * value = hex nibbles 1..15 of the digest (== `substring(md5hex, 2, 15)`
+    * parsed base 16 == digest bytes 0..7 big-endian with the top nibble
+    * masked), bucketed by `% buckets`. BIT-IDENTICAL to the composable form
+    *   pmod(conv(substring(md5(concat(a, ' ', b)), 2, 15), 16, 10)
+    *     .cast(long), buckets)
+    * (spec-pinned against it on real + adversarial strings), with none of
+    * its per-gram costs: the old per-gram lambda re-evaluated
+    * split(lower(text)) inside BOTH element_at calls of every gram —
+    * O(tokens²) string work per document — and then built three
+    * intermediate strings per gram (32-char hex, 15-char substring, the
+    * decimal string conv() returns). Here each token's bytes are fetched
+    * once, each gram is one digest over a reused MessageDigest, and no
+    * intermediate strings exist. Token elements must be non-null (split()
+    * output — the only caller, dsirLogWeightsRaw, feeds exactly that). */
+  case class Md5GramBuckets(child: Expression, buckets: Long)
+      extends UnaryExpression with CodegenFallback {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      if (n < 2) return new GenericArrayData(Array.emptyLongArray)
+      val md = Md5GramBuckets.digests.get()
+      val out = new Array[Long](n - 1)
+      var prev = arr.getUTF8String(0).getBytes
+      var i = 0
+      while (i < n - 1) {
+        val next = arr.getUTF8String(i + 1).getBytes
+        md.reset()
+        md.update(prev)
+        md.update(' '.toByte)
+        md.update(next)
+        val d = md.digest()
+        var v = 0L
+        var k = 0
+        while (k < 8) { v = (v << 8) | (d(k) & 0xFFL); k += 1 }
+        out(i) = (v & 0x0FFFFFFFFFFFFFFFL) % buckets
+        prev = next
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Md5GramBuckets =
+      copy(child = c)
+  }
+  object Md5GramBuckets {
+    // MessageDigest is stateful: one per thread, reused across rows/tasks
+    private val digests = ThreadLocal.withInitial(
+      new java.util.function.Supplier[java.security.MessageDigest] {
+        def get(): java.security.MessageDigest =
+          java.security.MessageDigest.getInstance("MD5")
+      })
+  }
+
   /** Intersection size of two SORTED array<long> columns via a two-pointer
     * merge — the pair-verification kernel of the LSH dedup pipelines.
     * `array_intersect` builds a hash set per invocation; over millions of
@@ -970,6 +1026,9 @@ object CatalystExprs {
 
   def charNgramHashes(text: Column, n: Int): Column =
     GraftBridge.column(CharNgramHashes(GraftBridge.expression(text), n))
+
+  def md5GramBuckets(tokens: Column, buckets: Long): Column =
+    GraftBridge.column(Md5GramBuckets(GraftBridge.expression(tokens), buckets))
 
   def imageDimensions(payload: Column): Column =
     GraftBridge.column(ImageDimensions(GraftBridge.expression(payload)))

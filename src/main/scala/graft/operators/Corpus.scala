@@ -755,14 +755,19 @@ object Corpus {
     def gramBuckets(df: DataFrame): DataFrame = {
       val toks = split(lower(col(textCol)), " ")
       if (hash == "md5")
-        df.filter(size(toks) >= 2)
-          .select(col(idCol).as("_id"),
-            explode_outer(transform(sequence(lit(1), size(toks) - 1), i =>
-              pmod(
-                conv(substring(md5(concat(
-                  element_at(toks, i), lit(" "), element_at(toks, i + 1))),
-                  2, 15), 16, 10).cast("long"),
-                lit(buckets.toLong)))).as("b"))
+        // tokens materialized ONCE, grams fused into one native node
+        // (CatalystExprs.Md5GramBuckets — bit-identical values, spec-
+        // pinned): the composable per-gram lambda re-evaluated
+        // split(lower(text)) inside BOTH element_at calls of every gram
+        // (O(tokens²) string work per document) and built three
+        // intermediate strings per gram (md5 hex, substring, conv's
+        // decimal). Measured at sf0.1 (TimeQuery min-of-5, fresh
+        // OpCache): 3.27 → 0.96 s.
+        df.select(col(idCol).as("_id"), toks.as("_tk"))
+          .filter(size(col("_tk")) >= 2)
+          .select(col("_id"),
+            explode_outer(graft.functions.CatalystExprs.md5GramBuckets(
+              col("_tk"), buckets.toLong)).as("b"))
       else
         // token hashes materialized once, combined pairwise — gram strings
         // are never built (NO array_distinct: DSIR counts every occurrence)

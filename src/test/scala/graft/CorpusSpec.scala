@@ -971,6 +971,40 @@ class CorpusSpec extends AnyFunSuite {
     assert(!plan.contains("hashpartitioning(ws"))
   }
 
+  test("Md5GramBuckets equals the composable md5→substring→conv form bit-for-bit") {
+    // r15 optimization: the fused node replaces the per-gram lambda in
+    // dsirLogWeightsRaw's md5 branch — its values must be EXACTLY the old
+    // composition's (the DuckDB oracle reproduces that form bit-for-bit).
+    // Real corpus text plus adversarial rows: unicode, empty tokens from
+    // repeated/leading/trailing separators, single-space text, 2-token
+    // minimum.
+    val adversarial = Seq(
+      (9001L, "héllo wörld ünïcode 文字 テキスト mixé"),
+      (9002L, "a  b   c"), // empty tokens between repeated spaces
+      (9003L, " leading and trailing "),
+      (9004L, "xy zw"),
+      (9005L, "the the the the")).toDF("doc_id", "text")
+    val docs = Tables.t(spark, TestSpark.sf, "documents")
+      .select($"doc_id", $"text").union(adversarial)
+    val buckets = 8192L
+    val toks = split(lower($"text"), " ")
+    def collectPairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy(identity).toSeq
+    val fused = collectPairs(docs.select($"doc_id", toks.as("_tk"))
+      .filter(size($"_tk") >= 2)
+      .select($"doc_id", explode(graft.functions.CatalystExprs
+        .md5GramBuckets($"_tk", buckets)).as("b")))
+    val composed = collectPairs(docs.filter(size(toks) >= 2)
+      .select($"doc_id", explode(transform(sequence(lit(1), size(toks) - 1),
+        i => pmod(
+          conv(substring(md5(concat(
+            element_at(toks, i), lit(" "), element_at(toks, i + 1))),
+            2, 15), 16, 10).cast("long"),
+          lit(buckets)))).as("b")))
+    assert(fused.nonEmpty && fused == composed)
+  }
+
   test("dsir xxhash64 production form: identical math, identical plan shape") {
     val docs = Tables.t(spark, TestSpark.sf, "documents").limit(200)
     val target = docs.filter($"lang" === "en")
