@@ -143,6 +143,46 @@ object CatalystExprs {
     override protected def withNewChildInternal(c: Expression): CharNgramHashes = copy(child = c)
   }
 
+  /** Per-row term frequencies in ONE pass: sort the string array, run-
+    * length encode, return array<struct<w string, tf long>> (keys distinct,
+    * ascending). Replaces the explode→groupBy(id, w) shape wherever the
+    * per-document counts are what's wanted: the counts are computed INSIDE
+    * the row, so the corpus-token-sized exploded frame never exists and
+    * nothing crosses an exchange to build tf — "aggregate before you
+    * shuffle" (guide §2.3) taken to its limit. The multiset of (w, tf)
+    * pairs per row is exactly the groupBy's (spec-pinned). NULL array →
+    * NULL; NULL elements must be pre-filtered (split() output never holds
+    * them). */
+  case class TokenCounts(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("w", StringType, nullable = true),
+      StructField("tf", LongType, nullable = false))), containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      if (n == 0) return new GenericArrayData(Array.empty[Any])
+      val toks = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+      var i = 0
+      while (i < n) { toks(i) = arr.getUTF8String(i); i += 1 }
+      java.util.Arrays.sort(toks.asInstanceOf[Array[Object]])
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var start = 0
+      i = 1
+      while (i <= n) {
+        if (i == n || toks(i) != toks(start)) {
+          out += org.apache.spark.sql.catalyst.InternalRow(
+            toks(start), (i - start).toLong)
+          start = i
+        }
+        i += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+    override protected def withNewChildInternal(c: Expression): TokenCounts =
+      copy(child = c)
+  }
+
   /** Hashed-bigram DSIR bucket ids in ONE pass over the token array: for
     * each adjacent token pair, md5 over the UTF-8 bytes of "tokA tokB",
     * value = hex nibbles 1..15 of the digest (== `substring(md5hex, 2, 15)`
@@ -1029,6 +1069,9 @@ object CatalystExprs {
 
   def md5GramBuckets(tokens: Column, buckets: Long): Column =
     GraftBridge.column(Md5GramBuckets(GraftBridge.expression(tokens), buckets))
+
+  def tokenCounts(tokens: Column): Column =
+    GraftBridge.column(TokenCounts(GraftBridge.expression(tokens)))
 
   def imageDimensions(payload: Column): Column =
     GraftBridge.column(ImageDimensions(GraftBridge.expression(payload)))

@@ -312,10 +312,18 @@ object Corpus {
       df: DataFrame, idCol: String, textCol: String,
       size: Int, stride: Int): DataFrame = {
     require(size > 0 && stride > 0, "size and stride must be positive")
+    // tokens materialized in their OWN projection below the Generate
+    // (r15): with the alias and the explode in one select, the optimizer
+    // inlined split(lower(text)) into BOTH the start sequence and the
+    // per-chunk slice — every chunk row re-split its whole document,
+    // O(tokens²/stride) string work per doc (plan-pinned in CorpusSpec's
+    // "splits each doc once" test)
     val toks = split(lower(col(textCol)), " ")
-    val starts = sequence(lit(0),
-      greatest(org.apache.spark.sql.functions.size(toks) - 1, lit(0)), lit(stride))
-    df.select(col(idCol), toks.as("_toks"), explode(starts).as("_start"))
+    df.select(col(idCol), toks.as("_toks"))
+      .select(col(idCol), col("_toks"),
+        explode(sequence(lit(0),
+          greatest(org.apache.spark.sql.functions.size(col("_toks")) - 1,
+            lit(0)), lit(stride))).as("_start"))
       .select(col(idCol),
         (col("_start") / stride).cast("bigint").as("chunk_id"),
         slice(col("_toks"), col("_start") + 1, lit(size)).as("_chunk"))
@@ -363,34 +371,62 @@ object Corpus {
     * a document whose every chunk is a repeat survives with empty text
     * (callers usually follow with a min-length gate).
     *
-    * Scale shape: first-occurrence is a groupBy(chunk-hash) min-aggregate —
-    * partial aggregation collapses a hyper-frequent boilerplate chunk
-    * map-side, so a chunk repeated in 10⁹ documents costs each task one
-    * counter (the window-rank formulation would serialize that hot key
-    * through a single task). The join back is an equi-join on the same
-    * 8-byte hash, and the rewrite is one groupBy(id) with an in-memory
-    * sort of that document's own chunks. Chunk text crosses the shuffle
-    * once as join payload; raw document text never does.
+    * Scale shape (r15 — decide on light rows, move text once): first-
+    * occurrence is a groupBy(chunk-hash) min-aggregate — partial
+    * aggregation collapses a hyper-frequent boilerplate chunk map-side,
+    * so a chunk repeated in 10⁹ documents costs each task one counter
+    * (the window-rank formulation would serialize that hot key through a
+    * single task). The join back and the per-doc keep-set regroup move
+    * ONLY (id, chunk_id, hash) rows; the cleaned text is rebuilt in-row
+    * from the document's own token array (identical slices), so document
+    * text crosses exactly one shuffle — the final id join.
     */
   def dedupChunks(
       df: DataFrame, idCol: String, textCol: String, size: Int): DataFrame = {
     require(size > 0, "size must be positive")
+    // Decision pass over LIGHT rows only (r15, guide §8: when a pipeline
+    // shuffles heavy payloads more than once, make every shuffle but the
+    // last operate on a lightweight proxy): the old shape joined the full
+    // chunk-TEXT frame by hash and then regrouped it by doc — chunk text
+    // crossed two shuffles. Keep/drop needs only (id, chunk_id, hash);
+    // the kept text is rebuilt in-row from the document's own tokens
+    // (identical slices chunkDocuments cut), so text crosses exactly ONE
+    // shuffle — the final id join. Callers feed unique ids (the DEDUP
+    // statement and the declared queries do).
     val chunks = chunkDocuments(df, idCol, textCol, size = size, stride = size)
-      .select(col(idCol), col("chunk_id"), col("chunk_text"),
-        xxhash64(col("chunk_text")).as("_ch"))
+      .select(col(idCol), col("chunk_id"), xxhash64(col("chunk_text")).as("_ch"))
     val first = chunks.groupBy("_ch")
       .agg(min(struct(col(idCol), col("chunk_id"))).as("_first"))
-    chunks.join(first, Seq("_ch"))
+    val keeps = chunks.join(first, Seq("_ch"))
       .withColumn("_keep", struct(col(idCol), col("chunk_id")) === col("_first"))
       .groupBy(col(idCol))
       .agg(
-        concat_ws(" ",
-          transform(
-            array_sort(collect_list(when(col("_keep"),
-              struct(col("chunk_id"), col("chunk_text"))))),
-            x => x.getField("chunk_text"))).as("new_text"),
+        sort_array(collect_list(when(col("_keep"), col("chunk_id"))))
+          .as("_kept"),
         sum(when(col("_keep"), 1L).otherwise(0L)).cast("bigint").as("n_kept"),
         sum(when(col("_keep"), 0L).otherwise(1L)).cast("bigint").as("n_dropped"))
+    // rebuild new_text in-row: chunk cid = tokens [cid·size+1, size]
+    // joined with single spaces — byte-identical to chunkDocuments'
+    // chunk_text, concatenated in chunk order exactly as the old
+    // collect_list(struct(chunk_id, chunk_text)) sort did. The join
+    // carries the RAW text (split after, not before: token arrays
+    // serialize wider than the string they came from), and the token
+    // array is materialized as an attribute REFERENCED TWICE (size guard
+    // + slices) so CollapseProject cannot inline the split back into the
+    // per-chunk lambda — inlined, it would re-split the document once per
+    // kept chunk (the O(tokens²) trap the r15 dsir fix removed;
+    // spec-pinned by the plan assertion in CorpusSpec).
+    val toks = split(lower(col(textCol)), " ")
+    df.select(col(idCol), col(textCol))
+      .join(keeps, Seq(idCol))
+      .select(col(idCol), toks.as("_toks"), col("_kept"),
+        col("n_kept"), col("n_dropped"))
+      .select(col(idCol),
+        when(org.apache.spark.sql.functions.size(col("_toks")) >= 0,
+          concat_ws(" ", transform(col("_kept"), cid =>
+            concat_ws(" ", slice(col("_toks"),
+              (cid * size + 1).cast("int"), lit(size)))))).as("new_text"),
+        col("n_kept"), col("n_dropped"))
   }
 
   /** WITHIN-document line deduplication (the C4 cleanup pass: a page's
@@ -1135,12 +1171,17 @@ object Corpus {
     */
   def tfidfTopTerms(
       df: DataFrame, idCol: String, textCol: String, k: Int = 5): DataFrame = {
-    // tf not cached — same verdict as unigramLogPerplexity: the unigram
-    // explode re-run is cheaper than materializing the cache
+    // per-doc term frequencies computed IN-ROW (r15, guide §2.3 taken to
+    // its limit): TokenCounts sorts + run-length-encodes each document's
+    // tokens inside the row, so the corpus-token-sized exploded frame and
+    // the (doc, w) counting exchange never exist — each branch explodes
+    // only distinct (w, tf) pairs already co-located with their doc row.
+    // Not cached — same verdict as unigramLogPerplexity: the in-row pass
+    // re-run is cheaper than materializing the cache.
     val tf = df.select(col(idCol).as("doc_id"),
-        explode(split(lower(col(textCol)), " ")).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        explode(graft.functions.CatalystExprs.tokenCounts(
+          filter(split(lower(col(textCol)), " "), t => t =!= ""))).as("_p"))
+      .select(col("doc_id"), col("_p.w").as("w"), col("_p.tf").as("tf"))
     val docFreq = tf.groupBy("w").agg(count(lit(1)).as("df")) // tf rows are per-(doc,w)
     // corpus size as a SCALAR SUBQUERY: executed once as its own tiny job
     // and inlined as a literal — no join node at all. (A crossJoin of the
@@ -1459,18 +1500,28 @@ object Corpus {
     */
   def unigramLogPerplexity(
       df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // tf feeds three plan branches, but NOT cached: the unigram explode is
-    // cheap enough that re-running it loses to the cache's materialization
-    // cost (timed both ways at sf0.1 — the opposite verdict from
-    // bigramLogPerplexity, whose tf is ~2× the rows and wider strings)
+    // per-doc term frequencies computed IN-ROW (r15, the tfidfTopTerms
+    // shape): TokenCounts sorts + run-length-encodes each document's
+    // tokens inside the row — the corpus-token-sized exploded frame and
+    // the (doc, w) counting exchange never exist. Not cached: the in-row
+    // pass re-run is cheaper than materializing the cache.
     val tf = df.select(col(idCol).as("doc_id"),
-        explode(split(lower(col(textCol)), " ")).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        explode(graft.functions.CatalystExprs.tokenCounts(
+          filter(split(lower(col(textCol)), " "), t => t =!= ""))).as("_p"))
+      .select(col("doc_id"), col("_p.w").as("w"), col("_p.tf").as("tf"))
+    // corpus token counts from the same in-row pairs: sum of per-doc tf
+    // by word — the partial agg collapses to ≤|vocab| rows map-side
+    // before the one vocab-sized exchange (the old tf-then-regroup
+    // derivation shuffled the full doc×word tf frame a second time)
     val wc = tf.groupBy("w").agg(sum(col("tf")).as("cnt"))
+    // corpus token total WITHOUT any explode (r15): the per-doc non-empty
+    // token count summed in-row — same value as sum(tf), zero Generate,
+    // zero exchange (one partial-agg pass over the text column)
     val total = org.apache.spark.sql.GraftBridge.column(
       org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
-        tf.select(sum(col("tf")).as("total")).queryExecution.analyzed))
+        df.select(sum(size(filter(split(lower(col(textCol)), " "),
+            t => t =!= ""))).cast("bigint").as("total"))
+          .queryExecution.analyzed))
     tf.join(wc, "w")
       .groupBy("doc_id")
       .agg(sum(col("tf")).cast("bigint").as("n_tokens"),
@@ -1506,7 +1557,7 @@ object Corpus {
     // trick; 64-bit collisions are negligible, so the count tables equal
     // their string-keyed form and the oracle-checked output is unchanged).
     // Measured on the sf0.1 bench: 4.1 → 2.2 s steady vs string keys.
-    val tf0 = df
+    val grams0 = df
       .select(col(idCol).as("doc_id"),
         transform(filter(split(lower(col(textCol)), " "), t => t =!= ""),
           t => xxhash64(t)).as("_th"))
@@ -1518,22 +1569,28 @@ object Corpus {
               element_at(col("_th"), i + 1).as("w1h"))))
         .otherwise(array().cast("array<struct<bgh:bigint,w1h:bigint>>"))).as("_p"))
       .select(col("doc_id"), col("_p.bgh").as("bgh"), col("_p.w1h").as("w1h"))
-      .groupBy("doc_id", "bgh", "w1h").agg(count(lit(1)).as("tf"))
-    // the tf table feeds THREE plan branches (join probe, bigram counts,
+    // the gram frame feeds THREE plan branches (per-doc tf, bigram counts,
     // context totals), each aggregating on a DIFFERENT key — no common
-    // exchange for Spark to reuse, so the uncached plan re-derives tf once
-    // per branch. `cacheTf` trades pinned storage for the recomputes; the
-    // crossover is corpus size: recompute wins at sf0.1, the cache wins at
-    // the 20× clone envelope (ScaleProbe sets it). Measure with
-    // Bench-style fresh-cache runs, NOT a TimeQuery repeat loop — its
-    // runs 2+ silently dedupe onto the run-1 cache entry and skip the tf
-    // work entirely (PLANS.md entry 24).
-    val tf = if (cacheTf) OpCache.cached(tf0) else tf0
-    val bc = tf.groupBy("bgh", "w1h").agg(sum(col("tf")).as("cnt"))
-    // context totals Σ_w cnt(w1, w): regroup the bigram counts by their
-    // first token's hash — cheaper than a unigram pass (|bigram vocab|
-    // rows in, |unigram vocab| out) and exactly the MLE denominator
-    val ctx = bc.groupBy("w1h").agg(sum(col("cnt")).as("ctx_cnt"))
+    // exchange for Spark to reuse (verified in the executed plan: three
+    // Generate subtrees, zero ReusedExchange), so the uncached plan
+    // re-derives the explode once per branch. `cacheTf` trades pinned
+    // storage for the recomputes; recompute wins at sf0.1 (r15 re-measure:
+    // cached tf 2.07 s vs recomputed 1.49 s min-of-5 — materialization
+    // costs more than two extra explodes), the cache wins at the 20× clone
+    // envelope (ScaleProbe sets it). Measure with Bench-style fresh-cache
+    // runs, NOT a TimeQuery repeat loop — its runs 2+ silently dedupe onto
+    // the run-1 cache entry and skip the work entirely (PLANS.md entry 24).
+    val grams = if (cacheTf) OpCache.cached(grams0) else grams0
+    val tf = grams.groupBy("doc_id", "bgh", "w1h").agg(count(lit(1)).as("tf"))
+    // corpus bigram counts DIRECTLY from the gram frame (r15): counting
+    // grams by (bgh, w1h) equals summing the per-doc tf — the old
+    // tf-then-regroup derivation shuffled the full doc×bigram tf frame
+    // only to collapse it again; the direct partial count collapses to
+    // ≤|bigram vocab| rows map-side before its one exchange.
+    val bc = grams.groupBy("bgh", "w1h").agg(count(lit(1)).as("cnt"))
+    // context totals Σ_w cnt(w1, w) likewise directly: count grams by
+    // their first token's hash — one vocab-sized exchange, no tf replay
+    val ctx = grams.groupBy("w1h").agg(count(lit(1)).as("ctx_cnt"))
     tf.join(bc, Seq("bgh", "w1h"))
       .join(ctx, Seq("w1h"))
       .groupBy("doc_id")
@@ -2400,10 +2457,17 @@ object Corpus {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(damping > 0 && damping < 1, s"damping in (0,1), got $damping")
     require(tol >= 0, s"tol must be >= 0, got $tol")
+    // pre-partitioned ONCE by the per-round join key (guide §2.4: two
+    // operations keyed the same way share one exchange): every iteration
+    // joins e on _s, and a persisted hash-partitioned frame satisfies the
+    // join's clustering — the edge list (the dominant bytes at crawl
+    // scale) is shuffled once at setup instead of once per round. outDeg
+    // inherits the same partitioning for free (groupBy _s).
     val e = edges
       .select(col(srcCol).cast("string").as("_s"),
         col(dstCol).cast("string").as("_d"))
       .filter(col("_s").isNotNull && col("_d").isNotNull)
+      .repartition(col("_s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("_s").as("_v"))
       .union(e.select(col("_d").as("_v"))).distinct()
@@ -2420,17 +2484,22 @@ object Corpus {
         .join(outDeg, Seq("_s"))
         .select(col("_d").as("_v"), (col("_r") / col("_deg")).as("_c"))
         .groupBy("_v").agg(sum(col("_c")).as("_in"))
-      // dangling mass: total rank sitting on nodes with no out-edges —
-      // the iteration's ONLY driver row
-      val dangling = Option(
-        ranks.join(outDeg.withColumnRenamed("_s", "_v"), Seq("_v"),
-            "left_anti")
-          .agg(sum(col("_r"))).collect().head.get(0))
-        .map(_.asInstanceOf[Double]).getOrElse(0.0)
-      val base = (1.0 - damping) / n + damping * dangling / n
+      // dangling mass: total rank sitting on nodes with no out-edges — as
+      // a SCALAR SUBQUERY, not a driver collect (r15): the old per-round
+      // collect() was a second sequential driver round trip per
+      // iteration; the subquery executes inside the localCheckpoint job
+      // below, so each round is ONE job. Arithmetic shape kept
+      // bit-identical to the collected form: ((1−d)/n + (d·D)/n) + d·cin.
+      val danglingCol = org.apache.spark.sql.GraftBridge.column(
+        org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+          ranks.join(outDeg.withColumnRenamed("_s", "_v"), Seq("_v"),
+              "left_anti")
+            .agg(coalesce(sum(col("_r")), lit(0.0)).as("_dm"))
+            .queryExecution.analyzed))
       val next = nodes.join(contrib, Seq("_v"), "left")
         .select(col("_v"),
-          (lit(base) + lit(damping) * coalesce(col("_in"), lit(0.0))).as("_r"))
+          (lit((1.0 - damping) / n) + lit(damping) * danglingCol / lit(n) +
+            lit(damping) * coalesce(col("_in"), lit(0.0))).as("_r"))
         .localCheckpoint()
       iter += 1
       // convergence early-stop (tol > 0): L1 delta vs the previous round

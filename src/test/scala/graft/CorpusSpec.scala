@@ -776,6 +776,17 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(2L) == "x x x z z z")
   }
 
+  test("dedupChunks reassembly splits each doc once, not once per kept chunk") {
+    // r15: the in-row rebuild must consume a MATERIALIZED token array —
+    // if CollapseProject inlined the split into the per-chunk lambda the
+    // document would re-split once per kept chunk (O(tokens²))
+    val docs = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val plan = Corpus.dedupChunks(docs, "doc_id", "text", size = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("slice(split("),
+      s"split inlined into the reassembly lambda:\n$plan")
+  }
+
   test("dedupChunks plans first-occurrence as an aggregate, not a window") {
     val docs = Tables.t(spark, TestSpark.sf, "documents")
     val plan = Corpus.dedupChunks(docs, "doc_id", "text", size = 8)
@@ -969,6 +980,32 @@ class CorpusSpec extends AnyFunSuite {
     // nothing string-typed crosses an exchange: every shuffle key is the
     // bucket int or the doc id
     assert(!plan.contains("hashpartitioning(ws"))
+  }
+
+  test("TokenCounts equals the explode→groupBy term counts as a multiset") {
+    // r15: the in-row tf node behind tfidfTopTerms / unigramLogPerplexity
+    // must produce exactly the (doc, w, tf) multiset the old
+    // explode→groupBy(doc, w) shape did — corpus rows plus adversarial
+    // unicode, repeated-separator empties, and a token-less doc
+    val adversarial = Seq(
+      (9101L, "b a  a b ü ü b"),
+      (9102L, "   "),
+      (9103L, "mixé 文字 mixé")).toDF("doc_id", "text")
+    val docs = Tables.t(spark, TestSpark.sf, "documents")
+      .select($"doc_id", $"text").union(adversarial)
+    val nonEmptyToks = filter(split(lower($"text"), " "), t => t =!= "")
+    val inrow = docs.select($"doc_id",
+        explode(graft.functions.CatalystExprs.tokenCounts(nonEmptyToks)).as("_p"))
+      .select($"doc_id", $"_p.w", $"_p.tf")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(identity).toSeq
+    val grouped = docs.select($"doc_id",
+        explode(split(lower($"text"), " ")).as("w"))
+      .filter($"w" =!= "")
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(identity).toSeq
+    assert(inrow.nonEmpty && inrow == grouped)
   }
 
   test("Md5GramBuckets equals the composable md5→substring→conv form bit-for-bit") {

@@ -103,6 +103,39 @@ class PageRankSpec extends AnyFunSuite {
     }
   }
 
+  test("per-round join shape reuses the persisted edge partitioning (r15)") {
+    // pins the optimization claim behind pageRank's repartition(_s): a
+    // persisted hash-partitioned edge frame and a checkpoint-partitioned
+    // rank frame joined on that key need NO exchange — the per-round edge
+    // shuffle is gone (guide §2.4). AQE off so the static plan shows
+    // exchange placement deterministically.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val e = spark.range(0, 1000)
+        .selectExpr("cast(id % 97 as string) as _s",
+          "cast((id * 7) % 97 as string) as _d")
+        .repartition(col("_s"))
+        .persist()
+      e.count()
+      val nodes = e.select(col("_s").as("_v"))
+        .union(e.select(col("_d").as("_v"))).distinct()
+      val ranks = nodes.select(col("_v"), lit(0.01).as("_r")).localCheckpoint()
+      val joined = e.join(ranks.withColumnRenamed("_v", "_s"), Seq("_s"))
+        .groupBy("_d").agg(sum("_r").as("in"))
+      val shuffles = joined.queryExecution.executedPlan.collect {
+        case ex: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => ex
+      }
+      // exactly ONE exchange: the per-destination regroup. Neither join
+      // input re-shuffles (e rides its persisted partitioning; the
+      // checkpointed ranks keep theirs through the rename).
+      assert(shuffles.length == 1,
+        s"expected 1 exchange (the _d regroup), got ${shuffles.length}:\n" +
+          joined.queryExecution.executedPlan.toString)
+      e.unpersist()
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("PAGERANK statement surface matches the operator") {
     val s0 = spark
     import s0.implicits._
