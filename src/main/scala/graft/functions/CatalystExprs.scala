@@ -143,6 +143,41 @@ object CatalystExprs {
     override protected def withNewChildInternal(c: Expression): CharNgramHashes = copy(child = c)
   }
 
+  /** Space-joined word n-grams of a token array in ONE pass — replaces the
+    * transform(sequence(...), i => concat_ws(element_at(tokens, i+j)...))
+    * composition, whose lambda body re-evaluated the tokens child (a
+    * split() in every caller) once per gram element: O(tokens²·n) string
+    * work per document. Here the child evaluates once and each gram is one
+    * UTF8String.concatWs over slices. Values are byte-identical (grams of
+    * non-null tokens joined by single spaces). Returns [] for docs shorter
+    * than n; NULL in → NULL out (callers coalesce to match their old
+    * empty-array behavior). */
+  case class WordNgrams(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(n >= 1, s"n must be >= 1: $n")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val total = arr.numElements()
+      val m = total - n + 1
+      if (m <= 0) return new GenericArrayData(Array.empty[Any])
+      val toks = new Array[org.apache.spark.unsafe.types.UTF8String](total)
+      var i = 0
+      while (i < total) { toks(i) = arr.getUTF8String(i); i += 1 }
+      val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+      val out = new Array[Any](m)
+      i = 0
+      while (i < m) {
+        out(i) = org.apache.spark.unsafe.types.UTF8String.concatWs(
+          sep, java.util.Arrays.copyOfRange(toks, i, i + n): _*)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): WordNgrams =
+      copy(child = c)
+  }
+
   /** Per-row term frequencies in ONE pass: sort the string array, run-
     * length encode, return array<struct<w string, tf long>> (keys distinct,
     * ascending). Replaces the explode→groupBy(id, w) shape wherever the
@@ -1072,6 +1107,9 @@ object CatalystExprs {
 
   def tokenCounts(tokens: Column): Column =
     GraftBridge.column(TokenCounts(GraftBridge.expression(tokens)))
+
+  def wordNgrams(tokens: Column, n: Int): Column =
+    GraftBridge.column(WordNgrams(GraftBridge.expression(tokens), n))
 
   def imageDimensions(payload: Column): Column =
     GraftBridge.column(ImageDimensions(GraftBridge.expression(payload)))

@@ -236,24 +236,20 @@ object TextAnalysis {
     * the Gopher repetition signal (0 = no repeated n-gram, →1 = the text is
     * one phrase looped). Docs shorter than n words score 0.0. */
   def dupNgramFrac(text: Column, n: Int): Column = {
-    val words = tokens(text)
-    val idx = when(size(words) >= n, sequence(lit(0), size(words) - n))
-      .otherwise(array().cast("array<int>"))
-    val grams = transform(idx, i =>
-      concat_ws(" ", (0 until n).map(j => element_at(words, i + j + 1)): _*))
+    val grams = wordNgrams(text, n)
     lit(1.0) - size(array_distinct(grams)).cast("double") /
       greatest(size(grams), lit(1)).cast("double")
   }
 
   /** The word-n-gram array (lowercased, space-joined) — shared by the
-    * repetition-mass metrics below. Docs shorter than n words → empty. */
-  private def wordNgrams(text: Column, n: Int): Column = {
-    val words = tokens(text)
-    val idx = when(size(words) >= n, sequence(lit(0), size(words) - n))
-      .otherwise(array().cast("array<int>"))
-    transform(idx, i =>
-      concat_ws(" ", (0 until n).map(j => element_at(words, i + j + 1)): _*))
-  }
+    * repetition-mass metrics below. Docs shorter than n words → empty.
+    * One native pass (r15: the old transform(sequence)+element_at
+    * composition re-evaluated the split inside the lambda — every gram
+    * re-split the whole document, O(tokens²·n) string work per row);
+    * coalesce preserves the old empty-array result on NULL text. */
+  private def wordNgrams(text: Column, n: Int): Column =
+    coalesce(CatalystExprs.wordNgrams(tokens(text), n),
+      array().cast("array<string>"))
 
   /** Run-length fold over the SORTED gram array: one pass tracking
     * (previous gram, current run length, best/dup mass so far). Sorting

@@ -979,13 +979,17 @@ object TextDedup {
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 4, w: Int = 4, minAnchors: Int = 2,
       maxAnchors: Int = 256): DataFrame = {
+    // words materialized as an attribute (r15): with the split inline,
+    // the per-gram md5 lambda re-split the whole document once per gram
+    // (the O(tokens²) trap fixed across the md5/chunk paths this round)
     val words = split(lower(col(textCol)), " ")
-    val ghArr = transform(sequence(lit(1), size(words) - (n - 1)), i =>
-      conv(substring(md5(concat_ws(" ", slice(words, i, lit(n)))), 1, 15), 16, 10)
-        .cast("long"))
+    val ghArr = transform(sequence(lit(1), size(col("_w")) - (n - 1)), i =>
+      conv(substring(md5(concat_ws(" ", slice(col("_w"), i, lit(n)))),
+        1, 15), 16, 10).cast("long"))
     val anchors = parallelized(df)
-      .filter(size(words) >= n)
-      .select(col(idCol).as("doc_id"),
+      .select(col(idCol).as("doc_id"), words.as("_w"))
+      .filter(org.apache.spark.sql.functions.size(col("_w")) >= n)
+      .select(col("doc_id"),
         explode(graft.functions.CatalystExprs.winnowSelect(ghArr, w)).as("a"))
       .select(col("doc_id"), (col("a.p") + 1).as("p"), col("a.gh").as("gh"))
     alignedMatches(anchors, maxAnchors)
