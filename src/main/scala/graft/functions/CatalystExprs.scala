@@ -218,6 +218,65 @@ object CatalystExprs {
       copy(child = c)
   }
 
+  /** [[TokenCounts]] for arrays of two-long structs (the hashed-bigram
+    * (bgh, w1h) gram frames): sort + run-length encode in-row, returning
+    * array<struct<bgh, w1h, tf>> with distinct keys — the per-document
+    * bigram counts computed inside the row, so the corpus-gram-sized
+    * exploded frame is never shuffled to build tf. Field names are taken
+    * from the child's struct type; the (pair, tf) multiset per row equals
+    * the explode→groupBy form's (spec-pinned). */
+  case class LongPairCounts(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    private lazy val childFields = child.dataType
+      .asInstanceOf[ArrayType].elementType.asInstanceOf[StructType].fields
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(st: StructType, _)
+            if st.fields.length == 2 &&
+              st.fields.forall(_.dataType == LongType) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"long_pair_counts expects array<struct<bigint,bigint>>, got ${t.sql}")
+      }
+    override def dataType: DataType = ArrayType(StructType(
+      childFields :+ StructField("tf", LongType, nullable = false)),
+      containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      if (n == 0) return new GenericArrayData(Array.empty[Any])
+      val a = new Array[Long](n)
+      val b = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        val r = arr.getStruct(i, 2)
+        a(i) = r.getLong(0); b(i) = r.getLong(1)
+        i += 1
+      }
+      val idx = Array.range(0, n).map(Integer.valueOf)
+      java.util.Arrays.sort(idx, new java.util.Comparator[Integer] {
+        def compare(x: Integer, y: Integer): Int = {
+          val c = java.lang.Long.compare(a(x), a(y))
+          if (c != 0) c else java.lang.Long.compare(b(x), b(y))
+        }
+      })
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var start = 0
+      i = 1
+      while (i <= n) {
+        if (i == n || a(idx(i)) != a(idx(start)) || b(idx(i)) != b(idx(start))) {
+          out += org.apache.spark.sql.catalyst.InternalRow(
+            a(idx(start)), b(idx(start)), (i - start).toLong)
+          start = i
+        }
+        i += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+    override protected def withNewChildInternal(c: Expression): LongPairCounts =
+      copy(child = c)
+  }
+
   /** Hashed-bigram DSIR bucket ids in ONE pass over the token array: for
     * each adjacent token pair, md5 over the UTF-8 bytes of "tokA tokB",
     * value = hex nibbles 1..15 of the digest (== `substring(md5hex, 2, 15)`
@@ -1110,6 +1169,9 @@ object CatalystExprs {
 
   def wordNgrams(tokens: Column, n: Int): Column =
     GraftBridge.column(WordNgrams(GraftBridge.expression(tokens), n))
+
+  def longPairCounts(pairs: Column): Column =
+    GraftBridge.column(LongPairCounts(GraftBridge.expression(pairs)))
 
   def imageDimensions(payload: Column): Column =
     GraftBridge.column(ImageDimensions(GraftBridge.expression(payload)))

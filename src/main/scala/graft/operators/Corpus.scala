@@ -1557,40 +1557,46 @@ object Corpus {
     // trick; 64-bit collisions are negligible, so the count tables equal
     // their string-keyed form and the oracle-checked output is unchanged).
     // Measured on the sf0.1 bench: 4.1 → 2.2 s steady vs string keys.
-    val grams0 = df
+    // per-doc bigram counts computed IN-ROW (r15): LongPairCounts sorts +
+    // run-length-encodes each document's (bgh, w1h) gram pairs inside the
+    // row, so the per-doc tf table needs NO aggregation exchange at all —
+    // the exploded rows ARE the tf rows, co-located with their source doc.
+    val tf0 = df
       .select(col(idCol).as("doc_id"),
         transform(filter(split(lower(col(textCol)), " "), t => t =!= ""),
           t => xxhash64(t)).as("_th"))
-      .select(col("doc_id"), explode(when(size(col("_th")) >= 2,
-          transform(sequence(lit(0), size(col("_th")) - 2), i =>
-            struct(
-              xxhash64(element_at(col("_th"), i + 1),
-                element_at(col("_th"), i + 2)).as("bgh"),
-              element_at(col("_th"), i + 1).as("w1h"))))
-        .otherwise(array().cast("array<struct<bgh:bigint,w1h:bigint>>"))).as("_p"))
-      .select(col("doc_id"), col("_p.bgh").as("bgh"), col("_p.w1h").as("w1h"))
-    // the gram frame feeds THREE plan branches (per-doc tf, bigram counts,
-    // context totals), each aggregating on a DIFFERENT key — no common
-    // exchange for Spark to reuse (verified in the executed plan: three
-    // Generate subtrees, zero ReusedExchange), so the uncached plan
-    // re-derives the explode once per branch. `cacheTf` trades pinned
-    // storage for the recomputes; recompute wins at sf0.1 (r15 re-measure:
-    // cached tf 2.07 s vs recomputed 1.49 s min-of-5 — materialization
-    // costs more than two extra explodes), the cache wins at the 20× clone
-    // envelope (ScaleProbe sets it). Measure with Bench-style fresh-cache
-    // runs, NOT a TimeQuery repeat loop — its runs 2+ silently dedupe onto
-    // the run-1 cache entry and skip the work entirely (PLANS.md entry 24).
-    val grams = if (cacheTf) OpCache.cached(grams0) else grams0
-    val tf = grams.groupBy("doc_id", "bgh", "w1h").agg(count(lit(1)).as("tf"))
-    // corpus bigram counts DIRECTLY from the gram frame (r15): counting
-    // grams by (bgh, w1h) equals summing the per-doc tf — the old
-    // tf-then-regroup derivation shuffled the full doc×bigram tf frame
-    // only to collapse it again; the direct partial count collapses to
-    // ≤|bigram vocab| rows map-side before its one exchange.
-    val bc = grams.groupBy("bgh", "w1h").agg(count(lit(1)).as("cnt"))
-    // context totals Σ_w cnt(w1, w) likewise directly: count grams by
-    // their first token's hash — one vocab-sized exchange, no tf replay
-    val ctx = grams.groupBy("w1h").agg(count(lit(1)).as("ctx_cnt"))
+      .select(col("doc_id"), explode(
+          graft.functions.CatalystExprs.longPairCounts(
+            when(size(col("_th")) >= 2,
+              transform(sequence(lit(0), size(col("_th")) - 2), i =>
+                struct(
+                  xxhash64(element_at(col("_th"), i + 1),
+                    element_at(col("_th"), i + 2)).as("bgh"),
+                  element_at(col("_th"), i + 1).as("w1h"))))
+            .otherwise(array()
+              .cast("array<struct<bgh:bigint,w1h:bigint>>")))).as("_p"))
+      .select(col("doc_id"), col("_p.bgh").as("bgh"),
+        col("_p.w1h").as("w1h"), col("_p.tf").as("tf"))
+    // the counted-pair frame feeds THREE plan branches (tf probe, bigram
+    // counts, context totals) — no common exchange for Spark to reuse
+    // (verified in the executed plan: three Generate subtrees, zero
+    // ReusedExchange), so the uncached plan re-derives the in-row pass
+    // once per branch. `cacheTf` trades pinned storage for the recomputes;
+    // recompute wins at sf0.1 (r15 re-measure: cached 2.07 s vs recomputed
+    // 1.49 s min-of-5 — materialization costs more than two extra
+    // explodes), the cache wins at the 20× clone envelope (ScaleProbe
+    // sets it). Measure with Bench-style fresh-cache runs, NOT a TimeQuery
+    // repeat loop — its runs 2+ silently dedupe onto the run-1 cache entry
+    // and skip the work entirely (PLANS.md entry 24).
+    val tf = if (cacheTf) OpCache.cached(tf0) else tf0
+    // corpus bigram counts from the same in-row pairs: sum of per-doc tf
+    // by (bgh, w1h) — partial aggregation collapses to ≤|bigram vocab|
+    // rows map-side before the one exchange (no doc-level tf replay)
+    val bc = tf.groupBy("bgh", "w1h").agg(sum(col("tf")).as("cnt"))
+    // context totals Σ_w cnt(w1, w) from the in-row pairs directly (via
+    // bc it would re-derive bc's whole subtree — branches don't share
+    // exchanges): one explode + one |unigram vocab|-sized exchange
+    val ctx = tf.groupBy("w1h").agg(sum(col("tf")).as("ctx_cnt"))
     tf.join(bc, Seq("bgh", "w1h"))
       .join(ctx, Seq("w1h"))
       .groupBy("doc_id")
