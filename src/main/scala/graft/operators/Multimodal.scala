@@ -320,21 +320,27 @@ object Multimodal {
     * cannot read. */
   def dedupMediaCorpus(media: DataFrame, kind: String = "image",
       maxHamming: Int = 3): DataFrame = {
-    // ONE hash projection over the full frame — payload columns ride
-    // along, so no re-join against the source and no second decode
-    // (review-found r6: the first cut joined media back to a hash
-    // projection on media_id, shuffling payloads and hashing twice)
-    val hashed = kind match {
-      case "image" => imageDHash(media).withColumnRenamed("dhash", "_h")
-      case "audio" => audioEnvelopeHash(media).withColumnRenamed("ahash", "_h")
-      case "video" => videoTemporalHash(media).withColumnRenamed("vhash", "_h")
+    // ONE decode, cached as 16-byte (id, hash) rows (r15): the hash
+    // projection feeds FOUR plan branches (exact-dup groups, Hamming
+    // banding, survivor mapping, final selection) and Spark does not
+    // reuse the subtree across them — uncached, every branch re-decoded
+    // all payloads (~3 full decode passes measured in the executed
+    // plan). The cached frame is the lightweight decision proxy (guide
+    // §8); payloads are never hashed twice and never shuffle for the
+    // decisions. (The r6 review had already removed a payload-shuffling
+    // re-join; this removes the remaining re-decodes.)
+    val hashExpr = kind match {
+      case "image" => graft.functions.CatalystExprs.bmpDHash(col("payload"))
+      case "audio" => graft.functions.CatalystExprs.wavEnvelopeHash(col("payload"))
+      case "video" => graft.functions.CatalystExprs.aviDHash(col("payload"))
       case other => throw new IllegalArgumentException(
         s"dedupMediaCorpus kind must be image, audio or video: $other")
     }
-    val sigs = hashed.select(col("media_id"), col("_h"))
-      .filter(col("_h").isNotNull)
+    val sigs = graft.operators.OpCache.cached(
+      media.select(col("media_id"), hashExpr.as("_h")))
     // exact perceptual duplicates → one representative node per hash
-    val groups = sigs.groupBy("_h").agg(min(col("media_id")).as("rep"))
+    val groups = sigs.filter(col("_h").isNotNull)
+      .groupBy("_h").agg(min(col("media_id")).as("rep"))
     val repPairs = hammingBandPairs(
         groups.select(col("rep").as("media_id"), col("_h")), maxHamming)
       .select(col("media_a").as("rep_a"), col("media_b").as("rep_b"))
@@ -350,13 +356,17 @@ object Multimodal {
       .join(repSurvives, Seq("rep"), "left")
       .filter(coalesce(col("_keep"), lit(true)))
       .select(col("_h"), col("rep").as("_rep"))
-    hashed
+    // survivor ids from the cached proxy alone: undecodable payloads
+    // (hash null) pass through — dedup never drops what it cannot read;
+    // otherwise only the representative of a surviving hash survives
+    val survivorIds = sigs
       .join(survivingHashes, Seq("_h"), "left")
-      // keep: undecodable payloads (hash null never matched: _rep null but
-      // _h null too — pass through), and the representative of a
-      // surviving hash; everything else is a perceptual duplicate
       .filter(col("_h").isNull || col("media_id") === col("_rep"))
-      .drop("_h", "_rep")
+      .select(col("media_id"))
+    // payloads move once, in the id semi-join: in the dedup-heavy regime
+    // the survivor set is small and broadcasts (AQE); in the all-unique
+    // regime the join output is the corpus either way
+    media.join(survivorIds, Seq("media_id"), "left_semi")
   }
 
   /** Deterministic synthetic PCM WAV — fixture generator for the audio-
