@@ -326,11 +326,36 @@ object CatalystExprs {
   }
   object Md5GramBuckets {
     // MessageDigest is stateful: one per thread, reused across rows/tasks
-    private val digests = ThreadLocal.withInitial(
+    private[CatalystExprs] val digests = ThreadLocal.withInitial(
       new java.util.function.Supplier[java.security.MessageDigest] {
         def get(): java.security.MessageDigest =
           java.security.MessageDigest.getInstance("MD5")
       })
+  }
+
+  /** The 60-bit md5 prefix of a string — one digest, no intermediate
+    * strings. Value == `conv(substring(md5(s), 2, 15), 16, 10)::long`
+    * (hex nibbles 1..15 == digest bytes 0..7 big-endian, top nibble
+    * masked), the portable hash plane of simhashPortable, hashEmbedding
+    * and deterministicSample. The composable form built three strings per
+    * evaluation (32-char hex, 15-char substring, conv's decimal);
+    * spec-pinned bit-equal. */
+  case class Md5Prefix60(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val md = Md5GramBuckets.digests.get()
+      md.reset()
+      md.update(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+        .getBytes)
+      val d = md.digest()
+      var v = 0L
+      var k = 0
+      while (k < 8) { v = (v << 8) | (d(k) & 0xFFL); k += 1 }
+      v & 0x0FFFFFFFFFFFFFFFL
+    }
+    override protected def withNewChildInternal(c: Expression): Md5Prefix60 =
+      copy(child = c)
   }
 
   /** Intersection size of two SORTED array<long> columns via a two-pointer
@@ -1172,6 +1197,9 @@ object CatalystExprs {
 
   def longPairCounts(pairs: Column): Column =
     GraftBridge.column(LongPairCounts(GraftBridge.expression(pairs)))
+
+  def md5Prefix60(s: Column): Column =
+    GraftBridge.column(Md5Prefix60(GraftBridge.expression(s)))
 
   def imageDimensions(payload: Column): Column =
     GraftBridge.column(ImageDimensions(GraftBridge.expression(payload)))

@@ -149,7 +149,7 @@ object TextAnalysis {
     // h(t) call per use would run the md5 pipeline twice per token, and
     // codegen does not CSE across lambda bodies)
     val hashes = transform(filter(tokens(text), t => t =!= ""),
-      t => conv(substring(md5(t), 2, 15), 16, 10).cast("long"))
+      t => CatalystExprs.md5Prefix60(t))
     aggregate(
       hashes,
       array_repeat(lit(0.0), dim),

@@ -149,8 +149,9 @@ object Corpus {
     require(weightCol.nonEmpty != rate.nonEmpty,
       "exactly one of weightCol / rate must be given")
     rate.foreach(r => require(r >= 0.0 && r <= 1.0, "rate must be in [0,1]"))
-    val u = conv(substring(md5(concat(lit(seed), col(idCol).cast("string"))),
-      2, 15), 16, 10).cast("long").cast("double") / lit(1.152921504606846976e18)
+    val u = graft.functions.CatalystExprs.md5Prefix60(
+      concat(lit(seed), col(idCol).cast("string")))
+      .cast("double") / lit(1.152921504606846976e18)
     val p = weightCol
       .map(w => if (sqrtWeight) sqrt(col(w)) else col(w))
       .getOrElse(lit(rate.get))

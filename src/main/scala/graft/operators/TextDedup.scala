@@ -139,7 +139,9 @@ object TextDedup {
         explode(split(lower(col(textCol)), " ")).as("_wd"))
       .filter(col("_wd") =!= "")
       .select(col(idCol),
-        conv(substring(md5(col("_wd")), 2, 15), 16, 10).cast("long").as("_wh"))
+        // one fused digest per word (r15, bit-equal to the composable
+        // conv(substring(md5(w),2,15),16,10) form — spec-pinned)
+        graft.functions.CatalystExprs.md5Prefix60(col("_wd")).as("_wh"))
     val votes = (0 until bits).map(b =>
       sum(when(shiftright(col("_wh"), b).bitwiseAND(1L) === 1L, 1L)
         .otherwise(-1L)).as(s"_v$b"))

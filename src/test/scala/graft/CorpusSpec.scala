@@ -1072,6 +1072,20 @@ class CorpusSpec extends AnyFunSuite {
     assert(fused.nonEmpty && fused == composed)
   }
 
+  test("Md5Prefix60 equals conv(substring(md5,2,15),16,10) bit-for-bit") {
+    val rows = Seq("", "a", "héllo wörld", "文字テキスト", "smp|12345",
+      "the quick brown fox", " leading", "trailing ")
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val docs = Tables.t(spark, TestSpark.sf, "documents")
+      .select($"doc_id", $"text".as("s"))
+      .union(rows.toDF("doc_id", "s"))
+    val both = docs.select(
+        graft.functions.CatalystExprs.md5Prefix60($"s").as("fused"),
+        conv(substring(md5($"s"), 2, 15), 16, 10).cast("long").as("composed"))
+      .collect()
+    assert(both.nonEmpty && both.forall(r => r.getLong(0) == r.getLong(1)))
+  }
+
   test("dsir xxhash64 production form: identical math, identical plan shape") {
     val docs = Tables.t(spark, TestSpark.sf, "documents").limit(200)
     val target = docs.filter($"lang" === "en")
