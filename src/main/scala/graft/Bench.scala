@@ -48,6 +48,18 @@ package graft
   *    run-minimum fallback) and `noisy_window` + `sentinel_ratio` +
   *    `quiet_ref` are stamped into the JSON — an ambient-noise round
   *    adjudicates itself instead of needing PLANS archaeology.
+  *  - wait-for-quiet (r16, verdict closure): the r15 telemetry flagged
+  *    noise but did not act on it. Every timed window's sentinel is now
+  *    a GATE: a noisy sample sleeps briefly and re-probes (bounded by a
+  *    75 s global budget) so timings start in quiet windows when they
+  *    arrive — BEFORE the timed run, so cold first-runs stay genuinely
+  *    cold. The cold-retry trigger additionally fires on the absolute
+  *    quiet-reference rule (uniform elevation, invisible to the run-
+  *    median rule), and the quiet reference is (sf, cpus)-keyed so the
+  *    driver's low-core scaling run stops borrowing the 32-core floor.
+  *    `quiet_wait` (seconds slept) is stamped into the JSON; timing
+  *    methodology (noop sink, cold first-run, steady min-of-2) is
+  *    otherwise unchanged and all existing fields keep their meaning.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -111,11 +123,50 @@ object Bench {
     }
     sentinelOnce() // warm the sentinel's own plan/codegen
 
+    // Wait-for-quiet (r16, r15 verdict #1): the r15 telemetry stamps a
+    // noisy window but does not ACT on it — r15's driver artifact carried
+    // 15 phantom regressions from a sentinel_ratio-1.32 window. Now every
+    // timed window is gated on its own sentinel sample: if the sample
+    // exceeds the quiet reference by the adjudication rule, sleep briefly
+    // and re-probe (bounded by a global wall-clock budget) so the timing
+    // starts in a quiet window when one arrives. This happens BEFORE the
+    // timed run, so cold first-runs stay genuinely cold (no codegen-cache
+    // reuse — the flaw of retry-after). The reference is the recorded
+    // quiet median for this (sf, cpus) config, or the run's own best
+    // sample when no reference is recorded (catches partial windows).
+    val sfName = new java.io.File(sfDir).getName
+    val cpusInt = try cpus.toInt catch { case _: NumberFormatException => -1 }
+    val fixedQuietRef: Option[Double] = {
+      val r = BenchWindow.quietRef(sfName, cpusInt,
+        sys.env.get("SPARK_GRAFT_QUIET_SENTINEL"), -1.0)
+      if (r > 0) Some(r) else None
+    }
+    var minSentinelSeen = Double.MaxValue
+    def gateRef: Double =
+      fixedQuietRef.getOrElse(
+        if (minSentinelSeen == Double.MaxValue) 0.0 else minSentinelSeen)
+    var quietWaitLeft = 75.0 // seconds of total sleep budget for the run
+    var quietWaited = 0.0
+    def quietSentinel(): Double = {
+      var s = sentinelOnce()
+      minSentinelSeen = math.min(minSentinelSeen, s)
+      var probes = 0
+      while (BenchWindow.noisy(s, gateRef) && quietWaitLeft >= 1.5 &&
+          probes < 4) {
+        Thread.sleep(1500)
+        quietWaitLeft -= 1.5; quietWaited += 1.5
+        s = sentinelOnce()
+        minSentinelSeen = math.min(minSentinelSeen, s)
+        probes += 1
+      }
+      s
+    }
+
     val names = SparkEntry.benchQueries
     // primary metric: COLD first-run times (comparable across rounds).
     val sentinels = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = names.flatMap { n =>
-      sentinels(n) = sentinelOnce()
+      sentinels(n) = quietSentinel()
       timeOnce(n).map(n -> _)
     }
     // cold retry under DETECTED contention: a cold run whose sentinel ran
@@ -128,8 +179,15 @@ object Bench {
       val v = sentinels.values.toSeq.sorted
       if (v.isEmpty) 0.0 else v(v.length / 2)
     }
+    // two triggers (r16 adds the second): (a) the r7 relative rule —
+    // sentinel far above the RUN median catches isolated steal spikes;
+    // (b) the quiet-reference rule — a sentinel still noisy vs the
+    // recorded quiet floor after wait-for-quiet exhausted its probes
+    // catches UNIFORM elevation, which the median rule is blind to (the
+    // r15 artifact's 15 phantom regressions sat exactly there).
     val coldContended = names.filter(n => sentinels.get(n).exists(s =>
-      s > 2.5 * sMedian && s > sMedian + 0.15))
+      (s > 2.5 * sMedian && s > sMedian + 0.15) ||
+        BenchWindow.noisy(s, gateRef)))
     // per-query retry record (ADVICE r7): key = retried query, value = its
     // ORIGINAL first-run cold time; the queries map carries the effective
     // min. Presence in cold_first IS the per-query "this was retried" flag.
@@ -137,6 +195,7 @@ object Bench {
     val results2 = results.map { case (n, v) =>
       if (coldContended.contains(n)) {
         coldFirst(n) = v
+        quietSentinel() // wait out the steal window before re-timing
         n -> timeOnce(n).map(math.min(v, _)).getOrElse(v)
       } else n -> v
     }
@@ -161,7 +220,7 @@ object Bench {
     val steadyRuns: Seq[Map[String, (Double, Double)]] = (1 to 2).map { _ =>
       spark.catalog.clearCache()
       names.flatMap { n =>
-        val s = sentinelOnce()
+        val s = quietSentinel()
         steadySentinels += s
         timeOnce(n).map(t => n -> ((t, s)))
       }.toMap
@@ -216,7 +275,7 @@ object Bench {
         // folding their sentinels into the steady median would inflate it
         // and weaken the 1.5× steady_contended flag for the regular-pass
         // minima; the retry sentinel rides along per-query only
-        val s = sentinelOnce()
+        val s = quietSentinel()
         timeOnce(n).foreach { t =>
           if (t < steadyM(n)) { steadyM += n -> t; steadySentAtMin(n) = s }
         }
@@ -291,23 +350,22 @@ object Bench {
         .map(n -> _))
     System.err.println(
       s"[bench] steady_sentinels_at_min=${jsonMap(steadySentAtMin.toSeq)}")
-    // the sf dir basename is enough to identify the scale; the full path
-    // only spends line budget
-    val sfName = new java.io.File(sfDir).getName
     // window self-adjudication (r15, r14 verdict #2): compare this run's
     // steady sentinel median against the recorded quiet reference and
     // stamp the verdict INTO the artifact — an ambient-noise round reads
-    // as noisy_window:true + its ratio, with no PLANS archaeology
-    val runMinSentinel = {
-      val all = sentinels.values ++ steadySentinels
-      if (all.isEmpty) 0.0 else all.min
-    }
-    val quietRef = BenchWindow.quietRef(sfName,
+    // as noisy_window:true + its ratio, with no PLANS archaeology.
+    // r16: the reference is (sf, cpus)-keyed (the sentinel is a parallel
+    // scan — BENCH_r15_c8 self-stamped noisy purely because its 8-core
+    // sentinel ran 1.4× the 32-core floor) and the fallback run-minimum
+    // now includes every wait-for-quiet probe sample.
+    val runMinSentinel =
+      if (minSentinelSeen == Double.MaxValue) 0.0 else minSentinelSeen
+    val quietRef = BenchWindow.quietRef(sfName, cpusInt,
       sys.env.get("SPARK_GRAFT_QUIET_SENTINEL"), runMinSentinel)
     val (sentinelRatio, noisyWindow) =
       BenchWindow.adjudicate(ssMedian, quietRef)
     def mkLine(coldFirstJson: String, steadyRetriedJson: String,
-        coldContendedJson: String, steadyContendedJson: String) = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(results2)},"steady_total":$steadyTotal%.3f,"steady_vals":$steadyValsJson,"failed":$failedJson,"sentinel_median":$sMedian%.3f,"sentinel_max":$sMax%.3f,"steady_sentinel_median":$ssMedian%.3f,"noisy_window":$noisyWindow,"sentinel_ratio":$sentinelRatio%.2f,"quiet_ref":$quietRef%.3f,"cold_first":$coldFirstJson,"steady_retried":$steadyRetriedJson,"steady_inverted":$invertedJson,"cold_contended":$coldContendedJson,"steady_contended":$steadyContendedJson,"sf":"$sfName"}"""
+        coldContendedJson: String, steadyContendedJson: String) = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(results2)},"steady_total":$steadyTotal%.3f,"steady_vals":$steadyValsJson,"failed":$failedJson,"sentinel_median":$sMedian%.3f,"sentinel_max":$sMax%.3f,"steady_sentinel_median":$ssMedian%.3f,"noisy_window":$noisyWindow,"sentinel_ratio":$sentinelRatio%.2f,"quiet_ref":$quietRef%.3f,"quiet_wait":$quietWaited%.1f,"cold_first":$coldFirstJson,"steady_retried":$steadyRetriedJson,"steady_inverted":$invertedJson,"cold_contended":$coldContendedJson,"steady_contended":$steadyContendedJson,"sf":"$sfName"}"""
     var line = mkLine(jsonMap(coldFirst.toSeq),
       jsonIntMap(steadyRetriedPer.toSeq), jsonMap(coldWindows),
       jsonMap(steadyWindows))

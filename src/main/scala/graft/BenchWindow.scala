@@ -25,11 +25,16 @@ package graft
   */
 object BenchWindow {
 
-  /** Quiet-window steady sentinel medians, by sf-dir basename. Only the
-    * configs with an actual recorded quiet run are listed — anything
-    * else falls back to the run's own minimum. */
-  val quietDefaults: Map[String, Double] = Map(
-    "sf0.1" -> 0.109) // PLANS 99/100: quiet-window record, local[32]
+  /** Quiet-window steady sentinel medians, by (sf-dir basename, core
+    * count). Only the configs with an actual recorded quiet run are
+    * listed — anything else falls back to the run's own minimum.
+    * Keyed by CPUS too (r16): the sentinel is a parallel scan, so its
+    * quiet floor scales with the core count — BENCH_r15_c8 stamped
+    * itself noisy_window:true purely because the 8-core sentinel ran
+    * 1.4× the 32-core reference. A config without a recorded quiet
+    * run must self-reference, not borrow another config's floor. */
+  val quietDefaults: Map[(String, Int), Double] = Map(
+    ("sf0.1", 32) -> 0.109) // PLANS 99/100: quiet-window record, local[32]
 
   /** Elevation ratio above which the window is stamped noisy. 1.2× with
     * a 10 ms materiality floor: the host's quiet-window jitter is well
@@ -42,7 +47,8 @@ object BenchWindow {
   val NoisyRatio = 1.2
   val FloorSec = 0.01
 
-  def quietRef(sfName: String, env: Option[String], runMin: Double): Double =
+  def quietRef(sfName: String, cpus: Int, env: Option[String],
+      runMin: Double): Double =
     env.map(_.trim).filter(_.nonEmpty).flatMap { v =>
       // a malformed override must not crash the bench AFTER the whole
       // run completed (the JSON artifact would be lost), and parseable
@@ -59,8 +65,15 @@ object BenchWindow {
             "seconds, e.g. 0.109)")
           None
         }
-    }.orElse(quietDefaults.get(sfName))
+    }.orElse(quietDefaults.get((sfName, cpus)))
       .getOrElse(runMin)
+
+  /** Per-sample noise gate: the adjudicate rule applied to ONE sentinel
+    * sample instead of the run median — used by Bench's wait-for-quiet
+    * loop (r16) to decide whether the upcoming timing window sits in a
+    * steal episode. */
+  def noisy(sample: Double, ref: Double): Boolean =
+    ref > 0 && sample > ref * NoisyRatio && sample > ref + FloorSec
 
   /** (ratio, noisy): ratio = median / ref (1.0 when ref is degenerate);
     * noisy when the median exceeds ref by BOTH the ratio and the floor. */

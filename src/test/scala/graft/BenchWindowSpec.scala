@@ -9,23 +9,39 @@ class BenchWindowSpec extends AnyFunSuite {
 
   test("quiet reference resolution: env override > recorded default > run minimum") {
     // env wins
-    assert(BenchWindow.quietRef("sf0.1", Some("0.25"), 0.05) == 0.25)
+    assert(BenchWindow.quietRef("sf0.1", 32, Some("0.25"), 0.05) == 0.25)
     // recorded quiet default for the driver's config
-    assert(BenchWindow.quietRef("sf0.1", None, 0.05) == 0.109)
+    assert(BenchWindow.quietRef("sf0.1", 32, None, 0.05) == 0.109)
     // unknown config: the run's own minimum sample
-    assert(BenchWindow.quietRef("sf0.007", None, 0.08) == 0.08)
+    assert(BenchWindow.quietRef("sf0.007", 32, None, 0.08) == 0.08)
+    // the reference is (sf, cpus)-keyed (r16): an 8-core run must NOT
+    // borrow the 32-core floor — its sentinel is a parallel scan and
+    // runs ~1.4× slower quiet (BENCH_r15_c8 false-positive)
+    assert(BenchWindow.quietRef("sf0.1", 8, None, 0.15) == 0.15)
     // blank env is absent, not zero
-    assert(BenchWindow.quietRef("sf0.1", Some("  "), 0.05) == 0.109)
+    assert(BenchWindow.quietRef("sf0.1", 32, Some("  "), 0.05) == 0.109)
     // a malformed override is ignored with a warning, never a crash
     // AFTER the whole bench run completed (r15 review)
-    assert(BenchWindow.quietRef("sf0.1", Some("0.109s"), 0.05) == 0.109)
-    assert(BenchWindow.quietRef("sf0.007", Some("fast"), 0.08) == 0.08)
+    assert(BenchWindow.quietRef("sf0.1", 32, Some("0.109s"), 0.05) == 0.109)
+    assert(BenchWindow.quietRef("sf0.007", 32, Some("fast"), 0.08) == 0.08)
     // parseable garbage must not corrupt the stamped ratio (NaN would
     // unparse the JSON artifact) or silently disable adjudication
-    assert(BenchWindow.quietRef("sf0.1", Some("NaN"), 0.05) == 0.109)
-    assert(BenchWindow.quietRef("sf0.1", Some("Infinity"), 0.05) == 0.109)
-    assert(BenchWindow.quietRef("sf0.1", Some("-1"), 0.05) == 0.109)
-    assert(BenchWindow.quietRef("sf0.007", Some("0"), 0.08) == 0.08)
+    assert(BenchWindow.quietRef("sf0.1", 32, Some("NaN"), 0.05) == 0.109)
+    assert(BenchWindow.quietRef("sf0.1", 32, Some("Infinity"), 0.05) == 0.109)
+    assert(BenchWindow.quietRef("sf0.1", 32, Some("-1"), 0.05) == 0.109)
+    assert(BenchWindow.quietRef("sf0.007", 32, Some("0"), 0.08) == 0.08)
+  }
+
+  test("per-sample noise gate mirrors the adjudication rule") {
+    // quiet sample: no gate
+    assert(!BenchWindow.noisy(0.11, 0.109))
+    // the documented steal pattern trips
+    assert(BenchWindow.noisy(0.154, 0.109))
+    // materiality floor: 1.3x on a 20 ms reference is timer jitter
+    assert(!BenchWindow.noisy(0.026, 0.02))
+    // degenerate reference never gates (wait-for-quiet must not spin
+    // before the first sample establishes a floor)
+    assert(!BenchWindow.noisy(0.5, 0.0))
   }
 
   test("adjudicate: quiet windows pass, the documented 1.2-1.6x steal pattern trips, floors guard sub-jitter") {
