@@ -201,18 +201,25 @@ object CatalystExprs {
       var i = 0
       while (i < n) { toks(i) = arr.getUTF8String(i); i += 1 }
       java.util.Arrays.sort(toks.asInstanceOf[Array[Object]])
-      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      // two-pass sized allocation (r16 de-box): count runs, then fill an
+      // exact-size array — no ArrayBuffer growth/copy per row
+      var runs = 1
+      i = 1
+      while (i < n) { if (toks(i) != toks(i - 1)) runs += 1; i += 1 }
+      val out = new Array[Any](runs)
+      var o = 0
       var start = 0
       i = 1
       while (i <= n) {
         if (i == n || toks(i) != toks(start)) {
-          out += org.apache.spark.sql.catalyst.InternalRow(
+          out(o) = org.apache.spark.sql.catalyst.InternalRow(
             toks(start), (i - start).toLong)
+          o += 1
           start = i
         }
         i += 1
       }
-      new GenericArrayData(out.toArray)
+      new GenericArrayData(out)
     }
     override protected def withNewChildInternal(c: Expression): TokenCounts =
       copy(child = c)
@@ -253,28 +260,79 @@ object CatalystExprs {
         a(i) = r.getLong(0); b(i) = r.getLong(1)
         i += 1
       }
-      val idx = Array.range(0, n).map(Integer.valueOf)
-      java.util.Arrays.sort(idx, new java.util.Comparator[Integer] {
-        def compare(x: Integer, y: Integer): Int = {
-          val c = java.lang.Long.compare(a(x), a(y))
-          if (c != 0) c else java.lang.Long.compare(b(x), b(y))
-        }
-      })
-      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      // primitive dual-array sort (r16 de-box): the former boxed
+      // Array[Integer] index sort allocated n Integers per row and paid a
+      // megamorphic comparator call per compare — on wide documents the
+      // sort dominated the node. This tandem quicksort moves the two
+      // long columns directly: zero allocations, inlineable compares.
+      sortPairs(a, b, 0, n - 1)
+      var runs = 1
+      i = 1
+      while (i < n) {
+        if (a(i) != a(i - 1) || b(i) != b(i - 1)) runs += 1
+        i += 1
+      }
+      val out = new Array[Any](runs)
+      var o = 0
       var start = 0
       i = 1
       while (i <= n) {
-        if (i == n || a(idx(i)) != a(idx(start)) || b(idx(i)) != b(idx(start))) {
-          out += org.apache.spark.sql.catalyst.InternalRow(
-            a(idx(start)), b(idx(start)), (i - start).toLong)
+        if (i == n || a(i) != a(start) || b(i) != b(start)) {
+          out(o) = org.apache.spark.sql.catalyst.InternalRow(
+            a(start), b(start), (i - start).toLong)
+          o += 1
           start = i
         }
         i += 1
       }
-      new GenericArrayData(out.toArray)
+      new GenericArrayData(out)
     }
     override protected def withNewChildInternal(c: Expression): LongPairCounts =
       copy(child = c)
+  }
+
+  /** In-place tandem quicksort of (a, b) by (a, then b) — the primitive
+    * sort behind [[LongPairCounts]]. Median-of-three pivoting, insertion
+    * sort below 16 elements, recursion on the smaller side only (stack
+    * depth O(log n) even on adversarial runs). */
+  private def sortPairs(a: Array[Long], b: Array[Long],
+      lo0: Int, hi0: Int): Unit = {
+    var lo = lo0
+    var hi = hi0
+    while (hi - lo >= 16) {
+      // median-of-three pivot to dodge quadratic behavior on sorted runs
+      val mid = lo + (hi - lo) / 2
+      def less(i: Int, j: Int): Boolean =
+        a(i) < a(j) || (a(i) == a(j) && b(i) < b(j))
+      def swap(i: Int, j: Int): Unit = {
+        val ta = a(i); a(i) = a(j); a(j) = ta
+        val tb = b(i); b(i) = b(j); b(j) = tb
+      }
+      if (less(mid, lo)) swap(mid, lo)
+      if (less(hi, mid)) { swap(hi, mid); if (less(mid, lo)) swap(mid, lo) }
+      val pa = a(mid); val pb = b(mid)
+      var i = lo
+      var j = hi
+      while (i <= j) {
+        while (a(i) < pa || (a(i) == pa && b(i) < pb)) i += 1
+        while (a(j) > pa || (a(j) == pa && b(j) > pb)) j -= 1
+        if (i <= j) { swap(i, j); i += 1; j -= 1 }
+      }
+      // recurse into the smaller half, loop on the larger
+      if (j - lo < hi - i) { sortPairs(a, b, lo, j); lo = i }
+      else { sortPairs(a, b, i, hi); hi = j }
+    }
+    // insertion sort for the small tail
+    var i = lo + 1
+    while (i <= hi) {
+      val ka = a(i); val kb = b(i)
+      var j = i - 1
+      while (j >= lo && (a(j) > ka || (a(j) == ka && b(j) > kb))) {
+        a(j + 1) = a(j); b(j + 1) = b(j); j -= 1
+      }
+      a(j + 1) = ka; b(j + 1) = kb
+      i += 1
+    }
   }
 
   /** Hashed-bigram DSIR bucket ids in ONE pass over the token array: for
@@ -355,6 +413,65 @@ object CatalystExprs {
       v & 0x0FFFFFFFFFFFFFFFL
     }
     override protected def withNewChildInternal(c: Expression): Md5Prefix60 =
+      copy(child = c)
+  }
+
+  /** Feature-hashed embedding of a token array in ONE mutable pass — the
+    * fused form of TextAnalysis.hashEmbedding's aggregate fold, which
+    * copied the whole dim-array once PER TOKEN (the lambda `transform(acc,
+    * (v, i) => when(i === bucket, ...))` materializes a fresh array each
+    * step: O(tokens × dim) allocation + interpreted per-element work).
+    * Semantics bit-identical (spec-pinned): per non-empty token, md5
+    * prefix60 (the [[Md5Prefix60]] value), bucket = hv % dim, sign = bit
+    * 59 (+1/-1), bucket sums accumulated in token order (integer-valued —
+    * IEEE-exact under 2^53); norm = sqrt of the index-order sum of
+    * squares; components round(x, 6) with Spark's Round rule
+    * (BigDecimal HALF_UP), all-zero vectors stay all-zero. Empty tokens
+    * are skipped INSIDE the node (the old form's filter(t =!= "")).
+    * NULL array → NULL; token elements must be non-null (split output). */
+  case class HashEmbedding(child: Expression, dim: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(dim > 0, s"dim must be positive: $dim")
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val acc = new Array[Double](dim)
+      val md = Md5GramBuckets.digests.get()
+      var i = 0
+      while (i < n) {
+        val tok = arr.getUTF8String(i)
+        if (tok.numBytes() > 0) {
+          md.reset()
+          md.update(tok.getBytes)
+          val d = md.digest()
+          var v = 0L
+          var k = 0
+          while (k < 8) { v = (v << 8) | (d(k) & 0xFFL); k += 1 }
+          v &= 0x0FFFFFFFFFFFFFFFL
+          val bucket = (v % dim).toInt
+          acc(bucket) += (if (((v >>> 59) & 1L) == 1L) 1.0 else -1.0)
+        }
+        i += 1
+      }
+      var ss = 0.0
+      i = 0
+      while (i < dim) { ss += acc(i) * acc(i); i += 1 }
+      val nrm = math.sqrt(ss)
+      val out = new Array[Double](dim)
+      if (nrm != 0.0) {
+        i = 0
+        while (i < dim) {
+          // Spark's Round(double, 6): BigDecimal HALF_UP via the decimal
+          // string representation — must match bit-for-bit
+          out(i) = BigDecimal(acc(i) / nrm)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          i += 1
+        }
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): HashEmbedding =
       copy(child = c)
   }
 
@@ -1200,6 +1317,9 @@ object CatalystExprs {
 
   def md5Prefix60(s: Column): Column =
     GraftBridge.column(Md5Prefix60(GraftBridge.expression(s)))
+
+  def hashEmbedding(tokens: Column, dim: Int): Column =
+    GraftBridge.column(HashEmbedding(GraftBridge.expression(tokens), dim))
 
   def imageDimensions(payload: Column): Column =
     GraftBridge.column(ImageDimensions(GraftBridge.expression(payload)))

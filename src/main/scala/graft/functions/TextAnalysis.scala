@@ -144,26 +144,14 @@ object TextAnalysis {
     */
   def hashEmbedding(text: Column, dim: Int = 64): Column = {
     require(dim > 0, "dim must be positive")
-    // tokens are hashed ONCE up front (the fold's lambda variable is then
-    // the 60-bit hash itself — bucket and sign both derive from it; an
-    // h(t) call per use would run the md5 pipeline twice per token, and
-    // codegen does not CSE across lambda bodies)
-    val hashes = transform(filter(tokens(text), t => t =!= ""),
-      t => CatalystExprs.md5Prefix60(t))
-    aggregate(
-      hashes,
-      array_repeat(lit(0.0), dim),
-      (acc, hv) => {
-        val bucket = pmod(hv, lit(dim.toLong)).cast("int")
-        val sgn = when(shiftright(hv, 59).bitwiseAND(1L) === 1L, lit(1.0))
-          .otherwise(lit(-1.0))
-        transform(acc, (v, i) => when(i === bucket, v + sgn).otherwise(v))
-      },
-      acc => {
-        val nrm = sqrt(aggregate(acc, lit(0.0), (s, v) => s + v * v))
-        transform(acc, v =>
-          when(nrm === 0.0, 0.0).otherwise(round(v / nrm, 6)))
-      })
+    // ONE mutable pass (r16): the former aggregate fold copied the whole
+    // dim-array per token (transform(acc, ...) materializes a fresh array
+    // each step — O(tokens × dim) allocation, interpreted per element;
+    // at d=768 the fold cost minutes on the probe corpus). The native
+    // node hashes each token once (the same Md5Prefix60 value), skips
+    // empties (the old filter), and accumulates into one double[dim];
+    // bit-equality with the fold form is spec-pinned.
+    CatalystExprs.hashEmbedding(tokens(text), dim)
   }
 
   /** zlib compression ratio (compressed/raw bytes) — the cheap whole-

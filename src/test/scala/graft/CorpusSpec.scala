@@ -1086,6 +1086,54 @@ class CorpusSpec extends AnyFunSuite {
     assert(both.nonEmpty && both.forall(r => r.getLong(0) == r.getLong(1)))
   }
 
+  test("HashEmbedding equals the aggregate-fold form bit-for-bit") {
+    // the r16 fused node vs the r15 fold it replaced (reconstructed here
+    // verbatim): one md5 per token, bucket = hv % dim, sign = bit 59,
+    // L2 norm in index order, round(x, 6), zero vector stays zero.
+    // Adversarial rows: empty text, consecutive spaces (empty tokens),
+    // unicode, single token, null text.
+    val adv = Seq((9001L, ""), (9002L, "  double  spaces  "),
+      (9003L, "文字 テキスト héllo"), (9004L, "one"), (9005L, null))
+    val docs = Tables.t(spark, TestSpark.sf, "documents")
+      .select($"doc_id", $"text").union(adv.toDF("doc_id", "text"))
+    def oldFold(text: org.apache.spark.sql.Column,
+        dim: Int): org.apache.spark.sql.Column = {
+      val hashes = transform(filter(split(lower(text), " "), t => t =!= ""),
+        t => graft.functions.CatalystExprs.md5Prefix60(t))
+      aggregate(
+        hashes,
+        array_repeat(lit(0.0), dim),
+        (acc, hv) => {
+          val bucket = pmod(hv, lit(dim.toLong)).cast("int")
+          val sgn = when(shiftright(hv, 59).bitwiseAND(1L) === 1L, lit(1.0))
+            .otherwise(lit(-1.0))
+          transform(acc, (v, i) => when(i === bucket, v + sgn).otherwise(v))
+        },
+        acc => {
+          val nrm = sqrt(aggregate(acc, lit(0.0), (s, v) => s + v * v))
+          transform(acc, v =>
+            when(nrm === 0.0, 0.0).otherwise(round(v / nrm, 6)))
+        })
+    }
+    for (dim <- Seq(8, 64)) {
+      val both = docs.select(
+          graft.functions.TextAnalysis.hashEmbedding($"text", dim).as("fused"),
+          oldFold($"text", dim).as("folded"))
+        .collect()
+      assert(both.nonEmpty)
+      both.foreach { r =>
+        if (r.isNullAt(0) || r.isNullAt(1)) assert(r.isNullAt(0) == r.isNullAt(1))
+        else {
+          val f = r.getSeq[Double](0); val o = r.getSeq[Double](1)
+          // bit-for-bit, including signed zeros
+          assert(f.length == o.length && f.zip(o).forall { case (a, b) =>
+            java.lang.Double.doubleToRawLongBits(a) ==
+              java.lang.Double.doubleToRawLongBits(b) })
+        }
+      }
+    }
+  }
+
   test("dsir xxhash64 production form: identical math, identical plan shape") {
     val docs = Tables.t(spark, TestSpark.sf, "documents").limit(200)
     val target = docs.filter($"lang" === "en")
