@@ -504,6 +504,41 @@ object ScaleProbe {
             maxHamming = 3)
           .select("media_id")
       },
+      {
+        // r16 (verdict #3, the p68 proxy-cache crossover): the synthetic
+        // farm probes re-SYNTHESIZE payloads in the executors, so an
+        // uncached branch re-compute is nearly free and the proxy cache
+        // can only lose there. A REAL media source is different: every
+        // re-decode re-READS the payload bytes from storage. This probe
+        // writes the farm to parquet once (untimed) and runs the rewrite
+        // off the parquet table — the optimizer then sees true stats
+        // (~0.5 GB here) and the proxyCacheMinBytes knob flips the shape
+        // for the A/B. Measured (r16): uncached 19.8 s vs cached 25.7 s —
+        // at this scale the OS page cache serves the branch re-reads, so
+        // the gate's 64 GiB default keeps the cache OFF here.
+        val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+          "graft_media_parquet_probe").toString
+        if (wanted("media_dedup_rewrite_parquet") &&
+            !new java.io.File(dir, "_SUCCESS").exists()) {
+          import spark.implicits._
+          spark.range(200000).select(col("id").as("media_id"))
+            .as[Long].mapPartitions { ids =>
+              ids.map { id =>
+                val p = (id % 1000).toInt
+                val shift = ((id / 1000) % 4).toInt * 15
+                (id, operators.Multimodal.syntheticBmpGray(54, 48)((x, y) =>
+                  ((x * (p % 13 + 2) + y * (17 - p % 7) + p) % 170) + 20 + shift))
+              }
+            }.toDF("media_id", "payload")
+            .repartition(32)
+            .write.mode("overwrite").parquet(dir)
+        }
+        time("media_dedup_rewrite_parquet") {
+          operators.Multimodal.dedupMediaCorpus(
+            spark.read.parquet(dir), "image", maxHamming = 3)
+            .select("media_id")
+        }
+      },
       time("media_pairs_farm_reps") {
         // the r7 farm-safe PAIR form at the same 100k-BMP duplicate-farm
         // scale as media_dedup_rewrite_farm: expand='reps' output is

@@ -336,8 +336,35 @@ object Multimodal {
       case other => throw new IllegalArgumentException(
         s"dedupMediaCorpus kind must be image, audio or video: $other")
     }
-    val sigs = graft.operators.OpCache.cached(
-      media.select(col("media_id"), hashExpr.as("_h")))
+    // SIZE-GATED (r16, r15 verdict #3): the cache trades one extra source
+    // read + proxy materialization for ~2-3 saved re-read+decode passes
+    // of the payload bytes. The r16 probe matrix (OPTIMIZATION_r16.md)
+    // measured the UNCACHED shape winning or tying at every locally
+    // reachable scale — sf0.1 (18k BMPs, r15 driver: 0.68x from caching
+    // unconditionally), the 100k/20k synthetic farms (payloads re-
+    // synthesized in-executor: recompute is nearly free), and a 0.5 GB
+    // REAL parquet source (19.8 s uncached vs 25.7 s cached: the OS page
+    // cache serves branch re-reads at RAM speed, and the uncached
+    // branches scan in parallel while the cache build serializes them).
+    // The cached shape wins when branch re-reads actually hit storage —
+    // source ≫ cluster page cache — or when decode dominates: at 100 TB
+    // the uncached shape re-reads ~3x the corpus (napkin: 400 TB vs
+    // 200 TB moved, plus 3x the decode CPU), so the gate defaults to
+    // 64 GiB (spark.graft.media.proxyCacheMinBytes): safely above what a
+    // page cache absorbs, far below corpus scale. Parquet sources report
+    // true bytes to the optimizer; unknown leaves report Long.MaxValue
+    // (cache on — the safe direction at scale). When the cache is ON,
+    // the entry lives until OpCache.release — the SQL statement
+    // lifecycle releases per statement; library callers invoking this
+    // operator directly on large sources should release when done.
+    val proxy = media.select(col("media_id"), hashExpr.as("_h"))
+    val estBytes = media.queryExecution.optimizedPlan.stats.sizeInBytes
+    val minBytes = BigInt(media.sparkSession.conf
+      .get("spark.graft.media.proxyCacheMinBytes", (64L << 30).toString)
+      .toLong)
+    val sigs =
+      if (estBytes >= minBytes) graft.operators.OpCache.cached(proxy)
+      else proxy
     // exact perceptual duplicates → one representative node per hash
     val groups = sigs.filter(col("_h").isNotNull)
       .groupBy("_h").agg(min(col("media_id")).as("rep"))

@@ -578,6 +578,40 @@ class MultimodalSpec extends AnyFunSuite {
     assert(kept2 == Set(1L, 3L))
   }
 
+  test("dedupMediaCorpus proxy cache is size-gated and value-invariant") {
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    def base(x: Int, y: Int): Int = (x * 9 + y * 4) % 180 + 20
+    def other(x: Int, y: Int): Int = 200 - base(x, y)
+    val media = Seq(
+      1L -> makeBmp(18, 16)(base), 2L -> makeBmp(18, 16)(base),
+      3L -> makeBmp(18, 16)(other)).toDF("media_id", "payload")
+    def planOf(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect(); df.queryExecution.executedPlan.toString
+    }
+    // default gate (64 GiB): a tiny source keeps the uncached shape —
+    // no InMemoryRelation anywhere in the plan
+    val keyConf = "spark.graft.media.proxyCacheMinBytes"
+    spark0.conf.unset(keyConf)
+    val ungated = Multimodal.dedupMediaCorpus(media, "image")
+    val planOff = planOf(ungated)
+    assert(!planOff.contains("InMemoryRelation"),
+      s"small source must not cache the proxy:\n${planOff.take(2000)}")
+    // knob forced to 0: the proxy caches, values identical
+    spark0.conf.set(keyConf, "0")
+    try {
+      val gated = Multimodal.dedupMediaCorpus(media, "image")
+      val planOn = planOf(gated)
+      assert(planOn.contains("InMemoryRelation"),
+        s"forced knob must cache the proxy:\n${planOn.take(2000)}")
+      assert(gated.select("media_id").collect().map(_.getLong(0)).toSet ==
+        ungated.select("media_id").collect().map(_.getLong(0)).toSet)
+    } finally {
+      spark0.conf.unset(keyConf)
+      operators.OpCache.releaseBlocking(spark0)
+    }
+  }
+
   test("imageDedupPairs: visual near-dup clusters found, distinct patterns not paired") {
     val spark0 = TestSpark.spark
     import spark0.implicits._
