@@ -291,6 +291,110 @@ object CatalystExprs {
       copy(child = c)
   }
 
+  /** [[LongPairCounts]] for three-long structs (the cross-corpus
+    * (bgh, w1h, w2h) gram triples of bigramLogPerplexityAgainst): sort +
+    * run-length encode in-row, returning array<struct<..., tf>> with
+    * distinct keys — the per-document triple counts computed inside the
+    * row, so the candidate gram frame needs no aggregation exchange (the
+    * exploded rows ARE the tf rows). Field names follow the child's
+    * struct; the (triple, tf) multiset per row equals the
+    * explode→groupBy form's (spec-pinned). */
+  case class LongTripleCounts(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    private lazy val childFields = child.dataType
+      .asInstanceOf[ArrayType].elementType.asInstanceOf[StructType].fields
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(st: StructType, _)
+            if st.fields.length == 3 &&
+              st.fields.forall(_.dataType == LongType) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"long_triple_counts expects array<struct<bigint,bigint,bigint>>, got ${t.sql}")
+      }
+    override def dataType: DataType = ArrayType(StructType(
+      childFields :+ StructField("tf", LongType, nullable = false)),
+      containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      if (n == 0) return new GenericArrayData(Array.empty[Any])
+      val a = new Array[Long](n)
+      val b = new Array[Long](n)
+      val c = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        val r = arr.getStruct(i, 3)
+        a(i) = r.getLong(0); b(i) = r.getLong(1); c(i) = r.getLong(2)
+        i += 1
+      }
+      sortTriples(a, b, c, 0, n - 1)
+      var runs = 1
+      i = 1
+      while (i < n) {
+        if (a(i) != a(i - 1) || b(i) != b(i - 1) || c(i) != c(i - 1)) runs += 1
+        i += 1
+      }
+      val out = new Array[Any](runs)
+      var o = 0
+      var start = 0
+      i = 1
+      while (i <= n) {
+        if (i == n || a(i) != a(start) || b(i) != b(start) || c(i) != c(start)) {
+          out(o) = org.apache.spark.sql.catalyst.InternalRow(
+            a(start), b(start), c(start), (i - start).toLong)
+          o += 1
+          start = i
+        }
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): LongTripleCounts =
+      copy(child = c)
+  }
+
+  /** The [[sortPairs]] tandem quicksort for three key columns. */
+  private def sortTriples(a: Array[Long], b: Array[Long], c: Array[Long],
+      lo0: Int, hi0: Int): Unit = {
+    var lo = lo0
+    var hi = hi0
+    def less3(xa: Long, xb: Long, xc: Long, ya: Long, yb: Long, yc: Long): Boolean =
+      xa < ya || (xa == ya && (xb < yb || (xb == yb && xc < yc)))
+    while (hi - lo >= 16) {
+      val mid = lo + (hi - lo) / 2
+      def less(i: Int, j: Int): Boolean =
+        less3(a(i), b(i), c(i), a(j), b(j), c(j))
+      def swap(i: Int, j: Int): Unit = {
+        val ta = a(i); a(i) = a(j); a(j) = ta
+        val tb = b(i); b(i) = b(j); b(j) = tb
+        val tc = c(i); c(i) = c(j); c(j) = tc
+      }
+      if (less(mid, lo)) swap(mid, lo)
+      if (less(hi, mid)) { swap(hi, mid); if (less(mid, lo)) swap(mid, lo) }
+      val pa = a(mid); val pb = b(mid); val pc = c(mid)
+      var i = lo
+      var j = hi
+      while (i <= j) {
+        while (less3(a(i), b(i), c(i), pa, pb, pc)) i += 1
+        while (less3(pa, pb, pc, a(j), b(j), c(j))) j -= 1
+        if (i <= j) { swap(i, j); i += 1; j -= 1 }
+      }
+      if (j - lo < hi - i) { sortTriples(a, b, c, lo, j); lo = i }
+      else { sortTriples(a, b, c, i, hi); hi = j }
+    }
+    var i = lo + 1
+    while (i <= hi) {
+      val ka = a(i); val kb = b(i); val kc = c(i)
+      var j = i - 1
+      while (j >= lo && less3(ka, kb, kc, a(j), b(j), c(j))) {
+        a(j + 1) = a(j); b(j + 1) = b(j); c(j + 1) = c(j); j -= 1
+      }
+      a(j + 1) = ka; b(j + 1) = kb; c(j + 1) = kc
+      i += 1
+    }
+  }
+
   /** In-place tandem quicksort of (a, b) by (a, then b) — the primitive
     * sort behind [[LongPairCounts]]. Median-of-three pivoting, insertion
     * sort below 16 elements, recursion on the smaller side only (stack
@@ -413,6 +517,104 @@ object CatalystExprs {
       v & 0x0FFFFFFFFFFFFFFFL
     }
     override protected def withNewChildInternal(c: Expression): Md5Prefix60 =
+      copy(child = c)
+  }
+
+  /** Sorted DISTINCT n-token shingle hashes from a token array in ONE
+    * pass — the fused form of the minhash pipeline's
+    *   sort_array(array_distinct(transform(sequence(...),
+    *     i => xxhash64(element_at(tokens, i+1) ... element_at(tokens, i+n)))))
+    * over transform(tokens, tk => xxhash64(tk)). Bit-identical
+    * (spec-pinned): token hashes and shingle combinations use Spark's own
+    * XXH64 kernels with the default seed chained left-to-right, exactly
+    * as the composable xxhash64(...) computes them; sorted-distinct long
+    * arrays are order-insensitive to the dedup/sort split. Replaces four
+    * per-row array materializations (token-hash array, sequence index
+    * array, distinct's hash set, sort_array's boxed sort) with one long[]
+    * pass. Returns [] for docs shorter than n; NULL in → NULL out; token
+    * elements must be non-null (split() output). */
+  case class SortedShingleHashes(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(n >= 1, s"n must be >= 1: $n")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val total = arr.numElements()
+      val m = total - n + 1
+      if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
+      // token hashes once (Spark's xxhash64(string) kernel, seed 42)
+      val th = new Array[Long](total)
+      var i = 0
+      while (i < total) {
+        val s = arr.getUTF8String(i)
+        th(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        i += 1
+      }
+      // shingle hashes: xxhash64(h_i, ..., h_{i+n-1}) == seed 42 folded
+      // left-to-right through hashLong — the multi-arg expression's rule
+      val hs = new Array[Long](m)
+      i = 0
+      while (i < m) {
+        var h = 42L
+        var j = 0
+        while (j < n) {
+          h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(th(i + j), h)
+          j += 1
+        }
+        hs(i) = h
+        i += 1
+      }
+      java.util.Arrays.sort(hs)
+      var uniq = 1
+      var k = 1
+      while (k < m) { if (hs(k) != hs(k - 1)) { hs(uniq) = hs(k); uniq += 1 }; k += 1 }
+      new GenericArrayData(java.util.Arrays.copyOf(hs, uniq))
+    }
+    override protected def withNewChildInternal(c: Expression): SortedShingleHashes =
+      copy(child = c)
+  }
+
+  /** POSITIONAL (non-distinct, non-sorted) n-token shingle hashes in one
+    * pass — [[SortedShingleHashes]] minus the dedup/sort: out[i] combines
+    * token hashes i..i+n-1 with the same XXH64 kernels, index order
+    * preserved (the anchor form for alignment-based substring detection).
+    * Bit-identical to transform(sequence(...), i => xxhash64(element_at
+    * ×n)) over transform(tokens, xxhash64) (spec-pinned). Returns [] for
+    * docs shorter than n (the HOF form required the caller to pre-guard);
+    * NULL in → NULL out; token elements must be non-null. */
+  case class PositionalShingleHashes(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(n >= 1, s"n must be >= 1: $n")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val total = arr.numElements()
+      val m = total - n + 1
+      if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
+      val th = new Array[Long](total)
+      var i = 0
+      while (i < total) {
+        val s = arr.getUTF8String(i)
+        th(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        i += 1
+      }
+      val hs = new Array[Long](m)
+      i = 0
+      while (i < m) {
+        var h = 42L
+        var j = 0
+        while (j < n) {
+          h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(th(i + j), h)
+          j += 1
+        }
+        hs(i) = h
+        i += 1
+      }
+      new GenericArrayData(hs)
+    }
+    override protected def withNewChildInternal(c: Expression): PositionalShingleHashes =
       copy(child = c)
   }
 
@@ -1315,11 +1517,20 @@ object CatalystExprs {
   def longPairCounts(pairs: Column): Column =
     GraftBridge.column(LongPairCounts(GraftBridge.expression(pairs)))
 
+  def longTripleCounts(triples: Column): Column =
+    GraftBridge.column(LongTripleCounts(GraftBridge.expression(triples)))
+
   def md5Prefix60(s: Column): Column =
     GraftBridge.column(Md5Prefix60(GraftBridge.expression(s)))
 
   def hashEmbedding(tokens: Column, dim: Int): Column =
     GraftBridge.column(HashEmbedding(GraftBridge.expression(tokens), dim))
+
+  def sortedShingleHashes(tokens: Column, n: Int): Column =
+    GraftBridge.column(SortedShingleHashes(GraftBridge.expression(tokens), n))
+
+  def positionalShingleHashes(tokens: Column, n: Int): Column =
+    GraftBridge.column(PositionalShingleHashes(GraftBridge.expression(tokens), n))
 
   def imageDimensions(payload: Column): Column =
     GraftBridge.column(ImageDimensions(GraftBridge.expression(payload)))

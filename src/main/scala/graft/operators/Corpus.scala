@@ -1662,9 +1662,27 @@ object Corpus {
         df.queryExecution.analyzed))
     val total = scalarOf(refUni.select(sum(col("ucnt")).cast("double").as("t")))
     val vocab = scalarOf(refUni.select(count(lit(1)).cast("double").as("v")))
-    // candidate bigrams scored against the model
-    val tf = triples(docs, col(idCol))
-      .groupBy("_id", "bgh", "w1h", "w2h").agg(count(lit(1)).as("tf"))
+    // candidate bigrams scored against the model — per-doc triple counts
+    // computed IN-ROW (r16, the p43 LongPairCounts shape with the third
+    // key): the candidate gram frame needs NO aggregation exchange; the
+    // exploded rows ARE the tf rows, co-located with their source doc.
+    // Precondition (as for the pair form): candidate ids are unique —
+    // a doc's grams all live in its one source row.
+    val tf = tokenHashes(docs, col(idCol))
+      .select(col("_id"), explode(
+          graft.functions.CatalystExprs.longTripleCounts(
+            when(size(col("_th")) >= 2,
+              transform(sequence(lit(0), size(col("_th")) - 2), i =>
+                struct(
+                  xxhash64(element_at(col("_th"), i + 1),
+                    element_at(col("_th"), i + 2)).as("bgh"),
+                  element_at(col("_th"), i + 1).as("w1h"),
+                  element_at(col("_th"), i + 2).as("w2h"))))
+            .otherwise(array()
+              .cast("array<struct<bgh:bigint,w1h:bigint,w2h:bigint>>"))))
+          .as("_p"))
+      .select(col("_id"), col("_p.bgh").as("bgh"), col("_p.w1h").as("w1h"),
+        col("_p.w2h").as("w2h"), col("_p.tf").as("tf"))
     val pAdd1 = (coalesce(col("ucnt"), lit(0L)).cast("double") + 1.0) /
       (total + vocab)
     val p = when(col("cnt").isNotNull,

@@ -492,11 +492,15 @@ object TextDedup {
     * filter on the RAW text column (the derived-array pushdown pitfall). */
   private def sortedWordShingles(
       df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    // fused (r16): token hashing + shingle combination + dedup + sort in
+    // one native pass (SortedShingleHashes, bit-identical to the HOF
+    // composition it replaces — spec-pinned). The short-doc filter stays
+    // on the RAW text column (the derived-array pushdown pitfall — see
+    // the minhashDedupPairs scaladoc).
     df.filter(size(split(lower(col(textCol)), " ")) >= n)
       .select(col(idCol).as("doc_id"),
-        transform(split(lower(col(textCol)), " "), tk => xxhash64(tk)).as("th"))
-      .select(col("doc_id"),
-        sort_array(shingleHashesFromTokenHashes(col("th"), n)).as("shingles"))
+        graft.functions.CatalystExprs.sortedShingleHashes(
+          split(lower(col(textCol)), " "), n).as("shingles"))
 
   /** Persist the per-doc shingle store as a doc_id-BUCKETED catalog table —
     * the artifact that makes pair verification array-shuffle-free at scale
@@ -758,12 +762,8 @@ object TextDedup {
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    def prep(df: DataFrame) = OpCache.cached(parallelized(df)
-      .filter(size(split(lower(col(textCol)), " ")) >= shingleSize)
-      .select(col(idCol).as("doc_id"),
-        transform(split(lower(col(textCol)), " "), tk => xxhash64(tk)).as("th"))
-      .select(col("doc_id"),
-        sort_array(shingleHashesFromTokenHashes(col("th"), shingleSize)).as("shingles")))
+    def prep(df: DataFrame) = OpCache.cached(
+      sortedWordShingles(parallelized(df), idCol, textCol, shingleSize))
     def banded(sh: DataFrame, idName: String) = sh.select(col("doc_id").as(idName),
       posexplode(graft.functions.CatalystExprs.minhashBandHashes(
         col("shingles"), numHashes, bands)).as(Seq("band", "bh")))
@@ -912,9 +912,14 @@ object TextDedup {
   def substringDupSpans(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 4, minRun: Int = 3, maxAnchors: Int = 256): DataFrame = {
-    val anchors = tokenHashFrame(df, idCol, textCol, n)
-      .select(col("doc_id"),
-        posexplode(shingleHashesPositional(col("th"), n)).as(Seq("p", "gh")))
+    // fused anchor build (r16): token hashing + positional gram
+    // combination in one native pass (bit-identical to the HOF chain —
+    // spec-pinned); the short-doc filter stays on the raw text column
+    val anchors = parallelized(df)
+      .filter(size(split(lower(col(textCol)), " ")) >= n)
+      .select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.CatalystExprs.positionalShingleHashes(
+          split(lower(col(textCol)), " "), n)).as(Seq("p", "gh")))
     val matched = alignedMatches(anchors, maxAnchors)
 
     // gaps-and-islands: consecutive pa values at one (pair, delta) share

@@ -1038,6 +1038,41 @@ class CorpusSpec extends AnyFunSuite {
     assert(inrow.nonEmpty && inrow == grouped)
   }
 
+  test("LongTripleCounts equals the explode→groupBy triple counts as a multiset") {
+    // r16: the in-row triple tf node behind bigramLogPerplexityAgainst —
+    // the (doc, bgh, w1h, w2h, tf) multiset must equal the old
+    // groupBy(_id, bgh, w1h, w2h) aggregation's
+    val docs = Tables.t(spark, TestSpark.sf, "documents")
+      .select($"doc_id", $"text")
+      .union(Seq((9201L, "a b a b a"), (9202L, "x"), (9203L, "y y y y"))
+        .toDF("doc_id", "text"))
+    val th = transform(filter(split(lower($"text"), " "), t => t =!= ""),
+      t => xxhash64(t))
+    def gramArr(thc: org.apache.spark.sql.Column) =
+      when(size(thc) >= 2,
+        transform(sequence(lit(0), size(thc) - 2), i =>
+          struct(xxhash64(element_at(thc, i + 1),
+            element_at(thc, i + 2)).as("bgh"),
+            element_at(thc, i + 1).as("w1h"),
+            element_at(thc, i + 2).as("w2h"))))
+      .otherwise(array().cast("array<struct<bgh:bigint,w1h:bigint,w2h:bigint>>"))
+    val base = docs.select($"doc_id", th.as("_th"))
+    val inrow = base.select($"doc_id", explode(
+        graft.functions.CatalystExprs.longTripleCounts(gramArr($"_th"))).as("_p"))
+      .select($"doc_id", $"_p.bgh", $"_p.w1h", $"_p.w2h", $"_p.tf")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .sortBy(identity).toSeq
+    val grouped = base.select($"doc_id", explode(gramArr($"_th")).as("_p"))
+      .select($"doc_id", $"_p.bgh".as("bgh"), $"_p.w1h".as("w1h"),
+        $"_p.w2h".as("w2h"))
+      .groupBy("doc_id", "bgh", "w1h", "w2h").agg(count(lit(1)).as("tf"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .sortBy(identity).toSeq
+    assert(inrow.nonEmpty && inrow == grouped)
+  }
+
   test("Md5GramBuckets equals the composable md5→substring→conv form bit-for-bit") {
     // r15 optimization: the fused node replaces the per-gram lambda in
     // dsirLogWeightsRaw's md5 branch — its values must be EXACTLY the old

@@ -49,6 +49,50 @@ class DedupSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getInt(0) == r.getInt(1)))
   }
 
+  test("SortedShingleHashes equals the HOF composition bit-for-bit") {
+    // the r16 fused node vs the sort_array(array_distinct(transform(...)))
+    // + transform(split, xxhash64) chain it replaced, on corpus text plus
+    // adversarial rows: empty text, consecutive spaces (empty tokens ARE
+    // hashed, as in the old form), unicode, exactly-n tokens, repeated
+    // shingles (dedup), single token (shorter than n)
+    val adv = Seq((9001L, ""), (9002L, "a  b  a  b"), (9003L, "文字 テキスト héllo wörld"),
+      (9004L, "one two three"), (9005L, "x y x y x y x y"), (9006L, "solo"))
+    val all = Tables.t(spark, TestSpark.sf, "documents")
+      .select($"doc_id", $"text").union(adv.toDF("doc_id", "text"))
+    for (n <- Seq(2, 3, 5)) {
+      val th = transform(split(lower($"text"), " "), tk => xxhash64(tk))
+      val both = all.select(
+          graft.functions.CatalystExprs.sortedShingleHashes(
+            split(lower($"text"), " "), n).as("fused"),
+          sort_array(TextDedup.shingleHashesFromTokenHashes(th, n)).as("composed"))
+        .collect()
+      assert(both.nonEmpty && both.forall(r =>
+        r.getSeq[Long](0) == r.getSeq[Long](1)))
+    }
+  }
+
+  test("PositionalShingleHashes equals the HOF composition bit-for-bit") {
+    // the fused anchor form: index order preserved, no dedup/sort. The
+    // composed form requires len >= n (sequence() would go descending),
+    // so compare on the guarded slice only.
+    val adv = Seq((9001L, "a  b  a  b"), (9002L, "文字 テキスト héllo wörld x"),
+      (9003L, "one two three four"), (9004L, "x y x y x y"))
+    val all = Tables.t(spark, TestSpark.sf, "documents")
+      .select($"doc_id", $"text").union(adv.toDF("doc_id", "text"))
+    for (n <- Seq(2, 4)) {
+      val guarded = all.filter(size(split(lower($"text"), " ")) >= n)
+        .select($"doc_id", transform(split(lower($"text"), " "),
+          tk => xxhash64(tk)).as("th"), split(lower($"text"), " ").as("tk"))
+      val both = guarded.select(
+          graft.functions.CatalystExprs.positionalShingleHashes($"tk", n)
+            .as("fused"),
+          TextDedup.shingleHashesPositional($"th", n).as("composed"))
+        .collect()
+      assert(both.nonEmpty && both.forall(r =>
+        r.getSeq[Long](0) == r.getSeq[Long](1)))
+    }
+  }
+
   test("exactDedup groups identical texts") {
     val out = TextDedup.exactDedup(docs, "doc_id", "text").collect()
     assert(out.length == 4) // 5 docs, one exact pair
