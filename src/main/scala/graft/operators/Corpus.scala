@@ -1169,6 +1169,12 @@ object Corpus {
     * one-row aggregate, not a driver-side collect. Scores are rounded to
     * 6dp BEFORE ranking (the p32 trick) so both engines rank identical
     * keys; ties break on the word.
+    *
+    * PRECONDITION (r15 ADVICE): `idCol` values must be unique — per-doc
+    * term frequencies are computed in-row, so duplicate-id rows would
+    * each count once in the document frequency and rank separately
+    * (the old groupBy(doc, w) merged them). Every pipeline caller feeds
+    * one row per document.
     */
   def tfidfTopTerms(
       df: DataFrame, idCol: String, textCol: String, k: Int = 5): DataFrame = {
@@ -1518,10 +1524,14 @@ object Corpus {
     // corpus token total WITHOUT any explode (r15): the per-doc non-empty
     // token count summed in-row — same value as sum(tf), zero Generate,
     // zero exchange (one partial-agg pass over the text column)
+    // coalesce guard (r15 ADVICE): under ANSI mode size(NULL) is NULL and
+    // drops out of sum(); with spark.sql.ansi.enabled=false it is -1 and
+    // every NULL-text doc would skew the total — pin the NULL-text
+    // contribution to 0 under either config
     val total = org.apache.spark.sql.GraftBridge.column(
       org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
-        df.select(sum(size(filter(split(lower(col(textCol)), " "),
-            t => t =!= ""))).cast("bigint").as("total"))
+        df.select(sum(coalesce(size(filter(split(lower(col(textCol)), " "),
+            t => t =!= "")), lit(0))).cast("bigint").as("total"))
           .queryExecution.analyzed))
     tf.join(wc, "w")
       .groupBy("doc_id")

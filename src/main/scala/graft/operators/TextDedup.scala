@@ -836,14 +836,19 @@ object TextDedup {
   private[operators] def bucketPairs(
       buckets: DataFrame, maxBucket: Int,
       aName: String, bName: String): DataFrame =
+    // two-level expansion (r16, guide §2.5): the former single explode
+    // materialized all C(n,2) pairs of a bucket in ONE generated row —
+    // at clone-farm pressure (ScaleProbe 100×: 27M pairs from ~100-copy
+    // clusters) those few fat rows serialize the stage and AQE cannot
+    // split a single row. posexplode first emits one row per (bucket,
+    // anchor) — n rows per bucket — and each row then explodes only its
+    // ids[i+1..] tail, so the quadratic work is spread across n
+    // pipeline rows. Pair set identical (sorted ids, i<j ⇒ a<b).
     buckets.filter(col("n") > 1 && col("n") <= maxBucket)
-      .withColumn("ids", array_sort(col("ids0"))) // attribute: referenced 4×
-      .select(explode(flatten(
-        transform(sequence(lit(0), size(col("ids")) - 2), i =>
-          transform(sequence(i + 1, size(col("ids")) - 1), j =>
-            struct(element_at(col("ids"), i + 1).as(aName),
-              element_at(col("ids"), j + 1).as(bName)))))).as("p"))
-      .select(col("p." + aName).as(aName), col("p." + bName).as(bName))
+      .withColumn("ids", array_sort(col("ids0"))) // attribute: referenced 3×
+      .select(col("ids"), posexplode(col("ids")).as(Seq("_i", aName)))
+      .select(col(aName), explode(
+        slice(col("ids"), col("_i") + 2, size(col("ids")))).as(bName))
       .distinct()
 
   /** Positional (non-distinct, non-sorted) n-word shingle hashes: out[i]
