@@ -147,12 +147,18 @@ object Bench {
         if (minSentinelSeen == Double.MaxValue) 0.0 else minSentinelSeen)
     var quietWaitLeft = 75.0 // seconds of total sleep budget for the run
     var quietWaited = 0.0
+    // the WAIT gate fires only when a RECORDED quiet reference exists
+    // (the driver's primary config): against the run-min fallback the
+    // threshold is one lucky sample away from unreachable — the sf0.01
+    // validation run burned the whole budget sleeping on ratio-1.2
+    // jitter. Fallback configs keep the adjudication stamp (quiet_ref /
+    // noisy_window) but never sleep on it.
     def quietSentinel(): Double = {
       var s = sentinelOnce()
       minSentinelSeen = math.min(minSentinelSeen, s)
       var probes = 0
-      while (BenchWindow.noisy(s, gateRef) && quietWaitLeft >= 1.5 &&
-          probes < 4) {
+      while (fixedQuietRef.isDefined && BenchWindow.noisy(s, gateRef) &&
+          quietWaitLeft >= 1.5 && probes < 4) {
         Thread.sleep(1500)
         quietWaitLeft -= 1.5; quietWaited += 1.5
         s = sentinelOnce()
@@ -182,12 +188,14 @@ object Bench {
     // two triggers (r16 adds the second): (a) the r7 relative rule —
     // sentinel far above the RUN median catches isolated steal spikes;
     // (b) the quiet-reference rule — a sentinel still noisy vs the
-    // recorded quiet floor after wait-for-quiet exhausted its probes
+    // RECORDED quiet floor after wait-for-quiet exhausted its probes
     // catches UNIFORM elevation, which the median rule is blind to (the
-    // r15 artifact's 15 phantom regressions sat exactly there).
+    // r15 artifact's 15 phantom regressions sat exactly there). Rule (b)
+    // needs the recorded reference: against the run-min fallback it
+    // would retry half the suite on ordinary jitter.
     val coldContended = names.filter(n => sentinels.get(n).exists(s =>
       (s > 2.5 * sMedian && s > sMedian + 0.15) ||
-        BenchWindow.noisy(s, gateRef)))
+        (fixedQuietRef.isDefined && BenchWindow.noisy(s, gateRef))))
     // per-query retry record (ADVICE r7): key = retried query, value = its
     // ORIGINAL first-run cold time; the queries map carries the effective
     // min. Presence in cold_first IS the per-query "this was retried" flag.
